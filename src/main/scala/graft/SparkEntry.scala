@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{Analytics => A}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Registry of every implemented operator (SURVEY.md §2): op-id →
+  * `(spark, sfDir) => DataFrame`, with matching DuckDB oracle SQL where the
+  * op is SQL-expressible. Determinism rules (SURVEY.md §5): total ORDER BY,
+  * decimal-exact money sums cast back to double, timestamps formatted as
+  * strings, identical column aliases on both sides.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_sales_by_period")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    A.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    A.oracleSql
+
+  /** Headline subset used by Bench (heaviest / most representative). */
+  def benchQueries: Seq[String] = {
+    val preferred = Seq(
+      "q_sales_by_period", "q_sales_by_vendor", "q_top_products",
+      "q_category_rollup", "q_stock_coverage", "a4_group_counts",
+      "j1_header_detail", "w2_latest_per_key", "x_dedup_exact",
+      "x_dedup_minhash", "x_sim_topk", "x_text_stats")
+    val present = preferred.filter(queries.contains)
+    if (present.nonEmpty) present else queries.keys.toSeq.sorted
+  }
 }
