@@ -15,6 +15,8 @@ object Verify {
       // classic (non-ANSI) semantics: the engine's coercion operators mirror
       // the reference's defensive parsing (bad input → NULL, never throw)
       .config("spark.sql.ansi.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS); see graft.util.Tables
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
