@@ -1,0 +1,187 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables.t
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2.10).
+  *
+  * Four tiers, cheapest first:
+  *  - exact (content hash, hash-groupBy)
+  *  - MinHash + LSH banding (shingle → per-band min signature → bucket join)
+  *  - SimHash (bitwise majority fingerprint, group-by-fingerprint)
+  *  - n-gram Jaccard verification on candidate pairs
+  *
+  * The parquet fixtures contain no duplicates, so each query first builds a
+  * deterministic duplicated corpus (a shifted-id copy, near-dup variants with
+  * one appended token) — that construction is mirrored in the oracle SQL.
+  *
+  * Scale posture: MinHash signatures are per-row folds (no shuffle); the only
+  * shuffle is the band-bucket self-join, which at 100 TB is the standard
+  * LSH-banding trick — candidate pairs ~ O(true dups), not O(n²). SimHash
+  * group-by shuffles 8-byte fingerprints only. Exact dedup shuffles the
+  * 32-byte sha256, never the document text.
+  */
+object DedupOps {
+
+  /** exact-dup corpus: every document appears twice under different ids. */
+  private def dupCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+
+  private val dupCorpusSql =
+    """corpus AS (SELECT doc_id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 100000 AS doc_id, text FROM documents)"""
+
+  /** near-dup corpus: the copy differs by one appended token. */
+  private def nearDupCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" extradup token")).as("text")))
+
+  private val nearDupCorpusSql =
+    """corpus AS (SELECT doc_id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 100000 AS doc_id, text || ' extradup token' AS text
+                  FROM documents)"""
+
+  /** 3-word shingles of the whitespace token stream (as a Column over a
+    * DataFrame that has a `toks` array column). */
+  private val shinglesExpr =
+    "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+
+  private val shinglesSql =
+    "list_transform(range(0, len(tk) - 2), i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])"
+
+  private val nibbles1 = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    .map(c => s"'$c'").mkString("(", ", ", ")")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "x_dedup_exact" -> ((s, d) => {
+      dupCorpus(t(s, d, "documents"))
+        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+        .orderBy("content_hash")
+    }),
+
+    "x_dedup_minhash" -> ((s, d) => {
+      val sigCols = (0 until 8).map(j =>
+        array_min(expr(s"transform(shingles, sh -> md5(concat('$j|', sh)))"))
+          .as(s"s$j"))
+      val sigs = nearDupCorpus(t(s, d, "documents"))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("shingles", expr(shinglesExpr))
+        .select(col("doc_id") +: sigCols: _*)
+      val bands = sigs.select(col("doc_id"),
+        expr("stack(2, 0, md5(concat(s0, s1, s2, s3)), " +
+             "1, md5(concat(s4, s5, s6, s7))) AS (band_idx, band_val)"))
+      bands.alias("x").join(bands.alias("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+        .orderBy("a", "b")
+    }),
+
+    "x_dedup_simhash" -> ((s, d) => {
+      // 16-bit SimHash: per-bit majority vote over token md5 nibbles,
+      // computed as per-row array folds (no explode, no extra shuffle)
+      val bitSums = (0 until 16).map(j =>
+        expr(s"""aggregate(transform(toks,
+                   t -> CASE WHEN substr(md5(t), ${j + 1}, 1) IN $nibbles1
+                             THEN 1 ELSE -1 END),
+                 0, (a, b) -> a + b)""").as(s"s$j"))
+      val withBits = nearDupCorpus(t(s, d, "documents"))
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id") +: bitSums: _*)
+      val fp = (0 until 16).map(j =>
+        when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      withBits.select(col("doc_id"), fp.as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+        .orderBy("fp")
+    }),
+
+    "x_ngram_jaccard" -> ((s, d) => {
+      // verification tier: exact Jaccard over distinct shingle sets for the
+      // constructed (original, near-dup copy) candidate pairs
+      val sh = nearDupCorpus(t(s, d, "documents"))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("shs", array_distinct(expr(shinglesExpr)))
+        .select(col("doc_id"), col("shs"))
+      sh.alias("a").join(sh.alias("b"),
+          col("b.doc_id") === col("a.doc_id") + 100000)
+        .withColumn("inter",
+          size(array_intersect(col("a.shs"), col("b.shs"))))
+        .select(col("a.doc_id").as("doc_id"),
+          round(col("inter") /
+            (size(col("a.shs")) + size(col("b.shs")) - col("inter")), 4)
+            .as("jaccard"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "x_dedup_exact" ->
+      s"""WITH $dupCorpusSql
+          SELECT sha256(text) AS content_hash, COUNT(*) AS n_copies,
+                 MIN(doc_id) AS keeper
+          FROM corpus GROUP BY 1 ORDER BY content_hash""",
+
+    "x_dedup_minhash" -> {
+      val sigDefs = (0 until 8).map(j =>
+        s"list_min(list_transform(shingles, sh -> md5('$j|' || sh))) AS s$j")
+        .mkString(", ")
+      s"""WITH $nearDupCorpusSql,
+          toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+          sh AS (SELECT doc_id, $shinglesSql AS shingles
+                 FROM toks WHERE len(tk) >= 3),
+          sig AS (SELECT doc_id, $sigDefs FROM sh),
+          bands AS (SELECT doc_id, 0 AS band_idx,
+                           md5(s0 || s1 || s2 || s3) AS band_val FROM sig
+                    UNION ALL
+                    SELECT doc_id, 1 AS band_idx,
+                           md5(s4 || s5 || s6 || s7) AS band_val FROM sig)
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+               AND x.doc_id < y.doc_id
+          ORDER BY a, b"""
+    },
+
+    "x_dedup_simhash" -> {
+      val bitDefs = (0 until 16).map(j =>
+        s"""CAST(list_sum(list_transform(tk,
+              t -> CASE WHEN substr(md5(t), ${j + 1}, 1) IN $nibbles1
+                        THEN 1 ELSE -1 END)) AS BIGINT) AS s$j""")
+        .mkString(", ")
+      val fpSum = (0 until 16).map(j =>
+        s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH $nearDupCorpusSql,
+          toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+          sig AS (SELECT doc_id, $bitDefs FROM toks)
+          SELECT CAST($fpSum AS BIGINT) AS fp, COUNT(*) AS n_docs,
+                 MIN(doc_id) AS keeper
+          FROM sig GROUP BY 1 ORDER BY fp"""
+    },
+
+    "x_ngram_jaccard" ->
+      s"""WITH $nearDupCorpusSql,
+          toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+          sh AS (SELECT doc_id, list_distinct($shinglesSql) AS shs
+                 FROM toks WHERE len(tk) >= 3)
+          SELECT a.doc_id AS doc_id,
+                 ROUND(len(list_intersect(a.shs, b.shs)) /
+                       (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))),
+                       4) AS jaccard
+          FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000
+          ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.types.Coercions._
+import graft.util.Tables.t
+
+/** Event-stream operators over the `events` fixture (SURVEY.md §2.8, §2.10
+  * x_json_props): typed JSON extraction, event-time windowed aggregation,
+  * and gap-based sessionization. These are the batch shadows of the
+  * Structured Streaming operators in graft.streaming — identical column
+  * logic, so a `readStream` swap reuses them (SURVEY.md §2.8 mapping).
+  */
+object EventOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "x_json_props" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("k", jsonField(col("props"), "$.k").cast("int"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("k_bucket")
+    }),
+
+    "x_window_hourly" -> ((s, d) => {
+      // tumbling event-time window; streaming twin: groupBy(window($"ts","1 hour"))
+      t(s, d, "events")
+        .groupBy(fmtTs(date_trunc("hour", col("ts"))).as("hour"))
+        .agg(count(lit(1)).as("n"),
+             dsum(col("value")).as("sum_value"),
+             countDistinct(col("user_id")).as("n_users"))
+        .orderBy("hour")
+    }),
+
+    "x_sessionize" -> ((s, d) => {
+      // gap-based sessions (30 min); streaming twin: session_window /
+      // flatMapGroupsWithState keyed by user_id
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+               unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(cum))
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("n_sessions"),
+             count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "x_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY k_bucket""",
+
+    "x_window_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+         COUNT(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1 ORDER BY hour""",
+
+    "x_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         m AS (
+           SELECT user_id, event_id,
+                  CASE WHEN prev_us IS NULL
+                            OR epoch_us(ts) - prev_us > 1800 * 1000000
+                       THEN 1 ELSE 0 END AS is_new,
+                  ts
+           FROM g),
+         sess AS (
+           SELECT user_id,
+                  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS session_id
+           FROM m)
+         SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+                COUNT(*) AS n_events
+         FROM sess GROUP BY 1 ORDER BY user_id"""
+  )
+}

@@ -1,0 +1,165 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables.t
+
+/** Similarity search over embedding columns (SURVEY.md §2.10 x_sim_topk).
+  *
+  * Dot products / norms are per-row left folds over the float array computed
+  * with SQL higher-order functions (zip_with + aggregate in double), so the
+  * summation order is fixed — bit-identical across engines and across
+  * partitionings. Scores are rounded to 6 dp and ranked with a total
+  * tie-break (neighbor id) for deterministic top-k.
+  *
+  * Scale posture: brute-force top-k is the correctness baseline (O(Q·N)
+  * broadcast nested-loop); `x_ann_lsh` is the scale path — sign-bit LSH
+  * bucketing turns the cross join into an equi-join on bucket, which Spark
+  * shuffles/hashes normally. At 100 TB you'd raise the hyperplane count and
+  * union several bucket tables (multi-probe) — same plan shape.
+  */
+object SimilarityOps {
+
+  /** left-fold dot product of two float-array columns, accumulated in
+    * double with fixed order. */
+  private def dotExpr(a: String, b: String): Column =
+    expr(s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+             CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, 65),
+        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"""
+
+  /** per-vector L2 norms (vec_id, nrm). */
+  private def norms(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      sqrt(dotExpr("embedding", "embedding")).as("nrm"))
+
+  private val normsSql =
+    s"""nrm AS (SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+        FROM embeddings)"""
+
+  /** all-pairs cosine for (query ⊆, candidate ⊆) with rounded score. */
+  private def cosinePairs(emb: DataFrame, q: DataFrame, c: DataFrame): DataFrame = {
+    val n = norms(emb)
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dotExpr("qe", "ce"))
+      .join(n.select(col("vec_id").as("query_id"), col("nrm").as("nq")), "query_id")
+      .join(n.select(col("vec_id").as("neighbor_id"), col("nrm").as("nc")), "neighbor_id")
+      .withColumn("cos_sim", round(col("dot") / (col("nq") * col("nc")), 6))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "x_sim_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
+      cosinePairs(emb, q, c)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    "x_sim_threshold" -> ((s, d) => {
+      // embedding-cosine near-dup: all pairs above a similarity floor
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val c = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      cosinePairs(emb, q, c)
+        .filter(col("query_id") < col("neighbor_id") && col("cos_sim") >= 0.2)
+        .select(col("query_id").as("a"), col("neighbor_id").as("b"), col("cos_sim"))
+        .orderBy("a", "b")
+    }),
+
+    "x_ann_lsh" -> ((s, d) => {
+      // sign-bit LSH: bucket on the sign pattern of the first 8 dims, then
+      // search only within the bucket (the scale path for x_sim_topk)
+      val emb = t(s, d, "embeddings")
+      val bucketExpr = expr((0 until 8).map(i =>
+        s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
+        .mkString("concat(", ", ", ")"))
+      val b = emb.withColumn("bucket", bucketExpr)
+      val q = b.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+                col("bucket"))
+      val c = b.select(col("vec_id").as("neighbor_id"),
+                       col("embedding").as("ce"), col("bucket"))
+      val n = norms(emb)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
+      q.join(c, Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("dot", dotExpr("qe", "ce"))
+        .join(n.select(col("vec_id").as("query_id"), col("nrm").as("nq")), "query_id")
+        .join(n.select(col("vec_id").as("neighbor_id"), col("nrm").as("nc")), "neighbor_id")
+        .withColumn("cos_sim", round(col("dot") / (col("nq") * col("nc")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "x_sim_topk" ->
+      s"""WITH $normsSql,
+          d AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ${dotSql("q.embedding", "c.embedding")} AS dot
+                FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 20),
+          sc AS (SELECT query_id, neighbor_id,
+                        ROUND(dot / (nq.nrm * nc.nrm), 6) AS cos_sim
+                 FROM d JOIN nrm nq ON nq.vec_id = query_id
+                        JOIN nrm nc ON nc.vec_id = neighbor_id),
+          r AS (SELECT query_id, neighbor_id, cos_sim,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, neighbor_id) AS rank
+                FROM sc)
+          SELECT query_id, neighbor_id, cos_sim, rank FROM r
+          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "x_sim_threshold" ->
+      s"""WITH $normsSql,
+          d AS (SELECT q.vec_id AS a, c.vec_id AS b,
+                       ${dotSql("q.embedding", "c.embedding")} AS dot
+                FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+                WHERE q.vec_id < 100 AND c.vec_id < 100)
+          SELECT a, b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+          FROM d JOIN nrm na ON na.vec_id = a
+                 JOIN nrm nb ON nb.vec_id = b
+          WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.2
+          ORDER BY a, b""",
+
+    "x_ann_lsh" -> {
+      // DuckDB lists are 1-based: embedding[1..8] ↔ Spark embedding[0..7]
+      val bucketSql = (1 to 8).map(i =>
+        s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"""WITH $normsSql,
+          b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+          d AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ${dotSql("q.embedding", "c.embedding")} AS dot
+                FROM b q JOIN b c
+                  ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+                WHERE q.vec_id < 50),
+          sc AS (SELECT query_id, neighbor_id,
+                        ROUND(dot / (nq.nrm * nc.nrm), 6) AS cos_sim
+                 FROM d JOIN nrm nq ON nq.vec_id = query_id
+                        JOIN nrm nc ON nc.vec_id = neighbor_id),
+          r AS (SELECT query_id, neighbor_id, cos_sim,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, neighbor_id) AS rank
+                FROM sc)
+          SELECT query_id, neighbor_id, cos_sim, rank FROM r
+          WHERE rank <= 3 ORDER BY query_id, rank"""
+    }
+  )
+}

@@ -1,0 +1,152 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables.t
+
+/** Text-analysis operators for training-data pipelines (extension surface
+  * mandated by BASELINE.json; SURVEY.md §2.10 x_text_stats et al.).
+  *
+  * Everything is built from codegen'd built-ins + SQL higher-order functions
+  * (transform/filter/aggregate) — no UDFs, no explode-then-groupBy where a
+  * per-row array fold avoids the shuffle entirely. At 100 TB each of these
+  * is a single narrow map stage over the documents table.
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+  private val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  // language-marker token lists for the n-gram/stopword language heuristic
+  private val langMarkers = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "los", "una"),
+    "fr" -> Seq("le", "les", "des"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "x_text_stats" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             round(sum(col("n_chars")) / count(lit(1)), 4).as("avg_chars"),
+             round(sum(size(split(col("text"), " "))) / count(lit(1)), 4)
+               .as("avg_tokens"))
+        .orderBy("lang")
+    }),
+
+    "x_token_count" -> ((s, d) => {
+      // whitespace tokens + a BPE-ish regex lexer (words / digit runs /
+      // punctuation runs) — both pure scan-side expressions
+      t(s, d, "documents").select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .as("n_re_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "x_quality_score" -> ((s, d) => {
+      t(s, d, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("n_stop", size(expr(
+          s"filter(split(text, ' '), t -> array_contains($stopArr, t))")))
+        .withColumn("n_punct",
+          length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+        .select(col("doc_id"),
+          round(col("n_stop") / col("n_tokens"), 4).as("stop_ratio"),
+          round(col("n_punct") / length(col("text")), 4).as("punct_ratio"),
+          round(lit(0.5) * (col("n_stop") / col("n_tokens"))
+              + lit(0.3) * (lit(1.0) - col("n_punct") / length(col("text")))
+              + lit(0.2) * least(lit(1.0), col("n_tokens") / lit(100.0)), 4)
+            .as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "x_lang_id" -> ((s, d) => {
+      val counted = langMarkers.foldLeft(t(s, d, "documents")) {
+        case (df, (lang, markers)) =>
+          val arr = markers.map(w => s"'$w'").mkString("array(", ", ", ")")
+          df.withColumn(s"c_$lang", size(expr(
+            s"filter(split(text, ' '), t -> array_contains($arr, t))")))
+      }
+      val Seq(en, de, es, fr) = Seq("c_en", "c_de", "c_es", "c_fr").map(col)
+      val predicted =
+        when(en === 0 && de === 0 && es === 0 && fr === 0, "unknown")
+          .when(en >= de && en >= es && en >= fr, "en")
+          .when(de >= es && de >= fr, "de")
+          .when(es >= fr, "es")
+          .otherwise("fr")
+      counted.groupBy(col("lang"), predicted.as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    "x_fingerprint" -> ((s, d) => {
+      // polynomial rolling hash over the token stream, modular to stay in
+      // 64-bit range — a per-row fold, no shuffle
+      t(s, d, "documents").select(col("doc_id"),
+          expr("""aggregate(
+                    transform(split(text, ' '),
+                              t -> ascii(substr(t, 1, 1)) * 7 + length(t)),
+                    CAST(0 AS BIGINT),
+                    (h, e) -> (h * 31 + e) % 1000000007)""").as("fingerprint"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "x_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+         ROUND(CAST(SUM(n_chars) AS BIGINT) / COUNT(*), 4) AS avg_chars,
+         ROUND(CAST(SUM(len(string_split(text, ' '))) AS BIGINT) / COUNT(*), 4) AS avg_tokens
+         FROM documents GROUP BY 1 ORDER BY lang""",
+
+    "x_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "x_quality_score" ->
+      s"""SELECT doc_id,
+          ROUND(n_stop / n_tokens, 4) AS stop_ratio,
+          ROUND(n_punct / len, 4) AS punct_ratio,
+          ROUND(0.5 * (n_stop / n_tokens) + 0.3 * (1.0 - n_punct / len)
+                + 0.2 * least(1.0, n_tokens / 100.0), 4) AS quality
+          FROM (SELECT doc_id,
+                  len(string_split(text, ' ')) AS n_tokens,
+                  len(list_filter(string_split(text, ' '),
+                      t -> list_contains($stopList, t))) AS n_stop,
+                  length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct,
+                  length(text) AS len
+                FROM documents)
+          ORDER BY doc_id""",
+
+    "x_lang_id" -> {
+      val counts = langMarkers.map { case (lang, markers) =>
+        val arr = markers.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(string_split(text, ' '), t -> list_contains($arr, t))) AS c_$lang"
+      }.mkString(",\n                  ")
+      s"""SELECT lang,
+          CASE WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'unknown'
+               WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+               WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+               WHEN c_es >= c_fr THEN 'es'
+               ELSE 'fr' END AS predicted,
+          COUNT(*) AS n
+          FROM (SELECT lang, $counts FROM documents)
+          GROUP BY 1, 2 ORDER BY lang, predicted"""
+    },
+
+    "x_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ' '),
+                            t -> ascii(t[1]) * 7 + length(t))),
+           (h, e) -> (h * 31 + e) % 1000000007) AS fingerprint
+         FROM documents ORDER BY doc_id"""
+  )
+}
