@@ -1,0 +1,193 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.state.StateStore
+import graft.types.Coercions
+
+/** s7_dag_order + per-entity loads (SURVEY.md §2.7/§3.1): the four-step DAG
+  * categorias → produtos → estoques → pedidos (dimensions before facts,
+  * ref tiny_api_v2_cliente.py:378-393), each step independently
+  * failure-tolerant, ending in the sink_audit_counts audit (ref :395-402).
+  *
+  * Source layout (the batch stand-in for the paginated REST API):
+  *   sourceDir/categorias.json          — tree envelope (FIXTURES.md §3.1)
+  *   sourceDir/<entity>/page-N.json     — one envelope per page (§3.2/3.4)
+  * Target layout: targetDir/<table> parquet dirs, merged by natural key.
+  */
+object Pipeline {
+
+  val produtoSchema: StructType = StructType.fromDDL(
+    "id STRING, nome STRING, codigo STRING, preco STRING, " +
+    "preco_promocional STRING, preco_custo STRING, preco_custo_medio STRING, " +
+    "unidade STRING, situacao STRING, data_criacao STRING")
+
+  val estoqueSchema: StructType = StructType.fromDDL(
+    "id STRING, nome STRING, saldo STRING, saldoReservado STRING")
+
+  val pedidoSchema: StructType = StructType.fromDDL(
+    "id STRING, numero STRING, data_pedido STRING, nome STRING, " +
+    "valor STRING, id_vendedor STRING, nome_vendedor STRING, " +
+    "situacao STRING, codigo_rastreamento STRING, " +
+    "itens ARRAY<STRUCT<item: STRUCT<id_produto: STRING, codigo: STRING, " +
+    "descricao: STRING, quantidade: STRING, valor_unitario: STRING>>>")
+
+  case class StepReport(process: String, outcome: IncrementalStep.Outcome)
+  case class RunReport(steps: Seq[StepReport], audit: Map[String, Long])
+
+  /** Merge a page batch into a parquet table by natural key
+    * (write-temp-then-swap, same rationale as StateStore). */
+  def mergeInto(spark: SparkSession, path: String, updates: DataFrame,
+                keys: Seq[String]): Long = {
+    val n = updates.count()
+    val merged =
+      if (Files.exists(Paths.get(path)))
+        Upsert.merge(spark.read.parquet(path), updates, keys)
+      else updates
+    val tmp = path + ".tmp"
+    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    deleteRec(Paths.get(path))
+    Files.move(Paths.get(tmp), Paths.get(path))
+    n
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p)) Files.list(p).forEach(deleteRec(_))
+      Files.delete(p)
+    }
+
+  /** Page fetcher over page-N.json envelope files. Missing page-1 file ⇒
+    * empty result; envelope errors map to the reference's protocol. */
+  private def filePageFetcher(spark: SparkSession, dir: String,
+      entityField: String, itemWrapper: String, itemSchema: StructType)
+      : (Instant, Int) => Either[String, Option[IncrementalStep.FetchedPage]] =
+    (_, page) => {
+      val path = s"$dir/page-$page.json"
+      if (!Files.exists(Paths.get(path))) {
+        if (page == 1) Right(None)
+        else Left(s"missing page file $path")
+      } else {
+        val raw = EnvelopeReader.readRaw(spark, path, entityField,
+          itemWrapper, itemSchema)
+        EnvelopeReader.classify(raw) match {
+          case EnvelopeReader.PageOk(total) =>
+            Right(Some(IncrementalStep.FetchedPage(
+              EnvelopeReader.entities(raw, entityField, itemWrapper), total)))
+          case EnvelopeReader.PageEmpty => Right(None)
+          case e: EnvelopeReader.PageError => Left(e.message)
+        }
+      }
+    }
+
+  /** Full DAG run. Each step catches its own failure (ref :378-393 wraps
+    * every PASSO in try/except and continues). */
+  def run(spark: SparkSession, sourceDir: String, targetDir: String,
+          now: Instant): RunReport = {
+    val store = new StateStore(spark, s"$targetDir/_state")
+    Files.createDirectories(Paths.get(targetDir))
+    val steps = scala.collection.mutable.ArrayBuffer[StepReport]()
+
+    // PASSO 1: categorias — full tree refresh (ref :379)
+    val catOutcome =
+      try {
+        val cats = TreeFlatten
+          .flattenCategoryTree(spark, s"$sourceDir/categorias.json")
+        val n = mergeInto(spark, s"$targetDir/categorias", cats,
+          Seq("id_categoria"))
+        IncrementalStep.Completed(1, n)
+      } catch {
+        case e: Exception => IncrementalStep.Failed(1, e.getMessage)
+      }
+    steps += StepReport("categorias", catOutcome)
+
+    // PASSO 2: produtos (ref :384) — incremental, 60 d window
+    steps += StepReport("produtos", IncrementalStep.run(
+      store, "produtos",
+      filePageFetcher(spark, s"$sourceDir/produtos", "produtos", "produto",
+        produtoSchema),
+      batch => mergeInto(spark, s"$targetDir/produtos",
+        batch.select(col("id").cast("int").as("id_produto"),
+          col("nome").as("nome_produto"),
+          col("codigo").as("codigo_produto"),
+          Coercions.coerceBrFloat(col("preco")).as("preco"),
+          Coercions.coerceBrFloat(col("preco_promocional"))
+            .as("preco_promocional"),
+          Coercions.coerceBrFloat(col("preco_custo")).as("preco_custo"),
+          Coercions.parseBrDate(col("data_criacao")).as("data_criacao")),
+        Seq("id_produto")),
+      now))
+
+    // PASSO 3: estoques (ref :388) — fixed 29 d window, no watermark read
+    steps += StepReport("estoques", IncrementalStep.run(
+      store, "estoques",
+      filePageFetcher(spark, s"$sourceDir/estoques", "produtos", "produto",
+        estoqueSchema),
+      batch => mergeInto(spark, s"$targetDir/produto_estoque_total",
+        batch.select(col("id").cast("int").as("id_produto"),
+          Coercions.coerceBrFloat(col("saldo")).as("saldo_total_api"),
+          Coercions.coerceBrFloat(col("saldoReservado"))
+            .as("saldo_reservado_api")),
+        Seq("id_produto")),
+      now, fixedWindowDays = Some(29)))
+
+    // PASSO 4: pedidos + fan-out itens (ref :392; header-detail j1)
+    steps += StepReport("pedidos", IncrementalStep.run(
+      store, "pedidos",
+      filePageFetcher(spark, s"$sourceDir/pedidos", "pedidos", "pedido",
+        pedidoSchema),
+      batch => {
+        val headers = batch.select(col("id").cast("int").as("id_pedido"),
+          col("numero").as("numero_pedido"),
+          col("data_pedido"),
+          col("nome").as("nome_cliente"),
+          Coercions.coerceBrFloat(col("valor")).as("valor_pedido"),
+          col("nome_vendedor"), col("situacao").as("situacao_pedido"))
+        val n = mergeInto(spark, s"$targetDir/pedidos", headers,
+          Seq("id_pedido"))
+        val items = batch
+          .select(col("id").cast("int").as("id_pedido"),
+            explode(col("itens")).as("it"))
+          .select(col("id_pedido"),
+            col("it.item.id_produto").cast("int").as("id_produto_tiny"),
+            col("it.item.codigo").as("codigo_produto"),
+            Coercions.coerceBrFloat(col("it.item.quantidade"))
+              .as("quantidade"),
+            Coercions.coerceBrFloat(col("it.item.valor_unitario"))
+              .as("valor_unitario_pedido"))
+        // detail rows follow their header's upsert (FK CASCADE analog):
+        // replace all items of the orders present in this batch
+        if (Files.exists(Paths.get(s"$targetDir/pedido_itens"))) {
+          val existing = spark.read.parquet(s"$targetDir/pedido_itens")
+          val kept = existing.join(headers.select("id_pedido"),
+            Seq("id_pedido"), "left_anti")
+          val tmp = s"$targetDir/pedido_itens.tmp"
+          kept.unionByName(items).coalesce(1)
+            .write.mode(SaveMode.Overwrite).parquet(tmp)
+          deleteRec(Paths.get(s"$targetDir/pedido_itens"))
+          Files.move(Paths.get(tmp), Paths.get(s"$targetDir/pedido_itens"))
+        } else {
+          items.coalesce(1).write.mode(SaveMode.Overwrite)
+            .parquet(s"$targetDir/pedido_itens")
+        }
+        n
+      },
+      now))
+
+    // audit: COUNT(*) per loaded table (ref :395-402)
+    val tables = Seq("categorias", "produtos", "produto_estoque_total",
+      "pedidos", "pedido_itens")
+    val audit = tables.flatMap { tbl =>
+      val p = s"$targetDir/$tbl"
+      if (Files.exists(Paths.get(p)))
+        Some(tbl -> spark.read.parquet(p).count())
+      else None
+    }.toMap
+    RunReport(steps.toSeq, audit)
+  }
+}

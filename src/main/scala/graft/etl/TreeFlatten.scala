@@ -19,6 +19,67 @@ import org.apache.spark.sql.functions._
   */
 object TreeFlatten {
 
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.types._
+
+  /** Recursive node schema for the categories tree JSON
+    * (`{"id","descricao","nodes":[...]}`, FIXTURES.md §3.1; árvore endpoint
+    * ref :33). Spark schemas can't be infinitely recursive, so depth is
+    * bounded — the innermost level drops the `nodes` field. */
+  private def nodeSchema(depth: Int): StructType = {
+    val base = StructType(Seq(
+      StructField("id", StringType),
+      StructField("descricao", StringType)))
+    if (depth <= 0) base
+    else StructType(base.fields :+
+      StructField("nodes", ArrayType(nodeSchema(depth - 1))))
+  }
+
+  /** j4 ingest side: nested tree JSON → adjacency list
+    * (id, descricao, id_pai), the exact shape of the `categorias` DDL
+    * (ref :83). Reads `{"retorno": [ ...roots... ]}` envelopes. */
+  def flattenCategoryTree(spark: SparkSession, path: String,
+                          maxDepth: Int = 8): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("retorno", ArrayType(nodeSchema(maxDepth)))))
+    val raw = spark.read.schema(schema).option("multiLine", value = true)
+      .json(path)
+    var level: DataFrame = raw
+      .select(explode(col("retorno")).as("n"))
+      .select(col("n.id").cast("int").as("id_categoria"),
+        col("n.descricao").as("descricao_categoria"),
+        lit(null).cast("int").as("id_categoria_pai"),
+        col("n.nodes").as("nodes"))
+    var out = level.select("id_categoria", "descricao_categoria",
+      "id_categoria_pai")
+    var depth = 0
+    while (depth < maxDepth &&
+           level.schema.fieldNames.contains("nodes")) {
+      val hasChildNodes = level.schema("nodes").dataType match {
+        case ArrayType(st: StructType, _) => st.fieldNames.contains("nodes")
+        case _ => false
+      }
+      val children = level
+        .filter(col("nodes").isNotNull && size(col("nodes")) > 0)
+        .select(col("id_categoria").as("pid"), explode(col("nodes")).as("n"))
+      level =
+        if (hasChildNodes)
+          children.select(col("n.id").cast("int").as("id_categoria"),
+            col("n.descricao").as("descricao_categoria"),
+            col("pid").as("id_categoria_pai"),
+            col("n.nodes").as("nodes"))
+        else
+          children.select(col("n.id").cast("int").as("id_categoria"),
+            col("n.descricao").as("descricao_categoria"),
+            col("pid").as("id_categoria_pai"))
+      out = out.unionByName(
+        level.select("id_categoria", "descricao_categoria", "id_categoria_pai"))
+      depth += 1
+      if (!level.schema.fieldNames.contains("nodes")) depth = maxDepth
+    }
+    out
+  }
+
   /** Transitive ancestor closure of an adjacency list.
     *
     * @param edges DataFrame with columns (`id`, `parent`), `parent` nullable

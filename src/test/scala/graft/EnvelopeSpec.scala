@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.types.StructType
+
+import graft.etl.EnvelopeReader
+import graft.etl.EnvelopeReader._
+import graft.etl.Pipeline
+
+/** src_envelope_decode over the authored fixtures (FIXTURES.md §3): status
+  * protocol, error codes 2/35, "Nenhum registro" empty-success, corrupt
+  * quarantine, entity explode + flatten. */
+class EnvelopeSpec extends SparkSpec {
+
+  private def read(name: String, field: String = "produtos",
+                   wrapper: String = "produto",
+                   schema: StructType = Pipeline.produtoSchema) =
+    EnvelopeReader.readRaw(spark, resource(name), field, wrapper, schema)
+
+  test("OK page: classified with total pages, entities flattened") {
+    val raw = read("tinyapi/produtos/page-1.json")
+    assert(EnvelopeReader.classify(raw) === PageOk(2))
+    val ents = EnvelopeReader.entities(raw, "produtos", "produto")
+    val rows = ents.orderBy("id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[String]("id") === "101")
+    assert(rows(0).getAs[String]("preco") === "49,90")
+    assert(rows(1).getAs[String]("codigo") === "CAL-002")
+  }
+
+  test("codigo 2 (bad token) is fatal and not retryable") {
+    val st = EnvelopeReader.classify(read("tinyapi/err_token.json"))
+    assert(st === PageError("invalid token (codigo 2)", fatal = true,
+      retryable = false))
+  }
+
+  test("codigo 35 is retryable, not fatal") {
+    val st = EnvelopeReader.classify(read("tinyapi/err_retry35.json"))
+    assert(st === PageError("api asked to retry (codigo 35)", fatal = false,
+      retryable = true))
+  }
+
+  test("'Nenhum registro encontrado' is an EMPTY SUCCESS (ref :281-282)") {
+    assert(EnvelopeReader.classify(read("tinyapi/empty_page.json")) === PageEmpty)
+  }
+
+  test("malformed JSON lands in quarantine, classified as non-fatal error") {
+    val st = EnvelopeReader.classify(read("tinyapi/corrupt.json"))
+    st match {
+      case PageError(msg, fatal, retryable) =>
+        assert(msg.startsWith("malformed envelope"))
+        assert(!fatal && !retryable)
+      case other => fail(s"expected PageError, got $other")
+    }
+  }
+}
