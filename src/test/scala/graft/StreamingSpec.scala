@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.etl.Pipeline
+import graft.streaming.StreamingIngest
+
+/** Streaming twins of s5/s6 (SURVEY.md §2.8): checkpointed file-source
+  * ingest with idempotent foreachBatch upsert, and event-time windows. */
+class StreamingSpec extends SparkSpec {
+
+  test("page-file stream upserts incrementally; checkpoint resumes like s5") {
+    val src = tmpDir("stream-src")
+    val tgt = tmpDir("stream-tgt") + "/produtos"
+    val ckpt = tmpDir("stream-ckpt")
+
+    def land(page: String): Unit =
+      Files.copy(Paths.get(resource(s"tinyapi/produtos/$page")),
+        Paths.get(src, page), StandardCopyOption.REPLACE_EXISTING)
+
+    def runOnce(): Unit = {
+      val stream = StreamingIngest.pageStream(spark, src, "produtos",
+        "produto", Pipeline.produtoSchema)
+      val q = StreamingIngest.incrementalSink(stream, spark, tgt,
+        Seq("id"), ckpt).start()
+      q.awaitTermination()
+    }
+
+    land("page-1.json")
+    runOnce()
+    assert(spark.read.parquet(tgt).count() === 2)
+
+    // second page lands; the checkpoint's offset log (s5 analog) must make
+    // the next run process ONLY the new file, and the merge stays idempotent
+    land("page-2.json")
+    runOnce()
+    val rows = spark.read.parquet(tgt).orderBy("id").collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getAs[String]("id")).toSeq === Seq("101", "102", "103"))
+
+    // re-run with nothing new: no-op
+    runOnce()
+    assert(spark.read.parquet(tgt).count() === 3)
+  }
+
+  test("event-time tumbling window with watermark aggregates by hour") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val events = mem.toDF().toDF("ts", "value")
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), 1.0),
+      (Timestamp.valueOf("2024-01-01 10:55:00"), 2.0),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), 4.0))
+    val q = StreamingIngest.hourlyCounts(events)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("hourly").orderBy("hour_start")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1),
+        r.getDouble(2))).toSeq
+    assert(got === Seq(
+      ("2024-01-01 10:00:00.0", 2L, 3.0),
+      ("2024-01-01 11:00:00.0", 1L, 4.0)))
+  }
+
+  test("session windows split on the 30-minute gap") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    mem.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 10:10:00")), // same session
+      (1L, Timestamp.valueOf("2024-01-01 11:00:00")), // gap > 30 min: new
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00")))
+    val q = StreamingIngest.sessionCounts(events)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sessions").orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+}
