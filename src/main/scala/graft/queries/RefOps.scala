@@ -116,10 +116,16 @@ object RefOps {
 
     // ---- §2.3 filters --------------------------------------------------
     "f1_incr_pushdown" -> ((s, d) => {
-      // incremental watermark predicate pushed to the parquet scan
-      t(s, d, "events")
-        .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp"))
-        .agg(count(lit(1)).as("n"),
+      // incremental watermark predicate pushed to the parquet scan IN
+      // STORAGE UNITS (raw nanos): filtering before the ts conversion lets
+      // row-group stats skip data — wrapped-column predicates can't push
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val filtered =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.filter(col("ts") >= lit(1704412800000000000L)) // 2024-01-05Z ns
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw.filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp"))
+      filtered.agg(count(lit(1)).as("n"),
              fmtTs(min(col("ts"))).as("min_ts"),
              fmtTs(max(col("ts"))).as("max_ts"))
     }),
