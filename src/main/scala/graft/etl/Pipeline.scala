@@ -41,14 +41,21 @@ object Pipeline {
   case class RunReport(steps: Seq[StepReport], audit: Map[String, Long])
 
   /** Merge a page batch into a parquet table by natural key
-    * (write-temp-then-swap, same rationale as StateStore). */
+    * (write-temp-then-swap, same rationale as StateStore). Applies additive
+    * schema evolution on the way in — the load-time analog of the
+    * reference's `ADD COLUMN IF NOT EXISTS` migration (ref :93,:97-99). */
   def mergeInto(spark: SparkSession, path: String, updates: DataFrame,
                 keys: Seq[String]): Long = {
     val n = updates.count()
     val merged =
-      if (Files.exists(Paths.get(path)))
-        Upsert.merge(spark.read.parquet(path), updates, keys)
-      else updates
+      if (Files.exists(Paths.get(path))) {
+        val existing = spark.read.parquet(path)
+        val evolved = graft.model.SchemaEvolution
+          .mergeAdditive(existing.schema, updates.schema)
+        Upsert.merge(
+          graft.model.SchemaEvolution.conform(existing, evolved),
+          graft.model.SchemaEvolution.conform(updates, evolved), keys)
+      } else updates
     val tmp = path + ".tmp"
     merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     deleteRec(Paths.get(path))
