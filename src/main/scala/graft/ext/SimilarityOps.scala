@@ -79,6 +79,45 @@ object SimilarityOps {
         .orderBy("a", "b")
     }),
 
+    "x_ann_ivf" -> ((s, d) => {
+      // IVF-style ANN: deterministic "centroids" (the first 8 vectors),
+      // every vector assigned to its nearest centroid cell, search within
+      // the cell only. At 100 TB: k-means-trained centroids, same plan —
+      // one small broadcast (centroids), one equi-join on cell id.
+      val emb = t(s, d, "embeddings")
+      val cent = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val l2 = expr("""aggregate(zip_with(embedding, ce,
+        (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+                  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+        CAST(0 AS DOUBLE), (a, v) -> a + v)""")
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(asc("cdist"), asc("cid"))
+      val assigned = emb.crossJoin(broadcast(cent))
+        .withColumn("cdist", l2)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+      val q = assigned.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("cell"))
+      val c = assigned.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce2"), col("cell"))
+      val pairDist = expr("""round(aggregate(zip_with(qe, ce2,
+        (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+                  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+        CAST(0 AS DOUBLE), (a, v) -> a + v), 6)""")
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(asc("dist"), asc("neighbor_id"))
+      q.join(c, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("dist", pairDist)
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 3)
+        .select("query_id", "neighbor_id", "dist", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     "x_ann_lsh" -> ((s, d) => {
       // sign-bit LSH: bucket on the sign pattern of the first 8 dims, then
       // search only within the bucket (the scale path for x_sim_topk)
@@ -137,6 +176,33 @@ object SimilarityOps {
                  JOIN nrm nb ON nb.vec_id = b
           WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.2
           ORDER BY a, b""",
+
+    "x_ann_ivf" -> {
+      val l2 = (a: String, b: String) =>
+        s"""list_sum(list_transform(range(1, 65),
+            i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
+                 (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"""
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce
+                        FROM embeddings WHERE vec_id < 8),
+          adist AS (SELECT e.vec_id, e.embedding, c.cid,
+                           ${l2("e.embedding", "c.ce")} AS cdist
+                    FROM embeddings e CROSS JOIN cent c),
+          assigned AS (SELECT vec_id, embedding, cid AS cell
+                       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cdist, cid) AS rn FROM adist)
+                       WHERE rn = 1),
+          pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                           ROUND(${l2("q.embedding", "c.embedding")}, 6) AS dist
+                    FROM assigned q JOIN assigned c
+                      ON q.cell = c.cell AND q.vec_id <> c.vec_id
+                    WHERE q.vec_id < 30),
+          r AS (SELECT query_id, neighbor_id, dist,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY dist, neighbor_id) AS rank
+                FROM pairs)
+          SELECT query_id, neighbor_id, dist, rank FROM r
+          WHERE rank <= 3 ORDER BY query_id, rank"""
+    },
 
     "x_ann_lsh" -> {
       // DuckDB lists are 1-based: embedding[1..8] ↔ Spark embedding[0..7]
