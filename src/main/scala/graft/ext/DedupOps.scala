@@ -68,14 +68,23 @@ object DedupOps {
     }),
 
     "x_dedup_minhash" -> ((s, d) => {
-      val sigCols = (0 until 8).map(j =>
-        array_min(expr(s"transform(shingles, sh -> md5(concat('$j|', sh)))"))
-          .as(s"s$j"))
+      // hash family: 4 independent 8-hex-digit slices per md5 → 8 hash fns
+      // from only 2 md5 evaluations per shingle. Shingles are EXPLODED to a
+      // flat column so the md5s compute in a codegen'd Project exactly once
+      // (the 8 min-aggregates reference the attribute, and map-side partial
+      // min keeps the shuffle at O(docs × 64 bytes) — array-lambda variants
+      // are interpreted (no codegen CSE) and re-hash per signature)
+      val sigCols = (0 until 8).map { j =>
+        min(substring(col("h"), j * 8 + 1, 8)).as(s"s$j")
+      }
       val sigs = nearDupCorpus(t(s, d, "documents"))
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 3)
-        .withColumn("shingles", expr(shinglesExpr))
-        .select(col("doc_id") +: sigCols: _*)
+        .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+        .withColumn("h", concat(md5(concat(lit("0|"), col("sh"))),
+                                md5(concat(lit("1|"), col("sh")))))
+        .groupBy(col("doc_id"))
+        .agg(sigCols.head, sigCols.tail: _*)
       val bands = sigs.select(col("doc_id"),
         expr("stack(2, 0, md5(concat(s0, s1, s2, s3)), " +
              "1, md5(concat(s4, s5, s6, s7))) AS (band_idx, band_val)"))
@@ -136,9 +145,11 @@ object DedupOps {
           FROM corpus GROUP BY 1 ORDER BY content_hash""",
 
     "x_dedup_minhash" -> {
-      val sigDefs = (0 until 8).map(j =>
-        s"list_min(list_transform(shingles, sh -> md5('$j|' || sh))) AS s$j")
-        .mkString(", ")
+      val sigDefs = (0 until 8).map { j =>
+        val salt = j / 4
+        val off = (j % 4) * 8 + 1
+        s"list_min(list_transform(shingles, sh -> substr(md5('$salt|' || sh), $off, 8))) AS s$j"
+      }.mkString(", ")
       s"""WITH $nearDupCorpusSql,
           toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
           sh AS (SELECT doc_id, $shinglesSql AS shingles
