@@ -28,7 +28,9 @@ object Pipeline {
     "unidade STRING, situacao STRING, data_criacao STRING")
 
   val estoqueSchema: StructType = StructType.fromDDL(
-    "id STRING, nome STRING, saldo STRING, saldoReservado STRING")
+    "id STRING, nome STRING, saldo STRING, saldoReservado STRING, " +
+    "depositos ARRAY<STRUCT<deposito: STRUCT<nome: STRING, saldo: STRING, " +
+    "desconsiderar: STRING, empresa: STRING>>>")
 
   val pedidoSchema: StructType = StructType.fromDDL(
     "id STRING, numero STRING, data_pedido STRING, nome STRING, " +
@@ -135,12 +137,26 @@ object Pipeline {
       store, "estoques",
       filePageFetcher(spark, s"$sourceDir/estoques", "produtos", "produto",
         estoqueSchema),
-      batch => mergeInto(spark, s"$targetDir/produto_estoque_total",
-        batch.select(col("id").cast("int").as("id_produto"),
-          Coercions.coerceBrFloat(col("saldo")).as("saldo_total_api"),
-          Coercions.coerceBrFloat(col("saldoReservado"))
-            .as("saldo_reservado_api")),
-        Seq("id_produto")),
+      batch => {
+        val n = mergeInto(spark, s"$targetDir/produto_estoque_total",
+          batch.select(col("id").cast("int").as("id_produto"),
+            Coercions.coerceBrFloat(col("saldo")).as("saldo_total_api"),
+            Coercions.coerceBrFloat(col("saldoReservado"))
+              .as("saldo_reservado_api")),
+          Seq("id_produto"))
+        // j2 1:N fan-out: per-depot rows, natural key
+        // (id_produto, nome_deposito) — the reference's UNIQUE (ref :87)
+        mergeInto(spark, s"$targetDir/produto_estoque_depositos",
+          batch.select(col("id").cast("int").as("id_produto"),
+              explode(col("depositos")).as("dep"))
+            .select(col("id_produto"),
+              col("dep.deposito.nome").as("nome_deposito"),
+              Coercions.coerceBrFloat(col("dep.deposito.saldo")).as("saldo"),
+              col("dep.deposito.desconsiderar").as("desconsiderar_deposito"),
+              col("dep.deposito.empresa").as("empresa")),
+          Seq("id_produto", "nome_deposito"))
+        n
+      },
       now, fixedWindowDays = Some(29)))
 
     // PASSO 4: pedidos + fan-out itens (ref :392; header-detail j1)
@@ -188,7 +204,7 @@ object Pipeline {
 
     // audit: COUNT(*) per loaded table (ref :395-402)
     val tables = Seq("categorias", "produtos", "produto_estoque_total",
-      "pedidos", "pedido_itens")
+      "produto_estoque_depositos", "pedidos", "pedido_itens")
     val audit = tables.flatMap { tbl =>
       val p = s"$targetDir/$tbl"
       if (Files.exists(Paths.get(p)))

@@ -58,9 +58,9 @@ object MultimodalOps {
       // byte length, first-4-bytes hex magic, stub-decoded dimensions
       mediaTable(s, d)
         .select(col("doc_id"),
-          length(col("payload")).as("n_bytes"),
+          length(col("payload")).cast("long").as("n_bytes"), // duck BIGINT
           upper(substring(hex(col("payload")), 1, 8)).as("magic"),
-          (length(col("payload")) % 640).as("fake_width"),
+          (length(col("payload")) % 640).cast("long").as("fake_width"),
           ((ascii(col("payload").cast("string")) * 7) % 480).as("fake_height"))
         .orderBy("doc_id")
     })

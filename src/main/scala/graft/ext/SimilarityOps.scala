@@ -60,7 +60,7 @@ object SimilarityOps {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
       cosinePairs(emb, q, c)
-        .withColumn("rank", row_number().over(w))
+        .withColumn("rank", row_number().over(w).cast("long")) // duckdb BIGINT
         .filter(col("rank") <= 5)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")
@@ -112,7 +112,7 @@ object SimilarityOps {
       q.join(c, Seq("cell"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("dist", pairDist)
-        .withColumn("rank", row_number().over(wRank))
+        .withColumn("rank", row_number().over(wRank).cast("long"))
         .filter(col("rank") <= 3)
         .select("query_id", "neighbor_id", "dist", "rank")
         .orderBy("query_id", "rank")
@@ -140,7 +140,7 @@ object SimilarityOps {
         .join(n.select(col("vec_id").as("query_id"), col("nrm").as("nq")), "query_id")
         .join(n.select(col("vec_id").as("neighbor_id"), col("nrm").as("nc")), "neighbor_id")
         .withColumn("cos_sim", round(col("dot") / (col("nq") * col("nc")), 6))
-        .withColumn("rank", row_number().over(w))
+        .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")

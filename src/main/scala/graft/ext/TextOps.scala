@@ -42,9 +42,9 @@ object TextOps {
       // whitespace tokens + a BPE-ish regex lexer (words / digit runs /
       // punctuation runs) — both pure scan-side expressions
       t(s, d, "documents").select(col("doc_id"),
-          size(split(col("text"), " ")).as("n_ws_tokens"),
+          size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
           size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
-            .as("n_re_tokens"))
+            .cast("long").as("n_re_tokens")) // duckdb len() is BIGINT
         .orderBy("doc_id")
     }),
 

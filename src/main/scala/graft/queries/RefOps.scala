@@ -244,7 +244,7 @@ object RefOps {
       val w = Window.orderBy("o_orderkey")
       t(s, d, "orders")
         .select(col("o_orderkey"), col("o_totalprice"))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long")) // duckdb BIGINT
         .filter(col("rn").between(101, 150))
         .orderBy("rn")
     }),

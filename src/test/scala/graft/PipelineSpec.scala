@@ -35,7 +35,15 @@ class PipelineSpec extends SparkSpec {
       r1.steps.toString)
     assert(r1.audit === Map(
       "categorias" -> 5L, "produtos" -> 3L, "produto_estoque_total" -> 2L,
-      "pedidos" -> 1L, "pedido_itens" -> 2L))
+      "produto_estoque_depositos" -> 3L, "pedidos" -> 1L,
+      "pedido_itens" -> 2L))
+
+    val depots = spark.read.parquet(s"$tgt/produto_estoque_depositos")
+      .orderBy("id_produto", "nome_deposito").collect()
+    assert(depots.map(r => (r.getInt(0), r.getString(1),
+      r.getAs[Double]("saldo"))).toSeq
+      === Seq((101, "Filial", 2.0), (101, "Matriz", 10.5),
+              (102, "Matriz", 7.0)))
 
     // coercions landed: comma decimals became doubles, br dates parsed
     val prod = spark.read.parquet(s"$tgt/produtos")
