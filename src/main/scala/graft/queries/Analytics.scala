@@ -105,6 +105,22 @@ object Analytics {
         .agg(count(lit(1)).as("n_orders"),
              dsum(col("o_totalprice")).as("revenue"))
         .orderBy("priority")
+    }),
+
+    "q_sql_sales_summary" -> ((s, d) => {
+      // the engine's SQL surface (BASELINE "DataFrame transformations +
+      // SQL"): temp views + spark.sql, same Catalyst plan as the
+      // DataFrame twin
+      t(s, d, "orders").createOrReplaceTempView("v_orders")
+      t(s, d, "customer").createOrReplaceTempView("v_customer")
+      s.sql("""
+        SELECT c_mktsegment AS segment,
+               date_format(date_trunc('year', o_orderdate), 'yyyy') AS year,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+        ORDER BY segment, year""")
     })
   )
 
@@ -169,6 +185,13 @@ object Analytics {
     "q_sales_by_priority" ->
       s"""SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
           ${m("o_totalprice")} AS revenue
-          FROM orders GROUP BY 1 ORDER BY priority"""
+          FROM orders GROUP BY 1 ORDER BY priority""",
+
+    "q_sql_sales_summary" ->
+      s"""SELECT c_mktsegment AS segment,
+          strftime(date_trunc('year', o_orderdate), '%Y') AS year,
+          COUNT(*) AS n_orders, ${m("o_totalprice")} AS revenue
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2 ORDER BY segment, year"""
   )
 }

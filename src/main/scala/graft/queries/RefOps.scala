@@ -259,6 +259,17 @@ object RefOps {
         .orderBy("l_orderkey")
     }),
 
+    "w2b_latest_per_key_agg" -> ((s, d) => {
+      // pre-aggregation variant of w2 (PERFORMANCE.md): when only aggregate
+      // facts of the latest version are needed, a hash agg with map-side
+      // partials beats the window sort — no per-key row materialization
+      t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_linenumber")).as("last_line"),
+             count(lit(1)).as("n_versions"))
+        .orderBy("l_orderkey")
+    }),
+
     "w3_watermark_clamp" -> ((s, d) => {
       // greatest(wm, now()-60d) clamp (ref :163-167) with a fixed bound
       t(s, d, "events")
@@ -463,6 +474,11 @@ object RefOps {
                         ORDER BY l_linenumber DESC, l_shipdate DESC) AS rn
                FROM lineitem)
          WHERE rn = 1 ORDER BY l_orderkey""",
+
+    "w2b_latest_per_key_agg" ->
+      """SELECT l_orderkey, MAX(l_linenumber) AS last_line,
+         COUNT(*) AS n_versions
+         FROM lineitem GROUP BY 1 ORDER BY l_orderkey""",
 
     "w3_watermark_clamp" ->
       """SELECT event_id,
