@@ -35,6 +35,26 @@ object EventOps {
         .orderBy("hour")
     }),
 
+    "x_asof_lookup" -> ((s, d) => {
+      // as-of join (point-in-time lookup): each event sees the latest
+      // 'purchase' state of its user at or before its own timestamp.
+      // Realized as the scale-correct union+window pattern — last_value
+      // IGNORE NULLS over (user, time) — NOT a range cross join: one
+      // shuffle on user_id, linear scan per partition.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("last_purchase_value",
+          last(when(col("event_type") === "purchase", col("value")),
+            ignoreNulls = true).over(w))
+        .withColumn("last_purchase_id",
+          last(when(col("event_type") === "purchase", col("event_id")),
+            ignoreNulls = true).over(w))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("last_purchase_value"), col("last_purchase_id"))
+        .orderBy("event_id")
+    }),
+
     "x_sessionize" -> ((s, d) => {
       // gap-based sessions (30 min); streaming twin: session_window /
       // flatMapGroupsWithState keyed by user_id
@@ -68,6 +88,17 @@ object EventOps {
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
          COUNT(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY hour""",
+
+    "x_asof_lookup" ->
+      """SELECT event_id, user_id, event_type,
+         last_value(CASE WHEN event_type = 'purchase' THEN value END
+                    IGNORE NULLS) OVER w AS last_purchase_value,
+         last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                    IGNORE NULLS) OVER w AS last_purchase_id
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
 
     "x_sessionize" ->
       """WITH g AS (

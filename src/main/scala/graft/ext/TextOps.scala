@@ -84,6 +84,16 @@ object TextOps {
         .orderBy("lang", "predicted")
     }),
 
+    "x_length_histogram" -> ((s, d) => {
+      // corpus length distribution (standard pre-training QA op)
+      t(s, d, "documents")
+        .groupBy((expr("n_chars div 100") * 100).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+             min(col("n_chars")).as("min_chars"),
+             max(col("n_chars")).as("max_chars"))
+        .orderBy("bucket")
+    }),
+
     "x_fingerprint" -> ((s, d) => {
       // polynomial rolling hash over the token stream, modular to stay in
       // 64-bit range — a per-row fold, no shuffle
@@ -139,6 +149,11 @@ object TextOps {
           FROM (SELECT lang, $counts FROM documents)
           GROUP BY 1, 2 ORDER BY lang, predicted"""
     },
+
+    "x_length_histogram" ->
+      """SELECT (n_chars // 100) * 100 AS bucket, COUNT(*) AS n,
+         MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+         FROM documents GROUP BY 1 ORDER BY bucket""",
 
     "x_fingerprint" ->
       """SELECT doc_id,

@@ -51,8 +51,9 @@ object Analytics {
     }),
 
     "q_stock_by_depot" -> ((s, d) => {
-      // supplier-by-nation plays stock-by-depot (q_stock_by_depot, ref :87)
-      t(s, d, "supplier").join(t(s, d, "nation"),
+      // supplier-by-nation plays stock-by-depot (q_stock_by_depot, ref :87);
+      // dim side pinned broadcast — at 100 TB stats can mislead AQE
+      t(s, d, "supplier").join(broadcast(t(s, d, "nation")),
           col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("depot"))
         .agg(dsum(col("s_acctbal")).as("stock_value"),
@@ -78,8 +79,10 @@ object Analytics {
       // revenue rolled up the 2-level region→nation hierarchy (j4 analog)
       val rev = t(s, d, "orders").join(t(s, d, "customer"),
           col("o_custkey") === col("c_custkey"))
-        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
-        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
       val byNation = rev.groupBy(col("n_name").as("node"))
         .agg(dsum(col("o_totalprice")).as("revenue"))
         .withColumn("level", lit("nation"))
