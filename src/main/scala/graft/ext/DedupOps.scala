@@ -130,7 +130,7 @@ object DedupOps {
         .withColumn("inter",
           size(array_intersect(col("a.shs"), col("b.shs"))))
         .select(col("a.doc_id").as("doc_id"),
-          round(col("inter") /
+          graft.types.Coercions.detRound(col("inter") /
             (size(col("a.shs")) + size(col("b.shs")) - col("inter")), 4)
             .as("jaccard"))
         .orderBy("doc_id")
@@ -189,9 +189,9 @@ object DedupOps {
           sh AS (SELECT doc_id, list_distinct($shinglesSql) AS shs
                  FROM toks WHERE len(tk) >= 3)
           SELECT a.doc_id AS doc_id,
-                 ROUND(len(list_intersect(a.shs, b.shs)) /
-                       (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))),
-                       4) AS jaccard
+                 floor((len(list_intersect(a.shs, b.shs)) /
+                       (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))))
+                       * 1e4 + 0.5) / 1e4 AS jaccard
           FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000
           ORDER BY doc_id"""
   )

@@ -47,7 +47,8 @@ object SimilarityOps {
       .withColumn("dot", dotExpr("qe", "ce"))
       .join(n.select(col("vec_id").as("query_id"), col("nrm").as("nq")), "query_id")
       .join(n.select(col("vec_id").as("neighbor_id"), col("nrm").as("nc")), "neighbor_id")
-      .withColumn("cos_sim", round(col("dot") / (col("nq") * col("nc")), 6))
+      .withColumn("cos_sim",
+        graft.types.Coercions.detRound(col("dot") / (col("nq") * col("nc")), 6))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -103,10 +104,10 @@ object SimilarityOps {
           col("cell"))
       val c = assigned.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("ce2"), col("cell"))
-      val pairDist = expr("""round(aggregate(zip_with(qe, ce2,
+      val pairDist = expr("""floor(aggregate(zip_with(qe, ce2,
         (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
                   (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-        CAST(0 AS DOUBLE), (a, v) -> a + v), 6)""")
+        CAST(0 AS DOUBLE), (a, v) -> a + v) * 1e6 + 0.5) / 1e6""")
       val wRank = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(asc("dist"), asc("neighbor_id"))
       q.join(c, Seq("cell"))
@@ -139,7 +140,8 @@ object SimilarityOps {
         .withColumn("dot", dotExpr("qe", "ce"))
         .join(n.select(col("vec_id").as("query_id"), col("nrm").as("nq")), "query_id")
         .join(n.select(col("vec_id").as("neighbor_id"), col("nrm").as("nc")), "neighbor_id")
-        .withColumn("cos_sim", round(col("dot") / (col("nq") * col("nc")), 6))
+        .withColumn("cos_sim",
+        graft.types.Coercions.detRound(col("dot") / (col("nq") * col("nc")), 6))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
@@ -155,7 +157,7 @@ object SimilarityOps {
                 FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
                 WHERE q.vec_id < 20),
           sc AS (SELECT query_id, neighbor_id,
-                        ROUND(dot / (nq.nrm * nc.nrm), 6) AS cos_sim
+                        floor((dot / (nq.nrm * nc.nrm)) * 1e6 + 0.5) / 1e6 AS cos_sim
                  FROM d JOIN nrm nq ON nq.vec_id = query_id
                         JOIN nrm nc ON nc.vec_id = neighbor_id),
           r AS (SELECT query_id, neighbor_id, cos_sim,
@@ -171,10 +173,10 @@ object SimilarityOps {
                        ${dotSql("q.embedding", "c.embedding")} AS dot
                 FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
                 WHERE q.vec_id < 100 AND c.vec_id < 100)
-          SELECT a, b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+          SELECT a, b, floor((dot / (na.nrm * nb.nrm)) * 1e6 + 0.5) / 1e6 AS cos_sim
           FROM d JOIN nrm na ON na.vec_id = a
                  JOIN nrm nb ON nb.vec_id = b
-          WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.2
+          WHERE floor((dot / (na.nrm * nb.nrm)) * 1e6 + 0.5) / 1e6 >= 0.2
           ORDER BY a, b""",
 
     "x_ann_ivf" -> {
@@ -192,7 +194,7 @@ object SimilarityOps {
                                ORDER BY cdist, cid) AS rn FROM adist)
                        WHERE rn = 1),
           pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                           ROUND(${l2("q.embedding", "c.embedding")}, 6) AS dist
+                           floor((${l2("q.embedding", "c.embedding")}) * 1e6 + 0.5) / 1e6 AS dist
                     FROM assigned q JOIN assigned c
                       ON q.cell = c.cell AND q.vec_id <> c.vec_id
                     WHERE q.vec_id < 30),
@@ -217,7 +219,7 @@ object SimilarityOps {
                   ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
                 WHERE q.vec_id < 50),
           sc AS (SELECT query_id, neighbor_id,
-                        ROUND(dot / (nq.nrm * nc.nrm), 6) AS cos_sim
+                        floor((dot / (nq.nrm * nc.nrm)) * 1e6 + 0.5) / 1e6 AS cos_sim
                  FROM d JOIN nrm nq ON nq.vec_id = query_id
                         JOIN nrm nc ON nc.vec_id = neighbor_id),
           r AS (SELECT query_id, neighbor_id, cos_sim,

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.types.Coercions.detRound
 import graft.util.Tables.t
 
 /** Text-analysis operators for training-data pipelines (extension surface
@@ -32,8 +33,8 @@ object TextOps {
       t(s, d, "documents")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-             round(sum(col("n_chars")) / count(lit(1)), 4).as("avg_chars"),
-             round(sum(size(split(col("text"), " "))) / count(lit(1)), 4)
+             detRound(sum(col("n_chars")) / count(lit(1)), 4).as("avg_chars"),
+             detRound(sum(size(split(col("text"), " "))) / count(lit(1)), 4)
                .as("avg_tokens"))
         .orderBy("lang")
     }),
@@ -56,9 +57,9 @@ object TextOps {
         .withColumn("n_punct",
           length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
         .select(col("doc_id"),
-          round(col("n_stop") / col("n_tokens"), 4).as("stop_ratio"),
-          round(col("n_punct") / length(col("text")), 4).as("punct_ratio"),
-          round(lit(0.5) * (col("n_stop") / col("n_tokens"))
+          detRound(col("n_stop") / col("n_tokens"), 4).as("stop_ratio"),
+          detRound(col("n_punct") / length(col("text")), 4).as("punct_ratio"),
+          detRound(lit(0.5) * (col("n_stop") / col("n_tokens"))
               + lit(0.3) * (lit(1.0) - col("n_punct") / length(col("text")))
               + lit(0.2) * least(lit(1.0), col("n_tokens") / lit(100.0)), 4)
             .as("quality"))
@@ -110,8 +111,8 @@ object TextOps {
   def oracleSql: Map[String, String] = Map(
     "x_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
-         ROUND(CAST(SUM(n_chars) AS BIGINT) / COUNT(*), 4) AS avg_chars,
-         ROUND(CAST(SUM(len(string_split(text, ' '))) AS BIGINT) / COUNT(*), 4) AS avg_tokens
+         floor((CAST(SUM(n_chars) AS BIGINT) / COUNT(*)) * 1e4 + 0.5) / 1e4 AS avg_chars,
+         floor((CAST(SUM(len(string_split(text, ' '))) AS BIGINT) / COUNT(*)) * 1e4 + 0.5) / 1e4 AS avg_tokens
          FROM documents GROUP BY 1 ORDER BY lang""",
 
     "x_token_count" ->
@@ -121,10 +122,10 @@ object TextOps {
 
     "x_quality_score" ->
       s"""SELECT doc_id,
-          ROUND(n_stop / n_tokens, 4) AS stop_ratio,
-          ROUND(n_punct / len, 4) AS punct_ratio,
-          ROUND(0.5 * (n_stop / n_tokens) + 0.3 * (1.0 - n_punct / len)
-                + 0.2 * least(1.0, n_tokens / 100.0), 4) AS quality
+          floor((n_stop / n_tokens) * 1e4 + 0.5) / 1e4 AS stop_ratio,
+          floor((n_punct / len) * 1e4 + 0.5) / 1e4 AS punct_ratio,
+          floor((0.5 * (n_stop / n_tokens) + 0.3 * (1.0 - n_punct / len)
+                + 0.2 * least(1.0, n_tokens / 100.0)) * 1e4 + 0.5) / 1e4 AS quality
           FROM (SELECT doc_id,
                   len(string_split(text, ' ')) AS n_tokens,
                   len(list_filter(string_split(text, ' '),

@@ -69,7 +69,7 @@ object Analytics {
       t(s, d, "part").join(demand, col("p_partkey") === col("l_partkey"), "left")
         .select(col("p_partkey"),
           coalesce(col("dq"), lit(0.0)).as("demand_qty"),
-          round(col("p_size").cast("double") /
+          detRound(col("p_size").cast("double") /
             when(col("dq") =!= 0.0, col("dq")), 4)
             .as("coverage"))
         .orderBy("p_partkey")
@@ -161,8 +161,8 @@ object Analytics {
             SELECT l_partkey, ${m("l_quantity")} AS dq
             FROM lineitem GROUP BY 1)
           SELECT p_partkey, COALESCE(dq, 0.0) AS demand_qty,
-          ROUND(CAST(p_size AS DOUBLE) /
-                (CASE WHEN dq <> 0.0 THEN dq END), 4) AS coverage
+          floor((CAST(p_size AS DOUBLE) /
+                (CASE WHEN dq <> 0.0 THEN dq END)) * 1e4 + 0.5) / 1e4 AS coverage
           FROM part LEFT JOIN demand ON p_partkey = l_partkey
           ORDER BY p_partkey""",
 

@@ -177,7 +177,7 @@ object RefOps {
              dsum(col("l_extendedprice")).as("sum_price"),
              sum(revenue(col("l_extendedprice"), col("l_discount")))
                .cast("double").as("sum_revenue"),
-             round(dsum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"))
+             detRound(dsum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
@@ -373,7 +373,7 @@ object RefOps {
          FROM customer ORDER BY c_custkey""",
 
     "t8_pct_progress" ->
-      """SELECT l_linenumber, ROUND(l_linenumber * 100.0 / 7, 1) AS pct
+      """SELECT l_linenumber, floor((l_linenumber * 100.0 / 7) * 1e1 + 0.5) / 1e1 AS pct
          FROM (SELECT DISTINCT l_linenumber FROM lineitem)
          ORDER BY l_linenumber""",
 
@@ -422,7 +422,7 @@ object RefOps {
           ${m("l_quantity")} AS sum_qty,
           ${m("l_extendedprice")} AS sum_price,
           $rev AS sum_revenue,
-          ROUND(${m("l_quantity")} / COUNT(*), 4) AS avg_qty
+          floor((${m("l_quantity")} / COUNT(*)) * 1e4 + 0.5) / 1e4 AS avg_qty
           FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
 
     "j1_header_detail" ->

@@ -64,7 +64,22 @@ object Coercions {
 
   /** t8: round(page/total*100, 1) progress percentage (ref :210-211). */
   def pctProgress(page: Column, total: Column): Column =
-    round(page * lit(100.0) / total, 1)
+    detRound(page * lit(100.0) / total, 1)
+
+  /** Deterministic cross-engine rounding: floor(x·10ⁿ + 0.5)/10ⁿ — pure
+    * IEEE ops evaluated identically by Spark and DuckDB. Engine `round`
+    * implementations DIVERGE on half-boundaries (Spark rounds the exact
+    * binary expansion via BigDecimal; DuckDB scales first, and the
+    * scaling multiply can land exactly on .5), which breaks hash
+    * comparison — found at sf0.1 on x_quality_score. */
+  def detRound(c: Column, digits: Int): Column = {
+    val k = lit(math.pow(10, digits.toDouble))
+    floor(c * k + lit(0.5)) / k
+  }
+
+  /** DuckDB text of detRound for the oracle side. */
+  def detRoundSql(e: String, digits: Int): String =
+    s"floor(($e) * 1e$digits + 0.5) / 1e$digits"
 
   /** t9: defensive JSON field extraction (string-typed result). */
   def jsonField(c: Column, path: String): Column = get_json_object(c, path)
