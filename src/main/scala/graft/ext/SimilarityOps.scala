@@ -21,11 +21,12 @@ import graft.util.Tables.t
   */
 object SimilarityOps {
 
-  /** left-fold dot product of two float-array columns, accumulated in
-    * double with fixed order. */
+  /** Dot product via the native codegen'd GraftDot expression — identical
+    * left-fold semantics to `aggregate(zip_with(...))` (ascending index,
+    * double accumulator) but inside whole-stage codegen; sessions register
+    * it in each query fn (idempotent). */
   private def dotExpr(a: String, b: String): Column =
-    expr(s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-             CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+    expr(s"graft_dot($a, $b)")
 
   private def dotSql(a: String, b: String): String =
     s"""list_sum(list_transform(range(1, 65),
@@ -54,6 +55,7 @@ object SimilarityOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "x_sim_topk" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -69,6 +71,7 @@ object SimilarityOps {
 
     "x_sim_threshold" -> ((s, d) => {
       // embedding-cosine near-dup: all pairs above a similarity floor
+      graft.functions.GraftFunctions.register(s)
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < 100)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -122,6 +125,7 @@ object SimilarityOps {
     "x_ann_lsh" -> ((s, d) => {
       // sign-bit LSH: bucket on the sign pattern of the first 8 dims, then
       // search only within the bucket (the scale path for x_sim_topk)
+      graft.functions.GraftFunctions.register(s)
       val emb = t(s, d, "embeddings")
       val bucketExpr = expr((0 until 8).map(i =>
         s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expression for the embedding-similarity hot path.
+  *
+  * Why a custom Expression (SURVEY.md §2.11 ladder): the built-in way to dot
+  * two float arrays is `aggregate(zip_with(...))`, but SQL higher-order
+  * functions are interpreted — they sit outside whole-stage codegen and
+  * allocate a lambda frame per element. `graft_dot` generates a tight
+  * primitive loop instead. Semantics match the HOF left fold exactly
+  * (ascending index, double accumulator) so results are bit-identical and
+  * remain comparable to the DuckDB oracle.
+  */
+case class GraftDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+  // inputs are ARRAY<FLOAT> by construction at the (internal) call sites;
+  // ExpectsInputTypes is unavailable outside org.apache.spark (private API)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  /** Imperative registration (used by the query registry; idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => GraftDot(exprs.head, exprs(1)), "scala_udf")
+}
+
+/** SparkSessionExtensions entry point:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[GraftDot].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => GraftDot(exprs.head, exprs(1))))
+}
