@@ -98,16 +98,21 @@ object DedupOps {
     }),
 
     "x_dedup_simhash" -> ((s, d) => {
-      // 16-bit SimHash: per-bit majority vote over token md5 nibbles,
-      // computed as per-row array folds (no explode, no extra shuffle)
+      // 16-bit SimHash: per-bit majority vote over token md5 nibbles.
+      // Tokens exploded so md5 computes ONCE per token in a codegen'd
+      // Project (16 partial-sum aggregates read the attribute; the HOF
+      // fold variant re-hashed per bit — same lesson as x_dedup_minhash).
+      // Integer ± votes are commutative, so partial aggregation is exact.
+      // (Zero-token docs would drop at the explode; the corpus has none.)
       val bitSums = (0 until 16).map(j =>
-        expr(s"""aggregate(transform(toks,
-                   t -> CASE WHEN substr(md5(t), ${j + 1}, 1) IN $nibbles1
-                             THEN 1 ELSE -1 END),
-                 0, (a, b) -> a + b)""").as(s"s$j"))
+        sum(when(substring(col("h"), j + 1, 1)
+            .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+          .otherwise(-1)).as(s"s$j"))
       val withBits = nearDupCorpus(t(s, d, "documents"))
-        .withColumn("toks", split(col("text"), " "))
-        .select(col("doc_id") +: bitSums: _*)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", md5(col("tok")))
+        .groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
       val fp = (0 until 16).map(j =>
         when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _)

@@ -68,4 +68,44 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"))
+
+  // ---- custom state: flatMapGroupsWithState ---------------------------
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class ClosedSession(user_id: Long, start: java.sql.Timestamp,
+                           n_events: Int)
+
+  /** Custom-state sessionizer over `KeyValueGroupedDataset` — the
+    * hand-rolled equivalent of `session_window` for when session logic
+    * outgrows the built-in (e.g., value-dependent gaps, early emission).
+    * Emits a session whenever the incoming batch shows a gap > `gapMs`
+    * for that user; the open tail session stays in state.
+    */
+  def sessionizeWithState(events: org.apache.spark.sql.Dataset[Ev],
+                          gapMs: Long = 30L * 60 * 1000)
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.user_id))
+          var st = state.getOption.orNull
+          val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            st match {
+              case null => st = SessionState(t, t, 1)
+              case s if t - s.last > gapMs =>
+                closed += ClosedSession(user, new java.sql.Timestamp(s.start), s.n)
+                st = SessionState(t, t, 1)
+              case s => st = SessionState(s.start, t, s.n + 1)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.iterator
+      }
+  }
 }

@@ -68,6 +68,29 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", 1L, 4.0)))
   }
 
+  test("flatMapGroupsWithState sessionizer closes sessions past the gap") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StreamingIngest.Ev]
+    mem.addData(
+      StreamingIngest.Ev(1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      StreamingIngest.Ev(1L, Timestamp.valueOf("2024-01-01 10:10:00")),
+      StreamingIngest.Ev(1L, Timestamp.valueOf("2024-01-01 11:00:00")),
+      StreamingIngest.Ev(2L, Timestamp.valueOf("2024-01-01 09:00:00")),
+      StreamingIngest.Ev(2L, Timestamp.valueOf("2024-01-01 12:00:00")))
+    val q = StreamingIngest.sessionizeWithState(mem.toDS())
+      .writeStream.format("memory").queryName("fmgs_sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // closed sessions only — the open tail per user stays in state
+    val got = spark.table("fmgs_sessions").orderBy("user_id", "start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getInt(2))).toSeq
+    assert(got === Seq(
+      (1L, "2024-01-01 10:00:00.0", 2),   // closed by the 11:00 event
+      (2L, "2024-01-01 09:00:00.0", 1)))  // closed by the 12:00 event
+  }
+
   test("session windows split on the 30-minute gap") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
