@@ -58,7 +58,82 @@ object DedupOps {
   private val nibbles1 = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     .map(c => s"'$c'").mkString("(", ", ", ")")
 
+  /** MinHash-LSH candidate pairs (a < b) over the near-dup corpus —
+    * shared by x_dedup_minhash and the composed x_dedup_pipeline. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sigCols = (0 until 8).map { j =>
+      min(substring(col("h"), j * 8 + 1, 8)).as(s"s$j")
+    }
+    val sigs = nearDupCorpus(t(s, d, "documents"))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+      .withColumn("h", concat(md5(concat(lit("0|"), col("sh"))),
+                              md5(concat(lit("1|"), col("sh")))))
+      .groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bands = sigs.select(col("doc_id"),
+      expr("stack(2, 0, md5(concat(s0, s1, s2, s3)), " +
+           "1, md5(concat(s4, s5, s6, s7))) AS (band_idx, band_val)"))
+    bands.alias("x").join(bands.alias("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** distinct 3-shingle sets per doc of the near-dup corpus. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    nearDupCorpus(t(s, d, "documents"))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shs", array_distinct(expr(shinglesExpr)))
+      .select(col("doc_id"), col("shs"))
+
+  private val minhashCandidatesSql: String = {
+    val sigDefs = (0 until 8).map { j =>
+      val salt = j / 4
+      val off = (j % 4) * 8 + 1
+      s"list_min(list_transform(shingles, sh -> substr(md5('$salt|' || sh), $off, 8))) AS s$j"
+    }.mkString(", ")
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+        shg AS (SELECT doc_id, $shinglesSql AS shingles
+                FROM toks WHERE len(tk) >= 3),
+        sig AS (SELECT doc_id, $sigDefs FROM shg),
+        bands AS (SELECT doc_id, 0 AS band_idx,
+                         md5(s0 || s1 || s2 || s3) AS band_val FROM sig
+                  UNION ALL
+                  SELECT doc_id, 1 AS band_idx,
+                         md5(s4 || s5 || s6 || s7) AS band_val FROM sig),
+        cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                  FROM bands x JOIN bands y
+                    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+                       AND x.doc_id < y.doc_id)"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "x_dedup_pipeline" -> ((s, d) => {
+      // the full near-dup pipeline composed end-to-end: MinHash-LSH
+      // candidates → exact Jaccard verification (≥ 0.6) → dedup summary
+      // (distinct dropped docs). At 100 TB this is THE dedup recipe: the
+      // expensive exact verify runs only on O(candidates), not O(n²).
+      val conf = minhashPairs(s, d)
+        .join(shingleSets(s, d).select(col("doc_id").as("a"),
+          col("shs").as("shs_a")), "a")
+        .join(shingleSets(s, d).select(col("doc_id").as("b"),
+          col("shs").as("shs_b")), "b")
+        .withColumn("inter",
+          size(array_intersect(col("shs_a"), col("shs_b"))))
+        .withColumn("jacc", col("inter") /
+          (size(col("shs_a")) + size(col("shs_b")) - col("inter")))
+        .filter(col("jacc") >= 0.6)
+      val nc = minhashPairs(s, d).agg(count(lit(1)).as("n_candidates"))
+      val agg = conf.agg(count(lit(1)).as("n_confirmed"),
+        countDistinct(col("b")).as("n_dropped"))
+      nc.crossJoin(agg)
+    }),
 
     "x_dedup_exact" -> ((s, d) => {
       dupCorpus(t(s, d, "documents"))
@@ -74,27 +149,7 @@ object DedupOps {
       // (the 8 min-aggregates reference the attribute, and map-side partial
       // min keeps the shuffle at O(docs × 64 bytes) — array-lambda variants
       // are interpreted (no codegen CSE) and re-hash per signature)
-      val sigCols = (0 until 8).map { j =>
-        min(substring(col("h"), j * 8 + 1, 8)).as(s"s$j")
-      }
-      val sigs = nearDupCorpus(t(s, d, "documents"))
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
-        .withColumn("h", concat(md5(concat(lit("0|"), col("sh"))),
-                                md5(concat(lit("1|"), col("sh")))))
-        .groupBy(col("doc_id"))
-        .agg(sigCols.head, sigCols.tail: _*)
-      val bands = sigs.select(col("doc_id"),
-        expr("stack(2, 0, md5(concat(s0, s1, s2, s3)), " +
-             "1, md5(concat(s4, s5, s6, s7))) AS (band_idx, band_val)"))
-      bands.alias("x").join(bands.alias("y"),
-          col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_val") === col("y.band_val") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-        .orderBy("a", "b")
+      minhashPairs(s, d).orderBy("a", "b")
     }),
 
     "x_dedup_simhash" -> ((s, d) => {
@@ -143,34 +198,32 @@ object DedupOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "x_dedup_pipeline" ->
+      s"""WITH $nearDupCorpusSql,
+          $minhashCandidatesSql,
+          shd AS (SELECT doc_id, list_distinct($shinglesSql) AS shs
+                  FROM toks WHERE len(tk) >= 3),
+          conf AS (SELECT c.a, c.b
+                   FROM cands c
+                   JOIN shd sa ON sa.doc_id = c.a
+                   JOIN shd sb ON sb.doc_id = c.b
+                   WHERE len(list_intersect(sa.shs, sb.shs)) /
+                         (len(sa.shs) + len(sb.shs)
+                          - len(list_intersect(sa.shs, sb.shs))) >= 0.6)
+          SELECT (SELECT COUNT(*) FROM cands) AS n_candidates,
+                 (SELECT COUNT(*) FROM conf) AS n_confirmed,
+                 (SELECT COUNT(DISTINCT b) FROM conf) AS n_dropped""",
+
     "x_dedup_exact" ->
       s"""WITH $dupCorpusSql
           SELECT sha256(text) AS content_hash, COUNT(*) AS n_copies,
                  MIN(doc_id) AS keeper
           FROM corpus GROUP BY 1 ORDER BY content_hash""",
 
-    "x_dedup_minhash" -> {
-      val sigDefs = (0 until 8).map { j =>
-        val salt = j / 4
-        val off = (j % 4) * 8 + 1
-        s"list_min(list_transform(shingles, sh -> substr(md5('$salt|' || sh), $off, 8))) AS s$j"
-      }.mkString(", ")
+    "x_dedup_minhash" ->
       s"""WITH $nearDupCorpusSql,
-          toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
-          sh AS (SELECT doc_id, $shinglesSql AS shingles
-                 FROM toks WHERE len(tk) >= 3),
-          sig AS (SELECT doc_id, $sigDefs FROM sh),
-          bands AS (SELECT doc_id, 0 AS band_idx,
-                           md5(s0 || s1 || s2 || s3) AS band_val FROM sig
-                    UNION ALL
-                    SELECT doc_id, 1 AS band_idx,
-                           md5(s4 || s5 || s6 || s7) AS band_val FROM sig)
-          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-          FROM bands x JOIN bands y
-            ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-               AND x.doc_id < y.doc_id
-          ORDER BY a, b"""
-    },
+          $minhashCandidatesSql
+          SELECT a, b FROM cands ORDER BY a, b""",
 
     "x_dedup_simhash" -> {
       val bitDefs = (0 until 16).map(j =>

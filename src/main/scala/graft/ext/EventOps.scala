@@ -35,6 +35,22 @@ object EventOps {
         .orderBy("hour")
     }),
 
+    "x_funnel" -> ((s, d) => {
+      // conversion funnel: users reaching signup → signup+view →
+      // signup+view+purchase (per-user flags, then one global agg)
+      val perUser = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "signup", 1).otherwise(0)).as("s"),
+             max(when(col("event_type") === "view", 1).otherwise(0)).as("v"),
+             max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+      perUser.agg(
+        count(lit(1)).as("n_users"),
+        sum(col("s")).cast("long").as("n_signup"),
+        sum(col("s") * col("v")).cast("long").as("n_signup_view"),
+        sum(col("s") * col("v") * col("p")).cast("long")
+          .as("n_signup_view_purchase"))
+    }),
+
     "x_asof_lookup" -> ((s, d) => {
       // as-of join (point-in-time lookup): each event sees the latest
       // 'purchase' state of its user at or before its own timestamp.
@@ -88,6 +104,17 @@ object EventOps {
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
          COUNT(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY hour""",
+
+    "x_funnel" ->
+      """SELECT COUNT(*) AS n_users,
+         CAST(SUM(s) AS BIGINT) AS n_signup,
+         CAST(SUM(s * v) AS BIGINT) AS n_signup_view,
+         CAST(SUM(s * v * p) AS BIGINT) AS n_signup_view_purchase
+         FROM (SELECT user_id,
+                 MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS s,
+                 MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+                 MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+               FROM events GROUP BY 1)""",
 
     "x_asof_lookup" ->
       """SELECT event_id, user_id, event_type,

@@ -110,6 +110,29 @@ object Analytics {
         .orderBy("priority")
     }),
 
+    "q_monthly_growth" -> ((s, d) => {
+      // month-over-month revenue growth (lag window over the monthly agg)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("month")
+      t(s, d, "orders")
+        .groupBy(fmtD(date_trunc("month", col("o_orderdate"))).as("month"))
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("prev", lag(col("revenue"), 1).over(w))
+        .select(col("month"), col("revenue"),
+          detRound((col("revenue") - col("prev")) / col("prev"), 4)
+            .as("growth"))
+        .orderBy("month")
+    }),
+
+    "q_customer_ltv" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+             dsum(col("o_totalprice")).as("ltv"),
+             fmtD(min(col("o_orderdate"))).as("first_order"),
+             fmtD(max(col("o_orderdate"))).as("last_order"))
+        .orderBy("o_custkey")
+    }),
+
     "q_sql_sales_summary" -> ((s, d) => {
       // the engine's SQL surface (BASELINE "DataFrame transformations +
       // SQL"): temp views + spark.sql, same Catalyst plan as the
@@ -189,6 +212,24 @@ object Analytics {
       s"""SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
           ${m("o_totalprice")} AS revenue
           FROM orders GROUP BY 1 ORDER BY priority""",
+
+    "q_monthly_growth" ->
+      s"""SELECT month, revenue,
+          floor(((revenue - prev) / prev) * 1e4 + 0.5) / 1e4 AS growth
+          FROM (SELECT month, revenue,
+                       lag(revenue) OVER (ORDER BY month) AS prev
+                FROM (SELECT strftime(date_trunc('month', o_orderdate),
+                               '%Y-%m-%d') AS month,
+                             ${m("o_totalprice")} AS revenue
+                      FROM orders GROUP BY 1))
+          ORDER BY month""",
+
+    "q_customer_ltv" ->
+      s"""SELECT o_custkey, COUNT(*) AS n_orders,
+          ${m("o_totalprice")} AS ltv,
+          strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_order,
+          strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order
+          FROM orders GROUP BY 1 ORDER BY o_custkey""",
 
     "q_sql_sales_summary" ->
       s"""SELECT c_mktsegment AS segment,
