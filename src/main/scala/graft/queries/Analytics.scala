@@ -110,6 +110,17 @@ object Analytics {
         .orderBy("priority")
     }),
 
+    "q_percentiles" -> ((s, d) => {
+      // exact interpolated percentiles (both engines implement the
+      // standard p*(n-1) linear interpolation); per-status breakdown
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+             expr("percentile(o_totalprice, 0.9)").as("p90"),
+             count(lit(1)).as("n"))
+        .orderBy("status")
+    }),
+
     "q_monthly_growth" -> ((s, d) => {
       // month-over-month revenue growth (lag window over the monthly agg)
       val w = org.apache.spark.sql.expressions.Window.orderBy("month")
@@ -212,6 +223,13 @@ object Analytics {
       s"""SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
           ${m("o_totalprice")} AS revenue
           FROM orders GROUP BY 1 ORDER BY priority""",
+
+    "q_percentiles" ->
+      """SELECT o_orderstatus AS status,
+         quantile_cont(o_totalprice, 0.5) AS p50,
+         quantile_cont(o_totalprice, 0.9) AS p90,
+         COUNT(*) AS n
+         FROM orders GROUP BY 1 ORDER BY status""",
 
     "q_monthly_growth" ->
       s"""SELECT month, revenue,
