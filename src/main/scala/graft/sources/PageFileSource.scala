@@ -34,8 +34,12 @@ class PageFileSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     PageFileSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    new PageTable(properties.get("path"))
+                        properties: JMap[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "graft.sources.PageFileSource requires .option(\"path\", <dir>)")
+    new PageTable(path)
+  }
 }
 
 object PageFileSource {
@@ -45,15 +49,23 @@ object PageFileSource {
 
   private val PageFile = """page-(\d+)\.json""".r
 
+  /** Page files under `dir`, deduplicated by page number (first path in
+    * (page, path) order wins, so `page-01.json` vs `page-1.json` can't
+    * yield two rows); out-of-Int-range numbers are skipped, not fatal. */
   def listPages(dir: String): Seq[(Int, String)] =
     if (!Files.exists(Paths.get(dir))) Seq.empty
-    else Files.list(Paths.get(dir)).iterator().asScala
-      .flatMap { p =>
-        p.getFileName.toString match {
-          case PageFile(n) => Some(n.toInt -> p.toString)
-          case _ => None
-        }
-      }.toSeq.sortBy(_._1)
+    else {
+      val stream = Files.list(Paths.get(dir))
+      val all =
+        try stream.iterator().asScala.flatMap { p =>
+          p.getFileName.toString match {
+            case PageFile(n) => n.toIntOption.map(_ -> p.toString)
+            case _ => None
+          }
+        }.toSeq
+        finally stream.close()
+      all.sorted.distinctBy(_._1)
+    }
 }
 
 class PageTable(path: String) extends Table with SupportsRead {
@@ -65,40 +77,40 @@ class PageTable(path: String) extends Table with SupportsRead {
     new PageScanBuilder(path)
 }
 
-/** Pushes page-range predicates into partition planning. */
+/** Pushes page-range predicates into partition planning. Bounds are kept
+  * as Long so strict-bound adjustment (`v ± 1`) cannot overflow — Spark
+  * never re-applies a filter claimed in pushedFilters(), so a wrapped
+  * bound would silently return wrong rows. A single match both decides
+  * support and updates the bound (no second list to keep in sync). */
 class PageScanBuilder(path: String)
   extends ScanBuilder with SupportsPushDownFilters {
 
-  private var lo = Int.MinValue
-  private var hi = Int.MaxValue
-  private var pushed = Array.empty[Filter]
+  private var lo = Long.MinValue
+  private var hi = Long.MaxValue
+  private var pushed = List.empty[Filter]
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (supported, rest) = filters.partition {
-      case GreaterThanOrEqual("page", _: Int) => true
-      case GreaterThan("page", _: Int) => true
-      case LessThanOrEqual("page", _: Int) => true
-      case LessThan("page", _: Int) => true
-      case EqualTo("page", _: Int) => true
-      case _ => false
+    val rest = filters.filterNot { f =>
+      val consumed = f match {
+        case GreaterThanOrEqual("page", v: Int) => lo = math.max(lo, v.toLong); true
+        case GreaterThan("page", v: Int) => lo = math.max(lo, v.toLong + 1); true
+        case LessThanOrEqual("page", v: Int) => hi = math.min(hi, v.toLong); true
+        case LessThan("page", v: Int) => hi = math.min(hi, v.toLong - 1); true
+        case EqualTo("page", v: Int) =>
+          lo = math.max(lo, v.toLong); hi = math.min(hi, v.toLong); true
+        case _ => false
+      }
+      if (consumed) pushed ::= f
+      consumed
     }
-    supported.foreach {
-      case GreaterThanOrEqual("page", v: Int) => lo = math.max(lo, v)
-      case GreaterThan("page", v: Int) => lo = math.max(lo, v + 1)
-      case LessThanOrEqual("page", v: Int) => hi = math.min(hi, v)
-      case LessThan("page", v: Int) => hi = math.min(hi, v - 1)
-      case EqualTo("page", v: Int) => lo = math.max(lo, v); hi = math.min(hi, v)
-      case _ =>
-    }
-    pushed = supported
     rest // Spark re-applies the rest; pushed ranges prune partitions
   }
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedFilters(): Array[Filter] = pushed.toArray
 
   override def build(): Scan = new PageScan(path, lo, hi)
 }
 
-class PageScan(path: String, lo: Int, hi: Int) extends Scan with Batch {
+class PageScan(path: String, lo: Long, hi: Long) extends Scan with Batch {
   override def readSchema(): StructType = PageFileSource.schema
   override def toBatch: Batch = this
   override def description(): String =

@@ -45,6 +45,24 @@ class PageFileSourceSpec extends SparkSpec {
     assert(read(dir).rdd.getNumPartitions === 5)
   }
 
+  test("boundary predicates and junk filenames are safe") {
+    val dir = stage()
+    // strict bound at Int.MaxValue must return 0 rows, not wrap
+    assert(read(dir).filter(col("page") > Int.MaxValue).count() === 0)
+    assert(read(dir).filter(col("page") < Int.MinValue).count() === 0)
+    // out-of-range page number and duplicate page spelling are tolerated
+    Files.copy(Paths.get(dir, "page-1.json"),
+      Paths.get(dir, "page-99999999999.json"))
+    Files.copy(Paths.get(dir, "page-1.json"), Paths.get(dir, "page-01.json"))
+    val df = read(dir)
+    assert(df.count() === 5) // 5 distinct pages, junk skipped, dup collapsed
+    // missing path option fails with a clear message
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.PageFileSource").load().count()
+    }
+    assert(e.getMessage.contains("path"))
+  }
+
   test("body decodes through the envelope machinery") {
     val dir = stage()
     val env = graft.etl.EnvelopeReader.envelopeSchema(
