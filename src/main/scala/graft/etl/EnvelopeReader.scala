@@ -81,13 +81,28 @@ object EnvelopeReader {
         }
       case Some(r) if r.getString(1) != null && !Set("3", "10")(r.getString(1)) =>
         val erros = Option(r.getString(3)).getOrElse("")
-        if (erros.contains("Nenhum registro")) PageEmpty // empty success :281
-        else PageError(s"processing status ${r.getString(1)}",
-          fatal = false, retryable = false)
+        // ref :281-286: "Nenhum registro" ⇒ empty success; status "2" ⇒
+        // failure; any OTHER status_proc is logged and PROCESSED anyway
+        if (erros.contains("Nenhum registro")) PageEmpty
+        else if (r.getString(1) == "2")
+          PageError("processing status 2", fatal = false, retryable = false)
+        else pageOk(r.getString(2))
       case Some(r) =>
-        PageOk(Option(r.getString(2)).map(_.toInt).getOrElse(1))
+        pageOk(r.getString(2))
     }
   }
+
+  /** numero_paginas is STRING-typed to tolerate dirty envelopes — a
+    * non-numeric value is a classification error, not a driver crash. */
+  private def pageOk(numeroPaginas: String): PageStatus =
+    Option(numeroPaginas) match {
+      case None => PageOk(1)
+      case Some(s) => s.toIntOption match {
+        case Some(n) => PageOk(n)
+        case None => PageError(s"bad numero_paginas '$s'",
+          fatal = false, retryable = false)
+      }
+    }
 
   /** Decode the entity rows of an OK page: status gate → explode entity
     * array → flatten the `{wrapper: {...}}` indirection. */

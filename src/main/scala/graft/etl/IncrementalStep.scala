@@ -61,8 +61,12 @@ object IncrementalStep {
     var records = store.getProgress(process)
       .filter(_.filter == filterStr).map(_.records).getOrElse(0L)
 
+    // budget counts pages processed THIS RUN (ref paginas_processadas_
+    // execucao :345) — bounding the absolute page number instead would
+    // make a resume past maxPages a permanent no-op stall
+    var pagesThisRun = 0
     var page = startPage
-    while (page <= maxPages) {
+    while (pagesThisRun < maxPages) {
       fetchPage(res.filter, page) match {
         case Left(err) =>
           // progress tracks pages successfully PROCESSED: the failed page
@@ -75,21 +79,22 @@ object IncrementalStep {
           store.upsertProgress(Progress(process, filterStr, page, 0, records,
             StatusDone))
           store.setWatermark(process, tsInicio) // unconditional, ref :363
-          return Completed(page - startPage, records)
+          return Completed(pagesThisRun, records)
         case Right(Some(FetchedPage(batch, totalPages))) =>
           records += sink(batch) // per-page transactional commit analog
+          pagesThisRun += 1
           store.upsertProgress(Progress(process, filterStr, page, totalPages,
             records, StatusRunning))
           if (page >= totalPages) {
             store.upsertProgress(Progress(process, filterStr, page, totalPages,
               records, StatusDone))
             store.setWatermark(process, tsInicio) // unconditional, ref :363
-            return Completed(page - startPage + 1, records)
+            return Completed(pagesThisRun, records)
           }
           page += 1
       }
     }
     // page budget exhausted: stay EM_ANDAMENTO, resume next run (ref :368-370)
-    BudgetExhausted(maxPages, records)
+    BudgetExhausted(page - 1, records)
   }
 }

@@ -45,36 +45,38 @@ object Pipeline {
   /** Merge a page batch into a parquet table by natural key
     * (write-temp-then-swap, same rationale as StateStore). Applies additive
     * schema evolution on the way in — the load-time analog of the
-    * reference's `ADD COLUMN IF NOT EXISTS` migration (ref :93,:97-99). */
+    * reference's `ADD COLUMN IF NOT EXISTS` migration (ref :93,:97-99).
+    * The batch is localCheckpoint'ed first: it is referenced three times
+    * (count, anti-join keys, union) and would otherwise re-run its whole
+    * decode lineage each time. */
   def mergeInto(spark: SparkSession, path: String, updates: DataFrame,
                 keys: Seq[String]): Long = {
-    val n = updates.count()
+    val batch = updates.localCheckpoint()
+    val n = batch.count()
     val merged =
       if (Files.exists(Paths.get(path))) {
         val existing = spark.read.parquet(path)
         val evolved = graft.model.SchemaEvolution
-          .mergeAdditive(existing.schema, updates.schema)
+          .mergeAdditive(existing.schema, batch.schema)
         Upsert.merge(
           graft.model.SchemaEvolution.conform(existing, evolved),
-          graft.model.SchemaEvolution.conform(updates, evolved), keys)
-      } else updates
+          graft.model.SchemaEvolution.conform(batch, evolved), keys)
+      } else batch
     val tmp = path + ".tmp"
     merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    deleteRec(Paths.get(path))
-    Files.move(Paths.get(tmp), Paths.get(path))
+    graft.util.Fs.swapInto(Paths.get(tmp), Paths.get(path))
     n
   }
 
-  private def deleteRec(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      if (Files.isDirectory(p)) Files.list(p).forEach(deleteRec(_))
-      Files.delete(p)
-    }
-
   /** Page fetcher over page-N.json envelope files. Missing page-1 file ⇒
-    * empty result; envelope errors map to the reference's protocol. */
-  private def filePageFetcher(spark: SparkSession, dir: String,
-      entityField: String, itemWrapper: String, itemSchema: StructType)
+    * empty result; envelope errors run through RetryPolicy exactly like
+    * the reference's request loop (codigo 35 retries with backoff, codigo
+    * 2 and 4xx-class errors abort immediately). `sleeper` is injectable —
+    * file-backed sources pass a no-op since a file won't change between
+    * retries; a network client keeps the real sleep. */
+  private[etl] def filePageFetcher(spark: SparkSession, dir: String,
+      entityField: String, itemWrapper: String, itemSchema: StructType,
+      sleeper: Int => Unit = _ => ())
       : (Instant, Int) => Either[String, Option[IncrementalStep.FetchedPage]] =
     (_, page) => {
       val path = s"$dir/page-$page.json"
@@ -82,15 +84,24 @@ object Pipeline {
         if (page == 1) Right(None)
         else Left(s"missing page file $path")
       } else {
-        val raw = EnvelopeReader.readRaw(spark, path, entityField,
-          itemWrapper, itemSchema)
-        EnvelopeReader.classify(raw) match {
-          case EnvelopeReader.PageOk(total) =>
-            Right(Some(IncrementalStep.FetchedPage(
-              EnvelopeReader.entities(raw, entityField, itemWrapper), total)))
-          case EnvelopeReader.PageEmpty => Right(None)
-          case e: EnvelopeReader.PageError => Left(e.message)
-        }
+        RetryPolicy.retrying[Option[IncrementalStep.FetchedPage]](
+          _ => {
+            val raw = EnvelopeReader.readRaw(spark, path, entityField,
+              itemWrapper, itemSchema)
+            EnvelopeReader.classify(raw) match {
+              case EnvelopeReader.PageOk(total) =>
+                Right(Some(IncrementalStep.FetchedPage(
+                  EnvelopeReader.entities(raw, entityField, itemWrapper),
+                  total)))
+              case EnvelopeReader.PageEmpty => Right(None)
+              case e: EnvelopeReader.PageError =>
+                Left(
+                  if (e.retryable) RetryPolicy.ApiCodigo("35")
+                  else if (e.fatal) RetryPolicy.ApiCodigo("2")
+                  else RetryPolicy.Http(400))
+            }
+          }, sleeper)
+          .left.map(f => s"page $page failed after retry policy: $f")
       }
     }
 
@@ -115,8 +126,17 @@ object Pipeline {
       }
     steps += StepReport("categorias", catOutcome)
 
+    // each incremental step is failure-isolated like the reference's
+    // try/except per PASSO (ref :378-393) — an uncaught exception becomes
+    // a Failed outcome and the DAG continues
+    def safeStep(name: String)(body: => IncrementalStep.Outcome): Unit =
+      steps += StepReport(name,
+        try body
+        catch { case e: Exception =>
+          IncrementalStep.Failed(-1, s"uncaught: ${e.getMessage}") })
+
     // PASSO 2: produtos (ref :384) — incremental, 60 d window
-    steps += StepReport("produtos", IncrementalStep.run(
+    safeStep("produtos")(IncrementalStep.run(
       store, "produtos",
       filePageFetcher(spark, s"$sourceDir/produtos", "produtos", "produto",
         produtoSchema),
@@ -133,7 +153,7 @@ object Pipeline {
       now))
 
     // PASSO 3: estoques (ref :388) — fixed 29 d window, no watermark read
-    steps += StepReport("estoques", IncrementalStep.run(
+    safeStep("estoques")(IncrementalStep.run(
       store, "estoques",
       filePageFetcher(spark, s"$sourceDir/estoques", "produtos", "produto",
         estoqueSchema),
@@ -160,7 +180,7 @@ object Pipeline {
       now, fixedWindowDays = Some(29)))
 
     // PASSO 4: pedidos + fan-out itens (ref :392; header-detail j1)
-    steps += StepReport("pedidos", IncrementalStep.run(
+    safeStep("pedidos")(IncrementalStep.run(
       store, "pedidos",
       filePageFetcher(spark, s"$sourceDir/pedidos", "pedidos", "pedido",
         pedidoSchema),
@@ -192,8 +212,8 @@ object Pipeline {
           val tmp = s"$targetDir/pedido_itens.tmp"
           kept.unionByName(items).coalesce(1)
             .write.mode(SaveMode.Overwrite).parquet(tmp)
-          deleteRec(Paths.get(s"$targetDir/pedido_itens"))
-          Files.move(Paths.get(tmp), Paths.get(s"$targetDir/pedido_itens"))
+          graft.util.Fs.swapInto(Paths.get(tmp),
+            Paths.get(s"$targetDir/pedido_itens"))
         } else {
           items.coalesce(1).write.mode(SaveMode.Overwrite)
             .parquet(s"$targetDir/pedido_itens")

@@ -22,11 +22,18 @@ object Upsert {
 
   /** Last-writer-wins merge: every key present in `updates` takes the update
     * row; all other existing rows pass through. Idempotent: merging the same
-    * updates twice yields the same table.
-    */
+    * updates twice yields the same table. The updates batch is first
+    * collapsed to ONE row per key (API pages can duplicate records under
+    * concurrent source writes) — deterministically, ordering ties by every
+    * non-key column, matching the reference's ON CONFLICT single-row
+    * outcome. */
   def merge(existing: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
-    val updateKeys = updates.select(keys.map(col): _*).distinct()
-    updates.unionByName(existing.join(updateKeys, keys, "left_anti"))
+    val nonKey = updates.columns.filterNot(keys.contains).toSeq
+    val uniq =
+      if (nonKey.isEmpty) updates.distinct()
+      else latestPerKey(updates, keys, nonKey)
+    val updateKeys = uniq.select(keys.map(col): _*).distinct()
+    uniq.unionByName(existing.join(updateKeys, keys, "left_anti"))
   }
 
   /** w2_latest_per_key: collapse a versioned changelog to the latest row per

@@ -41,16 +41,22 @@ object SimilarityOps {
     s"""nrm AS (SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm
         FROM embeddings)"""
 
-  /** all-pairs cosine for (query ⊆, candidate ⊆) with rounded score. */
-  private def cosinePairs(emb: DataFrame, q: DataFrame, c: DataFrame): DataFrame = {
+  /** Score pre-joined (query_id, qe, neighbor_id, ce) pairs: dot, norm
+    * joins, deterministic 6-dp cosine. Single definition so the rounding
+    * that keeps results oracle-comparable cannot diverge between callers. */
+  private def scorePairs(pairs: DataFrame, emb: DataFrame): DataFrame = {
     val n = norms(emb)
-    q.join(c, col("query_id") =!= col("neighbor_id"))
+    pairs
       .withColumn("dot", dotExpr("qe", "ce"))
       .join(n.select(col("vec_id").as("query_id"), col("nrm").as("nq")), "query_id")
       .join(n.select(col("vec_id").as("neighbor_id"), col("nrm").as("nc")), "neighbor_id")
       .withColumn("cos_sim",
         graft.types.Coercions.detRound(col("dot") / (col("nq") * col("nc")), 6))
   }
+
+  /** all-pairs cosine for (query ⊆, candidate ⊆) with rounded score. */
+  private def cosinePairs(emb: DataFrame, q: DataFrame, c: DataFrame): DataFrame =
+    scorePairs(q.join(c, col("query_id") =!= col("neighbor_id")), emb)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -136,16 +142,10 @@ object SimilarityOps {
                 col("bucket"))
       val c = b.select(col("vec_id").as("neighbor_id"),
                        col("embedding").as("ce"), col("bucket"))
-      val n = norms(emb)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
-      q.join(c, Seq("bucket"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("dot", dotExpr("qe", "ce"))
-        .join(n.select(col("vec_id").as("query_id"), col("nrm").as("nq")), "query_id")
-        .join(n.select(col("vec_id").as("neighbor_id"), col("nrm").as("nc")), "neighbor_id")
-        .withColumn("cos_sim",
-        graft.types.Coercions.detRound(col("dot") / (col("nq") * col("nc")), 6))
+      scorePairs(q.join(c, Seq("bucket"))
+          .filter(col("query_id") =!= col("neighbor_id")), emb)
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select("query_id", "neighbor_id", "cos_sim", "rank")

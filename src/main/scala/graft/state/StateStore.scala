@@ -75,16 +75,8 @@ class StateStore(spark: SparkSession, dir: String) {
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema)
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    deleteRec(Paths.get(path))
-    Files.move(Paths.get(tmp), Paths.get(path))
+    graft.util.Fs.swapInto(Paths.get(tmp), Paths.get(path))
   }
-
-  private def deleteRec(p: Path): Unit =
-    if (Files.exists(p)) {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(deleteRec(_))
-      Files.delete(p)
-    }
 }
 
 object StateStore {

@@ -43,6 +43,39 @@ class EnvelopeSpec extends SparkSpec {
     assert(EnvelopeReader.classify(read("tinyapi/empty_page.json")) === PageEmpty)
   }
 
+  test("unknown processing status is PROCESSED, only status 2 fails (ref :286)") {
+    val dir = tmpDir("env")
+    def write(name: String, body: String): String = {
+      val p = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.writeString(p, body); p.toString
+    }
+    val ok = write("proc1.json",
+      """{"retorno": {"status": "OK", "status_processamento": "1",
+         "numero_paginas": "3", "produtos": []}}""".replaceAll("\n\\s*", ""))
+    assert(EnvelopeReader.classify(EnvelopeReader.readRaw(spark, ok,
+      "produtos", "produto", Pipeline.produtoSchema)) === PageOk(3))
+    val bad = write("proc2.json",
+      """{"retorno": {"status": "OK", "status_processamento": "2",
+         "erros": ["other error"]}}""".replaceAll("\n\\s*", ""))
+    assert(EnvelopeReader.classify(EnvelopeReader.readRaw(spark, bad,
+      "produtos", "produto", Pipeline.produtoSchema))
+      === PageError("processing status 2", fatal = false, retryable = false))
+  }
+
+  test("non-numeric numero_paginas is a PageError, not a driver crash") {
+    val dir = tmpDir("env")
+    val p = java.nio.file.Paths.get(dir, "badnum.json")
+    java.nio.file.Files.writeString(p,
+      """{"retorno": {"status": "OK", "status_processamento": "3", """ +
+      """"numero_paginas": "abc", "produtos": []}}""")
+    EnvelopeReader.classify(EnvelopeReader.readRaw(spark, p.toString,
+      "produtos", "produto", Pipeline.produtoSchema)) match {
+      case PageError(msg, false, false) =>
+        assert(msg.contains("numero_paginas"))
+      case other => fail(s"expected PageError, got $other")
+    }
+  }
+
   test("malformed JSON lands in quarantine, classified as non-fatal error") {
     val st = EnvelopeReader.classify(read("tinyapi/corrupt.json"))
     st match {

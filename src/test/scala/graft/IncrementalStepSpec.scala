@@ -81,6 +81,24 @@ class IncrementalStepSpec extends SparkSpec {
     assert(store.rawWatermark("estoques") === Some(now))
   }
 
+  test("budget is per-RUN: resume past maxPages still gets a fresh budget") {
+    // regression: bounding the absolute page number instead of pages
+    // processed this run made any resume past maxPages a permanent no-op
+    val store = new StateStore(spark, tmpDir("step"))
+    assert(IncrementalStep.run(store, "produtos", fetcherOf(10),
+      _.count(), now, maxPages = 4) === BudgetExhausted(4, 4L))
+    var fetched = Vector.empty[Int]
+    val out2 = IncrementalStep.run(store, "produtos",
+      (f, p) => { fetched :+= p; fetcherOf(10)(f, p) }, _.count(), now,
+      maxPages = 4)
+    assert(fetched === Vector(5, 6, 7, 8)) // fresh 4-page budget
+    assert(out2 === BudgetExhausted(8, 8L))
+    val out3 = IncrementalStep.run(store, "produtos", fetcherOf(10),
+      _.count(), now, maxPages = 4)
+    assert(out3 === Completed(2, 10L)) // pages 9, 10 complete the extract
+    assert(store.rawWatermark("produtos") === Some(now))
+  }
+
   test("page budget exhaustion leaves EM_ANDAMENTO for next-run resume") {
     val store = new StateStore(spark, tmpDir("step"))
     val out = IncrementalStep.run(store, "produtos", fetcherOf(100),

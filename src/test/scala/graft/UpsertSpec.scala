@@ -27,6 +27,15 @@ class UpsertSpec extends SparkSpec {
       === twice.orderBy("k").collect().toSeq)
   }
 
+  test("merge collapses duplicate-key update rows to one deterministic row") {
+    import spark.implicits._
+    val existing = Seq((1, "a")).toDF("k", "v")
+    val updates = Seq((2, "x"), (2, "z"), (2, "y")).toDF("k", "v")
+    val got = Upsert.merge(existing, updates, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got === Seq((1, "a"), (2, "z"))) // max over non-key cols wins
+  }
+
   test("latestPerKey keeps exactly the newest version") {
     import spark.implicits._
     val df = Seq((1, 1, "old"), (1, 3, "new"), (1, 2, "mid"), (2, 1, "only"))
