@@ -1,0 +1,26 @@
+package graft
+
+/** Driver-contract invariants: smoke entry, registry/oracle key alignment,
+  * bench subset validity. */
+class SparkEntrySpec extends SparkSpec {
+
+  test("entry (driver smoke) returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("every query has oracle SQL (full correctness coverage)") {
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty,
+      s"queries with only rows-only checks: $unoracled")
+  }
+
+  test("benchQueries are all registered") {
+    assert(SparkEntry.benchQueries.forall(SparkEntry.queries.contains))
+    assert(SparkEntry.benchQueries.nonEmpty)
+  }
+}
