@@ -35,6 +35,24 @@ object EventOps {
         .orderBy("hour")
     }),
 
+    "x_retention_cohorts" -> ((s, d) => {
+      // classic cohort retention: users grouped by first-active month,
+      // counted in each subsequent active month (age in months)
+      val ev = t(s, d, "events")
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(min(date_trunc("month", col("ts"))).as("cohort"))
+      val active = ev.select(col("user_id"),
+        date_trunc("month", col("ts")).as("m")).distinct()
+      active.join(cohorts, "user_id")
+        .select(fmtD(col("cohort")).as("cohort_month"),
+          ((year(col("m")) * 12 + month(col("m"))) -
+           (year(col("cohort")) * 12 + month(col("cohort")))).as("age"),
+          col("user_id"))
+        .groupBy("cohort_month", "age")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_month", "age")
+    }),
+
     "x_funnel" -> ((s, d) => {
       // conversion funnel: users reaching signup → signup+view →
       // signup+view+purchase (per-user flags, then one global agg)
@@ -104,6 +122,20 @@ object EventOps {
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
          COUNT(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY hour""",
+
+    "x_retention_cohorts" ->
+      """WITH cohorts AS (
+           SELECT user_id, MIN(date_trunc('month', ts)) AS cohort
+           FROM events GROUP BY 1),
+         active AS (
+           SELECT DISTINCT user_id, date_trunc('month', ts) AS m FROM events)
+         SELECT strftime(cohort, '%Y-%m-%d') AS cohort_month,
+                CAST((date_part('year', m) * 12 + date_part('month', m)) -
+                     (date_part('year', cohort) * 12 + date_part('month', cohort))
+                     AS INTEGER) AS age,
+                COUNT(*) AS n_users
+         FROM active JOIN cohorts USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_month, age""",
 
     "x_funnel" ->
       """SELECT COUNT(*) AS n_users,

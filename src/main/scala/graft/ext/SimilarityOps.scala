@@ -94,13 +94,11 @@ object SimilarityOps {
       // every vector assigned to its nearest centroid cell, search within
       // the cell only. At 100 TB: k-means-trained centroids, same plan —
       // one small broadcast (centroids), one equi-join on cell id.
+      graft.functions.GraftFunctions.register(s)
       val emb = t(s, d, "embeddings")
       val cent = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      val l2 = expr("""aggregate(zip_with(embedding, ce,
-        (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
-                  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-        CAST(0 AS DOUBLE), (a, v) -> a + v)""")
+      val l2 = expr("graft_l2(embedding, ce)")
       val wAssign = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(asc("cdist"), asc("cid"))
       val assigned = emb.crossJoin(broadcast(cent))
@@ -113,10 +111,7 @@ object SimilarityOps {
           col("cell"))
       val c = assigned.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("ce2"), col("cell"))
-      val pairDist = expr("""floor(aggregate(zip_with(qe, ce2,
-        (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
-                  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-        CAST(0 AS DOUBLE), (a, v) -> a + v) * 1e6 + 0.5) / 1e6""")
+      val pairDist = expr("floor(graft_l2(qe, ce2) * 1e6 + 0.5) / 1e6")
       val wRank = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(asc("dist"), asc("neighbor_id"))
       q.join(c, Seq("cell"))

@@ -58,19 +58,69 @@ case class GraftDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance — same rationale and loop shape as GraftDot. */
+case class GraftL2(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val dd = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $dd = ((double) $x.getFloat($i)) - ((double) $y.getFloat($i));
+         |  $acc += $dd * $dd;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftL2 =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
   /** Imperative registration (used by the query registry; idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => GraftDot(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2", exprs => GraftL2(exprs.head, exprs(1)), "scala_udf")
+  }
 }
 
 /** SparkSessionExtensions entry point:
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[GraftDot].getName, "graft_dot"),
       (exprs: Seq[Expression]) => GraftDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_l2"),
+      new ExpressionInfo(classOf[GraftL2].getName, "graft_l2"),
+      (exprs: Seq[Expression]) => GraftL2(exprs.head, exprs(1))))
+  }
 }
