@@ -119,7 +119,10 @@ object DedupOps {
       // candidates → exact Jaccard verification (≥ 0.6) → dedup summary
       // (distinct dropped docs). At 100 TB this is THE dedup recipe: the
       // expensive exact verify runs only on O(candidates), not O(n²).
-      val conf = minhashPairs(s, d)
+      // candidates materialized once (localCheckpoint): referenced by both
+      // the verify join and the candidate count
+      val pairs = minhashPairs(s, d).localCheckpoint()
+      val conf = pairs
         .join(shingleSets(s, d).select(col("doc_id").as("a"),
           col("shs").as("shs_a")), "a")
         .join(shingleSets(s, d).select(col("doc_id").as("b"),
@@ -129,7 +132,7 @@ object DedupOps {
         .withColumn("jacc", col("inter") /
           (size(col("shs_a")) + size(col("shs_b")) - col("inter")))
         .filter(col("jacc") >= 0.6)
-      val nc = minhashPairs(s, d).agg(count(lit(1)).as("n_candidates"))
+      val nc = pairs.agg(count(lit(1)).as("n_candidates"))
       val agg = conf.agg(count(lit(1)).as("n_confirmed"),
         countDistinct(col("b")).as("n_dropped"))
       nc.crossJoin(agg)
