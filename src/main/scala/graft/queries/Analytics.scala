@@ -110,6 +110,21 @@ object Analytics {
         .orderBy("priority")
     }),
 
+    "q_sales_rollup" -> ((s, d) => {
+      // ROLLUP subtotals (segment, status) → (segment) → grand total;
+      // NULL grouping markers coalesced to 'ALL' so both engines order
+      // identically (Spark sorts NULLS FIRST, DuckDB NULLS LAST)
+      t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .rollup(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+             dsum(col("o_totalprice")).as("revenue"))
+        .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n_orders"), col("revenue"))
+        .orderBy("segment", "status")
+    }),
+
     "q_percentiles" -> ((s, d) => {
       // exact interpolated percentiles (both engines implement the
       // standard p*(n-1) linear interpolation); per-status breakdown
@@ -223,6 +238,14 @@ object Analytics {
       s"""SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
           ${m("o_totalprice")} AS revenue
           FROM orders GROUP BY 1 ORDER BY priority""",
+
+    "q_sales_rollup" ->
+      s"""SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+          COALESCE(o_orderstatus, 'ALL') AS status,
+          COUNT(*) AS n_orders, ${m("o_totalprice")} AS revenue
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY ROLLUP(c_mktsegment, o_orderstatus)
+          ORDER BY segment, status""",
 
     "q_percentiles" ->
       """SELECT o_orderstatus AS status,
