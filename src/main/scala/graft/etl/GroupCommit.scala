@@ -1,0 +1,74 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import scala.jdk.CollectionConverters._
+
+/** Group commit: bound the number of downstream merges to one per K pages
+  * while keeping the reference's per-page durability
+  * (tiny_api_v2_cliente.py:352-353 — commit after every page).
+  *
+  * Each page is durably staged as plain parquet under
+  * `stagingDir/p=<seq>/` BEFORE the step's progress row advances — a crash
+  * never loses an acknowledged page. Every K staged pages (and at the end
+  * of the step, and on recovery at the start of the next run) the staged
+  * pages are collapsed to the latest version per record (`p` ascending =
+  * page order, later pages win — exactly what replaying the per-page
+  * upserts would produce) and handed to `merge` ONCE.
+  *
+  * Cost: per-page work drops from O(table) merge to O(page) append; the
+  * merge runs P/K times instead of P (with the bucket-partitioned merge it
+  * touches only affected buckets too). K=1 degenerates to the reference's
+  * literal per-page commit.
+  */
+class GroupCommit(spark: org.apache.spark.sql.SparkSession,
+                  stagingDir: String, every: Int, key: String,
+                  merge: DataFrame => Long) {
+  require(every >= 1, s"group size must be >=1, got $every")
+
+  private def stagedPages(): Seq[Long] = {
+    val root = Paths.get(stagingDir)
+    if (!Files.exists(root)) Seq.empty
+    else {
+      val s = Files.list(root)
+      val dirs = try s.iterator().asScala.toList finally s.close()
+      dirs.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("p=") => n.drop(2).toLong }
+        .sorted
+    }
+  }
+
+  /** Durable per-page commit; triggers a merge every K pages. Returns the
+    * page's row count (the step's progress accounting, ref :208). */
+  def stage(batch: DataFrame): Long = {
+    val pages = stagedPages()
+    val next = if (pages.isEmpty) 1L else pages.max + 1L
+    batch.write.parquet(s"$stagingDir/p=$next")
+    // count from the staged parquet footers — never re-runs decode lineage
+    val n = spark.read.parquet(s"$stagingDir/p=$next").count()
+    if (pages.size + 1 >= every) flush()
+    n
+  }
+
+  /** Merge all staged pages (latest page wins per `key`) and clear the
+    * staging area. Safe to call with nothing staged. Idempotent in effect:
+    * the downstream merge is last-writer-wins by natural key, so a crash
+    * between merge and clear just re-merges the same rows on recovery. */
+  def flush(): Long = {
+    val pages = stagedPages()
+    if (pages.isEmpty) return 0L
+    // the p=<seq> dirs form a partitioned layout: one read, `p` inferred
+    val all = spark.read.parquet(stagingDir)
+    val latest = Upsert.latestPerKey(all, Seq(key), Seq("p")).drop("p")
+    val n = merge(latest)
+    graft.util.Fs.deleteRec(Paths.get(stagingDir))
+    n
+  }
+
+  /** Run at step start: merge any pages a previous run staged but did not
+    * flush (crash between stage and flush, or a Failed/BudgetExhausted
+    * step) so the table catches up before new pages arrive. */
+  def recover(): Unit = { flush(): Unit }
+}

@@ -1,0 +1,136 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.SchemaEvolution
+
+/** Bucket-partitioned merge: the bounded-cost realization of the
+  * reference's per-page `INSERT ... ON CONFLICT DO UPDATE` commit
+  * (tiny_api_v2_cliente.py:122-123,198) for tables too large to rewrite
+  * per batch.
+  *
+  * Layout: `path/gbucket=N/part-*.parquet`, N = pmod(hash(keys), buckets).
+  * A merge computes the buckets its update batch touches, reads ONLY those
+  * partitions (directory-pruned scan), merges by natural key, and swaps
+  * ONLY those bucket directories. Untouched buckets see zero I/O, so the
+  * per-batch cost is O(touched buckets × bucket size), not O(table) — at
+  * 100 TB with thousands of buckets an incremental page rewrites a few
+  * buckets, where the plain merge-by-union (round 1, PERFORMANCE.md
+  * "honest cost note") rewrote everything, and the write itself runs one
+  * task per touched bucket instead of a single coalesce(1) task.
+  *
+  * The same deterministic key→bucket function every batch means a key
+  * always lives in exactly one bucket directory — merge correctness needs
+  * no cross-bucket reconciliation.
+  */
+object PartitionedMerge {
+
+  /** Partition-directory column. Spark reads it back as an int partition
+    * column; `read` drops it so downstream schemas are unchanged. */
+  val BucketCol = "gbucket"
+
+  def bucketExpr(keys: Seq[String], numBuckets: Int): Column =
+    pmod(hash(keys.map(col): _*), lit(numBuckets))
+
+  /** Read a bucketed table with the engine-internal bucket column dropped.
+    * `mergeSchema` because additive evolution only rewrites touched
+    * buckets — after an evolving merge, untouched bucket files still carry
+    * the old schema and their rows surface the new columns as NULL (same
+    * observable result as the flat rewrite). At 100 TB the footer-sampling
+    * cost goes away by pinning the table schema from the catalog
+    * (model/Schemas) instead. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path).drop(BucketCol)
+
+  /** Merge `updates` into the bucketed table at `path` by natural key,
+    * rewriting only the buckets the batch touches. Applies additive schema
+    * evolution (SchemaEvolution) like the flat merge. Returns the batch
+    * row count. Idempotent: re-merging the same batch is a no-op. */
+  def mergeInto(spark: SparkSession, path: String, updates: DataFrame,
+                keys: Seq[String], numBuckets: Int = 16): Long = {
+    // referenced multiple times (count, distinct buckets, merge union):
+    // pin once so the decode lineage doesn't re-run per reference
+    val flat = updates.localCheckpoint()
+    val n = flat.count()
+    if (n == 0) return 0L
+    val batch = flat.withColumn(BucketCol, bucketExpr(keys, numBuckets))
+    val root = Paths.get(path)
+
+    if (!Files.exists(root)) {
+      batch.repartition(col(BucketCol))
+        .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(path)
+      return n
+    }
+
+    // touched buckets: a ≤numBuckets-int driver collect, never data rows
+    val touched = batch.select(col(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val existing = spark.read.option("mergeSchema", "true").parquet(path)
+    val evolved = SchemaEvolution.mergeAdditive(
+      existing.schema, batch.schema)
+    // partition pruning keeps the scan to the touched directories only
+    val existingTouched = SchemaEvolution
+      .conform(existing, evolved)
+      .filter(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
+    val merged = Upsert.merge(
+      existingTouched, SchemaEvolution.conform(batch, evolved), keys)
+
+    val tmp = path + ".tmp"
+    merged.repartition(col(BucketCol))
+      .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
+    touched.foreach { b =>
+      graft.util.Fs.swapInto(
+        Paths.get(s"$tmp/$BucketCol=$b"), Paths.get(s"$path/$BucketCol=$b"))
+    }
+    graft.util.Fs.deleteRec(Paths.get(tmp))
+    n
+  }
+
+  /** Replace-children merge for header-detail fan-out (ref FK CASCADE,
+    * tiny_api_v2_cliente.py:89): all detail rows of the `parents` in this
+    * batch are replaced by `children`, other parents' rows are kept.
+    * `parents` is passed explicitly — a parent updated to ZERO children
+    * must still have its stale children cleared. Buckets on the PARENT key
+    * so a parent's children co-locate in one bucket, and only the buckets
+    * whose parents appear in the batch are rewritten. A touched bucket
+    * whose rows all disappear becomes an empty directory (kept so the
+    * partitioned read keeps working). */
+  def replaceChildren(spark: SparkSession, path: String, children: DataFrame,
+                      parents: DataFrame, parentKey: String,
+                      numBuckets: Int = 16): Unit = {
+    val batch = children.localCheckpoint()
+      .withColumn(BucketCol, bucketExpr(Seq(parentKey), numBuckets))
+    val root = Paths.get(path)
+    if (!Files.exists(root)) {
+      batch.repartition(col(BucketCol))
+        .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
+    val parentKeys = parents.select(col(parentKey))
+      .withColumn(BucketCol, bucketExpr(Seq(parentKey), numBuckets))
+      .distinct().localCheckpoint()
+    val touched = parentKeys.select(col(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val existing = spark.read.option("mergeSchema", "true").parquet(path)
+      .filter(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
+    val kept = existing.join(parentKeys.select(parentKey),
+      Seq(parentKey), "left_anti")
+    val merged = kept.unionByName(batch, allowMissingColumns = true)
+    val tmp = path + ".tmp"
+    merged.repartition(col(BucketCol))
+      .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
+    touched.foreach { b =>
+      val src = Paths.get(s"$tmp/$BucketCol=$b")
+      val dst = Paths.get(s"$path/$BucketCol=$b")
+      if (Files.exists(src)) graft.util.Fs.swapInto(src, dst)
+      else { // all rows of this bucket were deleted
+        graft.util.Fs.deleteRec(dst)
+        Files.createDirectories(dst): Unit
+      }
+    }
+    graft.util.Fs.deleteRec(Paths.get(tmp))
+  }
+}

@@ -3,7 +3,7 @@ package graft.etl
 import java.nio.file.{Files, Paths}
 import java.time.Instant
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -42,31 +42,23 @@ object Pipeline {
   case class StepReport(process: String, outcome: IncrementalStep.Outcome)
   case class RunReport(steps: Seq[StepReport], audit: Map[String, Long])
 
-  /** Merge a page batch into a parquet table by natural key
-    * (write-temp-then-swap, same rationale as StateStore). Applies additive
-    * schema evolution on the way in — the load-time analog of the
-    * reference's `ADD COLUMN IF NOT EXISTS` migration (ref :93,:97-99).
-    * The batch is localCheckpoint'ed first: it is referenced three times
-    * (count, anti-join keys, union) and would otherwise re-run its whole
-    * decode lineage each time. */
+  /** Target tables are bucket-partitioned on their natural key (round 2 —
+    * bounds the per-commit rewrite to the touched buckets instead of the
+    * whole table; see PartitionedMerge). Small ERP-scale bucket count; at
+    * 100 TB raise it so a bucket stays executor-memory-sized. */
+  val TableBuckets = 16
+
+  /** Merge a page batch into a bucket-partitioned parquet table by natural
+    * key, rewriting only touched buckets. Applies additive schema
+    * evolution on the way in — the load-time analog of the reference's
+    * `ADD COLUMN IF NOT EXISTS` migration (ref :93,:97-99). */
   def mergeInto(spark: SparkSession, path: String, updates: DataFrame,
-                keys: Seq[String]): Long = {
-    val batch = updates.localCheckpoint()
-    val n = batch.count()
-    val merged =
-      if (Files.exists(Paths.get(path))) {
-        val existing = spark.read.parquet(path)
-        val evolved = graft.model.SchemaEvolution
-          .mergeAdditive(existing.schema, batch.schema)
-        Upsert.merge(
-          graft.model.SchemaEvolution.conform(existing, evolved),
-          graft.model.SchemaEvolution.conform(batch, evolved), keys)
-      } else batch
-    val tmp = path + ".tmp"
-    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    graft.util.Fs.swapInto(Paths.get(tmp), Paths.get(path))
-    n
-  }
+                keys: Seq[String]): Long =
+    PartitionedMerge.mergeInto(spark, path, updates, keys, TableBuckets)
+
+  /** Read a target table with the engine-internal bucket column dropped. */
+  def readTable(spark: SparkSession, path: String): DataFrame =
+    PartitionedMerge.read(spark, path)
 
   /** Page fetcher over page-N.json envelope files. Missing page-1 file ⇒
     * empty result; envelope errors run through RetryPolicy exactly like
@@ -106,9 +98,11 @@ object Pipeline {
     }
 
   /** Full DAG run. Each step catches its own failure (ref :378-393 wraps
-    * every PASSO in try/except and continues). */
+    * every PASSO in try/except and continues). `groupCommitPages` = K in
+    * the GroupCommit staging scheme: pages stay durable per page, merges
+    * run every K pages (K=1 ⇒ the reference's literal per-page commit). */
   def run(spark: SparkSession, sourceDir: String, targetDir: String,
-          now: Instant): RunReport = {
+          now: Instant, groupCommitPages: Int = 1): RunReport = {
     val store = new StateStore(spark, s"$targetDir/_state")
     Files.createDirectories(Paths.get(targetDir))
     val steps = scala.collection.mutable.ArrayBuffer[StepReport]()
@@ -135,12 +129,23 @@ object Pipeline {
         catch { case e: Exception =>
           IncrementalStep.Failed(-1, s"uncaught: ${e.getMessage}") })
 
+    // group-commit wrapper: stage raw pages durably, merge every K pages;
+    // raw envelope records key on "id", later pages win per key — the
+    // exact outcome replaying the per-page upserts would produce
+    def grouped(process: String)(load: DataFrame => Long)
+        (body: (DataFrame => Long) => IncrementalStep.Outcome)
+        : IncrementalStep.Outcome = {
+      val gc = new GroupCommit(spark, s"$targetDir/_staging/$process",
+        groupCommitPages, "id", load)
+      gc.recover() // pages staged by a crashed/aborted previous run
+      val outcome = body(gc.stage)
+      gc.flush(): Unit
+      outcome
+    }
+
     // PASSO 2: produtos (ref :384) — incremental, 60 d window
-    safeStep("produtos")(IncrementalStep.run(
-      store, "produtos",
-      filePageFetcher(spark, s"$sourceDir/produtos", "produtos", "produto",
-        produtoSchema),
-      batch => mergeInto(spark, s"$targetDir/produtos",
+    safeStep("produtos")(grouped("produtos")(batch =>
+      mergeInto(spark, s"$targetDir/produtos",
         batch.select(col("id").cast("int").as("id_produto"),
           col("nome").as("nome_produto"),
           col("codigo").as("codigo_produto"),
@@ -149,42 +154,44 @@ object Pipeline {
             .as("preco_promocional"),
           Coercions.coerceBrFloat(col("preco_custo")).as("preco_custo"),
           Coercions.parseBrDate(col("data_criacao")).as("data_criacao")),
-        Seq("id_produto")),
-      now))
+        Seq("id_produto"))) { sink =>
+      IncrementalStep.run(
+        store, "produtos",
+        filePageFetcher(spark, s"$sourceDir/produtos", "produtos", "produto",
+          produtoSchema),
+        sink, now)
+    })
 
     // PASSO 3: estoques (ref :388) — fixed 29 d window, no watermark read
-    safeStep("estoques")(IncrementalStep.run(
-      store, "estoques",
-      filePageFetcher(spark, s"$sourceDir/estoques", "produtos", "produto",
-        estoqueSchema),
-      batch => {
-        val n = mergeInto(spark, s"$targetDir/produto_estoque_total",
-          batch.select(col("id").cast("int").as("id_produto"),
-            Coercions.coerceBrFloat(col("saldo")).as("saldo_total_api"),
-            Coercions.coerceBrFloat(col("saldoReservado"))
-              .as("saldo_reservado_api")),
-          Seq("id_produto"))
-        // j2 1:N fan-out: per-depot rows, natural key
-        // (id_produto, nome_deposito) — the reference's UNIQUE (ref :87)
-        mergeInto(spark, s"$targetDir/produto_estoque_depositos",
-          batch.select(col("id").cast("int").as("id_produto"),
-              explode(col("depositos")).as("dep"))
-            .select(col("id_produto"),
-              col("dep.deposito.nome").as("nome_deposito"),
-              Coercions.coerceBrFloat(col("dep.deposito.saldo")).as("saldo"),
-              col("dep.deposito.desconsiderar").as("desconsiderar_deposito"),
-              col("dep.deposito.empresa").as("empresa")),
-          Seq("id_produto", "nome_deposito"))
-        n
-      },
-      now, fixedWindowDays = Some(29)))
+    safeStep("estoques")(grouped("estoques")(batch => {
+      val n = mergeInto(spark, s"$targetDir/produto_estoque_total",
+        batch.select(col("id").cast("int").as("id_produto"),
+          Coercions.coerceBrFloat(col("saldo")).as("saldo_total_api"),
+          Coercions.coerceBrFloat(col("saldoReservado"))
+            .as("saldo_reservado_api")),
+        Seq("id_produto"))
+      // j2 1:N fan-out: per-depot rows, natural key
+      // (id_produto, nome_deposito) — the reference's UNIQUE (ref :87)
+      mergeInto(spark, s"$targetDir/produto_estoque_depositos",
+        batch.select(col("id").cast("int").as("id_produto"),
+            explode(col("depositos")).as("dep"))
+          .select(col("id_produto"),
+            col("dep.deposito.nome").as("nome_deposito"),
+            Coercions.coerceBrFloat(col("dep.deposito.saldo")).as("saldo"),
+            col("dep.deposito.desconsiderar").as("desconsiderar_deposito"),
+            col("dep.deposito.empresa").as("empresa")),
+        Seq("id_produto", "nome_deposito"))
+      n
+    }) { sink =>
+      IncrementalStep.run(
+        store, "estoques",
+        filePageFetcher(spark, s"$sourceDir/estoques", "produtos", "produto",
+          estoqueSchema),
+        sink, now, fixedWindowDays = Some(29))
+    })
 
     // PASSO 4: pedidos + fan-out itens (ref :392; header-detail j1)
-    safeStep("pedidos")(IncrementalStep.run(
-      store, "pedidos",
-      filePageFetcher(spark, s"$sourceDir/pedidos", "pedidos", "pedido",
-        pedidoSchema),
-      batch => {
+    safeStep("pedidos")(grouped("pedidos")(batch => {
         val headers = batch.select(col("id").cast("int").as("id_pedido"),
           col("numero").as("numero_pedido"),
           col("data_pedido"),
@@ -204,23 +211,19 @@ object Pipeline {
             Coercions.coerceBrFloat(col("it.item.valor_unitario"))
               .as("valor_unitario_pedido"))
         // detail rows follow their header's upsert (FK CASCADE analog):
-        // replace all items of the orders present in this batch
-        if (Files.exists(Paths.get(s"$targetDir/pedido_itens"))) {
-          val existing = spark.read.parquet(s"$targetDir/pedido_itens")
-          val kept = existing.join(headers.select("id_pedido"),
-            Seq("id_pedido"), "left_anti")
-          val tmp = s"$targetDir/pedido_itens.tmp"
-          kept.unionByName(items).coalesce(1)
-            .write.mode(SaveMode.Overwrite).parquet(tmp)
-          graft.util.Fs.swapInto(Paths.get(tmp),
-            Paths.get(s"$targetDir/pedido_itens"))
-        } else {
-          items.coalesce(1).write.mode(SaveMode.Overwrite)
-            .parquet(s"$targetDir/pedido_itens")
-        }
+        // replace all items of the orders present in this batch — bucketed
+        // on the PARENT key, so only buckets with updated orders rewrite
+        PartitionedMerge.replaceChildren(spark,
+          s"$targetDir/pedido_itens", items, headers.select("id_pedido"),
+          "id_pedido", TableBuckets)
         n
-      },
-      now))
+    }) { sink =>
+      IncrementalStep.run(
+        store, "pedidos",
+        filePageFetcher(spark, s"$sourceDir/pedidos", "pedidos", "pedido",
+          pedidoSchema),
+        sink, now)
+    })
 
     // audit: COUNT(*) per loaded table (ref :395-402)
     val tables = Seq("categorias", "produtos", "produto_estoque_total",
@@ -228,7 +231,7 @@ object Pipeline {
     val audit = tables.flatMap { tbl =>
       val p = s"$targetDir/$tbl"
       if (Files.exists(Paths.get(p)))
-        Some(tbl -> spark.read.parquet(p).count())
+        Some(tbl -> readTable(spark, p).count())
       else None
     }.toMap
     RunReport(steps.toSeq, audit)

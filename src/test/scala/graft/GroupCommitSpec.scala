@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+
+import graft.etl.{GroupCommit, PartitionedMerge}
+
+/** Group commit (round 2): per-page durability with one merge per K pages. */
+class GroupCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def table(path: String): Seq[(String, String)] =
+    if (Files.exists(Paths.get(path)))
+      PartitionedMerge.read(spark, path)
+        .orderBy("id").as[(String, String)].collect().toSeq
+    else Seq.empty
+
+  private def gc(staging: String, path: String, every: Int): GroupCommit =
+    new GroupCommit(spark, staging, every, "id",
+      (b: DataFrame) =>
+        PartitionedMerge.mergeInto(spark, path, b, Seq("id"), 8))
+
+  test("K=3: pages stage durably, merge fires on the 3rd; later page wins") {
+    val root = tmpDir("gc")
+    val g = gc(s"$root/staging", s"$root/t", 3)
+
+    assert(g.stage(Seq(("1", "a"), ("2", "b")).toDF("id", "v")) === 2L)
+    assert(g.stage(Seq(("2", "b2")).toDF("id", "v")) === 1L)
+    // nothing merged yet, but both pages are durable on disk
+    assert(table(s"$root/t").isEmpty)
+    assert(Files.list(Paths.get(s"$root/staging")).count() === 2)
+
+    assert(g.stage(Seq(("3", "c")).toDF("id", "v")) === 1L)
+    // 3rd page triggers the merge; page order wins for key 2
+    assert(table(s"$root/t") === Seq(("1", "a"), ("2", "b2"), ("3", "c")))
+    assert(!Files.exists(Paths.get(s"$root/staging"))) // cleared
+  }
+
+  test("recover() merges pages a previous run staged but never flushed") {
+    val root = tmpDir("gc")
+    val g1 = gc(s"$root/staging", s"$root/t", 10)
+    g1.stage(Seq(("1", "a")).toDF("id", "v"))
+    g1.stage(Seq(("2", "b")).toDF("id", "v"))
+    assert(table(s"$root/t").isEmpty) // crash before flush
+
+    val g2 = gc(s"$root/staging", s"$root/t", 10) // next run
+    g2.recover()
+    assert(table(s"$root/t") === Seq(("1", "a"), ("2", "b")))
+  }
+
+  test("final flush merges a partial group; K=1 is per-page commit") {
+    val root = tmpDir("gc")
+    val g = gc(s"$root/staging", s"$root/t", 5)
+    g.stage(Seq(("1", "a")).toDF("id", "v"))
+    g.flush()
+    assert(table(s"$root/t") === Seq(("1", "a")))
+
+    val g1 = gc(s"$root/staging1", s"$root/t1", 1)
+    g1.stage(Seq(("9", "z")).toDF("id", "v"))
+    assert(table(s"$root/t1") === Seq(("9", "z"))) // merged immediately
+  }
+}

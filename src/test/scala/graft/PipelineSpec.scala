@@ -38,7 +38,7 @@ class PipelineSpec extends SparkSpec {
       "produto_estoque_depositos" -> 3L, "pedidos" -> 1L,
       "pedido_itens" -> 2L))
 
-    val depots = spark.read.parquet(s"$tgt/produto_estoque_depositos")
+    val depots = Pipeline.readTable(spark, s"$tgt/produto_estoque_depositos")
       .orderBy("id_produto", "nome_deposito").collect()
     assert(depots.map(r => (r.getInt(0), r.getString(1),
       r.getAs[Double]("saldo"))).toSeq
@@ -46,14 +46,14 @@ class PipelineSpec extends SparkSpec {
               (102, "Matriz", 7.0)))
 
     // coercions landed: comma decimals became doubles, br dates parsed
-    val prod = spark.read.parquet(s"$tgt/produtos")
+    val prod = Pipeline.readTable(spark, s"$tgt/produtos")
       .orderBy("id_produto").collect()
     assert(prod(0).getAs[Double]("preco") === 49.90)
     assert(prod(2).getAs[Double]("preco") === 0.0) // "invalid" -> default
     assert(prod(0).getAs[java.sql.Timestamp]("data_criacao").toInstant
       === Instant.parse("2024-03-15T10:22:01Z"))
 
-    val itens = spark.read.parquet(s"$tgt/pedido_itens")
+    val itens = Pipeline.readTable(spark, s"$tgt/pedido_itens")
       .orderBy("id_produto_tiny").collect()
     assert(itens.map(_.getAs[Double]("quantidade")).toSeq === Seq(2.0, 1.0))
 
