@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ext.{DedupOps, EventOps, MultimodalOps, SimilarityOps, TextOps}
-import graft.queries.{Analytics => A, RefOps => R}
+import graft.queries.{AdvancedAnalytics => AA, Analytics => A, RefOps => R}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,14 +21,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    A.queries ++ R.queries ++ TextOps.queries ++ DedupOps.queries ++
-      SimilarityOps.queries ++ EventOps.queries ++ MultimodalOps.queries
+    A.queries ++ AA.queries ++ R.queries ++ TextOps.queries ++
+      DedupOps.queries ++ SimilarityOps.queries ++ EventOps.queries ++
+      MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    A.oracleSql ++ R.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
-      SimilarityOps.oracleSql ++ EventOps.oracleSql ++ MultimodalOps.oracleSql
+    A.oracleSql ++ AA.oracleSql ++ R.oracleSql ++ TextOps.oracleSql ++
+      DedupOps.oracleSql ++ SimilarityOps.oracleSql ++ EventOps.oracleSql ++
+      MultimodalOps.oracleSql
 
   /** Headline subset used by Bench (heaviest / most representative). */
   def benchQueries: Seq[String] = {

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.types.Coercions._
+import graft.util.Tables.t
+
+/** Round-2 additions to the analytical surface (SURVEY.md §2.9): window
+  * frames, ranking, CUBE grouping sets, set operators, and distinct
+  * counting — the dashboard-class shapes the reference's schema serves
+  * that round 1 had not yet covered.
+  *
+  * Scale posture matches Analytics: partial+final hash aggregates, window
+  * shuffles keyed by their partition column (the only global-order window,
+  * w4's monthly frame, runs over O(months) pre-aggregated rows, never raw
+  * facts). Set ops compile to hash joins/aggregates on the key projection.
+  */
+object AdvancedAnalytics {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w4_moving_avg" -> ((s, d) => {
+      // 3-month moving revenue (window FRAME over the pre-aggregated
+      // monthly table — O(months) rows at the window, facts stay in the
+      // partial agg). DECIMAL frame sum keeps both engines bit-identical.
+      val w = Window.orderBy("month").rowsBetween(-2, 0)
+      t(s, d, "orders")
+        .groupBy(fmtD(date_trunc("month", col("o_orderdate"))).as("month"))
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+        .select(col("month"), col("revenue"),
+          detRound(
+            sum(col("revenue").cast("decimal(18,4)")).over(w).cast("double")
+              / count(lit(1)).over(w), 4).as("mov_avg_3m"))
+        .orderBy("month")
+    }),
+
+    "w5_rank_ntile" -> ((s, d) => {
+      // ranking family over per-customer spend within a segment; the
+      // window ORDER BY is made total (spend DESC, custkey ASC) so rank /
+      // dense_rank / ntile agree across engines on ties
+      val spend = t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("spend"))
+      val w = Window.partitionBy("segment")
+        .orderBy(desc("spend"), asc("o_custkey"))
+      spend.select(col("segment"), col("o_custkey"), col("spend"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .filter(col("rnk") <= 5)
+        .orderBy("segment", "rnk", "o_custkey")
+    }),
+
+    "q_sales_cube" -> ((s, d) => {
+      // CUBE = all grouping-set combinations (the ROLLUP twin from round
+      // 1 covered the hierarchy case); NULL markers coalesced for a
+      // total, engine-agnostic sort order
+      t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+             dsum(col("o_totalprice")).as("revenue"))
+        .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n_orders"), col("revenue"))
+        .orderBy("segment", "status")
+    }),
+
+    "j6_set_ops" -> ((s, d) => {
+      // INTERSECT / EXCEPT over customer key sets (1996 vs 1997 buyers).
+      // Compiles to hash semi/anti aggregation on the key projection —
+      // only keys shuffle, never order rows.
+      def buyers(year: Int) = t(s, d, "orders")
+        .filter(org.apache.spark.sql.functions.year(col("o_orderdate")) === year)
+        .select(col("o_custkey"))
+      val both = buyers(1996).intersect(buyers(1997))
+        .withColumn("tag", lit("both"))
+      val only96 = buyers(1996).except(buyers(1997))
+        .withColumn("tag", lit("only_1996"))
+      both.unionByName(only96)
+        .select("tag", "o_custkey")
+        .orderBy("tag", "o_custkey")
+    }),
+
+    "a5_distinct_counts" -> ((s, d) => {
+      // multi-distinct aggregate (Catalyst plans one Expand + two-phase
+      // agg); buyers + priorities + order count per year
+      t(s, d, "orders")
+        .groupBy(org.apache.spark.sql.functions.year(col("o_orderdate"))
+          .cast("long").as("year"))
+        .agg(countDistinct(col("o_custkey")).as("n_buyers"),
+             countDistinct(col("o_orderpriority")).as("n_priorities"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("year")
+    }),
+
+    "a6_approx_distinct" -> ((s, d) => {
+      // HLL++ approximate distinct — the 100 TB path where exact distinct
+      // would shuffle every key: sketch merges are O(sketch), constant
+      // memory. No DuckDB oracle (different sketch ⇒ different estimate);
+      // driver records the rows-only check, the spec asserts the 2% rsd
+      // bound against the exact count.
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_buyers"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("status")
+    })
+  )
+
+  private val M = "CAST(SUM(CAST(%s AS DECIMAL(18,4))) AS DOUBLE)"
+  private def m(c: String) = M.format(c)
+
+  def oracleSql: Map[String, String] = Map(
+    "w4_moving_avg" ->
+      s"""SELECT month, revenue,
+          floor((CAST(SUM(CAST(revenue AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w) * 1e4 + 0.5) / 1e4 AS mov_avg_3m
+          FROM (SELECT strftime(date_trunc('month', o_orderdate),
+                         '%Y-%m-%d') AS month,
+                       ${m("o_totalprice")} AS revenue
+                FROM orders GROUP BY 1)
+          WINDOW w AS (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+          ORDER BY month""",
+
+    "w5_rank_ntile" ->
+      s"""SELECT * FROM (
+            SELECT segment, o_custkey, spend,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS drnk,
+                   ntile(4) OVER w AS quartile
+            FROM (SELECT c_mktsegment AS segment, o_custkey,
+                         ${m("o_totalprice")} AS spend
+                  FROM orders JOIN customer ON o_custkey = c_custkey
+                  GROUP BY 1, 2)
+            WINDOW w AS (PARTITION BY segment
+                         ORDER BY spend DESC, o_custkey ASC))
+          WHERE rnk <= 5 ORDER BY segment, rnk, o_custkey""",
+
+    "q_sales_cube" ->
+      s"""SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+          COALESCE(o_orderstatus, 'ALL') AS status,
+          COUNT(*) AS n_orders, ${m("o_totalprice")} AS revenue
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY CUBE(c_mktsegment, o_orderstatus)
+          ORDER BY segment, status""",
+
+    "j6_set_ops" ->
+      """SELECT 'both' AS tag, o_custkey FROM (
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+         UNION ALL
+         SELECT 'only_1996' AS tag, o_custkey FROM (
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+         ORDER BY tag, o_custkey""",
+
+    "a5_distinct_counts" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+         COUNT(DISTINCT o_custkey) AS n_buyers,
+         COUNT(DISTINCT o_orderpriority) AS n_priorities,
+         COUNT(*) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY year"""
+    // a6_approx_distinct: intentionally no oracle (HLL estimates are
+    // engine-specific); correctness bound asserted in AdvancedAnalyticsSpec
+  )
+}

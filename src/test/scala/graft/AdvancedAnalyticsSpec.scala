@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.AdvancedAnalytics
+
+/** Round-2 analytical surface: shapes the oracle can't fully pin down
+  * (HLL bound) plus sanity invariants for the new window/set operators.
+  * Full value-level equivalence runs through Verify + the DuckDB oracle. */
+class AdvancedAnalyticsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("a6_approx_distinct stays within the configured 2% rsd of exact") {
+    val approx = AdvancedAnalytics.queries("a6_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.util.Tables.t(spark, sf, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k).toDouble
+      // HLL++ rsd 0.02 ⇒ ±3σ = 6%; generous but non-vacuous bound
+      assert(math.abs(ap - ex) <= math.max(1.0, ex * 0.06),
+        s"status $k: approx $ap vs exact $ex")
+    }
+  }
+
+  test("w4 moving average window agrees with a hand-rolled frame") {
+    val rows = AdvancedAnalytics.queries("w4_moving_avg")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // recompute each frame average from the revenue column itself
+    rows.zipWithIndex.foreach { case ((_, _, avg3), i) =>
+      val frame = rows.slice(math.max(0, i - 2), i + 1).map(_._2)
+      val expected = math.floor(frame.sum / frame.size * 1e4 + 0.5) / 1e4
+      assert(math.abs(avg3 - expected) < 1e-6)
+    }
+  }
+
+  test("j6 set ops partition cleanly: both ∩ only_1996 = ∅") {
+    val df = AdvancedAnalytics.queries("j6_set_ops")(spark, sf)
+    val both = df.filter(col("tag") === "both").select("o_custkey")
+    val only = df.filter(col("tag") === "only_1996").select("o_custkey")
+    assert(both.intersect(only).count() === 0)
+    assert(df.count() === df.dropDuplicates("tag", "o_custkey").count())
+  }
+
+  test("q_sales_cube contains all four grouping sets") {
+    val df = AdvancedAnalytics.queries("q_sales_cube")(spark, sf).cache()
+    val all = df.filter(col("segment") === "ALL" && col("status") === "ALL")
+    assert(all.count() === 1)
+    val totalOrders = graft.util.Tables.t(spark, sf, "orders").count()
+    assert(all.select("n_orders").first().getLong(0) === totalOrders)
+    assert(df.filter(col("segment") === "ALL" && col("status") =!= "ALL")
+      .count() > 0)
+    assert(df.filter(col("segment") =!= "ALL" && col("status") === "ALL")
+      .count() > 0)
+    df.unpersist(): Unit
+  }
+}
