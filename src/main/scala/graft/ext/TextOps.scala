@@ -95,6 +95,53 @@ object TextOps {
         .orderBy("bucket")
     }),
 
+    "x_bigrams" -> ((s, d) => {
+      // top token bigrams per language (sequence-mining shape). The
+      // bigram fan-out is a Generate in the scan stage; shuffle is
+      // O(distinct bigrams) after map-side partial counts; per-group
+      // top-N via rank window on the aggregated (small) table.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(desc("n"), asc("bigram"))
+      t(s, d, "documents")
+        .select(col("lang"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("lang"), explode(expr(
+          """transform(sequence(1, size(t) - 1),
+             i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"""))
+          .as("bigram"))
+        .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("lang"), col("bigram"), col("n"),
+          col("rnk").cast("long").as("rnk"))
+        .orderBy("lang", "rnk")
+    }),
+
+    "x_tfidf_terms" -> ((s, d) => {
+      // most distinctive terms per language: tf(lang, token) × idf(token).
+      // Two shuffles (tf groupBy, df groupBy), both on token-width keys;
+      // corpus size joins in as a broadcast scalar, never a driver value.
+      val docs = t(s, d, "documents")
+      val total = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val tf = docs
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .distinct()
+        .groupBy("token").agg(count(lit(1)).as("dfreq"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(desc("score"), asc("token"))
+      tf.join(dfreq, "token").crossJoin(broadcast(total))
+        .withColumn("score",
+          detRound(col("tf") * log(col("n_docs") / col("dfreq")), 4))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("lang"), col("token"), col("tf"), col("dfreq"),
+          col("score"), col("rnk").cast("long").as("rnk"))
+        .orderBy("lang", "rnk")
+    }),
+
     "x_fingerprint" -> ((s, d) => {
       // polynomial rolling hash over the token stream, modular to stay in
       // 64-bit range — a per-row fold, no shuffle
@@ -155,6 +202,40 @@ object TextOps {
       """SELECT (n_chars // 100) * 100 AS bucket, COUNT(*) AS n,
          MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
          FROM documents GROUP BY 1 ORDER BY bucket""",
+
+    "x_bigrams" ->
+      """SELECT lang, bigram, n, rnk FROM (
+           SELECT lang, bigram, COUNT(*) AS n,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY COUNT(*) DESC, bigram ASC) AS rnk
+           FROM (SELECT lang,
+                   unnest(list_transform(range(1, len(t)),
+                     i -> t[i] || ' ' || t[i+1])) AS bigram
+                 FROM (SELECT lang, string_split(text, ' ') AS t
+                       FROM documents WHERE len(string_split(text, ' ')) >= 2))
+           GROUP BY 1, 2)
+         WHERE rnk <= 5 ORDER BY lang, rnk""",
+
+    "x_tfidf_terms" ->
+      """WITH tfc AS (
+           SELECT lang, token, COUNT(*) AS tf FROM (
+             SELECT lang, unnest(string_split(text, ' ')) AS token
+             FROM documents) GROUP BY 1, 2),
+         dfc AS (
+           SELECT token, COUNT(*) AS dfreq FROM (
+             SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents) GROUP BY 1),
+         n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+         scored AS (
+           SELECT lang, token, tf, dfreq,
+                  floor(tf * ln(n_docs / dfreq) * 1e4 + 0.5) / 1e4 AS score
+           FROM tfc JOIN dfc USING (token), n),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY lang
+                       ORDER BY score DESC, token ASC) AS rnk
+           FROM scored)
+         SELECT lang, token, tf, dfreq, score, rnk
+         FROM ranked WHERE rnk <= 10 ORDER BY lang, rnk""",
 
     "x_fingerprint" ->
       """SELECT doc_id,
