@@ -69,6 +69,35 @@ object StreamingIngest {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"))
 
+  /** Streaming exact dedup — the streaming twin of DedupOps.x_dedup_exact:
+    * content-hash dedup with state bounded by the watermark (duplicates
+    * arriving later than the delay are not caught; that is the documented
+    * trade for bounded state at 100 TB/day rates). */
+  def dedupStream(docs: DataFrame, delay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Stream-stream interval join: each purchase joins the same user's
+    * clicks from the preceding hour. Both sides carry watermarks so the
+    * join state is GC'd once the interval can no longer match — the
+    * streaming twin of EventOps.x_asof_lookup's point-in-time semantics.
+    */
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("click_ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("click_ts"),
+        col("click_id"))
+    val p = purchases.withWatermark("buy_ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("buy_ts"), col("value"))
+    p.join(c, expr(
+      """p_user = c_user AND
+         click_ts >= buy_ts - INTERVAL 1 HOUR AND
+         click_ts <= buy_ts"""))
+      .select(col("p_user").as("user_id"), col("buy_ts"), col("value"),
+        col("click_id"), col("click_ts"))
+  }
+
   // ---- custom state: flatMapGroupsWithState ---------------------------
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp)

@@ -109,4 +109,45 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
     assert(got === Seq((1L, 2L), (1L, 1L), (2L, 1L)))
   }
+
+  test("streaming exact dedup drops same-content docs within the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    mem.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), "alpha beta"),
+      (2L, Timestamp.valueOf("2024-01-01 10:01:00"), "alpha beta"), // dup
+      (3L, Timestamp.valueOf("2024-01-01 10:02:00"), "gamma delta"))
+    val q = StreamingIngest.dedupStream(docs)
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("dedup").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got === Seq(1L, 3L))
+  }
+
+  test("stream-stream interval join attributes purchases to prior clicks") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    clicks.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 100L), // within 1 h
+      (1L, Timestamp.valueOf("2024-01-01 08:00:00"), 101L), // too old
+      (2L, Timestamp.valueOf("2024-01-01 10:20:00"), 102L)) // other user
+    buys.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:30:00"), 9.99))
+    val joined = StreamingIngest.purchaseAttribution(
+      clicks.toDF().toDF("user_id", "click_ts", "click_id"),
+      buys.toDF().toDF("user_id", "buy_ts", "value"))
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("attrib")
+      .select("user_id", "click_id", "value")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 100L, 9.99)))
+  }
 }
