@@ -38,7 +38,9 @@ object SparkEntry {
       "q_sales_by_period", "q_sales_by_vendor", "q_top_products",
       "q_category_rollup", "q_stock_coverage", "a4_group_counts",
       "j1_header_detail", "w2_latest_per_key", "x_dedup_exact",
-      "x_dedup_minhash", "x_sim_topk", "x_text_stats")
+      "x_dedup_minhash", "x_sim_topk", "x_text_stats",
+      // round 2: grouping sets, ranking windows, tf-idf, set ops
+      "q_sales_cube", "w5_rank_ntile", "x_tfidf_terms", "j6_set_ops")
     val present = preferred.filter(queries.contains)
     if (present.nonEmpty) present else queries.keys.toSeq.sorted
   }

@@ -49,8 +49,8 @@ object RefOps {
       t(s, d, "lineitem")
         .withColumn("br",
           when(col("l_orderkey") % 97 === 0, lit("abc"))
-            .otherwise(regexp_replace(
-              format_string("%.2f", col("l_quantity")), "\\.", ",")))
+            .otherwise(translate(
+              format_string("%.2f", col("l_quantity")), ".", ",")))
         .groupBy(col("l_returnflag"))
         .agg(dsum(coerceBrFloat(col("br"))).as("sum_qty"),
              count(lit(1)).as("n"))
@@ -287,7 +287,7 @@ object RefOps {
         lit("{\"retorno\":{\"status\":\"OK\",\"status_processamento\":\"3\",\"itens\":[{\"item\":{\"id\":\""),
         col("event_id").cast("string"),
         lit("\",\"valor\":\""),
-        regexp_replace(format_string("%.2f", col("value")), "\\.", ","),
+        translate(format_string("%.2f", col("value")), ".", ","),
         lit("\"}}]}}"))
       t(s, d, "events")
         .select(from_json(env, envelopeSchema).as("env"))

@@ -22,16 +22,16 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Coercions {
 
-  private val FloatRe = "^-?\\d+(\\.\\d+)?$"
-
   /** t1: locale-tolerant numeric coercion. Comma decimal separator → dot,
-    * trim, unparsable/empty/null → default. Regex-gated cast so the column is
-    * ANSI-mode-safe (never throws on bad input, like the reference).
+    * trim, unparsable/empty/null → default. `translate` + `try_cast` keep
+    * the whole expression regex-free (round 2: the regex gate was the
+    * hottest scalar in the bench) while staying ANSI-mode-safe — and
+    * try_cast's accepted grammar (exponents, inf/nan) matches both the
+    * oracle's TRY_CAST and the reference's Python float() more closely
+    * than the old `^-?\d+(\.\d+)?$` gate did.
     */
-  def coerceBrFloat(c: Column, default: Double = 0.0): Column = {
-    val norm = regexp_replace(trim(c), ",", ".")
-    coalesce(when(norm.rlike(FloatRe), norm.cast("double")), lit(default))
-  }
+  def coerceBrFloat(c: Column, default: Double = 0.0): Column =
+    coalesce(translate(trim(c), ",", ".").try_cast("double"), lit(default))
 
   /** t2: parse `dd/MM/yyyy HH:mm:ss` falling back to `dd/MM/yyyy`. */
   def parseBrDate(c: Column): Column =
