@@ -75,6 +75,27 @@ object SimilarityOps {
         .orderBy("query_id", "rank")
     }),
 
+    "x_sim_topk_agg" -> ((s, d) => {
+      // the scale path for top-k itself: graft_topk (bounded-heap
+      // TypedImperativeAggregate) replaces the rank window. Partial
+      // aggregation ships at most k entries per query per map task —
+      // shuffle O(P·k), not O(candidates); no per-group sort. Same answer
+      // as x_sim_topk (same ordering, same tie-break), same oracle SQL.
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      cosinePairs(emb, q, c)
+        .groupBy("query_id")
+        .agg(expr("graft_topk(cos_sim, neighbor_id, 5)").as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          col("col.score").as("cos_sim"),
+          (col("pos") + 1).cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "x_sim_threshold" -> ((s, d) => {
       // embedding-cosine near-dup: all pairs above a similarity floor
       graft.functions.GraftFunctions.register(s)
@@ -150,6 +171,24 @@ object SimilarityOps {
 
   def oracleSql: Map[String, String] = Map(
     "x_sim_topk" ->
+      s"""WITH $normsSql,
+          d AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ${dotSql("q.embedding", "c.embedding")} AS dot
+                FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 20),
+          sc AS (SELECT query_id, neighbor_id,
+                        floor((dot / (nq.nrm * nc.nrm)) * 1e6 + 0.5) / 1e6 AS cos_sim
+                 FROM d JOIN nrm nq ON nq.vec_id = query_id
+                        JOIN nrm nc ON nc.vec_id = neighbor_id),
+          r AS (SELECT query_id, neighbor_id, cos_sim,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, neighbor_id) AS rank
+                FROM sc)
+          SELECT query_id, neighbor_id, cos_sim, rank FROM r
+          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // identical answer to x_sim_topk by construction — same oracle text
+    "x_sim_topk_agg" ->
       s"""WITH $normsSql,
           d AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                        ${dotSql("q.embedding", "c.embedding")} AS dot

@@ -107,6 +107,9 @@ object GraftFunctions {
       "graft_dot", exprs => GraftDot(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_l2", exprs => GraftL2(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk", exprs => GraftTopK(exprs.head, exprs(1), exprs(2)),
+      "scala_udf")
   }
 }
 
@@ -122,5 +125,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_l2"),
       new ExpressionInfo(classOf[GraftL2].getName, "graft_l2"),
       (exprs: Seq[Expression]) => GraftL2(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[GraftTopK].getName, "graft_topk"),
+      (exprs: Seq[Expression]) => GraftTopK(exprs.head, exprs(1), exprs(2))))
   }
 }
