@@ -86,13 +86,9 @@ object SimilarityOps {
       val q = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-      cosinePairs(emb, q, c)
-        .groupBy("query_id")
-        .agg(expr("graft_topk(cos_sim, neighbor_id, 5)").as("top"))
-        .select(col("query_id"), posexplode(col("top")))
-        .select(col("query_id"), col("col.id").as("neighbor_id"),
-          col("col.score").as("cos_sim"),
-          (col("pos") + 1).cast("long").as("rank"))
+      graft.util.ScaleJoins.topKPerKey(cosinePairs(emb, q, c),
+          Seq("query_id"), "cos_sim", "neighbor_id", 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")
     }),
 
@@ -120,27 +116,30 @@ object SimilarityOps {
       val cent = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       val l2 = expr("graft_l2(embedding, ce)")
-      val wAssign = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(asc("cdist"), asc("cid"))
+      // argmin assignment via min_by (partial-aggregating; replaces the
+      // round-1 rn=1 window that sorted every group): struct(cdist, cid)
+      // keys the minimum deterministically
       val assigned = emb.crossJoin(broadcast(cent))
         .withColumn("cdist", l2)
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cid"), struct(col("cdist"), col("cid"))).as("cell"),
+             min_by(col("embedding"), struct(col("cdist"), col("cid")))
+               .as("embedding"))
       val q = assigned.filter(col("vec_id") < 30)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           col("cell"))
       val c = assigned.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("ce2"), col("cell"))
       val pairDist = expr("floor(graft_l2(qe, ce2) * 1e6 + 0.5) / 1e6")
-      val wRank = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(asc("dist"), asc("neighbor_id"))
-      q.join(c, Seq("cell"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("dist", pairDist)
-        .withColumn("rank", row_number().over(wRank).cast("long"))
-        .filter(col("rank") <= 3)
-        .select("query_id", "neighbor_id", "dist", "rank")
+      // top-k by ASCENDING distance through the descending-score heap:
+      // negate in, negate back out (exact in IEEE)
+      graft.util.ScaleJoins.topKPerKey(
+          q.join(c, Seq("cell"))
+            .filter(col("query_id") =!= col("neighbor_id"))
+            .withColumn("negdist", -pairDist),
+          Seq("query_id"), "negdist", "neighbor_id", 3)
+        .select(col("query_id"), col("neighbor_id"),
+          (-col("negdist")).as("dist"), col("rank"))
         .orderBy("query_id", "rank")
     }),
 
@@ -158,12 +157,12 @@ object SimilarityOps {
                 col("bucket"))
       val c = b.select(col("vec_id").as("neighbor_id"),
                        col("embedding").as("ce"), col("bucket"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
-      scorePairs(q.join(c, Seq("bucket"))
-          .filter(col("query_id") =!= col("neighbor_id")), emb)
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
+      // graft_topk heap aggregate instead of the rank window: only k
+      // survivors per query leave each map task
+      graft.util.ScaleJoins.topKPerKey(
+          scorePairs(q.join(c, Seq("bucket"))
+            .filter(col("query_id") =!= col("neighbor_id")), emb),
+          Seq("query_id"), "cos_sim", "neighbor_id", 3)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")
     })

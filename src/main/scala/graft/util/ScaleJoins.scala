@@ -19,6 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object ScaleJoins {
 
+  /** Per-key top-k via the graft_topk bounded-heap aggregate — the scale
+    * replacement for `row_number().over(partitionBy(keys).orderBy(score
+    * DESC, id ASC)) <= k`: map-side partials ship at most k entries per
+    * key (shuffle O(partitions·k), not O(rows)) and no group is sorted.
+    * Identical answer to the rank window, including the id tie-break.
+    * Output: keys ++ (id, score, rank). Requires a registered session
+    * (GraftFunctions.register). */
+  def topKPerKey(df: DataFrame, keys: Seq[String], scoreCol: String,
+                 idCol: String, k: Int): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(expr(s"graft_topk($scoreCol, $idCol, $k)").as("__top"))
+      .select(keys.map(col) :+ posexplode(col("__top")): _*)
+      .select(keys.map(col) ++ Seq(
+        col("col.id").as(idCol), col("col.score").as(scoreCol),
+        (col("pos") + 1).cast("long").as("rank")): _*)
+
   /** Write `df` as a bucketed+sorted managed table so later equi-joins on
     * `key` against an identically-bucketed table are shuffle-free. */
   def writeBucketed(df: DataFrame, table: String, key: String,
