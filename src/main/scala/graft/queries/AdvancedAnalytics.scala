@@ -96,6 +96,51 @@ object AdvancedAnalytics {
         .orderBy("year")
     }),
 
+    "q_sales_pivot" -> ((s, d) => {
+      // relational pivot (status columns per year) via the DataFrame
+      // pivot operator with pinned values — plans as ONE pass with
+      // conditional aggregates, no extra shuffle vs the plain groupBy.
+      // Missing combinations coalesced to 0 (Spark pivots count to NULL,
+      // the oracle's FILTER counts to 0).
+      t(s, d, "orders")
+        .groupBy(date_format(date_trunc("year", col("o_orderdate")), "yyyy")
+          .as("year"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("year"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy("year")
+    }),
+
+    "w6_cumulative" -> ((s, d) => {
+      // running total (RANGE/ROWS UNBOUNDED PRECEDING frame) over the
+      // pre-aggregated monthly table; DECIMAL frame sum keeps the
+      // running value exact and order-independent within the frame
+      val w = Window.orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .groupBy(fmtD(date_trunc("month", col("o_orderdate"))).as("month"))
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("cum_revenue",
+          sum(col("revenue").cast("decimal(18,4)")).over(w).cast("double"))
+        .orderBy("month")
+    }),
+
+    "a7_approx_percentile" -> ((s, d) => {
+      // sketch-based percentiles (the 100 TB path where exact percentile
+      // would sort every group). No oracle (engine-specific sketch);
+      // AdvancedAnalyticsSpec bounds the error vs the exact interpolated
+      // percentile that q_percentiles oracle-checks.
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50"),
+             expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90"),
+             count(lit(1)).as("n"))
+        .orderBy("status")
+    }),
+
     "a6_approx_distinct" -> ((s, d) => {
       // HLL++ approximate distinct — the 100 TB path where exact distinct
       // would shuffle every key: sketch merges are O(sketch), constant
@@ -164,8 +209,26 @@ object AdvancedAnalytics {
          COUNT(DISTINCT o_custkey) AS n_buyers,
          COUNT(DISTINCT o_orderpriority) AS n_priorities,
          COUNT(*) AS n_orders
-         FROM orders GROUP BY 1 ORDER BY year"""
-    // a6_approx_distinct: intentionally no oracle (HLL estimates are
-    // engine-specific); correctness bound asserted in AdvancedAnalyticsSpec
+         FROM orders GROUP BY 1 ORDER BY year""",
+
+    "q_sales_pivot" ->
+      """SELECT strftime(date_trunc('year', o_orderdate), '%Y') AS year,
+         COUNT(*) FILTER (o_orderstatus = 'F') AS F,
+         COUNT(*) FILTER (o_orderstatus = 'O') AS O,
+         COUNT(*) FILTER (o_orderstatus = 'P') AS P
+         FROM orders GROUP BY 1 ORDER BY year""",
+
+    "w6_cumulative" ->
+      s"""SELECT month, revenue,
+          CAST(SUM(CAST(revenue AS DECIMAL(18,4)))
+               OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+            AS cum_revenue
+          FROM (SELECT strftime(date_trunc('month', o_orderdate),
+                         '%Y-%m-%d') AS month,
+                       ${m("o_totalprice")} AS revenue
+                FROM orders GROUP BY 1)
+          ORDER BY month"""
+    // a6_approx_distinct / a7_approx_percentile: intentionally no oracle
+    // (engine-specific sketches); bounds asserted in AdvancedAnalyticsSpec
   )
 }

@@ -26,6 +26,25 @@ class AdvancedAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("a7_approx_percentile stays close to the exact interpolated percentile") {
+    val approx = AdvancedAnalytics.queries("a7_approx_percentile")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val exact = graft.util.Tables.t(spark, sf, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+           expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, (e50, e90)) =>
+      val (a50, a90) = approx(k)
+      // accuracy 10000 ⇒ rank error ~1e-4·n; 2% value slack is generous
+      assert(math.abs(a50 - e50) <= e50 * 0.02, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a90 - e90) <= e90 * 0.02, s"$k p90: $a90 vs $e90")
+    }
+  }
+
   test("w4 moving average window agrees with a hand-rolled frame") {
     val rows = AdvancedAnalytics.queries("w4_moving_avg")(spark, sf)
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
