@@ -106,6 +106,49 @@ object SimilarityOps {
         .orderBy("a", "b")
     }),
 
+    "x_embedding_centroids" -> ((s, d) => {
+      // per-label centroid, dimension-exploded. Float sums are NOT
+      // order-deterministic, so each value is scaled to a 1e6-fixed-point
+      // BIGINT first — integer addition is associative, the partial
+      // aggregation can run in any order, and both engines agree exactly.
+      t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos").cast("long").as("dim"))
+        .agg(graft.types.Coercions.detRound(
+          sum(floor(col("col").cast("double") * 1e6).cast("long"))
+            .cast("double") / (lit(1e6) * count(lit(1))), 6).as("centroid"))
+        .orderBy("label", "dim")
+    }),
+
+    "x_knn_classify" -> ((s, d) => {
+      // composed kNN classifier: graft_topk 5 nearest labeled neighbors
+      // per query, majority vote via max_by over (votes, -label) — every
+      // stage partial-aggregates; no window, no per-group sort.
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val c = emb.filter(col("vec_id") >= 30)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+          col("label"))
+      val scored = scorePairs(
+        q.join(c, col("query_id") =!= col("neighbor_id")), emb)
+      val top = graft.util.ScaleJoins.topKPerKey(
+        scored.select("query_id", "neighbor_id", "cos_sim"),
+        Seq("query_id"), "cos_sim", "neighbor_id", 5)
+      top
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label")),
+          "neighbor_id")
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .groupBy(col("query_id"))
+        .agg(max_by(struct(col("label"), col("votes")),
+          struct(col("votes"), -col("label"))).as("w"))
+        .select(col("query_id"), col("w.label").as("predicted"),
+          col("w.votes").as("votes"))
+        .orderBy("query_id")
+    }),
+
     "x_ann_ivf" -> ((s, d) => {
       // IVF-style ANN: deterministic "centroids" (the first 8 vectors),
       // every vector assigned to its nearest centroid cell, search within
@@ -215,6 +258,39 @@ object SimilarityOps {
                  JOIN nrm nb ON nb.vec_id = b
           WHERE floor((dot / (na.nrm * nb.nrm)) * 1e6 + 0.5) / 1e6 >= 0.2
           ORDER BY a, b""",
+
+    "x_embedding_centroids" ->
+      """SELECT label, i AS dim,
+         floor((CAST(SUM(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1e6)
+                              AS BIGINT)) AS DOUBLE)
+                / (1e6 * COUNT(*))) * 1e6 + 0.5) / 1e6 AS centroid
+         FROM embeddings, range(64) t(i)
+         GROUP BY 1, 2 ORDER BY label, dim""",
+
+    "x_knn_classify" ->
+      s"""WITH $normsSql,
+          d AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       c.label,
+                       ${dotSql("q.embedding", "c.embedding")} AS dot
+                FROM embeddings q JOIN embeddings c
+                  ON c.vec_id >= 30 AND q.vec_id <> c.vec_id
+                WHERE q.vec_id < 30),
+          sc AS (SELECT query_id, neighbor_id, label,
+                        floor((dot / (nq.nrm * nc.nrm)) * 1e6 + 0.5) / 1e6 AS cos_sim
+                 FROM d JOIN nrm nq ON nq.vec_id = query_id
+                        JOIN nrm nc ON nc.vec_id = neighbor_id),
+          r AS (SELECT query_id, label,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, neighbor_id) AS rank
+                FROM sc),
+          votes AS (SELECT query_id, label, COUNT(*) AS votes
+                    FROM r WHERE rank <= 5 GROUP BY 1, 2),
+          best AS (SELECT query_id, label AS predicted, votes,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label ASC) AS rn
+                   FROM votes)
+          SELECT query_id, predicted, votes FROM best
+          WHERE rn = 1 ORDER BY query_id""",
 
     "x_ann_ivf" -> {
       val l2 = (a: String, b: String) =>
