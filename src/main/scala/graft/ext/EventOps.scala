@@ -35,6 +35,28 @@ object EventOps {
         .orderBy("hour")
     }),
 
+    "x_range_join" -> ((s, d) => {
+      // batch twin of streaming purchaseAttribution: each purchase joins
+      // the same user's clicks from the preceding hour. The equi prefix
+      // (user_id) keys the shuffle; the time-range predicate rides the
+      // join condition. At 100 TB both sides are bucketed by user_id so
+      // the join is co-located and the range scan stays per-bucket.
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("buy_ts"),
+          col("event_id").as("buy_id"))
+      buys.join(clicks, Seq("user_id"))
+        .filter(col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR") &&
+                col("click_ts") <= col("buy_ts"))
+        .groupBy(col("buy_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+             fmtTs(max(col("click_ts"))).as("last_click"))
+        .orderBy("buy_id")
+    }),
+
     "x_retention_cohorts" -> ((s, d) => {
       // classic cohort retention: users grouped by first-active month,
       // counted in each subsequent active month (age in months)
@@ -122,6 +144,19 @@ object EventOps {
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
          COUNT(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY hour""",
+
+    "x_range_join" ->
+      """WITH clicks AS (
+           SELECT user_id, ts AS click_ts, event_id AS click_id
+           FROM events WHERE event_type = 'click'),
+         buys AS (
+           SELECT user_id, ts AS buy_ts, event_id AS buy_id
+           FROM events WHERE event_type = 'purchase')
+         SELECT buy_id, COUNT(*) AS n_clicks,
+                strftime(MAX(click_ts), '%Y-%m-%d %H:%M:%S') AS last_click
+         FROM buys JOIN clicks USING (user_id)
+         WHERE click_ts >= buy_ts - INTERVAL 1 HOUR AND click_ts <= buy_ts
+         GROUP BY 1 ORDER BY buy_id""",
 
     "x_retention_cohorts" ->
       """WITH cohorts AS (
