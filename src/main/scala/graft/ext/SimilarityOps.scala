@@ -186,6 +186,41 @@ object SimilarityOps {
         .orderBy("query_id", "rank")
     }),
 
+    "x_ann_multitable" -> ((s, d) => {
+      // multi-table LSH: TWO independent sign-bit bucketings (dims 0-7
+      // and dims 8-15); candidates = union of both tables' bucket
+      // matches, deduplicated, then graft_topk. Each extra table adds
+      // one equi-join of the same shape — recall grows, the plan only
+      // unions. This is the recall-scaling path x_ann_lsh documents.
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      def bucketed(lo: Int): DataFrame =
+        emb.withColumn("bucket", expr((lo until lo + 8).map(i =>
+          s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
+          .mkString("concat(", ", ", ")")))
+      def pairsFor(lo: Int): DataFrame = {
+        val b = bucketed(lo)
+        val q = b.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("bucket"))
+        val c = b.select(col("vec_id").as("neighbor_id"), col("bucket"))
+        q.join(c, Seq("bucket"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select("query_id", "neighbor_id")
+      }
+      val cands = pairsFor(0).unionByName(pairsFor(8)).distinct()
+      val scored = scorePairs(
+        cands
+          .join(emb.select(col("vec_id").as("query_id"),
+            col("embedding").as("qe")), "query_id")
+          .join(emb.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("ce")), "neighbor_id"), emb)
+      graft.util.ScaleJoins.topKPerKey(
+          scored.select("query_id", "neighbor_id", "cos_sim"),
+          Seq("query_id"), "cos_sim", "neighbor_id", 3)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     "x_ann_lsh" -> ((s, d) => {
       // sign-bit LSH: bucket on the sign pattern of the first 8 dims, then
       // search only within the bucket (the scale path for x_sim_topk)
@@ -316,6 +351,41 @@ object SimilarityOps {
                          ORDER BY dist, neighbor_id) AS rank
                 FROM pairs)
           SELECT query_id, neighbor_id, dist, rank FROM r
+          WHERE rank <= 3 ORDER BY query_id, rank"""
+    },
+
+    "x_ann_multitable" -> {
+      def bucketSql(lo: Int) = (lo + 1 to lo + 8).map(i =>
+        s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"""WITH $normsSql,
+          b0 AS (SELECT vec_id, ${bucketSql(0)} AS bucket FROM embeddings),
+          b1 AS (SELECT vec_id, ${bucketSql(8)} AS bucket FROM embeddings),
+          cands AS (
+            SELECT DISTINCT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM b0 q JOIN b0 c
+                ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+              WHERE q.vec_id < 50
+              UNION ALL
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM b1 q JOIN b1 c
+                ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+              WHERE q.vec_id < 50)),
+          d AS (SELECT query_id, neighbor_id,
+                       ${dotSql("q.embedding", "c.embedding")} AS dot
+                FROM cands
+                JOIN embeddings q ON q.vec_id = query_id
+                JOIN embeddings c ON c.vec_id = neighbor_id),
+          sc AS (SELECT query_id, neighbor_id,
+                        floor((dot / (nq.nrm * nc.nrm)) * 1e6 + 0.5) / 1e6 AS cos_sim
+                 FROM d JOIN nrm nq ON nq.vec_id = query_id
+                        JOIN nrm nc ON nc.vec_id = neighbor_id),
+          r AS (SELECT query_id, neighbor_id, cos_sim,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, neighbor_id) AS rank
+                FROM sc)
+          SELECT query_id, neighbor_id, cos_sim, rank FROM r
           WHERE rank <= 3 ORDER BY query_id, rank"""
     },
 
