@@ -59,8 +59,10 @@ class GroupCommit(spark: org.apache.spark.sql.SparkSession,
   def flush(): Long = {
     val pages = stagedPages()
     if (pages.isEmpty) return 0L
-    // the p=<seq> dirs form a partitioned layout: one read, `p` inferred
-    val all = spark.read.parquet(stagingDir)
+    // the p=<seq> dirs form a partitioned layout: one read, `p` inferred;
+    // mergeSchema so pages staged across an additive schema change still
+    // union (older pages NULL-fill the new columns)
+    val all = spark.read.option("mergeSchema", "true").parquet(stagingDir)
     val latest = Upsert.latestPerKey(all, Seq(key), Seq("p")).drop("p")
     val n = merge(latest)
     graft.util.Fs.deleteRec(Paths.get(stagingDir))

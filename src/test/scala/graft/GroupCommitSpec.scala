@@ -49,6 +49,19 @@ class GroupCommitSpec extends SparkSpec {
     assert(table(s"$root/t") === Seq(("1", "a"), ("2", "b")))
   }
 
+  test("pages staged across an additive schema change still merge") {
+    val root = tmpDir("gc")
+    val g = gc(s"$root/staging", s"$root/t", 10)
+    g.stage(Seq(("1", "a")).toDF("id", "v"))
+    g.stage(Seq(("2", "b", "extra")).toDF("id", "v", "note")) // drifted page
+    g.flush()
+    val got = PartitionedMerge.read(spark, s"$root/t")
+      .orderBy("id").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getAs[String]("note")))).toSeq
+    assert(got === Seq(("1", "a", None), ("2", "b", Some("extra"))))
+  }
+
   test("final flush merges a partial group; K=1 is per-page commit") {
     val root = tmpDir("gc")
     val g = gc(s"$root/staging", s"$root/t", 5)

@@ -69,4 +69,23 @@ class PipelineSpec extends SparkSpec {
     assert(store.getProgress("produtos").get.status
       === graft.state.StateStore.StatusDone)
   }
+
+  test("group-commit run (K=3) produces the same tables as per-page (K=1)") {
+    val src = stageSource()
+    val now = Instant.parse("2024-06-15T08:00:00Z")
+    val tgt1 = tmpDir("pipe-k1")
+    val tgt3 = tmpDir("pipe-k3")
+    val r1 = Pipeline.run(spark, src, tgt1, now, groupCommitPages = 1)
+    val r3 = Pipeline.run(spark, src, tgt3, now, groupCommitPages = 3)
+    assert(r3.steps.forall(_.outcome.isInstanceOf[IncrementalStep.Completed]))
+    assert(r3.audit === r1.audit)
+    for (tbl <- r1.audit.keys) {
+      val a = Pipeline.readTable(spark, s"$tgt1/$tbl")
+      val b = Pipeline.readTable(spark, s"$tgt3/$tbl")
+      assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+        s"table $tbl differs between K=1 and K=3")
+    }
+    // no staged pages left behind after a completed run
+    assert(!Files.exists(Paths.get(s"$tgt3/_staging/produtos")))
+  }
 }
