@@ -95,6 +95,29 @@ object TextOps {
         .orderBy("bucket")
     }),
 
+    "x_fuzzy_match" -> ((s, d) => {
+      // fuzzy key matching: blocked self-join (3-char prefix bounds the
+      // candidate set — never an all-pairs cross join) + levenshtein
+      // verification. Corpus = part names plus a one-char-mutated copy,
+      // construction mirrored in the oracle.
+      val base = t(s, d, "part").filter(col("p_partkey") < 2000)
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      val mutated = base.select((col("id") + 100000).as("id"),
+        when(length(col("name")) >= 5,
+          concat(substring(col("name"), 1, 3), lit("x"),
+            expr("substring(name, 5)")))
+          .otherwise(col("name")).as("name"))
+      val corpus = base.unionByName(mutated)
+        .withColumn("blk", substring(col("name"), 1, 3))
+      corpus.alias("x").join(corpus.alias("y"),
+          col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
+        .withColumn("dist", levenshtein(col("x.name"), col("y.name")))
+        .filter(col("dist") <= 2)
+        .select(col("x.id").as("a"), col("y.id").as("b"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("a", "b")
+    }),
+
     "x_bigrams" -> ((s, d) => {
       // top token bigrams per language (sequence-mining shape). The
       // bigram fan-out is a Generate in the scan stage; shuffle is
@@ -202,6 +225,26 @@ object TextOps {
       """SELECT (n_chars // 100) * 100 AS bucket, COUNT(*) AS n,
          MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
          FROM documents GROUP BY 1 ORDER BY bucket""",
+
+    "x_fuzzy_match" ->
+      """WITH base AS (
+           SELECT p_partkey AS id, p_name AS name FROM part
+           WHERE p_partkey < 2000),
+         corpus AS (
+           SELECT id, name FROM base
+           UNION ALL
+           SELECT id + 100000 AS id,
+                  CASE WHEN length(name) >= 5
+                       THEN substr(name, 1, 3) || 'x' || substr(name, 5)
+                       ELSE name END AS name
+           FROM base),
+         blocked AS (SELECT id, name, substr(name, 1, 3) AS blk FROM corpus)
+         SELECT x.id AS a, y.id AS b,
+                CAST(levenshtein(x.name, y.name) AS BIGINT) AS dist
+         FROM blocked x JOIN blocked y
+           ON x.blk = y.blk AND x.id < y.id
+         WHERE levenshtein(x.name, y.name) <= 2
+         ORDER BY a, b""",
 
     "x_bigrams" ->
       """SELECT lang, bigram, n, rnk FROM (
