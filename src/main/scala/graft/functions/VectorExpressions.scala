@@ -129,5 +129,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[GraftTopK].getName, "graft_topk"),
       (exprs: Seq[Expression]) => GraftTopK(exprs.head, exprs(1), exprs(2))))
+    // top-k pattern rewrite: rank-window + filter → graft_topk aggregate
+    ext.injectOptimizerRule(_ => TopKRewriteRule)
   }
 }
