@@ -35,6 +35,28 @@ object EventOps {
         .orderBy("hour")
     }),
 
+    "x_gap_fill" -> ((s, d) => {
+      // calendar-spine gap fill + forward fill: generate the full hour
+      // spine (720 h of the fixture's January), left-join sparse hourly
+      // revenue, carry the last observation forward. The fill window runs
+      // over O(spine) pre-aggregated rows, never raw events; at scale the
+      // spine joins partition-by-partition (month) instead of globally.
+      val hourly = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(dsum(col("value")).as("v"))
+      val spine = s.range(1).select(explode(expr(
+        """sequence(to_timestamp('2024-01-01 00:00:00'),
+                    to_timestamp('2024-01-30 23:00:00'),
+                    interval 1 hour)""")).as("h"))
+      val w = Window.orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("h"), "left")
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+        .select(fmtTs(col("h")).as("hour"), col("v"), col("filled"))
+        .orderBy("hour")
+    }),
+
     "x_range_join" -> ((s, d) => {
       // batch twin of streaming purchaseAttribution: each purchase joins
       // the same user's clicks from the preceding hour. The equi prefix
@@ -144,6 +166,20 @@ object EventOps {
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
          COUNT(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY hour""",
+
+    "x_gap_fill" ->
+      """WITH hourly AS (
+           SELECT date_trunc('hour', ts) AS h,
+                  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         spine AS (
+           SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS h)
+         SELECT strftime(spine.h, '%Y-%m-%d %H:%M:%S') AS hour, v,
+                last_value(v IGNORE NULLS)
+                  OVER (ORDER BY spine.h ROWS UNBOUNDED PRECEDING) AS filled
+         FROM spine LEFT JOIN hourly ON spine.h = hourly.h
+         ORDER BY hour""",
 
     "x_range_join" ->
       """WITH clicks AS (
