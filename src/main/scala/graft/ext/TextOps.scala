@@ -95,6 +95,62 @@ object TextOps {
         .orderBy("bucket")
     }),
 
+    "x_blocklist_filter" -> ((s, d) => {
+      // data-cleaning gate: docs matching any blocklist regex are flagged
+      // with the FIRST matching pattern; survivors pass. One narrow scan,
+      // rlike per pattern — no shuffle until the tiny per-pattern count.
+      val patterns = Seq("agg.*join", "window", "stream")
+      val flag = patterns.zipWithIndex.foldLeft(
+        lit(null).cast("string")) { case (acc, (p, _)) =>
+        coalesce(acc, when(col("text").rlike(p), lit(p)))
+      }
+      t(s, d, "documents")
+        .withColumn("blocked_by", flag)
+        .groupBy(col("blocked_by"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .select(coalesce(col("blocked_by"), lit("PASS")).as("blocked_by"),
+          col("n_docs"), col("first_doc"))
+        .orderBy("blocked_by")
+    }),
+
+    "x_stratified_sample" -> ((s, d) => {
+      // language-rebalancing sample: per-language keep-rates applied via
+      // an md5 keyed on doc_id — deterministic, engine-agnostic (md5 of
+      // the SAME string agrees everywhere), reproducible across runs, no
+      // RNG. The keep decision is a narrow map; only counts shuffle.
+      val rates = Map("en" -> 64, "de" -> 128, "es" -> 128, "fr" -> 128,
+        "zh" -> 256) // out of 256
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2),
+        16, 10).cast("int")
+      val rate = rates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+        when(col("lang") === l, lit(r)).otherwise(acc)
+      }
+      t(s, d, "documents")
+        .withColumn("keep", bucket < rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+             sum(when(col("keep"), 1).otherwise(0)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
+    "x_token_packing" -> ((s, d) => {
+      // sequence-packing shape: docs in deterministic order, running
+      // token count, 4096-token bins — the batch skeleton of LLM context
+      // packing. The cumulative window runs per language partition (the
+      // 100 TB path: pack within shards, never a global order).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, d, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin", floor((col("cum") - 1) / 4096L))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("lang", "bin")
+    }),
+
     "x_fuzzy_match" -> ((s, d) => {
       // fuzzy key matching: blocked self-join (3-char prefix bounds the
       // candidate set — never an all-pairs cross join) + levenshtein
@@ -225,6 +281,43 @@ object TextOps {
       """SELECT (n_chars // 100) * 100 AS bucket, COUNT(*) AS n,
          MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
          FROM documents GROUP BY 1 ORDER BY bucket""",
+
+    "x_blocklist_filter" ->
+      """SELECT COALESCE(blocked_by, 'PASS') AS blocked_by,
+         COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+         FROM (SELECT doc_id,
+                 CASE WHEN regexp_matches(text, 'agg.*join') THEN 'agg.*join'
+                      WHEN regexp_matches(text, 'window') THEN 'window'
+                      WHEN regexp_matches(text, 'stream') THEN 'stream'
+                 END AS blocked_by
+               FROM documents)
+         GROUP BY 1 ORDER BY blocked_by""",
+
+    "x_stratified_sample" ->
+      """WITH flagged AS (
+           SELECT lang,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                       AS INT) <
+                  (CASE lang WHEN 'en' THEN 64 WHEN 'zh' THEN 256
+                             ELSE 128 END) AS keep
+           FROM documents)
+         SELECT lang, COUNT(*) AS n_total,
+                CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM flagged GROUP BY 1 ORDER BY lang""",
+
+    "x_token_packing" ->
+      """WITH sized AS (
+           SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+         packed AS (
+           SELECT lang, n_tokens,
+                  floor((SUM(n_tokens) OVER (PARTITION BY lang
+                          ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - 1)
+                        / 4096) AS bin
+           FROM sized)
+         SELECT lang, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         FROM packed GROUP BY 1, 2 ORDER BY lang, bin""",
 
     "x_fuzzy_match" ->
       """WITH base AS (
