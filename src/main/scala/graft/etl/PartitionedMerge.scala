@@ -60,7 +60,14 @@ object PartitionedMerge {
     val root = Paths.get(path)
 
     if (!Files.exists(root)) {
-      batch.repartition(col(BucketCol))
+      // collapse within-batch duplicate keys with the SAME rule the merge
+      // path applies (Upsert.merge) — without this, duplicates in the very
+      // first batch would survive creation (found by the model-based spec)
+      val nonKey = flat.columns.filterNot(keys.contains).toSeq
+      val uniq =
+        if (nonKey.isEmpty) batch.distinct()
+        else Upsert.latestPerKey(batch, keys, nonKey)
+      uniq.repartition(col(BucketCol))
         .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(path)
       return n
     }
