@@ -138,6 +138,48 @@ object DedupOps {
       nc.crossJoin(agg)
     }),
 
+    "x_dedup_clusters" -> ((s, d) => {
+      // dedup cluster formation: connected components over the VERIFIED
+      // near-dup pairs (candidates → Jaccard ≥ 0.6), by min-label
+      // propagation to a fixed point — the same bounded iterative
+      // self-join + localCheckpoint pattern as the category-tree closure
+      // (SURVEY §7.4). Components here are near-dup groups, so the loop
+      // converges in O(cluster diameter) ≈ 2-3 iterations; each pass is
+      // one equi-join + min-aggregate, fully distributed.
+      val pairs = minhashPairs(s, d)
+      val sets = shingleSets(s, d).localCheckpoint()
+      val conf = pairs
+        .join(sets.select(col("doc_id").as("a"), col("shs").as("shs_a")), "a")
+        .join(sets.select(col("doc_id").as("b"), col("shs").as("shs_b")), "b")
+        .withColumn("inter",
+          size(array_intersect(col("shs_a"), col("shs_b"))))
+        .filter(col("inter") / (size(col("shs_a")) + size(col("shs_b"))
+          - col("inter")) >= 0.6)
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val sym = conf.unionByName(
+        conf.select(col("b").as("a"), col("a").as("b")))
+      var labels = sym.select(col("a").as("doc")).distinct()
+        .withColumn("lbl", col("doc")).localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        iter += 1
+        val prop = sym.join(labels, sym("a") === labels("doc"))
+          .select(col("b").as("doc"), col("lbl"))
+          .unionByName(labels)
+          .groupBy("doc").agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint()
+        changed = prop.join(
+            labels.withColumnRenamed("lbl", "old"), "doc")
+          .filter(col("lbl") =!= col("old")).count()
+        labels = prop
+      }
+      labels.groupBy(col("lbl").as("cluster"))
+        .agg(count(lit(1)).as("n_members"), max(col("doc")).as("max_doc"))
+        .orderBy("cluster")
+    }),
+
     "x_dedup_exact" -> ((s, d) => {
       dupCorpus(t(s, d, "documents"))
         .groupBy(sha2(col("text"), 256).as("content_hash"))
@@ -216,6 +258,28 @@ object DedupOps {
           SELECT (SELECT COUNT(*) FROM cands) AS n_candidates,
                  (SELECT COUNT(*) FROM conf) AS n_confirmed,
                  (SELECT COUNT(DISTINCT b) FROM conf) AS n_dropped""",
+
+    "x_dedup_clusters" ->
+      s"""WITH RECURSIVE $nearDupCorpusSql,
+          $minhashCandidatesSql,
+          shd AS (SELECT doc_id, list_distinct($shinglesSql) AS shs
+                  FROM toks WHERE len(tk) >= 3),
+          conf AS (SELECT c.a, c.b
+                   FROM cands c
+                   JOIN shd sa ON sa.doc_id = c.a
+                   JOIN shd sb ON sb.doc_id = c.b
+                   WHERE len(list_intersect(sa.shs, sb.shs)) /
+                         (len(sa.shs) + len(sb.shs)
+                          - len(list_intersect(sa.shs, sb.shs))) >= 0.6),
+          edges AS (SELECT a, b FROM conf UNION SELECT b, a FROM conf),
+          nodes AS (SELECT DISTINCT a AS doc FROM edges),
+          reach AS (
+            SELECT doc, doc AS lbl FROM nodes
+            UNION
+            SELECT e.b AS doc, r.lbl FROM reach r JOIN edges e ON e.a = r.doc),
+          labeled AS (SELECT doc, MIN(lbl) AS lbl FROM reach GROUP BY 1)
+          SELECT lbl AS cluster, COUNT(*) AS n_members, MAX(doc) AS max_doc
+          FROM labeled GROUP BY 1 ORDER BY cluster""",
 
     "x_dedup_exact" ->
       s"""WITH $dupCorpusSql
