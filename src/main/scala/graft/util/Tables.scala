@@ -27,4 +27,10 @@ object Tables {
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
   }
+
+  /** Register every fixture table as a temp view so the engine's full
+    * `spark.sql` surface works over the dataset (the SQL twin of the
+    * DataFrame API — same Catalyst plans, see q_sql_sales_summary). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
 }

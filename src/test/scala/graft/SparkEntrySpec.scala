@@ -31,4 +31,14 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.benchQueries.forall(SparkEntry.queries.contains))
     assert(SparkEntry.benchQueries.nonEmpty)
   }
+
+  test("registerViews exposes every fixture table to spark.sql") {
+    graft.util.Tables.registerViews(spark, "/root/testdata/sf0.001")
+    val n = spark.sql(
+      """SELECT COUNT(*) FROM orders o JOIN customer c
+         ON o.o_custkey = c.c_custkey""").first().getLong(0)
+    assert(n > 0)
+    assert(graft.util.Tables.all.forall(t =>
+      spark.catalog.tableExists(t)))
+  }
 }
