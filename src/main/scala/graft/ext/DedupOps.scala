@@ -138,6 +138,26 @@ object DedupOps {
       nc.crossJoin(agg)
     }),
 
+    "x_dedup_quality" -> ((s, d) => {
+      // LSH quality gauge: the constructed corpus has KNOWN ground truth
+      // (every doc pairs exactly with its +100000 near-dup copy), so
+      // candidate recall and precision are computable in-engine — the
+      // measurement you rerun when tuning bands/rows-per-band at scale.
+      val cands = minhashPairs(s, d).localCheckpoint()
+      val truth = t(s, d, "documents")
+        .select(col("doc_id").as("a"), (col("doc_id") + 100000).as("b"))
+      val nT = truth.agg(count(lit(1)).as("n_true"))
+      val nC = cands.agg(count(lit(1)).as("n_candidates"))
+      val nH = cands.join(truth, Seq("a", "b"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      nT.crossJoin(nC).crossJoin(nH)
+        .select(col("n_true"), col("n_candidates"), col("n_hits"),
+          graft.types.Coercions.detRound(
+            col("n_hits") / col("n_true"), 4).as("recall"),
+          graft.types.Coercions.detRound(
+            col("n_hits") / col("n_candidates"), 4).as("precision"))
+    }),
+
     "x_dedup_clusters" -> ((s, d) => {
       // dedup cluster formation: connected components over the VERIFIED
       // near-dup pairs (candidates → Jaccard ≥ 0.6), by min-label
@@ -258,6 +278,22 @@ object DedupOps {
           SELECT (SELECT COUNT(*) FROM cands) AS n_candidates,
                  (SELECT COUNT(*) FROM conf) AS n_confirmed,
                  (SELECT COUNT(DISTINCT b) FROM conf) AS n_dropped""",
+
+    "x_dedup_quality" ->
+      s"""WITH $nearDupCorpusSql,
+          $minhashCandidatesSql,
+          truth AS (SELECT doc_id AS a, doc_id + 100000 AS b FROM documents),
+          hits AS (SELECT c.a, c.b FROM cands c JOIN truth t
+                   ON c.a = t.a AND c.b = t.b)
+          SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+                 (SELECT COUNT(*) FROM cands) AS n_candidates,
+                 (SELECT COUNT(*) FROM hits) AS n_hits,
+                 floor(((SELECT COUNT(*) FROM hits) /
+                        (SELECT COUNT(*) FROM truth)) * 1e4 + 0.5) / 1e4
+                   AS recall,
+                 floor(((SELECT COUNT(*) FROM hits) /
+                        (SELECT COUNT(*) FROM cands)) * 1e4 + 0.5) / 1e4
+                   AS precision""",
 
     "x_dedup_clusters" ->
       s"""WITH RECURSIVE $nearDupCorpusSql,
