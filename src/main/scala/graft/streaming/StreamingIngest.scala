@@ -69,6 +69,23 @@ object StreamingIngest {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"))
 
+  /** Streaming maintenance of a materialized aggregate: every micro-batch
+    * folds its rows into the (key, sum, n) table via IncrementalAgg's
+    * exact DECIMAL partials — a continuously fresh dashboard aggregate
+    * whose cost per trigger is O(batch), not O(history). Exactly-once in
+    * effect: the offset log ensures each file folds once. */
+  def aggSink(stream: DataFrame, spark: SparkSession, tablePath: String,
+              keyCol: String, valueCol: String,
+              checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.etl.IncrementalAgg.refresh(
+          spark, tablePath, batch, keyCol, valueCol): Unit
+      }
+
   /** Streaming exact dedup — the streaming twin of DedupOps.x_dedup_exact:
     * content-hash dedup with state bounded by the watermark (duplicates
     * arriving later than the delay are not caught; that is the documented

@@ -110,6 +110,30 @@ class StreamingSpec extends SparkSpec {
     assert(got === Seq((1L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("streaming agg sink keeps the materialized aggregate fresh per batch") {
+    val src = tmpDir("aggsink-src")
+    val tbl = tmpDir("aggsink") + "/t"
+    val ckpt = tmpDir("aggsink-ckpt")
+    def land(name: String, rows: Seq[(String, Double)]): Unit =
+      Files.writeString(Paths.get(src, name),
+        rows.map { case (k, v) => s"""{"k":"$k","v":$v}""" }.mkString("\n"))
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("k STRING, v DOUBLE").json(src)
+      val q = StreamingIngest.aggSink(stream, spark, tbl, "k", "v", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    land("b1.json", Seq(("a", 1.0), ("b", 2.0)))
+    runOnce()
+    land("b2.json", Seq(("b", 3.0), ("c", 4.0)))
+    runOnce() // offset log: only b2 folds in
+    val got = graft.etl.IncrementalAgg.read(spark, tbl)
+      .select("k", "sum_value", "n").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got === Seq(("a", 1.0, 1L), ("b", 5.0, 2L), ("c", 4.0, 1L)))
+  }
+
   test("streaming exact dedup drops same-content docs within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
