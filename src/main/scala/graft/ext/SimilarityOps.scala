@@ -58,6 +58,37 @@ object SimilarityOps {
   private def cosinePairs(emb: DataFrame, q: DataFrame, c: DataFrame): DataFrame =
     scorePairs(q.join(c, col("query_id") =!= col("neighbor_id")), emb)
 
+  /** brute-force top-k per query over all candidates (ground truth). */
+  private def bruteTopK(s: SparkSession, d: String, maxQuery: Int,
+                        k: Int): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < maxQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"))
+    graft.util.ScaleJoins.topKPerKey(cosinePairs(emb, q, c),
+      Seq("query_id"), "cos_sim", "neighbor_id", k)
+  }
+
+  /** sign-bit LSH top-k per query, bucket-restricted candidates. */
+  private def lshTopK(s: SparkSession, d: String, maxQuery: Int,
+                      k: Int): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val bucketExpr = expr((0 until 8).map(i =>
+      s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")"))
+    val b = emb.withColumn("bucket", bucketExpr)
+    val q = b.filter(col("vec_id") < maxQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+              col("bucket"))
+    val c = b.select(col("vec_id").as("neighbor_id"),
+                     col("embedding").as("ce"), col("bucket"))
+    graft.util.ScaleJoins.topKPerKey(
+      scorePairs(q.join(c, Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id")), emb),
+      Seq("query_id"), "cos_sim", "neighbor_id", k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "x_sim_topk" -> ((s, d) => {
@@ -82,12 +113,7 @@ object SimilarityOps {
       // shuffle O(P·k), not O(candidates); no per-group sort. Same answer
       // as x_sim_topk (same ordering, same tie-break), same oracle SQL.
       graft.functions.GraftFunctions.register(s)
-      val emb = t(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-      graft.util.ScaleJoins.topKPerKey(cosinePairs(emb, q, c),
-          Seq("query_id"), "cos_sim", "neighbor_id", 5)
+      bruteTopK(s, d, 20, 5)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")
     }),
@@ -224,25 +250,35 @@ object SimilarityOps {
     "x_ann_lsh" -> ((s, d) => {
       // sign-bit LSH: bucket on the sign pattern of the first 8 dims, then
       // search only within the bucket (the scale path for x_sim_topk)
-      graft.functions.GraftFunctions.register(s)
-      val emb = t(s, d, "embeddings")
-      val bucketExpr = expr((0 until 8).map(i =>
-        s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
-        .mkString("concat(", ", ", ")"))
-      val b = emb.withColumn("bucket", bucketExpr)
-      val q = b.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-                col("bucket"))
-      val c = b.select(col("vec_id").as("neighbor_id"),
-                       col("embedding").as("ce"), col("bucket"))
       // graft_topk heap aggregate instead of the rank window: only k
       // survivors per query leave each map task
-      graft.util.ScaleJoins.topKPerKey(
-          scorePairs(q.join(c, Seq("bucket"))
-            .filter(col("query_id") =!= col("neighbor_id")), emb),
-          Seq("query_id"), "cos_sim", "neighbor_id", 3)
+      graft.functions.GraftFunctions.register(s)
+      lshTopK(s, d, 50, 3)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")
+    }),
+
+    "x_ann_quality" -> ((s, d) => {
+      // ANN quality gauge: recall@3 of the sign-bit LSH against the
+      // brute-force ground truth — the x_dedup_quality twin for the
+      // similarity subsystem; rerun after changing hyperplanes/probes.
+      // Honest finding it surfaces on THESE fixtures: recall ≈ 1% —
+      // the embeddings are uniform random, so true nearest neighbors
+      // have near-zero cosine margin and almost never share an 8-bit
+      // sign bucket. That is the data-dependence every ANN deployment
+      // must measure (real embedding corpora cluster, and recall rises
+      // with probes/tables) — exactly why the gauge is in the engine.
+      graft.functions.GraftFunctions.register(s)
+      val truth = bruteTopK(s, d, 50, 3)
+        .select("query_id", "neighbor_id").localCheckpoint()
+      val approx = lshTopK(s, d, 50, 3).select("query_id", "neighbor_id")
+      val nT = truth.agg(count(lit(1)).as("n_true"))
+      val nH = approx.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      nT.crossJoin(nH)
+        .select(col("n_true"), col("n_hits"),
+          graft.types.Coercions.detRound(
+            col("n_hits") / col("n_true"), 4).as("recall_at_3"))
     })
   )
 
@@ -387,6 +423,50 @@ object SimilarityOps {
                 FROM sc)
           SELECT query_id, neighbor_id, cos_sim, rank FROM r
           WHERE rank <= 3 ORDER BY query_id, rank"""
+    },
+
+    "x_ann_quality" -> {
+      val bucketSql = (1 to 8).map(i =>
+        s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"""WITH $normsSql,
+          bd AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        ${dotSql("q.embedding", "c.embedding")} AS dot
+                 FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+                 WHERE q.vec_id < 50),
+          bsc AS (SELECT query_id, neighbor_id,
+                         floor((dot / (nq.nrm * nc.nrm)) * 1e6 + 0.5) / 1e6 AS cos_sim
+                  FROM bd JOIN nrm nq ON nq.vec_id = query_id
+                          JOIN nrm nc ON nc.vec_id = neighbor_id),
+          truth AS (SELECT query_id, neighbor_id FROM (
+                      SELECT query_id, neighbor_id,
+                             row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+                      FROM bsc) WHERE rank <= 3),
+          bkt AS (SELECT vec_id, embedding, $bucketSql AS bucket
+                  FROM embeddings),
+          ld AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        ${dotSql("q.embedding", "c.embedding")} AS dot
+                 FROM bkt q JOIN bkt c
+                   ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+                 WHERE q.vec_id < 50),
+          lsc AS (SELECT query_id, neighbor_id,
+                         floor((dot / (nq.nrm * nc.nrm)) * 1e6 + 0.5) / 1e6 AS cos_sim
+                  FROM ld JOIN nrm nq ON nq.vec_id = query_id
+                          JOIN nrm nc ON nc.vec_id = neighbor_id),
+          approx AS (SELECT query_id, neighbor_id FROM (
+                       SELECT query_id, neighbor_id,
+                              row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+                       FROM lsc) WHERE rank <= 3),
+          hits AS (SELECT a.query_id, a.neighbor_id FROM approx a
+                   JOIN truth t ON a.query_id = t.query_id
+                     AND a.neighbor_id = t.neighbor_id)
+          SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+                 (SELECT COUNT(*) FROM hits) AS n_hits,
+                 floor(((SELECT COUNT(*) FROM hits) /
+                        (SELECT COUNT(*) FROM truth)) * 1e4 + 0.5) / 1e4
+                   AS recall_at_3"""
     },
 
     "x_ann_lsh" -> {
