@@ -289,11 +289,16 @@ object RefOps {
         lit("\",\"valor\":\""),
         translate(format_string("%.2f", col("value")), ".", ","),
         lit("\"}}]}}"))
+      // status gate folded INTO the explode input (when(cond, itens):
+      // explode(NULL) emits nothing) — a separate Filter would be pushed
+      // through the projection and re-evaluate from_json per predicate;
+      // this shape parses each envelope exactly once (plan-verified)
       t(s, d, "events")
         .select(from_json(env, envelopeSchema).as("env"))
-        .filter(col("env.retorno.status") === "OK" &&
-                col("env.retorno.status_processamento").isin("3", "10"))
-        .select(explode(col("env.retorno.itens")).as("it"))
+        .select(explode(when(
+            col("env.retorno.status") === "OK" &&
+            col("env.retorno.status_processamento").isin("3", "10"),
+            col("env.retorno.itens"))).as("it"))
         .select(col("it.item.id").cast("long").as("event_id"),
                 coerceBrFloat(col("it.item.valor")).as("valor"))
         .orderBy("event_id")
