@@ -181,18 +181,22 @@ object DedupOps {
         conf.select(col("b").as("a"), col("a").as("b")))
       var labels = sym.select(col("a").as("doc")).distinct()
         .withColumn("lbl", col("doc")).localCheckpoint()
-      var changed = 1L
+      // labels only ever DECREASE, so the label sum is strictly monotone:
+      // an unchanged sum ⇔ a fixed point — one aggregate per iteration
+      // instead of a join + count
+      var prevSum = labels.agg(sum(col("lbl"))).first().getLong(0)
+      var converged = false
       var iter = 0
-      while (changed > 0 && iter < 20) {
+      while (!converged && iter < 20) {
         iter += 1
         val prop = sym.join(labels, sym("a") === labels("doc"))
           .select(col("b").as("doc"), col("lbl"))
           .unionByName(labels)
           .groupBy("doc").agg(min(col("lbl")).as("lbl"))
           .localCheckpoint()
-        changed = prop.join(
-            labels.withColumnRenamed("lbl", "old"), "doc")
-          .filter(col("lbl") =!= col("old")).count()
+        val s = prop.agg(sum(col("lbl"))).first().getLong(0)
+        converged = s == prevSum
+        prevSum = s
         labels = prop
       }
       labels.groupBy(col("lbl").as("cluster"))
