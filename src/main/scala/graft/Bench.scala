@@ -26,10 +26,12 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-    // SPARK_GRAFT_BENCH_ALL=1 times the complete registry (diagnostics);
+    // explicit args time just those queries (iteration diagnostics);
+    // SPARK_GRAFT_BENCH_ALL=1 times the complete registry;
     // default: the headline subset the driver grades
     val names =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
+      if (args.nonEmpty) args.toSeq
+      else if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
         SparkEntry.queries.keys.toSeq.sorted
       else SparkEntry.benchQueries
     // warm-up pass: JIT/codegen caches and file-footer reads, untimed

@@ -169,9 +169,10 @@ object DedupOps {
       // near-dup pairs (candidates → Jaccard ≥ 0.6), by min-label
       // propagation to a fixed point — the same bounded iterative
       // self-join + localCheckpoint pattern as the category-tree closure
-      // (SURVEY §7.4). Components here are near-dup groups, so the loop
-      // converges in O(cluster diameter) ≈ 2-3 iterations; each pass is
-      // one equi-join + min-aggregate, fully distributed.
+      // (SURVEY §7.4). Components here are near-dup groups with tiny
+      // diameter; the seeded init below absorbs the first pass, so the
+      // loop typically runs one confirming iteration — each pass is one
+      // equi-join + min-aggregate, fully distributed.
       val pairs = minhashPairs(s, d)
       val sets = shingleSets(s, d).localCheckpoint()
       val conf = pairs
@@ -184,9 +185,16 @@ object DedupOps {
         .select(col("a"), col("b"))
         .localCheckpoint()
       val sym = conf.unionByName(
-        conf.select(col("b").as("a"), col("a").as("b")))
-      var labels = sym.select(col("a").as("doc")).distinct()
-        .withColumn("lbl", col("doc")).localCheckpoint()
+        conf.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
+      // seeded init: every node appears as `a` in sym, so one groupBy
+      // yields lbl = least(doc, min neighbor) — iteration 1 fused into
+      // initialization. Near-dup components have diameter ≈ 1, so the
+      // seed IS the fixed point for most clusters and the loop usually
+      // runs exactly one confirming pass.
+      var labels = sym.groupBy(col("a"))
+        .agg(min(col("b")).as("mb"))
+        .select(col("a").as("doc"), least(col("a"), col("mb")).as("lbl"))
+        .localCheckpoint()
       // labels only ever DECREASE, so the label sum is strictly monotone:
       // an unchanged sum ⇔ a fixed point — one aggregate per iteration
       // instead of a join + count
