@@ -212,6 +212,49 @@ object SimilarityOps {
         .orderBy("query_id", "rank")
     }),
 
+    "x_kmeans_train" -> ((s, d) => {
+      // distributed Lloyd's iterations — the trainer behind x_ann_ivf's
+      // "k-means-trained centroids at 100 TB" note. Per iteration: one
+      // broadcast of the k×64 centroid table (tiny at any data scale),
+      // argmin assignment via min_by (partial-aggregating, no window
+      // sort), then per-dimension fixed-point means (integer partial
+      // sums shuffle O(k × 64), order-independent and exact — the same
+      // trick as x_embedding_centroids, so both engines agree bit-wise
+      // and the unrolled DuckDB oracle can hash-match the result).
+      // Assignment distances stay raw doubles: both engines compute the
+      // identical ascending-index left fold (x_ann_ivf precedent).
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      // deterministic seeds: the first k vectors, widened to double
+      var cents = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cell"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"),
+          lit(0L).as("n_members"))
+      for (_ <- 1 to 2) {
+        val assigned = emb.crossJoin(broadcast(cents.select("cell", "ce")))
+          .withColumn("cdist", expr("graft_l2(embedding, ce)"))
+          .groupBy(col("vec_id"))
+          .agg(min_by(struct(col("cell"), col("embedding")),
+            struct(col("cdist"), col("cell"))).as("w"))
+          .select(col("w.cell").as("cell"), col("w.embedding").as("embedding"))
+        cents = assigned
+          .select(col("cell"), posexplode(col("embedding")))
+          .groupBy(col("cell"), col("pos"))
+          .agg((sum(floor(col("col").cast("double") * 1e6).cast("long"))
+                  .cast("double") / (lit(1e6) * count(lit(1)))).as("cval"),
+               count(lit(1)).as("n"))
+          .groupBy(col("cell"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cval))), x -> x.cval)")
+                 .as("ce"),
+               max(col("n")).as("n_members"))
+      }
+      cents.select(col("cell"), col("n_members"), posexplode(col("ce")))
+        .select(col("cell"), col("pos").cast("long").as("dim"),
+          graft.types.Coercions.detRound(col("col"), 6).as("centroid"),
+          col("n_members"))
+        .orderBy("cell", "dim")
+    }),
+
     "x_ann_multitable" -> ((s, d) => {
       // multi-table LSH: TWO independent sign-bit bucketings (dims 0-7
       // and dims 8-15); candidates = union of both tables' bucket
@@ -388,6 +431,40 @@ object SimilarityOps {
                 FROM pairs)
           SELECT query_id, neighbor_id, dist, rank FROM r
           WHERE rank <= 3 ORDER BY query_id, rank"""
+    },
+
+    "x_kmeans_train" -> {
+      // 2 Lloyd iterations unrolled as CTE pairs (assign → recompute);
+      // fixed-point integer means keep every centroid value bit-identical
+      // across engines, so the raw-double argmin distances agree too
+      val l2 = (e: String, c: String) =>
+        s"""list_sum(list_transform(range(1, 65),
+            i -> (CAST($e[i] AS DOUBLE) - $c[i]) *
+                 (CAST($e[i] AS DOUBLE) - $c[i])))"""
+      def assign(src: String, out: String) =
+        s"""$out AS (SELECT vec_id, embedding, cell FROM (
+              SELECT e.vec_id, e.embedding, s.cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${l2("e.embedding", "s.ce")}, s.cell) AS rn
+              FROM embeddings e CROSS JOIN $src s) WHERE rn = 1)"""
+      def recompute(src: String, outd: String, out: String) =
+        s"""$outd AS (SELECT cell, i AS dim,
+              CAST(SUM(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1e6)
+                            AS BIGINT)) AS DOUBLE) / (1e6 * COUNT(*)) AS cval,
+              COUNT(*) AS n
+            FROM $src, range(64) t(i) GROUP BY 1, 2),
+            $out AS (SELECT cell, list(cval ORDER BY dim) AS ce
+                     FROM $outd GROUP BY 1)"""
+      s"""WITH seeds AS (SELECT vec_id AS cell,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+              FROM embeddings WHERE vec_id < 4),
+          ${assign("seeds", "a1")},
+          ${recompute("a1", "c1d", "c1")},
+          ${assign("c1", "a2")},
+          ${recompute("a2", "c2d", "c2")}
+          SELECT cell, dim, floor(cval * 1e6 + 0.5) / 1e6 AS centroid,
+                 n AS n_members
+          FROM c2d ORDER BY cell, dim"""
     },
 
     "x_ann_multitable" -> {

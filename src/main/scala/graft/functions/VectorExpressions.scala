@@ -5,8 +5,23 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 import org.apache.spark.sql.SparkSessionExtensions
+
+/** Element-type dispatch shared by the vector expressions: each side may be
+  * ARRAY<FLOAT> (stored embeddings) or ARRAY<DOUBLE> (computed centroids —
+  * see x_kmeans_train). Reading a double slot with getFloat would silently
+  * return garbage, so the accessor is chosen from the child's dataType. */
+private[functions] object VecAccess {
+  def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  def get(a: ArrayData, i: Int, double: Boolean): Double =
+    if (double) a.getDouble(i) else a.getFloat(i).toDouble
+  def gen(arr: String, i: String, double: Boolean): String =
+    if (double) s"$arr.getDouble($i)" else s"((double) $arr.getFloat($i))"
+}
 
 /** Native Catalyst expression for the embedding-similarity hot path.
   *
@@ -20,19 +35,22 @@ import org.apache.spark.sql.SparkSessionExtensions
   */
 case class GraftDot(left: Expression, right: Expression)
   extends BinaryExpression {
-  // inputs are ARRAY<FLOAT> by construction at the (internal) call sites;
-  // ExpectsInputTypes is unavailable outside org.apache.spark (private API)
+  // inputs are ARRAY<FLOAT> or ARRAY<DOUBLE> by construction at the call
+  // sites (VecAccess dispatches per side); ExpectsInputTypes is
+  // unavailable outside org.apache.spark (private API)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xd = VecAccess.isDouble(left)
+    val yd = VecAccess.isDouble(right)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      acc += VecAccess.get(x, i, xd) * VecAccess.get(y, i, yd)
       i += 1
     }
     acc
@@ -47,7 +65,8 @@ case class GraftDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |  $acc += ${VecAccess.gen(x, i, VecAccess.isDouble(left))}
+         |        * ${VecAccess.gen(y, i, VecAccess.isDouble(right))};
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -67,11 +86,13 @@ case class GraftL2(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xd = VecAccess.isDouble(left)
+    val yd = VecAccess.isDouble(right)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      val d = VecAccess.get(x, i, xd) - VecAccess.get(y, i, yd)
       acc += d * d
       i += 1
     }
@@ -88,7 +109,8 @@ case class GraftL2(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $dd = ((double) $x.getFloat($i)) - ((double) $y.getFloat($i));
+         |  double $dd = ${VecAccess.gen(x, i, VecAccess.isDouble(left))}
+         |             - ${VecAccess.gen(y, i, VecAccess.isDouble(right))};
          |  $acc += $dd * $dd;
          |}
          |${ev.value} = $acc;
