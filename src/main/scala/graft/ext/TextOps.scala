@@ -165,10 +165,15 @@ object TextOps {
           .otherwise(col("name")).as("name"))
       val corpus = base.unionByName(mutated)
         .withColumn("blk", substring(col("name"), 1, 3))
+      // length gate first (codegen'd, prunes most pairs), then the
+      // THRESHOLDED levenshtein (early-exit at k=2: O(len·k) per pair,
+      // not O(len²); returns -1 above the threshold). Same survivors as
+      // the oracle's unbounded levenshtein + filter.
       corpus.alias("x").join(corpus.alias("y"),
-          col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
-        .withColumn("dist", levenshtein(col("x.name"), col("y.name")))
-        .filter(col("dist") <= 2)
+          col("x.blk") === col("y.blk") && col("x.id") < col("y.id") &&
+          abs(length(col("x.name")) - length(col("y.name"))) <= 2)
+        .withColumn("dist", levenshtein(col("x.name"), col("y.name"), 2))
+        .filter(col("dist") >= 0)
         .select(col("x.id").as("a"), col("y.id").as("b"),
           col("dist").cast("long").as("dist"))
         .orderBy("a", "b")
