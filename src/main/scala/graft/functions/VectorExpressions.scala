@@ -132,6 +132,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk", exprs => GraftTopK(exprs.head, exprs(1), exprs(2)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms_probe", exprs => GraftCmsProbe(exprs.head, exprs(1)),
+      "scala_udf")
   }
 }
 
@@ -151,6 +154,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[GraftTopK].getName, "graft_topk"),
       (exprs: Seq[Expression]) => GraftTopK(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms_probe"),
+      new ExpressionInfo(classOf[GraftCmsProbe].getName, "graft_cms_probe"),
+      (exprs: Seq[Expression]) => GraftCmsProbe(exprs.head, exprs(1))))
     // top-k pattern rewrite: rank-window + filter → graft_topk aggregate
     ext.injectOptimizerRule(_ => TopKRewriteRule)
   }

@@ -141,6 +141,29 @@ object AdvancedAnalytics {
         .orderBy("status")
     }),
 
+    "a8_cms_freq" -> ((s, d) => {
+      // Count-Min frequency sketch — the third of the sketch trio (a6
+      // HLL distinct, a7 KLL percentile, a8 CMS frequency): the 100 TB
+      // path for per-key frequency estimates without shuffling keys.
+      // count_min_sketch partial-aggregates per partition and merges by
+      // element-wise addition (commutative ⇒ the estimate is identical
+      // across partitionings); the one-row sketch then broadcasts to the
+      // probe side, answered by the native graft_cms_probe expression.
+      // No DuckDB oracle (engine-specific sketch); the spec asserts the
+      // CMS overestimate-only property and the eps·N error bound against
+      // exact counts.
+      graft.functions.GraftFunctions.register(s)
+      val li = t(s, d, "lineitem")
+      val sk = li.agg(
+        expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)").as("sk"))
+      val probes = li.select(col("l_partkey")).distinct()
+        .filter(col("l_partkey") <= 100)
+      probes.crossJoin(sk)
+        .select(col("l_partkey"),
+          expr("graft_cms_probe(sk, l_partkey)").as("est_freq"))
+        .orderBy("l_partkey")
+    }),
+
     "a6_approx_distinct" -> ((s, d) => {
       // HLL++ approximate distinct — the 100 TB path where exact distinct
       // would shuffle every key: sketch merges are O(sketch), constant
@@ -228,7 +251,8 @@ object AdvancedAnalytics {
                        ${m("o_totalprice")} AS revenue
                 FROM orders GROUP BY 1)
           ORDER BY month"""
-    // a6_approx_distinct / a7_approx_percentile: intentionally no oracle
-    // (engine-specific sketches); bounds asserted in AdvancedAnalyticsSpec
+    // a6_approx_distinct / a7_approx_percentile / a8_cms_freq: intentionally
+    // no oracle (engine-specific sketches); bounds asserted in
+    // AdvancedAnalyticsSpec
   )
 }

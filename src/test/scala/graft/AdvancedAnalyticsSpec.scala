@@ -45,6 +45,42 @@ class AdvancedAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("a8_cms_freq overestimates only, within the eps·N bound") {
+    val est = AdvancedAnalytics.queries("a8_cms_freq")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.nonEmpty)
+    val li = graft.util.Tables.t(spark, sf, "lineitem")
+    val exact = li.filter(col("l_partkey") <= 100)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = li.count()
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val e = est(k)
+      // CMS never undercounts; overshoot ≤ eps·N with confidence 0.99
+      // (eps = 0.001; deterministic here — fixed seed, merge is addition)
+      assert(e >= ex, s"partkey $k: est $e < exact $ex")
+      assert(e <= ex + math.ceil(total * 0.001).toLong * 3,
+        s"partkey $k: est $e too far above exact $ex")
+    }
+  }
+
+  test("a8_cms_freq is invariant under repartitioning (sketch merge is exact)") {
+    val base = AdvancedAnalytics.queries("a8_cms_freq")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val li = graft.util.Tables.t(spark, sf, "lineitem").repartition(13)
+    graft.functions.GraftFunctions.register(spark)
+    val sk = li.agg(
+      expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)").as("sk"))
+    val reparted = li.select(col("l_partkey")).distinct()
+      .filter(col("l_partkey") <= 100)
+      .crossJoin(sk)
+      .select(col("l_partkey"),
+        expr("graft_cms_probe(sk, l_partkey)").as("est_freq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(reparted === base)
+  }
+
   test("w4 moving average window agrees with a hand-rolled frame") {
     val rows = AdvancedAnalytics.queries("w4_moving_avg")(spark, sf)
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))

@@ -16,9 +16,9 @@ class SparkEntrySpec extends SparkSpec {
   // Queries DELIBERATELY without oracle SQL (driver records a weaker
   // rows-only check). Each needs a reason and a spec-level bound instead.
   private val rowsOnlyByDesign = Set(
-    // HLL++ / KLL sketches are engine-specific; AdvancedAnalyticsSpec
+    // HLL++ / KLL / CMS sketches are engine-specific; AdvancedAnalyticsSpec
     // asserts error bounds against the exact aggregates instead
-    "a6_approx_distinct", "a7_approx_percentile")
+    "a6_approx_distinct", "a7_approx_percentile", "a8_cms_freq")
 
   test("every query has oracle SQL (full correctness coverage)") {
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
