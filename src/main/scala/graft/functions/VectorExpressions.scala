@@ -135,6 +135,21 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cms_probe", exprs => GraftCmsProbe(exprs.head, exprs(1)),
       "scala_udf")
+    // Catalyst's bloom-filter pair exists for the optimizer's runtime
+    // filters but is not SQL-registered; exposing it makes the classic
+    // build-bloom-then-prune-before-shuffle recipe (j7_bloom_prejoin)
+    // expressible directly. The bloom side of graft_might_contain must
+    // be a scalar subquery or literal (enforced by its type check).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs.head, exprs(1), exprs(2), 0, 0),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs.head, exprs(1)),
+      "scala_udf")
   }
 }
 

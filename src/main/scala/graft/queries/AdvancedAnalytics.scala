@@ -68,6 +68,37 @@ object AdvancedAnalytics {
         .orderBy("segment", "status")
     }),
 
+    "j7_bloom_prejoin" -> ((s, d) => {
+      // bloom-filter semi-join pruning — the 100 TB shuffle reducer:
+      // build one bloom over the SELECTIVE side's keys (a single small
+      // binary, computed by a mergeable partial aggregate), then discard
+      // non-matching fact rows at the scan side BEFORE the join shuffle.
+      // The bloom only prunes — false positives pass and the real join
+      // removes them — so the result is exactly the plain join, which is
+      // the oracle. Spark's optimizer injects this same shape as a
+      // "runtime filter" when statistics allow; making it an explicit
+      // operator keeps the guarantee statistics-independent.
+      graft.functions.GraftFunctions.register(s)
+      t(s, d, "orders").createOrReplaceTempView("v_bl_orders")
+      t(s, d, "lineitem").createOrReplaceTempView("v_bl_lineitem")
+      s.sql("""
+        WITH sel AS (
+          SELECT o_orderkey,
+                 date_format(date_trunc('month', o_orderdate), 'yyyy-MM-dd')
+                   AS month
+          FROM v_bl_orders WHERE o_orderpriority = '1-URGENT'),
+        pruned AS (
+          SELECT l_orderkey, l_extendedprice FROM v_bl_lineitem
+          WHERE graft_might_contain(
+            (SELECT graft_bloom_agg(o_orderkey, 100000L, 800000L) FROM sel),
+            l_orderkey))
+        SELECT month, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS revenue
+        FROM pruned JOIN sel ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY month""")
+    }),
+
     "j6_set_ops" -> ((s, d) => {
       // INTERSECT / EXCEPT over customer key sets (1996 vs 1997 buyers).
       // Compiles to hash semi/anti aggregation on the key projection —
@@ -214,6 +245,15 @@ object AdvancedAnalytics {
           FROM orders JOIN customer ON o_custkey = c_custkey
           GROUP BY CUBE(c_mktsegment, o_orderstatus)
           ORDER BY segment, status""",
+
+    // the bloom is pruning-only, so the exact answer IS the plain join
+    "j7_bloom_prejoin" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+         COUNT(*) AS n_items,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY 1 ORDER BY month""",
 
     "j6_set_ops" ->
       """SELECT 'both' AS tag, o_custkey FROM (

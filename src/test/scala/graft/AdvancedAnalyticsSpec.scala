@@ -81,6 +81,27 @@ class AdvancedAnalyticsSpec extends SparkSpec {
     assert(reparted === base)
   }
 
+  test("j7_bloom_prejoin plans the bloom predicate and equals the plain join") {
+    val df = AdvancedAnalytics.queries("j7_bloom_prejoin")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "bloom predicate missing from the physical plan")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val li = graft.util.Tables.t(spark, sf, "lineitem")
+    val sel = graft.util.Tables.t(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val plain = li.join(sel, li("l_orderkey") === sel("o_orderkey"))
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")),
+        "yyyy-MM-dd").as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+      .orderBy("month")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === plain)
+  }
+
   test("w4 moving average window agrees with a hand-rolled frame") {
     val rows = AdvancedAnalytics.queries("w4_moving_avg")(spark, sf)
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
