@@ -183,13 +183,19 @@ object RefOps {
 
     // ---- §2.5 joins ----------------------------------------------------
     "j1_header_detail" -> ((s, d) => {
-      t(s, d, "orders").join(t(s, d, "lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
+      // detail side pre-aggregated per order BEFORE the join: the
+      // header⋈detail fan-out never materializes, count(*) replaces the
+      // countDistinct Expand, and the join input shrinks from O(items)
+      // to O(orders). Decimal partial sums re-summed per status are
+      // exact, so the oracle's single-level SUM hash-matches.
+      val items = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("ni"),
+             sum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      t(s, d, "orders").join(items, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderstatus").as("status"))
-        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
-             count(lit(1)).as("n_items"),
-             sum(revenue(col("l_extendedprice"), col("l_discount")))
-               .cast("double").as("revenue"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(col("ni")).as("n_items"),
+             sum(col("rev")).cast("double").as("revenue"))
         .orderBy("status")
     }),
 
