@@ -40,3 +40,30 @@ case class GraftCmsProbe(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): GraftCmsProbe =
     copy(left = newLeft, right = newRight)
 }
+
+/** Merge two serialized Count-Min sketches (same eps/confidence/seed —
+  * CountMinSketch.mergeInPlace rejects incompatible shapes). CMS merge is
+  * element-wise counter addition: exact, commutative and associative, so
+  * a sketch maintained incrementally batch-by-batch equals the sketch of
+  * the full history bit-for-bit (etl.SketchMaintenance relies on this;
+  * IncrementalSketchSpec proves it). Eval-only: merges touch O(1) rows. */
+case class GraftCmsMerge(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "graft_cms_merge"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val s1 = CountMinSketch.readFrom(
+      new ByteArrayInputStream(a.asInstanceOf[Array[Byte]]))
+    val s2 = CountMinSketch.readFrom(
+      new ByteArrayInputStream(b.asInstanceOf[Array[Byte]]))
+    s1.mergeInPlace(s2)
+    val out = new java.io.ByteArrayOutputStream()
+    s1.writeTo(out)
+    out.toByteArray
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftCmsMerge =
+    copy(left = newLeft, right = newRight)
+}

@@ -135,6 +135,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cms_probe", exprs => GraftCmsProbe(exprs.head, exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms_merge", exprs => GraftCmsMerge(exprs.head, exprs(1)),
+      "scala_udf")
     // Catalyst's bloom-filter pair exists for the optimizer's runtime
     // filters but is not SQL-registered; exposing it makes the classic
     // build-bloom-then-prune-before-shuffle recipe (j7_bloom_prejoin)

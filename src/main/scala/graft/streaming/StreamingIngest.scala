@@ -86,6 +86,22 @@ object StreamingIngest {
           spark, tablePath, batch, keyCol, valueCol): Unit
       }
 
+  /** Streaming maintenance of the materialized frequency sketch
+    * (SketchMaintenance): each micro-batch's keys fold into the stored
+    * Count-Min sketch in O(sketch) — continuously fresh approximate
+    * per-key frequencies over the whole ingest history, probed with
+    * graft_cms_probe and never rescanning it. */
+  def sketchSink(stream: DataFrame, spark: SparkSession, sketchPath: String,
+                 keyCol: String,
+                 checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.etl.SketchMaintenance.refresh(spark, sketchPath, batch, keyCol)
+      }
+
   /** Streaming exact dedup — the streaming twin of DedupOps.x_dedup_exact:
     * content-hash dedup with state bounded by the watermark (duplicates
     * arriving later than the delay are not caught; that is the documented
