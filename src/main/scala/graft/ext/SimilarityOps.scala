@@ -89,6 +89,38 @@ object SimilarityOps {
       Seq("query_id"), "cos_sim", "neighbor_id", k)
   }
 
+  /** Argmin cell assignment against a (cell, ce) centroid table — one
+    * tiny broadcast + min_by partial aggregate (no window sort). */
+  private def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .withColumn("cdist", expr("graft_l2(embedding, ce)"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cell"), col("embedding")),
+        struct(col("cdist"), col("cell"))).as("w"))
+      .select(col("vec_id"), col("w.cell").as("cell"),
+        col("w.embedding").as("embedding"))
+
+  /** One Lloyd iteration: assign, then per-dimension fixed-point means
+    * (integer partial sums — exact, order-independent, both engines
+    * agree bit-wise). Returns (cell, ce, n_members). */
+  private def lloydOnce(emb: DataFrame, cents: DataFrame): DataFrame =
+    assignCells(emb, cents.select("cell", "ce"))
+      .select(col("cell"), posexplode(col("embedding")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(floor(col("col").cast("double") * 1e6).cast("long"))
+              .cast("double") / (lit(1e6) * count(lit(1)))).as("cval"),
+           count(lit(1)).as("n"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cval))), x -> x.cval)")
+             .as("ce"),
+           max(col("n")).as("n_members"))
+
+  /** Deterministic double-typed seed centroids: the first k vectors. */
+  private def seedCents(emb: DataFrame, k: Int): DataFrame =
+    emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "x_sim_topk" -> ((s, d) => {
@@ -212,6 +244,32 @@ object SimilarityOps {
         .orderBy("query_id", "rank")
     }),
 
+    "x_ann_ivf_trained" -> ((s, d) => {
+      // the composed ANN pipeline: TRAIN (one Lloyd refinement of the
+      // seed centroids — x_kmeans_train's step) → INDEX (argmin cell
+      // assignment) → SEARCH (within-cell exact rerank). Same plan
+      // shapes as x_ann_ivf, but the cells are learned; at 100 TB the
+      // train loop runs on a sample while index/search are unchanged.
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val trained = lloydOnce(emb, seedCents(emb, 8))
+      val assigned = assignCells(emb, trained.select("cell", "ce"))
+      val q = assigned.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("cell"))
+      val c = assigned.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce2"), col("cell"))
+      val pairDist = expr("floor(graft_l2(qe, ce2) * 1e6 + 0.5) / 1e6")
+      graft.util.ScaleJoins.topKPerKey(
+          q.join(c, Seq("cell"))
+            .filter(col("query_id") =!= col("neighbor_id"))
+            .withColumn("negdist", -pairDist),
+          Seq("query_id"), "negdist", "neighbor_id", 3)
+        .select(col("query_id"), col("neighbor_id"),
+          (-col("negdist")).as("dist"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "x_kmeans_train" -> ((s, d) => {
       // distributed Lloyd's iterations — the trainer behind x_ann_ivf's
       // "k-means-trained centroids at 100 TB" note. Per iteration: one
@@ -225,29 +283,8 @@ object SimilarityOps {
       // identical ascending-index left fold (x_ann_ivf precedent).
       graft.functions.GraftFunctions.register(s)
       val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      // deterministic seeds: the first k vectors, widened to double
-      var cents = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cell"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"),
-          lit(0L).as("n_members"))
-      for (_ <- 1 to 2) {
-        val assigned = emb.crossJoin(broadcast(cents.select("cell", "ce")))
-          .withColumn("cdist", expr("graft_l2(embedding, ce)"))
-          .groupBy(col("vec_id"))
-          .agg(min_by(struct(col("cell"), col("embedding")),
-            struct(col("cdist"), col("cell"))).as("w"))
-          .select(col("w.cell").as("cell"), col("w.embedding").as("embedding"))
-        cents = assigned
-          .select(col("cell"), posexplode(col("embedding")))
-          .groupBy(col("cell"), col("pos"))
-          .agg((sum(floor(col("col").cast("double") * 1e6).cast("long"))
-                  .cast("double") / (lit(1e6) * count(lit(1)))).as("cval"),
-               count(lit(1)).as("n"))
-          .groupBy(col("cell"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, cval))), x -> x.cval)")
-                 .as("ce"),
-               max(col("n")).as("n_members"))
-      }
+      var cents = seedCents(emb, 4).withColumn("n_members", lit(0L))
+      for (_ <- 1 to 2) cents = lloydOnce(emb, cents)
       cents.select(col("cell"), col("n_members"), posexplode(col("ce")))
         .select(col("cell"), col("pos").cast("long").as("dim"),
           graft.types.Coercions.detRound(col("col"), 6).as("centroid"),
@@ -423,6 +460,43 @@ object SimilarityOps {
           pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                            floor((${l2("q.embedding", "c.embedding")}) * 1e6 + 0.5) / 1e6 AS dist
                     FROM assigned q JOIN assigned c
+                      ON q.cell = c.cell AND q.vec_id <> c.vec_id
+                    WHERE q.vec_id < 30),
+          r AS (SELECT query_id, neighbor_id, dist,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY dist, neighbor_id) AS rank
+                FROM pairs)
+          SELECT query_id, neighbor_id, dist, rank FROM r
+          WHERE rank <= 3 ORDER BY query_id, rank"""
+    },
+
+    "x_ann_ivf_trained" -> {
+      val l2 = (e: String, c: String) =>
+        s"""list_sum(list_transform(range(1, 65),
+            i -> (CAST($e[i] AS DOUBLE) - $c[i]) *
+                 (CAST($e[i] AS DOUBLE) - $c[i])))"""
+      s"""WITH seeds AS (SELECT vec_id AS cell,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+              FROM embeddings WHERE vec_id < 8),
+          a1 AS (SELECT vec_id, embedding, cell FROM (
+                   SELECT e.vec_id, e.embedding, s.cell,
+                          row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY ${l2("e.embedding", "s.ce")}, s.cell) AS rn
+                   FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+          c1d AS (SELECT cell, i AS dim,
+                CAST(SUM(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1e6)
+                              AS BIGINT)) AS DOUBLE) / (1e6 * COUNT(*)) AS cval
+              FROM a1, range(64) t(i) GROUP BY 1, 2),
+          c1 AS (SELECT cell, list(cval ORDER BY dim) AS ce
+                 FROM c1d GROUP BY 1),
+          a2 AS (SELECT vec_id, embedding, cell FROM (
+                   SELECT e.vec_id, e.embedding, s.cell,
+                          row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY ${l2("e.embedding", "s.ce")}, s.cell) AS rn
+                   FROM embeddings e CROSS JOIN c1 s) WHERE rn = 1),
+          pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                           floor((${l2("q.embedding", "c.embedding")}) * 1e6 + 0.5) / 1e6 AS dist
+                    FROM a2 q JOIN a2 c
                       ON q.cell = c.cell AND q.vec_id <> c.vec_id
                     WHERE q.vec_id < 30),
           r AS (SELECT query_id, neighbor_id, dist,

@@ -23,6 +23,21 @@ class VectorExprSpec extends SparkSpec {
     assert(df.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("graft_l2 dispatches per-side on float vs double arrays") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 100).map(_ =>
+      (Array.fill(64)(rnd.nextFloat() * 2 - 1),
+       Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("f", "d")
+      .select(expr("graft_l2(f, d)").as("native"),
+        expr("""aggregate(zip_with(f, d,
+          (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""").as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
   test("graft_dot propagates nulls") {
     import spark.implicits._
     GraftFunctions.register(spark)
