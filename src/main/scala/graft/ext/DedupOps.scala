@@ -69,13 +69,30 @@ object DedupOps {
     * collision is still rare, and LSH quality is set by the band
     * structure, not slice width). */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sigCols = (0 until 8).map { j =>
-      min(substring(col("h"), j * 4 + 1, 4)).as(s"s$j")
-    }
-    val sigs = nearDupCorpus(t(s, d, "documents"))
+    val sh = nearDupCorpus(t(s, d, "documents"))
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+    minhashPairsOverShingles(sh)
+  }
+
+  /** Candidate pairs from a CHECKPOINTED (doc_id, shs) shingle-set table
+    * — callers that ALSO verify with the sets (pipeline, clusters) pass
+    * it so the corpus is tokenized and shingled exactly once. min over
+    * the distinct set equals min over the raw shingle multiset, so
+    * signatures are unchanged and the oracle SQL (which hashes the
+    * non-distinct stream) still matches. Only worth it when `sets` is
+    * materialized: exploding a LAZY array_distinct re-evaluates the
+    * whole shingle construction per branch and measured 3× slower. */
+  private def minhashPairsFrom(sets: DataFrame): DataFrame =
+    minhashPairsOverShingles(
+      sets.select(col("doc_id"), explode(col("shs")).as("sh")))
+
+  private def minhashPairsOverShingles(sh: DataFrame): DataFrame = {
+    val sigCols = (0 until 8).map { j =>
+      min(substring(col("h"), j * 4 + 1, 4)).as(s"s$j")
+    }
+    val sigs = sh
       .withColumn("h", md5(concat(lit("0|"), col("sh"))))
       .groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
@@ -125,14 +142,14 @@ object DedupOps {
       // candidates → exact Jaccard verification (≥ 0.6) → dedup summary
       // (distinct dropped docs). At 100 TB this is THE dedup recipe: the
       // expensive exact verify runs only on O(candidates), not O(n²).
-      // candidates materialized once (localCheckpoint): referenced by both
-      // the verify join and the candidate count
-      val pairs = minhashPairs(s, d).localCheckpoint()
+      // shingle sets materialized once (localCheckpoint) and shared by
+      // candidate generation AND verification; candidates likewise
+      // materialized once (verify join + candidate count)
+      val sets = shingleSets(s, d).localCheckpoint()
+      val pairs = minhashPairsFrom(sets).localCheckpoint()
       val conf = pairs
-        .join(shingleSets(s, d).select(col("doc_id").as("a"),
-          col("shs").as("shs_a")), "a")
-        .join(shingleSets(s, d).select(col("doc_id").as("b"),
-          col("shs").as("shs_b")), "b")
+        .join(sets.select(col("doc_id").as("a"), col("shs").as("shs_a")), "a")
+        .join(sets.select(col("doc_id").as("b"), col("shs").as("shs_b")), "b")
         .withColumn("inter",
           size(array_intersect(col("shs_a"), col("shs_b"))))
         .withColumn("jacc", col("inter") /
@@ -173,8 +190,8 @@ object DedupOps {
       // diameter; the seeded init below absorbs the first pass, so the
       // loop typically runs one confirming iteration — each pass is one
       // equi-join + min-aggregate, fully distributed.
-      val pairs = minhashPairs(s, d)
       val sets = shingleSets(s, d).localCheckpoint()
+      val pairs = minhashPairsFrom(sets)
       val conf = pairs
         .join(sets.select(col("doc_id").as("a"), col("shs").as("shs_a")), "a")
         .join(sets.select(col("doc_id").as("b"), col("shs").as("shs_b")), "b")
