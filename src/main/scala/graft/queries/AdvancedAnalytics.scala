@@ -48,7 +48,13 @@ object AdvancedAnalytics {
       spend.select(col("segment"), col("o_custkey"), col("spend"),
           rank().over(w).as("rnk"),
           dense_rank().over(w).as("drnk"),
-          ntile(4).over(w).as("quartile"))
+          ntile(4).over(w).as("quartile"),
+          // (rank−1)/(n−1) and rank_ties/n: identical rational formulas
+          // in both engines, rounded 6 dp for hash comparison
+          graft.types.Coercions.detRound(percent_rank().over(w), 6)
+            .as("pct_rank"),
+          graft.types.Coercions.detRound(cume_dist().over(w), 6)
+            .as("cume"))
         .filter(col("rnk") <= 5)
         .orderBy("segment", "rnk", "o_custkey")
     }),
@@ -229,7 +235,9 @@ object AdvancedAnalytics {
             SELECT segment, o_custkey, spend,
                    rank() OVER w AS rnk,
                    dense_rank() OVER w AS drnk,
-                   ntile(4) OVER w AS quartile
+                   ntile(4) OVER w AS quartile,
+                   floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+                   floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume
             FROM (SELECT c_mktsegment AS segment, o_custkey,
                          ${m("o_totalprice")} AS spend
                   FROM orders JOIN customer ON o_custkey = c_custkey
