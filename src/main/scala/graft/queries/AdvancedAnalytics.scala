@@ -35,6 +35,23 @@ object AdvancedAnalytics {
         .orderBy("month")
     }),
 
+    "w7_frame_bounds" -> ((s, d) => {
+      // frame-boundary functions over the monthly series with an
+      // EXCLUSIVE trailing frame (2 PRECEDING .. 1 PRECEDING): first /
+      // last / nth_value read specific offsets of the frame, NULL until
+      // the frame exists — the frame-clause semantics that default-frame
+      // last_value silently gets wrong.
+      val w = Window.orderBy("month").rowsBetween(-2, -1)
+      t(s, d, "orders")
+        .groupBy(fmtD(date_trunc("month", col("o_orderdate"))).as("month"))
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+        .select(col("month"), col("revenue"),
+          first(col("revenue")).over(w).as("frame_first"),
+          last(col("revenue")).over(w).as("frame_last"),
+          nth_value(col("revenue"), 2).over(w).as("frame_second"))
+        .orderBy("month")
+    }),
+
     "w5_rank_ntile" -> ((s, d) => {
       // ranking family over per-customer spend within a segment; the
       // window ORDER BY is made total (spend DESC, custkey ASC) so rank /
@@ -228,6 +245,19 @@ object AdvancedAnalytics {
                        ${m("o_totalprice")} AS revenue
                 FROM orders GROUP BY 1)
           WINDOW w AS (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+          ORDER BY month""",
+
+    "w7_frame_bounds" ->
+      s"""SELECT month, revenue,
+          first_value(revenue) OVER w AS frame_first,
+          last_value(revenue) OVER w AS frame_last,
+          nth_value(revenue, 2) OVER w AS frame_second
+          FROM (SELECT strftime(date_trunc('month', o_orderdate),
+                         '%Y-%m-%d') AS month,
+                       ${m("o_totalprice")} AS revenue
+                FROM orders GROUP BY 1)
+          WINDOW w AS (ORDER BY month
+                       ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING)
           ORDER BY month""",
 
     "w5_rank_ntile" ->

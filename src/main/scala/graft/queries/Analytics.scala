@@ -118,10 +118,13 @@ object Analytics {
           col("o_custkey") === col("c_custkey"))
         .rollup(col("c_mktsegment"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
-             dsum(col("o_totalprice")).as("revenue"))
+             dsum(col("o_totalprice")).as("revenue"),
+             // standard bitmask (segment bit MSB): disambiguates a real
+             // 'ALL' value from a rollup subtotal, unlike the COALESCE
+             grouping_id().cast("long").as("gid"))
         .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-          col("n_orders"), col("revenue"))
+          col("n_orders"), col("revenue"), col("gid"))
         .orderBy("segment", "status")
     }),
 
@@ -242,7 +245,8 @@ object Analytics {
     "q_sales_rollup" ->
       s"""SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
           COALESCE(o_orderstatus, 'ALL') AS status,
-          COUNT(*) AS n_orders, ${m("o_totalprice")} AS revenue
+          COUNT(*) AS n_orders, ${m("o_totalprice")} AS revenue,
+          CAST(GROUPING(c_mktsegment, o_orderstatus) AS BIGINT) AS gid
           FROM orders JOIN customer ON o_custkey = c_custkey
           GROUP BY ROLLUP(c_mktsegment, o_orderstatus)
           ORDER BY segment, status""",
