@@ -88,17 +88,32 @@ object DedupOps {
     minhashPairsOverShingles(
       sets.select(col("doc_id"), explode(col("shs")).as("sh")))
 
-  private def minhashPairsOverShingles(sh: DataFrame): DataFrame = {
+  private def minhashPairsOverShingles(sh: DataFrame): DataFrame =
+    bandPairs(sigsOverShingles(sh), 4)
+
+  /** 8 min-hash signatures per doc from an exploded (doc_id, sh) stream. */
+  private def sigsOverShingles(sh: DataFrame): DataFrame = {
     val sigCols = (0 until 8).map { j =>
       min(substring(col("h"), j * 4 + 1, 4)).as(s"s$j")
     }
-    val sigs = sh
-      .withColumn("h", md5(concat(lit("0|"), col("sh"))))
+    sh.withColumn("h", md5(concat(lit("0|"), col("sh"))))
       .groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH banding over the 8 signatures: 8/rowsPerBand bands, candidate =
+    * any band fully equal. rowsPerBand is THE recall/precision dial
+    * (fewer rows per band ⇒ more bands ⇒ higher recall, more false
+    * candidates) — x_dedup_band_tuning measures both settings. */
+  private def bandPairs(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
+    val nBands = 8 / rowsPerBand
+    val stackArgs = (0 until nBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => s"s$j").mkString(", ")
+      s"$b, md5(concat($cols))"
+    }.mkString(", ")
     val bands = sigs.select(col("doc_id"),
-      expr("stack(2, 0, md5(concat(s0, s1, s2, s3)), " +
-           "1, md5(concat(s4, s5, s6, s7))) AS (band_idx, band_val)"))
+      expr(s"stack($nBands, $stackArgs) AS (band_idx, band_val)"))
     bands.alias("x").join(bands.alias("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&
@@ -217,6 +232,35 @@ object DedupOps {
             col("n_hits") / col("n_true"), 4).as("recall"),
           graft.types.Coercions.detRound(
             col("n_hits") / col("n_candidates"), 4).as("precision"))
+    }),
+
+    "x_dedup_band_tuning" -> ((s, d) => {
+      // LSH band-structure tuning measured in-engine: the SAME 8
+      // signatures (computed once, checkpointed) banded as 2×4 and 4×2,
+      // each scored for candidate recall/precision against the corpus's
+      // known ground truth — the measurement you run before choosing
+      // the band dial for a 100 TB dedup pass.
+      val sets = shingleSets(s, d).localCheckpoint()
+      val sigs = sigsOverShingles(
+        sets.select(col("doc_id"), explode(col("shs")).as("sh")))
+        .localCheckpoint()
+      val truth = t(s, d, "documents")
+        .select(col("doc_id").as("a"), (col("doc_id") + 100000).as("b"))
+      def gauge(rowsPerBand: Int, label: String): DataFrame = {
+        val cands = bandPairs(sigs, rowsPerBand).localCheckpoint()
+        val nT = truth.agg(count(lit(1)).as("n_true"))
+        val nC = cands.agg(count(lit(1)).as("n_candidates"))
+        val nH = cands.join(truth, Seq("a", "b"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+        nT.crossJoin(nC).crossJoin(nH)
+          .select(lit(label).as("config"),
+            col("n_true"), col("n_candidates"), col("n_hits"),
+            graft.types.Coercions.detRound(
+              col("n_hits") / col("n_true"), 4).as("recall"),
+            graft.types.Coercions.detRound(
+              col("n_hits") / col("n_candidates"), 4).as("precision"))
+      }
+      gauge(4, "2x4").unionByName(gauge(2, "4x2")).orderBy("config")
     }),
 
     "x_dedup_clusters" -> ((s, d) => {
@@ -376,6 +420,52 @@ object DedupOps {
                  floor(((SELECT COUNT(*) FROM hits) /
                         (SELECT COUNT(*) FROM cands)) * 1e4 + 0.5) / 1e4
                    AS precision""",
+
+    "x_dedup_band_tuning" -> {
+      val sigDefs = (0 until 8).map { j =>
+        val off = j * 4 + 1
+        s"list_min(list_transform(shingles, sh -> substr(md5('0|' || sh), $off, 4))) AS s$j"
+      }.mkString(", ")
+      def bandsCte(name: String, rpb: Int): String = {
+        val selects = (0 until 8 / rpb).map { b =>
+          val cat = (b * rpb until (b + 1) * rpb).map(j => s"s$j")
+            .mkString(" || ")
+          s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_val FROM sig"
+        }.mkString(" UNION ALL ")
+        s"$name AS ($selects)"
+      }
+      def candsCte(bands: String, name: String) =
+        s"""$name AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM $bands x JOIN $bands y
+              ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+                 AND x.doc_id < y.doc_id)"""
+      def row(cands: String, label: String) = {
+        val hits = s"""(SELECT COUNT(*) FROM $cands c JOIN truth t
+                        ON c.a = t.a AND c.b = t.b)"""
+        s"""SELECT '$label' AS config,
+            (SELECT COUNT(*) FROM truth) AS n_true,
+            (SELECT COUNT(*) FROM $cands) AS n_candidates,
+            $hits AS n_hits,
+            floor(($hits / (SELECT COUNT(*) FROM truth)) * 1e4 + 0.5) / 1e4
+              AS recall,
+            floor(($hits / (SELECT COUNT(*) FROM $cands)) * 1e4 + 0.5) / 1e4
+              AS precision"""
+      }
+      s"""WITH $nearDupCorpusSql,
+          toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+          shg AS (SELECT doc_id, $shinglesSql AS shingles
+                  FROM toks WHERE len(tk) >= 3),
+          sig AS (SELECT doc_id, $sigDefs FROM shg),
+          ${bandsCte("bands2", 4)},
+          ${candsCte("bands2", "cands2")},
+          ${bandsCte("bands4", 2)},
+          ${candsCte("bands4", "cands4")},
+          truth AS (SELECT doc_id AS a, doc_id + 100000 AS b FROM documents)
+          SELECT * FROM (${row("cands2", "2x4")}
+                         UNION ALL
+                         ${row("cands4", "4x2")})
+          ORDER BY config"""
+    },
 
     "x_dedup_clusters" ->
       s"""WITH RECURSIVE $nearDupCorpusSql,
