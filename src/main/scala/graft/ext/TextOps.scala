@@ -95,6 +95,31 @@ object TextOps {
         .orderBy("bucket")
     }),
 
+    "x_clean_pipeline" -> ((s, d) => {
+      // the capstone composition: the full training-data cleaning recipe
+      // — blocklist regex gate → token-length quality gate → language
+      // allowlist → exact dedup — with per-stage survivor accounting
+      // (what you read to see WHERE the corpus shrinks). Every stage is
+      // a narrow codegen'd filter over the scan; only the final dedup
+      // shuffles, and it shuffles 32-byte hashes, never text. The
+      // near-dup extension of stage 4 is x_dedup_pipeline.
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"),
+        col("lang"))
+      val corpus = base.unionByName(base.select(
+        (col("doc_id") + 100000).as("doc_id"), col("text"), col("lang")))
+      val s1 = corpus.filter(!col("text").rlike("agg.*join") &&
+        !col("text").rlike("window") && !col("text").rlike("stream"))
+      val s2 = s1.filter(size(split(col("text"), " ")).between(5, 1000))
+      val s3 = s2.filter(col("lang").isin("en", "de"))
+      val s4 = s3.groupBy(sha2(col("text"), 256))
+        .agg(min(col("doc_id")).as("keeper"))
+      corpus.agg(count(lit(1)).as("n_input"))
+        .crossJoin(s1.agg(count(lit(1)).as("n_after_blocklist")))
+        .crossJoin(s2.agg(count(lit(1)).as("n_after_quality")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_after_lang")))
+        .crossJoin(s4.agg(count(lit(1)).as("n_after_dedup")))
+    }),
+
     "x_blocklist_filter" -> ((s, d) => {
       // data-cleaning gate: docs matching any blocklist regex are flagged
       // with the FIRST matching pattern; survivors pass. One narrow scan,
@@ -286,6 +311,26 @@ object TextOps {
       """SELECT (n_chars // 100) * 100 AS bucket, COUNT(*) AS n,
          MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
          FROM documents GROUP BY 1 ORDER BY bucket""",
+
+    "x_clean_pipeline" ->
+      """WITH corpus AS (SELECT doc_id, text, lang FROM documents
+                         UNION ALL
+                         SELECT doc_id + 100000 AS doc_id, text, lang
+                         FROM documents),
+         s1 AS (SELECT * FROM corpus
+                WHERE NOT regexp_matches(text, 'agg.*join')
+                  AND NOT regexp_matches(text, 'window')
+                  AND NOT regexp_matches(text, 'stream')),
+         s2 AS (SELECT * FROM s1
+                WHERE len(string_split(text, ' ')) BETWEEN 5 AND 1000),
+         s3 AS (SELECT * FROM s2 WHERE lang IN ('en', 'de')),
+         s4 AS (SELECT sha256(text) AS h, MIN(doc_id) AS keeper
+                FROM s3 GROUP BY 1)
+         SELECT (SELECT COUNT(*) FROM corpus) AS n_input,
+                (SELECT COUNT(*) FROM s1) AS n_after_blocklist,
+                (SELECT COUNT(*) FROM s2) AS n_after_quality,
+                (SELECT COUNT(*) FROM s3) AS n_after_lang,
+                (SELECT COUNT(*) FROM s4) AS n_after_dedup""",
 
     "x_blocklist_filter" ->
       """SELECT COALESCE(blocked_by, 'PASS') AS blocked_by,
