@@ -89,6 +89,34 @@ object SimilarityOps {
       Seq("query_id"), "cos_sim", "neighbor_id", k)
   }
 
+  /** Multi-probe sign-bit LSH candidates: each query probes its own
+    * bucket PLUS all 8 one-bit-flip neighbor buckets — recall rises
+    * toward brute force with NO new index tables (vs x_ann_multitable's
+    * extra bucketings). The probe fan-out is an explode on the QUERY
+    * side only (9 rows per query); the index side is untouched, so the
+    * bucket equi-join — the property that scales — keeps its shape and
+    * candidate cost grows by the probe count, not the corpus. The 9
+    * probe buckets are pairwise-distinct strings and each index vector
+    * lives in exactly one bucket, so no duplicate candidates arise. */
+  private def multiprobePairs(s: SparkSession, d: String,
+                              maxQuery: Int): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val bucketExpr = expr((0 until 8).map(i =>
+      s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")"))
+    val b = emb.withColumn("bucket", bucketExpr)
+    val flips = (1 to 8).map(i =>
+      s"""concat(substring(bucket, 1, ${i - 1}),
+          CASE WHEN substring(bucket, $i, 1) = '1' THEN '0' ELSE '1' END,
+          substring(bucket, ${i + 1}))""")
+    val q = b.filter(col("vec_id") < maxQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(expr(s"array(bucket, ${flips.mkString(", ")})")).as("bucket"))
+    val c = b.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col("bucket"))
+    q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+  }
+
   /** Argmin cell assignment against a (cell, ce) centroid table — one
     * tiny broadcast + min_by partial aggregate (no window sort). */
   private def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
@@ -387,6 +415,44 @@ object SimilarityOps {
             col("hits_trained") / col("n_true"), 4).as("recall_trained"))
     }),
 
+    "x_ann_multiprobe" -> ((s, d) => {
+      // multi-probe LSH top-k (see multiprobePairs): the probe dial —
+      // the cheapest recall lever on an existing LSH index
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      graft.util.ScaleJoins.topKPerKey(
+          scorePairs(multiprobePairs(s, d, 50), emb),
+          Seq("query_id"), "cos_sim", "neighbor_id", 3)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    "x_ann_multiprobe_quality" -> ((s, d) => {
+      // probe-dial gauge: recall@3 of single-bucket LSH vs 9-probe
+      // multi-probe against brute-force truth on the SAME fixture — the
+      // measurement that justifies probing before adding index tables.
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val truth = bruteTopK(s, d, 50, 3)
+        .select("query_id", "neighbor_id").localCheckpoint()
+      val single = lshTopK(s, d, 50, 3).select("query_id", "neighbor_id")
+      val multi = graft.util.ScaleJoins.topKPerKey(
+          scorePairs(multiprobePairs(s, d, 50), emb),
+          Seq("query_id"), "cos_sim", "neighbor_id", 3)
+        .select("query_id", "neighbor_id")
+      val nT = truth.agg(count(lit(1)).as("n_true"))
+      val hS = single.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_single"))
+      val hM = multi.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_multiprobe"))
+      nT.crossJoin(hS).crossJoin(hM)
+        .select(col("n_true"), col("hits_single"), col("hits_multiprobe"),
+          graft.types.Coercions.detRound(
+            col("hits_single") / col("n_true"), 4).as("recall_single"),
+          graft.types.Coercions.detRound(
+            col("hits_multiprobe") / col("n_true"), 4).as("recall_multiprobe"))
+    }),
+
     "x_ann_quality" -> ((s, d) => {
       // ANN quality gauge: recall@3 of the sign-bit LSH against the
       // brute-force ground truth — the x_dedup_quality twin for the
@@ -678,6 +744,107 @@ object SimilarityOps {
                  floor(((SELECT c FROM ht) /
                         (SELECT COUNT(*) FROM truth)) * 1e4 + 0.5) / 1e4
                    AS recall_trained"""
+    },
+
+    "x_ann_multiprobe" -> {
+      val bucketSql = (1 to 8).map(i =>
+        s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      val flipSqls = (1 to 8).map(i =>
+        s"""substr(bucket, 1, ${i - 1})
+            || (CASE WHEN substr(bucket, $i, 1) = '1' THEN '0' ELSE '1' END)
+            || substr(bucket, ${i + 1})""")
+      s"""WITH $normsSql,
+          b AS (SELECT vec_id, embedding, $bucketSql AS bucket
+                FROM embeddings),
+          qp AS (SELECT vec_id, embedding,
+                        unnest([bucket, ${flipSqls.mkString(", ")}]) AS bucket
+                 FROM b WHERE vec_id < 50),
+          d AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ${dotSql("q.embedding", "c.embedding")} AS dot
+                FROM qp q JOIN b c
+                  ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+          sc AS (SELECT query_id, neighbor_id,
+                        floor((dot / (nq.nrm * nc.nrm)) * 1e6 + 0.5) / 1e6 AS cos_sim
+                 FROM d JOIN nrm nq ON nq.vec_id = query_id
+                        JOIN nrm nc ON nc.vec_id = neighbor_id),
+          r AS (SELECT query_id, neighbor_id, cos_sim,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, neighbor_id) AS rank
+                FROM sc)
+          SELECT query_id, neighbor_id, cos_sim, rank FROM r
+          WHERE rank <= 3 ORDER BY query_id, rank"""
+    },
+
+    "x_ann_multiprobe_quality" -> {
+      val bucketSql = (1 to 8).map(i =>
+        s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      val flipSqls = (1 to 8).map(i =>
+        s"""substr(bucket, 1, ${i - 1})
+            || (CASE WHEN substr(bucket, $i, 1) = '1' THEN '0' ELSE '1' END)
+            || substr(bucket, ${i + 1})""")
+      s"""WITH $normsSql,
+          bd AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        ${dotSql("q.embedding", "c.embedding")} AS dot
+                 FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+                 WHERE q.vec_id < 50),
+          bsc AS (SELECT query_id, neighbor_id,
+                         floor((dot / (nq.nrm * nc.nrm)) * 1e6 + 0.5) / 1e6 AS cos_sim
+                  FROM bd JOIN nrm nq ON nq.vec_id = query_id
+                          JOIN nrm nc ON nc.vec_id = neighbor_id),
+          truth AS (SELECT query_id, neighbor_id FROM (
+                      SELECT query_id, neighbor_id,
+                             row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+                      FROM bsc) WHERE rank <= 3),
+          bkt AS (SELECT vec_id, embedding, $bucketSql AS bucket
+                  FROM embeddings),
+          ld AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        ${dotSql("q.embedding", "c.embedding")} AS dot
+                 FROM bkt q JOIN bkt c
+                   ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+                 WHERE q.vec_id < 50),
+          lsc AS (SELECT query_id, neighbor_id,
+                         floor((dot / (nq.nrm * nc.nrm)) * 1e6 + 0.5) / 1e6 AS cos_sim
+                  FROM ld JOIN nrm nq ON nq.vec_id = query_id
+                          JOIN nrm nc ON nc.vec_id = neighbor_id),
+          sapprox AS (SELECT query_id, neighbor_id FROM (
+                        SELECT query_id, neighbor_id,
+                               row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+                        FROM lsc) WHERE rank <= 3),
+          qp AS (SELECT vec_id, embedding,
+                        unnest([bucket, ${flipSqls.mkString(", ")}]) AS bucket
+                 FROM bkt WHERE vec_id < 50),
+          md AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        ${dotSql("q.embedding", "c.embedding")} AS dot
+                 FROM qp q JOIN bkt c
+                   ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+          msc AS (SELECT query_id, neighbor_id,
+                         floor((dot / (nq.nrm * nc.nrm)) * 1e6 + 0.5) / 1e6 AS cos_sim
+                  FROM md JOIN nrm nq ON nq.vec_id = query_id
+                          JOIN nrm nc ON nc.vec_id = neighbor_id),
+          mapprox AS (SELECT query_id, neighbor_id FROM (
+                        SELECT query_id, neighbor_id,
+                               row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+                        FROM msc) WHERE rank <= 3),
+          shits AS (SELECT a.query_id, a.neighbor_id FROM sapprox a
+                    JOIN truth t ON a.query_id = t.query_id
+                      AND a.neighbor_id = t.neighbor_id),
+          mhits AS (SELECT a.query_id, a.neighbor_id FROM mapprox a
+                    JOIN truth t ON a.query_id = t.query_id
+                      AND a.neighbor_id = t.neighbor_id)
+          SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+                 (SELECT COUNT(*) FROM shits) AS hits_single,
+                 (SELECT COUNT(*) FROM mhits) AS hits_multiprobe,
+                 floor(((SELECT COUNT(*) FROM shits) /
+                        (SELECT COUNT(*) FROM truth)) * 1e4 + 0.5) / 1e4
+                   AS recall_single,
+                 floor(((SELECT COUNT(*) FROM mhits) /
+                        (SELECT COUNT(*) FROM truth)) * 1e4 + 0.5) / 1e4
+                   AS recall_multiprobe"""
     },
 
     "x_ann_quality" -> {

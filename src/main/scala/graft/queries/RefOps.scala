@@ -255,6 +255,22 @@ object RefOps {
         .orderBy("rn")
     }),
 
+    "w1b_keyset_pagination" -> ((s, d) => {
+      // keyset pagination — w1's documented 100 TB path made first-class:
+      // the previous page's last key becomes a range predicate the scan
+      // PUSHES DOWN (PushedFilters: GreaterThan — plan-asserted in
+      // KeysetPaginationSpec), and orderBy+limit plans as
+      // TakeOrderedAndProject: per-partition top-N, no global sort, no
+      // single-partition window. Cost is O(page) regardless of how deep
+      // the page is — the fix for w1's global row_number.
+      val lastKey = 400L // last key of the previous page (client-held state)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .filter(col("o_orderkey") > lastKey)
+        .orderBy("o_orderkey")
+        .limit(50)
+    }),
+
     "w2_latest_per_key" -> ((s, d) => {
       // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
       // l_shipdate joins the version order so ties can't flip the output
@@ -476,6 +492,10 @@ object RefOps {
                   row_number() OVER (ORDER BY o_orderkey) AS rn
            FROM orders)
          WHERE rn BETWEEN 101 AND 150 ORDER BY rn""",
+
+    "w1b_keyset_pagination" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey > 400 ORDER BY o_orderkey LIMIT 50""",
 
     "w2_latest_per_key" ->
       """SELECT l_orderkey, l_linenumber AS last_line,
