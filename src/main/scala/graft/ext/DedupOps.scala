@@ -448,6 +448,22 @@ object DedupOps {
         .orderBy("config")
     }),
 
+    "x_dedup_skew_chunked" -> ((s, d) => {
+      // skew-hardened band self-join under oracle: a worst-case band
+      // table (half the corpus shares one boilerplate band — the LSH
+      // dedup failure mode) through ScaleJoins.chunkedSelfPairs, whose
+      // result provably equals the naive self-join (the oracle IS the
+      // naive join) while the quadratic pair generation spreads across
+      // chunk cells instead of one reducer (SkewedSelfJoinSpec asserts
+      // the spread; SkewStress measures 0.999 → 0.148 max task share).
+      val bands = t(s, d, "documents").select(col("doc_id").as("id"),
+        when(col("doc_id") % 2 === 0, lit("HOT"))
+          .otherwise(concat(lit("band-"),
+            (col("doc_id") % 37).cast("string"))).as("band"))
+      graft.util.ScaleJoins.chunkedSelfPairs(bands, Seq("band"), "id", 8)
+        .orderBy("band", "a", "b")
+    }),
+
     "x_ngram_jaccard" -> ((s, d) => {
       // verification tier: exact Jaccard over distinct shingle sets for the
       // constructed (original, near-dup copy) candidate pairs
@@ -624,6 +640,17 @@ object DedupOps {
                         AS BIGINT) AS n_false_merged
             FROM g64)
           ORDER BY config""",
+
+    "x_dedup_skew_chunked" ->
+      """WITH bands AS (
+           SELECT doc_id AS id,
+                  CASE WHEN doc_id % 2 = 0 THEN 'HOT'
+                       ELSE 'band-' || CAST(doc_id % 37 AS VARCHAR) END AS band
+           FROM documents)
+         SELECT x.band AS band, x.id AS a, y.id AS b
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.id < y.id
+         ORDER BY band, a, b""",
 
     "x_ngram_jaccard" ->
       s"""WITH $nearDupCorpusSql,

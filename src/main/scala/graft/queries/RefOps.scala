@@ -233,6 +233,40 @@ object RefOps {
         .orderBy("node", "ancestor")
     }),
 
+    "j4b_deep_closure" -> ((s, d) => {
+      // the reference's categoria tree is ARBITRARY depth (árvore endpoint
+      // ref :33); j4's region→nation fixture only exercises 2 levels, so
+      // this drives the SAME generic fixed-point operator through a
+      // deterministic 5-tier hierarchy built from region×nation keys
+      // (5 regions → 25 nations → 100 → 300 → 600 synthetic nodes; id
+      // ranges disjoint by construction) and oracle-checks the closure
+      // against a DuckDB WITH RECURSIVE twin — depths 1 through 4.
+      val reg = t(s, d, "region")
+        .select(col("r_regionkey").cast("long").as("id"),
+          lit(null).cast("long").as("parent"))
+      val nat = t(s, d, "nation")
+        .select((col("n_nationkey") + 100).cast("long").as("id"),
+          col("n_regionkey").cast("long").as("parent"))
+      val l2 = t(s, d, "nation")
+        .select(col("n_nationkey").as("nk"),
+          explode(expr("sequence(0, 3)")).as("i"))
+        .select((lit(1000) + col("nk") * 10 + col("i")).cast("long").as("id"),
+          (col("nk") + 100).cast("long").as("parent"))
+      val l3 = l2
+        .select(col("id").as("pid"), explode(expr("sequence(0, 2)")).as("j"))
+        .select((lit(100000) + col("pid") * 10 + col("j")).cast("long").as("id"),
+          col("pid").as("parent"))
+      val l4 = l3
+        .select(col("id").as("pid"), explode(expr("sequence(0, 1)")).as("k"))
+        .select((lit(10000000) + col("pid") * 10 + col("k")).cast("long").as("id"),
+          col("pid").as("parent"))
+      val edges = reg.unionByName(nat).unionByName(l2)
+        .unionByName(l3).unionByName(l4)
+      graft.etl.TreeFlatten.ancestorClosure(edges)
+        .select(col("id").as("node"), col("ancestor"), col("depth"))
+        .orderBy("node", "ancestor")
+    }),
+
     "j5_anti_semi" -> ((s, d) => {
       val customer = t(s, d, "customer")
       val orders = t(s, d, "orders")
@@ -476,6 +510,36 @@ object RefOps {
     "j4_tree_closure" ->
       """SELECT n_name AS node, r_name AS ancestor, 1 AS depth
          FROM nation JOIN region ON n_regionkey = r_regionkey
+         ORDER BY node, ancestor""",
+
+    "j4b_deep_closure" ->
+      """WITH RECURSIVE
+         l2 AS (SELECT CAST(1000 + n_nationkey * 10 + i AS BIGINT) AS id,
+                       CAST(n_nationkey + 100 AS BIGINT) AS parent
+                FROM nation, range(4) t(i)),
+         l3 AS (SELECT CAST(100000 + id * 10 + j AS BIGINT) AS id,
+                       id AS parent
+                FROM l2, range(3) u(j)),
+         l4 AS (SELECT CAST(10000000 + id * 10 + k AS BIGINT) AS id,
+                       id AS parent
+                FROM l3, range(2) v(k)),
+         edges AS (
+           SELECT CAST(r_regionkey AS BIGINT) AS id,
+                  CAST(NULL AS BIGINT) AS parent FROM region
+           UNION ALL
+           SELECT CAST(n_nationkey + 100 AS BIGINT),
+                  CAST(n_regionkey AS BIGINT) FROM nation
+           UNION ALL SELECT id, parent FROM l2
+           UNION ALL SELECT id, parent FROM l3
+           UNION ALL SELECT id, parent FROM l4),
+         closure AS (
+           SELECT id, parent AS ancestor, 1 AS depth FROM edges
+           WHERE parent IS NOT NULL
+           UNION ALL
+           SELECT c.id, e.parent, c.depth + 1
+           FROM closure c JOIN edges e
+             ON c.ancestor = e.id AND e.parent IS NOT NULL)
+         SELECT id AS node, ancestor, depth FROM closure
          ORDER BY node, ancestor""",
 
     "j5_anti_semi" ->

@@ -54,4 +54,45 @@ object ScaleJoins {
       explode(array((0 until buckets).map(lit): _*)))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** All unordered id pairs (a < b) sharing equal `keyCols`, with the
+    * pair GENERATION chunk-salted — the skew answer for self-join
+    * candidate enumeration (the LSH band join's failure mode: one
+    * boilerplate band bucket holding 50% of docs makes O(|B|²) pairs in
+    * ONE reducer task; no plain salt fixes a self-join, because pairs
+    * within the bucket must still meet).
+    *
+    * Rows are chunked by id hash into `chunks` sub-keys; the shuffle key
+    * becomes (key, chunk_i, chunk_j) and every pair {x, y} meets in
+    * EXACTLY one of the chunks(chunks+1)/2 cells (x's and y's chunk ids,
+    * ordered), so a hot bucket's quadratic work spreads across that many
+    * independent tasks instead of one straggler. Replication cost is
+    * ≤ (chunks+1)/2 copies per row on average, linear and bounded —
+    * choose chunks ≈ sqrt(|hot bucket| / target-cell-rows). Result
+    * equals the naive `x.key = y.key AND x.id < y.id` self-join exactly.
+    * Output columns: keyCols ++ (a, b). */
+  def chunkedSelfPairs(df: DataFrame, keyCols: Seq[String], idCol: String,
+                       chunks: Int): DataFrame = {
+    require(chunks >= 1, s"chunks must be >=1, got $chunks")
+    val withChunk = df.withColumn("__c", pmod(hash(col(idCol)), lit(chunks)))
+    // a row of chunk c sits on the LEFT of cells (c, j ≥ c) and on the
+    // RIGHT of cells (i ≤ c, c); pair {x,y} with cx ≤ cy meets once in
+    // cell (cx, cy) (both orientations exist only on the diagonal, which
+    // the a<b filter dedups; off-diagonal cells see one orientation, so
+    // least/greatest normalizes the output order)
+    val left = withChunk
+      .withColumn("__j", explode(expr(s"sequence(__c, ${chunks - 1})")))
+      .select(keyCols.map(col) ++ Seq(col(idCol).as("a"),
+        col("__c").as("__i"), col("__j")): _*)
+    val right = withChunk
+      .withColumn("__i", explode(expr("sequence(0, __c)")))
+      .select(keyCols.map(col) ++ Seq(col(idCol).as("b"),
+        col("__i"), col("__c").as("__j")): _*)
+    left.join(right, keyCols ++ Seq("__i", "__j"))
+      .filter(col("a") =!= col("b") &&
+        (col("__i") =!= col("__j") || col("a") < col("b")))
+      .select(keyCols.map(col) ++ Seq(
+        least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")): _*)
+  }
 }

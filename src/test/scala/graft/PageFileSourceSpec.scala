@@ -63,6 +63,41 @@ class PageFileSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("path"))
   }
 
+  test("watermark-date predicate prunes dated pages at planning time") {
+    val dir = stage() // pages 1..5, undated
+    // dated pages 6..9 straddling the watermark (ref pushes data_filtro_api
+    // into the API query — here the date rides the filename)
+    Seq(6 -> "2024-01-03", 7 -> "2024-01-04",
+        8 -> "2024-01-05", 9 -> "2024-01-06").foreach { case (n, dt) =>
+      Files.copy(Paths.get(dir, "page-2.json"),
+        Paths.get(dir, s"page-$n-$dt.json"))
+    }
+    val df = read(dir).filter(col("page_date") >= "2024-01-05")
+    // planning-time pruning: only the matching dated pages become
+    // partitions; undated pages are excluded by SQL NULL-compare semantics
+    assert(df.rdd.getNumPartitions === 2)
+    assert(df.select("page").orderBy("page").collect().map(_.getInt(0)).toSeq
+      === Seq(8, 9))
+    // the pushed range is visible on the scan node
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scan = df.queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.scan.description().contains("dateRange=[2024-01-05,"),
+      scan.scan.description())
+    // page and date pushdowns compose; page-only reads see all 9 pages
+    assert(read(dir).rdd.getNumPartitions === 9)
+    assert(read(dir)
+      .filter(col("page_date") >= "2024-01-04" && col("page") <= 8)
+      .rdd.getNumPartitions === 2)
+    // strict and equality date bounds prune exactly
+    assert(read(dir).filter(col("page_date") > "2024-01-05")
+      .rdd.getNumPartitions === 1)
+    assert(read(dir).filter(col("page_date") === "2024-01-04")
+      .rdd.getNumPartitions === 1)
+    // undated rows surface page_date as NULL
+    assert(read(dir).filter(col("page_date").isNull).count() === 5)
+  }
+
   test("body decodes through the envelope machinery") {
     val dir = stage()
     val env = graft.etl.EnvelopeReader.envelopeSchema(
