@@ -40,7 +40,10 @@ object SparkEntry {
       "j1_header_detail", "w2_latest_per_key", "x_dedup_exact",
       "x_dedup_minhash", "x_sim_topk", "x_text_stats",
       // round 2: grouping sets, ranking windows, tf-idf, set ops
-      "q_sales_cube", "w5_rank_ntile", "x_tfidf_terms", "j6_set_ops")
+      "q_sales_cube", "w5_rank_ntile", "x_tfidf_terms", "j6_set_ops",
+      // round 3: keyset pagination, LSH probe dial (the 16 round-1/2
+      // queries above are unchanged for round-over-round comparability)
+      "w1b_keyset_pagination", "x_ann_multiprobe")
     val present = preferred.filter(queries.contains)
     if (present.nonEmpty) present else queries.keys.toSeq.sorted
   }

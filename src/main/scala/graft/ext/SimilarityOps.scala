@@ -298,6 +298,88 @@ object SimilarityOps {
         .orderBy("query_id", "rank")
     }),
 
+    "x_ann_ivf_multiprobe" -> ((s, d) => {
+      // the IVF probe dial (nprobe=2): each query searches its TWO
+      // nearest centroid cells — the standard IVF recall lever, same
+      // index, no re-indexing. Probe selection runs on the broadcast
+      // centroid table through the graft_topk heap (no window sort); a
+      // vector indexes into exactly ONE cell, so multi-cell candidates
+      // are disjoint and need no dedup. x_ann_ivf_probe_quality measures
+      // the recall this buys on the same fixture.
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val cents = seedCents(emb, 8)
+      val assigned = assignCells(emb, cents)
+      val probes = graft.util.ScaleJoins.topKPerKey(
+          emb.filter(col("vec_id") < 30).crossJoin(broadcast(cents))
+            .withColumn("negcdist", -expr("graft_l2(embedding, ce)"))
+            .select(col("vec_id"), col("negcdist"), col("cell")),
+          Seq("vec_id"), "negcdist", "cell", 2)
+        .select(col("vec_id").as("query_id"), col("cell"))
+      val q = probes.join(emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe")), "query_id")
+      val c = assigned.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce2"), col("cell"))
+      val pairDist = expr("floor(graft_l2(qe, ce2) * 1e6 + 0.5) / 1e6")
+      graft.util.ScaleJoins.topKPerKey(
+          q.join(c, Seq("cell"))
+            .filter(col("query_id") =!= col("neighbor_id"))
+            .withColumn("negdist", -pairDist),
+          Seq("query_id"), "negdist", "neighbor_id", 3)
+        .select(col("query_id"), col("neighbor_id"),
+          (-col("negdist")).as("dist"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "x_ann_ivf_probe_quality" -> ((s, d) => {
+      // IVF probe-dial gauge: recall@3 (vs brute-force L2 truth) at
+      // nprobe=1 vs nprobe=2 on the same seed-centroid index — the
+      // probes-vs-tables decision measured in-engine, the IVF twin of
+      // x_ann_multiprobe_quality.
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val pairDist = expr("floor(graft_l2(qe, ce2) * 1e6 + 0.5) / 1e6")
+      def top3(pairs: DataFrame): DataFrame =
+        graft.util.ScaleJoins.topKPerKey(
+            pairs.filter(col("query_id") =!= col("neighbor_id"))
+              .withColumn("negdist", -pairDist),
+            Seq("query_id"), "negdist", "neighbor_id", 3)
+          .select("query_id", "neighbor_id")
+      val cents = seedCents(emb, 8)
+      val assigned = assignCells(emb, cents)
+      val c = assigned.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce2"), col("cell"))
+      val q1 = assigned.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("cell"))
+      val s1 = top3(q1.join(c, Seq("cell")))
+      val probes = graft.util.ScaleJoins.topKPerKey(
+          emb.filter(col("vec_id") < 30).crossJoin(broadcast(cents))
+            .withColumn("negcdist", -expr("graft_l2(embedding, ce)"))
+            .select(col("vec_id"), col("negcdist"), col("cell")),
+          Seq("vec_id"), "negcdist", "cell", 2)
+        .select(col("vec_id").as("query_id"), col("cell"))
+      val q2 = probes.join(emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe")), "query_id")
+      val s2 = top3(q2.join(c, Seq("cell")))
+      val qAll = emb.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val cAll = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce2"))
+      val truth = top3(qAll.join(cAll, lit(true))).localCheckpoint()
+      val nT = truth.agg(count(lit(1)).as("n_true"))
+      val h1 = s1.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_1probe"))
+      val h2 = s2.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_2probe"))
+      nT.crossJoin(h1).crossJoin(h2)
+        .select(col("n_true"), col("hits_1probe"), col("hits_2probe"),
+          graft.types.Coercions.detRound(
+            col("hits_1probe") / col("n_true"), 4).as("recall_1probe"),
+          graft.types.Coercions.detRound(
+            col("hits_2probe") / col("n_true"), 4).as("recall_2probe"))
+    }),
+
     "x_kmeans_train" -> ((s, d) => {
       // distributed Lloyd's iterations — the trainer behind x_ann_ivf's
       // "k-means-trained centroids at 100 TB" note. Per iteration: one
@@ -583,6 +665,100 @@ object SimilarityOps {
                 FROM pairs)
           SELECT query_id, neighbor_id, dist, rank FROM r
           WHERE rank <= 3 ORDER BY query_id, rank"""
+    },
+
+    "x_ann_ivf_multiprobe" -> {
+      val l2 = (a: String, b: String) =>
+        s"""list_sum(list_transform(range(1, 65),
+            i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
+                 (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"""
+      s"""WITH cent AS (SELECT vec_id AS cell, embedding AS ce
+                        FROM embeddings WHERE vec_id < 8),
+          adist AS (SELECT e.vec_id, e.embedding, c.cell,
+                           ${l2("e.embedding", "c.ce")} AS cdist
+                    FROM embeddings e CROSS JOIN cent c),
+          assigned AS (SELECT vec_id, embedding, cell
+                       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cdist, cell) AS rn FROM adist)
+                       WHERE rn = 1),
+          probes AS (SELECT vec_id AS query_id, cell
+                     FROM (SELECT vec_id, cell,
+                             row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cdist, cell) AS rn
+                           FROM adist WHERE vec_id < 30)
+                     WHERE rn <= 2),
+          pairs AS (SELECT p.query_id, n.vec_id AS neighbor_id,
+                           floor((${l2("q.embedding", "n.embedding")})
+                                 * 1e6 + 0.5) / 1e6 AS dist
+                    FROM probes p
+                    JOIN embeddings q ON q.vec_id = p.query_id
+                    JOIN assigned n ON n.cell = p.cell
+                      AND n.vec_id <> p.query_id),
+          r AS (SELECT query_id, neighbor_id, dist,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY dist, neighbor_id) AS rank
+                FROM pairs)
+          SELECT query_id, neighbor_id, dist, rank FROM r
+          WHERE rank <= 3 ORDER BY query_id, rank"""
+    },
+
+    "x_ann_ivf_probe_quality" -> {
+      val l2 = (a: String, b: String) =>
+        s"""list_sum(list_transform(range(1, 65),
+            i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
+                 (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"""
+      s"""WITH cent AS (SELECT vec_id AS cell, embedding AS ce
+                        FROM embeddings WHERE vec_id < 8),
+          adist AS (SELECT e.vec_id, e.embedding, c.cell,
+                           ${l2("e.embedding", "c.ce")} AS cdist
+                    FROM embeddings e CROSS JOIN cent c),
+          assigned AS (SELECT vec_id, embedding, cell
+                       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cdist, cell) AS rn FROM adist)
+                       WHERE rn = 1),
+          s1 AS (SELECT query_id, neighbor_id FROM (
+                   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                          row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY floor((${l2("q.embedding", "n.embedding")})
+                                           * 1e6 + 0.5) / 1e6, n.vec_id) AS rank
+                   FROM assigned q JOIN assigned n
+                     ON q.cell = n.cell AND q.vec_id <> n.vec_id
+                   WHERE q.vec_id < 30) WHERE rank <= 3),
+          probes AS (SELECT vec_id AS query_id, cell
+                     FROM (SELECT vec_id, cell,
+                             row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cdist, cell) AS rn
+                           FROM adist WHERE vec_id < 30)
+                     WHERE rn <= 2),
+          s2 AS (SELECT query_id, neighbor_id FROM (
+                   SELECT p.query_id, n.vec_id AS neighbor_id,
+                          row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY floor((${l2("q.embedding", "n.embedding")})
+                                           * 1e6 + 0.5) / 1e6, n.vec_id) AS rank
+                   FROM probes p
+                   JOIN embeddings q ON q.vec_id = p.query_id
+                   JOIN assigned n ON n.cell = p.cell
+                     AND n.vec_id <> p.query_id) WHERE rank <= 3),
+          truth AS (SELECT query_id, neighbor_id FROM (
+                   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                          row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY floor((${l2("q.embedding", "n.embedding")})
+                                           * 1e6 + 0.5) / 1e6, n.vec_id) AS rank
+                   FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+                   WHERE q.vec_id < 30) WHERE rank <= 3),
+          h1 AS (SELECT COUNT(*) AS c FROM s1
+                 JOIN truth USING (query_id, neighbor_id)),
+          h2 AS (SELECT COUNT(*) AS c FROM s2
+                 JOIN truth USING (query_id, neighbor_id))
+          SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+                 (SELECT c FROM h1) AS hits_1probe,
+                 (SELECT c FROM h2) AS hits_2probe,
+                 floor(((SELECT c FROM h1) /
+                        (SELECT COUNT(*) FROM truth)) * 1e4 + 0.5) / 1e4
+                   AS recall_1probe,
+                 floor(((SELECT c FROM h2) /
+                        (SELECT COUNT(*) FROM truth)) * 1e4 + 0.5) / 1e4
+                   AS recall_2probe"""
     },
 
     "x_ann_ivf_trained" -> {
