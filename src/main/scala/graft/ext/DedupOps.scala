@@ -137,7 +137,7 @@ object DedupOps {
     * no sign-bit arithmetic in either engine. Integer ± votes are
     * commutative, so partial aggregation is exact. (Zero-token docs would
     * drop at the explode; the corpus has none.) */
-  private def simhashFps64From(corpus: DataFrame): DataFrame = {
+  private[graft] def simhashFps64From(corpus: DataFrame): DataFrame = {
     // SWAR-packed bit sums (round-3 rewrite, 64 → 17 aggregate buffers,
     // measured ~2.5× on the sf0.1 corpus): the 32 hex chars decode to
     // four 32-bit ints via conv ONCE per token; each of 16 packed longs
@@ -485,6 +485,40 @@ object DedupOps {
         .orderBy("band", "a", "b")
     }),
 
+    "x_decontaminate" -> ((s, d) => {
+      // training-data decontamination: flag training docs sharing any
+      // 3-token shingle with the benchmark/eval set — the n-gram overlap
+      // check every LLM data pipeline runs before training. Fixture:
+      // docs < 20 are the "benchmark"; training docs divisible by 7 get
+      // a 10-token benchmark excerpt appended (known contamination).
+      // Plan shape: shingle equi-join against the benchmark shingle set
+      // (tiny → broadcast), never all-pairs; training shingles are a
+      // scan-side Generate.
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val benchTexts = base.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("bid"),
+          expr("concat_ws(' ', slice(split(text, ' '), 1, 10))").as("excerpt"))
+      val train = base.filter(col("doc_id") >= 20)
+        .withColumn("bid", col("doc_id") % 20)
+        .join(broadcast(benchTexts), "bid")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" "), col("excerpt")))
+            .otherwise(col("text")).as("text"))
+      def shingled(df: DataFrame): DataFrame = df
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          explode(expr(s"array_distinct($shinglesExpr)")).as("sh"))
+      val benchSh = shingled(base.filter(col("doc_id") < 20))
+        .select(col("sh")).distinct()
+      shingled(train)
+        .join(broadcast(benchSh), "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
     "x_ngram_jaccard" -> ((s, d) => {
       // verification tier: exact Jaccard over distinct shingle sets for the
       // constructed (original, near-dup copy) candidate pairs
@@ -672,6 +706,29 @@ object DedupOps {
          FROM bands x JOIN bands y
            ON x.band = y.band AND x.id < y.id
          ORDER BY band, a, b""",
+
+    "x_decontaminate" ->
+      s"""WITH bench AS (
+            SELECT doc_id AS bid,
+                   array_to_string(list_slice(string_split(text, ' '), 1, 10),
+                                   ' ') AS excerpt
+            FROM documents WHERE doc_id < 20),
+          train AS (
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id % 7 = 0 THEN d.text || ' ' || b.excerpt
+                        ELSE d.text END AS text
+            FROM documents d JOIN bench b ON b.bid = d.doc_id % 20
+            WHERE d.doc_id >= 20),
+          ttk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM train),
+          tsh AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
+                  FROM ttk WHERE len(tk) >= 3),
+          btk AS (SELECT doc_id, string_split(text, ' ') AS tk
+                  FROM documents WHERE doc_id < 20),
+          bsh AS (SELECT DISTINCT unnest(list_distinct($shinglesSql)) AS sh
+                  FROM btk WHERE len(tk) >= 3)
+          SELECT t.doc_id, COUNT(*) AS n_shared
+          FROM tsh t JOIN bsh b ON t.sh = b.sh
+          GROUP BY 1 ORDER BY doc_id""",
 
     "x_ngram_jaccard" ->
       s"""WITH $nearDupCorpusSql,

@@ -266,6 +266,51 @@ object TextOps {
         .orderBy("lang", "rnk")
     }),
 
+    "x_doc_chunks" -> ((s, d) => {
+      // document chunking for RAG / training prep: overlapping 50-token
+      // windows at stride 25 — a Generate (explode) in the scan stage,
+      // no shuffle until the final presentation sort; at 100 TB chunking
+      // is embarrassingly parallel and output-partitioned by doc. The
+      // short final window is kept (standard practice: the tail tokens
+      // must land in at least one chunk).
+      t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(expr(
+            "sequence(0, CAST(greatest(0, ceil((n - 25) / 25.0) - 1) AS INT))"))
+            .as("chunk_id"))
+        .withColumn("chunk", expr("slice(toks, chunk_id * 25 + 1, 50)"))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          expr("element_at(chunk, 1)").as("first_token"),
+          expr("element_at(chunk, -1)").as("last_token"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    "x_pii_scrub" -> ((s, d) => {
+      // PII scrubbing over documents: inject synthetic emails + long
+      // digit runs (the fixtures are clean), then count and redact both
+      // — pure scan-side regexp work, the doc-level generalization of
+      // t7_mask_secret. Patterns stay in the [a-z0-9] subset both
+      // engines' regex dialects agree on.
+      val email = "[a-z0-9.]+@[a-z0-9.]+"
+      val longNum = "[0-9][0-9][0-9][0-9]+"
+      t(s, d, "documents")
+        .withColumn("txt", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com ref "),
+          (col("doc_id") * 7919 + 10007).cast("string")))
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(txt, '$email', 0)"))
+            .cast("long").as("n_emails"),
+          size(expr(s"regexp_extract_all(txt, '$longNum', 0)"))
+            .cast("long").as("n_numbers"),
+          length(regexp_replace(regexp_replace(col("txt"),
+            email, "[EMAIL]"), longNum, "[NUM]")).as("scrubbed_len"))
+        .orderBy("doc_id")
+    }),
+
     "x_fingerprint" -> ((s, d) => {
       // polynomial rolling hash over the token stream, modular to stay in
       // 64-bit range — a per-row fold, no shuffle
@@ -455,6 +500,41 @@ object TextOps {
              list_transform(string_split(text, ' '),
                             t -> ascii(t[1]) * 7 + length(t))),
            (h, e) -> (h * 31 + e) % 1000000007) AS fingerprint
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    "x_doc_chunks" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                       FROM documents),
+         c AS (SELECT doc_id, tk,
+                      unnest(range(0,
+                        CAST(greatest(0, ceil((len(tk) - 25) / 25.0) - 1)
+                             AS INT) + 1)) AS chunk_id
+               FROM toks),
+         ch AS (SELECT doc_id, chunk_id,
+                       list_slice(tk, chunk_id * 25 + 1,
+                                  chunk_id * 25 + 50) AS chunk
+                FROM c)
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                CAST(len(chunk) AS BIGINT) AS n_tokens,
+                chunk[1] AS first_token,
+                chunk[-1] AS last_token
+         FROM ch ORDER BY doc_id, chunk_id""",
+
+    "x_pii_scrub" ->
+      """WITH injected AS (
+           SELECT doc_id,
+                  text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com ref '
+                       || CAST(doc_id * 7919 + 10007 AS VARCHAR) AS txt
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(txt, '[a-z0-9.]+@[a-z0-9.]+'))
+                     AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(txt, '[0-9][0-9][0-9][0-9]+'))
+                     AS BIGINT) AS n_numbers,
+                length(regexp_replace(
+                  regexp_replace(txt, '[a-z0-9.]+@[a-z0-9.]+', '[EMAIL]', 'g'),
+                  '[0-9][0-9][0-9][0-9]+', '[NUM]', 'g')) AS scrubbed_len
+         FROM injected ORDER BY doc_id"""
   )
 }
