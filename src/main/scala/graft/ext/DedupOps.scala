@@ -163,8 +163,18 @@ object DedupOps {
       df.withColumn(s"c$c",
         expr(s"CAST(conv(substring(h, ${c * 8 + 1}, 8), 16, 10) AS BIGINT)"))
     }
+    // SWAR lanes are 16 bits: a doc with >= 65536 tokens carries across
+    // lanes and would silently corrupt the fingerprint (and diverge from
+    // the per-bit oracle). Fail loudly instead — n is read by every
+    // majority vote below, so the guard cannot be pruned away. Callers
+    // with longer documents must chunk first (see TextOps.x_doc_chunks).
     val agg = withChunks.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), packed: _*)
+      .withColumn("n", expr(
+        s"""if(n < ${1 << 16}, n,
+            raise_error(concat('graft simhash64: SWAR lane overflow — doc ',
+              CAST(doc_id AS STRING), ' has ', CAST(n AS STRING),
+              ' tokens (>= ${1 << 16}); chunk the document first')))"""))
     def half(lo: Int): Column = (lo until lo + 32).map { j =>
       val m = j / 4; val lane = j % 4
       when(expr(s"2 * ((p$m >> ${16 * lane}) & 65535) >= n"),

@@ -61,6 +61,28 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("SWAR simhash guards the 16-bit lane bound (65535 ok, 65536 raises)") {
+    import spark.implicits._
+    // 65,535 tokens saturates a lane exactly — still correct
+    val atBound = Seq((1L, Seq.fill(65535)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ok = graft.ext.DedupOps.simhashFps64From(atBound).collect()
+    assert(ok.length === 1)
+    assert((ok.head.getLong(1), ok.head.getLong(2)) === refFp(Seq("tok")),
+      "identical tokens must vote like a single token")
+    // one more token would carry across lanes — must fail loudly, not
+    // emit a corrupted fingerprint
+    val over = Seq((2L, Seq.fill(65536)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      graft.ext.DedupOps.simhashFps64From(over).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m =>
+      m != null && m.contains("SWAR lane overflow")), messages(ex).toString)
+  }
+
   test("chunkedSelfPairs equals the naive self-join (property)") {
     import spark.implicits._
     val rowGen = for {
