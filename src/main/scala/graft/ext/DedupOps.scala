@@ -55,6 +55,78 @@ object DedupOps {
   private val shinglesSql =
     "list_transform(range(0, len(tk) - 2), i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])"
 
+  /** width-parameterized n-token shingles (r4): production
+    * decontamination overlaps on 8–13-grams, not 3 — width is the
+    * precision dial (long shingles almost never collide by accident). */
+  private def shinglesExprN(n: Int): String = {
+    val parts = (0 until n).map(k => s"toks[i+$k]").mkString(", ")
+    s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', $parts))"
+  }
+
+  private def shinglesSqlN(n: Int): String = {
+    val parts = (1 to n).map(k => s"tk[i+$k]").mkString(" || ' ' || ")
+    s"list_transform(range(0, len(tk) - ${n - 1}), i -> $parts)"
+  }
+
+  /** DuckDB twin of `decontaminate` at shingle width n. */
+  private def decontaminateSql(n: Int): String =
+    s"""WITH bench AS (
+          SELECT doc_id AS bid,
+                 array_to_string(list_slice(string_split(text, ' '), 1, 10),
+                                 ' ') AS excerpt
+          FROM documents WHERE doc_id < 20),
+        train AS (
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id % 7 = 0 THEN d.text || ' ' || b.excerpt
+                      ELSE d.text END AS text
+          FROM documents d JOIN bench b ON b.bid = d.doc_id % 20
+          WHERE d.doc_id >= 20),
+        ttk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM train),
+        tsh AS (SELECT doc_id, unnest(list_distinct(${shinglesSqlN(n)})) AS sh
+                FROM ttk WHERE len(tk) >= $n),
+        btk AS (SELECT doc_id, string_split(text, ' ') AS tk
+                FROM documents WHERE doc_id < 20),
+        bsh AS (SELECT DISTINCT unnest(list_distinct(${shinglesSqlN(n)})) AS sh
+                FROM btk WHERE len(tk) >= $n)
+        SELECT t.doc_id, COUNT(*) AS n_shared
+        FROM tsh t JOIN bsh b ON t.sh = b.sh
+        GROUP BY 1 ORDER BY doc_id"""
+
+  /** training-data decontamination at shingle width n: flag training
+    * docs sharing any n-token shingle with the benchmark/eval set — the
+    * n-gram overlap check every LLM data pipeline runs before training.
+    * Fixture: docs < 20 are the "benchmark"; training docs divisible by
+    * 7 get a 10-token benchmark excerpt appended (known contamination —
+    * it carries 10-n+1 of the benchmark doc's n-grams for n <= 10).
+    * Plan shape: shingle equi-join against the benchmark shingle set
+    * (tiny → broadcast), never all-pairs; training shingles are a
+    * scan-side Generate. */
+  private def decontaminate(s: SparkSession, d: String, n: Int): DataFrame = {
+    val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val benchTexts = base.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("bid"),
+        expr("concat_ws(' ', slice(split(text, ' '), 1, 10))").as("excerpt"))
+    val train = base.filter(col("doc_id") >= 20)
+      .withColumn("bid", col("doc_id") % 20)
+      .join(broadcast(benchTexts), "bid")
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" "), col("excerpt")))
+          .otherwise(col("text")).as("text"))
+    def shingled(df: DataFrame): DataFrame = df
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(${shinglesExprN(n)})")).as("sh"))
+    val benchSh = shingled(base.filter(col("doc_id") < 20))
+      .select(col("sh")).distinct()
+    shingled(train)
+      .join(broadcast(benchSh), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** hex nibbles with bit3 set (value >= 8) / with bit2 set (value & 4) —
     * two independent uniform bits per md5 hex char. */
   private val hiBitNibbles = Seq("8", "9", "a", "b", "c", "d", "e", "f")
@@ -495,39 +567,15 @@ object DedupOps {
         .orderBy("band", "a", "b")
     }),
 
-    "x_decontaminate" -> ((s, d) => {
-      // training-data decontamination: flag training docs sharing any
-      // 3-token shingle with the benchmark/eval set — the n-gram overlap
-      // check every LLM data pipeline runs before training. Fixture:
-      // docs < 20 are the "benchmark"; training docs divisible by 7 get
-      // a 10-token benchmark excerpt appended (known contamination).
-      // Plan shape: shingle equi-join against the benchmark shingle set
-      // (tiny → broadcast), never all-pairs; training shingles are a
-      // scan-side Generate.
-      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val benchTexts = base.filter(col("doc_id") < 20)
-        .select(col("doc_id").as("bid"),
-          expr("concat_ws(' ', slice(split(text, ' '), 1, 10))").as("excerpt"))
-      val train = base.filter(col("doc_id") >= 20)
-        .withColumn("bid", col("doc_id") % 20)
-        .join(broadcast(benchTexts), "bid")
-        .select(col("doc_id"),
-          when(col("doc_id") % 7 === 0,
-            concat(col("text"), lit(" "), col("excerpt")))
-            .otherwise(col("text")).as("text"))
-      def shingled(df: DataFrame): DataFrame = df
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"),
-          explode(expr(s"array_distinct($shinglesExpr)")).as("sh"))
-      val benchSh = shingled(base.filter(col("doc_id") < 20))
-        .select(col("sh")).distinct()
-      shingled(train)
-        .join(broadcast(benchSh), "sh")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shared"))
-        .orderBy("doc_id")
-    }),
+    "x_decontaminate" -> ((s, d) => decontaminate(s, d, 3)),
+
+    "x_decontaminate_8gram" -> ((s, d) =>
+      // the production width (r4): 8-token shingles almost never collide
+      // by accident, so flagged docs ≈ the truly contaminated set — the
+      // injected 10-token excerpt still carries three 8-grams of the
+      // benchmark doc and stays caught. Same plan shape as the 3-gram
+      // entry; only the Generate's shingle width changes.
+      decontaminate(s, d, 8)),
 
     "x_ngram_jaccard" -> ((s, d) => {
       // verification tier: exact Jaccard over distinct shingle sets for the
@@ -717,28 +765,9 @@ object DedupOps {
            ON x.band = y.band AND x.id < y.id
          ORDER BY band, a, b""",
 
-    "x_decontaminate" ->
-      s"""WITH bench AS (
-            SELECT doc_id AS bid,
-                   array_to_string(list_slice(string_split(text, ' '), 1, 10),
-                                   ' ') AS excerpt
-            FROM documents WHERE doc_id < 20),
-          train AS (
-            SELECT d.doc_id,
-                   CASE WHEN d.doc_id % 7 = 0 THEN d.text || ' ' || b.excerpt
-                        ELSE d.text END AS text
-            FROM documents d JOIN bench b ON b.bid = d.doc_id % 20
-            WHERE d.doc_id >= 20),
-          ttk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM train),
-          tsh AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
-                  FROM ttk WHERE len(tk) >= 3),
-          btk AS (SELECT doc_id, string_split(text, ' ') AS tk
-                  FROM documents WHERE doc_id < 20),
-          bsh AS (SELECT DISTINCT unnest(list_distinct($shinglesSql)) AS sh
-                  FROM btk WHERE len(tk) >= 3)
-          SELECT t.doc_id, COUNT(*) AS n_shared
-          FROM tsh t JOIN bsh b ON t.sh = b.sh
-          GROUP BY 1 ORDER BY doc_id""",
+    "x_decontaminate" -> decontaminateSql(3),
+
+    "x_decontaminate_8gram" -> decontaminateSql(8),
 
     "x_ngram_jaccard" ->
       s"""WITH $nearDupCorpusSql,
