@@ -36,6 +36,39 @@ object PartitionedMerge {
   def bucketExpr(keys: Seq[String], numBuckets: Int): Column =
     pmod(hash(keys.map(col): _*), lit(numBuckets))
 
+  // ---- table metadata (round 4) ---------------------------------------
+  //
+  // The bucket count is a TABLE property, not a call-site parameter: an
+  // append hashing with a different count than the base puts the same key
+  // in two bucket directories, and compaction (which drops gseq) then
+  // silently breaks latest-wins. First write persists the count in
+  // `_graft_meta.json`; every later write resolves against it and IGNORES
+  // a mismatched caller parameter — the persisted layout is the truth.
+
+  private def metaFile(path: String) = Paths.get(path, "_graft_meta.json")
+
+  /** Bucket count recorded in the table's metadata file, if any. */
+  def persistedBuckets(path: String): Option[Int] = {
+    val f = metaFile(path)
+    if (!Files.exists(f)) None
+    else "\"numBuckets\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(new String(Files.readAllBytes(f), "UTF-8"))
+      .map(_.group(1).toInt)
+  }
+
+  /** Persisted count wins over the requested parameter; tables created
+    * before metadata existed fall back to the parameter (unchanged
+    * behavior) and get the file stamped on their next write. */
+  private def resolveBuckets(path: String, requested: Int): Int =
+    persistedBuckets(path).getOrElse(requested)
+
+  private def stampMeta(path: String, numBuckets: Int): Unit =
+    if (persistedBuckets(path).isEmpty) {
+      Files.createDirectories(Paths.get(path))
+      Files.write(metaFile(path),
+        s"""{"numBuckets":$numBuckets}""".getBytes("UTF-8")): Unit
+    }
+
   /** Read a bucketed table with the engine-internal bucket column dropped.
     * `mergeSchema` because additive evolution only rewrites touched
     * buckets — after an evolving merge, untouched bucket files still carry
@@ -57,7 +90,8 @@ object PartitionedMerge {
     val flat = updates.localCheckpoint()
     val n = flat.count()
     if (n == 0) return 0L
-    val batch = flat.withColumn(BucketCol, bucketExpr(keys, numBuckets))
+    val nb = resolveBuckets(path, numBuckets)
+    val batch = flat.withColumn(BucketCol, bucketExpr(keys, nb))
     val root = Paths.get(path)
 
     if (!Files.exists(root)) {
@@ -70,6 +104,7 @@ object PartitionedMerge {
         else Upsert.latestPerKey(batch, keys, nonKey)
       uniq.repartition(col(BucketCol))
         .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(path)
+      stampMeta(path, nb)
       return n
     }
 
@@ -94,6 +129,7 @@ object PartitionedMerge {
         Paths.get(s"$tmp/$BucketCol=$b"), Paths.get(s"$path/$BucketCol=$b"))
     }
     graft.util.Fs.deleteRec(Paths.get(tmp))
+    stampMeta(path, nb) // migrate pre-metadata tables on their next write
     n
   }
 
@@ -114,30 +150,115 @@ object PartitionedMerge {
     * resolve as version 0 (oldest). */
   val SeqCol = "gseq"
 
-  private def seqFile(path: String) = Paths.get(path, "_delta_seq")
+  /** Pre-r4 allocator state: a plain counter file (read-increment-write —
+    * racy under concurrent appenders). Kept read-only as the migration
+    * floor for the marker-based allocator below. */
+  private def legacySeqFile(path: String) = Paths.get(path, "_delta_seq")
 
-  private def readSeq(path: String): Long = {
-    val f = seqFile(path)
+  private def legacySeq(path: String): Long = {
+    val f = legacySeqFile(path)
     if (Files.exists(f)) new String(Files.readAllBytes(f), "UTF-8").trim.toLong
     else 0L
+  }
+
+  private def seqDir(path: String) = Paths.get(path, "_seq")
+
+  private def maxMarker(path: String): Long = {
+    val dir = seqDir(path)
+    if (!Files.exists(dir)) return 0L
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .collect { case n if n.nonEmpty && n.forall(_.isDigit) => n.toLong }
+      .foldLeft(0L)(math.max)
+    finally s.close()
+  }
+
+  /** Atomically allocate the next batch version: claim `_seq/<n>` via
+    * `Files.createFile`, whose create-if-absent is atomic on POSIX (and an
+    * object-store port would use a put-if-absent conditional write). Two
+    * concurrent appenders can no longer read the same counter and stamp
+    * the same gseq on different batches — the race the plain counter file
+    * had. Allocation happens BEFORE the data write, so a crash mid-append
+    * burns a seq number (a gap — harmless) instead of ever reusing one. */
+  private def allocSeq(path: String): Long = {
+    val dir = seqDir(path)
+    Files.createDirectories(dir)
+    var cand = math.max(maxMarker(path), legacySeq(path)) + 1
+    var got = -1L
+    while (got < 0) {
+      try { Files.createFile(dir.resolve(cand.toString)); got = cand }
+      catch { case _: java.nio.file.FileAlreadyExistsException => cand += 1 }
+    }
+    got
+  }
+
+  /** Delete claim markers strictly below the current max (compaction
+    * housekeeping — the max stays so allocation remains monotone). */
+  private def pruneMarkers(path: String): Unit = {
+    val dir = seqDir(path)
+    if (!Files.exists(dir)) return
+    val keep = maxMarker(path)
+    val s = Files.list(dir)
+    val old = try s.iterator().asScala.toList.filter { p =>
+      val n = p.getFileName.toString
+      n.nonEmpty && n.forall(_.isDigit) && n.toLong < keep
+    } finally s.close()
+    old.foreach(Files.deleteIfExists(_))
+  }
+
+  /** Data-file count per bucket directory — a driver-side metadata
+    * listing, never a Spark job. */
+  private def bucketFileCounts(path: String): Seq[(Int, Int)] = {
+    val root = Paths.get(path)
+    if (!Files.exists(root)) return Seq.empty
+    val s = Files.list(root)
+    val dirs = try s.iterator().asScala.toList finally s.close()
+    dirs.filter(_.getFileName.toString.startsWith(s"$BucketCol="))
+      .map { d =>
+        val fs = Files.list(d)
+        val n =
+          try fs.iterator().asScala
+            .count(_.getFileName.toString.endsWith(".parquet"))
+          finally fs.close()
+        d.getFileName.toString.stripPrefix(s"$BucketCol=").toInt -> n
+      }.sortBy(_._1)
   }
 
   /** Append `updates` as delta files into the bucket layout at `path` —
     * cost O(batch), independent of table size. Batches must be key-unique
     * (GroupCommit.flush hands exactly that); later appends win per key.
     * Composes with a mergeInto-created base: base rows have no gseq and
-    * lose to any delta. Returns the batch row count. */
+    * lose to any delta. Returns the batch row count.
+    *
+    * Auto-compaction (round 4): after the append, any bucket whose
+    * data-file count reached `compactThreshold` is compacted in place —
+    * the commit path itself bounds merge-on-read cost, so weeks of
+    * unattended cron appends can no longer degrade readers (the r3 stress
+    * measured resolved reads growing 0.17 → 1.34 s over 1,000 uncompacted
+    * pages). Amortized cost per append stays O(page + bucket/threshold);
+    * pass `compactThreshold = 0` to disable and schedule `compact`
+    * manually. Single-writer per table is assumed for the rewrite paths
+    * (compact/mergeInto swap bucket directories); the marker-based seq
+    * keeps versioning correct even if appenders accidentally overlap. */
   def appendInto(spark: SparkSession, path: String, updates: DataFrame,
-                 keys: Seq[String], numBuckets: Int = 16): Long = {
+                 keys: Seq[String], numBuckets: Int = 16,
+                 compactThreshold: Int = 32): Long = {
     val flat = updates.localCheckpoint()
     val n = flat.count()
     if (n == 0) return 0L
-    val seq = readSeq(path) + 1
-    flat.withColumn(BucketCol, bucketExpr(keys, numBuckets))
+    val nb = resolveBuckets(path, numBuckets)
+    val seq = allocSeq(path)
+    flat.withColumn(BucketCol, bucketExpr(keys, nb))
       .withColumn(SeqCol, lit(seq))
       .repartition(col(BucketCol))
       .write.partitionBy(BucketCol).mode(SaveMode.Append).parquet(path)
-    Files.write(seqFile(path), seq.toString.getBytes("UTF-8"))
+    stampMeta(path, nb)
+    if (compactThreshold > 0) {
+      val frag = bucketFileCounts(path)
+        .collect { case (b, files) if files >= compactThreshold => b }
+      if (frag.nonEmpty)
+        compact(spark, path, keys, only = Some(frag.toSet)): Unit
+    }
     n
   }
 
@@ -155,28 +276,17 @@ object PartitionedMerge {
   }
 
   /** Per-bucket compaction: every bucket directory holding more than one
-    * data file is collapsed to its resolved rows (latest gseq per key) in
-    * a single base file; buckets already compact see zero I/O. Returns
-    * (bucket, filesBefore) for the buckets it rewrote. Idempotent, and
-    * read results are unchanged by construction — the spec asserts both. */
-  def compact(spark: SparkSession, path: String,
-              keys: Seq[String]): Seq[(Int, Int)] = {
+    * data file (restricted to `only` when given) is collapsed to its
+    * resolved rows (latest gseq per key) in a single base file; buckets
+    * already compact see zero I/O. Returns (bucket, filesBefore) for the
+    * buckets it rewrote. Idempotent, and read results are unchanged by
+    * construction — the spec asserts both. */
+  def compact(spark: SparkSession, path: String, keys: Seq[String],
+              only: Option[Set[Int]] = None): Seq[(Int, Int)] = {
     val root = Paths.get(path)
     if (!Files.exists(root)) return Seq.empty
-    val frag = {
-      val s = Files.list(root)
-      val dirs = try s.iterator().asScala.toList finally s.close()
-      dirs.filter(_.getFileName.toString.startsWith(s"$BucketCol="))
-        .flatMap { d =>
-          val fs = Files.list(d)
-          val n =
-            try fs.iterator().asScala
-              .count(_.getFileName.toString.endsWith(".parquet"))
-            finally fs.close()
-          if (n > 1)
-            Some(d.getFileName.toString.stripPrefix(s"$BucketCol=").toInt -> n)
-          else None
-        }.sortBy(_._1)
+    val frag = bucketFileCounts(path).filter { case (b, n) =>
+      n > 1 && only.forall(_.contains(b))
     }
     if (frag.isEmpty) return Seq.empty
     val touched = frag.map(_._1)
@@ -196,6 +306,7 @@ object PartitionedMerge {
         Paths.get(s"$tmp/$BucketCol=$b"), Paths.get(s"$path/$BucketCol=$b"))
     }
     graft.util.Fs.deleteRec(Paths.get(tmp))
+    pruneMarkers(path)
     frag
   }
 
@@ -211,16 +322,18 @@ object PartitionedMerge {
   def replaceChildren(spark: SparkSession, path: String, children: DataFrame,
                       parents: DataFrame, parentKey: String,
                       numBuckets: Int = 16): Unit = {
+    val nb = resolveBuckets(path, numBuckets)
     val batch = children.localCheckpoint()
-      .withColumn(BucketCol, bucketExpr(Seq(parentKey), numBuckets))
+      .withColumn(BucketCol, bucketExpr(Seq(parentKey), nb))
     val root = Paths.get(path)
     if (!Files.exists(root)) {
       batch.repartition(col(BucketCol))
         .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(path)
+      stampMeta(path, nb)
       return
     }
     val parentKeys = parents.select(col(parentKey))
-      .withColumn(BucketCol, bucketExpr(Seq(parentKey), numBuckets))
+      .withColumn(BucketCol, bucketExpr(Seq(parentKey), nb))
       .distinct().localCheckpoint()
     val touched = parentKeys.select(col(BucketCol)).distinct()
       .collect().map(_.getInt(0)).sorted
@@ -242,5 +355,6 @@ object PartitionedMerge {
       }
     }
     graft.util.Fs.deleteRec(Paths.get(tmp))
+    stampMeta(path, nb)
   }
 }

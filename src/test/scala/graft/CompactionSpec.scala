@@ -61,6 +61,101 @@ class CompactionSpec extends SparkSpec {
     assert(got === Seq((5, "post-compact")))
   }
 
+  test("auto-compaction bounds delta files from the commit path") {
+    val path = tmpDir("autocompact") + "/t"
+    // 30 appends at threshold 4: without the trigger each bucket would
+    // accumulate ~30 files; the commit path must keep every bucket below
+    // the threshold WITHOUT any manual compact() call
+    (1 to 30).foreach { b =>
+      val df = (1 to 20).map(i => (((b + i) % 25) + 1, s"v$b-$i"))
+        .groupBy(_._1).map(_._2.last).toSeq.toDF("id", "name")
+      PartitionedMerge.appendInto(spark, path, df, Seq("id"),
+        numBuckets = 4, compactThreshold = 4)
+      val worst = parquetFiles(path)
+        .groupBy(_.getParent.getFileName.toString).values.map(_.size).max
+      assert(worst <= 4, s"bucket exceeded threshold after append $b: $worst")
+    }
+    // merge-on-read semantics unchanged: latest append wins per key
+    val mergeT = tmpDir("autocompact-ref") + "/t"
+    (1 to 30).foreach { b =>
+      val df = (1 to 20).map(i => (((b + i) % 25) + 1, s"v$b-$i"))
+        .groupBy(_._1).map(_._2.last).toSeq.toDF("id", "name")
+      PartitionedMerge.mergeInto(spark, mergeT, df, Seq("id"), 4)
+    }
+    val got = PartitionedMerge.readResolved(spark, path, Seq("id"))
+      .orderBy("id").as[(Int, String)].collect().toSeq
+    val want = PartitionedMerge.read(spark, mergeT)
+      .orderBy("id").as[(Int, String)].collect().toSeq
+    assert(got === want)
+  }
+
+  test("bucket count is table metadata: persisted on create, reused on " +
+      "mismatched calls") {
+    val path = tmpDir("meta") + "/t"
+    val base = (1 to 40).map(i => (i, s"base$i")).toDF("id", "name")
+    PartitionedMerge.mergeInto(spark, path, base, Seq("id"), numBuckets = 4)
+    assert(PartitionedMerge.persistedBuckets(path) === Some(4))
+    def bucketDirs(): Set[String] = {
+      val s = Files.list(Paths.get(path))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("gbucket=")).toSet
+      finally s.close()
+    }
+    assert(bucketDirs().size <= 4)
+    // an append that LIES about the bucket count must still land keys in
+    // the persisted layout — the mismatch used to split a key across two
+    // bucket directories and break latest-wins after compaction
+    PartitionedMerge.appendInto(spark, path,
+      Seq((7, "delta7")).toDF("id", "name"), Seq("id"), numBuckets = 16)
+    PartitionedMerge.mergeInto(spark, path,
+      Seq((8, "merge8")).toDF("id", "name"), Seq("id"), numBuckets = 32)
+    assert(bucketDirs().size <= 4, "mismatched call created new bucket dirs")
+    PartitionedMerge.compact(spark, path, Seq("id"))
+    val got = PartitionedMerge.readResolved(spark, path, Seq("id"))
+      .filter($"id".isin(7, 8)).orderBy("id").as[(Int, String)].collect().toSeq
+    assert(got === Seq((7, "delta7"), (8, "merge8")))
+  }
+
+  test("seq allocation is marker-atomic, survives compaction, migrates " +
+      "the legacy counter") {
+    val path = tmpDir("seq") + "/t"
+    def seqs(): Seq[Long] =
+      spark.read.option("mergeSchema", "true").parquet(path)
+        .select("gseq").filter($"gseq".isNotNull).distinct()
+        .as[Long].collect().toSeq.sorted
+    PartitionedMerge.appendInto(spark, path,
+      Seq((1, "a")).toDF("id", "name"), Seq("id"), 4)
+    PartitionedMerge.appendInto(spark, path,
+      Seq((2, "b")).toDF("id", "name"), Seq("id"), 4)
+    assert(seqs() === Seq(1L, 2L))
+    // a concurrent appender already claimed marker 3 → this writer must
+    // skip to 4, never reusing a claimed version
+    Files.createFile(Paths.get(path, "_seq", "3"))
+    PartitionedMerge.appendInto(spark, path,
+      Seq((3, "c")).toDF("id", "name"), Seq("id"), 4)
+    assert(seqs() === Seq(1L, 2L, 4L))
+    // compaction prunes spent markers but keeps the max: allocation stays
+    // monotone afterwards
+    PartitionedMerge.compact(spark, path, Seq("id"))
+    PartitionedMerge.appendInto(spark, path,
+      Seq((1, "a2")).toDF("id", "name"), Seq("id"), 4)
+    assert(seqs().max === 5L)
+    val resolved = PartitionedMerge.readResolved(spark, path, Seq("id"))
+      .orderBy("id").as[(Int, String)].collect().toSeq
+    assert(resolved === Seq((1, "a2"), (2, "b"), (3, "c")))
+    // legacy table: a pre-r4 _delta_seq counter floors the new allocator
+    val legacy = tmpDir("seq-legacy") + "/t"
+    PartitionedMerge.appendInto(spark, legacy,
+      Seq((1, "x")).toDF("id", "name"), Seq("id"), 4)
+    graft.util.Fs.deleteRec(Paths.get(legacy, "_seq"))
+    Files.write(Paths.get(legacy, "_delta_seq"), "9".getBytes("UTF-8"))
+    PartitionedMerge.appendInto(spark, legacy,
+      Seq((1, "y")).toDF("id", "name"), Seq("id"), 4)
+    val lg = spark.read.parquet(legacy).select("gseq").distinct()
+      .as[Long].collect().toSeq.sorted
+    assert(lg === Seq(1L, 10L))
+  }
+
   test("append composes with a mergeInto-created base") {
     val path = tmpDir("compact2") + "/t"
     val base = (1 to 50).map(i => (i, s"base$i")).toDF("id", "name")
