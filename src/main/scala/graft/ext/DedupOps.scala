@@ -340,6 +340,68 @@ object DedupOps {
                        AND x.doc_id < y.doc_id)"""
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — O(log n) fixed-point rounds on ANY graph, vs the
+    * O(diameter) rounds of min-label propagation (the r3 implementation,
+    * which a 64-hop duplicate chain forces through 64 passes). Each round
+    * is two grouped min-aggregates + equi-joins — fully distributed, no
+    * driver data.
+    *
+    *  - large-star: every neighbor v > u re-attaches to m = min(Γ(u)∪{u});
+    *    output edges are (big, small) oriented.
+    *  - small-star: on oriented edges, all of u's smaller neighbors (and u)
+    *    re-attach to u's minimum neighbor — halving star depth.
+    *
+    * Fixed point ⇔ the edge set is stable; detected by the
+    * (count, sum(xxhash64)) pair — two scalar aggregates, no set compare.
+    * Returns (labels: doc → component-min, rounds). Input pairs must be
+    * distinct with a != b; orientation is irrelevant (round 1 symmetrizes).
+    */
+  def connectedComponentsStar(pairs: DataFrame,
+                              maxRounds: Int = 40): (DataFrame, Int) = {
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(sum(xxhash64(col("u"), col("v"))),
+        lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    var e = pairs.select(col("a").as("u"), col("b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var prev = sig(e)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      // large-star over the symmetrized edges
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val large = sym.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      // small-star over the (big, small)-oriented output
+      val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val reattached = large.join(smins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val next = reattached
+        .unionByName(smins.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint()
+      val cur = sig(next)
+      converged = cur == prev
+      prev = cur
+      e = next
+    }
+    if (!converged)
+      sys.error(s"connectedComponentsStar: no fixed point in $maxRounds rounds")
+    // final stars: u → root; roots appear only on the small side
+    val labels = e.select(col("u").as("doc"), col("v").as("lbl"))
+      .unionByName(e.select(col("v").as("doc"), col("v").as("lbl")))
+      .distinct()
+    (labels, rounds)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "x_dedup_pipeline" -> ((s, d) => {
@@ -417,13 +479,13 @@ object DedupOps {
 
     "x_dedup_clusters" -> ((s, d) => {
       // dedup cluster formation: connected components over the VERIFIED
-      // near-dup pairs (candidates → Jaccard ≥ 0.6), by min-label
-      // propagation to a fixed point — the same bounded iterative
-      // self-join + localCheckpoint pattern as the category-tree closure
-      // (SURVEY §7.4). Components here are near-dup groups with tiny
-      // diameter; the seeded init below absorbs the first pass, so the
-      // loop typically runs one confirming iteration — each pass is one
-      // equi-join + min-aggregate, fully distributed.
+      // near-dup pairs (candidates → Jaccard ≥ 0.6). r4: large-star /
+      // small-star contraction (connectedComponentsStar) replaces min-label
+      // propagation — O(log n) rounds instead of O(diameter), so an
+      // adversarial duplicate CHAIN (A≈B≈C≈…, transitively linked shards
+      // of one document) converges in a handful of passes where
+      // propagation needed one pass per hop (StarClusterSpec measures
+      // both on a 100-hop chain).
       val sets = shingleSets(s, d).localCheckpoint()
       val pairs = minhashPairsFrom(sets)
       val conf = pairs
@@ -435,35 +497,7 @@ object DedupOps {
           - col("inter")) >= 0.6)
         .select(col("a"), col("b"))
         .localCheckpoint()
-      val sym = conf.unionByName(
-        conf.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
-      // seeded init: every node appears as `a` in sym, so one groupBy
-      // yields lbl = least(doc, min neighbor) — iteration 1 fused into
-      // initialization. Near-dup components have diameter ≈ 1, so the
-      // seed IS the fixed point for most clusters and the loop usually
-      // runs exactly one confirming pass.
-      var labels = sym.groupBy(col("a"))
-        .agg(min(col("b")).as("mb"))
-        .select(col("a").as("doc"), least(col("a"), col("mb")).as("lbl"))
-        .localCheckpoint()
-      // labels only ever DECREASE, so the label sum is strictly monotone:
-      // an unchanged sum ⇔ a fixed point — one aggregate per iteration
-      // instead of a join + count
-      var prevSum = labels.agg(sum(col("lbl"))).first().getLong(0)
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) {
-        iter += 1
-        val prop = sym.join(labels, sym("a") === labels("doc"))
-          .select(col("b").as("doc"), col("lbl"))
-          .unionByName(labels)
-          .groupBy("doc").agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint()
-        val s = prop.agg(sum(col("lbl"))).first().getLong(0)
-        converged = s == prevSum
-        prevSum = s
-        labels = prop
-      }
+      val (labels, _) = connectedComponentsStar(conf)
       labels.groupBy(col("lbl").as("cluster"))
         .agg(count(lit(1)).as("n_members"), max(col("doc")).as("max_doc"))
         .orderBy("cluster")
