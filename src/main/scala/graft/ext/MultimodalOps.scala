@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.util.Tables.t
@@ -9,48 +9,48 @@ import graft.util.Tables.t
   *
   * Media payloads ride through the engine as opaque `binary` columns with a
   * typed metadata struct beside them — the pattern a 100 TB training-data
-  * pipeline uses for image/audio/video. The decode step is STUBBED (this
-  * container has no media codecs — deterministic fake dimensions derived
-  * from the bytes); everything Spark-side is real: schema, batch shape,
-  * partition-parallel extraction, metadata pushdown-friendly layout.
+  * pipeline uses for image/audio/video. Round 4 retires the decode STUB:
+  * payloads are wrapped in real public container formats (PNG / GIF89a /
+  * BMP — ImageHeaders) and the decode step genuinely parses the header
+  * bytes for dimensions, in two equivalent implementations:
   *
-  * Two implementations:
-  *  - `metaColumns`: pure-Column (codegen) version used by the oracle query;
-  *  - `extractMetaPartitions`: `mapPartitions` over a typed Dataset — the
-  *    seam where a real decoder (JNI/codec lib) would batch-process payloads
-  *    per partition, mirrored after Python's `mapInPandas` batch UDF shape.
+  *  - pure-Column (codegen): magic dispatch via `hex(substring(...))`,
+  *    big/little-endian dimension reads via `conv(hex(...), 16, 10)` —
+  *    used by the oracle queries, stays inside WholeStageCodegen;
+  *  - `extractMetaPartitions`: `mapPartitions` over a typed Dataset with
+  *    the byte-level `ImageHeaders.parse` — the seam where a full pixel
+  *    decoder (JNI/codec lib) would batch-process payloads per partition,
+  *    mirrored after Python's `mapInPandas` batch UDF shape. Oracle-checked
+  *    end-to-end by `x_image_header_decode`.
   */
 object MultimodalOps {
 
   /** Typed row for the mapPartitions decode seam. */
   case class MediaRow(doc_id: Long, payload: Array[Byte])
 
-  /** Typed decode result — dims are a DETERMINISTIC FAKE of a real decode. */
-  case class MediaMeta(doc_id: Long, n_bytes: Int, fake_width: Int, fake_height: Int)
+  /** Typed decode result: real header-parsed format and dimensions. */
+  case class MediaMeta(doc_id: Long, format: String,
+                       width: Long, height: Long, n_bytes: Long)
 
-  /** STUB decoder: a real implementation would parse the container header
-    * (PNG/JPEG/WAV...). Deterministic fake so tests are stable. */
-  private def decodeStub(payload: Array[Byte]): (Int, Int) = {
-    val n = payload.length
-    val first = if (n > 0) payload(0) & 0xff else 0
-    (n % 640, (first * 7) % 480)
-  }
-
-  /** The batch-decode seam: partition-parallel, zero driver involvement. */
+  /** The batch-decode seam: partition-parallel, zero driver involvement.
+    * Unrecognized payloads degrade to ("unknown", 0, 0) instead of
+    * failing the batch — at corpus scale a corrupt payload is data, not
+    * an exception. */
   def extractMetaPartitions(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h) = decodeStub(r.payload)
-        MediaMeta(r.doc_id, r.payload.length, w, h)
+        val (fmt, w, h) =
+          ImageHeaders.parse(r.payload).getOrElse(("unknown", 0, 0))
+        MediaMeta(r.doc_id, fmt, w.toLong, h.toLong, r.payload.length.toLong)
       }
     }
   }
 
   /** Typed row for the feature-extract seam: a 16-bin byte-value histogram
     * per payload — the feature vector a real pipeline would hand to an
-    * embedding model. Unlike the decode stub this is REAL computation over
-    * the bytes, exercising the exact batch shape a codec would use. */
+    * embedding model. Real computation over the bytes, exercising the
+    * exact batch shape a codec would use. */
   case class MediaFeatures(doc_id: Long, histogram: Array[Long])
 
   /** Feature extraction over payload bytes, one pass per partition. */
@@ -69,29 +69,118 @@ object MultimodalOps {
     }
   }
 
-  /** Frame sampling over an opaque payload: K fixed-width slices at evenly
-    * spaced offsets — the video-frame-sample plumbing with a byte window
-    * standing in for a decoded frame. Offset arithmetic is identical in
-    * both engines (double floor, then int). */
-  private val FrameLen = 8
-  private val NFrames = 4
+  // ---- pure-Column container synthesis + header decode -----------------
+
+  /** Big-endian n-byte binary of an int column. */
+  private def be(n: Column, bytes: Int): Column =
+    unhex(lpad(hex(n), bytes * 2, "0"))
+
+  /** Little-endian n-byte binary of an int column (byte-reversed hex). */
+  private def le(n: Column, bytes: Int): Column = {
+    val hx = lpad(hex(n), bytes * 2, "0")
+    unhex(concat((bytes to 1 by -1).map(i => substring(hx, i * 2 - 1, 2)): _*))
+  }
+
+  /** Deterministic per-doc dimensions — the "stored meta" the oracle
+    * recomputes: width 1..640 from the payload length, height 1..480 from
+    * the first byte. */
+  private def dimW(payload: Column): Column =
+    pmod(length(payload), lit(640)) + lit(1)
+  private def dimH(payload: Column): Column =
+    pmod(ascii(payload.cast("string")) * lit(7), lit(480)) + lit(1)
+
+  /** Wrap a payload in a REAL container header (format by doc_id % 3:
+    * png / gif / bmp), dimensions from the deterministic derivation
+    * above. Byte-identical to ImageHeaders.{png,gif,bmp} except the PNG
+    * CRC (zeros here — not computable in Column space; the parse is a
+    * dimension probe and ignores it). */
+  def wrapImage(docId: Column, payload: Column): Column = {
+    val w = dimW(payload)
+    val h = dimH(payload)
+    val png = concat(
+      lit(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)),
+      be(lit(13), 4), lit("IHDR".getBytes("US-ASCII")),
+      be(w, 4), be(h, 4),
+      lit(Array[Byte](8, 2, 0, 0, 0)), // depth, RGB, deflate, std, none
+      lit(Array.fill[Byte](4)(0)),     // CRC (see Scaladoc)
+      payload)
+    val gif = concat(
+      lit("GIF89a".getBytes("US-ASCII")), le(w, 2), le(h, 2),
+      lit(Array[Byte](0, 0, 0)),       // GCT flags, background, aspect
+      payload)
+    val bmp = concat(
+      lit("BM".getBytes("US-ASCII")),
+      le(length(payload) + lit(ImageHeaders.BmpHeaderLen), 4), // file size
+      le(lit(0), 4),                   // reserved
+      le(lit(ImageHeaders.BmpHeaderLen), 4), // pixel data offset
+      le(lit(40), 4),                  // BITMAPINFOHEADER size
+      le(w, 4), le(h, 4), le(lit(1), 2), le(lit(24), 2),
+      lit(Array.fill[Byte](24)(0)),    // compression..importantColors
+      payload)
+    when(pmod(docId, lit(3)) === 0, png)
+      .when(pmod(docId, lit(3)) === 1, gif)
+      .otherwise(bmp)
+  }
+
+  /** Header decode in pure Columns: (format, width, height) parsed from
+    * the actual container bytes — the codegen twin of ImageHeaders.parse. */
+  def decodeHeader(img: Column): (Column, Column, Column) = {
+    def beInt(pos: Int, n: Int): Column =
+      conv(hex(substring(img, pos, n)), 16, 10).cast("long")
+    def leInt(pos: Int, n: Int): Column =
+      conv(concat((n to 1 by -1).map(i =>
+        hex(substring(img, pos + i - 1, 1))): _*), 16, 10).cast("long")
+    val isPng = hex(substring(img, 1, 8)) === lit("89504E470D0A1A0A") &&
+      hex(substring(img, 13, 4)) === lit("49484452") // "IHDR"
+    val isGif = hex(substring(img, 1, 6)) === lit("474946383961")
+    val isBmp = hex(substring(img, 1, 2)) === lit("424D")
+    val format = when(isPng, lit("png")).when(isGif, lit("gif"))
+      .when(isBmp, lit("bmp")).otherwise(lit("unknown"))
+    val width = when(isPng, beInt(17, 4)).when(isGif, leInt(7, 2))
+      .when(isBmp, leInt(19, 4)).otherwise(lit(0L))
+    val height = when(isPng, beInt(21, 4)).when(isGif, leInt(9, 2))
+      .when(isBmp, leInt(23, 4)).otherwise(lit(0L))
+    (format, width, height)
+  }
 
   /** documents.text cast to binary plays the opaque media payload. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
 
+  /** Media table wrapped in real container headers. */
+  def wrappedTable(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("doc_id"), wrapImage(col("doc_id"), col("payload"))
+        .as("payload"))
+
+  /** The oracle's view of the stored meta: per-format header size added
+    * to the body length. */
+  private val oracleHeaderLenSql =
+    s"""CASE doc_id % 3 WHEN 0 THEN ${ImageHeaders.PngHeaderLen}
+        WHEN 1 THEN ${ImageHeaders.GifHeaderLen}
+        ELSE ${ImageHeaders.BmpHeaderLen} END"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_multimodal_meta" -> ((s, d) => {
-      // pure-Column twin of extractMetaPartitions (oracle-comparable):
-      // byte length, first-4-bytes hex magic, stub-decoded dimensions
-      mediaTable(s, d)
-        .select(col("doc_id"),
-          length(col("payload")).cast("long").as("n_bytes"), // duck BIGINT
-          upper(substring(hex(col("payload")), 1, 8)).as("magic"),
-          (length(col("payload")) % 640).cast("long").as("fake_width"),
-          ((ascii(col("payload").cast("string")) * 7) % 480).as("fake_height"))
+      // wrap in a real container, then parse the header back out of the
+      // BYTES (not the stored derivation) — pure-Column codegen path
+      val img = wrappedTable(s, d)
+      val (format, width, height) = decodeHeader(col("payload"))
+      img.select(col("doc_id"), format.as("format"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          width.as("width"), height.as("height"))
         .orderBy("doc_id")
+    }),
+
+    "x_image_header_decode" -> ((s, d) => {
+      // the mapPartitions decode seam end-to-end under oracle: typed
+      // Dataset → per-partition ImageHeaders.parse → typed meta. Proves
+      // the JVM byte parser agrees with the stored-meta derivation on
+      // every row and every format.
+      import s.implicits._
+      extractMetaPartitions(wrappedTable(s, d).as[MediaRow])
+        .toDF().orderBy("doc_id")
     }),
 
     "x_frame_sample" -> ((s, d) => {
@@ -113,29 +202,43 @@ object MultimodalOps {
     }),
 
     "x_resize_meta" -> ((s, d) => {
-      // resize stub: scale the stub-decoded dimensions to fit a 256-px
-      // box preserving aspect ratio — pure column arithmetic, the shape a
-      // real resize UDF's metadata output would take
-      val w = greatest((length(col("payload")) % 640).cast("double"), lit(1.0))
-      val h = greatest(((ascii(col("payload").cast("string")) * 7) % 480)
-        .cast("double"), lit(1.0))
+      // aspect-preserving resize planning over REAL decoded dimensions:
+      // parse the container header, fit into a 256-px box
+      val img = wrappedTable(s, d)
+      val (_, width, height) = decodeHeader(col("payload"))
+      val w = width.cast("double")
+      val h = height.cast("double")
       val scale = least(lit(256.0) / w, lit(256.0) / h, lit(1.0))
-      mediaTable(s, d)
-        .select(col("doc_id"),
-          w.cast("long").as("src_w"), h.cast("long").as("src_h"),
+      img.select(col("doc_id"),
+          width.as("src_w"), height.as("src_h"),
           floor(w * scale).cast("long").as("dst_w"),
           floor(h * scale).cast("long").as("dst_h"))
         .orderBy("doc_id")
     })
   )
 
+  private val FrameLen = 8
+  private val NFrames = 4
+
   def oracleSql: Map[String, String] = Map(
     "x_multimodal_meta" ->
-      """SELECT doc_id,
-         octet_length(CAST(text AS BLOB)) AS n_bytes,
-         upper(substr(hex(CAST(text AS BLOB)), 1, 8)) AS magic,
-         octet_length(CAST(text AS BLOB)) % 640 AS fake_width,
-         (ascii(text) * 7) % 480 AS fake_height
+      s"""SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+           ELSE 'bmp' END AS format,
+         CAST(octet_length(CAST(text AS BLOB)) + $oracleHeaderLenSql
+           AS BIGINT) AS n_bytes,
+         CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS BIGINT) AS width,
+         CAST((ascii(text) * 7) % 480 + 1 AS BIGINT) AS height
+         FROM documents ORDER BY doc_id""",
+
+    "x_image_header_decode" ->
+      s"""SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+           ELSE 'bmp' END AS format,
+         CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS BIGINT) AS width,
+         CAST((ascii(text) * 7) % 480 + 1 AS BIGINT) AS height,
+         CAST(octet_length(CAST(text AS BLOB)) + $oracleHeaderLenSql
+           AS BIGINT) AS n_bytes
          FROM documents ORDER BY doc_id""",
 
     "x_frame_sample" ->
@@ -149,9 +252,8 @@ object MultimodalOps {
     "x_resize_meta" ->
       """WITH dims AS (
            SELECT doc_id,
-             greatest(CAST(octet_length(CAST(text AS BLOB)) % 640 AS DOUBLE),
-               1.0) AS w,
-             greatest(CAST((ascii(text) * 7) % 480 AS DOUBLE), 1.0) AS h
+             CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS DOUBLE) AS w,
+             CAST((ascii(text) * 7) % 480 + 1 AS DOUBLE) AS h
            FROM documents)
          SELECT doc_id,
            CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,

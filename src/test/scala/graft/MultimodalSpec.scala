@@ -2,27 +2,71 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.MultimodalOps
+import graft.ext.{ImageHeaders, MultimodalOps}
 import graft.ext.MultimodalOps.{MediaFeatures, MediaRow}
 
-/** Multimodal plumbing: the typed mapPartitions seams (decode stub,
-  * feature extract) and the frame-sample fan-out. Column-twin value
-  * equivalence runs through Verify + the DuckDB oracle. */
+/** Multimodal plumbing: real container-header synthesis + parsing
+  * (round 4 — ImageHeaders), the typed mapPartitions seams, and the
+  * frame-sample fan-out. Column-twin value equivalence runs through
+  * Verify + the DuckDB oracle (x_multimodal_meta, x_image_header_decode). */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
   private val sf = "/root/testdata/sf0.001"
 
-  private def media = MultimodalOps.mediaTable(spark, sf)
-    .as[MediaRow]
+  private def media = MultimodalOps.mediaTable(spark, sf).as[MediaRow]
 
-  test("extractMetaPartitions matches the pure-column twin") {
-    val typed = MultimodalOps.extractMetaPartitions(media)
-      .collect().map(m => m.doc_id -> (m.n_bytes, m.fake_width, m.fake_height))
+  test("ImageHeaders round-trips dimensions through all three formats") {
+    val body = "not really pixels".getBytes("UTF-8")
+    val dims = Seq((1, 1), (640, 480), (65535, 1), (1, 65535), (123, 457))
+    dims.foreach { case (w, h) =>
+      assert(ImageHeaders.parse(ImageHeaders.png(w, h, body))
+        === Some(("png", w, h)))
+      assert(ImageHeaders.parse(ImageHeaders.gif(w, h, body))
+        === Some(("gif", w, h)))
+      assert(ImageHeaders.parse(ImageHeaders.bmp(w, h, body))
+        === Some(("bmp", w, h)))
+    }
+    // beyond GIF's 16-bit screen: PNG/BMP carry 32-bit dimensions
+    assert(ImageHeaders.parse(ImageHeaders.png(100000, 3, body))
+      === Some(("png", 100000, 3)))
+    assert(ImageHeaders.parse(ImageHeaders.bmp(100000, 3, body))
+      === Some(("bmp", 100000, 3)))
+    // non-image bytes are rejected, not misparsed
+    assert(ImageHeaders.parse("plain text document".getBytes) === None)
+    assert(ImageHeaders.parse(Array.emptyByteArray) === None)
+    // a PNG signature with a torn header is rejected (length guard)
+    assert(ImageHeaders.parse(
+      ImageHeaders.png(9, 9, body).take(20)) === None)
+  }
+
+  test("mapPartitions decode agrees with the pure-Column header parse") {
+    val wrapped = MultimodalOps.wrappedTable(spark, sf).as[MediaRow]
+    val typed = MultimodalOps.extractMetaPartitions(wrapped)
+      .collect().map(m => m.doc_id -> (m.format, m.width, m.height, m.n_bytes))
       .toMap
     val twin = MultimodalOps.queries("x_multimodal_meta")(spark, sf)
       .collect().map(r => r.getLong(0) ->
-        (r.getLong(1).toInt, r.getLong(3).toInt, r.getInt(4))).toMap
+        (r.getString(1), r.getLong(3), r.getLong(4), r.getLong(2))).toMap
     assert(typed === twin)
+    // every format appears and every payload parsed (no "unknown")
+    val formats = typed.values.map(_._1).toSet
+    assert(formats === Set("png", "gif", "bmp"))
+  }
+
+  test("Column-synthesized containers parse under the byte-level JVM " +
+      "parser, matching the JVM synthesis except the PNG CRC") {
+    val row = MultimodalOps.wrappedTable(spark, sf)
+      .filter($"doc_id" % 3 === 0).limit(1).as[MediaRow].head()
+    val parsed = ImageHeaders.parse(row.payload)
+    assert(parsed.isDefined && parsed.get._1 === "png")
+    val (_, w, h) = parsed.get
+    val body = row.payload.drop(ImageHeaders.PngHeaderLen)
+    val jvm = ImageHeaders.png(w, h, body)
+    // identical bytes everywhere but the 4 CRC bytes (29..32)
+    assert(jvm.length === row.payload.length)
+    jvm.indices.filterNot(i => i >= 29 && i < 33).foreach { i =>
+      assert(jvm(i) === row.payload(i), s"byte $i differs")
+    }
   }
 
   test("byte histogram: 16 bins, bins sum to payload length, ASCII text " +
