@@ -503,6 +503,24 @@ object DedupOps {
         .orderBy("cluster")
     }),
 
+    "x_dedup_chain_clusters" -> ((s, d) => {
+      // adversarial transitive-duplicate CHAINS under oracle: shards of
+      // a document that link only consecutively (A≈B, B≈C, … — never
+      // A≈C) give components of MAXIMAL diameter, the exact shape the
+      // old min-label propagation could not converge on within its pass
+      // cap (one pass per hop). 7 chains of 64 docs each; DuckDB walks
+      // them with WITH RECURSIVE, the engine contracts them in O(log n)
+      // large-star/small-star rounds.
+      val edges = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 448 && pmod(col("doc_id"), lit(64)) =!= 63)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      val (labels, _) = connectedComponentsStar(edges)
+      labels.groupBy(col("lbl").as("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          max(col("doc")).as("max_doc"))
+        .orderBy("cluster")
+    }),
+
     "x_dedup_exact" -> ((s, d) => {
       dupCorpus(t(s, d, "documents"))
         .groupBy(sha2(col("text"), 256).as("content_hash"))
@@ -731,6 +749,20 @@ object DedupOps {
           labeled AS (SELECT doc, MIN(lbl) AS lbl FROM reach GROUP BY 1)
           SELECT lbl AS cluster, COUNT(*) AS n_members, MAX(doc) AS max_doc
           FROM labeled GROUP BY 1 ORDER BY cluster""",
+
+    "x_dedup_chain_clusters" ->
+      """WITH RECURSIVE base AS (
+           SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+           WHERE doc_id < 448 AND doc_id % 64 != 63),
+         edges AS (SELECT a, b FROM base UNION SELECT b, a FROM base),
+         nodes AS (SELECT DISTINCT a AS doc FROM edges),
+         reach AS (
+           SELECT doc, doc AS lbl FROM nodes
+           UNION
+           SELECT e.b AS doc, r.lbl FROM reach r JOIN edges e ON e.a = r.doc),
+         labeled AS (SELECT doc, MIN(lbl) AS lbl FROM reach GROUP BY 1)
+         SELECT lbl AS cluster, COUNT(*) AS n_members, MAX(doc) AS max_doc
+         FROM labeled GROUP BY 1 ORDER BY cluster""",
 
     "x_dedup_exact" ->
       s"""WITH $dupCorpusSql
