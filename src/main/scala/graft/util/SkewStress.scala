@@ -39,11 +39,14 @@ object SkewStress {
     import spark.implicits._
 
     // pad adds realistic row weight so AQE's byte-based detector has
-    // something to see at the tuned thresholds
+    // something to see at the tuned thresholds — INCOMPRESSIBLE bytes
+    // (repeated md5), because shuffle blocks are compressed and AQE
+    // reads the compressed sizes: a run of 'x's vanishes under lz4 and
+    // hides the skew from the detector entirely
     val df = ((1 to hot).map(i => ("HOT", i.toLong)) ++
         (1 to cold).map(i => (s"band-${i % 997}", (hot + i).toLong)))
       .toDF("band", "id")
-      .withColumn("pad", lpad(col("id").cast("string"), 64, "x"))
+      .withColumn("pad", repeat(md5(col("id").cast("string")), 4))
       .repartition(8).cache()
     df.count()
 
@@ -53,13 +56,18 @@ object SkewStress {
 
     def measure(label: String,
                 pairs: org.apache.spark.sql.DataFrame): Unit = {
+      // count pairs per OUTPUT partition via a partial agg on
+      // spark_partition_id — .rdd would drive the separate
+      // rddQueryExecution and leave the adaptive plan (and the skew
+      // marker below) unfinalized
+      val agg = pairs.groupBy(spark_partition_id().as("pid"))
+        .agg(count(lit(1)).as("n"))
       val t0 = System.nanoTime()
-      val counts = pairs.rdd
-        .mapPartitions(it => Iterator(it.size.toLong)).collect()
+      val counts = agg.collect().map(_.getLong(1))
       val sec = (System.nanoTime() - t0) / 1e9
       val total = counts.sum
       val skewSplit =
-        pairs.queryExecution.executedPlan.toString.contains("skew=true")
+        agg.queryExecution.executedPlan.toString.contains("skew=true")
       println(f"[skew] $label%-12s pairs=$total tasks=${counts.length} " +
         f"maxTaskShare=${counts.max.toDouble / math.max(total, 1)}%.3f " +
         f"time=${sec}%.1fs aqeSkewSplit=$skewSplit")
@@ -91,8 +99,8 @@ object SkewStress {
     withConf("spark.sql.adaptive.enabled" -> "true",
         "spark.sql.adaptive.skewJoin.enabled" -> "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768") {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32768",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384") {
       measure("aqe-tuned", naivePairs)
     }
 
