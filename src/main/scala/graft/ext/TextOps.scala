@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.types.Coercions.detRound
@@ -284,6 +284,94 @@ object TextOps {
         .orderBy("a", "b")
     }),
 
+    "x_fuzzy_passjoin" -> ((s, d) => {
+      // FULL d ≤ 2 fuzzy matching incl. INDELS (r4): PassJoin-style
+      // shifted-substring blocking (Li et al., "PassJoin: A
+      // Partition-based Method for Similarity Joins"). Each indexed name
+      // of length L splits into 3 segments (thirds); if ed(s,t) ≤ 2, at
+      // least one segment is untouched by any edit and appears in t
+      // EXACTLY, shifted by at most ±2 (the net indels before it). The
+      // probe side therefore emits, for each candidate index length
+      // L ∈ [M−2, M+2] and segment i, every substring of t at the
+      // segment's length within the ±2 position window — ≤ 75 bounded
+      // keys/row, never all-pairs — and the equi-join on
+      // (segment, L, content) is GUARANTEED to contain every pair at
+      // edit distance ≤ 2 with both names ≥ 3 chars, substitutions AND
+      // indels alike. This closes the piece blocks' documented gap
+      // (equal-length-only guarantee). The oracle is GROUND TRUTH
+      // (all-pairs levenshtein), so a recall miss hash-mismatches.
+      // Fixture: part names plus four mutation families — a deletion,
+      // an insert+delete at OPPOSITE ends preserving length (the case
+      // piece blocks structurally cannot find: positions shift), a
+      // substitute+insert mix, and 7-char truncations with front-insert
+      // + tail-delete (window clipping at short lengths).
+      val base = t(s, d, "part").filter(col("p_partkey") < 600)
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      def guarded(c: Column): Column =
+        when(length(col("name")) >= 7, c).otherwise(col("name"))
+      val delOne = base.select((col("id") + 100000).as("id"),
+        guarded(expr("concat(substring(name, 1, 1), substring(name, 3))"))
+          .as("name"))
+      val insDel = base.select((col("id") + 300000).as("id"),
+        guarded(expr("concat('x', substring(name, 1, length(name) - 1))"))
+          .as("name"))
+      val subIns = base.select((col("id") + 400000).as("id"),
+        guarded(expr("""concat('z', substring(name, 2, 3), 'q',
+            substring(name, 5))""")).as("name"))
+      val shortb = base.select((col("id") + 200000).as("id"),
+        expr("substring(name, 1, 7)").as("name"))
+      val shortMut = shortb.select((col("id") + 300000).as("id"),
+        expr("concat('x', substring(name, 1, 6))").as("name"))
+      val corpus = base.unionByName(delOne).unionByName(insDel)
+        .unionByName(subIns).unionByName(shortb).unionByName(shortMut)
+        .filter(length(col("name")) >= 3).localCheckpoint()
+      // index side: the 3 canonical segments of each name
+      val idx = corpus
+        .withColumn("t1", expr("cast(floor(length(name)/3) as int)"))
+        .withColumn("t2", expr("cast(floor(2*length(name)/3) as int)"))
+        .select(col("id"), col("name"), explode(array(
+          concat_ws("|", lit(1), length(col("name")),
+            expr("substring(name, 1, t1)")),
+          concat_ws("|", lit(2), length(col("name")),
+            expr("substring(name, t1 + 1, t2 - t1)")),
+          concat_ws("|", lit(3), length(col("name")),
+            expr("substring(name, t2 + 1, length(name) - t2)"))))
+          .as("blk"))
+      // probe side: substrings at each segment's length within the ±2
+      // shift window, for every candidate index length
+      val probe = corpus
+        .withColumn("Lc",
+          explode(expr("sequence(greatest(3, length(name) - 2), " +
+            "length(name) + 2)")))
+        .withColumn("i", explode(expr("array(1, 2, 3)")))
+        .withColumn("t1", expr("cast(floor(Lc/3) as int)"))
+        .withColumn("t2", expr("cast(floor(2*Lc/3) as int)"))
+        .withColumn("st",
+          expr("CASE i WHEN 1 THEN 1 WHEN 2 THEN t1 + 1 ELSE t2 + 1 END"))
+        .withColumn("ln",
+          expr("CASE i WHEN 1 THEN t1 WHEN 2 THEN t2 - t1 ELSE Lc - t2 END"))
+        .withColumn("lo", expr("greatest(1, st - 2)"))
+        .withColumn("hi", expr("least(length(name) - ln + 1, st + 2)"))
+        .filter(col("ln") >= 1 && col("lo") <= col("hi"))
+        .withColumn("p", explode(expr("sequence(lo, hi)")))
+        .select(col("id"), col("name"),
+          concat_ws("|", col("i"), col("Lc"),
+            expr("substring(name, p, ln)")).as("blk"))
+      idx.alias("x").join(probe.alias("y"),
+          col("x.blk") === col("y.blk") && col("x.id") =!= col("y.id"))
+        .select(least(col("x.id"), col("y.id")).as("a"),
+          greatest(col("x.id"), col("y.id")).as("b"),
+          when(col("x.id") < col("y.id"), col("x.name"))
+            .otherwise(col("y.name")).as("na"),
+          when(col("x.id") < col("y.id"), col("y.name"))
+            .otherwise(col("x.name")).as("nb"))
+        .distinct()
+        .withColumn("dist", levenshtein(col("na"), col("nb"), 2))
+        .filter(col("dist") >= 0)
+        .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
+        .orderBy("a", "b")
+    }),
+
     "x_bigrams" -> ((s, d) => {
       // top token bigrams per language (sequence-mining shape). The
       // bigram fan-out is a Generate in the scan stage; shuffle is
@@ -555,6 +643,51 @@ object TextOps {
                                 THEN 0 ELSE 1 END)) <= 2)
             OR (levenshtein(na, nb) <= 1
                 AND least(length(na), length(nb)) >= 6)
+         ORDER BY a, b""",
+
+    // GROUND TRUTH oracle (all-pairs levenshtein, no blocking): the
+    // PassJoin contract is FULL recall at ed <= 2 for names >= 3 chars,
+    // indels included — any blocking miss hash-mismatches here.
+    "x_fuzzy_passjoin" ->
+      """WITH base AS (
+           SELECT p_partkey AS id, p_name AS name FROM part
+           WHERE p_partkey < 600),
+         del1 AS (
+           SELECT id + 100000 AS id,
+                  CASE WHEN length(name) >= 7
+                       THEN substr(name, 1, 1) || substr(name, 3)
+                       ELSE name END AS name FROM base),
+         insdel AS (
+           SELECT id + 300000 AS id,
+                  CASE WHEN length(name) >= 7
+                       THEN 'x' || substr(name, 1, length(name) - 1)
+                       ELSE name END AS name FROM base),
+         subins AS (
+           SELECT id + 400000 AS id,
+                  CASE WHEN length(name) >= 7
+                       THEN 'z' || substr(name, 2, 3) || 'q' || substr(name, 5)
+                       ELSE name END AS name FROM base),
+         shortb AS (
+           SELECT id + 200000 AS id, substr(name, 1, 7) AS name FROM base),
+         shortmut AS (
+           SELECT id + 300000 AS id, 'x' || substr(name, 1, 6) AS name
+           FROM shortb),
+         corpus AS (
+           SELECT id, name FROM base
+           UNION ALL SELECT id, name FROM del1
+           UNION ALL SELECT id, name FROM insdel
+           UNION ALL SELECT id, name FROM subins
+           UNION ALL SELECT id, name FROM shortb
+           UNION ALL SELECT id, name FROM shortmut),
+         corpus3 AS (SELECT id, name FROM corpus WHERE length(name) >= 3),
+         pairs AS (
+           SELECT x.id AS a, y.id AS b, x.name AS na, y.name AS nb
+           FROM corpus3 x JOIN corpus3 y
+             ON x.id < y.id
+                AND abs(length(x.name) - length(y.name)) <= 2)
+         SELECT a, b, CAST(levenshtein(na, nb) AS BIGINT) AS dist
+         FROM pairs
+         WHERE levenshtein(na, nb) <= 2
          ORDER BY a, b""",
 
     "x_bigrams" ->
