@@ -41,11 +41,27 @@ class GroupCommit(spark: org.apache.spark.sql.SparkSession,
   }
 
   /** Durable per-page commit; triggers a merge every K pages. Returns the
-    * page's row count (the step's progress accounting, ref :208). */
+    * page's row count (the step's progress accounting, ref :208).
+    *
+    * The page number is claimed by atomically creating its directory
+    * (`Files.createDirectory` fails if it exists) rather than
+    * read-max-plus-one alone — the same protocol as PartitionedMerge's
+    * `_seq` markers, so an accidentally overlapping stager skips to the
+    * next slot instead of colliding mid-write. */
   def stage(batch: DataFrame): Long = {
     val pages = stagedPages()
-    val next = if (pages.isEmpty) 1L else pages.max + 1L
-    batch.write.parquet(s"$stagingDir/p=$next")
+    var next = if (pages.isEmpty) 1L else pages.max + 1L
+    var claimed = false
+    while (!claimed) {
+      try {
+        Files.createDirectories(Paths.get(stagingDir))
+        Files.createDirectory(Paths.get(s"$stagingDir/p=$next"))
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => next += 1
+      }
+    }
+    batch.write.mode("overwrite").parquet(s"$stagingDir/p=$next")
     // count from the staged parquet footers — never re-runs decode lineage
     val n = spark.read.parquet(s"$stagingDir/p=$next").count()
     if (pages.size + 1 >= every) flush()
