@@ -84,6 +84,43 @@ object ImageHeaders {
     out.toByteArray
   }
 
+  // ---- audio: canonical 44-byte RIFF/WAVE PCM header -------------------
+
+  val WavHeaderLen = 44
+
+  /** (sampleRate, channels, bitsPerSample, dataLen) if the bytes open
+    * with a well-formed RIFF/WAVE fmt header; None otherwise. */
+  def parseWav(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (b.length >= WavHeaderLen &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
+        b(12) == 'f' && b(13) == 'm' && b(14) == 't' && b(15) == ' ')
+      Some((le32(24), le16(22), le16(34), le32(40)))
+    else None
+  }
+
+  def wav(sampleRate: Int, channels: Int, body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    le(out, 36 + body.length, 4)
+    out.write("WAVEfmt ".getBytes("US-ASCII"))
+    le(out, 16, 4)                         // fmt chunk size
+    le(out, 1, 2)                          // PCM
+    le(out, channels, 2)
+    le(out, sampleRate, 4)
+    le(out, sampleRate * channels * 2, 4)  // byte rate
+    le(out, channels * 2, 2)               // block align
+    le(out, 16, 2)                         // bits per sample
+    out.write("data".getBytes("US-ASCII"))
+    le(out, body.length, 4)
+    out.write(body)
+    out.toByteArray
+  }
+
   def bmp(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write("BM".getBytes("US-ASCII"))

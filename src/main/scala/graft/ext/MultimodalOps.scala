@@ -143,6 +143,36 @@ object MultimodalOps {
     (format, width, height)
   }
 
+  /** Wrap a payload in a real RIFF/WAVE PCM header (audio modality):
+    * sample rate and channel count derived deterministically from the
+    * doc; byte-identical to ImageHeaders.wav. */
+  def wrapWav(docId: Column, payload: Column): Column = {
+    val rate = element_at(
+      array(lit(8000), lit(16000), lit(22050), lit(44100)),
+      (pmod(docId, lit(4)) + 1).cast("int"))
+    val channels = pmod(docId, lit(2)).cast("int") + lit(1)
+    concat(
+      lit("RIFF".getBytes("US-ASCII")),
+      le(length(payload) + lit(36), 4),
+      lit("WAVEfmt ".getBytes("US-ASCII")),
+      le(lit(16), 4), le(lit(1), 2),
+      le(channels, 2), le(rate, 4),
+      le(rate * channels * lit(2), 4),
+      le(channels * lit(2), 2), le(lit(16), 2),
+      lit("data".getBytes("US-ASCII")),
+      le(length(payload), 4),
+      payload)
+  }
+
+  /** RIFF/WAVE header decode in pure Columns: (sample_rate, channels,
+    * bits, data_len) read from the actual bytes. */
+  def decodeWavHeader(img: Column): (Column, Column, Column, Column) = {
+    def leInt(pos: Int, n: Int): Column =
+      conv(concat((n to 1 by -1).map(i =>
+        hex(substring(img, pos + i - 1, 1))): _*), 16, 10).cast("long")
+    (leInt(25, 4), leInt(23, 2), leInt(35, 2), leInt(41, 4))
+  }
+
   /** documents.text cast to binary plays the opaque media payload. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -181,6 +211,23 @@ object MultimodalOps {
       import s.implicits._
       extractMetaPartitions(wrappedTable(s, d).as[MediaRow])
         .toDF().orderBy("doc_id")
+    }),
+
+    "x_audio_meta" -> ((s, d) => {
+      // audio modality: wrap in a real RIFF/WAVE PCM header, parse the
+      // header BYTES back (sample rate, channels, bits, data length),
+      // and derive frame count and duration — integer-exact arithmetic
+      // in both engines
+      val img = mediaTable(s, d)
+        .select(col("doc_id"),
+          wrapWav(col("doc_id"), col("payload")).as("payload"))
+      val (rate, channels, bits, dataLen) = decodeWavHeader(col("payload"))
+      img.select(col("doc_id"),
+          rate.as("sample_rate"), channels.as("channels"), bits.as("bits"),
+          floor(dataLen / (channels * lit(2))).cast("long").as("n_frames"),
+          floor(dataLen * lit(1000) / (rate * channels * lit(2)))
+            .cast("long").as("duration_ms"))
+        .orderBy("doc_id")
     }),
 
     "x_frame_sample" -> ((s, d) => {
@@ -240,6 +287,22 @@ object MultimodalOps {
          CAST(octet_length(CAST(text AS BLOB)) + $oracleHeaderLenSql
            AS BIGINT) AS n_bytes
          FROM documents ORDER BY doc_id""",
+
+    "x_audio_meta" ->
+      """WITH a AS (
+           SELECT doc_id,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS dl,
+             CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+             doc_id % 2 + 1 AS ch
+           FROM documents)
+         SELECT doc_id,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(ch AS BIGINT) AS channels,
+           CAST(16 AS BIGINT) AS bits,
+           CAST(floor(dl / (ch * 2)) AS BIGINT) AS n_frames,
+           CAST(floor(dl * 1000 / (rate * ch * 2)) AS BIGINT) AS duration_ms
+         FROM a ORDER BY doc_id""",
 
     "x_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,

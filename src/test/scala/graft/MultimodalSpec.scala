@@ -69,6 +69,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV header round-trips; Column synthesis is byte-identical to " +
+      "the JVM synthesis") {
+    val body = "not really pcm frames".getBytes("UTF-8")
+    assert(ImageHeaders.parseWav(ImageHeaders.wav(44100, 2, body))
+      === Some((44100, 2, 16, body.length)))
+    assert(ImageHeaders.parseWav(ImageHeaders.wav(8000, 1, body))
+      === Some((8000, 1, 16, body.length)))
+    assert(ImageHeaders.parseWav("RIFF but not wave data".getBytes) === None)
+    // Column-side wrap (doc_id=3 → 44100 Hz stereo) equals the JVM bytes
+    val row = MultimodalOps.mediaTable(spark, sf)
+      .filter($"doc_id" === 3)
+      .select($"doc_id", MultimodalOps.wrapWav($"doc_id", $"payload")
+        .as("payload")).as[MediaRow].head()
+    val payload = media.filter(_.doc_id == 3L).head().payload
+    assert(row.payload.toSeq ===
+      ImageHeaders.wav(44100, 2, payload).toSeq)
+  }
+
   test("byte histogram: 16 bins, bins sum to payload length, ASCII text " +
       "lands in the 0x20-0x7f bins") {
     val feats: Array[MediaFeatures] =
