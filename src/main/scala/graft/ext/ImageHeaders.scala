@@ -121,6 +121,80 @@ object ImageHeaders {
     out.toByteArray
   }
 
+  // ---- video: ISO BMFF (MP4) ftyp + moov/mvhd ---------------------------
+
+  /** ftyp(20) + moov(8) + mvhd(108) — the fixed prefix the Column twin
+    * synthesizes; mdat header adds 8 more before the payload. */
+  val Mp4HeaderLen = 20 + 8 + 108 + 8
+
+  /** (majorBrand, timescale, durationUnits) by genuinely WALKING the
+    * top-level box list to moov and moov's children to mvhd (v0 and v1
+    * layouts) — not fixed offsets, so inputs with extra leading boxes
+    * (free, skip) parse too. None if the box structure is malformed. */
+  def parseMp4(b: Array[Byte]): Option[(String, Long, Long)] = {
+    def u8(i: Int) = (b(i) & 0xff).toLong
+    def be32(i: Int) =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Int) = (be32(i) << 32) | be32(i + 4)
+    def typ(i: Int) = new String(b, i + 4, 4, "US-ASCII")
+    def boxes(from: Int, until: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] { // (type, payloadStart, payloadEnd)
+        private var at = from
+        def hasNext: Boolean = at + 8 <= until && be32(at) >= 8 &&
+          at + be32(at) <= until
+        def next(): (String, Int, Int) = {
+          val sz = be32(at).toInt
+          val r = (typ(at), at + 8, at + sz)
+          at += sz
+          r
+        }
+      }
+    if (b.length < 20) return None
+    for {
+      brand <- boxes(0, b.length).collectFirst {
+        case ("ftyp", s, e) if e - s >= 4 => new String(b, s, 4, "US-ASCII")
+      }
+      (ms, me) <- boxes(0, b.length).collectFirst {
+        case ("moov", s, e) => (s, e)
+      }
+      p <- boxes(ms, me).collectFirst { case ("mvhd", s, _) => s }
+      meta <- u8(p) match { // version byte
+        case 0 if p + 20 <= b.length =>
+          Some((brand, be32(p + 12), be32(p + 16)))
+        case 1 if p + 32 <= b.length =>
+          Some((brand, be32(p + 20), be64(p + 24)))
+        case _ => None
+      }
+    } yield meta
+  }
+
+  /** Minimal ISO BMFF synth: ftyp(isom) + moov[mvhd v0] + mdat[body].
+    * `leading` prepends extra boxes (e.g. a `free` box) so specs can
+    * prove the parser walks rather than assumes offsets. */
+  def mp4(timescale: Int, durationUnits: Int, body: Array[Byte],
+          leading: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(leading)
+    be(out, 20, 4); out.write("ftypisom".getBytes("US-ASCII"))
+    be(out, 0, 4); out.write("isom".getBytes("US-ASCII"))
+    be(out, 8 + 108, 4); out.write("moov".getBytes("US-ASCII"))
+    be(out, 108, 4); out.write("mvhd".getBytes("US-ASCII"))
+    be(out, 0, 4)                   // version 0 + flags
+    be(out, 0, 4); be(out, 0, 4)    // creation / modification time
+    be(out, timescale, 4)
+    be(out, durationUnits, 4)
+    be(out, 0x00010000, 4)          // rate 1.0
+    be(out, 0x0100, 2); be(out, 0, 2) // volume, reserved
+    (0 until 8).foreach(_ => out.write(0)) // reserved
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+      .foreach(v => be(out, v, 4))  // unity matrix
+    (0 until 24).foreach(_ => out.write(0)) // pre_defined
+    be(out, 1, 4)                   // next track id
+    be(out, 8 + body.length, 4); out.write("mdat".getBytes("US-ASCII"))
+    out.write(body)
+    out.toByteArray
+  }
+
   def bmp(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write("BM".getBytes("US-ASCII"))

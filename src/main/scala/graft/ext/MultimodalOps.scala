@@ -173,6 +173,44 @@ object MultimodalOps {
     (leInt(25, 4), leInt(23, 2), leInt(35, 2), leInt(41, 4))
   }
 
+  // constant byte runs of the fixed-layout MP4 synth, sliced from the
+  // JVM synthesis so the Column twin is byte-identical by construction:
+  // [0,48) = ftyp + moov hdr + mvhd hdr/version/times, then timescale(4)
+  // + duration(4), [56,136) = rate..next-track, then mdat hdr + payload
+  private val mp4Skeleton = ImageHeaders.mp4(0, 0, Array.emptyByteArray)
+  private val mp4Prefix = mp4Skeleton.slice(0, 48)
+  private val mp4MvhdTail = mp4Skeleton.slice(56, 136)
+
+  /** Wrap a payload in a real ISO BMFF (MP4) prefix — ftyp(isom) +
+    * moov[mvhd v0] + mdat — timescale derived per doc, duration units =
+    * payload bytes. */
+  def wrapMp4(docId: Column, payload: Column): Column = {
+    val ts = element_at(array(lit(600), lit(1000), lit(90000)),
+      (pmod(docId, lit(3)) + 1).cast("int"))
+    concat(
+      lit(mp4Prefix),
+      be(ts, 4), be(length(payload), 4),
+      lit(mp4MvhdTail),
+      be(length(payload) + lit(8), 4),
+      lit("mdat".getBytes("US-ASCII")),
+      payload)
+  }
+
+  /** MP4 header decode in pure Columns over the fixed synth layout,
+    * box types VALIDATED from the bytes: (brand, timescale,
+    * duration_units). The JVM twin (ImageHeaders.parseMp4) is the real
+    * box walker; x_video_meta pins both to the oracle. */
+  def decodeMp4Header(img: Column): (Column, Column, Column) = {
+    def beInt(pos: Int, n: Int): Column =
+      conv(hex(substring(img, pos, n)), 16, 10).cast("long")
+    val ok = hex(substring(img, 5, 4)) === lit("66747970") &&   // ftyp
+      hex(substring(img, 25, 4)) === lit("6D6F6F76") &&         // moov
+      hex(substring(img, 33, 4)) === lit("6D766864")            // mvhd
+    (when(ok, substring(img, 9, 4).cast("string")).otherwise(lit("unknown")),
+      when(ok, beInt(49, 4)).otherwise(lit(0L)),
+      when(ok, beInt(53, 4)).otherwise(lit(0L)))
+  }
+
   /** documents.text cast to binary plays the opaque media payload. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -227,6 +265,21 @@ object MultimodalOps {
           floor(dataLen / (channels * lit(2))).cast("long").as("n_frames"),
           floor(dataLen * lit(1000) / (rate * channels * lit(2)))
             .cast("long").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
+    "x_video_meta" -> ((s, d) => {
+      // video modality: wrap in a real ISO BMFF prefix, parse the box
+      // bytes back (brand, timescale, duration units) and derive wall
+      // duration — completing the image/audio/video triple
+      val img = mediaTable(s, d)
+        .select(col("doc_id"),
+          wrapMp4(col("doc_id"), col("payload")).as("payload"))
+      val (brand, ts, dur) = decodeMp4Header(col("payload"))
+      img.select(col("doc_id"), brand.as("brand"),
+          ts.as("timescale"), dur.as("duration_units"),
+          floor(dur * lit(1000) / ts).cast("long").as("duration_ms"),
+          length(col("payload")).cast("long").as("n_bytes"))
         .orderBy("doc_id")
     }),
 
@@ -303,6 +356,20 @@ object MultimodalOps {
            CAST(floor(dl / (ch * 2)) AS BIGINT) AS n_frames,
            CAST(floor(dl * 1000 / (rate * ch * 2)) AS BIGINT) AS duration_ms
          FROM a ORDER BY doc_id""",
+
+    "x_video_meta" ->
+      s"""WITH v AS (
+           SELECT doc_id,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS dl,
+             CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+               ELSE 90000 END AS ts
+           FROM documents)
+         SELECT doc_id, 'isom' AS brand,
+           CAST(ts AS BIGINT) AS timescale,
+           dl AS duration_units,
+           CAST(floor(dl * 1000 / ts) AS BIGINT) AS duration_ms,
+           dl + ${ImageHeaders.Mp4HeaderLen} AS n_bytes
+         FROM v ORDER BY doc_id""",
 
     "x_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,

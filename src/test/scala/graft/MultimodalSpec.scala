@@ -87,6 +87,44 @@ class MultimodalSpec extends SparkSpec {
       ImageHeaders.wav(44100, 2, payload).toSeq)
   }
 
+  test("MP4 parser genuinely walks boxes: round-trip, leading free box, " +
+      "mvhd v1; Column synthesis is byte-identical to the JVM synthesis") {
+    val body = "not really h264 samples".getBytes("UTF-8")
+    assert(ImageHeaders.parseMp4(ImageHeaders.mp4(90000, 123456, body))
+      === Some(("isom", 90000L, 123456L)))
+    // a leading `free` box shifts every offset — a fixed-offset reader
+    // would misparse; the walker must not
+    val free = java.nio.ByteBuffer.allocate(16).putInt(16)
+      .put("free".getBytes("US-ASCII")).put(new Array[Byte](8)).array()
+    assert(ImageHeaders.parseMp4(
+      ImageHeaders.mp4(1000, 77, body, leading = free))
+      === Some(("isom", 1000L, 77L)))
+    // mvhd version 1 (64-bit times): synthesize by hand
+    val v1 = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be(v: Long, n: Int): Unit =
+        (n - 1 to 0 by -1).foreach(i => out.write(((v >>> (i * 8)) & 0xff).toInt))
+      be(20, 4); out.write("ftypisom".getBytes); be(0, 4); out.write("isom".getBytes)
+      be(8 + 8 + 32, 4); out.write("moov".getBytes)
+      be(8 + 32, 4); out.write("mvhd".getBytes)
+      out.write(Array[Byte](1, 0, 0, 0))  // version 1
+      be(0, 8); be(0, 8)                  // 64-bit times
+      be(600, 4)                          // timescale
+      be(5000000000L, 8)                  // 64-bit duration
+      out.toByteArray
+    }
+    assert(ImageHeaders.parseMp4(v1) === Some(("isom", 600L, 5000000000L)))
+    assert(ImageHeaders.parseMp4("plain text, no boxes here".getBytes) === None)
+    // Column wrap (doc_id=2 → timescale 90000) equals the JVM bytes
+    val row = MultimodalOps.mediaTable(spark, sf)
+      .filter($"doc_id" === 2)
+      .select($"doc_id", MultimodalOps.wrapMp4($"doc_id", $"payload")
+        .as("payload")).as[MediaRow].head()
+    val payload = media.filter(_.doc_id == 2L).head().payload
+    assert(row.payload.toSeq ===
+      ImageHeaders.mp4(90000, payload.length, payload).toSeq)
+  }
+
   test("byte histogram: 16 bins, bins sum to payload length, ASCII text " +
       "lands in the 0x20-0x7f bins") {
     val feats: Array[MediaFeatures] =
