@@ -258,6 +258,54 @@ object DedupOps {
   private def simhashFps64(s: SparkSession, d: String): DataFrame =
     simhashFps64From(nearDupCorpus(t(s, d, "documents")))
 
+  // ---- per-ROW SimHash fold (streaming twin, round 4) ------------------
+  //
+  // The batch path explodes tokens and SWAR-aggregates per doc — a
+  // groupBy, which in Structured Streaming would put a stateful
+  // aggregation BEFORE the stateful dedup operator. The streaming twin
+  // folds the same 16 packed lanes inside one row (higher-order
+  // aggregate over split(text)), so fingerprinting is stateless and the
+  // only stateful operator is dropDuplicatesWithinWatermark. Interpreted
+  // HOF — off the batch hot path by design; bit derivation is IDENTICAL
+  // to simhashFps64From (StreamingSpec asserts equal fingerprints).
+  // Same 16-bit-lane bound: docs must stay under 65,536 tokens (chunk
+  // first — TextOps.x_doc_chunks); the batch guard's raise_error is
+  // deliberately absent here so a poison doc cannot kill a long-running
+  // stream (it would merely dedup within its overflowed fingerprint).
+
+  /** SQL for the packed-lane fold over column `text` → struct
+    * (n, p0..p15); materialize as one column, then read halves with
+    * [[simhashRowHalf]]. */
+  private[graft] val simhashRowFoldSql: String = {
+    def bit(j: Int): String = {
+      val n = j % 32; val chunk = n / 8; val k = n % 8
+      val shift = 4 * (7 - k) + (if (j < 32) 3 else 2)
+      s"((x.c$chunk >> $shift) & 1)"
+    }
+    val lanes = (0 until 16).map { m =>
+      val ls = (0 until 4).map(l => s"(${bit(m * 4 + l)} << ${16 * l})")
+      s"'p$m', acc.p$m + ${ls.mkString(" + ")}"
+    }
+    val zero = "named_struct('n', CAST(0 AS BIGINT), " +
+      (0 until 16).map(m => s"'p$m', CAST(0 AS BIGINT)").mkString(", ") + ")"
+    val chunks = (0 until 4).map(c =>
+      s"'c$c', CAST(conv(substring(md5(t), ${c * 8 + 1}, 8), 16, 10) AS BIGINT)")
+      .mkString(", ")
+    s"""aggregate(
+        transform(split(text, ' '), t -> named_struct($chunks)),
+        $zero,
+        (acc, x) -> named_struct('n', acc.n + 1, ${lanes.mkString(", ")}))"""
+  }
+
+  /** Fingerprint half (32 bits from `lo`) from the fold struct `sw` —
+    * same majority rule as the batch path: 2·bits ≥ n. */
+  private[graft] def simhashRowHalf(lo: Int): Column =
+    (lo until lo + 32).map { j =>
+      val m = j / 4; val lane = j % 4
+      when(expr(s"2 * ((sw.p$m >> ${16 * lane}) & 65535) >= sw.n"),
+        lit(1L << (j - lo))).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** the r1/r2 16-bit fingerprint, kept ONLY as the collision baseline
     * for x_simhash_width_gauge. */
   private def simhashFps16From(corpus: DataFrame): DataFrame = {

@@ -112,6 +112,23 @@ object StreamingIngest {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming NEAR-dup dedup (round 4) — the streaming twin of
+    * x_dedup_simhash: a per-row 64-bit SimHash fingerprint (the
+    * stateless fold twin of the batch SWAR aggregation —
+    * DedupOps.simhashRowFoldSql) followed by watermark-bounded dedup on
+    * the fingerprint. Catches bag-equal duplicates (reordered tokens,
+    * the boilerplate-shuffle case) that exact content hashing misses,
+    * while keeping fingerprinting stateless so the ONLY stateful
+    * operator is the dedup itself. */
+  def nearDupStream(docs: DataFrame, delay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("sw", expr(graft.ext.DedupOps.simhashRowFoldSql))
+      .withColumn("fp0", graft.ext.DedupOps.simhashRowHalf(0))
+      .withColumn("fp1", graft.ext.DedupOps.simhashRowHalf(32))
+      .drop("sw")
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("fp0", "fp1")
+
   /** Stream-stream interval join: each purchase joins the same user's
     * clicks from the preceding hour. Both sides carry watermarks so the
     * join state is GC'd once the interval can no longer match — the

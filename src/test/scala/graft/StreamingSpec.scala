@@ -176,6 +176,53 @@ class StreamingSpec extends SparkSpec {
     assert(got === Seq(1L, 3L))
   }
 
+  test("streaming near-dup dedup drops bag-equal (reordered) docs exact " +
+      "hashing misses; row-fold fingerprint equals the batch SWAR path") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    mem.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"),
+        "alpha beta gamma delta epsilon"),
+      // same token BAG, different order: content hash differs, SimHash
+      // (order-invariant) is identical — only near-dup dedup drops it
+      (2L, Timestamp.valueOf("2024-01-01 10:01:00"),
+        "epsilon delta gamma beta alpha"),
+      (3L, Timestamp.valueOf("2024-01-01 10:02:00"),
+        "zeta eta theta iota kappa"))
+    val q = StreamingIngest.nearDupStream(docs)
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("neardup").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got === Seq(1L, 3L))
+    // the exact-dedup twin would keep all three (hashes all differ)
+    val hashes = Seq("alpha beta gamma delta epsilon",
+      "epsilon delta gamma beta alpha", "zeta eta theta iota kappa")
+    assert(hashes.map(t => java.security.MessageDigest.getInstance("SHA-256")
+      .digest(t.getBytes).toSeq).distinct.size === 3)
+    // twin check: the stateless row fold produces the SAME fingerprints
+    // as the batch explode+SWAR aggregation on a static frame
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "epsilon delta gamma beta alpha"),
+      (3L, "zeta eta theta iota kappa"),
+      (4L, "alpha"), (5L, "x y z w " * 50 + "tail")
+    ).toDF("doc_id", "text")
+    val batch = graft.ext.DedupOps.simhashFps64From(corpus)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val rowFold = corpus
+      .withColumn("sw",
+        org.apache.spark.sql.functions.expr(
+          graft.ext.DedupOps.simhashRowFoldSql))
+      .select($"doc_id", graft.ext.DedupOps.simhashRowHalf(0).as("fp0"),
+        graft.ext.DedupOps.simhashRowHalf(32).as("fp1"))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(rowFold === batch)
+  }
+
   test("stream-stream interval join attributes purchases to prior clicks") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
