@@ -36,16 +36,28 @@ object Bench {
       else SparkEntry.benchQueries
     // warm-up pass: JIT/codegen caches and file-footer reads, untimed
     names.foreach(once)
-    val results = names.map { name =>
+    // min-of-N timing: the box shows up to 2x run-to-run noise on an identical
+    // binary (r04 vs r05 swung -7.6% with zero code change), so a single timed
+    // shot cannot distinguish noise from regression. Min over repeats is the
+    // standard noise-floor estimator; the first shot is kept for reference.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
+    def timed(name: String): Double = {
       val t0 = System.nanoTime()
       once(name)
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = names.map { name =>
+      val runs = Seq.fill(repeats)(timed(name))
+      (name, runs.min, runs.head)
+    }
+    def obj(f: ((String, Double, Double)) => Double): String =
+      results.map { case r @ (k, _, _) => "\"" + k + "\":" + f(r) }
+        .mkString("{", ",", "}")
+    val qs = obj(_._2)
+    val qsSingle = obj(_._3)
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-$repeats","queries":$qs,"queries_single_shot":$qsSingle,"sf":"$sfDir"}"""
     println(line)
     // sbt wraps stdout in `[info]` prefixes, which broke the driver's JSON
     // parse (BENCH_r02.parsed = null) — also emit the line to a BARE file

@@ -61,7 +61,17 @@ class GroupCommit(spark: org.apache.spark.sql.SparkSession,
         case _: java.nio.file.FileAlreadyExistsException => next += 1
       }
     }
-    batch.write.mode("overwrite").parquet(s"$stagingDir/p=$next")
+    // Write AROUND the claim, not over it: Overwrite semantics would delete
+    // the claimed directory before the committer recreates it, and in that
+    // window a concurrent stager could re-claim the same page number. Stage
+    // into a hidden tmp dir (leading "." — invisible to both stagedPages()
+    // and Spark's partition discovery) and atomically rename onto the
+    // claimed dir; rename(2) replaces an empty target directory, so the
+    // claim is continuously present from createDirectory to data.
+    val tmp = Paths.get(s"$stagingDir/.tmp_p=$next")
+    batch.write.mode("overwrite").parquet(tmp.toString)
+    Files.move(tmp, Paths.get(s"$stagingDir/p=$next"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     // count from the staged parquet footers — never re-runs decode lineage
     val n = spark.read.parquet(s"$stagingDir/p=$next").count()
     if (pages.size + 1 >= every) flush()

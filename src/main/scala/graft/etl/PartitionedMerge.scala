@@ -275,21 +275,72 @@ object PartitionedMerge {
       .drop(SeqCol).drop(BucketCol)
   }
 
+  /** Data-file names in one bucket directory — the compaction guard's
+    * snapshot unit (driver-side listing, never a Spark job). */
+  private def bucketFiles(path: String, b: Int): Set[String] = {
+    val d = Paths.get(s"$path/$BucketCol=$b")
+    if (!Files.exists(d)) Set.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+  }
+
   /** Per-bucket compaction: every bucket directory holding more than one
     * data file (restricted to `only` when given) is collapsed to its
     * resolved rows (latest gseq per key) in a single base file; buckets
     * already compact see zero I/O. Returns (bucket, filesBefore) for the
     * buckets it rewrote. Idempotent, and read results are unchanged by
-    * construction — the spec asserts both. */
+    * construction — the spec asserts both.
+    *
+    * Concurrent-append guard: the rewrite is read-then-swap, so a delta
+    * file landed by a concurrent appender between the snapshot read and
+    * the directory swap used to be silently dropped. Each bucket's
+    * data-file set is snapshotted BEFORE the read; the swap then (1)
+    * atomically renames the live bucket dir aside, (2) moves the rewrite
+    * into place, and (3) carries over any parked file absent from the
+    * snapshot — a delta that committed mid-compaction. Carried deltas keep
+    * their gseq and resolve ABOVE the new base (whose gseq dropped to the
+    * implicit 0) at read time, so the result is identical to the append
+    * having happened after the compaction; a file both read and carried
+    * (landed between snapshot and scan listing) dedups the same way. No
+    * timing loses acknowledged rows. */
   def compact(spark: SparkSession, path: String, keys: Seq[String],
               only: Option[Set[Int]] = None): Seq[(Int, Int)] = {
     val root = Paths.get(path)
     if (!Files.exists(root)) return Seq.empty
+    // Compactors mutually exclude via a try-lock (two appenders crossing
+    // the auto-compact threshold together must not both rewrite): busy →
+    // return empty, the running compactor covers the work. A lock older
+    // than 10 min is a crashed compactor — break it and take over.
+    val lock = root.resolve("_compact_lock")
+    def tryLock(): Boolean =
+      try { Files.createFile(lock); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!tryLock()) {
+      val age = System.currentTimeMillis -
+        Files.getLastModifiedTime(lock).toMillis
+      if (age < 10 * 60 * 1000L) return Seq.empty
+      Files.deleteIfExists(lock)
+      if (!tryLock()) return Seq.empty
+    }
+    try compactLocked(spark, path, keys, only)
+    finally { Files.deleteIfExists(lock): Unit }
+  }
+
+  private def compactLocked(spark: SparkSession, path: String,
+                            keys: Seq[String],
+                            only: Option[Set[Int]]): Seq[(Int, Int)] = {
     val frag = bucketFileCounts(path).filter { case (b, n) =>
       n > 1 && only.forall(_.contains(b))
     }
     if (frag.isEmpty) return Seq.empty
     val touched = frag.map(_._1)
+    // snapshot first, read second: files appearing between the two make
+    // the re-list differ and the bucket skip — conservative, never lossy
+    val snapshot = touched.map(b => b -> bucketFiles(path, b)).toMap
     val all = spark.read.option("mergeSchema", "true").parquet(path)
       .filter(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
     val withSeq =
@@ -298,12 +349,34 @@ object PartitionedMerge {
       else all.withColumn(SeqCol, lit(0L))
     val resolved = Upsert.latestPerKey(withSeq, keys, Seq(SeqCol))
       .drop(SeqCol)
-    val tmp = path + ".tmp"
+    val tmp = path + ".tmp-compact"
     resolved.repartition(col(BucketCol))
       .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
     touched.foreach { b =>
-      graft.util.Fs.swapInto(
-        Paths.get(s"$tmp/$BucketCol=$b"), Paths.get(s"$path/$BucketCol=$b"))
+      val target = Paths.get(s"$path/$BucketCol=$b")
+      val rewritten = Paths.get(s"$tmp/$BucketCol=$b")
+      val parked = Paths.get(s"$tmp/parked-$BucketCol=$b")
+      Files.move(target, parked,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (!Files.exists(rewritten)) Files.createDirectories(rewritten): Unit
+      try Files.move(rewritten, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        // a racing committer re-created the bucket dir between the two
+        // renames; merge the rewritten base in file-by-file (UUID names
+        // from Spark's committer never collide)
+        val s = Files.list(rewritten)
+        val cs = try s.iterator().asScala.toList finally s.close()
+        cs.foreach(f => Files.move(f, target.resolve(f.getFileName)))
+      }
+      // deltas that committed into the old dir after the snapshot were
+      // not (reliably) part of the rewrite — carry them into the new dir
+      val s2 = Files.list(parked)
+      val late = try s2.iterator().asScala.toList.filter { f =>
+        val n = f.getFileName.toString
+        n.endsWith(".parquet") && !snapshot(b).contains(n)
+      } finally s2.close()
+      late.foreach(f => Files.move(f, target.resolve(f.getFileName)))
     }
     graft.util.Fs.deleteRec(Paths.get(tmp))
     pruneMarkers(path)

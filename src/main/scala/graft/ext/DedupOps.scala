@@ -401,21 +401,39 @@ object DedupOps {
     *  - small-star: on oriented edges, all of u's smaller neighbors (and u)
     *    re-attach to u's minimum neighbor — halving star depth.
     *
-    * Fixed point ⇔ the edge set is stable; detected by the
-    * (count, sum(xxhash64)) pair — two scalar aggregates, no set compare.
-    * Returns (labels: doc → component-min, rounds). Input pairs must be
-    * distinct with a != b; orientation is irrelevant (round 1 symmetrizes).
-    */
+    * Fixed point ⇔ the edge set is stable; detected by a
+    * (count, sum(xxhash64), sum(murmur3)) triple — scalar aggregates, no
+    * set compare. Two INDEPENDENT hash families: a collision would need
+    * the same count AND colliding sums under both xxhash64 and Murmur3
+    * simultaneously, so a same-signature-different-edge-set false
+    * convergence is ruled out in practice (r5 ADVICE #3).
+    * Returns (labels: doc → component-min, rounds). Input pairs must have
+    * a != b; orientation is irrelevant (each round symmetrizes). Pass
+    * `oriented = true` when the caller guarantees DISTINCT a < b pairs
+    * (every LSH/verify pipeline here does) to skip the setup
+    * filter+distinct shuffle.
+    *
+    * Job accounting (r6): one Spark action per round. The contraction
+    * DataFrames are lineage-cut with LAZY local checkpoints, so the
+    * round's single signature aggregate materializes the checkpoint
+    * blocks as a side effect — previously each round ran two eager
+    * checkpoint jobs plus the convergence aggregate, and per-round
+    * scheduling overhead dominated the two cluster queries' wall time. */
   def connectedComponentsStar(pairs: DataFrame,
-                              maxRounds: Int = 40): (DataFrame, Int) = {
-    def sig(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), coalesce(sum(xxhash64(col("u"), col("v"))),
-        lit(0L))).first()
-      (r.getLong(0), r.getLong(1))
+                              maxRounds: Int = 40,
+                              oriented: Boolean = false): (DataFrame, Int) = {
+    def sig(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)),
+        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)))
+        .first()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    var e = pairs.select(col("a").as("u"), col("b").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
-    var prev = sig(e)
+    val base = pairs.select(col("a").as("u"), col("b").as("v"))
+    var e = (if (oriented) base
+             else base.filter(col("u") =!= col("v")).distinct())
+      .localCheckpoint(eager = false)
+    var prev = sig(e) // one job: checkpoint materialization + signature
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -427,7 +445,8 @@ object DedupOps {
       val large = sym.filter(col("v") > col("u"))
         .join(mins, "u")
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(eager = false)
       // small-star over the (big, small)-oriented output
       val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
       val reattached = large.join(smins, "u")
@@ -435,8 +454,8 @@ object DedupOps {
         .select(col("v").as("u"), col("m").as("v"))
       val next = reattached
         .unionByName(smins.select(col("u"), col("m").as("v")))
-        .distinct().localCheckpoint()
-      val cur = sig(next)
+        .distinct().localCheckpoint(eager = false)
+      val cur = sig(next) // the round's ONLY action
       converged = cur == prev
       prev = cur
       e = next
@@ -545,7 +564,8 @@ object DedupOps {
           - col("inter")) >= 0.6)
         .select(col("a"), col("b"))
         .localCheckpoint()
-      val (labels, _) = connectedComponentsStar(conf)
+      // LSH candidates are emitted DISTINCT with a < b — oriented path
+      val (labels, _) = connectedComponentsStar(conf, oriented = true)
       labels.groupBy(col("lbl").as("cluster"))
         .agg(count(lit(1)).as("n_members"), max(col("doc")).as("max_doc"))
         .orderBy("cluster")
@@ -562,7 +582,7 @@ object DedupOps {
       val edges = t(s, d, "documents").select(col("doc_id"))
         .filter(col("doc_id") < 448 && pmod(col("doc_id"), lit(64)) =!= 63)
         .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
-      val (labels, _) = connectedComponentsStar(edges)
+      val (labels, _) = connectedComponentsStar(edges, oriented = true)
       labels.groupBy(col("lbl").as("cluster"))
         .agg(count(lit(1)).as("n_members"),
           max(col("doc")).as("max_doc"))

@@ -337,8 +337,17 @@ object TextOps {
           concat_ws("|", lit(3), length(col("name")),
             expr("substring(name, t2 + 1, length(name) - t2)"))))
           .as("blk"))
-      // probe side: substrings at each segment's length within the ±2
-      // shift window, for every candidate index length
+      // probe side: substrings at each segment's length, for every
+      // candidate index length. The shift window is the multi-match
+      // position+length filter (Li et al. §4): a match of segment i
+      // (start st in the L-length index string) at probe position p
+      // implies ≥ |δ| edits in the prefix alignment and ≥ |net − δ| in
+      // the suffix (δ = p − st, net = |probe| − L), so only positions
+      // with |δ| + |net − δ| ≤ 2 can belong to a d ≤ 2 pair. Closed
+      // form: δ ∈ [min(0,net) − slack, max(0,net) + slack] with
+      // slack = ⌊(2 − |net|)/2⌋ — at most 3 positions per (L, segment)
+      // where the plain ±2 window admitted 5 (r6; measured candidate
+      // reduction in PERFORMANCE.md).
       val probe = corpus
         .withColumn("Lc",
           explode(expr("sequence(greatest(3, length(name) - 2), " +
@@ -350,8 +359,12 @@ object TextOps {
           expr("CASE i WHEN 1 THEN 1 WHEN 2 THEN t1 + 1 ELSE t2 + 1 END"))
         .withColumn("ln",
           expr("CASE i WHEN 1 THEN t1 WHEN 2 THEN t2 - t1 ELSE Lc - t2 END"))
-        .withColumn("lo", expr("greatest(1, st - 2)"))
-        .withColumn("hi", expr("least(length(name) - ln + 1, st + 2)"))
+        .withColumn("net", expr("length(name) - Lc"))
+        .withColumn("slack", expr("cast(floor((2 - abs(net)) / 2) as int)"))
+        .withColumn("lo",
+          expr("greatest(1, st + least(0, net) - slack)"))
+        .withColumn("hi",
+          expr("least(length(name) - ln + 1, st + greatest(0, net) + slack)"))
         .filter(col("ln") >= 1 && col("lo") <= col("hi"))
         .withColumn("p", explode(expr("sequence(lo, hi)")))
         .select(col("id"), col("name"),

@@ -119,15 +119,29 @@ object StreamingIngest {
     * the fingerprint. Catches bag-equal duplicates (reordered tokens,
     * the boilerplate-shuffle case) that exact content hashing misses,
     * while keeping fingerprinting stateless so the ONLY stateful
-    * operator is the dedup itself. */
+    * operator is the dedup itself.
+    *
+    * The SWAR lanes hold 16-bit counters, so a doc of >= 65,536 tokens
+    * carries votes across lanes and its fingerprint is garbage. The
+    * batch path raise_errors on that bound; a poison doc must not kill a
+    * long-running stream, so here the doc is FLAGGED (`overflow`) and
+    * its garbage fp is replaced by an exact content hash — oversized
+    * docs degrade to exact dedup (reordered-token near-dups uncaught for
+    * them, distinct docs never conflated on equal-garbage lanes), and
+    * `overflow` joins the dedup key so they never cross-match a normal
+    * doc. Route flagged docs to a chunker (TextOps.x_doc_chunks)
+    * downstream for real near-dup coverage. */
   def nearDupStream(docs: DataFrame, delay: String = "1 hour"): DataFrame =
     docs
       .withColumn("sw", expr(graft.ext.DedupOps.simhashRowFoldSql))
-      .withColumn("fp0", graft.ext.DedupOps.simhashRowHalf(0))
-      .withColumn("fp1", graft.ext.DedupOps.simhashRowHalf(32))
+      .withColumn("overflow", col("sw.n") >= 65536L)
+      .withColumn("fp0", when(col("overflow"), xxhash64(col("text")))
+        .otherwise(graft.ext.DedupOps.simhashRowHalf(0)))
+      .withColumn("fp1", when(col("overflow"), lit(0L))
+        .otherwise(graft.ext.DedupOps.simhashRowHalf(32)))
       .drop("sw")
       .withWatermark("ts", delay)
-      .dropDuplicatesWithinWatermark("fp0", "fp1")
+      .dropDuplicatesWithinWatermark("fp0", "fp1", "overflow")
 
   /** Stream-stream interval join: each purchase joins the same user's
     * clicks from the preceding hour. Both sides carry watermarks so the

@@ -61,6 +61,48 @@ class CompactionSpec extends SparkSpec {
     assert(got === Seq((5, "post-compact")))
   }
 
+  test("compaction never drops rows landed by a concurrent appender (x20)") {
+    // Regression for the read-then-swap race: a delta committed between
+    // compaction's snapshot read and its directory swap used to vanish
+    // with the old bucket dir. numBuckets=1 forces every append and every
+    // compaction onto the same directory; each append carries a DISTINCT
+    // key so a dropped delta stays visible in the final resolved read
+    // (same-key appends would mask the loss). The appender runs with a
+    // low auto-compact threshold too, so the compactor try-lock is also
+    // exercised from both sides.
+    (1 to 20).foreach { i =>
+      val path = tmpDir(s"ccomp$i") + "/t"
+      // seed enough fragmentation that the first compact has work
+      (1 to 3).foreach { s =>
+        PartitionedMerge.appendInto(spark, path,
+          Seq((100 + s, s"seed$s")).toDF("id", "name"), Seq("id"),
+          numBuckets = 1, compactThreshold = 0)
+      }
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      @volatile var appending = true
+      val appender = new Thread(() =>
+        try (1 to 5).foreach { a =>
+          PartitionedMerge.appendInto(spark, path,
+            Seq((a, s"it$i-a$a")).toDF("id", "name"), Seq("id"),
+            numBuckets = 1, compactThreshold = 2): Unit
+        } catch { case t: Throwable => errs.add(t): Unit }
+        finally appending = false)
+      val compactor = new Thread(() =>
+        try while (appending) {
+          PartitionedMerge.compact(spark, path, Seq("id")): Unit
+        } catch { case t: Throwable => errs.add(t): Unit })
+      appender.start(); compactor.start()
+      appender.join(); compactor.join()
+      assert(errs.isEmpty, s"iter $i: ${errs.asScala.map(_.toString)}")
+      PartitionedMerge.compact(spark, path, Seq("id"))
+      val got = PartitionedMerge.readResolved(spark, path, Seq("id"))
+        .orderBy("id").as[(Int, String)].collect().toSeq
+      val want = (1 to 5).map(a => (a, s"it$i-a$a")) ++
+        (1 to 3).map(s => (100 + s, s"seed$s"))
+      assert(got === want, s"iter $i dropped a concurrently-appended row")
+    }
+  }
+
   test("auto-compaction bounds delta files from the commit path") {
     val path = tmpDir("autocompact") + "/t"
     // 30 appends at threshold 4: without the trigger each bucket would

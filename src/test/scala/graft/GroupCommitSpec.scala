@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.DataFrame
+import scala.jdk.CollectionConverters._
 
 import graft.etl.{GroupCommit, PartitionedMerge}
 
@@ -60,6 +61,33 @@ class GroupCommitSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1),
         Option(r.getAs[String]("note")))).toSeq
     assert(got === Seq(("1", "a", None), ("2", "b", Some("extra"))))
+  }
+
+  test("2 concurrent stagers claim distinct pages; flush sees both (x20)") {
+    // Regression for the claim race: Overwrite-mode writes used to delete
+    // the claimed p=<n> dir before recreating it, letting a concurrent
+    // stager re-claim the same page number mid-write. With tmp+atomic-move
+    // the claim dir never disappears, so two racing stagers must land on
+    // distinct pages and flush must see every staged row.
+    (1 to 20).foreach { i =>
+      val root = tmpDir(s"gcrace$i")
+      val g = gc(s"$root/staging", s"$root/t", 100)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = Seq(("a", s"va$i"), ("b", s"vb$i")).map { case (k, v) =>
+        new Thread(() =>
+          try { g.stage(Seq((k, v)).toDF("id", "v")): Unit }
+          catch { case t: Throwable => errs.add(t): Unit })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"iter $i: ${errs.asScala.map(_.toString)}")
+      val pageDirs = Files.list(Paths.get(s"$root/staging"))
+        .iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("p=")).toSeq.sorted
+      assert(pageDirs === Seq("p=1", "p=2"), s"iter $i staged $pageDirs")
+      g.flush()
+      assert(table(s"$root/t") === Seq(("a", s"va$i"), ("b", s"vb$i")),
+        s"iter $i flush lost a page")
+    }
   }
 
   test("final flush merges a partial group; K=1 is per-page commit") {

@@ -223,6 +223,34 @@ class StreamingSpec extends SparkSpec {
     assert(rowFold === batch)
   }
 
+  test("oversized doc is flagged overflow, not silently lane-corrupted; " +
+      "normal docs unaffected") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // 65,536 tokens saturates a 16-bit SWAR lane — the fp is garbage, so
+    // the stream must FLAG the doc and fall back to exact-hash dedup for
+    // it, never conflating two distinct oversized docs or killing the
+    // query (the batch path raise_errors here by design).
+    val big1 = (1 to 65536).map(i => s"t${i % 97}").mkString(" ")
+    val big2 = (1 to 65536).map(i => s"u${i % 89}").mkString(" ")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    mem.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), big1),
+      (2L, Timestamp.valueOf("2024-01-01 10:01:00"), big2),
+      (3L, Timestamp.valueOf("2024-01-01 10:02:00"),
+        "alpha beta gamma delta epsilon"),
+      (4L, Timestamp.valueOf("2024-01-01 10:03:00"),
+        "epsilon delta gamma beta alpha")) // near-dup of 3, still dropped
+    val q = StreamingIngest.nearDupStream(
+        mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("neardup_ovf")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("neardup_ovf").select("doc_id", "overflow")
+      .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, true), (2L, true), (3L, false)))
+  }
+
   test("stream-stream interval join attributes purchases to prior clicks") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
