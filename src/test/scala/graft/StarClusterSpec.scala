@@ -65,6 +65,49 @@ class StarClusterSpec extends SparkSpec {
     assert(rounds <= 12)
   }
 
+  test("contraction runs ONE Spark action per round (r6 job fusion)") {
+    // r5 verdict: per-round scheduling overhead dominated the cluster
+    // queries because each round ran two eager checkpoint jobs plus the
+    // convergence aggregate. The lazy-checkpoint fusion must keep it to
+    // one action per round (+1 setup signature). Raw Spark-job counts are
+    // NOT a valid proxy — a single action spawns one job per AQE shuffle
+    // stage plus the in-action lazy-checkpoint materializations — so the
+    // assertion counts QueryExecutions (1:1 with Dataset actions) via a
+    // QueryExecutionListener; a regression to eager per-round checkpoints
+    // fails loudly instead of only showing up as bench drift.
+    // lazy localCheckpoint registers a QueryExecution too (funcName
+    // "localCheckpoint") but launches no jobs — the job-launching actions
+    // are the per-round `first()` calls (funcName "head"), so count those.
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (funcName != "localCheckpoint") { actions.incrementAndGet(): Unit }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val chain = (0L until 100L).sliding(2).map(s => (s(0), s(1))).toSeq
+      val (_, rounds) =
+        DedupOps.connectedComponentsStar(chain.toDF("a", "b"))
+      // the listener is notified asynchronously — poll until stable
+      var n = actions.get(); var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val m = actions.get()
+        if (m == n) stable += 1 else { n = m; stable = 0 }
+      }
+      assert(rounds >= 5,
+        s"chain fixture should need several rounds, got $rounds")
+      assert(n <= rounds + 1,
+        s"expected one action per round (+setup), got $n actions " +
+          s"in $rounds rounds")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("orientation and duplicate edges are irrelevant") {
     val edges = Seq((5L, 1L), (1L, 5L), (5L, 1L), (7L, 5L), (2L, 9L))
     val (got, _) = run(edges)
