@@ -40,7 +40,10 @@ object Bench {
     // binary (r04 vs r05 swung -7.6% with zero code change), so a single timed
     // shot cannot distinguish noise from regression. Min over repeats is the
     // standard noise-floor estimator; the first shot is kept for reference.
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
+    // defensive parse: a malformed env value falls back to 3 instead of
+    // crashing the whole bench run
+    val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
+      .flatMap(_.trim.toIntOption).getOrElse(3).max(1)
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
       once(name)
@@ -56,8 +59,11 @@ object Bench {
     val qs = obj(_._2)
     val qsSingle = obj(_._3)
     val total = results.map(_._2).sum
+    // value_single_shot keeps totals like-for-like against pre-r6 bench
+    // files, whose "value" was a single-shot sum
+    val totalSingle = results.map(_._3).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-$repeats","queries":$qs,"queries_single_shot":$qsSingle,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-$repeats","value_single_shot":$totalSingle,"queries":$qs,"queries_single_shot":$qsSingle,"sf":"$sfDir"}"""
     println(line)
     // sbt wraps stdout in `[info]` prefixes, which broke the driver's JSON
     // parse (BENCH_r02.parsed = null) — also emit the line to a BARE file

@@ -320,10 +320,22 @@ object PartitionedMerge {
       try { Files.createFile(lock); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     if (!tryLock()) {
-      val age = System.currentTimeMillis -
-        Files.getLastModifiedTime(lock).toMillis
-      if (age < 10 * 60 * 1000L) return Seq.empty
-      Files.deleteIfExists(lock)
+      // the holder may delete the lock between our failed tryLock and the
+      // stat — treat a vanished lock as "just released" and retry below
+      val age =
+        try System.currentTimeMillis -
+          Files.getLastModifiedTime(lock).toMillis
+        catch { case _: java.nio.file.NoSuchFileException => -1L }
+      if (age >= 0 && age < 10 * 60 * 1000L) return Seq.empty
+      if (age >= 10 * 60 * 1000L) {
+        // break the stale lock ATOMICALLY: rename it aside, so of two
+        // processes both seeing a >10-min lock only the mover that wins
+        // the rename proceeds — a bare delete+create pair here let both
+        // delete each other's fresh lock and run concurrent rewrites
+        val tomb = root.resolve(s"_compact_lock.stale-${System.nanoTime}")
+        try { Files.move(lock, tomb); Files.deleteIfExists(tomb): Unit }
+        catch { case _: java.nio.file.NoSuchFileException => () }
+      }
       if (!tryLock()) return Seq.empty
     }
     try compactLocked(spark, path, keys, only)
@@ -349,7 +361,11 @@ object PartitionedMerge {
       else all.withColumn(SeqCol, lit(0L))
     val resolved = Upsert.latestPerKey(withSeq, keys, Seq(SeqCol))
       .drop(SeqCol)
-    val tmp = path + ".tmp-compact"
+    // UNIQUE per-run tmp dir: a crashed swap parks the bucket's old files
+    // here, and a fixed name meant the next compaction's Overwrite write
+    // deleted them — permanent loss of acknowledged rows. Unique names
+    // make an aborted swap inert to every later run.
+    val tmp = path + s".tmp-compact-${System.nanoTime}"
     resolved.repartition(col(BucketCol))
       .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
     touched.foreach { b =>
@@ -358,25 +374,42 @@ object PartitionedMerge {
       val parked = Paths.get(s"$tmp/parked-$BucketCol=$b")
       Files.move(target, parked,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      if (!Files.exists(rewritten)) Files.createDirectories(rewritten): Unit
-      try Files.move(rewritten, target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException =>
-        // a racing committer re-created the bucket dir between the two
-        // renames; merge the rewritten base in file-by-file (UUID names
-        // from Spark's committer never collide)
-        val s = Files.list(rewritten)
-        val cs = try s.iterator().asScala.toList finally s.close()
-        cs.foreach(f => Files.move(f, target.resolve(f.getFileName)))
+      try {
+        if (!Files.exists(rewritten)) Files.createDirectories(rewritten): Unit
+        // On Linux, rename(2) onto a non-empty dir fails ENOTEMPTY →
+        // DirectoryNotEmptyException, NOT FileAlreadyExistsException;
+        // catch the common FileSystemException parent so the racing-
+        // committer fallback actually fires on both.
+        try Files.move(rewritten, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException =>
+          // a racing committer re-created the bucket dir between the two
+          // renames; merge the rewritten base in file-by-file (UUID names
+          // from Spark's committer never collide)
+          val s = Files.list(rewritten)
+          val cs = try s.iterator().asScala.toList finally s.close()
+          cs.foreach(f => Files.move(f, target.resolve(f.getFileName)))
+        }
+        // deltas that committed into the old dir after the snapshot were
+        // not (reliably) part of the rewrite — carry them into the new dir
+        val s2 = Files.list(parked)
+        val late = try s2.iterator().asScala.toList.filter { f =>
+          val n = f.getFileName.toString
+          n.endsWith(".parquet") && !snapshot(b).contains(n)
+        } finally s2.close()
+        late.foreach(f => Files.move(f, target.resolve(f.getFileName)))
+      } catch { case e: Throwable =>
+        // Swap aborted mid-bucket: restore every parked file into the
+        // target so no acknowledged row is lost. Restored old deltas keep
+        // their gseq and resolve above any partially-landed new base
+        // (gseq 0), so merge-on-read stays correct even on a partial swap.
+        if (!Files.exists(target)) Files.createDirectories(target): Unit
+        val sr = Files.list(parked)
+        val back = try sr.iterator().asScala.toList finally sr.close()
+        back.foreach(f => Files.move(f, target.resolve(f.getFileName)))
+        graft.util.Fs.deleteRec(Paths.get(tmp))
+        throw e
       }
-      // deltas that committed into the old dir after the snapshot were
-      // not (reliably) part of the rewrite — carry them into the new dir
-      val s2 = Files.list(parked)
-      val late = try s2.iterator().asScala.toList.filter { f =>
-        val n = f.getFileName.toString
-        n.endsWith(".parquet") && !snapshot(b).contains(n)
-      } finally s2.close()
-      late.foreach(f => Files.move(f, target.resolve(f.getFileName)))
     }
     graft.util.Fs.deleteRec(Paths.get(tmp))
     pruneMarkers(path)
