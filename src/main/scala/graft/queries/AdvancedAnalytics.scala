@@ -184,14 +184,32 @@ object AdvancedAnalytics {
 
     "a7_approx_percentile" -> ((s, d) => {
       // sketch-based percentiles (the 100 TB path where exact percentile
-      // would sort every group). No oracle (engine-specific sketch);
-      // AdvancedAnalyticsSpec bounds the error vs the exact interpolated
-      // percentile that q_percentiles oracle-checks.
-      t(s, d, "orders")
-        .groupBy(col("o_orderstatus").as("status"))
+      // would sort every group). Bounded-gauge form (r7): the oracle can't
+      // reproduce an engine-specific sketch, so the query checks the
+      // sketch's PUBLISHED guarantee in-query — the fraction of rows at or
+      // below the sketch's answer must sit within eps of the target
+      // quantile (rank error ≤ 1/accuracy = 1e-4, plus one-rank
+      // discreteness, with slack to 0.005) — and emits exact values plus
+      // 0/1 flags the DuckDB twin asserts as constant-true. Value-space
+      // error would be data-dependent; rank error is the guarantee.
+      val orders = t(s, d, "orders")
+      val sk = orders.groupBy(col("o_orderstatus").as("status"))
         .agg(expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50"),
-             expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90"),
-             count(lit(1)).as("n"))
+             expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90"))
+      orders.join(broadcast(sk), col("o_orderstatus") === col("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(when(col("o_totalprice") <= col("p50"), 1L).otherwise(0L))
+            / count(lit(1))).as("frac50"),
+          (sum(when(col("o_totalprice") <= col("p90"), 1L).otherwise(0L))
+            / count(lit(1))).as("frac90"))
+        .select(col("status"), col("n_orders"),
+          when(abs(col("frac50") - 0.5) <=
+            lit(0.005) + lit(1.0) / col("n_orders"), 1L).otherwise(0L)
+            .as("p50_rank_ok"),
+          when(abs(col("frac90") - 0.9) <=
+            lit(0.005) + lit(1.0) / col("n_orders"), 1L).otherwise(0L)
+            .as("p90_rank_ok"))
         .orderBy("status")
     }),
 
@@ -203,31 +221,50 @@ object AdvancedAnalytics {
       // element-wise addition (commutative ⇒ the estimate is identical
       // across partitionings); the one-row sketch then broadcasts to the
       // probe side, answered by the native graft_cms_probe expression.
-      // No DuckDB oracle (engine-specific sketch); the spec asserts the
-      // CMS overestimate-only property and the eps·N error bound against
-      // exact counts.
+      // Bounded-gauge form (r7): the CMS guarantee — never undercounts,
+      // overshoot ≤ eps·N (eps = 0.001) with confidence δ, deterministic
+      // here under the fixed seed — is checked in-query against the exact
+      // per-key count, emitted as 0/1 flags the DuckDB twin asserts as
+      // constant-true. The spec additionally bounds the raw estimates and
+      // asserts merge invariance under repartitioning.
       graft.functions.GraftFunctions.register(s)
       val li = t(s, d, "lineitem")
       val sk = li.agg(
-        expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)").as("sk"))
-      val probes = li.select(col("l_partkey")).distinct()
-        .filter(col("l_partkey") <= 100)
-      probes.crossJoin(sk)
-        .select(col("l_partkey"),
-          expr("graft_cms_probe(sk, l_partkey)").as("est_freq"))
+        expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)").as("sk"),
+        count(lit(1)).as("total"))
+      val exact = li.filter(col("l_partkey") <= 100)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("exact_freq"))
+      exact.crossJoin(sk) // sk is a single aggregate row — broadcast NL join
+        .select(col("l_partkey"), col("exact_freq"), col("total"),
+          expr("graft_cms_probe(sk, l_partkey)").as("est"))
+        .select(col("l_partkey"), col("exact_freq"),
+          when(col("est") >= col("exact_freq"), 1L).otherwise(0L)
+            .as("cms_ge_exact"),
+          when(col("est") <= col("exact_freq")
+            + ceil(col("total") * 0.001) * 3, 1L).otherwise(0L)
+            .as("cms_within_eps"))
         .orderBy("l_partkey")
     }),
 
     "a6_approx_distinct" -> ((s, d) => {
       // HLL++ approximate distinct — the 100 TB path where exact distinct
       // would shuffle every key: sketch merges are O(sketch), constant
-      // memory. No DuckDB oracle (different sketch ⇒ different estimate);
-      // driver records the rows-only check, the spec asserts the 2% rsd
-      // bound against the exact count.
+      // memory. Bounded-gauge form (r7): a different engine's sketch gives
+      // a different estimate, so instead of comparing estimates the query
+      // compares its OWN estimate to the exact distinct computed in the
+      // same aggregate and emits the exact value plus a 0/1 bound flag
+      // (|est − exact| ≤ 3·rsd, rsd = 0.02) the DuckDB twin asserts as
+      // constant-true — the sketch's error bound is now hash-checked by
+      // the driver instead of invisible to it.
       t(s, d, "orders")
         .groupBy(col("o_orderstatus").as("status"))
-        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_buyers"),
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx"),
+             countDistinct(col("o_custkey")).as("exact_buyers"),
              count(lit(1)).as("n_orders"))
+        .select(col("status"), col("exact_buyers"), col("n_orders"),
+          when(abs(col("approx") - col("exact_buyers")) <=
+            greatest(lit(1.0), col("exact_buyers") * 0.06), 1L).otherwise(0L)
+            .as("hll_within_3rsd"))
         .orderBy("status")
     })
   )
@@ -328,9 +365,32 @@ object AdvancedAnalytics {
                          '%Y-%m-%d') AS month,
                        ${m("o_totalprice")} AS revenue
                 FROM orders GROUP BY 1)
-          ORDER BY month"""
-    // a6_approx_distinct / a7_approx_percentile / a8_cms_freq: intentionally
-    // no oracle (engine-specific sketches); bounds asserted in
-    // AdvancedAnalyticsSpec
+          ORDER BY month""",
+
+    // Sketch gauges (r7): DuckDB cannot reproduce an engine-specific
+    // sketch, but it CAN reproduce the exact values and assert the
+    // bound flags as constant-true — the Spark side computes the flags
+    // by comparing its own sketch estimate to the exact value in-query,
+    // so a sketch drifting outside its published error bound hash-fails
+    // the driver's gate instead of being invisible to it.
+    "a6_approx_distinct" ->
+      """SELECT o_orderstatus AS status,
+         COUNT(DISTINCT o_custkey) AS exact_buyers,
+         COUNT(*) AS n_orders,
+         CAST(1 AS BIGINT) AS hll_within_3rsd
+         FROM orders GROUP BY 1 ORDER BY status""",
+
+    "a7_approx_percentile" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+         CAST(1 AS BIGINT) AS p50_rank_ok,
+         CAST(1 AS BIGINT) AS p90_rank_ok
+         FROM orders GROUP BY 1 ORDER BY status""",
+
+    "a8_cms_freq" ->
+      """SELECT l_partkey, COUNT(*) AS exact_freq,
+         CAST(1 AS BIGINT) AS cms_ge_exact,
+         CAST(1 AS BIGINT) AS cms_within_eps
+         FROM lineitem WHERE l_partkey <= 100
+         GROUP BY 1 ORDER BY l_partkey"""
   )
 }

