@@ -143,6 +143,99 @@ object StreamingIngest {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("fp0", "fp1", "overflow")
 
+  /** The chunker composition nearDupStream's scaladoc promises (r7):
+    * oversized (`overflow`) docs degrade to exact dedup upstream, so a
+    * REORDERED >65,536-token near-dup sails through — its exact hash
+    * differs and its SimHash lanes are saturated garbage. This sink
+    * gives flagged docs real near-dup coverage at chunk granularity:
+    * each doc splits into the x_doc_chunks recipe's 50-token/stride-25
+    * windows (far below the 16-bit lane bound, so per-chunk SimHash is
+    * sound again), each chunk is fingerprinted, and a doc is dropped
+    * when ANY of its chunk fingerprints was already seen — in the
+    * persistent fingerprint state or on an earlier doc of the same
+    * batch ((ts, doc_id) order). Survivors append to `outPath`; ALL
+    * observed fingerprints (kept or dropped docs alike, matching
+    * dropDuplicatesWithinWatermark's state rule) merge into the state
+    * table, pruned to the `delayMs` watermark window so state stays
+    * bounded exactly like the built-in operator's.
+    *
+    * Chain it downstream of nearDupStream:
+    * `chunkDedupSink(nearDupStream(docs).filter(col("overflow")), …)` —
+    * normal docs keep the stateless-fp streaming path; only the rare
+    * oversized docs pay the chunk fan-out (~n/25 chunks each). The
+    * state is a (fp0, fp1, ts) parquet table maintained foreachBatch
+    * like the other incremental sinks (IncrementalAgg, Sketch-
+    * Maintenance): O(batch · chunks) per trigger, never O(history). */
+  def chunkDedupSink(flagged: DataFrame, spark: SparkSession,
+                     outPath: String, statePath: String, checkpoint: String,
+                     delayMs: Long = 3600L * 1000)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    flagged.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        chunkDedupBatch(spark, outPath, statePath, batch, delayMs)
+      }
+
+  private[streaming] def chunkDedupBatch(spark: SparkSession, outPath: String,
+                                         statePath: String, batch: DataFrame,
+                                         delayMs: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    val docs = batch.localCheckpoint()
+    if (docs.head(1).isEmpty) return
+    // x_doc_chunks recipe (50-token windows, stride 25) → per-chunk
+    // SimHash via the same row fold the stream uses, distinct per doc
+    // (overlapping windows of a repetitive doc may collide with
+    // THEMSELVES; a within-doc repeat must not read as a duplicate)
+    val fps = docs
+      .select(col("doc_id"), col("ts"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("ts"), col("toks"),
+        explode(expr(
+          "sequence(0, CAST(greatest(0, ceil((n - 25) / 25.0) - 1) AS INT))"))
+          .as("chunk_id"))
+      .withColumn("text",
+        expr("array_join(slice(toks, chunk_id * 25 + 1, 50), ' ')"))
+      .withColumn("sw", expr(graft.ext.DedupOps.simhashRowFoldSql))
+      .select(col("doc_id"), col("ts"),
+        graft.ext.DedupOps.simhashRowHalf(0).as("fp0"),
+        graft.ext.DedupOps.simhashRowHalf(32).as("fp1"))
+      .distinct()
+      .localCheckpoint()
+    val state =
+      if (Files.exists(Paths.get(statePath)))
+        spark.read.parquet(statePath).select("fp0", "fp1", "ts")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new StructType()
+          .add("fp0", "long").add("fp1", "long").add("ts", "timestamp"))
+    // doc verdict = any-chunk-dup: against the state, or against an
+    // earlier ((ts, doc_id)-min) doc of this batch owning the same fp
+    val dupVsState = fps.join(state, Seq("fp0", "fp1"), "left_semi")
+      .select("doc_id").distinct()
+    val owners = fps.groupBy("fp0", "fp1")
+      .agg(min(struct(col("ts"), col("doc_id"))).as("o"))
+      .select(col("fp0"), col("fp1"), col("o.doc_id").as("owner_id"))
+    val dupInBatch = fps.join(owners, Seq("fp0", "fp1"))
+      .filter(col("doc_id") =!= col("owner_id"))
+      .select("doc_id").distinct()
+    val dupIds = dupVsState.union(dupInBatch).distinct().localCheckpoint()
+    docs.join(dupIds, Seq("doc_id"), "left_anti")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outPath)
+    // fold ALL observed fingerprints in, prune to the watermark window;
+    // tmp + swap so a crash mid-write never truncates the live state
+    val cutoff = new java.sql.Timestamp(
+      docs.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime - delayMs)
+    val newState = state
+      .unionByName(fps.select("fp0", "fp1", "ts"))
+      .groupBy("fp0", "fp1").agg(min(col("ts")).as("ts"))
+      .filter(col("ts") >= lit(cutoff))
+    val tmp = statePath + ".tmp"
+    newState.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    graft.util.Fs.swapInto(Paths.get(tmp), Paths.get(statePath))
+  }
+
   /** Stream-stream interval join: each purchase joins the same user's
     * clicks from the preceding hour. Both sides carry watermarks so the
     * join state is GC'd once the interval can no longer match — the

@@ -251,6 +251,65 @@ class StreamingSpec extends SparkSpec {
     assert(got === Seq((1L, true), (2L, true), (3L, false)))
   }
 
+  test("overflow docs routed through the chunk-state sink: a reordered " +
+      ">65,536-token near-dup is caught (within and across batches), " +
+      "distinct oversized docs survive, state is watermark-pruned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, min}
+    implicit val sc = spark.sqlContext
+    // 2,700 blocks of 25 tokens = 67,500 tokens — above the 65,536 lane
+    // bound, so these docs are `overflow` upstream. Block content is
+    // position-independent, so a SECTION swap preserves every 50-token
+    // stride-25 chunk except the two at the section boundary — the
+    // "boilerplate moved" near-dup shape chunk fingerprints exist for.
+    def block(tag: String, b: Int): Seq[String] =
+      (0 until 25).map(i => s"$tag${b}x$i")
+    val s1 = (0 until 1350).flatMap(block("a", _))
+    val s2 = (1350 until 2700).flatMap(block("a", _))
+    val big1 = (s1 ++ s2).mkString(" ")
+    val big2 = (s2 ++ s1).mkString(" ") // section-swapped near-dup of big1
+    val big3 = (0 until 2700).flatMap(block("c", _)).mkString(" ")
+    val out = tmpDir("chunkdedup-out") + "/docs"
+    val state = tmpDir("chunkdedup-state") + "/fps"
+    val ckpt = tmpDir("chunkdedup-ckpt")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    def run(): Unit = {
+      val flagged = StreamingIngest.nearDupStream(
+          mem.toDF().toDF("doc_id", "ts", "text"))
+        .filter(col("overflow"))
+      val q = StreamingIngest.chunkDedupSink(flagged, spark, out, state,
+        ckpt).start()
+      q.awaitTermination()
+    }
+    mem.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), big1),
+      (2L, Timestamp.valueOf("2024-01-01 10:01:00"), big2),
+      (3L, Timestamp.valueOf("2024-01-01 10:02:00"), big3))
+    run()
+    // the overflow fallback alone emits big2 (exact hash differs, fp is
+    // garbage) — the chunk sink is what catches it; big3 shares nothing
+    assert(spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    // a LATER batch: a different permutation (rotate s1 by 100 blocks) —
+    // caught against the persisted fingerprint state, not batch-local
+    val big4 = (s1.drop(2500) ++ s1.take(2500) ++ s2).mkString(" ")
+    mem.addData((4L, Timestamp.valueOf("2024-01-01 10:10:00"), big4))
+    run()
+    assert(spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    // watermark pruning: a batch far past the 1 h delay drops the old
+    // fingerprints, so state stays bounded (the documented trade — dups
+    // arriving later than the delay are not caught)
+    val big5 = (0 until 2700).flatMap(block("e", _)).mkString(" ")
+    mem.addData((5L, Timestamp.valueOf("2024-01-01 14:00:00"), big5))
+    run()
+    assert(spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 3L, 5L))
+    assert(spark.read.parquet(state).agg(min(col("ts")))
+      .collect()(0).getTimestamp(0)
+      .after(Timestamp.valueOf("2024-01-01 12:59:59")))
+  }
+
   test("stream-stream interval join attributes purchases to prior clicks") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
