@@ -248,10 +248,34 @@ object PartitionedMerge {
     if (n == 0) return 0L
     val nb = resolveBuckets(path, numBuckets)
     val seq = allocSeq(path)
+    // Stage in a PRIVATE per-append dir, then move files into the live
+    // bucket dirs (r7): a direct SaveMode.Append from two JVMs shares
+    // one FileOutputCommitter `_temporary/0` under the table root, and
+    // whichever job commits first deletes the other's staging — the
+    // multi-process spec caught exactly that. Per-file moves into the
+    // live dirs carry the allocated seq in the name, never collide, and
+    // a crash mid-append leaves only an unreferenced unique tmp (the
+    // seq number burns, as documented on allocSeq).
+    val tmp = path + s".tmp-append-$seq"
     flat.withColumn(BucketCol, bucketExpr(keys, nb))
       .withColumn(SeqCol, lit(seq))
       .repartition(col(BucketCol))
-      .write.partitionBy(BucketCol).mode(SaveMode.Append).parquet(path)
+      .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
+    val troot = Paths.get(tmp)
+    val s = Files.list(troot)
+    val bdirs = try s.iterator().asScala.toList finally s.close()
+    bdirs.filter(_.getFileName.toString.startsWith(s"$BucketCol="))
+      .foreach { bd =>
+        val target = Paths.get(path).resolve(bd.getFileName.toString)
+        Files.createDirectories(target)
+        val fs = Files.list(bd)
+        val files = try fs.iterator().asScala.toList finally fs.close()
+        files.filter(_.getFileName.toString.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (f, i) =>
+            Files.move(f, target.resolve(s"delta-$seq-$i.parquet")): Unit
+          }
+      }
+    graft.util.Fs.deleteRec(troot)
     stampMeta(path, nb)
     if (compactThreshold > 0) {
       val frag = bucketFileCounts(path)
@@ -295,18 +319,26 @@ object PartitionedMerge {
     * buckets it rewrote. Idempotent, and read results are unchanged by
     * construction — the spec asserts both.
     *
-    * Concurrent-append guard: the rewrite is read-then-swap, so a delta
-    * file landed by a concurrent appender between the snapshot read and
-    * the directory swap used to be silently dropped. Each bucket's
-    * data-file set is snapshotted BEFORE the read; the swap then (1)
-    * atomically renames the live bucket dir aside, (2) moves the rewrite
-    * into place, and (3) carries over any parked file absent from the
-    * snapshot — a delta that committed mid-compaction. Carried deltas keep
-    * their gseq and resolve ABOVE the new base (whose gseq dropped to the
-    * implicit 0) at read time, so the result is identical to the append
-    * having happened after the compaction; a file both read and carried
-    * (landed between snapshot and scan listing) dedups the same way. No
-    * timing loses acknowledged rows. */
+    * Concurrent-append protocol (r7 — replaces the r6 directory swap,
+    * which the multi-process spec caught failing: between "rename live
+    * dir aside" and "rename rewrite in", the bucket directory did not
+    * EXIST, and a concurrent appender's output-commit listing of the
+    * table died on the vanished path). The rewrite now never moves a
+    * directory at all: (1) the bucket's data files are SNAPSHOTTED and
+    * exactly those files are read and resolved — a delta landing later
+    * is simply not part of this compaction; (2) the resolved base FILE
+    * is moved into the live directory under a fresh name; (3) the
+    * snapshot files are deleted in increasing version order (base files
+    * first, then deltas oldest-gseq-first). Every intermediate state
+    * resolves correctly at read time: until a key's newest snapshot
+    * delta is deleted it keeps winning over the new base (same value,
+    * higher gseq), and once it is deleted every older carrier of that
+    * key is already gone, so the base's folded value wins; deltas landed
+    * mid-compaction are never deleted and resolve above the base. A
+    * crash at any step leaves base + leftover snapshot files — readers
+    * stay correct and the next compaction folds again. This is also the
+    * object-store-shaped commit: per-file puts and deletes, no atomic
+    * directory rename required. */
   def compact(spark: SparkSession, path: String, keys: Seq[String],
               only: Option[Set[Int]] = None): Seq[(Int, Int)] = {
     val root = Paths.get(path)
@@ -345,71 +377,76 @@ object PartitionedMerge {
   private def compactLocked(spark: SparkSession, path: String,
                             keys: Seq[String],
                             only: Option[Set[Int]]): Seq[(Int, Int)] = {
+    // under the compactor lock: sweep tmp dirs of dead runs (crashed
+    // before their own cleanup) — unique names make them unreferenced
+    val abs = Paths.get(path).toAbsolutePath
+    val tmpPrefix = abs.getFileName.toString + ".tmp-compact-"
+    if (abs.getParent != null && Files.exists(abs.getParent)) {
+      val s = Files.list(abs.getParent)
+      val dead = try s.iterator().asScala.toList
+        .filter(_.getFileName.toString.startsWith(tmpPrefix))
+      finally s.close()
+      dead.foreach(graft.util.Fs.deleteRec)
+    }
     val frag = bucketFileCounts(path).filter { case (b, n) =>
       n > 1 && only.forall(_.contains(b))
     }
     if (frag.isEmpty) return Seq.empty
     val touched = frag.map(_._1)
-    // snapshot first, read second: files appearing between the two make
-    // the re-list differ and the bucket skip — conservative, never lossy
+    // snapshot the exact file set this compaction owns; deltas landing
+    // after this listing are neither read nor deleted
     val snapshot = touched.map(b => b -> bucketFiles(path, b)).toMap
-    val all = spark.read.option("mergeSchema", "true").parquet(path)
-      .filter(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
+    val snapPaths = snapshot.toSeq.flatMap { case (b, fs) =>
+      fs.map(f => s"$path/$BucketCol=$b/$f")
+    }
+    if (snapPaths.isEmpty) return Seq.empty
+    val all = spark.read.option("mergeSchema", "true")
+      .option("basePath", path).parquet(snapPaths: _*)
     val withSeq =
       if (all.columns.contains(SeqCol))
         all.withColumn(SeqCol, coalesce(col(SeqCol), lit(0L)))
       else all.withColumn(SeqCol, lit(0L))
+    // per-file max version — the DELETION ORDER below depends on it
+    val fileRe = (java.util.regex.Pattern.quote(s"$BucketCol=") +
+      "(\\d+)/([^/]+)$").r.unanchored
+    val fileVer: Map[(Int, String), Long] = withSeq
+      .groupBy(input_file_name().as("f"))
+      .agg(max(col(SeqCol)).as("v"))
+      .collect().flatMap { r =>
+        r.getString(0) match {
+          case fileRe(b, f) => Some((b.toInt, f) -> r.getLong(1))
+          case _ => None
+        }
+      }.toMap
     val resolved = Upsert.latestPerKey(withSeq, keys, Seq(SeqCol))
       .drop(SeqCol)
-    // UNIQUE per-run tmp dir: a crashed swap parks the bucket's old files
-    // here, and a fixed name meant the next compaction's Overwrite write
-    // deleted them — permanent loss of acknowledged rows. Unique names
-    // make an aborted swap inert to every later run.
+    // unique per-run tmp dir: a crashed run's leftovers are inert to
+    // every later run (and cleaned up by the next locked compactor)
     val tmp = path + s".tmp-compact-${System.nanoTime}"
     resolved.repartition(col(BucketCol))
       .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
     touched.foreach { b =>
       val target = Paths.get(s"$path/$BucketCol=$b")
       val rewritten = Paths.get(s"$tmp/$BucketCol=$b")
-      val parked = Paths.get(s"$tmp/parked-$BucketCol=$b")
-      Files.move(target, parked,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      try {
-        if (!Files.exists(rewritten)) Files.createDirectories(rewritten): Unit
-        // On Linux, rename(2) onto a non-empty dir fails ENOTEMPTY →
-        // DirectoryNotEmptyException, NOT FileAlreadyExistsException;
-        // catch the common FileSystemException parent so the racing-
-        // committer fallback actually fires on both.
-        try Files.move(rewritten, target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileSystemException =>
-          // a racing committer re-created the bucket dir between the two
-          // renames; merge the rewritten base in file-by-file (UUID names
-          // from Spark's committer never collide)
-          val s = Files.list(rewritten)
-          val cs = try s.iterator().asScala.toList finally s.close()
-          cs.foreach(f => Files.move(f, target.resolve(f.getFileName)))
-        }
-        // deltas that committed into the old dir after the snapshot were
-        // not (reliably) part of the rewrite — carry them into the new dir
-        val s2 = Files.list(parked)
-        val late = try s2.iterator().asScala.toList.filter { f =>
-          val n = f.getFileName.toString
-          n.endsWith(".parquet") && !snapshot(b).contains(n)
-        } finally s2.close()
-        late.foreach(f => Files.move(f, target.resolve(f.getFileName)))
-      } catch { case e: Throwable =>
-        // Swap aborted mid-bucket: restore every parked file into the
-        // target so no acknowledged row is lost. Restored old deltas keep
-        // their gseq and resolve above any partially-landed new base
-        // (gseq 0), so merge-on-read stays correct even on a partial swap.
-        if (!Files.exists(target)) Files.createDirectories(target): Unit
-        val sr = Files.list(parked)
-        val back = try sr.iterator().asScala.toList finally sr.close()
-        back.foreach(f => Files.move(f, target.resolve(f.getFileName)))
-        graft.util.Fs.deleteRec(Paths.get(tmp))
-        throw e
+      // 1. commit the new base file(s) into the LIVE directory under
+      //    fresh names — the directory never vanishes, and concurrent
+      //    appenders' UUID part files can never collide
+      if (Files.exists(rewritten)) {
+        val s = Files.list(rewritten)
+        val bs = try s.iterator().asScala.toList finally s.close()
+        bs.filter(_.getFileName.toString.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (f, i) =>
+            Files.move(f,
+              target.resolve(s"base-${System.nanoTime}-$i.parquet")): Unit
+          }
       }
+      // 2. delete this compaction's snapshot files, lowest version first
+      //    (see scaladoc invariant); files a concurrent appender landed
+      //    meanwhile are not in the snapshot and are untouched
+      snapshot(b).toSeq
+        .sortBy(f => (fileVer.getOrElse((b, f), 0L), f))
+        .foreach(f =>
+          Files.deleteIfExists(Paths.get(s"$path/$BucketCol=$b/$f")): Unit)
     }
     graft.util.Fs.deleteRec(Paths.get(tmp))
     pruneMarkers(path)
