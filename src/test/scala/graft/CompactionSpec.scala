@@ -198,6 +198,37 @@ class CompactionSpec extends SparkSpec {
     assert(lg === Seq(1L, 10L))
   }
 
+  test("crashed-run leftovers are inert: orphan tmp dirs never surface " +
+      "in reads, and the next locked compaction sweeps dead compact tmps") {
+    val dir = tmpDir("compact-orphan") + "/t"
+    PartitionedMerge.appendInto(spark, dir,
+      Seq((1, "a"), (2, "b")).toDF("id", "name"), Seq("id"), 4)
+    PartitionedMerge.appendInto(spark, dir,
+      Seq((1, "a2"), (3, "c")).toDF("id", "name"), Seq("id"), 4)
+    def resolved() = PartitionedMerge.readResolved(spark, dir, Seq("id"))
+      .orderBy("id").as[(Int, String)].collect().toSeq
+    val want = Seq((1, "a2"), (2, "b"), (3, "c"))
+    assert(resolved() === want)
+    // a crashed append's private staging and a crashed compaction's tmp:
+    // unique sibling names, so neither is ever read as table data
+    val orphanA = Paths.get(dir + ".tmp-append-999")
+    Files.createDirectories(orphanA.resolve("gbucket=0"))
+    Files.write(orphanA.resolve("gbucket=0/junk.parquet"),
+      "not-parquet".getBytes): Unit
+    val orphanC = Paths.get(dir + ".tmp-compact-123")
+    Files.createDirectories(orphanC)
+    Files.write(orphanC.resolve("junk"), "x".getBytes): Unit
+    assert(resolved() === want)
+    // the next locked compaction sweeps the dead compact tmp (its run is
+    // over by definition — unique names are never referenced again) and
+    // leaves the append tmp alone (an appender holds no compactor lock,
+    // so compaction cannot know the append is dead)
+    PartitionedMerge.compact(spark, dir, Seq("id")): Unit
+    assert(!Files.exists(orphanC))
+    assert(Files.exists(orphanA))
+    assert(resolved() === want)
+  }
+
   test("append composes with a mergeInto-created base") {
     val path = tmpDir("compact2") + "/t"
     val base = (1 to 50).map(i => (i, s"base$i")).toDF("id", "name")
