@@ -78,21 +78,66 @@ class GroupCommit(spark: org.apache.spark.sql.SparkSession,
     n
   }
 
-  /** Merge all staged pages (latest page wins per `key`) and clear the
-    * staging area. Safe to call with nothing staged. Idempotent in effect:
-    * the downstream merge is last-writer-wins by natural key, so a crash
-    * between merge and clear just re-merges the same rows on recovery. */
+  /** Merge all staged pages (latest page wins per `key`) and clear
+    * exactly those pages. Safe to call with nothing staged. Idempotent
+    * in effect: the downstream merge is last-writer-wins by natural key,
+    * so a crash between merge and clear just re-merges the same rows on
+    * recovery.
+    *
+    * Concurrent-stager safety (r7): the pre-r7 clear was a recursive
+    * delete of the WHOLE staging dir, so a page committed by an
+    * overlapping stager between this flush's listing and its delete was
+    * destroyed unmerged — a lost acknowledged page, in exactly the
+    * multi-stager scenario the r6 claim protocol added support for. Now
+    * (1) flushers mutually exclude via a try-lock (busy → return 0; the
+    * running flusher merges what it listed, later pages wait for the
+    * next flush or recover()); (2) the read covers EXACTLY the listed
+    * page dirs; (3) only those dirs are deleted. A page landing
+    * mid-flush is neither read nor touched. */
   def flush(): Long = {
-    val pages = stagedPages()
-    if (pages.isEmpty) return 0L
-    // the p=<seq> dirs form a partitioned layout: one read, `p` inferred;
-    // mergeSchema so pages staged across an additive schema change still
-    // union (older pages NULL-fill the new columns)
-    val all = spark.read.option("mergeSchema", "true").parquet(stagingDir)
-    val latest = Upsert.latestPerKey(all, Seq(key), Seq("p")).drop("p")
-    val n = merge(latest)
-    graft.util.Fs.deleteRec(Paths.get(stagingDir))
-    n
+    val root = Paths.get(stagingDir)
+    if (!Files.exists(root)) return 0L
+    val lock = root.resolve("_flush_lock")
+    def tryLock(): Boolean =
+      try { Files.createFile(lock); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!tryLock()) {
+      // same stale-break protocol as PartitionedMerge.compact: tolerate
+      // the holder releasing mid-stat, break >10-min locks atomically
+      val age =
+        try System.currentTimeMillis -
+          Files.getLastModifiedTime(lock).toMillis
+        catch { case _: java.nio.file.NoSuchFileException => -1L }
+      if (age >= 0 && age < 10 * 60 * 1000L) return 0L
+      if (age >= 10 * 60 * 1000L) {
+        val tomb = root.resolve(s"_flush_lock.stale-${System.nanoTime}")
+        try { Files.move(lock, tomb); Files.deleteIfExists(tomb): Unit }
+        catch { case _: java.nio.file.NoSuchFileException => () }
+      }
+      if (!tryLock()) return 0L
+    }
+    try {
+      val pages = stagedPages()
+      if (pages.isEmpty) return 0L
+      // a claimed-but-empty dir is a stage() mid-write (claim placed,
+      // data not yet renamed in): not this flush's to read OR delete
+      val dirs = pages.map(p => s"$stagingDir/p=$p").filter { d =>
+        val s = Files.list(Paths.get(d))
+        try s.iterator().asScala
+          .exists(_.getFileName.toString.endsWith(".parquet"))
+        finally s.close()
+      }
+      if (dirs.isEmpty) return 0L
+      // explicit page paths + basePath (→ `p` partition column), so a
+      // page committed after the listing is out of scope; mergeSchema so
+      // pages staged across an additive schema change still union
+      val all = spark.read.option("mergeSchema", "true")
+        .option("basePath", stagingDir).parquet(dirs: _*)
+      val latest = Upsert.latestPerKey(all, Seq(key), Seq("p")).drop("p")
+      val n = merge(latest)
+      dirs.foreach(d => graft.util.Fs.deleteRec(Paths.get(d)))
+      n
+    } finally { Files.deleteIfExists(lock): Unit }
   }
 
   /** Run at step start: merge any pages a previous run staged but did not

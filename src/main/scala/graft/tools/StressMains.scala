@@ -23,16 +23,25 @@ object StressMains {
   }
 }
 
-/** args: stagingDir workerId nPages — stage nPages one-row pages into a
-  * shared staging dir (no auto-flush: the race under test is the claim).
-  */
+/** args: stagingDir tableDir workerId nPages every — stage nPages
+  * one-row pages into a shared staging dir. `every <= 0` disables
+  * auto-flush (the claim-only race); otherwise every K-th stage
+  * triggers a flush whose merge delta-appends into the shared
+  * `tableDir` — racing the OTHER worker's stages and flushes, the
+  * scenario where a whole-dir clear loses acknowledged pages. Pass
+  * tableDir `-` with auto-flush off. */
 object StressGroupCommit {
   def main(args: Array[String]): Unit = {
-    val Array(stagingDir, workerId, nPages) = args
+    val Array(stagingDir, tableDir, workerId, nPages, every) = args
     val spark = StressMains.session(s"stress-gc-$workerId")
     import spark.implicits._
-    val gc = new graft.etl.GroupCommit(spark, stagingDir, Int.MaxValue,
-      "k", _ => 0L)
+    val e = every.toInt
+    val merge: org.apache.spark.sql.DataFrame => Long =
+      if (tableDir == "-") _ => 0L
+      else df => graft.etl.PartitionedMerge.appendInto(spark, tableDir,
+        df, Seq("k"), numBuckets = 4, compactThreshold = 0)
+    val gc = new graft.etl.GroupCommit(spark, stagingDir,
+      if (e <= 0) Int.MaxValue else e, "k", merge)
     val w = workerId.toInt
     (0 until nPages.toInt).foreach { i =>
       gc.stage(Seq((w * 1000 + i, s"w$w-p$i")).toDF("k", "v")): Unit

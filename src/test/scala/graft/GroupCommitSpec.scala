@@ -35,7 +35,13 @@ class GroupCommitSpec extends SparkSpec {
     assert(g.stage(Seq(("3", "c")).toDF("id", "v")) === 1L)
     // 3rd page triggers the merge; page order wins for key 2
     assert(table(s"$root/t") === Seq(("1", "a"), ("2", "b2"), ("3", "c")))
-    assert(!Files.exists(Paths.get(s"$root/staging"))) // cleared
+    // cleared: no PAGE dirs remain (since the r7 concurrent-flush fix the
+    // staging root itself persists — flush deletes exactly what it merged)
+    val s = Files.list(Paths.get(s"$root/staging"))
+    val left = try s.iterator().asScala
+      .count(_.getFileName.toString.startsWith("p="))
+    finally s.close()
+    assert(left === 0)
   }
 
   test("recover() merges pages a previous run staged but never flushed") {

@@ -51,13 +51,37 @@ class MultiProcessStressSpec extends SparkSpec {
     val staging = tmpDir("mp-gc") + "/staging"
     awaitOk(Seq(0, 1).map(w =>
       forkJava("graft.tools.StressGroupCommit",
-        Seq(staging, w.toString, "10"))))
+        Seq(staging, "-", w.toString, "10", "0"))))
     val staged = spark.read.parquet(staging)
     // 20 one-row pages: no page number claimed twice (distinct p), no
     // row lost or duplicated (distinct k), no torn page dirs
     assert(staged.count() === 20)
     assert(staged.select("k").distinct().count() === 20)
     assert(staged.select("p").distinct().count() === 20)
+  }
+
+  test("two JVMs staging WITH auto-flush into one shared table: flushes " +
+      "racing stages lose no acknowledged page") {
+    val root = tmpDir("mp-gcf")
+    val staging = s"$root/staging"
+    val table = s"$root/table"
+    // every=3: each worker's 10 stages interleave ~3 flushes with the
+    // other worker's stages and flushes — the whole-dir clear this spec
+    // regressed against destroyed pages staged mid-flush
+    awaitOk(Seq(0, 1).map(w =>
+      forkJava("graft.tools.StressGroupCommit",
+        Seq(staging, table, w.toString, "10", "3"))))
+    // mop up what stayed staged, exactly as a step's recover() would
+    import org.apache.spark.sql.DataFrame
+    val gc = new graft.etl.GroupCommit(spark, staging, Int.MaxValue, "k",
+      (df: DataFrame) => PartitionedMerge.appendInto(spark, table, df,
+        Seq("k"), numBuckets = 4, compactThreshold = 0))
+    gc.recover()
+    val got = PartitionedMerge.readResolved(spark, table, Seq("k"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val expected = (for { w <- Seq(0, 1); i <- 0 until 10 }
+      yield (w * 1000 + i) -> s"w$w-p$i").toMap
+    assert(got === expected)
   }
 
   test("two appender JVMs + a compactor JVM on one delta table: " +

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.time.Instant
+import scala.jdk.CollectionConverters._
 
 import graft.etl.{IncrementalStep, Pipeline}
 
@@ -85,7 +86,16 @@ class PipelineSpec extends SparkSpec {
       assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
         s"table $tbl differs between K=1 and K=3")
     }
-    // no staged pages left behind after a completed run
-    assert(!Files.exists(Paths.get(s"$tgt3/_staging/produtos")))
+    // no staged PAGES left behind after a completed run (the staging
+    // root may persist since the r7 concurrent-flush fix — flush
+    // deletes exactly the page dirs it merged)
+    val stagingRoot = Paths.get(s"$tgt3/_staging/produtos")
+    if (Files.exists(stagingRoot)) {
+      val s = Files.list(stagingRoot)
+      val left = try s.iterator().asScala
+        .count(_.getFileName.toString.startsWith("p="))
+      finally s.close()
+      assert(left === 0)
+    }
   }
 }
