@@ -487,6 +487,63 @@ object TextOps {
                     CAST(0 AS BIGINT),
                     (h, e) -> (h * 31 + e) % 1000000007)""").as("fingerprint"))
         .orderBy("doc_id")
+    }),
+
+    "x_repetition_scores" -> ((s, d) => {
+      // Gopher-style WITHIN-document repetition filters (Rae et al.
+      // 2021, §A1.1): heavy n-gram repetition marks low-quality /
+      // boilerplate docs that pass the length/punct checks
+      // (x_quality_score) and are invisible to cross-doc dedup. Two
+      // published signals at token level: the fraction of tokens
+      // covered by the single most frequent bigram, and the fraction of
+      // tokens inside 3-grams occurring more than once (capped at 1 —
+      // overlapping windows overcount). Gram fan-out is a Generate in
+      // the scan stage (x_bigrams' shape); two shuffles on
+      // (doc_id, gram) with map-side partials; one output row per doc.
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .withColumn("n", size(col("tk")))
+      def grams(k: Int) = base.filter(col("n") >= k)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, n - ${k - 1}),
+              i -> concat_ws(' ', slice(tk, i, $k)))""")).as("gram"))
+      val top2 = grams(2).groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("m2"))
+      val dup3 = grams(3).groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .groupBy(col("doc_id")).agg(sum(col("c")).as("d3"))
+      base.select(col("doc_id"), col("n"))
+        .join(top2, Seq("doc_id"), "left")
+        .join(dup3, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          detRound(coalesce(col("m2"), lit(0L)) * 2.0 / col("n"), 6)
+            .as("top2_frac"),
+          detRound(least(lit(1.0),
+            coalesce(col("d3"), lit(0L)) * 3.0 / col("n")), 6)
+            .as("dup3_frac"))
+        .orderBy("doc_id")
+    }),
+
+    "x_dataset_split" -> ((s, d) => {
+      // deterministic train/valid/test assignment by key hash — the
+      // split a training pipeline needs: stable across runs,
+      // partitionings, and engines (md5 of the key string compares
+      // identically everywhere), no RNG state to manage. 80/10/10 via
+      // the first two hex chars ('cc' = 204/256 ≈ 79.7%, 'e6' = 230/256
+      // ≈ 89.8%). Pure scan-side map + one tiny aggregate; at 100 TB
+      // the split expression computes in the scan and doubles as a
+      // partition filter, so train/valid/test never rewrites data.
+      val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          when(h < "cc", "train").when(h < "e6", "valid")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_checksum"))
+        .orderBy("split")
     })
   )
 
@@ -779,6 +836,44 @@ object TextOps {
                 length(regexp_replace(
                   regexp_replace(txt, '[a-z0-9.]+@[a-z0-9.]+', '[EMAIL]', 'g'),
                   '[0-9][0-9][0-9][0-9]+', '[NUM]', 'g')) AS scrubbed_len
-         FROM injected ORDER BY doc_id"""
+         FROM injected ORDER BY doc_id""",
+
+    "x_repetition_scores" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk,
+                              len(string_split(text, ' ')) AS n
+                       FROM documents),
+         g2 AS (SELECT doc_id,
+                       array_to_string(list_slice(tk, i, i + 1), ' ') AS gram
+                FROM (SELECT doc_id, tk, unnest(range(1, n)) AS i
+                      FROM toks WHERE n >= 2)),
+         c2 AS (SELECT doc_id, MAX(c) AS m2 FROM (
+                  SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2)
+                GROUP BY 1),
+         g3 AS (SELECT doc_id,
+                       array_to_string(list_slice(tk, i, i + 2), ' ') AS gram
+                FROM (SELECT doc_id, tk, unnest(range(1, n - 1)) AS i
+                      FROM toks WHERE n >= 3)),
+         c3 AS (SELECT doc_id, SUM(c) AS d3 FROM (
+                  SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY 1, 2
+                  HAVING COUNT(*) >= 2)
+                GROUP BY 1)
+         SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+                floor((COALESCE(m2, 0) * 2.0 / t.n) * 1e6 + 0.5) / 1e6
+                  AS top2_frac,
+                floor(least(1.0, COALESCE(d3, 0) * 3.0 / t.n) * 1e6 + 0.5)
+                  / 1e6 AS dup3_frac
+         FROM toks t LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+         ORDER BY doc_id""",
+
+    "x_dataset_split" ->
+      """SELECT CASE
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'valid'
+                  ELSE 'test' END AS split,
+                COUNT(*) AS n_docs,
+                CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         FROM documents GROUP BY 1 ORDER BY split"""
   )
 }
