@@ -253,9 +253,13 @@ object PartitionedMerge {
     // one FileOutputCommitter `_temporary/0` under the table root, and
     // whichever job commits first deletes the other's staging — the
     // multi-process spec caught exactly that. Per-file moves into the
-    // live dirs carry the allocated seq in the name, never collide, and
-    // a crash mid-append leaves only an unreferenced unique tmp (the
-    // seq number burns, as documented on allocSeq).
+    // live dirs carry the allocated seq in the name and never collide.
+    // Crash model: before any move, only an unreferenced unique tmp
+    // remains (the seq number burns, as documented on allocSeq); a crash
+    // MID-move leaves a torn, UNACKNOWLEDGED batch visible — harmless
+    // under the step driver's retry contract (CrashRecoverySpec): the
+    // re-run re-appends the same page under a higher seq, whose rows win
+    // per key over the torn remnant at read time.
     val tmp = path + s".tmp-append-$seq"
     flat.withColumn(BucketCol, bucketExpr(keys, nb))
       .withColumn(SeqCol, lit(seq))
@@ -340,13 +344,16 @@ object PartitionedMerge {
     * object-store-shaped commit: per-file puts and deletes, no atomic
     * directory rename required. */
   def compact(spark: SparkSession, path: String, keys: Seq[String],
-              only: Option[Set[Int]] = None): Seq[(Int, Int)] = {
+              only: Option[Set[Int]] = None,
+              staleLockMs: Long = 10 * 60 * 1000L): Seq[(Int, Int)] = {
     val root = Paths.get(path)
     if (!Files.exists(root)) return Seq.empty
     // Compactors mutually exclude via a try-lock (two appenders crossing
     // the auto-compact threshold together must not both rewrite): busy →
     // return empty, the running compactor covers the work. A lock older
-    // than 10 min is a crashed compactor — break it and take over.
+    // than `staleLockMs` (default 10 min) is a crashed compactor — break
+    // it and take over (the crash-recovery spec lowers the threshold to
+    // exercise the takeover without the wall-clock wait).
     val lock = root.resolve("_compact_lock")
     def tryLock(): Boolean =
       try { Files.createFile(lock); true }
@@ -358,8 +365,8 @@ object PartitionedMerge {
         try System.currentTimeMillis -
           Files.getLastModifiedTime(lock).toMillis
         catch { case _: java.nio.file.NoSuchFileException => -1L }
-      if (age >= 0 && age < 10 * 60 * 1000L) return Seq.empty
-      if (age >= 10 * 60 * 1000L) {
+      if (age >= 0 && age < staleLockMs) return Seq.empty
+      if (age >= staleLockMs) {
         // break the stale lock ATOMICALLY: rename it aside, so of two
         // processes both seeing a >10-min lock only the mover that wins
         // the rename proceeds — a bare delete+create pair here let both

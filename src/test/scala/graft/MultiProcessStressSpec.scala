@@ -1,7 +1,7 @@
 package graft
 
 import java.lang.management.ManagementFactory
-import java.nio.file.Paths
+import java.nio.file.{Files, Paths}
 import java.util.concurrent.TimeUnit
 
 import scala.jdk.CollectionConverters._
@@ -82,6 +82,46 @@ class MultiProcessStressSpec extends SparkSpec {
     val expected = (for { w <- Seq(0, 1); i <- 0 until 10 }
       yield (w * 1000 + i) -> s"w$w-p$i").toMap
     assert(got === expected)
+  }
+
+  test("compactor JVM killed mid-compaction: reads stay correct at " +
+      "whatever step the kill landed, and a later compactor takes over " +
+      "past the stale lock (x3)") {
+    import spark.implicits._
+    (1 to 3).foreach { rep =>
+      val table = tmpDir(s"mp-kill$rep") + "/table"
+      // fragment 2 buckets with 12 key-overlapping delta appends
+      (0 until 12).foreach { i =>
+        PartitionedMerge.appendInto(spark, table,
+          Seq((i % 6, s"r$rep-v$i")).toDF("k", "v"), Seq("k"),
+          numBuckets = 2, compactThreshold = 0): Unit
+      }
+      val expected = PartitionedMerge.readResolved(spark, table, Seq("k"))
+        .orderBy("k").as[(Int, String)].collect().toSeq
+      val p = forkJava("graft.tools.StressCompactAppend",
+        Seq(table, "compact", "9", "1"))
+      // kill once the forked compactor is INSIDE compactLocked (its
+      // lock file exists), at a rep-varied offset to sample different
+      // protocol steps; tolerate the fast case where it already finished
+      val lock = Paths.get(s"$table/_compact_lock")
+      val deadline = System.currentTimeMillis + 60000
+      while (!Files.exists(lock) && p.isAlive &&
+        System.currentTimeMillis < deadline) Thread.sleep(10)
+      Thread.sleep(rep * 700L)
+      p.destroyForcibly(); p.waitFor()
+      // invariant: a crash at ANY step leaves merge-on-read correct
+      val afterKill = PartitionedMerge.readResolved(spark, table, Seq("k"))
+        .orderBy("k").as[(Int, String)].collect().toSeq
+      assert(afterKill === expected, s"rep $rep: reads changed by the kill")
+      // the killed run's lock must not fence compaction forever: a new
+      // compactor breaks it once stale and completes the fold
+      PartitionedMerge.compact(spark, table, Seq("k"),
+        staleLockMs = 1L): Unit
+      val afterTakeover = PartitionedMerge
+        .readResolved(spark, table, Seq("k"))
+        .orderBy("k").as[(Int, String)].collect().toSeq
+      assert(afterTakeover === expected, s"rep $rep: takeover changed reads")
+    }
   }
 
   test("two appender JVMs + a compactor JVM on one delta table: " +
