@@ -165,7 +165,14 @@ object StreamingIngest {
     * oversized docs pay the chunk fan-out (~n/25 chunks each). The
     * state is a (fp0, fp1, ts) parquet table maintained foreachBatch
     * like the other incremental sinks (IncrementalAgg, Sketch-
-    * Maintenance): O(batch · chunks) per trigger, never O(history). */
+    * Maintenance). Cost note: the JOIN side is O(batch · chunks), but
+    * the state REWRITE is O(state) per trigger — bounded by the
+    * watermark window (only fps newer than `delayMs` survive), which is
+    * the right trade while overflow docs are rare. If oversized docs
+    * stop being rare, swap the state table for the bucketed delta
+    * layout (PartitionedMerge.appendInto on (fp0, fp1) + watermark-
+    * filtered readResolved) so the per-trigger write returns to
+    * O(batch); the verdict logic is unchanged. */
   def chunkDedupSink(flagged: DataFrame, spark: SparkSession,
                      outPath: String, statePath: String, checkpoint: String,
                      delayMs: Long = 3600L * 1000)
