@@ -29,6 +29,18 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Verify writes errors.json for queries that crashed before producing
+    # output (r8 loud-failure contract). Queries WITH oracle SQL already
+    # show red via their sentinel parquet below; count the rest here so a
+    # crashed rows-only query can't pass unnoticed locally either.
+    try:
+        errors = json.load(open(f"{out_dir}/errors.json"))
+    except FileNotFoundError:
+        errors = {}
+    for name, msg in sorted(errors.items()):
+        if name not in oracle:
+            print(f"FAIL {name}: crashed (no oracle SQL): {msg}")
+            n_fail += 1
     for name, sql in sorted(oracle.items()):
         try:
             spark_df = con.execute(

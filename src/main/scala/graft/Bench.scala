@@ -20,11 +20,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def once(name: String): Unit =
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // A failed query must not contribute a bogus "time-to-crash" to the
+    // totals (r7: the broken x_sessionize recorded 0.195 s and silently
+    // flattered the registry total) — once() reports success, timed runs
+    // are dropped from the JSON, and failures get their own output field.
+    def once(name: String): Boolean =
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        false
       }
     // explicit args time just those queries (iteration diagnostics);
     // SPARK_GRAFT_BENCH_ALL=1 times the complete registry;
@@ -35,7 +42,7 @@ object Bench {
         SparkEntry.queries.keys.toSeq.sorted
       else SparkEntry.benchQueries
     // warm-up pass: JIT/codegen caches and file-footer reads, untimed
-    names.foreach(once)
+    names.foreach(n => { once(n): Unit })
     // min-of-N timing: the box shows up to 2x run-to-run noise on an identical
     // binary (r04 vs r05 swung -7.6% with zero code change), so a single timed
     // shot cannot distinguish noise from regression. Min over repeats is the
@@ -44,17 +51,18 @@ object Bench {
     // crashing the whole bench run
     val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
       .flatMap(_.trim.toIntOption).getOrElse(3).max(1)
-    def timed(name: String): Double = {
+    def timed(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      once(name)
-      (System.nanoTime() - t0) / 1e9
+      val ok = once(name)
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = names.map { name =>
+    val all = names.map { name =>
       val runs = Seq.fill(repeats)(timed(name))
-      (name, runs.min, runs.head)
+      (name, runs.map(_._1).min, runs.head._1, runs.forall(_._2))
     }
-    def obj(f: ((String, Double, Double)) => Double): String =
-      results.map { case r @ (k, _, _) => "\"" + k + "\":" + f(r) }
+    val (results, failed) = all.partition(_._4)
+    def obj(f: ((String, Double, Double, Boolean)) => Double): String =
+      results.map { case r @ (k, _, _, _) => "\"" + k + "\":" + f(r) }
         .mkString("{", ",", "}")
     val qs = obj(_._2)
     val qsSingle = obj(_._3)
@@ -62,8 +70,9 @@ object Bench {
     // value_single_shot keeps totals like-for-like against pre-r6 bench
     // files, whose "value" was a single-shot sum
     val totalSingle = results.map(_._3).sum
+    val failedArr = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-$repeats","value_single_shot":$totalSingle,"queries":$qs,"queries_single_shot":$qsSingle,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-$repeats","value_single_shot":$totalSingle,"queries":$qs,"queries_single_shot":$qsSingle,"failed":$failedArr,"sf":"$sfDir"}"""
     println(line)
     // sbt wraps stdout in `[info]` prefixes, which broke the driver's JSON
     // parse (BENCH_r02.parsed = null) — also emit the line to a BARE file

@@ -33,12 +33,27 @@ object Verify {
     val out = new java.io.File(outDir)
     if (out.exists()) rm(out)
     out.mkdirs()
+    // A crashed query must be LOUD: r7's x_sessionize failed at analysis and
+    // simply vanished from the driver's correctness file (absence != red).
+    // Three signals per failure: (a) a _FAILED_<name> marker file; (b) an
+    // errors.json summary; (c) a one-row sentinel parquet under the query's
+    // own output path, so the driver's DuckDB compare produces a visible
+    // schema/hash-mismatch red row instead of skipping an absent one.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+          System.err.println(s"[verify] $name FAILED: $msg")
+          failures(name) = msg
+          Files.writeString(Paths.get(s"$outDir/_FAILED_$name"), msg + "\n")
+          try {
+            import spark.implicits._
+            Seq((name, msg)).toDF("__graft_query_failed", "__graft_error")
+              .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          } catch { case _: Throwable => () } // marker + errors.json still stand
         }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -53,6 +68,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size} FAILED: ${failures.keys.mkString(", ")}")
     val json = SparkEntry.oracleSql.filter(e => keep(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

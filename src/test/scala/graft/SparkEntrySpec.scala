@@ -32,6 +32,25 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.benchQueries.nonEmpty)
   }
 
+  // r7 post-mortem: x_sessionize crashed at ANALYSIS time after a fixture
+  // regeneration changed events.ts's physical type, and no gate saw it —
+  // `sbt test` stayed green because nothing executed the registry. This test
+  // executes EVERY registered query at sf0.001 (limit(1) keeps it cheap:
+  // analysis + optimization + at least one task per query), so any
+  // resolution/codegen breakage becomes a named red test, never a silent
+  // absence from the driver's correctness file.
+  test("registry smoke: every query executes at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, "/root/testdata/sf0.001").limit(1).collect(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries failed to execute:\n${failures.mkString("\n")}")
+  }
+
   test("registerViews exposes every fixture table to spark.sql") {
     graft.util.Tables.registerViews(spark, "/root/testdata/sf0.001")
     val n = spark.sql(

@@ -310,6 +310,66 @@ class StreamingSpec extends SparkSpec {
       .after(Timestamp.valueOf("2024-01-01 12:59:59")))
   }
 
+  test("chunk-state sink over many triggers: state row/file counts stay " +
+      "bounded through repeated watermark expiry; in-window near-dups " +
+      "caught, expired fingerprints forgotten (the documented trade)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sc = spark.sqlContext
+    // drive the sink directly with SMALL docs (the sink chunks whatever
+    // arrives; the overflow routing is the previous test's concern) so
+    // the state machine can be cycled through several full watermark
+    // windows cheaply: 6 sections of 25 tokens = 150 tokens -> 5 chunks
+    def doc(tag: String): String =
+      (0 until 6).flatMap(b => (0 until 25).map(i => s"$tag${b}x$i"))
+        .mkString(" ")
+    def swapped(tag: String): String = { // section-swapped near-dup
+      val blocks = (0 until 6).map(b => (0 until 25).map(i => s"$tag${b}x$i"))
+      (blocks.drop(3) ++ blocks.take(3)).flatten.mkString(" ")
+    }
+    val out = tmpDir("chunkprune-out") + "/docs"
+    val state = tmpDir("chunkprune-state") + "/fps"
+    val ckpt = tmpDir("chunkprune-ckpt")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    def run(): Unit = {
+      val q = StreamingIngest.chunkDedupSink(
+        mem.toDF().toDF("doc_id", "ts", "text"), spark, out, state, ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    def stateRows(): Long = spark.read.parquet(state).count()
+    def stateFiles(): Int =
+      new java.io.File(state).listFiles().count(_.getName.endsWith(".parquet"))
+    // three pairs, each pair 2 h after the last (full window expiry between
+    // pairs, 1 h default delay); within each pair the second doc is a
+    // section-swapped near-dup 10 min later (inside the window -> dropped)
+    val counts = (0 until 3).map { k =>
+      val t0 = Timestamp.valueOf(s"2024-01-01 ${10 + 2 * k}:00:00")
+      val t1 = Timestamp.valueOf(s"2024-01-01 ${10 + 2 * k}:10:00")
+      mem.addData((2L * k + 1, t0, doc(s"g$k")))
+      run()
+      mem.addData((2L * k + 2, t1, swapped(s"g$k")))
+      run()
+      (stateRows(), stateFiles())
+    }
+    // survivors: only the first doc of each pair
+    assert(spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 3L, 5L))
+    // bounded state: after each pair the window holds ONE pair's
+    // fingerprints — identical counts each cycle, no growth across expiry
+    assert(counts.map(_._1).distinct.size === 1,
+      s"state row count grew across watermark cycles: $counts")
+    assert(counts.map(_._2).max <= counts.map(_._2).head,
+      s"state file count grew across watermark cycles: $counts")
+    // the flip side of bounded state, asserted not just documented: a
+    // duplicate of pair-0's doc arriving 8 h later finds its fingerprints
+    // expired and SURVIVES
+    mem.addData((7L, Timestamp.valueOf("2024-01-01 18:00:00"), doc("g0")))
+    run()
+    assert(spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 3L, 5L, 7L))
+  }
+
   test("stream-stream interval join attributes purchases to prior clicks") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
