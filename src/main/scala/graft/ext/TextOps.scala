@@ -138,6 +138,37 @@ object TextOps {
         .orderBy("blocked_by")
     }),
 
+    "x_source_quality_filter" -> ((s, d) => {
+      // domain-level filtering (the RefinedWeb/C4 stage BETWEEN doc-level
+      // quality and dedup): aggregate per-doc quality per `source`, block
+      // sources whose average falls below the mean of source averages.
+      // The decision table is tiny (O(#sources)); applying it to docs is
+      // a broadcast semi-join, so the doc side never reshuffles. All
+      // averaging runs over 4-decimal-rounded DECIMAL sums (exact,
+      // order-independent) so both engines agree bit-wise.
+      val q = t(s, d, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("n_stop", size(expr(
+          s"filter(split(text, ' '), t -> array_contains($stopArr, t))")))
+        .withColumn("n_punct", length(col("text"))
+          - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+        .withColumn("quality",
+          detRound(lit(0.5) * (col("n_stop") / col("n_tokens"))
+              + lit(0.3) * (lit(1.0) - col("n_punct") / length(col("text")))
+              + lit(0.2) * least(lit(1.0), col("n_tokens") / lit(100.0)), 4))
+      val perSource = q.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          detRound(graft.types.Coercions.dsum(col("quality"))
+            / count(lit(1)), 4).as("avg_quality"))
+      val overall = perSource.agg(
+        detRound(graft.types.Coercions.dsum(col("avg_quality"))
+          / count(lit(1)), 4).as("mean_avg"))
+      perSource.crossJoin(broadcast(overall))
+        .select(col("source"), col("n_docs"), col("avg_quality"),
+          (col("avg_quality") < col("mean_avg")).as("blocked"))
+        .orderBy("source")
+    }),
+
     "x_stratified_sample" -> ((s, d) => {
       // language-rebalancing sample: per-language keep-rates applied via
       // an md5 keyed on doc_id — deterministic, engine-agnostic (md5 of
@@ -625,6 +656,33 @@ object TextOps {
                  END AS blocked_by
                FROM documents)
          GROUP BY 1 ORDER BY blocked_by""",
+
+    "x_source_quality_filter" ->
+      s"""WITH q AS (
+           SELECT source,
+                  floor((0.5 * (n_stop / n_tokens)
+                         + 0.3 * (1.0 - n_punct / len)
+                         + 0.2 * least(1.0, n_tokens / 100.0)) * 1e4 + 0.5)
+                    / 1e4 AS quality
+           FROM (SELECT source,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_filter(string_split(text, ' '),
+                       t -> list_contains($stopList, t))) AS n_stop,
+                   length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct,
+                   length(text) AS len
+                 FROM documents)),
+         per_source AS (
+           SELECT source, COUNT(*) AS n_docs,
+                  floor((CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE)
+                         / COUNT(*)) * 1e4 + 0.5) / 1e4 AS avg_quality
+           FROM q GROUP BY 1),
+         overall AS (
+           SELECT floor((CAST(SUM(CAST(avg_quality AS DECIMAL(18,4))) AS DOUBLE)
+                         / COUNT(*)) * 1e4 + 0.5) / 1e4 AS mean_avg
+           FROM per_source)
+         SELECT source, n_docs, avg_quality,
+                (avg_quality < mean_avg) AS blocked
+         FROM per_source, overall ORDER BY source""",
 
     "x_stratified_sample" ->
       """WITH flagged AS (
