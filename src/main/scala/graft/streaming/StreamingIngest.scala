@@ -169,10 +169,10 @@ object StreamingIngest {
     * the state REWRITE is O(state) per trigger — bounded by the
     * watermark window (only fps newer than `delayMs` survive), which is
     * the right trade while overflow docs are rare. If oversized docs
-    * stop being rare, swap the state table for the bucketed delta
-    * layout (PartitionedMerge.appendInto on (fp0, fp1) + watermark-
-    * filtered readResolved) so the per-trigger write returns to
-    * O(batch); the verdict logic is unchanged. */
+    * stop being rare, use `chunkDedupSinkBucketed` (r8): the same
+    * verdict logic over a PartitionedMerge bucketed delta state table —
+    * O(batch) appends per trigger, physical pruning amortized to once
+    * per watermark window. */
   def chunkDedupSink(flagged: DataFrame, spark: SparkSession,
                      outPath: String, statePath: String, checkpoint: String,
                      delayMs: Long = 3600L * 1000)
@@ -185,40 +185,30 @@ object StreamingIngest {
         chunkDedupBatch(spark, outPath, statePath, batch, delayMs)
       }
 
-  private[streaming] def chunkDedupBatch(spark: SparkSession, outPath: String,
-                                         statePath: String, batch: DataFrame,
-                                         delayMs: Long): Unit = {
-    import java.nio.file.{Files, Paths}
-    val docs = batch.localCheckpoint()
-    if (docs.head(1).isEmpty) return
-    // x_doc_chunks recipe (50-token windows, stride 25) → per-chunk
-    // SimHash via the same row fold the stream uses, distinct per doc
-    // (overlapping windows of a repetitive doc may collide with
-    // THEMSELVES; a within-doc repeat must not read as a duplicate)
-    val fps = docs
-      .select(col("doc_id"), col("ts"), split(col("text"), " ").as("toks"))
-      .withColumn("n", size(col("toks")))
-      .select(col("doc_id"), col("ts"), col("toks"),
-        explode(expr(
-          "sequence(0, CAST(greatest(0, ceil((n - 25) / 25.0) - 1) AS INT))"))
-          .as("chunk_id"))
-      .withColumn("text",
-        expr("array_join(slice(toks, chunk_id * 25 + 1, 50), ' ')"))
-      .withColumn("sw", expr(graft.ext.DedupOps.simhashRowFoldSql))
-      .select(col("doc_id"), col("ts"),
-        graft.ext.DedupOps.simhashRowHalf(0).as("fp0"),
-        graft.ext.DedupOps.simhashRowHalf(32).as("fp1"))
-      .distinct()
-      .localCheckpoint()
-    val state =
-      if (Files.exists(Paths.get(statePath)))
-        spark.read.parquet(statePath).select("fp0", "fp1", "ts")
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        new StructType()
-          .add("fp0", "long").add("fp1", "long").add("ts", "timestamp"))
-    // doc verdict = any-chunk-dup: against the state, or against an
-    // earlier ((ts, doc_id)-min) doc of this batch owning the same fp
+  /** Chunk fingerprints of a doc batch: the x_doc_chunks recipe (50-token
+    * windows, stride 25) → per-chunk SimHash via the same row fold the
+    * stream uses, distinct per doc (overlapping windows of a repetitive
+    * doc may collide with THEMSELVES; a within-doc repeat must not read
+    * as a duplicate). */
+  private def chunkFingerprints(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("ts"), split(col("text"), " ").as("toks"))
+    .withColumn("n", size(col("toks")))
+    .select(col("doc_id"), col("ts"), col("toks"),
+      explode(expr(
+        "sequence(0, CAST(greatest(0, ceil((n - 25) / 25.0) - 1) AS INT))"))
+        .as("chunk_id"))
+    .withColumn("text",
+      expr("array_join(slice(toks, chunk_id * 25 + 1, 50), ' ')"))
+    .withColumn("sw", expr(graft.ext.DedupOps.simhashRowFoldSql))
+    .select(col("doc_id"), col("ts"),
+      graft.ext.DedupOps.simhashRowHalf(0).as("fp0"),
+      graft.ext.DedupOps.simhashRowHalf(32).as("fp1"))
+    .distinct()
+    .localCheckpoint()
+
+  /** Doc verdict = any-chunk-dup: against the visible state, or against
+    * an earlier ((ts, doc_id)-min) doc of this batch owning the same fp. */
+  private def dupDocIds(fps: DataFrame, state: DataFrame): DataFrame = {
     val dupVsState = fps.join(state, Seq("fp0", "fp1"), "left_semi")
       .select("doc_id").distinct()
     val owners = fps.groupBy("fp0", "fp1")
@@ -227,7 +217,27 @@ object StreamingIngest {
     val dupInBatch = fps.join(owners, Seq("fp0", "fp1"))
       .filter(col("doc_id") =!= col("owner_id"))
       .select("doc_id").distinct()
-    val dupIds = dupVsState.union(dupInBatch).distinct().localCheckpoint()
+    dupVsState.union(dupInBatch).distinct().localCheckpoint()
+  }
+
+  private def emptyFpState(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new StructType()
+        .add("fp0", "long").add("fp1", "long").add("ts", "timestamp"))
+
+  private[streaming] def chunkDedupBatch(spark: SparkSession, outPath: String,
+                                         statePath: String, batch: DataFrame,
+                                         delayMs: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    val docs = batch.localCheckpoint()
+    if (docs.head(1).isEmpty) return
+    val fps = chunkFingerprints(docs)
+    val state =
+      if (Files.exists(Paths.get(statePath)))
+        spark.read.parquet(statePath).select("fp0", "fp1", "ts")
+      else emptyFpState(spark)
+    val dupIds = dupDocIds(fps, state)
     docs.join(dupIds, Seq("doc_id"), "left_anti")
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outPath)
     // fold ALL observed fingerprints in, prune to the watermark window;
@@ -241,6 +251,119 @@ object StreamingIngest {
     val tmp = statePath + ".tmp"
     newState.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
     graft.util.Fs.swapInto(Paths.get(tmp), Paths.get(statePath))
+  }
+
+  /** The scale path the rewrite layout's cost note promises: chunk-dedup
+    * with the fingerprint state as a BUCKETED DELTA table
+    * (PartitionedMerge.appendInto on (fp0, fp1)), so the per-trigger
+    * state write is O(batch) — new fingerprints append into their hash
+    * buckets — instead of O(state) — the rewrite layout re-writes the
+    * whole table every trigger. Use when oversized docs are NOT rare.
+    *
+    * Semantics match the rewrite layout: the dup check sees exactly the
+    * fingerprints newer than the watermark cutoff AS OF THE PREVIOUS
+    * trigger (the rewrite layout prunes physically at trigger N, so
+    * trigger N+1 joins against cutoff_N state; here the same cutoff_N is
+    * persisted in `_watermark.json` and applied as a read filter).
+    * First-seen-wins on re-observed fingerprints (the append sends only
+    * keys absent from the visible state), matching the rewrite layout's
+    * min(ts) fold for in-order arrivals; an out-of-order duplicate
+    * carrying an OLDER ts than its stored first sighting keeps the
+    * stored ts here (the rewrite fold would lower it) — the fingerprint
+    * then survives marginally longer, which only widens dup coverage.
+    *
+    * Physical pruning of expired rows is AMORTIZED: a full filtered
+    * rewrite runs only when the watermark has advanced a full delay
+    * window past the last prune — O(state) once per window instead of
+    * every trigger, with the read filter keeping verdicts exact in
+    * between. Bucket compaction (appendInto's threshold) bounds
+    * per-bucket file counts independently. */
+  def chunkDedupSinkBucketed(flagged: DataFrame, spark: SparkSession,
+                             outPath: String, statePath: String,
+                             checkpoint: String,
+                             delayMs: Long = 3600L * 1000,
+                             numBuckets: Int = 16)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    flagged.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        chunkDedupBatchBucketed(spark, outPath, statePath, batch, delayMs,
+          numBuckets)
+      }
+
+  private def watermarkFile(statePath: String) =
+    java.nio.file.Paths.get(statePath + "._watermark.json")
+
+  /** (cutoffMs, lastPruneMs) persisted beside the bucketed state table. */
+  private[streaming] def readWatermark(statePath: String): Option[(Long, Long)] = {
+    val f = watermarkFile(statePath)
+    if (!java.nio.file.Files.exists(f)) None
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      val rx = """"cutoff"\s*:\s*(-?\d+).*"lastPrune"\s*:\s*(-?\d+)""".r
+      rx.findFirstMatchIn(s).map(m => (m.group(1).toLong, m.group(2).toLong))
+    }
+  }
+
+  private def writeWatermark(statePath: String, cutoffMs: Long,
+                             lastPruneMs: Long): Unit = {
+    val f = watermarkFile(statePath)
+    val tmp = java.nio.file.Paths.get(f.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp,
+      s"""{"cutoff": $cutoffMs, "lastPrune": $lastPruneMs}""")
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
+  private[streaming] def chunkDedupBatchBucketed(
+      spark: SparkSession, outPath: String, statePath: String,
+      batch: DataFrame, delayMs: Long, numBuckets: Int): Unit = {
+    import java.nio.file.{Files, Paths}
+    val docs = batch.localCheckpoint()
+    if (docs.head(1).isEmpty) return
+    val fps = chunkFingerprints(docs)
+    val keys = Seq("fp0", "fp1")
+    val wm = readWatermark(statePath)
+    val stateAll =
+      if (Files.exists(Paths.get(statePath)))
+        graft.etl.PartitionedMerge.readResolved(spark, statePath, keys)
+          .select("fp0", "fp1", "ts")
+      else emptyFpState(spark)
+    // visibility filter = previous trigger's cutoff, mirroring the
+    // rewrite layout's physical prune-at-previous-trigger
+    val state = wm.map { case (c, _) =>
+      stateAll.filter(col("ts") >= lit(new java.sql.Timestamp(c)))
+    }.getOrElse(stateAll).localCheckpoint()
+    val dupIds = dupDocIds(fps, state)
+    docs.join(dupIds, Seq("doc_id"), "left_anti")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outPath)
+    // O(batch) state write: first sighting per fingerprint this batch,
+    // minus keys the visible state already carries
+    val newFps = fps.select("fp0", "fp1", "ts")
+      .groupBy("fp0", "fp1").agg(min(col("ts")).as("ts"))
+      .join(state.select("fp0", "fp1"), keys, "left_anti")
+    graft.etl.PartitionedMerge.appendInto(spark, statePath, newFps, keys,
+      numBuckets): Unit
+    val maxTsMs =
+      docs.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    val cutoffMs = maxTsMs - delayMs
+    val lastPrune = wm.map(_._2).getOrElse(Long.MinValue)
+    if (lastPrune == Long.MinValue || cutoffMs - lastPrune >= delayMs) {
+      // amortized physical prune: filtered rewrite into a fresh bucketed
+      // table, then swap — at most once per watermark window
+      val live = graft.etl.PartitionedMerge.readResolved(spark, statePath,
+        keys).filter(col("ts") >= lit(new java.sql.Timestamp(cutoffMs)))
+        .localCheckpoint()
+      val tmp = statePath + ".tmp-prune"
+      graft.util.Fs.deleteRec(Paths.get(tmp))
+      graft.etl.PartitionedMerge.appendInto(spark, tmp, live, keys,
+        numBuckets): Unit
+      graft.util.Fs.swapInto(Paths.get(tmp), Paths.get(statePath))
+      writeWatermark(statePath, cutoffMs, cutoffMs)
+    } else writeWatermark(statePath, cutoffMs, lastPrune)
   }
 
   /** Stream-stream interval join: each purchase joins the same user's

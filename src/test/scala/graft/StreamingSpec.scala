@@ -370,6 +370,82 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq === Seq(1L, 3L, 5L, 7L))
   }
 
+  test("bucketed chunk-state sink (the O(batch) scale path): verdicts " +
+      "match the rewrite layout, triggers append without rewriting " +
+      "earlier delta files, amortized prune drops expired fingerprints") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sc = spark.sqlContext
+    def doc(tag: String): String =
+      (0 until 6).flatMap(b => (0 until 25).map(i => s"$tag${b}x$i"))
+        .mkString(" ")
+    def swapped(tag: String): String = {
+      val blocks = (0 until 6).map(b => (0 until 25).map(i => s"$tag${b}x$i"))
+      (blocks.drop(3) ++ blocks.take(3)).flatten.mkString(" ")
+    }
+    // the same event sequence drives BOTH layouts; survivors must agree
+    val batches = Seq(
+      Seq((1L, "2024-01-01 10:00:00", doc("g0"))),
+      Seq((2L, "2024-01-01 10:10:00", swapped("g0")), // near-dup -> drop
+          (3L, "2024-01-01 10:20:00", doc("g1"))),
+      Seq((4L, "2024-01-01 10:30:00", swapped("g1"))), // near-dup -> drop
+      // a full window later: cutoff advances past g0/g1 -> prune fires
+      Seq((5L, "2024-01-01 12:30:00", doc("g2"))),
+      // expired near-dups come back and SURVIVE under both layouts
+      Seq((6L, "2024-01-01 12:40:00", swapped("g0"))))
+    def drive(bucketed: Boolean): (String, String) = {
+      val out = tmpDir(s"chunkb-out-$bucketed") + "/docs"
+      val state = tmpDir(s"chunkb-state-$bucketed") + "/fps"
+      val ckpt = tmpDir(s"chunkb-ckpt-$bucketed")
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      var appendOnlyHeld = true
+      var preservedChecks = 0
+      def stateDeltaFiles(): Set[String] = {
+        val root = new java.io.File(state)
+        if (!root.exists()) Set.empty
+        else root.listFiles().filter(_.isDirectory)
+          .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => d.getName + "/" + f.getName)).toSet
+      }
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val before = if (bucketed) stateDeltaFiles() else Set.empty[String]
+        mem.addData(b.map { case (id, ts, tx) =>
+          (id, Timestamp.valueOf(ts), tx) }: _*)
+        val df = mem.toDF().toDF("doc_id", "ts", "text")
+        val q = (if (bucketed)
+          StreamingIngest.chunkDedupSinkBucketed(df, spark, out, state, ckpt)
+        else
+          StreamingIngest.chunkDedupSink(df, spark, out, state, ckpt)).start()
+        q.awaitTermination()
+        // triggers 2 and 3 (indexes 1, 2) stay inside the first watermark
+        // window: the bucketed layout must not rewrite or drop any delta
+        // file laid down before them — appends only
+        if (bucketed && (i == 1 || i == 2)) {
+          val after = stateDeltaFiles()
+          appendOnlyHeld &&= before.subsetOf(after)
+          preservedChecks += 1
+        }
+      }
+      assert(!bucketed || (appendOnlyHeld && preservedChecks == 2),
+        "bucketed layout rewrote pre-existing delta files inside a window")
+      (out, state)
+    }
+    val (outRewrite, _) = drive(bucketed = false)
+    val (outBucketed, stateB) = drive(bucketed = true)
+    def survivors(p: String): Seq[Long] =
+      spark.read.parquet(p).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors(outRewrite) === Seq(1L, 3L, 5L, 6L))
+    assert(survivors(outBucketed) === survivors(outRewrite))
+    // amortized prune ran at trigger 4 (cutoff 11:30 >= lastPrune + 1 h):
+    // expired g0/g1 fingerprints are physically gone from the state table
+    val minTs = graft.etl.PartitionedMerge
+      .readResolved(spark, stateB, Seq("fp0", "fp1"))
+      .agg(org.apache.spark.sql.functions.min(col("ts")))
+      .collect()(0).getTimestamp(0)
+    assert(minTs.after(Timestamp.valueOf("2024-01-01 11:29:59")),
+      s"expired fingerprints survived the amortized prune: min ts $minTs")
+  }
+
   test("stream-stream interval join attributes purchases to prior clicks") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
