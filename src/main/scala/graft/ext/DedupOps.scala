@@ -697,6 +697,38 @@ object DedupOps {
       // entry; only the Generate's shingle width changes.
       decontaminate(s, d, 8)),
 
+    "x_ngram_novelty" -> ((s, d) => {
+      // novelty scoring (data-curation dial): per doc, the fraction of
+      // its distinct 3-gram shingles whose FIRST owner (min doc_id over
+      // the corpus) is the doc itself — low novelty = mostly re-used
+      // phrasing, the cross-doc complement of x_repetition_scores'
+      // within-doc boilerplate. Aggregated per language. Plan: one
+      // scan-side Generate, one shuffle on the shingle for the owner
+      // min, one hash join back — the decontaminate shape without a
+      // benchmark side. At 100 TB shuffle xxhash64(shingle) instead of
+      // the text (collisions only blur the gauge); the string form here
+      // keeps the DuckDB twin exact.
+      val g = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("array_distinct(" + shinglesExprN(3) + ")")).as("sh"))
+      val owner = g.groupBy(col("sh")).agg(min(col("doc_id")).as("owner"))
+      val per = g.join(owner, "sh")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty", graft.types.Coercions.detRound(
+          col("n_novel") / col("n_grams"), 4))
+      per.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          graft.types.Coercions.detRound(
+            graft.types.Coercions.dsum(col("novelty")) / count(lit(1)), 4)
+            .as("avg_novelty"))
+        .orderBy("lang")
+    }),
+
     "x_ngram_jaccard" -> ((s, d) => {
       // verification tier: exact Jaccard over distinct shingle sets for the
       // constructed (original, near-dup copy) candidate pairs
@@ -718,6 +750,29 @@ object DedupOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "x_ngram_novelty" ->
+      s"""WITH tks AS (
+           SELECT doc_id, lang, string_split(text, ' ') AS tk
+           FROM documents),
+         g AS (
+           SELECT doc_id, lang,
+                  unnest(list_distinct(${shinglesSqlN(3)})) AS sh
+           FROM tks WHERE len(tk) >= 3),
+         own AS (SELECT sh, MIN(doc_id) AS owner FROM g GROUP BY 1),
+         per AS (
+           SELECT g.doc_id, g.lang, COUNT(*) AS n_grams,
+                  SUM(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END)
+                    AS n_novel
+           FROM g JOIN own o USING (sh) GROUP BY 1, 2),
+         r AS (
+           SELECT lang,
+                  floor((n_novel / n_grams) * 1e4 + 0.5) / 1e4 AS novelty
+           FROM per)
+         SELECT lang, COUNT(*) AS n_docs,
+                floor((CAST(SUM(CAST(novelty AS DECIMAL(18,4))) AS DOUBLE)
+                       / COUNT(*)) * 1e4 + 0.5) / 1e4 AS avg_novelty
+         FROM r GROUP BY 1 ORDER BY lang""",
+
     "x_dedup_pipeline" ->
       s"""WITH $nearDupCorpusSql,
           $minhashCandidatesSql,

@@ -189,6 +189,34 @@ object TextOps {
         .orderBy("lang")
     }),
 
+    "x_corpus_mix" -> ((s, d) => {
+      // data-mixing table (the per-source sampling plan every pretraining
+      // run computes): per-language token mass, its share of the corpus,
+      // and the downsampling weight that moves the mix toward uniform
+      // across languages WITHOUT upsampling (weight capped at 1) —
+      // expected_tokens is the post-mix token budget per language. Two
+      // tiny aggregates (O(#langs)) over one narrow scan; the weight
+      // table broadcasts to the sampler exactly like
+      // x_stratified_sample's rates. Every double derives from integer
+      // sums through one fixed operand order, so the oracle hash-matches.
+      val per = t(s, d, "documents")
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("total"),
+        count(lit(1)).as("n_langs"))
+      val share = col("n_tokens").cast("double") / col("total").cast("double")
+      val weight = least(lit(1.0), (lit(1.0) / col("n_langs")) / share)
+      per.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          detRound(share, 6).as("share"),
+          detRound(weight, 6).as("weight"),
+          floor(col("n_tokens").cast("double") * weight).cast("long")
+            .as("expected_tokens"))
+        .orderBy("lang")
+    }),
+
     "x_token_packing" -> ((s, d) => {
       // sequence-packing shape: docs in deterministic order, running
       // token count, 4096-token bins — the batch skeleton of LLM context
@@ -695,6 +723,30 @@ object TextOps {
          SELECT lang, COUNT(*) AS n_total,
                 CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM flagged GROUP BY 1 ORDER BY lang""",
+
+    "x_corpus_mix" ->
+      """WITH per AS (
+           SELECT lang, COUNT(*) AS n_docs,
+                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                    AS n_tokens
+           FROM documents GROUP BY 1),
+         tot AS (
+           SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+                  COUNT(*) AS n_langs
+           FROM per)
+         SELECT lang, n_docs, n_tokens,
+                floor((CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE))
+                      * 1e6 + 0.5) / 1e6 AS share,
+                floor(least(1.0, (1.0 / n_langs)
+                            / (CAST(n_tokens AS DOUBLE)
+                               / CAST(total AS DOUBLE))) * 1e6 + 0.5) / 1e6
+                  AS weight,
+                CAST(floor(CAST(n_tokens AS DOUBLE)
+                           * least(1.0, (1.0 / n_langs)
+                                   / (CAST(n_tokens AS DOUBLE)
+                                      / CAST(total AS DOUBLE)))) AS BIGINT)
+                  AS expected_tokens
+         FROM per, tot ORDER BY lang""",
 
     "x_token_packing" ->
       """WITH sized AS (
