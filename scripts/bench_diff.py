@@ -1,6 +1,9 @@
 #!/usr/bin/env python3
 """Cross-round per-query bench regression diff (r7, the r6 verdict's #5).
 
+r8: SIGPIPE restored to default so `| head` truncates cleanly instead of
+dumping a BrokenPipeError traceback.
+
 Usage: python3 scripts/bench_diff.py <old_bench.json> <new_bench.json> [band]
 
 Compares the per-query min-of-N times of two Bench JSON files (the bare
@@ -12,7 +15,10 @@ human (or the round log) decides what a mover means. Driver-side tooling
 only — the engine never depends on this.
 """
 import json
+import signal
 import sys
+
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
 
 def load(p):
