@@ -10,7 +10,6 @@ object Verify {
     // the driver always calls with exactly two args → full registry)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args.drop(2).toSet) else None
-    def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,6 +23,16 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir, only): Unit
+    spark.stop()
+  }
+
+  /** The dump itself, session-agnostic so `VerifyGateSpec` can exercise
+    * the failure contract against the shared test session. Returns the
+    * (name → error) map of crashed queries. */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          only: Option[Set[String]]): Map[String, String] = {
+    def keep(name: String): Boolean = only.forall(_.contains(name))
     // clear stale outputs: a failed query must NOT leave a previous run's
     // parquet behind to be compared as if fresh
     def rm(f: java.io.File): Unit = {
@@ -77,6 +86,6 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(e => keep(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    failures.toMap
   }
 }
