@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
@@ -322,6 +324,16 @@ object StreamingIngest {
       spark: SparkSession, outPath: String, statePath: String,
       batch: DataFrame, delayMs: Long, numBuckets: Int): Unit = {
     import java.nio.file.{Files, Paths}
+    // crash recovery (r8, kill-tested): a kill between the prune swap's
+    // two renames leaves the live table displaced (inside the tmp
+    // tree's sibling) and the COMPLETE pruned table still at tmp-prune
+    // — adopt it, otherwise the batch would see an empty state and
+    // re-admit every in-window duplicate. A tmp-prune WITH the live
+    // table intact is a crash before the swap began: stale, ignored
+    // here and cleared by the next prune.
+    val tmpPrunePath = Paths.get(statePath + ".tmp-prune")
+    if (!Files.exists(Paths.get(statePath)) && Files.exists(tmpPrunePath))
+      Files.move(tmpPrunePath, Paths.get(statePath)): Unit
     val docs = batch.localCheckpoint()
     if (docs.head(1).isEmpty) return
     val fps = chunkFingerprints(docs)
@@ -359,6 +371,16 @@ object StreamingIngest {
         .localCheckpoint()
       val tmp = statePath + ".tmp-prune"
       graft.util.Fs.deleteRec(Paths.get(tmp))
+      // clear crash-leftover asides from earlier interrupted prunes
+      // (outside the live path, so they never affect reads — this is
+      // housekeeping, not correctness)
+      Option(Paths.get(tmp).getParent).foreach { parent =>
+        val base = Paths.get(tmp).getFileName.toString + ".displaced-"
+        val s = Files.list(parent)
+        val stale = try s.iterator().asScala.toList.filter(
+          _.getFileName.toString.startsWith(base)) finally s.close()
+        stale.foreach(graft.util.Fs.deleteRec)
+      }
       graft.etl.PartitionedMerge.appendInto(spark, tmp, live, keys,
         numBuckets): Unit
       graft.util.Fs.swapInto(Paths.get(tmp), Paths.get(statePath))

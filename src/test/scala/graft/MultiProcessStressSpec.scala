@@ -124,6 +124,65 @@ class MultiProcessStressSpec extends SparkSpec {
     }
   }
 
+  test("chunk-state worker JVM killed during the amortized prune: state " +
+      "recovers (displaced table adopted), a resumed worker finishes, " +
+      "survivors match an unkilled reference run") {
+    import spark.implicits._
+    def doc(tag: String): String =
+      (0 until 6).flatMap(b => (0 until 25).map(i => s"$tag${b}x$i"))
+        .mkString(" ")
+    def swapped(tag: String): String = {
+      val blocks = (0 until 6).map(b => (0 until 25).map(i => s"$tag${b}x$i"))
+      (blocks.drop(3) ++ blocks.take(3)).flatten.mkString(" ")
+    }
+    // 4 batches, 2 h apart (delay 1 h -> EVERY batch triggers the
+    // amortized prune, maximizing the kill window); each batch is a
+    // (doc, section-swapped near-dup 10 min later) pair -> survivor =
+    // first doc of each pair
+    val root = tmpDir("mp-chunk")
+    val inDir = s"$root/in"
+    Files.createDirectories(Paths.get(inDir))
+    val batches = (0 until 4).map { k =>
+      Seq((2L * k + 1, java.sql.Timestamp.valueOf(
+             s"2024-01-01 ${10 + 2 * k}:00:00"), doc(s"g$k")),
+          (2L * k + 2, java.sql.Timestamp.valueOf(
+             s"2024-01-01 ${10 + 2 * k}:10:00"), swapped(s"g$k")))
+    }
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDF("doc_id", "ts", "text").write.parquet(s"$inDir/batch-$i")
+    }
+    val expected = Seq(1L, 3L, 5L, 7L)
+    val out = s"$root/out"
+    val state = s"$root/state"
+    val args = Seq(inDir, out, state, "4", (3600L * 1000).toString)
+    val p = forkJava("graft.streaming.StressChunkState", args)
+    // kill the instant a prune is in flight (its tmp table exists);
+    // tolerate the fast case where the worker finishes first
+    val tmpPrune = Paths.get(state + ".tmp-prune")
+    val deadline = System.currentTimeMillis + 120000
+    while (!Files.exists(tmpPrune) && p.isAlive &&
+      System.currentTimeMillis < deadline) Thread.sleep(2)
+    val killed = p.isAlive
+    p.destroyForcibly(); p.waitFor()
+    // whatever the kill left behind, a FRESH worker (the restarted
+    // streaming driver) must recover the state and finish the batches
+    awaitOk(Seq(forkJava("graft.streaming.StressChunkState", args)))
+    val survivors = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(survivors === expected,
+      s"killed=$killed: survivors $survivors != $expected")
+    // the recovered state is a readable bucketed table whose window
+    // holds only the final pair's fingerprints
+    val minTs = graft.etl.PartitionedMerge
+      .readResolved(spark, state, Seq("fp0", "fp1"))
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.col("ts")))
+      .collect()(0).getTimestamp(0)
+    assert(minTs.after(java.sql.Timestamp.valueOf("2024-01-01 15:09:59")),
+      s"killed=$killed: expired fingerprints survived: min ts $minTs")
+    assert(!Files.exists(tmpPrune), "stale prune tmp not cleaned up")
+  }
+
   test("two appender JVMs + a compactor JVM on one delta table: " +
       "latest-wins survives concurrent compaction, no acknowledged row lost") {
     val table = tmpDir("mp-ca") + "/table"
