@@ -746,6 +746,75 @@ object DedupOps {
             (size(col("a.shs")) + size(col("b.shs")) - col("inter")), 4)
             .as("jaccard"))
         .orderBy("doc_id")
+    }),
+
+    "x_span_dedup" -> ((s, d) => {
+      // exact-substring span dedup (Lee et al. 2022, "Deduplicating
+      // Training Data Makes Language Models Better"): find every
+      // k-token window that appears verbatim in >= 2 DISTINCT docs,
+      // merge overlapping/adjacent duplicated windows into maximal
+      // spans per doc, and report span count + duplicated-token
+      // coverage — the REMOVE-THE-SPAN dedup that doc-level dedup
+      // (x_dedup_*) and within-doc repetition (x_repetition_scores)
+      // both miss. Lee et al. run a suffix array at k=50; the
+      // distributed equivalent is rolling k-gram windows (k=8 here —
+      // the fixture docs are 10-100 tokens; width is the precision
+      // dial exactly as in decontaminate). Fixture construction:
+      // docs >= 25 with doc_id % 5 == 0 get a 12-token excerpt of
+      // donor doc (doc_id % 25) appended — known cross-doc plagiarism
+      // with known span length; the corpus's own natural near-dups
+      // surface too. Plan: one scan-side Generate (positions kept),
+      // one shuffle on the gram for the distinct-doc count, one join
+      // back, then doc-partitioned windows for the interval merge
+      // (gaps-and-islands) — never all-pairs, and the window state is
+      // bounded by a single doc's duplicated positions. At 100 TB
+      // shuffle xxhash64(gram) instead of the text; collisions only
+      // over-mark spans (the same trade Lee et al.'s Bloom variant
+      // makes). The string form keeps the DuckDB twin exact.
+      import org.apache.spark.sql.expressions.Window
+      val k = 8
+      val docs = t(s, d, "documents")
+      val donors = docs.filter(col("doc_id") < 25)
+        .select(col("doc_id").as("did"),
+          expr("concat_ws(' ', slice(split(text, ' '), 1, 12))").as("excerpt"))
+      val base = docs.withColumn("did", col("doc_id") % 25)
+        .join(broadcast(donors), "did")
+        .select(col("doc_id"),
+          when(col("doc_id") >= 25 && col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" "), col("excerpt")))
+            .otherwise(col("text")).as("text"))
+      val tks = base.select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .withColumn("n", size(col("tk")).cast("long"))
+      val shp = tks.filter(col("n") >= k)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, int(n) - ${k - 1}),
+              i -> struct(bigint(i) AS pos, concat_ws(' ', slice(tk, i, $k)) AS g))"""))
+          .as("sh"))
+        .select(col("doc_id"), col("sh.pos").as("pos"), col("sh.g").as("g"))
+      val dup = shp.groupBy(col("g"))
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("g"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val spans = shp.join(dup, "g")
+        .select(col("doc_id"), col("pos"))
+        .withColumn("b", when(
+          col("pos") > coalesce(lag(col("pos"), 1).over(w), lit(-k.toLong)) + k,
+          1L).otherwise(0L))
+        .withColumn("island", sum(col("b")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("island"))
+        .agg((max(col("pos")) - min(col("pos")) + k).as("span_tokens"))
+      val per = spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_spans"),
+          sum(col("span_tokens")).cast("long").as("dup_tokens"))
+      tks.select(col("doc_id"), col("n"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          graft.types.Coercions.detRound(
+            coalesce(col("dup_tokens"), lit(0L)) / col("n"), 6).as("dup_frac"))
+        .orderBy("doc_id")
     })
   )
 
@@ -968,6 +1037,52 @@ object DedupOps {
                        (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))))
                        * 1e4 + 0.5) / 1e4 AS jaccard
           FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000
-          ORDER BY doc_id"""
+          ORDER BY doc_id""",
+
+    "x_span_dedup" ->
+      """WITH base AS (
+           SELECT d.doc_id,
+                  CASE WHEN d.doc_id >= 25 AND d.doc_id % 5 = 0
+                       THEN d.text || ' ' || don.excerpt
+                       ELSE d.text END AS text
+           FROM documents d
+           JOIN (SELECT doc_id AS did,
+                        array_to_string(list_slice(string_split(text, ' '), 1, 12),
+                                        ' ') AS excerpt
+                 FROM documents WHERE doc_id < 25) don
+             ON don.did = d.doc_id % 25),
+         tks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM base),
+         shs AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(tk) - 6),
+                    i -> {'pos': i, 'g': array_to_string(list_slice(tk, i, i + 7), ' ')}))
+                    AS s
+           FROM tks WHERE len(tk) >= 8),
+         shp AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM shs),
+         dup AS (SELECT g FROM shp GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+         brk AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos > COALESCE(lag(pos) OVER w, -8) + 8
+                       THEN 1 ELSE 0 END AS b
+           FROM shp JOIN dup USING (g)
+           WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         isl AS (
+           SELECT doc_id, pos,
+                  SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+           FROM brk),
+         spans AS (
+           SELECT doc_id, island, MAX(pos) - MIN(pos) + 8 AS span_tokens
+           FROM isl GROUP BY 1, 2),
+         per AS (
+           SELECT doc_id, COUNT(*) AS n_dup_spans,
+                  CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+           FROM spans GROUP BY 1)
+         SELECT t.doc_id, len(t.tk) AS n_tokens,
+                COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+                COALESCE(p.dup_tokens, 0) AS dup_tokens,
+                floor((COALESCE(p.dup_tokens, 0) / len(t.tk)) * 1e6 + 0.5) / 1e6
+                  AS dup_frac
+         FROM tks t LEFT JOIN per p USING (doc_id) ORDER BY doc_id"""
   )
 }

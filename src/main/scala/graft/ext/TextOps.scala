@@ -603,6 +603,101 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("doc_id")).cast("long").as("id_checksum"))
         .orderBy("split")
+    }),
+
+    "x_lm_score" -> ((s, d) => {
+      // held-out LM quality scoring (the CCNet recipe, Wenzek et al.
+      // 2020: score every doc by a language model trained on trusted
+      // text; high perplexity = noise). The in-engine model is a
+      // per-language add-1-smoothed unigram LM trained on the even
+      // doc_id half; ALL docs are scored against it, so the odd half
+      // is genuinely held out. Held-out docs carry a synthesized
+      // doc-unique token so the OOV/smoothing path is exercised
+      // (p_oov = 1/(N+V+1)). Per-token log-probs are fixed-point
+      // rounded (floor(ln*1e6+0.5) as int64) BEFORE the per-doc sum —
+      // integer sums are order-independent, so the score is identical
+      // across partitionings and engines. Plan: one shuffle to build
+      // the O(V) model per language (map-side combine), the model +
+      // per-language totals broadcast back onto the token stream, one
+      // shuffle keyed by doc for the final fold. At 100 TB the model
+      // build streams over tokens once and the model table is
+      // vocabulary-sized — the scoring pass is a broadcast join in
+      // the scan stage (or a shuffled hash join on token if V
+      // outgrows the broadcast threshold).
+      val base = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 2 === 1,
+          concat(col("text"), lit(" uniq"), col("doc_id")))
+          .otherwise(col("text")).as("text"))
+      val toks = base.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      val model = toks.filter(col("doc_id") % 2 === 0)
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      val tot = model.groupBy(col("lang"))
+        .agg(sum(col("c")).cast("long").as("nn"), count(lit(1)).as("vv"))
+      toks
+        .join(broadcast(model), Seq("lang", "tok"), "left")
+        .join(broadcast(tot), Seq("lang"))
+        .withColumn("q", floor(
+          log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+              (col("nn") + col("vv") + lit(1.0))) * 1e6 + 0.5).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("c").isNull, 1L).otherwise(0L)).cast("long").as("n_oov"),
+          sum(col("q")).cast("long").as("sq"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, "train").otherwise("heldout").as("split"),
+          col("n_tokens"),
+          detRound(col("n_oov") / col("n_tokens"), 4).as("oov_frac"),
+          detRound(-(col("sq") / 1e6) / col("n_tokens"), 4).as("nll"))
+        .orderBy("doc_id")
+    }),
+
+    "x_dsir_weights" -> ((s, d) => {
+      // DSIR importance weights (Xie et al. 2023, "Data Selection for
+      // Language Models via Importance Resampling"): score every raw
+      // doc by how much its hashed-n-gram feature distribution looks
+      // like a TARGET domain vs the raw pool — the published
+      // domain-steering selector that composes with quality filtering
+      // (x_source_quality_filter picks good SOURCES; DSIR picks
+      // target-LIKE docs regardless of source). Features are hashed
+      // unigram buckets (md5 % 64 — engine-portable, no RNG); target
+      // = sources src0/src1; both bucket LMs are add-1 smoothed, and
+      // the per-token log-ratio ln(p/q) is fixed-point rounded before
+      // the integer per-doc sum (same determinism discipline as
+      // x_lm_score). kept = sign of the summed log-ratio (the
+      // resampling acceptance, made deterministic). Plan: the two
+      // bucket tables are O(64) — computed with one shuffle and
+      // broadcast back; scoring is scan-side + one doc-keyed shuffle.
+      // At 100 TB this is exactly DSIR's promise: the model state is
+      // tiny and fixed-size no matter the corpus.
+      val buckets = 64
+      val target = col("source").isin("src0", "src1")
+      val feat = t(s, d, "documents")
+        .select(col("doc_id"), target.as("is_target"),
+          explode(split(col("text"), " ")).as("tok"))
+        .withColumn("b",
+          conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("int") % buckets)
+      val tcnt = feat.filter(col("is_target"))
+        .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+      val rcnt = feat.filter(!col("is_target"))
+        .groupBy(col("b")).agg(count(lit(1)).as("rc"))
+      val tot = tcnt.agg(sum(col("tc")).cast("long").as("nt"))
+        .crossJoin(rcnt.agg(sum(col("rc")).cast("long").as("nr")))
+      feat
+        .join(broadcast(tcnt), Seq("b"), "left")
+        .join(broadcast(rcnt), Seq("b"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("q", floor(
+          (log((coalesce(col("tc"), lit(0L)) + lit(1.0)) /
+               (col("nt") + lit(buckets.toDouble))) -
+           log((coalesce(col("rc"), lit(0L)) + lit(1.0)) /
+               (col("nr") + lit(buckets.toDouble)))) * 1e6 + 0.5).cast("long"))
+        .groupBy(col("doc_id"), col("is_target"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("q")).cast("long").as("sq"))
+        .select(col("doc_id"), col("is_target"), col("n_tokens"),
+          detRound((col("sq") / 1e6) / col("n_tokens"), 4).as("avg_logratio"),
+          (col("sq") > 0).as("kept"))
+        .orderBy("doc_id")
     })
   )
 
@@ -984,6 +1079,76 @@ object TextOps {
                   ELSE 'test' END AS split,
                 COUNT(*) AS n_docs,
                 CAST(SUM(doc_id) AS BIGINT) AS id_checksum
-         FROM documents GROUP BY 1 ORDER BY split"""
+         FROM documents GROUP BY 1 ORDER BY split""",
+
+    "x_lm_score" ->
+      """WITH base AS (
+           SELECT doc_id, lang,
+                  CASE WHEN doc_id % 2 = 1
+                       THEN text || ' uniq' || CAST(doc_id AS VARCHAR)
+                       ELSE text END AS text
+           FROM documents),
+         toks AS (
+           SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+           FROM base),
+         model AS (
+           SELECT lang, tok, COUNT(*) AS c FROM toks
+           WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+         tot AS (
+           SELECT lang, CAST(SUM(c) AS BIGINT) AS nn, COUNT(*) AS vv
+           FROM model GROUP BY 1),
+         scored AS (
+           SELECT t.doc_id,
+                  CAST(floor(ln((COALESCE(m.c, 0) + 1.0)
+                               / (tt.nn + tt.vv + 1.0)) * 1e6 + 0.5)
+                       AS BIGINT) AS q,
+                  CASE WHEN m.c IS NULL THEN 1 ELSE 0 END AS oov
+           FROM toks t
+           LEFT JOIN model m ON m.lang = t.lang AND m.tok = t.tok
+           JOIN tot tt ON tt.lang = t.lang),
+         per AS (
+           SELECT doc_id, COUNT(*) AS n_tokens,
+                  CAST(SUM(oov) AS BIGINT) AS n_oov,
+                  CAST(SUM(q) AS BIGINT) AS sq
+           FROM scored GROUP BY 1)
+         SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'heldout' END
+                  AS split,
+                n_tokens,
+                floor((n_oov / n_tokens) * 1e4 + 0.5) / 1e4 AS oov_frac,
+                floor((-(sq / 1e6) / n_tokens) * 1e4 + 0.5) / 1e4 AS nll
+         FROM per ORDER BY doc_id""",
+
+    "x_dsir_weights" ->
+      """WITH feat AS (
+           SELECT doc_id, source IN ('src0', 'src1') AS is_target,
+                  CAST(('0x' || substr(md5(tok), 1, 2)) AS INT) % 64 AS b
+           FROM (SELECT doc_id, source,
+                        unnest(string_split(text, ' ')) AS tok
+                 FROM documents)),
+         tcnt AS (SELECT b, COUNT(*) AS tc FROM feat WHERE is_target
+                  GROUP BY 1),
+         rcnt AS (SELECT b, COUNT(*) AS rc FROM feat WHERE NOT is_target
+                  GROUP BY 1),
+         tot AS (SELECT (SELECT CAST(SUM(tc) AS BIGINT) FROM tcnt) AS nt,
+                        (SELECT CAST(SUM(rc) AS BIGINT) FROM rcnt) AS nr),
+         scored AS (
+           SELECT f.doc_id, f.is_target,
+                  CAST(floor((ln((COALESCE(t.tc, 0) + 1.0) / (tot.nt + 64.0))
+                            - ln((COALESCE(r.rc, 0) + 1.0) / (tot.nr + 64.0)))
+                             * 1e6 + 0.5) AS BIGINT) AS q
+           FROM feat f
+           LEFT JOIN tcnt t USING (b)
+           LEFT JOIN rcnt r USING (b)
+           CROSS JOIN tot),
+         per AS (
+           SELECT doc_id, is_target, COUNT(*) AS n_tokens,
+                  CAST(SUM(q) AS BIGINT) AS sq
+           FROM scored GROUP BY 1, 2)
+         SELECT doc_id, is_target, n_tokens,
+                floor(((sq / 1e6) / n_tokens) * 1e4 + 0.5) / 1e4
+                  AS avg_logratio,
+                (sq > 0) AS kept
+         FROM per ORDER BY doc_id"""
   )
 }

@@ -54,6 +54,78 @@ class ExtOpsInvariantSpec extends SparkSpec {
     assert(avgs.exists(_ < 1.0))
   }
 
+  test("x_span_dedup: every constructed plagiarism receiver is flagged, " +
+      "spans bounded by doc length, coverage >= the injected excerpt's " +
+      "duplicated window") {
+    val rows = run("x_span_dedup").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { r =>
+      val (n, spans, dup) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_dup_spans"), r.getAs[Long]("dup_tokens"))
+      assert(dup >= 0 && dup <= n, s"coverage $dup outside [0, $n]")
+      // a maximal merged span is >= the window width (8) and disjoint
+      // spans each cover >= 8 tokens: dup >= 8 * spans is the island
+      // invariant (equality only for isolated single windows)
+      assert(spans == 0 || dup >= 8 * spans,
+        s"islands too small: $spans spans, $dup tokens")
+    }
+    // receivers got a 12-token donor excerpt appended; with k=8 the
+    // excerpt carries 5 duplicated windows merging into >= 12 covered
+    // tokens (more if the receiver also shares natural spans)
+    rows.keys.filter(id => id >= 25 && id % 5 == 0).foreach { id =>
+      val r = rows(id)
+      assert(r.getAs[Long]("n_dup_spans") >= 1, s"receiver $id not flagged")
+      assert(r.getAs[Long]("dup_tokens") >= 12,
+        s"receiver $id covers only ${r.getAs[Long]("dup_tokens")}")
+    }
+    // receivers have doc_id % 5 == 0 and copy donor doc_id % 25, so
+    // only donors at ids 0/5/10/15/20 actually get excerpted; those
+    // with >= 12 tokens share their prefix and are flagged too
+    rows.keys.filter(id => id < 25 && id % 5 == 0).foreach { id =>
+      val r = rows(id)
+      if (r.getAs[Long]("n_tokens") >= 12)
+        assert(r.getAs[Long]("n_dup_spans") >= 1, s"donor $id not flagged")
+    }
+  }
+
+  test("x_lm_score: held-out docs carry OOV mass, training docs none, " +
+      "and held-out mean NLL exceeds training mean NLL") {
+    val rows = run("x_lm_score").collect()
+    val (train, held) = rows.partition(_.getAs[String]("split") == "train")
+    assert(train.nonEmpty && held.nonEmpty)
+    train.foreach(r => assert(r.getAs[Double]("oov_frac") == 0.0,
+      "training tokens are in the model by construction"))
+    held.foreach { r =>
+      assert(r.getAs[Double]("oov_frac") > 0.0,
+        "every held-out doc has its synthesized unique token")
+      assert(r.getAs[Double]("nll") > 0.0)
+    }
+    def meanNll(rs: Array[Row]) =
+      rs.map(_.getAs[Double]("nll")).sum / rs.length
+    assert(meanNll(held) > meanNll(train),
+      "held-out text must score worse than the text the model saw")
+  }
+
+  test("x_dsir_weights: target docs average a higher importance weight " +
+      "than raw docs, and kept agrees with the weight's sign") {
+    val rows = run("x_dsir_weights").collect()
+    val (tgt, raw) = rows.partition(_.getAs[Boolean]("is_target"))
+    assert(tgt.nonEmpty && raw.nonEmpty)
+    rows.foreach { r =>
+      val (w, kept) = (r.getAs[Double]("avg_logratio"),
+        r.getAs[Boolean]("kept"))
+      // detRound(4) can round a tiny positive sum to 0.0, so only
+      // check strict sign agreement away from the rounding boundary
+      if (math.abs(w) > 1e-3) assert(kept == (w > 0),
+        s"kept=$kept disagrees with avg_logratio=$w")
+    }
+    def mean(rs: Array[Row]) =
+      rs.map(_.getAs[Double]("avg_logratio")).sum / rs.length
+    assert(mean(tgt) > mean(raw),
+      "importance weights must separate the target domain from the pool")
+  }
+
   test("x_ann_ivfpq_residual_recall: deeper rerank never loses recall " +
       "(exact top-10 from a shortlist superset is monotone)") {
     val rows = run("x_ann_ivfpq_residual_recall").collect()
