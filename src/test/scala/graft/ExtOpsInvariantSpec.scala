@@ -126,6 +126,27 @@ class ExtOpsInvariantSpec extends SparkSpec {
       "importance weights must separate the target domain from the pool")
   }
 
+  test("x_semdedup: groups are the constructed (orig, copy) pairs that " +
+      "share a cell, keepers come from their own group, and the " +
+      "cell-boundary miss stays bounded") {
+    val rows = run("x_semdedup").collect()
+    // every dup group is one constructed pair: the original and its
+    // +1000 perturbed copy (no natural pair clears the 0.99 threshold)
+    rows.foreach { r =>
+      val (cluster, n, keeper, dropped) = (r.getAs[Long]("cluster"),
+        r.getAs[Long]("n_members"), r.getAs[Long]("keeper"),
+        r.getAs[Long]("n_dropped"))
+      assert(n == 2 && dropped == 1, s"group $cluster has $n members")
+      assert(keeper == cluster || keeper == cluster + 1000,
+        s"keeper $keeper outside group $cluster")
+    }
+    // 150 pairs were constructed; within-cell search misses only those
+    // whose copy crossed a cell boundary — the documented SemDeDup
+    // approximation. It must catch most pairs but is allowed misses.
+    assert(rows.length > 100 && rows.length <= 150,
+      s"${rows.length} groups found")
+  }
+
   test("x_ann_ivfpq_residual_recall: deeper rerank never loses recall " +
       "(exact top-10 from a shortlist superset is monotone)") {
     val rows = run("x_ann_ivfpq_residual_recall").collect()
