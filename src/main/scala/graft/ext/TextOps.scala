@@ -698,6 +698,86 @@ object TextOps {
           detRound((col("sq") / 1e6) / col("n_tokens"), 4).as("avg_logratio"),
           (col("sq") > 0).as("kept"))
         .orderBy("doc_id")
+    }),
+
+    "x_quality_classifier" -> ((s, d) => {
+      // fasttext-style linear quality classifier trained IN the engine
+      // — the discriminative selector the GPT-3/LLaMA data pipelines
+      // run (Brown et al. 2020 §A; Touvron et al. 2023: a linear
+      // classifier on hashed features separates "reference-like" from
+      // raw crawl; docs are kept by predicted score). Features are
+      // hashed-unigram counts + a bias bucket (b = -1); the label is
+      // text-derived (docs mentioning 'spark'), so the trainer must
+      // DISCOVER the predictive bucket through hash collisions.
+      // Training is 12 full-batch gradient steps with 1/(1+t) decay
+      // and inverse-class-frequency weighting. Determinism: the
+      // logistic sigmoid is replaced by the Elliott surrogate
+      // 0.5 + 0.5·z/(1+|z|) — +,-,×,÷,abs are all exactly rounded
+      // IEEE ops, so (with per-term fixed-point rounding before every
+      // cross-row sum) the whole 12-step trajectory is bit-identical
+      // in any engine and under any partitioning; no exp, no RNG.
+      // Plan: the feature table is built once (one shuffle) and
+      // checkpointed; each step is one keyed aggregate over it plus
+      // an O(65)-row gradient collect — the model state is
+      // fixed-size no matter the corpus, which is exactly why this
+      // classifier family scales to 100 TB (the per-step scan is
+      // embarrassingly parallel; production would sample the corpus
+      // for training and score the full corpus in one pass).
+      import s.implicits._
+      val iters = 12
+      val labeled = t(s, d, "documents").select(col("doc_id"),
+        array_contains(split(col("text"), " "), "spark").cast("int").as("y"),
+        col("text"))
+      val fb = labeled
+        .select(col("doc_id"), col("y"),
+          explode(split(col("text"), " ")).as("tok"))
+        .withColumn("b",
+          conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("int") % 64)
+        .groupBy(col("doc_id"), col("y"), col("b"))
+        .agg(count(lit(1)).cast("double").as("x"))
+        .unionByName(labeled.select(col("doc_id"), col("y"),
+          lit(-1).as("b"), lit(1.0).as("x")))
+        .localCheckpoint()
+      val cnts = fb.agg(
+        count_distinct(when(col("y") === 1, col("doc_id"))),
+        count_distinct(when(col("y") === 0, col("doc_id")))).first()
+      val (c1, c0) = (0.5 / cnts.getLong(0), 0.5 / cnts.getLong(1))
+      def zOf(w: Map[Int, Double]) = {
+        val wDf = broadcast(w.toSeq.sortBy(_._1).toDF("b", "wv"))
+        fb.join(wDf, Seq("b"), "left")
+          .groupBy(col("doc_id"), col("y"))
+          .agg(sum(floor(coalesce(col("wv"), lit(0.0)) * col("x") * 1e9)
+            .cast("long")).as("zfp"))
+      }
+      var w = (-1 until 64).map(_ -> 0.0).toMap
+      for (it <- 0 until iters) {
+        val e = zOf(w)
+          .withColumn("z", col("zfp").cast("double") / 1e9)
+          .withColumn("e",
+            (lit(0.5) + lit(0.5) * col("z") / (lit(1.0) + abs(col("z")))
+              - col("y"))
+              * when(col("y") === 1, lit(c1)).otherwise(lit(c0)))
+        val g = fb.join(e.select("doc_id", "e"), "doc_id")
+          .groupBy(col("b"))
+          .agg((sum(floor(col("e") * col("x") * 1e9).cast("long"))
+            .cast("double") / 1e9).as("g"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val lr = 1.0 / (1 + it)
+        w = w.map { case (b, wv) => b -> (wv - lr * g.getOrElse(b, 0.0)) }
+      }
+      zOf(w)
+        .withColumn("z", col("zfp").cast("double") / 1e9)
+        .withColumn("p",
+          lit(0.5) + lit(0.5) * col("z") / (lit(1.0) + abs(col("z"))))
+        .groupBy(col("y"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when((col("zfp") > 0) === (col("y") === 1), 1L).otherwise(0L))
+            .cast("long").as("n_correct"),
+          sum(when(col("zfp") > 0, 1L).otherwise(0L)).cast("long")
+            .as("n_pred_pos"),
+          detRound(graft.types.Coercions.dsum(detRound(col("p"), 4))
+            / count(lit(1)), 4).as("avg_score"))
+        .orderBy("y")
     })
   )
 
@@ -1149,6 +1229,66 @@ object TextOps {
                 floor(((sq / 1e6) / n_tokens) * 1e4 + 0.5) / 1e4
                   AS avg_logratio,
                 (sq > 0) AS kept
-         FROM per ORDER BY doc_id"""
+         FROM per ORDER BY doc_id""",
+
+    "x_quality_classifier" -> {
+      // the 12 gradient steps unrolled as generated CTEs — each step
+      // mirrors the Spark side exactly: integer-rounded per-term
+      // products, Elliott surrogate, 1/(1+t) decay, class weights
+      val iters = 12
+      val head =
+        """WITH fb AS MATERIALIZED (
+             SELECT doc_id, MAX(y) AS y, b, CAST(COUNT(*) AS DOUBLE) AS x
+             FROM (SELECT doc_id,
+                     CASE WHEN list_contains(string_split(text, ' '), 'spark')
+                          THEN 1 ELSE 0 END AS y,
+                     CAST(('0x' || substr(md5(tok), 1, 2)) AS INT) % 64 AS b
+                   FROM (SELECT doc_id, text,
+                           unnest(string_split(text, ' ')) AS tok
+                         FROM documents))
+             GROUP BY doc_id, b
+             UNION ALL
+             SELECT doc_id,
+                    CASE WHEN list_contains(string_split(text, ' '), 'spark')
+                         THEN 1 ELSE 0 END AS y,
+                    -1 AS b, 1.0 AS x
+             FROM documents),
+           cls AS MATERIALIZED (SELECT
+               0.5 / (SELECT COUNT(DISTINCT doc_id) FROM fb WHERE y = 1) AS c1,
+               0.5 / (SELECT COUNT(DISTINCT doc_id) FROM fb WHERE y = 0) AS c0),
+           w0 AS (SELECT unnest(range(-1, 64)) AS b, CAST(0 AS DOUBLE) AS wv)"""
+      val steps = (0 until iters).map { it =>
+        s"""z$it AS MATERIALIZED (SELECT f.doc_id, f.y,
+               CAST(SUM(CAST(floor(COALESCE(w.wv, 0) * f.x * 1e9) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS z
+             FROM fb f LEFT JOIN w$it w ON w.b = f.b GROUP BY 1, 2),
+           g$it AS MATERIALIZED (SELECT f.b,
+               CAST(SUM(CAST(floor((0.5 + 0.5 * z.z / (1 + abs(z.z)) - z.y)
+                 * (CASE WHEN z.y = 1 THEN cls.c1 ELSE cls.c0 END)
+                 * f.x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS g
+             FROM fb f JOIN z$it z USING (doc_id), cls GROUP BY 1),
+           w${it + 1} AS MATERIALIZED (SELECT w.b,
+               w.wv - (1.0 / ${1 + it}) * COALESCE(g.g, 0) AS wv
+             FROM w$it w LEFT JOIN g$it g USING (b))"""
+      }.mkString(",\n")
+      s"""$head,
+          $steps,
+          zf AS (SELECT f.doc_id, f.y,
+              SUM(CAST(floor(COALESCE(w.wv, 0) * f.x * 1e9) AS BIGINT)) AS zfp
+            FROM fb f LEFT JOIN w$iters w ON w.b = f.b GROUP BY 1, 2),
+          sc AS (SELECT doc_id, y, zfp,
+              0.5 + 0.5 * (CAST(zfp AS DOUBLE) / 1e9)
+                / (1 + abs(CAST(zfp AS DOUBLE) / 1e9)) AS p
+            FROM zf)
+          SELECT y, COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN (zfp > 0) = (y = 1) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_correct,
+            CAST(SUM(CASE WHEN zfp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_pred_pos,
+            floor((CAST(SUM(CAST(floor(p * 1e4 + 0.5) / 1e4
+                                 AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+                  * 1e4 + 0.5) / 1e4 AS avg_score
+          FROM sc GROUP BY 1 ORDER BY y"""
+    }
   )
 }

@@ -126,6 +126,28 @@ class ExtOpsInvariantSpec extends SparkSpec {
       "importance weights must separate the target domain from the pool")
   }
 
+  test("x_quality_classifier: training separates both classes well " +
+      "above their base rates and the class scores order correctly") {
+    val rows = run("x_quality_classifier").collect()
+      .map(r => r.getAs[Int]("y") -> r).toMap
+    assert(rows.keySet == Set(0, 1))
+    val (neg, pos) = (rows(0), rows(1))
+    // degenerate all-one-class predictors score 0 on the other class;
+    // a trained model must be clearly right on BOTH
+    Seq(neg, pos).foreach { r =>
+      val (n, c) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_correct"))
+      assert(c.toDouble / n > 0.6,
+        s"class ${r.getAs[Int]("y")}: $c/$n correct")
+    }
+    assert(pos.getAs[Double]("avg_score") > neg.getAs[Double]("avg_score"),
+      "positive class must average a higher predicted score")
+    // predicted-positive counts are consistent with correctness counts:
+    // for y=1, n_correct IS n_pred_pos; for y=0 it's the complement
+    assert(pos.getAs[Long]("n_correct") == pos.getAs[Long]("n_pred_pos"))
+    assert(neg.getAs[Long]("n_correct") ==
+      neg.getAs[Long]("n_docs") - neg.getAs[Long]("n_pred_pos"))
+  }
+
   test("x_semdedup: groups are the constructed (orig, copy) pairs that " +
       "share a cell, keepers come from their own group, and the " +
       "cell-boundary miss stays bounded") {
