@@ -815,6 +815,50 @@ object DedupOps {
           graft.types.Coercions.detRound(
             coalesce(col("dup_tokens"), lit(0L)) / col("n"), 6).as("dup_frac"))
         .orderBy("doc_id")
+    }),
+
+    "x_containment" -> ((s, d) => {
+      // Broder (1997) separates RESEMBLANCE (Jaccard — what the
+      // MinHash tier estimates) from CONTAINMENT |S(A)∩S(B)|/|S(A)| —
+      // the asymmetric measure that catches a short doc quoted inside
+      // a long one, where Jaccard stays low and resemblance dedup
+      // never fires. Fixture: receivers (doc_id % 7 == 3, >= 25)
+      // append the first 80% of donor (doc_id % 25)'s tokens, so the
+      // constructed pairs score containment ≈ 0.8 with Jaccard far
+      // below it — the gap IS the reason containment exists. Plan:
+      // the donor shingle sets are O(#donors) and broadcast; per
+      // receiver the intersection is a per-row array op — no
+      // shuffle beyond the corpus scan. At 100 TB the donor side
+      // (the "is this quoted?" reference set) stays the broadcast
+      // side exactly like the decontamination benchmark set.
+      val docs = t(s, d, "documents")
+      val donors = docs.filter(col("doc_id") < 25)
+        .select(col("doc_id").as("did"),
+          expr("""concat_ws(' ', slice(split(text, ' '), 1,
+              (4 * size(split(text, ' '))) div 5))""").as("excerpt"))
+      val corpus = docs.withColumn("did", col("doc_id") % 25)
+        .join(broadcast(donors), "did")
+        .select(col("doc_id"), col("did"),
+          when(col("doc_id") >= 25 && col("doc_id") % 7 === 3,
+            concat(col("text"), lit(" "), col("excerpt")))
+            .otherwise(col("text")).as("text"))
+      val sh = corpus.withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("shs", array_distinct(expr(shinglesExpr)))
+        .select(col("doc_id"), col("did"), col("shs"))
+      val donorSh = sh.filter(col("doc_id") < 25)
+        .select(col("doc_id").as("donor_id"), col("shs").as("dshs"))
+      sh.filter(col("doc_id") >= 25 && col("doc_id") % 7 === 3)
+        .join(broadcast(donorSh), col("donor_id") === col("did"))
+        .withColumn("inter",
+          size(array_intersect(col("dshs"), col("shs"))))
+        .select(col("donor_id"), col("doc_id").as("receiver_id"),
+          graft.types.Coercions.detRound(
+            col("inter") / size(col("dshs")), 4).as("containment"),
+          graft.types.Coercions.detRound(col("inter") /
+            (size(col("dshs")) + size(col("shs")) - col("inter")), 4)
+            .as("jaccard"))
+        .orderBy("receiver_id")
     })
   )
 
@@ -1083,6 +1127,36 @@ object DedupOps {
                 COALESCE(p.dup_tokens, 0) AS dup_tokens,
                 floor((COALESCE(p.dup_tokens, 0) / len(t.tk)) * 1e6 + 0.5) / 1e6
                   AS dup_frac
-         FROM tks t LEFT JOIN per p USING (doc_id) ORDER BY doc_id"""
+         FROM tks t LEFT JOIN per p USING (doc_id) ORDER BY doc_id""",
+
+    "x_containment" ->
+      s"""WITH base AS (
+           SELECT d.doc_id, d.doc_id % 25 AS did,
+                  CASE WHEN d.doc_id >= 25 AND d.doc_id % 7 = 3
+                       THEN d.text || ' ' || don.excerpt
+                       ELSE d.text END AS text
+           FROM documents d
+           JOIN (SELECT doc_id AS did,
+                        array_to_string(list_slice(string_split(text, ' '), 1,
+                          (4 * len(string_split(text, ' '))) // 5), ' ')
+                          AS excerpt
+                 FROM documents WHERE doc_id < 25) don
+             ON don.did = d.doc_id % 25),
+         tks AS (SELECT doc_id, did, string_split(text, ' ') AS tk
+                 FROM base),
+         sh AS (SELECT doc_id, did, list_distinct($shinglesSql) AS shs
+                FROM tks WHERE len(tk) >= 3),
+         dsh AS (SELECT doc_id AS donor_id, shs AS dshs FROM sh
+                 WHERE doc_id < 25)
+         SELECT d.donor_id, r.doc_id AS receiver_id,
+                floor((len(list_intersect(d.dshs, r.shs))
+                       / len(d.dshs)) * 1e4 + 0.5) / 1e4 AS containment,
+                floor((len(list_intersect(d.dshs, r.shs))
+                       / (len(d.dshs) + len(r.shs)
+                          - len(list_intersect(d.dshs, r.shs))))
+                      * 1e4 + 0.5) / 1e4 AS jaccard
+         FROM sh r JOIN dsh d ON d.donor_id = r.did
+         WHERE r.doc_id >= 25 AND r.doc_id % 7 = 3
+         ORDER BY receiver_id"""
   )
 }

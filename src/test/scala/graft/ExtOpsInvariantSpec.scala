@@ -126,6 +126,18 @@ class ExtOpsInvariantSpec extends SparkSpec {
       "importance weights must separate the target domain from the pool")
   }
 
+  test("x_containment: every constructed quote pair scores high " +
+      "containment while Jaccard stays strictly below it") {
+    val rows = run("x_containment").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (c, j) = (r.getAs[Double]("containment"), r.getAs[Double]("jaccard"))
+      assert(c >= 0.5, s"constructed quote pair scored containment $c")
+      assert(c > j, "containment must exceed resemblance on a strict " +
+        s"quote (c=$c j=$j) — the asymmetry is the measure's point")
+    }
+  }
+
   test("x_quality_classifier: training separates both classes well " +
       "above their base rates and the class scores order correctly") {
     val rows = run("x_quality_classifier").collect()
