@@ -700,6 +700,72 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    "x_cdc_chunks" -> ((s, d) => {
+      // content-defined chunking (the FastCDC/LBFS family, Muthitacharoen
+      // et al. 2001): chunk boundaries come from a rolling hash of the
+      // CONTENT (here: md5 of the trailing 4-token window, boundary when
+      // the first nibble < 2, expected chunk ~8 tokens), not from fixed
+      // offsets — so an insertion shifts at most the chunk it lands in
+      // and boundaries RESYNCHRONIZE. The fixture proves exactly that:
+      // copies with one token inserted at the front share ~0 fixed-width
+      // chunks with their original but most of their CDC chunks. This is
+      // the upgrade path for the streaming chunk-dedup sink's fixed
+      // 50/25 splitter (StreamingIngest.chunkDedupSink), which a single
+      // leading insertion would defeat. Plan: Generate with positions,
+      // one doc-keyed window for the boundary cumsum, ORDER-PINNED
+      // chunk reassembly (sorted struct collect — collect_list alone is
+      // partition-order-dependent), hash equi-join of original vs copy
+      // chunk sets. Everything shuffles on doc_id / chunk hash only.
+      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs.select(
+        (col("doc_id") + 100000).as("doc_id"),
+        concat(lit("inserted "), col("text")).as("text")))
+      val toks = corpus.select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("tk"), posexplode(col("tk")))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"),
+          when(col("pos") >= 3 && substring(md5(expr(
+            "concat_ws(' ', slice(tk, pos - 2, 4))")), 1, 1) < "2", 1L)
+            .otherwise(0L).as("b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      def sharedStats(chunked: DataFrame, label: String): DataFrame = {
+        val hashes = chunked.groupBy(col("doc_id"), col("chunk"))
+          .agg(md5(expr("concat_ws(' ', transform(" +
+            "array_sort(collect_list(struct(pos, tok))), x -> x.tok))"))
+            .as("h"))
+          .select(col("doc_id"), col("h")).distinct()
+        val o = hashes.filter(col("doc_id") < 100000)
+        val c = hashes.filter(col("doc_id") >= 100000)
+          .select((col("doc_id") - 100000).as("doc_id"), col("h"))
+        val per = o.groupBy(col("doc_id")).agg(count(lit(1)).as("n_orig"))
+          .join(c.groupBy(col("doc_id")).agg(count(lit(1)).as("n_copy")),
+            "doc_id")
+          .join(o.join(c, Seq("doc_id", "h")).groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_shared")), Seq("doc_id"), "left")
+          .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        per.agg(count(lit(1)).as("n_docs"),
+            sum(col("n_orig")).cast("long").as("chunks_orig"),
+            sum(col("n_shared")).cast("long").as("chunks_shared"),
+            graft.types.Coercions.detRound(
+              graft.types.Coercions.dsum(graft.types.Coercions.detRound(
+                col("n_shared") / col("n_orig"), 4)) / count(lit(1)), 4)
+              .as("avg_shared_frac"))
+          .select(lit(label).as("strategy"), col("n_docs"),
+            col("chunks_orig"), col("chunks_shared"), col("avg_shared_frac"))
+      }
+      val cdc = toks
+        .withColumn("nb", lag(col("b"), 1, 0L).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy("pos")))
+        .withColumn("chunk", sum(col("nb")).over(w))
+      val fixed = toks.withColumn("chunk", expr("pos div 8"))
+      sharedStats(cdc, "cdc").unionByName(sharedStats(fixed, "fixed"))
+        .orderBy("strategy")
+    }),
+
     "x_quality_classifier" -> ((s, d) => {
       // fasttext-style linear quality classifier trained IN the engine
       // — the discriminative selector the GPT-3/LLaMA data pipelines
@@ -1230,6 +1296,64 @@ object TextOps {
                   AS avg_logratio,
                 (sq > 0) AS kept
          FROM per ORDER BY doc_id""",
+
+    "x_cdc_chunks" -> {
+      def statsFor(label: String): String =
+        s"""SELECT '$label' AS strategy, COUNT(*) AS n_docs,
+            CAST(SUM(n_orig) AS BIGINT) AS chunks_orig,
+            CAST(SUM(n_shared) AS BIGINT) AS chunks_shared,
+            floor((CAST(SUM(CAST(floor((n_shared / n_orig) * 1e4 + 0.5) / 1e4
+                                 AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+                  * 1e4 + 0.5) / 1e4 AS avg_shared_frac
+            FROM (
+              SELECT o.doc_id, o.n_orig, c.n_copy,
+                     COALESCE(sh.n_shared, 0) AS n_shared
+              FROM (SELECT doc_id, COUNT(*) AS n_orig FROM hashes_$label
+                    WHERE doc_id < 100000 GROUP BY 1) o
+              JOIN (SELECT doc_id - 100000 AS doc_id, COUNT(*) AS n_copy
+                    FROM hashes_$label WHERE doc_id >= 100000 GROUP BY 1) c
+                USING (doc_id)
+              LEFT JOIN (SELECT a.doc_id, COUNT(*) AS n_shared
+                         FROM hashes_$label a
+                         JOIN (SELECT doc_id - 100000 AS doc_id, h
+                               FROM hashes_$label
+                               WHERE doc_id >= 100000) b
+                           ON b.doc_id = a.doc_id AND b.h = a.h
+                         WHERE a.doc_id < 100000 GROUP BY 1) sh
+                USING (doc_id))"""
+      s"""WITH base AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 200
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, 'inserted ' || text AS text
+            FROM documents WHERE doc_id < 200),
+          tks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM base),
+          toks AS MATERIALIZED (
+            SELECT doc_id, pos, tk[pos + 1] AS tok,
+                   CASE WHEN pos >= 3 AND substr(md5(array_to_string(
+                          list_slice(tk, pos - 2, pos + 1), ' ')), 1, 1) < '2'
+                        THEN 1 ELSE 0 END AS b
+            FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS pos
+                  FROM tks)),
+          withchunk AS MATERIALIZED (
+            SELECT doc_id, pos, tok,
+                   COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cdc_chunk,
+                   pos // 8 AS fixed_chunk
+            FROM toks),
+          hashes_cdc AS MATERIALIZED (
+            SELECT DISTINCT doc_id,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+            FROM withchunk GROUP BY doc_id, cdc_chunk),
+          hashes_fixed AS MATERIALIZED (
+            SELECT DISTINCT doc_id,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+            FROM withchunk GROUP BY doc_id, fixed_chunk)
+          SELECT * FROM (${statsFor("cdc")}
+                         UNION ALL
+                         ${statsFor("fixed")})
+          ORDER BY strategy"""
+    },
 
     "x_quality_classifier" -> {
       // the 12 gradient steps unrolled as generated CTEs — each step

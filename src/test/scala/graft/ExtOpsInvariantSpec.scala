@@ -126,6 +126,21 @@ class ExtOpsInvariantSpec extends SparkSpec {
       "importance weights must separate the target domain from the pool")
   }
 
+  test("x_cdc_chunks: content-defined boundaries resynchronize after a " +
+      "leading insertion; fixed-width chunking loses everything") {
+    val rows = run("x_cdc_chunks").collect()
+      .map(r => r.getAs[String]("strategy") -> r).toMap
+    assert(rows.keySet == Set("cdc", "fixed"))
+    val (cdc, fixed) = (rows("cdc"), rows("fixed"))
+    assert(cdc.getAs[Double]("avg_shared_frac") > 0.5,
+      "CDC must re-share most chunks after a one-token shift")
+    // a one-token shift misaligns EVERY fixed-width chunk; the only
+    // possible survivors are coincidental content collisions
+    assert(fixed.getAs[Double]("avg_shared_frac") < 0.05,
+      "fixed-width chunking should lose (nearly) all chunks")
+    assert(cdc.getAs[Long]("chunks_shared") > fixed.getAs[Long]("chunks_shared"))
+  }
+
   test("x_containment: every constructed quote pair scores high " +
       "containment while Jaccard stays strictly below it") {
     val rows = run("x_containment").collect()
