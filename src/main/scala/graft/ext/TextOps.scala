@@ -700,6 +700,69 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    "x_bpe_merges" -> ((s, d) => {
+      // BPE tokenizer training (Sennrich et al. 2016): learn the first
+      // 6 merge rules from the corpus. The published algorithm trains
+      // on the WORD-FREQUENCY dict, not the raw corpus — the only
+      // corpus-scale pass is the word count (one shuffle); every merge
+      // round then runs over a vocabulary-sized symbol table, which is
+      // why BPE training scales to 100 TB corpora. Each round: count
+      // adjacent symbol pairs weighted by word frequency, take the
+      // argmax (ties: lexicographic), merge ALL occurrences greedily
+      // left-to-right ('a a a' + (a,a) -> 'aa a', exactly reference
+      // BPE), re-number. Greedy non-overlap is gaps-and-islands: in
+      // each run of consecutive match positions, odd-ranked matches
+      // are real, even-ranked ones overlap a taken one. The DuckDB
+      // twin unrolls the same 6 rounds, so the whole training
+      // trajectory — counts, tie-breaks, overlap decisions — is
+      // hash-checked.
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val rounds = 6
+      val wOrd = Window.partitionBy("word").orderBy("pos")
+      val wc = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      var seq = wc.select(col("word"), posexplode(expr(
+          "concat(transform(sequence(1, length(word)), " +
+            "i -> substring(word, i, 1)), array('</w>'))")))
+        .select(col("word"), col("pos").cast("long").as("pos"),
+          col("col").as("sym"))
+        .localCheckpoint()
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      for (r <- 1 to rounds) {
+        val paired = seq.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+        val top = paired.filter(col("nxt").isNotNull)
+          .join(broadcast(wc), "word")
+          .groupBy(col("sym"), col("nxt"))
+          .agg(sum(col("cnt")).cast("long").as("c"))
+          .orderBy(desc("c"), asc("sym"), asc("nxt"))
+          .limit(1).collect()(0)
+        val (l, rr, c) = (top.getString(0), top.getString(1), top.getLong(2))
+        merges += ((r.toLong, l, rr, c))
+        val wRun = Window.partitionBy("word", "grp").orderBy("pos")
+        val valid = paired
+          .filter(col("sym") === l && col("nxt") === rr)
+          .withColumn("grp", col("pos") - row_number().over(wOrd))
+          .withColumn("rn", row_number().over(wRun))
+          .filter(col("rn") % 2 === 1)
+          .select(col("word"), col("pos"))
+        seq = paired
+          .join(valid.withColumn("vm", lit(true)), Seq("word", "pos"), "left")
+          .join(valid.select(col("word"), (col("pos") + 1).as("pos"))
+            .withColumn("vp", lit(true)), Seq("word", "pos"), "left")
+          .filter(col("vp").isNull)
+          .select(col("word"), col("pos"),
+            when(col("vm").isNotNull, concat(col("sym"), col("nxt")))
+              .otherwise(col("sym")).as("sym"))
+          .withColumn("pos", row_number().over(wOrd).cast("long") - 1)
+          .localCheckpoint()
+      }
+      merges.result().toDF("rank", "left", "right", "pair_count")
+        .orderBy("rank")
+    }),
+
     "x_cdc_chunks" -> ((s, d) => {
       // content-defined chunking (the FastCDC/LBFS family, Muthitacharoen
       // et al. 2001): chunk boundaries come from a rolling hash of the
@@ -1296,6 +1359,63 @@ object TextOps {
                   AS avg_logratio,
                 (sq > 0) AS kept
          FROM per ORDER BY doc_id""",
+
+    "x_bpe_merges" -> {
+      val rounds = 6
+      val steps = (1 to rounds).map { r =>
+        s"""pr$r AS MATERIALIZED (
+              SELECT s.word, s.pos, s.sym,
+                     lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos)
+                       AS nxt
+              FROM seq${r - 1} s),
+            top$r AS MATERIALIZED (
+              SELECT p.sym AS l, p.nxt AS r, CAST(SUM(w.cnt) AS BIGINT) AS c
+              FROM pr$r p JOIN wc w USING (word)
+              WHERE p.nxt IS NOT NULL
+              GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1),
+            val$r AS MATERIALIZED (
+              SELECT word, pos FROM (
+                SELECT word, pos,
+                       row_number() OVER (PARTITION BY word, grp
+                                          ORDER BY pos) AS rn
+                FROM (SELECT p.word, p.pos,
+                             p.pos - row_number() OVER (PARTITION BY p.word
+                                                        ORDER BY p.pos) AS grp
+                      FROM pr$r p, top$r t
+                      WHERE p.sym = t.l AND p.nxt = t.r))
+              WHERE rn % 2 = 1),
+            seq$r AS MATERIALIZED (
+              SELECT word,
+                     CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
+                          AS BIGINT) - 1 AS pos,
+                     CASE WHEN vm THEN sym || nxt ELSE sym END AS sym
+              FROM (SELECT p.word, p.pos, p.sym, p.nxt,
+                           (v1.pos IS NOT NULL) AS vm,
+                           (v2.pos IS NOT NULL) AS vp
+                    FROM pr$r p
+                    LEFT JOIN val$r v1 ON v1.word = p.word AND v1.pos = p.pos
+                    LEFT JOIN val$r v2 ON v2.word = p.word
+                                      AND v2.pos = p.pos - 1)
+              WHERE NOT vp)"""
+      }.mkString(",\n")
+      val rows = (1 to rounds).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS rank, l AS "left", r AS "right",
+            c AS pair_count FROM top$r"""
+      }.mkString(" UNION ALL ")
+      s"""WITH wc AS MATERIALIZED (
+            SELECT word, COUNT(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            GROUP BY 1),
+          seq0 AS MATERIALIZED (
+            SELECT word, CAST(pos AS BIGINT) AS pos,
+                   CASE WHEN pos = length(word) THEN '</w>'
+                        ELSE substr(word, pos + 1, 1) END AS sym
+            FROM (SELECT word, unnest(range(0, length(word) + 1)) AS pos
+                  FROM wc)),
+          $steps
+          SELECT * FROM ($rows) ORDER BY rank"""
+    },
 
     "x_cdc_chunks" -> {
       def statsFor(label: String): String =

@@ -126,6 +126,29 @@ class ExtOpsInvariantSpec extends SparkSpec {
       "importance weights must separate the target domain from the pool")
   }
 
+  test("x_bpe_merges: six ranked merges with weakly decreasing counts, " +
+      "and later merges compose symbols built by earlier ones") {
+    val rows = run("x_bpe_merges").collect().sortBy(_.getAs[Long]("rank"))
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 6L))
+    val counts = rows.map(_.getAs[Long]("pair_count"))
+    counts.sliding(2).foreach { case Array(a, b) =>
+      // merging can only create pairs bounded by the merged pair's
+      // count, so the argmax sequence never increases
+      assert(a >= b, s"counts increased: ${counts.mkString(", ")}")
+    }
+    val merged = rows.map(r =>
+      r.getAs[String]("left") + r.getAs[String]("right")).toSet
+    val laterSides = rows.drop(1).flatMap(r =>
+      Seq(r.getAs[String]("left"), r.getAs[String]("right")))
+    assert(laterSides.exists(merged.contains),
+      "no later merge built on an earlier merge's symbol — BPE " +
+        "composition is the point of iterating")
+    rows.foreach { r =>
+      assert(r.getAs[String]("left").nonEmpty &&
+        r.getAs[String]("right").nonEmpty && r.getAs[Long]("pair_count") > 0)
+    }
+  }
+
   test("x_cdc_chunks: content-defined boundaries resynchronize after a " +
       "leading insertion; fixed-width chunking loses everything") {
     val rows = run("x_cdc_chunks").collect()
