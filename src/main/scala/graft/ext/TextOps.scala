@@ -27,6 +27,111 @@ object TextOps {
     "es" -> Seq("el", "los", "una"),
     "fr" -> Seq("le", "les", "des"))
 
+  /** The BPE training chain shared by x_bpe_merges (the learned rules)
+    * and x_bpe_tokenize (the applied tokenizer): word-frequency dict →
+    * char+terminal symbol table → `rounds` argmax-merge rounds with
+    * greedy left-to-right overlap semantics. Returns (merge rows, final
+    * symbol table, word counts). Each round is one action (the top-pair
+    * collect); the symbol table is vocabulary-sized throughout. */
+  private def bpeChain(s: SparkSession, d: String, rounds: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("word").orderBy("pos")
+    val wc = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    var seq = wc.select(col("word"), posexplode(expr(
+        "concat(transform(sequence(1, length(word)), " +
+          "i -> substring(word, i, 1)), array('</w>'))")))
+      .select(col("word"), col("pos").cast("long").as("pos"),
+        col("col").as("sym"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val paired = seq.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+      val top = paired.filter(col("nxt").isNotNull)
+        .join(broadcast(wc), "word")
+        .groupBy(col("sym"), col("nxt"))
+        .agg(sum(col("cnt")).cast("long").as("c"))
+        .orderBy(desc("c"), asc("sym"), asc("nxt"))
+        .limit(1).collect()(0)
+      val (l, rr, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((r.toLong, l, rr, c))
+      val wRun = Window.partitionBy("word", "grp").orderBy("pos")
+      val valid = paired
+        .filter(col("sym") === l && col("nxt") === rr)
+        .withColumn("grp", col("pos") - row_number().over(wOrd))
+        .withColumn("rn", row_number().over(wRun))
+        .filter(col("rn") % 2 === 1)
+        .select(col("word"), col("pos"))
+      seq = paired
+        .join(valid.withColumn("vm", lit(true)), Seq("word", "pos"), "left")
+        .join(valid.select(col("word"), (col("pos") + 1).as("pos"))
+          .withColumn("vp", lit(true)), Seq("word", "pos"), "left")
+        .filter(col("vp").isNull)
+        .select(col("word"), col("pos"),
+          when(col("vm").isNotNull, concat(col("sym"), col("nxt")))
+            .otherwise(col("sym")).as("sym"))
+        .withColumn("pos", row_number().over(wOrd).cast("long") - 1)
+        .localCheckpoint()
+    }
+    (merges.result(), seq, wc)
+  }
+
+  /** Shared DuckDB CTE prefix for the BPE twins: wc, seq0, and the
+    * unrolled rounds (pr$r/top$r/val$r/seq$r), all materialized. */
+  private def bpeChainSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""pr$r AS MATERIALIZED (
+            SELECT s.word, s.pos, s.sym,
+                   lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos)
+                     AS nxt
+            FROM seq${r - 1} s),
+          top$r AS MATERIALIZED (
+            SELECT p.sym AS l, p.nxt AS r, CAST(SUM(w.cnt) AS BIGINT) AS c
+            FROM pr$r p JOIN wc w USING (word)
+            WHERE p.nxt IS NOT NULL
+            GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1),
+          val$r AS MATERIALIZED (
+            SELECT word, pos FROM (
+              SELECT word, pos,
+                     row_number() OVER (PARTITION BY word, grp
+                                        ORDER BY pos) AS rn
+              FROM (SELECT p.word, p.pos,
+                           p.pos - row_number() OVER (PARTITION BY p.word
+                                                      ORDER BY p.pos) AS grp
+                    FROM pr$r p, top$r t
+                    WHERE p.sym = t.l AND p.nxt = t.r))
+            WHERE rn % 2 = 1),
+          seq$r AS MATERIALIZED (
+            SELECT word,
+                   CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
+                        AS BIGINT) - 1 AS pos,
+                   CASE WHEN vm THEN sym || nxt ELSE sym END AS sym
+            FROM (SELECT p.word, p.pos, p.sym, p.nxt,
+                         (v1.pos IS NOT NULL) AS vm,
+                         (v2.pos IS NOT NULL) AS vp
+                  FROM pr$r p
+                  LEFT JOIN val$r v1 ON v1.word = p.word AND v1.pos = p.pos
+                  LEFT JOIN val$r v2 ON v2.word = p.word
+                                    AND v2.pos = p.pos - 1)
+            WHERE NOT vp)"""
+    }.mkString(",\n")
+    s"""wc AS MATERIALIZED (
+          SELECT word, COUNT(*) AS cnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          GROUP BY 1),
+        seq0 AS MATERIALIZED (
+          SELECT word, CAST(pos AS BIGINT) AS pos,
+                 CASE WHEN pos = length(word) THEN '</w>'
+                      ELSE substr(word, pos + 1, 1) END AS sym
+          FROM (SELECT word, unnest(range(0, length(word) + 1)) AS pos
+                FROM wc)),
+        $steps"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "x_text_stats" -> ((s, d) => {
@@ -717,50 +822,35 @@ object TextOps {
       // trajectory — counts, tie-breaks, overlap decisions — is
       // hash-checked.
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val rounds = 6
-      val wOrd = Window.partitionBy("word").orderBy("pos")
-      val wc = t(s, d, "documents")
-        .select(explode(split(col("text"), " ")).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
-      var seq = wc.select(col("word"), posexplode(expr(
-          "concat(transform(sequence(1, length(word)), " +
-            "i -> substring(word, i, 1)), array('</w>'))")))
-        .select(col("word"), col("pos").cast("long").as("pos"),
-          col("col").as("sym"))
-        .localCheckpoint()
-      val merges = Seq.newBuilder[(Long, String, String, Long)]
-      for (r <- 1 to rounds) {
-        val paired = seq.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
-        val top = paired.filter(col("nxt").isNotNull)
-          .join(broadcast(wc), "word")
-          .groupBy(col("sym"), col("nxt"))
-          .agg(sum(col("cnt")).cast("long").as("c"))
-          .orderBy(desc("c"), asc("sym"), asc("nxt"))
-          .limit(1).collect()(0)
-        val (l, rr, c) = (top.getString(0), top.getString(1), top.getLong(2))
-        merges += ((r.toLong, l, rr, c))
-        val wRun = Window.partitionBy("word", "grp").orderBy("pos")
-        val valid = paired
-          .filter(col("sym") === l && col("nxt") === rr)
-          .withColumn("grp", col("pos") - row_number().over(wOrd))
-          .withColumn("rn", row_number().over(wRun))
-          .filter(col("rn") % 2 === 1)
-          .select(col("word"), col("pos"))
-        seq = paired
-          .join(valid.withColumn("vm", lit(true)), Seq("word", "pos"), "left")
-          .join(valid.select(col("word"), (col("pos") + 1).as("pos"))
-            .withColumn("vp", lit(true)), Seq("word", "pos"), "left")
-          .filter(col("vp").isNull)
-          .select(col("word"), col("pos"),
-            when(col("vm").isNotNull, concat(col("sym"), col("nxt")))
-              .otherwise(col("sym")).as("sym"))
-          .withColumn("pos", row_number().over(wOrd).cast("long") - 1)
-          .localCheckpoint()
-      }
-      merges.result().toDF("rank", "left", "right", "pair_count")
-        .orderBy("rank")
+      val (merges, _, _) = bpeChain(s, d, 6)
+      merges.toDF("rank", "left", "right", "pair_count").orderBy("rank")
+    }),
+
+    "x_bpe_tokenize" -> ((s, d) => {
+      // the APPLY side of BPE: tokenize the corpus vocabulary with the
+      // 6 learned merges and measure what the subword model buys —
+      // corpus token count before (chars + terminal) vs after, the
+      // subword vocabulary size, and the compression ratio. Shares the
+      // training chain with x_bpe_merges (same trajectory, same
+      // hash-checked semantics); the output aggregates the final
+      // symbol table weighted by word frequency, so the numbers are
+      // CORPUS-level (what the tokenizer does to 100 TB of text), not
+      // dict-level.
+      val (_, seqF, wc) = bpeChain(s, d, 6)
+      val after = seqF.groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .join(wc, "word")
+      val vocab = seqF.select(col("sym")).distinct()
+        .agg(count(lit(1)).as("subword_vocab"))
+      wc.agg(count(lit(1)).as("n_words"),
+          sum(col("cnt") * (length(col("word")) + 1)).cast("long")
+            .as("tokens_before"))
+        .crossJoin(after.agg(sum(col("cnt") * col("n")).cast("long")
+          .as("tokens_after")))
+        .crossJoin(vocab)
+        .select(col("n_words"), col("tokens_before"), col("tokens_after"),
+          col("subword_vocab"),
+          detRound(col("tokens_after") / col("tokens_before"), 4)
+            .as("compression"))
     }),
 
     "x_cdc_chunks" -> ((s, d) => {
@@ -1361,61 +1451,28 @@ object TextOps {
          FROM per ORDER BY doc_id""",
 
     "x_bpe_merges" -> {
-      val rounds = 6
-      val steps = (1 to rounds).map { r =>
-        s"""pr$r AS MATERIALIZED (
-              SELECT s.word, s.pos, s.sym,
-                     lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos)
-                       AS nxt
-              FROM seq${r - 1} s),
-            top$r AS MATERIALIZED (
-              SELECT p.sym AS l, p.nxt AS r, CAST(SUM(w.cnt) AS BIGINT) AS c
-              FROM pr$r p JOIN wc w USING (word)
-              WHERE p.nxt IS NOT NULL
-              GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1),
-            val$r AS MATERIALIZED (
-              SELECT word, pos FROM (
-                SELECT word, pos,
-                       row_number() OVER (PARTITION BY word, grp
-                                          ORDER BY pos) AS rn
-                FROM (SELECT p.word, p.pos,
-                             p.pos - row_number() OVER (PARTITION BY p.word
-                                                        ORDER BY p.pos) AS grp
-                      FROM pr$r p, top$r t
-                      WHERE p.sym = t.l AND p.nxt = t.r))
-              WHERE rn % 2 = 1),
-            seq$r AS MATERIALIZED (
-              SELECT word,
-                     CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
-                          AS BIGINT) - 1 AS pos,
-                     CASE WHEN vm THEN sym || nxt ELSE sym END AS sym
-              FROM (SELECT p.word, p.pos, p.sym, p.nxt,
-                           (v1.pos IS NOT NULL) AS vm,
-                           (v2.pos IS NOT NULL) AS vp
-                    FROM pr$r p
-                    LEFT JOIN val$r v1 ON v1.word = p.word AND v1.pos = p.pos
-                    LEFT JOIN val$r v2 ON v2.word = p.word
-                                      AND v2.pos = p.pos - 1)
-              WHERE NOT vp)"""
-      }.mkString(",\n")
-      val rows = (1 to rounds).map { r =>
+      val rows = (1 to 6).map { r =>
         s"""SELECT CAST($r AS BIGINT) AS rank, l AS "left", r AS "right",
             c AS pair_count FROM top$r"""
       }.mkString(" UNION ALL ")
-      s"""WITH wc AS MATERIALIZED (
-            SELECT word, COUNT(*) AS cnt
-            FROM (SELECT unnest(string_split(text, ' ')) AS word
-                  FROM documents)
-            GROUP BY 1),
-          seq0 AS MATERIALIZED (
-            SELECT word, CAST(pos AS BIGINT) AS pos,
-                   CASE WHEN pos = length(word) THEN '</w>'
-                        ELSE substr(word, pos + 1, 1) END AS sym
-            FROM (SELECT word, unnest(range(0, length(word) + 1)) AS pos
-                  FROM wc)),
-          $steps
+      s"""WITH ${bpeChainSql(6)}
           SELECT * FROM ($rows) ORDER BY rank"""
     },
+
+    "x_bpe_tokenize" ->
+      s"""WITH ${bpeChainSql(6)},
+          aft AS (SELECT s.word, COUNT(*) AS n FROM seq6 s GROUP BY 1)
+          SELECT (SELECT COUNT(*) FROM wc) AS n_words,
+                 (SELECT CAST(SUM(cnt * (length(word) + 1)) AS BIGINT)
+                  FROM wc) AS tokens_before,
+                 (SELECT CAST(SUM(w.cnt * a.n) AS BIGINT)
+                  FROM aft a JOIN wc w USING (word)) AS tokens_after,
+                 (SELECT COUNT(DISTINCT sym) FROM seq6) AS subword_vocab,
+                 floor(((SELECT CAST(SUM(w.cnt * a.n) AS BIGINT)
+                         FROM aft a JOIN wc w USING (word))
+                        / (SELECT CAST(SUM(cnt * (length(word) + 1))
+                                       AS BIGINT) FROM wc))
+                       * 1e4 + 0.5) / 1e4 AS compression""",
 
     "x_cdc_chunks" -> {
       def statsFor(label: String): String =

@@ -149,6 +149,20 @@ class ExtOpsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("x_bpe_tokenize: applying the merges strictly compresses the " +
+      "corpus and the subword vocab stays near chars + merges") {
+    val r = run("x_bpe_tokenize").collect()(0)
+    val (before, after) = (r.getAs[Long]("tokens_before"),
+      r.getAs[Long]("tokens_after"))
+    assert(after < before, "six merges must remove corpus tokens")
+    val c = r.getAs[Double]("compression")
+    assert(c > 0.0 && c < 1.0)
+    // every merge adds at most one new symbol; chars + '</w>' bound the
+    // start. Merged-away symbols may also vanish entirely, so only the
+    // upper bound is tight.
+    assert(r.getAs[Long]("subword_vocab") <= 26 + 1 + 6)
+  }
+
   test("x_cdc_chunks: content-defined boundaries resynchronize after a " +
       "leading insertion; fixed-width chunking loses everything") {
     val rows = run("x_cdc_chunks").collect()
