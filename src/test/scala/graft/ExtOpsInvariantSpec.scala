@@ -212,6 +212,21 @@ class ExtOpsInvariantSpec extends SparkSpec {
       neg.getAs[Long]("n_docs") - neg.getAs[Long]("n_pred_pos"))
   }
 
+  test("x_pca_embeddings: unit-norm eigenvector, and the top component " +
+      "explains far more variance than the isotropic floor") {
+    val rows = run("x_pca_embeddings").collect()
+    assert(rows.length == 64)
+    val norm2 = rows.map(r => math.pow(r.getAs[Double]("loading"), 2)).sum
+    assert(math.abs(norm2 - 1.0) < 1e-3, s"eigenvector norm^2 = $norm2")
+    val vf = rows.head.getAs[Double]("var_frac")
+    assert(vf > 0.0 && vf <= 1.0)
+    // 40 cluster centers dominate the fixture's spread; an isotropic
+    // cloud would put ~1/64 of the variance on every direction
+    assert(vf > 3.0 / 64,
+      s"var_frac $vf does not reflect the fixture's cluster structure")
+    assert(rows.head.getAs[Double]("eigenvalue") > 0.0)
+  }
+
   test("x_semdedup: groups are the constructed (orig, copy) pairs that " +
       "share a cell, keepers come from their own group, and the " +
       "cell-boundary miss stays bounded") {
