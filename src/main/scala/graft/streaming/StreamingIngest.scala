@@ -187,6 +187,30 @@ object StreamingIngest {
         chunkDedupBatch(spark, outPath, statePath, batch, delayMs)
       }
 
+  /** chunkDedupSink with CONTENT-DEFINED chunk boundaries (x_cdc_chunks'
+    * rolling-hash recipe at a 1/16 boundary rate, ~16-token expected
+    * chunks) instead of the fixed 50/25 windows. The fixed splitter's
+    * blind spot: a single token inserted near the front shifts EVERY
+    * window, so every chunk fingerprint changes and a trivially edited
+    * oversized near-dup sails through. CDC boundaries depend only on
+    * local content and resynchronize right after the edit, so all
+    * chunks outside the edited one keep their fingerprints and the
+    * any-chunk-dup verdict still fires. Same state table, watermark
+    * pruning, and batch semantics — only the chunker differs. */
+  def cdcChunkDedupSink(flagged: DataFrame, spark: SparkSession,
+                        outPath: String, statePath: String,
+                        checkpoint: String,
+                        delayMs: Long = 3600L * 1000)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    flagged.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        chunkDedupBatch(spark, outPath, statePath, batch, delayMs,
+          cdcChunkFingerprints)
+      }
+
   /** Chunk fingerprints of a doc batch: the x_doc_chunks recipe (50-token
     * windows, stride 25) → per-chunk SimHash via the same row fold the
     * stream uses, distinct per doc (overlapping windows of a repetitive
@@ -207,6 +231,36 @@ object StreamingIngest {
       graft.ext.DedupOps.simhashRowHalf(32).as("fp1"))
     .distinct()
     .localCheckpoint()
+
+  /** Content-defined chunk fingerprints (cdcChunkDedupSink): boundaries
+    * where the md5 of the trailing 4-token window starts with nibble
+    * '0' (rate 1/16, expected chunk ~16 tokens — well under the SWAR
+    * lane bound), chunk text reassembled ORDER-PINNED, then the same
+    * per-chunk SimHash and per-doc distinct as the fixed splitter. */
+  private def cdcChunkFingerprints(docs: DataFrame): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col("doc_id"), col("ts"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("ts"), col("tk"), posexplode(col("tk")))
+      .withColumn("b", when(col("pos") >= 3 && substring(md5(expr(
+        "concat_ws(' ', slice(tk, pos - 2, 4))")), 1, 1) === "0", 1L)
+        .otherwise(0L))
+      .withColumn("nb", lag(col("b"), 1, 0L).over(wOrd))
+      .withColumn("chunk", sum(col("nb")).over(wOrd.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("doc_id"), col("ts"), col("chunk"))
+      .agg(expr("concat_ws(' ', transform(" +
+        "array_sort(collect_list(struct(pos, col))), x -> x.col))")
+        .as("text"))
+      .withColumn("sw", expr(graft.ext.DedupOps.simhashRowFoldSql))
+      .select(col("doc_id"), col("ts"),
+        graft.ext.DedupOps.simhashRowHalf(0).as("fp0"),
+        graft.ext.DedupOps.simhashRowHalf(32).as("fp1"))
+      .distinct()
+      .localCheckpoint()
+  }
 
   /** Doc verdict = any-chunk-dup: against the visible state, or against
     * an earlier ((ts, doc_id)-min) doc of this batch owning the same fp. */
@@ -230,11 +284,13 @@ object StreamingIngest {
 
   private[streaming] def chunkDedupBatch(spark: SparkSession, outPath: String,
                                          statePath: String, batch: DataFrame,
-                                         delayMs: Long): Unit = {
+                                         delayMs: Long,
+                                         chunker: DataFrame => DataFrame =
+                                           chunkFingerprints): Unit = {
     import java.nio.file.{Files, Paths}
     val docs = batch.localCheckpoint()
     if (docs.head(1).isEmpty) return
-    val fps = chunkFingerprints(docs)
+    val fps = chunker(docs)
     val state =
       if (Files.exists(Paths.get(statePath)))
         spark.read.parquet(statePath).select("fp0", "fp1", "ts")

@@ -468,4 +468,49 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(got === Seq((1L, 100L, 9.99)))
   }
+
+  test("CDC chunk sink: a half-stride front insertion defeats the fixed " +
+      "50/25 splitter (every window's bag churns 26%) but CDC " +
+      "boundaries resynchronize and the near-dup is dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sc = spark.sqlContext
+    // all-unique tokens, and a HALF-STRIDE (13-token) front insertion:
+    // every fixed 50/25 window now differs by 13+ of its 50 tokens, so
+    // every fixed chunk's SimHash flips (a 1-token shift left short
+    // tail windows able to collide — 26% bag churn cannot); CDC
+    // boundaries past the inserted head are content-identical, so
+    // those chunks keep their fingerprints VERBATIM
+    val orig = (0 until 325).map(i => s"w$i").mkString(" ")
+    val shifted = (0 until 13).map(i => s"z$i").mkString(" ") + " " + orig
+    def drive(cdc: Boolean): Seq[Long] = {
+      val out = tmpDir(s"cdcchunk-out-$cdc") + "/docs"
+      val state = tmpDir(s"cdcchunk-state-$cdc") + "/fps"
+      val ckpt = tmpDir(s"cdcchunk-ckpt-$cdc")
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      def run(): Unit = {
+        val df = mem.toDF().toDF("doc_id", "ts", "text")
+        val q = (if (cdc)
+          StreamingIngest.cdcChunkDedupSink(df, spark, out, state, ckpt)
+        else
+          StreamingIngest.chunkDedupSink(df, spark, out, state, ckpt))
+          .start()
+        q.awaitTermination()
+      }
+      mem.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00"), orig))
+      run()
+      // the edited near-dup arrives in a LATER batch: the verdict must
+      // come from the persisted fingerprint state, not batch-local dedup
+      mem.addData((2L, Timestamp.valueOf("2024-01-01 10:10:00"), shifted))
+      run()
+      spark.read.parquet(out).select("doc_id")
+        .as[Long].collect().sorted.toSeq
+    }
+    assert(drive(cdc = true) === Seq(1L),
+      "CDC chunking must drop the front-edited near-dup")
+    assert(drive(cdc = false) === Seq(1L, 2L),
+      "the fixed splitter keeping the near-dup is the documented blind " +
+        "spot this sink exists to close — if this starts passing, the " +
+        "fixture stopped exercising it")
+  }
 }
