@@ -805,6 +805,68 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    "x_lm_bigram" -> ((s, d) => {
+      // stupid-backoff bigram LM scoring (Brants et al. 2007, "Large
+      // Language Models in Machine Translation" — the backoff designed
+      // FOR distributed corpora: no normalization pass, counts only).
+      // Score of token i given i-1: c(w_{i-1} w_i)/c(w_{i-1}) when the
+      // bigram was seen in training, else alpha=0.4 times the add-1
+      // unigram score (x_lm_score's smoothing — the hybrid keeps
+      // unseen-token mass finite). Trained on the even doc_id half;
+      // held-out docs carry a synthesized unique token so full backoff
+      // (bigram miss AND unigram miss) is exercised. Per-position logs
+      // are fixed-point rounded before the per-doc integer sum — same
+      // determinism discipline as x_lm_score. Plan: bigram/unigram
+      // count tables built with one shuffle each and broadcast back
+      // onto the position stream (at 100 TB: shuffled hash join on the
+      // preceding token — the model is count rows either way, never
+      // normalized matrices).
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+      val base = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 2 === 1,
+          concat(col("text"), lit(" uniq"), col("doc_id")))
+          .otherwise(col("text")).as("text"))
+      val toks = base
+        .select(col("doc_id"), col("lang"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("lang"), col("pos"), col("col").as("tok"))
+        .withColumn("prev", lag(col("tok"), 1).over(wOrd))
+        .localCheckpoint()
+      val train = toks.filter(col("doc_id") % 2 === 0)
+      val uni = train.groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("c1"))
+      val tot = uni.groupBy(col("lang"))
+        .agg(sum(col("c1")).cast("long").as("nn"), count(lit(1)).as("vv"))
+      val bi = train.filter(col("prev").isNotNull)
+        .groupBy(col("lang"), col("prev"), col("tok"))
+        .agg(count(lit(1)).as("c2"))
+      val prevUni = uni.select(col("lang"), col("tok").as("prev"),
+        col("c1").as("c1prev"))
+      toks.filter(col("prev").isNotNull)
+        .join(broadcast(bi), Seq("lang", "prev", "tok"), "left")
+        .join(broadcast(uni), Seq("lang", "tok"), "left")
+        .join(broadcast(prevUni), Seq("lang", "prev"), "left")
+        .join(broadcast(tot), Seq("lang"))
+        .withColumn("backoff", col("c2").isNull)
+        .withColumn("sc", when(!col("backoff"),
+            col("c2") / col("c1prev"))
+          .otherwise(lit(0.4) * (coalesce(col("c1"), lit(0L)) + lit(1.0))
+            / (col("nn") + col("vv") + lit(1.0))))
+        .withColumn("q", floor(log(col("sc")) * 1e6 + 0.5).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("backoff"), 1L).otherwise(0L)).cast("long")
+            .as("n_backoff"),
+          sum(col("q")).cast("long").as("sq"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, "train").otherwise("heldout")
+            .as("split"),
+          col("n_bigrams"),
+          detRound(col("n_backoff") / col("n_bigrams"), 4).as("backoff_frac"),
+          detRound(-(col("sq") / 1e6) / col("n_bigrams"), 4).as("nll"))
+        .orderBy("doc_id")
+    }),
+
     "x_bpe_merges" -> ((s, d) => {
       // BPE tokenizer training (Sennrich et al. 2016): learn the first
       // 6 merge rules from the corpus. The published algorithm trains
@@ -1448,6 +1510,60 @@ object TextOps {
                 floor(((sq / 1e6) / n_tokens) * 1e4 + 0.5) / 1e4
                   AS avg_logratio,
                 (sq > 0) AS kept
+         FROM per ORDER BY doc_id""",
+
+    "x_lm_bigram" ->
+      """WITH base AS (
+           SELECT doc_id, lang,
+                  CASE WHEN doc_id % 2 = 1
+                       THEN text || ' uniq' || CAST(doc_id AS VARCHAR)
+                       ELSE text END AS text
+           FROM documents),
+         toks AS MATERIALIZED (
+           SELECT doc_id, lang, pos, tok,
+                  lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+           FROM (SELECT doc_id, lang, pos, tk[pos + 1] AS tok
+                 FROM (SELECT doc_id, lang, tk,
+                              unnest(range(0, len(tk))) AS pos
+                       FROM (SELECT doc_id, lang,
+                                    string_split(text, ' ') AS tk
+                             FROM base)))),
+         uni AS MATERIALIZED (
+           SELECT lang, tok, COUNT(*) AS c1 FROM toks
+           WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+         tot AS (SELECT lang, CAST(SUM(c1) AS BIGINT) AS nn,
+                        COUNT(*) AS vv FROM uni GROUP BY 1),
+         bi AS MATERIALIZED (
+           SELECT lang, prev, tok, COUNT(*) AS c2 FROM toks
+           WHERE doc_id % 2 = 0 AND prev IS NOT NULL GROUP BY 1, 2, 3),
+         scored AS (
+           SELECT t.doc_id,
+                  (b.c2 IS NULL) AS backoff,
+                  CAST(floor(ln(CASE WHEN b.c2 IS NOT NULL
+                         THEN b.c2 / pu.c1
+                         ELSE 0.4 * (COALESCE(u.c1, 0) + 1.0)
+                              / (tt.nn + tt.vv + 1.0) END) * 1e6 + 0.5)
+                       AS BIGINT) AS q
+           FROM toks t
+           LEFT JOIN bi b ON b.lang = t.lang AND b.prev = t.prev
+                         AND b.tok = t.tok
+           LEFT JOIN uni u ON u.lang = t.lang AND u.tok = t.tok
+           LEFT JOIN uni pu ON pu.lang = t.lang AND pu.tok = t.prev
+           JOIN tot tt ON tt.lang = t.lang
+           WHERE t.prev IS NOT NULL),
+         per AS (
+           SELECT doc_id, COUNT(*) AS n_bigrams,
+                  CAST(SUM(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_backoff,
+                  CAST(SUM(q) AS BIGINT) AS sq
+           FROM scored GROUP BY 1)
+         SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'heldout' END
+                  AS split,
+                n_bigrams,
+                floor((n_backoff / n_bigrams) * 1e4 + 0.5) / 1e4
+                  AS backoff_frac,
+                floor((-(sq / 1e6) / n_bigrams) * 1e4 + 0.5) / 1e4 AS nll
          FROM per ORDER BY doc_id""",
 
     "x_bpe_merges" -> {

@@ -149,6 +149,27 @@ class ExtOpsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("x_lm_bigram: training docs never back off, held-out docs do and " +
+      "score worse, and the bigram model beats the unigram model on " +
+      "the text it was trained on") {
+    val rows = run("x_lm_bigram").collect()
+    val (train, held) = rows.partition(_.getAs[String]("split") == "train")
+    assert(train.nonEmpty && held.nonEmpty)
+    train.foreach(r => assert(r.getAs[Double]("backoff_frac") == 0.0,
+      "every training bigram is in the model by construction"))
+    assert(held.forall(_.getAs[Double]("backoff_frac") > 0.0),
+      "the synthesized unique token forces at least one backoff")
+    def meanNll(rs: Array[Row]) =
+      rs.map(_.getAs[Double]("nll")).sum / rs.length
+    assert(meanNll(held) > meanNll(train))
+    // context helps: on the same training text, conditioning on the
+    // previous token must fit better than the unigram bag model
+    val uniTrain = run("x_lm_score").collect()
+      .filter(_.getAs[String]("split") == "train")
+    assert(meanNll(train) < meanNll(uniTrain),
+      "bigram NLL should undercut unigram NLL on seen text")
+  }
+
   test("x_bpe_tokenize: applying the merges strictly compresses the " +
       "corpus and the subword vocab stays near chars + merges") {
     val r = run("x_bpe_tokenize").collect()(0)
