@@ -981,6 +981,114 @@ object TextOps {
         .orderBy("strategy")
     }),
 
+    "x_curation_pipeline" -> ((s, d) => {
+      // the r8 curation capstone: the session's selectors composed in
+      // the order a production recipe runs them (Dolma/RefinedWeb
+      // shape), with per-stage survivor accounting in docs AND tokens
+      // — what you read to see WHERE the corpus shrinks. Stages:
+      // language allowlist → Gopher within-doc repetition gate
+      // (dup3_frac <= 0.05) → cross-doc exact-substring span gate
+      // (NATURAL 8-gram coverage >= 0.5 drops heavy plagiarism — no
+      // constructed fixture here, the corpus's own near-dups) → DSIR
+      // target-likeness keep (sign of the summed log-ratio) → the
+      // deterministic 80/10/10 split, reported per split. Every gate
+      // compares values both engines compute identically (integer
+      // sums, exact divisions), so the whole funnel hash-checks. The
+      // plan is the union of the component plans — nothing new
+      // shuffles; the stage rows are O(1) aggregates.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .localCheckpoint()
+      val tks = docs.select(col("doc_id"),
+        split(col("text"), " ").as("tk"), col("n_tokens").as("n"))
+      val dup3 = tks.filter(col("n") >= 3)
+        .select(col("doc_id"), col("n"), explode(expr(
+          "transform(sequence(1, int(n) - 2), " +
+            "i -> concat_ws(' ', slice(tk, i, 3)))")).as("g"))
+        .groupBy(col("doc_id"), col("n"), col("g"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .groupBy(col("doc_id"), col("n")).agg(sum(col("c")).as("d3"))
+        .select(col("doc_id"),
+          least(lit(1.0), col("d3") * 3.0 / col("n")).as("dup3_frac"))
+      val shp = tks.filter(col("n") >= 8)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, int(n) - 7),
+              i -> struct(bigint(i) AS pos, concat_ws(' ', slice(tk, i, 8)) AS g))"""))
+          .as("sh"))
+        .select(col("doc_id"), col("sh.pos").as("pos"), col("sh.g").as("g"))
+      val dupg = shp.groupBy(col("g"))
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("g"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val spanCov = shp.join(dupg, "g")
+        .select(col("doc_id"), col("pos"))
+        .withColumn("b", when(col("pos") >
+          coalesce(lag(col("pos"), 1).over(w), lit(-8L)) + 8, 1L)
+          .otherwise(0L))
+        .withColumn("island", sum(col("b")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy(col("doc_id"), col("island"))
+        .agg((max(col("pos")) - min(col("pos")) + 8).as("span_tokens"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("span_tokens")).cast("long").as("dup_tokens"))
+      val feat = docs
+        .select(col("doc_id"), col("source").isin("src0", "src1").as("tgt"),
+          explode(split(col("text"), " ")).as("tok"))
+        .withColumn("b",
+          conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("int") % 64)
+      val tcnt = feat.filter(col("tgt")).groupBy(col("b"))
+        .agg(count(lit(1)).as("tc"))
+      val rcnt = feat.filter(!col("tgt")).groupBy(col("b"))
+        .agg(count(lit(1)).as("rc"))
+      val tot = tcnt.agg(sum(col("tc")).cast("long").as("nt"))
+        .crossJoin(rcnt.agg(sum(col("rc")).cast("long").as("nr")))
+      val dsir = feat
+        .join(broadcast(tcnt), Seq("b"), "left")
+        .join(broadcast(rcnt), Seq("b"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("q", floor(
+          (log((coalesce(col("tc"), lit(0L)) + lit(1.0)) /
+               (col("nt") + lit(64.0))) -
+           log((coalesce(col("rc"), lit(0L)) + lit(1.0)) /
+               (col("nr") + lit(64.0)))) * 1e6 + 0.5).cast("long"))
+        .groupBy(col("doc_id")).agg(sum(col("q")).cast("long").as("sq"))
+      val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+      val flags = docs
+        .join(dup3, Seq("doc_id"), "left")
+        .join(spanCov, Seq("doc_id"), "left")
+        .join(dsir, Seq("doc_id"))
+        .withColumn("dup3_frac", coalesce(col("dup3_frac"), lit(0.0)))
+        .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+        .withColumn("keep_lang", col("lang").isin("en", "de", "es"))
+        .withColumn("keep_rep", col("dup3_frac") <= 0.05)
+        .withColumn("keep_span", col("dup_tokens") / col("n_tokens") < 0.5)
+        .withColumn("keep_dsir", col("sq") > 0)
+        .withColumn("split",
+          when(h < "cc", "train").when(h < "e6", "valid").otherwise("test"))
+        .localCheckpoint()
+      def stage(df: DataFrame, label: String): DataFrame =
+        df.agg(coalesce(count(lit(1)), lit(0L)).as("n_docs"),
+            coalesce(sum(col("n_tokens")), lit(0L)).cast("long")
+              .as("n_tokens"))
+          .select(lit(label).as("stage"), col("n_docs"), col("n_tokens"))
+      val s2 = flags.filter(col("keep_lang"))
+      val s3 = s2.filter(col("keep_rep"))
+      val s4 = s3.filter(col("keep_span"))
+      val s5 = s4.filter(col("keep_dsir"))
+      stage(flags, "1_input")
+        .unionByName(stage(s2, "2_lang"))
+        .unionByName(stage(s3, "3_repetition"))
+        .unionByName(stage(s4, "4_spandedup"))
+        .unionByName(stage(s5, "5_dsir"))
+        .unionByName(stage(s5.filter(col("split") === "train"), "6_train"))
+        .unionByName(stage(s5.filter(col("split") === "valid"), "7_valid"))
+        .unionByName(stage(s5.filter(col("split") === "test"), "8_test"))
+        .orderBy("stage")
+    }),
+
     "x_quality_classifier" -> ((s, d) => {
       // fasttext-style linear quality classifier trained IN the engine
       // — the discriminative selector the GPT-3/LLaMA data pipelines
@@ -1511,6 +1619,102 @@ object TextOps {
                   AS avg_logratio,
                 (sq > 0) AS kept
          FROM per ORDER BY doc_id""",
+
+    "x_curation_pipeline" -> {
+      def stageRow(label: String, cond: String): String =
+        s"""SELECT '$label' AS stage, COUNT(*) AS n_docs,
+            CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens
+            FROM flags WHERE $cond"""
+      val stages = Seq(
+        "1_input" -> "TRUE",
+        "2_lang" -> "keep_lang",
+        "3_repetition" -> "keep_lang AND keep_rep",
+        "4_spandedup" -> "keep_lang AND keep_rep AND keep_span",
+        "5_dsir" -> "keep_lang AND keep_rep AND keep_span AND keep_dsir",
+        "6_train" -> ("keep_lang AND keep_rep AND keep_span AND keep_dsir" +
+          " AND split = 'train'"),
+        "7_valid" -> ("keep_lang AND keep_rep AND keep_span AND keep_dsir" +
+          " AND split = 'valid'"),
+        "8_test" -> ("keep_lang AND keep_rep AND keep_span AND keep_dsir" +
+          " AND split = 'test'"))
+        .map { case (l, c) => stageRow(l, c) }.mkString(" UNION ALL ")
+      s"""WITH docs AS MATERIALIZED (
+            SELECT doc_id, lang, source, text,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents),
+          tks AS (SELECT doc_id, string_split(text, ' ') AS tk,
+                         n_tokens AS n FROM docs),
+          g3 AS (SELECT doc_id, n,
+                        array_to_string(list_slice(tk, i, i + 2), ' ') AS g
+                 FROM (SELECT doc_id, tk, n, unnest(range(1, n - 1)) AS i
+                       FROM tks WHERE n >= 3)),
+          dup3 AS (SELECT doc_id,
+                          least(1.0, SUM(c) * 3.0 / MAX(n)) AS dup3_frac
+                   FROM (SELECT doc_id, n, g, COUNT(*) AS c FROM g3
+                         GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2)
+                   GROUP BY doc_id),
+          shs AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(tk) - 6),
+                           i -> {'pos': i,
+                                 'g': array_to_string(
+                                        list_slice(tk, i, i + 7), ' ')}))
+                           AS s
+                  FROM tks WHERE n >= 8),
+          shp AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM shs),
+          dupg AS (SELECT g FROM shp GROUP BY 1
+                   HAVING COUNT(DISTINCT doc_id) >= 2),
+          brk AS (SELECT doc_id, pos,
+                         CASE WHEN pos > COALESCE(lag(pos) OVER w, -8) + 8
+                              THEN 1 ELSE 0 END AS b
+                  FROM shp JOIN dupg USING (g)
+                  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+          isl AS (SELECT doc_id, pos,
+                         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS island
+                  FROM brk),
+          spans AS (SELECT doc_id, island, MAX(pos) - MIN(pos) + 8 AS st
+                    FROM isl GROUP BY 1, 2),
+          cov AS (SELECT doc_id, CAST(SUM(st) AS BIGINT) AS dup_tokens
+                  FROM spans GROUP BY 1),
+          feat AS (SELECT doc_id, source IN ('src0', 'src1') AS tgt,
+                          CAST(('0x' || substr(md5(tok), 1, 2)) AS INT) % 64
+                            AS b
+                   FROM (SELECT doc_id, source,
+                                unnest(string_split(text, ' ')) AS tok
+                         FROM documents)),
+          tcnt AS (SELECT b, COUNT(*) AS tc FROM feat WHERE tgt GROUP BY 1),
+          rcnt AS (SELECT b, COUNT(*) AS rc FROM feat WHERE NOT tgt
+                   GROUP BY 1),
+          tot AS (SELECT (SELECT CAST(SUM(tc) AS BIGINT) FROM tcnt) AS nt,
+                         (SELECT CAST(SUM(rc) AS BIGINT) FROM rcnt) AS nr),
+          dsir AS (SELECT f.doc_id,
+                          CAST(SUM(CAST(floor(
+                            (ln((COALESCE(t.tc, 0) + 1.0) / (tot.nt + 64.0))
+                             - ln((COALESCE(r.rc, 0) + 1.0)
+                                  / (tot.nr + 64.0))) * 1e6 + 0.5)
+                            AS BIGINT)) AS BIGINT) AS sq
+                   FROM feat f
+                   LEFT JOIN tcnt t USING (b)
+                   LEFT JOIN rcnt r USING (b)
+                   CROSS JOIN tot GROUP BY 1),
+          flags AS MATERIALIZED (
+            SELECT d.doc_id, d.n_tokens,
+                   d.lang IN ('en', 'de', 'es') AS keep_lang,
+                   COALESCE(d3.dup3_frac, 0.0) <= 0.05 AS keep_rep,
+                   COALESCE(cv.dup_tokens, 0) / d.n_tokens < 0.5
+                     AS keep_span,
+                   ds.sq > 0 AS keep_dsir,
+                   CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)
+                             < 'cc' THEN 'train'
+                        WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)
+                             < 'e6' THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM docs d
+            LEFT JOIN dup3 d3 USING (doc_id)
+            LEFT JOIN cov cv USING (doc_id)
+            JOIN dsir ds USING (doc_id))
+          SELECT * FROM ($stages) ORDER BY stage"""
+    },
 
     "x_lm_bigram" ->
       """WITH base AS (

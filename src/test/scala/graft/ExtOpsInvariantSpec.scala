@@ -149,6 +149,24 @@ class ExtOpsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("x_curation_pipeline: the funnel only shrinks, every stage drops " +
+      "something, and the splits partition the final survivors") {
+    val rows = run("x_curation_pipeline").collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    val funnel = Seq("1_input", "2_lang", "3_repetition", "4_spandedup",
+      "5_dsir").map(rows)
+    funnel.sliding(2).foreach { case Seq((d1, t1), (d2, t2)) =>
+      assert(d2 <= d1 && t2 <= t1, s"funnel grew: $rows")
+    }
+    assert(funnel.last._1 > 0, "an empty corpus out of the funnel means " +
+      "a gate threshold no longer matches the fixture")
+    assert(funnel.head._1 > funnel.last._1, "no gate dropped anything")
+    val splits = Seq("6_train", "7_valid", "8_test").map(rows)
+    assert(splits.map(_._1).sum == rows("5_dsir")._1)
+    assert(splits.map(_._2).sum == rows("5_dsir")._2)
+  }
+
   test("x_lm_bigram: training docs never back off, held-out docs do and " +
       "score worse, and the bigram model beats the unigram model on " +
       "the text it was trained on") {
