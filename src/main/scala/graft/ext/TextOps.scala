@@ -915,6 +915,58 @@ object TextOps {
             .as("compression"))
     }),
 
+    "x_bpe_fertility" -> ((s, d) => {
+      // tokenizer fertility per language (the multilingual-equity
+      // metric: subword tokens emitted per word; ACL multilinguality
+      // literature uses it to show a tokenizer under-serves languages
+      // it wasn't trained for). Reuses the trained BPE chain: the
+      // final symbol table gives n_syms per word; joining per-LANGUAGE
+      // word counts weights it by each language's actual usage.
+      // Fertility = sum(cnt_lang(w) * n_syms(w)) / sum(cnt_lang(w)).
+      val (_, seqF, _) = bpeChain(s, d, 6)
+      val nsyms = seqF.groupBy(col("word")).agg(count(lit(1)).as("n_syms"))
+      val langWc = t(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
+      langWc.join(broadcast(nsyms), "word")
+        .groupBy(col("lang"))
+        .agg(sum(col("cnt")).cast("long").as("n_words"),
+          sum(col("cnt") * col("n_syms")).cast("long").as("n_subwords"))
+        .select(col("lang"), col("n_words"), col("n_subwords"),
+          detRound(col("n_subwords") / col("n_words"), 4).as("fertility"))
+        .orderBy("lang")
+    }),
+
+    "x_temperature_sampling" -> ((s, d) => {
+      // temperature-scaled language sampling (XLM-R / mC4: sample
+      // language l proportionally to p_l^alpha, alpha = 0.3 — flattens
+      // the head so low-resource languages keep signal). Exponent via
+      // exp(alpha * ln p) in BOTH engines with the result detRounded
+      // to 4 dp BEFORE deriving the sampling weights, so the
+      // occasional 1-ulp exp/ln divergence cannot reach the output.
+      // Output: per language, the raw share, the temperature share,
+      // and the per-doc keep probability that realizes it capped at 1
+      // (weight = tshare/share, normalized to the max so the largest
+      // upsample factor maps to keep 1 — deterministic md5-threshold
+      // sampling applies it exactly like x_stratified_sample/
+      // x_dataset_split).
+      val per = t(s, d, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tt = per.agg(sum(col("n_docs")).cast("long").as("total"))
+      val shares = per.crossJoin(broadcast(tt))
+        .withColumn("share", detRound(col("n_docs") / col("total"), 4))
+        .withColumn("pw", detRound(exp(lit(0.3) * log(col("share"))), 4))
+      val z = shares.agg(graft.types.Coercions.dsum(col("pw")).as("zsum"))
+      val sc = shares.crossJoin(broadcast(z))
+        .withColumn("tshare", detRound(col("pw") / col("zsum"), 4))
+        .withColumn("boost", detRound(col("tshare") / col("share"), 4))
+      val mx = sc.agg(max(col("boost")).as("maxb"))
+      sc.crossJoin(broadcast(mx))
+        .select(col("lang"), col("n_docs"), col("share"), col("tshare"),
+          detRound(col("boost") / col("maxb"), 4).as("keep_prob"))
+        .orderBy("lang")
+    }),
+
     "x_cdc_chunks" -> ((s, d) => {
       // content-defined chunking (the FastCDC/LBFS family, Muthitacharoen
       // et al. 2001): chunk boundaries come from a rolling hash of the
@@ -1793,6 +1845,44 @@ object TextOps {
                         / (SELECT CAST(SUM(cnt * (length(word) + 1))
                                        AS BIGINT) FROM wc))
                        * 1e4 + 0.5) / 1e4 AS compression""",
+
+    "x_bpe_fertility" ->
+      s"""WITH ${bpeChainSql(6)},
+          nsyms AS (SELECT word, COUNT(*) AS n_syms FROM seq6 GROUP BY 1),
+          lwc AS (SELECT lang, word, COUNT(*) AS cnt
+                  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+                        FROM documents)
+                  GROUP BY 1, 2)
+          SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_words,
+                 CAST(SUM(cnt * n_syms) AS BIGINT) AS n_subwords,
+                 floor((CAST(SUM(cnt * n_syms) AS BIGINT)
+                        / CAST(SUM(cnt) AS BIGINT)) * 1e4 + 0.5) / 1e4
+                   AS fertility
+          FROM lwc JOIN nsyms USING (word) GROUP BY 1 ORDER BY lang""",
+
+    "x_temperature_sampling" ->
+      """WITH per AS (SELECT lang, COUNT(*) AS n_docs FROM documents
+                      GROUP BY 1),
+         tt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM per),
+         shares AS (SELECT lang, n_docs,
+                           floor((n_docs / total) * 1e4 + 0.5) / 1e4
+                             AS share
+                    FROM per, tt),
+         pws AS (SELECT lang, n_docs, share,
+                        floor(exp(0.3 * ln(share)) * 1e4 + 0.5) / 1e4 AS pw
+                 FROM shares),
+         z AS (SELECT CAST(SUM(CAST(pw AS DECIMAL(18,4))) AS DOUBLE)
+                        AS zsum FROM pws),
+         sc AS (SELECT lang, n_docs, share,
+                       floor((pw / zsum) * 1e4 + 0.5) / 1e4 AS tshare
+                FROM pws, z),
+         sc2 AS (SELECT lang, n_docs, share, tshare,
+                        floor((tshare / share) * 1e4 + 0.5) / 1e4 AS boost
+                 FROM sc),
+         mx AS (SELECT MAX(boost) AS maxb FROM sc2)
+         SELECT lang, n_docs, share, tshare,
+                floor((boost / maxb) * 1e4 + 0.5) / 1e4 AS keep_prob
+         FROM sc2, mx ORDER BY lang""",
 
     "x_cdc_chunks" -> {
       def statsFor(label: String): String =

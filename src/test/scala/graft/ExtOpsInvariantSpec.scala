@@ -149,6 +149,39 @@ class ExtOpsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("x_temperature_sampling: temperature flattens the head — the " +
+      "largest language is downweighted hardest, the smallest keeps " +
+      "everything, and the temperature shares still sum to 1") {
+    val rows = run("x_temperature_sampling").collect()
+    assert(rows.length > 1)
+    val tsum = rows.map(_.getAs[Double]("tshare")).sum
+    assert(math.abs(tsum - 1.0) < 1e-2, s"tshares sum to $tsum")
+    rows.foreach { r =>
+      val kp = r.getAs[Double]("keep_prob")
+      assert(kp > 0.0 && kp <= 1.0)
+      val (sh, ts) = (r.getAs[Double]("share"), r.getAs[Double]("tshare"))
+      // alpha < 1 pulls every share toward uniform: big shrinks,
+      // small grows
+      if (sh > 1.0 / rows.length) assert(ts < sh) else assert(ts > sh)
+    }
+    val byShare = rows.sortBy(_.getAs[Double]("share"))
+    assert(byShare.head.getAs[Double]("keep_prob") == 1.0,
+      "the most-boosted (smallest) language anchors keep_prob at 1")
+    assert(byShare.last.getAs[Double]("keep_prob") ==
+      rows.map(_.getAs[Double]("keep_prob")).min,
+      "the largest language must be kept least")
+  }
+
+  test("x_bpe_fertility: every language needs more than one subword per " +
+      "word at 6 merges, and subword counts bound word counts") {
+    val rows = run("x_bpe_fertility").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("fertility") > 1.0)
+      assert(r.getAs[Long]("n_subwords") >= r.getAs[Long]("n_words"))
+    }
+  }
+
   test("x_curation_pipeline: the funnel only shrinks, every stage drops " +
       "something, and the splits partition the final survivors") {
     val rows = run("x_curation_pipeline").collect()
