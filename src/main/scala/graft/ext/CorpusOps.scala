@@ -1,0 +1,487 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.types.Coercions.detRound
+import graft.util.Tables.t
+
+/** Corpus-level diagnostics and retrieval scoring for training-data
+  * pipelines (extension surface, same family as TextOps/DedupOps):
+  * BM25 retrieval, PMI collocation mining, source-overlap estimation,
+  * Johnson–Lindenstrauss projection quality, and Z-order data layout.
+  *
+  * Determinism discipline (established by the PCA/classifier/LM entries):
+  * every cross-row floating sum is per-term fixed-point rounded
+  * (floor(x·1e9..1e12) as BIGINT) before the integer aggregate; scalar
+  * double expressions use literals parsed identically by both engines
+  * (never driver-computed derived constants like 1.0-0.85).
+  */
+object CorpusOps {
+
+  // ---- BM25 ---------------------------------------------------------------
+
+  /** fixed query terms: df spread on the fixture vocabulary — 'spark' and
+    * 'merge' are common (df ≈ 0.78N), 'dup' is the rare marker (df ≈ 0.05N)
+    * so the idf contrast is exercised. */
+  private val Bm25Terms = Seq("spark", "merge", "dup")
+  private val bm25TermsSpark =
+    Bm25Terms.map(w => s"'$w'").mkString("array(", ", ", ")")
+  private val bm25TermsDuck =
+    Bm25Terms.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  // ---- collocations -------------------------------------------------------
+  // count threshold scales with the corpus (ceil(T_bi/1000)) so the op is
+  // meaningful at every SF: a fixed absolute cut would return nothing at
+  // sf0.001 and everything at sf10.
+
+  // ---- source overlap -----------------------------------------------------
+
+  private val OverlapK = 24 // minhash seeds
+
+  // ---- random projection --------------------------------------------------
+
+  private val RpOutDims = 8
+  private val RpSeed = 11L
+
+  private def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Achlioptas ±1 component for (output dim j, input dim d). */
+  private def rpComp(j: Int, d: Int): Long =
+    if ((splitmix64(RpSeed * 1000003L + j.toLong * 64L + d.toLong) & 1L) == 0L)
+      1L else -1L
+
+  private def rpVecSpark(j: Int): String =
+    (0 until 64).map(d => s"CAST(${rpComp(j, d)} AS DOUBLE)")
+      .mkString("array(", ", ", ")")
+
+  private def rpVecDuck(j: Int): String =
+    (0 until 64).map(d => rpComp(j, d).toString)
+      .mkString("[", ", ", "]::DOUBLE[]")
+
+  // ---- z-order ------------------------------------------------------------
+
+  private val ZBits = 12 // 4096-cell domain per dimension
+  private val ZFiles = 16
+
+  /** Morton interleave of two ZBits-wide nonneg ints (x even bits, y odd). */
+  private def zvalSpark(x: Column, y: Column): Column =
+    (0 until ZBits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  private def zvalDuck(x: String, y: String): String =
+    (0 until ZBits).map { i =>
+      s"((($x) >> $i) & 1) * ${1L << (2 * i)}" +
+        s" + ((($y) >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "x_bm25" -> ((s, d) => {
+      // Okapi BM25 (Robertson & Walker 1994; the Lucene-variant idf with
+      // the +1 inside the log so idf is never negative): score(D, q) =
+      // Σ_t idf(t) · tf(t,D)(k1+1) / (tf + k1(1 - b + b·|D|/avgdl)),
+      // k1 = 1.2, b = 0.75. Corpus stats (N, avgdl, df) are one grouped
+      // pass each, broadcast onto the per-(doc, term) tf rows; at 100 TB
+      // the stats tables are O(|vocab ∩ query|) rows — trivially
+      // broadcastable, the scan stays a narrow map. Per-term scores are
+      // fixed-point quantized before the per-doc sum (≤3 terms, but the
+      // discipline is uniform).
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .localCheckpoint()
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("long") / count(lit(1))).as("avgdl"))
+      val qtoks = toks.filter(expr(s"array_contains($bm25TermsSpark, tok)"))
+      val df = qtoks.groupBy("tok")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val tf = qtoks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      tf.join(broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)) + lit(1.0)))
+        .withColumn("sc",
+          col("idf") * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(0.25)
+              + lit(0.75) * (col("dl") / col("avgdl")))))
+        .withColumn("q", floor(col("sc") * 1e9 + 0.5).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms_matched"),
+          sum(col("q")).cast("long").as("sq"))
+        .select(col("doc_id"), col("n_terms_matched"),
+          detRound(col("sq") / 1e9, 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(15)
+    }),
+
+    "x_collocations" -> ((s, d) => {
+      // PMI collocation mining (Church & Hanks 1990; the phrase-detection
+      // pass word2vec runs before training): pmi(x,y) =
+      // ln(p(xy) / (p(x)p(y))) over within-doc adjacent bigrams, with a
+      // corpus-scaled support cut c_xy ≥ ceil(T_bi/1000) so rare noise
+      // pairs don't dominate. Counts are integer aggregates (order-free);
+      // the pmi itself is scalar ln on identical ratios. One tokenize
+      // pass, two grouped counts, broadcast unigram table joined twice.
+      val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"))
+        .localCheckpoint()
+      val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cx"))
+      val tuni = uni.agg(sum(col("cx")).cast("long").as("tu"))
+      val bi = toks.withColumn("nxt", lead(col("tok"), 1).over(wOrd))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("tok").as("w1"), col("nxt").as("w2"))
+        .agg(count(lit(1)).as("cxy"))
+      val tbi = bi.agg(sum(col("cxy")).cast("long").as("tb"))
+      bi.crossJoin(broadcast(tbi))
+        .filter(col("cxy") >= ceil(col("tb") / lit(1000.0)))
+        .join(broadcast(uni.select(col("tok").as("w1"), col("cx").as("cx1"))),
+          "w1")
+        .join(broadcast(uni.select(col("tok").as("w2"), col("cx").as("cx2"))),
+          "w2")
+        .crossJoin(broadcast(tuni))
+        .withColumn("pmi", log((col("cxy") / col("tb"))
+          / ((col("cx1") / col("tu")) * (col("cx2") / col("tu")))))
+        .select(col("w1"), col("w2"), col("cxy"),
+          detRound(col("pmi"), 6).as("pmi"))
+        .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+        .limit(20)
+    }),
+
+    "x_source_overlap" -> ((s, d) => {
+      // Pairwise corpus-overlap matrix between sources — the diagnostic a
+      // data-mixing pass runs before weighting sources (near-identical
+      // sources shouldn't be double-counted). Exact 3-shingle Jaccard per
+      // source pair (self-join of the distinct source-shingle sets on the
+      // shingle — bounded by shingle multiplicity, never all-pairs of
+      // docs) alongside a k=24 MinHash estimate (min over lexicographic
+      // md5 slices — the same engine-portable family as x_dedup_minhash),
+      // with the 3σ binomial bound as the hash-checked gauge flag, same
+      // contract as the a6/a7/a8 sketch gauges. At 100 TB: signatures are
+      // O(sources·k), the estimate side never touches the corpus again.
+      val tk = t(s, d, "documents")
+        .select(col("source"), split(col("text"), " ").as("tk"))
+      val sets = tk.filter(size(col("tk")) >= 3)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(tk) - 2), " +
+            "i -> concat(tk[i-1], ' ', tk[i], ' ', tk[i+1]))")).as("sh"))
+        .distinct()
+        .localCheckpoint()
+      val counts = sets.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = sets.select(col("source").as("src_a"), col("sh"))
+        .join(sets.select(col("source").as("src_b"), col("sh")), "sh")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+      val sig = sets
+        .select(col("source"), explode(expr(
+          s"transform(sequence(0, ${OverlapK - 1}), j -> j)")).as("j"),
+          col("sh"))
+        .select(col("source"), col("j"),
+          substring(md5(concat(col("j"), lit("|"), col("sh"))), 1, 12)
+            .as("h"))
+        .groupBy("source", "j").agg(min(col("h")).as("mh"))
+      val matches = sig.select(col("source").as("src_a"), col("j"),
+          col("mh").as("ha"))
+        .join(sig.select(col("source").as("src_b"), col("j"),
+          col("mh").as("hb")), "j")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(sum(when(col("ha") === col("hb"), 1L).otherwise(0L))
+          .cast("long").as("m"))
+      val pairs = counts.select(col("source").as("src_a"),
+          col("n").as("n_a"))
+        .crossJoin(counts.select(col("source").as("src_b"),
+          col("n").as("n_b")))
+        .filter(col("src_a") < col("src_b"))
+      pairs
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .join(matches, Seq("src_a", "src_b"), "left")
+        .withColumn("i", coalesce(col("inter"), lit(0L)))
+        .withColumn("exact_j",
+          col("i") / (col("n_a") + col("n_b") - col("i")))
+        .withColumn("est_j",
+          coalesce(col("m"), lit(0L)) / lit(OverlapK.toDouble))
+        .withColumn("err", abs(col("est_j") - col("exact_j")))
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          detRound(col("exact_j"), 6).as("exact_j"),
+          detRound(col("est_j"), 6).as("est_j"),
+          detRound(col("err"), 6).as("abs_err"),
+          (col("err") <= lit(3.0)
+            * sqrt(col("exact_j") * (lit(1.0) - col("exact_j"))
+              / lit(OverlapK.toDouble)) + lit(1e-12)).as("within_3sigma"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    "x_random_projection" -> ((s, d) => {
+      // Johnson–Lindenstrauss distortion gauge: project 64-dim embeddings
+      // to 8 dims with a seeded Achlioptas ±1 matrix (components are
+      // integer literals generated by the same function for BOTH engines,
+      // so projections are bit-identical — the LSH hyperplane precedent),
+      // then compare squared pair distances d8²/d64² on the 50 fixed
+      // (2i, 2i+1) pairs. E[d8²] = d64² under ±1/√k scaling; the ratio
+      // column IS the gauge. Scan-side map per vector (8 codegen'd
+      // graft_dot folds), one self-join on the pair spine — no shuffle
+      // beyond the join at any scale.
+      graft.functions.GraftFunctions.register(s)
+      // sqrt(8.0) computed in-engine on both sides: 8.0 is exact, sqrt is
+      // correctly rounded — identical doubles without a decimal literal
+      // (decimal literals parse as DECIMAL in both engines' SQL).
+      val proj = t(s, d, "embeddings")
+        .filter(col("vec_id") < 100)
+        .select(Seq(col("vec_id"), col("embedding")) ++
+          (0 until RpOutDims).map(j =>
+            (expr(s"graft_dot(embedding, ${rpVecSpark(j)})") / sqrt(lit(8.0)))
+              .as(s"p$j")): _*)
+        .localCheckpoint()
+      val a = proj.select(Seq(col("vec_id").as("id_a"),
+        col("embedding").as("ea")) ++
+        (0 until RpOutDims).map(j => col(s"p$j").as(s"a$j")): _*)
+        .filter(col("id_a") % 2 === 0)
+      val b = proj.select(Seq(col("vec_id").as("id_b"),
+        col("embedding").as("eb")) ++
+        (0 until RpOutDims).map(j => col(s"p$j").as(s"b$j")): _*)
+        .filter(col("id_b") % 2 === 1)
+      val d8sq = (0 until RpOutDims).map(j =>
+        (col(s"a$j") - col(s"b$j")) * (col(s"a$j") - col(s"b$j")))
+        .reduce(_ + _)
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .withColumn("d64sq", expr("graft_l2(ea, eb)"))
+        .withColumn("d8sq", d8sq)
+        .select(col("id_a"), col("id_b"),
+          detRound(sqrt(col("d64sq")), 6).as("d64"),
+          detRound(sqrt(col("d8sq")), 6).as("d8"),
+          detRound(col("d8sq") / col("d64sq"), 4).as("sq_ratio"))
+        .orderBy("id_a")
+    }),
+
+    "x_zorder_layout" -> ((s, d) => {
+      // Z-order (Morton) data layout vs natural insert order — the
+      // multi-dimensional clustering every 100 TB lakehouse table needs
+      // for data skipping on secondary columns (Delta/Iceberg OPTIMIZE
+      // ZORDER). Interleave 12 bits of (l_partkey, l_orderkey) mod 4096,
+      // split each layout into 16 equal files (ntile over the layout's
+      // total order), and measure per-file min/max spans — exactly the
+      // statistics a format's file-skipping index stores. Output: the
+      // expected fraction of files a point predicate on each dimension
+      // scans under each layout. Integer spans, one final division —
+      // engine-exact. At scale this is a sort (range partition) by zval;
+      // the gauge itself is two window passes + one grouped min/max.
+      val base = t(s, d, "lineitem")
+        .select(col("l_orderkey").cast("long").as("ok"),
+          col("l_linenumber").cast("long").as("ln"),
+          pmod(col("l_partkey").cast("long"), lit(4096L)).as("x"),
+          pmod(col("l_orderkey").cast("long"), lit(4096L)).as("y"))
+        .withColumn("zval", zvalSpark(col("x"), col("y")))
+        .localCheckpoint()
+      val linear = base.withColumn("file",
+        ntile(ZFiles).over(Window.orderBy(col("ok"), col("ln"))))
+        .withColumn("layout", lit("linear"))
+      val zorder = base.withColumn("file",
+        ntile(ZFiles).over(Window.orderBy(col("zval"), col("ok"), col("ln"))))
+        .withColumn("layout", lit("zorder"))
+      linear.unionByName(zorder)
+        .groupBy("layout", "file")
+        .agg((max(col("x")) - min(col("x")) + lit(1L)).as("sx"),
+          (max(col("y")) - min(col("y")) + lit(1L)).as("sy"))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("sx")).cast("long").as("tx"),
+          sum(col("sy")).cast("long").as("ty"))
+        .select(col("layout"), col("n_files"),
+          detRound(col("tx") / lit(ZFiles * 4096.0), 4).as("avg_frac_x"),
+          detRound(col("ty") / lit(ZFiles * 4096.0), 4).as("avg_frac_y"),
+          detRound(col("tx") / lit(4096.0), 4).as("exp_files_point_x"),
+          detRound(col("ty") / lit(4096.0), 4).as("exp_files_point_y"))
+        .orderBy("layout")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+
+    "x_bm25" ->
+      s"""WITH toks AS MATERIALIZED (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+          dl AS MATERIALIZED (
+            SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+          stats AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) / COUNT(*) AS avgdl FROM dl),
+          qt AS (SELECT doc_id, tok FROM toks
+                 WHERE list_contains($bm25TermsDuck, tok)),
+          dfq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df
+                  FROM qt GROUP BY 1),
+          tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
+          scored AS (
+            SELECT t.doc_id,
+                   CAST(floor(
+                     ln((s.n_docs - f.df + CAST(0.5 AS DOUBLE))
+                        / (f.df + CAST(0.5 AS DOUBLE))
+                        + CAST(1.0 AS DOUBLE))
+                     * (t.tf * CAST(2.2 AS DOUBLE))
+                     / (t.tf + CAST(1.2 AS DOUBLE)
+                        * (CAST(0.25 AS DOUBLE)
+                           + CAST(0.75 AS DOUBLE) * (l.dl / s.avgdl)))
+                     * 1e9 + 0.5) AS BIGINT) AS q
+            FROM tf t
+            JOIN dfq f USING (tok)
+            JOIN dl l USING (doc_id)
+            CROSS JOIN stats s)
+          SELECT doc_id, COUNT(*) AS n_terms_matched,
+                 floor((CAST(SUM(q) AS BIGINT) / 1e9) * 1e6 + 0.5) / 1e6
+                   AS score
+          FROM scored GROUP BY 1
+          ORDER BY score DESC, doc_id LIMIT 15""",
+
+    "x_collocations" ->
+      """WITH toks AS MATERIALIZED (
+           SELECT doc_id, pos, tk[pos + 1] AS tok
+           FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS pos
+                 FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                       FROM documents))),
+         uni AS MATERIALIZED (
+           SELECT tok, COUNT(*) AS cx FROM toks GROUP BY 1),
+         tuni AS (SELECT CAST(SUM(cx) AS BIGINT) AS tu FROM uni),
+         bi AS MATERIALIZED (
+           SELECT tok AS w1, nxt AS w2, COUNT(*) AS cxy
+           FROM (SELECT doc_id, tok,
+                        lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                          AS nxt
+                 FROM toks)
+           WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         tbi AS (SELECT CAST(SUM(cxy) AS BIGINT) AS tb FROM bi)
+         SELECT w1, w2, cxy,
+                floor(ln((cxy / tb)
+                         / ((u1.cx / tu) * (u2.cx / tu))) * 1e6 + 0.5) / 1e6
+                  AS pmi
+         FROM bi CROSS JOIN tbi CROSS JOIN tuni
+         JOIN uni u1 ON u1.tok = w1
+         JOIN uni u2 ON u2.tok = w2
+         WHERE cxy >= ceil(tb / CAST(1000.0 AS DOUBLE))
+         ORDER BY pmi DESC, w1, w2 LIMIT 20""",
+
+    "x_source_overlap" -> {
+      s"""WITH tk AS (
+            SELECT source, string_split(text, ' ') AS tk FROM documents),
+          sets AS MATERIALIZED (
+            SELECT DISTINCT source, sh
+            FROM (SELECT source,
+                         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+                  FROM (SELECT source, tk,
+                               unnest(range(1, len(tk) - 1)) AS i
+                        FROM tk WHERE len(tk) >= 3))),
+          counts AS MATERIALIZED (
+            SELECT source, COUNT(*) AS n FROM sets GROUP BY 1),
+          inter AS MATERIALIZED (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   COUNT(*) AS inter
+            FROM sets a JOIN sets b
+              ON a.sh = b.sh AND a.source < b.source
+            GROUP BY 1, 2),
+          sig AS MATERIALIZED (
+            SELECT source, j,
+                   MIN(substr(md5(j || '|' || sh), 1, 12)) AS mh
+            FROM sets, (SELECT unnest(range(0, $OverlapK)) AS j)
+            GROUP BY 1, 2),
+          mt AS MATERIALIZED (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                        AS BIGINT) AS m
+            FROM sig a JOIN sig b
+              ON a.j = b.j AND a.source < b.source
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT a.source AS src_a, a.n AS n_a,
+                   b.source AS src_b, b.n AS n_b
+            FROM counts a JOIN counts b ON a.source < b.source)
+          SELECT src_a, src_b, n_a, n_b,
+                 floor(ej * 1e6 + 0.5) / 1e6 AS exact_j,
+                 floor(sj * 1e6 + 0.5) / 1e6 AS est_j,
+                 floor(abs(sj - ej) * 1e6 + 0.5) / 1e6 AS abs_err,
+                 abs(sj - ej) <= CAST(3.0 AS DOUBLE)
+                   * sqrt(ej * (CAST(1.0 AS DOUBLE) - ej)
+                          / CAST($OverlapK AS DOUBLE)) + 1e-12
+                   AS within_3sigma
+          FROM (
+            SELECT p.src_a, p.src_b, p.n_a, p.n_b,
+                   COALESCE(i.inter, 0)
+                     / (p.n_a + p.n_b - COALESCE(i.inter, 0)) AS ej,
+                   COALESCE(m.m, 0) / CAST($OverlapK AS DOUBLE) AS sj
+            FROM pairs p
+            LEFT JOIN inter i
+              ON i.src_a = p.src_a AND i.src_b = p.src_b
+            LEFT JOIN mt m
+              ON m.src_a = p.src_a AND m.src_b = p.src_b)
+          ORDER BY src_a, src_b"""
+    },
+
+    "x_random_projection" -> {
+      val projDefs = (0 until RpOutDims).map { j =>
+        s"""list_sum(list_transform(range(1, 65),
+            i -> CAST(embedding[i] AS DOUBLE) * (${rpVecDuck(j)})[i]))
+            / sqrt(CAST(8.0 AS DOUBLE)) AS p$j"""
+      }.mkString(", ")
+      val d8 = (0 until RpOutDims).map(j =>
+        s"(a.p$j - b.p$j) * (a.p$j - b.p$j)").mkString(" + ")
+      val l2 = """list_sum(list_transform(range(1, 65),
+          i -> (CAST(a.embedding[i] AS DOUBLE)
+                - CAST(b.embedding[i] AS DOUBLE)) *
+               (CAST(a.embedding[i] AS DOUBLE)
+                - CAST(b.embedding[i] AS DOUBLE))))"""
+      s"""WITH proj AS MATERIALIZED (
+            SELECT vec_id, embedding, $projDefs
+            FROM embeddings WHERE vec_id < 100)
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 floor(sqrt($l2) * 1e6 + 0.5) / 1e6 AS d64,
+                 floor(sqrt($d8) * 1e6 + 0.5) / 1e6 AS d8,
+                 floor((($d8) / ($l2)) * 1e4 + 0.5) / 1e4 AS sq_ratio
+          FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+          WHERE a.vec_id % 2 = 0
+          ORDER BY id_a"""
+    },
+
+    "x_zorder_layout" -> {
+      val z = zvalDuck("x", "y")
+      s"""WITH base AS MATERIALIZED (
+            SELECT CAST(l_orderkey AS BIGINT) AS ok,
+                   CAST(l_linenumber AS BIGINT) AS ln,
+                   CAST(l_partkey AS BIGINT) % 4096 AS x,
+                   CAST(l_orderkey AS BIGINT) % 4096 AS y
+            FROM lineitem),
+          zb AS MATERIALIZED (SELECT ok, ln, x, y, $z AS zval FROM base),
+          files AS (
+            SELECT 'linear' AS layout,
+                   ntile($ZFiles) OVER (ORDER BY ok, ln) AS file, x, y
+            FROM zb
+            UNION ALL
+            SELECT 'zorder' AS layout,
+                   ntile($ZFiles) OVER (ORDER BY zval, ok, ln) AS file, x, y
+            FROM zb),
+          spans AS (
+            SELECT layout, file,
+                   MAX(x) - MIN(x) + 1 AS sx, MAX(y) - MIN(y) + 1 AS sy
+            FROM files GROUP BY 1, 2)
+          SELECT layout, COUNT(*) AS n_files,
+                 floor((CAST(SUM(sx) AS BIGINT) / (${ZFiles} * 4096.0))
+                       * 1e4 + 0.5) / 1e4 AS avg_frac_x,
+                 floor((CAST(SUM(sy) AS BIGINT) / (${ZFiles} * 4096.0))
+                       * 1e4 + 0.5) / 1e4 AS avg_frac_y,
+                 floor((CAST(SUM(sx) AS BIGINT) / 4096.0) * 1e4 + 0.5) / 1e4
+                   AS exp_files_point_x,
+                 floor((CAST(SUM(sy) AS BIGINT) / 4096.0) * 1e4 + 0.5) / 1e4
+                   AS exp_files_point_y
+          FROM spans GROUP BY 1 ORDER BY layout"""
+    })
+}

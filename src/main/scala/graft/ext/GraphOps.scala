@@ -1,0 +1,247 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables.t
+
+/** Iterative graph analytics over the order graph (extension surface:
+  * the link-analysis family a web-scale curation pipeline runs to rank
+  * crawl sources — CommonCrawl publishes harmonic-centrality/PageRank
+  * ranks for exactly this purpose; reference scope: tiny_api_v2_cliente.py
+  * has no graph ops, this is the 100 TB extension mandated by the brief).
+  *
+  * The graph: suppliers and customers are nodes; a distinct
+  * (l_suppkey, o_custkey) trading relation from lineitem ⨝ orders is an
+  * undirected edge, materialized as two directed edges. Node ids are
+  * disjoint by offsetting customers (+1,000,000).
+  *
+  * Determinism discipline (same as the PCA/classifier capstones): the ONLY
+  * cross-row floating sum — the per-destination contribution sum — is put
+  * behind per-term fixed-point rounding (floor(x·1e12) as BIGINT), so the
+  * integer sum is order-free and both engines walk bit-identical
+  * trajectories for all iterations. Scalar double ops on identical inputs
+  * (damping, normalization) are exactly-rounded IEEE — identical anywhere.
+  *
+  * Scale: each PageRank iteration is one equi-join (edges ⨝ ranks on src,
+  * shuffled hash join at 100 TB) plus one grouped integer sum on dst —
+  * the canonical distributed PageRank; state per round is O(|V|) rank rows,
+  * localCheckpointed so lineage stays flat. The edge table is built ONCE
+  * and reused across all iterations of both ops.
+  */
+object GraphOps {
+
+  private val Damp = 0.85
+  private val PrIters = 6
+  private val HitsIters = 4
+  private val CustOff = 1000000L
+
+  /** (edges(src,dst), outdeg(src,outdeg), nodes(node), nDouble) */
+  private def orderGraph(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val e0 = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").cast("long").as("s"),
+        col("o_custkey").cast("long").as("c"))
+      .distinct()
+    val edges = e0.select(col("s").as("src"), (col("c") + CustOff).as("dst"))
+      .union(e0.select((col("c") + CustOff).as("src"), col("s").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    (edges, deg, nodes)
+  }
+
+  /** Shared DuckDB CTE prefix: e0, edges, deg, nodes, nn(n). */
+  private val graphSql: String =
+    s"""e0 AS MATERIALIZED (
+          SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS s,
+                 CAST(o.o_custkey AS BIGINT) AS c
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        edges AS MATERIALIZED (
+          SELECT s AS src, c + $CustOff AS dst FROM e0
+          UNION ALL
+          SELECT c + $CustOff AS src, s AS dst FROM e0),
+        deg AS MATERIALIZED (
+          SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+        nn AS (SELECT COUNT(*) AS n FROM nodes)"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "x_pagerank" -> ((s, d) => {
+      // PageRank (Page et al. 1999), damping 0.85, 6 synchronous
+      // iterations. The bidirected trading graph has no dangling nodes
+      // (every node that appears has outdeg >= 1), so no dangling-mass
+      // redistribution term is needed — stated, not assumed: nodes is
+      // built FROM edges.src. Per-iteration rank is re-quantized to
+      // 1e-12 so the fixed-point trajectory is engine-portable.
+      val (edges, deg, nodes) = orderGraph(s, d)
+      val n = nodes.count().toDouble
+      var pr = nodes.withColumn("pr",
+        floor(lit(1.0 / n) * 1e12 + 0.5) / 1e12)
+        .localCheckpoint()
+      for (_ <- 1 to PrIters) {
+        val contrib = edges
+          .join(pr.withColumnRenamed("node", "src"), "src")
+          .join(deg, "src")
+          .select(col("dst").as("node"),
+            floor(col("pr") / col("outdeg") * 1e12 + 0.5).cast("long")
+              .as("q"))
+          .groupBy("node").agg(sum(col("q")).cast("long").as("sq"))
+        // 0.15 as a literal on BOTH sides (not 1.0 - Damp: IEEE
+        // 1.0-0.85 = 0.15000000000000002, a different double than the
+        // parsed literal both engines use).
+        pr = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (floor((lit(0.15 / n)
+              + lit(Damp) * (coalesce(col("sq"), lit(0L)) / 1e12))
+              * 1e12 + 0.5) / 1e12).as("pr"))
+          .localCheckpoint()
+      }
+      pr.select(
+          when(col("node") >= CustOff, "customer").otherwise("supplier")
+            .as("node_type"),
+          when(col("node") >= CustOff, col("node") - CustOff)
+            .otherwise(col("node")).as("entity_key"),
+          (floor(col("pr") * 1e10 + 0.5) / 1e10).as("pr"))
+        .orderBy(desc("pr"), asc("node_type"), asc("entity_key"))
+        .limit(15)
+    }),
+
+    "x_hits" -> ((s, d) => {
+      // HITS (Kleinberg 1999) on the bipartite trading graph: suppliers
+      // are hubs, customers authorities. auth = sum of hub over incident
+      // edges, hub = sum of auth; each half-step is L1-normalized (the
+      // total is itself a fixed-point integer sum, so normalization is a
+      // scalar double division — engine-portable). 4 iterations from
+      // uniform. Same one-join-one-agg shape per half-step as PageRank.
+      val e0 = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").cast("long").as("s"),
+          col("o_custkey").cast("long").as("c"))
+        .distinct()
+        .localCheckpoint()
+      val sups = e0.select(col("s")).distinct().localCheckpoint()
+      var hub = sups.withColumn("h", lit(1.0)).localCheckpoint()
+      var auth: DataFrame = null // set on the first half-step below
+      def l1norm(df: DataFrame, v: String): DataFrame = {
+        val tot = df.agg(sum(floor(col(v) * 1e12 + 0.5).cast("long")))
+          .head().getLong(0) / 1e12
+        df.withColumn(v, floor(col(v) / tot * 1e12 + 0.5) / 1e12)
+      }
+      for (_ <- 1 to HitsIters) {
+        auth = l1norm(
+          e0.join(hub, "s")
+            .select(col("c"), floor(col("h") * 1e12 + 0.5).cast("long")
+              .as("q"))
+            .groupBy("c").agg((sum(col("q")).cast("long") / 1e12).as("a")),
+          "a").localCheckpoint()
+        hub = l1norm(
+          e0.join(auth, "c")
+            .select(col("s"), floor(col("a") * 1e12 + 0.5).cast("long")
+              .as("q"))
+            .groupBy("s").agg((sum(col("q")).cast("long") / 1e12).as("h")),
+          "h").localCheckpoint()
+      }
+      val bySide = org.apache.spark.sql.expressions.Window
+        .partitionBy("side").orderBy(desc("score"), asc("entity_key"))
+      hub.select(lit("hub").as("side"), col("s").as("entity_key"),
+          (floor(col("h") * 1e10 + 0.5) / 1e10).as("score"))
+        .union(auth.select(lit("authority").as("side"),
+          col("c").as("entity_key"),
+          (floor(col("a") * 1e10 + 0.5) / 1e10).as("score")))
+        .withColumn("rk", row_number().over(bySide))
+        .filter(col("rk") <= 10)
+        .select(col("side"), col("rk").cast("long").as("rk"),
+          col("entity_key"), col("score"))
+        .orderBy(asc("side"), asc("rk"))
+    }))
+
+  private def prIterSql(i: Int): String = {
+    val prev = if (i == 1) "pr0" else s"pr${i - 1}"
+    s"""pr$i AS MATERIALIZED (
+          SELECT n.node,
+                 floor(((CAST(0.15 AS DOUBLE) / nn.n)
+                        + CAST(0.85 AS DOUBLE)
+                          * (CAST(COALESCE(s.sq, 0) AS BIGINT) / 1e12))
+                       * 1e12 + 0.5) / 1e12 AS pr
+          FROM nodes n CROSS JOIN nn
+          LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(CAST(floor(p.pr / d.outdeg * 1e12 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sq
+            FROM edges e
+            JOIN $prev p ON p.node = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY 1) s ON s.node = n.node)"""
+  }
+
+  private def hitsIterSql(i: Int): String = {
+    val ph = if (i == 1) "hub0" else s"hub${i - 1}"
+    s"""ar$i AS MATERIALIZED (
+          SELECT e.c, CAST(SUM(CAST(floor(h.h * 1e12 + 0.5) AS BIGINT))
+                           AS BIGINT) / 1e12 AS a
+          FROM e0 e JOIN $ph h ON h.s = e.s GROUP BY 1),
+        at$i AS (SELECT CAST(SUM(CAST(floor(a * 1e12 + 0.5) AS BIGINT))
+                             AS BIGINT) / 1e12 AS t FROM ar$i),
+        auth$i AS MATERIALIZED (
+          SELECT c, floor(a / t * 1e12 + 0.5) / 1e12 AS a
+          FROM ar$i, at$i),
+        hr$i AS MATERIALIZED (
+          SELECT e.s, CAST(SUM(CAST(floor(a.a * 1e12 + 0.5) AS BIGINT))
+                           AS BIGINT) / 1e12 AS h
+          FROM e0 e JOIN auth$i a ON a.c = e.c GROUP BY 1),
+        ht$i AS (SELECT CAST(SUM(CAST(floor(h * 1e12 + 0.5) AS BIGINT))
+                             AS BIGINT) / 1e12 AS t FROM hr$i),
+        hub$i AS MATERIALIZED (
+          SELECT s, floor(h / t * 1e12 + 0.5) / 1e12 AS h
+          FROM hr$i, ht$i)"""
+  }
+
+  def oracleSql: Map[String, String] = Map(
+
+    "x_pagerank" -> {
+      val iters = (1 to PrIters).map(prIterSql).mkString(",\n")
+      s"""WITH $graphSql,
+          pr0 AS MATERIALIZED (
+            SELECT node,
+                   floor((CAST(1.0 AS DOUBLE) / nn.n) * 1e12 + 0.5) / 1e12
+                     AS pr
+            FROM nodes, nn),
+          $iters
+          SELECT CASE WHEN node >= $CustOff THEN 'customer'
+                      ELSE 'supplier' END AS node_type,
+                 CASE WHEN node >= $CustOff THEN node - $CustOff
+                      ELSE node END AS entity_key,
+                 floor(pr * 1e10 + 0.5) / 1e10 AS pr
+          FROM pr$PrIters
+          ORDER BY pr DESC, node_type, entity_key LIMIT 15"""
+    },
+
+    "x_hits" -> {
+      val iters = (1 to HitsIters).map(hitsIterSql).mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS s,
+                   CAST(o.o_custkey AS BIGINT) AS c
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+          hub0 AS MATERIALIZED (
+            SELECT DISTINCT s, 1.0 AS h FROM e0),
+          $iters
+          SELECT side,
+                 CAST(row_number() OVER (PARTITION BY side
+                        ORDER BY score DESC, entity_key) AS BIGINT) AS rk,
+                 entity_key, score FROM (
+            SELECT 'hub' AS side, s AS entity_key,
+                   floor(h * 1e10 + 0.5) / 1e10 AS score FROM hub$HitsIters
+            UNION ALL
+            SELECT 'authority' AS side, c AS entity_key,
+                   floor(a * 1e10 + 0.5) / 1e10 AS score
+            FROM auth$HitsIters)
+          QUALIFY rk <= 10
+          ORDER BY side, rk"""
+    })
+}

@@ -1,0 +1,104 @@
+package graft
+
+/** Structural invariants of the graph-analytics and corpus-diagnostics
+  * ops (GraphOps/CorpusOps) — properties the DuckDB hash-compare cannot
+  * express. All at sf0.001.
+  */
+class GraphCorpusSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("x_pagerank: 15 rows, scores positive and non-increasing, both " +
+      "node spaces disjoint (entity keys re-offset correctly)") {
+    val rows = run("x_pagerank").collect()
+    assert(rows.length == 15)
+    val prs = rows.map(_.getAs[Double]("pr"))
+    assert(prs.forall(_ > 0.0))
+    assert(prs.zip(prs.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val tpe = r.getAs[String]("node_type")
+      assert(tpe == "supplier" || tpe == "customer")
+      assert(r.getAs[Long]("entity_key") >= 0)
+    }
+  }
+
+  test("x_hits: exactly 10 ranks per side, rank order matches score " +
+      "order, scores positive") {
+    val rows = run("x_hits").collect()
+    val bySide = rows.groupBy(_.getAs[String]("side"))
+    assert(bySide.keySet == Set("hub", "authority"))
+    bySide.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to 10L))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.forall(_ > 0.0))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("x_bm25: scores positive and non-increasing, matched-term counts " +
+      "within the 3-term query, the rare term lifts some doc to the top") {
+    val rows = run("x_bm25").collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val m = r.getAs[Long]("n_terms_matched")
+      assert(m >= 1 && m <= 3)
+    }
+  }
+
+  test("x_collocations: support above the corpus-scaled threshold, " +
+      "pmi finite and non-increasing, at most 20 rows") {
+    val rows = run("x_collocations").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val pmis = rows.map(_.getAs[Double]("pmi"))
+    assert(pmis.forall(p => !p.isNaN && !p.isInfinite))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(_.getAs[Long]("cxy") >= 1))
+  }
+
+  test("x_source_overlap: full pair spine, jaccards in [0, 1], the 3-sigma " +
+      "binomial bound holds for the vast majority of pairs") {
+    val rows = run("x_source_overlap").collect()
+    val nSources = rows.map(_.getAs[String]("src_a")).distinct.length + 1
+    assert(rows.length == nSources * (nSources - 1) / 2,
+      s"expected full pair spine, got ${rows.length} rows / $nSources sources")
+    rows.foreach { r =>
+      val (e, s) = (r.getAs[Double]("exact_j"), r.getAs[Double]("est_j"))
+      assert(e >= 0.0 && e <= 1.0 && s >= 0.0 && s <= 1.0)
+    }
+    val within = rows.count(_.getAs[Boolean]("within_3sigma"))
+    assert(within >= rows.length * 8 / 10,
+      s"only $within/${rows.length} pairs within the 3-sigma bound")
+  }
+
+  test("x_random_projection: JL ratios positive, mean ratio near 1 " +
+      "(unbiasedness of the +-1/sqrt(k) projection)") {
+    val rows = run("x_random_projection").collect()
+    assert(rows.nonEmpty)
+    val ratios = rows.map(_.getAs[Double]("sq_ratio"))
+    assert(ratios.forall(_ > 0.0))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.6 && mean < 1.4, s"mean sq_ratio $mean far from 1")
+  }
+
+  test("x_zorder_layout: both layouts produce 16 files; z-order strictly " +
+      "tightens the secondary dimension's per-file spans vs insert order") {
+    val rows = run("x_zorder_layout").collect()
+    val byLayout = rows.map(r => r.getAs[String]("layout") -> r).toMap
+    assert(byLayout.keySet == Set("linear", "zorder"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_files") == 16)
+      assert(r.getAs[Double]("avg_frac_x") > 0.0)
+      assert(r.getAs[Double]("avg_frac_x") <= 1.0)
+    }
+    // x (= partkey bits) is random under insert order; z-ordering must
+    // cluster it. y's direction depends on how the orderkey range wraps
+    // the 4096 domain, so no assertion there.
+    assert(byLayout("zorder").getAs[Double]("avg_frac_x")
+      < byLayout("linear").getAs[Double]("avg_frac_x"))
+  }
+}
