@@ -267,6 +267,32 @@ object CorpusOps {
         .orderBy("id_a")
     }),
 
+    "x_domain_cap" -> ((s, d) => {
+      // per-domain document cap (RefinedWeb §3.2's per-domain limits):
+      // keep at most 10 docs per source, selected by md5 rank keyed on
+      // (source, doc_id) — deterministic, engine-agnostic, reproducible
+      // across snapshots (a doc's keep/drop never depends on what else
+      // arrived, unlike rank-by-arrival). kept_docid_sum hash-checks the
+      // actual selection, not just the counts. One window per source
+      // partition — shuffle on source; a skewed mega-domain would use
+      // the established chunk-salting path (x_dedup_skew_chunked).
+      val wS = Window.partitionBy("source")
+        .orderBy(col("rkey"), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          md5(concat(col("source"), lit(":"), col("doc_id"))).as("rkey"))
+        .withColumn("rn", row_number().over(wS))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rn") <= 10, 1L).otherwise(0L)).cast("long")
+            .as("n_kept"),
+          sum(when(col("rn") > 10, 1L).otherwise(0L)).cast("long")
+            .as("n_dropped"),
+          sum(when(col("rn") <= 10, col("doc_id")).otherwise(0L))
+            .cast("long").as("kept_docid_sum"))
+        .orderBy("source")
+    }),
+
     "x_zorder_layout" -> ((s, d) => {
       // Z-order (Morton) data layout vs natural insert order — the
       // multi-dimensional clustering every 100 TB lakehouse table needs
@@ -451,6 +477,21 @@ object CorpusOps {
           WHERE a.vec_id % 2 = 0
           ORDER BY id_a"""
     },
+
+    "x_domain_cap" ->
+      """WITH ranked AS (
+           SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5(source || ':' || doc_id), doc_id) AS rn
+           FROM documents)
+         SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept,
+                CAST(SUM(CASE WHEN rn > 10 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dropped,
+                CAST(SUM(CASE WHEN rn <= 10 THEN doc_id ELSE 0 END)
+                     AS BIGINT) AS kept_docid_sum
+         FROM ranked GROUP BY 1 ORDER BY source""",
 
     "x_zorder_layout" -> {
       val z = zvalDuck("x", "y")

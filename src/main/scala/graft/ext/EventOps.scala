@@ -150,6 +150,38 @@ object EventOps {
         .agg(max(col("session_id")).as("n_sessions"),
              count(lit(1)).as("n_events"))
         .orderBy("user_id")
+    }),
+
+    "x_scd2_intervals" -> ((s, d) => {
+      // SCD type-2 history build (Kimball): collapse each user's event
+      // stream into [valid_from, valid_to) validity intervals per
+      // event_type run — the standard warehouse dimension-history shape
+      // the reference's ERP domain would materialize at scale. Change
+      // detection is lag + gaps-and-islands (running sum of change
+      // flags), intervals close with lead over the island starts; the
+      // open interval is the current row. One shuffle on user_id, three
+      // linear window passes per partition — no self-join, no range
+      // join, scale-clean.
+      val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cum = wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wI = Window.partitionBy("user_id").orderBy("island")
+      t(s, d, "events").filter(col("user_id") < 200)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(wU))
+        .withColumn("chg",
+          when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("chg")).over(cum))
+        .groupBy(col("user_id"), col("island"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("from_ts"))
+        .withColumn("valid_from", fmtTs(col("from_ts")))
+        .withColumn("valid_to", fmtTs(lead(col("from_ts"), 1).over(wI)))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("user_id"), col("island").as("version"),
+          col("event_type"), col("valid_from"), col("valid_to"),
+          col("n_events"), col("is_current"))
+        .orderBy("user_id", "version")
     })
   )
 
@@ -251,6 +283,38 @@ object EventOps {
            FROM m)
          SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
                 COUNT(*) AS n_events
-         FROM sess GROUP BY 1 ORDER BY user_id"""
+         FROM sess GROUP BY 1 ORDER BY user_id""",
+
+    "x_scd2_intervals" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, ts, event_type FROM events
+           WHERE user_id < 200),
+         m AS (
+           SELECT user_id, event_id, ts, event_type,
+                  CASE WHEN lag(event_type) OVER w IS NULL
+                            OR lag(event_type) OVER w <> event_type
+                       THEN 1 ELSE 0 END AS chg
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         i AS (
+           SELECT user_id, event_type,
+                  CAST(SUM(chg) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS island, ts
+           FROM m),
+         g AS (
+           SELECT user_id, island, event_type,
+                  COUNT(*) AS n_events, MIN(ts) AS from_ts
+           FROM i GROUP BY 1, 2, 3)
+         SELECT user_id, island AS version, event_type,
+                strftime(from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                strftime(lead(from_ts) OVER wi, '%Y-%m-%d %H:%M:%S')
+                  AS valid_to,
+                n_events,
+                lead(from_ts) OVER wi IS NULL AS is_current
+         FROM g
+         WINDOW wi AS (PARTITION BY user_id ORDER BY island)
+         ORDER BY user_id, version"""
   )
 }

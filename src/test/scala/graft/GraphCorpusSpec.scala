@@ -101,4 +101,53 @@ class GraphCorpusSpec extends SparkSpec {
     assert(byLayout("zorder").getAs[Double]("avg_frac_x")
       < byLayout("linear").getAs[Double]("avg_frac_x"))
   }
+
+  test("x_scd2_intervals: per user, versions are contiguous from 1, " +
+      "exactly one open (current) interval, intervals chain " +
+      "valid_to == next valid_from, adjacent types differ") {
+    val rows = run("x_scd2_intervals").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq ==
+        (1L to sorted.length.toLong))
+      assert(sorted.count(_.getAs[Boolean]("is_current")) == 1)
+      assert(sorted.last.getAs[Boolean]("is_current"))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getAs[String]("valid_to") == b.getAs[String]("valid_from"))
+        assert(a.getAs[String]("event_type") !=
+          b.getAs[String]("event_type"),
+          "adjacent SCD2 intervals must change the tracked attribute")
+      }
+    }
+  }
+
+  test("x_domain_cap: kept never exceeds the cap or the domain size, " +
+      "kept + dropped == n_docs") {
+    val rows = run("x_domain_cap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k, dr) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("n_dropped"))
+      assert(k <= 10 && k <= n && k + dr == n)
+      assert(k == math.min(n, 10L))
+    }
+  }
+
+  test("x_cluster_topics: exactly 3 ranked terms per cell, scores " +
+      "non-increasing within a cell, cluster doc counts cover the " +
+      "joined corpus") {
+    val rows = run("x_cluster_topics").collect()
+    assert(rows.nonEmpty)
+    val cells = rows.groupBy(_.getAs[Long]("cell"))
+    cells.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(sorted.map(_.getAs[String]("term")).distinct.length == 3)
+    }
+    val totalDocs = cells.map(_._2.head.getAs[Long]("n_docs")).sum
+    assert(totalDocs > 0)
+  }
 }
