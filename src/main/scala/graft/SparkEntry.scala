@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ext.{CorpusOps, DedupOps, EventOps, GraphOps, MultimodalOps,
-  SimilarityOps, TextOps}
+  SimilarityOps, StatsOps, TextOps}
 import graft.queries.{AdvancedAnalytics => AA, Analytics => A, RefOps => R}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,14 +24,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     A.queries ++ AA.queries ++ R.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ EventOps.queries ++
-      MultimodalOps.queries ++ GraphOps.queries ++ CorpusOps.queries
+      MultimodalOps.queries ++ GraphOps.queries ++ CorpusOps.queries ++
+      StatsOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     A.oracleSql ++ AA.oracleSql ++ R.oracleSql ++ TextOps.oracleSql ++
       DedupOps.oracleSql ++ SimilarityOps.oracleSql ++ EventOps.oracleSql ++
-      MultimodalOps.oracleSql ++ GraphOps.oracleSql ++ CorpusOps.oracleSql
+      MultimodalOps.oracleSql ++ GraphOps.oracleSql ++ CorpusOps.oracleSql ++
+      StatsOps.oracleSql
 
   /** Headline subset used by Bench (heaviest / most representative). */
   def benchQueries: Seq[String] = {

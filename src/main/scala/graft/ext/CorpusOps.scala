@@ -267,6 +267,59 @@ object CorpusOps {
         .orderBy("id_a")
     }),
 
+    "x_token_entropy" -> ((s, d) => {
+      // per-document unigram entropy H = -Σ p·ln p (nats) and its
+      // length-normalized form H/ln(dl) — the lexical-diversity quality
+      // signal (low entropy = repetitive/templated text; complements
+      // x_repetition_scores' positional dup fractions with a
+      // distributional one). Per-term -p·ln p is fixed-point quantized
+      // before the per-doc sum. Two keyed shuffles ((doc, tok) counts,
+      // then doc fold) — scale-clean.
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val c = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      val dl = c.groupBy("doc_id").agg(sum(col("c")).cast("long").as("dl"),
+        count(lit(1)).as("n_distinct"))
+      c.join(dl, "doc_id")
+        .withColumn("p", col("c") / col("dl"))
+        .withColumn("q",
+          floor(-(col("p") * log(col("p"))) * 1e9 + 0.5).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("dl")).as("n_tokens"),
+          max(col("n_distinct")).as("n_distinct"),
+          sum(col("q")).cast("long").as("sq"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          detRound(col("sq") / 1e9, 6).as("entropy"),
+          detRound(when(col("n_tokens") > 1,
+              (col("sq") / 1e9) / log(col("n_tokens")))
+            .otherwise(lit(0.0)), 6).as("entropy_norm"))
+        .orderBy("doc_id")
+    }),
+
+    "x_weighted_sample" -> ((s, d) => {
+      // deterministic weighted sampling without replacement (Efraimidis &
+      // Spirakis 2006, the A-ES one-pass scheme): each doc draws a
+      // hash-uniform u ∈ (0,1) from md5 and ranks by key = ln(u)/w,
+      // taking the top-50 largest keys — equivalent to u^(1/w) sampling
+      // but ln-monotone (one log, no pow). Weight = n_chars, so long
+      // docs are proportionally favored; the selection is reproducible
+      // across runs and engines (no RNG), and composes with incremental
+      // snapshots: a doc's key never changes, so re-sampling a grown
+      // corpus keeps prior picks stable except where new docs out-rank
+      // them. One scan + one top-k (TakeOrdered at scale, no full sort).
+      val u = (conv(substring(md5(concat(lit("ws:"), col("doc_id"))), 1, 12),
+        16, 10).cast("long") + lit(0.5)) / lit(281474976710656.0) // 2^48
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("w"), u.as("u"))
+        .withColumn("key", detRound(log(col("u")) / col("w"), 12))
+        .orderBy(desc("key"), asc("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("source"), col("w"),
+          detRound(col("key") * 1e3, 6).as("key_milli"))
+    }),
+
     "x_domain_cap" -> ((s, d) => {
       // per-domain document cap (RefinedWeb §3.2's per-domain limits):
       // keep at most 10 docs per source, selected by md5 rank keyed on
@@ -477,6 +530,48 @@ object CorpusOps {
           WHERE a.vec_id % 2 = 0
           ORDER BY id_a"""
     },
+
+    "x_token_entropy" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         c AS MATERIALIZED (
+           SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+         dl AS (
+           SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dl,
+                  COUNT(*) AS n_distinct
+           FROM c GROUP BY 1),
+         q AS (
+           SELECT c.doc_id, l.dl, l.n_distinct,
+                  CAST(floor(-((c.c / l.dl) * ln(c.c / l.dl)) * 1e9 + 0.5)
+                       AS BIGINT) AS q
+           FROM c JOIN dl l USING (doc_id)),
+         s AS (
+           SELECT doc_id, MAX(dl) AS n_tokens,
+                  MAX(n_distinct) AS n_distinct,
+                  CAST(SUM(q) AS BIGINT) AS sq
+           FROM q GROUP BY 1)
+         SELECT doc_id, n_tokens, n_distinct,
+                floor((sq / 1e9) * 1e6 + 0.5) / 1e6 AS entropy,
+                floor((CASE WHEN n_tokens > 1
+                            THEN (sq / 1e9) / ln(n_tokens)
+                            ELSE CAST(0.0 AS DOUBLE) END) * 1e6 + 0.5) / 1e6
+                  AS entropy_norm
+         FROM s ORDER BY doc_id""",
+
+    "x_weighted_sample" ->
+      """WITH keyed AS (
+           SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+                  floor((ln((CAST(('0x' || substr(
+                           md5('ws:' || doc_id), 1, 12)) AS BIGINT)
+                          + CAST(0.5 AS DOUBLE))
+                         / CAST(281474976710656.0 AS DOUBLE))
+                        / CAST(n_chars AS BIGINT)) * 1e12 + 0.5) / 1e12
+                    AS key
+           FROM documents)
+         SELECT doc_id, source, w,
+                floor((key * 1e3) * 1e6 + 0.5) / 1e6 AS key_milli
+         FROM keyed ORDER BY key DESC, doc_id LIMIT 50""",
 
     "x_domain_cap" ->
       """WITH ranked AS (

@@ -159,6 +159,30 @@ object GraphOps {
         .select(col("side"), col("rk").cast("long").as("rk"),
           col("entity_key"), col("score"))
         .orderBy(asc("side"), asc("rk"))
+    }),
+
+    "x_degree_histogram" -> ((s, d) => {
+      // log-binned degree distribution of the trading graph — the first
+      // thing a graph pipeline inspects before choosing join strategies
+      // (a power-law tail means salting / AQE skew handling on the hub
+      // keys; see x_dedup_skew_chunked). Bucket b means degree in
+      // [2^b, 2^(b+1)) — computed as an integer comparison ladder, NOT
+      // floor(log2(x)): Spark's log(2, x) is ln(x)/ln 2 while DuckDB's
+      // log2 is libm log2, and they disagree at exact powers of two
+      // (ln 8/ln 2 = 2.9999999999999996). One grouped count per side —
+      // scale-trivial.
+      val (edges, deg, _) = orderGraph(s, d)
+      val bucket = (1 to 24).foldLeft(lit(0L)) { (acc, b) =>
+        when(col("outdeg") >= lit(1L << b), lit(b.toLong)).otherwise(acc)
+      }
+      deg.withColumn("side",
+          when(col("src") >= CustOff, "customer").otherwise("supplier"))
+        .withColumn("bucket", bucket)
+        .groupBy("side", "bucket")
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("outdeg")).as("min_deg"),
+          max(col("outdeg")).as("max_deg"))
+        .orderBy("side", "bucket")
     }))
 
   private def prIterSql(i: Int): String = {
@@ -243,5 +267,17 @@ object GraphOps {
             FROM auth$HitsIters)
           QUALIFY rk <= 10
           ORDER BY side, rk"""
+    },
+
+    "x_degree_histogram" -> {
+      val ladder = (24 to 1 by -1).map(b =>
+        s"WHEN outdeg >= ${1L << b} THEN $b").mkString(" ")
+      s"""WITH $graphSql
+          SELECT CASE WHEN src >= $CustOff THEN 'customer'
+                      ELSE 'supplier' END AS side,
+                 CAST(CASE $ladder ELSE 0 END AS BIGINT) AS bucket,
+                 COUNT(*) AS n_nodes,
+                 MIN(outdeg) AS min_deg, MAX(outdeg) AS max_deg
+          FROM deg GROUP BY 1, 2 ORDER BY side, bucket"""
     })
 }

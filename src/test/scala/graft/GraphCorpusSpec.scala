@@ -150,4 +150,70 @@ class GraphCorpusSpec extends SparkSpec {
     val totalDocs = cells.map(_._2.head.getAs[Long]("n_docs")).sum
     assert(totalDocs > 0)
   }
+
+  test("x_degree_histogram: buckets honest (min/max inside [2^b, 2^(b+1))), " +
+      "node counts sum to the graph's node count") {
+    val rows = run("x_degree_histogram").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val (lo, hi) = (r.getAs[Long]("min_deg"), r.getAs[Long]("max_deg"))
+      assert(lo >= (1L << b) && hi < (1L << (b + 1)),
+        s"bucket $b holds degrees [$lo, $hi] outside [2^$b, 2^${b + 1})")
+      assert(lo <= hi)
+    }
+  }
+
+  test("x_token_entropy: 0 <= H <= ln(n_distinct), normalized entropy " +
+      "in [0, 1], uniform-limit reached only when all tokens distinct") {
+    val rows = run("x_token_entropy").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val hn = r.getAs[Double]("entropy_norm")
+      val nd = r.getAs[Long]("n_distinct")
+      assert(h >= 0.0 && h <= math.log(nd.toDouble) + 1e-6)
+      assert(hn >= 0.0 && hn <= 1.0 + 1e-6)
+    }
+  }
+
+  test("x_weighted_sample: exactly 50 picks, keys non-increasing, " +
+      "sampled docs skew long (mean weight above corpus mean)") {
+    val rows = run("x_weighted_sample").collect()
+    assert(rows.length == 50)
+    val keys = rows.map(_.getAs[Double]("key_milli"))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+    val sampledMeanW = rows.map(_.getAs[Long]("w")).sum.toDouble / 50
+    val corpusMeanW = spark.read
+      .parquet(s"$sf/documents.parquet")
+      .agg(org.apache.spark.sql.functions.avg("n_chars"))
+      .head().getDouble(0)
+    assert(sampledMeanW > corpusMeanW,
+      s"weighted sample mean $sampledMeanW <= corpus mean $corpusMeanW")
+  }
+
+  test("x_robust_stats: MAD <= spread, outlier fraction bounded well " +
+      "below half (median robustness), counts consistent") {
+    val rows = run("x_robust_stats").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mad") >= 0.0)
+      val frac = r.getAs[Double]("outlier_frac")
+      assert(frac >= 0.0 && frac < 0.5)
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n"))
+    }
+  }
+
+  test("x_quantile_bins: 10 bins, equi-depth within 1 row, " +
+      "boundaries non-decreasing and non-overlapping") {
+    val rows = run("x_quantile_bins").collect().sortBy(_.getAs[Long]("bin"))
+    assert(rows.map(_.getAs[Long]("bin")).toSeq == (1L to 10L))
+    val counts = rows.map(_.getAs[Long]("n"))
+    assert(counts.max - counts.min <= 1, s"not equi-depth: ${counts.toSeq}")
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo") + 1e-9)
+    }
+    rows.foreach(r =>
+      assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi")))
+  }
 }
