@@ -211,6 +211,61 @@ object MultimodalOps {
       when(ok, beInt(53, 4)).otherwise(lit(0L)))
   }
 
+  /** Wrap a payload as a minimal REAL JPEG: SOI + a JFIF APP0 whose
+    * length varies per doc (16 + doc_id%8 — the scanner must USE the
+    * length field, not assume an offset) + an optional COM segment on
+    * odd docs (2 + 6 + doc_id%5 bytes) + a 1-component SOF0 carrying the
+    * dimensions + the payload as the "entropy-coded" body. Unlike
+    * PNG/GIF/BMP the dimensions are NOT at a fixed offset — that is the
+    * point of the format and of the scanning parser below. */
+  def wrapJpeg(docId: Column, payload: Column): Column = {
+    val w = dimW(payload)
+    val h = dimH(payload)
+    val pad = pmod(docId, lit(8)).cast("int")
+    val app0 = concat(
+      lit(Array(0xff, 0xe0).map(_.toByte)), be(lit(16) + pad, 2),
+      lit("JFIF".getBytes("US-ASCII")), lit(Array[Byte](0)),
+      lit(Array[Byte](1, 1, 0, 0, 0x48, 0, 0x48, 0, 0)), // ver/units/dens
+      substring(lit(Array.fill[Byte](7)(0)), lit(1), pad))
+    val comLen = (lit(6) + pmod(docId, lit(5))).cast("int")
+    val com = concat(
+      lit(Array(0xff, 0xfe).map(_.toByte)), be(comLen, 2),
+      substring(lit("metaXXXXX".getBytes("US-ASCII")), lit(1), comLen - 2))
+    val sof0 = concat(
+      lit(Array(0xff, 0xc0).map(_.toByte)), be(lit(11), 2),
+      lit(Array[Byte](8)), be(h, 2), be(w, 2),
+      lit(Array[Byte](1, 1, 0x11, 0)))
+    concat(
+      lit(Array(0xff, 0xd8).map(_.toByte)), app0,
+      when(pmod(docId, lit(2)) === 1, com)
+        .otherwise(lit(Array.emptyByteArray)),
+      sof0, payload)
+  }
+
+  /** JPEG dimension probe in pure Columns: WALK the segment chain from
+    * SOI — read each marker, skip non-SOF segments by their length
+    * field — until an SOF0/1/2 frame header, then read (height, width)
+    * from it. Statically unrolled to 3 segments (APP0 [+COM] + SOF covers
+    * the synthesis; a real corpus would widen the unroll or drop to the
+    * mapPartitions parser). Returns (segments_skipped, width, height). */
+  def decodeJpegDims(img: Column): (Column, Column, Column) = {
+    def beAt(pos: Column, n: Int): Column =
+      conv(hex(img.substr(pos, lit(n))), 16, 10).cast("long")
+    def markerAt(pos: Column): Column = hex(img.substr(pos, lit(2)))
+    def isSof(m: Column): Column = m.isin("FFC0", "FFC1", "FFC2")
+    val p1 = lit(2L) + 1L // 1-based: first marker after the 2-byte SOI
+    val m1 = markerAt(p1)
+    val p2 = p1 + lit(2L) + beAt(p1 + 2L, 2)
+    val m2 = markerAt(p2)
+    val p3 = p2 + lit(2L) + beAt(p2 + 2L, 2)
+    val m3 = markerAt(p3)
+    val sofPos = when(isSof(m1), p1).when(isSof(m2), p2)
+      .when(isSof(m3), p3).otherwise(lit(null).cast("long"))
+    val skipped = when(isSof(m1), 0L).when(isSof(m2), 1L)
+      .when(isSof(m3), 2L).otherwise(-1L)
+    (skipped, beAt(sofPos + 7L, 2), beAt(sofPos + 5L, 2))
+  }
+
   /** documents.text cast to binary plays the opaque media payload. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -301,6 +356,25 @@ object MultimodalOps {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    "x_jpeg_header_scan" -> ((s, d) => {
+      // JPEG completes the image-container set, and unlike PNG/GIF/BMP
+      // its dimensions sit behind a VARIABLE-length segment chain — this
+      // entry proves the scanning parser (read marker → skip by length
+      // field → repeat until SOF) against the stored-meta derivation on
+      // every row: variable APP0 padding (doc_id%8) and an optional COM
+      // segment (odd docs) make every skip distance doc-dependent, so a
+      // fixed-offset "parser" cannot pass. Pure-Column codegen, one
+      // narrow map over the scan — no shuffle until the output sort.
+      val img = mediaTable(s, d)
+        .select(col("doc_id"),
+          wrapJpeg(col("doc_id"), col("payload")).as("payload"))
+      val (skipped, width, height) = decodeJpegDims(col("payload"))
+      img.select(col("doc_id"), skipped.as("segments_skipped"),
+          width.as("width"), height.as("height"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
     "x_resize_meta" -> ((s, d) => {
       // aspect-preserving resize planning over REAL decoded dimensions:
       // parse the container header, fit into a 256-px box
@@ -378,6 +452,19 @@ object MultimodalOps {
            8) AS BLOB))) AS frame_hex
          FROM documents, generate_series(0, 3) AS t(i)
          ORDER BY doc_id, frame_idx""",
+
+    "x_jpeg_header_scan" ->
+      """SELECT doc_id,
+         CAST(CASE doc_id % 2 WHEN 1 THEN 2 ELSE 1 END AS BIGINT)
+           AS segments_skipped,
+         CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS BIGINT)
+           AS width,
+         CAST((ascii(text) * 7) % 480 + 1 AS BIGINT) AS height,
+         CAST(octet_length(CAST(text AS BLOB))
+              + 2 + (2 + 16 + doc_id % 8)
+              + (CASE doc_id % 2 WHEN 1 THEN 2 + 6 + doc_id % 5 ELSE 0 END)
+              + 13 AS BIGINT) AS n_bytes
+         FROM documents ORDER BY doc_id""",
 
     "x_resize_meta" ->
       """WITH dims AS (

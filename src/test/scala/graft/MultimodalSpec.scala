@@ -154,4 +154,28 @@ class MultimodalSpec extends SparkSpec {
       assert(new String(text, "UTF-8").contains(new String(bytes, "UTF-8")))
     }
   }
+
+  test("JPEG scan genuinely walks the segment chain: skip counts follow " +
+      "the synthesis (1 even / 2 odd docs), dims in range, and a " +
+      "chain with no SOF within the unroll reports -1") {
+    val rows = MultimodalOps.queries("x_jpeg_header_scan")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val sk = r.getAs[Long]("segments_skipped")
+      assert(sk == (if (id % 2 == 1) 2L else 1L),
+        s"doc $id skipped $sk segments")
+      val (w, h) = (r.getAs[Long]("width"), r.getAs[Long]("height"))
+      assert(w >= 1 && w <= 640 && h >= 1 && h <= 480)
+    }
+    // negative: SOI + three APP segments and never a SOF — the unrolled
+    // walker must report not-found (-1), not misread a length as dims
+    val app = Array(0xff, 0xe1, 0x00, 0x04, 0x00, 0x00).map(_.toByte)
+    val noSof = (Array(0xff, 0xd8).map(_.toByte) ++ app ++ app ++ app)
+    val df = Seq((1L, noSof)).toDF("doc_id", "payload")
+    val (skipped, _, _) =
+      MultimodalOps.decodeJpegDims(col("payload"))
+    assert(df.select(skipped).head().getLong(0) === -1L)
+  }
 }
