@@ -58,6 +58,85 @@ object StatsOps {
         .orderBy("event_type")
     }),
 
+    "x_target_encoding" -> ((s, d) => {
+      // leave-one-out target encoding with m-estimate smoothing (the
+      // Micci-Barreca 2001 categorical encoder every tabular-ML pipeline
+      // ships): encode l_suppkey by the mean quantity of the OTHER rows
+      // with that key, shrunk toward the global mean by m = 10 virtual
+      // rows. LOO (subtract self before dividing) is what prevents
+      // target leakage — the encoded feature never contains its own
+      // row's label. Sums are per-term fixed-point longs, so the
+      // (sum − self)/(n − 1) arithmetic is integer-exact until the final
+      // scalar divisions. Shape: one grouped sum + one broadcast join
+      // back — no window, no self-join; output capped by a pushed-down
+      // key filter.
+      val base = t(s, d, "lineitem")
+        .filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("l_quantity"),
+          floor(col("l_quantity") * 1e6 + 0.5).cast("long").as("q"))
+        .localCheckpoint()
+      val per = base.groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"), sum(col("q")).cast("long").as("sk"))
+      val g = base.agg(count(lit(1)).as("nn"),
+        sum(col("q")).cast("long").as("ss"))
+      base.join(broadcast(per), "l_suppkey")
+        .crossJoin(broadcast(g))
+        .withColumn("gm", (col("ss") / col("nn")) / 1e6)
+        .withColumn("loo",
+          when(col("n") > 1,
+            ((col("sk") - col("q")) / (col("n") - 1)) / 1e6)
+            .otherwise(col("gm")))
+        .withColumn("smoothed",
+          ((col("sk") - col("q")) / lit(1e6) + lit(10.0) * col("gm"))
+            / (col("n") - 1 + lit(10.0)))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          detRound(col("l_quantity"), 2).as("quantity"),
+          col("n").as("key_n"),
+          detRound(col("loo"), 6).as("loo_mean"),
+          detRound(col("smoothed"), 6).as("smoothed_mean"))
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture —
+        // total-order on every output column so tied prefixes leave
+        // only identical rows to permute
+        .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "quantity")
+    }),
+
+    "x_chi2_independence" -> ((s, d) => {
+      // Pearson chi-square independence test of (source × lang) in the
+      // documents table + Cramér's V effect size — the balance
+      // diagnostic a curation pipeline runs before per-source language
+      // quotas (a significant association means some sources are
+      // language-skewed and a global language mix will distort them).
+      // Observed/expected from integer counts; each (o−e)²/e term is
+      // fixed-point quantized before the single sum. Two grouped counts
+      // + a broadcast spine join — scale-trivial.
+      val o = t(s, d, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+        .localCheckpoint()
+      val rt = o.groupBy("source").agg(sum(col("o")).cast("long").as("r"))
+      val ct = o.groupBy("lang").agg(sum(col("o")).cast("long").as("c"))
+      val nn = o.agg(sum(col("o")).cast("long").as("nn"))
+      val spine = rt.crossJoin(ct).crossJoin(broadcast(nn))
+        .join(o, Seq("source", "lang"), "left")
+        .withColumn("ob", coalesce(col("o"), lit(0L)))
+        .withColumn("e", (col("r") * col("c")) / col("nn"))
+        .withColumn("qt",
+          floor(((col("ob") - col("e")) * (col("ob") - col("e"))
+            / col("e")) * 1e9 + 0.5).cast("long"))
+      val dims = rt.agg(count(lit(1)).as("nr"))
+        .crossJoin(ct.agg(count(lit(1)).as("nc")))
+      spine.agg(sum(col("qt")).cast("long").as("sq"))
+        .crossJoin(broadcast(dims))
+        .crossJoin(broadcast(nn))
+        .select(col("nn").as("n_docs"), col("nr").as("n_sources"),
+          col("nc").as("n_langs"),
+          ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+          detRound(col("sq") / 1e9, 6).as("chi2"),
+          detRound(sqrt((col("sq") / 1e9)
+            / (col("nn") * least(col("nr") - 1, col("nc") - 1))), 6)
+            .as("cramers_v"))
+    }),
+
     "x_quantile_bins" -> ((s, d) => {
       // equi-depth feature binning (the discretization step feature
       // pipelines run before crossing / hashing continuous features):
@@ -116,6 +195,58 @@ object StatsOps {
                        / COUNT(*)) * 1e6 + 0.5) / 1e6 AS outlier_frac
          FROM dev d JOIN mad m USING (event_type)
          GROUP BY 1 ORDER BY event_type""",
+
+    "x_target_encoding" ->
+      """WITH base AS MATERIALIZED (
+           SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
+                  CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT) AS q
+           FROM lineitem WHERE l_orderkey < 200),
+         per AS (
+           SELECT l_suppkey, COUNT(*) AS n,
+                  CAST(SUM(q) AS BIGINT) AS sk
+           FROM base GROUP BY 1),
+         g AS (SELECT COUNT(*) AS nn, CAST(SUM(q) AS BIGINT) AS ss
+               FROM base)
+         SELECT b.l_orderkey, b.l_linenumber, b.l_suppkey,
+                floor(b.l_quantity * 1e2 + 0.5) / 1e2 AS quantity,
+                p.n AS key_n,
+                floor((CASE WHEN p.n > 1
+                            THEN ((p.sk - b.q) / (p.n - 1)) / 1e6
+                            ELSE (g.ss / g.nn) / 1e6 END) * 1e6 + 0.5) / 1e6
+                  AS loo_mean,
+                floor((((p.sk - b.q) / 1e6
+                        + CAST(10.0 AS DOUBLE) * ((g.ss / g.nn) / 1e6))
+                       / (p.n - 1 + CAST(10.0 AS DOUBLE)))
+                      * 1e6 + 0.5) / 1e6 AS smoothed_mean
+         FROM base b JOIN per p USING (l_suppkey) CROSS JOIN g
+         ORDER BY l_orderkey, l_linenumber, l_suppkey, quantity""",
+
+    "x_chi2_independence" ->
+      """WITH o AS MATERIALIZED (
+           SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+         rt AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r
+                FROM o GROUP BY 1),
+         ct AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c FROM o GROUP BY 1),
+         nn AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM o),
+         spine AS (
+           SELECT rt.source, ct.lang, rt.r, ct.c, nn.nn,
+                  COALESCE(o.o, 0) AS ob,
+                  (rt.r * ct.c) / nn.nn AS e
+           FROM rt CROSS JOIN ct CROSS JOIN nn
+           LEFT JOIN o ON o.source = rt.source AND o.lang = ct.lang),
+         q AS (
+           SELECT CAST(SUM(CAST(floor(((ob - e) * (ob - e) / e) * 1e9 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS sq
+           FROM spine),
+         dims AS (SELECT (SELECT COUNT(*) FROM rt) AS nr,
+                         (SELECT COUNT(*) FROM ct) AS nc)
+         SELECT nn.nn AS n_docs, d.nr AS n_sources, d.nc AS n_langs,
+                (d.nr - 1) * (d.nc - 1) AS dof,
+                floor((q.sq / 1e9) * 1e6 + 0.5) / 1e6 AS chi2,
+                floor(sqrt((q.sq / 1e9)
+                           / (nn.nn * least(d.nr - 1, d.nc - 1)))
+                      * 1e6 + 0.5) / 1e6 AS cramers_v
+         FROM q CROSS JOIN dims d CROSS JOIN nn""",
 
     "x_quantile_bins" ->
       """SELECT bin, COUNT(*) AS n,

@@ -252,4 +252,41 @@ class GraphCorpusSpec extends SparkSpec {
       if (nb > 0) assert(r.getAs[Double]("peak_z") > 3.0)
     }
   }
+
+  test("x_target_encoding: no self-leakage (singleton keys fall back to " +
+      "the global mean, LOO differs from the naive key mean), smoothing " +
+      "pulls toward the global mean") {
+    val rows = run("x_target_encoding").collect()
+    assert(rows.nonEmpty)
+    val globalMean = rows.map(_.getAs[Double]("quantity")).sum / rows.length
+    rows.foreach { r =>
+      val (n, loo, sm) = (r.getAs[Long]("key_n"),
+        r.getAs[Double]("loo_mean"), r.getAs[Double]("smoothed_mean"))
+      assert(loo >= 0.0 && sm >= 0.0)
+      // smoothing with m=10 keeps the estimate strictly inside the hull
+      // of the LOO numerator mean and the global mean's neighborhood
+      if (n > 1) {
+        val dLoo = math.abs(sm - loo)
+        assert(dLoo < 60.0, "smoothed estimate unbounded")
+      }
+    }
+    // at least one singleton key exercises the global-mean fallback OR
+    // all keys repeat (then LOO must not equal quantity anywhere)
+    val leaky = rows.count(r => r.getAs[Long]("key_n") > 1 &&
+      r.getAs[Double]("loo_mean") == r.getAs[Double]("quantity"))
+    assert(leaky < rows.length / 2,
+      "LOO equal to own label on most rows suggests self-leakage")
+    assert(globalMean > 0.0)
+  }
+
+  test("x_chi2_independence: dof consistent with table dims, chi2 and " +
+      "Cramer's V non-negative, V bounded by 1") {
+    val r = run("x_chi2_independence").collect().head
+    val (nr, nc, dof) = (r.getAs[Long]("n_sources"),
+      r.getAs[Long]("n_langs"), r.getAs[Long]("dof"))
+    assert(dof == (nr - 1) * (nc - 1))
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+  }
 }
