@@ -242,6 +242,29 @@ object EventOps {
             .as("frac_view_to_purchase"))
     }),
 
+    "x_markov_transitions" -> ((s, d) => {
+      // first-order Markov transition matrix over per-user event
+      // sequences — the sequence model behind next-event prediction and
+      // funnel simulation. MLE estimate P(next | cur) from lag pairs;
+      // integer counts, one scalar division, rounded. One user_id
+      // shuffle for the lag, one tiny grouped count.
+      val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(wU))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("nxt").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy("from_type")
+        .agg(sum(col("n")).cast("long").as("tn"))
+      pairs.join(broadcast(tot), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          detRound(col("n") / col("tn"), 6).as("p"))
+        .orderBy("from_type", "to_type")
+    }),
+
     "x_burst_hours" -> ((s, d) => {
       // burst detection per event type: each hour's count z-scored
       // against the trailing 24 scored hours (ROWS frame over the
@@ -455,6 +478,21 @@ object EventOps {
                 floor(((SELECT COUNT(*) FROM p1)
                        / (SELECT COUNT(*) FROM v1)) * 1e6 + 0.5) / 1e6
                   AS frac_view_to_purchase""",
+
+    "x_markov_transitions" ->
+      """WITH pairs AS (
+           SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n
+           FROM (SELECT event_type,
+                        lead(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS nxt
+                 FROM events)
+           WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tn
+                 FROM pairs GROUP BY 1)
+         SELECT from_type, to_type, n,
+                floor((n / tn) * 1e6 + 0.5) / 1e6 AS p
+         FROM pairs JOIN tot USING (from_type)
+         ORDER BY from_type, to_type""",
 
     "x_burst_hours" ->
       """WITH hourly AS (

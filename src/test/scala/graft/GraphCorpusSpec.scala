@@ -289,4 +289,33 @@ class GraphCorpusSpec extends SparkSpec {
     val v = r.getAs[Double]("cramers_v")
     assert(v >= 0.0 && v <= 1.0)
   }
+
+  test("x_markov_transitions: rows are a proper conditional distribution " +
+      "(per-from probabilities sum to ~1, all in (0, 1])") {
+    val rows = run("x_markov_transitions").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (_, rs) =>
+      val ps = rs.map(_.getAs[Double]("p"))
+      assert(ps.forall(p => p > 0.0 && p <= 1.0))
+      assert(math.abs(ps.sum - 1.0) < 1e-4,
+        s"row does not normalize: ${ps.sum}")
+    }
+  }
+
+  test("x_label_propagation: 50 held-out members, majority votes within " +
+      "[2, 3] imply agreement, high accuracy on the clustered fixture " +
+      "(structure exists by construction)") {
+    val rows = run("x_label_propagation").collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val v = r.getAs[Long]("votes")
+      assert(v >= 1 && v <= 3)
+      assert(r.getAs[Long]("pred_label") >= 0 &&
+        r.getAs[Long]("pred_label") < 40)
+    }
+    val acc = rows.count(_.getAs[Boolean]("correct")).toDouble / rows.length
+    assert(acc >= 0.8,
+      s"accuracy $acc on the clustered fixture — top-3 neighbors should " +
+        "be same-cluster at 0.94 within-cluster cosine")
+  }
 }
