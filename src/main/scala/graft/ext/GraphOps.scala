@@ -161,6 +161,47 @@ object GraphOps {
         .orderBy(asc("side"), asc("rk"))
     }),
 
+    "x_cooccurrence_recs" -> ((s, d) => {
+      // item-item collaborative filtering ("customers like you also buy
+      // from"): for each target customer, score candidate suppliers by
+      // the number of shared-supplier paths through co-customers, drop
+      // suppliers already used, keep top-3. The classic co-occurrence
+      // recommender, all integer path counts. Plan: aggregate the
+      // co-customer pair weights BEFORE fanning out to the neighbors'
+      // suppliers (75k pair rows, not 675k path rows), top-3 via the
+      // bounded-heap aggregate. At 100 TB the same shape runs with the
+      // pair table pruned by a minimum-weight threshold — noted, not
+      // needed at fixture scale.
+      graft.functions.GraftFunctions.register(s)
+      val e0 = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          col("l_suppkey").cast("long").as("sp"))
+        .distinct()
+        .localCheckpoint()
+      val targets = e0.filter(col("c") < 50)
+      val pairs = targets.select(col("c").as("c1"), col("sp"))
+        .join(e0.select(col("c").as("c2"), col("sp")), "sp")
+        .filter(col("c1") =!= col("c2"))
+        .groupBy("c1", "c2").agg(count(lit(1)).as("w"))
+      val scores = pairs
+        .join(e0.select(col("c").as("c2"), col("sp").as("cand")), "c2")
+        .groupBy(col("c1"), col("cand"))
+        .agg(sum(col("w")).cast("long").as("score"))
+        .join(targets.select(col("c").as("c1"), col("sp").as("cand"))
+          .withColumn("own", lit(true)), Seq("c1", "cand"), "left")
+        .filter(col("own").isNull)
+        .withColumn("dscore", col("score").cast("double"))
+      graft.util.ScaleJoins.topKPerKey(
+          scores.select(col("c1"), col("cand"), col("dscore")),
+          Seq("c1"), "dscore", "cand", 3)
+        .select(col("c1").as("customer"), col("rank"),
+          col("cand").as("supplier"),
+          col("dscore").cast("long").as("score"))
+        .orderBy("customer", "rank")
+    }),
+
     "x_degree_histogram" -> ((s, d) => {
       // log-binned degree distribution of the trading graph — the first
       // thing a graph pipeline inspects before choosing join strategies
@@ -268,6 +309,33 @@ object GraphOps {
           QUALIFY rk <= 10
           ORDER BY side, rk"""
     },
+
+    "x_cooccurrence_recs" ->
+      """WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
+                  CAST(l.l_suppkey AS BIGINT) AS sp
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         pairs AS MATERIALIZED (
+           SELECT a.c AS c1, b.c AS c2, COUNT(*) AS w
+           FROM e0 a JOIN e0 b ON a.sp = b.sp AND a.c <> b.c
+           WHERE a.c < 50 GROUP BY 1, 2),
+         scores AS MATERIALIZED (
+           SELECT p.c1, e.sp AS cand, CAST(SUM(p.w) AS BIGINT) AS score
+           FROM pairs p JOIN e0 e ON e.c = p.c2
+           GROUP BY 1, 2),
+         fresh AS (
+           SELECT s.c1, s.cand, s.score
+           FROM scores s
+           LEFT JOIN e0 o ON o.c = s.c1 AND o.sp = s.cand
+           WHERE o.c IS NULL)
+         SELECT c1 AS customer, CAST(rn AS BIGINT) AS rank,
+                cand AS supplier, score
+         FROM (SELECT c1, cand, score,
+                      row_number() OVER (PARTITION BY c1
+                        ORDER BY score DESC, cand) AS rn
+               FROM fresh)
+         WHERE rn <= 3
+         ORDER BY customer, rank""",
 
     "x_degree_histogram" -> {
       val ladder = (24 to 1 by -1).map(b =>

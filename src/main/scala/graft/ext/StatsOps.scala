@@ -58,6 +58,37 @@ object StatsOps {
         .orderBy("event_type")
     }),
 
+    "x_rfm_segments" -> ((s, d) => {
+      // RFM segmentation (recency / frequency / monetary quintiles — the
+      // standard customer-value grid): per customer, days since last
+      // order, order count, decimal-exact spend; each dimension scored
+      // 1..5 by ntile over a worst-first total order (custkey
+      // tie-break), so score 5 is always "best". Output is the segment
+      // grid with counts and exact spend totals. Three global ntiles
+      // over one row per customer — O(|customers|), not O(|orders|),
+      // after the first grouped pass.
+      val byCust = t(s, d, "orders")
+        .groupBy(col("o_custkey").cast("long").as("custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("f"), dsum(col("o_totalprice")).as("m"))
+      val mx = byCust.agg(max(col("last_order")).as("mxd"))
+      val scored = byCust.crossJoin(broadcast(mx))
+        .withColumn("r_days",
+          datediff(col("mxd"), col("last_order")).cast("long"))
+        .withColumn("r_score", ntile(5).over(Window
+          .orderBy(desc("r_days"), asc("custkey"))).cast("long"))
+        .withColumn("f_score", ntile(5).over(Window
+          .orderBy(asc("f"), asc("custkey"))).cast("long"))
+        .withColumn("m_score", ntile(5).over(Window
+          .orderBy(asc("m"), asc("custkey"))).cast("long"))
+      scored.groupBy(concat(col("r_score"), col("f_score"), col("m_score"))
+          .as("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("r_days")).cast("long").as("sum_recency_days"),
+          dsum(col("m")).as("total_monetary"))
+        .orderBy("segment")
+    }),
+
     "x_target_encoding" -> ((s, d) => {
       // leave-one-out target encoding with m-estimate smoothing (the
       // Micci-Barreca 2001 categorical encoder every tabular-ML pipeline
@@ -195,6 +226,37 @@ object StatsOps {
                        / COUNT(*)) * 1e6 + 0.5) / 1e6 AS outlier_frac
          FROM dev d JOIN mad m USING (event_type)
          GROUP BY 1 ORDER BY event_type""",
+
+    "x_rfm_segments" ->
+      """WITH byc AS MATERIALIZED (
+           SELECT CAST(o_custkey AS BIGINT) AS custkey,
+                  MAX(o_orderdate) AS last_order,
+                  COUNT(*) AS f,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                    AS m
+           FROM orders GROUP BY 1),
+         mx AS (SELECT MAX(last_order) AS mxd FROM byc),
+         scored AS (
+           SELECT custkey,
+                  CAST(date_diff('day', CAST(last_order AS DATE),
+                                 CAST(mxd AS DATE)) AS BIGINT) AS r_days,
+                  m,
+                  CAST(ntile(5) OVER (
+                    ORDER BY date_diff('day', CAST(last_order AS DATE),
+                                       CAST(mxd AS DATE)) DESC, custkey)
+                    AS BIGINT) AS r_score,
+                  CAST(ntile(5) OVER (ORDER BY f, custkey) AS BIGINT)
+                    AS f_score,
+                  CAST(ntile(5) OVER (ORDER BY m, custkey) AS BIGINT)
+                    AS m_score
+           FROM byc CROSS JOIN mx)
+         SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                  || CAST(m_score AS VARCHAR) AS segment,
+                COUNT(*) AS n_customers,
+                CAST(SUM(r_days) AS BIGINT) AS sum_recency_days,
+                CAST(SUM(CAST(m AS DECIMAL(18,4))) AS DOUBLE)
+                  AS total_monetary
+         FROM scored GROUP BY 1 ORDER BY segment""",
 
     "x_target_encoding" ->
       """WITH base AS MATERIALIZED (

@@ -318,4 +318,46 @@ class GraphCorpusSpec extends SparkSpec {
       s"accuracy $acc on the clustered fixture — top-3 neighbors should " +
         "be same-cluster at 0.94 within-cluster cosine")
   }
+
+  test("x_cooccurrence_recs: at most 3 ranked recs per customer, scores " +
+      "non-increasing by rank, no customer recommended a supplier they " +
+      "already buy from") {
+    val rows = run("x_cooccurrence_recs").collect()
+    assert(rows.nonEmpty)
+    val own = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/orders.parquet"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .select(org.apache.spark.sql.functions.col("o_custkey").as("customer"),
+        org.apache.spark.sql.functions.col("l_suppkey").as("supplier"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.groupBy(_.getAs[Long]("customer")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.length <= 3)
+      val scores = sorted.map(_.getAs[Long]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    rows.foreach { r =>
+      assert(!own.contains(
+        (r.getAs[Long]("customer"), r.getAs[Long]("supplier"))),
+        "recommended an already-used supplier")
+    }
+  }
+
+  test("x_rfm_segments: segments are three digits 1..5, customer counts " +
+      "sum to the customer base, monetary totals positive") {
+    val rows = run("x_rfm_segments").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val seg = r.getAs[String]("segment")
+      assert(seg.length == 3 && seg.forall(c => c >= '1' && c <= '5'), seg)
+      assert(r.getAs[Double]("total_monetary") > 0.0)
+    }
+    val totalCusts = rows.map(_.getAs[Long]("n_customers")).sum
+    val nCusts = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(totalCusts == nCusts,
+      s"segment counts $totalCusts != customer base $nCusts")
+  }
 }
