@@ -859,6 +859,49 @@ object DedupOps {
             (size(col("dshs")) + size(col("shs")) - col("inter")), 4)
             .as("jaccard"))
         .orderBy("receiver_id")
+    }),
+
+    "x_shingle_profile" -> ((s, d) => {
+      // the shingle-width dial, measured: mean Jaccard of KNOWN near-dup
+      // pairs (doc vs its one-token-appended copy — the corpus's own
+      // construction) vs background pairs (doc_id, doc_id+7) at widths
+      // k ∈ {2, 3, 5}. Separation (dup − background) is what the dedup
+      // threshold lives off; longer shingles push background similarity
+      // toward zero while true near-dups stay high — this entry puts
+      // numbers on that tradeoff for THIS corpus, which is how the
+      // production width (3 for near-dup, 8+ for decontamination) is
+      // chosen. Per-pair Jaccards are exact set arithmetic on
+      // array_intersect; the only float step is the final rounded mean.
+      val base = nearDupCorpus(t(s, d, "documents"))
+        .withColumn("toks", split(col("text"), " "))
+        .localCheckpoint()
+      val ids = t(s, d, "documents").select(col("doc_id")).localCheckpoint()
+      val perK = Seq(2, 3, 5).map { k =>
+        val sets = base.filter(size(col("toks")) >= k)
+          .select(col("doc_id"),
+            expr(s"array_distinct(${shinglesExprN(k)})").as("shs"))
+          .localCheckpoint()
+        val dup = ids.select(col("doc_id").as("a"),
+          (col("doc_id") + 100000L).as("b"), lit("near_dup").as("pair_type"))
+        val rand = ids.select(col("doc_id").as("a"),
+            (col("doc_id") + 7L).as("b"), lit("background").as("pair_type"))
+          .join(ids.select(col("doc_id").as("b")), "b")
+        dup.unionByName(rand.select(col("a"), col("b"), col("pair_type")))
+          .join(sets.select(col("doc_id").as("a"), col("shs").as("sa")), "a")
+          .join(sets.select(col("doc_id").as("b"), col("shs").as("sb")), "b")
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+          .withColumn("j", col("inter") /
+            (size(col("sa")) + size(col("sb")) - col("inter")))
+          .withColumn("q", floor(col("j") * 1e9 + 0.5).cast("long"))
+          .groupBy(col("pair_type"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("q")).cast("long").as("sq"))
+          .select(lit(k.toLong).as("shingle_k"), col("pair_type"),
+            col("n_pairs"),
+            graft.types.Coercions.detRound(
+              col("sq") / 1e9 / col("n_pairs"), 6).as("avg_jaccard"))
+      }
+      perK.reduce(_.unionByName(_)).orderBy("shingle_k", "pair_type")
     })
   )
 
@@ -1157,6 +1200,41 @@ object DedupOps {
                       * 1e4 + 0.5) / 1e4 AS jaccard
          FROM sh r JOIN dsh d ON d.donor_id = r.did
          WHERE r.doc_id >= 25 AND r.doc_id % 7 = 3
-         ORDER BY receiver_id"""
+         ORDER BY receiver_id""",
+
+    "x_shingle_profile" -> {
+      val perK = Seq(2, 3, 5).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS shingle_k, p.pair_type,
+              COUNT(*) AS n_pairs,
+              floor((CAST(SUM(CAST(floor(
+                  (len(list_intersect(sa.shs, sb.shs))
+                   / (len(sa.shs) + len(sb.shs)
+                      - len(list_intersect(sa.shs, sb.shs))))
+                  * 1e9 + 0.5) AS BIGINT)) AS BIGINT) / 1e9 / COUNT(*))
+                * 1e6 + 0.5) / 1e6 AS avg_jaccard
+            FROM pairs p
+            JOIN sets$k sa ON sa.doc_id = p.a
+            JOIN sets$k sb ON sb.doc_id = p.b
+            GROUP BY 1, 2"""
+      }.mkString(" UNION ALL ")
+      val setDefs = Seq(2, 3, 5).map { k =>
+        s"""sets$k AS MATERIALIZED (
+              SELECT doc_id, list_distinct(${shinglesSqlN(k)}) AS shs
+              FROM ctk WHERE len(tk) >= $k)"""
+      }.mkString(",\n")
+      s"""WITH $nearDupCorpusSql,
+          ctk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+          $setDefs,
+          ids AS (SELECT doc_id FROM documents),
+          pairs AS (
+            SELECT doc_id AS a, doc_id + 100000 AS b,
+                   'near_dup' AS pair_type FROM ids
+            UNION ALL
+            SELECT i.doc_id AS a, i.doc_id + 7 AS b,
+                   'background' AS pair_type
+            FROM ids i JOIN ids j ON j.doc_id = i.doc_id + 7)
+          SELECT * FROM ($perK)
+          ORDER BY shingle_k, pair_type"""
+    }
   )
 }

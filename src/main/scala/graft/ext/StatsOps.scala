@@ -58,6 +58,71 @@ object StatsOps {
         .orderBy("event_type")
     }),
 
+    "x_rank_correlation" -> ((s, d) => {
+      // Spearman rank correlation between two per-doc quality signals
+      // (unigram entropy vs doc length) — the "do our quality metrics
+      // agree?" diagnostic run before combining signals into one filter.
+      // Ranks are row_number over a total order (value, doc_id), so d²
+      // sums are INTEGERS and ρ = 1 − 6Σd²/(n(n²−1)) needs no FP
+      // accumulation at all — the formula's one division is the only
+      // float op. (Pearson on raw values would need order-sensitive
+      // float sums; Spearman on rank-selected integers is the
+      // cross-engine-exact formulation.)
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val c = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      val dl = c.groupBy("doc_id").agg(sum(col("c")).cast("long").as("dl"))
+      val ent = c.join(dl, "doc_id")
+        .withColumn("q", floor(-((col("c") / col("dl"))
+          * log(col("c") / col("dl"))) * 1e9 + 0.5).cast("long"))
+        .groupBy("doc_id")
+        .agg(max(col("dl")).as("len"), sum(col("q")).cast("long").as("h"))
+      val r1 = Window.orderBy(col("h"), col("doc_id"))
+      val r2 = Window.orderBy(col("len"), col("doc_id"))
+      ent
+        .withColumn("rh", row_number().over(r1).cast("long"))
+        .withColumn("rl", row_number().over(r2).cast("long"))
+        .withColumn("d2", (col("rh") - col("rl")) * (col("rh") - col("rl")))
+        .agg(count(lit(1)).as("n"), sum(col("d2")).cast("long").as("sd2"))
+        .select(col("n"),
+          detRound(lit(1.0) - (lit(6.0) * col("sd2"))
+            / (col("n") * (col("n") * col("n") - 1)), 6).as("spearman_rho"))
+    }),
+
+    "x_abc_analysis" -> ((s, d) => {
+      // ABC / Pareto classification of suppliers by revenue (the 80/20
+      // inventory rule the reference's ERP domain reports on): exact
+      // decimal revenue per supplier, cumulative share over the
+      // descending order, class A until 50% cumulative, B until 80%,
+      // C after. The running sum is over fixed-point BIGINT revenue
+      // units, so every prefix is exact — no float accumulation order.
+      // One grouped pass + one global window over |suppliers| rows.
+      val rev = t(s, d, "lineitem")
+        .groupBy(col("l_suppkey").cast("long").as("suppkey"))
+        .agg(sum(graft.types.Coercions.revenue(
+          col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("rev"))
+        .withColumn("rq", floor(col("rev") * 1e4 + 0.5).cast("long"))
+      val w = Window.orderBy(desc("rq"), asc("suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = rev.agg(sum(col("rq")).cast("long").as("tq"))
+      rev.crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("rq")).over(w).cast("long"))
+        .withColumn("share", col("cum") / col("tq"))
+        .withColumn("cls",
+          when(col("share") <= 0.5, "A")
+            .when(col("share") <= 0.8, "B").otherwise("C"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("rq")).cast("long").as("crq"),
+          max(col("tq")).as("tq2"))
+        .select(col("cls"), col("n_suppliers"),
+          detRound(col("crq") / 1e4, 2).as("class_revenue"),
+          detRound(col("crq") / col("tq2"), 6).as("revenue_share"))
+        .orderBy("cls")
+    }),
+
     "x_rfm_segments" -> ((s, d) => {
       // RFM segmentation (recency / frequency / monetary quintiles — the
       // standard customer-value grid): per customer, days since last
@@ -226,6 +291,61 @@ object StatsOps {
                        / COUNT(*)) * 1e6 + 0.5) / 1e6 AS outlier_frac
          FROM dev d JOIN mad m USING (event_type)
          GROUP BY 1 ORDER BY event_type""",
+
+    "x_rank_correlation" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         c AS MATERIALIZED (
+           SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dl
+                FROM c GROUP BY 1),
+         ent AS MATERIALIZED (
+           SELECT c.doc_id, MAX(l.dl) AS len,
+                  CAST(SUM(CAST(floor(-((c.c / l.dl) * ln(c.c / l.dl))
+                                      * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+                    AS h
+           FROM c JOIN dl l USING (doc_id) GROUP BY 1),
+         ranked AS (
+           SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT)
+                    AS rh,
+                  CAST(row_number() OVER (ORDER BY len, doc_id) AS BIGINT)
+                    AS rl
+           FROM ent)
+         SELECT COUNT(*) AS n,
+                floor((CAST(1.0 AS DOUBLE)
+                       - (CAST(6.0 AS DOUBLE)
+                          * CAST(SUM((rh - rl) * (rh - rl)) AS BIGINT))
+                         / (COUNT(*) * (COUNT(*) * COUNT(*) - 1)))
+                      * 1e6 + 0.5) / 1e6 AS spearman_rho
+         FROM ranked""",
+
+    "x_abc_analysis" ->
+      """WITH rev AS MATERIALIZED (
+           SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+                  CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                     * CAST(1.0 - l_discount AS DECIMAL(4,2)))
+                                  AS DOUBLE) * 1e4 + 0.5) AS BIGINT) AS rq
+           FROM lineitem GROUP BY 1),
+         tot AS (SELECT CAST(SUM(rq) AS BIGINT) AS tq FROM rev),
+         cum AS (
+           SELECT suppkey, rq, tq,
+                  CAST(SUM(rq) OVER (ORDER BY rq DESC, suppkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+           FROM rev CROSS JOIN tot),
+         cls AS (
+           SELECT suppkey, rq, tq,
+                  CASE WHEN cum / tq <= 0.5 THEN 'A'
+                       WHEN cum / tq <= 0.8 THEN 'B' ELSE 'C' END AS cls
+           FROM cum)
+         SELECT cls, COUNT(*) AS n_suppliers,
+                floor((CAST(SUM(rq) AS BIGINT) / 1e4) * 1e2 + 0.5) / 1e2
+                  AS class_revenue,
+                floor((CAST(SUM(rq) AS BIGINT) / MAX(tq)) * 1e6 + 0.5) / 1e6
+                  AS revenue_share
+         FROM cls GROUP BY 1 ORDER BY cls""",
 
     "x_rfm_segments" ->
       """WITH byc AS MATERIALIZED (

@@ -360,4 +360,46 @@ class GraphCorpusSpec extends SparkSpec {
     assert(totalCusts == nCusts,
       s"segment counts $totalCusts != customer base $nCusts")
   }
+
+  test("x_shingle_profile: near-dup similarity stays high at every width " +
+      "while background similarity strictly decreases with width — the " +
+      "separation widens") {
+    val rows = run("x_shingle_profile").collect()
+    val byK = rows.groupBy(_.getAs[Long]("shingle_k"))
+    assert(byK.keySet == Set(2L, 3L, 5L))
+    def j(k: Long, t: String): Double = byK(k)
+      .find(_.getAs[String]("pair_type") == t).get
+      .getAs[Double]("avg_jaccard")
+    Seq(2L, 3L, 5L).foreach { k =>
+      assert(j(k, "near_dup") > 0.8, s"near-dup pairs at k=$k")
+      assert(j(k, "background") < 0.2)
+    }
+    assert(j(2, "background") >= j(3, "background"))
+    assert(j(3, "background") >= j(5, "background"))
+  }
+
+  test("x_rank_correlation: rho in [-1, 1] and entropy-vs-length on a " +
+      "small vocabulary correlates positively") {
+    val r = run("x_rank_correlation").collect().head
+    val rho = r.getAs[Double]("spearman_rho")
+    assert(rho >= -1.0 && rho <= 1.0)
+    assert(rho > 0.0,
+      "longer docs must rank higher-entropy on a bounded vocabulary")
+  }
+
+  test("x_abc_analysis: shares sum to 1, class A is the smallest group " +
+      "with the largest per-class revenue concentration") {
+    val rows = run("x_abc_analysis").collect()
+    assert(rows.map(_.getAs[String]("cls")).toSeq.sorted ==
+      Seq("A", "B", "C"))
+    val shares = rows.map(_.getAs[Double]("revenue_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-4)
+    val byCls = rows.map(r => r.getAs[String]("cls") -> r).toMap
+    val perHeadA = byCls("A").getAs[Double]("class_revenue") /
+      byCls("A").getAs[Long]("n_suppliers")
+    val perHeadC = byCls("C").getAs[Double]("class_revenue") /
+      byCls("C").getAs[Long]("n_suppliers")
+    assert(perHeadA > perHeadC,
+      "class A suppliers must out-earn class C per head")
+  }
 }
