@@ -242,6 +242,82 @@ object EventOps {
             .as("frac_view_to_purchase"))
     }),
 
+    "x_autocorrelation" -> ((s, d) => {
+      // ACF of the hourly count series per event type at lags 1 h and
+      // 24 h — the seasonality probe before any windowed model. The
+      // lagged pairing is an equi-join on the shifted hour (gap hours
+      // simply produce no pair — no spine fill needed); numerator
+      // products are per-term fixed-point quantized, the denominator is
+      // the full-series centered sum of squares. mean is the one shared
+      // scalar (integer sum / count). Two tiny grouped passes + one
+      // self-join per lag on O(hours) rows.
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val stats = hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("c")).cast("long").as("sc"))
+        .withColumn("mu", col("sc") / col("n"))
+      val dev = hourly.join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("h"), (col("c") - col("mu")).as("dv"))
+        .localCheckpoint()
+      val den = dev
+        .select(col("event_type"),
+          floor(col("dv") * col("dv") * 1e6 + 0.5).cast("long").as("q"))
+        .groupBy("event_type")
+        .agg(sum(col("q")).cast("long").as("dq"), count(lit(1)).as("n"))
+      val lags = Seq(1, 24).map { k =>
+        dev.join(dev.select(col("event_type"),
+            (col("h") - expr(s"INTERVAL $k HOURS")).as("h"),
+            col("dv").as("dv2")), Seq("event_type", "h"))
+          .select(col("event_type"),
+            floor(col("dv") * col("dv2") * 1e6 + 0.5).cast("long").as("q"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("q")).cast("long").as("nq"))
+          .withColumn("lag", lit(k.toLong))
+      }
+      lags.reduce(_.unionByName(_))
+        .join(broadcast(den), "event_type")
+        .select(col("event_type"), col("lag"), col("n_pairs"),
+          detRound(col("nq").cast("double") / col("dq"), 6).as("acf"))
+        .orderBy("event_type", "lag")
+    }),
+
+    "x_cusum_changepoint" -> ((s, d) => {
+      // CUSUM level-shift detection per event type, INTEGER end to end:
+      // with prefix P_t and total S over n hours, the scaled statistic
+      // C_t = n·P_t − t·S equals n·(P_t − t·μ) — no float until the
+      // final report division. The arg-max hour (earliest on ties) is
+      // where a level shift most likely splits the series. One window
+      // pass over the hourly series per type.
+      val wH = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      val tot = hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("c")).cast("long").as("s"))
+      val scored = hourly.join(broadcast(tot), "event_type")
+        .withColumn("p", sum(col("c")).over(wH).cast("long"))
+        .withColumn("t", row_number().over(
+          Window.partitionBy("event_type").orderBy("h")).cast("long"))
+        .withColumn("cu", col("n") * col("p") - col("t") * col("s"))
+        .withColumn("acu", abs(col("cu")))
+        .localCheckpoint()
+      val mx = scored.groupBy("event_type")
+        .agg(max(col("acu")).as("mx"))
+      scored.join(broadcast(mx), "event_type")
+        .filter(col("acu") === col("mx"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_hours"),
+          min(col("h")).as("ph"), max(col("mx")).as("mxv"))
+        .select(col("event_type"), col("n_hours"),
+          detRound(col("mxv") / col("n_hours"), 4).as("max_cusum"),
+          fmtTs(col("ph")).as("peak_hour"))
+        .orderBy("event_type")
+    }),
+
     "x_markov_transitions" -> ((s, d) => {
       // first-order Markov transition matrix over per-user event
       // sequences — the sequence model behind next-event prediction and
@@ -478,6 +554,65 @@ object EventOps {
                 floor(((SELECT COUNT(*) FROM p1)
                        / (SELECT COUNT(*) FROM v1)) * 1e6 + 0.5) / 1e6
                   AS frac_view_to_purchase""",
+
+    "x_autocorrelation" -> {
+      val lagRow = (k: Int) =>
+        s"""SELECT d.event_type, CAST($k AS BIGINT) AS lag,
+              COUNT(*) AS n_pairs,
+              CAST(SUM(CAST(floor(d.dv * d2.dv * 1e6 + 0.5) AS BIGINT))
+                   AS BIGINT) AS nq
+            FROM dev d JOIN dev d2
+              ON d2.event_type = d.event_type
+             AND d2.h = d.h + INTERVAL $k HOUR
+            GROUP BY 1"""
+      s"""WITH hourly AS MATERIALIZED (
+            SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+            FROM events GROUP BY 1, 2),
+          stats AS (
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(c) AS BIGINT) AS sc
+            FROM hourly GROUP BY 1),
+          dev AS MATERIALIZED (
+            SELECT h.event_type, h.h, (h.c - s.sc / s.n) AS dv
+            FROM hourly h JOIN stats s USING (event_type)),
+          den AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(floor(dv * dv * 1e6 + 0.5) AS BIGINT))
+                        AS BIGINT) AS dq
+            FROM dev GROUP BY 1),
+          lags AS (${lagRow(1)} UNION ALL ${lagRow(24)})
+          SELECT l.event_type, l.lag, l.n_pairs,
+                 floor((CAST(l.nq AS DOUBLE) / d.dq) * 1e6 + 0.5) / 1e6
+                   AS acf
+          FROM lags l JOIN den d USING (event_type)
+          ORDER BY event_type, lag"""
+    },
+
+    "x_cusum_changepoint" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+         tot AS (SELECT event_type, COUNT(*) AS n,
+                        CAST(SUM(c) AS BIGINT) AS s
+                 FROM hourly GROUP BY 1),
+         scored AS MATERIALIZED (
+           SELECT h.event_type, h.h, t.n,
+                  abs(t.n * CAST(SUM(h.c) OVER (PARTITION BY h.event_type
+                        ORDER BY h.h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT)
+                      - CAST(row_number() OVER (PARTITION BY h.event_type
+                          ORDER BY h.h) AS BIGINT) * t.s) AS acu
+           FROM hourly h JOIN tot t USING (event_type)),
+         mx AS (SELECT event_type, MAX(acu) AS mx
+                FROM scored GROUP BY 1)
+         SELECT s.event_type, MAX(s.n) AS n_hours,
+                floor((MAX(m.mx) / MAX(s.n)) * 1e4 + 0.5) / 1e4
+                  AS max_cusum,
+                strftime(MIN(s.h), '%Y-%m-%d %H:%M:%S') AS peak_hour
+         FROM scored s JOIN mx m ON m.event_type = s.event_type
+                                AND s.acu = m.mx
+         GROUP BY s.event_type ORDER BY s.event_type""",
 
     "x_markov_transitions" ->
       """WITH pairs AS (

