@@ -242,6 +242,69 @@ object EventOps {
             .as("frac_view_to_purchase"))
     }),
 
+    "x_path_ngrams" -> ((s, d) => {
+      // top event-type trigram paths across user journeys (the "common
+      // paths" view funnel tools derive): two leads over the per-user
+      // order, grouped counts, top-10 with share of all trigrams. One
+      // user shuffle + one tiny count shuffle.
+      val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tri = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+        .withColumn("t2", lead(col("event_type"), 1).over(wU))
+        .withColumn("t3", lead(col("event_type"), 2).over(wU))
+        .filter(col("t3").isNotNull)
+        .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+          .as("path"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tri.agg(sum(col("n")).cast("long").as("tn"))
+      tri.crossJoin(broadcast(tot))
+        .select(col("path"), col("n"), detRound(col("n") / col("tn"), 6)
+          .as("share"))
+        .orderBy(desc("n"), asc("path"))
+        .limit(10)
+    }),
+
+    "x_link_prediction" -> ((s, d) => {
+      // link prediction on the supplier co-customer graph: common
+      // neighbors, Jaccard, and Adamic-Adar (Σ 1/ln(deg z) over shared
+      // customers — rare shared customers count more) for the top-15
+      // supplier pairs. A common neighbor has degree ≥ 2 by definition,
+      // so ln(deg) ≥ ln 2 and the AA terms are safe; they are per-term
+      // fixed-point quantized before the pair sum. Pair generation is
+      // per-customer C(deg, 2) fan-out grouped immediately — bounded by
+      // the supplier-pair space, never materialized per path at scale.
+      val e0 = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          col("l_suppkey").cast("long").as("sp"))
+        .distinct()
+        .localCheckpoint()
+      val sdeg = e0.groupBy("sp").agg(count(lit(1)).as("sd"))
+      val cdeg = e0.groupBy("c").agg(count(lit(1)).as("cd"))
+      val pairs = e0.select(col("c"), col("sp").as("s1"))
+        .join(e0.select(col("c"), col("sp").as("s2")), "c")
+        .filter(col("s1") < col("s2"))
+        .join(broadcast(cdeg), "c")
+        .withColumn("qa",
+          floor(lit(1.0) / log(col("cd")) * 1e9 + 0.5).cast("long"))
+        .groupBy("s1", "s2")
+        .agg(count(lit(1)).as("common"),
+          sum(col("qa")).cast("long").as("sqa"))
+      pairs
+        .join(broadcast(sdeg.select(col("sp").as("s1"),
+          col("sd").as("d1"))), "s1")
+        .join(broadcast(sdeg.select(col("sp").as("s2"),
+          col("sd").as("d2"))), "s2")
+        .select(col("s1"), col("s2"), col("common"),
+          detRound(col("common") /
+            (col("d1") + col("d2") - col("common")), 6).as("jaccard"),
+          detRound(col("sqa") / 1e9, 6).as("adamic_adar"))
+        .orderBy(desc("adamic_adar"), asc("s1"), asc("s2"))
+        .limit(15)
+    }),
+
     "x_autocorrelation" -> ((s, d) => {
       // ACF of the hourly count series per event type at lags 1 h and
       // 24 h — the seasonality probe before any windowed model. The
@@ -554,6 +617,46 @@ object EventOps {
                 floor(((SELECT COUNT(*) FROM p1)
                        / (SELECT COUNT(*) FROM v1)) * 1e6 + 0.5) / 1e6
                   AS frac_view_to_purchase""",
+
+    "x_path_ngrams" ->
+      """WITH tri AS (
+           SELECT event_type || '>' || t2 || '>' || t3 AS path,
+                  COUNT(*) AS n
+           FROM (SELECT event_type,
+                        lead(event_type, 1) OVER w AS t2,
+                        lead(event_type, 2) OVER w AS t3
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+           WHERE t3 IS NOT NULL GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn FROM tri)
+         SELECT path, n, floor((n / tn) * 1e6 + 0.5) / 1e6 AS share
+         FROM tri CROSS JOIN tot
+         ORDER BY n DESC, path LIMIT 10""",
+
+    "x_link_prediction" ->
+      """WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
+                  CAST(l.l_suppkey AS BIGINT) AS sp
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         sdeg AS (SELECT sp, COUNT(*) AS sd FROM e0 GROUP BY 1),
+         cdeg AS (SELECT c, COUNT(*) AS cd FROM e0 GROUP BY 1),
+         pairs AS MATERIALIZED (
+           SELECT a.sp AS s1, b.sp AS s2, COUNT(*) AS common,
+                  CAST(SUM(CAST(floor(CAST(1.0 AS DOUBLE) / ln(d.cd)
+                                      * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+                    AS sqa
+           FROM e0 a
+           JOIN e0 b ON a.c = b.c AND a.sp < b.sp
+           JOIN cdeg d ON d.c = a.c
+           GROUP BY 1, 2)
+         SELECT p.s1, p.s2, p.common,
+                floor((p.common / (d1.sd + d2.sd - p.common)) * 1e6 + 0.5)
+                  / 1e6 AS jaccard,
+                floor((p.sqa / 1e9) * 1e6 + 0.5) / 1e6 AS adamic_adar
+         FROM pairs p
+         JOIN sdeg d1 ON d1.sp = p.s1
+         JOIN sdeg d2 ON d2.sp = p.s2
+         ORDER BY adamic_adar DESC, s1, s2 LIMIT 15""",
 
     "x_autocorrelation" -> {
       val lagRow = (k: Int) =>

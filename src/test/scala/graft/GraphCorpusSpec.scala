@@ -438,4 +438,32 @@ class GraphCorpusSpec extends SparkSpec {
       assert(r2 >= 0.0 && r2 <= 1.0 + 1e-6)
     }
   }
+
+  test("x_path_ngrams: 10 paths of exactly three event types, counts " +
+      "non-increasing, shares a proper sub-distribution") {
+    val rows = run("x_path_ngrams").collect()
+    assert(rows.length == 10)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[String]("path").split(">").length == 3)
+      val s = r.getAs[Double]("share")
+      assert(s > 0.0 && s < 1.0)
+    }
+    assert(rows.map(_.getAs[Double]("share")).sum <= 1.0 + 1e-6)
+  }
+
+  test("x_link_prediction: scores ordered, jaccard bounded, common " +
+      "neighbors positive, pairs canonical (s1 < s2)") {
+    val rows = run("x_link_prediction").collect()
+    assert(rows.nonEmpty)
+    val aas = rows.map(_.getAs[Double]("adamic_adar"))
+    assert(aas.zip(aas.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("s1") < r.getAs[Long]("s2"))
+      assert(r.getAs[Long]("common") >= 1)
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
 }
