@@ -267,6 +267,47 @@ object CorpusOps {
         .orderBy("id_a")
     }),
 
+    "x_source_divergence" -> ((s, d) => {
+      // per-source Jensen-Shannon divergence against the rest of the
+      // corpus (unigram distributions) — the drift/distinctiveness
+      // ranking a mixing pipeline watches across snapshots; JSD is
+      // symmetric and bounded by ln 2, so scores are comparable across
+      // sources. Full (source × vocab) spine so zero-count terms
+      // contribute their exact 0; every −x·ln x term is fixed-point
+      // quantized before the per-source integer sum. Two grouped counts
+      // + a broadcast spine join — vocabulary-sized work per source.
+      val toks = t(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val cst = toks.groupBy("source", "tok").agg(count(lit(1)).as("cst"))
+        .localCheckpoint()
+      val ct = cst.groupBy("tok").agg(sum(col("cst")).cast("long").as("ct"))
+      val ns = cst.groupBy("source").agg(sum(col("cst")).cast("long")
+        .as("ns"))
+      val nn = ns.agg(sum(col("ns")).cast("long").as("nn"))
+      val spine = ns.crossJoin(broadcast(ct)).crossJoin(broadcast(nn))
+        .join(cst, Seq("source", "tok"), "left")
+        .withColumn("cs", coalesce(col("cst"), lit(0L)))
+        .withColumn("p", col("cs") / col("ns"))
+        .withColumn("q", (col("ct") - col("cs")) / (col("nn") - col("ns")))
+        .withColumn("m", (col("p") + col("q")) / lit(2.0))
+      def hterm(c: org.apache.spark.sql.Column) =
+        when(c > 0, floor(-(c * log(c)) * 1e12 + 0.5).cast("long"))
+          .otherwise(lit(0L))
+      spine
+        .withColumn("qm", hterm(col("m")))
+        .withColumn("qp", hterm(col("p")))
+        .withColumn("qq", hterm(col("q")))
+        .groupBy(col("source"))
+        .agg(max(col("ns")).as("n_tokens"),
+          sum(col("qm")).cast("long").as("sm"),
+          sum(col("qp")).cast("long").as("sp"),
+          sum(col("qq")).cast("long").as("sq"))
+        .select(col("source"), col("n_tokens"),
+          detRound((col("sm") - (col("sp") + col("sq")) / lit(2.0)) / 1e12,
+            8).as("jsd_nats"))
+        .orderBy("source")
+    }),
+
     "x_token_entropy" -> ((s, d) => {
       // per-document unigram entropy H = -Σ p·ln p (nats) and its
       // length-normalized form H/ln(dl) — the lexical-diversity quality
@@ -530,6 +571,47 @@ object CorpusOps {
           WHERE a.vec_id % 2 = 0
           ORDER BY id_a"""
     },
+
+    "x_source_divergence" ->
+      """WITH toks AS (
+           SELECT source, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         cst AS MATERIALIZED (
+           SELECT source, tok, COUNT(*) AS cst FROM toks GROUP BY 1, 2),
+         ct AS (SELECT tok, CAST(SUM(cst) AS BIGINT) AS ct
+                FROM cst GROUP BY 1),
+         ns AS (SELECT source, CAST(SUM(cst) AS BIGINT) AS ns
+                FROM cst GROUP BY 1),
+         nn AS (SELECT CAST(SUM(ns) AS BIGINT) AS nn FROM ns),
+         spine AS (
+           SELECT s.source, s.ns, t.ct, nn.nn,
+                  COALESCE(c.cst, 0) AS cs
+           FROM ns s CROSS JOIN ct t CROSS JOIN nn
+           LEFT JOIN cst c ON c.source = s.source AND c.tok = t.tok),
+         terms AS (
+           SELECT source, ns,
+                  CASE WHEN m > 0
+                       THEN CAST(floor(-(m * ln(m)) * 1e12 + 0.5) AS BIGINT)
+                       ELSE 0 END AS qm,
+                  CASE WHEN p > 0
+                       THEN CAST(floor(-(p * ln(p)) * 1e12 + 0.5) AS BIGINT)
+                       ELSE 0 END AS qp,
+                  CASE WHEN q > 0
+                       THEN CAST(floor(-(q * ln(q)) * 1e12 + 0.5) AS BIGINT)
+                       ELSE 0 END AS qq
+           FROM (SELECT source, ns, p, q,
+                        (p + q) / CAST(2.0 AS DOUBLE) AS m
+                 FROM (SELECT source, ns,
+                              cs / ns AS p,
+                              (ct - cs) / (nn - ns) AS q
+                       FROM spine)))
+         SELECT source, MAX(ns) AS n_tokens,
+                floor(((CAST(SUM(qm) AS BIGINT)
+                        - (CAST(SUM(qp) AS BIGINT)
+                           + CAST(SUM(qq) AS BIGINT))
+                          / CAST(2.0 AS DOUBLE)) / 1e12) * 1e8 + 0.5) / 1e8
+                  AS jsd_nats
+         FROM terms GROUP BY 1 ORDER BY source""",
 
     "x_token_entropy" ->
       """WITH toks AS (

@@ -166,6 +166,71 @@ object StatsOps {
         .orderBy("cls")
     }),
 
+    "x_ks_statistic" -> ((s, d) => {
+      // two-sample Kolmogorov-Smirnov: D = max |F_view − F_purchase|
+      // over the pooled event-value support, with the 5%-level
+      // rejection threshold 1.358·√((n1+n2)/(n1·n2)). CDF steps are
+      // integer cumulative counts per DISTINCT value (ties collapse
+      // before the cumulative, so both engines see identical step
+      // functions); D and its arg-max value select by rounded-D desc /
+      // value asc — no interpolation anywhere. One grouped count + one
+      // global window over |distinct values| rows.
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("value"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .cast("long").as("c1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("c2"))
+      val w = Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = ev.agg(sum(col("c1")).cast("long").as("n1"),
+        sum(col("c2")).cast("long").as("n2"))
+      val steps = ev.crossJoin(broadcast(tot))
+        .withColumn("f1", sum(col("c1")).over(w).cast("long"))
+        .withColumn("f2", sum(col("c2")).over(w).cast("long"))
+        .withColumn("qd", floor(abs(col("f1") / col("n1")
+          - col("f2") / col("n2")) * 1e9 + 0.5).cast("long"))
+        .localCheckpoint()
+      val mx = steps.agg(max(col("qd")).as("mq"))
+      steps.crossJoin(broadcast(mx))
+        .filter(col("qd") === col("mq"))
+        .groupBy(col("n1"), col("n2"), col("mq"))
+        .agg(min(col("value")).as("at_value"))
+        .select(col("n1"), col("n2"),
+          detRound(col("mq") / 1e9, 6).as("ks_d"),
+          detRound(col("at_value"), 4).as("at_value"),
+          detRound(lit(1.358) * sqrt((col("n1") + col("n2"))
+            / (col("n1") * col("n2")).cast("double")), 6).as("crit_05"),
+          (col("mq") / 1e9 > lit(1.358) * sqrt((col("n1") + col("n2"))
+            / (col("n1") * col("n2")).cast("double"))).as("reject_05"))
+    }),
+
+    "x_benford_digits" -> ((s, d) => {
+      // Benford first-digit audit of order totals (the fraud/data-entry
+      // screen): observed leading-digit frequencies vs log10(1 + 1/d),
+      // expressed as ln-ratios so both engines compute the identical
+      // scalar, plus each digit's chi-square contribution (o − e)²/e.
+      // The digit comes from the integer part's string head — no
+      // floating log10 bucketing. One grouped count over 9 digits.
+      val dig = t(s, d, "orders")
+        .filter(col("o_totalprice") >= 1.0)
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = dig.agg(sum(col("n")).cast("long").as("nn"))
+      dig.crossJoin(broadcast(tot))
+        .withColumn("benford",
+          log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))
+        .withColumn("e", col("nn") * col("benford"))
+        .select(col("digit"), col("n"),
+          detRound(col("n") / col("nn"), 6).as("observed_frac"),
+          detRound(col("benford"), 6).as("benford_frac"),
+          detRound((col("n") - col("e")) * (col("n") - col("e")) / col("e"),
+            4).as("chi2_term"))
+        .orderBy("digit")
+    }),
+
     "x_gini_concentration" -> ((s, d) => {
       // Gini coefficient of supplier revenue concentration (the scalar
       // companion to x_abc_analysis's classes): with revenues x_i
@@ -450,6 +515,64 @@ object StatsOps {
                 floor((CAST(SUM(rq) AS BIGINT) / MAX(tq)) * 1e6 + 0.5) / 1e6
                   AS revenue_share
          FROM cls GROUP BY 1 ORDER BY cls""",
+
+    "x_ks_statistic" ->
+      """WITH ev AS MATERIALIZED (
+           SELECT value,
+                  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c1,
+                  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) AS BIGINT) AS c2
+           FROM events
+           WHERE event_type IN ('view', 'purchase')
+           GROUP BY 1),
+         tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                        CAST(SUM(c2) AS BIGINT) AS n2 FROM ev),
+         steps AS MATERIALIZED (
+           SELECT value, n1, n2,
+                  CAST(floor(abs(
+                    CAST(SUM(c1) OVER w AS BIGINT) / n1
+                    - CAST(SUM(c2) OVER w AS BIGINT) / n2) * 1e9 + 0.5)
+                    AS BIGINT) AS qd
+           FROM ev CROSS JOIN tot
+           WINDOW w AS (ORDER BY value
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         mx AS (SELECT MAX(qd) AS mq FROM steps)
+         SELECT s.n1, s.n2,
+                floor((s.mq2 / 1e9) * 1e6 + 0.5) / 1e6 AS ks_d,
+                floor(MIN(s.value) * 1e4 + 0.5) / 1e4 AS at_value,
+                floor((CAST(1.358 AS DOUBLE)
+                       * sqrt((s.n1 + s.n2)
+                              / CAST(s.n1 * s.n2 AS DOUBLE)))
+                      * 1e6 + 0.5) / 1e6 AS crit_05,
+                (s.mq2 / 1e9) > CAST(1.358 AS DOUBLE)
+                  * sqrt((s.n1 + s.n2) / CAST(s.n1 * s.n2 AS DOUBLE))
+                  AS reject_05
+         FROM (SELECT st.*, m.mq AS mq2 FROM steps st CROSS JOIN mx m
+               WHERE st.qd = m.mq) s
+         GROUP BY s.n1, s.n2, s.mq2""",
+
+    "x_benford_digits" ->
+      """WITH dig AS (
+           SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                   AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                  COUNT(*) AS n
+           FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM dig)
+         SELECT digit, n,
+                floor((n / nn) * 1e6 + 0.5) / 1e6 AS observed_frac,
+                floor((ln(CAST(1.0 AS DOUBLE)
+                          + CAST(1.0 AS DOUBLE) / digit)
+                       / ln(CAST(10.0 AS DOUBLE))) * 1e6 + 0.5) / 1e6
+                  AS benford_frac,
+                floor(((n - e) * (n - e) / e) * 1e4 + 0.5) / 1e4
+                  AS chi2_term
+         FROM (SELECT digit, n, nn,
+                      nn * (ln(CAST(1.0 AS DOUBLE)
+                               + CAST(1.0 AS DOUBLE) / digit)
+                            / ln(CAST(10.0 AS DOUBLE))) AS e
+               FROM dig CROSS JOIN tot)
+         ORDER BY digit""",
 
     "x_gini_concentration" ->
       """WITH rev AS MATERIALIZED (

@@ -494,4 +494,43 @@ class GraphCorpusSpec extends SparkSpec {
     assert(g >= 0.0 && g < 1.0)
     assert(r.getAs[Double]("total_revenue") > 0.0)
   }
+
+  test("x_source_divergence: JSD bounded by ln 2, non-negative, one row " +
+      "per source") {
+    val rows = run("x_source_divergence").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jsd_nats")
+      assert(j >= -1e-9 && j <= math.log(2.0) + 1e-9,
+        s"jsd $j outside [0, ln 2]")
+    }
+    assert(rows.map(_.getAs[String]("source")).distinct.length ==
+      rows.length)
+  }
+
+  test("x_ks_statistic: D in [0, 1], critical value positive, rejection " +
+      "flag consistent with D vs threshold") {
+    val r = run("x_ks_statistic").collect().head
+    val (d, c) = (r.getAs[Double]("ks_d"), r.getAs[Double]("crit_05"))
+    assert(d >= 0.0 && d <= 1.0)
+    assert(c > 0.0)
+    assert(r.getAs[Boolean]("reject_05") == (d > c) ||
+      math.abs(d - c) < 1e-6)
+  }
+
+  test("x_benford_digits: nine digits, fracs are distributions, Benford " +
+      "column matches log10(1 + 1/d) and decreases in d") {
+    val rows = run("x_benford_digits").collect().sortBy(_.getAs[Long]("digit"))
+    assert(rows.map(_.getAs[Long]("digit")).toSeq == (1L to 9L))
+    val ob = rows.map(_.getAs[Double]("observed_frac"))
+    val bf = rows.map(_.getAs[Double]("benford_frac"))
+    assert(math.abs(ob.sum - 1.0) < 1e-4)
+    assert(math.abs(bf.sum - 1.0) < 1e-4)
+    assert(bf.zip(bf.tail).forall { case (a, b) => a > b })
+    rows.foreach { r =>
+      val d = r.getAs[Long]("digit").toDouble
+      assert(math.abs(r.getAs[Double]("benford_frac") -
+        math.log10(1.0 + 1.0 / d)) < 1e-5)
+    }
+  }
 }
