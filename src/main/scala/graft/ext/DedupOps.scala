@@ -571,6 +571,34 @@ object DedupOps {
         .orderBy("cluster")
     }),
 
+    "x_cluster_size_dist" -> ((s, d) => {
+      // the distributional view of dedup clustering (what fraction of
+      // the corpus sits in how-big duplicate groups — the number a
+      // dedup run reports to justify its token savings): same verified-
+      // pair → star-contraction chain as x_dedup_clusters, aggregated
+      // to a cluster-size histogram. Singleton docs (no verified pair)
+      // are NOT clusters and are excluded, stated explicitly.
+      val sets = shingleSets(s, d).localCheckpoint()
+      val pairs = minhashPairsFrom(sets)
+      val conf = pairs
+        .join(sets.select(col("doc_id").as("a"), col("shs").as("shs_a")), "a")
+        .join(sets.select(col("doc_id").as("b"), col("shs").as("shs_b")), "b")
+        .withColumn("inter",
+          size(array_intersect(col("shs_a"), col("shs_b"))))
+        .filter(col("inter") / (size(col("shs_a")) + size(col("shs_b"))
+          - col("inter")) >= 0.6)
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val (labels, _) = connectedComponentsStar(conf, oriented = true)
+      labels.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")
+    }),
+
     "x_dedup_chain_clusters" -> ((s, d) => {
       // adversarial transitive-duplicate CHAINS under oracle: shards of
       // a document that link only consecutively (A≈B, B≈C, … — never
@@ -1028,6 +1056,31 @@ object DedupOps {
           labeled AS (SELECT doc, MIN(lbl) AS lbl FROM reach GROUP BY 1)
           SELECT lbl AS cluster, COUNT(*) AS n_members, MAX(doc) AS max_doc
           FROM labeled GROUP BY 1 ORDER BY cluster""",
+
+    "x_cluster_size_dist" ->
+      s"""WITH RECURSIVE $nearDupCorpusSql,
+          $minhashCandidatesSql,
+          shd AS (SELECT doc_id, list_distinct($shinglesSql) AS shs
+                  FROM toks WHERE len(tk) >= 3),
+          conf AS (SELECT c.a, c.b
+                   FROM cands c
+                   JOIN shd sa ON sa.doc_id = c.a
+                   JOIN shd sb ON sb.doc_id = c.b
+                   WHERE len(list_intersect(sa.shs, sb.shs)) /
+                         (len(sa.shs) + len(sb.shs)
+                          - len(list_intersect(sa.shs, sb.shs))) >= 0.6),
+          edges AS (SELECT a, b FROM conf UNION SELECT b, a FROM conf),
+          nodes AS (SELECT DISTINCT a AS doc FROM edges),
+          reach AS (
+            SELECT doc, doc AS lbl FROM nodes
+            UNION
+            SELECT e.b AS doc, r.lbl FROM reach r JOIN edges e ON e.a = r.doc),
+          labeled AS (SELECT doc, MIN(lbl) AS lbl FROM reach GROUP BY 1),
+          sizes AS (SELECT lbl, COUNT(*) AS cluster_size
+                    FROM labeled GROUP BY 1)
+          SELECT cluster_size, COUNT(*) AS n_clusters,
+                 cluster_size * COUNT(*) AS n_docs
+          FROM sizes GROUP BY 1 ORDER BY cluster_size""",
 
     "x_dedup_chain_clusters" ->
       """WITH RECURSIVE base AS (

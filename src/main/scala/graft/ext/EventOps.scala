@@ -242,6 +242,27 @@ object EventOps {
             .as("frac_view_to_purchase"))
     }),
 
+    "x_seasonality_profile" -> ((s, d) => {
+      // day-of-week × hour-of-day activity profile with per-day
+      // normalization (a cell's raw count divides by how many distinct
+      // calendar days fed it, so a 31-day month doesn't bias weekdays)
+      // and the peak hour per weekday flagged (ties → earliest hour).
+      // Integer counts, one division; dow is Spark's 1=Sunday..7
+      // convention (the twin shifts DuckDB's 0-based dayofweek).
+      val cells = t(s, d, "events")
+        .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(date_trunc("day", col("ts"))).as("n_days"))
+      val wD = Window.partitionBy("dow").orderBy(desc("n"), asc("hr"))
+      cells
+        .withColumn("is_peak", row_number().over(wD) === 1)
+        .select(col("dow"), col("hr"), col("n"), col("n_days"),
+          detRound(col("n") / col("n_days"), 4).as("events_per_day"),
+          col("is_peak"))
+        .orderBy("dow", "hr")
+    }),
+
     "x_entropy_rate" -> ((s, d) => {
       // entropy rate of the per-user event process under the first-order
       // Markov model (composes x_markov_transitions): H = −Σ_s π(s) Σ_t
@@ -678,6 +699,19 @@ object EventOps {
                 floor(((SELECT COUNT(*) FROM p1)
                        / (SELECT COUNT(*) FROM v1)) * 1e6 + 0.5) / 1e6
                   AS frac_view_to_purchase""",
+
+    "x_seasonality_profile" ->
+      """WITH cells AS (
+           SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                  CAST(hour(ts) AS BIGINT) AS hr,
+                  COUNT(*) AS n,
+                  COUNT(DISTINCT date_trunc('day', ts)) AS n_days
+           FROM events GROUP BY 1, 2)
+         SELECT dow, hr, n, n_days,
+                floor((n / n_days) * 1e4 + 0.5) / 1e4 AS events_per_day,
+                row_number() OVER (PARTITION BY dow ORDER BY n DESC, hr)
+                  = 1 AS is_peak
+         FROM cells ORDER BY dow, hr""",
 
     "x_entropy_rate" ->
       """WITH pairs AS MATERIALIZED (

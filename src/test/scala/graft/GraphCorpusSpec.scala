@@ -533,4 +533,31 @@ class GraphCorpusSpec extends SparkSpec {
         math.log10(1.0 + 1.0 / d)) < 1e-5)
     }
   }
+
+  test("x_cluster_size_dist: sizes >= 2 (singletons are not clusters), " +
+      "doc counts are size * clusters, corpus-dup structure present") {
+    val rows = run("x_cluster_size_dist").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sz, nc, nd) = (r.getAs[Long]("cluster_size"),
+        r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"))
+      assert(sz >= 2, "a cluster needs at least one verified pair")
+      assert(nd == sz * nc)
+    }
+  }
+
+  test("x_seasonality_profile: exactly one peak per weekday, dow in 1..7, " +
+      "hour in 0..23, per-day rates positive") {
+    val rows = run("x_seasonality_profile").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dw, hr) = (r.getAs[Long]("dow"), r.getAs[Long]("hr"))
+      assert(dw >= 1 && dw <= 7)
+      assert(hr >= 0 && hr <= 23)
+      assert(r.getAs[Double]("events_per_day") > 0.0)
+    }
+    rows.groupBy(_.getAs[Long]("dow")).foreach { case (_, rs) =>
+      assert(rs.count(_.getAs[Boolean]("is_peak")) == 1)
+    }
+  }
 }
