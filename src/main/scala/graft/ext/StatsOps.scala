@@ -166,6 +166,76 @@ object StatsOps {
         .orderBy("cls")
     }),
 
+    "x_market_basket" -> ((s, d) => {
+      // association-rule scoring over customer baskets (the Apriori
+      // measurement layer): for supplier pairs bought by the same
+      // customer, support = n12/N, confidence = n12/n1, and lift =
+      // N·n12/(n1·n2), keeping pairs with support count ≥ 5 and
+      // reporting the top-10 by lift. Counts are integers from one
+      // pair fan-out grouped immediately (x_link_prediction's plan
+      // shape); the three ratios are single scalar divisions.
+      val e0 = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          col("l_suppkey").cast("long").as("sp"))
+        .distinct()
+        .localCheckpoint()
+      val n1 = e0.groupBy("sp").agg(count(lit(1)).as("n1"))
+      val nn = e0.select(col("c")).distinct().agg(count(lit(1)).as("nn"))
+      val p = e0.select(col("c"), col("sp").as("s1"))
+        .join(e0.select(col("c"), col("sp").as("s2")), "c")
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("n12"))
+        .filter(col("n12") >= 5)
+      p.join(broadcast(n1.select(col("sp").as("s1"), col("n1").as("na"))),
+          "s1")
+        .join(broadcast(n1.select(col("sp").as("s2"), col("n1").as("nb"))),
+          "s2")
+        .crossJoin(broadcast(nn))
+        .select(col("s1"), col("s2"), col("n12"),
+          detRound(col("n12") / col("nn"), 6).as("support"),
+          detRound(col("n12") / col("na"), 6).as("confidence"),
+          detRound((col("nn") * col("n12")).cast("double")
+            / (col("na") * col("nb")), 6).as("lift"))
+        .orderBy(desc("lift"), asc("s1"), asc("s2"))
+        .limit(10)
+    }),
+
+    "x_proportion_ztest" -> ((s, d) => {
+      // two-proportion z-test of purchase rates between the user_id
+      // parity cohorts (the A/B-readout shape): pooled-variance z =
+      // (p1 − p2) / √(p̂(1−p̂)(1/n1 + 1/n2)) from four integer counts;
+      // |z| > 1.96 flags 5% significance. On the uniform synthetic
+      // assignment the honest expectation is NO effect — the gauge's
+      // value is that the machinery is exact, not that it finds one.
+      val byUser = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast("long").as("converted"))
+        .withColumn("grp", pmod(col("user_id"), lit(2L)))
+      val agg = byUser.groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("converted")).cast("long")
+          .as("k"))
+        .localCheckpoint()
+      val a = agg.filter(col("grp") === 0)
+        .select(col("n").as("n1"), col("k").as("k1"))
+      val b = agg.filter(col("grp") === 1)
+        .select(col("n").as("n2"), col("k").as("k2"))
+      a.crossJoin(b)
+        .withColumn("p1", col("k1") / col("n1"))
+        .withColumn("p2", col("k2") / col("n2"))
+        .withColumn("pp", (col("k1") + col("k2")) / (col("n1") + col("n2")))
+        .withColumn("z", (col("p1") - col("p2"))
+          / sqrt(col("pp") * (lit(1.0) - col("pp"))
+            * (lit(1.0) / col("n1") + lit(1.0) / col("n2"))))
+        .select(col("n1"), col("k1"), col("n2"), col("k2"),
+          detRound(col("p1"), 6).as("rate_a"),
+          detRound(col("p2"), 6).as("rate_b"),
+          detRound(col("z"), 6).as("z"),
+          (abs(col("z")) > lit(1.96)).as("significant_05"))
+    }),
+
     "x_ks_statistic" -> ((s, d) => {
       // two-sample Kolmogorov-Smirnov: D = max |F_view − F_purchase|
       // over the pooled event-value support, with the 5%-level
@@ -515,6 +585,60 @@ object StatsOps {
                 floor((CAST(SUM(rq) AS BIGINT) / MAX(tq)) * 1e6 + 0.5) / 1e6
                   AS revenue_share
          FROM cls GROUP BY 1 ORDER BY cls""",
+
+    "x_market_basket" ->
+      """WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
+                  CAST(l.l_suppkey AS BIGINT) AS sp
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         n1 AS (SELECT sp, COUNT(*) AS n1 FROM e0 GROUP BY 1),
+         nn AS (SELECT COUNT(DISTINCT c) AS nn FROM e0),
+         p AS MATERIALIZED (
+           SELECT a.sp AS s1, b.sp AS s2, COUNT(*) AS n12
+           FROM e0 a JOIN e0 b ON a.c = b.c AND a.sp < b.sp
+           GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+         SELECT p.s1, p.s2, p.n12,
+                floor((p.n12 / nn.nn) * 1e6 + 0.5) / 1e6 AS support,
+                floor((p.n12 / na.n1) * 1e6 + 0.5) / 1e6 AS confidence,
+                floor((CAST(nn.nn * p.n12 AS DOUBLE) / (na.n1 * nb.n1))
+                      * 1e6 + 0.5) / 1e6 AS lift
+         FROM p
+         JOIN n1 na ON na.sp = p.s1
+         JOIN n1 nb ON nb.sp = p.s2
+         CROSS JOIN nn
+         ORDER BY lift DESC, s1, s2 LIMIT 10""",
+
+    "x_proportion_ztest" ->
+      """WITH byu AS (
+           SELECT user_id,
+                  CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) AS BIGINT) AS converted,
+                  user_id % 2 AS grp
+           FROM events GROUP BY 1),
+         agg AS (SELECT grp, COUNT(*) AS n,
+                        CAST(SUM(converted) AS BIGINT) AS k
+                 FROM byu GROUP BY 1),
+         a AS (SELECT n AS n1, k AS k1 FROM agg WHERE grp = 0),
+         b AS (SELECT n AS n2, k AS k2 FROM agg WHERE grp = 1),
+         f AS (
+           SELECT n1, k1, n2, k2,
+                  k1 / n1 AS p1, k2 / n2 AS p2,
+                  (k1 + k2) / (n1 + n2) AS pp
+           FROM a CROSS JOIN b)
+         SELECT n1, k1, n2, k2,
+                floor(p1 * 1e6 + 0.5) / 1e6 AS rate_a,
+                floor(p2 * 1e6 + 0.5) / 1e6 AS rate_b,
+                floor(((p1 - p2)
+                       / sqrt(pp * (CAST(1.0 AS DOUBLE) - pp)
+                              * (CAST(1.0 AS DOUBLE) / n1
+                                 + CAST(1.0 AS DOUBLE) / n2)))
+                      * 1e6 + 0.5) / 1e6 AS z,
+                abs((p1 - p2)
+                    / sqrt(pp * (CAST(1.0 AS DOUBLE) - pp)
+                           * (CAST(1.0 AS DOUBLE) / n1
+                              + CAST(1.0 AS DOUBLE) / n2)))
+                  > CAST(1.96 AS DOUBLE) AS significant_05
+         FROM f""",
 
     "x_ks_statistic" ->
       """WITH ev AS MATERIALIZED (

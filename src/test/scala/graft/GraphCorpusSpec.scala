@@ -560,4 +560,32 @@ class GraphCorpusSpec extends SparkSpec {
       assert(rs.count(_.getAs[Boolean]("is_peak")) == 1)
     }
   }
+
+  test("x_market_basket: lift ordered, confidence bounded by 1, support " +
+      "consistent (n12 <= N * support bound), canonical pairs") {
+    val rows = run("x_market_basket").collect()
+    assert(rows.nonEmpty)
+    val lifts = rows.map(_.getAs[Double]("lift"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("s1") < r.getAs[Long]("s2"))
+      assert(r.getAs[Long]("n12") >= 5)
+      val c = r.getAs[Double]("confidence")
+      assert(c > 0.0 && c <= 1.0)
+      assert(r.getAs[Double]("support") > 0.0)
+      assert(r.getAs[Double]("lift") > 0.0)
+    }
+  }
+
+  test("x_proportion_ztest: rates in [0, 1], significance flag matches " +
+      "|z| vs 1.96, cohorts partition the user base") {
+    val r = run("x_proportion_ztest").collect().head
+    val (ra, rb) = (r.getAs[Double]("rate_a"), r.getAs[Double]("rate_b"))
+    assert(ra >= 0.0 && ra <= 1.0 && rb >= 0.0 && rb <= 1.0)
+    val z = r.getAs[Double]("z")
+    assert(r.getAs[Boolean]("significant_05") == (math.abs(z) > 1.96) ||
+      math.abs(math.abs(z) - 1.96) < 1e-6)
+    assert(r.getAs[Long]("k1") <= r.getAs[Long]("n1"))
+    assert(r.getAs[Long]("k2") <= r.getAs[Long]("n2"))
+  }
 }
