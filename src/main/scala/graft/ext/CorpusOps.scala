@@ -83,47 +83,182 @@ object CorpusOps {
         s" + ((($y) >> $i) & 1) * ${1L << (2 * i + 1)}"
     }.mkString(" + ")
 
+  /** Okapi BM25 (Robertson & Walker 1994; the Lucene-variant idf with
+    * the +1 inside the log so idf is never negative): score(D, q) =
+    * Σ_t idf(t) · tf(t,D)(k1+1) / (tf + k1(1 - b + b·|D|/avgdl)),
+    * k1 = 1.2, b = 0.75. Corpus stats (N, avgdl, df) are one grouped
+    * pass each, broadcast onto the per-(doc, term) tf rows; at 100 TB
+    * the stats tables are O(|vocab ∩ query|) rows — trivially
+    * broadcastable, the scan stays a narrow map. Per-term scores are
+    * fixed-point quantized before the per-doc sum (≤3 terms, but the
+    * discipline is uniform). Shared by x_bm25 / x_ndcg_eval /
+    * x_rrf_fusion: returns (doc_id, n_terms_matched, sq) with sq the
+    * 1e9-quantized BIGINT score — the ranking key every consumer
+    * orders by, so the three entries can never disagree on the list. */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .localCheckpoint()
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("long") / count(lit(1))).as("avgdl"))
+    val qtoks = toks.filter(expr(s"array_contains($bm25TermsSpark, tok)"))
+    val df = qtoks.groupBy("tok")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val tf = qtoks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("sc",
+        col("idf") * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25)
+            + lit(0.75) * (col("dl") / col("avgdl")))))
+      .withColumn("q", floor(col("sc") * 1e9 + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum(col("q")).cast("long").as("sq"))
+  }
+
+  /** DuckDB twin of [[bm25Scored]]: CTE chain ending in
+    * bq(doc_id, n_terms_matched, sq). */
+  private val bm25ScoredSql: String =
+    s"""toks AS MATERIALIZED (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        dl AS MATERIALIZED (
+          SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        stats AS (
+          SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) / COUNT(*) AS avgdl FROM dl),
+        qt AS (SELECT doc_id, tok FROM toks
+               WHERE list_contains($bm25TermsDuck, tok)),
+        dfq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df
+                FROM qt GROUP BY 1),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
+        scored AS (
+          SELECT t.doc_id,
+                 CAST(floor(
+                   ln((s.n_docs - f.df + CAST(0.5 AS DOUBLE))
+                      / (f.df + CAST(0.5 AS DOUBLE))
+                      + CAST(1.0 AS DOUBLE))
+                   * (t.tf * CAST(2.2 AS DOUBLE))
+                   / (t.tf + CAST(1.2 AS DOUBLE)
+                      * (CAST(0.25 AS DOUBLE)
+                         + CAST(0.75 AS DOUBLE) * (l.dl / s.avgdl)))
+                   * 1e9 + 0.5) AS BIGINT) AS q
+          FROM tf t
+          JOIN dfq f USING (tok)
+          JOIN dl l USING (doc_id)
+          CROSS JOIN stats s),
+        bq AS (
+          SELECT doc_id, COUNT(*) AS n_terms_matched,
+                 CAST(SUM(q) AS BIGINT) AS sq
+          FROM scored GROUP BY 1)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "x_bm25" -> ((s, d) => {
-      // Okapi BM25 (Robertson & Walker 1994; the Lucene-variant idf with
-      // the +1 inside the log so idf is never negative): score(D, q) =
-      // Σ_t idf(t) · tf(t,D)(k1+1) / (tf + k1(1 - b + b·|D|/avgdl)),
-      // k1 = 1.2, b = 0.75. Corpus stats (N, avgdl, df) are one grouped
-      // pass each, broadcast onto the per-(doc, term) tf rows; at 100 TB
-      // the stats tables are O(|vocab ∩ query|) rows — trivially
-      // broadcastable, the scan stays a narrow map. Per-term scores are
-      // fixed-point quantized before the per-doc sum (≤3 terms, but the
-      // discipline is uniform).
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .localCheckpoint()
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl")).cast("long") / count(lit(1))).as("avgdl"))
-      val qtoks = toks.filter(expr(s"array_contains($bm25TermsSpark, tok)"))
-      val df = qtoks.groupBy("tok")
-        .agg(countDistinct(col("doc_id")).as("df"))
-      val tf = qtoks.groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
-      tf.join(broadcast(df), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log((col("n_docs") - col("df") + lit(0.5))
-            / (col("df") + lit(0.5)) + lit(1.0)))
-        .withColumn("sc",
-          col("idf") * (col("tf") * lit(2.2))
-            / (col("tf") + lit(1.2) * (lit(0.25)
-              + lit(0.75) * (col("dl") / col("avgdl")))))
-        .withColumn("q", floor(col("sc") * 1e9 + 0.5).cast("long"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_terms_matched"),
-          sum(col("q")).cast("long").as("sq"))
+      bm25Scored(s, d)
         .select(col("doc_id"), col("n_terms_matched"),
           detRound(col("sq") / 1e9, 6).as("score"))
         .orderBy(desc("score"), asc("doc_id"))
         .limit(15)
+    }),
+
+    "x_ndcg_eval" -> ((s, d) => {
+      // nDCG@10 of the BM25 ranking against a graded ground truth —
+      // the offline ranking-quality gauge run when tuning retrieval for
+      // RAG corpora. Relevance grade = tf of the rare query term 'dup'
+      // capped at 3 (a deterministic text-derived truth, same spirit as
+      // x_quality_classifier's label); gain 2^rel − 1 via an integer
+      // CASE (no float pow), discount 1/ln(rank+1) quantized per term
+      // before the sum. Both the actual and the ideal top-10 come from
+      // orderBy().limit() — TakeOrderedAndProject, no global sort, so
+      // the gauge costs two bounded top-k passes at any corpus size.
+      val rel = t(s, d, "documents")
+        .select(col("doc_id"),
+          least(size(split(col("text"), " "))
+            - size(array_remove(split(col("text"), " "), "dup")), lit(3))
+            .cast("long").as("rel"))
+        .localCheckpoint()
+      val gain = expr(
+        "CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END")
+      def rankW(keys: Column*) = row_number()
+        .over(Window.orderBy(keys: _*)).cast("long")
+      val ranked = bm25Scored(s, d)
+        .orderBy(desc("sq"), asc("doc_id")).limit(10)
+        .withColumn("rank", rankW(desc("sq"), asc("doc_id")))
+        .join(rel, Seq("doc_id"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+        .withColumn("g", gain)
+      val qdcg = ranked.agg(sum(floor(col("g") / log(col("rank") + 1)
+        * 1e9 + 0.5).cast("long")).as("qdcg"))
+      val ideal = rel.orderBy(desc("rel"), asc("doc_id")).limit(10)
+        .withColumn("rank", rankW(desc("rel"), asc("doc_id")))
+        .withColumn("g", gain)
+        .agg(sum(floor(col("g") / log(col("rank") + 1) * 1e9 + 0.5)
+          .cast("long")).as("qidcg"))
+      val nRel = rel.filter(col("rel") > 0)
+        .agg(count(lit(1)).as("n_rel_docs"))
+      nRel.crossJoin(broadcast(qdcg)).crossJoin(broadcast(ideal))
+        .withColumn("dcg10", detRound(col("qdcg") / 1e9, 6))
+        .withColumn("idcg10", detRound(col("qidcg") / 1e9, 6))
+        .withColumn("ndcg10", when(col("qidcg") === 0, lit(0.0))
+          .otherwise(detRound(col("qdcg").cast("double") / col("qidcg"), 6)))
+        .select(col("n_rel_docs"), col("dcg10"), col("idcg10"),
+          col("ndcg10"))
+    }),
+
+    "x_rrf_fusion" -> ((s, d) => {
+      // hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
+      // k = 60) of the BM25 lexical ranking and the embedding-cosine
+      // ranking for the corpus query (query vector 0 over the embedded
+      // doc prefix — doc_id and vec_id share the id space). RRF is THE
+      // production hybrid-search combiner (Elasticsearch/OpenSearch
+      // default): score(d) = Σ_legs 1/(60 + rank_leg(d)), missing leg
+      // contributes 0. Each leg is a bounded top-30 (TakeOrdered — no
+      // global sort); the fuse is a full-outer join of two 30-row
+      // tables — driver-trivial at any corpus size. Contributions are
+      // 1e9-quantized before the sum; ranks stay BIGINT.
+      graft.functions.GraftFunctions.register(s)
+      def rankW(keys: Column*) = row_number()
+        .over(Window.orderBy(keys: _*)).cast("long")
+      val bmTop = bm25Scored(s, d)
+        .orderBy(desc("sq"), asc("doc_id")).limit(30)
+        .withColumn("rank_bm", rankW(desc("sq"), asc("doc_id")))
+        .select(col("doc_id").as("id"), col("rank_bm"))
+      val emb = t(s, d, "embeddings")
+      val nrm = emb.select(col("vec_id"),
+        sqrt(SimilarityOps.dotExpr("embedding", "embedding")).as("nrm"))
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      val qn = nrm.filter(col("vec_id") === 0).select(col("nrm").as("nq"))
+      val cosTop = emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("id"), col("embedding").as("ce"))
+        .crossJoin(broadcast(qv)).crossJoin(broadcast(qn))
+        .join(nrm.select(col("vec_id").as("id"), col("nrm").as("nc")),
+          "id")
+        .withColumn("qcos",
+          floor(SimilarityOps.dotExpr("qe", "ce")
+            / (col("nq") * col("nc")) * 1e6 + 0.5).cast("long"))
+        .orderBy(desc("qcos"), asc("id")).limit(30)
+        .withColumn("rank_cos", rankW(desc("qcos"), asc("id")))
+        .select(col("id"), col("rank_cos"))
+      bmTop.join(cosTop, Seq("id"), "full_outer")
+        .withColumn("qrrf",
+          coalesce(floor(lit(1e9) / (lit(60) + col("rank_bm")) + 0.5)
+            .cast("long"), lit(0L))
+            + coalesce(floor(lit(1e9) / (lit(60) + col("rank_cos")) + 0.5)
+              .cast("long"), lit(0L)))
+        .orderBy(desc("qrrf"), asc("id")).limit(15)
+        .withColumn("fused_rank", rankW(desc("qrrf"), asc("id")))
+        .select(col("fused_rank"), col("id"), col("rank_bm"),
+          col("rank_cos"), detRound(col("qrrf") / 1e9, 6).as("rrf_score"))
+        .orderBy(col("fused_rank"))
     }),
 
     "x_collocations" -> ((s, d) => {
@@ -431,39 +566,98 @@ object CorpusOps {
   def oracleSql: Map[String, String] = Map(
 
     "x_bm25" ->
-      s"""WITH toks AS MATERIALIZED (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-            FROM documents),
-          dl AS MATERIALIZED (
-            SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
-          stats AS (
-            SELECT COUNT(*) AS n_docs,
-                   CAST(SUM(dl) AS BIGINT) / COUNT(*) AS avgdl FROM dl),
-          qt AS (SELECT doc_id, tok FROM toks
-                 WHERE list_contains($bm25TermsDuck, tok)),
-          dfq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df
-                  FROM qt GROUP BY 1),
-          tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
-          scored AS (
-            SELECT t.doc_id,
-                   CAST(floor(
-                     ln((s.n_docs - f.df + CAST(0.5 AS DOUBLE))
-                        / (f.df + CAST(0.5 AS DOUBLE))
-                        + CAST(1.0 AS DOUBLE))
-                     * (t.tf * CAST(2.2 AS DOUBLE))
-                     / (t.tf + CAST(1.2 AS DOUBLE)
-                        * (CAST(0.25 AS DOUBLE)
-                           + CAST(0.75 AS DOUBLE) * (l.dl / s.avgdl)))
-                     * 1e9 + 0.5) AS BIGINT) AS q
-            FROM tf t
-            JOIN dfq f USING (tok)
-            JOIN dl l USING (doc_id)
-            CROSS JOIN stats s)
-          SELECT doc_id, COUNT(*) AS n_terms_matched,
-                 floor((CAST(SUM(q) AS BIGINT) / 1e9) * 1e6 + 0.5) / 1e6
-                   AS score
-          FROM scored GROUP BY 1
+      s"""WITH $bm25ScoredSql
+          SELECT doc_id, n_terms_matched,
+                 floor((sq / 1e9) * 1e6 + 0.5) / 1e6 AS score
+          FROM bq
           ORDER BY score DESC, doc_id LIMIT 15""",
+
+    "x_ndcg_eval" ->
+      s"""WITH $bm25ScoredSql,
+          rel AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(least(len(list_filter(string_split(text, ' '),
+                     x -> x = 'dup')), 3) AS BIGINT) AS rel
+            FROM documents),
+          ranked AS (
+            SELECT r.rank,
+                   CASE COALESCE(l.rel, 0) WHEN 0 THEN 0 WHEN 1 THEN 1
+                        WHEN 2 THEN 3 ELSE 7 END AS g
+            FROM (SELECT doc_id,
+                         CAST(row_number() OVER (ORDER BY sq DESC, doc_id)
+                           AS BIGINT) AS rank
+                  FROM bq) r
+            LEFT JOIN rel l USING (doc_id)
+            WHERE r.rank <= 10),
+          dcg AS (
+            SELECT CAST(SUM(CAST(floor(g / ln(rank + 1) * 1e9 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS qdcg
+            FROM ranked),
+          ideal AS (
+            SELECT CAST(SUM(CAST(floor(g / ln(rank + 1) * 1e9 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS qidcg
+            FROM (SELECT CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1
+                              WHEN 2 THEN 3 ELSE 7 END AS g,
+                         CAST(row_number() OVER (ORDER BY rel DESC, doc_id)
+                           AS BIGINT) AS rank
+                  FROM rel)
+            WHERE rank <= 10),
+          nr AS (SELECT COUNT(*) AS n_rel_docs FROM rel WHERE rel > 0)
+          SELECT n_rel_docs,
+                 floor(qdcg / 1e9 * 1e6 + 0.5) / 1e6 AS dcg10,
+                 floor(qidcg / 1e9 * 1e6 + 0.5) / 1e6 AS idcg10,
+                 CASE WHEN qidcg = 0 THEN 0.0
+                      ELSE floor(CAST(qdcg AS DOUBLE) / qidcg * 1e6 + 0.5)
+                           / 1e6
+                 END AS ndcg10
+          FROM nr CROSS JOIN dcg CROSS JOIN ideal""",
+
+    "x_rrf_fusion" ->
+      s"""WITH $bm25ScoredSql,
+          bmtop AS (
+            SELECT id, rank_bm FROM (
+              SELECT doc_id AS id,
+                     CAST(row_number() OVER (ORDER BY sq DESC, doc_id)
+                       AS BIGINT) AS rank_bm
+              FROM bq)
+            WHERE rank_bm <= 30),
+          nrm AS (
+            SELECT vec_id,
+                   sqrt(${SimilarityOps.dotSql("embedding", "embedding")})
+                     AS nrm
+            FROM embeddings),
+          sc AS (
+            SELECT c.vec_id AS id,
+                   CAST(floor(
+                     ${SimilarityOps.dotSql("q.embedding", "c.embedding")}
+                     / (nq.nrm * nc.nrm) * 1e6 + 0.5) AS BIGINT) AS qcos
+            FROM embeddings c
+            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            JOIN nrm nq ON nq.vec_id = 0
+            JOIN nrm nc ON nc.vec_id = c.vec_id
+            WHERE c.vec_id <> 0),
+          costop AS (
+            SELECT id, rank_cos FROM (
+              SELECT id,
+                     CAST(row_number() OVER (ORDER BY qcos DESC, id)
+                       AS BIGINT) AS rank_cos
+              FROM sc)
+            WHERE rank_cos <= 30),
+          f AS (
+            SELECT COALESCE(b.id, c.id) AS id, b.rank_bm, c.rank_cos,
+                   COALESCE(CAST(floor(1e9 / (60 + b.rank_bm) + 0.5)
+                     AS BIGINT), 0)
+                   + COALESCE(CAST(floor(1e9 / (60 + c.rank_cos) + 0.5)
+                     AS BIGINT), 0) AS qrrf
+            FROM bmtop b FULL OUTER JOIN costop c ON b.id = c.id),
+          g AS (
+            SELECT id, rank_bm, rank_cos, qrrf,
+                   CAST(row_number() OVER (ORDER BY qrrf DESC, id)
+                     AS BIGINT) AS fused_rank
+            FROM f)
+          SELECT fused_rank, id, rank_bm, rank_cos,
+                 floor(qrrf / 1e9 * 1e6 + 0.5) / 1e6 AS rrf_score
+          FROM g WHERE fused_rank <= 15 ORDER BY fused_rank""",
 
     "x_collocations" ->
       """WITH toks AS MATERIALIZED (

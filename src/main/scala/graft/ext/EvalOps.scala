@@ -1,0 +1,234 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.types.Coercions.detRound
+import graft.util.Tables.t
+
+/** Evaluation metrics for the data-quality / classifier layer of a
+  * training-data pipeline (extension surface, same family as TextOps's
+  * x_quality_classifier): ROC-AUC of a quality signal, fixed-width
+  * calibration (reliability) bins, and categorical mutual information
+  * between document facets.
+  *
+  * Every metric here reduces to INTEGER sufficient statistics (grouped
+  * counts, rank sums) followed by a scalar closed form — the formulation
+  * that both partial-aggregates map-side at 100 TB and hash-matches a
+  * DuckDB oracle exactly (no order-sensitive float accumulation; the
+  * fixed-point quantize-then-integer-sum discipline from CorpusOps).
+  */
+object EvalOps {
+
+  /** per-doc signal: lexical type count (distinct tokens) + binary label
+    * (doc is English). The signal is deliberately simple — these entries
+    * verify METRIC machinery; richer scores plug into the same shape. */
+  private def docSignal(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count_distinct(col("tok")).as("v"))
+      .withColumn("y", (col("lang") === "en").cast("int"))
+
+  private val docSignalSql =
+    """per AS (
+         SELECT doc_id, lang, COUNT(DISTINCT tok) AS v,
+                CAST(lang = 'en' AS INT) AS y
+         FROM (SELECT doc_id, lang,
+                      unnest(string_split(text, ' ')) AS tok
+               FROM documents)
+         GROUP BY doc_id, lang)"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "x_auc_roc" -> ((s, d) => {
+      // ROC-AUC of the type-count signal predicting lang='en', via the
+      // Mann-Whitney U statistic with exact tie handling: group docs by
+      // score VALUE (n1/n0 pos/neg per value), scan values ascending,
+      // U·2 = Σ_v n1(v)·(2·cum_n0_below + n0(v)) — ties contribute the
+      // half-credit term as an integer, so AUC = U2 / (2·N1·N0) is a
+      // ratio of EXACT integers (no rank floats, no interpolation).
+      // Scale: the window runs over DISTINCT SCORE VALUES (already
+      // grouped — thousands of rows, not docs); the per-value products
+      // accumulate in DECIMAL(38,0) because N1·N0 passes int64 at
+      // ~3e9 docs (Spark's long sum would wrap where DuckDB raises).
+      val byV = docSignal(s, d)
+        .groupBy(col("v"))
+        .agg(sum(col("y")).cast("long").as("n1"),
+          (count(lit(1)) - sum(col("y"))).cast("long").as("n0"))
+      val wCum = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byV
+        .withColumn("c0", coalesce(sum(col("n0")).over(wCum), lit(0L)))
+        .agg(sum(col("n1") + col("n0")).cast("long").as("n_docs"),
+          sum(col("n1")).cast("long").as("n_pos"),
+          sum(col("n0")).cast("long").as("n_neg"),
+          sum(col("n1").cast("decimal(19,0)")
+            * (lit(2L) * col("c0") + col("n0")).cast("decimal(19,0)"))
+            .as("u2"))
+        .withColumn("auc", detRound(col("u2").cast("double")
+          / (lit(2.0) * col("n_pos").cast("double")
+            * col("n_neg").cast("double")), 6))
+        .select(col("n_docs"), col("n_pos"), col("n_neg"), col("auc"))
+    }),
+
+    "x_calibration_bins" -> ((s, d) => {
+      // reliability diagram for a monotone squash of the signal,
+      // p = v/(v+50), against the empirical positive rate — the check a
+      // pipeline runs before thresholding classifier scores into
+      // keep/drop decisions. Bins are FIXED-WIDTH deciles of p
+      // (bin = min(floor(10p), 9)) — a pure map-side expression that
+      // needs no global rank pass, so the op is one grouped aggregate
+      // at any corpus size (rank-deciles would need a distributed
+      // quantile pass; fixed-width is the standard ECE binning).
+      // mean_p is a 1e9 fixed-point mean; gap compares the two already
+      // 6dp-rounded columns so the subtraction is exact.
+      docSignal(s, d)
+        .withColumn("p", col("v").cast("double")
+          / (col("v") + lit(50)).cast("double"))
+        .withColumn("bin",
+          least(floor(col("p") * 10), lit(9.0)).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("y")).cast("long").as("n_pos"),
+          sum(floor(col("p") * 1e9 + 0.5).cast("long")).as("sp"))
+        .withColumn("mean_p",
+          detRound(col("sp").cast("double") / 1e9 / col("n_docs"), 6))
+        .withColumn("frac_pos",
+          detRound(col("n_pos").cast("double") / col("n_docs"), 6))
+        .withColumn("gap", abs(col("mean_p") - col("frac_pos")))
+        .select(col("bin"), col("n_docs"), col("n_pos"), col("mean_p"),
+          col("frac_pos"), col("gap"))
+        .orderBy(col("bin"))
+    }),
+
+    "x_mutual_information" -> ((s, d) => {
+      // mutual information (nats) between the source and lang facets of
+      // the corpus — the redundancy check run before stratifying a data
+      // mix on correlated facets (high MI means the strata double-count)
+      // — plus normalized MI (MI / sqrt(H_source·H_lang)). Counts are
+      // three grouped aggregates (cells + two marginals, all broadcast
+      // joins); each cell's term quantizes to 1e12 fixed point before
+      // the integer sum. The log argument multiplies two EXACT ratios,
+      // (c/r)·(N/s), never the raw products c·N — products of two
+      // trillion-row counts would overflow int64/double where the
+      // ratio form stays in range at any corpus size.
+      val docs = t(s, d, "documents")
+      val cells = docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      val ms = docs.groupBy(col("source")).agg(count(lit(1)).as("cs"))
+      val ml = docs.groupBy(col("lang")).agg(count(lit(1)).as("cl"))
+      val tot = docs.agg(count(lit(1)).as("nd"))
+      val mi = cells
+        .join(broadcast(ms), "source")
+        .join(broadcast(ml), "lang")
+        .crossJoin(broadcast(tot))
+        .withColumn("term",
+          (col("c").cast("double") / col("nd"))
+            * log((col("c").cast("double") / col("cs"))
+              * (col("nd").cast("double") / col("cl"))))
+        .agg(max(col("nd")).as("n_docs"),
+          count(lit(1)).as("n_cells"),
+          sum(floor(col("term") * 1e12 + 0.5).cast("long")).as("qmi"))
+      def entropyQ(m: DataFrame, cnt: String): DataFrame =
+        m.crossJoin(broadcast(tot))
+          .agg(sum(floor(-(col(cnt).cast("double") / col("nd"))
+            * log(col(cnt).cast("double") / col("nd")) * 1e12 + 0.5)
+            .cast("long")).as("qh"))
+      val hs = entropyQ(ms, "cs").withColumnRenamed("qh", "qhs")
+      val hl = entropyQ(ml, "cl").withColumnRenamed("qh", "qhl")
+      mi.crossJoin(broadcast(hs)).crossJoin(broadcast(hl))
+        .withColumn("mi", detRound(col("qmi").cast("double") / 1e12, 6))
+        .withColumn("nmi", detRound((col("qmi").cast("double") / 1e12)
+          / sqrt((col("qhs").cast("double") / 1e12)
+            * (col("qhl").cast("double") / 1e12)), 6))
+        .select(col("n_docs"), col("n_cells"), col("mi"), col("nmi"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+
+    "x_auc_roc" ->
+      s"""WITH $docSignalSql,
+          byv AS (
+            SELECT v, CAST(SUM(y) AS BIGINT) AS n1,
+                   CAST(COUNT(*) - SUM(y) AS BIGINT) AS n0
+            FROM per GROUP BY v),
+          cum AS (
+            SELECT v, n1, n0,
+                   COALESCE(SUM(n0) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS c0
+            FROM byv)
+          SELECT CAST(SUM(n1 + n0) AS BIGINT) AS n_docs,
+                 CAST(SUM(n1) AS BIGINT) AS n_pos,
+                 CAST(SUM(n0) AS BIGINT) AS n_neg,
+                 floor((CAST(SUM(CAST(n1 AS HUGEINT)
+                               * (2 * CAST(c0 AS HUGEINT) + n0)) AS DOUBLE)
+                        / (CAST(2.0 AS DOUBLE)
+                           * CAST(CAST(SUM(n1) AS BIGINT) AS DOUBLE)
+                           * CAST(CAST(SUM(n0) AS BIGINT) AS DOUBLE)))
+                       * 1e6 + 0.5) / 1e6 AS auc
+          FROM cum""",
+
+    "x_calibration_bins" ->
+      s"""WITH $docSignalSql,
+          scored AS (
+            SELECT doc_id, y,
+                   CAST(v AS DOUBLE) / CAST(v + 50 AS DOUBLE) AS p
+            FROM per),
+          b AS (
+            SELECT CAST(least(floor(p * 10), 9.0) AS BIGINT) AS bin,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(y) AS BIGINT) AS n_pos,
+                   CAST(SUM(CAST(floor(p * 1e9 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sp
+            FROM scored GROUP BY 1)
+          SELECT bin, n_docs, n_pos,
+                 floor(CAST(sp AS DOUBLE) / 1e9 / n_docs * 1e6 + 0.5)
+                   / 1e6 AS mean_p,
+                 floor(CAST(n_pos AS DOUBLE) / n_docs * 1e6 + 0.5)
+                   / 1e6 AS frac_pos,
+                 abs(floor(CAST(sp AS DOUBLE) / 1e9 / n_docs * 1e6 + 0.5)
+                       / 1e6
+                     - floor(CAST(n_pos AS DOUBLE) / n_docs * 1e6 + 0.5)
+                       / 1e6) AS gap
+          FROM b ORDER BY bin""",
+
+    "x_mutual_information" ->
+      """WITH cells AS (
+           SELECT source, lang, COUNT(*) AS c
+           FROM documents GROUP BY 1, 2),
+         ms AS (SELECT source, COUNT(*) AS cs FROM documents GROUP BY 1),
+         ml AS (SELECT lang, COUNT(*) AS cl FROM documents GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS nd FROM documents),
+         mi AS (
+           SELECT MAX(nd) AS n_docs, COUNT(*) AS n_cells,
+                  CAST(SUM(CAST(floor(
+                    (CAST(c AS DOUBLE) / nd)
+                    * ln((CAST(c AS DOUBLE) / cs)
+                         * (CAST(nd AS DOUBLE) / cl)) * 1e12 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS qmi
+           FROM cells
+           JOIN ms USING (source) JOIN ml USING (lang) CROSS JOIN tot),
+         hs AS (
+           SELECT CAST(SUM(CAST(floor(
+                    -(CAST(cs AS DOUBLE) / nd)
+                    * ln(CAST(cs AS DOUBLE) / nd) * 1e12 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS qhs
+           FROM ms CROSS JOIN tot),
+         hl AS (
+           SELECT CAST(SUM(CAST(floor(
+                    -(CAST(cl AS DOUBLE) / nd)
+                    * ln(CAST(cl AS DOUBLE) / nd) * 1e12 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS qhl
+           FROM ml CROSS JOIN tot)
+         SELECT n_docs, n_cells,
+                floor(CAST(qmi AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS mi,
+                floor((CAST(qmi AS DOUBLE) / 1e12)
+                      / sqrt((CAST(qhs AS DOUBLE) / 1e12)
+                             * (CAST(qhl AS DOUBLE) / 1e12))
+                      * 1e6 + 0.5) / 1e6 AS nmi
+         FROM mi CROSS JOIN hs CROSS JOIN hl""")
+}

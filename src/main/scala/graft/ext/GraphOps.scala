@@ -212,8 +212,12 @@ object GraphOps {
       // log2 is libm log2, and they disagree at exact powers of two
       // (ln 8/ln 2 = 2.9999999999999996). One grouped count per side —
       // scale-trivial.
+      // Ladder runs to 62 — the full positive range of a BIGINT degree —
+      // so the bucket invariant (max_deg in [2^b, 2^(b+1))) holds for ANY
+      // node the engine can count, not just degrees below 2^25; the
+      // generated comparisons are codegen'd and cost-free.
       val (edges, deg, _) = orderGraph(s, d)
-      val bucket = (1 to 24).foldLeft(lit(0L)) { (acc, b) =>
+      val bucket = (1 to 62).foldLeft(lit(0L)) { (acc, b) =>
         when(col("outdeg") >= lit(1L << b), lit(b.toLong)).otherwise(acc)
       }
       deg.withColumn("side",
@@ -224,6 +228,63 @@ object GraphOps {
           min(col("outdeg")).as("min_deg"),
           max(col("outdeg")).as("max_deg"))
         .orderBy("side", "bucket")
+    }),
+
+    "x_triangle_count" -> ((s, d) => {
+      // triangle count + global clustering coefficient of the part
+      // co-purchase backbone — the cohesion diagnostic run on an entity
+      // graph before community detection (high cc → clustered domains,
+      // near-zero → random co-occurrence). Graph: parts are nodes; an
+      // undirected edge links parts co-ordered in ≥2 DISTINCT orders
+      // (the support cut keeps the backbone sparse — raw co-order pairs
+      // grow linearly with order count but ≥2-support pairs saturate at
+      // the catalog's true affinities; at 100 TB the threshold scales
+      // like x_collocations' corpus-relative cut). Counting uses the
+      // degree-ordered orientation (Suri & Vassilvitskii 2011): orient
+      // each edge toward its (deg, id)-larger endpoint, enumerate wedges
+      // only at each edge's SMALLER endpoint — fan-out per node is
+      // capped near sqrt(|E|) regardless of hub degree — then close
+      // wedges with one equi-join against the edge set. Every stage is
+      // a keyed shuffle; no node ever materializes its full 2-hop set.
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_partkey").cast("long").as("pk"))
+        .distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint()
+      val deg = e.select(col("p1").as("n"))
+        .union(e.select(col("p2").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      // p1 < p2 by construction, so on a degree tie the lex-smaller
+      // endpoint (p1) is the wedge center — one rule, both engines
+      val oe = e
+        .join(deg.select(col("n").as("p1"), col("dg").as("d1")), "p1")
+        .join(deg.select(col("n").as("p2"), col("dg").as("d2")), "p2")
+        .select(
+          when(col("d1") <= col("d2"), col("p1")).otherwise(col("p2"))
+            .as("u"),
+          when(col("d1") <= col("d2"), col("p2")).otherwise(col("p1"))
+            .as("v"))
+        .localCheckpoint()
+      val tri = oe.as("x").join(oe.as("y"),
+          col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+        .join(e, col("p1") === col("x.v") && col("p2") === col("y.v"))
+        .agg(count(lit(1)).as("t"))
+      val st = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("(dg * (dg - 1)) div 2")).cast("long").as("n_wedges"))
+      val ne = e.agg(count(lit(1)).as("n_edges"))
+      st.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+        .withColumn("global_cc",
+          when(col("n_wedges") === 0, lit(0.0))
+            .otherwise(graft.types.Coercions.detRound(
+              lit(3.0) * col("t") / col("n_wedges"), 6)))
+        .select(col("n_nodes"), col("n_edges"),
+          col("t").as("n_triangles"), col("n_wedges"), col("global_cc"))
     }))
 
   private def prIterSql(i: Int): String = {
@@ -338,7 +399,7 @@ object GraphOps {
          ORDER BY customer, rank""",
 
     "x_degree_histogram" -> {
-      val ladder = (24 to 1 by -1).map(b =>
+      val ladder = (62 to 1 by -1).map(b =>
         s"WHEN outdeg >= ${1L << b} THEN $b").mkString(" ")
       s"""WITH $graphSql
           SELECT CASE WHEN src >= $CustOff THEN 'customer'
@@ -347,5 +408,37 @@ object GraphOps {
                  COUNT(*) AS n_nodes,
                  MIN(outdeg) AS min_deg, MAX(outdeg) AS max_deg
           FROM deg GROUP BY 1, 2 ORDER BY side, bucket"""
-    })
+    },
+
+    "x_triangle_count" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+           FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT a.pk AS p1, b.pk AS p2
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         deg AS MATERIALIZED (
+           SELECT n, COUNT(*) AS dg
+           FROM (SELECT p1 AS n FROM e UNION ALL SELECT p2 FROM e)
+           GROUP BY 1),
+         oe AS MATERIALIZED (
+           SELECT CASE WHEN d1.dg <= d2.dg THEN e.p1 ELSE e.p2 END AS u,
+                  CASE WHEN d1.dg <= d2.dg THEN e.p2 ELSE e.p1 END AS v
+           FROM e JOIN deg d1 ON d1.n = e.p1 JOIN deg d2 ON d2.n = e.p2),
+         tri AS (
+           SELECT COUNT(*) AS t
+           FROM oe x JOIN oe y ON x.u = y.u AND x.v < y.v
+           JOIN e ON e.p1 = x.v AND e.p2 = y.v),
+         st AS (
+           SELECT COUNT(*) AS n_nodes,
+                  CAST(SUM((dg * (dg - 1)) // 2) AS BIGINT) AS n_wedges
+           FROM deg),
+         ne AS (SELECT COUNT(*) AS n_edges FROM e)
+         SELECT n_nodes, n_edges, CAST(t AS BIGINT) AS n_triangles,
+                n_wedges,
+                CASE WHEN n_wedges = 0 THEN 0.0
+                     ELSE floor(3.0 * t / n_wedges * 1e6 + 0.5) / 1e6
+                END AS global_cc
+         FROM st CROSS JOIN ne CROSS JOIN tri""")
 }

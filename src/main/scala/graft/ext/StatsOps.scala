@@ -16,6 +16,23 @@ import graft.util.Tables.t
   */
 object StatsOps {
 
+  // ---- EWMA control chart -------------------------------------------------
+  // one-step-ahead exponentially weighted forecast over the 40 preceding
+  // OBSERVED days (0.7^40 ≈ 6e-7 — the truncation is the normalized
+  // finite-window EWMA, not an approximation of the infinite one). The
+  // weights are computed ONCE here and embedded in both engines: Spark
+  // gets the binary64 via lit(), DuckDB a 17-significant-digit literal
+  // (guaranteed round-trip), so both engines multiply by the identical
+  // double. Quantized weights (1e9 fixed point) serve as the integer
+  // normalizer so the present-lag mask sums order-free.
+  private val EwmaLags = 40
+  private val EwmaAlpha = 0.7 // decay per observed day
+  private def ewmaW(i: Int): Double = math.pow(EwmaAlpha, i)
+  private def ewmaWLit(i: Int): String =
+    String.format("%.17g", Double.box(ewmaW(i)))
+  private def ewmaQW(i: Int): Long =
+    math.floor(ewmaW(i) * 1e9 + 0.5).toLong
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "x_robust_stats" -> ((s, d) => {
@@ -73,32 +90,85 @@ object StatsOps {
       val mn = daily.agg(min(col("day")).as("d0"))
       val xy = daily.crossJoin(broadcast(mn))
         .withColumn("x", datediff(col("day"), col("d0")).cast("long"))
+      // x is a CALENDAR index (bounded by the corpus day span, ~1e4 at any
+      // data volume) so sx/sxx stay long-safe forever; y is rows/day and
+      // GROWS with volume, so every y-involving statistic accumulates in
+      // DECIMAL (exact, partial-aggregatable, overflow-free to 1e38 —
+      // Spark's long sum would wrap silently where DuckDB raises). The
+      // closed form then casts EACH exact statistic to double and does
+      // identical IEEE double arithmetic on both engines: exact-integer →
+      // double rounds identically, so the hash compare survives any SF.
+      val dN = col("n").cast("double");   val dSx = col("sx").cast("double")
+      val dSy = col("sy").cast("double"); val dSxy = col("sxy").cast("double")
+      val dSxx = col("sxx").cast("double"); val dSyy = col("syy").cast("double")
       xy.groupBy(col("priority"))
         .agg(count(lit(1)).as("n"),
           sum(col("x")).cast("long").as("sx"),
-          sum(col("y")).cast("long").as("sy"),
-          sum(col("x") * col("y")).cast("long").as("sxy"),
+          sum(col("y").cast("decimal(20,0)")).as("sy"),
+          sum((col("x") * col("y")).cast("decimal(24,0)")).as("sxy"),
           sum(col("x") * col("x")).cast("long").as("sxx"),
-          sum(col("y") * col("y")).cast("long").as("syy"))
+          sum(col("y").cast("decimal(19,0)")
+            * col("y").cast("decimal(19,0)")).as("syy"))
         .withColumn("slope",
-          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-            / (col("n") * col("sxx") - col("sx") * col("sx")))
-        .withColumn("intercept",
-          (col("sy") - col("slope") * col("sx")) / col("n"))
-        // square in DOUBLE: the long numerator is exact below 2^53 but
-        // its square overflows INT64 at sf0.1 (caught by DuckDB's
-        // checked arithmetic; Spark would have wrapped silently)
+          (dN * dSxy - dSx * dSy) / (dN * dSxx - dSx * dSx))
+        .withColumn("intercept", (dSy - col("slope") * dSx) / dN)
         .withColumn("r2",
-          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-            * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
-            / ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-              * (col("n") * col("syy") - col("sy") * col("sy"))
-                .cast("double")))
+          ((dN * dSxy - dSx * dSy) * (dN * dSxy - dSx * dSy))
+            / ((dN * dSxx - dSx * dSx) * (dN * dSyy - dSy * dSy)))
         .select(col("priority"), col("n").as("n_days"),
           detRound(col("slope"), 6).as("slope"),
           detRound(col("intercept"), 6).as("intercept"),
           detRound(col("r2"), 6).as("r2"))
         .orderBy("priority")
+    }),
+
+    "x_ewma_anomaly" -> ((s, d) => {
+      // EWMA control chart over daily order volume per priority — the
+      // drift/burst detector a feed-monitoring pipeline runs on ingest
+      // counts (CUSUM's x_cusum_changepoint finds level SHIFTS; the EWMA
+      // chart flags single anomalous days against a smoothed forecast).
+      // For each observed day: forecast = Σ w_i·y_{t-i} / Σ w_i over the
+      // 40 preceding observed days (generated lag ladder — a narrow
+      // window over an ALREADY-AGGREGATED daily table, thousands of rows
+      // per priority at any corpus size, so the per-row 40-term
+      // expression is codegen'd and scale-free); variance from the same
+      // ladder on y², z = (y − ewma)/sqrt(var + 1) (+1 ridge so constant
+      // histories don't divide by zero). Top-10 |z| days reported.
+      val w = Window.partitionBy("priority").orderBy("day")
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      def lagY(i: Int) = lag(col("y"), i).over(w)
+      val num = (1 to EwmaLags).map(i =>
+        when(lagY(i).isNotNull,
+          floor(lagY(i) * lit(ewmaW(i)) * 1e9 + 0.5).cast("long"))
+          .otherwise(0L)).reduce(_ + _)
+      val num2 = (1 to EwmaLags).map(i =>
+        when(lagY(i).isNotNull,
+          floor(lagY(i).cast("double") * lagY(i) * lit(ewmaW(i)) * 1e9
+            + 0.5).cast("long"))
+          .otherwise(0L)).reduce(_ + _)
+      val den = (1 to EwmaLags).map(i =>
+        when(lagY(i).isNotNull, lit(ewmaQW(i))).otherwise(0L))
+        .reduce(_ + _)
+      daily
+        .withColumn("nq", num).withColumn("nq2", num2)
+        .withColumn("dq", den)
+        .filter(col("dq") > 0)
+        .withColumn("ewma",
+          col("nq").cast("double") / col("dq").cast("double"))
+        .withColumn("vr", greatest(
+          col("nq2").cast("double") / col("dq").cast("double")
+            - col("ewma") * col("ewma"), lit(0.0)))
+        .withColumn("z", (col("y") - col("ewma"))
+          / sqrt(col("vr") + lit(1.0)))
+        .withColumn("qz", floor(abs(col("z")) * 1e6 + 0.5).cast("long"))
+        .orderBy(desc("qz"), asc("priority"), asc("day"))
+        .limit(10)
+        .select(col("priority"), graft.types.Coercions.fmtD(col("day"))
+          .as("day"), col("y"), detRound(col("ewma"), 6).as("ewma"),
+          detRound(col("z"), 6).as("z"))
     }),
 
     "x_rank_correlation" -> ((s, d) => {
@@ -508,28 +578,76 @@ object StatsOps {
                   y
            FROM daily CROSS JOIN mn),
          s AS (
-           SELECT priority, COUNT(*) AS n,
-                  CAST(SUM(x) AS BIGINT) AS sx,
-                  CAST(SUM(y) AS BIGINT) AS sy,
-                  CAST(SUM(x * y) AS BIGINT) AS sxy,
-                  CAST(SUM(x * x) AS BIGINT) AS sxx,
-                  CAST(SUM(y * y) AS BIGINT) AS syy
+           SELECT priority,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(COUNT(*) AS BIGINT) AS ni,
+                  CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                       AS DOUBLE) AS sxy,
+                  CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+                  CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+                       AS DOUBLE) AS syy
            FROM xy GROUP BY 1),
          f AS (
-           SELECT priority, n, sx, sy, sxy, sxx, syy,
-                  CAST(n * sxy - sx * sy AS DOUBLE)
-                    / (n * sxx - sx * sx) AS slope
+           SELECT priority, n, ni, sx, sy, sxy, sxx, syy,
+                  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
            FROM s)
-         SELECT priority, n AS n_days,
+         SELECT priority, ni AS n_days,
                 floor(slope * 1e6 + 0.5) / 1e6 AS slope,
                 floor(((sy - slope * sx) / n) * 1e6 + 0.5) / 1e6
                   AS intercept,
-                floor(((CAST(n * sxy - sx * sy AS DOUBLE)
-                        * CAST(n * sxy - sx * sy AS DOUBLE))
-                       / (CAST(n * sxx - sx * sx AS DOUBLE)
-                          * CAST(n * syy - sy * sy AS DOUBLE)))
+                floor((((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
                       * 1e6 + 0.5) / 1e6 AS r2
          FROM f ORDER BY priority""",
+
+    "x_ewma_anomaly" -> {
+      val num = (1 to EwmaLags).map(i =>
+        s"""CASE WHEN lag(y, $i) OVER win IS NOT NULL
+            THEN CAST(floor(lag(y, $i) OVER win
+                 * CAST(${ewmaWLit(i)} AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
+            ELSE 0 END""").mkString(" + ")
+      val num2 = (1 to EwmaLags).map(i =>
+        s"""CASE WHEN lag(y, $i) OVER win IS NOT NULL
+            THEN CAST(floor(CAST(lag(y, $i) OVER win AS DOUBLE)
+                 * lag(y, $i) OVER win
+                 * CAST(${ewmaWLit(i)} AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
+            ELSE 0 END""").mkString(" + ")
+      val den = (1 to EwmaLags).map(i =>
+        s"""CASE WHEN lag(y, $i) OVER win IS NOT NULL
+            THEN CAST(${ewmaQW(i)} AS BIGINT) ELSE CAST(0 AS BIGINT)
+            END""").mkString(" + ")
+      s"""WITH daily AS (
+            SELECT o_orderpriority AS priority,
+                   date_trunc('day', o_orderdate) AS day,
+                   COUNT(*) AS y
+            FROM orders GROUP BY 1, 2),
+          lad AS (
+            SELECT priority, day, y,
+                   $num AS nq, $num2 AS nq2, $den AS dq
+            FROM daily
+            WINDOW win AS (PARTITION BY priority ORDER BY day)),
+          sc AS (
+            SELECT priority, day, y,
+                   CAST(nq AS DOUBLE) / CAST(dq AS DOUBLE) AS ewma,
+                   greatest(CAST(nq2 AS DOUBLE) / CAST(dq AS DOUBLE)
+                     - (CAST(nq AS DOUBLE) / CAST(dq AS DOUBLE))
+                       * (CAST(nq AS DOUBLE) / CAST(dq AS DOUBLE)),
+                     CAST(0.0 AS DOUBLE)) AS vr
+            FROM lad WHERE dq > 0),
+          zz AS (
+            SELECT priority, day, y, ewma,
+                   (y - ewma) / sqrt(vr + CAST(1.0 AS DOUBLE)) AS z
+            FROM sc)
+          SELECT priority, strftime(day, '%Y-%m-%d') AS day, y,
+                 floor(ewma * 1e6 + 0.5) / 1e6 AS ewma,
+                 floor(z * 1e6 + 0.5) / 1e6 AS z
+          FROM zz
+          ORDER BY CAST(floor(abs(z) * 1e6 + 0.5) AS BIGINT) DESC,
+                   priority, day
+          LIMIT 10"""
+    },
 
     "x_rank_correlation" ->
       """WITH toks AS (

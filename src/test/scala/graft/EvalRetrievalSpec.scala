@@ -1,0 +1,153 @@
+package graft
+
+/** Structural + recomputation invariants for the round-9 evaluation /
+  * retrieval / graph batch (EvalOps, the CorpusOps retrieval entries,
+  * x_triangle_count, x_ewma_anomaly) — properties the DuckDB
+  * hash-compare cannot express, plus independent brute-force
+  * recomputations of AUC and the triangle count at sf0.001 so the
+  * distributed formulations are checked against a second,
+  * structurally different implementation.
+  */
+class EvalRetrievalSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("x_auc_roc: single row, partition adds up, and the rank-based " +
+      "AUC equals a brute-force all-pairs recomputation") {
+    val r = run("x_auc_roc").collect().head
+    val (nd, np, nn) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_pos"),
+      r.getAs[Long]("n_neg"))
+    val auc = r.getAs[Double]("auc")
+    assert(np + nn == nd)
+    assert(auc >= 0.0 && auc <= 1.0)
+    // brute force: Σ over (pos, neg) pairs of 2·[p>n] + 1·[p==n]
+    val sig = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text", "lang").collect()
+      .map(row => (row.getAs[String]("text").split(" ", -1)
+        .distinct.length.toLong,
+        row.getAs[String]("lang") == "en"))
+    val pos = sig.filter(_._2).map(_._1)
+    val neg = sig.filterNot(_._2).map(_._1)
+    assert(pos.length.toLong == np && neg.length.toLong == nn)
+    val u2 = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val brute = u2.toDouble / (2.0 * pos.length * neg.length)
+    assert(math.abs(auc - brute) <= 1e-6,
+      s"rank AUC $auc vs brute-force $brute")
+  }
+
+  test("x_calibration_bins: bins partition the corpus, rates in [0,1], " +
+      "gap is the |mean_p - frac_pos| of its own row") {
+    val rows = run("x_calibration_bins").collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      val (mp, fp) = (r.getAs[Double]("mean_p"), r.getAs[Double]("frac_pos"))
+      assert(mp >= 0.0 && mp <= 1.0 && fp >= 0.0 && fp <= 1.0)
+      assert(math.abs(r.getAs[Double]("gap") - math.abs(mp - fp)) <= 1e-9)
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("x_mutual_information: MI non-negative, NMI within [0, 1] " +
+      "(up to quantization)") {
+    val r = run("x_mutual_information").collect().head
+    assert(r.getAs[Long]("n_cells") >= 1)
+    assert(r.getAs[Double]("mi") >= -1e-6)
+    val nmi = r.getAs[Double]("nmi")
+    assert(nmi >= -1e-6 && nmi <= 1.0 + 1e-6)
+  }
+
+  test("x_ndcg_eval: dcg <= idcg, ndcg in [0,1], idcg positive when " +
+      "relevant docs exist") {
+    val r = run("x_ndcg_eval").collect().head
+    val (dcg, idcg, ndcg) = (r.getAs[Double]("dcg10"),
+      r.getAs[Double]("idcg10"), r.getAs[Double]("ndcg10"))
+    assert(dcg <= idcg + 1e-9)
+    assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+    if (r.getAs[Long]("n_rel_docs") > 0) assert(idcg > 0.0)
+  }
+
+  test("x_rrf_fusion: 15 dense ranks, scores non-increasing, each row " +
+      "carries >=1 leg, score equals its own ranks' RRF") {
+    val rows = run("x_rrf_fusion").collect()
+    assert(rows.map(_.getAs[Long]("fused_rank")).toSeq == (1L to 15L))
+    val scores = rows.map(_.getAs[Double]("rrf_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val rb = Option(r.getAs[Any]("rank_bm")).map(_.asInstanceOf[Long])
+      val rc = Option(r.getAs[Any]("rank_cos")).map(_.asInstanceOf[Long])
+      assert(rb.isDefined || rc.isDefined)
+      val expect = rb.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rc.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf_score") - expect) <= 2e-6)
+    }
+  }
+
+  test("x_mmr_rerank: 5 queries x 5 steps, selections distinct per " +
+      "query, step 1 agrees with the brute-force top-1 neighbor") {
+    val rows = run("x_mmr_rerank").collect()
+    assert(rows.length == 25)
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == (0L to 4L).toSet)
+    // x_sim_topk's rank-1 neighbor (same corpus, same rounding) must be
+    // the pure-relevance first MMR pick
+    val top1 = run("x_sim_topk").collect()
+      .filter(r => r.getAs[Long]("rank") == 1L &&
+        r.getAs[Long]("query_id") < 5L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("step")).sorted.toSeq == (1L to 5L))
+      val ids = rs.map(_.getAs[Long]("vec_id"))
+      assert(ids.distinct.length == 5)
+      assert(!ids.contains(q))
+      val first = rs.find(_.getAs[Long]("step") == 1L).get
+        .getAs[Long]("vec_id")
+      assert(first == top1(q),
+        s"query $q: MMR step 1 $first != brute top-1 ${top1(q)}")
+    }
+  }
+
+  test("x_triangle_count: invariants hold and the oriented-wedge count " +
+      "equals a brute-force common-neighbor recomputation") {
+    val r = run("x_triangle_count").collect().head
+    val (t, w) = (r.getAs[Long]("n_triangles"), r.getAs[Long]("n_wedges"))
+    assert(3 * t <= w)
+    val cc = r.getAs[Double]("global_cc")
+    assert(cc >= 0.0 && cc <= 1.0 + 1e-9)
+    // brute force at sf0.001: rebuild the >=2-support co-purchase edge
+    // set and count each triangle once per edge via common neighbors
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(x => (x.getAs[Long]("l_orderkey"), x.getAs[Long]("l_partkey")))
+      .distinct
+    val pairCounts = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
+    val edges = pairCounts.filter(_._2 >= 2).keys.toSet
+    assert(edges.size.toLong == r.getAs[Long]("n_edges"))
+    val nbr = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val tripleCounted = edges.toSeq
+      .map { case (a, b) => (nbr(a) & nbr(b)).size.toLong }.sum
+    assert(tripleCounted == 3 * t,
+      s"distributed $t triangles vs brute ${tripleCounted / 3}")
+  }
+
+  test("x_ewma_anomaly: at most 10 rows, |z| non-increasing, forecasts " +
+      "positive, days ISO-formatted") {
+    val rows = run("x_ewma_anomaly").collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val zs = rows.map(r => math.abs(r.getAs[Double]("z")))
+    assert(zs.zip(zs.tail).forall { case (a, b) => a >= b - 1e-9 })
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ewma") > 0.0)
+      assert(r.getAs[Long]("y") >= 1L)
+      assert(r.getAs[String]("day").matches("\\d{4}-\\d{2}-\\d{2}"))
+    }
+  }
+}
