@@ -138,6 +138,20 @@ class EvalRetrievalSpec extends SparkSpec {
       s"distributed $t triangles vs brute ${tripleCounted / 3}")
   }
 
+  test("x_sq_int8_recall: exact rerank dominates pure ADC (a true " +
+      "neighbor in the shortlist always survives exact re-scoring)") {
+    val rows = run("x_sq_int8_recall").collect()
+      .map(r => r.getAs[String]("config") ->
+        (r.getAs[Long]("hits"), r.getAs[Long]("n_true"),
+          r.getAs[Double]("recall"))).toMap
+    assert(rows.keySet == Set("sq8_adc", "sq8_rerank32"))
+    val (adcHits, nTrue, adcRec) = rows("sq8_adc")
+    val (rrHits, _, rrRec) = rows("sq8_rerank32")
+    assert(nTrue == 200L) // 20 queries x 10 true neighbors
+    assert(rrHits >= adcHits)
+    assert(adcRec >= 0.0 && rrRec <= 1.0)
+  }
+
   test("x_ewma_anomaly: at most 10 rows, |z| non-increasing, forecasts " +
       "positive, days ISO-formatted") {
     val rows = run("x_ewma_anomaly").collect()
