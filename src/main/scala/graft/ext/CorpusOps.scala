@@ -261,6 +261,66 @@ object CorpusOps {
         .orderBy(col("fused_rank"))
     }),
 
+    "x_ppmi_embeddings" -> ((s, d) => {
+      // count-based word embeddings: positive PMI vectors over a ±2-token
+      // co-occurrence window (Levy & Goldberg 2014 — PPMI-SVD matches
+      // word2vec SGNS; this is the count side a pipeline can compute in
+      // pure SQL), then distributional similarity = cosine between PPMI
+      // rows. Model state is VOCABULARY-bounded (|V| marginals, ≤|V|²
+      // sparse cells — broadcast-sized at any corpus size); the one
+      // corpus-scale pass is the windowed pair count, a Generate + two
+      // keyed shuffles. PPMI cells quantize to 1e6 ints so the cosine
+      // numerators are exact integer sums (≤1e14 per term — long-safe);
+      // only the final norm product runs in double, identically in both
+      // engines. Output: top-15 most distributionally similar pairs.
+      val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      val fwd = (1 to 2).map { o =>
+        toks.withColumn("ctx", lead(col("tok"), o).over(wOrd))
+          .filter(col("ctx").isNotNull)
+          .select(col("tok").as("w"), col("ctx").as("c"))
+      }.reduce(_.unionByName(_))
+      val pairs = fwd
+        .unionByName(fwd.select(col("c").as("w"), col("w").as("c")))
+        .groupBy(col("w"), col("c")).agg(count(lit(1)).as("nwc"))
+        .localCheckpoint()
+      val mw = pairs.groupBy(col("w"))
+        .agg(sum(col("nwc")).cast("long").as("nw"))
+      val tot = pairs.agg(sum(col("nwc")).cast("long").as("tt"))
+      val vecs = pairs
+        .join(broadcast(mw), "w")
+        .join(broadcast(mw.select(col("w").as("c"),
+          col("nw").as("nc"))), "c")
+        .crossJoin(broadcast(tot))
+        .withColumn("qp", greatest(lit(0L),
+          floor(log((col("nwc").cast("double") / col("nw"))
+            * (col("tt").cast("double") / col("nc"))) * 1e6 + 0.5)
+            .cast("long")))
+        .filter(col("qp") > 0)
+        .select(col("w"), col("c"), col("qp"))
+        .localCheckpoint()
+      val nrm = vecs.groupBy(col("w"))
+        .agg(sum(col("qp") * col("qp")).cast("long").as("s"))
+      val dots = vecs.select(col("w").as("w1"), col("c"), col("qp").as("q1"))
+        .join(vecs.select(col("w").as("w2"), col("c"),
+          col("qp").as("q2")), Seq("c"))
+        .filter(col("w1") < col("w2"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(sum(col("q1") * col("q2")).cast("long").as("s12"))
+      dots
+        .join(broadcast(nrm.select(col("w").as("w1"), col("s").as("s1"))),
+          "w1")
+        .join(broadcast(nrm.select(col("w").as("w2"), col("s").as("s2"))),
+          "w2")
+        .withColumn("cos_sim", detRound(col("s12").cast("double")
+          / sqrt(col("s1").cast("double") * col("s2").cast("double")), 6))
+        .select(col("w1"), col("w2"), col("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("w1"), asc("w2"))
+        .limit(15)
+    }),
+
     "x_collocations" -> ((s, d) => {
       // PMI collocation mining (Church & Hanks 1990; the phrase-detection
       // pass word2vec runs before training): pmi(x,y) =
@@ -658,6 +718,57 @@ object CorpusOps {
           SELECT fused_rank, id, rank_bm, rank_cos,
                  floor(qrrf / 1e9 * 1e6 + 0.5) / 1e6 AS rrf_score
           FROM g WHERE fused_rank <= 15 ORDER BY fused_rank""",
+
+    "x_ppmi_embeddings" ->
+      """WITH toks AS MATERIALIZED (
+           SELECT doc_id, pos, tk[pos + 1] AS tok
+           FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS pos
+                 FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                       FROM documents))),
+         fwd AS (
+           SELECT tok AS w,
+                  lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS c
+           FROM toks
+           UNION ALL
+           SELECT tok AS w,
+                  lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS c
+           FROM toks),
+         pairs AS MATERIALIZED (
+           SELECT w, c, COUNT(*) AS nwc FROM (
+             SELECT w, c FROM fwd WHERE c IS NOT NULL
+             UNION ALL
+             SELECT c AS w, w AS c FROM fwd WHERE c IS NOT NULL)
+           GROUP BY 1, 2),
+         mw AS (SELECT w, CAST(SUM(nwc) AS BIGINT) AS nw
+                FROM pairs GROUP BY 1),
+         tot AS (SELECT CAST(SUM(nwc) AS BIGINT) AS tt FROM pairs),
+         vecs AS MATERIALIZED (
+           SELECT w, c, qp FROM (
+             SELECT p.w, p.c,
+                    greatest(CAST(0 AS BIGINT),
+                      CAST(floor(ln((CAST(p.nwc AS DOUBLE) / a.nw)
+                             * (CAST(t.tt AS DOUBLE) / b.nw))
+                           * 1e6 + 0.5) AS BIGINT)) AS qp
+             FROM pairs p
+             JOIN mw a ON a.w = p.w
+             JOIN mw b ON b.w = p.c
+             CROSS JOIN tot t)
+           WHERE qp > 0),
+         nrm AS (SELECT w, CAST(SUM(qp * qp) AS BIGINT) AS s
+                 FROM vecs GROUP BY 1),
+         dots AS (
+           SELECT a.w AS w1, b.w AS w2,
+                  CAST(SUM(a.qp * b.qp) AS BIGINT) AS s12
+           FROM vecs a JOIN vecs b ON a.c = b.c AND a.w < b.w
+           GROUP BY 1, 2)
+         SELECT d.w1, d.w2,
+                floor(CAST(d.s12 AS DOUBLE)
+                      / sqrt(CAST(n1.s AS DOUBLE) * CAST(n2.s AS DOUBLE))
+                      * 1e6 + 0.5) / 1e6 AS cos_sim
+         FROM dots d
+         JOIN nrm n1 ON n1.w = d.w1
+         JOIN nrm n2 ON n2.w = d.w2
+         ORDER BY cos_sim DESC, w1, w2 LIMIT 15""",
 
     "x_collocations" ->
       """WITH toks AS MATERIALIZED (

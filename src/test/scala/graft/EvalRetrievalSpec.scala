@@ -152,6 +152,18 @@ class EvalRetrievalSpec extends SparkSpec {
     assert(adcRec >= 0.0 && rrRec <= 1.0)
   }
 
+  test("x_ppmi_embeddings: 15 ordered pairs, cosines in [0,1] and " +
+      "non-increasing, pairs canonical (w1 < w2)") {
+    val rows = run("x_ppmi_embeddings").collect()
+    assert(rows.length == 15)
+    val cs = rows.map(_.getAs[Double]("cos_sim"))
+    // PPMI vectors are non-negative, so cosines must land in [0, 1]
+    assert(cs.forall(c => c >= 0.0 && c <= 1.0 + 1e-9))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r =>
+      assert(r.getAs[String]("w1") < r.getAs[String]("w2")))
+  }
+
   test("x_ewma_anomaly: at most 10 rows, |z| non-increasing, forecasts " +
       "positive, days ISO-formatted") {
     val rows = run("x_ewma_anomaly").collect()
