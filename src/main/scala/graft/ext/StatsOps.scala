@@ -272,6 +272,56 @@ object StatsOps {
         .limit(10)
     }),
 
+    "x_anova_oneway" -> ((s, d) => {
+      // one-way ANOVA F-test of order value across priorities — completes
+      // the engine's hypothesis-test family (χ² for categorical×categorical,
+      // KS for distribution shape, z for proportions, F for a continuous
+      // response across k groups). Sufficient statistics per group:
+      // n, Σy as DECIMAL(18,4) (money-exact), Σy² as 1e4-fixed-point
+      // DECIMAL(38,0) (a per-term double square is identical in both
+      // engines; the SUM must be integer/decimal because float addition
+      // order is not). SSB/SSW then run in double on the exact statistics
+      // — identical IEEE ops on identical inputs. Map-side partial
+      // aggregation all the way; k rows of state.
+      val g = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).as("sy"),
+          sum(floor(col("o_totalprice") * col("o_totalprice") * 1e4 + 0.5)
+            .cast("decimal(38,0)")).as("syy"))
+      val tot = g.agg(count(lit(1)).as("k"),
+        sum(col("n")).cast("long").as("nn"),
+        sum(col("sy")).as("gy"))
+      g.crossJoin(broadcast(tot))
+        // per-group contribution, in double from exact stats:
+        // SSW_g = Σy²_g − (Σy_g)²/n_g ; SSB_g = n_g·(ȳ_g − ȳ)²
+        .withColumn("ssw_g",
+          col("syy").cast("double") / 1e4
+            - (col("sy").cast("double") * col("sy").cast("double"))
+              / col("n"))
+        .withColumn("ssb_g",
+          col("n") * (col("sy").cast("double") / col("n")
+            - col("gy").cast("double") / col("nn"))
+            * (col("sy").cast("double") / col("n")
+              - col("gy").cast("double") / col("nn")))
+        .groupBy(col("k"), col("nn"))
+        .agg(sum(floor(col("ssw_g") * 1e4 + 0.5).cast("decimal(38,0)"))
+          .as("qssw"),
+          sum(floor(col("ssb_g") * 1e4 + 0.5).cast("decimal(38,0)"))
+            .as("qssb"))
+        .withColumn("ssb", col("qssb").cast("double") / 1e4)
+        .withColumn("ssw", col("qssw").cast("double") / 1e4)
+        .withColumn("f_stat", detRound(
+          (col("ssb") / (col("k") - 1))
+            / (col("ssw") / (col("nn") - col("k"))), 6))
+        .withColumn("eta_sq", detRound(
+          col("ssb") / (col("ssb") + col("ssw")), 6))
+        .select(col("k").as("n_groups"), col("nn").as("n_obs"),
+          detRound(col("ssb"), 2).as("ss_between"),
+          detRound(col("ssw"), 2).as("ss_within"),
+          col("f_stat"), col("eta_sq"))
+    }),
+
     "x_proportion_ztest" -> ((s, d) => {
       // two-proportion z-test of purchase rates between the user_id
       // parity cohorts (the A/B-readout shape): pooled-variance z =
@@ -725,6 +775,41 @@ object StatsOps {
          JOIN n1 nb ON nb.sp = p.s2
          CROSS JOIN nn
          ORDER BY lift DESC, s1, s2 LIMIT 10""",
+
+    "x_anova_oneway" ->
+      """WITH g AS (
+           SELECT o_orderpriority AS grp, COUNT(*) AS n,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS sy,
+                  SUM(CAST(floor(o_totalprice * o_totalprice * 1e4 + 0.5)
+                      AS HUGEINT)) AS syy
+           FROM orders GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+                        SUM(sy) AS gy
+                 FROM g),
+         per AS (
+           SELECT t.k, t.nn,
+                  CAST(g.syy AS DOUBLE) / 1e4
+                    - (CAST(g.sy AS DOUBLE) * CAST(g.sy AS DOUBLE)) / g.n
+                    AS ssw_g,
+                  g.n * (CAST(g.sy AS DOUBLE) / g.n
+                         - CAST(t.gy AS DOUBLE) / t.nn)
+                      * (CAST(g.sy AS DOUBLE) / g.n
+                         - CAST(t.gy AS DOUBLE) / t.nn) AS ssb_g
+           FROM g CROSS JOIN tot t),
+         agg AS (
+           SELECT k, nn,
+                  CAST(SUM(CAST(floor(ssw_g * 1e4 + 0.5) AS HUGEINT))
+                       AS DOUBLE) / 1e4 AS ssw,
+                  CAST(SUM(CAST(floor(ssb_g * 1e4 + 0.5) AS HUGEINT))
+                       AS DOUBLE) / 1e4 AS ssb
+           FROM per GROUP BY 1, 2)
+         SELECT k AS n_groups, nn AS n_obs,
+                floor(ssb * 1e2 + 0.5) / 1e2 AS ss_between,
+                floor(ssw * 1e2 + 0.5) / 1e2 AS ss_within,
+                floor((ssb / (k - 1)) / (ssw / (nn - k)) * 1e6 + 0.5) / 1e6
+                  AS f_stat,
+                floor(ssb / (ssb + ssw) * 1e6 + 0.5) / 1e6 AS eta_sq
+         FROM agg""",
 
     "x_proportion_ztest" ->
       """WITH byu AS (

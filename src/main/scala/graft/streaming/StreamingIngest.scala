@@ -470,6 +470,57 @@ object StreamingIngest {
   case class ClosedSession(user_id: Long, start: java.sql.Timestamp,
                            n_events: Int)
 
+  case class DayRow(priority: String, epochDay: Long, y: Long)
+  case class EwmaSt(wsum: Double, ewma: Double, ew2: Double, lastDay: Long)
+  case class EwmaAnomaly(priority: String, epochDay: Long, y: Long,
+                         ewma: Double, z: Double)
+
+  /** Streaming twin of the batch `x_ewma_anomaly` control chart: per-key
+    * EWMA forecast + EW variance held as O(1) state (three doubles + the
+    * last seen day), each arriving daily count scored against the state
+    * BEFORE folding itself in (one-step-ahead semantics, same as the
+    * batch op). The recursion is the normalized infinite-window form —
+    * wsum' = 1 + α·wsum, ewma' = (y + α·wsum·ewma)/wsum' — which the
+    * batch op's 40-lag truncated ladder approximates to ~1e-5 at α=0.7
+    * (0.7^40 ≈ 6e-7); the spec pins the stream to an exact reference
+    * fold instead, and asserts batch-boundary invariance (the property
+    * that actually matters in production: re-chunking the stream must
+    * not change which days get flagged). Out-of-order or duplicate days
+    * within a key are dropped rather than corrupting the recursion —
+    * the upstream daily aggregate is watermark-complete by construction.
+    * State per key is constant-size, so 10^6 keys cost ~100 MB across
+    * the cluster — scale-free in corpus length. */
+  def ewmaAnomalyStream(daily: org.apache.spark.sql.Dataset[DayRow],
+                        decay: Double = 0.7, zThresh: Double = 1.5)
+      : org.apache.spark.sql.Dataset[EwmaAnomaly] = {
+    import daily.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    daily.groupByKey(_.priority)
+      .flatMapGroupsWithState[EwmaSt, EwmaAnomaly](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (p: String, rows: Iterator[DayRow], state: GroupState[EwmaSt]) =>
+          val out = scala.collection.mutable.ArrayBuffer[EwmaAnomaly]()
+          var st = state.getOption
+            .getOrElse(EwmaSt(0.0, 0.0, 0.0, Long.MinValue))
+          rows.toSeq.sortBy(_.epochDay).foreach { r =>
+            if (r.epochDay > st.lastDay) {
+              if (st.wsum > 0) {
+                val vr = math.max(st.ew2 - st.ewma * st.ewma, 0.0)
+                val z = (r.y - st.ewma) / math.sqrt(vr + 1.0)
+                if (math.abs(z) >= zThresh)
+                  out += EwmaAnomaly(p, r.epochDay, r.y, st.ewma, z)
+              }
+              val ws = 1.0 + decay * st.wsum
+              val e1 = (r.y + decay * st.wsum * st.ewma) / ws
+              val e2 = (r.y.toDouble * r.y + decay * st.wsum * st.ew2) / ws
+              st = EwmaSt(ws, e1, e2, r.epochDay)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Custom-state sessionizer over `KeyValueGroupedDataset` — the
     * hand-rolled equivalent of `session_window` for when session logic
     * outgrows the built-in (e.g., value-dependent gaps, early emission).

@@ -513,4 +513,57 @@ class StreamingSpec extends SparkSpec {
         "spot this sink exists to close — if this starts passing, the " +
         "fixture stopped exercising it")
   }
+
+  test("streaming EWMA control chart equals the exact reference fold " +
+      "and is batch-boundary invariant") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import StreamingIngest.DayRow
+    // P1: flat baseline with one spike; P2: steady drift
+    val p1 = (1L to 30L).map(d =>
+      DayRow("P1", d, if (d == 20L) 60L else 5L + (d % 3)))
+    val p2 = (1L to 30L).map(d => DayRow("P2", d, 10L + d))
+    val rows = p1 ++ p2
+    // exact reference fold — the same arithmetic the stream state runs
+    def ref(all: Seq[DayRow]): Seq[(String, Long, Long, Double, Double)] =
+      all.groupBy(_.priority).toSeq.flatMap { case (p, rs) =>
+        var ws = 0.0; var e1 = 0.0; var e2 = 0.0
+        rs.sortBy(_.epochDay).flatMap { r =>
+          val hit = if (ws > 0) {
+            val vr = math.max(e2 - e1 * e1, 0.0)
+            val z = (r.y - e1) / math.sqrt(vr + 1.0)
+            if (math.abs(z) >= 1.5) Some((p, r.epochDay, r.y, e1, z))
+            else None
+          } else None
+          val w2 = 1.0 + 0.7 * ws
+          val n1 = (r.y + 0.7 * ws * e1) / w2
+          val n2 = (r.y.toDouble * r.y + 0.7 * ws * e2) / w2
+          ws = w2; e1 = n1; e2 = n2
+          hit
+        }
+      }.sortBy(t => (t._1, t._2))
+    val expected = ref(rows)
+    assert(expected.nonEmpty, "fixture must flag at least one day")
+    assert(expected.exists(t => t._1 == "P1" && t._2 == 20L),
+      "the injected spike must be flagged")
+    def runStream(name: String, chunks: Seq[Seq[DayRow]])
+        : Seq[(String, Long, Long, Double, Double)] = {
+      val mem = MemoryStream[DayRow]
+      chunks.foreach(c => mem.addData(c))
+      val q = StreamingIngest.ewmaAnomalyStream(mem.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).orderBy("priority", "epochDay").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSeq
+    }
+    val oneBatch = runStream("ewma_one", Seq(rows))
+    val threeBatches = runStream("ewma_three", Seq(
+      rows.filter(_.epochDay <= 10),
+      rows.filter(r => r.epochDay > 10 && r.epochDay <= 20),
+      rows.filter(_.epochDay > 20)))
+    assert(oneBatch === expected)   // bit-identical, not approximate
+    assert(threeBatches === expected)
+  }
 }
