@@ -33,7 +33,68 @@ object StatsOps {
   private def ewmaQW(i: Int): Long =
     math.floor(ewmaW(i) * 1e9 + 0.5).toLong
 
+  // ---- Poisson bootstrap --------------------------------------------------
+  // Poisson(1) CDF thresholds for the inverse-CDF weight ladder, written
+  // as decimal strings so BOTH engines parse the identical binary64
+  // (Scala toDouble and DuckDB's strtod both round correctly).
+  private val PoisCdf = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712")
+  private val BootReps = 32
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "x_bootstrap_ci" -> ((s, d) => {
+      // bootstrap confidence interval for a corpus metric (mean doc
+      // length in tokens), via the POISSON bootstrap (Chamandy et al.,
+      // Google 2012 — "Estimating uncertainty for massive data streams"):
+      // classic resampling needs n draws WITH replacement per replicate
+      // (a shuffle of the whole corpus per replicate); the Poisson trick
+      // gives each row an independent Poisson(1) weight per replicate,
+      // so all B replicates are B weighted sums computed in ONE scan —
+      // the only formulation that bootstraps 100 TB. Weights come from
+      // an inverse-CDF ladder on an md5-uniform (engine-portable, no RNG
+      // state, snapshot-stable); the replicate means are exact-integer
+      // ratios; the 90% CI is RANK-SELECTED from the 32 replicate means
+      // (2nd and 31st order statistics) — no interpolation.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("len"))
+        .localCheckpoint()
+      val reps = docs.select(col("doc_id"), col("len"),
+          explode(sequence(lit(0), lit(BootReps - 1))).as("b"))
+        .withColumn("u",
+          conv(substring(md5(concat(lit("bs:"), col("doc_id"), lit(":"),
+            col("b"))), 1, 12), 16, 10).cast("long")
+            / lit(281474976710656.0))
+      val wLadder = PoisCdf.zipWithIndex.reverse
+        .foldLeft(lit(PoisCdf.length.toLong)) { case (acc, (t, i)) =>
+          when(col("u") < lit(t.toDouble), lit(i.toLong)).otherwise(acc)
+        }
+      val bm = reps.withColumn("w", wLadder)
+        .groupBy(col("b"))
+        .agg(sum(col("w") * col("len")).cast("long").as("swl"),
+          sum(col("w")).cast("long").as("sw"))
+        .filter(col("sw") > 0)
+        .withColumn("m", col("swl").cast("double") / col("sw"))
+        .withColumn("qm", floor(col("m") * 1e6 + 0.5).cast("long"))
+      val wRank = Window.orderBy(col("qm"), col("b"))
+      val ranked = bm.withColumn("rn", row_number().over(wRank))
+        .localCheckpoint()
+      val lo = ranked.filter(col("rn") === 2).select(col("m").as("lo"))
+      val hi = ranked.filter(col("rn") === BootReps - 1)
+        .select(col("m").as("hi"))
+      val nr = ranked.agg(count(lit(1)).as("n_replicates"))
+      docs.agg(count(lit(1)).as("n_docs"),
+          sum(col("len")).cast("long").as("sl"))
+        .crossJoin(broadcast(nr)).crossJoin(broadcast(lo))
+        .crossJoin(broadcast(hi))
+        .select(col("n_docs"), col("n_replicates"),
+          detRound(col("sl") / col("n_docs"), 6).as("mean"),
+          detRound(col("lo"), 6).as("ci_lo"),
+          detRound(col("hi"), 6).as("ci_hi"))
+    }),
 
     "x_robust_stats" -> ((s, d) => {
       // median/MAD outlier detection per event_type (the robust
@@ -578,6 +639,49 @@ object StatsOps {
     }))
 
   def oracleSql: Map[String, String] = Map(
+
+    "x_bootstrap_ci" -> {
+      val ladder = PoisCdf.zipWithIndex.map { case (t, i) =>
+        s"WHEN u < CAST($t AS DOUBLE) THEN $i"
+      }.mkString(" ")
+      s"""WITH docs AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+            FROM documents),
+          reps AS (
+            SELECT d.doc_id, d.len, b.b,
+                   CAST(('0x' || substr(md5('bs:' || d.doc_id || ':'
+                          || b.b), 1, 12)) AS BIGINT)
+                     / CAST(281474976710656.0 AS DOUBLE) AS u
+            FROM docs d
+            CROSS JOIN (SELECT unnest(range(0, $BootReps)) AS b) b),
+          bm AS (
+            SELECT b,
+                   CAST(SUM((CASE $ladder ELSE ${PoisCdf.length} END)
+                        * len) AS BIGINT) AS swl,
+                   CAST(SUM(CASE $ladder ELSE ${PoisCdf.length} END)
+                        AS BIGINT) AS sw
+            FROM reps GROUP BY 1),
+          m AS (
+            SELECT b, CAST(swl AS DOUBLE) / sw AS m,
+                   CAST(floor(CAST(swl AS DOUBLE) / sw * 1e6 + 0.5)
+                        AS BIGINT) AS qm
+            FROM bm WHERE sw > 0),
+          r AS (
+            SELECT m, row_number() OVER (ORDER BY qm, b) AS rn FROM m),
+          pt AS (
+            SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sl
+            FROM docs)
+          SELECT n_docs,
+                 (SELECT COUNT(*) FROM m) AS n_replicates,
+                 floor(CAST(sl AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6
+                   AS mean,
+                 (SELECT floor(m * 1e6 + 0.5) / 1e6 FROM r WHERE rn = 2)
+                   AS ci_lo,
+                 (SELECT floor(m * 1e6 + 0.5) / 1e6 FROM r
+                  WHERE rn = ${BootReps - 1}) AS ci_hi
+          FROM pt"""
+    },
 
     "x_robust_stats" ->
       """WITH ev AS (

@@ -152,6 +152,36 @@ class EvalRetrievalSpec extends SparkSpec {
     assert(adcRec >= 0.0 && rrRec <= 1.0)
   }
 
+  test("x_bootstrap_ci: CI brackets the point estimate, replicate count " +
+      "full, interval non-degenerate") {
+    val r = run("x_bootstrap_ci").collect().head
+    assert(r.getAs[Long]("n_replicates") == 32L)
+    val (lo, hi, m) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"),
+      r.getAs[Double]("mean"))
+    assert(lo < hi)
+    assert(lo <= m && m <= hi,
+      s"point mean $m outside bootstrap CI [$lo, $hi]")
+  }
+
+  test("x_anova_oneway: SSB + SSW equals the directly computed total " +
+      "sum of squares; F and eta-squared well-formed") {
+    import org.apache.spark.sql.functions._
+    val r = run("x_anova_oneway").collect().head
+    assert(r.getAs[Long]("n_groups") == 5L)
+    assert(r.getAs[Double]("f_stat") >= 0.0)
+    val eta = r.getAs[Double]("eta_sq")
+    assert(eta >= 0.0 && eta <= 1.0)
+    // independent total-SS recomputation: SST = Σ(y − ȳ)²
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_totalprice").as("y"))
+    val mean = o.agg(avg(col("y"))).first().getDouble(0)
+    val sst = o.agg(sum((col("y") - lit(mean)) * (col("y") - lit(mean))))
+      .first().getDouble(0)
+    val got = r.getAs[Double]("ss_between") + r.getAs[Double]("ss_within")
+    assert(math.abs(got - sst) / sst < 1e-9,
+      s"SSB+SSW $got vs direct SST $sst")
+  }
+
   test("x_ppmi_embeddings: 15 ordered pairs, cosines in [0,1] and " +
       "non-increasing, pairs canonical (w1 < w2)") {
     val rows = run("x_ppmi_embeddings").collect()
