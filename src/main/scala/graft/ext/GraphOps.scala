@@ -35,6 +35,8 @@ object GraphOps {
   private val PrIters = 6
   private val HitsIters = 4
   private val CustOff = 1000000L
+  private val KcoreK = 3
+  private val KcoreRounds = 12
 
   /** (edges(src,dst), outdeg(src,outdeg), nodes(node), nDouble) */
   private def orderGraph(s: SparkSession, d: String)
@@ -53,6 +55,31 @@ object GraphOps {
       .localCheckpoint()
     (edges, deg, nodes)
   }
+
+  /** ≥2-support part co-purchase backbone (see x_triangle_count's
+    * rationale) — shared by the triangle and k-core entries. */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"),
+        col("l_partkey").cast("long").as("pk"))
+      .distinct()
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+      .select("p1", "p2")
+  }
+
+  /** DuckDB twin of [[coPurchaseEdges]]: li, e(p1, p2). */
+  private val coPurchaseSql: String =
+    """li AS MATERIALIZED (
+         SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+         FROM lineitem),
+       e AS MATERIALIZED (
+         SELECT a.pk AS p1, b.pk AS p2
+         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2)"""
 
   /** Shared DuckDB CTE prefix: e0, edges, deg, nodes, nn(n). */
   private val graphSql: String =
@@ -246,17 +273,7 @@ object GraphOps {
       // capped near sqrt(|E|) regardless of hub degree — then close
       // wedges with one equi-join against the edge set. Every stage is
       // a keyed shuffle; no node ever materializes its full 2-hop set.
-      val li = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"),
-          col("l_partkey").cast("long").as("pk"))
-        .distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
-        .select("p1", "p2")
-        .localCheckpoint()
+      val e = coPurchaseEdges(s, d).localCheckpoint()
       val deg = e.select(col("p1").as("n"))
         .union(e.select(col("p2").as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg"))
@@ -285,6 +302,45 @@ object GraphOps {
               lit(3.0) * col("t") / col("n_wedges"), 6)))
         .select(col("n_nodes"), col("n_edges"),
           col("t").as("n_triangles"), col("n_wedges"), col("global_cc"))
+    }),
+
+    "x_kcore" -> ((s, d) => {
+      // 3-core of the co-purchase backbone — the "dense engagement core"
+      // extraction run before community detection or embedding training
+      // (peripheral low-degree nodes dominate |V| but carry no structure;
+      // the k-core is the standard prune). Distributed peeling: each
+      // round recomputes degrees (one grouped count) and drops nodes
+      // below k plus their edges (two semi-joins) — the synchronous
+      // parallel k-core algorithm; rounds needed = peel depth, which is
+      // small on bounded-degeneracy graphs. Rounds are FIXED at 12 in
+      // both engines (peeling is idempotent at the fixpoint, so extra
+      // rounds are no-ops and the twins stay bit-identical by
+      // construction); the spec proves a 13th peel removes nothing at
+      // the fixture scale.
+      val full = coPurchaseEdges(s, d).localCheckpoint()
+      val nodesFull = full.select(col("p1").as("n"))
+        .union(full.select(col("p2").as("n"))).distinct()
+        .agg(count(lit(1)).as("n_nodes_full"))
+      val edgesFull = full.agg(count(lit(1)).as("n_edges_full"))
+      var e = full
+      for (_ <- 1 to KcoreRounds) {
+        val keep = e.select(col("p1").as("n"))
+          .union(e.select(col("p2").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("dg"))
+          .filter(col("dg") >= KcoreK)
+          .select("n")
+        e = e.join(keep.select(col("n").as("p1")), Seq("p1"), "left_semi")
+          .join(keep.select(col("n").as("p2")), Seq("p2"), "left_semi")
+          .localCheckpoint()
+      }
+      val coreNodes = e.select(col("p1").as("n"))
+        .union(e.select(col("p2").as("n"))).distinct()
+        .agg(count(lit(1)).as("n_core_nodes"))
+      val coreEdges = e.agg(count(lit(1)).as("n_core_edges"))
+      nodesFull.crossJoin(broadcast(edgesFull))
+        .crossJoin(broadcast(coreNodes)).crossJoin(broadcast(coreEdges))
+        .select(lit(KcoreK.toLong).as("k"), col("n_nodes_full"),
+          col("n_edges_full"), col("n_core_nodes"), col("n_core_edges"))
     }))
 
   private def prIterSql(i: Int): String = {
@@ -411,13 +467,7 @@ object GraphOps {
     },
 
     "x_triangle_count" ->
-      """WITH li AS MATERIALIZED (
-           SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
-           FROM lineitem),
-         e AS MATERIALIZED (
-           SELECT a.pk AS p1, b.pk AS p2
-           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      s"""WITH $coPurchaseSql,
          deg AS MATERIALIZED (
            SELECT n, COUNT(*) AS dg
            FROM (SELECT p1 AS n FROM e UNION ALL SELECT p2 FROM e)
@@ -440,5 +490,37 @@ object GraphOps {
                 CASE WHEN n_wedges = 0 THEN 0.0
                      ELSE floor(3.0 * t / n_wedges * 1e6 + 0.5) / 1e6
                 END AS global_cc
-         FROM st CROSS JOIN ne CROSS JOIN tri""")
+         FROM st CROSS JOIN ne CROSS JOIN tri""",
+
+    "x_kcore" -> {
+      val rounds = (1 to KcoreRounds).map { i =>
+        val prev = s"e${i - 1}"
+        s"""k$i AS (
+              SELECT n FROM (
+                SELECT n, COUNT(*) AS dg FROM (
+                  SELECT p1 AS n FROM $prev
+                  UNION ALL SELECT p2 FROM $prev)
+                GROUP BY 1)
+              WHERE dg >= $KcoreK),
+            e$i AS MATERIALIZED (
+              SELECT p.p1, p.p2 FROM $prev p
+              JOIN k$i a ON a.n = p.p1
+              JOIN k$i b ON b.n = p.p2)"""
+      }.mkString(",\n")
+      s"""WITH $coPurchaseSql,
+          e0 AS MATERIALIZED (SELECT p1, p2 FROM e),
+          $rounds,
+          nf AS (
+            SELECT COUNT(DISTINCT n) AS n_nodes_full FROM (
+              SELECT p1 AS n FROM e0 UNION ALL SELECT p2 FROM e0)),
+          ef AS (SELECT COUNT(*) AS n_edges_full FROM e0),
+          nc AS (
+            SELECT COUNT(DISTINCT n) AS n_core_nodes FROM (
+              SELECT p1 AS n FROM e$KcoreRounds
+              UNION ALL SELECT p2 FROM e$KcoreRounds)),
+          ec AS (SELECT COUNT(*) AS n_core_edges FROM e$KcoreRounds)
+          SELECT CAST($KcoreK AS BIGINT) AS k, n_nodes_full, n_edges_full,
+                 n_core_nodes, n_core_edges
+          FROM nf CROSS JOIN ef CROSS JOIN nc CROSS JOIN ec"""
+    })
 }

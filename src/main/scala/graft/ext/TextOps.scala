@@ -27,6 +27,46 @@ object TextOps {
     "es" -> Seq("el", "los", "una"),
     "fr" -> Seq("le", "les", "des"))
 
+  /** marker-classifier confusion matrix (lang, predicted, n) — shared by
+    * x_lang_id and the r9 evaluation entries (x_classifier_agreement /
+    * x_classifier_report) so the three can never disagree on the
+    * classifier being scored. */
+  private def langConfusion(s: SparkSession, d: String): DataFrame = {
+    val counted = langMarkers.foldLeft(t(s, d, "documents")) {
+      case (df, (lang, markers)) =>
+        val arr = markers.map(w => s"'$w'").mkString("array(", ", ", ")")
+        df.withColumn(s"c_$lang", size(expr(
+          s"filter(split(text, ' '), t -> array_contains($arr, t))")))
+    }
+    val Seq(en, de, es, fr) = Seq("c_en", "c_de", "c_es", "c_fr").map(col)
+    val predicted =
+      when(en === 0 && de === 0 && es === 0 && fr === 0, "unknown")
+        .when(en >= de && en >= es && en >= fr, "en")
+        .when(de >= es && de >= fr, "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    counted.groupBy(col("lang"), predicted.as("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** DuckDB twin of [[langConfusion]]: cm(lang, predicted, n). */
+  private def langCmSql: String = {
+    val counts = langMarkers.map { case (lang, markers) =>
+      val arr = markers.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split(text, ' '), t -> list_contains($arr, t))) AS c_$lang"
+    }.mkString(",\n                  ")
+    s"""cm AS MATERIALIZED (
+          SELECT lang,
+          CASE WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'unknown'
+               WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+               WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+               WHEN c_es >= c_fr THEN 'es'
+               ELSE 'fr' END AS predicted,
+          COUNT(*) AS n
+          FROM (SELECT lang, $counts FROM documents)
+          GROUP BY 1, 2)"""
+  }
+
   /** The BPE training chain shared by x_bpe_merges (the learned rules)
     * and x_bpe_tokenize (the applied tokenizer): word-frequency dict →
     * char+terminal symbol table → `rounds` argmax-merge rounds with
@@ -171,23 +211,71 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
-    "x_lang_id" -> ((s, d) => {
-      val counted = langMarkers.foldLeft(t(s, d, "documents")) {
-        case (df, (lang, markers)) =>
-          val arr = markers.map(w => s"'$w'").mkString("array(", ", ", ")")
-          df.withColumn(s"c_$lang", size(expr(
-            s"filter(split(text, ' '), t -> array_contains($arr, t))")))
-      }
-      val Seq(en, de, es, fr) = Seq("c_en", "c_de", "c_es", "c_fr").map(col)
-      val predicted =
-        when(en === 0 && de === 0 && es === 0 && fr === 0, "unknown")
-          .when(en >= de && en >= es && en >= fr, "en")
-          .when(de >= es && de >= fr, "de")
-          .when(es >= fr, "es")
-          .otherwise("fr")
-      counted.groupBy(col("lang"), predicted.as("predicted"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("lang", "predicted")
+    "x_lang_id" -> ((s, d) =>
+      langConfusion(s, d).orderBy("lang", "predicted")),
+
+    "x_classifier_agreement" -> ((s, d) => {
+      // Cohen's κ + accuracy of the in-engine marker language classifier
+      // against the labeled lang column — κ corrects raw agreement for
+      // what the MARGINALS would agree on by chance (a classifier that
+      // answers 'en' 44% of the time on a 44%-en corpus gets accuracy
+      // for free; κ doesn't credit it). All inputs are the confusion
+      // matrix's integer cells: po = diag/n, pe = Σ_k r_k·c_k / n²
+      // (products in DECIMAL/HUGEINT — row/col sums pass int64 products
+      // at ~3e9 docs). The matrix is O(labels²) — everything after the
+      // one grouped count is broadcast-trivial at any corpus size.
+      val cm = langConfusion(s, d).localCheckpoint()
+      val tot = cm.agg(sum(col("n")).cast("long").as("nn"),
+        sum(when(col("lang") === col("predicted"), col("n"))
+          .otherwise(0L)).cast("long").as("diag"))
+      val rs = cm.groupBy(col("lang").as("k"))
+        .agg(sum(col("n")).cast("long").as("r"))
+      val cs = cm.groupBy(col("predicted").as("k"))
+        .agg(sum(col("n")).cast("long").as("c"))
+      // classes missing from either side contribute r·c = 0 → inner join
+      val pe = rs.join(cs, "k")
+        .agg(sum(col("r").cast("decimal(19,0)")
+          * col("c").cast("decimal(19,0)")).as("rc"))
+      tot.crossJoin(broadcast(pe))
+        .withColumn("acc", col("diag").cast("double") / col("nn"))
+        .withColumn("pe", col("rc").cast("double")
+          / (col("nn").cast("double") * col("nn").cast("double")))
+        .withColumn("kap",
+          (col("acc") - col("pe")) / (lit(1.0) - col("pe")))
+        .select(col("nn").as("n_docs"),
+          detRound(col("acc"), 6).as("accuracy"),
+          detRound(col("pe"), 6).as("expected_agreement"),
+          detRound(col("kap"), 6).as("kappa"))
+    }),
+
+    "x_classifier_report" -> ((s, d) => {
+      // per-class precision/recall/F1 of the same classifier — the
+      // standard classification report, over TRUTH classes (so zh, which
+      // has no markers and is never predicted, shows its honest 0/0/0
+      // row instead of vanishing). Ratios of exact integers; F1 from the
+      // unrounded p/r, identical IEEE in both engines.
+      val cm = langConfusion(s, d).localCheckpoint()
+      val rs = cm.groupBy(col("lang").as("k"))
+        .agg(sum(col("n")).cast("long").as("r"))
+      val cs = cm.groupBy(col("predicted").as("k"))
+        .agg(sum(col("n")).cast("long").as("c"))
+      val diag = cm.filter(col("lang") === col("predicted"))
+        .select(col("lang").as("k"), col("n").as("tp"))
+      rs.join(cs, Seq("k"), "left").join(diag, Seq("k"), "left")
+        .withColumn("tp", coalesce(col("tp"), lit(0L)))
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .withColumn("p", when(col("c") === 0, lit(0.0))
+          .otherwise(col("tp").cast("double") / col("c")))
+        .withColumn("rec", col("tp").cast("double") / col("r"))
+        .withColumn("f1", when(col("p") + col("rec") === 0.0, lit(0.0))
+          .otherwise(lit(2.0) * col("p") * col("rec")
+            / (col("p") + col("rec"))))
+        .select(col("k").as("class"), col("r").as("n_true"),
+          col("c").as("n_pred"), col("tp"),
+          detRound(col("p"), 6).as("precision"),
+          detRound(col("rec"), 6).as("recall"),
+          detRound(col("f1"), 6).as("f1"))
+        .orderBy("class")
     }),
 
     "x_length_histogram" -> ((s, d) => {
@@ -1249,21 +1337,67 @@ object TextOps {
                 FROM documents)
           ORDER BY doc_id""",
 
-    "x_lang_id" -> {
-      val counts = langMarkers.map { case (lang, markers) =>
-        val arr = markers.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"len(list_filter(string_split(text, ' '), t -> list_contains($arr, t))) AS c_$lang"
-      }.mkString(",\n                  ")
-      s"""SELECT lang,
-          CASE WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'unknown'
-               WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
-               WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
-               WHEN c_es >= c_fr THEN 'es'
-               ELSE 'fr' END AS predicted,
-          COUNT(*) AS n
-          FROM (SELECT lang, $counts FROM documents)
-          GROUP BY 1, 2 ORDER BY lang, predicted"""
-    },
+    "x_lang_id" ->
+      s"""WITH $langCmSql
+          SELECT lang, predicted, n FROM cm ORDER BY lang, predicted""",
+
+    "x_classifier_agreement" ->
+      s"""WITH $langCmSql,
+          tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(SUM(CASE WHEN lang = predicted THEN n ELSE 0 END)
+                        AS BIGINT) AS diag
+            FROM cm),
+          rs AS (SELECT lang AS k, CAST(SUM(n) AS BIGINT) AS r
+                 FROM cm GROUP BY 1),
+          cs AS (SELECT predicted AS k, CAST(SUM(n) AS BIGINT) AS c
+                 FROM cm GROUP BY 1),
+          pe AS (
+            SELECT SUM(CAST(r.r AS HUGEINT) * c.c) AS rc
+            FROM rs r JOIN cs c ON c.k = r.k)
+          SELECT nn AS n_docs,
+                 floor(CAST(diag AS DOUBLE) / nn * 1e6 + 0.5) / 1e6
+                   AS accuracy,
+                 floor(CAST(rc AS DOUBLE)
+                       / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+                       * 1e6 + 0.5) / 1e6 AS expected_agreement,
+                 floor((CAST(diag AS DOUBLE) / nn
+                        - CAST(rc AS DOUBLE)
+                          / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
+                       / (CAST(1.0 AS DOUBLE)
+                          - CAST(rc AS DOUBLE)
+                            / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
+                       * 1e6 + 0.5) / 1e6 AS kappa
+          FROM tot CROSS JOIN pe""",
+
+    "x_classifier_report" ->
+      s"""WITH $langCmSql,
+          rs AS (SELECT lang AS k, CAST(SUM(n) AS BIGINT) AS r
+                 FROM cm GROUP BY 1),
+          cs AS (SELECT predicted AS k, CAST(SUM(n) AS BIGINT) AS c
+                 FROM cm GROUP BY 1),
+          diag AS (SELECT lang AS k, n AS tp FROM cm
+                   WHERE lang = predicted),
+          j AS (
+            SELECT rs.k, rs.r,
+                   COALESCE(cs.c, 0) AS c, COALESCE(diag.tp, 0) AS tp
+            FROM rs
+            LEFT JOIN cs ON cs.k = rs.k
+            LEFT JOIN diag ON diag.k = rs.k),
+          pr AS (
+            SELECT k, r, c, tp,
+                   CASE WHEN c = 0 THEN CAST(0.0 AS DOUBLE)
+                        ELSE CAST(tp AS DOUBLE) / c END AS p,
+                   CAST(tp AS DOUBLE) / r AS rec
+            FROM j)
+          SELECT k AS class, r AS n_true, c AS n_pred, CAST(tp AS BIGINT) AS tp,
+                 floor(p * 1e6 + 0.5) / 1e6 AS precision,
+                 floor(rec * 1e6 + 0.5) / 1e6 AS recall,
+                 CASE WHEN p + rec = 0.0 THEN 0.0
+                      ELSE floor(CAST(2.0 AS DOUBLE) * p * rec / (p + rec)
+                           * 1e6 + 0.5) / 1e6
+                 END AS f1
+          FROM pr ORDER BY class""",
 
     "x_length_histogram" ->
       """SELECT (n_chars // 100) * 100 AS bucket, COUNT(*) AS n,

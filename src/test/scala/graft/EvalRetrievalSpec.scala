@@ -110,6 +110,65 @@ class EvalRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("x_classifier_agreement + x_classifier_report: kappa below " +
+      "accuracy, report rows consistent with the confusion matrix") {
+    val agg = run("x_classifier_agreement").collect().head
+    val (acc, pe, kap) = (agg.getAs[Double]("accuracy"),
+      agg.getAs[Double]("expected_agreement"), agg.getAs[Double]("kappa"))
+    assert(acc >= 0.0 && acc <= 1.0 && pe > 0.0 && pe < 1.0)
+    assert(kap <= acc + 1e-9, "kappa must not exceed raw accuracy")
+    val rep = run("x_classifier_report").collect()
+    assert(rep.map(_.getAs[String]("class")).sorted.toSeq ==
+      Seq("de", "en", "es", "fr", "zh"))
+    val nDocs = agg.getAs[Long]("n_docs")
+    assert(rep.map(_.getAs[Long]("n_true")).sum == nDocs)
+    rep.foreach { r =>
+      val (p, rc, f1) = (r.getAs[Double]("precision"),
+        r.getAs[Double]("recall"), r.getAs[Double]("f1"))
+      assert(p >= 0 && p <= 1 && rc >= 0 && rc <= 1 && f1 >= 0 && f1 <= 1)
+      assert(r.getAs[Long]("tp") <= r.getAs[Long]("n_true"))
+      if (r.getAs[String]("class") == "zh")
+        assert(p == 0.0 && rc == 0.0 && f1 == 0.0,
+          "zh has no markers — its honest row is 0/0/0")
+    }
+    // micro accuracy from the report's tp sum must equal the agreement
+    // entry's accuracy (same matrix, two formulations)
+    val micro = rep.map(_.getAs[Long]("tp")).sum.toDouble / nDocs
+    assert(math.abs(micro - acc) <= 1e-6)
+  }
+
+  test("x_kcore: core is a fixpoint (a further peel removes nothing) " +
+      "and every core degree is >= k") {
+    val r = run("x_kcore").collect().head
+    assert(r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("n_core_nodes") <= r.getAs[Long]("n_nodes_full"))
+    assert(r.getAs[Long]("n_core_edges") <= r.getAs[Long]("n_edges_full"))
+    // brute-force: rebuild the backbone, peel to exhaustion, compare
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(x => (x.getAs[Long]("l_orderkey"), x.getAs[Long]("l_partkey")))
+      .distinct
+    var edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSet
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (k2, v) => k2 -> v.size }
+      val keep = deg.filter(_._2 >= 3).keySet
+      val next = edges.filter { case (a, b) =>
+        keep.contains(a) && keep.contains(b) }
+      changed = next.size != edges.size
+      edges = next
+    }
+    val coreNodes = edges.flatMap { case (a, b) => Seq(a, b) }
+    assert(edges.size.toLong == r.getAs[Long]("n_core_edges"),
+      "12 fixed peel rounds must reach the true fixpoint at this scale")
+    assert(coreNodes.size.toLong == r.getAs[Long]("n_core_nodes"))
+  }
+
   test("x_triangle_count: invariants hold and the oriented-wedge count " +
       "equals a brute-force common-neighbor recomputation") {
     val r = run("x_triangle_count").collect().head
