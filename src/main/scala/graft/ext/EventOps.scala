@@ -35,6 +35,49 @@ object EventOps {
         .orderBy("hour")
     }),
 
+    "x_event_pattern" -> ((s, d) => {
+      // MATCH_RECOGNIZE-style sequence detection: count per user the
+      // completed view → click → purchase paths with NO error between —
+      // the funnel generalization where an intervening event can VETO
+      // the match (plain funnels, x_funnel/x_ordered_funnel, can't
+      // express the veto). Deliberately NOT regex over an event string:
+      // Java regex backtracks leftmost-greedy while DuckDB's RE2 is
+      // leftmost-longest, so non-overlapping match COUNTS can diverge.
+      // Instead the pattern is an explicit integer AUTOMATON folded over
+      // the time-ordered code sequence (state in acc%10, count in
+      // acc÷10) — a left fold of integer CASEs is bit-identical in any
+      // engine. Per-user sequences are bounded (one groupBy); the fold
+      // is map-side; at 100 TB you'd shard ultra-hot users by session
+      // first (x_sessionize's key) — the automaton composes unchanged.
+      val code = when(col("event_type") === "view", 1)
+        .when(col("event_type") === "click", 2)
+        .when(col("event_type") === "purchase", 3)
+        .when(col("event_type") === "error", 4).otherwise(5)
+      t(s, d, "events")
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"), code.as("c")).as("st"))
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(col("st"))).as("arr"),
+          count(lit(1)).as("n_events"))
+        .withColumn("acc", expr(
+          """aggregate(transform(arr, x -> x.c), CAST(0 AS BIGINT), (a, x) ->
+               CASE WHEN x = 4 THEN (a div 10) * 10
+                    WHEN x = 1 THEN
+                      CASE WHEN a % 10 = 0 THEN a + 1 ELSE a END
+                    WHEN x = 2 THEN
+                      CASE WHEN a % 10 >= 1 THEN (a div 10) * 10 + 2
+                           ELSE a END
+                    WHEN x = 3 THEN
+                      CASE WHEN a % 10 = 2 THEN ((a div 10) + 1) * 10
+                           ELSE a END
+                    ELSE a END)"""))
+        .withColumn("n_conversions", expr("acc div 10").cast("long"))
+        .filter(col("n_conversions") > 0)
+        .select(col("user_id"), col("n_events"), col("n_conversions"))
+        .orderBy(desc("n_conversions"), asc("user_id"))
+        .limit(20)
+    }),
+
     "x_gap_fill" -> ((s, d) => {
       // calendar-spine gap fill + forward fill: generate the full hour
       // spine (720 h of the fixture's January), left-join sparse hourly
@@ -529,6 +572,35 @@ object EventOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "x_event_pattern" ->
+      """WITH seqs AS (
+           SELECT user_id,
+                  list(CASE event_type WHEN 'view' THEN 1
+                       WHEN 'click' THEN 2 WHEN 'purchase' THEN 3
+                       WHEN 'error' THEN 4 ELSE 5 END
+                       ORDER BY ts, event_id) AS codes,
+                  COUNT(*) AS n_events
+           FROM events GROUP BY 1),
+         acc AS (
+           SELECT user_id, n_events,
+                  list_reduce(list_prepend(0, codes), (a, x) ->
+                    CASE WHEN x = 4 THEN (a // 10) * 10
+                         WHEN x = 1 THEN
+                           CASE WHEN a % 10 = 0 THEN a + 1 ELSE a END
+                         WHEN x = 2 THEN
+                           CASE WHEN a % 10 >= 1 THEN (a // 10) * 10 + 2
+                                ELSE a END
+                         WHEN x = 3 THEN
+                           CASE WHEN a % 10 = 2 THEN ((a // 10) + 1) * 10
+                                ELSE a END
+                         ELSE a END) AS acc
+           FROM seqs)
+         SELECT user_id, n_events, CAST(acc // 10 AS BIGINT)
+                  AS n_conversions
+         FROM acc WHERE acc // 10 > 0
+         ORDER BY n_conversions DESC, user_id LIMIT 20""",
+
     "x_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
          COUNT(*) AS n,

@@ -253,6 +253,36 @@ class EvalRetrievalSpec extends SparkSpec {
       assert(r.getAs[String]("w1") < r.getAs[String]("w2")))
   }
 
+  test("x_event_pattern: automaton counts equal a plain-Scala replay of " +
+      "the veto-funnel over every user's ordered history") {
+    val rows = run("x_event_pattern").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_conversions"))).toMap
+    val ev = graft.util.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS tsm", "event_id",
+        "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        (r.getAs[Long]("tsm"),
+          r.getAs[Long]("event_id"), r.getAs[String]("event_type"))))
+    val brute = ev.groupBy(_._1).map { case (u, es) =>
+      var state = 0; var cnt = 0L
+      es.map(_._2).sortBy(e => (e._1, e._2)).foreach { e =>
+        e._3 match {
+          case "error" => state = 0
+          case "view" => if (state == 0) state = 1
+          case "click" => if (state >= 1) state = 2
+          case "purchase" => if (state == 2) { cnt += 1; state = 0 }
+          case _ => ()
+        }
+      }
+      u -> (es.length.toLong, cnt)
+    }
+    val top = brute.filter(_._2._2 > 0).toSeq
+      .sortBy { case (u, (_, c)) => (-c, u) }.take(20).toMap
+    assert(rows == top,
+      s"engine top-20 $rows differs from replay top-20 $top")
+  }
+
   test("x_ewma_anomaly: at most 10 rows, |z| non-increasing, forecasts " +
       "positive, days ISO-formatted") {
     val rows = run("x_ewma_anomaly").collect()
