@@ -261,6 +261,64 @@ object CorpusOps {
         .orderBy(col("fused_rank"))
     }),
 
+    "x_hll_set_ops" -> ((s, d) => {
+      // sketch-based SET operations between sources: |A∩B| of the
+      // 3-token shingle vocabularies via inclusion–exclusion over HLL
+      // estimates (est_a + est_b − est_union) — the 100 TB way to ask
+      // "how much does source A's content overlap source B's?" without
+      // ever materializing either set (three O(sketch) merges vs a
+      // distinct-shuffle of both corpora). Bounded-gauge form (the
+      // a6/a7/a8 discipline): a different engine's sketch gives a
+      // different estimate, so the query emits the EXACT values plus a
+      // 0/1 flag asserting the estimate landed inside the compounded
+      // 3·rsd bound (errors add across the three estimates, so the
+      // bound is 0.06·(|A|+|B|+|A∪B|)); the twin asserts the flag
+      // constant-true and the driver hash-checks it.
+      import s.implicits._
+      val sh = t(s, d, "documents")
+        .filter(col("source").isin("src0", "src1", "src2"))
+        .select(col("source"), col("doc_id"),
+          posexplode(split(col("text"), " ")))
+        .select(col("source"), col("doc_id"), col("pos"),
+          col("col").as("tok"))
+        .withColumn("t2", lead(col("tok"), 1)
+          .over(Window.partitionBy("doc_id").orderBy("pos")))
+        .withColumn("t3", lead(col("tok"), 2)
+          .over(Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("t3").isNotNull)
+        .select(col("source"),
+          concat_ws(" ", col("tok"), col("t2"), col("t3")).as("sh"))
+        .distinct()
+        .localCheckpoint()
+      val pairs = Seq(("src0", "src1"), ("src0", "src2"),
+        ("src1", "src2")).toDF("sa", "sb")
+      broadcast(pairs)
+        .join(sh, col("source") === col("sa") || col("source") === col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(
+          countDistinct(when(col("source") === col("sa"), col("sh")))
+            .as("n_a"),
+          countDistinct(when(col("source") === col("sb"), col("sh")))
+            .as("n_b"),
+          countDistinct(col("sh")).as("n_union"),
+          approx_count_distinct(
+            when(col("source") === col("sa"), col("sh")), 0.02).as("ea"),
+          approx_count_distinct(
+            when(col("source") === col("sb"), col("sh")), 0.02).as("eb"),
+          approx_count_distinct(col("sh"), 0.02).as("eu"))
+        .withColumn("n_inter", col("n_a") + col("n_b") - col("n_union"))
+        .withColumn("e_inter", col("ea") + col("eb") - col("eu"))
+        .withColumn("hll_inter_within_bound",
+          when(abs(col("e_inter") - col("n_inter")) <=
+            greatest(lit(1.0),
+              (col("n_a") + col("n_b") + col("n_union")) * 0.06), 1L)
+            .otherwise(0L))
+        .select(concat_ws("|", col("sa"), col("sb")).as("pair"),
+          col("n_a"), col("n_b"), col("n_union"), col("n_inter"),
+          col("hll_inter_within_bound"))
+        .orderBy("pair")
+    }),
+
     "x_ppmi_embeddings" -> ((s, d) => {
       // count-based word embeddings: positive PMI vectors over a ±2-token
       // co-occurrence window (Levy & Goldberg 2014 — PPMI-SVD matches
@@ -718,6 +776,31 @@ object CorpusOps {
           SELECT fused_rank, id, rank_bm, rank_cos,
                  floor(qrrf / 1e9 * 1e6 + 0.5) / 1e6 AS rrf_score
           FROM g WHERE fused_rank <= 15 ORDER BY fused_rank""",
+
+    "x_hll_set_ops" ->
+      """WITH sh AS MATERIALIZED (
+           SELECT DISTINCT source,
+                  tk[pos + 1] || ' ' || tk[pos + 2] || ' ' || tk[pos + 3]
+                    AS sh
+           FROM (SELECT source, tk, unnest(range(0, len(tk) - 2)) AS pos
+                 FROM (SELECT source, string_split(text, ' ') AS tk
+                       FROM documents
+                       WHERE source IN ('src0', 'src1', 'src2'))))
+         SELECT p.sa || '|' || p.sb AS pair,
+                COUNT(DISTINCT CASE WHEN s.source = p.sa THEN s.sh END)
+                  AS n_a,
+                COUNT(DISTINCT CASE WHEN s.source = p.sb THEN s.sh END)
+                  AS n_b,
+                COUNT(DISTINCT s.sh) AS n_union,
+                COUNT(DISTINCT CASE WHEN s.source = p.sa THEN s.sh END)
+                  + COUNT(DISTINCT CASE WHEN s.source = p.sb THEN s.sh END)
+                  - COUNT(DISTINCT s.sh) AS n_inter,
+                CAST(1 AS BIGINT) AS hll_inter_within_bound
+         FROM (VALUES ('src0', 'src1'), ('src0', 'src2'),
+                      ('src1', 'src2')) AS p(sa, sb)
+         JOIN sh s ON s.source = p.sa OR s.source = p.sb
+         GROUP BY p.sa, p.sb
+         ORDER BY pair""",
 
     "x_ppmi_embeddings" ->
       """WITH toks AS MATERIALIZED (

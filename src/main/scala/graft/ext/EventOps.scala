@@ -78,6 +78,41 @@ object EventOps {
         .limit(20)
     }),
 
+    "x_twap" -> ((s, d) => {
+      // time-weighted average of the event value per event_type — the
+      // correct aggregate for IRREGULARLY sampled series (a plain mean
+      // over-weights bursts: 100 readings in a hot minute shouldn't
+      // count 100× a reading that held for an hour). Each observation
+      // is weighted by how long it HELD: the micros until the next
+      // event of the same type (lead over one keyed window); the final
+      // open interval is excluded rather than guessed. Weights are
+      // exact integer micros, the weighted sum is per-term fixed-point
+      // — one window pass + one grouped aggregate, shuffling on
+      // event_type only.
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("event_type"), col("ts"), col("event_id"),
+          col("value"))
+        .withColumn("tsm", unix_micros(col("ts")))
+        .withColumn("nxt", lead(col("tsm"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .withColumn("hold", col("nxt") - col("tsm"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_obs"),
+          sum(col("hold")).cast("long").as("span_micros"),
+          sum(floor(col("value") * col("hold") * 1e3 + 0.5)
+            .cast("decimal(38,0)")).as("qvw"),
+          dsum(col("value")).as("plain_sum"))
+        .withColumn("twap", detRound(
+          col("qvw").cast("double") / 1e3 / col("span_micros"), 6))
+        .withColumn("plain_avg",
+          detRound(col("plain_sum") / col("n_obs"), 6))
+        .select(col("event_type"), col("n_obs"), col("span_micros"),
+          col("twap"), col("plain_avg"))
+        .orderBy("event_type")
+    }),
+
     "x_gap_fill" -> ((s, d) => {
       // calendar-spine gap fill + forward fill: generate the full hour
       // spine (720 h of the fixture's January), left-join sparse hourly
@@ -600,6 +635,31 @@ object EventOps {
                   AS n_conversions
          FROM acc WHERE acc // 10 > 0
          ORDER BY n_conversions DESC, user_id LIMIT 20""",
+
+    "x_twap" ->
+      """WITH tv AS (
+           SELECT event_type, event_id, value,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS tsm,
+                  lead(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+                    PARTITION BY event_type
+                    ORDER BY ts, event_id) AS nxt
+           FROM events),
+         held AS (
+           SELECT event_type, value, nxt - tsm AS hold
+           FROM tv WHERE nxt IS NOT NULL),
+         agg AS (
+           SELECT event_type, COUNT(*) AS n_obs,
+                  CAST(SUM(hold) AS BIGINT) AS span_micros,
+                  SUM(CAST(floor(value * hold * 1e3 + 0.5) AS HUGEINT))
+                    AS qvw,
+                  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                    AS plain_sum
+           FROM held GROUP BY 1)
+         SELECT event_type, n_obs, span_micros,
+                floor(CAST(qvw AS DOUBLE) / 1e3 / span_micros
+                      * 1e6 + 0.5) / 1e6 AS twap,
+                floor(plain_sum / n_obs * 1e6 + 0.5) / 1e6 AS plain_avg
+         FROM agg ORDER BY event_type""",
 
     "x_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
