@@ -283,6 +283,38 @@ class EvalRetrievalSpec extends SparkSpec {
       s"engine top-20 $rows differs from replay top-20 $top")
   }
 
+  test("x_twap: spans positive, 5 event types, weighted and plain means " +
+      "both inside the observed value range") {
+    val rows = run("x_twap").collect()
+    assert(rows.length == 5)
+    val (lo, hi) = {
+      val vs = graft.util.Tables.t(spark, sf, "events")
+        .select("value").collect().map(_.getDouble(0))
+      (vs.min, vs.max)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("span_micros") > 0L)
+      assert(r.getAs[Long]("n_obs") > 0L)
+      val (tw, pl) = (r.getAs[Double]("twap"), r.getAs[Double]("plain_avg"))
+      assert(tw >= lo - 1e-6 && tw <= hi + 1e-6)
+      assert(pl >= lo - 1e-6 && pl <= hi + 1e-6)
+    }
+  }
+
+  test("x_hll_set_ops: intersection bounded by the smaller set, union " +
+      "bounded by the sum, sketch flag green") {
+    val rows = run("x_hll_set_ops").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (na, nb, nu, ni) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("n_union"), r.getAs[Long]("n_inter"))
+      assert(ni >= 0 && ni <= math.min(na, nb))
+      assert(nu <= na + nb && nu >= math.max(na, nb))
+      assert(na + nb - nu == ni)
+      assert(r.getAs[Long]("hll_inter_within_bound") == 1L)
+    }
+  }
+
   test("x_ewma_anomaly: at most 10 rows, |z| non-increasing, forecasts " +
       "positive, days ISO-formatted") {
     val rows = run("x_ewma_anomaly").collect()
