@@ -521,6 +521,58 @@ object StreamingIngest {
       }
   }
 
+  case class PatEv(user_id: Long, tsMicros: Long, event_id: Long,
+                   event_type: String)
+  case class PatSt(state: Int, lastTs: Long, lastId: Long, total: Long)
+  case class Conversion(user_id: Long, ts_micros: Long, n_so_far: Long)
+
+  /** Streaming CEP twin of the batch `x_event_pattern` veto-funnel: the
+    * same integer automaton (view → click → purchase, error vetoes) run
+    * as per-user O(1) state across micro-batches, emitting a
+    * `Conversion` row the moment a purchase completes the pattern —
+    * the streaming form answers "alert me WHEN the path completes"
+    * rather than "count the paths". Within a batch events sort by
+    * (ts, event_id); across batches the state carries the automaton
+    * position plus the last applied (ts, id) so a replayed or
+    * out-of-order event older than the frontier is dropped instead of
+    * corrupting the recursion (same discipline as ewmaAnomalyStream).
+    * State per user is four scalars — corpus-length-free. */
+  def patternStream(events: org.apache.spark.sql.Dataset[PatEv])
+      : org.apache.spark.sql.Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatSt, Conversion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (u: Long, evs: Iterator[PatEv], state: GroupState[PatSt]) =>
+          var st = state.getOption.getOrElse(PatSt(0, Long.MinValue,
+            Long.MinValue, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[Conversion]()
+          evs.toSeq.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
+            val fresh = e.tsMicros > st.lastTs ||
+              (e.tsMicros == st.lastTs && e.event_id > st.lastId)
+            if (fresh) {
+              val ns = e.event_type match {
+                case "error" => 0
+                case "view" => if (st.state == 0) 1 else st.state
+                case "click" => if (st.state >= 1) 2 else st.state
+                case "purchase" =>
+                  if (st.state == 2) {
+                    out += Conversion(u, e.tsMicros, st.total + 1)
+                    -1 // sentinel: completed, reset below
+                  } else st.state
+                case _ => st.state
+              }
+              st = if (ns == -1)
+                PatSt(0, e.tsMicros, e.event_id, st.total + 1)
+              else PatSt(ns, e.tsMicros, e.event_id, st.total)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Custom-state sessionizer over `KeyValueGroupedDataset` — the
     * hand-rolled equivalent of `session_window` for when session logic
     * outgrows the built-in (e.g., value-dependent gaps, early emission).

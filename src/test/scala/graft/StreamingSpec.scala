@@ -566,4 +566,45 @@ class StreamingSpec extends SparkSpec {
     assert(oneBatch === expected)   // bit-identical, not approximate
     assert(threeBatches === expected)
   }
+
+  test("streaming CEP pattern twin: conversion counts equal the batch " +
+      "x_event_pattern op and survive re-chunked micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import StreamingIngest.PatEv
+    val sf = "/root/testdata/sf0.001"
+    val evs = graft.util.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS tsMicros", "event_id",
+        "event_type")
+      .as[PatEv].collect().toSeq
+    // the oracle-checked batch op is the reference
+    val batch = SparkEntry.queries("x_event_pattern")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_conversions"))
+      .toMap
+    def runStream(name: String, chunks: Seq[Seq[PatEv]]): Map[Long, Long] = {
+      val mem = MemoryStream[PatEv]
+      chunks.foreach(c => mem.addData(c))
+      val q = StreamingIngest.patternStream(mem.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val sorted = evs.sortBy(e => (e.tsMicros, e.event_id))
+    val oneBatch = runStream("cep_one", Seq(sorted))
+    val third = sorted.length / 3
+    val threeBatches = runStream("cep_three", Seq(
+      sorted.take(third), sorted.slice(third, 2 * third),
+      sorted.drop(2 * third)))
+    assert(oneBatch === threeBatches)
+    // every batch-op top-20 user's count must match the stream's
+    batch.foreach { case (u, n) =>
+      assert(oneBatch.getOrElse(u, 0L) == n,
+        s"user $u: stream ${oneBatch.getOrElse(u, 0L)} vs batch $n")
+    }
+  }
 }
