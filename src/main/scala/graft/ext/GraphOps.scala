@@ -229,6 +229,73 @@ object GraphOps {
         .orderBy("customer", "rank")
     }),
 
+    "x_recs_holdout_eval" -> ((s, d) => {
+      // TEMPORAL-HOLDOUT evaluation of the co-occurrence recommender —
+      // the protocol that actually validates a recommender (random
+      // splits leak future co-occurrence into training): train the
+      // x_cooccurrence_recs pipeline on pre-1999 interactions only,
+      // then measure how many evaluation customers' top-3 recommended
+      // suppliers were genuinely ADOPTED in the test era (a test-era
+      // supplier the customer had never used in training). Targets are
+      // customers active in BOTH eras (c < 200 bounds the gauge). The
+      // readout is honest machinery: hit_rate over customers who
+      // adopted anything new at all. Same plan shapes as the underlying
+      // recommender — pair weights aggregated before the neighbor
+      // fan-out, top-3 via the bounded heap.
+      graft.functions.GraftFunctions.register(s)
+      val base = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, d, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          col("l_suppkey").cast("long").as("sp"),
+          (year(col("o_orderdate")) < 1999).as("isTrain"))
+      val train = base.filter(col("isTrain")).select("c", "sp")
+        .distinct().localCheckpoint()
+      val test = base.filter(!col("isTrain")).select("c", "sp")
+        .distinct().localCheckpoint()
+      val targets = train.select(col("c")).distinct()
+        .join(test.select(col("c")).distinct(), Seq("c"), "left_semi")
+        .filter(col("c") < 200)
+        .localCheckpoint()
+      val pairs = train.join(targets, Seq("c"), "left_semi")
+        .select(col("c").as("c1"), col("sp"))
+        .join(train.select(col("c").as("c2"), col("sp")), "sp")
+        .filter(col("c1") =!= col("c2"))
+        .groupBy("c1", "c2").agg(count(lit(1)).as("w"))
+      val scores = pairs
+        .join(train.select(col("c").as("c2"), col("sp").as("cand")), "c2")
+        .groupBy(col("c1"), col("cand"))
+        .agg(sum(col("w")).cast("long").as("score"))
+        .join(train.select(col("c").as("c1"), col("sp").as("cand"))
+          .withColumn("own", lit(true)), Seq("c1", "cand"), "left")
+        .filter(col("own").isNull)
+        .withColumn("dscore", col("score").cast("double"))
+      val top3 = graft.util.ScaleJoins.topKPerKey(
+          scores.select(col("c1"), col("cand"), col("dscore")),
+          Seq("c1"), "dscore", "cand", 3)
+        .select(col("c1"), col("cand"))
+      val newSup = test.join(train, Seq("c", "sp"), "left_anti")
+        .select(col("c").as("c1"), col("sp").as("cand"))
+        .join(targets.select(col("c").as("c1")), Seq("c1"), "left_semi")
+        .localCheckpoint()
+      val hits = top3.join(newSup, Seq("c1", "cand"), "left_semi")
+        .groupBy(col("c1")).agg(count(lit(1)).as("h"))
+      val nT = targets.agg(count(lit(1)).as("n_targets"))
+      val nNew = newSup.select("c1").distinct()
+        .agg(count(lit(1)).as("n_with_new"))
+      val hitAgg = hits.agg(count(lit(1)).as("n_hit_targets"),
+        coalesce(sum(col("h")), lit(0L)).cast("long").as("n_hits"))
+      nT.crossJoin(broadcast(nNew)).crossJoin(broadcast(hitAgg))
+        .select(col("n_targets"), col("n_with_new"),
+          col("n_hit_targets"), col("n_hits"),
+          graft.types.Coercions.detRound(
+            when(col("n_with_new") === 0, lit(0.0))
+              .otherwise(col("n_hit_targets").cast("double")
+                / col("n_with_new")), 6).as("hit_rate"))
+    }),
+
     "x_degree_histogram" -> ((s, d) => {
       // log-binned degree distribution of the trading graph — the first
       // thing a graph pipeline inspects before choosing join strategies
@@ -453,6 +520,63 @@ object GraphOps {
                FROM fresh)
          WHERE rn <= 3
          ORDER BY customer, rank""",
+
+    "x_recs_holdout_eval" ->
+      """WITH base AS MATERIALIZED (
+           SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
+                  CAST(l.l_suppkey AS BIGINT) AS sp,
+                  year(o.o_orderdate) < 1999 AS is_train
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         train AS MATERIALIZED (
+           SELECT DISTINCT c, sp FROM base WHERE is_train),
+         test AS MATERIALIZED (
+           SELECT DISTINCT c, sp FROM base WHERE NOT is_train),
+         targets AS MATERIALIZED (
+           SELECT c FROM (SELECT DISTINCT c FROM train)
+           WHERE c < 200 AND c IN (SELECT DISTINCT c FROM test)),
+         pairs AS MATERIALIZED (
+           SELECT a.c AS c1, b.c AS c2, COUNT(*) AS w
+           FROM train a JOIN train b ON a.sp = b.sp AND a.c <> b.c
+           WHERE a.c IN (SELECT c FROM targets)
+           GROUP BY 1, 2),
+         scores AS MATERIALIZED (
+           SELECT p.c1, e.sp AS cand, CAST(SUM(p.w) AS BIGINT) AS score
+           FROM pairs p JOIN train e ON e.c = p.c2
+           GROUP BY 1, 2),
+         fresh AS (
+           SELECT s.c1, s.cand, s.score
+           FROM scores s
+           LEFT JOIN train o ON o.c = s.c1 AND o.sp = s.cand
+           WHERE o.c IS NULL),
+         top3 AS (
+           SELECT c1, cand FROM (
+             SELECT c1, cand,
+                    row_number() OVER (PARTITION BY c1
+                      ORDER BY score DESC, cand) AS rn
+             FROM fresh)
+           WHERE rn <= 3),
+         newsup AS MATERIALIZED (
+           SELECT t.c AS c1, t.sp AS cand
+           FROM test t
+           LEFT JOIN train r ON r.c = t.c AND r.sp = t.sp
+           WHERE r.c IS NULL AND t.c IN (SELECT c FROM targets)),
+         hits AS (
+           SELECT a.c1, COUNT(*) AS h
+           FROM top3 a
+           JOIN newsup n ON n.c1 = a.c1 AND n.cand = a.cand
+           GROUP BY 1),
+         agg AS (
+           SELECT (SELECT COUNT(*) FROM targets) AS n_targets,
+                  (SELECT COUNT(DISTINCT c1) FROM newsup) AS n_with_new,
+                  (SELECT COUNT(*) FROM hits) AS n_hit_targets,
+                  (SELECT CAST(COALESCE(SUM(h), 0) AS BIGINT) FROM hits)
+                    AS n_hits)
+         SELECT n_targets, n_with_new, n_hit_targets, n_hits,
+                CASE WHEN n_with_new = 0 THEN 0.0
+                     ELSE floor(CAST(n_hit_targets AS DOUBLE) / n_with_new
+                          * 1e6 + 0.5) / 1e6
+                END AS hit_rate
+         FROM agg""",
 
     "x_degree_histogram" -> {
       val ladder = (62 to 1 by -1).map(b =>

@@ -333,6 +333,47 @@ object StatsOps {
         .limit(10)
     }),
 
+    "x_psi_drift" -> ((s, d) => {
+      // Population Stability Index between the early (pre-1998) and late
+      // order-value distributions — the model-monitoring drift metric
+      // (PSI > 0.25 conventionally triggers retraining). Complements
+      // x_source_divergence (JSD across SOURCES): PSI watches the same
+      // population over TIME. Fixed-width value bins (map-side), +1/+B
+      // Laplace smoothing so empty bins stay finite and DETERMINISTIC
+      // (no epsilon constant to disagree on), per-bin terms quantized
+      // 1e12 before the integer total. Two grouped counts + broadcast
+      // closed form — scale-free.
+      val o = t(s, d, "orders")
+        .withColumn("era", when(year(col("o_orderdate")) < 1998, "ref")
+          .otherwise("cur"))
+        .withColumn("bin",
+          least(floor(col("o_totalprice") / 50000), lit(9.0))
+            .cast("long"))
+      val counts = o.groupBy(col("bin")).agg(
+        sum(when(col("era") === "ref", 1L).otherwise(0L)).cast("long")
+          .as("n_ref"),
+        sum(when(col("era") === "cur", 1L).otherwise(0L)).cast("long")
+          .as("n_cur"))
+      val tot = counts.agg(sum(col("n_ref")).cast("long").as("tr"),
+        sum(col("n_cur")).cast("long").as("tc"))
+      val terms = counts.crossJoin(broadcast(tot))
+        .withColumn("p",
+          (col("n_ref") + 1).cast("double") / (col("tr") + 10))
+        .withColumn("q",
+          (col("n_cur") + 1).cast("double") / (col("tc") + 10))
+        .withColumn("qterm", floor((col("q") - col("p"))
+          * log(col("q") / col("p")) * 1e12 + 0.5).cast("long"))
+        .localCheckpoint()
+      val tq = terms.agg(sum(col("qterm")).cast("long").as("qtot"))
+      terms.crossJoin(broadcast(tq))
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          detRound(col("p"), 6).as("ref_share"),
+          detRound(col("q"), 6).as("cur_share"),
+          detRound(col("qterm") / 1e12, 6).as("psi_term"),
+          detRound(col("qtot") / 1e12, 6).as("psi_total"))
+        .orderBy("bin")
+    }),
+
     "x_anova_oneway" -> ((s, d) => {
       // one-way ANOVA F-test of order value across priorities — completes
       // the engine's hypothesis-test family (χ² for categorical×categorical,
@@ -879,6 +920,41 @@ object StatsOps {
          JOIN n1 nb ON nb.sp = p.s2
          CROSS JOIN nn
          ORDER BY lift DESC, s1, s2 LIMIT 10""",
+
+    "x_psi_drift" ->
+      """WITH o AS (
+           SELECT CASE WHEN year(o_orderdate) < 1998 THEN 'ref'
+                       ELSE 'cur' END AS era,
+                  CAST(least(floor(o_totalprice / 50000), 9.0) AS BIGINT)
+                    AS bin
+           FROM orders),
+         counts AS (
+           SELECT bin,
+                  CAST(SUM(CASE WHEN era = 'ref' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_ref,
+                  CAST(SUM(CASE WHEN era = 'cur' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_cur
+           FROM o GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+                        CAST(SUM(n_cur) AS BIGINT) AS tc
+                 FROM counts),
+         qt AS (
+           SELECT bin, n_ref, n_cur,
+                  CAST(n_ref + 1 AS DOUBLE) / (tr + 10) AS p,
+                  CAST(n_cur + 1 AS DOUBLE) / (tc + 10) AS q,
+                  CAST(floor((CAST(n_cur + 1 AS DOUBLE) / (tc + 10)
+                         - CAST(n_ref + 1 AS DOUBLE) / (tr + 10))
+                       * ln((CAST(n_cur + 1 AS DOUBLE) / (tc + 10))
+                            / (CAST(n_ref + 1 AS DOUBLE) / (tr + 10)))
+                       * 1e12 + 0.5) AS BIGINT) AS qterm
+           FROM counts CROSS JOIN tot),
+         tq AS (SELECT CAST(SUM(qterm) AS BIGINT) AS qtot FROM qt)
+         SELECT bin, n_ref, n_cur,
+                floor(p * 1e6 + 0.5) / 1e6 AS ref_share,
+                floor(q * 1e6 + 0.5) / 1e6 AS cur_share,
+                floor(qterm / 1e12 * 1e6 + 0.5) / 1e6 AS psi_term,
+                floor(qtot / 1e12 * 1e6 + 0.5) / 1e6 AS psi_total
+         FROM qt CROSS JOIN tq ORDER BY bin""",
 
     "x_anova_oneway" ->
       """WITH g AS (

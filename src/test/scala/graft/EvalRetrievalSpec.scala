@@ -283,6 +283,32 @@ class EvalRetrievalSpec extends SparkSpec {
       s"engine top-20 $rows differs from replay top-20 $top")
   }
 
+  test("x_psi_drift: shares are smoothed distributions summing to ~1, " +
+      "psi_total equals the sum of its own terms") {
+    val rows = run("x_psi_drift").collect()
+    assert(rows.length == 10)
+    def sumOf(c: String) = rows.map(_.getAs[Double](c)).sum
+    assert(math.abs(sumOf("ref_share") - 1.0) < 1e-3)
+    assert(math.abs(sumOf("cur_share") - 1.0) < 1e-3)
+    val total = rows.head.getAs[Double]("psi_total")
+    assert(rows.forall(r => r.getAs[Double]("psi_total") == total))
+    assert(math.abs(sumOf("psi_term") - total) < 1e-4)
+    assert(total >= 0.0, "PSI is a non-negative divergence")
+  }
+
+  test("x_recs_holdout_eval: counts nest (hits <= adopters <= targets) " +
+      "and the rate is their ratio") {
+    val r = run("x_recs_holdout_eval").collect().head
+    val (nt, nw, nh, hits) = (r.getAs[Long]("n_targets"),
+      r.getAs[Long]("n_with_new"), r.getAs[Long]("n_hit_targets"),
+      r.getAs[Long]("n_hits"))
+    assert(nh <= nw && nw <= nt)
+    assert(hits >= nh, "a hit target has at least one hit")
+    assert(hits <= 3 * nh, "top-3 caps hits per target")
+    val expect = if (nw == 0) 0.0 else nh.toDouble / nw
+    assert(math.abs(r.getAs[Double]("hit_rate") - expect) <= 1e-6)
+  }
+
   test("x_twap: spans positive, 5 event types, weighted and plain means " +
       "both inside the observed value range") {
     val rows = run("x_twap").collect()
