@@ -261,6 +261,68 @@ object CorpusOps {
         .orderBy(col("fused_rank"))
     }),
 
+    "x_negative_sampling" -> ((s, d) => {
+      // skip-gram-with-negative-sampling training pairs (word2vec SGNS,
+      // Mikolov et al. 2013) — the data-construction op for embedding
+      // training: positives are ±2-window (center, context) pairs; each
+      // gets k=2 negatives drawn from the unigram^0.75 distribution
+      // (the SGNS noise exponent) WITHOUT RNG: an md5-uniform keyed on
+      // the pair instance indexes into the vocabulary's cumulative
+      // weight table. Determinism details: c^0.75 is computed as
+      // sqrt(c·sqrt(c)) — a sequence of EXACTLY-ROUNDED IEEE ops, so
+      // both engines build the identical CDF (pow/exp are only
+      // faithfully rounded and could disagree at a floor boundary);
+      // the CDF is O(|vocab|), broadcast, and the draw is a bounded
+      // range join against it. Output bounded to the first 3 docs'
+      // windows — the SHAPE gauge; the full-corpus run is the same
+      // plan with the filter dropped.
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"))
+        .localCheckpoint()
+      val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+      val pos = (1 to 2).map { o =>
+        toks.filter(col("doc_id") < 3)
+          .withColumn("context", lead(col("tok"), o).over(wOrd))
+          .filter(col("context").isNotNull)
+          .select(col("doc_id"), col("pos"),
+            col("tok").as("center"), col("context"))
+      }.reduce(_.unionByName(_))
+      val cdf = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .withColumn("w", floor(sqrt(col("cnt")
+          * sqrt(col("cnt"))) * 1e6 + 0.5).cast("long"))
+        .withColumn("hi", sum(col("w"))
+          .over(Window.orderBy("tok")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("lo", col("hi") - col("w"))
+        .localCheckpoint()
+      val total = cdf.agg(max(col("hi")).as("tt"))
+      val negs = pos
+        .select(col("doc_id"), col("pos"), col("center")).distinct()
+        .select(col("doc_id"), col("pos"), col("center"),
+          explode(sequence(lit(0), lit(1))).as("j"))
+        .crossJoin(broadcast(total))
+        .withColumn("u",
+          conv(substring(md5(concat(lit("ns:"), col("doc_id"), lit(":"),
+            col("pos"), lit(":"), col("j"))), 1, 12), 16, 10)
+            .cast("long") % col("tt"))
+        .join(broadcast(cdf.select(col("tok"), col("lo"), col("hi"))),
+          col("u") >= col("lo") && col("u") < col("hi"))
+        .select(col("doc_id"), col("pos"), col("center"),
+          col("tok").as("context"), lit(0L).as("label"))
+        // checkpoint REQUIRED, not an optimization: negs and pos share
+        // the toks lineage, and unioning them re-resolves negs' plan
+        // with pos' attribute ids — measured to DOUBLE the negative
+        // rows (292 → 578) by effectively dropping the anchor distinct.
+        // Cutting the lineage pins negs to its own resolved plan.
+        .localCheckpoint()
+      pos.withColumn("label", lit(1L))
+        .select(col("doc_id"), col("pos"), col("center"), col("context"),
+          col("label"))
+        .unionByName(negs)
+        .orderBy(col("doc_id"), col("pos"), desc("label"), col("context"))
+    }),
+
     "x_hll_set_ops" -> ((s, d) => {
       // sketch-based SET operations between sources: |A∩B| of the
       // 3-token shingle vocabularies via inclusion–exclusion over HLL
@@ -776,6 +838,59 @@ object CorpusOps {
           SELECT fused_rank, id, rank_bm, rank_cos,
                  floor(qrrf / 1e9 * 1e6 + 0.5) / 1e6 AS rrf_score
           FROM g WHERE fused_rank <= 15 ORDER BY fused_rank""",
+
+    "x_negative_sampling" ->
+      """WITH toks AS MATERIALIZED (
+           SELECT doc_id, pos, tk[pos + 1] AS tok
+           FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS pos
+                 FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                       FROM documents))),
+         p1 AS (
+           SELECT doc_id, pos, tok AS center,
+                  lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                    AS context
+           FROM toks WHERE doc_id < 3),
+         p2 AS (
+           SELECT doc_id, pos, tok AS center,
+                  lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+                    AS context
+           FROM toks WHERE doc_id < 3),
+         posu AS MATERIALIZED (
+           SELECT * FROM p1 WHERE context IS NOT NULL
+           UNION ALL
+           SELECT * FROM p2 WHERE context IS NOT NULL),
+         uni AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+         cdf AS MATERIALIZED (
+           SELECT tok,
+                  CAST(floor(sqrt(cnt * sqrt(cnt)) * 1e6 + 0.5)
+                       AS BIGINT) AS w,
+                  CAST(SUM(CAST(floor(sqrt(cnt * sqrt(cnt)) * 1e6 + 0.5)
+                       AS BIGINT)) OVER (ORDER BY tok
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS hi
+           FROM uni),
+         cdf2 AS (SELECT tok, hi - w AS lo, hi FROM cdf),
+         tt AS (SELECT MAX(hi) AS tt FROM cdf2),
+         anchors AS (
+           SELECT DISTINCT doc_id, pos, center FROM posu),
+         draws AS (
+           SELECT a.doc_id, a.pos, a.center,
+                  CAST(('0x' || substr(md5('ns:' || a.doc_id || ':'
+                         || a.pos || ':' || j.j), 1, 12)) AS BIGINT)
+                    % t.tt AS u
+           FROM anchors a
+           CROSS JOIN (SELECT unnest(range(0, 2)) AS j) j
+           CROSS JOIN tt t),
+         negs AS (
+           SELECT d.doc_id, d.pos, d.center, c.tok AS context,
+                  CAST(0 AS BIGINT) AS label
+           FROM draws d
+           JOIN cdf2 c ON d.u >= c.lo AND d.u < c.hi)
+         SELECT doc_id, pos, center, context, CAST(1 AS BIGINT) AS label
+         FROM posu
+         UNION ALL
+         SELECT doc_id, pos, center, context, label FROM negs
+         ORDER BY doc_id, pos, label DESC, context""",
 
     "x_hll_set_ops" ->
       """WITH sh AS MATERIALIZED (

@@ -283,6 +283,46 @@ class EvalRetrievalSpec extends SparkSpec {
       s"engine top-20 $rows differs from replay top-20 $top")
   }
 
+  test("x_hard_negatives: 3 cross-label negatives per anchor, " +
+      "similarities non-increasing within anchor") {
+    val rows = run("x_hard_negatives").collect()
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 30)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L))
+      rs.foreach { r =>
+        assert(labels(r.getAs[Long]("neighbor_id")) != labels(q),
+          "hard negative must be cross-label")
+        assert(math.abs(r.getAs[Double]("margin") -
+          (r.getAs[Double]("pos_sim") - r.getAs[Double]("neg_sim")))
+          <= 1e-6)
+      }
+      val sims = rs.sortBy(_.getAs[Long]("rank"))
+        .map(_.getAs[Double]("neg_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("x_negative_sampling: exactly two negatives per anchor window, " +
+      "all sampled tokens drawn from the corpus vocabulary") {
+    val rows = run("x_negative_sampling").collect()
+    val pos = rows.filter(_.getAs[Long]("label") == 1L)
+    val neg = rows.filter(_.getAs[Long]("label") == 0L)
+    assert(pos.nonEmpty)
+    val anchors = pos.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"))).distinct.length
+    assert(neg.length == 2 * anchors,
+      s"${neg.length} negatives for $anchors anchors")
+    val vocab = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS t").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(neg.forall(r => vocab.contains(r.getAs[String]("context"))))
+    assert(rows.forall(r => r.getAs[Long]("doc_id") < 3))
+  }
+
   test("x_psi_drift: shares are smoothed distributions summing to ~1, " +
       "psi_total equals the sum of its own terms") {
     val rows = run("x_psi_drift").collect()
