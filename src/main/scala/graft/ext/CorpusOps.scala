@@ -213,6 +213,32 @@ object CorpusOps {
           col("ndcg10"))
     }),
 
+    "x_mrr_eval" -> ((s, d) => {
+      // mean reciprocal rank of the BM25 ranking against the 'dup'
+      // relevance set — the metric for known-item search (how deep must
+      // a user scroll to the first relevant hit); complements nDCG's
+      // graded view. Top-100 via TakeOrdered; the relevant set joins as
+      // a semi-join; one min + one conditional count.
+      def rankW = row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("sq"), asc("doc_id"))).cast("long")
+      val rel = t(s, d, "documents")
+        .filter(expr("array_contains(split(text, ' '), 'dup')"))
+        .select(col("doc_id"))
+      bm25Scored(s, d)
+        .orderBy(desc("sq"), asc("doc_id")).limit(100)
+        .withColumn("rank", rankW)
+        .join(rel, Seq("doc_id"), "left_semi")
+        .agg(min(col("rank")).as("first_rel_rank"),
+          sum(when(col("rank") <= 10, 1L).otherwise(0L)).cast("long")
+            .as("n_rel_top10"))
+        .select(
+          coalesce(col("first_rel_rank"), lit(0L)).as("first_rel_rank"),
+          detRound(when(col("first_rel_rank").isNull, lit(0.0))
+            .otherwise(lit(1.0) / col("first_rel_rank")), 6).as("mrr"),
+          coalesce(col("n_rel_top10"), lit(0L)).as("n_rel_top10"))
+    }),
+
     "x_rrf_fusion" -> ((s, d) => {
       // hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
       // k = 60) of the BM25 lexical ranking and the embedding-cosine
@@ -259,6 +285,57 @@ object CorpusOps {
         .select(col("fused_rank"), col("id"), col("rank_bm"),
           col("rank_cos"), detRound(col("qrrf") / 1e9, 6).as("rrf_score"))
         .orderBy(col("fused_rank"))
+    }),
+
+    "x_best_passage" -> ((s, d) => {
+      // passage retrieval for RAG: documents are retrieved by BM25, but
+      // what goes into the context window is the best PASSAGE — for
+      // each of the top-5 BM25 docs, score every 50-token/stride-25
+      // chunk (x_doc_chunks' convention) by Σ tf·idf of the query terms
+      // it contains and keep the arg-max chunk. Chunking is scan-side
+      // Generate; the idf table is O(|query|) and broadcast; the
+      // per-doc arg-max is a window over ≤ a few dozen chunk rows.
+      // Per-term scores quantize to 1e9 ints before the chunk sum.
+      val top5 = bm25Scored(s, d)
+        .orderBy(desc("sq"), asc("doc_id")).limit(5)
+        .select(col("doc_id"))
+      val chunks = t(s, d, "documents")
+        .join(broadcast(top5), "doc_id")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(expr(
+            "sequence(0, CAST(greatest(0, ceil((n - 25) / 25.0) - 1) AS INT))"))
+            .as("chunk_id"))
+        .withColumn("chunk", expr("slice(toks, chunk_id * 25 + 1, 50)"))
+      val toksAll = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val idf = toksAll
+        .filter(expr(s"array_contains($bm25TermsSpark, tok)"))
+        .groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+        .crossJoin(broadcast(
+          t(s, d, "documents").agg(count(lit(1)).as("n_docs"))))
+        .withColumn("qidf",
+          floor(log((col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)) + lit(1.0)) * 1e9 + 0.5)
+            .cast("long"))
+        .select(col("tok"), col("qidf"))
+      val wBest = Window.partitionBy("doc_id")
+        .orderBy(desc("qsc"), asc("chunk_id"))
+      chunks
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).as("n_tokens"),
+          explode(col("chunk")).as("tok"))
+        .join(broadcast(idf), "tok")
+        .groupBy(col("doc_id"), col("chunk_id"), col("n_tokens"))
+        .agg(count(lit(1)).as("n_hits"),
+          sum(col("qidf")).cast("long").as("qsc"))
+        .withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("n_tokens").cast("long").as("n_tokens"), col("n_hits"),
+          detRound(col("qsc") / 1e9, 6).as("passage_score"))
+        .orderBy(col("doc_id"))
     }),
 
     "x_negative_sampling" -> ((s, d) => {
@@ -838,6 +915,74 @@ object CorpusOps {
           SELECT fused_rank, id, rank_bm, rank_cos,
                  floor(qrrf / 1e9 * 1e6 + 0.5) / 1e6 AS rrf_score
           FROM g WHERE fused_rank <= 15 ORDER BY fused_rank""",
+
+    "x_mrr_eval" ->
+      s"""WITH $bm25ScoredSql,
+          ranked AS (
+            SELECT doc_id, rank FROM (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY sq DESC, doc_id)
+                       AS BIGINT) AS rank
+              FROM bq)
+            WHERE rank <= 100),
+          rel AS (
+            SELECT doc_id FROM documents
+            WHERE list_contains(string_split(text, ' '), 'dup')),
+          agg AS (
+            SELECT MIN(r.rank) AS first_rel_rank,
+                   CAST(SUM(CASE WHEN r.rank <= 10 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_rel_top10
+            FROM ranked r JOIN rel USING (doc_id))
+          SELECT COALESCE(first_rel_rank, 0) AS first_rel_rank,
+                 floor(CASE WHEN first_rel_rank IS NULL
+                            THEN CAST(0.0 AS DOUBLE)
+                            ELSE CAST(1.0 AS DOUBLE) / first_rel_rank
+                       END * 1e6 + 0.5) / 1e6 AS mrr,
+                 COALESCE(n_rel_top10, 0) AS n_rel_top10
+          FROM agg""",
+
+    "x_best_passage" ->
+      s"""WITH $bm25ScoredSql,
+          top5 AS (
+            SELECT doc_id FROM bq ORDER BY sq DESC, doc_id LIMIT 5),
+          docs2 AS (
+            SELECT d.doc_id, string_split(d.text, ' ') AS tk
+            FROM documents d JOIN top5 USING (doc_id)),
+          chunks AS (
+            SELECT doc_id, cid,
+                   tk[cid * 25 + 1 : cid * 25 + 50] AS chunk
+            FROM (SELECT doc_id, tk,
+                         unnest(range(0,
+                           CAST(greatest(0, ceil((len(tk) - 25) / 25.0)
+                                - 1) AS BIGINT) + 1)) AS cid
+                  FROM docs2)),
+          ctoks AS (
+            SELECT doc_id, cid, len(chunk) AS n_tokens,
+                   unnest(chunk) AS tok
+            FROM chunks),
+          idf AS (
+            SELECT f.tok,
+                   CAST(floor(ln((s.n_docs - f.df + CAST(0.5 AS DOUBLE))
+                          / (f.df + CAST(0.5 AS DOUBLE))
+                          + CAST(1.0 AS DOUBLE)) * 1e9 + 0.5)
+                        AS BIGINT) AS qidf
+            FROM dfq f CROSS JOIN stats s),
+          sc AS (
+            SELECT c.doc_id, c.cid, c.n_tokens, COUNT(*) AS n_hits,
+                   CAST(SUM(i.qidf) AS BIGINT) AS qsc
+            FROM ctoks c JOIN idf i ON i.tok = c.tok
+            GROUP BY 1, 2, 3),
+          best AS (
+            SELECT * FROM (
+              SELECT doc_id, cid, n_tokens, n_hits, qsc,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY qsc DESC, cid) AS rn
+              FROM sc)
+            WHERE rn = 1)
+          SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+                 CAST(n_tokens AS BIGINT) AS n_tokens, n_hits,
+                 floor(qsc / 1e9 * 1e6 + 0.5) / 1e6 AS passage_score
+          FROM best ORDER BY doc_id""",
 
     "x_negative_sampling" ->
       """WITH toks AS MATERIALIZED (

@@ -283,6 +283,30 @@ class EvalRetrievalSpec extends SparkSpec {
       s"engine top-20 $rows differs from replay top-20 $top")
   }
 
+  test("x_best_passage: one passage per top-5 BM25 doc, chunks within " +
+      "the 50-token window, every passage actually matches the query") {
+    val rows = run("x_best_passage").collect()
+    assert(rows.length == 5)
+    val top5 = run("x_bm25").collect().take(5)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == top5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") >= 1 &&
+        r.getAs[Long]("n_tokens") <= 50)
+      assert(r.getAs[Long]("n_hits") >= 1)
+      assert(r.getAs[Double]("passage_score") > 0.0)
+    }
+  }
+
+  test("x_mrr_eval: reciprocal-rank consistency and top-10 cap") {
+    val r = run("x_mrr_eval").collect().head
+    val frr = r.getAs[Long]("first_rel_rank")
+    val mrr = r.getAs[Double]("mrr")
+    assert(r.getAs[Long]("n_rel_top10") <= 10)
+    if (frr > 0) assert(math.abs(mrr - 1.0 / frr) <= 1e-6)
+    else assert(mrr == 0.0)
+  }
+
   test("x_hard_negatives: 3 cross-label negatives per anchor, " +
       "similarities non-increasing within anchor") {
     val rows = run("x_hard_negatives").collect()
