@@ -706,6 +706,85 @@ object TextOps {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    "x_span_corruption" -> ((s, d) => {
+      // T5/UL2-style span corruption (Raffel et al. 2020 §3.1.4) — the
+      // denoising-objective data constructor: ~15% of tokens are masked
+      // in multi-token spans, each span replaced by one sentinel in the
+      // input while the target lists sentinel → original tokens. RNG-free:
+      // span STARTS fire where an md5-uniform keyed on (doc, pos) drops
+      // below 0.05, span LENGTH is 2 + md5 % 3 (mean 3 → ≈15% masked);
+      // overlapping spans merge into one run and runs number left to
+      // right (gaps-and-islands), so the construction is identical under
+      // any partitioning and in both engines. Output bounded to 3 docs —
+      // the shape gauge; the full-corpus run drops the filter. Everything
+      // is scan-side maps + two per-doc ordered collects.
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, d, "documents").filter(col("doc_id") < 3)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"))
+        .localCheckpoint()
+      val u = conv(substring(md5(concat(lit("sc:"), col("doc_id"),
+        lit(":"), col("pos"))), 1, 12), 16, 10).cast("long") /
+        lit(281474976710656.0)
+      val len = conv(substring(md5(concat(lit("sl:"), col("doc_id"),
+        lit(":"), col("pos"))), 1, 12), 16, 10).cast("long") % 3 + 2
+      val covered = toks.withColumn("u", u)
+        .filter(col("u") < 0.05)
+        .withColumn("len", len)
+        .select(col("doc_id"),
+          explode(expr("sequence(pos, pos + len - 1)")).as("pos"))
+        .distinct()
+        .withColumn("m", lit(1))
+      val marked = toks
+        .join(covered, Seq("doc_id", "pos"), "left")
+        .withColumn("masked", col("m").isNotNull)
+        .localCheckpoint()
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val runs = marked.filter(col("masked"))
+        .withColumn("rn", row_number().over(wDoc))
+        .withColumn("grp", col("pos") - col("rn"))
+      val wGrp = Window.partitionBy("doc_id").orderBy("grp")
+      val sids = runs
+        .withColumn("sid", (dense_rank().over(wGrp) - 1).cast("long"))
+        .withColumn("first", col("pos") === min(col("pos"))
+          .over(Window.partitionBy("doc_id", "grp")))
+        .select(col("doc_id"), col("pos"), col("tok"), col("sid"),
+          col("first"))
+        .localCheckpoint()
+      val inputPieces = marked.filter(!col("masked"))
+        .select(col("doc_id"), col("pos"), col("tok").as("piece"))
+        .unionByName(sids.filter(col("first"))
+          .select(col("doc_id"), col("pos"),
+            concat(lit("<X"), col("sid"), lit(">")).as("piece")))
+      val inputs = inputPieces
+        .groupBy(col("doc_id"))
+        .agg(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(pos, piece))), x -> x.piece), ' ')")
+          .as("input_text"))
+      val targetPieces = sids.filter(col("first"))
+        .select(col("doc_id"), col("sid"), lit(-1).as("pos"),
+          concat(lit("<X"), col("sid"), lit(">")).as("piece"))
+        .unionByName(sids.select(col("doc_id"), col("sid"), col("pos"),
+          col("tok").as("piece")))
+      val targets = targetPieces
+        .groupBy(col("doc_id"))
+        .agg(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(sid, pos, piece))), x -> x.piece), ' ')")
+          .as("target_text"),
+          count_distinct(col("sid")).as("n_spans"))
+      val stats = marked.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("masked").cast("long")).cast("long").as("n_masked"))
+      // a doc can draw zero spans (p ≈ 0.95^n) — keep it with an empty
+      // target rather than dropping the row
+      stats.join(inputs, "doc_id").join(targets, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          col("input_text"),
+          coalesce(col("target_text"), lit("")).as("target_text"))
+        .orderBy("doc_id")
+    }),
+
     "x_pii_scrub" -> ((s, d) => {
       // PII scrubbing over documents: inject synthetic emails + long
       // digit runs (the fixtures are clean), then count and redact both
@@ -1340,6 +1419,71 @@ object TextOps {
     "x_lang_id" ->
       s"""WITH $langCmSql
           SELECT lang, predicted, n FROM cm ORDER BY lang, predicted""",
+
+    "x_span_corruption" ->
+      """WITH toks AS MATERIALIZED (
+           SELECT doc_id, pos, tk[pos + 1] AS tok
+           FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS pos
+                 FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                       FROM documents WHERE doc_id < 3))),
+         starts AS (
+           SELECT doc_id, pos,
+                  CAST(('0x' || substr(md5('sl:' || doc_id || ':' || pos),
+                         1, 12)) AS BIGINT) % 3 + 2 AS len
+           FROM toks
+           WHERE CAST(('0x' || substr(md5('sc:' || doc_id || ':' || pos),
+                        1, 12)) AS BIGINT)
+                 / CAST(281474976710656.0 AS DOUBLE) < 0.05),
+         covered AS (
+           SELECT DISTINCT doc_id, pos + o AS pos
+           FROM (SELECT doc_id, pos, unnest(range(0, len)) AS o
+                 FROM starts)),
+         marked AS MATERIALIZED (
+           SELECT t.doc_id, t.pos, t.tok, c.pos IS NOT NULL AS masked
+           FROM toks t
+           LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos),
+         runs AS (
+           SELECT doc_id, pos, tok,
+                  pos - row_number() OVER (PARTITION BY doc_id
+                    ORDER BY pos) AS grp
+           FROM marked WHERE masked),
+         sids AS MATERIALIZED (
+           SELECT doc_id, pos, tok,
+                  CAST(dense_rank() OVER (PARTITION BY doc_id
+                    ORDER BY grp) - 1 AS BIGINT) AS sid,
+                  pos = MIN(pos) OVER (PARTITION BY doc_id, grp) AS first
+           FROM runs),
+         inputs AS (
+           SELECT doc_id, string_agg(piece, ' ' ORDER BY pos)
+                    AS input_text
+           FROM (SELECT doc_id, pos, tok AS piece
+                 FROM marked WHERE NOT masked
+                 UNION ALL
+                 SELECT doc_id, pos, '<X' || sid || '>' AS piece
+                 FROM sids WHERE first)
+           GROUP BY 1),
+         targets AS (
+           SELECT doc_id,
+                  string_agg(piece, ' ' ORDER BY sid, pos) AS target_text,
+                  COUNT(DISTINCT sid) AS n_spans
+           FROM (SELECT doc_id, sid, -1 AS pos, '<X' || sid || '>' AS piece
+                 FROM sids WHERE first
+                 UNION ALL
+                 SELECT doc_id, sid, pos, tok AS piece FROM sids)
+           GROUP BY 1),
+         stats AS (
+           SELECT doc_id, COUNT(*) AS n_tokens,
+                  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_masked
+           FROM marked GROUP BY 1)
+         SELECT s.doc_id, s.n_tokens, s.n_masked,
+                COALESCE(t.n_spans, 0) AS n_spans,
+                i.input_text,
+                COALESCE(t.target_text, '') AS target_text
+         FROM stats s
+         JOIN inputs i USING (doc_id)
+         LEFT JOIN targets t USING (doc_id)
+         ORDER BY s.doc_id""",
 
     "x_classifier_agreement" ->
       s"""WITH $langCmSql,

@@ -298,6 +298,38 @@ class EvalRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("x_span_corruption: splicing the target spans back into the " +
+      "input reconstructs every original document exactly") {
+    val rows = run("x_span_corruption").collect()
+    assert(rows.length == 3)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter("doc_id < 3").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sentinel = "<X\\d+>".r
+    rows.foreach { r =>
+      val target = r.getAs[String]("target_text")
+      val spans = scala.collection.mutable.LinkedHashMap[Long, Vector[String]]()
+      var cur = -1L
+      target.split(" ").filter(_.nonEmpty).foreach { t =>
+        if (sentinel.matches(t)) {
+          cur = t.stripPrefix("<X").stripSuffix(">").toLong
+          spans(cur) = Vector()
+        } else spans(cur) = spans(cur) :+ t
+      }
+      assert(spans.size.toLong == r.getAs[Long]("n_spans"))
+      assert(spans.values.map(_.length.toLong).sum ==
+        r.getAs[Long]("n_masked"))
+      val rebuilt = r.getAs[String]("input_text").split(" ")
+        .filter(_.nonEmpty).flatMap { t =>
+          if (sentinel.matches(t))
+            spans(t.stripPrefix("<X").stripSuffix(">").toLong)
+          else Vector(t)
+        }.mkString(" ")
+      assert(rebuilt == docs(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")} reconstruction mismatch")
+    }
+  }
+
   test("x_mrr_eval: reciprocal-rank consistency and top-10 cap") {
     val r = run("x_mrr_eval").collect().head
     val frr = r.getAs[Long]("first_rel_rank")
