@@ -95,7 +95,7 @@ object CorpusOps {
     * x_rrf_fusion: returns (doc_id, n_terms_matched, sq) with sq the
     * 1e9-quantized BIGINT score — the ranking key every consumer
     * orders by, so the three entries can never disagree on the list. */
-  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
+  private def bm25TermScores(s: SparkSession, d: String): DataFrame = {
     val toks = t(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .localCheckpoint()
@@ -118,10 +118,14 @@ object CorpusOps {
           / (col("tf") + lit(1.2) * (lit(0.25)
             + lit(0.75) * (col("dl") / col("avgdl")))))
       .withColumn("q", floor(col("sc") * 1e9 + 0.5).cast("long"))
+      .select(col("doc_id"), col("tok"), col("q"))
+  }
+
+  private def bm25Scored(s: SparkSession, d: String): DataFrame =
+    bm25TermScores(s, d)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms_matched"),
         sum(col("q")).cast("long").as("sq"))
-  }
 
   /** DuckDB twin of [[bm25Scored]]: CTE chain ending in
     * bq(doc_id, n_terms_matched, sq). */
@@ -140,7 +144,7 @@ object CorpusOps {
                 FROM qt GROUP BY 1),
         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
         scored AS (
-          SELECT t.doc_id,
+          SELECT t.doc_id, t.tok,
                  CAST(floor(
                    ln((s.n_docs - f.df + CAST(0.5 AS DOUBLE))
                       / (f.df + CAST(0.5 AS DOUBLE))
@@ -211,6 +215,62 @@ object CorpusOps {
           .otherwise(detRound(col("qdcg").cast("double") / col("qidcg"), 6)))
         .select(col("n_rel_docs"), col("dcg10"), col("idcg10"),
           col("ndcg10"))
+    }),
+
+    "x_maxscore_prune" -> ((s, d) => {
+      // MaxScore/WAND-style top-k pruning (Turtle & Flood 1995; Broder
+      // et al. 2003) — the reason full-text top-k survives 100 TB: most
+      // matched documents can be PROVED unable to enter the top-10
+      // without scoring them. Per-term upper bound ub(t) = max per-doc
+      // contribution; seed floor θ = 10th exact score among docs
+      // containing the highest-ub term; any doc whose Σ ub over ITS
+      // matched terms is < θ has true score ≤ Σub < θ ≤ true 10th —
+      // pruned soundly, ties kept by the >= survivor rule. Everything
+      // compares QUANTIZED integer scores, so the proof is exact in
+      // both engines and the top10_match flag is 1 by theorem, not
+      // luck; the gauge reports the measured prune fraction. If the
+      // seed term matches fewer than 10 docs there is no sound floor —
+      // θ falls to -inf and nothing is pruned (correct, just useless).
+      val ts = bm25TermScores(s, d).localCheckpoint()
+      val docSq = ts.groupBy(col("doc_id"))
+        .agg(sum(col("q")).cast("long").as("sq"))
+        .localCheckpoint()
+      val ub = ts.groupBy(col("tok"))
+        .agg(max(col("q")).cast("long").as("ub"))
+      val seedTerm = ub.orderBy(desc("ub"), asc("tok")).limit(1)
+        .select(col("tok"))
+      val seedDocs = ts.join(broadcast(seedTerm), "tok")
+        .select(col("doc_id")).distinct()
+      val theta = docSq.join(seedDocs, "doc_id")
+        .orderBy(desc("sq"), asc("doc_id")).limit(10)
+        .agg(count(lit(1)).as("n_seed_top"), min(col("sq")).as("mn"))
+        .select(when(col("n_seed_top") < 10, lit(Long.MinValue))
+          .otherwise(col("mn")).as("th"))
+      val bound = ts.join(broadcast(ub), "tok")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("ub")).cast("long").as("sub"))
+      val survivors = bound.crossJoin(broadcast(theta))
+        .filter(col("sub") >= col("th"))
+        .select(col("doc_id"))
+        .localCheckpoint()
+      val fullTop = docSq.orderBy(desc("sq"), asc("doc_id")).limit(10)
+        .select(col("doc_id")).localCheckpoint()
+      val prunedTop = docSq.join(survivors, "doc_id")
+        .orderBy(desc("sq"), asc("doc_id")).limit(10)
+        .select(col("doc_id")).localCheckpoint()
+      val missed = fullTop.join(prunedTop, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_missed"))
+      val nm = docSq.agg(count(lit(1)).as("n_matched"))
+      val nsd = seedDocs.agg(count(lit(1)).as("n_seed"))
+      val nsv = survivors.agg(count(lit(1)).as("n_survivors"))
+      nm.crossJoin(broadcast(nsd)).crossJoin(broadcast(nsv))
+        .crossJoin(broadcast(theta)).crossJoin(broadcast(missed))
+        .select(col("n_matched"), col("n_seed"), col("n_survivors"),
+          detRound(lit(1.0) - col("n_survivors").cast("double")
+            / col("n_matched"), 6).as("prune_frac"),
+          detRound(col("th").cast("double") / 1e9, 6).as("theta_score"),
+          when(col("n_missed") === 0, 1L).otherwise(0L)
+            .as("top10_match"))
     }),
 
     "x_mrr_eval" -> ((s, d) => {
@@ -915,6 +975,55 @@ object CorpusOps {
           SELECT fused_rank, id, rank_bm, rank_cos,
                  floor(qrrf / 1e9 * 1e6 + 0.5) / 1e6 AS rrf_score
           FROM g WHERE fused_rank <= 15 ORDER BY fused_rank""",
+
+    "x_maxscore_prune" ->
+      s"""WITH $bm25ScoredSql,
+          docsq AS MATERIALIZED (
+            SELECT doc_id, CAST(SUM(q) AS BIGINT) AS sq
+            FROM scored GROUP BY 1),
+          ub AS MATERIALIZED (
+            SELECT tok, CAST(MAX(q) AS BIGINT) AS ub
+            FROM scored GROUP BY 1),
+          seedterm AS (
+            SELECT tok FROM ub ORDER BY ub DESC, tok LIMIT 1),
+          seeddocs AS MATERIALIZED (
+            SELECT DISTINCT s.doc_id
+            FROM scored s JOIN seedterm USING (tok)),
+          theta AS (
+            SELECT CASE WHEN COUNT(*) < 10
+                        THEN CAST(-9223372036854775808 AS BIGINT)
+                        ELSE CAST(MIN(sq) AS BIGINT) END AS th
+            FROM (SELECT d.sq FROM docsq d JOIN seeddocs USING (doc_id)
+                  ORDER BY d.sq DESC, d.doc_id LIMIT 10)),
+          bound AS (
+            SELECT s.doc_id, CAST(SUM(u.ub) AS BIGINT) AS sub
+            FROM scored s JOIN ub u USING (tok)
+            GROUP BY 1),
+          survivors AS MATERIALIZED (
+            SELECT b.doc_id FROM bound b CROSS JOIN theta t
+            WHERE b.sub >= t.th),
+          fulltop AS (
+            SELECT doc_id FROM docsq
+            ORDER BY sq DESC, doc_id LIMIT 10),
+          prunedtop AS (
+            SELECT d.doc_id FROM docsq d JOIN survivors USING (doc_id)
+            ORDER BY d.sq DESC, d.doc_id LIMIT 10),
+          missed AS (
+            SELECT COUNT(*) AS n_missed
+            FROM fulltop f
+            LEFT JOIN prunedtop p ON p.doc_id = f.doc_id
+            WHERE p.doc_id IS NULL)
+          SELECT (SELECT COUNT(*) FROM docsq) AS n_matched,
+                 (SELECT COUNT(*) FROM seeddocs) AS n_seed,
+                 (SELECT COUNT(*) FROM survivors) AS n_survivors,
+                 floor((CAST(1.0 AS DOUBLE)
+                        - CAST((SELECT COUNT(*) FROM survivors) AS DOUBLE)
+                          / (SELECT COUNT(*) FROM docsq))
+                       * 1e6 + 0.5) / 1e6 AS prune_frac,
+                 floor((SELECT CAST(th AS DOUBLE) FROM theta) / 1e9
+                       * 1e6 + 0.5) / 1e6 AS theta_score,
+                 CAST(CASE WHEN (SELECT n_missed FROM missed) = 0
+                      THEN 1 ELSE 0 END AS BIGINT) AS top10_match""",
 
     "x_mrr_eval" ->
       s"""WITH $bm25ScoredSql,

@@ -330,6 +330,20 @@ class EvalRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("x_maxscore_prune: pruning is sound (top-10 preserved by " +
+      "theorem), counts consistent") {
+    val r = run("x_maxscore_prune").collect().head
+    assert(r.getAs[Long]("top10_match") == 1L,
+      "max-score pruning must never change the top-10")
+    val (nm, ns, nsv) = (r.getAs[Long]("n_matched"),
+      r.getAs[Long]("n_seed"), r.getAs[Long]("n_survivors"))
+    assert(nsv <= nm && ns <= nm)
+    if (nm >= 10) assert(nsv >= 10,
+      "survivors must retain at least a full top-10")
+    val expect = 1.0 - nsv.toDouble / nm
+    assert(math.abs(r.getAs[Double]("prune_frac") - expect) <= 1e-6)
+  }
+
   test("x_mrr_eval: reciprocal-rank consistency and top-10 cap") {
     val r = run("x_mrr_eval").collect().head
     val frr = r.getAs[Long]("first_rel_rank")
