@@ -217,6 +217,85 @@ object CorpusOps {
           col("ndcg10"))
     }),
 
+    "x_prf_expansion" -> ((s, d) => {
+      // pseudo-relevance feedback (Rocchio 1971; the RM-style expansion
+      // every classic IR stack ships): assume the BM25 top-5 are
+      // relevant, mine their 3 highest tf·idf non-query terms, and
+      // re-retrieve with the expanded 6-term query. The whole loop is
+      // two bounded retrieval passes: the feedback set is 5 docs, the
+      // expansion vocabulary O(feedback tokens), the expanded scorer
+      // the same broadcast-stats shape as bm25Scored with the term set
+      // joined as a table instead of a literal. Output: expanded top-10
+      // with an in-original-top-10 flag per doc (the movement the
+      // expansion caused) and the chosen expansion terms.
+      import s.implicits._
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .localCheckpoint()
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("long") / count(lit(1))).as("avgdl"))
+      def scoreWith(terms: DataFrame): DataFrame = {
+        val qt = toks.join(broadcast(terms), "tok")
+        val dfq = qt.groupBy("tok")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val tf = qt.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        tf.join(broadcast(dfq), "tok")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf",
+            log((col("n_docs") - col("df") + lit(0.5))
+              / (col("df") + lit(0.5)) + lit(1.0)))
+          .withColumn("sc",
+            col("idf") * (col("tf") * lit(2.2))
+              / (col("tf") + lit(1.2) * (lit(0.25)
+                + lit(0.75) * (col("dl") / col("avgdl")))))
+          .withColumn("q", floor(col("sc") * 1e9 + 0.5).cast("long"))
+          .groupBy("doc_id")
+          .agg(sum(col("q")).cast("long").as("sq"))
+      }
+      val origTerms = Bm25Terms.toDF("tok")
+      val origTop10Full = scoreWith(origTerms)
+        .orderBy(desc("sq"), asc("doc_id")).limit(10)
+        .localCheckpoint()
+      val origTop10 = origTop10Full.select(col("doc_id"))
+      // re-sort before taking 5: limit() after a checkpoint is
+      // "any N rows", not "first N"
+      val top5 = origTop10Full.orderBy(desc("sq"), asc("doc_id"))
+        .limit(5).select(col("doc_id"))
+      val ndocs = t(s, d, "documents").agg(count(lit(1)).as("nd"))
+      val dfAll = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("dfa"))
+      val fb = toks.join(broadcast(top5), "doc_id")
+        .filter(!expr(s"array_contains($bm25TermsSpark, tok)"))
+        .groupBy("tok").agg(count(lit(1)).as("ftf"))
+        .join(dfAll, "tok").crossJoin(broadcast(ndocs))
+        .withColumn("qw", col("ftf")
+          * floor(log(col("nd").cast("double") / col("dfa")) * 1e9 + 0.5)
+            .cast("long"))
+      val exp3 = fb.orderBy(desc("qw"), asc("tok")).limit(3)
+        .select(col("tok"), col("qw")).localCheckpoint()
+      val expStr = exp3
+        .agg(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(-qw AS nk, tok))), x -> x.tok), ',')")
+          .as("expansion_terms"))
+      val allTerms = origTerms.unionByName(exp3.select("tok"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("sq"), asc("doc_id"))
+      scoreWith(allTerms)
+        .orderBy(desc("sq"), asc("doc_id")).limit(10)
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .join(origTop10.withColumn("orig", lit(1L)), Seq("doc_id"),
+          "left")
+        .crossJoin(broadcast(expStr))
+        .select(col("rank"), col("doc_id"),
+          detRound(col("sq") / 1e9, 6).as("score"),
+          coalesce(col("orig"), lit(0L)).as("in_orig_top10"),
+          col("expansion_terms"))
+        .orderBy(col("rank"))
+    }),
+
     "x_maxscore_prune" -> ((s, d) => {
       // MaxScore/WAND-style top-k pruning (Turtle & Flood 1995; Broder
       // et al. 2003) — the reason full-text top-k survives 100 TB: most
@@ -975,6 +1054,94 @@ object CorpusOps {
           SELECT fused_rank, id, rank_bm, rank_cos,
                  floor(qrrf / 1e9 * 1e6 + 0.5) / 1e6 AS rrf_score
           FROM g WHERE fused_rank <= 15 ORDER BY fused_rank""",
+
+    "x_prf_expansion" ->
+      s"""WITH toks AS MATERIALIZED (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+          dl AS MATERIALIZED (
+            SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+          stats AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) / COUNT(*) AS avgdl FROM dl),
+          osc AS MATERIALIZED (
+            SELECT t.doc_id, CAST(SUM(CAST(floor(
+                     ln((s.n_docs - f.df + CAST(0.5 AS DOUBLE))
+                        / (f.df + CAST(0.5 AS DOUBLE))
+                        + CAST(1.0 AS DOUBLE))
+                     * (t.tf * CAST(2.2 AS DOUBLE))
+                     / (t.tf + CAST(1.2 AS DOUBLE)
+                        * (CAST(0.25 AS DOUBLE)
+                           + CAST(0.75 AS DOUBLE) * (l.dl / s.avgdl)))
+                     * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+            FROM (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+                  WHERE list_contains($bm25TermsDuck, tok)
+                  GROUP BY 1, 2) t
+            JOIN (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks
+                  WHERE list_contains($bm25TermsDuck, tok)
+                  GROUP BY 1) f USING (tok)
+            JOIN dl l USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY 1),
+          otop AS MATERIALIZED (
+            SELECT doc_id, sq FROM osc
+            ORDER BY sq DESC, doc_id LIMIT 10),
+          top5 AS (SELECT doc_id FROM otop
+                   ORDER BY sq DESC, doc_id LIMIT 5),
+          nd AS (SELECT COUNT(*) AS nd FROM documents),
+          dfall AS (SELECT tok, COUNT(DISTINCT doc_id) AS dfa
+                    FROM toks GROUP BY 1),
+          fb AS (
+            SELECT k.tok,
+                   k.ftf * CAST(floor(ln(CAST(n.nd AS DOUBLE) / a.dfa)
+                     * 1e9 + 0.5) AS BIGINT) AS qw
+            FROM (SELECT t.tok, COUNT(*) AS ftf
+                  FROM toks t JOIN top5 USING (doc_id)
+                  WHERE NOT list_contains($bm25TermsDuck, t.tok)
+                  GROUP BY 1) k
+            JOIN dfall a USING (tok) CROSS JOIN nd n),
+          exp3 AS MATERIALIZED (
+            SELECT tok, qw FROM fb ORDER BY qw DESC, tok LIMIT 3),
+          expstr AS (
+            SELECT string_agg(tok, ',' ORDER BY qw DESC, tok)
+                     AS expansion_terms
+            FROM exp3),
+          allterms AS (
+            SELECT UNNEST($bm25TermsDuck) AS tok
+            UNION ALL SELECT tok FROM exp3),
+          esc AS (
+            SELECT t.doc_id, CAST(SUM(CAST(floor(
+                     ln((s.n_docs - f.df + CAST(0.5 AS DOUBLE))
+                        / (f.df + CAST(0.5 AS DOUBLE))
+                        + CAST(1.0 AS DOUBLE))
+                     * (t.tf * CAST(2.2 AS DOUBLE))
+                     / (t.tf + CAST(1.2 AS DOUBLE)
+                        * (CAST(0.25 AS DOUBLE)
+                           + CAST(0.75 AS DOUBLE) * (l.dl / s.avgdl)))
+                     * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+            FROM (SELECT k.doc_id, k.tok, COUNT(*) AS tf
+                  FROM toks k JOIN allterms USING (tok)
+                  GROUP BY 1, 2) t
+            JOIN (SELECT k.tok, COUNT(DISTINCT k.doc_id) AS df
+                  FROM toks k JOIN allterms USING (tok)
+                  GROUP BY 1) f USING (tok)
+            JOIN dl l USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY 1),
+          etop AS (
+            SELECT doc_id, sq,
+                   CAST(row_number() OVER (ORDER BY sq DESC, doc_id)
+                     AS BIGINT) AS rank
+            FROM esc ORDER BY sq DESC, doc_id LIMIT 10)
+          SELECT e.rank, e.doc_id,
+                 floor(e.sq / 1e9 * 1e6 + 0.5) / 1e6 AS score,
+                 CAST(CASE WHEN o.doc_id IS NULL THEN 0 ELSE 1 END
+                   AS BIGINT) AS in_orig_top10,
+                 x.expansion_terms
+          FROM etop e
+          LEFT JOIN otop o ON o.doc_id = e.doc_id
+          CROSS JOIN expstr x
+          ORDER BY e.rank""",
 
     "x_maxscore_prune" ->
       s"""WITH $bm25ScoredSql,

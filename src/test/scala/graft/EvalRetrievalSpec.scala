@@ -330,6 +330,20 @@ class EvalRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("x_prf_expansion: 10 dense ranks, scores non-increasing, 3 novel " +
+      "expansion terms disjoint from the original query") {
+    val rows = run("x_prf_expansion").collect()
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val terms = rows.head.getAs[String]("expansion_terms").split(",")
+    assert(terms.length == 3 && terms.distinct.length == 3)
+    assert(!terms.exists(Set("spark", "merge", "dup").contains),
+      "expansion must not repeat original query terms")
+    assert(rows.forall(r => Set(0L, 1L)
+      .contains(r.getAs[Long]("in_orig_top10"))))
+  }
+
   test("x_maxscore_prune: pruning is sound (top-10 preserved by " +
       "theorem), counts consistent") {
     val r = run("x_maxscore_prune").collect().head
