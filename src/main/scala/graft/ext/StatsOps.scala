@@ -333,6 +333,64 @@ object StatsOps {
         .limit(10)
     }),
 
+    "x_bootstrap_median_ci" -> ((s, d) => {
+      // the Poisson bootstrap generalized beyond linear statistics: a
+      // 90% CI for the MEDIAN doc length. Each replicate's weighted
+      // lower median is rank-selected from the (length → summed weight)
+      // table — first value whose 2·cumweight ≥ total+1 — so every
+      // quantity in the entire query is an INTEGER (weights, cumsums,
+      // medians, the CI endpoints); nothing is interpolated and nothing
+      // floats. Same one-scan structure as x_bootstrap_ci: the grouped
+      // (replicate, length) table is B·|distinct lengths| rows, the
+      // cumsum window runs per replicate over that SMALL table, never
+      // over docs.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("len"))
+        .localCheckpoint()
+      val wLadder = PoisCdf.zipWithIndex.reverse
+        .foldLeft(lit(PoisCdf.length.toLong)) { case (acc, (t0, i)) =>
+          when(col("u") < lit(t0.toDouble), lit(i.toLong)).otherwise(acc)
+        }
+      val byLen = docs.select(col("doc_id"), col("len"),
+          explode(sequence(lit(0), lit(BootReps - 1))).as("b"))
+        .withColumn("u",
+          conv(substring(md5(concat(lit("bs:"), col("doc_id"), lit(":"),
+            col("b"))), 1, 12), 16, 10).cast("long")
+            / lit(281474976710656.0))
+        .withColumn("w", wLadder)
+        .groupBy(col("b"), col("len"))
+        .agg(sum(col("w")).cast("long").as("wsum"))
+        .filter(col("wsum") > 0)
+        .localCheckpoint()
+      val wCum = Window.partitionBy("b").orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val meds = byLen
+        .withColumn("cum", sum(col("wsum")).over(wCum))
+        .join(byLen.groupBy(col("b"))
+          .agg(sum(col("wsum")).cast("long").as("tw")), "b")
+        .filter(col("cum") * 2 >= col("tw") + 1)
+        .groupBy(col("b")).agg(min(col("len")).as("m"))
+        .localCheckpoint()
+      val ranked = meds.withColumn("rn",
+        row_number().over(Window.orderBy(col("m"), col("b"))))
+      val lo = ranked.filter(col("rn") === 2).select(col("m").as("ci_lo"))
+      val hi = ranked.filter(col("rn") === BootReps - 1)
+        .select(col("m").as("ci_hi"))
+      val nr = meds.agg(count(lit(1)).as("n_replicates"))
+      val nD = docs.agg(count(lit(1)).as("n_docs"))
+      val point = docs
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("len"), col("doc_id"))))
+        .crossJoin(broadcast(nD))
+        .filter(col("rn") === expr("(n_docs + 1) div 2"))
+        .select(col("len").as("median"))
+      nD.crossJoin(broadcast(nr)).crossJoin(broadcast(point))
+        .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .select(col("n_docs"), col("n_replicates"), col("median"),
+          col("ci_lo"), col("ci_hi"))
+    }),
+
     "x_psi_drift" -> ((s, d) => {
       // Population Stability Index between the early (pre-1998) and late
       // order-value distributions — the model-monitoring drift metric
@@ -920,6 +978,56 @@ object StatsOps {
          JOIN n1 nb ON nb.sp = p.s2
          CROSS JOIN nn
          ORDER BY lift DESC, s1, s2 LIMIT 10""",
+
+    "x_bootstrap_median_ci" -> {
+      val ladder = PoisCdf.zipWithIndex.map { case (t0, i) =>
+        s"WHEN u < CAST($t0 AS DOUBLE) THEN $i"
+      }.mkString(" ")
+      s"""WITH docs AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+            FROM documents),
+          bylen AS MATERIALIZED (
+            SELECT b, len, wsum FROM (
+              SELECT d.b, d.len,
+                     CAST(SUM(CASE $ladder ELSE ${PoisCdf.length} END)
+                          AS BIGINT) AS wsum
+              FROM (SELECT doc_id, len, b2.b AS b,
+                           CAST(('0x' || substr(md5('bs:' || doc_id
+                                  || ':' || b2.b), 1, 12)) AS BIGINT)
+                             / CAST(281474976710656.0 AS DOUBLE) AS u
+                    FROM docs
+                    CROSS JOIN (SELECT unnest(range(0, $BootReps)) AS b)
+                      b2) d
+              GROUP BY 1, 2)
+            WHERE wsum > 0),
+          meds AS MATERIALIZED (
+            SELECT b, CAST(MIN(len) AS BIGINT) AS m FROM (
+              SELECT c.b, c.len,
+                     SUM(c.wsum) OVER (PARTITION BY c.b ORDER BY c.len
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                     t.tw
+              FROM bylen c
+              JOIN (SELECT b, CAST(SUM(wsum) AS BIGINT) AS tw
+                    FROM bylen GROUP BY 1) t USING (b))
+            WHERE cum * 2 >= tw + 1
+            GROUP BY 1),
+          ranked AS (
+            SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM meds),
+          pt AS (
+            SELECT len AS median FROM (
+              SELECT len, row_number() OVER (ORDER BY len, doc_id) AS rn,
+                     (SELECT COUNT(*) FROM docs) AS n
+              FROM docs)
+            WHERE rn = (n + 1) // 2)
+          SELECT (SELECT COUNT(*) FROM docs) AS n_docs,
+                 (SELECT COUNT(*) FROM meds) AS n_replicates,
+                 (SELECT median FROM pt) AS median,
+                 (SELECT m FROM ranked WHERE rn = 2) AS ci_lo,
+                 (SELECT m FROM ranked WHERE rn = ${BootReps - 1})
+                   AS ci_hi"""
+    },
 
     "x_psi_drift" ->
       """WITH o AS (

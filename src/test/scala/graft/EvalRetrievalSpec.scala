@@ -407,6 +407,22 @@ class EvalRetrievalSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("doc_id") < 3))
   }
 
+  test("x_bootstrap_median_ci: integer CI brackets the rank-selected " +
+      "point median, replicates full") {
+    val r = run("x_bootstrap_median_ci").collect().head
+    assert(r.getAs[Long]("n_replicates") == 32L)
+    val (lo, hi, m) = (r.getAs[Long]("ci_lo"), r.getAs[Long]("ci_hi"),
+      r.getAs[Long]("median"))
+    assert(lo <= hi)
+    assert(lo <= m && m <= hi,
+      s"point median $m outside bootstrap CI [$lo, $hi]")
+    // independent recomputation of the point median
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("size(split(text, ' ')) AS l").collect()
+      .map(_.getInt(0).toLong).sorted
+    assert(m == lens((lens.length + 1) / 2 - 1))
+  }
+
   test("x_psi_drift: shares are smoothed distributions summing to ~1, " +
       "psi_total equals the sum of its own terms") {
     val rows = run("x_psi_drift").collect()
