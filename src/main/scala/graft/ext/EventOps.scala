@@ -78,6 +78,37 @@ object EventOps {
         .limit(20)
     }),
 
+    "x_sliding_distinct" -> ((s, d) => {
+      // trailing-24h DISTINCT users as of each hour — the sliding
+      // count-distinct that naive window frames cannot do (distinct is
+      // not frame-decomposable) and a range self-join does in
+      // O(hours·events). The scale formulation: reduce events to the
+      // DISTINCT (hour, user) pairs first, then fan each pair out to
+      // the 24 window-ENDING hours it serves and count distinct per
+      // target hour — shuffle size is 24·|distinct pairs|, independent
+      // of raw event volume, and the fan-out is a scan-side Generate.
+      // The single-hour distinct rides along for contrast.
+      val uh = t(s, d, "events")
+        .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+        .distinct()
+        .localCheckpoint()
+      val bounds = uh.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val w24 = uh
+        .select(col("user_id"), explode(expr(
+          "sequence(h, h + INTERVAL 23 HOURS, INTERVAL 1 HOUR)"))
+          .as("th"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("th") >= col("h0") && col("th") <= col("h1"))
+        .groupBy(col("th"))
+        .agg(countDistinct(col("user_id")).as("n_users_24h"))
+      val w1 = uh.groupBy(col("h").as("th"))
+        .agg(countDistinct(col("user_id")).as("n_users_1h"))
+      w24.join(w1, Seq("th"), "left")
+        .select(fmtTs(col("th")).as("hour"), col("n_users_24h"),
+          coalesce(col("n_users_1h"), lit(0L)).as("n_users_1h"))
+        .orderBy("hour")
+    }),
+
     "x_twap" -> ((s, d) => {
       // time-weighted average of the event value per event_type — the
       // correct aggregate for IRREGULARLY sampled series (a plain mean
@@ -635,6 +666,29 @@ object EventOps {
                   AS n_conversions
          FROM acc WHERE acc // 10 > 0
          ORDER BY n_conversions DESC, user_id LIMIT 20""",
+
+    "x_sliding_distinct" ->
+      """WITH uh AS MATERIALIZED (
+           SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+           FROM events),
+         bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM uh),
+         fan AS (
+           SELECT u.user_id, t.th
+           FROM uh u, bounds b,
+                unnest(range(u.h, u.h + INTERVAL 24 HOUR,
+                             INTERVAL 1 HOUR)) AS t(th)
+           WHERE t.th >= b.h0 AND t.th <= b.h1),
+         w24 AS (
+           SELECT th, COUNT(DISTINCT user_id) AS n_users_24h
+           FROM fan GROUP BY 1),
+         w1 AS (
+           SELECT h AS th, COUNT(DISTINCT user_id) AS n_users_1h
+           FROM uh GROUP BY 1)
+         SELECT strftime(w24.th, '%Y-%m-%d %H:%M:%S') AS hour,
+                w24.n_users_24h,
+                COALESCE(w1.n_users_1h, 0) AS n_users_1h
+         FROM w24 LEFT JOIN w1 ON w1.th = w24.th
+         ORDER BY hour""",
 
     "x_twap" ->
       """WITH tv AS (

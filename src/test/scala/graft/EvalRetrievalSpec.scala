@@ -449,6 +449,26 @@ class EvalRetrievalSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("hit_rate") - expect) <= 1e-6)
   }
 
+  test("x_sliding_distinct: bucket-union counts equal a brute-force " +
+      "trailing-24h recomputation for every hour") {
+    val rows = run("x_sliding_distinct").collect()
+      .map(r => r.getAs[String]("hour") ->
+        (r.getAs[Long]("n_users_24h"), r.getAs[Long]("n_users_1h")))
+    rows.foreach { case (_, (w24, w1)) => assert(w24 >= w1) }
+    val ev = graft.util.Tables.t(spark, sf, "events")
+      .selectExpr("date_trunc('hour', ts) AS h", "user_id")
+      .distinct().collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("h").getTime,
+        r.getAs[Long]("user_id")))
+    val hourMs = 3600L * 1000
+    rows.foreach { case (hs, (w24, _)) =>
+      val t1 = java.sql.Timestamp.valueOf(hs).getTime
+      val brute = ev.filter { case (h, _) =>
+        h <= t1 && h > t1 - 24 * hourMs }.map(_._2).distinct.length
+      assert(brute.toLong == w24, s"hour $hs: brute $brute vs engine $w24")
+    }
+  }
+
   test("x_twap: spans positive, 5 event types, weighted and plain means " +
       "both inside the observed value range") {
     val rows = run("x_twap").collect()
