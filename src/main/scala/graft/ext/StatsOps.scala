@@ -43,6 +43,49 @@ object StatsOps {
     "0.999916758850712")
   private val BootReps = 32
 
+  // ---- scale-safe global rank --------------------------------------------
+  // row_number() over an UNPARTITIONED Window moves every row to one
+  // partition — a serial sort that dies at 100× scale. This is the exact
+  // replacement: decompose the global rank into
+  //   r = (exclusive cumsum of per-value counts over the DISTINCT-value
+  //        table) + (row_number within the value group by the tiebreaker)
+  // so the only unpartitioned window runs over |distinct values| rows
+  // (already grouped — the x_auc_roc / x_ks_statistic posture) and the
+  // only per-row window is PARTITIONED by the value itself. The start
+  // offsets rejoin on the value — the same key the within-group window
+  // hash-partitioned on, so the join reuses that exchange. Output is
+  // bit-identical to row_number().over(Window.orderBy(value, ties...)).
+  private def globalRank(df: DataFrame, valueCol: String,
+      tieCols: Seq[String], out: String): DataFrame = {
+    val wS = Window.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val starts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__s0", coalesce(sum(col("__cnt")).over(wS), lit(0L)))
+      .select(col(valueCol), col("__s0"))
+    val wIn = Window.partitionBy(col(valueCol))
+      .orderBy(tieCols.map(col): _*)
+    df.withColumn("__rw", row_number().over(wIn).cast("long"))
+      .join(starts, valueCol)
+      .withColumn(out, col("__s0") + col("__rw"))
+      .drop("__rw", "__s0")
+  }
+
+  // Scale-safe lower-median selection per group: the value at rank
+  // (n+1) div 2 of the (value, ties) total order equals the MIN value
+  // whose per-group cumulative count reaches that rank — so the whole
+  // selection runs on the grouped (group, value) histogram and the only
+  // window is partitioned by the group over its distinct values.
+  private def lowerMedianBy(df: DataFrame, grp: String, vCol: String,
+      counts: DataFrame, out: String): DataFrame = {
+    val wCum = Window.partitionBy(grp).orderBy(vCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.groupBy(col(grp), col(vCol)).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .join(broadcast(counts), grp)
+      .filter(col("__cum") >= expr("(n + 1) div 2"))
+      .groupBy(col(grp)).agg(min(col(vCol)).as(out))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "x_bootstrap_ci" -> ((s, d) => {
@@ -102,29 +145,23 @@ object StatsOps {
       // mean arbitrarily but not the median). Median = lower median by
       // rank selection; MAD = lower median of |v − med|; outlier cut =
       // 3 · 1.4826 · MAD (the Gaussian-consistent scale factor).
-      // Two window passes + one grouped count per type — shuffles on
-      // event_type only; the selection indexes are integers, the only
-      // float ops are the final scalar comparisons, identical per row
-      // in both engines.
-      val wV = Window.partitionBy("event_type")
-        .orderBy(col("value"), col("event_id"))
+      // Both medians select from the grouped (type, value) HISTOGRAM —
+      // the value at rank (n+1) div 2 is the min value whose cumulative
+      // count reaches that rank — so no window ever sees raw event rows
+      // (a per-type row_number puts every event of a type on one
+      // partition; a type's volume is unbounded at 100 TB while its
+      // distinct-value support is not). The selection indexes are
+      // integers; the only float ops are the final scalar comparisons,
+      // identical per row in both engines.
       val ev = t(s, d, "events")
         .select(col("event_id"), col("event_type"), col("value"))
         .localCheckpoint()
       val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-      val med = ev.withColumn("rn", row_number().over(wV))
-        .join(broadcast(n), "event_type")
-        .filter(col("rn") === expr("(n + 1) div 2"))
-        .select(col("event_type"), col("value").as("med"))
-      val wA = Window.partitionBy("event_type")
-        .orderBy(col("ad"), col("event_id"))
+      val med = lowerMedianBy(ev, "event_type", "value", n, "med")
       val withDev = ev.join(broadcast(med), "event_type")
         .withColumn("ad", abs(col("value") - col("med")))
         .localCheckpoint()
-      val mad = withDev.withColumn("rn", row_number().over(wA))
-        .join(broadcast(n), "event_type")
-        .filter(col("rn") === expr("(n + 1) div 2"))
-        .select(col("event_type"), col("ad").as("mad"))
+      val mad = lowerMedianBy(withDev, "event_type", "ad", n, "mad")
       withDev.join(broadcast(mad), "event_type")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -236,12 +273,14 @@ object StatsOps {
       // Spearman rank correlation between two per-doc quality signals
       // (unigram entropy vs doc length) — the "do our quality metrics
       // agree?" diagnostic run before combining signals into one filter.
-      // Ranks are row_number over a total order (value, doc_id), so d²
-      // sums are INTEGERS and ρ = 1 − 6Σd²/(n(n²−1)) needs no FP
-      // accumulation at all — the formula's one division is the only
-      // float op. (Pearson on raw values would need order-sensitive
-      // float sums; Spearman on rank-selected integers is the
-      // cross-engine-exact formulation.)
+      // Ranks are the (value, doc_id) total order, so d² sums are
+      // INTEGERS and ρ = 1 − 6Σd²/(n(n²−1)) needs no FP accumulation at
+      // all — the formula's one division is the only float op. (Pearson
+      // on raw values would need order-sensitive float sums; Spearman on
+      // rank-selected integers is the cross-engine-exact formulation.)
+      // Each rank comes from globalRank's two-level decomposition —
+      // distinct-value cumsum + per-value row_number — never an
+      // unpartitioned window over the doc table itself.
       val toks = t(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val c = toks.groupBy(col("doc_id"), col("tok"))
@@ -252,11 +291,8 @@ object StatsOps {
           * log(col("c") / col("dl"))) * 1e9 + 0.5).cast("long"))
         .groupBy("doc_id")
         .agg(max(col("dl")).as("len"), sum(col("q")).cast("long").as("h"))
-      val r1 = Window.orderBy(col("h"), col("doc_id"))
-      val r2 = Window.orderBy(col("len"), col("doc_id"))
-      ent
-        .withColumn("rh", row_number().over(r1).cast("long"))
-        .withColumn("rl", row_number().over(r2).cast("long"))
+      globalRank(globalRank(ent, "h", Seq("doc_id"), "rh"),
+          "len", Seq("doc_id"), "rl")
         .withColumn("d2", (col("rh") - col("rl")) * (col("rh") - col("rl")))
         .agg(count(lit(1)).as("n"), sum(col("d2")).cast("long").as("sd2"))
         .select(col("n"),
@@ -379,12 +415,17 @@ object StatsOps {
         .select(col("m").as("ci_hi"))
       val nr = meds.agg(count(lit(1)).as("n_replicates"))
       val nD = docs.agg(count(lit(1)).as("n_docs"))
-      val point = docs
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("len"), col("doc_id"))))
+      // point median from the (len → count) histogram cumsum — the same
+      // rank selection the replicates use, never a row_number over raw
+      // docs (the value at rank (n+1) div 2 is the min len whose
+      // cumulative count reaches that rank).
+      val wLen = Window.orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val point = docs.groupBy(col("len")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wLen))
         .crossJoin(broadcast(nD))
-        .filter(col("rn") === expr("(n_docs + 1) div 2"))
-        .select(col("len").as("median"))
+        .filter(col("cum") >= expr("(n_docs + 1) div 2"))
+        .agg(min(col("len")).as("median"))
       nD.crossJoin(broadcast(nr)).crossJoin(broadcast(point))
         .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
         .select(col("n_docs"), col("n_replicates"), col("median"),
@@ -718,17 +759,31 @@ object StatsOps {
     "x_quantile_bins" -> ((s, d) => {
       // equi-depth feature binning (the discretization step feature
       // pipelines run before crossing / hashing continuous features):
-      // 10 equal-count bins of l_extendedprice via ntile over a total
-      // order, per-bin boundaries + decimal-exact sums. The bin edges
-      // double as an exact 10-quantile sketch gauge. At scale ntile is
-      // a range-partitioned sort — the same shape as a global sort-by
-      // write; boundaries per bin are grouped min/max.
-      val wP = Window.orderBy(col("l_extendedprice"), col("l_orderkey"),
-        col("l_linenumber"))
-      t(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_extendedprice"))
-        .withColumn("bin", ntile(10).over(wP).cast("long"))
+      // 10 equal-count bins of l_extendedprice over the (price,
+      // orderkey, linenumber) total order, per-bin boundaries +
+      // decimal-exact sums. The bin edges double as an exact
+      // 10-quantile sketch gauge. Spark's ntile over an unpartitioned
+      // Window is a SINGLE-PARTITION sort of the whole fact table — an
+      // OOM at 100× — so the bin comes from globalRank (distinct-price
+      // cumsum + per-price row_number, both bounded) pushed through
+      // ntile's closed form: with N = base·10 + rem, the first rem bins
+      // hold base+1 rows, so bin(r) is integer division on the global
+      // rank. Bit-identical to ntile(10), no unpartitioned sort of rows.
+      val nTot = t(s, d, "lineitem").agg(count(lit(1)).as("nn"))
+      globalRank(
+          t(s, d, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_extendedprice")),
+          "l_extendedprice", Seq("l_orderkey", "l_linenumber"), "r")
+        .crossJoin(broadcast(nTot))
+        .withColumn("base", expr("nn div 10"))
+        .withColumn("rem", col("nn") % 10)
+        .withColumn("bin",
+          when(col("r") <= col("rem") * (col("base") + lit(1L)),
+            expr("(r - 1) div (base + 1) + 1"))
+          .otherwise(
+            expr("rem + (r - 1 - rem * (base + 1)) div base + 1"))
+          .cast("long"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"),
           detRound(min(col("l_extendedprice")), 4).as("lo"),
