@@ -471,6 +471,8 @@ object StreamingIngest {
                            n_events: Int)
 
   case class DayRow(priority: String, epochDay: Long, y: Long)
+  case class DayEv(priority: String, epochDay: Long, y: Long,
+                   ts: java.sql.Timestamp)
   case class EwmaSt(wsum: Double, ewma: Double, ew2: Double, lastDay: Long)
   case class EwmaAnomaly(priority: String, epochDay: Long, y: Long,
                          ewma: Double, z: Double)
@@ -488,41 +490,63 @@ object StreamingIngest {
     * not change which days get flagged). Out-of-order or duplicate days
     * within a key are dropped rather than corrupting the recursion —
     * the upstream daily aggregate is watermark-complete by construction.
-    * State per key is constant-size, so 10^6 keys cost ~100 MB across
-    * the cluster — scale-free in corpus length. */
+    * State per key is constant-size — but key CARDINALITY is not: months
+    * of churn would accumulate dead keys' state forever under NoTimeout,
+    * so the state runs under EventTimeTimeout and a key silent for
+    * `idleTtlMs` of event time is DROPPED (its baseline restarts from
+    * scratch if it ever returns — the right call for a control chart,
+    * where a months-stale EWMA is a worse prior than none). The timeout
+    * clock is the stream's own watermark (derived from epochDay), so
+    * expiry needs no wall-clock and replays deterministically. */
   def ewmaAnomalyStream(daily: org.apache.spark.sql.Dataset[DayRow],
-                        decay: Double = 0.7, zThresh: Double = 1.5)
+                        decay: Double = 0.7, zThresh: Double = 1.5,
+                        idleTtlMs: Long = 45L * 86400 * 1000,
+                        lateness: String = "7 days")
       : org.apache.spark.sql.Dataset[EwmaAnomaly] = {
     import daily.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    daily.groupByKey(_.priority)
+    daily
+      .withColumn("ts", timestamp_seconds(col("epochDay") * lit(86400L)))
+      .withWatermark("ts", lateness)
+      .as[DayEv]
+      .groupByKey(_.priority)
       .flatMapGroupsWithState[EwmaSt, EwmaAnomaly](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (p: String, rows: Iterator[DayRow], state: GroupState[EwmaSt]) =>
-          val out = scala.collection.mutable.ArrayBuffer[EwmaAnomaly]()
-          var st = state.getOption
-            .getOrElse(EwmaSt(0.0, 0.0, 0.0, Long.MinValue))
-          rows.toSeq.sortBy(_.epochDay).foreach { r =>
-            if (r.epochDay > st.lastDay) {
-              if (st.wsum > 0) {
-                val vr = math.max(st.ew2 - st.ewma * st.ewma, 0.0)
-                val z = (r.y - st.ewma) / math.sqrt(vr + 1.0)
-                if (math.abs(z) >= zThresh)
-                  out += EwmaAnomaly(p, r.epochDay, r.y, st.ewma, z)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (p: String, rows: Iterator[DayEv], state: GroupState[EwmaSt]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle key: drop the stale baseline
+            Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer[EwmaAnomaly]()
+            var st = state.getOption
+              .getOrElse(EwmaSt(0.0, 0.0, 0.0, Long.MinValue))
+            rows.toSeq.sortBy(_.epochDay).foreach { r =>
+              if (r.epochDay > st.lastDay) {
+                if (st.wsum > 0) {
+                  val vr = math.max(st.ew2 - st.ewma * st.ewma, 0.0)
+                  val z = (r.y - st.ewma) / math.sqrt(vr + 1.0)
+                  if (math.abs(z) >= zThresh)
+                    out += EwmaAnomaly(p, r.epochDay, r.y, st.ewma, z)
+                }
+                val ws = 1.0 + decay * st.wsum
+                val e1 = (r.y + decay * st.wsum * st.ewma) / ws
+                val e2 = (r.y.toDouble * r.y + decay * st.wsum * st.ew2) / ws
+                st = EwmaSt(ws, e1, e2, r.epochDay)
               }
-              val ws = 1.0 + decay * st.wsum
-              val e1 = (r.y + decay * st.wsum * st.ewma) / ws
-              val e2 = (r.y.toDouble * r.y + decay * st.wsum * st.ew2) / ws
-              st = EwmaSt(ws, e1, e2, r.epochDay)
             }
+            state.update(st)
+            // timeout must sit strictly past the current watermark
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs(), st.lastDay * 86400000L) + idleTtlMs)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 
   case class PatEv(user_id: Long, tsMicros: Long, event_id: Long,
                    event_type: String)
+  case class PatEvT(user_id: Long, tsMicros: Long, event_id: Long,
+                    event_type: String, ts: java.sql.Timestamp)
   case class PatSt(state: Int, lastTs: Long, lastId: Long, total: Long)
   case class Conversion(user_id: Long, ts_micros: Long, n_so_far: Long)
 
@@ -536,15 +560,30 @@ object StreamingIngest {
     * position plus the last applied (ts, id) so a replayed or
     * out-of-order event older than the frontier is dropped instead of
     * corrupting the recursion (same discipline as ewmaAnomalyStream).
-    * State per user is four scalars — corpus-length-free. */
-  def patternStream(events: org.apache.spark.sql.Dataset[PatEv])
+    * State per user is four scalars — corpus-length-free — and, like the
+    * EWMA chart, expires under EventTimeTimeout: a user idle for
+    * `idleTtlMs` of event time has their automaton dropped (an
+    * abandoned funnel position is meaningless after weeks; the
+    * conversion COUNTER resets with it, so `n_so_far` is per-activity-
+    * epoch — documented, and the price of bounded state under
+    * unbounded user churn). */
+  def patternStream(events: org.apache.spark.sql.Dataset[PatEv],
+                    idleTtlMs: Long = 45L * 86400 * 1000,
+                    lateness: String = "1 hour")
       : org.apache.spark.sql.Dataset[Conversion] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    events.groupByKey(_.user_id)
+    events
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", lateness)
+      .as[PatEvT]
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[PatSt, Conversion](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (u: Long, evs: Iterator[PatEv], state: GroupState[PatSt]) =>
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (u: Long, evsT: Iterator[PatEvT], state: GroupState[PatSt]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty } else {
+          val evs: Iterator[PatEv] =
+            evsT.map(e => PatEv(e.user_id, e.tsMicros, e.event_id, e.event_type))
           var st = state.getOption.getOrElse(PatSt(0, Long.MinValue,
             Long.MinValue, 0L))
           val out = scala.collection.mutable.ArrayBuffer[Conversion]()
@@ -569,7 +608,10 @@ object StreamingIngest {
             }
           }
           state.update(st)
+          state.setTimeoutTimestamp(math.max(
+            state.getCurrentWatermarkMs(), st.lastTs / 1000L) + idleTtlMs)
           out.iterator
+          }
       }
   }
 
@@ -577,32 +619,53 @@ object StreamingIngest {
     * hand-rolled equivalent of `session_window` for when session logic
     * outgrows the built-in (e.g., value-dependent gaps, early emission).
     * Emits a session whenever the incoming batch shows a gap > `gapMs`
-    * for that user; the open tail session stays in state.
-    */
+    * for that user; the open tail session stays in state ONLY until the
+    * event-time watermark passes its last event + gap — then the
+    * EventTimeTimeout branch emits it as closed and removes the state.
+    * Without that, every user who ever appeared would pin an open-tail
+    * session forever (user churn at 100 TB makes key cardinality, not
+    * per-key size, the state bound that matters). Because the timeout
+    * clock is the watermark, a timed-out session is emitted exactly
+    * once and the close/emit decision replays deterministically. */
   def sessionizeWithState(events: org.apache.spark.sql.Dataset[Ev],
-                          gapMs: Long = 30L * 60 * 1000)
+                          gapMs: Long = 30L * 60 * 1000,
+                          lateness: String = "10 minutes")
       : org.apache.spark.sql.Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, ClosedSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.user_id))
-          var st = state.getOption.orNull
-          val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            st match {
-              case null => st = SessionState(t, t, 1)
-              case s if t - s.last > gapMs =>
-                closed += ClosedSession(user, new java.sql.Timestamp(s.start), s.n)
-                st = SessionState(t, t, 1)
-              case s => st = SessionState(s.start, t, s.n + 1)
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: the open tail can never grow
+            // again — close it out and free the key's state
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              ClosedSession(user, new java.sql.Timestamp(s.start), s.n))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.user_id))
+            var st = state.getOption.orNull
+            val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              st match {
+                case null => st = SessionState(t, t, 1)
+                case s if t - s.last > gapMs =>
+                  closed += ClosedSession(user, new java.sql.Timestamp(s.start), s.n)
+                  st = SessionState(t, t, 1)
+                case s => st = SessionState(s.start, t, s.n + 1)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1, st.last + gapMs))
+            }
+            closed.iterator
           }
-          if (st != null) state.update(st)
-          closed.iterator
       }
   }
 }

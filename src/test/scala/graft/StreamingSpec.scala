@@ -82,12 +82,17 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("fmgs_sessions")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    // closed sessions only — the open tail per user stays in state
+    // gap-closed sessions, plus tails the event-time timeout can already
+    // prove closed: the final watermark is 12:00 − 10 min = 11:50, past
+    // user 1's 11:00 tail + 30 min gap — so the no-data batch emits it.
+    // User 2's 12:00 tail (deadline 12:30) is still open and stays in
+    // state — the churn test below covers the full expiry lifecycle.
     val got = spark.table("fmgs_sessions").orderBy("user_id", "start")
       .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
         r.getInt(2))).toSeq
     assert(got === Seq(
       (1L, "2024-01-01 10:00:00.0", 2),   // closed by the 11:00 event
+      (1L, "2024-01-01 11:00:00.0", 1),   // tail, closed by the watermark
       (2L, "2024-01-01 09:00:00.0", 1)))  // closed by the 12:00 event
   }
 
@@ -606,5 +611,149 @@ class StreamingSpec extends SparkSpec {
       assert(oneBatch.getOrElse(u, 0L) == n,
         s"user $u: stream ${oneBatch.getOrElse(u, 0L)} vs batch $n")
     }
+  }
+
+  // ---- event-time timeout / bounded state under key churn (r9 #2) ------
+
+  /** Final state-store row count of a finished query (the last progress
+    * entry that carried state metrics). */
+  private def finalStateRows(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+      .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+
+  test("sessionizer: event-time timeout closes idle sessions exactly " +
+      "once and state stays bounded under key churn") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import StreamingIngest.Ev
+    def ts(s: String) = Timestamp.valueOf(s)
+    val out = tmpDir("churn-sess-out") + "/sessions"
+    val ckpt = tmpDir("churn-sess-ckpt")
+    val mem = MemoryStream[Ev]
+    var lastQ: org.apache.spark.sql.streaming.StreamingQuery = null
+    // one AvailableNow run per wave: MemoryStream feeds each run's new
+    // blocks as one micro-batch, so the watermark (persisted in the
+    // checkpoint) advances run over run and timeouts actually fire
+    def run(): Unit = {
+      val q = StreamingIngest.sessionizeWithState(mem.toDS())
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); lastQ = q
+    }
+    // waves of FRESH users, 3 h apart — each wave's sessions can only
+    // close via the watermark timeout (no later event ever shows a gap
+    // for them). Under NoTimeout this accumulates 122 open sessions
+    // forever and emits none of them.
+    mem.addData((1L to 40L).map(Ev(_, ts("2024-01-01 10:00:00"))): _*); run()
+    mem.addData((101L to 140L).map(Ev(_, ts("2024-01-01 13:00:00"))): _*); run()
+    mem.addData((201L to 240L).map(Ev(_, ts("2024-01-01 16:00:00"))): _*); run()
+    mem.addData(Ev(301L, ts("2024-01-01 19:00:00"))); run()
+    mem.addData(Ev(401L, ts("2024-01-01 22:00:00"))); run()
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getInt(2))).toSeq
+    // exactly once: one closed row per timed-out user, correct payload
+    assert(got.map(_._1).distinct.length === got.length,
+      s"a session was emitted more than once: $got")
+    val byUser = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    (1L to 40L).foreach(u =>
+      assert(byUser(u) === (("2024-01-01 10:00:00.0", 1)), s"user $u"))
+    (101L to 140L).foreach(u =>
+      assert(byUser(u) === (("2024-01-01 13:00:00.0", 1)), s"user $u"))
+    (201L to 240L).foreach(u =>
+      assert(byUser(u) === (("2024-01-01 16:00:00.0", 1)), s"user $u"))
+    // the final wave(s) can still be open — but never the 120 closed ones
+    val openAllowed = Set(301L, 401L)
+    assert(got.map(_._1).toSet.subsetOf((1L to 240L).toSet ++ openAllowed))
+    // bounded state: 122 users seen, at most the trailing 2 still held
+    val rows = finalStateRows(lastQ)
+    assert(rows >= 0 && rows <= 2,
+      s"state store holds $rows rows — timeout pruning did not bound it")
+  }
+
+  test("EWMA chart: idle keys are dropped by event-time timeout — a " +
+      "returning key restarts its baseline instead of scoring against " +
+      "a months-stale one") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import StreamingIngest.DayRow
+    val out = tmpDir("churn-ewma-out") + "/anom"
+    val ckpt = tmpDir("churn-ewma-ckpt")
+    val mem = MemoryStream[DayRow]
+    var lastQ: org.apache.spark.sql.streaming.StreamingQuery = null
+    def run(): Unit = {
+      val q = StreamingIngest.ewmaAnomalyStream(mem.toDS(),
+          idleTtlMs = 2L * 86400 * 1000, lateness = "1 day")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); lastQ = q
+    }
+    // key A: steady days 1-5 (baseline ~5); then churn keys advance the
+    // watermark far past A's 2-day TTL; then A returns on day 25 with a
+    // huge value — against the OLD baseline |z| would be enormous and
+    // flagged; with the state correctly dropped, the first day of A's
+    // new epoch has wsum=0 and scores nothing. B's own day-22 spike IS
+    // flagged (in-TTL baseline) — proving the chart stayed live.
+    mem.addData((1L to 5L).map(d => DayRow("A", d, 5L + (d % 2))): _*); run()
+    mem.addData(DayRow("B", 20L, 7L), DayRow("B", 21L, 7L),
+      DayRow("B", 22L, 100L)); run()
+    mem.addData(DayRow("C", 23L, 7L)); run()
+    mem.addData(DayRow("A", 25L, 1000L)); run()
+    val anom = spark.read.parquet(out)
+    assert(anom.filter($"priority" === "B" && $"epochDay" === 22L)
+      .count() === 1L, "the in-TTL spike must still be flagged")
+    assert(anom.filter($"priority" === "A" && $"epochDay" === 25L)
+      .count() === 0L,
+      "day 25 was scored against a baseline that should have expired")
+    // state holds only the keys inside the TTL window at the end
+    // (A's NEW epoch, B, C — never A's original expired entry as a 4th)
+    val rows = finalStateRows(lastQ)
+    assert(rows >= 0 && rows <= 3,
+      s"state store holds $rows rows — idle keys were not dropped")
+  }
+
+  test("CEP automaton: idle user's funnel state expires — a purchase " +
+      "after the TTL does not convert on the dead position") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import StreamingIngest.PatEv
+    def us(s: String): Long = Timestamp.valueOf(s).getTime * 1000L
+    val out = tmpDir("churn-cep-out") + "/conv"
+    val ckpt = tmpDir("churn-cep-ckpt")
+    val mem = MemoryStream[PatEv]
+    var lastQ: org.apache.spark.sql.streaming.StreamingQuery = null
+    def run(): Unit = {
+      val q = StreamingIngest.patternStream(mem.toDS(),
+          idleTtlMs = 2L * 3600 * 1000, lateness = "10 minutes")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); lastQ = q
+    }
+    // user 1 reaches view→click (state 2), goes idle past the 2 h TTL
+    // while user 9 advances the watermark, then purchases: with the
+    // automaton correctly dropped the purchase finds state 0 → no
+    // conversion. (Under NoTimeout this WOULD convert — the test pins
+    // the bounded-state trade explicitly.) User 9's complete in-window
+    // funnel still converts — the automaton itself stayed live.
+    mem.addData(
+      PatEv(1L, us("2024-01-01 10:00:00"), 1L, "view"),
+      PatEv(1L, us("2024-01-01 10:01:00"), 2L, "click")); run()
+    mem.addData(PatEv(9L, us("2024-01-01 15:00:00"), 3L, "view")); run()
+    mem.addData(
+      PatEv(9L, us("2024-01-01 16:00:00"), 4L, "click"),
+      PatEv(9L, us("2024-01-01 16:01:00"), 5L, "purchase")); run()
+    mem.addData(PatEv(1L, us("2024-01-01 18:00:00"), 6L, "purchase")); run()
+    val conv = spark.read.parquet(out)
+    assert(conv.filter($"user_id" === 9L).count() === 1L,
+      "the live in-window funnel must still convert")
+    assert(conv.filter($"user_id" === 1L).count() === 0L,
+      "purchase converted on automaton state that should have expired")
+    val rows = finalStateRows(lastQ)
+    assert(rows >= 0 && rows <= 2,
+      s"state store holds $rows rows — idle automata were not dropped")
   }
 }
