@@ -56,23 +56,45 @@ object Bench {
       val ok = once(name)
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val all = names.map { name =>
+    def bench(tier: Seq[String]) = tier.map { name =>
       val runs = Seq.fill(repeats)(timed(name))
       (name, runs.map(_._1).min, runs.head._1, runs.forall(_._2))
     }
-    val (results, failed) = all.partition(_._4)
-    def obj(f: ((String, Double, Double, Boolean)) => Double): String =
-      results.map { case r @ (k, _, _, _) => "\"" + k + "\":" + f(r) }
+    val all = bench(names)
+    // second pinned tier (r9 verdict #6): the expensive PQ/graph family,
+    // benched alongside the stable headline set so a regression there
+    // gets the same round-over-round early warning. Skipped when timing
+    // explicit args / the full registry (both already cover it), or via
+    // SPARK_GRAFT_BENCH_HEAVY=0 for quick local iteration.
+    val heavyNames =
+      if (args.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
+          || sys.env.get("SPARK_GRAFT_BENCH_HEAVY").contains("0")) Seq.empty
+      else SparkEntry.heavyQueries.filterNot(names.contains)
+    heavyNames.foreach(n => { once(n): Unit }) // warm-up, untimed
+    val heavyAll = bench(heavyNames)
+    val (results, failed0) = all.partition(_._4)
+    val (heavyResults, heavyFailed) = heavyAll.partition(_._4)
+    val failed = failed0 ++ heavyFailed
+    def obj(rs: Seq[(String, Double, Double, Boolean)],
+            f: ((String, Double, Double, Boolean)) => Double): String =
+      rs.map { case r @ (k, _, _, _) => "\"" + k + "\":" + f(r) }
         .mkString("{", ",", "}")
-    val qs = obj(_._2)
-    val qsSingle = obj(_._3)
+    val qs = obj(results, _._2)
+    val qsSingle = obj(results, _._3)
     val total = results.map(_._2).sum
     // value_single_shot keeps totals like-for-like against pre-r6 bench
     // files, whose "value" was a single-shot sum
     val totalSingle = results.map(_._3).sum
+    val heavyQs = obj(heavyResults, _._2)
+    val heavyTotal = heavyResults.map(_._2).sum
+    // per-entry wall-time budget (r9 verdict #7): any single query over
+    // 20 s at sf0.1 is named loudly instead of drowning in the total
+    val budgetSec = 20.0
+    val overBudget = (results ++ heavyResults).filter(_._2 > budgetSec)
+      .map { case (k, v, _, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val failedArr = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-$repeats","value_single_shot":$totalSingle,"queries":$qs,"queries_single_shot":$qsSingle,"failed":$failedArr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-$repeats","value_single_shot":$totalSingle,"queries":$qs,"queries_single_shot":$qsSingle,"heavy_total":$heavyTotal,"heavy":$heavyQs,"over_budget":$overBudget,"failed":$failedArr,"sf":"$sfDir"}"""
     println(line)
     // sbt wraps stdout in `[info]` prefixes, which broke the driver's JSON
     // parse (BENCH_r02.parsed = null) — also emit the line to a BARE file

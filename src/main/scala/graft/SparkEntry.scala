@@ -50,4 +50,19 @@ object SparkEntry {
     val present = preferred.filter(queries.contains)
     if (present.nonEmpty) present else queries.keys.toSeq.sorted
   }
+
+  /** Second pinned bench tier (round 10): the registry's EXPENSIVE family.
+    * The headline set has been stable since r3 (good for comparability)
+    * but no longer represents the full registry's cost profile — the PQ
+    * chain and the iterative graph gauges dominate bench_full totals, so
+    * a regression there would previously only show up diluted into the
+    * 193 s full-registry number. These 12 are benched min-of-N per round
+    * alongside the headline set and tracked round-over-round. */
+  def heavyQueries: Seq[String] = Seq(
+    "x_ann_ivfpq256_recall", "x_ann_pq_adc_recall",
+    "x_ann_ivfpq256_residual_recall", "x_ann_ivfpq_recall",
+    "x_ann_ivfpq_residual_recall", "x_hits", "x_pagerank",
+    "x_recs_holdout_eval", "x_hll_set_ops", "x_fuzzy_pieces_d2",
+    "x_ann_clustered_ivf_recall", "x_curation_pipeline"
+  ).filter(queries.contains)
 }

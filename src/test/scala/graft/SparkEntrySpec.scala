@@ -32,6 +32,13 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.benchQueries.nonEmpty)
   }
 
+  test("heavyQueries are all registered, non-empty, disjoint from headline") {
+    assert(SparkEntry.heavyQueries.forall(SparkEntry.queries.contains))
+    assert(SparkEntry.heavyQueries.size === 12,
+      "the heavy tier is PINNED at 12 for round-over-round comparability")
+    assert(SparkEntry.heavyQueries.intersect(SparkEntry.benchQueries).isEmpty)
+  }
+
   // r7 post-mortem: x_sessionize crashed at ANALYSIS time after a fixture
   // regeneration changed events.ts's physical type, and no gate saw it —
   // `sbt test` stayed green because nothing executed the registry. This test
