@@ -17,6 +17,44 @@ object EventOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "x_time_to_convert" -> ((s, d) => {
+      // funnel LATENCY (the time axis x_funnel/x_ordered_funnel drop):
+      // per user, milliseconds from the first 'view' to the first
+      // 'purchase' at-or-after it; corpus-level median and p90 selected
+      // from the delta histogram's cumulative counts (integer epoch-ms
+      // deltas — rank selection, no interpolation, cross-engine exact).
+      // The only windows run over the grouped delta table, whose
+      // cardinality is bounded by the observation span in ms, not by
+      // user count; everything else is two keyed aggregations.
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+      val deltas = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id")
+        .filter(col("ts") >= col("v_ts"))
+        .groupBy("user_id")
+        .agg((unix_millis(min(col("ts")))
+          - unix_millis(max(col("v_ts")))).as("delta"))
+      val nv = v.agg(count(lit(1)).as("n_viewers"))
+      val nc = deltas.agg(count(lit(1)).as("n_converted"))
+      val wD = Window.orderBy("delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val hc = deltas.groupBy(col("delta")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wD))
+        .crossJoin(broadcast(nc))
+      val med = hc.filter(col("cum") >= expr("(n_converted + 1) div 2"))
+        .agg(min(col("delta")).as("median_ms"))
+      val p90 = hc.filter(col("cum") >= expr("(9 * n_converted + 9) div 10"))
+        .agg(min(col("delta")).as("p90_ms"))
+      nv.crossJoin(broadcast(nc)).crossJoin(broadcast(med))
+        .crossJoin(broadcast(p90))
+        .select(col("n_viewers"), col("n_converted"),
+          detRound(col("n_converted").cast("double") / col("n_viewers"), 6)
+            .as("conv_rate"),
+          col("median_ms"), col("p90_ms"))
+    }),
+
     "x_json_props" -> ((s, d) => {
       t(s, d, "events")
         .withColumn("k", jsonField(col("props"), "$.k").cast("int"))
@@ -638,6 +676,30 @@ object EventOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "x_time_to_convert" ->
+      """WITH v AS (
+           SELECT user_id, MIN(ts) AS v_ts FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         p AS (
+           SELECT e.user_id,
+                  epoch_ms(MIN(e.ts)) - epoch_ms(MAX(v.v_ts)) AS delta
+           FROM events e JOIN v ON v.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts
+           GROUP BY 1),
+         nv AS (SELECT COUNT(*) AS n_viewers FROM v),
+         nc AS (SELECT COUNT(*) AS n_converted FROM p),
+         h AS (SELECT delta, COUNT(*) AS c FROM p GROUP BY 1),
+         hc AS (SELECT delta, c, SUM(c) OVER (ORDER BY delta) AS cum FROM h),
+         med AS (SELECT MIN(delta) AS median_ms FROM hc, nc
+                 WHERE cum >= (n_converted + 1) // 2),
+         p90 AS (SELECT MIN(delta) AS p90_ms FROM hc, nc
+                 WHERE cum >= (9 * n_converted + 9) // 10)
+         SELECT nv.n_viewers, nc.n_converted,
+                floor(CAST(nc.n_converted AS DOUBLE) / nv.n_viewers
+                      * 1e6 + 0.5) / 1e6 AS conv_rate,
+                med.median_ms, p90.p90_ms
+         FROM nv, nc, med, p90""",
 
     "x_event_pattern" ->
       """WITH seqs AS (

@@ -790,6 +790,108 @@ object StatsOps {
           detRound(max(col("l_extendedprice")), 4).as("hi"),
           dsum(col("l_extendedprice")).as("bin_sum"))
         .orderBy("bin")
+    }),
+
+    "x_join_skew_stats" -> ((s, d) => {
+      // pre-join skew advisor: the frequency profile of lineitem's join
+      // key l_partkey — the numbers an engineer reads before deciding
+      // whether a key needs salting / AQE skew handling (max key share,
+      // p99-vs-mean ratio). Two grouped passes: key → count, then
+      // count → #keys (the count-of-counts histogram, bounded by the
+      // distinct frequency values); the p99 frequency is a rank
+      // selection off that histogram's cumsum, so no per-key sort and
+      // no single-partition pass over keys.
+      val cnt = t(s, d, "lineitem").groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(count(lit(1)).as("n_keys"),
+        sum(col("c")).cast("long").as("n_rows"), max(col("c")).as("max_c"))
+      val wC = Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val p99 = cnt.groupBy(col("c")).agg(count(lit(1)).as("k"))
+        .withColumn("cum", sum(col("k")).over(wC))
+        .crossJoin(broadcast(tot))
+        .filter(col("cum") >= expr("(99 * n_keys + 99) div 100"))
+        .agg(min(col("c")).as("p99_c"))
+      tot.crossJoin(broadcast(p99))
+        .select(col("n_keys"), col("n_rows"), col("max_c"), col("p99_c"),
+          detRound(col("n_rows").cast("double") / col("n_keys"), 6)
+            .as("mean_c"),
+          detRound(col("max_c").cast("double") * col("n_keys")
+            / col("n_rows"), 6).as("skew_ratio"))
+    }),
+
+    "x_trimmed_mean" -> ((s, d) => {
+      // 10%-trimmed mean per event type — the robust location estimate
+      // metric pipelines use when MAD-based outlier cuts (x_robust_stats)
+      // are too aggressive. Dropping the k=n÷10 smallest and largest
+      // values needs the rank structure of the whole group, but never
+      // the rows in rank order: each (type, value) HISTOGRAM bucket
+      // occupies ranks (cum−c, cum], so its kept-row count is the
+      // integer overlap of that interval with (k, n−k] — the whole op
+      // is two grouped aggregations and one window over the bounded
+      // distinct-value table. Kept-value sums in DECIMAL(18,4)·count
+      // (exact in both engines); the only float op is the final mean.
+      val ev = t(s, d, "events").select(col("event_type"), col("value"))
+      val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val wC = Window.partitionBy("event_type").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wC))
+        .join(broadcast(n), "event_type")
+        .withColumn("k", expr("n div 10"))
+        .withColumn("kept", greatest(lit(0L),
+          least(col("cum"), col("n") - col("k"))
+            - greatest(col("cum") - col("c"), col("k"))))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), max(col("k")).as("k_each_side"),
+          sum(col("value").cast("decimal(18,4)") * col("kept"))
+            .cast("double").as("ts"),
+          sum(col("value").cast("decimal(18,4)") * col("c"))
+            .cast("double").as("fs"))
+        .select(col("event_type"), col("n"), col("k_each_side"),
+          detRound(col("ts") / (col("n") - lit(2) * col("k_each_side")), 6)
+            .as("trimmed_mean"),
+          detRound(col("fs") / col("n"), 6).as("mean"))
+        .orderBy("event_type")
+    }),
+
+    "x_winsorized_stats" -> ((s, d) => {
+      // winsorization at the 5th/95th percentile per event type — the
+      // outlier CAPPING curation step (vs x_trimmed_mean's dropping):
+      // values below the p05 edge are raised to it, above p95 lowered.
+      // Both edges are rank selections off the same (type, value)
+      // histogram cumsum (value at rank ceil(q·n) = min value whose
+      // cumulative count reaches it), and the capped mean needs no
+      // per-row pass either: cap(value) is constant within a histogram
+      // bucket, so the capped sum is Σ cap(value)·c in DECIMAL(18,4).
+      val ev = t(s, d, "events").select(col("event_type"), col("value"))
+      val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val wC = Window.partitionBy("event_type").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val hist = ev.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wC))
+        .join(broadcast(n), "event_type")
+        .localCheckpoint()
+      val lo = hist.filter(col("cum") >= expr("(n + 19) div 20"))
+        .groupBy("event_type").agg(min(col("value")).as("p05"))
+      val hi = hist.filter(col("cum") >= expr("(19 * n + 19) div 20"))
+        .groupBy("event_type").agg(min(col("value")).as("p95"))
+      hist.join(broadcast(lo), "event_type")
+        .join(broadcast(hi), "event_type")
+        .withColumn("cl", when(col("value") < col("p05"), col("p05"))
+          .when(col("value") > col("p95"), col("p95"))
+          .otherwise(col("value")))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          detRound(max(col("p05")), 6).as("p05"),
+          detRound(max(col("p95")), 6).as("p95"),
+          sum(col("cl").cast("decimal(18,4)") * col("c"))
+            .cast("double").as("ws"))
+        .select(col("event_type"), col("n"), col("p05"), col("p95"),
+          detRound(col("ws") / col("n"), 6).as("winsorized_mean"))
+        .orderBy("event_type")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1358,5 +1460,70 @@ object StatsOps {
                       CAST(ntile(10) OVER (ORDER BY l_extendedprice,
                         l_orderkey, l_linenumber) AS BIGINT) AS bin
                FROM lineitem)
-         GROUP BY 1 ORDER BY bin""")
+         GROUP BY 1 ORDER BY bin""",
+
+    "x_join_skew_stats" ->
+      """WITH cnt AS (
+           SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY 1),
+         tot AS (
+           SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+                  MAX(c) AS max_c
+           FROM cnt),
+         h AS (SELECT c, COUNT(*) AS k FROM cnt GROUP BY 1),
+         hc AS (SELECT c, k, SUM(k) OVER (ORDER BY c) AS cum FROM h),
+         p99 AS (SELECT MIN(c) AS p99_c FROM hc, tot
+                 WHERE cum >= (99 * n_keys + 99) // 100)
+         SELECT tot.n_keys, tot.n_rows, tot.max_c, p99.p99_c,
+                floor(CAST(tot.n_rows AS DOUBLE) / tot.n_keys
+                      * 1e6 + 0.5) / 1e6 AS mean_c,
+                floor(CAST(tot.max_c AS DOUBLE) * tot.n_keys / tot.n_rows
+                      * 1e6 + 0.5) / 1e6 AS skew_ratio
+         FROM tot, p99""",
+
+    "x_trimmed_mean" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+         n AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY 1),
+         h AS (SELECT event_type, value, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+         hc AS (SELECT event_type, value, c,
+                  SUM(c) OVER (PARTITION BY event_type ORDER BY value) AS cum
+                FROM h),
+         kv AS (SELECT hc.event_type, hc.value, hc.c, hc.cum, n.n,
+                  n.n // 10 AS k
+                FROM hc JOIN n USING (event_type)),
+         kept AS (SELECT event_type, value, c, n, k,
+                    GREATEST(0, LEAST(cum, n - k)
+                                - GREATEST(cum - c, k)) AS kept
+                  FROM kv)
+         SELECT event_type, MAX(n) AS n, MAX(k) AS k_each_side,
+                floor(CAST(SUM(CAST(value AS DECIMAL(18,4)) * kept)
+                           AS DOUBLE)
+                      / (MAX(n) - 2 * MAX(k)) * 1e6 + 0.5) / 1e6
+                  AS trimmed_mean,
+                floor(CAST(SUM(CAST(value AS DECIMAL(18,4)) * c) AS DOUBLE)
+                      / MAX(n) * 1e6 + 0.5) / 1e6 AS mean
+         FROM kept GROUP BY 1 ORDER BY event_type""",
+
+    "x_winsorized_stats" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+         n AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY 1),
+         h AS (SELECT event_type, value, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+         hc AS (SELECT event_type, value, c,
+                  SUM(c) OVER (PARTITION BY event_type ORDER BY value) AS cum
+                FROM h),
+         j AS (SELECT hc.event_type, hc.value, hc.c, hc.cum, n.n
+               FROM hc JOIN n USING (event_type)),
+         lo AS (SELECT event_type, MIN(value) AS p05 FROM j
+                WHERE cum >= (n + 19) // 20 GROUP BY 1),
+         hi AS (SELECT event_type, MIN(value) AS p95 FROM j
+                WHERE cum >= (19 * n + 19) // 20 GROUP BY 1)
+         SELECT j.event_type, MAX(j.n) AS n,
+                floor(MAX(lo.p05) * 1e6 + 0.5) / 1e6 AS p05,
+                floor(MAX(hi.p95) * 1e6 + 0.5) / 1e6 AS p95,
+                floor(CAST(SUM(CAST(CASE WHEN j.value < lo.p05 THEN lo.p05
+                                         WHEN j.value > hi.p95 THEN hi.p95
+                                         ELSE j.value END AS DECIMAL(18,4))
+                               * j.c) AS DOUBLE)
+                      / MAX(j.n) * 1e6 + 0.5) / 1e6 AS winsorized_mean
+         FROM j JOIN lo USING (event_type) JOIN hi USING (event_type)
+         GROUP BY 1 ORDER BY event_type""")
 }

@@ -174,6 +174,35 @@ object TextOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "x_vocab_coverage" -> ((s, d) => {
+      // out-of-vocabulary rate per source against the corpus's own
+      // top-1000 token vocabulary — the "how much of this source will a
+      // fixed tokenizer vocab cover?" dial read before committing a
+      // vocab size (complements x_bpe_fertility, which measures the
+      // subword split cost of what IS covered). The vocab is a
+      // deterministic top-k (count desc, token asc) — orderBy + limit,
+      // which Catalyst plans as TakeOrderedAndProject (per-partition
+      // heaps + single merge of k rows, never a global sort), and the
+      // 1000-row vocab broadcasts to the coverage join.
+      val toks = t(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(1000)
+        .select(col("tok"), lit(1).as("inv"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"),
+          countDistinct(when(col("inv").isNull, col("tok")))
+            .as("n_oov_types"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          detRound(col("n_oov").cast("double") / col("n_tokens"), 6)
+            .as("oov_rate"),
+          col("n_oov_types"))
+        .orderBy("source")
+    }),
+
     "x_text_stats" -> ((s, d) => {
       t(s, d, "documents")
         .groupBy(col("lang"))
@@ -1390,6 +1419,26 @@ object TextOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "x_vocab_coverage" ->
+      """WITH toks AS (
+           SELECT source, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         tk AS (SELECT source, tok FROM toks WHERE len(tok) > 0),
+         vocab AS (
+           SELECT tok FROM (
+             SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY 1)
+           ORDER BY cnt DESC, tok LIMIT 1000)
+         SELECT tk.source, COUNT(*) AS n_tokens,
+                CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_oov,
+                floor(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                           AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+                  AS oov_rate,
+                COUNT(DISTINCT CASE WHEN v.tok IS NULL THEN tk.tok END)
+                  AS n_oov_types
+         FROM tk LEFT JOIN vocab v ON v.tok = tk.tok
+         GROUP BY 1 ORDER BY tk.source""",
+
     "x_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
          floor((CAST(SUM(n_chars) AS BIGINT) / COUNT(*)) * 1e4 + 0.5) / 1e4 AS avg_chars,

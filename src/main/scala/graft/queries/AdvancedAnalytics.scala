@@ -20,6 +20,52 @@ import graft.util.Tables.t
 object AdvancedAnalytics {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_schema_profile" -> ((s, d) => {
+      // one-pass data profiler over orders — the null-rate / distinct /
+      // min-max summary an ingest pipeline records per landing (the
+      // "did the upstream schema drift?" smoke read). All six columns
+      // profile in a SINGLE Aggregate (one scan; the multi-countDistinct
+      // Expand is 6x the scan rows map-side, the standard Spark cost of
+      // exact per-column distincts in one pass), then stack() unpivots
+      // the 1-row result to a row per column. Numeric min/max are
+      // quantized to integers and timestamps formatted, so the VARCHAR
+      // repr is hash-identical across engines.
+      val o = t(s, d, "orders")
+      def nu(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+      val a = o.agg(
+        nu("o_orderkey").as("nu1"), countDistinct(col("o_orderkey")).as("nd1"),
+        min(col("o_orderkey")).as("mn1"), max(col("o_orderkey")).as("mx1"),
+        nu("o_custkey").as("nu2"), countDistinct(col("o_custkey")).as("nd2"),
+        min(col("o_custkey")).as("mn2"), max(col("o_custkey")).as("mx2"),
+        nu("o_orderstatus").as("nu3"),
+        countDistinct(col("o_orderstatus")).as("nd3"),
+        min(col("o_orderstatus")).as("mn3"),
+        max(col("o_orderstatus")).as("mx3"),
+        nu("o_orderpriority").as("nu4"),
+        countDistinct(col("o_orderpriority")).as("nd4"),
+        min(col("o_orderpriority")).as("mn4"),
+        max(col("o_orderpriority")).as("mx4"),
+        nu("o_totalprice").as("nu5"),
+        countDistinct(col("o_totalprice")).as("nd5"),
+        min(col("o_totalprice")).as("mn5"), max(col("o_totalprice")).as("mx5"),
+        nu("o_orderdate").as("nu6"), countDistinct(col("o_orderdate")).as("nd6"),
+        min(col("o_orderdate")).as("mn6"), max(col("o_orderdate")).as("mx6"))
+      a.select(expr(
+        """stack(6,
+             'o_orderkey', nu1, nd1, cast(mn1 as string), cast(mx1 as string),
+             'o_custkey', nu2, nd2, cast(mn2 as string), cast(mx2 as string),
+             'o_orderstatus', nu3, nd3, mn3, mx3,
+             'o_orderpriority', nu4, nd4, mn4, mx4,
+             'o_totalprice', nu5, nd5,
+               cast(cast(floor(mn5 * 1e4 + 0.5) as bigint) as string),
+               cast(cast(floor(mx5 * 1e4 + 0.5) as bigint) as string),
+             'o_orderdate', nu6, nd6,
+               date_format(mn6, 'yyyy-MM-dd HH:mm:ss'),
+               date_format(mx6, 'yyyy-MM-dd HH:mm:ss'))
+           AS (col_name, null_cnt, n_distinct, min_repr, max_repr)"""))
+        .orderBy("col_name")
+    }),
+
     "w4_moving_avg" -> ((s, d) => {
       // 3-month moving revenue (window FRAME over the pre-aggregated
       // monthly table — O(months) rows at the window, facts stay in the
@@ -273,6 +319,50 @@ object AdvancedAnalytics {
   private def m(c: String) = M.format(c)
 
   def oracleSql: Map[String, String] = Map(
+    "x_schema_profile" ->
+      """WITH a AS (
+           SELECT
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nu1,
+             COUNT(DISTINCT o_orderkey) AS nd1,
+             MIN(o_orderkey) AS mn1, MAX(o_orderkey) AS mx1,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nu2,
+             COUNT(DISTINCT o_custkey) AS nd2,
+             MIN(o_custkey) AS mn2, MAX(o_custkey) AS mx2,
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nu3,
+             COUNT(DISTINCT o_orderstatus) AS nd3,
+             MIN(o_orderstatus) AS mn3, MAX(o_orderstatus) AS mx3,
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nu4,
+             COUNT(DISTINCT o_orderpriority) AS nd4,
+             MIN(o_orderpriority) AS mn4, MAX(o_orderpriority) AS mx4,
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nu5,
+             COUNT(DISTINCT o_totalprice) AS nd5,
+             MIN(o_totalprice) AS mn5, MAX(o_totalprice) AS mx5,
+             CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nu6,
+             COUNT(DISTINCT o_orderdate) AS nd6,
+             MIN(o_orderdate) AS mn6, MAX(o_orderdate) AS mx6
+           FROM orders)
+         SELECT 'o_orderkey' AS col_name, nu1 AS null_cnt,
+                nd1 AS n_distinct, CAST(mn1 AS VARCHAR) AS min_repr,
+                CAST(mx1 AS VARCHAR) AS max_repr FROM a
+         UNION ALL SELECT 'o_custkey', nu2, nd2,
+                CAST(mn2 AS VARCHAR), CAST(mx2 AS VARCHAR) FROM a
+         UNION ALL SELECT 'o_orderstatus', nu3, nd3, mn3, mx3 FROM a
+         UNION ALL SELECT 'o_orderpriority', nu4, nd4, mn4, mx4 FROM a
+         UNION ALL SELECT 'o_totalprice', nu5, nd5,
+                CAST(CAST(floor(mn5 * 1e4 + 0.5) AS BIGINT) AS VARCHAR),
+                CAST(CAST(floor(mx5 * 1e4 + 0.5) AS BIGINT) AS VARCHAR)
+           FROM a
+         UNION ALL SELECT 'o_orderdate', nu6, nd6,
+                strftime(mn6, '%Y-%m-%d %H:%M:%S'),
+                strftime(mx6, '%Y-%m-%d %H:%M:%S') FROM a
+         ORDER BY col_name""",
+
     "w4_moving_avg" ->
       s"""SELECT month, revenue,
           floor((CAST(SUM(CAST(revenue AS DECIMAL(18,4))) OVER w AS DOUBLE)
