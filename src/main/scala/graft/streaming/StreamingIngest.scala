@@ -464,6 +464,31 @@ object StreamingIngest {
   }
 
   // ---- custom state: flatMapGroupsWithState ---------------------------
+  //
+  // LATENESS CONTRACT (ADVICE r10 low #3 — calling the silent-drop
+  // boundary out where callers will see it): every stateful operator
+  // below sits behind `withWatermark(..., lateness)`, so an event
+  // arriving more than `lateness` of event time behind the stream's
+  // maximum seen timestamp is DROPPED BEFORE the operator — it is not
+  // deduplicated, not folded, not counted. That drop is silent in the
+  // output but NOT unobservable: Spark counts it per trigger in
+  // `StreamingQueryProgress.stateOperators[i].numRowsDroppedByWatermark`;
+  // `droppedByWatermark(query)` below sums it across a query's retained
+  // progress so callers can alert on late-data loss. Pick `lateness` as
+  // the real out-of-orderness bound of the source, not a small default.
+
+  /** Total rows silently dropped by the event-time watermark across the
+    * query's retained progress history (sum over all stateful operators
+    * and triggers still in `recentProgress`). Pair any use of the
+    * stateful operators below with a check of this counter — a non-zero
+    * value means input arrived later than the `lateness` bound and was
+    * discarded before the operator saw it. */
+  def droppedByWatermark(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq)
+      .map(_.numRowsDroppedByWatermark)
+      .sum
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp)
   case class SessionState(start: Long, last: Long, n: Int)
@@ -518,6 +543,8 @@ object StreamingIngest {
             Iterator.empty
           } else {
             val out = scala.collection.mutable.ArrayBuffer[EwmaAnomaly]()
+            val prevLastDay =
+              state.getOption.map(_.lastDay).getOrElse(Long.MinValue)
             var st = state.getOption
               .getOrElse(EwmaSt(0.0, 0.0, 0.0, Long.MinValue))
             rows.toSeq.sortBy(_.epochDay).foreach { r =>
@@ -534,10 +561,22 @@ object StreamingIngest {
                 st = EwmaSt(ws, e1, e2, r.epochDay)
               }
             }
-            state.update(st)
-            // timeout must sit strictly past the current watermark
+            // The idle TTL measures event time since the key's FRONTIER,
+            // not since its last (possibly stale/duplicate) sighting: a
+            // batch that applied no row — every epochDay <= lastDay —
+            // must NOT refresh the deadline, or a key replaying old days
+            // forever would never expire (ADVICE r10 low #4). Only a
+            // frontier advance re-arms from the new frontier; otherwise
+            // the deadline stays where the last real advance put it,
+            // clamped just past the watermark (setTimeoutTimestamp
+            // rejects values at or behind it — the clamp only engages
+            // when the old deadline is about to fire anyway).
+            val advanced = st.lastDay > prevLastDay
+            if (advanced) state.update(st)
+            val frontierMs =
+              (if (advanced) st.lastDay else prevLastDay) * 86400000L
             state.setTimeoutTimestamp(math.max(
-              state.getCurrentWatermarkMs(), st.lastDay * 86400000L) + idleTtlMs)
+              state.getCurrentWatermarkMs() + 1, frontierMs + idleTtlMs))
             out.iterator
           }
       }
@@ -584,6 +623,8 @@ object StreamingIngest {
           if (state.hasTimedOut) { state.remove(); Iterator.empty } else {
           val evs: Iterator[PatEv] =
             evsT.map(e => PatEv(e.user_id, e.tsMicros, e.event_id, e.event_type))
+          val prevFrontier = state.getOption
+            .map(s => (s.lastTs, s.lastId)).getOrElse((Long.MinValue, Long.MinValue))
           var st = state.getOption.getOrElse(PatSt(0, Long.MinValue,
             Long.MinValue, 0L))
           val out = scala.collection.mutable.ArrayBuffer[Conversion]()
@@ -607,9 +648,14 @@ object StreamingIngest {
               else PatSt(ns, e.tsMicros, e.event_id, st.total)
             }
           }
-          state.update(st)
+          // Same frontier-gated re-arm as ewmaAnomalyStream (ADVICE r10
+          // low #4): a batch of only replayed/out-of-order events — none
+          // fresh past (lastTs, lastId) — must not refresh the idle TTL.
+          val advanced = (st.lastTs, st.lastId) != prevFrontier
+          if (advanced) state.update(st)
+          val frontierTs = if (advanced) st.lastTs else prevFrontier._1
           state.setTimeoutTimestamp(math.max(
-            state.getCurrentWatermarkMs(), st.lastTs / 1000L) + idleTtlMs)
+            state.getCurrentWatermarkMs() + 1, frontierTs / 1000L + idleTtlMs))
           out.iterator
           }
       }

@@ -101,6 +101,57 @@ class PlanAuditSpec extends SparkSpec {
       s"${offenders.size} scale-unsafe windows:\n${offenders.mkString("\n")}")
   }
 
+  // rawBelow's LogicalRDD exemption is only sound while every
+  // checkpointed subplan in the registry is a grouped/bounded table.
+  // Nothing in rawBelow itself can verify that (LogicalRDD does not
+  // carry its originating plan), so the exemption is RESTRICTED to this
+  // pinned set of queries known — by review of their build sites — to
+  // checkpoint only bounded subplans (ADVICE r10 low #5). A new query
+  // that introduces a localCheckpoint fails the pin test below and must
+  // be reviewed + added here explicitly; it cannot silently bypass the
+  // window/cross-product/broadcast audits by checkpointing a raw scan.
+  private val checkpointPinned: Set[String] = Set(
+    "j4_tree_closure", "j4b_deep_closure", "x_ann_clustered_ivf_recall",
+    "x_ann_clustered_lsh_recall", "x_ann_ivf_probe_quality",
+    "x_ann_ivf_trained_probe_quality", "x_ann_ivfpq256_recall",
+    "x_ann_ivfpq256_residual_recall", "x_ann_ivfpq_recall",
+    "x_ann_ivfpq_residual_recall", "x_ann_multiprobe_quality",
+    "x_ann_pq_adc_recall", "x_ann_quality", "x_ann_tables_probes_quality",
+    "x_ann_trained_quality", "x_autocorrelation", "x_best_passage",
+    "x_bm25", "x_bootstrap_ci", "x_bootstrap_median_ci", "x_bpe_fertility",
+    "x_bpe_tokenize", "x_burst_hours", "x_chi2_independence",
+    "x_classifier_agreement", "x_classifier_report", "x_cluster_size_dist",
+    "x_cluster_topics", "x_collocations", "x_cooccurrence_recs",
+    "x_curation_pipeline", "x_cusum_changepoint", "x_dedup_band_tuning",
+    "x_dedup_chain_clusters", "x_dedup_clusters",
+    "x_dedup_embedding_clusters", "x_dedup_pipeline", "x_dedup_quality",
+    "x_degree_histogram", "x_embedding_outliers", "x_entropy_rate",
+    "x_fuzzy_passjoin", "x_hard_negatives", "x_hits", "x_hll_set_ops",
+    "x_kcore", "x_ks_statistic", "x_label_propagation", "x_link_prediction",
+    "x_lm_bigram", "x_market_basket", "x_maxscore_prune", "x_mmr_rerank",
+    "x_mrr_eval", "x_ndcg_eval", "x_negative_sampling", "x_ordered_funnel",
+    "x_pagerank", "x_ppmi_embeddings", "x_prf_expansion",
+    "x_proportion_ztest", "x_psi_drift", "x_quality_classifier",
+    "x_random_projection", "x_recs_holdout_eval", "x_robust_stats",
+    "x_rrf_fusion", "x_semdedup", "x_shingle_profile", "x_simhash_hamming",
+    "x_sliding_distinct", "x_source_divergence", "x_source_overlap",
+    "x_span_corruption", "x_sq_int8_recall", "x_target_encoding",
+    "x_triangle_count", "x_winsorized_stats", "x_zorder_layout")
+
+  test("localCheckpoint boundaries appear only in reviewed queries") {
+    val withRdd = plans.collect {
+      case (name, plan) if plan.collectLeaves().exists(
+          _.getClass.getSimpleName.startsWith("LogicalRDD")) => name
+    }.toSet
+    val unreviewed = withRdd -- checkpointPinned
+    val stale = checkpointPinned -- withRdd
+    assert(unreviewed.isEmpty,
+      s"queries with unreviewed checkpoint boundaries (audit their " +
+        s"pre-checkpoint plan, then pin): ${unreviewed.toSeq.sorted}")
+    assert(stale.isEmpty,
+      s"pinned queries no longer checkpoint (unpin): ${stale.toSeq.sorted}")
+  }
+
   test("no cross product joins two unbounded inputs") {
     // crossJoin(broadcast(oneRowAgg)) — the scalar-fanout idiom all over
     // this repo — is fine: the agg side never passes rawBelow. What this

@@ -756,4 +756,71 @@ class StreamingSpec extends SparkSpec {
     assert(rows >= 0 && rows <= 2,
       s"state store holds $rows rows — idle automata were not dropped")
   }
+
+  test("EWMA chart: duplicate frontier replays do not refresh the idle " +
+      "TTL — the deadline is measured from the key's frontier, so a key " +
+      "replaying its last day still expires (ADVICE r10 #4)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import StreamingIngest.DayRow
+    val out = tmpDir("stale-ewma-out") + "/anom"
+    val ckpt = tmpDir("stale-ewma-ckpt")
+    val mem = MemoryStream[DayRow]
+    var lastQ: org.apache.spark.sql.streaming.StreamingQuery = null
+    def run(): Unit = {
+      val q = StreamingIngest.ewmaAnomalyStream(mem.toDS(),
+          idleTtlMs = 2L * 86400 * 1000, lateness = "1 day")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); lastQ = q
+    }
+    // A's frontier is day 5 → deadline day 7. Each later wave REPLAYS
+    // day 5 (a duplicate: above the lagging watermark, so the operator
+    // IS invoked for A, but no row advances the frontier) while B walks
+    // the watermark forward. The replays must not move A's deadline:
+    // once the watermark passes day 7 the baseline is dropped, so A's
+    // day-20 spike scores against an empty state and flags nothing.
+    mem.addData((1L to 5L).map(d => DayRow("A", d, 5L + (d % 2))): _*); run()
+    mem.addData(DayRow("A", 5L, 6L), DayRow("B", 6L, 7L)); run()
+    mem.addData(DayRow("A", 5L, 6L), DayRow("B", 8L, 7L)); run()
+    mem.addData(DayRow("B", 9L, 7L)); run()
+    mem.addData(DayRow("A", 20L, 1000L)); run()
+    val anom = spark.read.parquet(out)
+    assert(anom.filter($"priority" === "A" && $"epochDay" === 20L)
+      .count() === 0L,
+      "day 20 scored against a baseline the replays should not have kept alive")
+    val rows = finalStateRows(lastQ)
+    assert(rows >= 0 && rows <= 2,
+      s"state store holds $rows rows — replayed duplicates pinned state")
+  }
+
+  test("droppedByWatermark surfaces the silent late-row drop boundary") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import StreamingIngest.Ev
+    def ts(s: String) = Timestamp.valueOf(s)
+    val out = tmpDir("late-obs-out") + "/sessions"
+    val ckpt = tmpDir("late-obs-ckpt")
+    val mem = MemoryStream[Ev]
+    def run(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val q = StreamingIngest.sessionizeWithState(mem.toDS(),
+          lateness = "10 minutes")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); q
+    }
+    // advance the watermark to ~11:50, then send an event from 10:00 —
+    // 100 minutes late against a 10-minute bound. The operator never
+    // sees it (silent drop), but the progress metric must count it.
+    mem.addData(Ev(1L, ts("2024-01-01 12:00:00")))
+    val q1 = run()
+    assert(StreamingIngest.droppedByWatermark(q1) === 0L)
+    mem.addData(Ev(2L, ts("2024-01-01 10:00:00")),
+      Ev(1L, ts("2024-01-01 12:01:00")))
+    val q2 = run()
+    assert(StreamingIngest.droppedByWatermark(q2) >= 1L,
+      "the late row was dropped without appearing in the watermark metric")
+  }
 }
