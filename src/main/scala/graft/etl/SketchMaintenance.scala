@@ -55,4 +55,23 @@ object SketchMaintenance {
       .select(col(keyCol),
         expr(s"graft_cms_probe(sk, $keyCol)").as("est_freq"))
   }
+
+  /** Join-size estimate between two MAINTAINED sketches (r11): the CM
+    * inner product (graft_cms_dot, x_cms_join_estimate's operator) over
+    * two materialized sketch tables kept fresh by [[refresh]]. This is
+    * the continuous-monitoring form: two ingest streams each fold their
+    * join key into a sketch per batch, and the estimated size of their
+    * join is answerable at any moment in O(sketch) — no scan of either
+    * history, no shuffle — e.g. to warn when a fact⋈fact join a
+    * downstream job runs nightly is about to double. Both sketches must
+    * share eps/confidence/seed (this module pins all three); the merge
+    * path preserves them, and graft_cms_dot rejects mismatches. */
+  def joinSizeEstimate(spark: SparkSession, path1: String,
+                       path2: String): Long = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet(path1).select(col("sk").as("sk1"))
+      .crossJoin(spark.read.parquet(path2).select(col("sk").as("sk2")))
+      .select(expr("graft_cms_dot(sk1, sk2)").as("est"))
+      .collect()(0).getLong(0)
+  }
 }

@@ -33,6 +33,15 @@ object StatsOps {
   private def ewmaQW(i: Int): Long =
     math.floor(ewmaW(i) * 1e9 + 0.5).toLong
 
+  // Brown double-smoothing ladder (x_holt_forecast): the second
+  // smoothing's expansion weights ∝ m·β^m — same fixed-point treatment,
+  // computed once and embedded identically in both engines.
+  private def brownW(i: Int): Double = i * math.pow(EwmaAlpha, i)
+  private def brownWLit(i: Int): String =
+    String.format("%.17g", Double.box(brownW(i)))
+  private def brownQW(i: Int): Long =
+    math.floor(brownW(i) * 1e9 + 0.5).toLong
+
   // ---- Poisson bootstrap --------------------------------------------------
   // Poisson(1) CDF thresholds for the inverse-CDF weight ladder, written
   // as decimal strings so BOTH engines parse the identical binary64
@@ -267,6 +276,59 @@ object StatsOps {
         .select(col("priority"), graft.types.Coercions.fmtD(col("day"))
           .as("day"), col("y"), detRound(col("ewma"), 6).as("ewma"),
           detRound(col("z"), 6).as("z"))
+    }),
+
+    "x_holt_forecast" -> ((s, d) => {
+      // Trend-adjusted one-step forecast (Brown's double exponential
+      // smoothing) over daily order volume per priority — the EWMA
+      // chart's sibling for TRENDING series, where a level-only forecast
+      // lags a ramp systematically. Brown's recursion S2 = EWMA(EWMA(y))
+      // expands to a SINGLE weighted sum (S2_t = α²Σ m·β^(m-1)·y_{t-m}),
+      // so both smoothings come from one generated lag ladder over the
+      // already-aggregated daily table, normalized per-row over the
+      // present lags exactly like x_ewma_anomaly (same truncation, same
+      // 1e9 fixed-point quantization, same scale posture: thousands of
+      // grouped rows per priority at any corpus size, all codegen'd).
+      // Forecast F = 2·S1 − S2 + (α/β)(S1 − S2) — the Brown trend
+      // correction with α = 1−β; residual = y − F. The top-10 |residual|
+      // days are where the trend-adjusted model was most surprised —
+      // flagged ramps-breaks rather than the EWMA chart's level spikes.
+      val w = Window.partitionBy("priority").orderBy("day")
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      def lagY(i: Int) = lag(col("y"), i).over(w)
+      val num1 = (1 to EwmaLags).map(i =>
+        when(lagY(i).isNotNull,
+          floor(lagY(i) * lit(ewmaW(i)) * 1e9 + 0.5).cast("long"))
+          .otherwise(0L)).reduce(_ + _)
+      val den1 = (1 to EwmaLags).map(i =>
+        when(lagY(i).isNotNull, lit(ewmaQW(i))).otherwise(0L))
+        .reduce(_ + _)
+      val num2 = (1 to EwmaLags).map(i =>
+        when(lagY(i).isNotNull,
+          floor(lagY(i) * lit(brownW(i)) * 1e9 + 0.5).cast("long"))
+          .otherwise(0L)).reduce(_ + _)
+      val den2 = (1 to EwmaLags).map(i =>
+        when(lagY(i).isNotNull, lit(brownQW(i))).otherwise(0L))
+        .reduce(_ + _)
+      val trendGain = (1.0 - EwmaAlpha) / EwmaAlpha // α/β with β = decay
+      daily
+        .withColumn("n1", num1).withColumn("d1", den1)
+        .withColumn("n2", num2).withColumn("d2", den2)
+        .filter(col("d1") > 0 && col("d2") > 0)
+        .withColumn("s1", col("n1").cast("double") / col("d1").cast("double"))
+        .withColumn("s2", col("n2").cast("double") / col("d2").cast("double"))
+        .withColumn("f", lit(2.0) * col("s1") - col("s2")
+          + lit(trendGain) * (col("s1") - col("s2")))
+        .withColumn("resid", col("y") - col("f"))
+        .withColumn("qr", floor(abs(col("resid")) * 1e6 + 0.5).cast("long"))
+        .orderBy(desc("qr"), asc("priority"), asc("day"))
+        .limit(10)
+        .select(col("priority"), graft.types.Coercions.fmtD(col("day"))
+          .as("day"), col("y"), detRound(col("f"), 6).as("forecast"),
+          detRound(col("resid"), 6).as("resid"))
     }),
 
     "x_rank_correlation" -> ((s, d) => {
@@ -1055,6 +1117,50 @@ object StatsOps {
                  floor(z * 1e6 + 0.5) / 1e6 AS z
           FROM zz
           ORDER BY CAST(floor(abs(z) * 1e6 + 0.5) AS BIGINT) DESC,
+                   priority, day
+          LIMIT 10"""
+    },
+
+    "x_holt_forecast" -> {
+      def ladder(wLit: Int => String): String = (1 to EwmaLags).map(i =>
+        s"""CASE WHEN lag(y, $i) OVER win IS NOT NULL
+            THEN CAST(floor(lag(y, $i) OVER win
+                 * CAST(${wLit(i)} AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
+            ELSE 0 END""").mkString(" + ")
+      def denom(qw: Int => Long): String = (1 to EwmaLags).map(i =>
+        s"""CASE WHEN lag(y, $i) OVER win IS NOT NULL
+            THEN CAST(${qw(i)} AS BIGINT) ELSE CAST(0 AS BIGINT)
+            END""").mkString(" + ")
+      val trendGain =
+        String.format("%.17g", Double.box((1.0 - EwmaAlpha) / EwmaAlpha))
+      s"""WITH daily AS (
+            SELECT o_orderpriority AS priority,
+                   date_trunc('day', o_orderdate) AS day,
+                   COUNT(*) AS y
+            FROM orders GROUP BY 1, 2),
+          lad AS (
+            SELECT priority, day, y,
+                   ${ladder(ewmaWLit)} AS n1, ${denom(ewmaQW)} AS d1,
+                   ${ladder(brownWLit)} AS n2, ${denom(brownQW)} AS d2
+            FROM daily
+            WINDOW win AS (PARTITION BY priority ORDER BY day)),
+          sm AS (
+            SELECT priority, day, y,
+                   CAST(n1 AS DOUBLE) / CAST(d1 AS DOUBLE) AS s1,
+                   CAST(n2 AS DOUBLE) / CAST(d2 AS DOUBLE) AS s2
+            FROM lad WHERE d1 > 0 AND d2 > 0),
+          fc AS (
+            SELECT priority, day, y,
+                   CAST(2.0 AS DOUBLE) * s1 - s2
+                     + CAST($trendGain AS DOUBLE) * (s1 - s2) AS f
+            FROM sm),
+          rr AS (
+            SELECT priority, day, y, f, y - f AS resid FROM fc)
+          SELECT priority, strftime(day, '%Y-%m-%d') AS day, y,
+                 floor(f * 1e6 + 0.5) / 1e6 AS forecast,
+                 floor(resid * 1e6 + 0.5) / 1e6 AS resid
+          FROM rr
+          ORDER BY CAST(floor(abs(resid) * 1e6 + 0.5) AS BIGINT) DESC,
                    priority, day
           LIMIT 10"""
     },

@@ -41,6 +41,69 @@ case class GraftCmsProbe(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Inner product of two serialized Count-Min sketches — the AGMS/CM
+  * join-size estimator: for sketches of relations R and S keyed on the
+  * join column, min over hash rows of the counter-wise dot product
+  * estimates |R ⋈ S| = Σ_k n_R(k)·n_S(k). Never an undercount (each
+  * row's dot ≥ the true sum because colliding keys only ADD mass), and
+  * ≤ true + eps·|R|·|S| with the sketch's confidence (Cormode &
+  * Muthukrishnan 2005, §4.2). Both sketches must share depth/width/seed
+  * — enforced by comparing the parsed row-hash coefficients.
+  *
+  * Spark ships no accessor for the CMS counter table, so this parses the
+  * sketch's serialized form directly (version 1 layout written by
+  * `CountMinSketchImpl.writeTo`: version, totalCount, depth, width,
+  * depth hashA longs, depth×width table longs — verified structurally by
+  * the spec: a single-key sketch pair must dot to exactly c1·c2). The
+  * dot accumulates in Long: sound while |R|·|S| < 2^63, i.e. up to ~3e9
+  * rows per side — beyond that, sketch a uniform sample of each side and
+  * scale, rather than widening the accumulator here. Eval-only
+  * (CodegenFallback): dots join two one-row aggregate sides. */
+case class GraftCmsDot(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cms_dot"
+
+  private def parse(bytes: Array[Byte])
+      : (Int, Int, Array[Long], Array[Long]) = {
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+    val version = in.readInt()
+    require(version == 1,
+      s"graft_cms_dot: unsupported CMS serialization version $version")
+    in.readLong() // totalCount (unused)
+    val depth = in.readInt()
+    val width = in.readInt()
+    val hashA = Array.ofDim[Long](depth)
+    var i = 0
+    while (i < depth) { hashA(i) = in.readLong(); i += 1 }
+    val table = Array.ofDim[Long](depth * width)
+    i = 0
+    while (i < table.length) { table(i) = in.readLong(); i += 1 }
+    (depth, width, table, hashA)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (d1, w1, t1, h1) = parse(a.asInstanceOf[Array[Byte]])
+    val (d2, w2, t2, h2) = parse(b.asInstanceOf[Array[Byte]])
+    require(d1 == d2 && w1 == w2 && java.util.Arrays.equals(h1, h2),
+      "graft_cms_dot: sketches differ in depth, width, or seed")
+    var best = Long.MaxValue
+    var r = 0
+    while (r < d1) {
+      var s = 0L
+      var c = 0
+      while (c < w1) { s += t1(r * w1 + c) * t2(r * w1 + c); c += 1 }
+      if (s < best) best = s
+      r += 1
+    }
+    best
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftCmsDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Merge two serialized Count-Min sketches (same eps/confidence/seed —
   * CountMinSketch.mergeInPlace rejects incompatible shapes). CMS merge is
   * element-wise counter addition: exact, commutative and associative, so

@@ -138,6 +138,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cms_merge", exprs => GraftCmsMerge(exprs.head, exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms_dot", exprs => GraftCmsDot(exprs.head, exprs(1)),
+      "scala_udf")
     // Catalyst's bloom-filter pair exists for the optimizer's runtime
     // filters but is not SQL-registered; exposing it makes the classic
     // build-bloom-then-prune-before-shuffle recipe (j7_bloom_prejoin)
@@ -176,6 +179,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cms_probe"),
       new ExpressionInfo(classOf[GraftCmsProbe].getName, "graft_cms_probe"),
       (exprs: Seq[Expression]) => GraftCmsProbe(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms_dot"),
+      new ExpressionInfo(classOf[GraftCmsDot].getName, "graft_cms_dot"),
+      (exprs: Seq[Expression]) => GraftCmsDot(exprs.head, exprs(1))))
     // top-k pattern rewrite: rank-window + filter → graft_topk aggregate
     ext.injectOptimizerRule(_ => TopKRewriteRule)
   }

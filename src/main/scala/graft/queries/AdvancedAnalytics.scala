@@ -312,6 +312,83 @@ object AdvancedAnalytics {
             greatest(lit(1.0), col("exact_buyers") * 0.06), 1L).otherwise(0L)
             .as("hll_within_3rsd"))
         .orderBy("status")
+    }),
+
+    "x_pareto_front" -> ((s, d) => {
+      // 2-D skyline (Pareto front) over part: maximize p_size, minimize
+      // p_retailprice — "largest part per price point" catalog analysis.
+      // The naive skyline is a quadratic NOT EXISTS self-join; the
+      // scale-safe decomposition exploits that one dimension (size) has
+      // BOUNDED cardinality (TPC-H pins 1..50 at any SF):
+      //   1. per-size minimum price — a 50-row histogram, map-side
+      //      partial aggregation, one shuffle on size;
+      //   2. running min over STRICTLY larger sizes — an unpartitioned
+      //      window, but over the 50-row grouped table (the audited
+      //      bounded-window posture, never raw parts);
+      //   3. a part is on the front iff it achieves its size's minimum
+      //      AND that minimum undercuts every larger size's minimum —
+      //      a broadcast join of the ≤50-row front spec back to the
+      //      scan, so the fact table is touched exactly twice and never
+      //      shuffled on an unbounded key.
+      // Ties on (size, min price) are all on the front (no strict
+      // dominance either way), matching the NOT EXISTS oracle.
+      val p = t(s, d, "part")
+        .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      val bySize = p.groupBy(col("p_size"))
+        .agg(min(col("p_retailprice")).as("min_price"))
+      val wGt = Window.orderBy(col("p_size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val front = bySize
+        .withColumn("gt_min", min(col("min_price")).over(wGt))
+        .filter(col("gt_min").isNull || col("min_price") < col("gt_min"))
+        .select(col("p_size"), col("min_price"))
+      p.join(broadcast(front), Seq("p_size"))
+        .filter(col("p_retailprice") === col("min_price"))
+        .select(col("p_partkey"), col("p_size"),
+          col("p_retailprice").as("price"))
+        .orderBy(col("p_size").desc, col("p_partkey"))
+    }),
+
+    "x_cms_join_estimate" -> ((s, d) => {
+      // Sketch-based JOIN-SIZE estimation — the planning primitive a
+      // 100 TB optimizer wants before committing to a shuffle: the inner
+      // product of two Count-Min sketches estimates |R ⋈ S on k| =
+      // Σ_k n_R(k)·n_S(k) without joining anything (AGMS/CM sketch
+      // inner-product theorem: estimate = min over rows of the
+      // counter-wise dot product; never an undercount, overshoot ≤
+      // eps·|R|·|S| with the sketch's confidence). Both sketches build
+      // in one pass each (partial-aggregated, mergeable), the dot is
+      // O(depth·width) on two broadcast one-row sides — the fact tables
+      // are never co-shuffled. Bounded-gauge form (the a8 pattern): the
+      // exact join size is computed from the two key histograms (DECIMAL
+      // partials), the estimate's guarantees are emitted as 0/1 flags
+      // the DuckDB twin pins constant-true, with the 3x slop a8 uses.
+      graft.functions.GraftFunctions.register(s)
+      val o = t(s, d, "orders")
+      val e = t(s, d, "events")
+      val sk1 = o.agg(
+        expr("count_min_sketch(o_custkey, 0.001d, 0.99d, 42)").as("sk1"),
+        count(lit(1)).as("n_orders"))
+      val sk2 = e.agg(
+        expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk2"),
+        count(lit(1)).as("n_events"))
+      val exact = o.groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("c1"))
+        .join(e.groupBy(col("user_id").as("k"))
+          .agg(count(lit(1)).as("c2")), Seq("k"))
+        .agg(coalesce(sum((col("c1") * col("c2")).cast("decimal(20,0)")),
+          lit(0).cast("decimal(20,0)")).cast("long").as("exact_join_size"))
+      exact.crossJoin(broadcast(sk1)).crossJoin(broadcast(sk2))
+        .select(col("exact_join_size"), col("n_orders"), col("n_events"),
+          expr("graft_cms_dot(sk1, sk2)").as("est"))
+        .select(col("exact_join_size"), col("n_orders"), col("n_events"),
+          when(col("est") >= col("exact_join_size"), 1L).otherwise(0L)
+            .as("est_ge_exact"),
+          when(col("est").cast("double") <=
+            col("exact_join_size").cast("double")
+              + col("n_orders").cast("double")
+                * col("n_events").cast("double") * 0.001 * 3, 1L)
+            .otherwise(0L).as("est_within_eps"))
     })
   )
 
@@ -481,6 +558,31 @@ object AdvancedAnalytics {
          CAST(1 AS BIGINT) AS cms_ge_exact,
          CAST(1 AS BIGINT) AS cms_within_eps
          FROM lineitem WHERE l_partkey <= 100
-         GROUP BY 1 ORDER BY l_partkey"""
+         GROUP BY 1 ORDER BY l_partkey""",
+
+    "x_pareto_front" ->
+      """SELECT x.p_partkey, x.p_size, x.p_retailprice AS price
+         FROM part x
+         WHERE NOT EXISTS (
+           SELECT 1 FROM part y
+           WHERE y.p_size >= x.p_size
+             AND y.p_retailprice <= x.p_retailprice
+             AND (y.p_size > x.p_size
+                  OR y.p_retailprice < x.p_retailprice))
+         ORDER BY x.p_size DESC, x.p_partkey""",
+
+    "x_cms_join_estimate" ->
+      """WITH h1 AS (
+           SELECT o_custkey AS k, COUNT(*) AS c1 FROM orders GROUP BY 1),
+         h2 AS (
+           SELECT user_id AS k, COUNT(*) AS c2 FROM events GROUP BY 1)
+         SELECT
+           CAST(COALESCE((SELECT SUM(CAST(c1 AS HUGEINT) * c2)
+                          FROM h1 JOIN h2 USING (k)), 0) AS BIGINT)
+             AS exact_join_size,
+           (SELECT COUNT(*) FROM orders) AS n_orders,
+           (SELECT COUNT(*) FROM events) AS n_events,
+           CAST(1 AS BIGINT) AS est_ge_exact,
+           CAST(1 AS BIGINT) AS est_within_eps"""
   )
 }

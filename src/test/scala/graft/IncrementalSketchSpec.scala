@@ -42,4 +42,29 @@ class IncrementalSketchSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     inc.foreach { case (k, e) => assert(e >= exact(k)) }
   }
+
+  test("joinSizeEstimate over two maintained sketches bounds the exact " +
+      "join size from above, within the eps slack") {
+    val o = graft.util.Tables.t(spark, sf, "orders")
+      .select(col("o_custkey").as("k")).localCheckpoint()
+    val e = graft.util.Tables.t(spark, sf, "events")
+      .select(col("user_id").as("k")).localCheckpoint()
+    val p1 = tmpDir("jsz-orders") + "/cms.parquet"
+    val p2 = tmpDir("jsz-events") + "/cms.parquet"
+    // maintain each side in two incremental batches — the estimate must
+    // come out of the MAINTAINED state, not a one-shot sketch
+    SketchMaintenance.refresh(spark, p1, o.filter(pmod(col("k"), lit(2)) === 0), "k")
+    SketchMaintenance.refresh(spark, p1, o.filter(pmod(col("k"), lit(2)) === 1), "k")
+    SketchMaintenance.refresh(spark, p2, e.filter(pmod(col("k"), lit(2)) === 0), "k")
+    SketchMaintenance.refresh(spark, p2, e.filter(pmod(col("k"), lit(2)) === 1), "k")
+    val est = SketchMaintenance.joinSizeEstimate(spark, p1, p2)
+    val exact = o.groupBy("k").agg(count(lit(1)).as("c1"))
+      .join(e.groupBy("k").agg(count(lit(1)).as("c2")), Seq("k"))
+      .agg(coalesce(sum(col("c1") * col("c2")), lit(0L)).cast("long"))
+      .collect()(0).getLong(0)
+    assert(est >= exact, s"join-size estimate undercounted: $est < $exact")
+    val n1 = o.count(); val n2 = e.count()
+    assert(est <= exact + (3 * SketchMaintenance.Eps * n1 * n2).toLong + 1,
+      s"join-size estimate overshot the eps bound: $est vs exact $exact")
+  }
 }

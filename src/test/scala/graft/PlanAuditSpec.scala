@@ -112,7 +112,8 @@ class PlanAuditSpec extends SparkSpec {
   // window/cross-product/broadcast audits by checkpointing a raw scan.
   private val checkpointPinned: Set[String] = Set(
     "j4_tree_closure", "j4b_deep_closure", "x_ann_clustered_ivf_recall",
-    "x_ann_clustered_lsh_recall", "x_ann_ivf_probe_quality",
+    "x_ann_clustered_lsh_recall", "x_ann_filtered_recall",
+    "x_ann_ivf_probe_quality",
     "x_ann_ivf_trained_probe_quality", "x_ann_ivfpq256_recall",
     "x_ann_ivfpq256_residual_recall", "x_ann_ivfpq_recall",
     "x_ann_ivfpq_residual_recall", "x_ann_multiprobe_quality",

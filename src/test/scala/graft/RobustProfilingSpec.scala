@@ -125,8 +125,17 @@ class RobustProfilingSpec extends SparkSpec {
       math.floor(tp.max * 1e4 + 0.5).toLong.toString)
     val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
     fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
-    val dtMin = new java.sql.Timestamp(
-      o.map(_.getAs[java.sql.Timestamp]("o_orderdate").getTime).min)
+    // o_orderdate is parquet timestamp[us] WITHOUT timezone — Spark 4
+    // infers TIMESTAMP_NTZ, whose external type is LocalDateTime, not
+    // java.sql.Timestamp (the r10 spec assumed the TZ'd type and this
+    // assertion had never actually run under the full suite)
+    val dtMin = new java.sql.Timestamp(o.map { row =>
+      row.getAs[Any]("o_orderdate") match {
+        case t: java.sql.Timestamp => t.getTime
+        case l: java.time.LocalDateTime =>
+          l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+    }.min)
     assert(got("o_orderdate").getAs[String]("min_repr") ===
       fmt.format(dtMin))
   }

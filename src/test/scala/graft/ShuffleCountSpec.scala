@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Shuffle-count regression pin over both bench tiers (round 11).
+  *
+  * Every Exchange in a plan is a full materialize-and-repartition of its
+  * input — at 100 TB the dominant cost term. The plan audits catch
+  * SHAPE defects (unpartitioned windows, unbounded broadcasts); what
+  * they cannot catch is a refactor that quietly ADDS a shuffle to an
+  * already-sound plan (a lost co-partitioning, a new distinct, an
+  * aggregate that stopped partial-aggregating). This spec pins the
+  * exact number of shuffle exchanges in the physical plan of every
+  * headline and heavy-tier query; a diff is loud and must be reviewed
+  * (either the regression is fixed or the pin is consciously updated
+  * with the reason in the commit).
+  *
+  * AQE is disabled for the PLANNING session here: adaptive re-planning
+  * rewrites shuffles at runtime from observed sizes (good in prod,
+  * nondeterministic for a pin), and `AdaptiveSparkPlanExec` hides its
+  * pre-execution plan from `collect`. The pinned numbers are the static
+  * planner's shuffle count — the upper bound AQE then optimizes.
+  */
+class ShuffleCountSpec extends SparkSpec {
+
+  private def countShuffles(p: SparkPlan): Int =
+    p.collect { case _: ShuffleExchangeLike => 1 }.sum
+
+  private lazy val planSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
+
+  private lazy val counts: Map[String, Int] =
+    (SparkEntry.benchQueries ++ SparkEntry.heavyQueries).map { name =>
+      val df = SparkEntry.queries(name)(planSession, "/root/testdata/sf0.001")
+      name -> countShuffles(df.queryExecution.executedPlan)
+    }.toMap
+
+  // Pinned static-planner shuffle counts (sf0.001 plans; data-independent
+  // — exchange count comes from the logical shape, not row counts).
+  // Caveat: queries built around eager localCheckpoint stages (the graph
+  // and PQ families) execute those stages during plan CONSTRUCTION; the
+  // pin covers the residual visible plan (x_pagerank's 0 is "all work
+  // behind checkpoints", not "no shuffles ever") — still a valid drift
+  // tripwire, since a structural change upstream of a checkpoint changes
+  // which plan survives to be counted.
+  private val pinned: Map[String, Int] = Map(
+    "a4_group_counts" -> 2,
+    "j1_header_detail" -> 3,
+    "j6_set_ops" -> 3,
+    "q_category_rollup" -> 3,
+    "q_sales_by_period" -> 2,
+    "q_sales_by_vendor" -> 2,
+    "q_sales_cube" -> 2,
+    "q_stock_coverage" -> 2,
+    "q_top_products" -> 1,
+    "w1b_keyset_pagination" -> 0,
+    "w2_latest_per_key" -> 2,
+    "w5_rank_ntile" -> 3,
+    "x_ann_clustered_ivf_recall" -> 19,
+    "x_ann_ivfpq256_recall" -> 21,
+    "x_ann_ivfpq256_residual_recall" -> 23,
+    "x_ann_ivfpq_recall" -> 42,
+    "x_ann_ivfpq_residual_recall" -> 29,
+    "x_ann_multiprobe" -> 2,
+    "x_ann_pq_adc_recall" -> 42,
+    "x_curation_pipeline" -> 8,
+    "x_dedup_exact" -> 2,
+    "x_dedup_minhash" -> 2,
+    "x_fuzzy_pieces_d2" -> 2,
+    "x_hits" -> 2,
+    "x_hll_set_ops" -> 3,
+    "x_pagerank" -> 0,
+    "x_recs_holdout_eval" -> 14,
+    "x_sim_topk" -> 2,
+    "x_text_stats" -> 2,
+    "x_tfidf_terms" -> 6)
+
+  test("headline and heavy-tier shuffle counts match the pinned plan shapes") {
+    val drift = counts.toSeq.sortBy(_._1).flatMap { case (n, c) =>
+      pinned.get(n) match {
+        case Some(p) if p == c => None
+        case Some(p) => Some(s"$n: pinned $p, now $c")
+        case None => Some(s"$n: unpinned (count $c)")
+      }
+    }
+    val stale = (pinned.keySet -- counts.keySet).toSeq.sorted
+    assert(drift.isEmpty && stale.isEmpty,
+      s"shuffle-count drift:\n${drift.mkString("\n")}" +
+        (if (stale.nonEmpty) s"\nstale pins: $stale" else "") +
+        s"\ncurrent counts for re-pinning:\n" +
+        counts.toSeq.sorted.map { case (n, c) => s"    \"$n\" -> $c," }
+          .mkString("\n"))
+  }
+}

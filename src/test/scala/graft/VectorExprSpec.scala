@@ -47,6 +47,60 @@ class VectorExprSpec extends SparkSpec {
     assert(df.collect()(0).isNullAt(0))
   }
 
+  test("graft_cms_dot: single-key sketches dot to exactly c1*c2 and " +
+      "disjoint keys to ~0 (verifies the serialized-table parse layout)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // sketch A holds key 7 with count 3; sketch B holds key 7 with count
+    // 5. Same seed → same cell positions, each row's dot is exactly 15:
+    // anything else means the parser misread the table/hashA layout.
+    val a = Seq.fill(3)(7L).toDF("k")
+      .agg(expr("count_min_sketch(k, 0.001d, 0.99d, 42)").as("ska"))
+    val b = Seq.fill(5)(7L).toDF("k")
+      .agg(expr("count_min_sketch(k, 0.001d, 0.99d, 42)").as("skb"))
+    val same = a.crossJoin(b)
+      .select(expr("graft_cms_dot(ska, skb)").as("d")).collect()(0).getLong(0)
+    assert(same === 15L)
+    // disjoint single keys: a row contributes only on a hash collision,
+    // and the estimate takes the MIN across depth rows — with width 2719
+    // and 5 rows, all-rows-collide has probability ~(1/2719)^5 ≈ 0
+    val c = Seq.fill(4)(9999L).toDF("k")
+      .agg(expr("count_min_sketch(k, 0.001d, 0.99d, 42)").as("skb"))
+    val disj = a.crossJoin(c)
+      .select(expr("graft_cms_dot(ska, skb)").as("d")).collect()(0).getLong(0)
+    assert(disj === 0L)
+    // the estimator never undercounts: multi-key join-size fixture
+    val r = (1L to 50L).flatMap(k => Seq.fill((k % 3).toInt + 1)(k))
+    val sRows = (1L to 50L).flatMap(k => Seq.fill((k % 5).toInt + 1)(k))
+    val exact = {
+      val cr = r.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cs = sRows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      cr.map { case (k, n) => n * cs.getOrElse(k, 0L) }.sum
+    }
+    val skR = r.toDF("k")
+      .agg(expr("count_min_sketch(k, 0.001d, 0.99d, 42)").as("ska"))
+    val skS = sRows.toDF("k")
+      .agg(expr("count_min_sketch(k, 0.001d, 0.99d, 42)").as("skb"))
+    val est = skR.crossJoin(skS)
+      .select(expr("graft_cms_dot(ska, skb)").as("d")).collect()(0).getLong(0)
+    assert(est >= exact, s"CMS inner product undercounted: $est < $exact")
+    assert(est <= exact + (3 * 0.001 * r.size * sRows.size).toLong + 1,
+      s"CMS inner product overshot the eps bound: $est vs exact $exact")
+  }
+
+  test("graft_cms_dot rejects sketches with different shape or seed") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val a = Seq(1L).toDF("k")
+      .agg(expr("count_min_sketch(k, 0.001d, 0.99d, 42)").as("ska"))
+    val b = Seq(1L).toDF("k")
+      .agg(expr("count_min_sketch(k, 0.001d, 0.99d, 43)").as("skb"))
+    val ex = intercept[Exception] {
+      a.crossJoin(b).select(expr("graft_cms_dot(ska, skb)")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("registration via SparkSessionExtensions injects the function") {
     val ext = new graft.functions.GraftExtensions
     // a fresh extensions object applies cleanly (full smoke of the inject
