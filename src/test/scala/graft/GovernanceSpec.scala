@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** GovernanceOps: the fixtures are clean (every expectation passes with
+  * zero violations, hash-checked by the oracle), so this spec proves the
+  * rules actually COUNT by planting one violation per rule in a
+  * corrupted copy of the tables and asserting each rule reports exactly
+  * its planted count — a rule stuck at zero cannot go green here. */
+class GovernanceSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("x_dq_expectations counts each planted violation exactly") {
+    import spark.implicits._
+    val dir = tmpDir("dq-corrupt")
+    val o = graft.util.Tables.t(spark, sf, "orders")
+    val li = graft.util.Tables.t(spark, sf, "lineitem")
+    val c = graft.util.Tables.t(spark, sf, "customer")
+    val maxKey = o.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val dupKey = o.agg(min(col("o_orderkey"))).collect()(0).getLong(0)
+    def ts(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
+    // planted rows: (orderkey, custkey, status, totalprice, orderdate, priority)
+    val bad = Seq(
+      // null custkey (not_null); also valid elsewhere
+      (maxKey + 1, None: Option[Long], "O", 10.0, ts("1996-01-01"), "1-URGENT"),
+      // duplicate orderkey (unique)
+      (dupKey, Some(1L), "O", 10.0, ts("1996-01-01"), "1-URGENT"),
+      // non-positive totalprice (range)
+      (maxKey + 2, Some(1L), "O", -5.0, ts("1996-01-01"), "1-URGENT"),
+      // status outside the set
+      (maxKey + 3, Some(1L), "X", 10.0, ts("1996-01-01"), "1-URGENT"),
+      // date outside the sanity window
+      (maxKey + 4, Some(1L), "O", 10.0, ts("1990-01-01"), "1-URGENT"),
+      // custkey with no customer row (ref_orders_customer)
+      (maxKey + 5, Some(999999L), "O", 10.0, ts("1996-01-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val oCols = o.columns.map(col).toSeq
+    o.unionByName(bad.select(oCols: _*), allowMissingColumns = true)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/orders.parquet")
+    // one orphan lineitem (ref_lineitem_orders)
+    val orphan = li.limit(1).withColumn("l_orderkey", lit(99999999L))
+    li.unionByName(orphan)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/lineitem.parquet")
+    c.write.mode(SaveMode.Overwrite).parquet(s"$dir/customer.parquet")
+
+    val got = SparkEntry.queries("x_dq_expectations")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val nOrders = o.count() + 6
+    assert(got("not_null_o_custkey") === ((nOrders, 1L, 0L)))
+    assert(got("unique_o_orderkey") === ((nOrders, 1L, 0L)))
+    assert(got("range_o_totalprice_pos") === ((nOrders, 1L, 0L)))
+    assert(got("set_o_orderstatus") === ((nOrders, 1L, 0L)))
+    assert(got("range_o_orderdate_window") === ((nOrders, 1L, 0L)))
+    // ref_orders_customer: the planted 999999 custkey AND the null-custkey
+    // row both fail the anti-join (a null key never matches) → 2
+    assert(got("ref_orders_customer") === ((nOrders, 2L, 0L)))
+    assert(got("ref_lineitem_orders") === ((li.count() + 1, 1L, 0L)))
+  }
+
+  test("x_k_anonymity flags small quasi-identifier groups at sf0.001") {
+    val r = SparkEntry.queries("x_k_anonymity")(spark, sf).collect()(0)
+    val nGroups = r.getAs[Long]("n_groups")
+    val below = r.getAs[Long]("n_groups_below_k")
+    val rowsBelow = r.getAs[Long]("n_rows_below_k")
+    // 150 customers over up to 125 (nation, segment) combos: most groups
+    // are tiny, so the k=8 gauge must fire here (it reads 0 only on the
+    // big SFs where every group clears k)
+    assert(nGroups > 0 && below > 0, s"gauge silent: $nGroups/$below")
+    assert(rowsBelow >= below, "each risky group has at least one row")
+    assert(below <= nGroups)
+    // brute-force cross-check of the group histogram
+    val exact = graft.util.Tables.t(spark, sf, "customer")
+      .groupBy("c_nationkey", "c_mktsegment").count()
+      .filter(col("count") < 8).count()
+    assert(below === exact)
+  }
+}
