@@ -51,6 +51,36 @@ object StreamingIngest {
         Pipeline.mergeInto(spark, targetPath, batch, keys): Unit
       }
 
+  /** Streaming data-quality observation (r11) — the streaming twin of
+    * GovernanceOps.x_dq_expectations' single-scan rule family, attached
+    * with `observe()`: Spark evaluates the rule aggregates INSIDE the
+    * existing micro-batch pass (no second scan, no state store) and
+    * reports them per trigger in `StreamingQueryProgress.observedMetrics
+    * ("dq")`. This is the idiomatic place for streaming expectations —
+    * a violation spike is visible in the progress feed the trigger it
+    * happens, without touching the data path; `dqViolations` below
+    * extracts the counters. Referential rules are absent by design:
+    * they need the other table and belong to the batch suite (or a
+    * stream-static join upstream of this observe). */
+  def dqObservedOrders(orders: DataFrame): DataFrame =
+    orders.observe("dq",
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_range"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+        .otherwise(0L)).as("v_set"))
+
+  /** Per-rule violation counters from the LAST trigger that carried the
+    * "dq" observation (name → count). Empty map before any data. */
+  def dqViolations(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Map[String, Long] =
+    q.recentProgress.toSeq.reverse
+      .flatMap(p => Option(p.observedMetrics.get("dq")))
+      .headOption.map { row =>
+        row.schema.fieldNames.map(f =>
+          f -> row.getAs[Long](row.fieldIndex(f))).toMap
+      }.getOrElse(Map.empty)
+
   /** Event-time tumbling window aggregation with late-data watermark —
     * the streaming twin of EventOps.x_window_hourly. */
   def hourlyCounts(events: DataFrame): DataFrame =

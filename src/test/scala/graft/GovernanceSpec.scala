@@ -60,6 +60,32 @@ class GovernanceSpec extends SparkSpec {
     assert(got("ref_lineitem_orders") === ((li.count() + 1, 1L, 0L)))
   }
 
+  test("streaming DQ observation reports planted violations per trigger " +
+      "without a second scan") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, Option[Long], String, Double)]
+    val stream = mem.toDF()
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val observed = graft.streaming.StreamingIngest.dqObservedOrders(stream)
+    mem.addData(
+      (1L, Some(1L), "O", 10.0),   // clean
+      (2L, None, "O", 10.0),       // null custkey
+      (3L, Some(2L), "X", 10.0),   // bad status
+      (4L, Some(3L), "F", -1.0),   // non-positive price
+      (5L, Some(4L), "P", 20.0))   // clean
+    val q = observed.writeStream.format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dq = graft.streaming.StreamingIngest.dqViolations(q)
+    assert(dq("n_rows") === 5L)
+    assert(dq("v_null") === 1L)
+    assert(dq("v_set") === 1L)
+    assert(dq("v_range") === 1L)
+  }
+
   test("x_k_anonymity flags small quasi-identifier groups at sf0.001") {
     val r = SparkEntry.queries("x_k_anonymity")(spark, sf).collect()(0)
     val nGroups = r.getAs[Long]("n_groups")
