@@ -672,10 +672,106 @@ object EventOps {
         .select(col("event_type"), col("n_hours_scored"), col("n_bursts"),
           (col("maxq") / 1e6).as("peak_z"), fmtTs(col("ph")).as("peak_hour"))
         .orderBy("event_type")
+    }),
+
+    "x_attribution" -> ((s, d) => {
+      // Position-based (U-shaped) multi-touch attribution: each purchase
+      // distributes 10000 basis points of credit over the user's
+      // view/click touches in the preceding 7 days — 40% to the first
+      // touch, 40% to the last, the middle 20% split evenly across
+      // interior touches. All credit is INTEGER basis points with a
+      // deterministic remainder rule (floor split; the remainder goes to
+      // the earliest interior touch), so per-conversion credit sums to
+      // exactly 10000 and the aggregate is cross-engine hash-exact — no
+      // float credit fractions anywhere. Touchless conversions credit a
+      // synthetic 'direct' channel. Shapes: one hash join on user_id
+      // (co-partitions touches with conversions; a power-user key skew
+      // would take the salting path documented in PERFORMANCE.md), then
+      // windows PARTITIONED by conversion — bounded by one user's
+      // touches in one week, never a global sort.
+      val ev = t(s, d, "events")
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id"),
+          unix_millis(col("ts")).as("conv_ms"))
+      val touch = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_id").as("touch_id"),
+          col("event_type").as("channel"), unix_millis(col("ts")).as("touch_ms"))
+      val joined = conv.join(touch, Seq("user_id"))
+        .filter(col("touch_ms") < col("conv_ms") &&
+          col("touch_ms") >= col("conv_ms") - lit(604800000L))
+      val wC = Window.partitionBy("conv_id")
+        .orderBy(col("touch_ms"), col("touch_id"))
+      val ranked = joined
+        .withColumn("rnk", row_number().over(wC).cast("long"))
+        .withColumn("nt", count(lit(1))
+          .over(Window.partitionBy("conv_id")).cast("long"))
+      val mid = floor(lit(2000.0) / (col("nt") - 2)).cast("long")
+      val credit = when(col("nt") === 1, lit(10000L))
+        .when(col("rnk") === 1,
+          when(col("nt") === 2, lit(5000L)).otherwise(lit(4000L)))
+        .when(col("rnk") === col("nt"),
+          when(col("nt") === 2, lit(5000L)).otherwise(lit(4000L)))
+        .otherwise(mid + when(col("rnk") === 2,
+          lit(2000L) - (col("nt") - 2) * mid).otherwise(lit(0L)))
+      val touched = ranked.withColumn("credit", credit)
+        .groupBy(col("channel"))
+        .agg(countDistinct(col("conv_id")).as("conversions"),
+          sum(col("credit")).cast("long").as("credit_bp"))
+      val direct = conv
+        .join(joined.select(col("conv_id")).distinct(),
+          Seq("conv_id"), "left_anti")
+        .agg(count(lit(1)).as("conversions"),
+          (count(lit(1)) * 10000).cast("long").as("credit_bp"))
+        .select(lit("direct").as("channel"), col("conversions"),
+          col("credit_bp"))
+      touched.unionByName(direct).orderBy("channel")
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "x_attribution" ->
+      """WITH conv AS (
+           SELECT event_id AS conv_id, user_id, epoch_ms(ts) AS conv_ms
+           FROM events WHERE event_type = 'purchase'),
+         t AS (
+           SELECT user_id, event_id AS touch_id, event_type AS channel,
+                  epoch_ms(ts) AS touch_ms
+           FROM events WHERE event_type IN ('view', 'click')),
+         j AS (
+           SELECT c.conv_id, t.channel, t.touch_ms, t.touch_id
+           FROM conv c JOIN t ON t.user_id = c.user_id
+           WHERE t.touch_ms < c.conv_ms
+             AND t.touch_ms >= c.conv_ms - 604800000),
+         r AS (
+           SELECT conv_id, channel,
+                  ROW_NUMBER() OVER (PARTITION BY conv_id
+                                     ORDER BY touch_ms, touch_id) AS rnk,
+                  COUNT(*) OVER (PARTITION BY conv_id) AS nt
+           FROM j),
+         cr AS (
+           SELECT conv_id, channel,
+                  CASE WHEN nt = 1 THEN 10000
+                       WHEN rnk = 1 THEN
+                         CASE WHEN nt = 2 THEN 5000 ELSE 4000 END
+                       WHEN rnk = nt THEN
+                         CASE WHEN nt = 2 THEN 5000 ELSE 4000 END
+                       ELSE CAST(FLOOR(2000.0 / (nt - 2)) AS BIGINT)
+                            + CASE WHEN rnk = 2
+                                THEN 2000 - (nt - 2) *
+                                     CAST(FLOOR(2000.0 / (nt - 2)) AS BIGINT)
+                                ELSE 0 END
+                  END AS credit
+           FROM r)
+         SELECT channel, conversions, credit_bp FROM (
+           SELECT channel, COUNT(DISTINCT conv_id) AS conversions,
+                  CAST(SUM(credit) AS BIGINT) AS credit_bp
+           FROM cr GROUP BY 1
+           UNION ALL
+           SELECT 'direct', COUNT(*),
+                  CAST(COUNT(*) * 10000 AS BIGINT)
+           FROM conv WHERE conv_id NOT IN (SELECT conv_id FROM j))
+         ORDER BY channel""",
 
     "x_time_to_convert" ->
       """WITH v AS (

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.util.Tables.t
@@ -9,16 +9,36 @@ import graft.util.Tables.t
   * expectations and privacy-risk gauges — the checks a training-data
   * pipeline runs between ingest and release (Deequ/dbt-test-style
   * expectations; k-anonymity/l-diversity from Sweeney 2002 / Machanavajjhala
-  * 2007 for quasi-identifier risk in released or logged tables).
+  * 2007 for quasi-identifier risk in released or logged tables; the
+  * geometric mechanism of Ghosh/Roughgarden/Sundararajan 2009 for
+  * differentially-private released counts; snapshot reconciliation for
+  * load auditing).
   *
   * Scale posture: every per-table rule family evaluates in ONE aggregate
   * over one scan (sum(when(...)) partials, map-side combined);
   * referential rules are anti-join counts on the key (broadcast when the
   * parent side is a dimension); the anonymity gauges are a single
-  * groupBy over the quasi-identifier tuple — all shapes that survive
-  * 100× data volume unchanged.
+  * groupBy over the quasi-identifier tuple; the snapshot diff is one
+  * full-outer hash join on the primary key comparing ONE fingerprint per
+  * row — all shapes that survive 100× data volume unchanged.
   */
 object GovernanceOps {
+
+  // ---- discrete Laplace (two-sided geometric) CDF ladder -----------------
+  // Geometric mechanism with α = 1/2 (ε = ln 2, sensitivity 1):
+  // P(0) = 1/3, P(±k) = (1/3)·2^(-k). CDF(k) = 2^(k+1)/3 for k < 0,
+  // 1 − 2^(-k)/3 for k ≥ 0; tails clamped at ±8 (mass beyond: 2^-8/3 per
+  // side ≈ 0.0013). Thresholds are emitted as 17-significant-digit decimal
+  // strings so Scala's toDouble and DuckDB's strtod parse the IDENTICAL
+  // binary64 (the PoisCdf trick, StatsOps.scala) — the ladder below is
+  // interpolated verbatim into the oracle SQL, so both engines walk the
+  // same comparisons in the same order.
+  private val DLapCdf: Seq[(Int, String)] = (-8 to 7).map { k =>
+    val cdf =
+      if (k < 0) math.pow(2.0, (k + 1).toDouble) / 3.0
+      else 1.0 - math.pow(2.0, -k.toDouble) / 3.0
+    (k, String.format("%.17g", Double.box(cdf)))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -95,6 +115,83 @@ object GovernanceOps {
           .as("n_rows_below_k"),
         sum(when(col("l_div") < 2, 1L).otherwise(0L))
           .as("n_groups_low_diversity"))
+    }),
+
+    "x_dp_noisy_counts" -> ((s, d) => {
+      // Differentially-private release of per-nation customer counts via
+      // the geometric mechanism (discrete Laplace, ε = ln 2): each exact
+      // count gets integer noise drawn by inverse-CDF over the DLapCdf
+      // ladder from an md5-uniform keyed on the group value, then a
+      // post-processing clamp at 0 (post-processing preserves DP). The
+      // hash seed makes the draw reproducible for the oracle gate — the
+      // MECHANISM shape (noise distribution, clamp) is the real artifact;
+      // a production release swaps the fixed seed string for a secret
+      // per-release nonce. One groupBy over the grouping key, noise
+      // applied map-side on the |groups|-row result: scale-free.
+      val g = t(s, d, "customer")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+        .withColumn("u",
+          conv(substring(md5(concat(lit("dp:"), col("c_nationkey"))), 1, 12),
+            16, 10).cast("long") / lit(281474976710656.0))
+      val noise = DLapCdf.reverse
+        .foldLeft(lit(8L)) { case (acc, (k, cdf)) =>
+          when(col("u") < lit(cdf.toDouble), lit(k.toLong)).otherwise(acc)
+        }
+      g.select(col("c_nationkey"),
+          greatest(col("n") + noise, lit(0L)).as("noisy_count"))
+        .orderBy("c_nationkey")
+    }),
+
+    "x_snapshot_diff" -> ((s, d) => {
+      // Snapshot reconciliation (load audit): classify every primary key
+      // across two loads of the orders table as added / removed /
+      // changed / unchanged, plus the money drift on changed rows. The
+      // two snapshots are derived deterministically from the fixture so
+      // the oracle can rebuild them: snapshot A ("previous load") lacks
+      // the keys ≡3 (mod 97) (arrived later), carries a stale priority
+      // on keys ≡0 (mod 13) and a pre-correction price (−10.00) on keys
+      // ≡0 (mod 17); snapshot B ("current load") lacks keys ≡5 (mod 89)
+      // (purged). Change detection compares ONE md5 fingerprint per row
+      // — built from engine-stable renderings (strings and integer
+      // cents; never raw double→string, whose formatting diverges across
+      // engines) — so a 100-column table still costs one comparison per
+      // key, and the whole op is a single full-outer hash join on the
+      // primary key with map-side fingerprinting.
+      val o = t(s, d, "orders")
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      def fp(c: Column): Column =
+        md5(concat_ws("|", col("o_orderstatus"), col("o_orderpriority2"),
+          c.cast("string")))
+      val snapA = o.filter(col("o_orderkey") % 97 =!= 3)
+        .withColumn("o_orderpriority2",
+          when(col("o_orderkey") % 13 === 0, lit("0-STALE"))
+            .otherwise(col("o_orderpriority")))
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 17 === 0,
+            round((col("o_totalprice") - 10.0) * 100).cast("long"))
+            .otherwise(cents).as("cents_a"),
+          fp(when(col("o_orderkey") % 17 === 0,
+            round((col("o_totalprice") - 10.0) * 100).cast("long"))
+            .otherwise(cents)).as("fp_a"))
+      val snapB = o.filter(col("o_orderkey") % 89 =!= 5)
+        .withColumn("o_orderpriority2", col("o_orderpriority"))
+        .select(col("o_orderkey"), cents.as("cents_b"),
+          fp(cents).as("fp_b"))
+      snapA.join(snapB, Seq("o_orderkey"), "full_outer")
+        .select(
+          when(col("fp_a").isNull, lit("added"))
+            .when(col("fp_b").isNull, lit("removed"))
+            .when(col("fp_a") === col("fp_b"), lit("unchanged"))
+            .otherwise(lit("changed")).as("change_type"),
+          col("cents_a"), col("cents_b"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(when(col("cents_a").isNotNull &&
+              col("cents_b").isNotNull &&
+              col("cents_a") =!= col("cents_b"),
+            col("cents_b") - col("cents_a")).otherwise(0L)), lit(0L))
+            .cast("long").as("cents_delta"))
+        .orderBy("change_type")
     })
   )
 
@@ -155,6 +252,53 @@ object GovernanceOps {
                   AS BIGINT) AS n_rows_below_k,
                 CAST(SUM(CASE WHEN l_div < 2 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_groups_low_diversity
-         FROM g"""
+         FROM g""",
+
+    "x_dp_noisy_counts" -> {
+      val ladder = "CASE " + DLapCdf.map { case (k, cdf) =>
+        s"WHEN u < $cdf THEN CAST($k AS BIGINT)"
+      }.mkString(" ") + " ELSE CAST(8 AS BIGINT) END"
+      s"""WITH g AS (
+           SELECT c_nationkey, COUNT(*) AS n,
+                  CAST(('0x' || substr(md5('dp:' || c_nationkey), 1, 12))
+                       AS BIGINT) / CAST(281474976710656.0 AS DOUBLE) AS u
+           FROM customer GROUP BY 1)
+         SELECT c_nationkey, GREATEST(n + ($ladder), 0) AS noisy_count
+         FROM g ORDER BY c_nationkey"""
+    },
+
+    "x_snapshot_diff" ->
+      """WITH a AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 17 = 0
+                       THEN CAST(round((o_totalprice - 10.0) * 100) AS BIGINT)
+                       ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                  END AS cents_a,
+                  md5(concat_ws('|', o_orderstatus,
+                    CASE WHEN o_orderkey % 13 = 0 THEN '0-STALE'
+                         ELSE o_orderpriority END,
+                    CAST(CASE WHEN o_orderkey % 17 = 0
+                       THEN CAST(round((o_totalprice - 10.0) * 100) AS BIGINT)
+                       ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                    END AS VARCHAR))) AS fp_a
+           FROM orders WHERE o_orderkey % 97 <> 3),
+         b AS (
+           SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents_b,
+                  md5(concat_ws('|', o_orderstatus, o_orderpriority,
+                    CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                         AS VARCHAR))) AS fp_b
+           FROM orders WHERE o_orderkey % 89 <> 5)
+         SELECT CASE WHEN fp_a IS NULL THEN 'added'
+                     WHEN fp_b IS NULL THEN 'removed'
+                     WHEN fp_a = fp_b THEN 'unchanged'
+                     ELSE 'changed' END AS change_type,
+                COUNT(*) AS n,
+                CAST(COALESCE(SUM(CASE WHEN cents_a IS NOT NULL
+                          AND cents_b IS NOT NULL AND cents_a <> cents_b
+                          THEN cents_b - cents_a ELSE 0 END), 0) AS BIGINT)
+                  AS cents_delta
+         FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+         GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -103,4 +103,56 @@ class GovernanceSpec extends SparkSpec {
       .filter(col("count") < 8).count()
     assert(below === exact)
   }
+
+  test("x_snapshot_diff classifies every key against a first-principles " +
+      "recount") {
+    val keys = graft.util.Tables.t(spark, sf, "orders")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val inA = keys.filter(_ % 97 != 3).toSet
+    val inB = keys.filter(_ % 89 != 5).toSet
+    val both = inA intersect inB
+    val expAdded = (inB diff inA).size.toLong
+    val expRemoved = (inA diff inB).size.toLong
+    val expChanged = both.count(k => k % 13 == 0 || k % 17 == 0).toLong
+    val expUnchanged = both.size - expChanged
+    val expPriceChanged = both.count(_ % 17 == 0).toLong
+
+    val got = SparkEntry.queries("x_snapshot_diff")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("added")._1 === expAdded)
+    assert(got("removed")._1 === expRemoved)
+    assert(got("changed")._1 === expChanged)
+    assert(got("unchanged")._1 === expUnchanged)
+    // only the price-corrected rows (−10.00 in snapshot A) move money:
+    // exactly +1000 cents each; the stale-priority rows contribute 0
+    assert(got("changed")._2 === 1000L * expPriceChanged)
+    assert(got("added")._2 === 0L && got("removed")._2 === 0L &&
+      got("unchanged")._2 === 0L)
+  }
+
+  test("x_dp_noisy_counts: bounded deterministic noise, clamped at zero") {
+    val dp = SparkEntry.queries("x_dp_noisy_counts")(spark, sf)
+    val noisy = dp.collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getLong(1)).toMap
+    val exact = graft.util.Tables.t(spark, sf, "customer")
+      .groupBy("c_nationkey").count()
+      .collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getLong(1)).toMap
+    assert(noisy.keySet === exact.keySet)
+    // ladder truncates the two-sided geometric at ±8 and the release is
+    // clamped at 0, so every noisy count is within 8 of truth and ≥ 0
+    noisy.foreach { case (k, v) =>
+      assert(v >= 0L, s"nation $k released negative count")
+      assert(math.abs(v - exact(k)) <= 8, s"nation $k noise out of range")
+    }
+    // the seed is the group key, so a re-run releases the SAME counts
+    // (oracle-checkable); and the noise is not identically zero
+    val again = SparkEntry.queries("x_dp_noisy_counts")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getLong(1)).toMap
+    assert(again === noisy)
+    assert(noisy.exists { case (k, v) => v != exact(k) },
+      "noise never fired — ladder is broken")
+  }
 }
