@@ -142,6 +142,35 @@ object GovernanceOps {
         .orderBy("c_nationkey")
     }),
 
+    "x_freshness" -> ((s, d) => {
+      // Freshness/staleness SLO gauge per event source: minutes since
+      // each event_type's last arrival relative to the newest event in
+      // the table, plus arrival volume over the trailing 24 hour-buckets
+      // (bucket-aligned so the figure is exact from the grouped hourly
+      // table — no raw-row comparison against a runtime global max).
+      // Shapes: one groupBy(type, hour) over the scan (bounded by
+      // types × observed hours), everything after runs on that grouped
+      // table with the 1-row global max broadcast — the
+      // x_time_to_convert posture.
+      import graft.types.Coercions.fmtTs
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"),
+          unix_millis(date_trunc("hour", col("ts"))).as("h_ms"))
+        .agg(count(lit(1)).as("c"), max(col("ts")).as("mts"))
+      val gm = hourly.agg(max(col("mts")).as("gmts"),
+        max(col("h_ms")).as("gh_ms"))
+      hourly.crossJoin(broadcast(gm))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).cast("long").as("n_rows"),
+          fmtTs(max(col("mts"))).as("last_seen"),
+          floor((unix_millis(max(col("gmts")))
+            - unix_millis(max(col("mts")))) / lit(60000.0)).cast("long")
+            .as("lag_minutes"),
+          sum(when(col("h_ms") >= col("gh_ms") - lit(82800000L), col("c"))
+            .otherwise(0L)).cast("long").as("rows_last_24h"))
+        .orderBy("event_type")
+    }),
+
     "x_snapshot_diff" -> ((s, d) => {
       // Snapshot reconciliation (load audit): classify every primary key
       // across two loads of the orders table as added / removed /
@@ -266,6 +295,24 @@ object GovernanceOps {
          SELECT c_nationkey, GREATEST(n + ($ladder), 0) AS noisy_count
          FROM g ORDER BY c_nationkey"""
     },
+
+    "x_freshness" ->
+      """WITH hourly AS (
+           SELECT event_type,
+                  epoch_ms(date_trunc('hour', ts)) AS h_ms,
+                  COUNT(*) AS c, MAX(ts) AS mts
+           FROM events GROUP BY 1, 2),
+         gm AS (SELECT MAX(mts) AS gmts, MAX(h_ms) AS gh_ms FROM hourly)
+         SELECT event_type,
+                CAST(SUM(c) AS BIGINT) AS n_rows,
+                strftime(MAX(mts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+                CAST(FLOOR((epoch_ms(MAX(gmts)) - epoch_ms(MAX(mts)))
+                           / 60000.0) AS BIGINT) AS lag_minutes,
+                CAST(SUM(CASE WHEN h_ms >= gh_ms - 82800000
+                              THEN c ELSE 0 END) AS BIGINT)
+                  AS rows_last_24h
+         FROM hourly, gm
+         GROUP BY event_type ORDER BY event_type""",
 
     "x_snapshot_diff" ->
       """WITH a AS (

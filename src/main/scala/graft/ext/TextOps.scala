@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.types.Coercions.detRound
@@ -1415,6 +1416,67 @@ object TextOps {
           detRound(graft.types.Coercions.dsum(detRound(col("p"), 4))
             / count(lit(1)), 4).as("avg_score"))
         .orderBy("y")
+    }),
+
+    "x_er_mutual_best" -> ((s, d) => {
+      // Entity resolution, ASSIGNMENT step: the fuzzy-join family finds
+      // candidate pairs; this op resolves them to a ONE-TO-ONE match via
+      // mutual nearest neighbors — a pair matches iff each side is the
+      // other's best candidate (ordered by distance, then key: fully
+      // deterministic). Fixture: left = customers with key % 3 != 0,
+      // right = customers with key % 5 != 0 re-keyed +1000000, names
+      // perturbed for key % 7 == 0 by DROPPING char 10 (first digit).
+      // Blocking keys are chosen per perturbation model (the
+      // x_fuzzy_match rationale): a deletion in the HEAD region
+      // preserves every tail k-gram, so a suffix-4 block alone
+      // guarantees candidate recall for both the identical and the
+      // perturbed true pairs — and, unlike a name-prefix block (a
+      // single giant "Customer#0000…" bucket here), its buckets are
+      // bounded by digit-suffix cardinality (~|table|/10^4 per bucket,
+      // independent of total scale). Keys sharing their last 4 digits
+      // produce genuine distance-1 impostors at sf ≥ 0.1, so
+      // mutual-best does real disambiguation (an exact d=0 beats an
+      // impostor's d=1), not a tautology. Shapes: one equi-join on the
+      // block key, windows PARTITIONED by each side's id — no global
+      // sort, no all-pairs; the summary is one aggregate row of
+      // integers.
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val left = c.filter(col("id") % 3 =!= 0)
+      val right = c.filter(col("id") % 5 =!= 0)
+        .select((col("id") + 1000000L).as("id"),
+          when(col("id") % 7 === 0,
+            concat(substring(col("name"), 1, 9),
+              expr("substring(name, 11)")))
+            .otherwise(col("name")).as("name"))
+      def blocks(df: DataFrame): DataFrame =
+        df.withColumn("blk", expr("right(name, 4)"))
+      val cand = blocks(left).alias("l")
+        .join(blocks(right).alias("r"), col("l.blk") === col("r.blk"))
+        .select(col("l.id").as("l_id"), col("r.id").as("r_id"),
+          col("l.name").as("l_name"), col("r.name").as("r_name"))
+        .withColumn("dist", levenshtein(col("l_name"), col("r_name"), 1))
+        .filter(col("dist") >= 0)
+      val wL = Window.partitionBy("l_id").orderBy(col("dist"), col("r_id"))
+      val wR = Window.partitionBy("r_id").orderBy(col("dist"), col("l_id"))
+      val matched = cand
+        .withColumn("lb", row_number().over(wL))
+        .withColumn("rb", row_number().over(wR))
+        .filter(col("lb") === 1 && col("rb") === 1)
+      val nL = left.agg(count(lit(1)).as("n_left"))
+      val nR = right.agg(count(lit(1)).as("n_right"))
+      val nC = cand.agg(count(lit(1)).as("n_candidates"))
+      val m = matched.agg(count(lit(1)).as("n_matched"),
+        sum(when(col("dist") === 0, 1L).otherwise(0L)).cast("long")
+          .as("n_exact"),
+        sum(when(col("dist") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_fuzzy"))
+      nL.crossJoin(broadcast(nR)).crossJoin(broadcast(nC))
+        .crossJoin(broadcast(m))
+        .select(col("n_left"), col("n_right"), col("n_candidates"),
+          col("n_matched"), col("n_exact"), col("n_fuzzy"),
+          (col("n_left") - col("n_matched")).as("n_left_unmatched"),
+          (col("n_right") - col("n_matched")).as("n_right_unmatched"))
     })
   )
 
@@ -2327,6 +2389,51 @@ object TextOps {
                                  AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
                   * 1e4 + 0.5) / 1e4 AS avg_score
           FROM sc GROUP BY 1 ORDER BY y"""
-    }
+    },
+
+    "x_er_mutual_best" ->
+      """WITH lft AS (
+           SELECT c_custkey AS id, c_name AS name FROM customer
+           WHERE c_custkey % 3 <> 0),
+         rgt AS (
+           SELECT c_custkey + 1000000 AS id,
+                  CASE WHEN c_custkey % 7 = 0
+                       THEN substr(c_name, 1, 9) || substr(c_name, 11)
+                       ELSE c_name END AS name
+           FROM customer WHERE c_custkey % 5 <> 0),
+         lb AS (
+           SELECT id, name, substr(name, length(name) - 3) AS blk
+           FROM lft),
+         rb AS (
+           SELECT id, name, substr(name, length(name) - 3) AS blk
+           FROM rgt),
+         cand AS (
+           SELECT lb.id AS l_id, rb.id AS r_id,
+                  lb.name AS l_name, rb.name AS r_name
+           FROM lb JOIN rb ON lb.blk = rb.blk),
+         scored AS (
+           SELECT l_id, r_id, levenshtein(l_name, r_name) AS dist
+           FROM cand WHERE levenshtein(l_name, r_name) <= 1),
+         ranked AS (
+           SELECT l_id, r_id, dist,
+                  ROW_NUMBER() OVER (PARTITION BY l_id
+                                     ORDER BY dist, r_id) AS lbest,
+                  ROW_NUMBER() OVER (PARTITION BY r_id
+                                     ORDER BY dist, l_id) AS rbest
+           FROM scored),
+         m AS (
+           SELECT COUNT(*) AS n_matched,
+                  CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_exact,
+                  CAST(SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_fuzzy
+           FROM ranked WHERE lbest = 1 AND rbest = 1)
+         SELECT (SELECT COUNT(*) FROM lft) AS n_left,
+                (SELECT COUNT(*) FROM rgt) AS n_right,
+                (SELECT COUNT(*) FROM scored) AS n_candidates,
+                n_matched, n_exact, n_fuzzy,
+                (SELECT COUNT(*) FROM lft) - n_matched AS n_left_unmatched,
+                (SELECT COUNT(*) FROM rgt) - n_matched AS n_right_unmatched
+         FROM m"""
   )
 }

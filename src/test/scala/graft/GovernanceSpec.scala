@@ -155,4 +155,34 @@ class GovernanceSpec extends SparkSpec {
     assert(noisy.exists { case (k, v) => v != exact(k) },
       "noise never fired — ladder is broken")
   }
+
+  test("x_freshness reports exact lag minutes and trailing-24h volume") {
+    import spark.implicits._
+    val dir = tmpDir("fresh")
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val H = 3600000L
+    val t0 = 1700000000000L // not hour-aligned: exercises bucket trunc
+    // 'click': the freshest type (defines the global max), 3 rows in the
+    // trailing 24 hour-buckets, 1 row 30h earlier (outside)
+    // 'view': last seen 90 minutes before the global max → lag 90;
+    //         both rows inside the 24h bucket window
+    val rows = Seq(
+      (1L, ts(t0 - 30 * H), 1L, "click"),
+      (2L, ts(t0 - 5 * H), 1L, "click"),
+      (3L, ts(t0 - 2 * H), 2L, "click"),
+      (4L, ts(t0), 2L, "click"),
+      (5L, ts(t0 - 23 * H), 3L, "view"),
+      (6L, ts(t0 - 90 * 60000L), 3L, "view"))
+    rows.map { case (id, t, u, et) => (id, t, u, et, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+
+    val got = SparkEntry.queries("x_freshness")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("click") === ((4L, 0L, 3L)))
+    // t0 - 23h truncates into the oldest of the 24 trailing hour
+    // buckets (global max bucket - 23h), so BOTH view rows count
+    assert(got("view") === ((2L, 90L, 2L)))
+  }
 }
