@@ -17,6 +17,38 @@ object EventOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "x_user_streaks" -> ((s, d) => {
+      // longest consecutive-day activity streak per user — the retention
+      // health metric engagement dashboards put next to the cohort table.
+      // Gaps-and-islands on DISTINCT active days: epoch-day minus the
+      // per-user row_number is constant exactly within a run of
+      // consecutive days, so one grouped count per (user, run) yields
+      // streak lengths; the longest (ties → earliest start) survives a
+      // per-user ranked filter. All integer arithmetic. Scale: the
+      // distinct collapses raw events to at most users×days rows BEFORE
+      // any window runs, and every window is user-partitioned — no
+      // global ordering anywhere.
+      val days = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val wU = Window.partitionBy("user_id").orderBy("day")
+      val runs = days
+        .withColumn("grp",
+          datediff(col("day"), to_date(lit("1970-01-01")))
+            - row_number().over(wU))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("longest_streak_days"),
+          min(col("day")).as("sd"), max(col("day")).as("ed"))
+      val wBest = Window.partitionBy("user_id")
+        .orderBy(desc("longest_streak_days"), asc("sd"))
+      runs.withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("longest_streak_days"),
+          col("sd").cast("string").as("streak_start"),
+          col("ed").cast("string").as("streak_end"))
+        .orderBy("user_id")
+    }),
+
     "x_time_to_convert" -> ((s, d) => {
       // funnel LATENCY (the time axis x_funnel/x_ordered_funnel drop):
       // per user, milliseconds from the first 'view' to the first
@@ -729,6 +761,27 @@ object EventOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "x_user_streaks" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         r AS (
+           SELECT user_id, day,
+                  CAST(day - DATE '1970-01-01' AS BIGINT)
+                    - row_number() OVER (PARTITION BY user_id
+                                         ORDER BY day) AS grp
+           FROM days),
+         runs AS (
+           SELECT user_id, grp, COUNT(*) AS longest_streak_days,
+                  MIN(day) AS sd, MAX(day) AS ed
+           FROM r GROUP BY 1, 2)
+         SELECT user_id, longest_streak_days,
+                CAST(sd AS VARCHAR) AS streak_start,
+                CAST(ed AS VARCHAR) AS streak_end
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY longest_streak_days DESC, sd) AS rn
+               FROM runs)
+         WHERE rn = 1 ORDER BY user_id""",
 
     "x_attribution" ->
       """WITH conv AS (

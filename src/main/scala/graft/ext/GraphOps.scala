@@ -37,6 +37,8 @@ object GraphOps {
   private val CustOff = 1000000L
   private val KcoreK = 3
   private val KcoreRounds = 12
+  private val BfsRounds = 6
+  private val BfsSeedMax = 3L
 
   /** (edges(src,dst), outdeg(src,outdeg), nodes(node), nDouble) */
   private def orderGraph(s: SparkSession, d: String)
@@ -97,6 +99,49 @@ object GraphOps {
         nn AS (SELECT COUNT(*) AS n FROM nodes)"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "x_bfs_distances" -> ((s, d) => {
+      // multi-source BFS hop distance on the trading graph from a small
+      // supplier seed set — "how many hops is every entity from my core
+      // suppliers", the reachability question behind supply-chain blast
+      // radius and graph-sampling neighborhoods. Frontier expansion is
+      // the textbook distributed BFS: per round ONE equi-join (edges ⨝
+      // frontier on src) plus one anti-join against the settled set, so
+      // a round's cost is O(edges touched by the frontier), not O(|E|);
+      // state is the O(|V|) settled table, localCheckpointed to keep
+      // lineage flat. Rounds fixed at 6 in both engines (the bidirected
+      // trading graph's diameter is small; nodes still unreached after 6
+      // hops report dist = -1, identically). Output is the per-distance
+      // histogram split by node side — all integer, order-free.
+      val (edges, _, nodes) = orderGraph(s, d)
+      val seeds = nodes.filter(col("node") <= BfsSeedMax)
+        .withColumn("dist", lit(0L))
+      var dist = seeds.localCheckpoint()
+      var frontier = seeds.select(col("node")).localCheckpoint()
+      for (r <- 1 to BfsRounds) {
+        val next = edges
+          .join(frontier.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(dist.select(col("node")), Seq("node"), "left_anti")
+          .withColumn("dist", lit(r.toLong))
+          .localCheckpoint()
+        dist = dist.union(next).localCheckpoint()
+        frontier = next.select(col("node"))
+      }
+      val unreached = nodes
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(-1L))
+      dist.union(unreached)
+        .select(col("dist"),
+          when(col("node") >= CustOff, "customer").otherwise("supplier")
+            .as("node_type"),
+          when(col("node") >= CustOff, col("node") - CustOff)
+            .otherwise(col("node")).as("k"))
+        .groupBy(col("dist"), col("node_type"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("k")).as("min_key"),
+          max(col("k")).as("max_key"))
+        .orderBy("dist", "node_type")
+    }),
 
     "x_pagerank" -> ((s, d) => {
       // PageRank (Page et al. 1999), damping 0.85, 6 synchronous
@@ -452,6 +497,29 @@ object GraphOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+
+    "x_bfs_distances" ->
+      s"""WITH RECURSIVE $graphSql,
+          seeds AS (SELECT node FROM nodes WHERE node <= $BfsSeedMax),
+          bfs AS (
+            SELECT node, 0 AS dist FROM seeds
+            UNION
+            SELECT e.dst AS node, b.dist + 1 AS dist
+            FROM bfs b JOIN edges e ON e.src = b.node
+            WHERE b.dist < $BfsRounds),
+          dmin AS (SELECT node, MIN(dist) AS dist FROM bfs GROUP BY 1),
+          alld AS (
+            SELECT n.node, COALESCE(d.dist, -1) AS dist
+            FROM nodes n LEFT JOIN dmin d ON d.node = n.node)
+          SELECT CAST(dist AS BIGINT) AS dist,
+                 CASE WHEN node >= $CustOff THEN 'customer'
+                      ELSE 'supplier' END AS node_type,
+                 COUNT(*) AS n_nodes,
+                 MIN(CASE WHEN node >= $CustOff THEN node - $CustOff
+                          ELSE node END) AS min_key,
+                 MAX(CASE WHEN node >= $CustOff THEN node - $CustOff
+                          ELSE node END) AS max_key
+          FROM alld GROUP BY 1, 2 ORDER BY dist, node_type""",
 
     "x_pagerank" -> {
       val iters = (1 to PrIters).map(prIterSql).mkString(",\n")

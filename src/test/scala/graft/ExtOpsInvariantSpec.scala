@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.to_date
 
 /** Structural invariants of the r8 extension ops — properties the DuckDB
   * hash-compare cannot express (it proves value equality, not that the
@@ -10,6 +11,35 @@ class ExtOpsInvariantSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("x_user_streaks: per-user longest run matches a driver-side " +
+      "consecutive-day replay") {
+    import spark.implicits._
+    val days = graft.util.Tables.t(spark, sf, "events")
+      .select($"user_id", to_date($"ts").cast("string").as("day"))
+      .distinct().as[(Long, String)].collect()
+      .groupBy(_._1).map { case (u, rs) =>
+        u -> rs.map(r => java.time.LocalDate.parse(r._2).toEpochDay)
+          .sorted.toList
+      }
+    val expected = days.map { case (u, ds) =>
+      // longest run of consecutive epoch days, ties -> earliest start
+      val runs = ds.foldLeft(List.empty[(Long, Long)]) {
+        case ((s0, e0) :: tl, d) if d == e0 + 1 => (s0, d) :: tl
+        case (acc, d) => (d, d) :: acc
+      }.reverse
+      val best = runs.maxBy { case (s0, e0) => (e0 - s0, -s0) }
+      (u, best._2 - best._1 + 1,
+        java.time.LocalDate.ofEpochDay(best._1).toString,
+        java.time.LocalDate.ofEpochDay(best._2).toString)
+    }.toSet
+    val got = run("x_user_streaks").collect().map { r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("longest_streak_days"),
+        r.getAs[String]("streak_start"), r.getAs[String]("streak_end"))
+    }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 
   test("x_corpus_mix: weights capped at 1, budgets never upsample, " +
       "shares sum to 1") {

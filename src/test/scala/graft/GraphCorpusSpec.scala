@@ -23,6 +23,50 @@ class GraphCorpusSpec extends SparkSpec {
     }
   }
 
+  test("x_bfs_distances: histogram matches a driver-side BFS replay " +
+      "over the same trading graph") {
+    import spark.implicits._
+    val e0 = graft.util.Tables.t(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_suppkey")
+      .join(graft.util.Tables.t(spark, sf, "orders")
+        .select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_suppkey".cast("long"), $"o_custkey".cast("long"))
+      .distinct().as[(Long, Long)].collect()
+    val cOff = 1000000L
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    e0.foreach { case (sKey, c) =>
+      adj(sKey) = (c + cOff) :: adj(sKey)
+      adj(c + cOff) = sKey :: adj(c + cOff)
+    }
+    val nodes = adj.keySet.toSet
+    val dist = scala.collection.mutable.Map.empty[Long, Long]
+    var frontier = nodes.filter(_ <= 3L)
+    frontier.foreach(dist(_) = 0L)
+    for (r <- 1 to 6) {
+      val next = frontier.flatMap(adj).filterNot(dist.contains)
+      next.foreach(dist(_) = r.toLong)
+      frontier = next
+    }
+    val expected = nodes.groupBy { n =>
+      (dist.getOrElse(n, -1L),
+        if (n >= cOff) "customer" else "supplier")
+    }.map { case ((dd, tpe), ns) =>
+      val keys = ns.map(n => if (n >= cOff) n - cOff else n)
+      (dd, tpe, ns.size.toLong, keys.min, keys.max)
+    }.toSet
+    val got = run("x_bfs_distances").collect().map { r =>
+      (r.getAs[Long]("dist"), r.getAs[String]("node_type"),
+        r.getAs[Long]("n_nodes"), r.getAs[Long]("min_key"),
+        r.getAs[Long]("max_key"))
+    }.toSet
+    assert(got == expected)
+    // the seed rows themselves must be present at dist 0
+    assert(got.exists { case (dd, tpe, _, _, _) =>
+      dd == 0L && tpe == "supplier" })
+  }
+
   test("x_hits: exactly 10 ranks per side, rank order matches score " +
       "order, scores positive") {
     val rows = run("x_hits").collect()

@@ -119,6 +119,7 @@ class PlanAuditSpec extends SparkSpec {
     "x_ann_ivfpq_residual_recall", "x_ann_multiprobe_quality",
     "x_ann_pq_adc_recall", "x_ann_quality", "x_ann_tables_probes_quality",
     "x_ann_trained_quality", "x_autocorrelation", "x_best_passage",
+    "x_bfs_distances",
     "x_bm25", "x_bootstrap_ci", "x_bootstrap_median_ci", "x_bpe_fertility",
     "x_bpe_tokenize", "x_burst_hours", "x_chi2_independence",
     "x_classifier_agreement", "x_classifier_report", "x_cluster_size_dist",
