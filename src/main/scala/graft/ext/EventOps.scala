@@ -17,6 +17,36 @@ object EventOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "x_seq_patterns" -> ((s, d) => {
+      // sequential-pattern support ("A is EVENTUALLY followed by B"):
+      // for every ordered pair of distinct event types, the number of
+      // users with some A strictly before some B — the length-2
+      // PrefixSpan support table, the existence complement of
+      // x_markov_transitions' adjacent-step counts. The predicate
+      // "∃ a∈A, b∈B with ts_a < ts_b" reduces to min_ts(A) < max_ts(B),
+      // so the whole op runs on the grouped (user, type, min, max)
+      // table: users × |types| rows, one user-keyed self-join with
+      // ≤ |types|² fan-out per user, never a row-level pair join.
+      // Strict-inequality on epoch-micros needs no tie-break — it is a
+      // well-defined set predicate either way.
+      val g = t(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(unix_micros(col("ts"))).as("mn"),
+          max(unix_micros(col("ts"))).as("mx"))
+      g.as("a").join(g.as("b"),
+          col("a.user_id") === col("b.user_id")
+            && col("a.event_type") =!= col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_users_both"),
+          sum(when(col("a.mn") < col("b.mx"), 1L).otherwise(0L))
+            .cast("long").as("n_users_seq"))
+        .withColumn("support",
+          detRound(col("n_users_seq").cast("double") / col("n_users_both"),
+            6))
+        .orderBy("type_a", "type_b")
+    }),
+
     "x_user_streaks" -> ((s, d) => {
       // longest consecutive-day activity streak per user — the retention
       // health metric engagement dashboards put next to the cohort table.
@@ -761,6 +791,23 @@ object EventOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "x_seq_patterns" ->
+      """WITH g AS (
+           SELECT user_id, event_type,
+                  MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+           FROM events GROUP BY 1, 2)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                COUNT(*) AS n_users_both,
+                CAST(SUM(CASE WHEN a.mn < b.mx THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_users_seq,
+                floor(CAST(SUM(CASE WHEN a.mn < b.mx THEN 1 ELSE 0 END)
+                           AS BIGINT)
+                      / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                  AS support
+         FROM g a JOIN g b ON a.user_id = b.user_id
+                          AND a.event_type <> b.event_type
+         GROUP BY 1, 2 ORDER BY type_a, type_b""",
 
     "x_user_streaks" ->
       """WITH days AS (

@@ -182,6 +182,62 @@ object StatsOps {
         .orderBy("event_type")
     }),
 
+    "x_ols_multi" -> ((s, d) => {
+      // TWO-feature OLS (x_ols_trend is simple regression): predict an
+      // order's total price (integer cents) from its line count and
+      // total quantity — the closed-form normal-equations solve on the
+      // 2×2 scaled central moment matrix M_ab = n·S_ab − S_a·S_b, which
+      // needs only the 10 sufficient statistics. Same discipline as
+      // x_ols_trend: per-row-bounded x statistics accumulate in LONG
+      // (safe past 1e12 rows — x1 ≤ line count per order, x2 ≤ total
+      // qty per order), every y-involving statistic in DECIMAL (cents
+      // grow with volume), then each EXACT statistic casts to double
+      // once and both engines run the identical IEEE closed form. The
+      // statistics partial-aggregate map-side; the solve is one row.
+      val per = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(count(lit(1)).as("x1"),
+          sum(col("l_quantity").cast("long")).cast("long").as("x2"))
+      val xy = t(s, d, "orders")
+        .select(col("o_orderkey").as("ok"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("y"))
+        .join(per, "ok")
+      val st = xy.agg(
+        count(lit(1)).as("ni"),
+        sum(col("x1")).cast("long").as("sx1i"),
+        sum(col("x2")).cast("long").as("sx2i"),
+        sum(col("y").cast("decimal(28,0)")).as("syi"),
+        sum(col("x1") * col("x1")).cast("long").as("sx11i"),
+        sum(col("x1") * col("x2")).cast("long").as("sx12i"),
+        sum(col("x2") * col("x2")).cast("long").as("sx22i"),
+        sum((col("x1") * col("y")).cast("decimal(30,0)")).as("sx1yi"),
+        sum((col("x2") * col("y")).cast("decimal(32,0)")).as("sx2yi"),
+        sum(col("y").cast("decimal(19,0)")
+          * col("y").cast("decimal(19,0)")).as("syyi"))
+      val dn = col("ni").cast("double")
+      def D(c: String) = col(c + "i").cast("double")
+      st
+        .withColumn("m11", dn * D("sx11") - D("sx1") * D("sx1"))
+        .withColumn("m12", dn * D("sx12") - D("sx1") * D("sx2"))
+        .withColumn("m22", dn * D("sx22") - D("sx2") * D("sx2"))
+        .withColumn("m1y", dn * D("sx1y") - D("sx1") * D("sy"))
+        .withColumn("m2y", dn * D("sx2y") - D("sx2") * D("sy"))
+        .withColumn("myy", dn * D("syy") - D("sy") * D("sy"))
+        .withColumn("det",
+          col("m11") * col("m22") - col("m12") * col("m12"))
+        .withColumn("b1",
+          (col("m22") * col("m1y") - col("m12") * col("m2y")) / col("det"))
+        .withColumn("b2",
+          (col("m11") * col("m2y") - col("m12") * col("m1y")) / col("det"))
+        .select(col("ni").as("n_orders"),
+          detRound((D("sy") - col("b1") * D("sx1") - col("b2") * D("sx2"))
+            / dn, 4).as("b0_cents"),
+          detRound(col("b1"), 4).as("b1_cents_per_line"),
+          detRound(col("b2"), 4).as("b2_cents_per_qty"),
+          detRound((col("b1") * col("m1y") + col("b2") * col("m2y"))
+            / col("myy"), 6).as("r2"))
+    }),
+
     "x_ols_trend" -> ((s, d) => {
       // per-priority order-volume trend: OLS slope/intercept/R² of daily
       // order counts against the day index, computed ENTIRELY from the
@@ -1035,6 +1091,53 @@ object StatsOps {
                        / COUNT(*)) * 1e6 + 0.5) / 1e6 AS outlier_frac
          FROM dev d JOIN mad m USING (event_type)
          GROUP BY 1 ORDER BY event_type""",
+
+    "x_ols_multi" ->
+      """WITH per AS (
+           SELECT l_orderkey AS ok, COUNT(*) AS x1,
+                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2
+           FROM lineitem GROUP BY 1),
+         xy AS (
+           SELECT CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS y,
+                  p.x1, p.x2
+           FROM orders o JOIN per p ON p.ok = o.o_orderkey),
+         s AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS ni,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(CAST(SUM(x1) AS BIGINT) AS DOUBLE) AS sx1,
+                  CAST(CAST(SUM(x2) AS BIGINT) AS DOUBLE) AS sx2,
+                  CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+                  CAST(CAST(SUM(x1 * x1) AS BIGINT) AS DOUBLE) AS sx11,
+                  CAST(CAST(SUM(x1 * x2) AS BIGINT) AS DOUBLE) AS sx12,
+                  CAST(CAST(SUM(x2 * x2) AS BIGINT) AS DOUBLE) AS sx22,
+                  CAST(SUM(CAST(x1 * y AS HUGEINT)) AS DOUBLE) AS sx1y,
+                  CAST(SUM(CAST(x2 * y AS HUGEINT)) AS DOUBLE) AS sx2y,
+                  CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+                       AS DOUBLE) AS syy
+           FROM xy),
+         m AS (
+           SELECT ni, n, sx1, sx2, sy, sx1y, sx2y,
+                  n * sx11 - sx1 * sx1 AS m11,
+                  n * sx12 - sx1 * sx2 AS m12,
+                  n * sx22 - sx2 * sx2 AS m22,
+                  n * sx1y - sx1 * sy AS m1y,
+                  n * sx2y - sx2 * sy AS m2y,
+                  n * syy - sy * sy AS myy
+           FROM s),
+         f AS (
+           SELECT ni, n, sx1, sx2, sy, m1y, m2y, myy,
+                  (m22 * m1y - m12 * m2y)
+                    / (m11 * m22 - m12 * m12) AS b1,
+                  (m11 * m2y - m12 * m1y)
+                    / (m11 * m22 - m12 * m12) AS b2
+           FROM m)
+         SELECT ni AS n_orders,
+                floor(((sy - b1 * sx1 - b2 * sx2) / n) * 1e4 + 0.5) / 1e4
+                  AS b0_cents,
+                floor(b1 * 1e4 + 0.5) / 1e4 AS b1_cents_per_line,
+                floor(b2 * 1e4 + 0.5) / 1e4 AS b2_cents_per_qty,
+                floor((b1 * m1y + b2 * m2y) / myy * 1e6 + 0.5) / 1e6 AS r2
+         FROM f""",
 
     "x_ols_trend" ->
       """WITH daily AS (

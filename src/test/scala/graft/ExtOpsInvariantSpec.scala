@@ -12,6 +12,72 @@ class ExtOpsInvariantSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("x_seq_patterns: pair supports match a driver-side existence " +
+      "replay over per-user event histories") {
+    import spark.implicits._
+    val ev = graft.util.Tables.t(spark, sf, "events")
+      .select($"user_id", $"event_type",
+        org.apache.spark.sql.functions.unix_micros($"ts").as("us"))
+      .as[(Long, String, Long)].collect()
+    val byUser = ev.groupBy(_._1)
+    val types = ev.map(_._2).distinct
+    val expected = (for {
+      a <- types; b <- types if a != b
+      users = byUser.filter { case (_, rs) =>
+        rs.exists(_._2 == a) && rs.exists(_._2 == b)
+      }
+      if users.nonEmpty
+    } yield {
+      val seq = users.count { case (_, rs) =>
+        val aTs = rs.filter(_._2 == a).map(_._3)
+        val bTs = rs.filter(_._2 == b).map(_._3)
+        aTs.min < bTs.max
+      }
+      (a, b, users.size.toLong, seq.toLong)
+    }).toSet
+    val got = run("x_seq_patterns").collect().map { r =>
+      (r.getAs[String]("type_a"), r.getAs[String]("type_b"),
+        r.getAs[Long]("n_users_both"), r.getAs[Long]("n_users_seq"))
+    }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("x_ols_multi: fitted residuals satisfy the normal equations " +
+      "(sum zero and orthogonal to both features)") {
+    import spark.implicits._
+    val row = run("x_ols_multi").collect().head
+    val (b0, b1, b2) = (row.getAs[Double]("b0_cents"),
+      row.getAs[Double]("b1_cents_per_line"),
+      row.getAs[Double]("b2_cents_per_qty"))
+    val r2 = row.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+    val li = graft.util.Tables.t(spark, sf, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("x1"),
+        org.apache.spark.sql.functions.sum($"l_quantity").cast("long")
+          .as("x2"))
+    val data = graft.util.Tables.t(spark, sf, "orders")
+      .select($"o_orderkey".as("l_orderkey"), $"o_totalprice")
+      .join(li, "l_orderkey")
+      .select($"o_totalprice", $"x1", $"x2")
+      .as[(Double, Long, Long)].collect()
+      .map { case (tp, x1, x2) =>
+        (math.floor(tp * 100 + 0.5), x1.toDouble, x2.toDouble) }
+    val res = data.map { case (y, x1, x2) => (y - b0 - b1 * x1 - b2 * x2,
+      x1, x2) }
+    val n = data.length.toDouble
+    val yScale = data.map(_._1).sum / n
+    // rounding b to 4 dp perturbs each residual by ≤ 1e-4·(x1+x2);
+    // compare means at a tolerance scaled to y's magnitude
+    assert(math.abs(res.map(_._1).sum / n) < 1e-3 * yScale)
+    assert(math.abs(res.map(r => r._1 * r._2).sum / n)
+      < 1e-2 * yScale * res.map(_._2).max)
+    assert(math.abs(res.map(r => r._1 * r._3).sum / n)
+      < 1e-2 * yScale * res.map(_._3).max)
+  }
+
   test("x_user_streaks: per-user longest run matches a driver-side " +
       "consecutive-day replay") {
     import spark.implicits._
