@@ -17,6 +17,53 @@ object EventOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "x_seasonal_decompose" -> ((s, d) => {
+      // classical additive decomposition of the daily event-count
+      // series (trend = centered 7-day moving average, seasonal =
+      // per-day-of-week mean of the detrended series, residual = the
+      // remainder) — the decomposition x_seasonality_profile's raw
+      // dow×hour cells feed at dashboard level. Determinism: the
+      // detrended value is kept as the INTEGER 7·y − Σ₇y (never a
+      // float mean), the seasonal mean's numerator is an integer sum,
+      // and the residual double is derived from exact integers by the
+      // same IEEE expression in both engines, then quantized before
+      // the per-dow peak rank. Plan: everything downstream of the
+      // grouped daily table is O(span-days) — the unpartitioned
+      // 7-day frame runs over the 30-row spine, never raw events
+      // (same shape as x_gap_fill's fill window).
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("yc"))
+      val spine = s.range(1).select(explode(expr(
+        """sequence(to_date('2024-01-01'), to_date('2024-01-30'),
+                    interval 1 day)""")).as("day"))
+      val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+      val dd = spine.join(daily, Seq("day"), "left")
+        .withColumn("y", coalesce(col("yc"), lit(0L)))
+        .withColumn("t7", sum(col("y")).over(w7))
+        .withColumn("nw", count(lit(1)).over(w7))
+        .filter(col("nw") === 7)
+        .withColumn("d7", lit(7L) * col("y") - col("t7"))
+        .withColumn("dow", dayofweek(col("day")).cast("long"))
+      val seas = dd.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("d7")).cast("long").as("sd7"))
+      val wR = Window.partitionBy("dow").orderBy(desc("arq"), asc("day"))
+      dd.join(broadcast(seas), "dow")
+        .withColumn("resid",
+          col("d7") / lit(7.0) - col("sd7") / (lit(7.0) * col("n_days")))
+        .withColumn("rq", floor(col("resid") * 1e6 + lit(0.5)).cast("long"))
+        .withColumn("arq", abs(col("rq")))
+        .withColumn("rn", row_number().over(wR))
+        .filter(col("rn") === 1)
+        .select(col("dow"), col("n_days"),
+          detRound(col("sd7") / (lit(7.0) * col("n_days")), 4)
+            .as("seasonal"),
+          col("day").cast("string").as("peak_resid_day"),
+          (col("rq") / 1e6).as("peak_resid"))
+        .orderBy("dow")
+    }),
+
     "x_seq_patterns" -> ((s, d) => {
       // sequential-pattern support ("A is EVENTUALLY followed by B"):
       // for every ordered pair of distinct event types, the number of
@@ -791,6 +838,45 @@ object EventOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "x_seasonal_decompose" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, COUNT(*) AS yc
+           FROM events GROUP BY 1),
+         spine AS (
+           SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                    DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day),
+         base AS (
+           SELECT s.day, COALESCE(d.yc, 0) AS y
+           FROM spine s LEFT JOIN daily d ON d.day = s.day),
+         win AS (
+           SELECT day, y,
+                  CAST(SUM(y) OVER w AS BIGINT) AS t7,
+                  COUNT(*) OVER w AS nw,
+                  CAST(dayofweek(day) + 1 AS BIGINT) AS dow
+           FROM base
+           WINDOW w AS (ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         dd AS (
+           SELECT day, dow, 7 * y - t7 AS d7 FROM win WHERE nw = 7),
+         seas AS (
+           SELECT dow, COUNT(*) AS n_days, CAST(SUM(d7) AS BIGINT) AS sd7
+           FROM dd GROUP BY 1),
+         r AS (
+           SELECT d.dow, s.n_days, s.sd7, d.day,
+                  CAST(floor((d.d7 / 7.0 - s.sd7 / (7.0 * s.n_days))
+                             * 1e6 + 0.5) AS BIGINT) AS rq
+           FROM dd d JOIN seas s USING (dow)),
+         p AS (
+           SELECT dow, n_days, sd7, day, rq,
+                  row_number() OVER (PARTITION BY dow
+                    ORDER BY abs(rq) DESC, day) AS rn
+           FROM r)
+         SELECT dow, n_days,
+                floor(sd7 / (7.0 * n_days) * 1e4 + 0.5) / 1e4 AS seasonal,
+                CAST(day AS VARCHAR) AS peak_resid_day,
+                rq / 1e6 AS peak_resid
+         FROM p WHERE rn = 1 ORDER BY dow""",
 
     "x_seq_patterns" ->
       """WITH g AS (

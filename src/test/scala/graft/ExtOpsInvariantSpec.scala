@@ -12,6 +12,63 @@ class ExtOpsInvariantSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("x_naive_bayes: perfect positive recall (the chi2-selected token " +
+      "IS the label), matrix covers every held-out doc") {
+    import spark.implicits._
+    val rows = run("x_naive_bayes").collect()
+    val cells = rows.map(r => ((r.getAs[Long]("true_label"),
+      r.getAs[Long]("pred_label")), r.getAs[Long]("n_docs"))).toMap
+    // every true-positive doc carries the literal 'spark' token, which
+    // chi2 selection must surface — misclassifying any of them would
+    // mean selection lost the signal
+    assert(cells.getOrElse((1L, 0L), 0L) == 0L,
+      "a doc containing the label token was predicted negative")
+    assert(cells.getOrElse((1L, 1L), 0L) > 0L)
+    val nOdd = graft.util.Tables.t(spark, sf, "documents")
+      .filter($"doc_id" % 2 === 1).count()
+    assert(cells.values.sum == nOdd)
+    // better than always-predict-majority on the held-out half
+    val acc = (cells.getOrElse((1L, 1L), 0L) +
+      cells.getOrElse((0L, 0L), 0L)).toDouble / nOdd
+    val majority = cells.filter(_._1._1 == 1L).values.sum.toDouble / nOdd
+    assert(acc > majority)
+  }
+
+  test("x_seasonal_decompose: seasonal indices and peak residuals match " +
+      "a driver-side decomposition replay") {
+    import spark.implicits._
+    val daily = graft.util.Tables.t(spark, sf, "events")
+      .groupBy(to_date($"ts").cast("string").as("day"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val days = (0 until 30).map(java.time.LocalDate.of(2024, 1, 1)
+      .plusDays(_))
+    val y = days.map(dd => daily.getOrElse(dd.toString, 0L))
+    val full = (3 until 27).map { i =>
+      val d7 = 7L * y(i) - (i - 3 to i + 3).map(y).sum
+      (days(i), d7, days(i).getDayOfWeek.getValue % 7 + 1) // Sun=1..Sat=7
+    }
+    val expected = full.groupBy(_._3).map { case (dow, rs) =>
+      val sd7 = rs.map(_._2).sum
+      val n = rs.size
+      val seasonal = math.floor(sd7 / (7.0 * n) * 1e4 + 0.5) / 1e4
+      val peak = rs.map { case (dd, d7, _) =>
+        val rq = math.floor((d7 / 7.0 - sd7 / (7.0 * n)) * 1e6 + 0.5).toLong
+        (dd.toString, rq)
+      }.minBy { case (dd, rq) => (-math.abs(rq), dd) }
+      (dow.toLong, n.toLong, seasonal, peak._1, peak._2 / 1e6)
+    }.toSet
+    val got = run("x_seasonal_decompose").collect().map { r =>
+      (r.getAs[Long]("dow"), r.getAs[Long]("n_days"),
+        r.getAs[Double]("seasonal"), r.getAs[String]("peak_resid_day"),
+        r.getAs[Double]("peak_resid"))
+    }.toSet
+    assert(got == expected)
+    // 30 spine days minus 6 edge days (seq, not set: n_days repeat)
+    assert(full.size == 24)
+  }
+
   test("x_seq_patterns: pair supports match a driver-side existence " +
       "replay over per-user event histories") {
     import spark.implicits._
