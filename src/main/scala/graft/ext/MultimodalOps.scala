@@ -388,6 +388,77 @@ object MultimodalOps {
           floor(w * scale).cast("long").as("dst_w"),
           floor(h * scale).cast("long").as("dst_h"))
         .orderBy("doc_id")
+    }),
+
+    "x_image_dhash" -> ((s, d) => {
+      // PERCEPTUAL near-dup detection for the image modality — the
+      // multimodal twin of x_simhash_hamming: an average-hash (aHash)
+      // over a 64-cell downsample of the payload bytes (the bytes play
+      // the luma plane; a real pipeline swaps byteAt for a pixel
+      // decoder, everything downstream is unchanged), banded 4×16 for
+      // multi-index candidate generation with pigeonhole-guaranteed
+      // recall at hamming ≤ 3, verified by bit_count(xor). The gauge
+      // corpus plants a last-byte-perturbed replica of every 10th doc
+      // (byte SUBSTITUTION, the aligned small-noise edit a re-encoded
+      // image shows) and the output reports how many replicas the
+      // banded index recovers. All integer: cell bytes, the 64·v > Σv
+      // threshold (no float mean), fingerprint bit-sums, hamming.
+      // Plan: the hash is one scan-side codegen'd expression per row;
+      // the shuffle carries (band, 16-bit value) keys — O(4·docs) rows
+      // with ~2^-16 random collision, exactly the text-SimHash scale
+      // posture.
+      val ReplOff = 10000000L
+      val base = mediaTable(s, d)
+      val corpus = base.unionByName(
+        base.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + lit(ReplOff)).as("doc_id"),
+            concat(
+              col("payload").substr(lit(1), length(col("payload")) - 1),
+              lit("z".getBytes("US-ASCII"))).as("payload")))
+      def byteAt(i: Int): Column = conv(hex(col("payload").substr(
+        expr(s"CAST((CAST($i AS BIGINT) * length(payload)) div 64 AS INT) + 1"),
+        lit(1))), 16, 10).cast("long")
+      val withCells = corpus.select(
+        col("doc_id") +: (0 until 64).map(i => byteAt(i).as(s"v$i")): _*)
+      val sm = (0 until 64).map(i => col(s"v$i")).reduce(_ + _)
+      val fp0 = (0 until 32).map(i =>
+        when(col(s"v$i") * 64 > col("sm"), lit(1L << (31 - i)))
+          .otherwise(lit(0L))).reduce(_ + _)
+      val fp1 = (32 until 64).map(i =>
+        when(col(s"v$i") * 64 > col("sm"), lit(1L << (63 - i)))
+          .otherwise(lit(0L))).reduce(_ + _)
+      val fps = withCells.withColumn("sm", sm)
+        .select(col("doc_id"), fp0.as("fp0"), fp1.as("fp1"))
+        .localCheckpoint()
+      val bands = fps.select(col("doc_id"), col("fp0"), col("fp1"),
+          explode(expr("array(0, 1, 2, 3)")).as("bidx"))
+        .withColumn("bv", expr(
+          "shiftright(IF(bidx < 2, fp0, fp1), (bidx % 2) * 16) & 65535"))
+      val cand = bands.alias("x").join(bands.alias("y"),
+          col("x.bidx") === col("y.bidx") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("x.fp0").as("fa0"),
+          col("x.fp1").as("fa1"), col("y.doc_id").as("b"),
+          col("y.fp0").as("fb0"), col("y.fp1").as("fb1"))
+        .distinct()
+        .withColumn("hamming", expr(
+          "CAST(bit_count(fa0 ^ fb0) + bit_count(fa1 ^ fb1) AS BIGINT)"))
+      val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
+      val nRepl = base.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .agg(count(lit(1)).as("n_replicas"))
+      val cagg = cand.agg(count(lit(1)).as("n_band_candidates"),
+        coalesce(sum(when(col("hamming") <= 3, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_verified_d3"),
+        coalesce(sum(when(col("hamming") <= 3 &&
+            col("b") === col("a") + ReplOff, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_replica_found"))
+      nDocs.crossJoin(broadcast(nRepl)).crossJoin(broadcast(cagg))
+        .select(col("n_docs"), col("n_replicas"),
+          col("n_band_candidates"), col("n_verified_d3"),
+          col("n_replica_found"),
+          graft.types.Coercions.detRound(
+            col("n_replica_found").cast("double") / col("n_replicas"), 4)
+            .as("recall"))
     })
   )
 
@@ -476,6 +547,66 @@ object MultimodalOps {
            CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,
            CAST(floor(w * least(256.0 / w, 256.0 / h, 1.0)) AS BIGINT) AS dst_w,
            CAST(floor(h * least(256.0 / w, 256.0 / h, 1.0)) AS BIGINT) AS dst_h
-         FROM dims ORDER BY doc_id"""
+         FROM dims ORDER BY doc_id""",
+
+    "x_image_dhash" -> {
+      val cells = (0 until 64).map(i =>
+        s"ord(substr(p, CAST(($i * length(p)) // 64 + 1 AS INT), 1)) AS v$i")
+        .mkString(",\n                  ")
+      val smSum = (0 until 64).map(i => s"v$i").mkString(" + ")
+      val hi = (0 until 32).map(i =>
+        s"(CASE WHEN 64 * v$i > sm THEN ${1L << (31 - i)} ELSE 0 END)")
+        .mkString(" + ")
+      val lo = (32 until 64).map(i =>
+        s"(CASE WHEN 64 * v$i > sm THEN ${1L << (63 - i)} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH corpus AS (
+            SELECT doc_id, text AS p FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000,
+                   substr(text, 1, CAST(length(text) AS INT) - 1) || 'z'
+            FROM documents WHERE doc_id % 10 = 0),
+          cells AS (
+            SELECT doc_id,
+                  $cells
+            FROM corpus),
+          cs AS (SELECT *, $smSum AS sm FROM cells),
+          fps AS MATERIALIZED (
+            SELECT doc_id, CAST($hi AS BIGINT) AS fp0,
+                   CAST($lo AS BIGINT) AS fp1
+            FROM cs),
+          bands AS (
+            SELECT doc_id, fp0, fp1, i AS bidx,
+                   ((CASE WHEN i < 2 THEN fp0 ELSE fp1 END)
+                    >> ((i % 2) * 16)) & 65535 AS bv
+            FROM fps, range(4) t(i)),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS a, x.fp0 AS fa0, x.fp1 AS fa1,
+                            y.doc_id AS b, y.fp0 AS fb0, y.fp1 AS fb1
+            FROM bands x JOIN bands y
+              ON x.bidx = y.bidx AND x.bv = y.bv
+                 AND x.doc_id < y.doc_id),
+          h AS (
+            SELECT a, b, bit_count(xor(fa0, fb0))
+                         + bit_count(xor(fa1, fb1)) AS hamming
+            FROM cand),
+          agg AS (
+            SELECT COUNT(*) AS n_band_candidates,
+                   CAST(COALESCE(SUM(CASE WHEN hamming <= 3
+                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                     AS n_verified_d3,
+                   CAST(COALESCE(SUM(CASE WHEN hamming <= 3
+                          AND b = a + 10000000 THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_replica_found
+            FROM h),
+          nd AS (SELECT COUNT(*) AS n_docs FROM corpus),
+          nr AS (SELECT COUNT(*) AS n_replicas FROM documents
+                 WHERE doc_id % 10 = 0)
+          SELECT n_docs, n_replicas, n_band_candidates, n_verified_d3,
+                 n_replica_found,
+                 floor(n_replica_found / CAST(n_replicas AS DOUBLE)
+                       * 1e4 + 0.5) / 1e4 AS recall
+          FROM nd CROSS JOIN nr CROSS JOIN agg"""
+    }
   )
 }

@@ -182,6 +182,57 @@ object StatsOps {
         .orderBy("event_type")
     }),
 
+    "x_forecast_backtest" -> ((s, d) => {
+      // forecaster model selection by BACKTEST — the eval loop that
+      // belongs next to x_holt_forecast/x_ewma_anomaly: replay three
+      // one-step forecasters (naive y_{t-1}, seasonal-naive y_{t-7},
+      // trailing-7 mean) over each priority's last 28 observed days and
+      // rank them by MAE. Everything is integer-exact: the mean-7
+      // residual is kept as |7y − Σ₇| and the cross-method comparison
+      // multiplies the integer error sums onto the common ×7
+      // denominator, so the winner flag is an integer argmin (ties →
+      // method name) — no float accumulates anywhere before the final
+      // display division. Plan: windows run over the grouped daily
+      // table (priority-partitioned, span-bounded), the method unpivot
+      // is a 3-row generate per priority. The is_best column is the
+      // deliverable: which forecaster earns the anomaly-chart seat for
+      // THIS series, measured, not assumed.
+      val w = Window.partitionBy("priority").orderBy("day")
+      val wDesc = Window.partitionBy("priority").orderBy(desc("day"))
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val feat = daily
+        .withColumn("l1", lag(col("y"), 1).over(w))
+        .withColumn("l7", lag(col("y"), 7).over(w))
+        .withColumn("s7", sum(col("y")).over(w.rowsBetween(-7, -1)))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnd", row_number().over(wDesc))
+        .filter(col("rn") > 7 && col("rnd") <= 28)
+      val m = feat.groupBy(col("priority")).agg(
+        count(lit(1)).as("n_days"),
+        sum(abs(col("y") - col("l1"))).cast("long").as("e_naive"),
+        sum(abs(col("y") - col("l7"))).cast("long").as("e_snaive"),
+        sum(abs(lit(7L) * col("y") - col("s7"))).cast("long").as("e_mean7"))
+      val wBest = Window.partitionBy("priority")
+        .orderBy(asc("num"), asc("method"))
+      m.select(col("priority"), col("n_days"), explode(array(
+          struct(lit("naive").as("method"),
+            (col("e_naive") * 7).as("num")),
+          struct(lit("snaive").as("method"),
+            (col("e_snaive") * 7).as("num")),
+          struct(lit("mean7").as("method"), col("e_mean7").as("num"))))
+          .as("e"))
+        .select(col("priority"), col("e.method").as("method"),
+          col("n_days"), col("e.num").as("num"))
+        .withColumn("is_best", row_number().over(wBest) === 1)
+        .select(col("priority"), col("method"), col("n_days"),
+          detRound(col("num") / (lit(7.0) * col("n_days")), 4).as("mae"),
+          col("is_best"))
+        .orderBy("priority", "method")
+    }),
+
     "x_ols_multi" -> ((s, d) => {
       // TWO-feature OLS (x_ols_trend is simple regression): predict an
       // order's total price (integer cents) from its line count and
@@ -1091,6 +1142,44 @@ object StatsOps {
                        / COUNT(*)) * 1e6 + 0.5) / 1e6 AS outlier_frac
          FROM dev d JOIN mad m USING (event_type)
          GROUP BY 1 ORDER BY event_type""",
+
+    "x_forecast_backtest" ->
+      """WITH daily AS (
+           SELECT o_orderpriority AS priority,
+                  date_trunc('day', o_orderdate) AS day,
+                  COUNT(*) AS y
+           FROM orders GROUP BY 1, 2),
+         feat AS (
+           SELECT priority, day, y,
+                  lag(y, 1) OVER w AS l1,
+                  lag(y, 7) OVER w AS l7,
+                  CAST(SUM(y) OVER (PARTITION BY priority ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT)
+                    AS s7,
+                  row_number() OVER w AS rn,
+                  row_number() OVER (PARTITION BY priority
+                    ORDER BY day DESC) AS rnd
+           FROM daily
+           WINDOW w AS (PARTITION BY priority ORDER BY day)),
+         ev AS (SELECT * FROM feat WHERE rn > 7 AND rnd <= 28),
+         m AS (
+           SELECT priority, COUNT(*) AS n_days,
+                  CAST(SUM(abs(y - l1)) AS BIGINT) AS e_naive,
+                  CAST(SUM(abs(y - l7)) AS BIGINT) AS e_snaive,
+                  CAST(SUM(abs(7 * y - s7)) AS BIGINT) AS e_mean7
+           FROM ev GROUP BY 1),
+         u AS (
+           SELECT priority, n_days, 'naive' AS method,
+                  e_naive * 7 AS num FROM m
+           UNION ALL
+           SELECT priority, n_days, 'snaive', e_snaive * 7 FROM m
+           UNION ALL
+           SELECT priority, n_days, 'mean7', e_mean7 FROM m)
+         SELECT priority, method, n_days,
+                floor(num / (7.0 * n_days) * 1e4 + 0.5) / 1e4 AS mae,
+                (row_number() OVER (PARTITION BY priority
+                   ORDER BY num, method)) = 1 AS is_best
+         FROM u ORDER BY priority, method""",
 
     "x_ols_multi" ->
       """WITH per AS (

@@ -12,6 +12,57 @@ class ExtOpsInvariantSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("x_image_dhash: every planted replica is recovered and the " +
+      "counts nest (candidates >= verified >= replicas found)") {
+    val r = run("x_image_dhash").collect().head
+    val (nRepl, nCand, nVer, nFound) = (r.getAs[Long]("n_replicas"),
+      r.getAs[Long]("n_band_candidates"), r.getAs[Long]("n_verified_d3"),
+      r.getAs[Long]("n_replica_found"))
+    assert(nFound == nRepl, "a last-byte substitution moved the aHash " +
+      "beyond hamming 3 — the perceptual-hash premise failed")
+    assert(r.getAs[Double]("recall") == 1.0)
+    assert(nCand >= nVer && nVer >= nFound)
+    assert(r.getAs[Long]("n_docs") > nRepl)
+  }
+
+  test("x_forecast_backtest: per-method MAE matches a driver-side replay " +
+      "over the observed daily series") {
+    import spark.implicits._
+    val daily = graft.util.Tables.t(spark, sf, "orders")
+      .groupBy($"o_orderpriority".as("p"),
+        org.apache.spark.sql.functions.date_trunc("day", $"o_orderdate")
+          .cast("string").as("day"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("y"))
+      .as[(String, String, Long)].collect()
+    val expected = daily.groupBy(_._1).flatMap { case (p, rs) =>
+      val ys = rs.sortBy(_._2).map(_._3)
+      val idx = ys.indices.filter(i => i >= 7 && i >= ys.length - 28)
+      if (idx.isEmpty) Nil
+      else {
+        val n = idx.size
+        val eN = idx.map(i => math.abs(ys(i) - ys(i - 1))).sum
+        val eS = idx.map(i => math.abs(ys(i) - ys(i - 7))).sum
+        val eM = idx.map(i =>
+          math.abs(7L * ys(i) - (i - 7 until i).map(ys).sum)).sum
+        val nums = Map("naive" -> eN * 7, "snaive" -> eS * 7,
+          "mean7" -> eM)
+        val best = nums.toSeq.minBy { case (m, v) => (v, m) }._1
+        nums.map { case (m, v) =>
+          (p, m, n.toLong,
+            math.floor(v / (7.0 * n) * 1e4 + 0.5) / 1e4, m == best)
+        }
+      }
+    }.toSet
+    val got = run("x_forecast_backtest").collect().map { r =>
+      (r.getAs[String]("priority"), r.getAs[String]("method"),
+        r.getAs[Long]("n_days"), r.getAs[Double]("mae"),
+        r.getAs[Boolean]("is_best"))
+    }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("x_naive_bayes: perfect positive recall (the chi2-selected token " +
       "IS the label), matrix covers every held-out doc") {
     import spark.implicits._

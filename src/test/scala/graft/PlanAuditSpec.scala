@@ -130,6 +130,7 @@ class PlanAuditSpec extends SparkSpec {
     "x_dq_expectations",
     "x_degree_histogram", "x_embedding_outliers", "x_entropy_rate",
     "x_fuzzy_passjoin", "x_hard_negatives", "x_hits", "x_hll_set_ops",
+    "x_image_dhash",
     "x_kcore", "x_ks_statistic", "x_label_propagation", "x_link_prediction",
     "x_lm_bigram", "x_market_basket", "x_maxscore_prune", "x_mmr_rerank",
     "x_mrr_eval", "x_ndcg_eval", "x_negative_sampling", "x_ordered_funnel",
