@@ -834,6 +834,72 @@ object EventOps {
         .select(lit("direct").as("channel"), col("conversions"),
           col("credit_bp"))
       touched.unionByName(direct).orderBy("channel")
+    }),
+
+    "x_max_concurrency" -> ((s, d) => {
+      // peak concurrent sessions per day — the sweep-line interval
+      // gauge (capacity planning's load question: how many sessions
+      // were open AT ONCE, not per-hour event counts). Sessions are
+      // x_sessionize's 30-min-gap intervals; each is split into per-day
+      // segments (day-crossers contribute one segment per calendar day,
+      // derived by INTEGER day arithmetic on epoch micros — no
+      // timezone-dependent date casts in either engine), then the
+      // classic sweep: +1 at segment start, -1 at end+1µs, running sum
+      // over a RANGE frame so boundary ties resolve as simultaneous
+      // (all deltas at one instant apply together). The running sum is
+      // PARTITIONED BY DAY — concurrency resets are impossible across
+      // the split boundary because a day-crossing session plants a
+      // fresh +1 at the next day's midnight segment, so each day's
+      // sweep is self-contained and the global unpartitioned window the
+      // r9 verdict banned never appears. Peak instant is the MIN
+      // boundary achieving the max (deterministic under ties). Scale:
+      // one shuffle on user_id (sessionize), one on day (sweep); both
+      // window passes are linear per partition, and a day's boundary
+      // count is bounded by that day's session count, not table size.
+      val DayUs = 86400000000L
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cumU = byUser.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val sess = t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("is_new")).over(cumU))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+      val seg = sess
+        .withColumn("day_idx", explode(sequence(
+          (col("s_us") / DayUs).cast("long"),
+          (col("e_us") / DayUs).cast("long"))))
+        .select(col("day_idx"),
+          greatest(col("s_us"), col("day_idx") * DayUs).as("g_us"),
+          least(col("e_us"), col("day_idx") * DayUs + (DayUs - 1))
+            .as("l_us"))
+      val b = seg.select(col("day_idx"), col("g_us").as("bus"),
+          lit(1L).as("delta"))
+        .unionByName(seg.select(col("day_idx"),
+          (col("l_us") + 1).as("bus"), lit(-1L).as("delta")))
+      val wD = Window.partitionBy("day_idx").orderBy("bus")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val sw = b.withColumn("conc", sum(col("delta")).over(wD))
+        .withColumn("peak",
+          max(col("conc")).over(Window.partitionBy("day_idx")))
+        .filter(col("conc") === col("peak"))
+        .groupBy(col("day_idx"), col("peak"))
+        .agg(min(col("bus")).as("peak_us"))
+      val ns = seg.groupBy(col("day_idx"))
+        .agg(count(lit(1)).as("n_active"))
+      sw.join(ns, Seq("day_idx"))
+        .select(
+          date_format(date_add(to_date(lit("1970-01-01")),
+            col("day_idx").cast("int")), "yyyy-MM-dd").as("day"),
+          col("n_active"),
+          col("peak").cast("long").as("peak_concurrency"),
+          col("peak_us"))
+        .orderBy("day")
     })
   )
 
@@ -1435,6 +1501,57 @@ object EventOps {
                 p.maxq / 1e6 AS peak_z,
                 strftime(k.ph, '%Y-%m-%d %H:%M:%S') AS peak_hour
          FROM per p JOIN peak k USING (event_type)
-         ORDER BY event_type"""
+         ORDER BY event_type""",
+
+    "x_max_concurrency" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         m AS (
+           SELECT *, CASE WHEN prev_us IS NULL
+                               OR us - prev_us > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS is_new
+           FROM g),
+         sess AS (
+           SELECT user_id,
+                  SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS sid,
+                  us
+           FROM m),
+         iv AS (
+           SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+           FROM sess GROUP BY 1, 2),
+         seg AS (
+           SELECT day_idx,
+                  greatest(s_us, day_idx * 86400000000) AS g_us,
+                  least(e_us, day_idx * 86400000000 + 86399999999) AS l_us
+           FROM iv, unnest(generate_series(s_us // 86400000000,
+                                           e_us // 86400000000)) AS t(day_idx)),
+         b AS (
+           SELECT day_idx, g_us AS bus, 1 AS delta FROM seg
+           UNION ALL
+           SELECT day_idx, l_us + 1, -1 FROM seg),
+         sw AS (
+           SELECT day_idx, bus,
+                  CAST(SUM(delta) OVER (PARTITION BY day_idx ORDER BY bus
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS conc
+           FROM b),
+         pk AS (SELECT day_idx, max(conc) AS peak FROM sw GROUP BY 1),
+         res AS (
+           SELECT sw.day_idx, pk.peak, min(sw.bus) AS peak_us
+           FROM sw JOIN pk ON sw.day_idx = pk.day_idx AND sw.conc = pk.peak
+           GROUP BY 1, 2),
+         ns AS (SELECT day_idx, COUNT(*) AS n_active FROM seg GROUP BY 1)
+         SELECT strftime(DATE '1970-01-01' + CAST(res.day_idx AS INT),
+                         '%Y-%m-%d') AS day,
+                ns.n_active,
+                res.peak AS peak_concurrency,
+                res.peak_us
+         FROM res JOIN ns ON res.day_idx = ns.day_idx
+         ORDER BY day"""
   )
 }

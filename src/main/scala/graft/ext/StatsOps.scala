@@ -233,6 +233,57 @@ object StatsOps {
         .orderBy("priority", "method")
     }),
 
+    "x_mann_kendall" -> ((s, d) => {
+      // Mann-Kendall nonparametric trend test over each priority's
+      // daily order-count series — the distribution-free companion to
+      // x_ols_trend (no linearity or normality assumed; the statistic
+      // only reads SIGNS of pairwise differences, so the heavy ties in
+      // a small-count daily series demand the tie-corrected variance,
+      // which this computes exactly). All integer until the final z:
+      // S = Σ_{i<j} sign(y_j − y_i) from a pairwise self-join,
+      // var_num = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) from the value
+      // histogram; z = (S ∓ 1)/sqrt(var_num/18) is one IEEE sqrt of an
+      // identical integer ratio in both engines, rounded only for
+      // display. Scale: the self-join is O(days²) PER SERIES — bounded
+      // by the calendar, not by row volume (100× the data is the same
+      // ~2.4k days, just bigger y's), so the quadratic pair table stays
+      // a few million rows forever while the orders scan underneath
+      // aggregates map-side to one row per (priority, day) first.
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val pairs = daily.alias("a").join(daily.alias("b"),
+          col("a.priority") === col("b.priority") &&
+            col("a.day") < col("b.day"))
+        .groupBy(col("a.priority").as("priority"))
+        .agg(sum(when(col("b.y") > col("a.y"), 1L)
+          .when(col("b.y") < col("a.y"), -1L).otherwise(0L))
+          .cast("long").as("s_stat"))
+      val n = daily.groupBy(col("priority"))
+        .agg(count(lit(1)).as("n_days"))
+      val ties = daily.groupBy(col("priority"), col("y"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("priority"))
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+          .cast("long").as("tie_term"))
+      val z = when(col("s_stat") > 0, (col("s_stat") - 1) /
+          sqrt(col("var_num") / lit(18.0)))
+        .when(col("s_stat") < 0, (col("s_stat") + 1) /
+          sqrt(col("var_num") / lit(18.0)))
+        .otherwise(lit(0.0))
+      n.join(pairs, Seq("priority")).join(ties, Seq("priority"))
+        .withColumn("var_num",
+          (col("n_days") * (col("n_days") - 1) *
+            (lit(2L) * col("n_days") + 5) - col("tie_term"))
+            .cast("long"))
+        .select(col("priority"), col("n_days"), col("s_stat"),
+          col("var_num"), detRound(z, 4).as("z"),
+          when(z > 1.96, "increasing").when(z < -1.96, "decreasing")
+            .otherwise("no_trend").as("trend"))
+        .orderBy("priority")
+    }),
+
     "x_ols_multi" -> ((s, d) => {
       // TWO-feature OLS (x_ols_trend is simple regression): predict an
       // order's total price (integer cents) from its line count and
@@ -1180,6 +1231,49 @@ object StatsOps {
                 (row_number() OVER (PARTITION BY priority
                    ORDER BY num, method)) = 1 AS is_best
          FROM u ORDER BY priority, method""",
+
+    "x_mann_kendall" ->
+      """WITH daily AS (
+           SELECT o_orderpriority AS priority,
+                  date_trunc('day', o_orderdate) AS day,
+                  COUNT(*) AS y
+           FROM orders GROUP BY 1, 2),
+         pairs AS (
+           SELECT a.priority,
+                  CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                                WHEN b.y < a.y THEN -1 ELSE 0 END)
+                       AS BIGINT) AS s_stat
+           FROM daily a JOIN daily b
+             ON a.priority = b.priority AND a.day < b.day
+           GROUP BY 1),
+         n AS (SELECT priority, COUNT(*) AS n_days FROM daily GROUP BY 1),
+         ties AS (
+           SELECT priority,
+                  CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                    AS tie_term
+           FROM (SELECT priority, y, COUNT(*) AS t
+                 FROM daily GROUP BY 1, 2)
+           GROUP BY 1),
+         v AS (
+           SELECT n.priority, n.n_days, p.s_stat,
+                  CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                       - ties.tie_term AS BIGINT) AS var_num
+           FROM n JOIN pairs p USING (priority)
+                JOIN ties USING (priority)),
+         zc AS (
+           SELECT *,
+                  CASE WHEN s_stat > 0
+                         THEN (s_stat - 1) / sqrt(var_num / 18.0)
+                       WHEN s_stat < 0
+                         THEN (s_stat + 1) / sqrt(var_num / 18.0)
+                       ELSE 0.0 END AS zr
+           FROM v)
+         SELECT priority, n_days, s_stat, var_num,
+                floor(zr * 1e4 + 0.5) / 1e4 AS z,
+                CASE WHEN zr > 1.96 THEN 'increasing'
+                     WHEN zr < -1.96 THEN 'decreasing'
+                     ELSE 'no_trend' END AS trend
+         FROM zc ORDER BY priority""",
 
     "x_ols_multi" ->
       """WITH per AS (

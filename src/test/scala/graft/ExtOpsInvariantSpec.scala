@@ -12,6 +12,90 @@ class ExtOpsInvariantSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("x_max_concurrency: output matches a full driver-side sweep-line " +
+      "replay over sessionized events") {
+    import spark.implicits._
+    val DayUs = 86400000000L
+    val evs = graft.util.Tables.t(spark, sf, "events")
+      .select($"user_id",
+        org.apache.spark.sql.functions.unix_micros($"ts").as("us"),
+        $"event_id")
+      .as[(Long, Long, Long)].collect()
+    // sessionize: 30-min gap per user over (ts, event_id) order
+    val intervals = evs.groupBy(_._1).values.flatMap { rs =>
+      val sorted = rs.sortBy(r => (r._2, r._3)).map(_._2)
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for (u <- sorted) {
+        if (sessions.nonEmpty && u - sessions.last._2 <= 1800L * 1000000L)
+          sessions(sessions.size - 1) = (sessions.last._1, u)
+        else sessions += ((u, u))
+      }
+      sessions
+    }.toSeq
+    val segs = intervals.flatMap { case (su, eu) =>
+      (su / DayUs to eu / DayUs).map { di =>
+        (di, math.max(su, di * DayUs), math.min(eu, di * DayUs + DayUs - 1))
+      }
+    }
+    val expected = segs.groupBy(_._1).map { case (di, ss) =>
+      val bounds = ss.flatMap { case (_, g, l) =>
+        Seq((g, 1L), (l + 1, -1L)) }
+      val byTs = bounds.groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      val sweep = byTs.scanLeft((0L, 0L)) { case ((_, acc), (ts, dl)) =>
+        (ts, acc + dl) }.tail
+      val peak = sweep.map(_._2).max
+      val peakTs = sweep.filter(_._2 == peak).map(_._1).min
+      val day = java.time.LocalDate.ofEpochDay(di).toString
+      (day, ss.size.toLong, peak, peakTs)
+    }.toSet
+    val got = run("x_max_concurrency").collect().map { r =>
+      (r.getAs[String]("day"), r.getAs[Long]("n_active"),
+        r.getAs[Long]("peak_concurrency"), r.getAs[Long]("peak_us"))
+    }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.forall(_._3 >= 1))
+  }
+
+  test("x_mann_kendall: S and tie-corrected variance match a pairwise " +
+      "driver-side replay; trend flag is consistent with z") {
+    import spark.implicits._
+    val daily = graft.util.Tables.t(spark, sf, "orders")
+      .groupBy($"o_orderpriority".as("p"),
+        org.apache.spark.sql.functions.date_trunc("day", $"o_orderdate")
+          .cast("string").as("day"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("y"))
+      .as[(String, String, Long)].collect()
+    val expected = daily.groupBy(_._1).map { case (p, rs) =>
+      val ys = rs.sortBy(_._2).map(_._3)
+      val n = ys.length.toLong
+      val sStat = (for {
+        i <- ys.indices; j <- (i + 1) until ys.length
+      } yield java.lang.Long.signum(ys(j) - ys(i)).toLong).sum
+      val tieTerm = ys.groupBy(identity).values
+        .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      val varNum = n * (n - 1) * (2 * n + 5) - tieTerm
+      (p, n, sStat, varNum)
+    }.toSet
+    val rows = run("x_mann_kendall").collect()
+    val got = rows.map { r =>
+      (r.getAs[String]("priority"), r.getAs[Long]("n_days"),
+        r.getAs[Long]("s_stat"), r.getAs[Long]("var_num"))
+    }.toSet
+    assert(got == expected)
+    rows.foreach { r =>
+      val (s, v) = (r.getAs[Long]("s_stat"), r.getAs[Long]("var_num"))
+      val n = r.getAs[Long]("n_days")
+      assert(math.abs(s) <= n * (n - 1) / 2)
+      val zr = if (s > 0) (s - 1) / math.sqrt(v / 18.0)
+        else if (s < 0) (s + 1) / math.sqrt(v / 18.0) else 0.0
+      val trend = if (zr > 1.96) "increasing"
+        else if (zr < -1.96) "decreasing" else "no_trend"
+      assert(r.getAs[String]("trend") == trend)
+    }
+  }
+
   test("x_image_dhash: every planted replica is recovered and the " +
       "counts nest (candidates >= verified >= replicas found)") {
     val r = run("x_image_dhash").collect().head
