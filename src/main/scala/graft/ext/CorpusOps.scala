@@ -69,6 +69,8 @@ object CorpusOps {
 
   private val ZBits = 12 // 4096-cell domain per dimension
   private val ZFiles = 16
+  // x_zonemap_prune: target rows per simulated file (row-group size)
+  private val ZmapRowsPerFile = 2048L
 
   /** Morton interleave of two ZBits-wide nonneg ints (x even bits, y odd). */
   private def zvalSpark(x: Column, y: Column): Column =
@@ -957,6 +959,61 @@ object CorpusOps {
           detRound(col("tx") / lit(4096.0), 4).as("exp_files_point_x"),
           detRound(col("ty") / lit(4096.0), 4).as("exp_files_point_y"))
         .orderBy("layout")
+    }),
+
+    "x_zonemap_prune" -> ((s, d) => {
+      // zone-map pruning effectiveness — x_zorder_layout's companion
+      // measured END TO END: given a file layout, what fraction of
+      // files does a real range predicate on l_shipdate skip, and how
+      // many rows does the engine still have to scan per matching row
+      // (the scan-amplification factor a 100 TB reader lives or dies
+      // by)? Two layouts: insertion order (files cut along l_orderkey —
+      // TPC-H orderkeys are date-uncorrelated, so zone maps are useless
+      // and every file overlaps the predicate) vs sorted-by-shipdate
+      // (files cut along the filter column — pruning approaches the
+      // selectivity). File assignment is the scale-safe grouped-
+      // histogram cumsum (the r10 pattern): group to one row PER KEY
+      // VALUE first, cumsum over that bounded histogram, cut every
+      // ZmapRowsPerFile rows — key groups stay atomic, exactly like a
+      // writer emitting sorted row groups; no window ever touches raw
+      // lineitem rows. Zone min/max per file are real aggregates of the
+      // rows inside, pruning is the standard [zmin, zmax] overlap test.
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_shipdate").as("sd"))
+      val lo = lit("1995-01-01 00:00:00").cast("timestamp")
+      val hi = lit("1995-03-31 23:59:59").cast("timestamp")
+      def files(key: Column, label: String): DataFrame = {
+        val g = li.groupBy(key.as("k"))
+          .agg(count(lit(1)).as("cnt"),
+            min(col("sd")).as("mn"), max(col("sd")).as("mx"))
+        val w = Window.orderBy("k")
+        g.withColumn("cumb", sum(col("cnt")).over(w) - col("cnt"))
+          .withColumn("file_id",
+            expr(s"cumb div ${ZmapRowsPerFile}"))
+          .groupBy("file_id")
+          .agg(sum(col("cnt")).as("rows"),
+            min(col("mn")).as("zmin"), max(col("mx")).as("zmax"))
+          .withColumn("layout", lit(label))
+      }
+      val f = files(col("ok"), "by_orderkey")
+        .unionByName(files(col("sd"), "by_shipdate"))
+      val per = f
+        .withColumn("scanned", col("zmax") >= lo && col("zmin") <= hi)
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("scanned"), 0L).otherwise(1L)).cast("long")
+            .as("n_pruned"),
+          sum(when(col("scanned"), col("rows")).otherwise(0L))
+            .cast("long").as("rows_scanned"))
+      val matched = li.filter(col("sd") >= lo && col("sd") <= hi)
+        .agg(count(lit(1)).as("rows_matched"))
+      per.crossJoin(broadcast(matched))
+        .select(col("layout"), col("n_files"), col("n_pruned"),
+          (col("n_files") - col("n_pruned")).as("n_files_scanned"),
+          col("rows_scanned"), col("rows_matched"),
+          detRound(col("n_pruned") / col("n_files").cast("double"), 4)
+            .as("prune_frac"))
+        .orderBy("layout")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1624,6 +1681,57 @@ object CorpusOps {
                    AS exp_files_point_x,
                  floor((CAST(SUM(sy) AS BIGINT) / 4096.0) * 1e4 + 0.5) / 1e4
                    AS exp_files_point_y
-          FROM spans GROUP BY 1 ORDER BY layout"""
+          FROM spans GROUP BY 1 ORDER BY layout""",
+
+    "x_zonemap_prune" ->
+      s"""WITH li AS MATERIALIZED (
+            SELECT l_orderkey AS ok, l_shipdate AS sd FROM lineitem),
+          go AS (
+            SELECT ok AS k, COUNT(*) AS cnt, min(sd) AS mn, max(sd) AS mx
+            FROM li GROUP BY 1),
+          fo AS (
+            SELECT (CAST(SUM(cnt) OVER (ORDER BY k
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - cnt) // $ZmapRowsPerFile AS file_id,
+                   cnt, mn, mx
+            FROM go),
+          gd AS (
+            SELECT sd AS k, COUNT(*) AS cnt, min(sd) AS mn, max(sd) AS mx
+            FROM li GROUP BY 1),
+          fd AS (
+            SELECT (CAST(SUM(cnt) OVER (ORDER BY k
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - cnt) // $ZmapRowsPerFile AS file_id,
+                   cnt, mn, mx
+            FROM gd),
+          files AS (
+            SELECT 'by_orderkey' AS layout, file_id,
+                   CAST(SUM(cnt) AS BIGINT) AS rows_f,
+                   min(mn) AS zmin, max(mx) AS zmax
+            FROM fo GROUP BY 1, 2
+            UNION ALL
+            SELECT 'by_shipdate', file_id, CAST(SUM(cnt) AS BIGINT),
+                   min(mn), max(mx)
+            FROM fd GROUP BY 1, 2),
+          per AS (
+            SELECT layout, COUNT(*) AS n_files,
+                   CAST(SUM(CASE WHEN zmax >= TIMESTAMP '1995-01-01 00:00:00'
+                              AND zmin <= TIMESTAMP '1995-03-31 23:59:59'
+                             THEN 0 ELSE 1 END) AS BIGINT) AS n_pruned,
+                   CAST(SUM(CASE WHEN zmax >= TIMESTAMP '1995-01-01 00:00:00'
+                              AND zmin <= TIMESTAMP '1995-03-31 23:59:59'
+                             THEN rows_f ELSE 0 END) AS BIGINT)
+                     AS rows_scanned
+            FROM files GROUP BY 1),
+          mt AS (
+            SELECT COUNT(*) AS rows_matched FROM li
+            WHERE sd >= TIMESTAMP '1995-01-01 00:00:00'
+              AND sd <= TIMESTAMP '1995-03-31 23:59:59')
+          SELECT layout, n_files, n_pruned,
+                 n_files - n_pruned AS n_files_scanned,
+                 rows_scanned, rows_matched,
+                 floor(n_pruned / CAST(n_files AS DOUBLE) * 1e4 + 0.5) / 1e4
+                   AS prune_frac
+          FROM per CROSS JOIN mt ORDER BY layout"""
     })
 }
