@@ -1681,7 +1681,8 @@ object CorpusOps {
                    AS exp_files_point_x,
                  floor((CAST(SUM(sy) AS BIGINT) / 4096.0) * 1e4 + 0.5) / 1e4
                    AS exp_files_point_y
-          FROM spans GROUP BY 1 ORDER BY layout""",
+          FROM spans GROUP BY 1 ORDER BY layout"""
+    },
 
     "x_zonemap_prune" ->
       s"""WITH li AS MATERIALIZED (
@@ -1732,6 +1733,5 @@ object CorpusOps {
                  rows_scanned, rows_matched,
                  floor(n_pruned / CAST(n_files AS DOUBLE) * 1e4 + 0.5) / 1e4
                    AS prune_frac
-          FROM per CROSS JOIN mt ORDER BY layout"""
-    })
+          FROM per CROSS JOIN mt ORDER BY layout""")
 }
