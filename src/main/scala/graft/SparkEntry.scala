@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{CorpusOps, DedupOps, EvalOps, EventOps, GovernanceOps,
-  GraphOps, MultimodalOps, SimilarityOps, StatsOps, TextOps}
+import graft.ext.{CausalOps, CorpusOps, DedupOps, EvalOps, EventOps,
+  GovernanceOps, GraphOps, MultimodalOps, SimilarityOps, StatsOps, TextOps}
 import graft.queries.{AdvancedAnalytics => AA, Analytics => A, RefOps => R}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,7 +25,8 @@ object SparkEntry {
     A.queries ++ AA.queries ++ R.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ EventOps.queries ++
       MultimodalOps.queries ++ GraphOps.queries ++ CorpusOps.queries ++
-      StatsOps.queries ++ EvalOps.queries ++ GovernanceOps.queries
+      StatsOps.queries ++ EvalOps.queries ++ GovernanceOps.queries ++
+      CausalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,7 +34,8 @@ object SparkEntry {
     A.oracleSql ++ AA.oracleSql ++ R.oracleSql ++ TextOps.oracleSql ++
       DedupOps.oracleSql ++ SimilarityOps.oracleSql ++ EventOps.oracleSql ++
       MultimodalOps.oracleSql ++ GraphOps.oracleSql ++ CorpusOps.oracleSql ++
-      StatsOps.oracleSql ++ EvalOps.oracleSql ++ GovernanceOps.oracleSql
+      StatsOps.oracleSql ++ EvalOps.oracleSql ++ GovernanceOps.oracleSql ++
+      CausalOps.oracleSql
 
   /** Headline subset used by Bench (heaviest / most representative). */
   def benchQueries: Seq[String] = {

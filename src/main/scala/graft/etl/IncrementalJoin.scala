@@ -51,15 +51,27 @@ object IncrementalJoin {
   private def vdir(base: String, epoch: Long, table: String): String =
     Paths.get(base, s"v$epoch", table).toString
 
-  /** The materialized join as of the last committed refresh (empty-schema
-    * read errors before the first commit — callers check committedEpoch). */
-  def readJoin(spark: SparkSession, base: String): DataFrame =
-    spark.read.parquet(vdir(base, committedEpoch(base).get, "J"))
+  /** The materialized join as of the last committed refresh. Fails with a
+    * descriptive error (not a bare None.get) before the first commit. */
+  def readJoin(spark: SparkSession, base: String): DataFrame = {
+    val epoch = committedEpoch(base).getOrElse(sys.error(
+      s"IncrementalJoin: no committed version at $base (run refresh first)"))
+    spark.read.parquet(vdir(base, epoch, "J"))
+  }
 
   /** Fold one batch (either or both sides' new rows) into the
     * materialized join. `epoch` must increase strictly across refreshes;
     * a redelivered (≤ committed) epoch is a no-op. Returns true if the
-    * refresh applied. */
+    * refresh applied.
+    *
+    * Writer contract: SINGLE WRITER. The pointer commit is guarded by a
+    * `_refresh.lock` file (created atomically, re-checks the committed
+    * epoch inside the critical section), so a concurrent refresh that
+    * loses the race aborts loudly instead of moving the pointer backward
+    * and GC-ing the winner's version. Readers are protected by a GC
+    * delete-lag of 1: the previous committed version's files survive one
+    * refresh, so a DataFrame obtained from readJoin just before a refresh
+    * can still complete its action against the old version. */
   def refresh(spark: SparkSession, base: String, key: String,
               deltaR: DataFrame, deltaS: DataFrame, epoch: Long): Boolean = {
     val committed = committedEpoch(base)
@@ -92,22 +104,43 @@ object IncrementalJoin {
     rNew.write.mode(SaveMode.Overwrite).parquet(vdir(base, epoch, "R"))
     sNew.write.mode(SaveMode.Overwrite).parquet(vdir(base, epoch, "S"))
     jNew.write.mode(SaveMode.Overwrite).parquet(vdir(base, epoch, "J"))
-    // commit: single atomic pointer replace, then GC superseded versions
-    val tmp = Paths.get(base, "_current.tmp")
+    // commit: take the writer lock, re-check the committed epoch inside
+    // the critical section (a concurrent refresh may have won since the
+    // optimistic check at entry), then atomically replace the pointer
     Files.createDirectories(Paths.get(base))
-    Files.writeString(tmp, epoch.toString)
-    Files.move(tmp, pointer(base), StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE): Unit
-    val keepName = s"v$epoch"
-    val s = Files.list(Paths.get(base))
-    val stale = try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.toList.filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("v") && n != keepName
+    val lock = Paths.get(base, "_refresh.lock")
+    val locked = try { Files.createFile(lock); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!locked) sys.error(
+      s"IncrementalJoin: concurrent refresh detected at $base " +
+        "(single-writer contract violated; stale _refresh.lock?)")
+    try {
+      committedEpoch(base).foreach { e =>
+        if (epoch <= e) {
+          // lost the race: a concurrent refresh committed ≥ our epoch.
+          // Abort without touching the pointer; drop our orphan version —
+          // unless the winner committed this exact epoch (its v-dir is live)
+          if (epoch < e) graft.util.Fs.deleteRec(Paths.get(base, s"v$epoch"))
+          return false
+        }
       }
-    } finally s.close()
-    stale.foreach(graft.util.Fs.deleteRec)
+      val tmp = Paths.get(base, "_current.tmp")
+      Files.writeString(tmp, epoch.toString)
+      Files.move(tmp, pointer(base), StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE): Unit
+      // GC with a delete-lag of 1: keep the new AND the previous committed
+      // version so in-flight readers of the old pointer finish cleanly
+      val keep = Set(s"v$epoch") ++ committed.map(e => s"v$e")
+      val s = Files.list(Paths.get(base))
+      val stale = try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toList.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("v") && !keep.contains(n)
+        }
+      } finally s.close()
+      stale.foreach(graft.util.Fs.deleteRec)
+    } finally Files.deleteIfExists(lock): Unit
     true
   }
 }

@@ -1,0 +1,204 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.types.Coercions.detRound
+import graft.util.Tables.t
+
+/** Observational causal-effect estimators — the analysis layer a data
+  * platform runs AFTER the descriptive stats: "did the discount CAUSE
+  * returns, or do discounted parts just differ?". Both estimators are
+  * pure grouped-count algebra: cells are one groupBy over the fact
+  * table (map-side partials, shuffle = O(cells)), every rate is a
+  * double division of exact integers, and cross-stratum sums quantize
+  * each term to 1e12 fixed point BEFORE summing (the x_pagerank
+  * discipline) so the accumulation order cannot skew the hash compare.
+  */
+object CausalOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "x_stratified_effect" -> ((s, d) => {
+      // covariate-adjusted treatment effect by direct standardization
+      // (the discrete IPW twin): treatment = deep discount (≥ 6%),
+      // outcome = line returned, confounder strata = quantity decile
+      // buckets. Reports the per-stratum contrast next to the pooled
+      // (naive) contrast and the stratum-size-weighted standardized
+      // effect — when the two differ, Simpson's paradox is live and the
+      // naive number is the wrong one to ship. Strata are BOUNDED by
+      // construction (quantity div 10), so every table after the one
+      // fact-table groupBy is O(strata) and broadcast-sized.
+      val cells = t(s, d, "lineitem")
+        .select(expr("cast(l_quantity as bigint) div 10").as("stratum"),
+          (col("l_discount") >= 0.06).as("treated"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .groupBy("stratum", "treated")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
+      val wide = cells.groupBy("stratum")
+        .agg(
+          sum(when(col("treated"), col("n")).otherwise(0L)).as("n1"),
+          sum(when(col("treated"), col("k")).otherwise(0L)).as("k1"),
+          sum(when(!col("treated"), col("n")).otherwise(0L)).as("n0"),
+          sum(when(!col("treated"), col("k")).otherwise(0L)).as("k0"))
+        .filter(col("n1") > 0 && col("n0") > 0)
+        .withColumn("rate1",
+          col("k1").cast("double") / col("n1").cast("double"))
+        .withColumn("rate0",
+          col("k0").cast("double") / col("n0").cast("double"))
+        .withColumn("diff", col("rate1") - col("rate0"))
+      val tot = wide.agg(
+          sum(col("n1") + col("n0")).as("nn"),
+          sum(col("n1")).as("tn1"), sum(col("k1")).as("tk1"),
+          sum(col("n0")).as("tn0"), sum(col("k0")).as("tk0"))
+      val std = wide.crossJoin(broadcast(tot))
+        .select(floor(
+          ((col("n1") + col("n0")).cast("double") /
+            col("nn").cast("double")) * col("diff") * 1e12 + lit(0.5))
+          .cast("long").as("qterm"),
+          col("tn1"), col("tk1"), col("tn0"), col("tk0"))
+        .groupBy("tn1", "tk1", "tn0", "tk0")
+        .agg(sum(col("qterm")).as("qsum"))
+        .select(
+          detRound(col("qsum").cast("double") / lit(1e12), 8)
+            .as("standardized_diff"),
+          detRound(col("tk1").cast("double") / col("tn1").cast("double") -
+            col("tk0").cast("double") / col("tn0").cast("double"), 8)
+            .as("naive_diff"))
+      wide.crossJoin(broadcast(std))
+        .select(col("stratum"), col("n1"), col("n0"),
+          detRound(col("rate1"), 8).as("rate_treated"),
+          detRound(col("rate0"), 8).as("rate_control"),
+          detRound(col("diff"), 8).as("stratum_diff"),
+          col("naive_diff"), col("standardized_diff"))
+        .orderBy("stratum")
+    }),
+
+    "x_did_estimate" -> ((s, d) => {
+      // difference-in-differences: urgent-priority orders (treated) vs
+      // low-priority (control), before vs after the 1997-01-01 cut, on
+      // average order value. The DiD contrast cancels both the group
+      // level and the common time trend — the standard quasi-experiment
+      // readout when randomization isn't available. Four cells from one
+      // grouped pass; sums in DECIMAL(18,2) so cell means are exact
+      // divisions of exact decimals; the contrast itself is four-double
+      // arithmetic, identical IEEE in both engines.
+      val cells = t(s, d, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+          when(col("o_orderpriority") === "1-URGENT", "treated")
+            .otherwise("control").as("grp"),
+          when(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"),
+            "post").otherwise("pre").as("period"),
+          col("o_totalprice").cast("decimal(18,2)").as("v"))
+        .groupBy("grp", "period")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .withColumn("avg_value",
+          col("sv").cast("double") / col("n").cast("double"))
+      val did = cells
+        .groupBy()
+        .agg(
+          sum(when(col("grp") === "treated" && col("period") === "post",
+            col("avg_value")).otherwise(0.0)).as("tp"),
+          sum(when(col("grp") === "treated" && col("period") === "pre",
+            col("avg_value")).otherwise(0.0)).as("tr"),
+          sum(when(col("grp") === "control" && col("period") === "post",
+            col("avg_value")).otherwise(0.0)).as("cp"),
+          sum(when(col("grp") === "control" && col("period") === "pre",
+            col("avg_value")).otherwise(0.0)).as("cr"))
+        .select(detRound(
+          (col("tp") - col("tr")) - (col("cp") - col("cr")), 6)
+          .as("did_estimate"))
+      cells.crossJoin(broadcast(did))
+        .select(col("grp"), col("period"), col("n"),
+          detRound(col("avg_value"), 6).as("avg_value"),
+          col("did_estimate"))
+        .orderBy("grp", "period")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+
+    "x_stratified_effect" ->
+      """WITH cells AS (
+           SELECT CAST(l_quantity AS BIGINT) // 10 AS stratum,
+                  l_discount >= 0.06 AS treated,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         agg AS (
+           SELECT stratum, treated, COUNT(*) AS n,
+                  CAST(SUM(y) AS BIGINT) AS k
+           FROM cells GROUP BY 1, 2),
+         wide AS (
+           SELECT stratum,
+                  CAST(SUM(CASE WHEN treated THEN n ELSE 0 END) AS BIGINT)
+                    AS n1,
+                  CAST(SUM(CASE WHEN treated THEN k ELSE 0 END) AS BIGINT)
+                    AS k1,
+                  CAST(SUM(CASE WHEN NOT treated THEN n ELSE 0 END)
+                       AS BIGINT) AS n0,
+                  CAST(SUM(CASE WHEN NOT treated THEN k ELSE 0 END)
+                       AS BIGINT) AS k0
+           FROM agg GROUP BY 1
+           HAVING n1 > 0 AND n0 > 0),
+         rates AS (
+           SELECT stratum, n1, n0,
+                  CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate1,
+                  CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate0,
+                  CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    - CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS diff,
+                  k1, k0
+           FROM wide),
+         tot AS (
+           SELECT CAST(SUM(n1 + n0) AS DOUBLE) AS nn,
+                  CAST(SUM(n1) AS DOUBLE) AS tn1,
+                  CAST(SUM(k1) AS DOUBLE) AS tk1,
+                  CAST(SUM(n0) AS DOUBLE) AS tn0,
+                  CAST(SUM(k0) AS DOUBLE) AS tk0
+           FROM rates),
+         std AS (
+           SELECT floor((CAST(SUM(CAST(floor(
+                      (CAST(r.n1 + r.n0 AS DOUBLE) / t.nn) * r.diff * 1e12
+                      + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) * 1e8 + 0.5)
+                    / 1e8 AS standardized_diff,
+                  floor((MAX(t.tk1) / MAX(t.tn1)
+                         - MAX(t.tk0) / MAX(t.tn0)) * 1e8 + 0.5) / 1e8
+                    AS naive_diff
+           FROM rates r, tot t)
+         SELECT r.stratum, r.n1, r.n0,
+                floor(r.rate1 * 1e8 + 0.5) / 1e8 AS rate_treated,
+                floor(r.rate0 * 1e8 + 0.5) / 1e8 AS rate_control,
+                floor(r.diff * 1e8 + 0.5) / 1e8 AS stratum_diff,
+                s.naive_diff, s.standardized_diff
+         FROM rates r, std s ORDER BY r.stratum""",
+
+    "x_did_estimate" ->
+      """WITH cells AS (
+           SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'treated'
+                       ELSE 'control' END AS grp,
+                  CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                       THEN 'post' ELSE 'pre' END AS period,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS v
+           FROM orders
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         agg AS (
+           SELECT grp, period, COUNT(*) AS n,
+                  CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                    AS avg_value
+           FROM cells GROUP BY 1, 2),
+         did AS (
+           SELECT floor((
+                    (SUM(CASE WHEN grp = 'treated' AND period = 'post'
+                              THEN avg_value ELSE 0.0 END)
+                     - SUM(CASE WHEN grp = 'treated' AND period = 'pre'
+                                THEN avg_value ELSE 0.0 END))
+                    - (SUM(CASE WHEN grp = 'control' AND period = 'post'
+                               THEN avg_value ELSE 0.0 END)
+                       - SUM(CASE WHEN grp = 'control' AND period = 'pre'
+                                  THEN avg_value ELSE 0.0 END))
+                  ) * 1e6 + 0.5) / 1e6 AS did_estimate
+           FROM agg)
+         SELECT grp, period, n,
+                floor(avg_value * 1e6 + 0.5) / 1e6 AS avg_value,
+                did_estimate
+         FROM agg, did ORDER BY grp, period""")
+}

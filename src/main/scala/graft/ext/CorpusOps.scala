@@ -973,8 +973,16 @@ object CorpusOps {
       // (files cut along the filter column — pruning approaches the
       // selectivity). File assignment is the scale-safe grouped-
       // histogram cumsum (the r10 pattern): group to one row PER KEY
-      // VALUE first, cumsum over that bounded histogram, cut every
-      // ZmapRowsPerFile rows — key groups stay atomic, exactly like a
+      // VALUE first, cumsum over that histogram, cut every
+      // ZmapRowsPerFile rows. The by_shipdate histogram is bounded (one
+      // row per distinct day) but the by_orderkey one grows with data
+      // volume, so the cumsum is TWO-PASS PARTITIONED (r11 advice):
+      // within-bucket running sums partitioned by a monotone coarse
+      // bucket of the key, plus a broadcast bucket-offset table whose
+      // cardinality is |keys|/65536 — 4e9 orderkeys shrink to a 61k-row
+      // offsets window and no partition holds more than one bucket of
+      // histogram rows; ordering by (bucket, k) equals ordering by k,
+      // so cumsum values — and the oracle hash — are unchanged. — key groups stay atomic, exactly like a
       // writer emitting sorted row groups; no window ever touches raw
       // lineitem rows. Zone min/max per file are real aggregates of the
       // rows inside, pruning is the standard [zmin, zmax] overlap test.
@@ -982,12 +990,22 @@ object CorpusOps {
         .select(col("l_orderkey").as("ok"), col("l_shipdate").as("sd"))
       val lo = lit("1995-01-01 00:00:00").cast("timestamp")
       val hi = lit("1995-03-31 23:59:59").cast("timestamp")
-      def files(key: Column, label: String): DataFrame = {
+      def files(key: Column, bucketOf: Column => Column,
+                label: String): DataFrame = {
         val g = li.groupBy(key.as("k"))
           .agg(count(lit(1)).as("cnt"),
             min(col("sd")).as("mn"), max(col("sd")).as("mx"))
-        val w = Window.orderBy("k")
-        g.withColumn("cumb", sum(col("cnt")).over(w) - col("cnt"))
+          .withColumn("b", bucketOf(col("k")))
+        val wIn = Window.partitionBy("b").orderBy("k")
+        val inBucket = g.withColumn("cum_in",
+          sum(col("cnt")).over(wIn) - col("cnt"))
+        val offsets = g.groupBy("b")
+          .agg(sum(col("cnt")).as("btot"))
+          .withColumn("off",
+            sum(col("btot")).over(Window.orderBy("b")) - col("btot"))
+          .select(col("b"), col("off"))
+        inBucket.join(broadcast(offsets), "b")
+          .withColumn("cumb", col("cum_in") + col("off"))
           .withColumn("file_id",
             expr(s"cumb div ${ZmapRowsPerFile}"))
           .groupBy("file_id")
@@ -995,8 +1013,13 @@ object CorpusOps {
             min(col("mn")).as("zmin"), max(col("mx")).as("zmax"))
           .withColumn("layout", lit(label))
       }
-      val f = files(col("ok"), "by_orderkey")
-        .unionByName(files(col("sd"), "by_shipdate"))
+      // monotone coarse buckets: 65536 orderkeys per bucket; ~180 days
+      // of shipdates per bucket — ordering by (b, k) == ordering by k
+      val f = files(col("ok"),
+          k => expr("k div 65536"), "by_orderkey")
+        .unionByName(files(col("sd"),
+          k => floor(unix_timestamp(k) / lit(86400L * 180L)),
+          "by_shipdate"))
       val per = f
         .withColumn("scanned", col("zmax") >= lo && col("zmin") <= hi)
         .groupBy("layout")

@@ -1112,6 +1112,103 @@ object StatsOps {
         .select(col("event_type"), col("n"), col("p05"), col("p95"),
           detRound(col("ws") / col("n"), 6).as("winsorized_mean"))
         .orderBy("event_type")
+    }),
+
+    "x_empirical_bayes" -> ((s, d) => {
+      // empirical-Bayes (beta-binomial) shrinkage of per-part return
+      // rates — the estimator that stops a 2-of-3-returned part from
+      // outranking a 400-of-1000 one. Method-of-moments prior from the
+      // population of per-part rates: each rate is ONE double division
+      // k/n (identical IEEE both engines) quantized to a 1e9 fixed-point
+      // integer BEFORE the moment sums, Σq in BIGINT and Σq² in
+      // DECIMAL(38,0)/HUGEINT (the x_anova_oneway posture), so the prior
+      // (α, β) is a closed form over exact stats. The shrunk estimate
+      // (k+α)/(n+α+β) is then map-side per part with (α, β) broadcast;
+      // output is the top-15 largest shrinkage deltas via
+      // TakeOrderedAndProject — no global sort, no unpartitioned window.
+      // Plan: one groupBy(partkey) over lineitem + one tiny agg; at
+      // 100 TB the only shuffle is the part-keyed partial-agg exchange.
+      val per = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("k"))
+        .withColumn("q",
+          floor(col("k").cast("double") / col("n").cast("double") * 1e9 +
+            lit(0.5)).cast("long"))
+        .localCheckpoint() // two consumers: prior stats + per-part apply
+      val prior = per.agg(count(lit(1)).as("np"),
+          sum(col("q")).as("sq"),
+          sum((col("q") * col("q")).cast("decimal(38,0)")).as("sqq"))
+        .select(
+          (col("sq").cast("double") / col("np").cast("double") / lit(1e9))
+            .as("m"),
+          (col("sqq").cast("double") / col("np").cast("double") / lit(1e18))
+            .as("m2"))
+        .select(col("m"), (col("m2") - col("m") * col("m")).as("v"))
+        .select(col("m"),
+          (col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0))
+            .as("nu"))
+        .select((col("m") * col("nu")).as("alpha"),
+          ((lit(1.0) - col("m")) * col("nu")).as("beta"))
+      per.crossJoin(broadcast(prior))
+        .withColumn("raw_rate", col("k").cast("double") /
+          col("n").cast("double"))
+        .withColumn("shrunk_rate",
+          (col("k").cast("double") + col("alpha")) /
+            (col("n").cast("double") + col("alpha") + col("beta")))
+        .withColumn("delta_q",
+          floor(abs(col("shrunk_rate") - col("raw_rate")) * 1e9 + lit(0.5))
+            .cast("long"))
+        .orderBy(desc("delta_q"), asc("l_partkey"))
+        .limit(15)
+        .select(col("l_partkey"), col("n"), col("k"),
+          detRound(col("raw_rate"), 6).as("raw_rate"),
+          detRound(col("shrunk_rate"), 6).as("shrunk_rate"),
+          detRound(col("alpha"), 6).as("prior_alpha"),
+          detRound(col("beta"), 6).as("prior_beta"))
+    }),
+
+    "x_moments" -> ((s, d) => {
+      // higher-moment distribution profile (skewness + excess kurtosis)
+      // of order value per priority — the shape diagnostics behind
+      // "is this segment's spend long-tailed or peaked". Values are
+      // floored to whole dollars so all four power sums are INTEGERS:
+      // S1..S4 accumulate in DECIMAL(38,0)/HUGEINT (x⁴ ≈ 1.3e23 per row
+      // → safe past 1e14 rows), and the central-moment closed forms run
+      // in double on the exact sums — both engines do identical IEEE
+      // arithmetic on identical inputs, so the hash compare holds
+      // without any tolerance. One grouped pass, map-side partials,
+      // shuffle = O(priorities).
+      t(s, d, "orders")
+        .select(col("o_orderpriority").as("priority"),
+          floor(col("o_totalprice")).cast("decimal(9,0)").as("x"))
+        .groupBy("priority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2"),
+          sum(col("x") * col("x") * col("x")).as("s3"),
+          sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+        .withColumn("dn", col("n").cast("double"))
+        .withColumn("mu", col("s1").cast("double") / col("dn"))
+        .withColumn("m2", col("s2").cast("double") / col("dn") -
+          col("mu") * col("mu"))
+        .withColumn("m3", col("s3").cast("double") / col("dn") -
+          lit(3.0) * col("mu") * (col("s2").cast("double") / col("dn")) +
+          lit(2.0) * col("mu") * col("mu") * col("mu"))
+        .withColumn("m4", col("s4").cast("double") / col("dn") -
+          lit(4.0) * col("mu") * (col("s3").cast("double") / col("dn")) +
+          lit(6.0) * col("mu") * col("mu") *
+            (col("s2").cast("double") / col("dn")) -
+          lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+        .select(col("priority"), col("n"),
+          detRound(col("mu"), 4).as("mean_dollars"),
+          detRound(sqrt(col("m2")), 4).as("stddev_pop"),
+          detRound(col("m3") / (col("m2") * sqrt(col("m2"))), 6)
+            .as("skewness"),
+          detRound(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6)
+            .as("excess_kurtosis"))
+        .orderBy("priority")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1917,5 +2014,77 @@ object StatsOps {
                                * j.c) AS DOUBLE)
                       / MAX(j.n) * 1e6 + 0.5) / 1e6 AS winsorized_mean
          FROM j JOIN lo USING (event_type) JOIN hi USING (event_type)
-         GROUP BY 1 ORDER BY event_type""")
+         GROUP BY 1 ORDER BY event_type""",
+
+    "x_empirical_bayes" ->
+      """WITH per AS (
+           SELECT l_partkey, COUNT(*) AS n,
+                  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS k
+           FROM lineitem GROUP BY 1),
+         q AS (
+           SELECT l_partkey, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+                  CAST(floor(CAST(k AS DOUBLE) / CAST(n AS DOUBLE) * 1e9
+                             + 0.5) AS BIGINT) AS q
+           FROM per),
+         mom AS (
+           SELECT COUNT(*) AS np, CAST(SUM(q) AS DOUBLE) AS sq,
+                  CAST(SUM(q * q) AS DOUBLE) AS sqq
+           FROM q),
+         mv AS (
+           SELECT sq / CAST(np AS DOUBLE) / 1e9 AS m,
+                  sqq / CAST(np AS DOUBLE) / 1e18 AS m2
+           FROM mom),
+         nu AS (
+           SELECT m, (m * (1.0 - m) / (m2 - m * m) - 1.0) AS nu FROM mv),
+         pr AS (
+           SELECT m * nu AS alpha, (1.0 - m) * nu AS beta FROM nu),
+         scored AS (
+           SELECT q.l_partkey, q.n, q.k,
+                  CAST(q.k AS DOUBLE) / CAST(q.n AS DOUBLE) AS raw_rate,
+                  (CAST(q.k AS DOUBLE) + pr.alpha)
+                    / (CAST(q.n AS DOUBLE) + pr.alpha + pr.beta)
+                    AS shrunk_rate,
+                  pr.alpha AS alpha, pr.beta AS beta
+           FROM q, pr)
+         SELECT l_partkey, n, k,
+                floor(raw_rate * 1e6 + 0.5) / 1e6 AS raw_rate,
+                floor(shrunk_rate * 1e6 + 0.5) / 1e6 AS shrunk_rate,
+                floor(alpha * 1e6 + 0.5) / 1e6 AS prior_alpha,
+                floor(beta * 1e6 + 0.5) / 1e6 AS prior_beta
+         FROM scored
+         ORDER BY CAST(floor(abs(shrunk_rate - raw_rate) * 1e9 + 0.5)
+                       AS BIGINT) DESC, l_partkey ASC
+         LIMIT 15""",
+
+    "x_moments" ->
+      """WITH x AS (
+           SELECT o_orderpriority AS priority,
+                  CAST(floor(o_totalprice) AS HUGEINT) AS x
+           FROM orders),
+         st AS (
+           SELECT priority, COUNT(*) AS n,
+                  CAST(SUM(x) AS DOUBLE) AS s1,
+                  CAST(SUM(x * x) AS DOUBLE) AS s2,
+                  CAST(SUM(x * x * x) AS DOUBLE) AS s3,
+                  CAST(SUM(x * x * x * x) AS DOUBLE) AS s4
+           FROM x GROUP BY 1),
+         m AS (
+           SELECT priority, n, CAST(n AS DOUBLE) AS dn,
+                  s1 / CAST(n AS DOUBLE) AS mu, s2, s3, s4
+           FROM st),
+         cm AS (
+           SELECT priority, n, mu,
+                  s2 / dn - mu * mu AS m2,
+                  s3 / dn - 3.0 * mu * (s2 / dn) + 2.0 * mu * mu * mu AS m3,
+                  s4 / dn - 4.0 * mu * (s3 / dn)
+                    + 6.0 * mu * mu * (s2 / dn)
+                    - 3.0 * mu * mu * mu * mu AS m4
+           FROM m)
+         SELECT priority, n,
+                floor(mu * 1e4 + 0.5) / 1e4 AS mean_dollars,
+                floor(sqrt(m2) * 1e4 + 0.5) / 1e4 AS stddev_pop,
+                floor(m3 / (m2 * sqrt(m2)) * 1e6 + 0.5) / 1e6 AS skewness,
+                floor((m4 / (m2 * m2) - 3.0) * 1e6 + 0.5) / 1e6
+                  AS excess_kurtosis
+         FROM cm ORDER BY priority""")
 }

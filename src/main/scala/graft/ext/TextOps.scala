@@ -806,6 +806,106 @@ object TextOps {
         .orderBy("lang", "rnk")
     }),
 
+    "x_zipf_fit" -> ((s, d) => {
+      // Zipf's-law exponent per language — the corpus-health gauge that
+      // tells you whether a crawl slice has natural token statistics
+      // (s ≈ 1) or is template/boilerplate-skewed before training on it.
+      // Word frequencies are one grouped count (vocab-bounded table);
+      // ranks come from a lang-PARTITIONED window over that grouped
+      // table, capped at the top 200 ranks so the regression input is
+      // bounded by construction at any corpus size. ln(rank) and
+      // ln(freq) are fixed-point quantized (1e6) BEFORE the sufficient
+      // sums — the x_lm_score discipline — so both engines regress on
+      // identical integers; the OLS closed form then runs in double on
+      // exact stats (the x_ols_trend posture: every product is
+      // double×double of exactly-represented values, identical IEEE in
+      // both engines).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(desc("freq"), asc("word"))
+      t(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 200)
+        .select(col("lang"),
+          floor(log(col("rnk").cast("double")) * 1e6 + lit(0.5))
+            .cast("long").as("x"),
+          floor(log(col("freq").cast("double")) * 1e6 + lit(0.5))
+            .cast("long").as("y"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("num",
+          col("n_words").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double"))
+        .withColumn("denx",
+          col("n_words").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"))
+        .withColumn("deny",
+          col("n_words").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))
+        .select(col("lang"), col("n_words"),
+          detRound(-(col("num") / col("denx")), 6).as("zipf_exponent"),
+          detRound(col("num") * col("num") / (col("denx") * col("deny")), 6)
+            .as("fit_r2"))
+        .orderBy("lang")
+    }),
+
+    "x_heaps_law" -> ((s, d) => {
+      // Heaps'-law vocabulary growth V(N) ≈ K·N^β — the dial that says
+      // how much NEW vocabulary further crawling buys, i.e. when a
+      // dedup'd corpus stops paying for itself. Measured on 8 doc_id-
+      // ordered prefixes: per-checkpoint token totals fan each per-doc
+      // count to ≤ 8 skinny (checkpoint, n) rows with map-side partial
+      // sums (shuffle is 8 groups regardless of corpus size), and
+      // per-checkpoint type totals do the same over the vocab-bounded
+      // first-occurrence table (min doc_id per word). β is the same
+      // quantized-ln OLS as x_zipf_fit over the 8 points, repeated on
+      // each output row next to the raw growth curve.
+      val docs = t(s, d, "documents")
+      val maxId = docs.agg(max(col("doc_id")).as("max_id"))
+      val perDoc = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      val firstOcc = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(min(col("doc_id")).as("first_doc"))
+      val toks = perDoc.crossJoin(broadcast(maxId))
+        .select(explode(expr("sequence(1, 8)")).as("cp"),
+          col("doc_id"), col("n_toks"), col("max_id"))
+        .filter(col("doc_id") <= expr("(max_id * cp) div 8"))
+        .groupBy("cp").agg(sum(col("n_toks")).as("n_tokens"))
+      val types = firstOcc.crossJoin(broadcast(maxId))
+        .select(explode(expr("sequence(1, 8)")).as("cp"),
+          col("first_doc"), col("max_id"))
+        .filter(col("first_doc") <= expr("(max_id * cp) div 8"))
+        .groupBy("cp").agg(count(lit(1)).as("n_types"))
+      val curve = toks.join(types, "cp")
+        .select(col("cp").cast("long").as("cp"),
+          col("n_tokens"), col("n_types"),
+          floor(log(col("n_tokens").cast("double")) * 1e6 + lit(0.5))
+            .cast("long").as("x"),
+          floor(log(col("n_types").cast("double")) * 1e6 + lit(0.5))
+            .cast("long").as("y"))
+      val fit = curve
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(detRound(
+          (col("n").cast("double") * col("sxy").cast("double") -
+           col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n").cast("double") * col("sxx").cast("double") -
+             col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("heaps_beta"))
+      curve.crossJoin(broadcast(fit))
+        .select(col("cp"), col("n_tokens"), col("n_types"),
+          col("heaps_beta"))
+        .orderBy("cp")
+    }),
+
     "x_doc_chunks" -> ((s, d) => {
       // document chunking for RAG / training prep: overlapping 50-token
       // windows at stride 25 — a Generate (explode) in the scan stage,
@@ -2078,6 +2178,81 @@ object TextOps {
            FROM scored)
          SELECT lang, token, tf, dfreq, score, rnk
          FROM ranked WHERE rnk <= 10 ORDER BY lang, rnk""",
+
+    "x_zipf_fit" ->
+      """WITH wf AS (
+           SELECT lang, word, COUNT(*) AS freq FROM (
+             SELECT lang, unnest(string_split(text, ' ')) AS word
+             FROM documents) GROUP BY 1, 2),
+         rk AS (
+           SELECT lang, freq, row_number() OVER (PARTITION BY lang
+                    ORDER BY freq DESC, word ASC) AS rnk
+           FROM wf),
+         q AS (
+           SELECT lang,
+                  CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e6 + 0.5)
+                       AS BIGINT) AS x,
+                  CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6 + 0.5)
+                       AS BIGINT) AS y
+           FROM rk WHERE rnk <= 200),
+         st AS (
+           SELECT lang, COUNT(*) AS n_words,
+                  CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                  CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                  CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                  CAST(SUM(y * y) AS DOUBLE) AS syy
+           FROM q GROUP BY 1),
+         f AS (
+           SELECT lang, n_words,
+                  CAST(n_words AS DOUBLE) * sxy - sx * sy AS num,
+                  CAST(n_words AS DOUBLE) * sxx - sx * sx AS denx,
+                  CAST(n_words AS DOUBLE) * syy - sy * sy AS deny
+           FROM st)
+         SELECT lang, n_words,
+                floor(-(num / denx) * 1e6 + 0.5) / 1e6 AS zipf_exponent,
+                floor((num * num / (denx * deny)) * 1e6 + 0.5) / 1e6
+                  AS fit_r2
+         FROM f ORDER BY lang""",
+
+    "x_heaps_law" ->
+      """WITH mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+         cps AS (SELECT unnest(range(1, 9)) AS cp),
+         toks AS (
+           SELECT cp, SUM(n_toks) AS n_tokens FROM (
+             SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+             FROM documents) d, cps, mx
+           WHERE d.doc_id <= (mx.max_id * cps.cp) // 8
+           GROUP BY 1),
+         fo AS (
+           SELECT word, MIN(doc_id) AS first_doc FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents) GROUP BY 1),
+         typs AS (
+           SELECT cp, COUNT(*) AS n_types
+           FROM fo, cps, mx
+           WHERE fo.first_doc <= (mx.max_id * cps.cp) // 8
+           GROUP BY 1),
+         curve AS (
+           SELECT cp, CAST(n_tokens AS BIGINT) AS n_tokens, n_types,
+                  CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5)
+                       AS BIGINT) AS x,
+                  CAST(floor(ln(CAST(n_types AS DOUBLE)) * 1e6 + 0.5)
+                       AS BIGINT) AS y
+           FROM toks JOIN typs USING (cp)),
+         st AS (
+           SELECT COUNT(*) AS n,
+                  CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                  CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                  CAST(SUM(x * x) AS DOUBLE) AS sxx
+           FROM curve),
+         f AS (
+           SELECT floor(((CAST(n AS DOUBLE) * sxy - sx * sy) /
+                         (CAST(n AS DOUBLE) * sxx - sx * sx)) * 1e6 + 0.5)
+                    / 1e6 AS heaps_beta
+           FROM st)
+         SELECT CAST(cp AS BIGINT) AS cp, n_tokens, n_types, heaps_beta
+         FROM curve, f ORDER BY cp""",
 
     "x_fingerprint" ->
       """SELECT doc_id,

@@ -57,8 +57,12 @@ case class GraftCmsProbe(left: Expression, right: Expression)
   * the spec: a single-key sketch pair must dot to exactly c1·c2). The
   * dot accumulates in Long: sound while |R|·|S| < 2^63, i.e. up to ~3e9
   * rows per side — beyond that, sketch a uniform sample of each side and
-  * scale, rather than widening the accumulator here. Eval-only
-  * (CodegenFallback): dots join two one-row aggregate sides. */
+  * scale, rather than widening the accumulator here. The bound is
+  * ENFORCED, not advisory: per-term multiply and the running sum use
+  * Math.multiplyExact/addExact, so exceeding it throws ArithmeticException
+  * instead of silently wrapping to a garbage (possibly negative)
+  * estimate. Eval-only (CodegenFallback): dots join two one-row
+  * aggregate sides. */
 case class GraftCmsDot(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
@@ -92,7 +96,15 @@ case class GraftCmsDot(left: Expression, right: Expression)
     while (r < d1) {
       var s = 0L
       var c = 0
-      while (c < w1) { s += t1(r * w1 + c) * t2(r * w1 + c); c += 1 }
+      while (c < w1) {
+        try s = Math.addExact(s, Math.multiplyExact(t1(r * w1 + c),
+          t2(r * w1 + c)))
+        catch { case _: ArithmeticException => throw new ArithmeticException(
+          "graft_cms_dot: counter dot product overflowed Long — the " +
+            "documented |R|*|S| < 2^63 bound is exceeded; sketch a " +
+            "uniform sample of each side and scale the estimate instead") }
+        c += 1
+      }
       if (s < best) best = s
       r += 1
     }

@@ -1,0 +1,92 @@
+package graft
+
+/** Brute-force references for the causal estimators: a third
+  * implementation in plain Scala over the collected sf0.001 tables (the
+  * DuckDB twin proves cross-engine equality; this proves the estimator
+  * itself computes the quantity the textbook defines).
+  */
+class CausalOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("x_stratified_effect equals the per-stratum contingency walk and " +
+      "the standardized effect is the stratum-size-weighted mean of the " +
+      "per-stratum diffs") {
+    val li = graft.util.Tables.t(spark, sf, "lineitem")
+      .select("l_quantity", "l_discount", "l_returnflag").collect()
+      .map(r => (r.getDouble(0).toLong / 10L, r.getDouble(1) >= 0.06,
+        if (r.getString(2) == "R") 1L else 0L)).toSeq
+    val byStratum = li.groupBy(_._1).view.mapValues { rows =>
+      val (t1, t0) = rows.partition(_._2)
+      (t1.size.toLong, t1.map(_._3).sum, t0.size.toLong, t0.map(_._3).sum)
+    }.toMap.filter { case (_, (n1, _, n0, _)) => n1 > 0 && n0 > 0 }
+
+    val got = run("x_stratified_effect").collect()
+      .map(r => r.getAs[Long]("stratum") -> r).toMap
+    assert(got.keySet === byStratum.keySet)
+
+    val nn = byStratum.values.map(v => v._1 + v._3).sum.toDouble
+    var qsum = 0L
+    byStratum.toSeq.sortBy(_._1).foreach { case (st, (n1, k1, n0, k0)) =>
+      val rate1 = k1.toDouble / n1
+      val rate0 = k0.toDouble / n0
+      val r = got(st)
+      assert(r.getAs[Long]("n1") === n1, s"stratum $st")
+      assert(r.getAs[Long]("n0") === n0, s"stratum $st")
+      assert(math.abs(r.getAs[Double]("rate_treated") - rate1) < 1e-7, st)
+      assert(math.abs(r.getAs[Double]("rate_control") - rate0) < 1e-7, st)
+      assert(math.abs(r.getAs[Double]("stratum_diff") -
+        (rate1 - rate0)) < 1e-7, st)
+      qsum += math.floor(
+        ((n1 + n0) / nn) * (rate1 - rate0) * 1e12 + 0.5).toLong
+    }
+    val std = qsum.toDouble / 1e12
+    val tk1 = byStratum.values.map(_._2).sum.toDouble
+    val tn1 = byStratum.values.map(_._1).sum.toDouble
+    val tk0 = byStratum.values.map(_._4).sum.toDouble
+    val tn0 = byStratum.values.map(_._3).sum.toDouble
+    val naive = tk1 / tn1 - tk0 / tn0
+    got.values.foreach { r =>
+      assert(math.abs(r.getAs[Double]("standardized_diff") - std) < 1e-7)
+      assert(math.abs(r.getAs[Double]("naive_diff") - naive) < 1e-7)
+    }
+  }
+
+  test("x_did_estimate equals the four-cell walk and the contrast " +
+      "cancels group level and common trend") {
+    val cut = java.time.LocalDateTime.parse("1997-01-01T00:00:00")
+    val orders = graft.util.Tables.t(spark, sf, "orders")
+      .select("o_orderpriority", "o_orderdate", "o_totalprice").collect()
+      .map(r => (r.getString(0),
+        r.getAs[java.time.LocalDateTime]("o_orderdate"), r.getDouble(2)))
+      .filter(o => o._1 == "1-URGENT" || o._1 == "5-LOW")
+    def cell(grp: String, post: Boolean): (Long, Double) = {
+      val rows = orders.filter(o =>
+        (o._1 == "1-URGENT") == (grp == "treated") &&
+          !o._2.isBefore(cut) == post)
+      val sv = rows.map(o => BigDecimal(o._3)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      (rows.size.toLong, (sv / rows.size).toDouble)
+    }
+    val got = run("x_did_estimate").collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[String]("period")) -> r)
+      .toMap
+    assert(got.size === 4)
+    val cells = Map(
+      ("treated", "post") -> cell("treated", post = true),
+      ("treated", "pre") -> cell("treated", post = false),
+      ("control", "post") -> cell("control", post = true),
+      ("control", "pre") -> cell("control", post = false))
+    cells.foreach { case (key, (n, avg)) =>
+      val r = got(key)
+      assert(r.getAs[Long]("n") === n, key)
+      assert(math.abs(r.getAs[Double]("avg_value") - avg) < 1e-4, key)
+    }
+    val did = (cells(("treated", "post"))._2 - cells(("treated", "pre"))._2) -
+      (cells(("control", "post"))._2 - cells(("control", "pre"))._2)
+    got.values.foreach { r =>
+      assert(math.abs(r.getAs[Double]("did_estimate") - did) < 1e-4)
+    }
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+/** Brute-force references for the round-12 operators (x_zipf_fit,
+  * x_heaps_law, x_moments, x_empirical_bayes): the DuckDB hash-compare
+  * proves cross-engine equality of the distributed formulation; these
+  * tests prove the formulation itself — a third, independent
+  * implementation in plain Scala over the collected sf0.001 tables,
+  * written the naive way (build the full frequency map, sort, walk).
+  */
+class CorpusLawsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def qln(v: Double): Long = math.floor(math.log(v) * 1e6 + 0.5).toLong
+
+  private def olsSlope(pts: Seq[(Long, Long)]): Double = {
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum.toDouble
+    val sy = pts.map(_._2).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    (n * sxy - sx * sy) / (n * sxx - sx * sx)
+  }
+
+  private lazy val docs: Seq[(Long, String, String)] =
+    graft.util.Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  test("x_zipf_fit equals the sort-the-frequency-table brute force and " +
+      "r2 lands in [0, 1]") {
+    val got = run("x_zipf_fit").collect().map(r => r.getString(0) -> r).toMap
+    val byLang = docs.groupBy(_._2)
+    assert(got.keySet === byLang.keySet)
+    byLang.foreach { case (lang, rows) =>
+      val freq = rows.flatMap(_._3.split(" ")).groupBy(identity)
+        .view.mapValues(_.size.toLong).toSeq
+      val ranked = freq.sortBy { case (w, f) => (-f, w) }.take(200)
+      val pts = ranked.zipWithIndex.map { case ((_, f), i) =>
+        (qln((i + 1).toDouble), qln(f.toDouble))
+      }
+      val slope = olsSlope(pts)
+      val r = got(lang)
+      assert(r.getAs[Long]("n_words") === ranked.size.toLong, lang)
+      assert(math.abs(r.getAs[Double]("zipf_exponent") - (-slope)) < 1e-5,
+        s"$lang: ${r.getAs[Double]("zipf_exponent")} vs ${-slope}")
+      val r2 = r.getAs[Double]("fit_r2")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"$lang r2=$r2")
+      // a natural-ish corpus has a decreasing rank-frequency curve
+      assert(r.getAs[Double]("zipf_exponent") > 0.0, lang)
+    }
+  }
+
+  test("x_heaps_law equals the prefix-walk brute force; the growth curve " +
+      "is monotone in both tokens and types") {
+    val got = run("x_heaps_law").collect().sortBy(_.getAs[Long]("cp"))
+    assert(got.length === 8)
+    val maxId = docs.map(_._1).max
+    val perDoc = docs.map(d => (d._1, d._3.split(" ").length.toLong))
+    val firstOcc = docs.flatMap(d => d._3.split(" ").map(w => (w, d._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = (1 to 8).map { cp =>
+      val cut = maxId * cp / 8
+      val nTok = perDoc.filter(_._1 <= cut).map(_._2).sum
+      val nTyp = firstOcc.count(_._2 <= cut).toLong
+      (cp.toLong, nTok, nTyp)
+    }
+    val curvePts = expected.map { case (_, nt, ny) =>
+      (qln(nt.toDouble), qln(ny.toDouble))
+    }
+    val beta = olsSlope(curvePts)
+    got.zip(expected).foreach { case (r, (cp, nTok, nTyp)) =>
+      assert(r.getAs[Long]("cp") === cp)
+      assert(r.getAs[Long]("n_tokens") === nTok, s"cp=$cp")
+      assert(r.getAs[Long]("n_types") === nTyp, s"cp=$cp")
+      assert(math.abs(r.getAs[Double]("heaps_beta") - beta) < 1e-5)
+    }
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_tokens") <= b.getAs[Long]("n_tokens"))
+      assert(a.getAs[Long]("n_types") <= b.getAs[Long]("n_types"))
+    }
+  }
+
+  test("x_moments equals the naive central-moment walk on floor-dollar " +
+      "values") {
+    val got = run("x_moments").collect().map(r => r.getString(0) -> r).toMap
+    val orders = graft.util.Tables.t(spark, sf, "orders")
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1)))).toSeq
+    val byPrio = orders.groupBy(_._1)
+    assert(got.keySet === byPrio.keySet)
+    byPrio.foreach { case (prio, rows) =>
+      val xs = rows.map(_._2)
+      val n = xs.length.toDouble
+      val mu = xs.sum / n
+      val m2 = xs.map(x => (x - mu) * (x - mu)).sum / n
+      val m3 = xs.map(x => math.pow(x - mu, 3)).sum / n
+      val m4 = xs.map(x => math.pow(x - mu, 4)).sum / n
+      val r = got(prio)
+      assert(r.getAs[Long]("n") === xs.length.toLong, prio)
+      assert(math.abs(r.getAs[Double]("mean_dollars") - mu) < 1e-3, prio)
+      assert(math.abs(r.getAs[Double]("stddev_pop") - math.sqrt(m2)) < 1e-2,
+        prio)
+      // raw-moment expansion vs the direct centered sums: agreement to
+      // float-cancellation tolerance, not bit equality (that's the
+      // oracle's job — this asserts the FORMULATION is the right moment)
+      assert(math.abs(r.getAs[Double]("skewness") -
+        m3 / (m2 * math.sqrt(m2))) < 1e-4, prio)
+      assert(math.abs(r.getAs[Double]("excess_kurtosis") -
+        (m4 / (m2 * m2) - 3.0)) < 1e-4, prio)
+    }
+  }
+
+  test("x_empirical_bayes: shrunk rates sit between the raw rate and the " +
+      "prior mean, low-n parts shrink hardest, and the prior matches the " +
+      "method-of-moments brute force") {
+    val li = graft.util.Tables.t(spark, sf, "lineitem")
+      .select("l_partkey", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val per = li.groupBy(_._1).map { case (pk, rows) =>
+      (pk, rows.size.toLong, rows.count(_._2 == "R").toLong)
+    }.toSeq
+    // brute-force the quantized method-of-moments prior
+    val qs = per.map { case (_, n, k) =>
+      math.floor(k.toDouble / n.toDouble * 1e9 + 0.5).toLong
+    }
+    val np = qs.size.toDouble
+    val m = qs.sum.toDouble / np / 1e9
+    val m2 = qs.map(q => BigDecimal(q) * BigDecimal(q)).sum.toDouble / np / 1e18
+    val v = m2 - m * m
+    val nu = m * (1.0 - m) / v - 1.0
+    val (alpha, beta) = (m * nu, (1.0 - m) * nu)
+    assert(alpha > 0 && beta > 0, s"prior must be proper: $alpha, $beta")
+
+    val got = run("x_empirical_bayes").collect()
+    assert(got.length === 15)
+    got.foreach { r =>
+      assert(math.abs(r.getAs[Double]("prior_alpha") - alpha) < 1e-4)
+      assert(math.abs(r.getAs[Double]("prior_beta") - beta) < 1e-4)
+      val raw = r.getAs[Double]("raw_rate")
+      val shrunk = r.getAs[Double]("shrunk_rate")
+      // shrinkage moves toward the prior mean and never overshoots it
+      val lo = math.min(raw, m) - 1e-6
+      val hi = math.max(raw, m) + 1e-6
+      assert(shrunk >= lo && shrunk <= hi,
+        s"shrunk $shrunk outside [$lo, $hi] (raw $raw, prior mean $m)")
+    }
+    // the top-delta rows are dominated by low-evidence parts: every one
+    // of the 15 must have fewer lines than the per-part average
+    val avgN = per.map(_._2).sum.toDouble / per.size
+    got.foreach { r =>
+      assert(r.getAs[Long]("n") <= math.ceil(avgN * 2).toLong,
+        s"a high-evidence part (n=${r.getAs[Long]("n")}) should not " +
+          "lead the shrinkage-delta ranking")
+    }
+  }
+}

@@ -58,5 +58,48 @@ class IncrementalJoinSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(base, "v99")))
     assert(IncrementalJoin.readJoin(spark, base).count() === before)
+
+    // GC delete-lag of 1: the previous committed version (v6) survives
+    // the v7 commit so in-flight readers finish; v5 and older are gone
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(base, "v6")),
+      "previous committed version must survive one refresh (delete-lag 1)")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(base, "v5")))
+    // the writer lock is released after a successful commit
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(base, "_refresh.lock")))
+  }
+
+  test("readJoin before the first commit fails with a descriptive error; " +
+      "a held writer lock makes a concurrent refresh abort loudly") {
+    val base = tmpDir("ivm-join-fresh")
+    val err = intercept[RuntimeException] {
+      IncrementalJoin.readJoin(spark, base)
+    }
+    assert(err.getMessage.contains("no committed version"),
+      s"expected a descriptive error, got: ${err.getMessage}")
+
+    // simulate a concurrent writer holding the lock: refresh must abort
+    // with the single-writer message, not corrupt the pointer
+    val o = graft.util.Tables.t(spark, sf, "orders")
+      .select(org.apache.spark.sql.functions.col("o_orderkey").as("k"),
+        org.apache.spark.sql.functions.col("o_totalprice")).limit(5)
+    val li = graft.util.Tables.t(spark, sf, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_orderkey").as("k"),
+        org.apache.spark.sql.functions.col("l_quantity")).limit(5)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+    val lock = java.nio.file.Paths.get(base, "_refresh.lock")
+    java.nio.file.Files.createFile(lock)
+    val e2 = intercept[RuntimeException] {
+      IncrementalJoin.refresh(spark, base, "k", o, li, 1L)
+    }
+    assert(e2.getMessage.contains("concurrent refresh"))
+    assert(IncrementalJoin.committedEpoch(base).isEmpty,
+      "a lock-blocked refresh must not commit")
+    java.nio.file.Files.delete(lock)
+    // with the lock released the same refresh applies cleanly
+    assert(IncrementalJoin.refresh(spark, base, "k", o, li, 1L))
+    assert(IncrementalJoin.committedEpoch(base) === Some(1L))
   }
 }

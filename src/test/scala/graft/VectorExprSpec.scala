@@ -101,6 +101,31 @@ class VectorExprSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("graft_cms_dot fails loudly (ArithmeticException) past the " +
+      "documented 2^63 counter-product bound instead of wrapping") {
+    // hand-write a version-1 sketch whose counters overflow the Long dot:
+    // version, totalCount, depth=1, width=2, 1 hashA long, 2 table longs
+    def sketch(c0: Long, c1: Long): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(1); out.writeLong(0L)
+      out.writeInt(1); out.writeInt(2)
+      out.writeLong(12345L) // hashA — must match between sides
+      out.writeLong(c0); out.writeLong(c1)
+      out.flush(); bos.toByteArray
+    }
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val big = Literal(sketch(Long.MaxValue / 2, 1L))
+    val ex = intercept[ArithmeticException] {
+      graft.functions.GraftCmsDot(big, big).eval()
+    }
+    assert(ex.getMessage.contains("overflow"),
+      s"expected the documented-bound message, got: ${ex.getMessage}")
+    // sanity: small counters through the same hand-written layout dot fine
+    val small = Literal(sketch(3L, 4L))
+    assert(graft.functions.GraftCmsDot(small, small).eval() === 25L)
+  }
+
   test("registration via SparkSessionExtensions injects the function") {
     val ext = new graft.functions.GraftExtensions
     // a fresh extensions object applies cleanly (full smoke of the inject
