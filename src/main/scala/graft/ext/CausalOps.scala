@@ -74,6 +74,59 @@ object CausalOps {
         .orderBy("stratum")
     }),
 
+    "x_regression_discontinuity" -> ((s, d) => {
+      // sharp regression discontinuity at the 1997-01-01 cut: local
+      // linear fits of daily average order value on days-from-cut,
+      // ±180-day bandwidth, one OLS per side, jump = the difference of
+      // the two intercepts AT the cut. The running variable is an
+      // integer day offset and the fit input is the BOUNDED daily table
+      // (≤ 360 rows at any SF), so after the one grouped pass over
+      // orders everything is broadcast-sized. Daily means are quantized
+      // to 1e6 fixed point before the OLS sums (integer-exact sufficient
+      // statistics), and the closed forms cast each exact sum to double
+      // first — the x_zipf_fit discipline.
+      val cut = lit("1997-01-01").cast("timestamp")
+      val daily = t(s, d, "orders")
+        .select(datediff(col("o_orderdate"), cut).cast("long").as("x"),
+          col("o_totalprice").cast("decimal(18,2)").as("v"))
+        .filter(col("x") >= -180 && col("x") < 180)
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .withColumn("qy",
+          floor(col("sv").cast("double") / col("n").cast("double") * 1e6 +
+            lit(0.5)).cast("long"))
+        .withColumn("side", when(col("x") < 0, "pre").otherwise("post"))
+      val fits = daily.groupBy("side")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("qy")).as("sy"),
+          sum(col("x") * col("qy")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope_q",
+          (col("n_days").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n_days").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")))
+        .withColumn("intercept_q",
+          (col("sy").cast("double") -
+            col("slope_q") * col("sx").cast("double")) /
+            col("n_days").cast("double"))
+      val jump = fits
+        .groupBy()
+        .agg(
+          sum(when(col("side") === "post", col("intercept_q"))
+            .otherwise(0.0)).as("ipost"),
+          sum(when(col("side") === "pre", col("intercept_q"))
+            .otherwise(0.0)).as("ipre"))
+        .select(detRound((col("ipost") - col("ipre")) / lit(1e6), 4)
+          .as("rd_jump"))
+      fits.crossJoin(broadcast(jump))
+        .select(col("side"), col("n_days"),
+          detRound(col("slope_q") / lit(1e6), 6).as("slope"),
+          detRound(col("intercept_q") / lit(1e6), 4).as("intercept"),
+          col("rd_jump"))
+        .orderBy("side")
+    }),
+
     "x_did_estimate" -> ((s, d) => {
       // difference-in-differences: urgent-priority orders (treated) vs
       // low-priority (control), before vs after the 1997-01-01 cut, on
@@ -170,6 +223,50 @@ object CausalOps {
                 floor(r.diff * 1e8 + 0.5) / 1e8 AS stratum_diff,
                 s.naive_diff, s.standardized_diff
          FROM rates r, std s ORDER BY r.stratum""",
+
+    "x_regression_discontinuity" ->
+      """WITH daily AS (
+           SELECT CAST(date_diff('day', TIMESTAMP '1997-01-01 00:00:00',
+                    o_orderdate) AS BIGINT) AS x,
+                  COUNT(*) AS n,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sv
+           FROM orders
+           WHERE CAST(date_diff('day', TIMESTAMP '1997-01-01 00:00:00',
+                   o_orderdate) AS BIGINT) BETWEEN -180 AND 179
+           GROUP BY 1),
+         q AS (
+           SELECT x,
+                  CAST(floor(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) * 1e6
+                             + 0.5) AS BIGINT) AS qy,
+                  CASE WHEN x < 0 THEN 'pre' ELSE 'post' END AS side
+           FROM daily),
+         fits AS (
+           SELECT side, COUNT(*) AS n_days,
+                  CAST(SUM(x) AS DOUBLE) AS sx,
+                  CAST(SUM(qy) AS DOUBLE) AS sy,
+                  CAST(SUM(x * qy) AS DOUBLE) AS sxy,
+                  CAST(SUM(x * x) AS DOUBLE) AS sxx
+           FROM q GROUP BY 1),
+         lines AS (
+           SELECT side, n_days,
+                  (CAST(n_days AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n_days AS DOUBLE) * sxx - sx * sx) AS slope_q,
+                  (sy - ((CAST(n_days AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(n_days AS DOUBLE) * sxx - sx * sx)) * sx)
+                    / CAST(n_days AS DOUBLE) AS intercept_q
+           FROM fits),
+         jump AS (
+           SELECT floor(((SUM(CASE WHEN side = 'post' THEN intercept_q
+                                   ELSE 0.0 END)
+                          - SUM(CASE WHEN side = 'pre' THEN intercept_q
+                                     ELSE 0.0 END)) / 1e6) * 1e4 + 0.5)
+                    / 1e4 AS rd_jump
+           FROM lines)
+         SELECT side, n_days,
+                floor((slope_q / 1e6) * 1e6 + 0.5) / 1e6 AS slope,
+                floor((intercept_q / 1e6) * 1e4 + 0.5) / 1e4 AS intercept,
+                rd_jump
+         FROM lines, jump ORDER BY side""",
 
     "x_did_estimate" ->
       """WITH cells AS (

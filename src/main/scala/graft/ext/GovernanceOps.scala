@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.types.Coercions.detRound
 import graft.util.Tables.t
 
 /** Data-governance operators (round 11): declarative quality
@@ -41,6 +42,48 @@ object GovernanceOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "x_srm_check" -> ((s, d) => {
+      // sample-ratio-mismatch check over the deterministic md5 dataset
+      // split (x_dataset_split's assignment): observed train/valid/test
+      // counts vs the exact 204/26/26-of-256 hash-bucket expectation, a
+      // chi-square goodness-of-fit with df = 2 — the experimentation
+      // gate that catches a biased splitter or a lost partition before
+      // anyone trusts a downstream eval. Per-arm z residuals beside the
+      // global statistic; the chi-square terms are 1e9-quantized before
+      // the cross-arm sum (3 terms, order-free by quantization). One
+      // scan-side map + one 3-row aggregate — shuffle is O(arms).
+      val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+      val arms = t(s, d, "documents")
+        .select(when(h < "cc", "train").when(h < "e6", "valid")
+          .otherwise("test").as("split"))
+        .groupBy("split").agg(count(lit(1)).as("n_obs"))
+        .withColumn("share",
+          when(col("split") === "train", lit(204.0 / 256.0))
+            .when(col("split") === "valid", lit(26.0 / 256.0))
+            .otherwise(lit(26.0 / 256.0)))
+      val tot = arms.agg(sum(col("n_obs")).as("n"))
+      val scored = arms.crossJoin(broadcast(tot))
+        .withColumn("expected", col("n").cast("double") * col("share"))
+        .withColumn("z",
+          (col("n_obs").cast("double") - col("expected")) /
+            sqrt(col("expected") * (lit(1.0) - col("share"))))
+        .withColumn("qterm",
+          floor((col("n_obs").cast("double") - col("expected")) *
+            (col("n_obs").cast("double") - col("expected")) /
+            col("expected") * 1e9 + lit(0.5)).cast("long"))
+      val chi = scored.agg(sum(col("qterm")).as("qchi"))
+        .select(detRound(col("qchi").cast("double") / lit(1e9), 6)
+          .as("chi2"),
+          (col("qchi").cast("double") / lit(1e9) >
+            lit(5.991464547107979)).as("srm_flag")) // df=2, alpha=0.05
+      scored.crossJoin(broadcast(chi))
+        .select(col("split"), col("n_obs"),
+          detRound(col("expected"), 4).as("expected"),
+          detRound(col("z"), 6).as("z"),
+          col("chi2"), col("srm_flag"))
+        .orderBy("split")
+    }),
 
     "x_dq_expectations" -> ((s, d) => {
       // Declarative expectation suite over the order pipeline: each rule
@@ -225,6 +268,43 @@ object GovernanceOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "x_srm_check" ->
+      """WITH arms AS (
+           SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                         < 'cc' THEN 'train'
+                       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                         < 'e6' THEN 'valid'
+                       ELSE 'test' END AS split,
+                  COUNT(*) AS n_obs
+           FROM documents GROUP BY 1),
+         sh AS (
+           SELECT split, CAST(n_obs AS BIGINT) AS n_obs,
+                  CASE WHEN split = 'train' THEN 204.0 / 256.0
+                       WHEN split = 'valid' THEN 26.0 / 256.0
+                       ELSE 26.0 / 256.0 END AS share
+           FROM arms),
+         tot AS (SELECT CAST(SUM(n_obs) AS DOUBLE) AS n FROM sh),
+         scored AS (
+           SELECT s.split, s.n_obs, t.n * s.share AS expected,
+                  (CAST(s.n_obs AS DOUBLE) - t.n * s.share)
+                    / sqrt((t.n * s.share) * (1.0 - s.share)) AS z,
+                  CAST(floor((CAST(s.n_obs AS DOUBLE) - t.n * s.share)
+                             * (CAST(s.n_obs AS DOUBLE) - t.n * s.share)
+                             / (t.n * s.share) * 1e9 + 0.5) AS BIGINT)
+                    AS qterm
+           FROM sh s, tot t),
+         chi AS (
+           SELECT floor((CAST(SUM(qterm) AS DOUBLE) / 1e9) * 1e6 + 0.5)
+                    / 1e6 AS chi2,
+                  (CAST(SUM(qterm) AS DOUBLE) / 1e9)
+                    > 5.991464547107979 AS srm_flag
+           FROM scored)
+         SELECT s.split, s.n_obs,
+                floor(s.expected * 1e4 + 0.5) / 1e4 AS expected,
+                floor(s.z * 1e6 + 0.5) / 1e6 AS z,
+                c.chi2, c.srm_flag
+         FROM scored s, chi c ORDER BY s.split""",
 
     "x_dq_expectations" ->
       """WITH oa AS (

@@ -53,6 +53,49 @@ class CausalOpsSpec extends SparkSpec {
     }
   }
 
+  test("x_regression_discontinuity equals the per-side OLS walk over " +
+      "the quantized daily means") {
+    val cut = java.time.LocalDateTime.parse("1997-01-01T00:00:00")
+    val daily = graft.util.Tables.t(spark, sf, "orders")
+      .select("o_orderdate", "o_totalprice").collect()
+      .map { r =>
+        val dt = r.getAs[java.time.LocalDateTime]("o_orderdate")
+        val x = java.time.temporal.ChronoUnit.DAYS.between(
+          cut.toLocalDate, dt.toLocalDate)
+        (x, BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      }
+      .filter(p => p._1 >= -180 && p._1 < 180)
+      .groupBy(_._1).map { case (x, rows) =>
+        val avg = (rows.map(_._2).sum / rows.size).toDouble
+        (x, math.floor(avg * 1e6 + 0.5).toLong)
+      }.toSeq
+    def fit(pts: Seq[(Long, Long)]): (Double, Double) = {
+      val n = pts.size.toDouble
+      val sx = pts.map(_._1).sum.toDouble
+      val sy = pts.map(_._2.toDouble).sum
+      val sxy = pts.map(p => p._1.toDouble * p._2.toDouble).sum
+      val sxx = pts.map(p => (p._1 * p._1).toDouble).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      (slope, (sy - slope * sx) / n)
+    }
+    val (preS, preI) = fit(daily.filter(_._1 < 0))
+    val (postS, postI) = fit(daily.filter(_._1 >= 0))
+    val got = run("x_regression_discontinuity").collect()
+      .map(r => r.getAs[String]("side") -> r).toMap
+    assert(got.keySet === Set("pre", "post"))
+    assert(math.abs(got("pre").getAs[Double]("slope") - preS / 1e6) < 1e-4)
+    assert(math.abs(got("post").getAs[Double]("slope") - postS / 1e6) < 1e-4)
+    assert(math.abs(got("pre").getAs[Double]("intercept") - preI / 1e6)
+      < 1e-2)
+    assert(math.abs(got("post").getAs[Double]("intercept") - postI / 1e6)
+      < 1e-2)
+    val jump = (postI - preI) / 1e6
+    got.values.foreach { r =>
+      assert(math.abs(r.getAs[Double]("rd_jump") - jump) < 1e-2)
+    }
+  }
+
   test("x_did_estimate equals the four-cell walk and the contrast " +
       "cancels group level and common trend") {
     val cut = java.time.LocalDateTime.parse("1997-01-01T00:00:00")

@@ -104,6 +104,40 @@ class GovernanceSpec extends SparkSpec {
     assert(below === exact)
   }
 
+  test("x_srm_check: counts reconcile with x_dataset_split, the chi2 " +
+      "equals the three-term brute force, and the unbiased md5 split " +
+      "does not flag") {
+    val got = SparkEntry.queries("x_srm_check")(spark, sf).collect()
+      .map(r => r.getAs[String]("split") -> r).toMap
+    assert(got.keySet === Set("train", "valid", "test"))
+    // observed arm counts must be exactly x_dataset_split's counts
+    val splitCounts = SparkEntry.queries("x_dataset_split")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    got.foreach { case (arm, r) =>
+      assert(r.getAs[Long]("n_obs") === splitCounts(arm), arm)
+    }
+    val n = splitCounts.values.sum.toDouble
+    val shares = Map("train" -> 204.0 / 256.0, "valid" -> 26.0 / 256.0,
+      "test" -> 26.0 / 256.0)
+    var qchi = 0L
+    shares.foreach { case (arm, p) =>
+      val e = n * p
+      val o = splitCounts(arm).toDouble
+      qchi += math.floor((o - e) * (o - e) / e * 1e9 + 0.5).toLong
+      assert(math.abs(got(arm).getAs[Double]("expected") - e) < 1e-3, arm)
+      assert(math.abs(got(arm).getAs[Double]("z") -
+        (o - e) / math.sqrt(e * (1.0 - p))) < 1e-5, arm)
+    }
+    got.values.foreach { r =>
+      assert(math.abs(r.getAs[Double]("chi2") - qchi / 1e9) < 1e-5)
+      // the flag must be exactly the brute-force threshold comparison
+      // (the md5 split is hash-fair, not sample-fair, so at 500 docs the
+      // gate MAY legitimately fire — assert consistency, not innocence)
+      assert(r.getAs[Boolean]("srm_flag") ===
+        (qchi / 1e9 > 5.991464547107979))
+    }
+  }
+
   test("x_snapshot_diff classifies every key against a first-principles " +
       "recount") {
     val keys = graft.util.Tables.t(spark, sf, "orders")

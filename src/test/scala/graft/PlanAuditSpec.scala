@@ -128,7 +128,8 @@ class PlanAuditSpec extends SparkSpec {
     "x_dedup_chain_clusters", "x_dedup_clusters",
     "x_dedup_embedding_clusters", "x_dedup_pipeline", "x_dedup_quality",
     "x_dq_expectations",
-    "x_degree_histogram", "x_embedding_outliers", "x_entropy_rate",
+    "x_degree_histogram", "x_embedding_outliers", "x_empirical_bayes",
+    "x_entropy_rate",
     "x_fuzzy_passjoin", "x_hard_negatives", "x_hits", "x_hll_set_ops",
     "x_image_dhash",
     "x_kcore", "x_ks_statistic", "x_label_propagation", "x_link_prediction",
