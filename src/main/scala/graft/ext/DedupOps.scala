@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.types.Coercions.detRound
 import graft.util.Tables.t
 
 /** Deduplication operators for training-data pipelines (SURVEY.md §2.10).
@@ -624,6 +625,52 @@ object DedupOps {
         .orderBy("content_hash")
     }),
 
+    "x_dedup_saturation" -> ((s, d) => {
+      // dedup saturation curve — the crawl-economics readout: at each
+      // ingest prefix, what fraction of documents seen so far are exact
+      // duplicates of EARLIER documents, and what is the MARGINAL dup
+      // rate of the newest slice (when that approaches 1, continued
+      // crawling buys nothing). Fixture interleaves a copy after every
+      // original (odd ids original, even ids copy) so the curve rises
+      // smoothly instead of step-functioning at the corpus seam.
+      // Plan: one sha256 groupBy for first-occurrence ids (shuffles the
+      // 32-byte hash, never text), one hash-keyed join back, then each
+      // (doc, is_dup) row fans to ≤ 8 skinny checkpoint rows with
+      // map-side partials — shuffle is 8 groups at any corpus size; the
+      // lag window runs over the 8-row curve only.
+      val corpus = t(s, d, "documents")
+        .select((col("doc_id") * 2 - 1).as("doc_id"), col("text"))
+        .unionByName(t(s, d, "documents")
+          .select((col("doc_id") * 2).as("doc_id"), col("text")))
+      val firsts = corpus
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("first_id"))
+      val flagged = corpus
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .join(firsts, "h")
+        .select(col("doc_id"), (col("doc_id") > col("first_id")).as("is_dup"))
+      val maxId = flagged.agg(max(col("doc_id")).as("max_id"))
+      val curve = flagged.crossJoin(broadcast(maxId))
+        .select(explode(expr("sequence(1, 8)")).as("cp"),
+          col("doc_id"), col("is_dup"), col("max_id"))
+        .filter(col("doc_id") <= expr("(max_id * cp) div 8"))
+        .groupBy("cp")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("cp")
+      curve
+        .withColumn("pd", coalesce(lag("n_docs", 1).over(w), lit(0L)))
+        .withColumn("pk", coalesce(lag("n_dups", 1).over(w), lit(0L)))
+        .select(col("cp").cast("long").as("cp"),
+          col("n_docs"), col("n_dups"),
+          detRound(col("n_dups").cast("double") /
+            col("n_docs").cast("double"), 6).as("dup_frac"),
+          detRound((col("n_dups") - col("pk")).cast("double") /
+            (col("n_docs") - col("pd")).cast("double"), 6)
+            .as("marginal_dup_frac"))
+        .orderBy("cp")
+    }),
+
     "x_dedup_minhash" -> ((s, d) => {
       // hash family: see minhashPairs (8 × 16-bit slices of one md5 per
       // shingle, quality-gauge-validated). Shingles are EXPLODED to a
@@ -1106,6 +1153,40 @@ object DedupOps {
       s"""WITH $nearDupCorpusSql,
           $minhashCandidatesSql
           SELECT a, b FROM cands ORDER BY a, b""",
+
+    "x_dedup_saturation" ->
+      """WITH corpus AS (
+           SELECT doc_id * 2 - 1 AS doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id * 2 AS doc_id, text FROM documents),
+         firsts AS (
+           SELECT sha256(text) AS h, MIN(doc_id) AS first_id
+           FROM corpus GROUP BY 1),
+         flagged AS (
+           SELECT c.doc_id, c.doc_id > f.first_id AS is_dup
+           FROM (SELECT doc_id, sha256(text) AS h FROM corpus) c
+           JOIN firsts f USING (h)),
+         mx AS (SELECT MAX(doc_id) AS max_id FROM flagged),
+         cps AS (SELECT unnest(range(1, 9)) AS cp),
+         curve AS (
+           SELECT cp, COUNT(*) AS n_docs,
+                  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_dups
+           FROM flagged, cps, mx
+           WHERE flagged.doc_id <= (mx.max_id * cps.cp) // 8
+           GROUP BY 1),
+         lagged AS (
+           SELECT cp, n_docs, n_dups,
+                  COALESCE(lag(n_docs) OVER (ORDER BY cp), 0) AS pd,
+                  COALESCE(lag(n_dups) OVER (ORDER BY cp), 0) AS pk
+           FROM curve)
+         SELECT CAST(cp AS BIGINT) AS cp, n_docs, n_dups,
+                floor(CAST(n_dups AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                      * 1e6 + 0.5) / 1e6 AS dup_frac,
+                floor(CAST(n_dups - pk AS DOUBLE)
+                      / CAST(n_docs - pd AS DOUBLE) * 1e6 + 0.5) / 1e6
+                  AS marginal_dup_frac
+         FROM lagged ORDER BY cp""",
 
     "x_dedup_simhash" ->
       s"""WITH $nearDupCorpusSql,

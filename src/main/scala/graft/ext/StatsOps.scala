@@ -1169,6 +1169,85 @@ object StatsOps {
           detRound(col("beta"), 6).as("prior_beta"))
     }),
 
+    "x_hill_tail_index" -> ((s, d) => {
+      // Hill estimator of the Pareto tail exponent over the top-200
+      // order values — the heavy-tail diagnostic that says whether means
+      // and variances of spend are even finite-sample-stable (α ≤ 2 →
+      // variance diverges). The order-statistics prefix is a bounded
+      // TakeOrderedAndProject (201 rows at any SF, never a global sort);
+      // ties at the threshold are harmless by construction because a
+      // tied row contributes ln(v/threshold) = 0 exactly, so summing all
+      // 201 quantized terms equals summing "the top 200" regardless of
+      // which tie the limit kept. Per-term ln is 1e6-quantized before
+      // the integer sum (the x_zipf_fit discipline).
+      val top = t(s, d, "orders").select(col("o_totalprice").as("v"))
+        .orderBy(desc("v")).limit(201)
+      val thr = top.agg(min(col("v")).as("xk1"))
+      top.crossJoin(broadcast(thr))
+        .select(floor(log(col("v") / col("xk1")) * 1e6 + lit(0.5))
+          .cast("long").as("q"), col("xk1"))
+        .groupBy("xk1")
+        .agg(count(lit(1)).as("n_top"), sum(col("q")).as("qsum"))
+        .select(lit(200L).as("k"),
+          detRound(col("xk1"), 2).as("threshold_value"),
+          detRound(lit(1.0) /
+            (col("qsum").cast("double") / 1e6 / 200.0), 6)
+            .as("hill_alpha"))
+    }),
+
+    "x_mahalanobis_outliers" -> ((s, d) => {
+      // multivariate outliers by Mahalanobis distance over the
+      // (quantity, price-in-cents) pair — the joint-anomaly detector a
+      // univariate z-score can't replicate (a 2σ quantity with a 2σ
+      // price in the WRONG direction is a huge joint outlier). One
+      // grouped pass accumulates the five exact integer moment sums in
+      // DECIMAL(38,0)/HUGEINT; the 2×2 covariance, its closed-form
+      // inverse, and each row's d² are then pure double arithmetic on
+      // exact inputs (identical IEEE both engines), evaluated map-side
+      // with the five broadcast scalars. Top-15 via
+      // TakeOrderedAndProject on the 1e9-quantized distance.
+      val rows = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long")
+            .as("l_linenumber"),
+          col("l_quantity").cast("long").as("x"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+            .as("y"))
+      val mom = rows.agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("y").cast("decimal(38,0)") * col("y")
+          .cast("decimal(38,0)"))).as("syy"))
+        .select(col("n").cast("double").as("dn"),
+          col("sx").cast("double").as("sx"),
+          col("sy").cast("double").as("sy"),
+          col("sxx").cast("double").as("sxx"),
+          col("sxy").cast("double").as("sxy"),
+          col("syy").cast("double").as("syy"))
+        .withColumn("mx", col("sx") / col("dn"))
+        .withColumn("my", col("sy") / col("dn"))
+        .withColumn("vxx", col("sxx") / col("dn") - col("mx") * col("mx"))
+        .withColumn("vyy", col("syy") / col("dn") - col("my") * col("my"))
+        .withColumn("vxy", col("sxy") / col("dn") - col("mx") * col("my"))
+        .withColumn("det",
+          col("vxx") * col("vyy") - col("vxy") * col("vxy"))
+        .select("mx", "my", "vxx", "vyy", "vxy", "det")
+      rows.crossJoin(broadcast(mom))
+        .withColumn("dx", col("x").cast("double") - col("mx"))
+        .withColumn("dy", col("y").cast("double") - col("my"))
+        .withColumn("d2",
+          (col("dx") * col("dx") * col("vyy") -
+            lit(2.0) * col("dx") * col("dy") * col("vxy") +
+            col("dy") * col("dy") * col("vxx")) / col("det"))
+        .withColumn("qd2", floor(col("d2") * 1e9 + lit(0.5)).cast("long"))
+        .orderBy(desc("qd2"), asc("l_orderkey"), asc("l_linenumber"))
+        .limit(15)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("x").as("quantity"), col("y").as("price_cents"),
+          detRound(col("d2"), 6).as("mahalanobis_d2"))
+    }),
+
     "x_moments" -> ((s, d) => {
       // higher-moment distribution profile (skewness + excess kurtosis)
       // of order value per priority — the shape diagnostics behind
@@ -2054,6 +2133,65 @@ object StatsOps {
          FROM scored
          ORDER BY CAST(floor(abs(shrunk_rate - raw_rate) * 1e9 + 0.5)
                        AS BIGINT) DESC, l_partkey ASC
+         LIMIT 15""",
+
+    "x_hill_tail_index" ->
+      """WITH top AS (
+           SELECT o_totalprice AS v FROM orders
+           ORDER BY v DESC LIMIT 201),
+         thr AS (SELECT MIN(v) AS xk1 FROM top),
+         q AS (
+           SELECT CAST(floor(ln(v / xk1) * 1e6 + 0.5) AS BIGINT) AS q, xk1
+           FROM top, thr),
+         st AS (
+           SELECT xk1, COUNT(*) AS n_top, CAST(SUM(q) AS DOUBLE) AS qsum
+           FROM q GROUP BY 1)
+         SELECT CAST(200 AS BIGINT) AS k,
+                floor(xk1 * 1e2 + 0.5) / 1e2 AS threshold_value,
+                floor((1.0 / (qsum / 1e6 / 200.0)) * 1e6 + 0.5) / 1e6
+                  AS hill_alpha
+         FROM st""",
+
+    "x_mahalanobis_outliers" ->
+      """WITH rows_ AS (
+           SELECT l_orderkey,
+                  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                  CAST(l_quantity AS BIGINT) AS x,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+           FROM lineitem),
+         mom AS (
+           SELECT CAST(COUNT(*) AS DOUBLE) AS dn,
+                  CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(x * x AS HUGEINT)) AS DOUBLE) AS sxx,
+                  CAST(SUM(CAST(x * y AS HUGEINT)) AS DOUBLE) AS sxy,
+                  CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+                       AS DOUBLE) AS syy
+           FROM rows_),
+         pars AS (
+           SELECT sx / dn AS mx, sy / dn AS my,
+                  sxx / dn - (sx / dn) * (sx / dn) AS vxx,
+                  syy / dn - (sy / dn) * (sy / dn) AS vyy,
+                  sxy / dn - (sx / dn) * (sy / dn) AS vxy
+           FROM mom),
+         pars2 AS (
+           SELECT mx, my, vxx, vyy, vxy,
+                  vxx * vyy - vxy * vxy AS det
+           FROM pars),
+         scored AS (
+           SELECT r.l_orderkey, r.l_linenumber, r.x, r.y,
+                  ((CAST(r.x AS DOUBLE) - p.mx) * (CAST(r.x AS DOUBLE) - p.mx)
+                     * p.vyy
+                   - 2.0 * (CAST(r.x AS DOUBLE) - p.mx)
+                     * (CAST(r.y AS DOUBLE) - p.my) * p.vxy
+                   + (CAST(r.y AS DOUBLE) - p.my)
+                     * (CAST(r.y AS DOUBLE) - p.my) * p.vxx) / p.det AS d2
+           FROM rows_ r, pars2 p)
+         SELECT l_orderkey, l_linenumber, x AS quantity, y AS price_cents,
+                floor(d2 * 1e6 + 0.5) / 1e6 AS mahalanobis_d2
+         FROM scored
+         ORDER BY CAST(floor(d2 * 1e9 + 0.5) AS BIGINT) DESC,
+                  l_orderkey ASC, l_linenumber ASC
          LIMIT 15""",
 
     "x_moments" ->

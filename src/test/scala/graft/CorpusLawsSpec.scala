@@ -82,6 +82,82 @@ class CorpusLawsSpec extends SparkSpec {
     }
   }
 
+  test("x_dedup_saturation equals the first-occurrence prefix walk and " +
+      "the dup fraction rises toward the interleaved-copy ceiling") {
+    val corpus = docs.flatMap(d =>
+      Seq((d._1 * 2 - 1, d._3), (d._1 * 2, d._3)))
+    val firstByText = corpus.groupBy(_._2).view.mapValues(_.map(_._1).min)
+      .toMap
+    val maxId = corpus.map(_._1).max
+    val got = run("x_dedup_saturation").collect().sortBy(_.getAs[Long]("cp"))
+    assert(got.length === 8)
+    var prev = (0L, 0L)
+    (1 to 8).zip(got).foreach { case (cp, r) =>
+      val cut = maxId * cp / 8
+      val in = corpus.filter(_._1 <= cut)
+      val nDups = in.count(p => p._1 > firstByText(p._2)).toLong
+      assert(r.getAs[Long]("n_docs") === in.size.toLong, s"cp=$cp")
+      assert(r.getAs[Long]("n_dups") === nDups, s"cp=$cp")
+      assert(math.abs(r.getAs[Double]("dup_frac") -
+        nDups.toDouble / in.size) < 1e-5, s"cp=$cp")
+      val md = (nDups - prev._2).toDouble / (in.size - prev._1)
+      assert(math.abs(r.getAs[Double]("marginal_dup_frac") - md) < 1e-5,
+        s"cp=$cp")
+      prev = (in.size.toLong, nDups)
+    }
+    // interleaved copies: every prefix is close to half duplicates
+    assert(got.last.getAs[Double]("dup_frac") > 0.4)
+  }
+
+  test("x_hill_tail_index equals the sort-and-log walk over the top 200") {
+    val vs = graft.util.Tables.t(spark, sf, "orders")
+      .select("o_totalprice").collect().map(_.getDouble(0))
+      .sortBy(-_).take(201)
+    val xk1 = vs.last
+    val qsum = vs.map(v => math.floor(math.log(v / xk1) * 1e6 + 0.5).toLong)
+      .sum
+    val alpha = 1.0 / (qsum.toDouble / 1e6 / 200.0)
+    val r = run("x_hill_tail_index").collect()(0)
+    assert(r.getAs[Long]("k") === 200L)
+    assert(math.abs(r.getAs[Double]("threshold_value") - xk1) < 0.01)
+    assert(math.abs(r.getAs[Double]("hill_alpha") - alpha) < 1e-5)
+    assert(alpha > 0.0)
+  }
+
+  test("x_mahalanobis_outliers equals the closed-form 2x2 walk, " +
+      "rank-for-rank") {
+    val rows = graft.util.Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getDouble(2).toLong,
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+    val n = rows.length.toDouble
+    val sx = rows.map(_._3).sum.toDouble
+    val sy = rows.map(r => BigInt(r._4)).sum.toDouble
+    val sxx = rows.map(r => r._3 * r._3).sum.toDouble
+    val sxy = rows.map(r => BigInt(r._3 * r._4)).sum.toDouble
+    val syy = rows.map(r => BigInt(r._4) * BigInt(r._4)).sum.toDouble
+    val (mx, my) = (sx / n, sy / n)
+    val vxx = sxx / n - mx * mx
+    val vyy = syy / n - my * my
+    val vxy = sxy / n - mx * my
+    val det = vxx * vyy - vxy * vxy
+    def d2(x: Long, y: Long): Double = {
+      val (dx, dy) = (x - mx, y - my)
+      (dx * dx * vyy - 2.0 * dx * dy * vxy + dy * dy * vxx) / det
+    }
+    val expected = rows
+      .map(r => (r._1, r._2, math.floor(d2(r._3, r._4) * 1e9 + 0.5).toLong))
+      .sortBy(t => (-t._3, t._1, t._2)).take(15)
+    val got = run("x_mahalanobis_outliers").collect()
+    assert(got.length === 15)
+    got.zip(expected).foreach { case (r, (ok, ln, qd)) =>
+      assert(r.getAs[Long]("l_orderkey") === ok)
+      assert(r.getAs[Long]("l_linenumber") === ln)
+      assert(math.abs(r.getAs[Double]("mahalanobis_d2") - qd / 1e9) < 1e-4)
+    }
+  }
+
   test("x_moments equals the naive central-moment walk on floor-dollar " +
       "values") {
     val got = run("x_moments").collect().map(r => r.getString(0) -> r).toMap
