@@ -74,6 +74,139 @@ object CausalOps {
         .orderBy("stratum")
     }),
 
+    "x_cuped" -> ((s, d) => {
+      // CUPED variance reduction (Deng et al. 2013) — the modern A/B
+      // workhorse: adjust each unit's post-period metric by its
+      // PRE-period covariate, post' = post − θ·(pre − mean_pre) with
+      // θ = cov(pre, post)/var(pre), shrinking metric variance by
+      // exactly ρ² without biasing the arm contrast. Units are
+      // customers, arms a deterministic md5 coin, the metric total
+      // spend after the 1998 cut, the covariate spend before it (orders span 1995-2001 in the fixtures).
+      // Everything reduces to per-customer cent-integer sums (one
+      // grouped pass over orders), a pooled moment aggregate in
+      // DECIMAL(38,0)/HUGEINT, and per-arm sums — arm-level adjusted
+      // means need NO per-row second pass because mean(post') =
+      // mean_post_arm − θ·(mean_pre_arm − mean_pre), so the whole
+      // estimator is three broadcast-sized aggregates.
+      val per = t(s, d, "orders")
+        .select(col("o_custkey"),
+          when(col("o_orderdate") < lit("1998-01-01").cast("timestamp"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .otherwise(0L).as("pre_c"),
+          when(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .otherwise(0L).as("post_c"))
+        .groupBy("o_custkey")
+        .agg(sum(col("pre_c")).as("pre"), sum(col("post_c")).as("post"))
+        .withColumn("arm",
+          when(substring(md5(col("o_custkey").cast("string")), 1, 1) < "8",
+            "treatment").otherwise("control"))
+      val mom = per.agg(count(lit(1)).as("n"),
+          sum(col("pre").cast("decimal(38,0)")).as("sx"),
+          sum(col("post").cast("decimal(38,0)")).as("sy"),
+          sum((col("pre").cast("decimal(38,0)") *
+            col("pre").cast("decimal(38,0)"))).as("sxx"),
+          sum((col("pre").cast("decimal(38,0)") *
+            col("post").cast("decimal(38,0)"))).as("sxy"),
+          sum((col("post").cast("decimal(38,0)") *
+            col("post").cast("decimal(38,0)"))).as("syy"))
+        .select(col("n").cast("double").as("dn"),
+          col("sx").cast("double").as("sx"),
+          col("sy").cast("double").as("sy"),
+          col("sxx").cast("double").as("sxx"),
+          col("sxy").cast("double").as("sxy"),
+          col("syy").cast("double").as("syy"))
+        .withColumn("mpre", col("sx") / col("dn"))
+        .withColumn("vpre",
+          col("sxx") / col("dn") - col("mpre") * col("mpre"))
+        .withColumn("vpost", col("syy") / col("dn") -
+          (col("sy") / col("dn")) * (col("sy") / col("dn")))
+        .withColumn("cov", col("sxy") / col("dn") -
+          col("mpre") * (col("sy") / col("dn")))
+        .withColumn("theta", col("cov") / col("vpre"))
+        .withColumn("rho2",
+          col("cov") * col("cov") / (col("vpre") * col("vpost")))
+        .select("mpre", "theta", "rho2")
+      val arms = per.groupBy("arm")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("pre")).as("apre"), sum(col("post")).as("apost"))
+        .crossJoin(broadcast(mom))
+        .withColumn("mean_post",
+          col("apost").cast("double") / col("n_customers").cast("double")
+            / lit(100.0))
+        .withColumn("mean_adjusted",
+          (col("apost").cast("double") / col("n_customers").cast("double") -
+            col("theta") *
+              (col("apre").cast("double") /
+                col("n_customers").cast("double") - col("mpre")))
+            / lit(100.0))
+      val armsOut = arms.select("arm", "n_customers", "mean_post",
+        "mean_adjusted")
+      val summary = arms
+        .groupBy()
+        .agg(
+          sum(when(col("arm") === "treatment", col("mean_post"))
+            .otherwise(0.0)).as("tp"),
+          sum(when(col("arm") === "control", col("mean_post"))
+            .otherwise(0.0)).as("cp"),
+          sum(when(col("arm") === "treatment", col("mean_adjusted"))
+            .otherwise(0.0)).as("ta"),
+          sum(when(col("arm") === "control", col("mean_adjusted"))
+            .otherwise(0.0)).as("ca"),
+          max(col("theta")).as("th"), max(col("rho2")).as("r2"))
+        .select(detRound(col("tp") - col("cp"), 4).as("diff_raw"),
+          detRound(col("ta") - col("ca"), 4).as("diff_cuped"),
+          detRound(col("th"), 6).as("theta"),
+          detRound(col("r2"), 6).as("variance_reduction"))
+      armsOut.crossJoin(broadcast(summary))
+        .select(col("arm"), col("n_customers"),
+          detRound(col("mean_post"), 4).as("mean_post"),
+          detRound(col("mean_adjusted"), 4).as("mean_adjusted"),
+          col("diff_raw"), col("diff_cuped"), col("theta"),
+          col("variance_reduction"))
+        .orderBy("arm")
+    }),
+
+    "x_power_mde" -> ((s, d) => {
+      // experiment sizing: the minimum detectable effect of a
+      // two-proportion z-test (alpha 0.05 two-sided, power 0.80) at the
+      // md5-split arm sizes, for the baseline rate "customer placed an
+      // order after the 1998 cut". MDE = (z_alpha/2 + z_beta) ·
+      // sqrt(p(1-p)(1/n1 + 1/n2)) — the pre-launch answer to "is this
+      // experiment even worth running at our traffic". The z constants
+      // are embedded as 17-significant-digit decimal literals (the
+      // PoisCdf trick) so both engines use the identical binary64; the
+      // rest is exact counts from one grouped pass.
+      val za = lit(1.9599639845400545) // Phi^-1(0.975)
+      val zb = lit(0.8416212335729143) // Phi^-1(0.80)
+      val per = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(when(col("o_orderdate") >=
+          lit("1998-01-01").cast("timestamp"), 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("arm",
+          when(substring(md5(col("o_custkey").cast("string")), 1, 1) < "8",
+            "treatment").otherwise("control"))
+      per.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("k"))
+        .groupBy()
+        .agg(
+          sum(when(col("arm") === "treatment", col("n")).otherwise(0L))
+            .as("n1"),
+          sum(when(col("arm") === "control", col("n")).otherwise(0L))
+            .as("n2"),
+          sum(col("k")).as("k"), sum(col("n")).as("n"))
+        .withColumn("p", col("k").cast("double") / col("n").cast("double"))
+        .withColumn("mde_abs", (za + zb) *
+          sqrt(col("p") * (lit(1.0) - col("p")) *
+            (lit(1.0) / col("n1").cast("double") +
+              lit(1.0) / col("n2").cast("double"))))
+        .select(col("n1"), col("n2"),
+          detRound(col("p"), 6).as("baseline_rate"),
+          detRound(col("mde_abs"), 6).as("mde_abs"),
+          detRound(col("mde_abs") / col("p"), 6).as("mde_rel"))
+    }),
+
     "x_regression_discontinuity" -> ((s, d) => {
       // sharp regression discontinuity at the 1997-01-01 cut: local
       // linear fits of daily average order value on days-from-cut,
@@ -223,6 +356,112 @@ object CausalOps {
                 floor(r.diff * 1e8 + 0.5) / 1e8 AS stratum_diff,
                 s.naive_diff, s.standardized_diff
          FROM rates r, std s ORDER BY r.stratum""",
+
+    "x_cuped" ->
+      """WITH per AS (
+           SELECT o_custkey,
+                  CAST(SUM(CASE WHEN o_orderdate
+                             < TIMESTAMP '1998-01-01 00:00:00'
+                           THEN CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT) ELSE 0 END) AS BIGINT)
+                    AS pre,
+                  CAST(SUM(CASE WHEN o_orderdate
+                             >= TIMESTAMP '1998-01-01 00:00:00'
+                           THEN CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT) ELSE 0 END) AS BIGINT)
+                    AS post,
+                  CASE WHEN substring(md5(CAST(o_custkey AS VARCHAR)), 1, 1)
+                         < '8' THEN 'treatment' ELSE 'control' END AS arm
+           FROM orders GROUP BY o_custkey),
+         mom AS (
+           SELECT CAST(COUNT(*) AS DOUBLE) AS dn,
+                  CAST(SUM(CAST(pre AS HUGEINT)) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(post AS HUGEINT)) AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(pre AS HUGEINT) * CAST(pre AS HUGEINT))
+                       AS DOUBLE) AS sxx,
+                  CAST(SUM(CAST(pre AS HUGEINT) * CAST(post AS HUGEINT))
+                       AS DOUBLE) AS sxy,
+                  CAST(SUM(CAST(post AS HUGEINT) * CAST(post AS HUGEINT))
+                       AS DOUBLE) AS syy
+           FROM per),
+         pars AS (
+           SELECT sx / dn AS mpre,
+                  sxx / dn - (sx / dn) * (sx / dn) AS vpre,
+                  syy / dn - (sy / dn) * (sy / dn) AS vpost,
+                  sxy / dn - (sx / dn) * (sy / dn) AS cov,
+                  sy, dn
+           FROM mom),
+         pars2 AS (
+           SELECT mpre, cov / vpre AS theta,
+                  cov * cov / (vpre * vpost) AS rho2
+           FROM pars),
+         arms AS (
+           SELECT arm, COUNT(*) AS n_customers,
+                  CAST(SUM(CAST(pre AS HUGEINT)) AS DOUBLE) AS apre,
+                  CAST(SUM(CAST(post AS HUGEINT)) AS DOUBLE) AS apost
+           FROM per GROUP BY 1),
+         scored AS (
+           SELECT a.arm, a.n_customers,
+                  a.apost / CAST(a.n_customers AS DOUBLE) / 100.0
+                    AS mean_post,
+                  (a.apost / CAST(a.n_customers AS DOUBLE)
+                   - p.theta * (a.apre / CAST(a.n_customers AS DOUBLE)
+                                - p.mpre)) / 100.0 AS mean_adjusted,
+                  p.theta, p.rho2
+           FROM arms a, pars2 p),
+         summary AS (
+           SELECT floor((SUM(CASE WHEN arm = 'treatment' THEN mean_post
+                                  ELSE 0.0 END)
+                         - SUM(CASE WHEN arm = 'control' THEN mean_post
+                                    ELSE 0.0 END)) * 1e4 + 0.5) / 1e4
+                    AS diff_raw,
+                  floor((SUM(CASE WHEN arm = 'treatment' THEN mean_adjusted
+                                  ELSE 0.0 END)
+                         - SUM(CASE WHEN arm = 'control' THEN mean_adjusted
+                                    ELSE 0.0 END)) * 1e4 + 0.5) / 1e4
+                    AS diff_cuped,
+                  floor(MAX(theta) * 1e6 + 0.5) / 1e6 AS theta,
+                  floor(MAX(rho2) * 1e6 + 0.5) / 1e6 AS variance_reduction
+           FROM scored)
+         SELECT s.arm, s.n_customers,
+                floor(s.mean_post * 1e4 + 0.5) / 1e4 AS mean_post,
+                floor(s.mean_adjusted * 1e4 + 0.5) / 1e4 AS mean_adjusted,
+                m.diff_raw, m.diff_cuped, m.theta, m.variance_reduction
+         FROM scored s, summary m ORDER BY s.arm""",
+
+    "x_power_mde" ->
+      """WITH per AS (
+           SELECT o_custkey,
+                  MAX(CASE WHEN o_orderdate
+                        >= TIMESTAMP '1998-01-01 00:00:00'
+                      THEN 1 ELSE 0 END) AS converted,
+                  CASE WHEN substring(md5(CAST(o_custkey AS VARCHAR)), 1, 1)
+                         < '8' THEN 'treatment' ELSE 'control' END AS arm
+           FROM orders GROUP BY o_custkey),
+         armc AS (
+           SELECT arm, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS k
+           FROM per GROUP BY 1),
+         tot AS (
+           SELECT CAST(SUM(CASE WHEN arm = 'treatment' THEN n ELSE 0 END)
+                       AS BIGINT) AS n1,
+                  CAST(SUM(CASE WHEN arm = 'control' THEN n ELSE 0 END)
+                       AS BIGINT) AS n2,
+                  CAST(SUM(k) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n
+           FROM armc),
+         calc AS (
+           SELECT n1, n2,
+                  CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                  (1.9599639845400545 + 0.8416212335729143)
+                    * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (1.0 / CAST(n1 AS DOUBLE)
+                              + 1.0 / CAST(n2 AS DOUBLE))) AS mde_abs
+           FROM tot)
+         SELECT n1, n2,
+                floor(p * 1e6 + 0.5) / 1e6 AS baseline_rate,
+                floor(mde_abs * 1e6 + 0.5) / 1e6 AS mde_abs,
+                floor(mde_abs / p * 1e6 + 0.5) / 1e6 AS mde_rel
+         FROM calc""",
 
     "x_regression_discontinuity" ->
       """WITH daily AS (

@@ -53,6 +53,92 @@ class CausalOpsSpec extends SparkSpec {
     }
   }
 
+  test("x_cuped equals the moment walk: theta = cov/var, the adjusted " +
+      "contrast is unbiased under a null split, and variance_reduction " +
+      "is the squared pre/post correlation") {
+    val cut = java.time.LocalDateTime.parse("1998-01-01T00:00:00")
+    val per = graft.util.Tables.t(spark, sf, "orders")
+      .select("o_custkey", "o_orderdate", "o_totalprice").collect()
+      .map { r =>
+        val c = math.floor(r.getDouble(2) * 100 + 0.5).toLong
+        val pre = r.getAs[java.time.LocalDateTime]("o_orderdate")
+          .isBefore(cut)
+        (r.getLong(0), if (pre) c else 0L, if (pre) 0L else c)
+      }
+      .groupBy(_._1).map { case (ck, rows) =>
+        (ck, rows.map(_._2).sum, rows.map(_._3).sum)
+      }.toSeq
+    val n = per.size.toDouble
+    def dsum(f: ((Long, Long, Long)) => BigInt): Double =
+      per.map(f).sum.toDouble
+    val sx = dsum(p => BigInt(p._2)); val sy = dsum(p => BigInt(p._3))
+    val sxx = dsum(p => BigInt(p._2) * BigInt(p._2))
+    val sxy = dsum(p => BigInt(p._2) * BigInt(p._3))
+    val syy = dsum(p => BigInt(p._3) * BigInt(p._3))
+    val mpre = sx / n
+    val vpre = sxx / n - mpre * mpre
+    val vpost = syy / n - (sy / n) * (sy / n)
+    val cov = sxy / n - mpre * (sy / n)
+    val theta = cov / vpre
+    val rho2 = cov * cov / (vpre * vpost)
+    val got = run("x_cuped").collect().map(r => r.getAs[String]("arm") -> r)
+      .toMap
+    assert(got.keySet === Set("treatment", "control"))
+    got.values.foreach { r =>
+      assert(math.abs(r.getAs[Double]("theta") - theta) < 1e-5)
+      assert(math.abs(r.getAs[Double]("variance_reduction") - rho2) < 1e-5)
+      assert(r.getAs[Double]("variance_reduction") > 0.0 &&
+        r.getAs[Double]("variance_reduction") < 1.0)
+    }
+    // per-arm means against the brute-force walk (arm = md5 coin)
+    def armOf(ck: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(ck.toString.getBytes("UTF-8"))
+      if (((md(0) >> 4) & 0xf) < 8) "treatment" else "control"
+    }
+    Seq("treatment", "control").foreach { arm =>
+      val rows = per.filter(p => armOf(p._1) == arm)
+      val na = rows.size.toDouble
+      val mp = dsumArm(rows, _._3) / na / 100.0
+      val ma = (dsumArm(rows, _._3) / na -
+        theta * (dsumArm(rows, _._2) / na - mpre)) / 100.0
+      val r = got(arm)
+      assert(r.getAs[Long]("n_customers") === rows.size.toLong, arm)
+      assert(math.abs(r.getAs[Double]("mean_post") - mp) < 1e-3, arm)
+      assert(math.abs(r.getAs[Double]("mean_adjusted") - ma) < 1e-3, arm)
+    }
+  }
+
+  private def dsumArm(rows: Seq[(Long, Long, Long)],
+      f: ((Long, Long, Long)) => Long): Double =
+    rows.map(r => BigInt(f(r))).sum.toDouble
+
+  test("x_power_mde equals the closed-form two-proportion sizing walk") {
+    val cut = java.time.LocalDateTime.parse("1998-01-01T00:00:00")
+    val per = graft.util.Tables.t(spark, sf, "orders")
+      .select("o_custkey", "o_orderdate").collect()
+      .map(r => (r.getLong(0),
+        !r.getAs[java.time.LocalDateTime]("o_orderdate").isBefore(cut)))
+      .groupBy(_._1).map { case (ck, rows) => (ck, rows.exists(_._2)) }
+    def armOf(ck: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(ck.toString.getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) "treatment" else "control"
+    }
+    val n1 = per.count(p => armOf(p._1) == "treatment").toLong
+    val n2 = per.count(p => armOf(p._1) == "control").toLong
+    val k = per.count(_._2).toDouble
+    val p = k / (n1 + n2)
+    val mde = (1.9599639845400545 + 0.8416212335729143) *
+      math.sqrt(p * (1.0 - p) * (1.0 / n1 + 1.0 / n2))
+    val r = run("x_power_mde").collect()(0)
+    assert(r.getAs[Long]("n1") === n1)
+    assert(r.getAs[Long]("n2") === n2)
+    assert(math.abs(r.getAs[Double]("baseline_rate") - p) < 1e-5)
+    assert(math.abs(r.getAs[Double]("mde_abs") - mde) < 1e-5)
+    assert(math.abs(r.getAs[Double]("mde_rel") - mde / p) < 1e-5)
+  }
+
   test("x_regression_discontinuity equals the per-side OLS walk over " +
       "the quantized daily means") {
     val cut = java.time.LocalDateTime.parse("1997-01-01T00:00:00")
