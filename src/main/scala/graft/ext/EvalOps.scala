@@ -43,6 +43,73 @@ object EvalOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "x_conformal_interval" -> ((s, d) => {
+      // split-conformal prediction intervals (Vovk; Lei et al. 2018) —
+      // distribution-free uncertainty: fit any point model on a train
+      // split, take the ceil((n+1)·0.9)-th smallest absolute residual
+      // on a CALIBRATION split as the interval half-width, and the
+      // marginal coverage guarantee ≥ 90% holds on exchangeable test
+      // rows regardless of the model. The point model here is the
+      // per-priority train mean (the machinery, not the model, is the
+      // operator); splits are the deterministic md5 coin. The quantile
+      // is an ELEMENT SELECTED BY RANK off the per-(priority, residual)
+      // histogram cumsum — the x_winsorized_stats posture: the window
+      // runs over the grouped histogram partitioned by priority, never
+      // raw rows — so the whole estimator is grouped passes plus one
+      // broadcast join of the 5-row width table back onto test rows.
+      val h = substring(md5(col("o_orderkey").cast("string")), 1, 1)
+      val base = t(s, d, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          col("o_totalprice").cast("decimal(18,2)").as("v"),
+          when(h < "8", "train").when(h < "c", "calib")
+            .otherwise("test").as("split"))
+      val model = base.filter(col("split") === "train")
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n_train"), sum(col("v")).as("sv"))
+        .withColumn("mean_v",
+          col("sv").cast("double") / col("n_train").cast("double"))
+        .select("prio", "n_train", "mean_v")
+      val calib = base.filter(col("split") === "calib")
+        .join(broadcast(model), "prio")
+        .select(col("prio"),
+          floor(abs(col("v").cast("double") - col("mean_v")) * 1e6 +
+            lit(0.5)).cast("long").as("qr"))
+      val nCal = calib.groupBy("prio").agg(count(lit(1)).as("n_calib"))
+      val wC = org.apache.spark.sql.expressions.Window
+        .partitionBy("prio").orderBy("qr")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val qhat = calib.groupBy("prio", "qr")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wC))
+        .join(broadcast(nCal), "prio")
+        // rank ceil((n+1) * 0.9) = (9*(n+1) + 9) div 10 (integer-exact)
+        .filter(col("cum") >= expr("(9 * (n_calib + 1) + 9) div 10"))
+        .groupBy("prio")
+        .agg(max(col("n_calib")).as("n_calib"),
+          min(col("qr")).as("q_width"))
+      val test = base.filter(col("split") === "test")
+        .join(broadcast(model), "prio")
+        .join(broadcast(qhat), "prio")
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(floor(abs(col("v").cast("double") - col("mean_v")) *
+            1e6 + lit(0.5)).cast("long") <= col("q_width"), 1L)
+            .otherwise(0L)).as("n_covered"),
+          max(col("mean_v")).as("mean_v"),
+          max(col("n_train")).as("n_train"),
+          max(col("n_calib")).as("n_calib"),
+          max(col("q_width")).as("q_width"))
+      test.select(col("prio"), col("n_train"), col("n_calib"),
+          col("n_test"),
+          detRound(col("mean_v"), 4).as("point_estimate"),
+          detRound(col("q_width").cast("double") / 1e6, 4)
+            .as("interval_half_width"),
+          detRound(col("n_covered").cast("double") /
+            col("n_test").cast("double"), 6).as("test_coverage"))
+        .orderBy("prio")
+    }),
+
     "x_auc_roc" -> ((s, d) => {
       // ROC-AUC of the type-count signal predicting lang='en', via the
       // Mann-Whitney U statistic with exact tie handling: group docs by
@@ -148,6 +215,59 @@ object EvalOps {
     }))
 
   def oracleSql: Map[String, String] = Map(
+
+    "x_conformal_interval" ->
+      """WITH base AS (
+           SELECT o_orderpriority AS prio,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+                  CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)),
+                         1, 1) < '8' THEN 'train'
+                       WHEN substring(md5(CAST(o_orderkey AS VARCHAR)),
+                         1, 1) < 'c' THEN 'calib'
+                       ELSE 'test' END AS split
+           FROM orders),
+         model AS (
+           SELECT prio, COUNT(*) AS n_train,
+                  CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                    AS mean_v
+           FROM base WHERE split = 'train' GROUP BY 1),
+         calib AS (
+           SELECT b.prio,
+                  CAST(floor(abs(CAST(b.v AS DOUBLE) - m.mean_v) * 1e6
+                             + 0.5) AS BIGINT) AS qr
+           FROM base b JOIN model m USING (prio)
+           WHERE b.split = 'calib'),
+         ncal AS (SELECT prio, COUNT(*) AS n_calib FROM calib GROUP BY 1),
+         hist AS (
+           SELECT prio, qr, COUNT(*) AS c,
+                  SUM(COUNT(*)) OVER (PARTITION BY prio ORDER BY qr)
+                    AS cum
+           FROM calib GROUP BY 1, 2),
+         qhat AS (
+           SELECT h.prio, MAX(n.n_calib) AS n_calib,
+                  MIN(h.qr) AS q_width
+           FROM hist h JOIN ncal n USING (prio)
+           WHERE h.cum >= (9 * (n.n_calib + 1) + 9) // 10
+           GROUP BY 1),
+         test AS (
+           SELECT b.prio, COUNT(*) AS n_test,
+                  CAST(SUM(CASE WHEN CAST(floor(abs(CAST(b.v AS DOUBLE)
+                               - m.mean_v) * 1e6 + 0.5) AS BIGINT)
+                             <= q.q_width THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_covered,
+                  MAX(m.mean_v) AS mean_v,
+                  MAX(m.n_train) AS n_train,
+                  MAX(q.n_calib) AS n_calib,
+                  MAX(q.q_width) AS q_width
+           FROM base b JOIN model m USING (prio) JOIN qhat q USING (prio)
+           WHERE b.split = 'test' GROUP BY 1)
+         SELECT prio, n_train, n_calib, n_test,
+                floor(mean_v * 1e4 + 0.5) / 1e4 AS point_estimate,
+                floor((CAST(q_width AS DOUBLE) / 1e6) * 1e4 + 0.5) / 1e4
+                  AS interval_half_width,
+                floor(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE)
+                      * 1e6 + 0.5) / 1e6 AS test_coverage
+         FROM test ORDER BY prio""",
 
     "x_auc_roc" ->
       s"""WITH $docSignalSql,

@@ -158,6 +158,54 @@ class CorpusLawsSpec extends SparkSpec {
     }
   }
 
+  test("x_conformal_interval equals the rank-selection walk and the " +
+      "calibration split itself is covered at >= the nominal rate") {
+    def hexOf(k: Long): Char = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+      "0123456789abcdef".charAt((h(0) >> 4) & 0xf)
+    }
+    val rows = graft.util.Tables.t(spark, sf, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice").collect()
+      .map { r =>
+        val hx = hexOf(r.getLong(0))
+        val split = if (hx < '8') "train" else if (hx < 'c') "calib"
+          else "test"
+        (r.getString(1), split,
+          BigDecimal(r.getDouble(2)).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    val got = run("x_conformal_interval").collect()
+      .map(r => r.getAs[String]("prio") -> r).toMap
+    rows.groupBy(_._1).foreach { case (prio, prows) =>
+      val train = prows.filter(_._2 == "train").map(_._3)
+      val calib = prows.filter(_._2 == "calib").map(_._3)
+      val test = prows.filter(_._2 == "test").map(_._3)
+      if (got.contains(prio)) {
+        val mean = train.sum / train.size
+        val qrs = calib.map(v =>
+          math.floor(math.abs(v - mean) * 1e6 + 0.5).toLong).sorted
+        val rank = (9 * (calib.size + 1) + 9) / 10
+        val qw = qrs(math.min(rank, qrs.size) - 1)
+        val r = got(prio)
+        assert(r.getAs[Long]("n_train") === train.size.toLong, prio)
+        assert(r.getAs[Long]("n_calib") === calib.size.toLong, prio)
+        assert(r.getAs[Long]("n_test") === test.size.toLong, prio)
+        assert(math.abs(r.getAs[Double]("interval_half_width") -
+          qw / 1e6) < 1e-3, prio)
+        val cov = test.count(v => math.floor(math.abs(v - mean) * 1e6
+          + 0.5).toLong <= qw).toDouble / test.size
+        assert(math.abs(r.getAs[Double]("test_coverage") - cov) < 1e-5,
+          prio)
+        // the conformal guarantee holds by construction ON the
+        // calibration residuals: at least ceil((n+1)*0.9)/n of them
+        // sit within the selected width
+        val calCov = qrs.count(_ <= qw).toDouble / qrs.size
+        assert(calCov >= 0.9 - 1e-9, s"$prio calibration coverage $calCov")
+      }
+    }
+  }
+
   test("x_moments equals the naive central-moment walk on floor-dollar " +
       "values") {
     val got = run("x_moments").collect().map(r => r.getString(0) -> r).toMap
