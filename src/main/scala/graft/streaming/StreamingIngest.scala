@@ -134,6 +134,80 @@ object StreamingIngest {
         graft.etl.SketchMaintenance.refresh(spark, sketchPath, batch, keyCol)
       }
 
+  /** Streaming twin of x_srm_check: the sample-ratio-mismatch gate run
+    * CONTINUOUSLY over the ingest instead of at end-of-day audit. Per
+    * micro-batch, the batch's three arm counts (same md5 coin as the
+    * batch op) fold into an O(arms) cumulative state — a tiny JSON
+    * beside the verdict table, batchId-guarded so a replayed trigger is
+    * a no-op for the state — and ONE verdict row (cumulative counts,
+    * df=2 chi-square, flag) is appended per trigger, so the
+    * experimenter sees the flag flip the moment a splitter bias or a
+    * lost partition shows up. Crash contract: the state write follows
+    * the verdict append, so a crash between the two replays the batch
+    * with UNCHANGED prior state — it appends a bit-identical duplicate
+    * verdict row for the same batch_id; readers take the last row per
+    * batch_id. Per-batch cost is one 3-group count of the batch;
+    * state is O(1) regardless of history. */
+  def srmSink(docs: DataFrame, spark: SparkSession, outPath: String,
+              statePath: String, checkpoint: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        srmBatch(spark, outPath, statePath, batch, batchId)
+      }
+
+  /** (lastBatchId, cumTrain, cumValid, cumTest); (-1, 0, 0, 0) fresh. */
+  private[graft] def srmState(statePath: String)
+      : (Long, Long, Long, Long) = {
+    val f = java.nio.file.Paths.get(statePath)
+    if (!java.nio.file.Files.exists(f)) (-1L, 0L, 0L, 0L)
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      val rx = ("\"lastBatch\"\\s*:\\s*(-?\\d+).*\"train\"\\s*:\\s*(\\d+)" +
+        ".*\"valid\"\\s*:\\s*(\\d+).*\"test\"\\s*:\\s*(\\d+)").r
+      rx.findFirstMatchIn(s).map(m => (m.group(1).toLong,
+        m.group(2).toLong, m.group(3).toLong, m.group(4).toLong))
+        .getOrElse((-1L, 0L, 0L, 0L))
+    }
+  }
+
+  private[graft] def srmBatch(spark: SparkSession, outPath: String,
+      statePath: String, batch: DataFrame, batchId: Long): Unit = {
+    val (last, t0, v0, s0) = srmState(statePath)
+    if (batchId <= last) return // replayed trigger already folded
+    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val counts = batch
+      .select(when(h < "cc", "train").when(h < "e6", "valid")
+        .otherwise("test").as("split"))
+      .groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t1 = t0 + counts.getOrElse("train", 0L)
+    val v1 = v0 + counts.getOrElse("valid", 0L)
+    val s1 = s0 + counts.getOrElse("test", 0L)
+    val n = (t1 + v1 + s1).toDouble
+    def term(o: Long, share: Double): Double = {
+      val e = n * share
+      (o - e) * (o - e) / e
+    }
+    val chi2 =
+      if (n == 0) 0.0
+      else term(t1, 204.0 / 256.0) + term(v1, 26.0 / 256.0) +
+        term(s1, 26.0 / 256.0)
+    import spark.implicits._
+    Seq((batchId, t1, v1, s1, chi2, chi2 > 5.991464547107979))
+      .toDF("batch_id", "n_train", "n_valid", "n_test", "chi2", "srm_flag")
+      .coalesce(1).write.mode("append").parquet(outPath)
+    val tmp = java.nio.file.Paths.get(statePath + ".tmp")
+    java.nio.file.Files.writeString(tmp,
+      s"""{"lastBatch": $batchId, "train": $t1, "valid": $v1, "test": $s1}""")
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(statePath),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
   /** Streaming exact dedup — the streaming twin of DedupOps.x_dedup_exact:
     * content-hash dedup with state bounded by the watermark (duplicates
     * arriving later than the delay are not caught; that is the documented

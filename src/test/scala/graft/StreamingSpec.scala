@@ -163,6 +163,58 @@ class StreamingSpec extends SparkSpec {
     assert(got === Seq((7L, 3L), (8L, 1L), (9L, 1L)))
   }
 
+  test("streaming SRM sink: one verdict per trigger, cumulative counts " +
+      "equal the batch recompute, chi2 equals the three-term closed form, " +
+      "and a replayed batch does not double-count") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val out = tmpDir("srm-out")
+    val state = tmpDir("srm-state") + "/_srm.json"
+    val ck = tmpDir("srm-ck")
+    val mem = MemoryStream[Long]
+    val docs = mem.toDF().toDF("doc_id")
+    mem.addData(1L to 300L: _*)
+    val q1 = StreamingIngest.srmSink(docs, spark, out, state, ck).start()
+    q1.awaitTermination()
+    mem.addData(301L to 500L: _*)
+    val q2 = StreamingIngest.srmSink(docs, spark, out, state, ck).start()
+    q2.awaitTermination()
+
+    val verdicts = spark.read.parquet(out)
+      .collect().map(r => r.getAs[Long]("batch_id") -> r).toMap
+    assert(verdicts.size === 2, s"expected 2 trigger verdicts")
+    // brute-force the arm of every doc_id with the same md5 coin
+    def armOf(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = f"${(h(0) >> 4) & 0xf}%x${h(0) & 0xf}%x"
+      if (hex < "cc") "train" else if (hex < "e6") "valid" else "test"
+    }
+    def expect(ids: Seq[Long]): (Long, Long, Long, Double) = {
+      val byArm = ids.groupBy(armOf).view.mapValues(_.size.toLong).toMap
+      val (t, v, s) = (byArm.getOrElse("train", 0L),
+        byArm.getOrElse("valid", 0L), byArm.getOrElse("test", 0L))
+      val n = (t + v + s).toDouble
+      def term(o: Long, p: Double) = { val e = n * p; (o - e) * (o - e) / e }
+      (t, v, s, term(t, 204.0 / 256) + term(v, 26.0 / 256) +
+        term(s, 26.0 / 256))
+    }
+    val last = verdicts.keys.max
+    val (t, v, s, chi2) = expect(1L to 500L)
+    val r = verdicts(last)
+    assert(r.getAs[Long]("n_train") === t)
+    assert(r.getAs[Long]("n_valid") === v)
+    assert(r.getAs[Long]("n_test") === s)
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-9)
+    assert(r.getAs[Boolean]("srm_flag") === (chi2 > 5.991464547107979))
+    // replay guard: re-running an already-folded batchId is a state no-op
+    val before = StreamingIngest.srmState(state)
+    StreamingIngest.srmBatch(spark, out, state,
+      Seq(9999L).toDF("doc_id"), batchId = 0L)
+    assert(StreamingIngest.srmState(state) === before,
+      "replayed batchId must not re-fold into the cumulative state")
+  }
+
   test("streaming exact dedup drops same-content docs within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
