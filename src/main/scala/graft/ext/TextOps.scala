@@ -1326,6 +1326,53 @@ object TextOps {
         .orderBy("lang")
     }),
 
+    "x_ess_weights" -> ((s, d) => {
+      // effective sample size of a reweighting strategy — Kish's
+      // ESS = (Σw)²/Σw², the number that says how much DATA a weighting
+      // scheme actually leaves you (uniform → n; aggressive inverse-
+      // propensity reweighting can silently collapse a 1e9-doc corpus
+      // to a few million effective docs). Three strategies over the
+      // language mix: uniform (τ=0), sqrt inverse-share (τ=0.5), full
+      // inverse-share (τ=1). Per-doc weights are CONSTANT within a
+      // language, so Σw and Σw² reduce to 5-row language-table algebra
+      // — zero per-doc work; weights quantized to 1e9 before the sums
+      // (sqrt is correctly-rounded IEEE in both engines, no exp/ln).
+      // Exactness bound: Σ n_l·qw² ≈ 1e18·total²/n_min must fit
+      // DECIMAL(38,0)/HUGEINT — holds while total/√n_min < 3e9, i.e.
+      // any corpus whose rarest language isn't astronomically rarer
+      // than the corpus is big; past that, drop the quantizer to 1e6.
+      val per = t(s, d, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tt = per.agg(sum(col("n_docs")).cast("long").as("total"))
+      val strat = per.crossJoin(broadcast(tt))
+        .withColumn("inv",
+          col("total").cast("double") / col("n_docs").cast("double"))
+        .select(col("lang"), col("n_docs"), col("total"),
+          explode(array(
+            struct(lit("t0_uniform").as("strategy"), lit(1e9).as("qwd")),
+            struct(lit("t05_sqrt_inverse").as("strategy"),
+              floor(sqrt(col("inv")) * 1e9 + lit(0.5)).as("qwd")),
+            struct(lit("t1_inverse").as("strategy"),
+              floor(col("inv") * 1e9 + lit(0.5)).as("qwd")))).as("sw"))
+        .select(col("lang"), col("n_docs"), col("total"),
+          col("sw.strategy").as("strategy"),
+          col("sw.qwd").cast("long").as("qw"))
+      strat.groupBy("strategy")
+        .agg(max(col("total")).as("n_docs"),
+          sum(col("n_docs").cast("decimal(38,0)") *
+            col("qw").cast("decimal(38,0)")).as("sw"),
+          sum(col("n_docs").cast("decimal(38,0)") *
+            col("qw").cast("decimal(38,0)") *
+            col("qw").cast("decimal(38,0)")).as("sww"))
+        .select(col("strategy"), col("n_docs"),
+          detRound(col("sw").cast("double") * col("sw").cast("double") /
+            col("sww").cast("double"), 4).as("ess"),
+          detRound(col("sw").cast("double") * col("sw").cast("double") /
+            col("sww").cast("double") / col("n_docs").cast("double"), 6)
+            .as("ess_frac"))
+        .orderBy("strategy")
+    }),
+
     "x_temperature_sampling" -> ((s, d) => {
       // temperature-scaled language sampling (XLM-R / mC4: sample
       // language l proportionally to p_l^alpha, alpha = 0.3 — flattens
@@ -2593,6 +2640,39 @@ object TextOps {
                         / CAST(SUM(cnt) AS BIGINT)) * 1e4 + 0.5) / 1e4
                    AS fertility
           FROM lwc JOIN nsyms USING (word) GROUP BY 1 ORDER BY lang""",
+
+    "x_ess_weights" ->
+      """WITH per AS (
+           SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+         tt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM per),
+         strat AS (
+           SELECT lang, n_docs, total, 't0_uniform' AS strategy,
+                  CAST(1000000000 AS BIGINT) AS qw
+           FROM per, tt
+           UNION ALL
+           SELECT lang, n_docs, total, 't05_sqrt_inverse',
+                  CAST(floor(sqrt(CAST(total AS DOUBLE)
+                                  / CAST(n_docs AS DOUBLE)) * 1e9 + 0.5)
+                       AS BIGINT)
+           FROM per, tt
+           UNION ALL
+           SELECT lang, n_docs, total, 't1_inverse',
+                  CAST(floor((CAST(total AS DOUBLE)
+                              / CAST(n_docs AS DOUBLE)) * 1e9 + 0.5)
+                       AS BIGINT)
+           FROM per, tt),
+         st AS (
+           SELECT strategy, MAX(total) AS n_docs,
+                  CAST(SUM(CAST(n_docs AS HUGEINT) * CAST(qw AS HUGEINT))
+                       AS DOUBLE) AS sw,
+                  CAST(SUM(CAST(n_docs AS HUGEINT) * CAST(qw AS HUGEINT)
+                           * CAST(qw AS HUGEINT)) AS DOUBLE) AS sww
+           FROM strat GROUP BY 1)
+         SELECT strategy, CAST(n_docs AS BIGINT) AS n_docs,
+                floor(sw * sw / sww * 1e4 + 0.5) / 1e4 AS ess,
+                floor(sw * sw / sww / CAST(n_docs AS DOUBLE) * 1e6 + 0.5)
+                  / 1e6 AS ess_frac
+         FROM st ORDER BY strategy""",
 
     "x_temperature_sampling" ->
       """WITH per AS (SELECT lang, COUNT(*) AS n_docs FROM documents

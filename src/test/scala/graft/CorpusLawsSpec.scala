@@ -109,6 +109,41 @@ class CorpusLawsSpec extends SparkSpec {
     assert(got.last.getAs[Double]("dup_frac") > 0.4)
   }
 
+  test("x_ess_weights equals the Kish walk; uniform is exactly n and " +
+      "sharper reweighting monotonically shrinks the effective sample") {
+    val langN = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val total = langN.values.sum
+    def ess(tau: Double): Double = {
+      val qw = langN.view.mapValues { n =>
+        val inv = total.toDouble / n
+        val w = if (tau == 0.0) 1e9 else if (tau == 0.5) math.sqrt(inv) * 1e9
+          else inv * 1e9
+        math.floor(w + 0.5).toLong
+      }.toMap
+      val sw = langN.map { case (l, n) => BigInt(n) * BigInt(qw(l)) }.sum
+        .toDouble
+      val sww = langN.map { case (l, n) =>
+        BigInt(n) * BigInt(qw(l)) * BigInt(qw(l)) }.sum.toDouble
+      sw * sw / sww
+    }
+    val got = run("x_ess_weights").collect()
+      .map(r => r.getAs[String]("strategy") -> r).toMap
+    assert(got.keySet === Set("t0_uniform", "t05_sqrt_inverse",
+      "t1_inverse"))
+    val e0 = got("t0_uniform").getAs[Double]("ess")
+    val e5 = got("t05_sqrt_inverse").getAs[Double]("ess")
+    val e1 = got("t1_inverse").getAs[Double]("ess")
+    assert(math.abs(e0 - total.toDouble) < 1e-3, "uniform ESS must be n")
+    assert(math.abs(e5 - ess(0.5)) < 1e-2)
+    assert(math.abs(e1 - ess(1.0)) < 1e-2)
+    assert(e0 >= e5 && e5 >= e1,
+      s"sharper reweighting must not increase ESS: $e0, $e5, $e1")
+    got.values.foreach { r =>
+      val frac = r.getAs[Double]("ess_frac")
+      assert(frac > 0.0 && frac <= 1.0 + 1e-9)
+    }
+  }
+
   test("x_hill_tail_index equals the sort-and-log walk over the top 200") {
     val vs = graft.util.Tables.t(spark, sf, "orders")
       .select("o_totalprice").collect().map(_.getDouble(0))
