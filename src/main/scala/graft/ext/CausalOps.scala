@@ -74,6 +74,65 @@ object CausalOps {
         .orderBy("stratum")
     }),
 
+    "x_group_sequential" -> ((s, d) => {
+      // group-sequential monitoring with an O'Brien–Fleming-SHAPED
+      // boundary: five interim looks at calendar cuts, cumulative
+      // two-proportion z at each look, boundary b_k = c/√t_k with t_k
+      // the realized information fraction and c = 2.04 pinned at the
+      // final look (the OBF shape — conservative early, nominal late —
+      // with c as a documented constant rather than the α-spending
+      // integral, which needs numerical quadrature neither engine
+      // guarantees bit-identically). The experiment: md5 order-coin
+      // arms, outcome = order fulfilled ('F'). Each order fans to the
+      // ≤ 5 looks whose cut it precedes — skinny integer rows,
+      // map-side partials, shuffle O(looks × arms); every z/boundary
+      // is double arithmetic on exact cumulative counts.
+      val cuts = Seq("1997-01-01", "1998-01-01", "1999-01-01",
+        "2000-01-01", "2001-01-01")
+      val lookCase = cuts.zipWithIndex.map { case (c, i) =>
+        s"IF(o_orderdate < timestamp'$c 00:00:00', ${i + 1}, NULL)"
+      }.mkString("array(", ", ", ")")
+      val looks = t(s, d, "orders")
+        .select(
+          when(substring(md5(col("o_orderkey").cast("string")), 1, 1)
+            < "8", 1L).otherwise(0L).as("treated"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"),
+          explode(expr(s"filter($lookCase, x -> x is not null)"))
+            .as("look"))
+        .groupBy("look")
+        .agg(
+          sum(col("treated")).as("n1"),
+          sum(col("treated") * col("y")).as("k1"),
+          sum(lit(1L) - col("treated")).as("n0"),
+          sum((lit(1L) - col("treated")) * col("y")).as("k0"))
+      val fin = looks.agg(max(col("n1") + col("n0")).as("n_final"))
+      val scored = looks.crossJoin(broadcast(fin))
+        .withColumn("p1", col("k1").cast("double") / col("n1").cast("double"))
+        .withColumn("p0", col("k0").cast("double") / col("n0").cast("double"))
+        .withColumn("pp",
+          (col("k1") + col("k0")).cast("double") /
+            (col("n1") + col("n0")).cast("double"))
+        .withColumn("z",
+          (col("p1") - col("p0")) /
+            sqrt(col("pp") * (lit(1.0) - col("pp")) *
+              (lit(1.0) / col("n1").cast("double") +
+                lit(1.0) / col("n0").cast("double"))))
+        .withColumn("t_frac",
+          (col("n1") + col("n0")).cast("double") /
+            col("n_final").cast("double"))
+        .withColumn("boundary", lit(2.04) / sqrt(col("t_frac")))
+        .withColumn("crossed", abs(col("z")) > col("boundary"))
+      scored
+        .select(col("look").cast("long").as("look"),
+          (col("n1") + col("n0")).as("n_cum"),
+          detRound(col("p1"), 6).as("rate_treated"),
+          detRound(col("p0"), 6).as("rate_control"),
+          detRound(col("z"), 6).as("z_stat"),
+          detRound(col("boundary"), 6).as("obf_boundary"),
+          col("crossed"))
+        .orderBy("look")
+    }),
+
     "x_cuped" -> ((s, d) => {
       // CUPED variance reduction (Deng et al. 2013) — the modern A/B
       // workhorse: adjust each unit's post-period metric by its
@@ -356,6 +415,54 @@ object CausalOps {
                 floor(r.diff * 1e8 + 0.5) / 1e8 AS stratum_diff,
                 s.naive_diff, s.standardized_diff
          FROM rates r, std s ORDER BY r.stratum""",
+
+    "x_group_sequential" ->
+      """WITH cuts AS (
+           SELECT * FROM (VALUES
+             (1, TIMESTAMP '1997-01-01 00:00:00'),
+             (2, TIMESTAMP '1998-01-01 00:00:00'),
+             (3, TIMESTAMP '1999-01-01 00:00:00'),
+             (4, TIMESTAMP '2000-01-01 00:00:00'),
+             (5, TIMESTAMP '2001-01-01 00:00:00')) AS t(look, cut)),
+         base AS (
+           SELECT CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)),
+                         1, 1) < '8' THEN 1 ELSE 0 END AS treated,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+                  o_orderdate
+           FROM orders),
+         looks AS (
+           SELECT c.look,
+                  CAST(SUM(b.treated) AS BIGINT) AS n1,
+                  CAST(SUM(b.treated * b.y) AS BIGINT) AS k1,
+                  CAST(SUM(1 - b.treated) AS BIGINT) AS n0,
+                  CAST(SUM((1 - b.treated) * b.y) AS BIGINT) AS k0
+           FROM base b JOIN cuts c ON b.o_orderdate < c.cut
+           GROUP BY 1),
+         fin AS (SELECT MAX(n1 + n0) AS n_final FROM looks),
+         scored AS (
+           SELECT l.look, l.n1 + l.n0 AS n_cum,
+                  CAST(l.k1 AS DOUBLE) / CAST(l.n1 AS DOUBLE) AS p1,
+                  CAST(l.k0 AS DOUBLE) / CAST(l.n0 AS DOUBLE) AS p0,
+                  CAST(l.k1 + l.k0 AS DOUBLE)
+                    / CAST(l.n1 + l.n0 AS DOUBLE) AS pp,
+                  CAST(l.n1 + l.n0 AS DOUBLE)
+                    / CAST(f.n_final AS DOUBLE) AS t_frac,
+                  l.n1, l.n0
+           FROM looks l, fin f),
+         zrows AS (
+           SELECT look, n_cum, p1, p0,
+                  (p1 - p0) / sqrt(pp * (1.0 - pp)
+                    * (1.0 / CAST(n1 AS DOUBLE)
+                       + 1.0 / CAST(n0 AS DOUBLE))) AS z,
+                  2.04 / sqrt(t_frac) AS boundary
+           FROM scored)
+         SELECT CAST(look AS BIGINT) AS look, n_cum,
+                floor(p1 * 1e6 + 0.5) / 1e6 AS rate_treated,
+                floor(p0 * 1e6 + 0.5) / 1e6 AS rate_control,
+                floor(z * 1e6 + 0.5) / 1e6 AS z_stat,
+                floor(boundary * 1e6 + 0.5) / 1e6 AS obf_boundary,
+                abs(z) > boundary AS crossed
+         FROM zrows ORDER BY look""",
 
     "x_cuped" ->
       """WITH per AS (

@@ -43,6 +43,56 @@ object EvalOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "x_cumulative_gains" -> ((s, d) => {
+      // cumulative gains / lift table — the model-eval readout a ranker
+      // ships with: sort by score, cut into deciles, report per-decile
+      // positive rate, lift over base rate, and the cumulative share of
+      // all positives captured ("the top 20% of scores finds 60% of the
+      // positives"). The global rank is the scale-safe decomposition
+      // (StatsOps.globalRank posture): exclusive start offsets from the
+      // score histogram cumsum (one row per DISTINCT score) plus a
+      // row_number PARTITIONED by score for the doc_id tiebreak — bit-
+      // identical to row_number over (score desc, doc_id) with no
+      // unpartitioned window over raw rows. Decile math is integer
+      // ((rnk-1)*10) div n; the only post-rank windows run over the
+      // 10-row decile table.
+      val per = docSignal(s, d)
+        .select(col("doc_id"), col("v"), col("y").cast("long").as("y"))
+      val wS = org.apache.spark.sql.expressions.Window.orderBy(desc("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val starts = per.groupBy("v").agg(count(lit(1)).as("c"))
+        .withColumn("s0", coalesce(sum(col("c")).over(wS), lit(0L)))
+        .select("v", "s0")
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy("v").orderBy("doc_id")
+      val ranked = per
+        .withColumn("rw", row_number().over(wIn).cast("long"))
+        .join(starts, "v")
+        .withColumn("rnk", col("s0") + col("rw"))
+      val tot = per.agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+      val dec = ranked.crossJoin(broadcast(tot))
+        .withColumn("decile", expr("((rnk - 1) * 10) div n"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
+          max(col("n")).as("n"), max(col("npos")).as("npos"))
+      val wC = org.apache.spark.sql.expressions.Window.orderBy("decile")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      dec.withColumn("cum_pos", sum(col("n_pos")).over(wC))
+        .select(col("decile").cast("long").as("decile"),
+          col("n_docs"), col("n_pos"),
+          detRound(col("n_pos").cast("double") /
+            col("n_docs").cast("double"), 6).as("positive_rate"),
+          detRound((col("n_pos").cast("double") /
+            col("n_docs").cast("double")) /
+            (col("npos").cast("double") / col("n").cast("double")), 6)
+            .as("lift"),
+          detRound(col("cum_pos").cast("double") /
+            col("npos").cast("double"), 6).as("cum_capture"))
+        .orderBy("decile")
+    }),
+
     "x_conformal_interval" -> ((s, d) => {
       // split-conformal prediction intervals (Vovk; Lei et al. 2018) —
       // distribution-free uncertainty: fit any point model on a train
@@ -215,6 +265,34 @@ object EvalOps {
     }))
 
   def oracleSql: Map[String, String] = Map(
+
+    "x_cumulative_gains" ->
+      s"""WITH $docSignalSql,
+         tot AS (
+           SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS npos FROM per),
+         ranked AS (
+           SELECT doc_id, CAST(y AS BIGINT) AS y,
+                  row_number() OVER (ORDER BY v DESC, doc_id) AS rnk
+           FROM per),
+         dec AS (
+           SELECT ((r.rnk - 1) * 10) // t.n AS decile,
+                  COUNT(*) AS n_docs, CAST(SUM(r.y) AS BIGINT) AS n_pos,
+                  MAX(t.n) AS n, MAX(t.npos) AS npos
+           FROM ranked r, tot t GROUP BY 1),
+         cumd AS (
+           SELECT decile, n_docs, n_pos, n, npos,
+                  CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT)
+                    AS cum_pos
+           FROM dec)
+         SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_pos,
+                floor(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                      * 1e6 + 0.5) / 1e6 AS positive_rate,
+                floor((CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                      / (CAST(npos AS DOUBLE) / CAST(n AS DOUBLE))
+                      * 1e6 + 0.5) / 1e6 AS lift,
+                floor(CAST(cum_pos AS DOUBLE) / CAST(npos AS DOUBLE)
+                      * 1e6 + 0.5) / 1e6 AS cum_capture
+         FROM cumd ORDER BY decile""",
 
     "x_conformal_interval" ->
       """WITH base AS (

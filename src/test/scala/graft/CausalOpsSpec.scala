@@ -53,6 +53,46 @@ class CausalOpsSpec extends SparkSpec {
     }
   }
 
+  test("x_group_sequential equals the cumulative-look walk; the OBF " +
+      "boundary is monotone decreasing and pins 2.04 at the final look") {
+    def armOf(k: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) 1L else 0L
+    }
+    val orders = graft.util.Tables.t(spark, sf, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_orderdate").collect()
+      .map(r => (armOf(r.getLong(0)),
+        if (r.getString(1) == "F") 1L else 0L,
+        r.getAs[java.time.LocalDateTime]("o_orderdate")))
+    val cuts = (1997 to 2001).map(y =>
+      java.time.LocalDateTime.parse(s"$y-01-01T00:00:00"))
+    val got = run("x_group_sequential").collect()
+      .map(r => r.getAs[Long]("look") -> r).toMap
+    assert(got.keySet === (1L to 5L).toSet)
+    val nFinal = orders.count(_._3.isBefore(cuts.last)).toDouble
+    cuts.zipWithIndex.foreach { case (cut, i) =>
+      val in = orders.filter(_._3.isBefore(cut))
+      val (t1, t0) = in.partition(_._1 == 1L)
+      val (n1, k1) = (t1.size.toDouble, t1.map(_._2).sum.toDouble)
+      val (n0, k0) = (t0.size.toDouble, t0.map(_._2).sum.toDouble)
+      val pp = (k1 + k0) / (n1 + n0)
+      val z = (k1 / n1 - k0 / n0) /
+        math.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n0))
+      val b = 2.04 / math.sqrt((n1 + n0) / nFinal)
+      val r = got(i + 1L)
+      assert(r.getAs[Long]("n_cum") === in.size.toLong, s"look ${i + 1}")
+      assert(math.abs(r.getAs[Double]("z_stat") - z) < 1e-5, s"look ${i + 1}")
+      assert(math.abs(r.getAs[Double]("obf_boundary") - b) < 1e-5)
+      assert(r.getAs[Boolean]("crossed") === (math.abs(z) > b))
+    }
+    val bs = (1L to 5L).map(k => got(k).getAs[Double]("obf_boundary"))
+    assert(bs.sliding(2).forall { case Seq(a, b) => a >= b - 1e-9 },
+      s"OBF boundary must decrease across looks: $bs")
+    assert(math.abs(bs.last - 2.04) < 1e-9,
+      "final-look boundary must be the pinned constant")
+  }
+
   test("x_cuped equals the moment walk: theta = cov/var, the adjusted " +
       "contrast is unbiased under a null split, and variance_reduction " +
       "is the squared pre/post correlation") {

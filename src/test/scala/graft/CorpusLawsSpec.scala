@@ -193,6 +193,39 @@ class CorpusLawsSpec extends SparkSpec {
     }
   }
 
+  test("x_cumulative_gains equals the sort-and-cut walk; deciles " +
+      "partition the corpus and cum_capture ends at exactly 1") {
+    val per = docs.map { d =>
+      val toks = d._3.split(" ").distinct.length.toLong
+      (d._1, toks, if (d._2 == "en") 1L else 0L)
+    }
+    val ranked = per.sortBy(p => (-p._2, p._1)).zipWithIndex
+    val n = per.size
+    val npos = per.map(_._3).sum.toDouble
+    val expected = ranked
+      .groupBy { case (_, i) => (i.toLong * 10) / n }
+      .view.mapValues { rows =>
+        (rows.size.toLong, rows.map(_._1._3).sum)
+      }.toMap
+    val got = run("x_cumulative_gains").collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(got.map(_.getAs[Long]("n_docs")).sum === n.toLong)
+    var cum = 0L
+    got.foreach { r =>
+      val d = r.getAs[Long]("decile")
+      val (nd, kd) = expected(d)
+      assert(r.getAs[Long]("n_docs") === nd, s"decile $d")
+      assert(r.getAs[Long]("n_pos") === kd, s"decile $d")
+      assert(math.abs(r.getAs[Double]("positive_rate") -
+        kd.toDouble / nd) < 1e-5, s"decile $d")
+      assert(math.abs(r.getAs[Double]("lift") -
+        (kd.toDouble / nd) / (npos / n)) < 1e-4, s"decile $d")
+      cum += kd
+      assert(math.abs(r.getAs[Double]("cum_capture") - cum / npos) < 1e-5)
+    }
+    assert(math.abs(got.last.getAs[Double]("cum_capture") - 1.0) < 1e-9)
+  }
+
   test("x_conformal_interval equals the rank-selection walk and the " +
       "calibration split itself is covered at >= the nominal rate") {
     def hexOf(k: Long): Char = {
