@@ -52,6 +52,50 @@ object StatsOps {
     "0.999916758850712")
   private val BootReps = 32
 
+  // ---- inverse normal CDF (x_fdr_bh critical values) ----------------------
+  // Acklam's rational approximation to Φ⁻¹ (relative error < 1.2e-9 —
+  // far below the 1e-6 output quantizer). Evaluated ONCE here at build
+  // time; the resulting critical values are embedded in BOTH engines as
+  // 17-significant-digit decimal literals (the EwmaW/PoisCdf trick), so
+  // neither engine ever evaluates a special function at query time.
+  private def invNorm(p: Double): Double = {
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val dd = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
+    } else if (p <= 1 - pl) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) *
+        q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      val q = math.sqrt(-2 * math.log(1 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q +
+        c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
+    }
+  }
+
+  // BH critical |z| thresholds for m = 25 two-sided tests at FDR 0.05:
+  // crit_i = Φ⁻¹(1 − (i·0.05/25)/2), i = 1..25, as round-trip literals.
+  private val FdrM = 25
+  private[ext] def fdrCrit(i: Int): Double =
+    invNorm(1.0 - (i * 0.05 / FdrM) / 2.0)
+  private def fdrCritLit(i: Int): String =
+    String.format("%.17g", Double.box(fdrCrit(i)))
+
   // ---- scale-safe global rank --------------------------------------------
   // row_number() over an UNPARTITIONED Window moves every row to one
   // partition — a serial sort that dies at 100× scale. This is the exact
@@ -1169,6 +1213,54 @@ object StatsOps {
           detRound(col("beta"), 6).as("prior_beta"))
     }),
 
+    "x_fdr_bh" -> ((s, d) => {
+      // Benjamini–Hochberg FDR control across 25 simultaneous per-nation
+      // tests — the multiple-testing discipline any platform needs the
+      // moment it runs one test per segment ("3 of 25 nations look
+      // significant" means nothing at raw α). Each nation's fulfilled-
+      // order rate is z-tested against the pooled rate; tests are ranked
+      // by |z| (a 25-row bounded table) and BH rejects ranks ≤ the
+      // largest i with |z|_(i) ≥ crit_i, where crit_i = Φ⁻¹(1 −
+      // (i·α/m)/2) is PRECOMPUTED in Scala (Acklam) and embedded in
+      // both engines as decimal literals — no special function at query
+      // time. Plan: orders⋈customer broadcast on the dim side, one
+      // grouped pass, then 25-row algebra.
+      val per = t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("k"))
+      val tot = per.agg(sum(col("n")).as("tn"), sum(col("k")).as("tk"))
+      val critCase = (1 to FdrM).map(i =>
+        s"WHEN rnk = $i THEN CAST(${fdrCritLit(i)} AS DOUBLE)")
+        .mkString("CASE ", " ", " ELSE 9e99 END")
+      val w = Window.orderBy(desc("absz"), asc("nation"))
+      val scored = per.crossJoin(broadcast(tot))
+        .withColumn("p0", col("tk").cast("double") / col("tn").cast("double"))
+        .withColumn("rate", col("k").cast("double") / col("n").cast("double"))
+        .withColumn("z", (col("rate") - col("p0")) /
+          sqrt(col("p0") * (lit(1.0) - col("p0")) /
+            col("n").cast("double")))
+        .withColumn("absz", abs(col("z")))
+        .withColumn("rnk", row_number().over(w)) // 25-row bounded table
+        .withColumn("crit", expr(critCase))
+        .withColumn("passes", col("absz") >= col("crit"))
+      val imax = scored
+        .agg(coalesce(max(when(col("passes"), col("rnk"))), lit(0))
+          .as("imax"))
+      scored.crossJoin(broadcast(imax))
+        .select(col("nation"), col("n"), col("k"),
+          detRound(col("rate"), 6).as("rate"),
+          detRound(col("z"), 6).as("z_stat"),
+          col("rnk").cast("long").as("bh_rank"),
+          detRound(col("crit"), 6).as("bh_crit"),
+          (col("rnk") <= col("imax")).as("rejected"))
+        .orderBy("bh_rank")
+    }),
+
     "x_hill_tail_index" -> ((s, d) => {
       // Hill estimator of the Pareto tail exponent over the top-200
       // order values — the heavy-tail diagnostic that says whether means
@@ -2134,6 +2226,48 @@ object StatsOps {
          ORDER BY CAST(floor(abs(shrunk_rate - raw_rate) * 1e9 + 0.5)
                        AS BIGINT) DESC, l_partkey ASC
          LIMIT 15""",
+
+    "x_fdr_bh" -> {
+      val cases = (1 to FdrM).map(i =>
+        s"WHEN rnk = $i THEN CAST(${fdrCritLit(i)} AS DOUBLE)")
+        .mkString(" ")
+      s"""WITH per AS (
+           SELECT c.c_nationkey AS nation, COUNT(*) AS n,
+                  CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1
+                           ELSE 0 END) AS BIGINT) AS k
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY 1),
+         tot AS (
+           SELECT CAST(SUM(n) AS BIGINT) AS tn,
+                  CAST(SUM(k) AS BIGINT) AS tk
+           FROM per),
+         scored AS (
+           SELECT per.nation, per.n, per.k,
+                  CAST(t.tk AS DOUBLE) / CAST(t.tn AS DOUBLE) AS p0,
+                  CAST(per.k AS DOUBLE) / CAST(per.n AS DOUBLE) AS rate
+           FROM per, tot t),
+         zrows AS (
+           SELECT nation, n, k, rate,
+                  (rate - p0)
+                    / sqrt(p0 * (1.0 - p0) / CAST(n AS DOUBLE)) AS z
+           FROM scored),
+         rk AS (
+           SELECT *, row_number() OVER (ORDER BY abs(z) DESC, nation)
+                    AS rnk
+           FROM zrows),
+         cr AS (SELECT *, CASE $cases ELSE 9e99 END AS crit FROM rk),
+         im AS (
+           SELECT COALESCE(MAX(CASE WHEN abs(z) >= crit THEN rnk END), 0)
+                    AS imax
+           FROM cr)
+         SELECT c.nation, c.n, c.k,
+                floor(c.rate * 1e6 + 0.5) / 1e6 AS rate,
+                floor(c.z * 1e6 + 0.5) / 1e6 AS z_stat,
+                CAST(c.rnk AS BIGINT) AS bh_rank,
+                floor(c.crit * 1e6 + 0.5) / 1e6 AS bh_crit,
+                c.rnk <= i.imax AS rejected
+         FROM cr c, im i ORDER BY bh_rank"""
+    },
 
     "x_hill_tail_index" ->
       """WITH top AS (

@@ -144,6 +144,51 @@ class CorpusLawsSpec extends SparkSpec {
     }
   }
 
+  test("x_fdr_bh equals the z-and-sort walk, the embedded critical " +
+      "values pin known normal quantiles, and the step-up rule is " +
+      "self-consistent") {
+    val cust = graft.util.Tables.t(spark, sf, "customer")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val per = graft.util.Tables.t(spark, sf, "orders")
+      .select("o_custkey", "o_orderstatus").collect()
+      .map(r => (cust(r.getLong(0)), if (r.getString(1) == "F") 1L else 0L))
+      .groupBy(_._1).map { case (nat, rows) =>
+        (nat, rows.size.toLong, rows.map(_._2).sum)
+      }.toSeq
+    val tn = per.map(_._2).sum.toDouble
+    val tk = per.map(_._3).sum.toDouble
+    val p0 = tk / tn
+    val zs = per.map { case (nat, n, k) =>
+      (nat, (k.toDouble / n - p0) /
+        math.sqrt(p0 * (1.0 - p0) / n))
+    }.toMap
+    val got = run("x_fdr_bh").collect()
+      .sortBy(_.getAs[Long]("bh_rank"))
+    assert(got.length === per.size)
+    // ranks are |z| descending with nation tiebreak
+    val expOrder = zs.toSeq.sortBy { case (nat, z) => (-math.abs(z), nat) }
+      .map(_._1)
+    assert(got.map(_.getAs[Int]("nation").toLong).toSeq === expOrder)
+    got.foreach { r =>
+      assert(math.abs(r.getAs[Double]("z_stat") -
+        zs(r.getAs[Int]("nation").toLong)) < 1e-5)
+    }
+    // the embedded Acklam quantiles pin the known normal values:
+    // rank m (i = 25): Phi^-1(0.975) = 1.959964; rank 1: Phi^-1(0.999)
+    assert(math.abs(got.last.getAs[Double]("bh_crit") - 1.959964) < 1e-4)
+    assert(math.abs(got.head.getAs[Double]("bh_crit") - 3.090232) < 1e-4)
+    // step-up self-consistency: rejected iff rank <= last passing rank
+    val passing = got.filter(r =>
+      math.abs(r.getAs[Double]("z_stat")) >= r.getAs[Double]("bh_crit"))
+    val imax = if (passing.isEmpty) 0L
+      else passing.map(_.getAs[Long]("bh_rank")).max
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("rejected") ===
+        (r.getAs[Long]("bh_rank") <= imax))
+    }
+  }
+
   test("x_hill_tail_index equals the sort-and-log walk over the top 200") {
     val vs = graft.util.Tables.t(spark, sf, "orders")
       .select("o_totalprice").collect().map(_.getDouble(0))
