@@ -1223,11 +1223,13 @@ object StatsOps {
       // largest i with |z|_(i) ≥ crit_i, where crit_i = Φ⁻¹(1 −
       // (i·α/m)/2) is PRECOMPUTED in Scala (Acklam) and embedded in
       // both engines as decimal literals — no special function at query
-      // time. Plan: orders⋈customer broadcast on the dim side, one
-      // grouped pass, then 25-row algebra.
+      // time. Plan: orders⋈customer on the key projection with the join
+      // strategy LEFT TO AQE — customer grows with data volume, so a
+      // forced broadcast would be a 100 TB OOM (PlanAuditSpec enforces
+      // this); at small SF AQE still picks broadcast on its own.
       val per = t(s, d, "orders")
-        .join(broadcast(t(s, d, "customer")
-          .select(col("c_custkey"), col("c_nationkey"))),
+        .join(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey").as("nation"))
         .agg(count(lit(1)).as("n"),
