@@ -115,7 +115,13 @@ object IncrementalJoin {
       s"IncrementalJoin: concurrent refresh detected at $base " +
         "(single-writer contract violated; stale _refresh.lock?)")
     try {
-      committedEpoch(base).foreach { e =>
+      // fresh read inside the critical section: both the lost-race check
+      // AND the GC keep-set below must see the epoch committed by any
+      // refresh that won between our optimistic entry read and the lock —
+      // building keep from the stale entry-time `committed` would delete
+      // the immediately-previous version and break the delete-lag of 1
+      val cur = committedEpoch(base)
+      cur.foreach { e =>
         if (epoch <= e) {
           // lost the race: a concurrent refresh committed ≥ our epoch.
           // Abort without touching the pointer; drop our orphan version —
@@ -130,7 +136,7 @@ object IncrementalJoin {
         StandardCopyOption.ATOMIC_MOVE): Unit
       // GC with a delete-lag of 1: keep the new AND the previous committed
       // version so in-flight readers of the old pointer finish cleanly
-      val keep = Set(s"v$epoch") ++ committed.map(e => s"v$e")
+      val keep = Set(s"v$epoch") ++ cur.map(e => s"v$e")
       val s = Files.list(Paths.get(base))
       val stale = try {
         import scala.jdk.CollectionConverters._

@@ -982,9 +982,10 @@ object CorpusOps {
       // cardinality is |keys|/65536 — 4e9 orderkeys shrink to a 61k-row
       // offsets window and no partition holds more than one bucket of
       // histogram rows; ordering by (bucket, k) equals ordering by k,
-      // so cumsum values — and the oracle hash — are unchanged. — key groups stay atomic, exactly like a
-      // writer emitting sorted row groups; no window ever touches raw
-      // lineitem rows. Zone min/max per file are real aggregates of the
+      // so cumsum values — and the oracle hash — are unchanged. Cutting
+      // the cumsum of per-key counts keeps key groups atomic, exactly
+      // like a writer emitting sorted row groups; no window ever touches
+      // raw lineitem rows. Zone min/max per file are real aggregates of the
       // rows inside, pruning is the standard [zmin, zmax] overlap test.
       val li = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_shipdate").as("sd"))

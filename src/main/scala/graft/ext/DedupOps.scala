@@ -665,8 +665,13 @@ object DedupOps {
           col("n_docs"), col("n_dups"),
           detRound(col("n_dups").cast("double") /
             col("n_docs").cast("double"), 6).as("dup_frac"),
-          detRound((col("n_dups") - col("pk")).cast("double") /
-            (col("n_docs") - col("pd")).cast("double"), 6)
+          // guard the marginal against an empty slice (n_docs == pd is
+          // possible with sparse/clustered doc_id fixtures): 0/0 is a
+          // non-finite double whose quantized floor is engine-dependent,
+          // so emit NULL instead, matching the oracle's CASE
+          when(col("n_docs") > col("pd"),
+            detRound((col("n_dups") - col("pk")).cast("double") /
+              (col("n_docs") - col("pd")).cast("double"), 6))
             .as("marginal_dup_frac"))
         .orderBy("cp")
     }),
@@ -1183,9 +1188,10 @@ object DedupOps {
          SELECT CAST(cp AS BIGINT) AS cp, n_docs, n_dups,
                 floor(CAST(n_dups AS DOUBLE) / CAST(n_docs AS DOUBLE)
                       * 1e6 + 0.5) / 1e6 AS dup_frac,
-                floor(CAST(n_dups - pk AS DOUBLE)
-                      / CAST(n_docs - pd AS DOUBLE) * 1e6 + 0.5) / 1e6
-                  AS marginal_dup_frac
+                CASE WHEN n_docs > pd THEN
+                  floor(CAST(n_dups - pk AS DOUBLE)
+                        / CAST(n_docs - pd AS DOUBLE) * 1e6 + 0.5) / 1e6
+                END AS marginal_dup_frac
          FROM lagged ORDER BY cp""",
 
     "x_dedup_simhash" ->

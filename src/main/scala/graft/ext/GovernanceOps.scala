@@ -38,7 +38,7 @@ object GovernanceOps {
     val cdf =
       if (k < 0) math.pow(2.0, (k + 1).toDouble) / 3.0
       else 1.0 - math.pow(2.0, -k.toDouble) / 3.0
-    (k, String.format("%.17g", Double.box(cdf)))
+    (k, graft.util.Num.lit17(cdf))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

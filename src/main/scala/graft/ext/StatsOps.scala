@@ -29,7 +29,7 @@ object StatsOps {
   private val EwmaAlpha = 0.7 // decay per observed day
   private def ewmaW(i: Int): Double = math.pow(EwmaAlpha, i)
   private def ewmaWLit(i: Int): String =
-    String.format("%.17g", Double.box(ewmaW(i)))
+    graft.util.Num.lit17(ewmaW(i))
   private def ewmaQW(i: Int): Long =
     math.floor(ewmaW(i) * 1e9 + 0.5).toLong
 
@@ -38,7 +38,7 @@ object StatsOps {
   // computed once and embedded identically in both engines.
   private def brownW(i: Int): Double = i * math.pow(EwmaAlpha, i)
   private def brownWLit(i: Int): String =
-    String.format("%.17g", Double.box(brownW(i)))
+    graft.util.Num.lit17(brownW(i))
   private def brownQW(i: Int): Long =
     math.floor(brownW(i) * 1e9 + 0.5).toLong
 
@@ -94,7 +94,7 @@ object StatsOps {
   private[ext] def fdrCrit(i: Int): Double =
     invNorm(1.0 - (i * 0.05 / FdrM) / 2.0)
   private def fdrCritLit(i: Int): String =
-    String.format("%.17g", Double.box(fdrCrit(i)))
+    graft.util.Num.lit17(fdrCrit(i))
 
   // ---- scale-safe global rank --------------------------------------------
   // row_number() over an UNPARTITIONED Window moves every row to one
@@ -1688,7 +1688,7 @@ object StatsOps {
             THEN CAST(${qw(i)} AS BIGINT) ELSE CAST(0 AS BIGINT)
             END""").mkString(" + ")
       val trendGain =
-        String.format("%.17g", Double.box((1.0 - EwmaAlpha) / EwmaAlpha))
+        graft.util.Num.lit17((1.0 - EwmaAlpha) / EwmaAlpha)
       s"""WITH daily AS (
             SELECT o_orderpriority AS priority,
                    date_trunc('day', o_orderdate) AS day,
