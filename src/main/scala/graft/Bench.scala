@@ -66,15 +66,26 @@ object Bench {
     // gets the same round-over-round early warning. Skipped when timing
     // explicit args / the full registry (both already cover it), or via
     // SPARK_GRAFT_BENCH_HEAVY=0 for quick local iteration.
+    val skipTiers =
+      args.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1") ||
+        sys.env.get("SPARK_GRAFT_BENCH_HEAVY").contains("0")
     val heavyNames =
-      if (args.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
-          || sys.env.get("SPARK_GRAFT_BENCH_HEAVY").contains("0")) Seq.empty
+      if (skipTiers) Seq.empty
       else SparkEntry.heavyQueries.filterNot(names.contains)
     heavyNames.foreach(n => { once(n): Unit }) // warm-up, untimed
     val heavyAll = bench(heavyNames)
+    // third pinned tier (r12 verdict #6): the newer causal/corpus
+    // families, same min-of-N protocol, reported separately so the two
+    // existing tiers stay comparable round-over-round
+    val freshNames =
+      if (skipTiers) Seq.empty
+      else SparkEntry.freshQueries.filterNot(names.contains)
+    freshNames.foreach(n => { once(n): Unit }) // warm-up, untimed
+    val freshAll = bench(freshNames)
     val (results, failed0) = all.partition(_._4)
     val (heavyResults, heavyFailed) = heavyAll.partition(_._4)
-    val failed = failed0 ++ heavyFailed
+    val (freshResults, freshFailed) = freshAll.partition(_._4)
+    val failed = failed0 ++ heavyFailed ++ freshFailed
     def obj(rs: Seq[(String, Double, Double, Boolean)],
             f: ((String, Double, Double, Boolean)) => Double): String =
       rs.map { case r @ (k, _, _, _) => "\"" + k + "\":" + f(r) }
@@ -87,14 +98,27 @@ object Bench {
     val totalSingle = results.map(_._3).sum
     val heavyQs = obj(heavyResults, _._2)
     val heavyTotal = heavyResults.map(_._2).sum
+    val freshQs = obj(freshResults, _._2)
+    val freshTotal = freshResults.map(_._2).sum
     // per-entry wall-time budget (r9 verdict #7): any single query over
-    // 20 s at sf0.1 is named loudly instead of drowning in the total
+    // budget at sf0.1 is named loudly instead of drowning in the total.
+    // Budgets are PER TIER (r12 verdict #1): the heavy tier's production
+    // PQ gauge (x_ann_ivfpq256_recall) intrinsically costs ~19-20 s —
+    // the N·M·256 ADC encode is the quantity being measured — and sat
+    // exactly on the old flat 20 s line, crossing it on driver-box noise
+    // while quiet-box runs passed. A budget a known-good query crosses
+    // on box noise is a broken alarm, so the heavy tier gets 25 s
+    // (headroom ~25 % over its most expensive member's quiet-box time)
+    // while headline + fresh tiers keep the tight 20 s line.
     val budgetSec = 20.0
-    val overBudget = (results ++ heavyResults).filter(_._2 > budgetSec)
-      .map { case (k, v, _, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val heavyBudgetSec = 25.0
+    val overBudget =
+      ((results ++ freshResults).filter(_._2 > budgetSec) ++
+        heavyResults.filter(_._2 > heavyBudgetSec))
+        .map { case (k, v, _, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val failedArr = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-$repeats","value_single_shot":$totalSingle,"queries":$qs,"queries_single_shot":$qsSingle,"heavy_total":$heavyTotal,"heavy":$heavyQs,"over_budget":$overBudget,"failed":$failedArr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-$repeats","value_single_shot":$totalSingle,"queries":$qs,"queries_single_shot":$qsSingle,"heavy_total":$heavyTotal,"heavy":$heavyQs,"fresh_total":$freshTotal,"fresh":$freshQs,"budget_sec":{"headline":$budgetSec,"heavy":$heavyBudgetSec,"fresh":$budgetSec},"over_budget":$overBudget,"failed":$failedArr,"sf":"$sfDir"}"""
     println(line)
     // sbt wraps stdout in `[info]` prefixes, which broke the driver's JSON
     // parse (BENCH_r02.parsed = null) — also emit the line to a BARE file

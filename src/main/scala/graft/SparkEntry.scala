@@ -67,4 +67,17 @@ object SparkEntry {
     "x_recs_holdout_eval", "x_hll_set_ops", "x_fuzzy_pieces_d2",
     "x_ann_clustered_ivf_recall", "x_curation_pipeline"
   ).filter(queries.contains)
+
+  /** Third pinned bench tier (round 13, r12 verdict #6): the r10–r12
+    * causal/experimentation and corpus-economics families. The headline
+    * set is pinned since r3 for comparability and the heavy tier covers
+    * the PQ/graph cost centers, so none of the newer families were
+    * benched outside the full-registry run — a regression there would
+    * only surface diluted into the ~200 s full total. These 6 are
+    * benched min-of-N per round alongside the other two tiers; the
+    * existing tiers are unchanged. */
+  def freshQueries: Seq[String] = Seq(
+    "x_fdr_bh", "x_cuped", "x_regression_discontinuity",
+    "x_group_sequential", "x_dedup_saturation", "x_mahalanobis_outliers"
+  ).filter(queries.contains)
 }

@@ -35,7 +35,8 @@ class ShuffleCountSpec extends SparkSpec {
   }
 
   private lazy val counts: Map[String, Int] =
-    (SparkEntry.benchQueries ++ SparkEntry.heavyQueries).map { name =>
+    (SparkEntry.benchQueries ++ SparkEntry.heavyQueries ++
+      SparkEntry.freshQueries).map { name =>
       val df = SparkEntry.queries(name)(planSession, "/root/testdata/sf0.001")
       name -> countShuffles(df.queryExecution.executedPlan)
     }.toMap
@@ -68,7 +69,13 @@ class ShuffleCountSpec extends SparkSpec {
     "x_ann_ivfpq_residual_recall" -> 29,
     "x_ann_multiprobe" -> 2,
     "x_ann_pq_adc_recall" -> 42,
+    "x_cuped" -> 6,
     "x_curation_pipeline" -> 8,
+    "x_dedup_saturation" -> 5,
+    "x_fdr_bh" -> 4,
+    "x_group_sequential" -> 4,
+    "x_mahalanobis_outliers" -> 1,
+    "x_regression_discontinuity" -> 4,
     "x_dedup_exact" -> 2,
     "x_dedup_minhash" -> 2,
     "x_fuzzy_pieces_d2" -> 2,
@@ -80,7 +87,7 @@ class ShuffleCountSpec extends SparkSpec {
     "x_text_stats" -> 2,
     "x_tfidf_terms" -> 6)
 
-  test("headline and heavy-tier shuffle counts match the pinned plan shapes") {
+  test("headline, heavy and fresh-tier shuffle counts match the pinned plan shapes") {
     val drift = counts.toSeq.sortBy(_._1).flatMap { case (n, c) =>
       pinned.get(n) match {
         case Some(p) if p == c => None
