@@ -818,4 +818,98 @@ object StreamingIngest {
           }
       }
   }
+
+  case class GsEv(experiment: String, treated: Long, y: Long,
+                  ts: java.sql.Timestamp)
+  case class GsSt(look: Long, n1: Long, k1: Long, n0: Long, k0: Long,
+                  stopped: Boolean, lastEventMs: Long)
+  case class GsLook(experiment: String, look: Long, n_cum: Long,
+                    z_stat: Double, obf_boundary: Double, crossed: Boolean,
+                    stopped: Boolean, closed: Boolean)
+
+  /** Streaming twin of the batch `x_group_sequential` monitor (r12
+    * verdict #5): the O'Brien–Fleming-shaped interim analysis run
+    * continuously over the ingest instead of at five fixed calendar
+    * looks. Each micro-batch is one LOOK per experiment: the batch's
+    * per-arm (n, successes) fold into O(arms) cumulative state — four
+    * longs + a latch — and one `GsLook` row is emitted with the pooled
+    * two-proportion z on the CUMULATIVE counts against the boundary
+    * b = c/√t, t = min(1, n_cum/maxN) the realized information fraction
+    * of the PLANNED max sample size (streaming cannot know the final N,
+    * so the practitioner's pre-registered maxN supplies it — the
+    * standard sequential-design contract; same c = 2.04 pinned at the
+    * final look as the batch op). A crossing LATCHES `stopped`: the
+    * decision is made once, and later looks report stopped=true rather
+    * than re-deciding (data keeps arriving until the team turns the
+    * experiment off — the monitor must not flip-flop). Degenerate looks
+    * (an arm still empty, or a pooled rate of exactly 0/1) emit z = 0:
+    * no evidence, never a crossing.
+    *
+    * State discipline (a3df5bb): per-experiment state is O(1) but
+    * experiment cardinality is unbounded, so the state runs under
+    * EventTimeTimeout — an experiment silent for `idleTtlMs` of event
+    * time is CLOSED: one final row with closed=true, then the state is
+    * removed. The timeout clock re-arms from the experiment's event
+    * frontier (max event ts folded so far), clamped past the watermark,
+    * so expiry needs no wall-clock and replays deterministically. */
+  def groupSequentialStream(events: org.apache.spark.sql.Dataset[GsEv],
+                            maxN: Long, c: Double = 2.04,
+                            idleTtlMs: Long = 45L * 86400 * 1000,
+                            lateness: String = "7 days")
+      : org.apache.spark.sql.Dataset[GsLook] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(maxN > 0, "groupSequentialStream: maxN must be positive")
+    def score(exp: String, st: GsSt, closed: Boolean): GsLook = {
+      val n = st.n1 + st.n0
+      val z =
+        if (st.n1 == 0 || st.n0 == 0) 0.0
+        else {
+          val p1 = st.k1.toDouble / st.n1
+          val p0 = st.k0.toDouble / st.n0
+          val pp = (st.k1 + st.k0).toDouble / n
+          if (pp <= 0.0 || pp >= 1.0) 0.0
+          else (p1 - p0) / math.sqrt(
+            pp * (1.0 - pp) * (1.0 / st.n1 + 1.0 / st.n0))
+        }
+      val t = math.min(1.0, n.toDouble / maxN)
+      val boundary = c / math.sqrt(t)
+      GsLook(exp, st.look, n, z, boundary,
+        crossed = math.abs(z) > boundary, stopped = st.stopped,
+        closed = closed)
+    }
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.experiment)
+      .flatMapGroupsWithState[GsSt, GsLook](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (exp: String, rows: Iterator[GsEv], state: GroupState[GsSt]) =>
+          if (state.hasTimedOut) {
+            // idle experiment: emit the closing row, free the state
+            val st = state.get
+            state.remove()
+            Iterator.single(score(exp, st, closed = true))
+          } else {
+            var st = state.getOption
+              .getOrElse(GsSt(0L, 0L, 0L, 0L, 0L, stopped = false,
+                lastEventMs = Long.MinValue))
+            var n1 = 0L; var k1 = 0L; var n0 = 0L; var k0 = 0L
+            var frontier = st.lastEventMs
+            rows.foreach { r =>
+              if (r.treated != 0L) { n1 += 1; k1 += r.y }
+              else { n0 += 1; k0 += r.y }
+              frontier = math.max(frontier, r.ts.getTime)
+            }
+            st = st.copy(look = st.look + 1, n1 = st.n1 + n1,
+              k1 = st.k1 + k1, n0 = st.n0 + n0, k0 = st.k0 + k0,
+              lastEventMs = frontier)
+            val row = score(exp, st, closed = false)
+            st = st.copy(stopped = st.stopped || row.crossed)
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1, frontier + idleTtlMs))
+            Iterator.single(row.copy(stopped = st.stopped))
+          }
+      }
+  }
 }

@@ -875,4 +875,93 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingIngest.droppedByWatermark(q2) >= 1L,
       "the late row was dropped without appearing in the watermark metric")
   }
+
+  test("streaming group-sequential monitor: per-trigger looks match the " +
+      "exact cumulative z/boundary arithmetic and a crossing latches " +
+      "the stopped flag") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import StreamingIngest.GsEv
+    def ts(day: Int) = new Timestamp(day.toLong * 86400000L)
+    val out = tmpDir("gs-out") + "/looks"
+    val ckpt = tmpDir("gs-ckpt")
+    val mem = MemoryStream[GsEv]
+    def run(): Unit = {
+      val q = StreamingIngest.groupSequentialStream(mem.toDS(), maxN = 400L)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def arm(n: Int, k: Int, treated: Long, day: Int): Seq[GsEv] =
+      (1 to n).map(i =>
+        GsEv("E", treated, if (i <= k) 1L else 0L, ts(day)))
+    // look 1: balanced, identical rates -> z = 0, far under the early
+    // (wide) boundary 2.04/sqrt(0.25) = 4.08
+    mem.addData(arm(50, 10, 1L, 1) ++ arm(50, 10, 0L, 1): _*); run()
+    // look 2: strong treatment effect -> cumulative z ~ 9.4 crosses the
+    // t=0.75 boundary 2.355; the monitor must latch stopped
+    mem.addData(arm(100, 90, 1L, 2) ++ arm(100, 10, 0L, 2): _*); run()
+    // look 3: more balanced data; decision already made -> stopped=true
+    mem.addData(arm(50, 25, 1L, 3) ++ arm(50, 25, 0L, 3): _*); run()
+    val got = spark.read.parquet(out).as[StreamingIngest.GsLook]
+      .collect().sortBy(_.look)
+    assert(got.map(_.look).toSeq === Seq(1L, 2L, 3L))
+    // reference arithmetic, computed independently here
+    def zRef(n1: Long, k1: Long, n0: Long, k0: Long): Double = {
+      val p1 = k1.toDouble / n1; val p0 = k0.toDouble / n0
+      val pp = (k1 + k0).toDouble / (n1 + n0)
+      (p1 - p0) / math.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n0))
+    }
+    def bRef(n: Long): Double =
+      2.04 / math.sqrt(math.min(1.0, n.toDouble / 400.0))
+    val l1 = got(0)
+    assert(l1.n_cum === 100L && l1.z_stat === zRef(50, 10, 50, 10) &&
+      l1.obf_boundary === bRef(100) && !l1.crossed && !l1.stopped)
+    val l2 = got(1)
+    assert(l2.n_cum === 300L &&
+      l2.z_stat === zRef(150, 100, 150, 20) &&
+      l2.obf_boundary === bRef(300) && l2.crossed && l2.stopped)
+    val l3 = got(2)
+    assert(l3.n_cum === 400L &&
+      l3.z_stat === zRef(200, 125, 200, 45) &&
+      l3.obf_boundary === bRef(400) && l3.stopped,
+      s"decision must stay latched after the crossing: $l3")
+    assert(got.forall(!_.closed))
+  }
+
+  test("group-sequential monitor: an idle experiment is closed by " +
+      "event-time timeout exactly once and its state is freed") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import StreamingIngest.GsEv
+    def ts(day: Int) = new Timestamp(day.toLong * 86400000L)
+    val out = tmpDir("gs-churn-out") + "/looks"
+    val ckpt = tmpDir("gs-churn-ckpt")
+    val mem = MemoryStream[GsEv]
+    var lastQ: org.apache.spark.sql.streaming.StreamingQuery = null
+    def run(): Unit = {
+      val q = StreamingIngest.groupSequentialStream(mem.toDS(),
+          maxN = 100L, idleTtlMs = 10L * 86400000L, lateness = "1 day")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); lastQ = q
+    }
+    // F gets one balanced look on day 1, then goes silent; E's later
+    // events advance the watermark past F's day-11 deadline
+    mem.addData(GsEv("F", 1L, 1L, ts(1)), GsEv("F", 0L, 0L, ts(1))); run()
+    mem.addData(GsEv("E", 1L, 1L, ts(20)), GsEv("E", 0L, 1L, ts(20))); run()
+    mem.addData(GsEv("E", 1L, 0L, ts(21)), GsEv("E", 0L, 0L, ts(21))); run()
+    val rows = spark.read.parquet(out).as[StreamingIngest.GsLook].collect()
+    val fClosed = rows.filter(r => r.experiment == "F" && r.closed)
+    assert(fClosed.length === 1,
+      s"exactly one closing row for the idle experiment, got: ${rows.toSeq}")
+    assert(fClosed.head.n_cum === 2L && !fClosed.head.crossed)
+    // E stays live (never closed), F's state is gone: at most E remains
+    assert(rows.filter(r => r.experiment == "E").forall(!_.closed))
+    val held = finalStateRows(lastQ)
+    assert(held >= 0 && held <= 1,
+      s"state store holds $held rows — the idle experiment was not freed")
+  }
 }
