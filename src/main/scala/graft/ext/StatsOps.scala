@@ -821,6 +821,214 @@ object StatsOps {
           (abs(col("z")) > lit(1.96)).as("significant_05"))
     }),
 
+    "x_welch_ttest" -> ((s, d) => {
+      // Welch two-sample unequal-variance t-test per order-priority
+      // segment — the default two-arm readout when variances cannot be
+      // assumed equal (pooled-t's silent assumption). Arms are the md5
+      // order coin; sufficient statistics per (segment, arm) follow the
+      // x_anova_oneway posture: n, Σy as DECIMAL(18,4), Σy² as
+      // 1e4-fixed-point DECIMAL(38,0), so sums are exact and the
+      // t / Welch–Satterthwaite df arithmetic runs as identical IEEE
+      // doubles on identical inputs. One fact-table groupBy (map-side
+      // partials, shuffle = O(segments)); significance vs 1.96 is the
+      // large-sample normal approximation (df here is in the
+      // thousands, where t and z agree to 3+ decimals).
+      val g = t(s, d, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          (substring(md5(col("o_orderkey").cast("string")), 1, 1) < "8")
+            .as("tr"),
+          col("o_totalprice").as("y"))
+        .groupBy("grp")
+        .agg(
+          sum(when(col("tr"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("tr"), col("y").cast("decimal(18,4)"))
+            .otherwise(lit(0).cast("decimal(18,4)"))).as("sy1"),
+          sum(when(col("tr"), floor(col("y") * col("y") * 1e4 + 0.5))
+            .otherwise(0.0).cast("decimal(38,0)")).as("syy1"),
+          sum(when(!col("tr"), 1L).otherwise(0L)).as("n0"),
+          sum(when(!col("tr"), col("y").cast("decimal(18,4)"))
+            .otherwise(lit(0).cast("decimal(18,4)"))).as("sy0"),
+          sum(when(!col("tr"), floor(col("y") * col("y") * 1e4 + 0.5))
+            .otherwise(0.0).cast("decimal(38,0)")).as("syy0"))
+        .filter(col("n1") > 1 && col("n0") > 1)
+        .withColumn("m1", col("sy1").cast("double") / col("n1"))
+        .withColumn("m0", col("sy0").cast("double") / col("n0"))
+        .withColumn("v1",
+          (col("syy1").cast("double") / 1e4
+            - col("sy1").cast("double") * col("sy1").cast("double")
+              / col("n1")) / (col("n1") - 1))
+        .withColumn("v0",
+          (col("syy0").cast("double") / 1e4
+            - col("sy0").cast("double") * col("sy0").cast("double")
+              / col("n0")) / (col("n0") - 1))
+        .withColumn("se2", col("v1") / col("n1") + col("v0") / col("n0"))
+        .withColumn("tt", (col("m1") - col("m0")) / sqrt(col("se2")))
+        .withColumn("df",
+          col("se2") * col("se2") /
+            (col("v1") / col("n1") * (col("v1") / col("n1"))
+              / (col("n1") - 1)
+              + col("v0") / col("n0") * (col("v0") / col("n0"))
+                / (col("n0") - 1)))
+      g.select(col("grp"), col("n1"), col("n0"),
+          detRound(col("m1") - col("m0"), 4).as("mean_diff"),
+          detRound(col("tt"), 6).as("t_stat"),
+          detRound(col("df"), 2).as("welch_df"),
+          (abs(col("tt")) > lit(1.96)).as("significant_05"))
+        .orderBy("grp")
+    }),
+
+    "x_levene_variance" -> ((s, d) => {
+      // Levene's homogeneity-of-variance test (mean-centered form)
+      // across order priorities — the gate before pooled-variance
+      // procedures: W is the one-way ANOVA F computed on the absolute
+      // deviations z_ij = |y_ij − ȳ_j|. Two passes: (1) per-group
+      // exact means from DECIMAL sums (both engines derive the
+      // identical binary64); (2) per-row deviation quantized to 1e6
+      // fixed point (|dev| and dev², the x_pagerank per-term
+      // discipline) so the unordered sums are integer-exact in
+      // DECIMAL(38,0)/HUGEINT; the F arithmetic then runs in double on
+      // exact statistics. The group-mean table is O(k) and broadcast —
+      // the second pass is a shuffle-free map over the fact scan.
+      val means = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).as("sy"))
+        .withColumn("m", col("sy").cast("double") / col("n"))
+        .select("grp", "m")
+      val z = t(s, d, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          col("o_totalprice").as("y"))
+        .join(broadcast(means), "grp")
+        .select(col("grp"),
+          floor(abs(col("y") - col("m")) * 1e6 + 0.5).as("qz"),
+          floor(abs(col("y") - col("m")) * abs(col("y") - col("m"))
+            * 1e4 + 0.5).as("qz2"))
+      val g = z.groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          sum(col("qz").cast("decimal(38,0)")).as("sz"),
+          sum(col("qz2").cast("decimal(38,0)")).as("szz"))
+        .localCheckpoint()
+      val tot = g.agg(count(lit(1)).as("k"),
+        sum(col("n")).cast("long").as("nn"), sum(col("sz")).as("gz"))
+      val per = g.crossJoin(broadcast(tot))
+        .withColumn("zm", col("sz").cast("double") / 1e6 / col("n"))
+        .withColumn("gm", col("gz").cast("double") / 1e6 / col("nn"))
+        .withColumn("ssw_g",
+          col("szz").cast("double") / 1e4
+            - (col("sz").cast("double") / 1e6)
+              * (col("sz").cast("double") / 1e6) / col("n"))
+        .withColumn("ssb_g",
+          col("n") * (col("zm") - col("gm")) * (col("zm") - col("gm")))
+        .localCheckpoint()
+      val w = per.groupBy(col("k"), col("nn"))
+        .agg(
+          sum(floor(col("ssw_g") * 1e4 + 0.5).cast("decimal(38,0)"))
+            .as("qssw"),
+          sum(floor(col("ssb_g") * 1e4 + 0.5).cast("decimal(38,0)"))
+            .as("qssb"))
+        .withColumn("lw",
+          (col("qssb").cast("double") / 1e4 / (col("k") - 1))
+            / (col("qssw").cast("double") / 1e4 / (col("nn") - col("k"))))
+        .select(col("lw"))
+      per.crossJoin(broadcast(w))
+        .select(col("grp"), col("n"),
+          detRound(col("zm"), 4).as("mean_absdev"),
+          detRound(col("lw"), 6).as("levene_w"),
+          // F(4, nn-5) 5% critical ≈ 2.372 at these group counts —
+          // embedded as the documented constant for the fixture's k=5
+          (col("lw") > lit(2.372)).as("reject_equal_var_05"))
+        .orderBy("grp")
+    }),
+
+    "x_odds_ratio" -> ((s, d) => {
+      // 2×2 odds ratio with the Woolf logit CI per order-priority
+      // segment: arms = md5 order coin, outcome = order fulfilled.
+      // OR = (a·d)/(b·c) on exact cell counts; ln OR ± 1.96·√(Σ 1/cell)
+      // exponentiated back. Cells with any zero emit NULLs (the CI is
+      // undefined; Haldane's +0.5 would silently change the estimand).
+      // One grouped count — shuffle is O(segments).
+      val cells = t(s, d, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          (substring(md5(col("o_orderkey").cast("string")), 1, 1) < "8")
+            .as("tr"),
+          (col("o_orderstatus") === "F").as("y"))
+        .groupBy("grp")
+        .agg(
+          sum(when(col("tr") && col("y"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("tr") && !col("y"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("tr") && col("y"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("tr") && !col("y"), 1L).otherwise(0L)).as("dd"))
+      val ok = col("a") > 0 && col("b") > 0 && col("c") > 0 && col("dd") > 0
+      cells
+        .withColumn("or_", when(ok,
+          (col("a") * col("dd")).cast("double") /
+            (col("b") * col("c")).cast("double")))
+        .withColumn("se", when(ok, sqrt(
+          lit(1.0) / col("a") + lit(1.0) / col("b") +
+            lit(1.0) / col("c") + lit(1.0) / col("dd"))))
+        .select(col("grp"), col("a"), col("b"), col("c"),
+          col("dd").as("d"),
+          detRound(col("or_"), 6).as("odds_ratio"),
+          detRound(exp(log(col("or_")) - lit(1.96) * col("se")), 6)
+            .as("ci_lo"),
+          detRound(exp(log(col("or_")) + lit(1.96) * col("se")), 6)
+            .as("ci_hi"),
+          when(ok, log(col("or_")) - lit(1.96) * col("se") > 0.0 ||
+            log(col("or_")) + lit(1.96) * col("se") < 0.0)
+            .as("excludes_one"))
+        .orderBy("grp")
+    }),
+
+    "x_theil_sen" -> ((s, d) => {
+      // Theil–Sen robust trend over the monthly revenue series: the
+      // median of all pairwise slopes (and the median-residual
+      // intercept) — up to ~29% contamination tolerance where OLS
+      // (x_ols_trend) has a breakdown point of one bad month. The
+      // pairs table is O(months²) of an ALREADY-AGGREGATED series
+      // (~80 months → 3,160 pairs at any data scale — metadata-sized,
+      // the self-join never touches raw orders). Slopes are exact
+      // integer cent/month ratios → identical doubles; both medians
+      // are RANK SELECTIONS over quantized-value histograms (the
+      // engine's standard interpolation-free median), never
+      // percentile interpolation.
+      val monthly = t(s, d, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 +
+          (month(col("o_orderdate")) - 1)).as("mi"))
+        .agg(floor(dsum(col("o_totalprice")) * 100 + 0.5)
+          .cast("long").as("rev_c"))
+        .localCheckpoint()
+      val a = monthly.select(col("mi").as("x1"), col("rev_c").as("y1"))
+      val b = monthly.select(col("mi").as("x2"), col("rev_c").as("y2"))
+      val pairs = a.join(b, col("x1") < col("x2"))
+        .select(floor((col("y2") - col("y1")).cast("double") /
+          (col("x2") - col("x1")).cast("double") * 1e6 + 0.5)
+          .cast("long").as("qs"))
+      // lower-median by rank selection over the slope histogram
+      def medianOf(df: DataFrame, vc: String): DataFrame = {
+        val h = df.groupBy(col(vc)).agg(count(lit(1)).as("c"))
+        val wS = Window.orderBy(col(vc))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val n = df.agg(count(lit(1)).as("n"))
+        h.crossJoin(broadcast(n))
+          .withColumn("cum", sum(col("c")).over(wS))
+          .filter(col("cum") >= expr("(n + 1) div 2"))
+          .agg(min(col(vc)).as("med"))
+      }
+      val slope = medianOf(pairs, "qs")
+        .select((col("med") / 1e6).as("slope_c"))
+      val resid = monthly.crossJoin(broadcast(slope))
+        .select(floor(col("rev_c") - col("slope_c") * col("mi") + 0.5)
+          .cast("long").as("qr"))
+      val icept = medianOf(resid, "qr")
+        .select(col("med").cast("double").as("icept_c"))
+      val nm = monthly.agg(count(lit(1)).as("n_months"))
+      val np = pairs.agg(count(lit(1)).as("n_pairs"))
+      nm.crossJoin(np).crossJoin(slope).crossJoin(icept)
+        .select(col("n_months"), col("n_pairs"),
+          detRound(col("slope_c") / 100.0, 4).as("sen_slope"),
+          detRound(col("icept_c") / 100.0, 2).as("sen_intercept"))
+    }),
+
     "x_ks_statistic" -> ((s, d) => {
       // two-sample Kolmogorov-Smirnov: D = max |F_view − F_purchase|
       // over the pooled event-value support, with the 5%-level
@@ -1949,6 +2157,173 @@ object StatsOps {
                               + CAST(1.0 AS DOUBLE) / n2)))
                   > CAST(1.96 AS DOUBLE) AS significant_05
          FROM f""",
+
+    "x_welch_ttest" ->
+      """WITH base AS (
+           SELECT o_orderpriority AS grp,
+                  substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '8'
+                    AS tr,
+                  o_totalprice AS y
+           FROM orders),
+         g AS (
+           SELECT grp,
+                  CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n1,
+                  SUM(CASE WHEN tr THEN CAST(y AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS sy1,
+                  SUM(CAST(CASE WHEN tr THEN floor(y * y * 1e4 + 0.5)
+                           ELSE 0.0 END AS HUGEINT)) AS syy1,
+                  CAST(SUM(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n0,
+                  SUM(CASE WHEN NOT tr THEN CAST(y AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS sy0,
+                  SUM(CAST(CASE WHEN NOT tr THEN floor(y * y * 1e4 + 0.5)
+                           ELSE 0.0 END AS HUGEINT)) AS syy0
+           FROM base GROUP BY 1
+           HAVING n1 > 1 AND n0 > 1),
+         st AS (
+           SELECT grp, n1, n0,
+                  CAST(sy1 AS DOUBLE) / n1 AS m1,
+                  CAST(sy0 AS DOUBLE) / n0 AS m0,
+                  (CAST(syy1 AS DOUBLE) / 1e4
+                   - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / n1)
+                    / (n1 - 1) AS v1,
+                  (CAST(syy0 AS DOUBLE) / 1e4
+                   - CAST(sy0 AS DOUBLE) * CAST(sy0 AS DOUBLE) / n0)
+                    / (n0 - 1) AS v0
+           FROM g),
+         f AS (
+           SELECT grp, n1, n0, m1, m0, v1, v0,
+                  v1 / n1 + v0 / n0 AS se2
+           FROM st)
+         SELECT grp, n1, n0,
+                floor((m1 - m0) * 1e4 + 0.5) / 1e4 AS mean_diff,
+                floor((m1 - m0) / sqrt(se2) * 1e6 + 0.5) / 1e6 AS t_stat,
+                floor(se2 * se2
+                      / (v1 / n1 * (v1 / n1) / (n1 - 1)
+                         + v0 / n0 * (v0 / n0) / (n0 - 1))
+                      * 1e2 + 0.5) / 1e2 AS welch_df,
+                abs((m1 - m0) / sqrt(se2)) > 1.96 AS significant_05
+         FROM f ORDER BY grp""",
+
+    "x_levene_variance" ->
+      """WITH means AS (
+           SELECT o_orderpriority AS grp, COUNT(*) AS n,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS sy
+           FROM orders GROUP BY 1),
+         mz AS (SELECT grp, CAST(sy AS DOUBLE) / n AS m FROM means),
+         z AS (
+           SELECT o.o_orderpriority AS grp,
+                  CAST(floor(abs(o.o_totalprice - mz.m) * 1e6 + 0.5)
+                       AS BIGINT) AS qz,
+                  CAST(floor(abs(o.o_totalprice - mz.m)
+                             * abs(o.o_totalprice - mz.m) * 1e4 + 0.5)
+                       AS BIGINT) AS qz2
+           FROM orders o JOIN mz ON mz.grp = o.o_orderpriority),
+         g AS (
+           SELECT grp, COUNT(*) AS n,
+                  SUM(CAST(qz AS HUGEINT)) AS sz,
+                  SUM(CAST(qz2 AS HUGEINT)) AS szz
+           FROM z GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+                        SUM(sz) AS gz
+                 FROM g),
+         per AS (
+           SELECT g.grp, g.n, t.k, t.nn,
+                  CAST(g.sz AS DOUBLE) / 1e6 / g.n AS zm,
+                  CAST(t.gz AS DOUBLE) / 1e6 / t.nn AS gm,
+                  CAST(g.szz AS DOUBLE) / 1e4
+                    - (CAST(g.sz AS DOUBLE) / 1e6)
+                      * (CAST(g.sz AS DOUBLE) / 1e6) / g.n AS ssw_g,
+                  g.n * (CAST(g.sz AS DOUBLE) / 1e6 / g.n
+                         - CAST(t.gz AS DOUBLE) / 1e6 / t.nn)
+                      * (CAST(g.sz AS DOUBLE) / 1e6 / g.n
+                         - CAST(t.gz AS DOUBLE) / 1e6 / t.nn) AS ssb_g
+           FROM g CROSS JOIN tot t),
+         w AS (
+           SELECT (CAST(SUM(CAST(floor(ssb_g * 1e4 + 0.5) AS HUGEINT))
+                        AS DOUBLE) / 1e4 / (MAX(k) - 1))
+                  / (CAST(SUM(CAST(floor(ssw_g * 1e4 + 0.5) AS HUGEINT))
+                          AS DOUBLE) / 1e4 / (MAX(nn) - MAX(k))) AS lw
+           FROM per)
+         SELECT per.grp, per.n,
+                floor(per.zm * 1e4 + 0.5) / 1e4 AS mean_absdev,
+                floor(w.lw * 1e6 + 0.5) / 1e6 AS levene_w,
+                w.lw > 2.372 AS reject_equal_var_05
+         FROM per, w ORDER BY per.grp""",
+
+    "x_odds_ratio" ->
+      """WITH base AS (
+           SELECT o_orderpriority AS grp,
+                  substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '8'
+                    AS tr,
+                  o_orderstatus = 'F' AS y
+           FROM orders),
+         cells AS (
+           SELECT grp,
+                  CAST(SUM(CASE WHEN tr AND y THEN 1 ELSE 0 END)
+                       AS BIGINT) AS a,
+                  CAST(SUM(CASE WHEN tr AND NOT y THEN 1 ELSE 0 END)
+                       AS BIGINT) AS b,
+                  CAST(SUM(CASE WHEN NOT tr AND y THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c,
+                  CAST(SUM(CASE WHEN NOT tr AND NOT y THEN 1 ELSE 0 END)
+                       AS BIGINT) AS dd
+           FROM base GROUP BY 1),
+         st AS (
+           SELECT grp, a, b, c, dd,
+                  CASE WHEN a > 0 AND b > 0 AND c > 0 AND dd > 0 THEN
+                    CAST(a * dd AS DOUBLE) / CAST(b * c AS DOUBLE)
+                  END AS orr,
+                  CASE WHEN a > 0 AND b > 0 AND c > 0 AND dd > 0 THEN
+                    sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / dd)
+                  END AS se
+           FROM cells)
+         SELECT grp, a, b, c, dd AS d,
+                floor(orr * 1e6 + 0.5) / 1e6 AS odds_ratio,
+                floor(exp(ln(orr) - 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_lo,
+                floor(exp(ln(orr) + 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_hi,
+                CASE WHEN orr IS NOT NULL THEN
+                  ln(orr) - 1.96 * se > 0.0 OR ln(orr) + 1.96 * se < 0.0
+                END AS excludes_one
+         FROM st ORDER BY grp""",
+
+    "x_theil_sen" ->
+      """WITH monthly AS MATERIALIZED (
+           SELECT year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS mi,
+                  CAST(floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                                  AS DOUBLE) * 100 + 0.5) AS BIGINT)
+                    AS rev_c
+           FROM orders GROUP BY 1),
+         pairs AS MATERIALIZED (
+           SELECT CAST(floor(CAST(b.rev_c - a.rev_c AS DOUBLE)
+                             / CAST(b.mi - a.mi AS DOUBLE) * 1e6 + 0.5)
+                       AS BIGINT) AS qs
+           FROM monthly a JOIN monthly b ON a.mi < b.mi),
+         np AS (SELECT COUNT(*) AS n FROM pairs),
+         sh AS (SELECT qs, COUNT(*) AS c FROM pairs GROUP BY 1),
+         scum AS (SELECT qs, SUM(c) OVER (ORDER BY qs) AS cum, np.n
+                  FROM sh, np),
+         slope AS (
+           SELECT CAST(MIN(qs) AS DOUBLE) / 1e6 AS slope_c
+           FROM scum WHERE cum >= (n + 1) // 2),
+         resid AS (
+           SELECT CAST(floor(m.rev_c - s.slope_c * m.mi + 0.5) AS BIGINT)
+                    AS qr
+           FROM monthly m, slope s),
+         nr AS (SELECT COUNT(*) AS n FROM resid),
+         rh AS (SELECT qr, COUNT(*) AS c FROM resid GROUP BY 1),
+         rcum AS (SELECT qr, SUM(c) OVER (ORDER BY qr) AS cum, nr.n
+                  FROM rh, nr),
+         icept AS (
+           SELECT CAST(MIN(qr) AS DOUBLE) AS icept_c
+           FROM rcum WHERE cum >= (n + 1) // 2)
+         SELECT (SELECT COUNT(*) FROM monthly) AS n_months,
+                (SELECT COUNT(*) FROM pairs) AS n_pairs,
+                floor(s.slope_c / 100.0 * 1e4 + 0.5) / 1e4 AS sen_slope,
+                floor(i.icept_c / 100.0 * 1e2 + 0.5) / 1e2
+                  AS sen_intercept
+         FROM slope s, icept i""",
 
     "x_ks_statistic" ->
       """WITH ev AS MATERIALIZED (
