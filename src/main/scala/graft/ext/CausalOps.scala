@@ -74,6 +74,77 @@ object CausalOps {
         .orderBy("stratum")
     }),
 
+    "x_ipw_ate" -> ((s, d) => {
+      // inverse-propensity-weighted ATE with EXACT discrete propensities
+      // — the reweighting complement to x_stratified_effect's direct
+      // standardization: within covariate cells (quantity deciles) the
+      // propensity e_c = n1_c/n_c is the observed cell frequency, so
+      // Σ T·y/e reduces to k1_c·n_c/n1_c per cell and the whole
+      // estimator is grouped-count algebra (with exact cell
+      // propensities the Horvitz–Thompson and Hájek forms coincide —
+      // both denominators equal Σ n_c — so one number is reported).
+      // Alongside: the positivity diagnostic (min/max propensity — the
+      // assumption IPW dies on) and the 0.1 ≤ e ≤ 0.9 trimmed
+      // estimator practitioners actually ship when positivity is thin.
+      // Per-cell terms quantize to 1e12 fixed point before the
+      // unordered sum (the x_pagerank discipline); cells are bounded
+      // (quantity div 10) so everything after the one fact-table
+      // groupBy is broadcast-sized.
+      val wide = t(s, d, "lineitem")
+        .select(expr("cast(l_quantity as bigint) div 10").as("stratum"),
+          (col("l_discount") >= 0.06).as("treated"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .groupBy("stratum")
+        .agg(
+          sum(when(col("treated"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("treated"), col("y")).otherwise(0L)).as("k1"),
+          sum(when(!col("treated"), 1L).otherwise(0L)).as("n0"),
+          sum(when(!col("treated"), col("y")).otherwise(0L)).as("k0"))
+        .filter(col("n1") > 0 && col("n0") > 0)
+        .withColumn("n", col("n1") + col("n0"))
+        .withColumn("e",
+          col("n1").cast("double") / col("n").cast("double"))
+        .localCheckpoint()
+      val trimmed = col("e") >= 0.1 && col("e") <= 0.9
+      val tot = wide.agg(
+        sum(col("n")).cast("long").as("nn"),
+        count(lit(1)).as("n_cells"),
+        sum(col("n1")).cast("long").as("tn1"),
+        sum(col("k1")).cast("long").as("tk1"),
+        sum(col("n0")).cast("long").as("tn0"),
+        sum(col("k0")).cast("long").as("tk0"),
+        min(col("e")).as("emin"), max(col("e")).as("emax"),
+        coalesce(sum(when(trimmed, col("n")).otherwise(0L)), lit(0L))
+          .cast("long").as("nt"),
+        sum(when(trimmed, 1L).otherwise(0L)).as("nt_cells"))
+      wide.crossJoin(broadcast(tot))
+        .select(
+          floor((col("k1").cast("double") * col("n") / col("n1")
+            - col("k0").cast("double") * col("n") / col("n0"))
+            / col("nn") * 1e12 + 0.5).cast("long").as("qterm"),
+          when(trimmed && col("nt") > 0,
+            floor((col("k1").cast("double") * col("n") / col("n1")
+              - col("k0").cast("double") * col("n") / col("n0"))
+              / col("nt") * 1e12 + 0.5).cast("long")).otherwise(0L)
+            .as("qtrim"),
+          col("nn"), col("n_cells"), col("tn1"), col("tk1"),
+          col("tn0"), col("tk0"), col("emin"), col("emax"),
+          col("nt"), col("nt_cells"))
+        .groupBy("nn", "n_cells", "tn1", "tk1", "tn0", "tk0",
+          "emin", "emax", "nt", "nt_cells")
+        .agg(sum(col("qterm")).as("qs"), sum(col("qtrim")).as("qst"))
+        .select(col("nn").as("n_used"), col("n_cells"),
+          detRound(col("emin"), 6).as("min_propensity"),
+          detRound(col("emax"), 6).as("max_propensity"),
+          detRound(col("tk1").cast("double") / col("tn1")
+            - col("tk0").cast("double") / col("tn0"), 8).as("naive_diff"),
+          detRound(col("qs").cast("double") / 1e12, 8).as("ate_ipw"),
+          col("nt").as("n_trimmed"), col("nt_cells"),
+          when(col("nt") > 0,
+            detRound(col("qst").cast("double") / 1e12, 8))
+            .as("ate_ipw_trimmed"))
+    }),
+
     "x_group_sequential" -> ((s, d) => {
       // group-sequential monitoring with an O'Brien–Fleming-SHAPED
       // boundary: five interim looks at calendar cuts, cumulative
@@ -415,6 +486,74 @@ object CausalOps {
                 floor(r.diff * 1e8 + 0.5) / 1e8 AS stratum_diff,
                 s.naive_diff, s.standardized_diff
          FROM rates r, std s ORDER BY r.stratum""",
+
+    "x_ipw_ate" ->
+      """WITH cells AS (
+           SELECT CAST(l_quantity AS BIGINT) // 10 AS stratum,
+                  l_discount >= 0.06 AS treated,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         wide AS MATERIALIZED (
+           SELECT stratum,
+                  CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n1,
+                  CAST(SUM(CASE WHEN treated THEN y ELSE 0 END) AS BIGINT)
+                    AS k1,
+                  CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n0,
+                  CAST(SUM(CASE WHEN NOT treated THEN y ELSE 0 END)
+                       AS BIGINT) AS k0
+           FROM cells GROUP BY 1
+           HAVING n1 > 0 AND n0 > 0),
+         ext AS (
+           SELECT *, n1 + n0 AS n,
+                  CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE) AS e
+           FROM wide),
+         tot AS (
+           SELECT CAST(SUM(n) AS BIGINT) AS nn, COUNT(*) AS n_cells,
+                  CAST(SUM(n1) AS BIGINT) AS tn1,
+                  CAST(SUM(k1) AS BIGINT) AS tk1,
+                  CAST(SUM(n0) AS BIGINT) AS tn0,
+                  CAST(SUM(k0) AS BIGINT) AS tk0,
+                  MIN(e) AS emin, MAX(e) AS emax,
+                  CAST(COALESCE(SUM(CASE WHEN e >= 0.1 AND e <= 0.9
+                                    THEN n ELSE 0 END), 0) AS BIGINT)
+                    AS nt,
+                  CAST(SUM(CASE WHEN e >= 0.1 AND e <= 0.9 THEN 1
+                           ELSE 0 END) AS BIGINT) AS nt_cells
+           FROM ext),
+         terms AS (
+           SELECT t.nn, t.n_cells, t.tn1, t.tk1, t.tn0, t.tk0,
+                  t.emin, t.emax, t.nt, t.nt_cells,
+                  CAST(floor((CAST(x.k1 AS DOUBLE) * x.n / x.n1
+                              - CAST(x.k0 AS DOUBLE) * x.n / x.n0)
+                             / t.nn * 1e12 + 0.5) AS BIGINT) AS qterm,
+                  CASE WHEN x.e >= 0.1 AND x.e <= 0.9 AND t.nt > 0 THEN
+                    CAST(floor((CAST(x.k1 AS DOUBLE) * x.n / x.n1
+                                - CAST(x.k0 AS DOUBLE) * x.n / x.n0)
+                               / t.nt * 1e12 + 0.5) AS BIGINT)
+                  ELSE 0 END AS qtrim
+           FROM ext x CROSS JOIN tot t),
+         agg AS (
+           SELECT nn, n_cells, tn1, tk1, tn0, tk0, emin, emax, nt,
+                  nt_cells,
+                  CAST(SUM(qterm) AS BIGINT) AS qs,
+                  CAST(SUM(qtrim) AS BIGINT) AS qst
+           FROM terms
+           GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+         SELECT nn AS n_used, n_cells,
+                floor(emin * 1e6 + 0.5) / 1e6 AS min_propensity,
+                floor(emax * 1e6 + 0.5) / 1e6 AS max_propensity,
+                floor((CAST(tk1 AS DOUBLE) / tn1
+                       - CAST(tk0 AS DOUBLE) / tn0) * 1e8 + 0.5) / 1e8
+                  AS naive_diff,
+                floor(CAST(qs AS DOUBLE) / 1e12 * 1e8 + 0.5) / 1e8
+                  AS ate_ipw,
+                nt AS n_trimmed, nt_cells,
+                CASE WHEN nt > 0 THEN
+                  floor(CAST(qst AS DOUBLE) / 1e12 * 1e8 + 0.5) / 1e8
+                END AS ate_ipw_trimmed
+         FROM agg""",
 
     "x_group_sequential" ->
       """WITH cuts AS (
