@@ -165,7 +165,161 @@ object CorpusOps {
                  CAST(SUM(q) AS BIGINT) AS sq
           FROM scored GROUP BY 1)"""
 
+  /** 3-token-shingle frequency-of-frequencies table shared by
+    * x_good_turing and x_chao1_vocab: (r, n_r) where n_r = number of
+    * distinct shingle types occurring exactly r times. */
+  private def shingleFof(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> " +
+          "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sp"))
+      .groupBy("sp").agg(count(lit(1)).as("r"))
+      .groupBy("r").agg(count(lit(1)).as("n_r"))
+
+  /** DuckDB twin of shingleFof. */
+  private val shingleFofSql: String =
+    """ttk AS (SELECT string_split(text, ' ') AS tk FROM documents),
+       sp AS (SELECT unnest(list_transform(range(0, len(tk) - 2),
+                i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sp
+              FROM ttk WHERE len(tk) >= 3),
+       cnt AS (SELECT sp, COUNT(*) AS r FROM sp GROUP BY 1),
+       fof AS MATERIALIZED (
+         SELECT r, COUNT(*) AS n_r FROM cnt GROUP BY 1)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "x_good_turing" -> ((s, d) => {
+      // Good–Turing frequency smoothing over the token stream — the
+      // estimator LM pipelines use to answer "how much probability mass
+      // belongs to tokens we have NEVER seen" (Good 1953; the
+      // Katz-backoff workhorse). Everything runs on the
+      // frequency-of-frequencies table: r* = (r+1)·N_{r+1}/N_r for the
+      // head counts r ≤ 10, plus the corpus-wide unseen mass N_1/N.
+      // Two grouped counts (species → counts → count-of-counts) — the
+      // second input is vocab-bounded, the third is bounded by the max
+      // species frequency; the r+1 lookup is a self-join on the tiny
+      // FoF table, window-free. The species unit is the 3-token
+      // shingle, NOT the unigram: the fixture's unigram vocabulary is
+      // 31 types all at ~900 occurrences (no tail at all — every
+      // smoothed row would be empty), while trigram shingles show the
+      // natural Zipf tail (9.4k singletons at sf0.01) the estimator
+      // exists for. Real corpora need this too — GT smoothing is run
+      // on n-gram tables, not just unigrams.
+      val fof = shingleFof(s, d).localCheckpoint()
+      val tot = fof.agg(
+        sum(col("r") * col("n_r")).cast("long").as("n_tokens"),
+        sum(when(col("r") === 1, col("n_r")).otherwise(0L))
+          .cast("long").as("n1"))
+      val nxt = fof.select((col("r") - 1).as("r"), col("n_r").as("n_next"))
+      fof.filter(col("r") <= 10)
+        .join(nxt, Seq("r"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("r"), col("n_r"),
+          detRound((col("r") + 1) * col("n_next").cast("double") /
+            col("n_r").cast("double"), 6).as("gt_r_star"),
+          detRound(col("n1").cast("double") /
+            col("n_tokens").cast("double"), 8).as("unseen_mass"))
+        .orderBy("r")
+    }),
+
+    "x_chao1_vocab" -> ((s, d) => {
+      // Chao1 species-richness estimate of the TRUE vocabulary size —
+      // the companion dial to x_heaps_law: Heaps extrapolates growth,
+      // Chao1 lower-bounds how much vocabulary exists at all, from just
+      // the singleton/doubleton counts: V̂ = V + N₁(N₁−1)/(2(N₂+1))
+      // (bias-corrected form, defined even when N₂ = 0), with Good's
+      // sample coverage Ĉ = 1 − N₁/N alongside. One aggregate over the
+      // same bounded frequency-of-frequencies table as x_good_turing
+      // (same 3-token species — see that op for why unigrams degenerate
+      // on this fixture).
+      val fof = shingleFof(s, d)
+      fof.agg(
+          sum(col("n_r")).cast("long").as("v_obs"),
+          sum(col("r") * col("n_r")).cast("long").as("n_tokens"),
+          sum(when(col("r") === 1, col("n_r")).otherwise(0L))
+            .cast("long").as("n1"),
+          sum(when(col("r") === 2, col("n_r")).otherwise(0L))
+            .cast("long").as("n2"))
+        .select(col("v_obs"), col("n_tokens"), col("n1"), col("n2"),
+          detRound(col("v_obs") +
+            col("n1").cast("double") * (col("n1") - 1) /
+              (lit(2.0) * (col("n2") + 1)), 2).as("chao1_vocab"),
+          detRound(lit(1.0) - col("n1").cast("double") /
+            col("n_tokens").cast("double"), 6).as("good_coverage"))
+    }),
+
+    "x_capture_recapture" -> ((s, d) => {
+      // Chapman capture–recapture estimate of the true corpus size from
+      // two overlapping crawls — the crawl-coverage readout: if crawl A
+      // sees n_A docs, crawl B sees n_B, and m are in both (matched by
+      // CONTENT hash, the dedup-grade identity), then
+      // N̂ = (n_A+1)(n_B+1)/(m+1) − 1 estimates how many docs exist,
+      // crawled or not. Crawls are deterministic doc_id slices with a
+      // built-in overlap; the fixture's true N is known, so the row
+      // carries estimate, standard error, and truth side by side. The
+      // overlap is a sha256 equi-join (32-byte keys, never text) —
+      // the exact-dedup plan shape.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .localCheckpoint()
+      val a = docs.filter(col("doc_id") % 3 =!= 0).select(col("h"))
+      val b = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("h").as("hb"))
+      val na = a.agg(count(lit(1)).as("n_a"))
+      val nb = b.agg(count(lit(1)).as("n_b"))
+      val m = a.join(b, col("h") === col("hb"))
+        .agg(count(lit(1)).as("m_overlap"))
+      val truth = docs.agg(count(lit(1)).as("true_n"))
+      na.crossJoin(nb).crossJoin(m).crossJoin(truth)
+        .select(col("n_a"), col("n_b"), col("m_overlap"),
+          detRound((col("n_a") + 1).cast("double") * (col("n_b") + 1) /
+            (col("m_overlap") + 1) - 1.0, 2).as("chapman_nhat"),
+          detRound(sqrt((col("n_a") + 1).cast("double") *
+            (col("n_b") + 1) * (col("n_a") - col("m_overlap")) *
+            (col("n_b") - col("m_overlap")) /
+            ((col("m_overlap") + 1).cast("double") *
+              (col("m_overlap") + 1) * (col("m_overlap") + 2))), 4)
+            .as("chapman_se"),
+          col("true_n"))
+    }),
+
+    "x_compaction_plan" -> ((s, d) => {
+      // small-file compaction planner — the lakehouse maintenance step
+      // that turns a manifest of small files into target-sized rewrite
+      // bins while PRESERVING key order (so downstream zonemap pruning
+      // keeps working, x_zonemap_prune): files sorted by id, running
+      // byte total, bin = exclusive-prefix-sum div target — the sorted
+      // first-fit plan whose bins can overshoot by at most one file
+      // (the standard trade; fill_pct makes the overshoot visible).
+      // The plan runs entirely on the MANIFEST (one row per file —
+      // metadata-sized at any data scale, never the rows inside);
+      // at real manifest cardinalities the prefix sum decomposes into
+      // the two-pass partitioned form already used by x_zorder_layout.
+      val target = 16384L
+      val manifest = t(s, d, "documents")
+        .groupBy(expr("doc_id div 20").as("file_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("bytes"))
+      val w = Window.orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      manifest
+        .withColumn("cum0", coalesce(sum(col("bytes")).over(w), lit(0L)))
+        .withColumn("bin", expr(s"cum0 div ${target}L"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("bytes")).cast("long").as("bytes"),
+          min(col("file_id")).as("first_file"),
+          max(col("file_id")).as("last_file"))
+        .select(col("bin").cast("long").as("bin"), col("n_files"),
+          col("n_docs"), col("bytes"), col("first_file"),
+          col("last_file"),
+          detRound(col("bytes").cast("double") / target, 4)
+            .as("fill_pct"))
+        .orderBy("bin")
+    }),
 
     "x_bm25" -> ((s, d) => {
       bm25Scored(s, d)
@@ -1041,6 +1195,86 @@ object CorpusOps {
     }))
 
   def oracleSql: Map[String, String] = Map(
+
+    "x_good_turing" ->
+      s"""WITH $shingleFofSql,
+         tot AS (
+           SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+                  CAST(SUM(CASE WHEN r = 1 THEN n_r ELSE 0 END)
+                       AS BIGINT) AS n1
+           FROM fof)
+         SELECT f.r, f.n_r,
+                floor((f.r + 1) * CAST(nx.n_r AS DOUBLE)
+                      / CAST(f.n_r AS DOUBLE) * 1e6 + 0.5) / 1e6
+                  AS gt_r_star,
+                floor(CAST(t.n1 AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+                      * 1e8 + 0.5) / 1e8 AS unseen_mass
+         FROM fof f
+         LEFT JOIN fof nx ON nx.r = f.r + 1
+         CROSS JOIN tot t
+         WHERE f.r <= 10 ORDER BY f.r""",
+
+    "x_chao1_vocab" ->
+      s"""WITH $shingleFofSql,
+         agg AS (
+           SELECT CAST(SUM(n_r) AS BIGINT) AS v_obs,
+                  CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+                  CAST(SUM(CASE WHEN r = 1 THEN n_r ELSE 0 END)
+                       AS BIGINT) AS n1,
+                  CAST(SUM(CASE WHEN r = 2 THEN n_r ELSE 0 END)
+                       AS BIGINT) AS n2
+           FROM fof)
+         SELECT v_obs, n_tokens, n1, n2,
+                floor((v_obs + CAST(n1 AS DOUBLE) * (n1 - 1)
+                       / (2.0 * (n2 + 1))) * 1e2 + 0.5) / 1e2
+                  AS chao1_vocab,
+                floor((1.0 - CAST(n1 AS DOUBLE)
+                       / CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                  AS good_coverage
+         FROM agg""",
+
+    "x_capture_recapture" ->
+      """WITH docs AS MATERIALIZED (
+           SELECT doc_id, sha256(text) AS h FROM documents),
+         a AS (SELECT h FROM docs WHERE doc_id % 3 <> 0),
+         b AS (SELECT h AS hb FROM docs WHERE doc_id % 2 = 0),
+         na AS (SELECT COUNT(*) AS n_a FROM a),
+         nb AS (SELECT COUNT(*) AS n_b FROM b),
+         m AS (SELECT COUNT(*) AS m_overlap
+               FROM a JOIN b ON a.h = b.hb),
+         truth AS (SELECT COUNT(*) AS true_n FROM docs)
+         SELECT n_a, n_b, m_overlap,
+                floor((CAST(n_a + 1 AS DOUBLE) * (n_b + 1)
+                       / (m_overlap + 1) - 1.0) * 1e2 + 0.5) / 1e2
+                  AS chapman_nhat,
+                floor(sqrt(CAST(n_a + 1 AS DOUBLE) * (n_b + 1)
+                           * (n_a - m_overlap) * (n_b - m_overlap)
+                           / (CAST(m_overlap + 1 AS DOUBLE)
+                              * (m_overlap + 1) * (m_overlap + 2)))
+                      * 1e4 + 0.5) / 1e4 AS chapman_se,
+                true_n
+         FROM na, nb, m, truth""",
+
+    "x_compaction_plan" ->
+      """WITH manifest AS (
+           SELECT doc_id // 20 AS file_id, COUNT(*) AS n_docs,
+                  CAST(SUM(n_chars) AS BIGINT) AS bytes
+           FROM documents GROUP BY 1),
+         cum AS (
+           SELECT file_id, n_docs, bytes,
+                  COALESCE(SUM(bytes) OVER (ORDER BY file_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cum0
+           FROM manifest)
+         SELECT CAST(cum0 // 16384 AS BIGINT) AS bin,
+                COUNT(*) AS n_files,
+                CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                CAST(SUM(bytes) AS BIGINT) AS bytes,
+                MIN(file_id) AS first_file,
+                MAX(file_id) AS last_file,
+                floor(CAST(SUM(bytes) AS DOUBLE) / 16384 * 1e4 + 0.5)
+                  / 1e4 AS fill_pct
+         FROM cum GROUP BY 1 ORDER BY 1""",
 
     "x_bm25" ->
       s"""WITH $bm25ScoredSql
