@@ -17,6 +17,43 @@ object EventOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "x_ucb_allocation" -> ((s, d) => {
+      // UCB1 bandit scores over the event-type arms (Auer et al. 2002:
+      // ucb = x̄ + √(2·ln N / n)) — the allocation readout an
+      // experimentation platform computes from logged history to decide
+      // which arm the NEXT unit should get: highest mean-plus-optimism
+      // wins, and under-explored arms (small n) get boosted by the
+      // radius term. Rewards normalize to [0,1] by the max observed
+      // per-pull value so the UCB scale assumption holds. All inputs to
+      // the double arithmetic are exact integers (per-pull cent
+      // quantization, the x_pagerank discipline): one grouped sum over
+      // events, O(arms) everything after.
+      val pulls = t(s, d, "events")
+        .select(col("event_type").as("arm"),
+          floor(col("value") * 100 + 0.5).cast("long").as("qv"))
+      val g = pulls.groupBy("arm")
+        .agg(count(lit(1)).as("n_pulls"), sum(col("qv")).as("sq"),
+          max(col("qv")).as("mx"))
+        .localCheckpoint()
+      val tot = g.agg(sum(col("n_pulls")).cast("long").as("nn"),
+        max(col("mx")).cast("long").as("qvmax"))
+      val scored = g.crossJoin(broadcast(tot))
+        .withColumn("mean_r",
+          col("sq").cast("double") /
+            (col("n_pulls") * col("qvmax")).cast("double"))
+        .withColumn("ucb", col("mean_r") +
+          sqrt(lit(2.0) * log(col("nn").cast("double")) / col("n_pulls")))
+        .withColumn("qucb", floor(col("ucb") * 1e9 + 0.5).cast("long"))
+        .localCheckpoint()
+      val best = scored.agg(max(col("qucb")).as("qbest"))
+      scored.crossJoin(broadcast(best))
+        .select(col("arm"), col("n_pulls"),
+          detRound(col("mean_r"), 6).as("mean_reward"),
+          detRound(col("ucb"), 6).as("ucb_score"),
+          (col("qucb") === col("qbest")).as("allocate_next"))
+        .orderBy("arm")
+    }),
+
     "x_seasonal_decompose" -> ((s, d) => {
       // classical additive decomposition of the daily event-count
       // series (trend = centered 7-day moving average, seasonal =
@@ -904,6 +941,37 @@ object EventOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "x_ucb_allocation" ->
+      """WITH pulls AS (
+           SELECT event_type AS arm,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS qv
+           FROM events),
+         g AS (
+           SELECT arm, COUNT(*) AS n_pulls,
+                  CAST(SUM(qv) AS BIGINT) AS sq,
+                  MAX(qv) AS mx
+           FROM pulls GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_pulls) AS BIGINT) AS nn,
+                        CAST(MAX(mx) AS BIGINT) AS qvmax
+                 FROM g),
+         scored AS MATERIALIZED (
+           SELECT g.arm, g.n_pulls,
+                  CAST(g.sq AS DOUBLE)
+                    / CAST(g.n_pulls * t.qvmax AS DOUBLE) AS mean_r,
+                  CAST(g.sq AS DOUBLE)
+                    / CAST(g.n_pulls * t.qvmax AS DOUBLE)
+                    + sqrt(2.0 * ln(CAST(t.nn AS DOUBLE)) / g.n_pulls)
+                    AS ucb
+           FROM g CROSS JOIN tot t),
+         q AS (SELECT *, CAST(floor(ucb * 1e9 + 0.5) AS BIGINT) AS qucb
+               FROM scored),
+         best AS (SELECT MAX(qucb) AS qbest FROM q)
+         SELECT arm, n_pulls,
+                floor(mean_r * 1e6 + 0.5) / 1e6 AS mean_reward,
+                floor(ucb * 1e6 + 0.5) / 1e6 AS ucb_score,
+                qucb = qbest AS allocate_next
+         FROM q, best ORDER BY arm""",
 
     "x_seasonal_decompose" ->
       """WITH daily AS (
