@@ -121,7 +121,14 @@ class PlanAuditSpec extends SparkSpec {
     "x_ann_trained_quality", "x_autocorrelation", "x_best_passage",
     "x_bfs_distances",
     "x_bm25", "x_bootstrap_ci", "x_bootstrap_median_ci", "x_bpe_fertility",
-    "x_bpe_tokenize", "x_burst_hours", "x_chi2_independence",
+    "x_bpe_tokenize", "x_burst_hours",
+    // r13 additions, reviewed: x_capture_recapture checkpoints the
+    // skinny (doc_id, sha256) projection (the dedup-family posture —
+    // O(docs) but never text); the others checkpoint O(groups)/O(arms)/
+    // O(months)/O(frequency-of-frequencies) aggregates.
+    "x_capture_recapture", "x_good_turing", "x_ipw_ate",
+    "x_levene_variance", "x_theil_sen", "x_ucb_allocation",
+    "x_chi2_independence",
     "x_classifier_agreement", "x_classifier_report", "x_cluster_size_dist",
     "x_cluster_topics", "x_collocations", "x_cooccurrence_recs",
     "x_curation_pipeline", "x_cusum_changepoint", "x_dedup_band_tuning",
