@@ -43,6 +43,90 @@ object EvalOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "x_fleiss_kappa" -> ((s, d) => {
+      // Fleiss' κ for MULTI-rater agreement — Cohen's κ
+      // (x_classifier_agreement) only handles two raters; labeling
+      // pipelines routinely run 3+ annotators (or 3+ model labelers)
+      // per document and need chance-corrected consensus quality.
+      // Raters are three deterministic md5-noise labelers of the
+      // binary long-document label (each flips truth with prob 1/8 on
+      // its own coin — real disagreement, reproducible everywhere).
+      // Per doc the state is just n_pos ∈ {0..3}: P_i = (Σ_j n_ij² −
+      // n)/(n(n−1)) needs only that count, so the whole statistic is
+      // two grouped integer sums. κ = (P̄ − P_e)/(1 − P_e).
+      val n = 3 // raters
+      val rated = t(s, d, "documents")
+        .select(col("doc_id"), (col("n_chars") >= 300).as("truth"))
+        .select(col("doc_id") +: (0 until n).map(r =>
+          when(substring(md5(concat(col("doc_id").cast("string"),
+            lit(s":rater$r"))), 1, 1) < "2",
+            when(col("truth"), 0L).otherwise(1L))
+            .otherwise(when(col("truth"), 1L).otherwise(0L))
+            .as(s"y$r")): _*)
+        .select(col("doc_id"),
+          (col("y0") + col("y1") + col("y2")).as("npos"))
+      val agg = rated.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("npos")).cast("long").as("tot_pos"),
+        sum(col("npos") * col("npos") +
+          (lit(n) - col("npos")) * (lit(n) - col("npos")))
+          .cast("long").as("sq"))
+      agg.select(col("n_docs"), col("tot_pos"),
+          (col("tot_pos").cast("double") / (col("n_docs") * n))
+            .as("p_pos"),
+          ((col("sq") - col("n_docs") * n).cast("double") /
+            (col("n_docs") * n * (n - 1)).cast("double")).as("p_bar"))
+        .withColumn("p_e",
+          col("p_pos") * col("p_pos") +
+            (lit(1.0) - col("p_pos")) * (lit(1.0) - col("p_pos")))
+        .select(col("n_docs"),
+          detRound(col("p_pos"), 6).as("p_pos"),
+          detRound(col("p_bar"), 6).as("p_bar"),
+          detRound(col("p_e"), 6).as("p_e"),
+          detRound((col("p_bar") - col("p_e")) /
+            (lit(1.0) - col("p_e")), 6).as("fleiss_kappa"))
+    }),
+
+    "x_mcnemar" -> ((s, d) => {
+      // McNemar's paired test — the CORRECT way to compare two
+      // classifiers evaluated on the SAME documents (a two-proportion
+      // z on their accuracies ignores the pairing and overstates the
+      // variance): only the discordant pairs carry information,
+      // b = A right ∧ B wrong, c = A wrong ∧ B right, χ² = (b−c)²/(b+c)
+      // (plus Edwards' continuity-corrected form, the one tables
+      // report). Raters are two md5-noise labelers with DIFFERENT flip
+      // rates (1/8 vs 3/16) so the test has a real signal to find.
+      // One grouped count over documents; four integer cells.
+      def noisy(rater: String, thresh: String) =
+        when(substring(md5(concat(col("doc_id").cast("string"),
+          lit(s":$rater"))), 1, 1) < thresh,
+          !col("truth")).otherwise(col("truth"))
+      val paired = t(s, d, "documents")
+        .select(col("doc_id"), (col("n_chars") >= 300).as("truth"))
+        .select(
+          (noisy("ra", "2") === col("truth")).as("a_right"),
+          (noisy("rb", "3") === col("truth")).as("b_right"))
+      val cells = paired.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("a_right") && !col("b_right"), 1L).otherwise(0L))
+          .cast("long").as("b"),
+        sum(when(!col("a_right") && col("b_right"), 1L).otherwise(0L))
+          .cast("long").as("c"))
+      cells
+        .withColumn("chi2",
+          (col("b") - col("c")).cast("double") * (col("b") - col("c")) /
+            (col("b") + col("c")).cast("double"))
+        .withColumn("chi2_cc",
+          (abs(col("b") - col("c")) - 1).cast("double") *
+            (abs(col("b") - col("c")) - 1) /
+            (col("b") + col("c")).cast("double"))
+        .select(col("n_docs"), col("b").as("a_only_right"),
+          col("c").as("b_only_right"),
+          detRound(col("chi2"), 6).as("mcnemar_chi2"),
+          detRound(col("chi2_cc"), 6).as("mcnemar_chi2_cc"),
+          (col("chi2_cc") > lit(3.841)).as("significant_05"))
+    }),
+
     "x_cumulative_gains" -> ((s, d) => {
       // cumulative gains / lift table — the model-eval readout a ranker
       // ships with: sort by score, cut into deciles, report per-decile
@@ -265,6 +349,79 @@ object EvalOps {
     }))
 
   def oracleSql: Map[String, String] = Map(
+
+    "x_fleiss_kappa" ->
+      """WITH rated AS (
+           SELECT doc_id,
+                  (CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)
+                          || ':rater0'), 1, 1) < '2'
+                        THEN CASE WHEN n_chars >= 300 THEN 0 ELSE 1 END
+                        ELSE CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+                   END)
+                  + (CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)
+                          || ':rater1'), 1, 1) < '2'
+                        THEN CASE WHEN n_chars >= 300 THEN 0 ELSE 1 END
+                        ELSE CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+                   END)
+                  + (CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)
+                          || ':rater2'), 1, 1) < '2'
+                        THEN CASE WHEN n_chars >= 300 THEN 0 ELSE 1 END
+                        ELSE CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+                   END) AS npos
+           FROM documents),
+         agg AS (
+           SELECT COUNT(*) AS n_docs,
+                  CAST(SUM(npos) AS BIGINT) AS tot_pos,
+                  CAST(SUM(npos * npos + (3 - npos) * (3 - npos))
+                       AS BIGINT) AS sq
+           FROM rated),
+         st AS (
+           SELECT n_docs, tot_pos,
+                  CAST(tot_pos AS DOUBLE) / (n_docs * 3) AS p_pos,
+                  CAST(sq - n_docs * 3 AS DOUBLE)
+                    / CAST(n_docs * 3 * 2 AS DOUBLE) AS p_bar
+           FROM agg),
+         pe AS (
+           SELECT *, p_pos * p_pos + (1.0 - p_pos) * (1.0 - p_pos) AS p_e
+           FROM st)
+         SELECT n_docs,
+                floor(p_pos * 1e6 + 0.5) / 1e6 AS p_pos,
+                floor(p_bar * 1e6 + 0.5) / 1e6 AS p_bar,
+                floor(p_e * 1e6 + 0.5) / 1e6 AS p_e,
+                floor((p_bar - p_e) / (1.0 - p_e) * 1e6 + 0.5) / 1e6
+                  AS fleiss_kappa
+         FROM pe""",
+
+    "x_mcnemar" ->
+      """WITH paired AS (
+           SELECT (CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)
+                     || ':ra'), 1, 1) < '2'
+                   THEN NOT (n_chars >= 300) ELSE n_chars >= 300 END)
+                    = (n_chars >= 300) AS a_right,
+                  (CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)
+                     || ':rb'), 1, 1) < '3'
+                   THEN NOT (n_chars >= 300) ELSE n_chars >= 300 END)
+                    = (n_chars >= 300) AS b_right
+           FROM documents),
+         cells AS (
+           SELECT COUNT(*) AS n_docs,
+                  CAST(SUM(CASE WHEN a_right AND NOT b_right THEN 1
+                           ELSE 0 END) AS BIGINT) AS b,
+                  CAST(SUM(CASE WHEN NOT a_right AND b_right THEN 1
+                           ELSE 0 END) AS BIGINT) AS c
+           FROM paired),
+         st AS (
+           SELECT n_docs, b, c,
+                  CAST(b - c AS DOUBLE) * (b - c)
+                    / CAST(b + c AS DOUBLE) AS chi2,
+                  CAST(abs(b - c) - 1 AS DOUBLE) * (abs(b - c) - 1)
+                    / CAST(b + c AS DOUBLE) AS chi2_cc
+           FROM cells)
+         SELECT n_docs, b AS a_only_right, c AS b_only_right,
+                floor(chi2 * 1e6 + 0.5) / 1e6 AS mcnemar_chi2,
+                floor(chi2_cc * 1e6 + 0.5) / 1e6 AS mcnemar_chi2_cc,
+                chi2_cc > 3.841 AS significant_05
+         FROM st""",
 
     "x_cumulative_gains" ->
       s"""WITH $docSignalSql,

@@ -821,6 +821,94 @@ object StatsOps {
           (abs(col("z")) > lit(1.96)).as("significant_05"))
     }),
 
+    "x_permutation_test" -> ((s, d) => {
+      // permutation (randomization) test for the two-arm difference in
+      // mean order value — the inference that needs NO distributional
+      // assumption: under the null the arm labels are exchangeable, so
+      // the observed |Δ| is compared against Δ under B=32 relabelings.
+      // Coins are md5(key:b) — deterministic "randomness", identical
+      // in both engines — with b=0 the observed assignment.
+      // Scale shape: the b-fanout aggregates map-side, so despite the
+      // 33× row fanout the shuffle is 2(B+1) cells of exact cent sums;
+      // everything after is O(B) and broadcast. p = (#{|Δ_b| ≥ |Δ_0|}
+      // + 1)/(B + 1), the add-one Monte-Carlo estimator (Phipson &
+      // Smyth 2010 — never reports p = 0).
+      val B = 32
+      val diffs = t(s, d, "orders")
+        .select(col("o_orderkey").cast("string").as("k"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("qy"))
+        .select(col("k"), col("qy"),
+          explode(expr(s"sequence(0, $B)")).as("b"))
+        .withColumn("arm",
+          substring(md5(concat(col("k"), lit(":"),
+            col("b").cast("string"))), 1, 1) < "8")
+        .groupBy("b")
+        .agg(
+          sum(when(col("arm"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm"), col("qy")).otherwise(0L)).as("sy1"),
+          sum(when(!col("arm"), 1L).otherwise(0L)).as("n0"),
+          sum(when(!col("arm"), col("qy")).otherwise(0L)).as("sy0"))
+        .withColumn("diff",
+          col("sy1").cast("double") / col("n1") / 100.0 -
+            col("sy0").cast("double") / col("n0") / 100.0)
+        .withColumn("qad", floor(abs(col("diff")) * 1e6 + 0.5)
+          .cast("long"))
+        .localCheckpoint()
+      val obs = diffs.filter(col("b") === 0)
+        .select(col("diff").as("obs_diff"), col("qad").as("obs_qad"),
+          (col("n1") + col("n0")).as("n_orders"))
+      diffs.filter(col("b") > 0).crossJoin(broadcast(obs))
+        .groupBy("n_orders", "obs_diff")
+        .agg(count(lit(1)).as("b_perms"),
+          sum(when(col("qad") >= col("obs_qad"), 1L).otherwise(0L))
+            .cast("long").as("n_exceed"))
+        .select(col("n_orders"), col("b_perms"), col("n_exceed"),
+          detRound(col("obs_diff"), 4).as("obs_diff"),
+          detRound((col("n_exceed") + 1).cast("double") /
+            (col("b_perms") + 1).cast("double"), 6).as("p_value"))
+    }),
+
+    "x_gumbel_maxima" -> ((s, d) => {
+      // Gumbel extreme-value fit over monthly block maxima of order
+      // value (method of moments: β = s·√6/π, μ = m − γ·β) with the
+      // 12-block return level μ − β·ln(−ln(1 − 1/12)) — the tail-risk
+      // readout ("the largest order we should expect in a year")
+      // that percentiles of the raw distribution cannot answer.
+      // Maxima are exact cent integers; mean/sd come from
+      // DECIMAL(38,0)/HUGEINT sums over the ~80-row block table; the
+      // γ and π constants are pinned 17-digit literals so both engines
+      // run identical IEEE arithmetic.
+      val gamma = 0.57721566490153286
+      val pi = 3.141592653589793
+      val mx = t(s, d, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 +
+          (month(col("o_orderdate")) - 1)).as("mi"))
+        .agg(max(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("qmx"))
+      val agg = mx.agg(count(lit(1)).as("n"),
+        sum(col("qmx").cast("decimal(38,0)")).as("sy"),
+        sum((col("qmx").cast("decimal(38,0)") *
+          col("qmx").cast("decimal(38,0)"))).as("syy"))
+      agg
+        .withColumn("m", col("sy").cast("double") / col("n") / 100.0)
+        .withColumn("v",
+          (col("syy").cast("double") / 1e4
+            - (col("sy").cast("double") / 100.0)
+              * (col("sy").cast("double") / 100.0) / col("n"))
+            / (col("n") - 1))
+        .withColumn("sd", sqrt(col("v")))
+        .withColumn("beta", col("sd") * sqrt(lit(6.0)) / lit(pi))
+        .withColumn("mu", col("m") - lit(gamma) * col("beta"))
+        .select(col("n").as("n_blocks"),
+          detRound(col("m"), 2).as("block_mean"),
+          detRound(col("sd"), 2).as("block_sd"),
+          detRound(col("beta"), 4).as("gumbel_beta"),
+          detRound(col("mu"), 2).as("gumbel_mu"),
+          detRound(col("mu") - col("beta") *
+            log(-log(lit(1.0) - lit(1.0) / 12.0)), 2)
+            .as("return_level_12"))
+    }),
+
     "x_welch_ttest" -> ((s, d) => {
       // Welch two-sample unequal-variance t-test per order-priority
       // segment — the default two-arm readout when variances cannot be
@@ -2157,6 +2245,85 @@ object StatsOps {
                               + CAST(1.0 AS DOUBLE) / n2)))
                   > CAST(1.96 AS DOUBLE) AS significant_05
          FROM f""",
+
+    "x_permutation_test" ->
+      """WITH fan AS (
+           SELECT CAST(o_orderkey AS VARCHAR) AS k,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS qy,
+                  unnest(range(0, 33)) AS b
+           FROM orders),
+         cells AS (
+           SELECT b,
+                  CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n1,
+                  CAST(SUM(CASE WHEN arm THEN qy ELSE 0 END) AS BIGINT)
+                    AS sy1,
+                  CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n0,
+                  CAST(SUM(CASE WHEN NOT arm THEN qy ELSE 0 END)
+                       AS BIGINT) AS sy0
+           FROM (SELECT b, qy,
+                        substring(md5(k || ':' || CAST(b AS VARCHAR)),
+                          1, 1) < '8' AS arm
+                 FROM fan)
+           GROUP BY 1),
+         diffs AS MATERIALIZED (
+           SELECT b, n1 + n0 AS n_orders,
+                  CAST(sy1 AS DOUBLE) / n1 / 100.0
+                    - CAST(sy0 AS DOUBLE) / n0 / 100.0 AS diff
+           FROM cells),
+         q AS (SELECT b, n_orders, diff,
+                      CAST(floor(abs(diff) * 1e6 + 0.5) AS BIGINT) AS qad
+               FROM diffs),
+         obs AS (SELECT diff AS obs_diff, qad AS obs_qad, n_orders
+                 FROM q WHERE b = 0)
+         SELECT o.n_orders, COUNT(*) AS b_perms,
+                CAST(SUM(CASE WHEN p.qad >= o.obs_qad THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_exceed,
+                floor(o.obs_diff * 1e4 + 0.5) / 1e4 AS obs_diff,
+                floor((CAST(SUM(CASE WHEN p.qad >= o.obs_qad THEN 1
+                                ELSE 0 END) AS DOUBLE) + 1)
+                      / (COUNT(*) + 1) * 1e6 + 0.5) / 1e6 AS p_value
+         FROM q p CROSS JOIN obs o
+         WHERE p.b > 0
+         GROUP BY o.n_orders, o.obs_diff""",
+
+    "x_gumbel_maxima" ->
+      """WITH mx AS (
+           SELECT year(o_orderdate) * 12 + (month(o_orderdate) - 1)
+                    AS mi,
+                  MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS qmx
+           FROM orders GROUP BY 1),
+         agg AS (
+           SELECT COUNT(*) AS n,
+                  SUM(CAST(qmx AS HUGEINT)) AS sy,
+                  SUM(CAST(qmx AS HUGEINT) * CAST(qmx AS HUGEINT))
+                    AS syy
+           FROM mx),
+         st AS (
+           SELECT n,
+                  CAST(sy AS DOUBLE) / n / 100.0 AS m,
+                  (CAST(syy AS DOUBLE) / 1e4
+                   - (CAST(sy AS DOUBLE) / 100.0)
+                     * (CAST(sy AS DOUBLE) / 100.0) / n) / (n - 1) AS v
+           FROM agg),
+         fit AS (
+           SELECT n, m, sqrt(v) AS sd,
+                  sqrt(v) * sqrt(6.0) / 3.141592653589793 AS beta
+           FROM st),
+         mu AS (
+           SELECT n, m, sd, beta,
+                  m - 0.57721566490153286 * beta AS mu
+           FROM fit)
+         SELECT n AS n_blocks,
+                floor(m * 1e2 + 0.5) / 1e2 AS block_mean,
+                floor(sd * 1e2 + 0.5) / 1e2 AS block_sd,
+                floor(beta * 1e4 + 0.5) / 1e4 AS gumbel_beta,
+                floor(mu * 1e2 + 0.5) / 1e2 AS gumbel_mu,
+                floor((mu - beta * ln(-ln(1.0 - 1.0 / 12.0))) * 1e2
+                      + 0.5) / 1e2 AS return_level_12
+         FROM mu""",
 
     "x_welch_ttest" ->
       """WITH base AS (
