@@ -321,6 +321,37 @@ object CorpusOps {
         .orderBy("bin")
     }),
 
+    "x_token_budget" -> ((s, d) => {
+      // training-run data-recipe table: given a token budget of 4× the
+      // corpus (the compute-optimal-ish regime where small sources must
+      // repeat) and a UNIFORM target mixture over sources, how many
+      // epochs of each source does the run consume — and which sources
+      // cross the ~4-epoch line beyond which repetition stops helping
+      // (Muennighoff et al. 2023, "Scaling Data-Constrained LMs": value
+      // decays fast after ~4 epochs). epochs_s = budget·w_s/tokens_s.
+      // One grouped token count; everything after is O(sources).
+      val perSrc = t(s, d, "documents")
+        .select(col("source"), size(split(col("text"), " ")).cast("long")
+          .as("ntok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("long").as("tokens"))
+      val tot = perSrc.agg(sum(col("tokens")).cast("long").as("tt"),
+        count(lit(1)).as("k"))
+      perSrc.crossJoin(broadcast(tot))
+        .withColumn("budget", (col("tt") * 4).cast("long"))
+        .withColumn("target_tokens",
+          (col("budget").cast("double") / col("k")))
+        .withColumn("epochs", col("target_tokens") / col("tokens"))
+        .select(col("source"), col("n_docs"), col("tokens"),
+          detRound(col("tokens").cast("double") /
+            col("tt").cast("double"), 6).as("corpus_share"),
+          detRound(col("target_tokens"), 2).as("target_tokens"),
+          detRound(col("epochs"), 4).as("epochs"),
+          (col("epochs") > 4.0).as("over_epoch_cap"))
+        .orderBy("source")
+    }),
+
     "x_bm25" -> ((s, d) => {
       bm25Scored(s, d)
         .select(col("doc_id"), col("n_terms_matched"),
@@ -1275,6 +1306,28 @@ object CorpusOps {
                 floor(CAST(SUM(bytes) AS DOUBLE) / 16384 * 1e4 + 0.5)
                   / 1e4 AS fill_pct
          FROM cum GROUP BY 1 ORDER BY 1""",
+
+    "x_token_budget" ->
+      """WITH per AS (
+           SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                    AS tokens
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt,
+                        COUNT(*) AS k
+                 FROM per),
+         st AS (
+           SELECT p.source, p.n_docs, p.tokens, t.tt,
+                  CAST(t.tt * 4 AS DOUBLE) / t.k AS target_tokens
+           FROM per p CROSS JOIN tot t)
+         SELECT source, n_docs, tokens,
+                floor(CAST(tokens AS DOUBLE) / CAST(tt AS DOUBLE)
+                      * 1e6 + 0.5) / 1e6 AS corpus_share,
+                floor(target_tokens * 1e2 + 0.5) / 1e2 AS target_tokens,
+                floor(target_tokens / tokens * 1e4 + 0.5) / 1e4
+                  AS epochs,
+                target_tokens / tokens > 4.0 AS over_epoch_cap
+         FROM st ORDER BY source""",
 
     "x_bm25" ->
       s"""WITH $bm25ScoredSql

@@ -87,6 +87,51 @@ object EvalOps {
             (lit(1.0) - col("p_e")), 6).as("fleiss_kappa"))
     }),
 
+    "x_cronbach_alpha" -> ((s, d) => {
+      // Cronbach's α internal-consistency coefficient over the same
+      // three-rater panel as x_fleiss_kappa — the scale-reliability
+      // view of the same data: items = raters, score = their binary
+      // votes, α = k/(k−1)·(1 − Σσ²_item/σ²_total). κ asks "do they
+      // agree beyond chance", α asks "do the items measure ONE
+      // construct" — a labeling pipeline wants both before trusting a
+      // consensus label. Binary items make every variance a function
+      // of integer sums (y² = y), so the whole statistic is one
+      // grouped pass of exact counts.
+      val n = 3
+      val rated = t(s, d, "documents")
+        .select(col("doc_id"), (col("n_chars") >= 300).as("truth"))
+        .select(col("doc_id") +: (0 until n).map(r =>
+          when(substring(md5(concat(col("doc_id").cast("string"),
+            lit(s":rater$r"))), 1, 1) < "2",
+            when(col("truth"), 0L).otherwise(1L))
+            .otherwise(when(col("truth"), 1L).otherwise(0L))
+            .as(s"y$r")): _*)
+      val agg = rated.agg(
+        count(lit(1)).as("nd"),
+        sum(col("y0")).cast("long").as("s0"),
+        sum(col("y1")).cast("long").as("s1"),
+        sum(col("y2")).cast("long").as("s2"),
+        sum((col("y0") + col("y1") + col("y2")) *
+          (col("y0") + col("y1") + col("y2"))).cast("long").as("sxx"),
+        sum(col("y0") + col("y1") + col("y2")).cast("long").as("sx"))
+      def vOf(sc: org.apache.spark.sql.Column) =
+        (sc.cast("double") - sc.cast("double") * sc / col("nd")) /
+          (col("nd") - 1)
+      agg
+        .withColumn("item_var",
+          vOf(col("s0")) + vOf(col("s1")) + vOf(col("s2")))
+        .withColumn("total_var",
+          (col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx") / col("nd")) /
+            (col("nd") - 1))
+        .select(col("nd").as("n_docs"), lit(n).as("k_items"),
+          detRound(col("item_var"), 6).as("sum_item_var"),
+          detRound(col("total_var"), 6).as("total_var"),
+          detRound(lit(n.toDouble) / (n - 1) *
+            (lit(1.0) - col("item_var") / col("total_var")), 6)
+            .as("cronbach_alpha"))
+    }),
+
     "x_mcnemar" -> ((s, d) => {
       // McNemar's paired test — the CORRECT way to compare two
       // classifiers evaluated on the SAME documents (a two-proportion
@@ -391,6 +436,53 @@ object EvalOps {
                 floor((p_bar - p_e) / (1.0 - p_e) * 1e6 + 0.5) / 1e6
                   AS fleiss_kappa
          FROM pe""",
+
+    "x_cronbach_alpha" ->
+      """WITH rated AS (
+           SELECT doc_id,
+                  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)
+                         || ':rater0'), 1, 1) < '2'
+                       THEN CASE WHEN n_chars >= 300 THEN 0 ELSE 1 END
+                       ELSE CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+                  END AS y0,
+                  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)
+                         || ':rater1'), 1, 1) < '2'
+                       THEN CASE WHEN n_chars >= 300 THEN 0 ELSE 1 END
+                       ELSE CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+                  END AS y1,
+                  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)
+                         || ':rater2'), 1, 1) < '2'
+                       THEN CASE WHEN n_chars >= 300 THEN 0 ELSE 1 END
+                       ELSE CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+                  END AS y2
+           FROM documents),
+         agg AS (
+           SELECT COUNT(*) AS nd,
+                  CAST(SUM(y0) AS BIGINT) AS s0,
+                  CAST(SUM(y1) AS BIGINT) AS s1,
+                  CAST(SUM(y2) AS BIGINT) AS s2,
+                  CAST(SUM((y0 + y1 + y2) * (y0 + y1 + y2)) AS BIGINT)
+                    AS sxx,
+                  CAST(SUM(y0 + y1 + y2) AS BIGINT) AS sx
+           FROM rated),
+         st AS (
+           SELECT nd,
+                  (CAST(s0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / nd)
+                    / (nd - 1)
+                  + (CAST(s1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nd)
+                    / (nd - 1)
+                  + (CAST(s2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / nd)
+                    / (nd - 1) AS item_var,
+                  (CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * sx / nd) / (nd - 1)
+                    AS total_var
+           FROM agg)
+         SELECT nd AS n_docs, 3 AS k_items,
+                floor(item_var * 1e6 + 0.5) / 1e6 AS sum_item_var,
+                floor(total_var * 1e6 + 0.5) / 1e6 AS total_var,
+                floor(3.0 / 2 * (1.0 - item_var / total_var) * 1e6
+                      + 0.5) / 1e6 AS cronbach_alpha
+         FROM st""",
 
     "x_mcnemar" ->
       """WITH paired AS (

@@ -821,6 +821,47 @@ object StatsOps {
           (abs(col("z")) > lit(1.96)).as("significant_05"))
     }),
 
+    "x_wasserstein_1d" -> ((s, d) => {
+      // 1-D Wasserstein (earth-mover) distance between the doc-length
+      // distributions of the even/odd doc cohorts — the drift metric
+      // that sees what KS and PSI miss: KS reports only the WORST
+      // vertical CDF gap and PSI only binned ratios, while W₁ =
+      // ∫|F₁−F₂|dx integrates both how often and how FAR the
+      // distributions disagree (the units are the metric's own — chars
+      // here). Exact computation on the distinct-value support: CDF
+      // steps are integer cumulative counts, each |ΔF|·Δx term is
+      // fixed-point quantized (1e9) before the unordered sum, and the
+      // only window runs over the grouped support (≤ |distinct
+      // lengths| rows — the x_ks_statistic posture).
+      val ev = t(s, d, "documents")
+        .groupBy(col("n_chars").as("x"))
+        .agg(
+          sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L))
+            .cast("long").as("c1"),
+          sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L))
+            .cast("long").as("c2"))
+      val w = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wl = Window.orderBy("x")
+      val tot = ev.agg(sum(col("c1")).cast("long").as("n1"),
+        sum(col("c2")).cast("long").as("n2"))
+      ev.crossJoin(broadcast(tot))
+        .withColumn("f1", sum(col("c1")).over(w).cast("long"))
+        .withColumn("f2", sum(col("c2")).over(w).cast("long"))
+        .withColumn("dx", (lead(col("x"), 1).over(wl) - col("x"))
+          .cast("double"))
+        .filter(col("dx").isNotNull)
+        .withColumn("q", floor(
+          abs(col("f1").cast("double") / col("n1") -
+            col("f2").cast("double") / col("n2")) * col("dx")
+            * 1e9 + 0.5).cast("long"))
+        .groupBy("n1", "n2")
+        .agg(sum(col("q")).as("qs"), count(lit(1)).as("n_steps"))
+        .select(col("n1"), col("n2"), col("n_steps"),
+          detRound(col("qs").cast("double") / 1e9, 6)
+            .as("wasserstein_1"))
+    }),
+
     "x_permutation_test" -> ((s, d) => {
       // permutation (randomization) test for the two-arm difference in
       // mean order value — the inference that needs NO distributional
@@ -2245,6 +2286,34 @@ object StatsOps {
                               + CAST(1.0 AS DOUBLE) / n2)))
                   > CAST(1.96 AS DOUBLE) AS significant_05
          FROM f""",
+
+    "x_wasserstein_1d" ->
+      """WITH ev AS (
+           SELECT n_chars AS x,
+                  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c1,
+                  CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c2
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                        CAST(SUM(c2) AS BIGINT) AS n2
+                 FROM ev),
+         steps AS (
+           SELECT t.n1, t.n2,
+                  CAST(SUM(c1) OVER (ORDER BY x) AS BIGINT) AS f1,
+                  CAST(SUM(c2) OVER (ORDER BY x) AS BIGINT) AS f2,
+                  CAST(lead(x) OVER (ORDER BY x) - x AS DOUBLE) AS dx
+           FROM ev CROSS JOIN tot t),
+         q AS (
+           SELECT n1, n2,
+                  CAST(floor(abs(CAST(f1 AS DOUBLE) / n1
+                                 - CAST(f2 AS DOUBLE) / n2) * dx
+                             * 1e9 + 0.5) AS BIGINT) AS q
+           FROM steps WHERE dx IS NOT NULL)
+         SELECT n1, n2, COUNT(*) AS n_steps,
+                floor(CAST(SUM(q) AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6
+                  AS wasserstein_1
+         FROM q GROUP BY 1, 2""",
 
     "x_permutation_test" ->
       """WITH fan AS (
