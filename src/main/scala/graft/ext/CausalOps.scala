@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.types.Coercions.detRound
@@ -72,6 +73,49 @@ object CausalOps {
           detRound(col("diff"), 8).as("stratum_diff"),
           col("naive_diff"), col("standardized_diff"))
         .orderBy("stratum")
+    }),
+
+    "x_quantile_treatment_effect" -> ((s, d) => {
+      // quantile treatment effects at the quartiles — the
+      // DISTRIBUTIONAL view a mean contrast (x_ipw_ate, x_cuped)
+      // averages away: an intervention can leave the mean flat while
+      // compressing the tails, and QTE(q) = Q_treated(q) − Q_control(q)
+      // is where that shows. Arms are the md5 order coin on order
+      // value. Each quantile is a RANK SELECTION per arm (value at
+      // rank ⌈q·n⌉) over the grouped (arm, cent-value) histogram —
+      // the engine's interpolation-free median machinery, windows only
+      // over distinct values per arm, never raw rows.
+      val hist = t(s, d, "orders")
+        .select(
+          when(substring(md5(col("o_orderkey").cast("string")), 1, 1)
+            < "8", "treated").otherwise("control").as("arm"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("qv"))
+        .groupBy("arm", "qv").agg(count(lit(1)).as("c"))
+      val wC = Window.partitionBy("arm").orderBy("qv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(wC))
+        .localCheckpoint()
+      val ns = cum.groupBy("arm")
+        .agg(max(col("cum")).cast("long").as("n"))
+      val qs = Seq(25, 50, 75)
+      val sel = cum.join(broadcast(ns), "arm")
+        .select(col("arm"), col("qv"), col("cum"), col("n"),
+          explode(expr(s"array(${qs.mkString(", ")})")).as("q"))
+        // value at rank ⌈q·n/100⌉: smallest qv whose cum reaches it.
+        // Ceiling as (qn+99) div 100 on POSITIVE ints only — Spark's
+        // div truncates toward zero while DuckDB's // floors, so the
+        // negate-divide-negate ceiling idiom diverges on negatives.
+        .filter(col("cum") >= expr("(q * n + 99) div 100"))
+        .groupBy("q")
+        .agg(
+          min(when(col("arm") === "treated", col("qv"))).as("qt"),
+          min(when(col("arm") === "control", col("qv"))).as("qc"))
+      sel.select(col("q").cast("long").as("quantile_pct"),
+          detRound(col("qt") / 100.0, 2).as("v_treated"),
+          detRound(col("qc") / 100.0, 2).as("v_control"),
+          detRound((col("qt") - col("qc")) / 100.0, 2).as("qte"))
+        .orderBy("quantile_pct")
     }),
 
     "x_ipw_ate" -> ((s, d) => {
@@ -486,6 +530,41 @@ object CausalOps {
                 floor(r.diff * 1e8 + 0.5) / 1e8 AS stratum_diff,
                 s.naive_diff, s.standardized_diff
          FROM rates r, std s ORDER BY r.stratum""",
+
+    "x_quantile_treatment_effect" ->
+      """WITH hist AS (
+           SELECT CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)),
+                         1, 1) < '8' THEN 'treated' ELSE 'control' END
+                    AS arm,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS qv,
+                  COUNT(*) AS c
+           FROM orders GROUP BY 1, 2),
+         cum AS MATERIALIZED (
+           SELECT arm, qv,
+                  CAST(SUM(c) OVER (PARTITION BY arm ORDER BY qv)
+                       AS BIGINT) AS cum
+           FROM hist),
+         ns AS (SELECT arm, CAST(MAX(cum) AS BIGINT) AS n
+                FROM cum GROUP BY 1),
+         sel AS (
+           SELECT q.q, c.arm, c.qv
+           FROM cum c
+           JOIN ns USING (arm)
+           CROSS JOIN (SELECT unnest([25, 50, 75]) AS q) q
+           WHERE c.cum >= (q.q * ns.n + 99) // 100),
+         agg AS (
+           SELECT q,
+                  MIN(CASE WHEN arm = 'treated' THEN qv END) AS qt,
+                  MIN(CASE WHEN arm = 'control' THEN qv END) AS qc
+           FROM sel GROUP BY 1)
+         SELECT CAST(q AS BIGINT) AS quantile_pct,
+                floor(CAST(qt AS DOUBLE) / 1e2 * 1e2 + 0.5) / 1e2
+                  AS v_treated,
+                floor(CAST(qc AS DOUBLE) / 1e2 * 1e2 + 0.5) / 1e2
+                  AS v_control,
+                floor(CAST(qt - qc AS DOUBLE) / 1e2 * 1e2 + 0.5) / 1e2
+                  AS qte
+         FROM agg ORDER BY quantile_pct""",
 
     "x_ipw_ate" ->
       """WITH cells AS (

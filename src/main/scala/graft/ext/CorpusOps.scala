@@ -321,6 +321,27 @@ object CorpusOps {
         .orderBy("bin")
     }),
 
+    "x_reservoir_sample" -> ((s, d) => {
+      // fixed-size uniform sample via bottom-k hash priorities — the
+      // DISTRIBUTED form of reservoir sampling: md5(doc_id) is each
+      // row's priority, the k smallest win, and unlike a sequential
+      // reservoir the result is (a) identical on every run and engine,
+      // (b) MERGEABLE (bottom-k of a union = bottom-k of the per-
+      // partition bottom-ks — map-side TakeOrderedAndProject, no
+      // global sort), and (c) consistent under re-partitioning. The
+      // complement to x_stratified_sample's quota rebalancing: this
+      // one is unconditionally uniform. k = 100; per-lang counts of
+      // the sample ride along as the uniformity eyeball.
+      val k = 100
+      val sample = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(col("doc_id").cast("string")).as("pri"))
+        .orderBy("pri", "doc_id").limit(k)
+      sample.select(col("doc_id"), col("lang"), col("source"),
+          col("pri").as("priority"))
+        .orderBy("priority", "doc_id")
+    }),
+
     "x_token_budget" -> ((s, d) => {
       // training-run data-recipe table: given a token budget of 4× the
       // corpus (the compute-optimal-ish regime where small sources must
@@ -1306,6 +1327,12 @@ object CorpusOps {
                 floor(CAST(SUM(bytes) AS DOUBLE) / 16384 * 1e4 + 0.5)
                   / 1e4 AS fill_pct
          FROM cum GROUP BY 1 ORDER BY 1""",
+
+    "x_reservoir_sample" ->
+      """SELECT doc_id, lang, source,
+                md5(CAST(doc_id AS VARCHAR)) AS priority
+         FROM documents
+         ORDER BY priority, doc_id LIMIT 100""",
 
     "x_token_budget" ->
       """WITH per AS (

@@ -821,6 +821,102 @@ object StatsOps {
           (abs(col("z")) > lit(1.96)).as("significant_05"))
     }),
 
+    "x_cohens_d" -> ((s, d) => {
+      // standardized effect size per segment — the number a
+      // significance test does NOT give you: at fixture scale the
+      // Welch t (x_welch_ttest) can be "significant" for effects too
+      // small to matter, so experimentation readouts ship d alongside
+      // p. Pooled-SD Cohen's d from the same exact DECIMAL sufficient
+      // statistics as the t-test, plus Hedges' g small-sample
+      // correction g = d·(1 − 3/(4N−9)) and the conventional magnitude
+      // band. One fact-table groupBy, O(segments) after.
+      val g = t(s, d, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          (substring(md5(col("o_orderkey").cast("string")), 1, 1) < "8")
+            .as("tr"),
+          col("o_totalprice").as("y"))
+        .groupBy("grp")
+        .agg(
+          sum(when(col("tr"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("tr"), col("y").cast("decimal(18,4)"))
+            .otherwise(lit(0).cast("decimal(18,4)"))).as("sy1"),
+          sum(when(col("tr"), floor(col("y") * col("y") * 1e4 + 0.5))
+            .otherwise(0.0).cast("decimal(38,0)")).as("syy1"),
+          sum(when(!col("tr"), 1L).otherwise(0L)).as("n0"),
+          sum(when(!col("tr"), col("y").cast("decimal(18,4)"))
+            .otherwise(lit(0).cast("decimal(18,4)"))).as("sy0"),
+          sum(when(!col("tr"), floor(col("y") * col("y") * 1e4 + 0.5))
+            .otherwise(0.0).cast("decimal(38,0)")).as("syy0"))
+        .filter(col("n1") > 1 && col("n0") > 1)
+        .withColumn("m1", col("sy1").cast("double") / col("n1"))
+        .withColumn("m0", col("sy0").cast("double") / col("n0"))
+        .withColumn("v1",
+          (col("syy1").cast("double") / 1e4
+            - col("sy1").cast("double") * col("sy1").cast("double")
+              / col("n1")) / (col("n1") - 1))
+        .withColumn("v0",
+          (col("syy0").cast("double") / 1e4
+            - col("sy0").cast("double") * col("sy0").cast("double")
+              / col("n0")) / (col("n0") - 1))
+        .withColumn("sp", sqrt(
+          ((col("n1") - 1) * col("v1") + (col("n0") - 1) * col("v0")) /
+            (col("n1") + col("n0") - 2)))
+        .withColumn("dd", (col("m1") - col("m0")) / col("sp"))
+        .withColumn("gg", col("dd") *
+          (lit(1.0) - lit(3.0) /
+            (lit(4.0) * (col("n1") + col("n0")) - 9)))
+      g.select(col("grp"), col("n1"), col("n0"),
+          detRound(col("dd"), 6).as("cohens_d"),
+          detRound(col("gg"), 6).as("hedges_g"),
+          when(abs(col("dd")) < 0.2, "negligible")
+            .when(abs(col("dd")) < 0.5, "small")
+            .when(abs(col("dd")) < 0.8, "medium")
+            .otherwise("large").as("magnitude"))
+        .orderBy("grp")
+    }),
+
+    "x_runs_test" -> ((s, d) => {
+      // Wald–Wolfowitz runs test on the SIGNS of month-over-month
+      // revenue changes — the randomness check behind trend claims: too
+      // FEW runs of ups/downs means momentum (trending), too many means
+      // mean-reversion; a z within ±1.96 is consistent with independent
+      // fluctuation. The series is the bounded monthly aggregate
+      // (~80 rows at any data scale); runs count via one lag window
+      // over it, ties (zero diffs) dropped per the classic
+      // formulation. R's moments under H₀ are rational functions of
+      // the exact up/down counts — identical IEEE doubles.
+      val w = Window.orderBy("mi")
+      val diffs = t(s, d, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 +
+          (month(col("o_orderdate")) - 1)).as("mi"))
+        .agg(floor(dsum(col("o_totalprice")) * 100 + 0.5)
+          .cast("long").as("rev_c"))
+        .withColumn("diff", col("rev_c") - lag("rev_c", 1).over(w))
+        .filter(col("diff").isNotNull && col("diff") =!= 0)
+        .withColumn("up", (col("diff") > 0).cast("long"))
+        .withColumn("chg",
+          when(lag("up", 1).over(w).isNull, 1L)
+            .when(lag("up", 1).over(w) =!= col("up"), 1L)
+            .otherwise(0L))
+      diffs.agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("up")).cast("long").as("n_up"),
+          sum(lit(1L) - col("up")).cast("long").as("n_down"),
+          sum(col("chg")).cast("long").as("runs"))
+        .withColumn("mu",
+          lit(2.0) * col("n_up") * col("n_down") / col("n") + 1.0)
+        .withColumn("s2",
+          (lit(2.0) * col("n_up") * col("n_down") *
+            (lit(2.0) * col("n_up") * col("n_down") - col("n"))) /
+            (col("n").cast("double") * col("n") * (col("n") - 1)))
+        .withColumn("z", (col("runs") - col("mu")) / sqrt(col("s2")))
+        .select(col("n").as("n_changes"), col("n_up"), col("n_down"),
+          col("runs"),
+          detRound(col("mu"), 4).as("expected_runs"),
+          detRound(col("z"), 6).as("z_stat"),
+          (abs(col("z")) > lit(1.96)).as("reject_random_05"))
+    }),
+
     "x_wasserstein_1d" -> ((s, d) => {
       // 1-D Wasserstein (earth-mover) distance between the doc-length
       // distributions of the even/odd doc cohorts — the drift metric
@@ -2286,6 +2382,93 @@ object StatsOps {
                               + CAST(1.0 AS DOUBLE) / n2)))
                   > CAST(1.96 AS DOUBLE) AS significant_05
          FROM f""",
+
+    "x_cohens_d" ->
+      """WITH base AS (
+           SELECT o_orderpriority AS grp,
+                  substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '8'
+                    AS tr,
+                  o_totalprice AS y
+           FROM orders),
+         g AS (
+           SELECT grp,
+                  CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n1,
+                  SUM(CASE WHEN tr THEN CAST(y AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS sy1,
+                  SUM(CAST(CASE WHEN tr THEN floor(y * y * 1e4 + 0.5)
+                           ELSE 0.0 END AS HUGEINT)) AS syy1,
+                  CAST(SUM(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n0,
+                  SUM(CASE WHEN NOT tr THEN CAST(y AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS sy0,
+                  SUM(CAST(CASE WHEN NOT tr THEN floor(y * y * 1e4 + 0.5)
+                           ELSE 0.0 END AS HUGEINT)) AS syy0
+           FROM base GROUP BY 1
+           HAVING n1 > 1 AND n0 > 1),
+         st AS (
+           SELECT grp, n1, n0,
+                  CAST(sy1 AS DOUBLE) / n1 AS m1,
+                  CAST(sy0 AS DOUBLE) / n0 AS m0,
+                  (CAST(syy1 AS DOUBLE) / 1e4
+                   - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / n1)
+                    / (n1 - 1) AS v1,
+                  (CAST(syy0 AS DOUBLE) / 1e4
+                   - CAST(sy0 AS DOUBLE) * CAST(sy0 AS DOUBLE) / n0)
+                    / (n0 - 1) AS v0
+           FROM g),
+         f AS (
+           SELECT grp, n1, n0,
+                  (m1 - m0) / sqrt(((n1 - 1) * v1 + (n0 - 1) * v0)
+                                   / (n1 + n0 - 2)) AS dd
+           FROM st)
+         SELECT grp, n1, n0,
+                floor(dd * 1e6 + 0.5) / 1e6 AS cohens_d,
+                floor(dd * (1.0 - 3.0 / (4.0 * (n1 + n0) - 9)) * 1e6
+                      + 0.5) / 1e6 AS hedges_g,
+                CASE WHEN abs(dd) < 0.2 THEN 'negligible'
+                     WHEN abs(dd) < 0.5 THEN 'small'
+                     WHEN abs(dd) < 0.8 THEN 'medium'
+                     ELSE 'large' END AS magnitude
+         FROM f ORDER BY grp""",
+
+    "x_runs_test" ->
+      """WITH monthly AS (
+           SELECT year(o_orderdate) * 12 + (month(o_orderdate) - 1)
+                    AS mi,
+                  CAST(floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                                  AS DOUBLE) * 100 + 0.5) AS BIGINT)
+                    AS rev_c
+           FROM orders GROUP BY 1),
+         diffs AS (
+           SELECT mi, rev_c - lag(rev_c) OVER (ORDER BY mi) AS diff
+           FROM monthly),
+         signs AS (
+           SELECT mi, CAST(diff > 0 AS BIGINT) AS up
+           FROM diffs WHERE diff IS NOT NULL AND diff <> 0),
+         chg AS (
+           SELECT up,
+                  CASE WHEN lag(up) OVER (ORDER BY mi) IS NULL THEN 1
+                       WHEN lag(up) OVER (ORDER BY mi) <> up THEN 1
+                       ELSE 0 END AS chg
+           FROM signs),
+         agg AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(up) AS BIGINT) AS n_up,
+                  CAST(SUM(1 - up) AS BIGINT) AS n_down,
+                  CAST(SUM(chg) AS BIGINT) AS runs
+           FROM chg),
+         st AS (
+           SELECT n, n_up, n_down, runs,
+                  2.0 * n_up * n_down / n + 1.0 AS mu,
+                  (2.0 * n_up * n_down * (2.0 * n_up * n_down - n))
+                    / (CAST(n AS DOUBLE) * n * (n - 1)) AS s2
+           FROM agg)
+         SELECT n AS n_changes, n_up, n_down, runs,
+                floor(mu * 1e4 + 0.5) / 1e4 AS expected_runs,
+                floor((runs - mu) / sqrt(s2) * 1e6 + 0.5) / 1e6 AS z_stat,
+                abs((runs - mu) / sqrt(s2)) > 1.96 AS reject_random_05
+         FROM st""",
 
     "x_wasserstein_1d" ->
       """WITH ev AS (

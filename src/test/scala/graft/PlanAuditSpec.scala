@@ -128,8 +128,9 @@ class PlanAuditSpec extends SparkSpec {
     // O(months)/O(frequency-of-frequencies) aggregates.
     "x_capture_recapture", "x_good_turing", "x_ipw_ate",
     "x_levene_variance", "x_theil_sen", "x_ucb_allocation",
-    // x_permutation_test checkpoints the O(B) per-relabeling diff table
-    "x_permutation_test",
+    // x_permutation_test checkpoints the O(B) per-relabeling diff table;
+    // x_quantile_treatment_effect the (arm, distinct-cent-value) cumsum
+    "x_permutation_test", "x_quantile_treatment_effect",
     "x_chi2_independence",
     "x_classifier_agreement", "x_classifier_report", "x_cluster_size_dist",
     "x_cluster_topics", "x_collocations", "x_cooccurrence_recs",
