@@ -17,6 +17,67 @@ object EventOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "x_ljung_box" -> ((s, d) => {
+      // Ljung–Box portmanteau test over the daily event-count series —
+      // the whiteness check x_autocorrelation's two point lags can't
+      // give: Q_k = n(n+2)·Σ_{j≤k} r_j²/(n−j) aggregates the first k
+      // autocorrelations into one statistic vs χ²(k), per-lag rows so
+      // the reject threshold tightens as lags accumulate. ACF terms
+      // pair days by a shifted-date equi-join (the x_autocorrelation
+      // posture); every cross-row float sum is per-term 1e6/1e12
+      // fixed-point quantized so both engines accumulate identical
+      // integers. The series is the bounded daily aggregate (30 rows
+      // at any data scale).
+      val K = 5
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).cast("long").as("y"))
+      val stats = daily.agg(count(lit(1)).as("n"),
+        sum(col("y")).cast("long").as("sy"))
+      val cen = daily.crossJoin(broadcast(stats))
+        .select(col("day"),
+          (col("y").cast("double") -
+            col("sy").cast("double") / col("n")).as("z"),
+          col("n"))
+        .localCheckpoint()
+      val c0 = cen.agg(
+        sum(floor(col("z") * col("z") * 1e6 + 0.5).cast("long"))
+          .as("qc0"),
+        max(col("n")).as("n"))
+      val ck = cen
+        .select(col("day"), col("z"),
+          explode(expr(s"sequence(1, $K)")).as("k"))
+        .withColumn("dayk", expr("date_add(day, k)"))
+        .join(cen.select(col("day").as("dayk"), col("z").as("zb")),
+          "dayk")
+        .select(col("k"),
+          floor(col("z") * col("zb") * 1e6 + 0.5).cast("long").as("qt"))
+        .groupBy("k").agg(sum(col("qt")).as("qck"))
+      val rk = ck.crossJoin(broadcast(c0))
+        .select(col("k"),
+          (col("qck").cast("double") / col("qc0")).as("rk"), col("n"))
+        .localCheckpoint()
+      val q = rk.as("a").join(rk.as("b"), col("b.k") <= col("a.k"))
+        .select(col("a.k").as("lag"), col("a.rk").as("r_k"),
+          col("a.n").as("n"),
+          floor(col("b.rk") * col("b.rk") /
+            (col("a.n") - col("b.k")) * 1e12 + 0.5).cast("long")
+            .as("qterm"))
+        .groupBy("lag", "r_k", "n")
+        .agg(sum(col("qterm")).as("qsum"))
+        .withColumn("q_stat",
+          col("n") * (col("n") + 2) * (col("qsum").cast("double") / 1e12))
+      val crit = expr("CAST(CASE lag WHEN 1 THEN 3.841 " +
+        "WHEN 2 THEN 5.991 WHEN 3 THEN 7.815 WHEN 4 THEN 9.488 " +
+        "ELSE 11.070 END AS DOUBLE)")
+      q.select(col("lag").cast("long").as("lag"),
+          detRound(col("r_k"), 6).as("r_k"),
+          detRound(col("q_stat"), 4).as("q_stat"),
+          crit.as("chi2_crit_05"),
+          (col("q_stat") > crit).as("reject_white_05"))
+        .orderBy("lag")
+    }),
+
     "x_ucb_allocation" -> ((s, d) => {
       // UCB1 bandit scores over the event-type arms (Auer et al. 2002:
       // ucb = x̄ + √(2·ln N / n)) — the allocation readout an
@@ -941,6 +1002,56 @@ object EventOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "x_ljung_box" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         stats AS (SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS sy
+                   FROM daily),
+         cen AS MATERIALIZED (
+           SELECT day,
+                  CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / n AS z,
+                  n
+           FROM daily CROSS JOIN stats),
+         c0 AS (
+           SELECT CAST(SUM(CAST(floor(z * z * 1e6 + 0.5) AS BIGINT))
+                       AS BIGINT) AS qc0,
+                  MAX(n) AS n
+           FROM cen),
+         ck AS (
+           SELECT a.k,
+                  CAST(SUM(CAST(floor(a.z * b.z * 1e6 + 0.5) AS BIGINT))
+                       AS BIGINT) AS qck
+           FROM (SELECT day, z, unnest(range(1, 6)) AS k FROM cen) a
+           JOIN cen b ON b.day = a.day + CAST(a.k AS INTEGER)
+           GROUP BY 1),
+         rk AS MATERIALIZED (
+           SELECT ck.k,
+                  CAST(ck.qck AS DOUBLE) / c0.qc0 AS rk,
+                  c0.n
+           FROM ck CROSS JOIN c0),
+         q AS (
+           SELECT a.k AS lag, a.rk AS r_k, a.n,
+                  CAST(SUM(CAST(floor(b.rk * b.rk / (a.n - b.k) * 1e12
+                                      + 0.5) AS BIGINT)) AS BIGINT)
+                    AS qsum
+           FROM rk a JOIN rk b ON b.k <= a.k
+           GROUP BY 1, 2, 3),
+         f AS (
+           SELECT lag, r_k,
+                  n * (n + 2) * (CAST(qsum AS DOUBLE) / 1e12) AS q_stat,
+                  CAST(CASE lag WHEN 1 THEN 3.841 WHEN 2 THEN 5.991
+                       WHEN 3 THEN 7.815 WHEN 4 THEN 9.488
+                       ELSE 11.070 END AS DOUBLE) AS crit
+           FROM q)
+         SELECT CAST(lag AS BIGINT) AS lag,
+                floor(r_k * 1e6 + 0.5) / 1e6 AS r_k,
+                floor(q_stat * 1e4 + 0.5) / 1e4 AS q_stat,
+                crit AS chi2_crit_05,
+                q_stat > crit AS reject_white_05
+         FROM f ORDER BY lag""",
 
     "x_ucb_allocation" ->
       """WITH pulls AS (

@@ -100,6 +100,43 @@ object GraphOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "x_assortativity" -> ((s, d) => {
+      // degree assortativity of the trading graph — Newman's r: the
+      // Pearson correlation of endpoint degrees over all (directed)
+      // edges. Negative r = hubs attach to leaves (the dissortative
+      // star shape typical of transactional/bipartite-ish graphs),
+      // positive = rich-club. It summarizes in one number what the
+      // degree histogram can't: WHO connects to whom. Plan: two keyed
+      // joins of the edge list against the O(|V|) degree table, then
+      // one aggregate of HUGEINT-exact moment sums; the closed form
+      // runs in double on exact statistics.
+      val (edges, deg, _) = orderGraph(s, d)
+      val ed = edges
+        .join(deg.select(col("src"), col("outdeg").as("dx")), "src")
+        .join(deg.select(col("src").as("dst"), col("outdeg").as("dy")),
+          "dst")
+      ed.agg(count(lit(1)).as("m"),
+          sum(col("dx").cast("decimal(38,0)")).as("sx"),
+          sum(col("dy").cast("decimal(38,0)")).as("sy"),
+          sum(col("dx").cast("decimal(38,0)") *
+            col("dy").cast("decimal(38,0)")).as("sxy"),
+          sum(col("dx").cast("decimal(38,0)") *
+            col("dx").cast("decimal(38,0)")).as("sxx"),
+          sum(col("dy").cast("decimal(38,0)") *
+            col("dy").cast("decimal(38,0)")).as("syy"))
+        .select(col("m").as("n_directed_edges"),
+          graft.types.Coercions.detRound(
+            col("sx").cast("double") / col("m"), 4).as("mean_edge_deg"),
+          graft.types.Coercions.detRound(
+            (col("m") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              sqrt((col("m") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+                (col("m") * col("syy").cast("double") -
+                  col("sy").cast("double") * col("sy").cast("double"))),
+            6).as("assortativity"))
+    }),
+
     "x_bfs_distances" -> ((s, d) => {
       // multi-source BFS hop distance on the trading graph from a small
       // supplier seed set — "how many hops is every entity from my core
@@ -497,6 +534,34 @@ object GraphOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+
+    "x_assortativity" ->
+      s"""WITH $graphSql,
+          ed AS (
+            SELECT d1.outdeg AS dx, d2.outdeg AS dy
+            FROM edges e
+            JOIN deg d1 ON d1.src = e.src
+            JOIN deg d2 ON d2.src = e.dst),
+          agg AS (
+            SELECT COUNT(*) AS m,
+                   SUM(CAST(dx AS HUGEINT)) AS sx,
+                   SUM(CAST(dy AS HUGEINT)) AS sy,
+                   SUM(CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)) AS sxy,
+                   SUM(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS sxx,
+                   SUM(CAST(dy AS HUGEINT) * CAST(dy AS HUGEINT)) AS syy
+            FROM ed)
+          SELECT m AS n_directed_edges,
+                 floor(CAST(sx AS DOUBLE) / m * 1e4 + 0.5) / 1e4
+                   AS mean_edge_deg,
+                 floor((m * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((m * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (m * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE)
+                                   * CAST(sy AS DOUBLE)))
+                       * 1e6 + 0.5) / 1e6 AS assortativity
+          FROM agg""",
 
     "x_bfs_distances" ->
       s"""WITH RECURSIVE $graphSql,

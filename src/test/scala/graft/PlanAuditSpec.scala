@@ -131,6 +131,9 @@ class PlanAuditSpec extends SparkSpec {
     // x_permutation_test checkpoints the O(B) per-relabeling diff table;
     // x_quantile_treatment_effect the (arm, distinct-cent-value) cumsum
     "x_permutation_test", "x_quantile_treatment_effect",
+    // x_assortativity reuses orderGraph's checkpointed edge list;
+    // x_ljung_box checkpoints the 30-row centered daily series + ACF
+    "x_assortativity", "x_ljung_box",
     "x_chi2_independence",
     "x_classifier_agreement", "x_classifier_report", "x_cluster_size_dist",
     "x_cluster_topics", "x_collocations", "x_cooccurrence_recs",
