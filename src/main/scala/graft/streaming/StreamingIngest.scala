@@ -134,6 +134,90 @@ object StreamingIngest {
         graft.etl.SketchMaintenance.refresh(spark, sketchPath, batch, keyCol)
       }
 
+  /** Streaming twin of x_ucb_allocation — the form a bandit actually
+    * runs in: per micro-batch the arms' pull counts and cent-quantized
+    * reward sums fold into an O(arms) cumulative state (JSON beside the
+    * decision table, batchId-guarded so a replayed trigger is a no-op),
+    * and ONE decision row per trigger names the arm UCB1 would allocate
+    * next — mean/qvmax + √(2·ln N/n), the same arithmetic as the batch
+    * op on the same exact integers. Crash contract matches srmSink: the
+    * state write follows the decision append, so a replay appends a
+    * bit-identical duplicate row for the same batch_id; readers take
+    * the last row per batch_id. Arms never expire (a bandit's history
+    * IS its state) but the key space is the event-type enum — bounded
+    * by construction, so no TTL is needed to bound state. */
+  def ucbSink(events: DataFrame, spark: SparkSession, outPath: String,
+              statePath: String, checkpoint: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ucbBatch(spark, outPath, statePath, batch, batchId)
+      }
+
+  /** (lastBatchId, arm -> (n, qsum, qmax)); (-1, empty) when fresh. */
+  private[graft] def ucbState(statePath: String)
+      : (Long, Map[String, (Long, Long, Long)]) = {
+    val f = java.nio.file.Paths.get(statePath)
+    if (!java.nio.file.Files.exists(f)) (-1L, Map.empty)
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      val last = "\"lastBatch\"\\s*:\\s*(-?\\d+)".r
+        .findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(-1L)
+      val armRx =
+        ("\\{\"arm\"\\s*:\\s*\"([^\"]+)\"\\s*,\\s*\"n\"\\s*:\\s*(\\d+)" +
+          "\\s*,\\s*\"q\"\\s*:\\s*(\\d+)\\s*,\\s*\"mx\"\\s*:\\s*(\\d+)\\}").r
+      val arms = armRx.findAllMatchIn(s).map(m =>
+        m.group(1) -> ((m.group(2).toLong, m.group(3).toLong,
+          m.group(4).toLong))).toMap
+      (last, arms)
+    }
+  }
+
+  private[graft] def ucbBatch(spark: SparkSession, outPath: String,
+      statePath: String, batch: DataFrame, batchId: Long): Unit = {
+    val (last, st0) = ucbState(statePath)
+    if (batchId <= last) return // replayed trigger already folded
+    val batchAgg = batch
+      .select(col("event_type").as("arm"),
+        floor(col("value") * 100 + 0.5).cast("long").as("qv"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("q"),
+        max(col("qv")).as("mx"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val st1 = (st0.keySet ++ batchAgg.keySet).map { a =>
+      val (n0, q0, m0) = st0.getOrElse(a, (0L, 0L, 0L))
+      val (n1, q1, m1) = batchAgg.getOrElse(a, (0L, 0L, 0L))
+      a -> ((n0 + n1, q0 + q1, math.max(m0, m1)))
+    }.toMap
+    val nn = st1.values.map(_._1).sum
+    val qvmax = st1.values.map(_._3).max
+    val scored = st1.toSeq.map { case (a, (n, q, _)) =>
+      val mean = q.toDouble / (n * qvmax)
+      (a, n, mean, mean + math.sqrt(2.0 * math.log(nn.toDouble) / n))
+    }
+    // deterministic argmax: highest ucb, ties to the lex-smaller arm
+    val best = scored.minBy { case (a, _, _, u) => (-u, a) }
+    import spark.implicits._
+    Seq((batchId, nn, best._1, best._4, scored.size))
+      .toDF("batch_id", "n_pulls_total", "allocate_arm", "best_ucb",
+        "n_arms")
+      .coalesce(1).write.mode("append").parquet(outPath)
+    val armsJson = st1.toSeq.sortBy(_._1).map { case (a, (n, q, m)) =>
+      s"""{"arm": "$a", "n": $n, "q": $q, "mx": $m}"""
+    }.mkString("[", ", ", "]")
+    val tmp = java.nio.file.Paths.get(statePath + ".tmp")
+    java.nio.file.Files.writeString(tmp,
+      s"""{"lastBatch": $batchId, "arms": $armsJson}""")
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(statePath),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
   /** Streaming twin of x_srm_check: the sample-ratio-mismatch gate run
     * CONTINUOUSLY over the ingest instead of at end-of-day audit. Per
     * micro-batch, the batch's three arm counts (same md5 coin as the

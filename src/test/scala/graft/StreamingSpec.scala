@@ -215,6 +215,50 @@ class StreamingSpec extends SparkSpec {
       "replayed batchId must not re-fold into the cumulative state")
   }
 
+  test("streaming UCB sink: one decision per trigger, cumulative arm " +
+      "state equals the batch recompute, and a replayed batch does not " +
+      "double-count") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val out = tmpDir("ucb-out")
+    val state = tmpDir("ucb-state") + "/_ucb.json"
+    val ck = tmpDir("ucb-ck")
+    val mem = MemoryStream[(String, Double)]
+    val events = mem.toDF().toDF("event_type", "value")
+    // batch 1: arm A pulls well-rewarded, B sparse (optimism should
+    // pick B next); batch 2 fills B in with poor rewards -> A wins
+    mem.addData(Seq.fill(20)(("A", 2.0)) ++ Seq(("B", 1.0)): _*)
+    val q1 = StreamingIngest.ucbSink(events, spark, out, state, ck).start()
+    q1.awaitTermination()
+    mem.addData(Seq.fill(30)(("B", 0.2)): _*)
+    val q2 = StreamingIngest.ucbSink(events, spark, out, state, ck).start()
+    q2.awaitTermination()
+    val rows = spark.read.parquet(out)
+      .collect().map(r => r.getAs[Long]("batch_id") -> r).toMap
+    assert(rows.size === 2)
+    // reference arithmetic on the full history, same quantization
+    def ucb(n: Long, q: Long, nn: Long, qvmax: Long): Double =
+      q.toDouble / (n * qvmax) + math.sqrt(2.0 * math.log(nn.toDouble) / n)
+    val first = rows(rows.keys.min)
+    // after batch 1: A has n=20 mean 1.0 (normalized), B n=1 -> the
+    // under-explored arm's radius dominates
+    assert(first.getAs[String]("allocate_arm") === "B")
+    assert(math.abs(first.getAs[Double]("best_ucb")
+      - ucb(1, 100, 21, 200)) < 1e-12)
+    val last = rows(rows.keys.max)
+    // full history: A (20 pulls, mean 1.0) vs B (31 pulls, mean ~0.11)
+    assert(last.getAs[Long]("n_pulls_total") === 51L)
+    assert(last.getAs[String]("allocate_arm") === "A")
+    assert(math.abs(last.getAs[Double]("best_ucb")
+      - ucb(20, 20 * 200, 51, 200)) < 1e-12)
+    // replay guard: re-running an already-folded batchId is a no-op
+    val before = StreamingIngest.ucbState(state)
+    StreamingIngest.ucbBatch(spark, out, state,
+      Seq(("A", 9.0)).toDF("event_type", "value"), batchId = 0L)
+    assert(StreamingIngest.ucbState(state) === before,
+      "replayed batchId must not re-fold into the cumulative state")
+  }
+
   test("streaming exact dedup drops same-content docs within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
