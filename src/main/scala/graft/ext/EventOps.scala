@@ -162,6 +162,97 @@ object EventOps {
         .orderBy("dow")
     }),
 
+    "x_decompose_strength" -> ((s, d) => {
+      // trend / seasonality STRENGTH of the daily series (Hyndman &
+      // Athanasopoulos, FPP3 §4.3): F_T = max(0, 1 − Var(R)/Var(T+R)),
+      // F_S = max(0, 1 − Var(R)/Var(S+R)) — the one-row summary that
+      // says whether x_seasonal_decompose's components actually carry
+      // signal (≈0 = noise, →1 = dominant). Same decomposition
+      // arithmetic as that op (7-day centered trend from integer sums,
+      // per-dow seasonal from exact integer numerators); each
+      // component value is fixed-point quantized (1e6) and the three
+      // variances then run on DECIMAL-exact sums of those integers.
+      // Everything is O(span-days) downstream of the daily groupBy.
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("yc"))
+      val spine = s.range(1).select(explode(expr(
+        """sequence(to_date('2024-01-01'), to_date('2024-01-30'),
+                    interval 1 day)""")).as("day"))
+      val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+      val dd = spine.join(daily, Seq("day"), "left")
+        .withColumn("y", coalesce(col("yc"), lit(0L)))
+        .withColumn("t7", sum(col("y")).over(w7))
+        .withColumn("nw", count(lit(1)).over(w7))
+        .filter(col("nw") === 7)
+        .withColumn("d7", lit(7L) * col("y") - col("t7"))
+        .withColumn("dow", dayofweek(col("day")).cast("long"))
+      val seas = dd.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("d7")).cast("long").as("sd7"))
+      val comp = dd.join(broadcast(seas), "dow")
+        .withColumn("sv", col("sd7") / (lit(7.0) * col("n_days")))
+        .withColumn("resid", col("d7") / lit(7.0) - col("sv"))
+        // T+R = y − S; S+R = y − T = d7/7 (exactly the detrended value)
+        .select(
+          floor(col("resid") * 1e6 + 0.5).cast("long").as("qr"),
+          floor((col("y") - col("sv")) * 1e6 + 0.5).cast("long")
+            .as("qtr"),
+          floor(col("d7") / lit(7.0) * 1e6 + 0.5).cast("long").as("qsr"))
+      def varOf(q: org.apache.spark.sql.Column, sq: String, sqq: String) =
+        Seq(sum(q.cast("decimal(38,0)")).as(sq),
+          sum(q.cast("decimal(38,0)") * q.cast("decimal(38,0)")).as(sqq))
+      val agg = comp.agg(count(lit(1)).as("n"),
+        (varOf(col("qr"), "sr", "srr") ++
+          varOf(col("qtr"), "st", "stt") ++
+          varOf(col("qsr"), "ss", "sss")): _*)
+      def v(sq: String, sqq: String) =
+        (col(sqq).cast("double") / 1e12
+          - (col(sq).cast("double") / 1e6) *
+            (col(sq).cast("double") / 1e6) / col("n")) / (col("n") - 1)
+      agg.select(col("n").as("n_days"),
+          detRound(v("sr", "srr"), 4).as("var_resid"),
+          detRound(v("st", "stt"), 4).as("var_trend_resid"),
+          detRound(v("ss", "sss"), 4).as("var_seas_resid"),
+          detRound(greatest(lit(0.0),
+            lit(1.0) - v("sr", "srr") / v("st", "stt")), 6)
+            .as("trend_strength"),
+          detRound(greatest(lit(0.0),
+            lit(1.0) - v("sr", "srr") / v("ss", "sss")), 6)
+            .as("seasonal_strength"))
+    }),
+
+    "x_overdispersion" -> ((s, d) => {
+      // overdispersion diagnostic per event type — the modeling gate
+      // before anyone fits a Poisson to daily counts: dispersion
+      // index var/mean (Poisson ⇒ ≈1), and when var > mean the
+      // method-of-moments negative-binomial size r = m²/(v − m) that
+      // a count model would actually need. Daily counts are exact
+      // integers; mean/var from DECIMAL sums; one grouped pass over
+      // the bounded (type, day) table.
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("long").as("y"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum(col("y").cast("decimal(38,0)") *
+            col("y").cast("decimal(38,0)")).as("syy"))
+        .withColumn("m", col("sy").cast("double") / col("n_days"))
+        .withColumn("v",
+          (col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double")
+              / col("n_days")) / (col("n_days") - 1))
+        .select(col("event_type"), col("n_days"),
+          detRound(col("m"), 4).as("mean_daily"),
+          detRound(col("v"), 4).as("var_daily"),
+          detRound(col("v") / col("m"), 6).as("dispersion_index"),
+          when(col("v") > col("m"),
+            detRound(col("m") * col("m") / (col("v") - col("m")), 4))
+            .as("nb_size_r"))
+        .orderBy("event_type")
+    }),
+
     "x_seq_patterns" -> ((s, d) => {
       // sequential-pattern support ("A is EVENTUALLY followed by B"):
       // for every ordered pair of distinct event types, the number of
@@ -1122,6 +1213,95 @@ object EventOps {
                 CAST(day AS VARCHAR) AS peak_resid_day,
                 rq / 1e6 AS peak_resid
          FROM p WHERE rn = 1 ORDER BY dow""",
+
+    "x_decompose_strength" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, COUNT(*) AS yc
+           FROM events GROUP BY 1),
+         spine AS (
+           SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                    DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day),
+         base AS (
+           SELECT s.day, COALESCE(d.yc, 0) AS y
+           FROM spine s LEFT JOIN daily d ON d.day = s.day),
+         win AS (
+           SELECT day, y,
+                  CAST(SUM(y) OVER w AS BIGINT) AS t7,
+                  COUNT(*) OVER w AS nw,
+                  CAST(dayofweek(day) + 1 AS BIGINT) AS dow
+           FROM base
+           WINDOW w AS (ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         dd AS (
+           SELECT day, dow, y, 7 * y - t7 AS d7 FROM win WHERE nw = 7),
+         seas AS (
+           SELECT dow, COUNT(*) AS n_days, CAST(SUM(d7) AS BIGINT) AS sd7
+           FROM dd GROUP BY 1),
+         comp AS (
+           SELECT CAST(floor((d.d7 / 7.0 - s.sd7 / (7.0 * s.n_days))
+                             * 1e6 + 0.5) AS BIGINT) AS qr,
+                  CAST(floor((d.y - s.sd7 / (7.0 * s.n_days))
+                             * 1e6 + 0.5) AS BIGINT) AS qtr,
+                  CAST(floor(d.d7 / 7.0 * 1e6 + 0.5) AS BIGINT) AS qsr
+           FROM dd d JOIN seas s USING (dow)),
+         agg AS (
+           SELECT COUNT(*) AS n,
+                  SUM(CAST(qr AS HUGEINT)) AS sr,
+                  SUM(CAST(qr AS HUGEINT) * CAST(qr AS HUGEINT)) AS srr,
+                  SUM(CAST(qtr AS HUGEINT)) AS st,
+                  SUM(CAST(qtr AS HUGEINT) * CAST(qtr AS HUGEINT))
+                    AS stt,
+                  SUM(CAST(qsr AS HUGEINT)) AS ss,
+                  SUM(CAST(qsr AS HUGEINT) * CAST(qsr AS HUGEINT))
+                    AS sss
+           FROM comp),
+         v AS (
+           SELECT n,
+                  (CAST(srr AS DOUBLE) / 1e12
+                   - (CAST(sr AS DOUBLE) / 1e6)
+                     * (CAST(sr AS DOUBLE) / 1e6) / n) / (n - 1) AS vr,
+                  (CAST(stt AS DOUBLE) / 1e12
+                   - (CAST(st AS DOUBLE) / 1e6)
+                     * (CAST(st AS DOUBLE) / 1e6) / n) / (n - 1) AS vt,
+                  (CAST(sss AS DOUBLE) / 1e12
+                   - (CAST(ss AS DOUBLE) / 1e6)
+                     * (CAST(ss AS DOUBLE) / 1e6) / n) / (n - 1) AS vs
+           FROM agg)
+         SELECT n AS n_days,
+                floor(vr * 1e4 + 0.5) / 1e4 AS var_resid,
+                floor(vt * 1e4 + 0.5) / 1e4 AS var_trend_resid,
+                floor(vs * 1e4 + 0.5) / 1e4 AS var_seas_resid,
+                floor(greatest(0.0, 1.0 - vr / vt) * 1e6 + 0.5) / 1e6
+                  AS trend_strength,
+                floor(greatest(0.0, 1.0 - vr / vs) * 1e6 + 0.5) / 1e6
+                  AS seasonal_strength
+         FROM v""",
+
+    "x_overdispersion" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         g AS (
+           SELECT event_type, COUNT(*) AS n_days,
+                  SUM(CAST(y AS HUGEINT)) AS sy,
+                  SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+           FROM daily GROUP BY 1),
+         st AS (
+           SELECT event_type, n_days,
+                  CAST(sy AS DOUBLE) / n_days AS m,
+                  (CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n_days)
+                    / (n_days - 1) AS v
+           FROM g)
+         SELECT event_type, n_days,
+                floor(m * 1e4 + 0.5) / 1e4 AS mean_daily,
+                floor(v * 1e4 + 0.5) / 1e4 AS var_daily,
+                floor(v / m * 1e6 + 0.5) / 1e6 AS dispersion_index,
+                CASE WHEN v > m THEN
+                  floor(m * m / (v - m) * 1e4 + 0.5) / 1e4
+                END AS nb_size_r
+         FROM st ORDER BY event_type""",
 
     "x_seq_patterns" ->
       """WITH g AS (
