@@ -222,6 +222,78 @@ object EventOps {
             .as("seasonal_strength"))
     }),
 
+    "x_hurst_exponent" -> ((s, d) => {
+      // Hurst exponent by classic rescaled-range (R/S) analysis over
+      // the hourly event-count series — the long-memory dial: H ≈ 0.5
+      // means independent arrivals, H → 1 persistent load trends
+      // (capacity planning cares), H < 0.5 mean reversion. For block
+      // sizes m ∈ {45, 90, 180, 360} hours the series splits into
+      // complete blocks; per block R = range of cumulative deviations
+      // from the block mean and S = population SD; H = the OLS slope
+      // of ln(mean R/S) on ln(m). Determinism: deviations are scaled
+      // by m so EVERYTHING cumulated is integer (mz = m·y − Σy; a
+      // windowed float cumsum would be engine-order-dependent — DuckDB
+      // uses segment trees — so no float ever enters a window);
+      // R/S = R'/√(Σmz²/m) runs in double on exact integers, per-block
+      // terms quantize at 1e9 before the block mean, and the 4-point
+      // regression uses HUGEINT-exact moment sums of 1e9-quantized
+      // logs. Windows are PARTITIONED by (m, block); the fanout is 4×
+      // the bounded 720-row hourly spine.
+      val base = 473352L // hours from epoch to 2024-01-01 00:00 UTC
+      val hourly0 = t(s, d, "events")
+        .select((expr("unix_micros(ts) div 3600000000") - base).as("h"))
+        .groupBy("h").agg(count(lit(1)).cast("long").as("yc"))
+      val spine = s.range(0L, 720L).select(col("id").as("h"))
+      val hourly = spine.join(hourly0, Seq("h"), "left")
+        .withColumn("y", coalesce(col("yc"), lit(0L)))
+        .select("h", "y").localCheckpoint()
+      val fan = hourly
+        .select(col("h"), col("y"),
+          explode(expr("array(45, 90, 180, 360)")).as("m"))
+        .withColumn("blk", expr("h div m"))
+      val bm = fan.groupBy("m", "blk")
+        .agg(sum(col("y")).cast("long").as("sy"))
+      val wCum = Window.partitionBy("m", "blk").orderBy("h")
+      val rs = fan.join(bm, Seq("m", "blk"))
+        .withColumn("mz", col("m") * col("y") - col("sy"))
+        .withColumn("cz", sum(col("mz")).over(wCum))
+        .groupBy("m", "blk")
+        .agg(max(col("cz")).as("mx"), min(col("cz")).as("mn"),
+          sum(col("mz") * col("mz")).cast("long").as("qss"))
+        .withColumn("qrs", floor(
+          (col("mx") - col("mn")).cast("double") /
+            sqrt(col("qss").cast("double") / col("m")) * 1e9 + 0.5)
+          .cast("long"))
+      val meanRs = rs.groupBy("m")
+        .agg(count(lit(1)).as("n_blocks"), sum(col("qrs")).as("sq"))
+        .withColumn("mean_rs",
+          col("sq").cast("double") / 1e9 / col("n_blocks"))
+        .localCheckpoint()
+      val reg = meanRs
+        .select(
+          floor(log(col("m").cast("double")) * 1e9 + 0.5).cast("long")
+            .as("qx"),
+          floor(log(col("mean_rs")) * 1e9 + 0.5).cast("long").as("qy"))
+        .agg(count(lit(1)).as("k"),
+          sum(col("qx").cast("decimal(38,0)")).as("sx"),
+          sum(col("qy").cast("decimal(38,0)")).as("sy"),
+          sum(col("qx").cast("decimal(38,0)") *
+            col("qy").cast("decimal(38,0)")).as("sxy"),
+          sum(col("qx").cast("decimal(38,0)") *
+            col("qx").cast("decimal(38,0)")).as("sxx"))
+        .select(((col("k") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("k") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")))
+          .as("hurst"))
+      meanRs.crossJoin(broadcast(reg))
+        .select(col("m").cast("long").as("block_hours"),
+          col("n_blocks"),
+          detRound(col("mean_rs"), 4).as("mean_rs"),
+          detRound(col("hurst"), 6).as("hurst"))
+        .orderBy("block_hours")
+    }),
+
     "x_overdispersion" -> ((s, d) => {
       // overdispersion diagnostic per event type — the modeling gate
       // before anyone fits a Poisson to daily counts: dispersion
@@ -1276,6 +1348,60 @@ object EventOps {
                 floor(greatest(0.0, 1.0 - vr / vs) * 1e6 + 0.5) / 1e6
                   AS seasonal_strength
          FROM v""",
+
+    "x_hurst_exponent" ->
+      """WITH hourly0 AS (
+           SELECT epoch_us(ts) // 3600000000 - 473352 AS h,
+                  CAST(COUNT(*) AS BIGINT) AS yc
+           FROM events GROUP BY 1),
+         spine AS (SELECT unnest(range(0, 720)) AS h),
+         hourly AS MATERIALIZED (
+           SELECT s.h, COALESCE(y.yc, 0) AS y
+           FROM spine s LEFT JOIN hourly0 y ON y.h = s.h),
+         fan AS (
+           SELECT h, y, unnest([45, 90, 180, 360]) AS m FROM hourly),
+         fb AS (SELECT h, y, m, h // m AS blk FROM fan),
+         bm AS (SELECT m, blk, CAST(SUM(y) AS BIGINT) AS sy
+                FROM fb GROUP BY 1, 2),
+         dev AS (
+           SELECT fb.m, fb.blk, fb.h, fb.m * fb.y - bm.sy AS mz
+           FROM fb JOIN bm USING (m, blk)),
+         cum AS (
+           SELECT m, blk, mz,
+                  CAST(SUM(mz) OVER (PARTITION BY m, blk ORDER BY h)
+                       AS BIGINT) AS cz
+           FROM dev),
+         rs AS MATERIALIZED (
+           SELECT m, blk,
+                  CAST(floor(CAST(MAX(cz) - MIN(cz) AS DOUBLE)
+                             / sqrt(CAST(SUM(mz * mz) AS DOUBLE) / m)
+                             * 1e9 + 0.5) AS BIGINT) AS qrs
+           FROM cum GROUP BY 1, 2),
+         mean_rs AS MATERIALIZED (
+           SELECT m, COUNT(*) AS n_blocks,
+                  CAST(SUM(qrs) AS DOUBLE) / 1e9 / COUNT(*) AS mean_rs
+           FROM rs GROUP BY 1),
+         pts AS (
+           SELECT CAST(floor(ln(CAST(m AS DOUBLE)) * 1e9 + 0.5)
+                       AS BIGINT) AS qx,
+                  CAST(floor(ln(mean_rs) * 1e9 + 0.5) AS BIGINT) AS qy
+           FROM mean_rs),
+         reg AS (
+           SELECT (COUNT(*) * CAST(SUM(CAST(qx AS HUGEINT)
+                                       * CAST(qy AS HUGEINT)) AS DOUBLE)
+                   - CAST(SUM(CAST(qx AS HUGEINT)) AS DOUBLE)
+                     * CAST(SUM(CAST(qy AS HUGEINT)) AS DOUBLE))
+                  / (COUNT(*) * CAST(SUM(CAST(qx AS HUGEINT)
+                                         * CAST(qx AS HUGEINT))
+                                     AS DOUBLE)
+                     - CAST(SUM(CAST(qx AS HUGEINT)) AS DOUBLE)
+                       * CAST(SUM(CAST(qx AS HUGEINT)) AS DOUBLE))
+                    AS hurst
+           FROM pts)
+         SELECT CAST(m AS BIGINT) AS block_hours, n_blocks,
+                floor(mean_rs * 1e4 + 0.5) / 1e4 AS mean_rs,
+                floor(hurst * 1e6 + 0.5) / 1e6 AS hurst
+         FROM mean_rs CROSS JOIN reg ORDER BY block_hours""",
 
     "x_overdispersion" ->
       """WITH daily AS (

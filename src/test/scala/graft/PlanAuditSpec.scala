@@ -134,6 +134,9 @@ class PlanAuditSpec extends SparkSpec {
     // x_assortativity reuses orderGraph's checkpointed edge list;
     // x_ljung_box checkpoints the 30-row centered daily series + ACF
     "x_assortativity", "x_ljung_box",
+    // x_hurst_exponent checkpoints the 720-row hourly spine + the
+    // 4-row per-block-size mean R/S table
+    "x_hurst_exponent",
     "x_chi2_independence",
     "x_classifier_agreement", "x_classifier_report", "x_cluster_size_dist",
     "x_cluster_topics", "x_collocations", "x_cooccurrence_recs",
