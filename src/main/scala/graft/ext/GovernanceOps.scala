@@ -160,6 +160,47 @@ object GovernanceOps {
           .as("n_groups_low_diversity"))
     }),
 
+    "x_t_closeness" -> ((s, d) => {
+      // t-closeness — the third leg of the release-privacy triad
+      // (x_k_anonymity covers k and l): a quasi-identifier class leaks
+      // even when large and diverse if its SENSITIVE-attribute
+      // distribution differs sharply from the table's, so the gauge is
+      // the total-variation distance between each class's
+      // balance-bucket distribution and the global one, against the
+      // conventional t = 0.2 line. The class × bucket grid is built
+      // explicitly (a class missing a bucket still contributes
+      // |0 − global share|); per-term quantization (1e9) before the
+      // 4-term class sum. Everything is O(classes × buckets) after one
+      // grouped count.
+      val bkt = when(col("c_acctbal") < 0, "neg")
+        .when(col("c_acctbal") < 3333, "low")
+        .when(col("c_acctbal") < 6666, "mid")
+        .otherwise("high")
+      val cb = t(s, d, "customer")
+        .select(col("c_nationkey").cast("long").as("nk"), bkt.as("bkt"))
+        .groupBy("nk", "bkt").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val cls = cb.groupBy("nk").agg(sum(col("n")).cast("long").as("nc"))
+      val gl = cb.groupBy("bkt").agg(sum(col("n")).cast("long").as("nb"))
+      val tot = cb.agg(sum(col("n")).cast("long").as("nn"))
+      val grid = cls.crossJoin(broadcast(gl))
+      grid.join(cb, Seq("nk", "bkt"), "left")
+        .withColumn("cn", coalesce(col("n"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("qterm", floor(abs(
+          col("cn").cast("double") / col("nc") -
+            col("nb").cast("double") / col("nn")) * 1e9 + 0.5)
+          .cast("long"))
+        .groupBy("nk", "nc")
+        .agg(sum(col("qterm")).as("qs"))
+        .select(col("nk").as("nationkey"), col("nc").as("n_class"),
+          graft.types.Coercions.detRound(
+            col("qs").cast("double") / 1e9 * 0.5, 6).as("tvd"),
+          (col("qs").cast("double") / 1e9 * 0.5 > 0.2)
+            .as("violates_t02"))
+        .orderBy("nationkey")
+    }),
+
     "x_dp_noisy_counts" -> ((s, d) => {
       // Differentially-private release of per-nation customer counts via
       // the geometric mechanism (discrete Laplace, ε = ln 2): each exact
@@ -362,6 +403,39 @@ object GovernanceOps {
                 CAST(SUM(CASE WHEN l_div < 2 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_groups_low_diversity
          FROM g""",
+
+    "x_t_closeness" ->
+      """WITH cb AS MATERIALIZED (
+           SELECT CAST(c_nationkey AS BIGINT) AS nk,
+                  CASE WHEN c_acctbal < 0 THEN 'neg'
+                       WHEN c_acctbal < 3333 THEN 'low'
+                       WHEN c_acctbal < 6666 THEN 'mid'
+                       ELSE 'high' END AS bkt,
+                  COUNT(*) AS n
+           FROM customer GROUP BY 1, 2),
+         cls AS (SELECT nk, CAST(SUM(n) AS BIGINT) AS nc
+                 FROM cb GROUP BY 1),
+         gl AS (SELECT bkt, CAST(SUM(n) AS BIGINT) AS nb
+                FROM cb GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cb),
+         grid AS (SELECT cls.nk, cls.nc, gl.bkt, gl.nb
+                  FROM cls CROSS JOIN gl),
+         terms AS (
+           SELECT g.nk, g.nc,
+                  CAST(floor(abs(CAST(COALESCE(c.n, 0) AS DOUBLE) / g.nc
+                                 - CAST(g.nb AS DOUBLE) / t.nn)
+                             * 1e9 + 0.5) AS BIGINT) AS qterm
+           FROM grid g
+           LEFT JOIN cb c ON c.nk = g.nk AND c.bkt = g.bkt
+           CROSS JOIN tot t),
+         agg AS (
+           SELECT nk, nc, CAST(SUM(qterm) AS BIGINT) AS qs
+           FROM terms GROUP BY 1, 2)
+         SELECT nk AS nationkey, nc AS n_class,
+                floor(CAST(qs AS DOUBLE) / 1e9 * 0.5 * 1e6 + 0.5) / 1e6
+                  AS tvd,
+                CAST(qs AS DOUBLE) / 1e9 * 0.5 > 0.2 AS violates_t02
+         FROM agg ORDER BY nationkey""",
 
     "x_dp_noisy_counts" -> {
       val ladder = "CASE " + DLapCdf.map { case (k, cdf) =>

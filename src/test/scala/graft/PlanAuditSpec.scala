@@ -135,8 +135,9 @@ class PlanAuditSpec extends SparkSpec {
     // x_ljung_box checkpoints the 30-row centered daily series + ACF
     "x_assortativity", "x_ljung_box",
     // x_hurst_exponent checkpoints the 720-row hourly spine + the
-    // 4-row per-block-size mean R/S table
-    "x_hurst_exponent",
+    // 4-row per-block-size mean R/S table; x_t_closeness the
+    // O(classes × buckets) grouped count
+    "x_hurst_exponent", "x_t_closeness",
     "x_chi2_independence",
     "x_classifier_agreement", "x_classifier_report", "x_cluster_size_dist",
     "x_cluster_topics", "x_collocations", "x_cooccurrence_recs",
