@@ -222,6 +222,53 @@ object EventOps {
             .as("seasonal_strength"))
     }),
 
+    "x_season_detect" -> ((s, d) => {
+      // season-length detection — argmax of the autocorrelation over
+      // candidate periods 2..14 days: the upstream dial that tells
+      // x_seasonal_decompose / x_holt_forecast WHICH period to use
+      // instead of assuming weekly. Same shifted-date ACF machinery as
+      // x_ljung_box (per-term 1e6 quantization, integer sums); the
+      // detected flag marks every rounded-r argmax row (a tie means
+      // the detection is ambiguous and should LOOK ambiguous). Emits
+      // the full candidate table so a flat series is visible, not
+      // hidden behind a bare argmax.
+      val K = 14
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).cast("long").as("y"))
+      val stats = daily.agg(count(lit(1)).as("n"),
+        sum(col("y")).cast("long").as("sy"))
+      val cen = daily.crossJoin(broadcast(stats))
+        .select(col("day"),
+          (col("y").cast("double") -
+            col("sy").cast("double") / col("n")).as("z"))
+        .localCheckpoint()
+      val c0 = cen.agg(
+        sum(floor(col("z") * col("z") * 1e6 + 0.5).cast("long"))
+          .as("qc0"))
+      val ck = cen
+        .select(col("day"), col("z"),
+          explode(expr(s"sequence(2, $K)")).as("k"))
+        .withColumn("dayk", expr("date_add(day, k)"))
+        .join(cen.select(col("day").as("dayk"), col("z").as("zb")),
+          "dayk")
+        .select(col("k"),
+          floor(col("z") * col("zb") * 1e6 + 0.5).cast("long").as("qt"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("qt")).as("qck"))
+      val rk = ck.crossJoin(broadcast(c0))
+        .withColumn("qr",
+          floor(col("qck").cast("double") / col("qc0") * 1e6 + 0.5)
+            .cast("long"))
+        .localCheckpoint()
+      val best = rk.agg(max(col("qr")).as("qbest"))
+      rk.crossJoin(broadcast(best))
+        .select(col("k").cast("long").as("period_days"), col("n_pairs"),
+          detRound(col("qr") / 1e6, 6).as("acf"),
+          (col("qr") === col("qbest")).as("detected"))
+        .orderBy("period_days")
+    }),
+
     "x_hurst_exponent" -> ((s, d) => {
       // Hurst exponent by classic rescaled-range (R/S) analysis over
       // the hourly event-count series — the long-memory dial: H ≈ 0.5
@@ -1348,6 +1395,39 @@ object EventOps {
                 floor(greatest(0.0, 1.0 - vr / vs) * 1e6 + 0.5) / 1e6
                   AS seasonal_strength
          FROM v""",
+
+    "x_season_detect" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         stats AS (SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS sy
+                   FROM daily),
+         cen AS MATERIALIZED (
+           SELECT day,
+                  CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / n AS z
+           FROM daily CROSS JOIN stats),
+         c0 AS (
+           SELECT CAST(SUM(CAST(floor(z * z * 1e6 + 0.5) AS BIGINT))
+                       AS BIGINT) AS qc0
+           FROM cen),
+         ck AS (
+           SELECT a.k, COUNT(*) AS n_pairs,
+                  CAST(SUM(CAST(floor(a.z * b.z * 1e6 + 0.5) AS BIGINT))
+                       AS BIGINT) AS qck
+           FROM (SELECT day, z, unnest(range(2, 15)) AS k FROM cen) a
+           JOIN cen b ON b.day = a.day + CAST(a.k AS INTEGER)
+           GROUP BY 1),
+         rk AS MATERIALIZED (
+           SELECT ck.k, ck.n_pairs,
+                  CAST(floor(CAST(ck.qck AS DOUBLE) / c0.qc0 * 1e6 + 0.5)
+                       AS BIGINT) AS qr
+           FROM ck CROSS JOIN c0),
+         best AS (SELECT MAX(qr) AS qbest FROM rk)
+         SELECT CAST(k AS BIGINT) AS period_days, n_pairs,
+                floor(CAST(qr AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS acf,
+                qr = qbest AS detected
+         FROM rk CROSS JOIN best ORDER BY period_days""",
 
     "x_hurst_exponent" ->
       """WITH hourly0 AS (

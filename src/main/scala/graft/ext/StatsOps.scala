@@ -821,6 +821,51 @@ object StatsOps {
           (abs(col("z")) > lit(1.96)).as("significant_05"))
     }),
 
+    "x_price_elasticity" -> ((s, d) => {
+      // price elasticity of demand — the econometrics readout commerce
+      // analytics ships: the OLS slope of ln(mean quantity per line)
+      // on ln(effective price factor 1 − discount) across the bounded
+      // discount levels, with R² as the fit gauge. On the synthetic
+      // fixture quantity is independent of discount, so the HONEST
+      // answer is ≈ 0 with low R² — the gauge's value is exactness of
+      // the machinery (the x_proportion_ztest stance). Level means
+      // come from DECIMAL-exact sums; logs quantize at 1e9 before
+      // HUGEINT-exact regression moments. One fact-table groupBy,
+      // O(levels) after.
+      val lv = t(s, d, "lineitem")
+        .groupBy(col("l_discount").as("disc"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,4)")).as("sq"))
+        .select(col("n"),
+          floor(log(lit(1.0) - col("disc")) * 1e9 + 0.5).cast("long")
+            .as("qx"),
+          floor(log(col("sq").cast("double") / col("n")) * 1e9 + 0.5)
+            .cast("long").as("qy"))
+      lv.agg(count(lit(1)).as("k"),
+          sum(col("n")).cast("long").as("n_lines"),
+          sum(col("qx").cast("decimal(38,0)")).as("sx"),
+          sum(col("qy").cast("decimal(38,0)")).as("sy"),
+          sum(col("qx").cast("decimal(38,0)") *
+            col("qy").cast("decimal(38,0)")).as("sxy"),
+          sum(col("qx").cast("decimal(38,0)") *
+            col("qx").cast("decimal(38,0)")).as("sxx"),
+          sum(col("qy").cast("decimal(38,0)") *
+            col("qy").cast("decimal(38,0)")).as("syy"))
+        .withColumn("num",
+          col("k") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double"))
+        .withColumn("denx",
+          col("k") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"))
+        .withColumn("deny",
+          col("k") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))
+        .select(col("k").as("n_levels"), col("n_lines"),
+          detRound(col("num") / col("denx"), 4).as("elasticity"),
+          detRound(col("num") * col("num") /
+            (col("denx") * col("deny")), 6).as("r2"))
+    }),
+
     "x_cohens_d" -> ((s, d) => {
       // standardized effect size per segment — the number a
       // significance test does NOT give you: at fixture scale the
@@ -2382,6 +2427,40 @@ object StatsOps {
                               + CAST(1.0 AS DOUBLE) / n2)))
                   > CAST(1.96 AS DOUBLE) AS significant_05
          FROM f""",
+
+    "x_price_elasticity" ->
+      """WITH lv AS (
+           SELECT l_discount AS disc, COUNT(*) AS n,
+                  SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sq
+           FROM lineitem GROUP BY 1),
+         pts AS (
+           SELECT n,
+                  CAST(floor(ln(1.0 - disc) * 1e9 + 0.5) AS BIGINT)
+                    AS qx,
+                  CAST(floor(ln(CAST(sq AS DOUBLE) / n) * 1e9 + 0.5)
+                       AS BIGINT) AS qy
+           FROM lv),
+         agg AS (
+           SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n_lines,
+                  SUM(CAST(qx AS HUGEINT)) AS sx,
+                  SUM(CAST(qy AS HUGEINT)) AS sy,
+                  SUM(CAST(qx AS HUGEINT) * CAST(qy AS HUGEINT)) AS sxy,
+                  SUM(CAST(qx AS HUGEINT) * CAST(qx AS HUGEINT)) AS sxx,
+                  SUM(CAST(qy AS HUGEINT) * CAST(qy AS HUGEINT)) AS syy
+           FROM pts),
+         st AS (
+           SELECT k, n_lines,
+                  k * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                  k * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+                  k * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+           FROM agg)
+         SELECT k AS n_levels, n_lines,
+                floor(num / denx * 1e4 + 0.5) / 1e4 AS elasticity,
+                floor(num * num / (denx * deny) * 1e6 + 0.5) / 1e6 AS r2
+         FROM st""",
 
     "x_cohens_d" ->
       """WITH base AS (

@@ -138,6 +138,8 @@ class PlanAuditSpec extends SparkSpec {
     // 4-row per-block-size mean R/S table; x_t_closeness the
     // O(classes × buckets) grouped count
     "x_hurst_exponent", "x_t_closeness",
+    // x_season_detect checkpoints the 30-row centered series + 13-row ACF
+    "x_season_detect",
     "x_chi2_independence",
     "x_classifier_agreement", "x_classifier_report", "x_cluster_size_dist",
     "x_cluster_topics", "x_collocations", "x_cooccurrence_recs",
