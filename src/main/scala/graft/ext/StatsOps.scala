@@ -821,6 +821,180 @@ object StatsOps {
           (abs(col("z")) > lit(1.96)).as("significant_05"))
     }),
 
+    "x_mannwhitney_u" -> ((s, d) => {
+      // Mann–Whitney U (Wilcoxon rank-sum) with tie-corrected normal
+      // approximation — the distribution-free location test beside
+      // x_welch_ttest (heavy-tailed money amounts violate t
+      // assumptions; U only reads ranks). Everything runs on the
+      // grouped (cent-value → per-arm count) histogram: doubling the
+      // half-tie credit keeps 2U an exact integer
+      // (2U = Σ c1·(2·below₀ + c0)), and the tie term Σ(t³−t) comes
+      // from the same histogram — the only window is the exclusive
+      // cumsum over distinct values (the x_ks_statistic posture).
+      val hist = t(s, d, "orders")
+        .select(
+          (substring(md5(col("o_orderkey").cast("string")), 1, 1) < "8")
+            .as("tr"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("qv"))
+        .groupBy("qv")
+        .agg(sum(when(col("tr"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("tr"), 1L).otherwise(0L)).as("c0"))
+      val w = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, -1)
+      val tot = hist.agg(sum(col("c1")).cast("long").as("n1"),
+        sum(col("c0")).cast("long").as("n0"))
+      hist
+        .withColumn("s0", coalesce(sum(col("c0")).over(w), lit(0L)))
+        .withColumn("t", col("c1") + col("c0"))
+        .crossJoin(broadcast(tot))
+        .groupBy("n1", "n0")
+        .agg(
+          sum((col("c1") * (lit(2L) * col("s0") + col("c0")))
+            .cast("decimal(38,0)")).as("u2"),
+          sum((col("t") * col("t") * col("t") - col("t"))
+            .cast("decimal(38,0)")).as("st3"))
+        .withColumn("nn", col("n1") + col("n0"))
+        .withColumn("u", col("u2").cast("double") / 2.0)
+        .withColumn("mu",
+          col("n1").cast("double") * col("n0") / 2.0)
+        .withColumn("vr",
+          col("n1").cast("double") * col("n0") / 12.0 *
+            ((col("nn") + 1) - col("st3").cast("double") /
+              (col("nn").cast("double") * (col("nn") - 1))))
+        .withColumn("z", (col("u") - col("mu")) / sqrt(col("vr")))
+        .select(col("n1"), col("n0"),
+          detRound(col("u"), 1).as("u_stat"),
+          detRound(col("z"), 6).as("z_stat"),
+          (abs(col("z")) > lit(1.96)).as("significant_05"))
+    }),
+
+    "x_kruskal_wallis" -> ((s, d) => {
+      // Kruskal–Wallis rank ANOVA across order priorities — the
+      // distribution-free k-sample companion to x_anova_oneway, with
+      // the exact tie correction the cent-quantized money values need.
+      // Average ranks stay integer by doubling (2·r̄ per value =
+      // 2·below + t + 1), so each group's doubled rank sum is an exact
+      // DECIMAL; per-group H terms quantize at 1e4 before the 5-term
+      // sum (the x_pagerank discipline). Windows run only over the
+      // grouped value histogram.
+      val hist = t(s, d, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("qv"))
+        .groupBy("grp", "qv").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val vt = hist.groupBy("qv").agg(sum(col("c")).cast("long").as("t"))
+      val w = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, -1)
+      val vts = vt.withColumn("s0", coalesce(sum(col("t")).over(w), lit(0L)))
+      val gsum = hist.join(vts, "qv")
+        .groupBy("grp")
+        .agg(sum(col("c")).cast("long").as("ng"),
+          sum((col("c") * (lit(2L) * col("s0") + col("t") + 1L))
+            .cast("decimal(38,0)")).as("r2g"))
+        .localCheckpoint()
+      val ties = vt.agg(
+        sum((col("t") * col("t") * col("t") - col("t"))
+          .cast("decimal(38,0)")).as("st3"))
+      val tot = gsum.agg(count(lit(1)).as("k"),
+        sum(col("ng")).cast("long").as("nn"))
+      val terms = gsum.crossJoin(broadcast(tot))
+        .select(col("k"), col("nn"),
+          floor(col("r2g").cast("double") * col("r2g").cast("double") /
+            4.0 / col("ng") * 1e4 + 0.5).cast("decimal(38,0)")
+            .as("qterm"))
+        .groupBy("k", "nn")
+        .agg(sum(col("qterm")).as("qsum"))
+      terms.crossJoin(broadcast(ties))
+        .withColumn("h",
+          lit(12.0) / (col("nn").cast("double") * (col("nn") + 1)) *
+            (col("qsum").cast("double") / 1e4) -
+            lit(3.0) * (col("nn") + 1))
+        .withColumn("corr",
+          lit(1.0) - col("st3").cast("double") /
+            (col("nn").cast("double") * col("nn") * col("nn") -
+              col("nn")))
+        .select(col("k").as("n_groups"), col("nn").as("n_obs"),
+          detRound(col("h"), 4).as("h_stat"),
+          detRound(col("h") / col("corr"), 4).as("h_tie_corrected"),
+          // chi-square df = k−1 = 4 at the fixture's 5 priorities
+          (col("h") / col("corr") > lit(9.488)).as("reject_05"))
+    }),
+
+    "x_cliffs_delta" -> ((s, d) => {
+      // Cliff's δ — the nonparametric effect size beside x_cohens_d
+      // (d assumes comparable variances and reads means; δ reads pure
+      // dominance: P(x>y) − P(x<y)): from the same two-sample value
+      // histogram as x_mannwhitney_u, #(x>y) = Σ c1·below₀ and
+      // #(x<y) = Σ c1·above₀, both exact DECIMAL sums, with the
+      // Romano et al. magnitude bands. O(distinct values) after the
+      // one grouped count.
+      val hist = t(s, d, "orders")
+        .select(
+          (substring(md5(col("o_orderkey").cast("string")), 1, 1) < "8")
+            .as("tr"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("qv"))
+        .groupBy("qv")
+        .agg(sum(when(col("tr"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("tr"), 1L).otherwise(0L)).as("c0"))
+      val w = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, -1)
+      val tot = hist.agg(sum(col("c1")).cast("long").as("n1"),
+        sum(col("c0")).cast("long").as("n0"))
+      hist
+        .withColumn("s0", coalesce(sum(col("c0")).over(w), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("a0", col("n0") - col("s0") - col("c0"))
+        .groupBy("n1", "n0")
+        .agg(sum((col("c1") * col("s0")).cast("decimal(38,0)")).as("gt"),
+          sum((col("c1") * col("a0")).cast("decimal(38,0)")).as("lt"))
+        .withColumn("delta",
+          (col("gt").cast("double") - col("lt").cast("double")) /
+            (col("n1").cast("double") * col("n0")))
+        .select(col("n1"), col("n0"),
+          detRound(col("delta"), 6).as("cliffs_delta"),
+          when(abs(col("delta")) < 0.147, "negligible")
+            .when(abs(col("delta")) < 0.33, "small")
+            .when(abs(col("delta")) < 0.474, "medium")
+            .otherwise("large").as("magnitude"))
+    }),
+
+    "x_kendall_tau" -> ((s, d) => {
+      // Kendall τ-b between two MEASURES of the monthly series
+      // (revenue vs order count) — the rank-association complement to
+      // x_rank_correlation's Spearman (τ has a direct probabilistic
+      // reading, P(concordant) − P(discordant), and τ-b corrects for
+      // ties in either measure). The pairs table is O(months²) of the
+      // bounded aggregated series; every count is an exact integer and
+      // the single division is the only float op.
+      val monthly = t(s, d, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 +
+          (month(col("o_orderdate")) - 1)).as("mi"))
+        .agg(floor(dsum(col("o_totalprice")) * 100 + 0.5)
+          .cast("long").as("rev"),
+          count(lit(1)).cast("long").as("cnt"))
+        .localCheckpoint()
+      val a = monthly.select(col("mi").as("i"), col("rev").as("x1"),
+        col("cnt").as("y1"))
+      val b = monthly.select(col("mi").as("j"), col("rev").as("x2"),
+        col("cnt").as("y2"))
+      val pairs = a.join(b, col("i") < col("j"))
+      pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when((col("x2") > col("x1") && col("y2") > col("y1")) ||
+            (col("x2") < col("x1") && col("y2") < col("y1")), 1L)
+            .otherwise(0L)).cast("long").as("concordant"),
+          sum(when((col("x2") > col("x1") && col("y2") < col("y1")) ||
+            (col("x2") < col("x1") && col("y2") > col("y1")), 1L)
+            .otherwise(0L)).cast("long").as("discordant"),
+          sum(when(col("x2") === col("x1"), 1L).otherwise(0L))
+            .cast("long").as("ties_x"),
+          sum(when(col("y2") === col("y1"), 1L).otherwise(0L))
+            .cast("long").as("ties_y"))
+        .select(col("n_pairs"), col("concordant"), col("discordant"),
+          detRound((col("concordant") - col("discordant"))
+            .cast("double") /
+            sqrt((col("n_pairs") - col("ties_x")).cast("double") *
+              (col("n_pairs") - col("ties_y")).cast("double")), 6)
+            .as("tau_b"))
+    }),
+
     "x_price_elasticity" -> ((s, d) => {
       // price elasticity of demand — the econometrics readout commerce
       // analytics ships: the OLS slope of ln(mean quantity per line)
@@ -2427,6 +2601,164 @@ object StatsOps {
                               + CAST(1.0 AS DOUBLE) / n2)))
                   > CAST(1.96 AS DOUBLE) AS significant_05
          FROM f""",
+
+    "x_mannwhitney_u" ->
+      """WITH hist AS (
+           SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS qv,
+                  CAST(SUM(CASE WHEN substring(md5(CAST(o_orderkey
+                    AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+                  CAST(SUM(CASE WHEN substring(md5(CAST(o_orderkey
+                    AS VARCHAR)), 1, 1) < '8' THEN 0 ELSE 1 END)
+                    AS BIGINT) AS c0
+           FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                        CAST(SUM(c0) AS BIGINT) AS n0
+                 FROM hist),
+         cum AS (
+           SELECT qv, c1, c0, c1 + c0 AS t,
+                  COALESCE(SUM(c0) OVER (ORDER BY qv
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS s0
+           FROM hist),
+         agg AS (
+           SELECT t.n1, t.n0, t.n1 + t.n0 AS nn,
+                  SUM(CAST(c.c1 * (2 * c.s0 + c.c0) AS HUGEINT)) AS u2,
+                  SUM(CAST(c.t * c.t * c.t - c.t AS HUGEINT)) AS st3
+           FROM cum c CROSS JOIN tot t
+           GROUP BY 1, 2, 3),
+         st AS (
+           SELECT n1, n0,
+                  CAST(u2 AS DOUBLE) / 2.0 AS u,
+                  CAST(n1 AS DOUBLE) * n0 / 2.0 AS mu,
+                  CAST(n1 AS DOUBLE) * n0 / 12.0
+                    * ((nn + 1) - CAST(st3 AS DOUBLE)
+                       / (CAST(nn AS DOUBLE) * (nn - 1))) AS vr
+           FROM agg)
+         SELECT n1, n0,
+                floor(u * 1e1 + 0.5) / 1e1 AS u_stat,
+                floor((u - mu) / sqrt(vr) * 1e6 + 0.5) / 1e6 AS z_stat,
+                abs((u - mu) / sqrt(vr)) > 1.96 AS significant_05
+         FROM st""",
+
+    "x_kruskal_wallis" ->
+      """WITH hist AS MATERIALIZED (
+           SELECT o_orderpriority AS grp,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS qv,
+                  COUNT(*) AS c
+           FROM orders GROUP BY 1, 2),
+         vt AS MATERIALIZED (
+           SELECT qv, CAST(SUM(c) AS BIGINT) AS t
+           FROM hist GROUP BY 1),
+         vts AS (
+           SELECT qv, t,
+                  COALESCE(SUM(t) OVER (ORDER BY qv
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS s0
+           FROM vt),
+         gsum AS (
+           SELECT h.grp, CAST(SUM(h.c) AS BIGINT) AS ng,
+                  SUM(CAST(h.c * (2 * v.s0 + v.t + 1) AS HUGEINT))
+                    AS r2g
+           FROM hist h JOIN vts v USING (qv)
+           GROUP BY 1),
+         ties AS (
+           SELECT SUM(CAST(t * t * t - t AS HUGEINT)) AS st3 FROM vt),
+         tot AS (SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS nn
+                 FROM gsum),
+         terms AS (
+           SELECT t.k, t.nn,
+                  CAST(floor(CAST(g.r2g AS DOUBLE)
+                             * CAST(g.r2g AS DOUBLE) / 4.0 / g.ng
+                             * 1e4 + 0.5) AS HUGEINT) AS qterm
+           FROM gsum g CROSS JOIN tot t),
+         agg AS (
+           SELECT k, nn, SUM(qterm) AS qsum
+           FROM terms GROUP BY 1, 2),
+         st AS (
+           SELECT k, nn,
+                  12.0 / (CAST(nn AS DOUBLE) * (nn + 1))
+                    * (CAST(qsum AS DOUBLE) / 1e4)
+                    - 3.0 * (nn + 1) AS h,
+                  1.0 - CAST(t2.st3 AS DOUBLE)
+                    / (CAST(nn AS DOUBLE) * nn * nn - nn) AS corr
+           FROM agg CROSS JOIN ties t2)
+         SELECT k AS n_groups, nn AS n_obs,
+                floor(h * 1e4 + 0.5) / 1e4 AS h_stat,
+                floor(h / corr * 1e4 + 0.5) / 1e4 AS h_tie_corrected,
+                h / corr > 9.488 AS reject_05
+         FROM st""",
+
+    "x_cliffs_delta" ->
+      """WITH hist AS (
+           SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS qv,
+                  CAST(SUM(CASE WHEN substring(md5(CAST(o_orderkey
+                    AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+                  CAST(SUM(CASE WHEN substring(md5(CAST(o_orderkey
+                    AS VARCHAR)), 1, 1) < '8' THEN 0 ELSE 1 END)
+                    AS BIGINT) AS c0
+           FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                        CAST(SUM(c0) AS BIGINT) AS n0
+                 FROM hist),
+         cum AS (
+           SELECT qv, c1, c0,
+                  COALESCE(SUM(c0) OVER (ORDER BY qv
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS s0
+           FROM hist),
+         agg AS (
+           SELECT t.n1, t.n0,
+                  SUM(CAST(c.c1 * c.s0 AS HUGEINT)) AS gt,
+                  SUM(CAST(c.c1 * (t.n0 - c.s0 - c.c0) AS HUGEINT))
+                    AS lt
+           FROM cum c CROSS JOIN tot t
+           GROUP BY 1, 2),
+         st AS (
+           SELECT n1, n0,
+                  (CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+                    / (CAST(n1 AS DOUBLE) * n0) AS delta
+           FROM agg)
+         SELECT n1, n0,
+                floor(delta * 1e6 + 0.5) / 1e6 AS cliffs_delta,
+                CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+                     WHEN abs(delta) < 0.33 THEN 'small'
+                     WHEN abs(delta) < 0.474 THEN 'medium'
+                     ELSE 'large' END AS magnitude
+         FROM st""",
+
+    "x_kendall_tau" ->
+      """WITH monthly AS MATERIALIZED (
+           SELECT year(o_orderdate) * 12 + (month(o_orderdate) - 1)
+                    AS mi,
+                  CAST(floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                                  AS DOUBLE) * 100 + 0.5) AS BIGINT)
+                    AS rev,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM orders GROUP BY 1),
+         pairs AS (
+           SELECT a.rev AS x1, a.cnt AS y1, b.rev AS x2, b.cnt AS y2
+           FROM monthly a JOIN monthly b ON a.mi < b.mi),
+         agg AS (
+           SELECT COUNT(*) AS n_pairs,
+                  CAST(SUM(CASE WHEN (x2 > x1 AND y2 > y1)
+                                  OR (x2 < x1 AND y2 < y1)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+                  CAST(SUM(CASE WHEN (x2 > x1 AND y2 < y1)
+                                  OR (x2 < x1 AND y2 > y1)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+                  CAST(SUM(CASE WHEN x2 = x1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS ties_x,
+                  CAST(SUM(CASE WHEN y2 = y1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS ties_y
+           FROM pairs)
+         SELECT n_pairs, concordant, discordant,
+                floor(CAST(concordant - discordant AS DOUBLE)
+                      / sqrt(CAST(n_pairs - ties_x AS DOUBLE)
+                             * CAST(n_pairs - ties_y AS DOUBLE))
+                      * 1e6 + 0.5) / 1e6 AS tau_b
+         FROM agg""",
 
     "x_price_elasticity" ->
       """WITH lv AS (

@@ -140,6 +140,9 @@ class PlanAuditSpec extends SparkSpec {
     "x_hurst_exponent", "x_t_closeness",
     // x_season_detect checkpoints the 30-row centered series + 13-row ACF
     "x_season_detect",
+    // x_kruskal_wallis checkpoints the (grp, value) histogram + 5-row
+    // rank sums; x_kendall_tau the ~80-row monthly series
+    "x_kruskal_wallis", "x_kendall_tau",
     "x_chi2_independence",
     "x_classifier_agreement", "x_classifier_report", "x_cluster_size_dist",
     "x_cluster_topics", "x_collocations", "x_cooccurrence_recs",
