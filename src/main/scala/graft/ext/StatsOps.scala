@@ -821,6 +821,100 @@ object StatsOps {
           (abs(col("z")) > lit(1.96)).as("significant_05"))
     }),
 
+    "x_rate_ratio" -> ((s, d) => {
+      // Poisson rate-ratio test for incident counts under unequal
+      // exposure — the ops/SRE readout ("is the weekend error RATE
+      // different, given fewer weekend days?") that a raw count
+      // comparison gets wrong: RR = (c_a/T_a)/(c_b/T_b) with the Wald
+      // log-CI exp(ln RR ± 1.96·√(1/c_a + 1/c_b)). Counts and
+      // exposures (distinct observed days per cohort) are exact
+      // integers from one grouped pass; the CI arithmetic is identical
+      // IEEE on them.
+      val ev = t(s, d, "events")
+        .select(col("ts").cast("date").as("day"),
+          (col("event_type") === "error").as("is_err"),
+          (dayofweek(col("ts")).isin(1, 7)).as("weekend"))
+      val g = ev.groupBy("weekend")
+        .agg(sum(when(col("is_err"), 1L).otherwise(0L)).as("c"),
+          countDistinct(col("day")).as("days"))
+        .localCheckpoint()
+      val a = g.filter(col("weekend"))
+        .select(col("c").as("c_a"), col("days").as("days_a"))
+      val b = g.filter(!col("weekend"))
+        .select(col("c").as("c_b"), col("days").as("days_b"))
+      a.crossJoin(b)
+        .withColumn("rr",
+          (col("c_a").cast("double") / col("days_a")) /
+            (col("c_b").cast("double") / col("days_b")))
+        .withColumn("se",
+          sqrt(lit(1.0) / col("c_a") + lit(1.0) / col("c_b")))
+        .select(col("c_a"), col("days_a"), col("c_b"), col("days_b"),
+          detRound(col("rr"), 6).as("rate_ratio"),
+          detRound(exp(log(col("rr")) - lit(1.96) * col("se")), 6)
+            .as("ci_lo"),
+          detRound(exp(log(col("rr")) + lit(1.96) * col("se")), 6)
+            .as("ci_hi"),
+          (log(col("rr")) - lit(1.96) * col("se") > 0.0 ||
+            log(col("rr")) + lit(1.96) * col("se") < 0.0)
+            .as("excludes_one"))
+    }),
+
+    "x_decision_stump" -> ((s, d) => {
+      // in-engine decision-stump training — the simplest supervised
+      // learner after x_naive_bayes / x_quality_classifier: scan every
+      // candidate quantity threshold for predicting a returned line and
+      // pick the split with the largest Gini impurity reduction. The
+      // entire search runs on the CUMULATIVE (n, positives) histogram
+      // over the BOUNDED quantity domain (≤50 distinct values — the
+      // x_pareto_front posture: windows over the grouped domain, never
+      // raw rows); gains quantize at 1e9 and the argmax breaks ties to
+      // the smaller threshold, so the trained stump is bit-identical
+      // everywhere.
+      val hist = t(s, d, "lineitem")
+        .select(col("l_quantity").cast("long").as("q"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .groupBy("q")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
+      val w = Window.orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = hist.agg(sum(col("n")).cast("long").as("nn"),
+        sum(col("k")).cast("long").as("kk"))
+      val scored = hist
+        .withColumn("nl", sum(col("n")).over(w).cast("long"))
+        .withColumn("kl", sum(col("k")).over(w).cast("long"))
+        .crossJoin(broadcast(tot))
+        .filter(col("nl") < col("nn")) // a split must leave a right side
+        .withColumn("nr", col("nn") - col("nl"))
+        .withColumn("kr", col("kk") - col("kl"))
+        .withColumn("pl", col("kl").cast("double") / col("nl"))
+        .withColumn("pr", col("kr").cast("double") / col("nr"))
+        .withColumn("pp", col("kk").cast("double") / col("nn"))
+        .withColumn("g_root",
+          lit(2.0) * col("pp") * (lit(1.0) - col("pp")))
+        .withColumn("g_split",
+          (col("nl").cast("double") / col("nn")) *
+            (lit(2.0) * col("pl") * (lit(1.0) - col("pl"))) +
+            (col("nr").cast("double") / col("nn")) *
+              (lit(2.0) * col("pr") * (lit(1.0) - col("pr"))))
+        .withColumn("qgain",
+          floor((col("g_root") - col("g_split")) * 1e9 + 0.5)
+            .cast("long"))
+        .localCheckpoint()
+      val best = scored.agg(max(col("qgain")).as("qbest"))
+      scored.crossJoin(broadcast(best))
+        .filter(col("qgain") === col("qbest"))
+        .groupBy("qbest")
+        .agg(min(col("q")).as("split_q")) // tie → smaller threshold
+        .join(scored, col("split_q") === scored("q"))
+        .select(col("split_q").as("split_quantity_le"),
+          col("nl").as("n_left"), col("nr").as("n_right"),
+          detRound(col("pl"), 6).as("rate_left"),
+          detRound(col("pr"), 6).as("rate_right"),
+          detRound(col("g_root"), 6).as("gini_root"),
+          detRound(col("g_split"), 6).as("gini_split"),
+          detRound(col("qgain") / 1e9, 6).as("gain"))
+    }),
+
     "x_mannwhitney_u" -> ((s, d) => {
       // Mann–Whitney U (Wilcoxon rank-sum) with tie-corrected normal
       // approximation — the distribution-free location test beside
@@ -2601,6 +2695,85 @@ object StatsOps {
                               + CAST(1.0 AS DOUBLE) / n2)))
                   > CAST(1.96 AS DOUBLE) AS significant_05
          FROM f""",
+
+    "x_rate_ratio" ->
+      """WITH ev AS (
+           SELECT CAST(ts AS DATE) AS day,
+                  event_type = 'error' AS is_err,
+                  dayofweek(ts) IN (0, 6) AS weekend
+           FROM events),
+         g AS (
+           SELECT weekend,
+                  CAST(SUM(CASE WHEN is_err THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c,
+                  CAST(COUNT(DISTINCT day) AS BIGINT) AS days
+           FROM ev GROUP BY 1),
+         a AS (SELECT c AS c_a, days AS days_a FROM g WHERE weekend),
+         b AS (SELECT c AS c_b, days AS days_b FROM g WHERE NOT weekend),
+         st AS (
+           SELECT c_a, days_a, c_b, days_b,
+                  (CAST(c_a AS DOUBLE) / days_a)
+                    / (CAST(c_b AS DOUBLE) / days_b) AS rr,
+                  sqrt(1.0 / c_a + 1.0 / c_b) AS se
+           FROM a CROSS JOIN b)
+         SELECT c_a, days_a, c_b, days_b,
+                floor(rr * 1e6 + 0.5) / 1e6 AS rate_ratio,
+                floor(exp(ln(rr) - 1.96 * se) * 1e6 + 0.5) / 1e6
+                  AS ci_lo,
+                floor(exp(ln(rr) + 1.96 * se) * 1e6 + 0.5) / 1e6
+                  AS ci_hi,
+                ln(rr) - 1.96 * se > 0.0 OR ln(rr) + 1.96 * se < 0.0
+                  AS excludes_one
+         FROM st""",
+
+    "x_decision_stump" ->
+      """WITH hist AS (
+           SELECT CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS n,
+                  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+                           END) AS BIGINT) AS k
+           FROM lineitem GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                        CAST(SUM(k) AS BIGINT) AS kk
+                 FROM hist),
+         cum AS (
+           SELECT q,
+                  CAST(SUM(n) OVER (ORDER BY q) AS BIGINT) AS nl,
+                  CAST(SUM(k) OVER (ORDER BY q) AS BIGINT) AS kl
+           FROM hist),
+         scored AS MATERIALIZED (
+           SELECT c.q, c.nl, c.kl, t.nn - c.nl AS nr, t.kk - c.kl AS kr,
+                  CAST(c.kl AS DOUBLE) / c.nl AS pl,
+                  CAST(t.kk - c.kl AS DOUBLE) / (t.nn - c.nl) AS pr,
+                  CAST(t.kk AS DOUBLE) / t.nn AS pp,
+                  t.nn
+           FROM cum c CROSS JOIN tot t
+           WHERE c.nl < t.nn),
+         gains AS MATERIALIZED (
+           SELECT q, nl, nr, pl, pr,
+                  2.0 * pp * (1.0 - pp) AS g_root,
+                  (CAST(nl AS DOUBLE) / nn) * (2.0 * pl * (1.0 - pl))
+                    + (CAST(nr AS DOUBLE) / nn)
+                      * (2.0 * pr * (1.0 - pr)) AS g_split,
+                  CAST(floor((2.0 * pp * (1.0 - pp)
+                              - ((CAST(nl AS DOUBLE) / nn)
+                                 * (2.0 * pl * (1.0 - pl))
+                                 + (CAST(nr AS DOUBLE) / nn)
+                                   * (2.0 * pr * (1.0 - pr))))
+                             * 1e9 + 0.5) AS BIGINT) AS qgain
+           FROM scored),
+         best AS (SELECT MAX(qgain) AS qbest FROM gains),
+         pick AS (
+           SELECT MIN(q) AS split_q, qbest
+           FROM gains, best WHERE qgain = qbest GROUP BY qbest)
+         SELECT p.split_q AS split_quantity_le,
+                g.nl AS n_left, g.nr AS n_right,
+                floor(g.pl * 1e6 + 0.5) / 1e6 AS rate_left,
+                floor(g.pr * 1e6 + 0.5) / 1e6 AS rate_right,
+                floor(g.g_root * 1e6 + 0.5) / 1e6 AS gini_root,
+                floor(g.g_split * 1e6 + 0.5) / 1e6 AS gini_split,
+                floor(CAST(p.qbest AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6
+                  AS gain
+         FROM pick p JOIN gains g ON g.q = p.split_q""",
 
     "x_mannwhitney_u" ->
       """WITH hist AS (

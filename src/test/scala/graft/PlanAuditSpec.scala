@@ -143,6 +143,9 @@ class PlanAuditSpec extends SparkSpec {
     // x_kruskal_wallis checkpoints the (grp, value) histogram + 5-row
     // rank sums; x_kendall_tau the ~80-row monthly series
     "x_kruskal_wallis", "x_kendall_tau",
+    // x_rate_ratio checkpoints the 2-row cohort counts;
+    // x_decision_stump the ≤50-row scored-split table
+    "x_rate_ratio", "x_decision_stump",
     "x_chi2_independence",
     "x_classifier_agreement", "x_classifier_report", "x_cluster_size_dist",
     "x_cluster_topics", "x_collocations", "x_cooccurrence_recs",
