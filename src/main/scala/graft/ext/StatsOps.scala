@@ -821,6 +821,49 @@ object StatsOps {
           (abs(col("z")) > lit(1.96)).as("significant_05"))
     }),
 
+    "x_cochran_armitage" -> ((s, d) => {
+      // Cochran–Armitage trend test — does the RETURN RATE trend
+      // monotonically with the ORDERED discount level? χ² independence
+      // (x_chi2_independence) treats levels as unordered and wastes
+      // the ordering; CA weights each level by its score (discount in
+      // basis points, an exact integer) and tests the linear trend in
+      // proportions. U = Σ s_i(k_i·N − n_i·K) and its variance are
+      // pure integer algebra in DECIMAL/HUGEINT — the single division
+      // and sqrt are the only float ops. One fact-table groupBy,
+      // O(levels) after.
+      val lv = t(s, d, "lineitem")
+        .select(floor(col("l_discount") * 10000 + 0.5).cast("long")
+          .as("sc"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .groupBy("sc")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
+        .localCheckpoint()
+      val tot = lv.agg(sum(col("n")).cast("long").as("nn"),
+        sum(col("k")).cast("long").as("kk"),
+        count(lit(1)).as("n_levels"))
+      lv.crossJoin(broadcast(tot))
+        .groupBy("nn", "kk", "n_levels")
+        .agg(
+          sum((col("sc").cast("decimal(38,0)") *
+            (col("k").cast("decimal(38,0)") * col("nn") -
+              col("n").cast("decimal(38,0)") * col("kk")))).as("u"),
+          sum(col("n").cast("decimal(38,0)") *
+            col("sc").cast("decimal(38,0)") *
+            col("sc").cast("decimal(38,0)")).as("nss"),
+          sum(col("n").cast("decimal(38,0)") *
+            col("sc").cast("decimal(38,0)")).as("ns"))
+        .withColumn("vr",
+          col("kk").cast("double") * (col("nn") - col("kk")) *
+            (col("nn") * col("nss").cast("double") -
+              col("ns").cast("double") * col("ns").cast("double")) /
+            col("nn").cast("double"))
+        .withColumn("z", col("u").cast("double") / sqrt(col("vr")))
+        .select(col("n_levels"), col("nn").as("n_lines"),
+          col("kk").as("n_returned"),
+          detRound(col("z"), 6).as("z_trend"),
+          (abs(col("z")) > lit(1.96)).as("significant_05"))
+    }),
+
     "x_rate_ratio" -> ((s, d) => {
       // Poisson rate-ratio test for incident counts under unequal
       // exposure — the ops/SRE readout ("is the weekend error RATE
@@ -2695,6 +2738,41 @@ object StatsOps {
                               + CAST(1.0 AS DOUBLE) / n2)))
                   > CAST(1.96 AS DOUBLE) AS significant_05
          FROM f""",
+
+    "x_cochran_armitage" ->
+      """WITH lv AS (
+           SELECT CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS sc,
+                  COUNT(*) AS n,
+                  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+                           END) AS BIGINT) AS k
+           FROM lineitem GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                        CAST(SUM(k) AS BIGINT) AS kk,
+                        COUNT(*) AS n_levels
+                 FROM lv),
+         agg AS (
+           SELECT t.nn, t.kk, t.n_levels,
+                  SUM(CAST(l.sc AS HUGEINT)
+                      * (CAST(l.k AS HUGEINT) * t.nn
+                         - CAST(l.n AS HUGEINT) * t.kk)) AS u,
+                  SUM(CAST(l.n AS HUGEINT) * CAST(l.sc AS HUGEINT)
+                      * CAST(l.sc AS HUGEINT)) AS nss,
+                  SUM(CAST(l.n AS HUGEINT) * CAST(l.sc AS HUGEINT))
+                    AS ns
+           FROM lv l CROSS JOIN tot t
+           GROUP BY 1, 2, 3),
+         st AS (
+           SELECT n_levels, nn, kk,
+                  CAST(u AS DOUBLE)
+                    / sqrt(CAST(kk AS DOUBLE) * (nn - kk)
+                           * (nn * CAST(nss AS DOUBLE)
+                              - CAST(ns AS DOUBLE) * CAST(ns AS DOUBLE))
+                           / CAST(nn AS DOUBLE)) AS z
+           FROM agg)
+         SELECT n_levels, nn AS n_lines, kk AS n_returned,
+                floor(z * 1e6 + 0.5) / 1e6 AS z_trend,
+                abs(z) > 1.96 AS significant_05
+         FROM st""",
 
     "x_rate_ratio" ->
       """WITH ev AS (

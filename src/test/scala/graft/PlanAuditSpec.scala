@@ -146,6 +146,8 @@ class PlanAuditSpec extends SparkSpec {
     // x_rate_ratio checkpoints the 2-row cohort counts;
     // x_decision_stump the ≤50-row scored-split table
     "x_rate_ratio", "x_decision_stump",
+    // x_cochran_armitage checkpoints the 11-row discount-level table
+    "x_cochran_armitage",
     "x_chi2_independence",
     "x_classifier_agreement", "x_classifier_report", "x_cluster_size_dist",
     "x_cluster_topics", "x_collocations", "x_cooccurrence_recs",
