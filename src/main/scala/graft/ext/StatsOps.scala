@@ -885,20 +885,25 @@ object StatsOps {
         .select(col("c").as("c_a"), col("days").as("days_a"))
       val b = g.filter(!col("weekend"))
         .select(col("c").as("c_b"), col("days").as("days_b"))
+      // a zero count in either cohort makes ln(rr) / 1/c diverge — the
+      // Wald CI is undefined there, so (like x_odds_ratio's all-zero
+      // guard) emit NULL stats rather than engine-dependent ±inf.
+      val ok = col("c_a") > 0 && col("c_b") > 0
       a.crossJoin(b)
-        .withColumn("rr",
+        .withColumn("rr", when(ok,
           (col("c_a").cast("double") / col("days_a")) /
-            (col("c_b").cast("double") / col("days_b")))
-        .withColumn("se",
-          sqrt(lit(1.0) / col("c_a") + lit(1.0) / col("c_b")))
+            (col("c_b").cast("double") / col("days_b"))))
+        .withColumn("se", when(ok,
+          sqrt(lit(1.0) / col("c_a") + lit(1.0) / col("c_b"))))
         .select(col("c_a"), col("days_a"), col("c_b"), col("days_b"),
           detRound(col("rr"), 6).as("rate_ratio"),
           detRound(exp(log(col("rr")) - lit(1.96) * col("se")), 6)
             .as("ci_lo"),
           detRound(exp(log(col("rr")) + lit(1.96) * col("se")), 6)
             .as("ci_hi"),
-          (log(col("rr")) - lit(1.96) * col("se") > 0.0 ||
-            log(col("rr")) + lit(1.96) * col("se") < 0.0)
+          when(ok,
+            log(col("rr")) - lit(1.96) * col("se") > 0.0 ||
+              log(col("rr")) + lit(1.96) * col("se") < 0.0)
             .as("excludes_one"))
     }),
 
@@ -2790,9 +2795,11 @@ object StatsOps {
          b AS (SELECT c AS c_b, days AS days_b FROM g WHERE NOT weekend),
          st AS (
            SELECT c_a, days_a, c_b, days_b,
-                  (CAST(c_a AS DOUBLE) / days_a)
-                    / (CAST(c_b AS DOUBLE) / days_b) AS rr,
-                  sqrt(1.0 / c_a + 1.0 / c_b) AS se
+                  CASE WHEN c_a > 0 AND c_b > 0 THEN
+                    (CAST(c_a AS DOUBLE) / days_a)
+                      / (CAST(c_b AS DOUBLE) / days_b) END AS rr,
+                  CASE WHEN c_a > 0 AND c_b > 0 THEN
+                    sqrt(1.0 / c_a + 1.0 / c_b) END AS se
            FROM a CROSS JOIN b)
          SELECT c_a, days_a, c_b, days_b,
                 floor(rr * 1e6 + 0.5) / 1e6 AS rate_ratio,
@@ -2800,8 +2807,9 @@ object StatsOps {
                   AS ci_lo,
                 floor(exp(ln(rr) + 1.96 * se) * 1e6 + 0.5) / 1e6
                   AS ci_hi,
-                ln(rr) - 1.96 * se > 0.0 OR ln(rr) + 1.96 * se < 0.0
-                  AS excludes_one
+                CASE WHEN c_a > 0 AND c_b > 0 THEN
+                  ln(rr) - 1.96 * se > 0.0 OR ln(rr) + 1.96 * se < 0.0
+                END AS excludes_one
          FROM st""",
 
     "x_decision_stump" ->

@@ -194,10 +194,19 @@ object StreamingIngest {
       val (n1, q1, m1) = batchAgg.getOrElse(a, (0L, 0L, 0L))
       a -> ((n0 + n1, q0 + q1, math.max(m0, m1)))
     }.toMap
+    if (st1.isEmpty) {
+      // empty micro-batch on fresh state: no arms to score yet — emit no
+      // decision row but still advance the batch cursor so the replay
+      // guard holds across a restart.
+      ucbWriteState(statePath, batchId, st1)
+      return
+    }
     val nn = st1.values.map(_._1).sum
     val qvmax = st1.values.map(_._3).max
     val scored = st1.toSeq.map { case (a, (n, q, _)) =>
-      val mean = q.toDouble / (n * qvmax)
+      // qvmax == 0 means every observed reward quantized to zero (all
+      // values < 0.005): the empirical means are all 0, not 0/0.
+      val mean = if (qvmax == 0L) 0.0 else q.toDouble / (n * qvmax)
       (a, n, mean, mean + math.sqrt(2.0 * math.log(nn.toDouble) / n))
     }
     // deterministic argmax: highest ucb, ties to the lex-smaller arm
@@ -207,7 +216,12 @@ object StreamingIngest {
       .toDF("batch_id", "n_pulls_total", "allocate_arm", "best_ucb",
         "n_arms")
       .coalesce(1).write.mode("append").parquet(outPath)
-    val armsJson = st1.toSeq.sortBy(_._1).map { case (a, (n, q, m)) =>
+    ucbWriteState(statePath, batchId, st1)
+  }
+
+  private def ucbWriteState(statePath: String, batchId: Long,
+      arms: Map[String, (Long, Long, Long)]): Unit = {
+    val armsJson = arms.toSeq.sortBy(_._1).map { case (a, (n, q, m)) =>
       s"""{"arm": "$a", "n": $n, "q": $q, "mx": $m}"""
     }.mkString("[", ", ", "]")
     val tmp = java.nio.file.Paths.get(statePath + ".tmp")
@@ -301,6 +315,77 @@ object StreamingIngest {
       .withColumn("content_hash", sha2(col("text"), 256))
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Stateful streaming exact-dedup SINK (r14) — dedupStream composed
+    * with a PERSISTENT content-hash store maintained foreachBatch, so
+    * the streaming path and the batch dedup pipeline (x_dedup_exact)
+    * share one dedup horizon. dropDuplicatesWithinWatermark alone
+    * forgets everything on checkpoint reset and knows nothing about
+    * docs already accepted by BATCH loads into `outPath`; this sink
+    * closes both gaps: each micro-batch (already within-stream-deduped
+    * by dedupStream upstream) is checked against the durable
+    * (content_hash, ts) store, first-writer-wins within the batch by
+    * (ts, doc_id), survivors append to the doc store, and ALL observed
+    * hashes merge into the state pruned to the TTL window — the same
+    * tmp+swap crash contract and watermark-bounded state row count as
+    * chunkDedupBatch (state rows <= distinct in-window hashes, by
+    * construction of the prune). A batch loader that appends to the
+    * same store can union its hashes into `statePath` and the stream
+    * picks them up next trigger. State is hash-keyed, so at cluster
+    * scale the store buckets by hash prefix exactly like the batch
+    * store (PartitionedMerge) — no skew, no unbounded growth. */
+  def exactDedupSink(docs: DataFrame, spark: SparkSession, outPath: String,
+                     statePath: String, checkpoint: String,
+                     delay: String = "1 hour",
+                     delayMs: Long = 3600L * 1000)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    dedupStream(docs, delay).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        exactDedupBatch(spark, outPath, statePath, batch, delayMs)
+      }
+
+  private[graft] def exactDedupBatch(spark: SparkSession,
+      outPath: String, statePath: String, batch: DataFrame,
+      delayMs: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    val docs = batch.localCheckpoint()
+    if (docs.head(1).isEmpty) return
+    val state =
+      if (Files.exists(Paths.get(statePath)))
+        spark.read.parquet(statePath).select("content_hash", "ts")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new StructType()
+          .add("content_hash", "string").add("ts", "timestamp"))
+    // verdict: dup vs the durable store, or a later same-hash doc of
+    // this batch ((ts, doc_id)-min owner wins — first writer, matching
+    // the stream operator's keep-first rule)
+    val dupVsState = docs.join(state, Seq("content_hash"), "left_semi")
+      .select("doc_id").distinct()
+    val owners = docs.groupBy("content_hash")
+      .agg(min(struct(col("ts"), col("doc_id"))).as("o"))
+      .select(col("content_hash"), col("o.doc_id").as("owner_id"))
+    val dupInBatch = docs.join(owners, Seq("content_hash"))
+      .filter(col("doc_id") =!= col("owner_id"))
+      .select("doc_id").distinct()
+    val dupIds = dupVsState.union(dupInBatch).distinct().localCheckpoint()
+    docs.join(dupIds, Seq("doc_id"), "left_anti")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outPath)
+    // fold all observed hashes in, prune to the TTL window; tmp + swap
+    // so a crash mid-write never truncates the live state
+    val cutoff = new java.sql.Timestamp(
+      docs.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime - delayMs)
+    val newState = state
+      .unionByName(docs.select("content_hash", "ts"))
+      .groupBy("content_hash").agg(min(col("ts")).as("ts"))
+      .filter(col("ts") >= lit(cutoff))
+    val tmp = statePath + ".tmp"
+    newState.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    graft.util.Fs.swapInto(Paths.get(tmp), Paths.get(statePath))
+  }
 
   /** Streaming NEAR-dup dedup (round 4) — the streaming twin of
     * x_dedup_simhash: a per-row 64-bit SimHash fingerprint (the
