@@ -237,10 +237,19 @@ object GraphOps {
       val sups = e0.select(col("s")).distinct().localCheckpoint()
       var hub = sups.withColumn("h", lit(1.0)).localCheckpoint()
       var auth: DataFrame = null // set on the first half-step below
+      // the L1 total rides along as a broadcast 1-row scalar aggregate
+      // instead of a driver .head() round-trip: same Long-sum / 1e12
+      // double and the same division, so every score is bit-identical —
+      // but each half-step is ONE job (the checkpoint materialization)
+      // instead of two, halving the ladder's job-scheduling overhead
+      // (r13 verdict: x_hits drifted while one-job-per-step x_pagerank
+      // beside it stayed flat).
       def l1norm(df: DataFrame, v: String): DataFrame = {
-        val tot = df.agg(sum(floor(col(v) * 1e12 + 0.5).cast("long")))
-          .head().getLong(0) / 1e12
-        df.withColumn(v, floor(col(v) / tot * 1e12 + 0.5) / 1e12)
+        val tot = df.agg((sum(floor(col(v) * 1e12 + 0.5).cast("long"))
+          / 1e12).as("_l1tot"))
+        df.crossJoin(broadcast(tot))
+          .withColumn(v, floor(col(v) / col("_l1tot") * 1e12 + 0.5) / 1e12)
+          .drop("_l1tot")
       }
       for (_ <- 1 to HitsIters) {
         auth = l1norm(
