@@ -68,16 +68,17 @@ object SparkEntry {
     "x_ann_clustered_ivf_recall", "x_curation_pipeline"
   ).filter(queries.contains)
 
-  /** Third pinned bench tier (round 13, r12 verdict #6): the r10–r12
-    * causal/experimentation and corpus-economics families. The headline
-    * set is pinned since r3 for comparability and the heavy tier covers
-    * the PQ/graph cost centers, so none of the newer families were
-    * benched outside the full-registry run — a regression there would
-    * only surface diluted into the ~200 s full total. These 6 are
-    * benched min-of-N per round alongside the other two tiers; the
-    * existing tiers are unchanged. */
+  /** Third pinned bench tier (round 13, r12 verdict #6): the newest
+    * operator families, ROTATED each round (r13 verdict #5) so every
+    * round's additions get one round of min-of-N wall-clock tracking
+    * before settling into ShuffleCountSpec-only structural coverage.
+    * r14 rotation: the r13 nonparametric/causal/corpus battery. The r13
+    * members (x_fdr_bh, x_cuped, x_regression_discontinuity,
+    * x_group_sequential, x_dedup_saturation, x_mahalanobis_outliers)
+    * graduated to ShuffleCountSpec's alumni pins — plans still
+    * structurally pinned, no longer benched per round. */
   def freshQueries: Seq[String] = Seq(
-    "x_fdr_bh", "x_cuped", "x_regression_discontinuity",
-    "x_group_sequential", "x_dedup_saturation", "x_mahalanobis_outliers"
+    "x_mannwhitney_u", "x_kendall_tau", "x_cochran_armitage",
+    "x_ipw_ate", "x_hurst_exponent", "x_capture_recapture"
   ).filter(queries.contains)
 }

@@ -34,9 +34,16 @@ class ShuffleCountSpec extends SparkSpec {
     s
   }
 
+  /** Graduated fresh-tier members (r14 rotation, r13 verdict #5): no
+    * longer benched per round, but their plan shapes stay pinned here so
+    * a shuffle regression in a past tier member is still loud. */
+  private val freshAlumni: Seq[String] = Seq(
+    "x_fdr_bh", "x_cuped", "x_regression_discontinuity",
+    "x_group_sequential", "x_dedup_saturation", "x_mahalanobis_outliers")
+
   private lazy val counts: Map[String, Int] =
     (SparkEntry.benchQueries ++ SparkEntry.heavyQueries ++
-      SparkEntry.freshQueries).map { name =>
+      SparkEntry.freshQueries ++ freshAlumni).map { name =>
       val df = SparkEntry.queries(name)(planSession, "/root/testdata/sf0.001")
       name -> countShuffles(df.queryExecution.executedPlan)
     }.toMap
@@ -73,6 +80,13 @@ class ShuffleCountSpec extends SparkSpec {
     "x_ann_ivfpq_residual_recall" -> 23,
     "x_ann_multiprobe" -> 2,
     "x_ann_pq_adc_recall" -> 42,
+    // r14 fresh-tier rotation members
+    "x_capture_recapture" -> 4,
+    "x_cochran_armitage" -> 2,
+    "x_hurst_exponent" -> 2,
+    "x_ipw_ate" -> 2,
+    "x_kendall_tau" -> 1,
+    "x_mannwhitney_u" -> 3,
     "x_cuped" -> 6,
     "x_curation_pipeline" -> 8,
     "x_dedup_saturation" -> 5,
