@@ -1,0 +1,415 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.types.Coercions.detRound
+import graft.util.Tables.t
+
+/** Censored survival analysis (r14) — the time-to-event layer the
+  * engine's retention questions were missing. x_survival_curve
+  * (EventOps) computes the uncensored lifetime curve its scaladoc is
+  * explicit about; a real corpus never observes every spell to its
+  * event, so this family implements the censored estimators proper:
+  * Kaplan–Meier (1958), Nelson–Aalen (1972), the two-sample log-rank
+  * test (Mantel 1966), the O/E hazard ratio with Peto CI, and the
+  * restricted mean survival time.
+  *
+  * Spell construction (shared): for every order, the days until the
+  * SAME customer's next order (event = 1, the customer "returned"), or
+  * — for a customer's last observed order — the days to the fixture's
+  * horizon max(o_orderdate) with event = 0 (right-censored: the next
+  * order exists beyond the window, we just did not see it). The spell
+  * window is a per-customer partitioned lead (never a global sort);
+  * everything downstream runs on the (duration, group) day-grain
+  * HISTOGRAM, so windows order O(distinct days) rows — the x_mannwhitney
+  * posture — and the fact table is touched exactly once per op.
+  *
+  * Cross-engine arithmetic discipline: at-risk counts and event counts
+  * are exact integers from the histogram cumsum; every per-time ratio
+  * term (d/n for the hazard, d·n1/n for the log-rank expectation) is
+  * quantized to 1e9 fixed point BEFORE the cumulative/total sum (the
+  * x_pagerank rule — sums of integers are order-free), and the KM
+  * product runs as an integer-quantized log-sum with an explicit
+  * S = 0 latch for the n = d boundary so ln(0) never enters either
+  * engine. */
+object SurvivalOps {
+
+  /** grp: urgent/high priority orders open 'hi' spells — the two-sample
+    * factor the log-rank family compares. */
+  private def spellsFrame(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+    val mx = orders.agg(max(col("o_orderdate")).as("mxd"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hi")
+          .otherwise("lo").as("grp"))
+      .withColumn("nxt", lead(col("o_orderdate"), 1).over(w))
+      .crossJoin(broadcast(mx))
+      .select(
+        when(col("nxt").isNotNull, datediff(col("nxt"), col("o_orderdate")))
+          .otherwise(datediff(col("mxd"), col("o_orderdate")))
+          .cast("long").as("dur"),
+        when(col("nxt").isNotNull, 1L).otherwise(0L).as("event"),
+        col("grp"))
+  }
+
+  private val spellsSql =
+    """mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+       sp AS (
+         SELECT o_custkey,
+                CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 'hi' ELSE 'lo' END AS grp,
+                o_orderdate,
+                lead(o_orderdate) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS nxt
+         FROM orders),
+       spells AS (
+         SELECT CASE WHEN nxt IS NOT NULL THEN
+                  date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(nxt AS DATE))
+                ELSE
+                  date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST((SELECT mxd FROM mx) AS DATE))
+                END AS dur,
+                CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS event,
+                grp
+         FROM sp)"""
+
+  /** (t_days, n_risk, d_events, qln, zflag) event-time rows: the KM
+    * ladder's integer core, shared by the curve and the RMST integral.
+    * zflag latches S = 0 where the whole risk set dies (n = d). */
+  private def kmEventRows(s: SparkSession, d: String): DataFrame = {
+    val spells = spellsFrame(s, d).localCheckpoint()
+    val tot = spells.agg(count(lit(1)).as("ntot"))
+    val hist = spells.groupBy("dur")
+      .agg(count(lit(1)).as("m"), sum(col("event")).as("dd"))
+    val w = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("m")).over(w))
+      .withColumn("n_risk", col("ntot") - col("cum") + col("m"))
+      .filter(col("dd") > 0)
+      .withColumn("qln", when(col("dd") < col("n_risk"),
+        floor(log((col("n_risk") - col("dd")).cast("double") /
+          col("n_risk").cast("double")) * 1e9).cast("long"))
+        .otherwise(lit(0L)))
+      .withColumn("zflag",
+        when(col("dd") >= col("n_risk"), 1L).otherwise(0L))
+      .select(col("dur").as("t_days"), col("n_risk"),
+        col("dd").as("d_events"), col("qln"), col("zflag"))
+  }
+
+  private val kmEventRowsSql =
+    s"""$spellsSql,
+       hist AS (SELECT dur, COUNT(*) AS m, CAST(SUM(event) AS BIGINT) AS dd
+                FROM spells GROUP BY 1),
+       tot AS (SELECT COUNT(*) AS ntot FROM spells),
+       risk AS (
+         SELECT dur, m, dd,
+                CAST(ntot - SUM(m) OVER (ORDER BY dur ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) + m AS BIGINT)
+                  AS n_risk
+         FROM hist, tot),
+       ev AS (
+         SELECT dur AS t_days, n_risk, dd AS d_events,
+                CASE WHEN dd < n_risk THEN
+                  CAST(floor(ln(CAST(n_risk - dd AS DOUBLE)
+                    / CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT)
+                ELSE 0 END AS qln,
+                CASE WHEN dd >= n_risk THEN 1 ELSE 0 END AS zflag
+         FROM risk WHERE dd > 0)"""
+
+  /** The quantized KM ladder (t_days, n_risk, d_events, survival). */
+  private def kmLadder(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy("t_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kmEventRows(s, d)
+      .withColumn("qcum", sum(col("qln")).over(w))
+      .withColumn("zcum", sum(col("zflag")).over(w))
+      .select(col("t_days"), col("n_risk"), col("d_events"),
+        when(col("zcum") > 0, lit(0.0))
+          .otherwise(floor(exp(col("qcum") / 1e9) * 1e6 + 0.5) / 1e6)
+          .as("survival"))
+  }
+
+  private val kmLadderSql =
+    s"""$kmEventRowsSql,
+       km AS (
+         SELECT t_days, n_risk, d_events,
+                CAST(CASE WHEN SUM(zflag) OVER (ORDER BY t_days ROWS
+                       BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+                     THEN 0.0
+                     ELSE floor(exp(CAST(SUM(qln) OVER (ORDER BY t_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6
+                END AS DOUBLE) AS survival
+         FROM ev)"""
+
+  /** Per-event-time two-sample table for the log-rank family:
+    * (t, n1, n0, d1, d0) with quantized E1/E0/V terms. */
+  private def logrankRows(s: SparkSession, d: String): DataFrame = {
+    val spells = spellsFrame(s, d).localCheckpoint()
+    val gh = spells.groupBy("dur", "grp")
+      .agg(count(lit(1)).as("m"), sum(col("event")).as("dd"))
+    val wide = gh.groupBy("dur").agg(
+      sum(when(col("grp") === "hi", col("m")).otherwise(0L)).as("m1"),
+      sum(when(col("grp") === "hi", col("dd")).otherwise(0L)).as("d1"),
+      sum(when(col("grp") === "lo", col("m")).otherwise(0L)).as("m0"),
+      sum(when(col("grp") === "lo", col("dd")).otherwise(0L)).as("d0"))
+    val tots = spells.groupBy("grp").agg(count(lit(1)).as("n"))
+    val t1 = tots.filter(col("grp") === "hi").select(col("n").as("nt1"))
+    val t0 = tots.filter(col("grp") === "lo").select(col("n").as("nt0"))
+    val w = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wide.crossJoin(broadcast(t1)).crossJoin(broadcast(t0))
+      .withColumn("c1", sum(col("m1")).over(w))
+      .withColumn("c0", sum(col("m0")).over(w))
+      .withColumn("n1", col("nt1") - col("c1") + col("m1"))
+      .withColumn("n0", col("nt0") - col("c0") + col("m0"))
+      .withColumn("dd", col("d1") + col("d0"))
+      .withColumn("n", col("n1") + col("n0"))
+      .filter(col("dd") > 0)
+      .withColumn("qe1", floor(col("dd").cast("double") * col("n1")
+        / col("n") * 1e9).cast("long"))
+      .withColumn("qe0", floor(col("dd").cast("double") * col("n0")
+        / col("n") * 1e9).cast("long"))
+      .withColumn("qv", when(col("n") > 1,
+        floor(col("dd").cast("double") * col("n1") / col("n")
+          * (col("n0").cast("double") / col("n"))
+          * ((col("n") - col("dd")).cast("double") / (col("n") - 1))
+          * 1e9).cast("long")).otherwise(lit(0L)))
+  }
+
+  private val logrankRowsSql =
+    s"""$spellsSql,
+       gh AS (SELECT dur, grp, COUNT(*) AS m,
+                     CAST(SUM(event) AS BIGINT) AS dd
+              FROM spells GROUP BY 1, 2),
+       wide AS (
+         SELECT dur,
+                CAST(SUM(CASE WHEN grp = 'hi' THEN m ELSE 0 END)
+                     AS BIGINT) AS m1,
+                CAST(SUM(CASE WHEN grp = 'hi' THEN dd ELSE 0 END)
+                     AS BIGINT) AS d1,
+                CAST(SUM(CASE WHEN grp = 'lo' THEN m ELSE 0 END)
+                     AS BIGINT) AS m0,
+                CAST(SUM(CASE WHEN grp = 'lo' THEN dd ELSE 0 END)
+                     AS BIGINT) AS d0
+         FROM gh GROUP BY 1),
+       tots AS (
+         SELECT CAST(SUM(CASE WHEN grp = 'hi' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS nt1,
+                CAST(SUM(CASE WHEN grp = 'lo' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS nt0
+         FROM spells),
+       r AS (
+         SELECT dur, m1, d1, m0, d0,
+                CAST(nt1 - SUM(m1) OVER (ORDER BY dur ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) + m1 AS BIGINT)
+                  AS n1,
+                CAST(nt0 - SUM(m0) OVER (ORDER BY dur ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) + m0 AS BIGINT)
+                  AS n0
+         FROM wide, tots),
+       lr AS (
+         SELECT dur, n1, n0, d1, d0, d1 + d0 AS dd, n1 + n0 AS n,
+                CAST(floor(CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0) * 1e9)
+                     AS BIGINT) AS qe1,
+                CAST(floor(CAST(d1 + d0 AS DOUBLE) * n0 / (n1 + n0) * 1e9)
+                     AS BIGINT) AS qe0,
+                CASE WHEN n1 + n0 > 1 THEN
+                  CAST(floor(CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0)
+                    * (CAST(n0 AS DOUBLE) / (n1 + n0))
+                    * (CAST(n1 + n0 - (d1 + d0) AS DOUBLE)
+                       / (n1 + n0 - 1)) * 1e9) AS BIGINT)
+                ELSE 0 END AS qv
+         FROM r WHERE d1 + d0 > 0)"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "x_kaplan_meier" -> ((s, d) => {
+      // the censored survival curve proper: S(t) = Π (1 − d_i/n_i) over
+      // event days, with the last spell of every customer right-censored
+      // at the fixture horizon. The product runs as an integer-quantized
+      // log-sum (order-free), with an S = 0 latch for an n = d day.
+      kmLadder(s, d).orderBy("t_days")
+    }),
+
+    "x_nelson_aalen" -> ((s, d) => {
+      // cumulative hazard H(t) = Σ d_i/n_i — the estimator of choice
+      // when the hazard (not the survival fraction) is the readout,
+      // and the exact-arithmetic sibling of KM: every per-day term is a
+      // ratio of integers quantized to 1e9 before the cumsum, so there
+      // is no transcendental anywhere and the twin match is exact by
+      // construction.
+      val w = Window.orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      kmEventRows(s, d)
+        .withColumn("qh", floor(col("d_events").cast("double")
+          / col("n_risk") * 1e9).cast("long"))
+        .withColumn("qcum", sum(col("qh")).over(w))
+        .select(col("t_days"), col("n_risk"), col("d_events"),
+          detRound(col("qcum") / 1e9, 6).as("cum_hazard"))
+        .orderBy("t_days")
+    }),
+
+    "x_logrank_test" -> ((s, d) => {
+      // two-sample log-rank: do urgent/high-priority orders lead to a
+      // different re-order hazard than low-priority ones? At each event
+      // day the observed hi-group events are compared with the
+      // hypergeometric expectation d·n1/n; χ² = (O1 − E1)²/V, df = 1.
+      // All O are exact integers; E and V sum quantized terms.
+      logrankRows(s, d)
+        .agg(count(lit(1)).as("n_event_days"),
+          sum(col("d1")).cast("long").as("observed_hi"),
+          sum(col("d0")).cast("long").as("observed_lo"),
+          sum(col("qe1")).as("sqe1"), sum(col("qv")).as("sqv"))
+        .select(col("n_event_days"), col("observed_hi"),
+          col("observed_lo"),
+          detRound(col("sqe1") / 1e9, 6).as("expected_hi"),
+          detRound(pow(col("observed_hi") - col("sqe1") / 1e9, 2)
+            / (col("sqv") / 1e9), 6).as("chi2"),
+          (pow(col("observed_hi") - col("sqe1") / 1e9, 2)
+            / (col("sqv") / 1e9) > 3.841458821).as("significant_05"))
+    }),
+
+    "x_hazard_ratio" -> ((s, d) => {
+      // O/E hazard ratio with the Peto log-rank CI: HR =
+      // (O1/E1)/(O0/E0), CI = exp(ln HR ± 1.96·√(1/E1 + 1/E0)). The
+      // one-number effect size next to x_logrank_test's verdict.
+      logrankRows(s, d)
+        .agg(sum(col("d1")).cast("long").as("o1"),
+          sum(col("d0")).cast("long").as("o0"),
+          sum(col("qe1")).as("sqe1"), sum(col("qe0")).as("sqe0"))
+        .select(col("o1"), col("o0"),
+          detRound(col("sqe1") / 1e9, 6).as("e1"),
+          detRound(col("sqe0") / 1e9, 6).as("e0"),
+          detRound((col("o1") / (col("sqe1") / 1e9))
+            / (col("o0") / (col("sqe0") / 1e9)), 6).as("hazard_ratio"),
+          detRound(exp(log((col("o1") / (col("sqe1") / 1e9))
+            / (col("o0") / (col("sqe0") / 1e9)))
+            - lit(1.96) * sqrt(lit(1e9) / col("sqe1")
+              + lit(1e9) / col("sqe0"))), 6).as("ci_lo"),
+          detRound(exp(log((col("o1") / (col("sqe1") / 1e9))
+            / (col("o0") / (col("sqe0") / 1e9)))
+            + lit(1.96) * sqrt(lit(1e9) / col("sqe1")
+              + lit(1e9) / col("sqe0"))), 6).as("ci_hi"))
+    }),
+
+    "x_restricted_mean_survival" -> ((s, d) => {
+      // RMST(τ = 365): ∫₀^τ S(t) dt — "expected re-order-free days in
+      // the first year", the censoring-robust effect scale regulators
+      // ask for when hazards are non-proportional. The step integral
+      // sums S_{i−1}·(min(t_i,τ) − min(t_{i−1},τ)) plus the tail
+      // S_last·(τ − t_last); S carries 6 decimals and widths are whole
+      // days, so every term is exact in 1e6 fixed point.
+      val km = kmLadder(s, d)
+      val spells = spellsFrame(s, d)
+      val nn = spells.agg(count(lit(1)).as("n_spells"),
+        sum(col("event")).cast("long").as("n_events"))
+      val w = Window.orderBy("t_days")
+      val terms = km
+        .withColumn("pt", lag(col("t_days"), 1, 0L).over(w))
+        .withColumn("ps", lag(col("survival"), 1, 1.0).over(w))
+        .withColumn("qterm", floor(col("ps") * 1e6 + 0.5).cast("long")
+          * (least(col("t_days"), lit(365L))
+            - least(col("pt"), lit(365L))))
+      val tail = km.agg(max(struct(col("t_days"), col("survival")))
+          .as("mx"))
+        .select((floor(col("mx.survival") * 1e6 + 0.5).cast("long")
+          * (lit(365L) - least(col("mx.t_days"), lit(365L))))
+          .as("qtail"))
+      terms.agg(sum(col("qterm")).as("qsum"))
+        .crossJoin(broadcast(tail))
+        .crossJoin(broadcast(nn))
+        .select(lit(365L).as("tau_days"), col("n_spells"),
+          col("n_events"),
+          detRound((col("qsum") + col("qtail")) / 1e6, 4).as("rmst_days"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+
+    "x_kaplan_meier" ->
+      s"""WITH $kmLadderSql
+          SELECT t_days, n_risk, d_events, survival
+          FROM km ORDER BY t_days""",
+
+    "x_nelson_aalen" ->
+      s"""WITH $kmEventRowsSql,
+          na AS (
+            SELECT t_days, n_risk, d_events,
+                   SUM(CAST(floor(CAST(d_events AS DOUBLE) / n_risk * 1e9)
+                            AS BIGINT))
+                     OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS qcum
+            FROM ev)
+          SELECT t_days, n_risk, d_events,
+                 floor(CAST(qcum AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6
+                   AS cum_hazard
+          FROM na ORDER BY t_days""",
+
+    "x_logrank_test" ->
+      s"""WITH $logrankRowsSql,
+          agg AS (
+            SELECT COUNT(*) AS n_event_days,
+                   CAST(SUM(d1) AS BIGINT) AS observed_hi,
+                   CAST(SUM(d0) AS BIGINT) AS observed_lo,
+                   CAST(SUM(qe1) AS BIGINT) AS sqe1,
+                   CAST(SUM(qv) AS BIGINT) AS sqv
+            FROM lr)
+          SELECT n_event_days, observed_hi, observed_lo,
+                 floor(sqe1 / 1e9 * 1e6 + 0.5) / 1e6 AS expected_hi,
+                 floor(pow(observed_hi - sqe1 / 1e9, 2) / (sqv / 1e9)
+                   * 1e6 + 0.5) / 1e6 AS chi2,
+                 pow(observed_hi - sqe1 / 1e9, 2) / (sqv / 1e9)
+                   > 3.841458821 AS significant_05
+          FROM agg""",
+
+    "x_hazard_ratio" ->
+      s"""WITH $logrankRowsSql,
+          agg AS (
+            SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+                   CAST(SUM(d0) AS BIGINT) AS o0,
+                   CAST(SUM(qe1) AS BIGINT) AS sqe1,
+                   CAST(SUM(qe0) AS BIGINT) AS sqe0
+            FROM lr)
+          SELECT o1, o0,
+                 floor(sqe1 / 1e9 * 1e6 + 0.5) / 1e6 AS e1,
+                 floor(sqe0 / 1e9 * 1e6 + 0.5) / 1e6 AS e0,
+                 floor((o1 / (sqe1 / 1e9)) / (o0 / (sqe0 / 1e9))
+                   * 1e6 + 0.5) / 1e6 AS hazard_ratio,
+                 floor(exp(ln((o1 / (sqe1 / 1e9)) / (o0 / (sqe0 / 1e9)))
+                   - 1.96 * sqrt(1e9 / sqe1 + 1e9 / sqe0)) * 1e6 + 0.5)
+                   / 1e6 AS ci_lo,
+                 floor(exp(ln((o1 / (sqe1 / 1e9)) / (o0 / (sqe0 / 1e9)))
+                   + 1.96 * sqrt(1e9 / sqe1 + 1e9 / sqe0)) * 1e6 + 0.5)
+                   / 1e6 AS ci_hi
+          FROM agg""",
+
+    "x_restricted_mean_survival" ->
+      s"""WITH $kmLadderSql,
+          nn AS (SELECT COUNT(*) AS n_spells,
+                        CAST(SUM(event) AS BIGINT) AS n_events
+                 FROM spells),
+          terms AS (
+            SELECT CAST(floor(lag(survival, 1, CAST(1.0 AS DOUBLE))
+                     OVER (ORDER BY t_days) * 1e6 + 0.5) AS BIGINT)
+                   * (least(t_days, 365)
+                      - least(lag(t_days, 1, 0) OVER (ORDER BY t_days),
+                              365)) AS qterm
+            FROM km),
+          tail AS (
+            SELECT CAST(floor(max_by(survival, t_days) * 1e6 + 0.5)
+                     AS BIGINT)
+                   * (365 - least(max(t_days), 365)) AS qtail
+            FROM km)
+          SELECT CAST(365 AS BIGINT) AS tau_days, n_spells, n_events,
+                 floor((CAST((SELECT SUM(qterm) FROM terms) AS DOUBLE)
+                   + (SELECT qtail FROM tail)) / 1e6 * 1e4 + 0.5) / 1e4
+                   AS rmst_days
+          FROM nn""")
+}

@@ -148,6 +148,12 @@ class PlanAuditSpec extends SparkSpec {
     "x_rate_ratio", "x_decision_stump",
     // x_cochran_armitage checkpoints the 11-row discount-level table
     "x_cochran_armitage",
+    // r14 survival family: each checkpoints the skinny (dur, event,
+    // grp) spell projection — O(orders) × 3 narrow columns, the
+    // x_capture_recapture posture; all downstream windows run over the
+    // O(distinct days) histogram
+    "x_kaplan_meier", "x_nelson_aalen", "x_logrank_test",
+    "x_hazard_ratio", "x_restricted_mean_survival",
     "x_chi2_independence",
     "x_classifier_agreement", "x_classifier_report", "x_cluster_size_dist",
     "x_cluster_topics", "x_collocations", "x_cooccurrence_recs",
