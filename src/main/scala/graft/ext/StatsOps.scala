@@ -633,6 +633,69 @@ object StatsOps {
         .limit(10)
     }),
 
+    "x_frequent_itemsets" -> ((s, d) => {
+      // Apriori frequent-itemset ladder (Agrawal & Srikant, VLDB 1994)
+      // over brand-level order baskets at minsup 0.5%: level-1 items,
+      // level-2 pairs generated from frequent ITEMS only, level-3
+      // candidates generated from frequent PAIRS ((a,b) ⋈ (a,c) with
+      // the (b,c) tail required frequent — downward closure) before any
+      // counting join touches the baskets. At fixture scale the prune
+      // takes the 2,300 possible triples to the frequent few dozen; at
+      // 100 TB candidate generation runs on the frequent-pair table
+      // (tiny, broadcast) and the only basket-scale work is one
+      // equi-join counting pass per level, with pair/triple fan-out
+      // bounded by basket width. Complements x_market_basket, which
+      // SCORES given supplier pairs (confidence/lift); this op MINES
+      // the levels.
+      val baskets = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("oid"), col("l_partkey"))
+        .join(t(s, d, "part").select(col("p_partkey"),
+          col("p_brand").as("item")),
+          col("l_partkey") === col("p_partkey"))
+        .select("oid", "item").distinct()
+        .localCheckpoint()
+      val nb = baskets.agg(countDistinct(col("oid")).as("nb"))
+      val s1 = baskets.groupBy("item").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(nb))
+        .filter(col("cnt").cast("double") / col("nb") >= 0.005)
+        .localCheckpoint()
+      val bf = baskets.join(broadcast(s1.select("item")),
+        Seq("item"), "left_semi")
+      val p2 = bf.select(col("oid"), col("item").as("a"))
+        .join(bf.select(col("oid"), col("item").as("b")), "oid")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(nb))
+        .filter(col("cnt").cast("double") / col("nb") >= 0.005)
+        .localCheckpoint()
+      val cand = p2.select(col("a"), col("b"))
+        .join(p2.select(col("a"), col("b").as("c")), "a")
+        .filter(col("b") < col("c"))
+        .join(p2.select(col("a").as("b"), col("b").as("c")),
+          Seq("b", "c"), "left_semi")
+      val t3 = cand
+        .join(bf.select(col("oid"), col("item").as("a")), "a")
+        .join(bf.select(col("oid"), col("item").as("b")), Seq("oid", "b"))
+        .join(bf.select(col("oid"), col("item").as("c")), Seq("oid", "c"))
+        .groupBy("a", "b", "c").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(nb))
+        .filter(col("cnt").cast("double") / col("nb") >= 0.005)
+      val l1 = s1.select(lit(1L).as("size"), col("item").as("itemset"),
+        col("cnt"), col("nb"))
+      val l2 = p2.select(lit(2L).as("size"),
+        concat_ws("|", col("a"), col("b")).as("itemset"),
+        col("cnt"), col("nb"))
+      val l3 = t3.select(lit(3L).as("size"),
+        concat_ws("|", col("a"), col("b"), col("c")).as("itemset"),
+        col("cnt"), col("nb"))
+      l1.unionByName(l2).unionByName(l3)
+        .select(col("size"), col("itemset"),
+          col("cnt").as("support_count"),
+          detRound(col("cnt").cast("double") / col("nb"), 6)
+            .as("support_frac"))
+        .orderBy("size", "itemset")
+    }),
+
     "x_bootstrap_median_ci" -> ((s, d) => {
       // the Poisson bootstrap generalized beyond linear statistics: a
       // 90% CI for the MEDIAN doc length. Each replicate's weighted
@@ -2569,6 +2632,50 @@ object StatsOps {
                 floor((CAST(SUM(rq) AS BIGINT) / MAX(tq)) * 1e6 + 0.5) / 1e6
                   AS revenue_share
          FROM cls GROUP BY 1 ORDER BY cls""",
+
+    "x_frequent_itemsets" ->
+      """WITH baskets AS (
+           SELECT DISTINCT l_orderkey AS oid, p_brand AS item
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         nb AS (SELECT COUNT(DISTINCT oid) AS nb FROM baskets),
+         s1 AS (
+           SELECT item, COUNT(*) AS cnt FROM baskets GROUP BY 1
+           HAVING CAST(COUNT(*) AS DOUBLE) / (SELECT nb FROM nb)
+                  >= 0.005),
+         bf AS (SELECT oid, item FROM baskets
+                WHERE item IN (SELECT item FROM s1)),
+         p2 AS (
+           SELECT b1.item AS a, b2.item AS b, COUNT(*) AS cnt
+           FROM bf b1 JOIN bf b2
+             ON b1.oid = b2.oid AND b1.item < b2.item
+           GROUP BY 1, 2
+           HAVING CAST(COUNT(*) AS DOUBLE) / (SELECT nb FROM nb)
+                  >= 0.005),
+         cand AS (
+           SELECT x.a, x.b, y.b AS c
+           FROM p2 x JOIN p2 y ON x.a = y.a AND x.b < y.b
+           WHERE EXISTS (SELECT 1 FROM p2 z
+                         WHERE z.a = x.b AND z.b = y.b)),
+         t3 AS (
+           SELECT c1.a, c1.b, c1.c, COUNT(*) AS cnt
+           FROM cand c1
+           JOIN bf b1 ON b1.item = c1.a
+           JOIN bf b2 ON b2.oid = b1.oid AND b2.item = c1.b
+           JOIN bf b3 ON b3.oid = b1.oid AND b3.item = c1.c
+           GROUP BY 1, 2, 3
+           HAVING CAST(COUNT(*) AS DOUBLE) / (SELECT nb FROM nb)
+                  >= 0.005),
+         lv AS (
+           SELECT CAST(1 AS BIGINT) AS size, item AS itemset, cnt FROM s1
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), a || '|' || b, cnt FROM p2
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), a || '|' || b || '|' || c, cnt
+           FROM t3)
+         SELECT size, itemset, CAST(cnt AS BIGINT) AS support_count,
+                floor(CAST(cnt AS DOUBLE) / (SELECT nb FROM nb)
+                  * 1e6 + 0.5) / 1e6 AS support_frac
+         FROM lv ORDER BY size, itemset""",
 
     "x_market_basket" ->
       """WITH e0 AS MATERIALIZED (

@@ -12,6 +12,45 @@ class ExtOpsInvariantSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("x_frequent_itemsets: downward closure holds (every subset of a " +
+      "frequent itemset is itself frequent) and supports are exact " +
+      "brute-force basket counts") {
+    val rows = run("x_frequent_itemsets").collect()
+      .map(r => (r.getAs[Long]("size"), r.getAs[String]("itemset"),
+        r.getAs[Long]("support_count")))
+    val bySet = rows.map(x => x._2 -> x._3).toMap
+    // downward closure: each frequent pair's items and each triple's
+    // sub-pairs must appear at the level below
+    rows.filter(_._1 == 2L).foreach { case (_, is, _) =>
+      val Array(a, b) = is.split('|')
+      assert(bySet.contains(a) && bySet.contains(b), s"pair $is orphaned")
+    }
+    rows.filter(_._1 == 3L).foreach { case (_, is, _) =>
+      val Array(a, b, c) = is.split('|')
+      Seq(s"$a|$b", s"$a|$c", s"$b|$c").foreach(p =>
+        assert(bySet.contains(p), s"triple $is missing sub-pair $p"))
+    }
+    // brute-force support check over the collected baskets
+    val baskets = graft.util.Tables.t(spark, sf, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_orderkey").as("oid"),
+        org.apache.spark.sql.functions.col("l_partkey"))
+      .join(graft.util.Tables.t(spark, sf, "part")
+        .select(org.apache.spark.sql.functions.col("p_partkey"),
+          org.apache.spark.sql.functions.col("p_brand").as("item")),
+        org.apache.spark.sql.functions.col("l_partkey") ===
+          org.apache.spark.sql.functions.col("p_partkey"))
+      .select("oid", "item").distinct().collect()
+      .map(r => (r.getAs[Long](0), r.getString(1)))
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).toSet }.toSeq
+    val nb = baskets.size
+    rows.foreach { case (_, is, cnt) =>
+      val items = is.split('|').toSet
+      val brute = baskets.count(b => items.subsetOf(b))
+      assert(cnt === brute.toLong, s"support($is): engine $cnt vs $brute")
+      assert(cnt.toDouble / nb >= 0.005, s"$is below minsup")
+    }
+  }
+
   test("x_max_concurrency: output matches a full driver-side sweep-line " +
       "replay over sessionized events") {
     import spark.implicits._

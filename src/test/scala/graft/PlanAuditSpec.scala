@@ -154,6 +154,10 @@ class PlanAuditSpec extends SparkSpec {
     // O(distinct days) histogram
     "x_kaplan_meier", "x_nelson_aalen", "x_logrank_test",
     "x_hazard_ratio", "x_restricted_mean_survival",
+    // x_frequent_itemsets checkpoints the skinny (oid, item) basket
+    // table and the O(items)/O(pairs) frequent levels the Apriori
+    // candidate join re-reads
+    "x_frequent_itemsets",
     "x_chi2_independence",
     "x_classifier_agreement", "x_classifier_report", "x_cluster_size_dist",
     "x_cluster_topics", "x_collocations", "x_cooccurrence_recs",
