@@ -118,6 +118,72 @@ object CausalOps {
         .orderBy("quantile_pct")
     }),
 
+    "x_mediation_sobel" -> ((s, d) => {
+      // mediation analysis (Baron–Kenny with the Sobel test): does a
+      // deep discount raise returns DIRECTLY, or by inflating the
+      // ordered quantity which then drives returns? a-path regresses
+      // quantity on treatment, b-path regresses returns on quantity
+      // CONTROLLING for treatment (two-regressor OLS in closed form),
+      // indirect effect = a·b, Sobel z = a·b/√(b²s_a² + a²s_b²). All
+      // eight sufficient statistics are exact integer sums from ONE
+      // grouped pass (T and Y are 0/1, M is integral quantity), the
+      // N-scaled centered moments stay inside int64, and every derived
+      // coefficient is the identical IEEE expression tree in both
+      // engines, so the single-row output is hash-stable.
+      val base = t(s, d, "lineitem").select(
+        when(col("l_discount") >= 0.06, 1L).otherwise(0L).as("tt"),
+        col("l_quantity").cast("long").as("m"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      val agg = base.agg(count(lit(1)).as("n"),
+        sum(col("tt")).as("st"), sum(col("m")).as("sm"),
+        sum(col("y")).as("sy"),
+        sum(col("tt") * col("m")).as("stm"),
+        sum(col("tt") * col("y")).as("sty"),
+        sum(col("m") * col("y")).as("smy"),
+        sum(col("m") * col("m")).as("smm"))
+      agg
+        .withColumn("sxx",
+          (col("n") * col("st") - col("st") * col("st")).cast("double"))
+        .withColumn("sxm",
+          (col("n") * col("stm") - col("st") * col("sm")).cast("double"))
+        .withColumn("smm2",
+          (col("n") * col("smm") - col("sm") * col("sm")).cast("double"))
+        .withColumn("sxy",
+          (col("n") * col("sty") - col("st") * col("sy")).cast("double"))
+        .withColumn("smy2",
+          (col("n") * col("smy") - col("sm") * col("sy")).cast("double"))
+        .withColumn("syy",
+          (col("n") * col("sy") - col("sy") * col("sy")).cast("double"))
+        .withColumn("a", col("sxm") / col("sxx"))
+        .withColumn("den",
+          col("sxx") * col("smm2") - col("sxm") * col("sxm"))
+        .withColumn("b", (col("sxx") * col("smy2")
+          - col("sxm") * col("sxy")) / col("den"))
+        .withColumn("cdir", (col("smm2") * col("sxy")
+          - col("sxm") * col("smy2")) / col("den"))
+        .withColumn("ctot", col("sxy") / col("sxx"))
+        .withColumn("sa2", (col("smm2") - col("sxm") * col("sxm")
+          / col("sxx")) / ((col("n") - 2) * col("sxx")))
+        .withColumn("sig2", (col("syy") - col("cdir") * col("sxy")
+          - col("b") * col("smy2"))
+          / (col("n").cast("double") * (col("n") - 3)))
+        .withColumn("sb2",
+          col("sig2") * col("n") * col("sxx") / col("den"))
+        .withColumn("sobel", col("a") * col("b")
+          / sqrt(col("b") * col("b") * col("sa2")
+            + col("a") * col("a") * col("sb2")))
+        .select(col("n"),
+          detRound(col("a"), 6).as("a_path"),
+          detRound(col("b"), 6).as("b_path"),
+          detRound(col("cdir"), 6).as("direct_effect"),
+          detRound(col("ctot"), 6).as("total_effect"),
+          detRound(col("a") * col("b"), 6).as("indirect_effect"),
+          detRound(col("a") * col("b") / col("ctot"), 6)
+            .as("prop_mediated"),
+          detRound(col("sobel"), 6).as("sobel_z"),
+          (abs(col("sobel")) > lit(1.96)).as("significant_05"))
+    }),
+
     "x_ipw_ate" -> ((s, d) => {
       // inverse-propensity-weighted ATE with EXACT discrete propensities
       // — the reweighting complement to x_stratified_effect's direct
@@ -477,6 +543,64 @@ object CausalOps {
     }))
 
   def oracleSql: Map[String, String] = Map(
+
+    "x_mediation_sobel" ->
+      """WITH base AS (
+           SELECT CASE WHEN l_discount >= 0.06 THEN 1 ELSE 0 END AS tt,
+                  CAST(l_quantity AS BIGINT) AS m,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         agg AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(tt) AS BIGINT) AS st,
+                  CAST(SUM(m) AS BIGINT) AS sm,
+                  CAST(SUM(y) AS BIGINT) AS sy,
+                  CAST(SUM(tt * m) AS BIGINT) AS stm,
+                  CAST(SUM(tt * y) AS BIGINT) AS sty,
+                  CAST(SUM(m * y) AS BIGINT) AS smy,
+                  CAST(SUM(m * m) AS BIGINT) AS smm
+           FROM base),
+         mom AS (
+           SELECT n,
+                  CAST(n * st - st * st AS DOUBLE) AS sxx,
+                  CAST(n * stm - st * sm AS DOUBLE) AS sxm,
+                  CAST(n * smm - sm * sm AS DOUBLE) AS smm2,
+                  CAST(n * sty - st * sy AS DOUBLE) AS sxy,
+                  CAST(n * smy - sm * sy AS DOUBLE) AS smy2,
+                  CAST(n * sy - sy * sy AS DOUBLE) AS syy
+           FROM agg),
+         co AS (
+           SELECT n, sxx, sxm, smm2, sxy, smy2, syy,
+                  sxm / sxx AS a,
+                  sxx * smm2 - sxm * sxm AS den
+           FROM mom),
+         fit AS (
+           SELECT n, a,
+                  (sxx * smy2 - sxm * sxy) / den AS b,
+                  (smm2 * sxy - sxm * smy2) / den AS cdir,
+                  sxy / sxx AS ctot,
+                  (smm2 - sxm * sxm / sxx) / ((n - 2) * sxx) AS sa2,
+                  (syy - ((smm2 * sxy - sxm * smy2) / den) * sxy
+                    - ((sxx * smy2 - sxm * sxy) / den) * smy2)
+                    / (CAST(n AS DOUBLE) * (n - 3)) AS sig2,
+                  sxx, den
+           FROM co),
+         fin AS (
+           SELECT n, a, b, cdir, ctot, sa2,
+                  sig2 * n * sxx / den AS sb2
+           FROM fit)
+         SELECT n,
+                floor(a * 1e6 + 0.5) / 1e6 AS a_path,
+                floor(b * 1e6 + 0.5) / 1e6 AS b_path,
+                floor(cdir * 1e6 + 0.5) / 1e6 AS direct_effect,
+                floor(ctot * 1e6 + 0.5) / 1e6 AS total_effect,
+                floor(a * b * 1e6 + 0.5) / 1e6 AS indirect_effect,
+                floor(a * b / ctot * 1e6 + 0.5) / 1e6 AS prop_mediated,
+                floor(a * b / sqrt(b * b * sa2 + a * a * sb2)
+                  * 1e6 + 0.5) / 1e6 AS sobel_z,
+                abs(a * b / sqrt(b * b * sa2 + a * a * sb2)) > 1.96
+                  AS significant_05
+         FROM fin""",
 
     "x_stratified_effect" ->
       """WITH cells AS (

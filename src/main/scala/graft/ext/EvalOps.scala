@@ -350,6 +350,50 @@ object EvalOps {
         .orderBy(col("bin"))
     }),
 
+    "x_isotonic_calibration" -> ((s, d) => {
+      // isotonic recalibration of the reliability diagram via the PAV
+      // closed form y*_i = max_{j≤i} min_{k≥i} wavg(j..k) (Ayer et al.
+      // 1955): pool-adjacent-violators WITHOUT a sequential pass — the
+      // O(bins³) max-min search runs as two grouped aggregates over the
+      // bounded 10-bin table, one tiny follow-on stage after the single
+      // corpus scan x_calibration_bins already pays. wavg(j..k) =
+      // (K_k − K_{j−1})/(N_k − N_{j−1}) is a ratio of exact integer
+      // prefix-sum differences, and min/max over those ratios involve
+      // no accumulation, so the fitted nondecreasing curve is
+      // bit-identical in both engines.
+      val bins = docSignal(s, d)
+        .withColumn("p", col("v").cast("double")
+          / (col("v") + lit(50)).cast("double"))
+        .withColumn("bin",
+          least(floor(col("p") * 10), lit(9.0)).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("k"))
+        .localCheckpoint()
+      val w = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = bins
+        .withColumn("cw", sum(col("n")).over(w))
+        .withColumn("ck", sum(col("k")).over(w))
+        .localCheckpoint()
+      val segs = pre.select(col("bin").as("j"),
+          (col("cw") - col("n")).as("wj"), (col("ck") - col("k")).as("kj"))
+        .join(pre.select(col("bin").as("kk"), col("cw").as("wk"),
+          col("ck").as("yk")), col("j") <= col("kk"))
+        .select(col("j"), col("kk"),
+          ((col("yk") - col("kj")).cast("double")
+            / (col("wk") - col("wj"))).as("sa"))
+      pre.select(col("bin"), col("n"), col("k"))
+        .join(segs, col("j") <= col("bin") && col("kk") >= col("bin"))
+        .groupBy(col("bin"), col("n"), col("k"), col("j"))
+        .agg(min(col("sa")).as("mn"))
+        .groupBy(col("bin"), col("n"), col("k"))
+        .agg(max(col("mn")).as("iso"))
+        .select(col("bin"), col("n").as("n_docs"), col("k").as("n_pos"),
+          detRound(col("k").cast("double") / col("n"), 6).as("raw_rate"),
+          detRound(col("iso"), 6).as("iso_rate"))
+        .orderBy("bin")
+    }),
+
     "x_mutual_information" -> ((s, d) => {
       // mutual information (nats) between the source and lang facets of
       // the corpus — the redundancy check run before stratifying a data
@@ -642,6 +686,43 @@ object EvalOps {
                      - floor(CAST(n_pos AS DOUBLE) / n_docs * 1e6 + 0.5)
                        / 1e6) AS gap
           FROM b ORDER BY bin""",
+
+    "x_isotonic_calibration" ->
+      s"""WITH $docSignalSql,
+          scored AS (
+            SELECT doc_id, y,
+                   CAST(v AS DOUBLE) / CAST(v + 50 AS DOUBLE) AS p
+            FROM per),
+          bins AS (
+            SELECT CAST(least(floor(p * 10), 9.0) AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS k
+            FROM scored GROUP BY 1),
+          pre AS (
+            SELECT bin, n, k,
+                   CAST(SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+                   CAST(SUM(k) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS BIGINT) AS ck
+            FROM bins),
+          segs AS (
+            SELECT a.bin AS j, b.bin AS kk,
+                   CAST(b.ck - (a.ck - a.k) AS DOUBLE)
+                     / (b.cw - (a.cw - a.n)) AS sa
+            FROM pre a JOIN pre b ON a.bin <= b.bin),
+          inner_min AS (
+            SELECT p.bin, p.n, p.k, s.j, MIN(s.sa) AS mn
+            FROM pre p JOIN segs s
+              ON s.j <= p.bin AND s.kk >= p.bin
+            GROUP BY 1, 2, 3, 4),
+          iso AS (
+            SELECT bin, n, k, MAX(mn) AS iso FROM inner_min
+            GROUP BY 1, 2, 3)
+          SELECT bin, n AS n_docs, k AS n_pos,
+                 floor(CAST(k AS DOUBLE) / n * 1e6 + 0.5) / 1e6
+                   AS raw_rate,
+                 floor(iso * 1e6 + 0.5) / 1e6 AS iso_rate
+          FROM iso ORDER BY bin""",
 
     "x_mutual_information" ->
       """WITH cells AS (

@@ -160,6 +160,48 @@ object GovernanceOps {
           .as("n_groups_low_diversity"))
     }),
 
+    "x_l_diversity" -> ((s, d) => {
+      // the l-diversity instantiations proper (Machanavajjhala et al.
+      // 2007) — x_k_anonymity's l gauge counts distinct sensitive
+      // values, which a 99:1 split satisfies vacuously; this op adds
+      // the two stronger variants over the 4-way balance-bucket
+      // sensitive attribute: ENTROPY l-diversity (class entropy ≥ ln l)
+      // and RECURSIVE (c,l)-diversity (the most frequent value must not
+      // dominate: r1 < c·(n − r1) at l = 2, c = 3). Per-class entropy
+      // sums 1e9-quantized −p·ln p terms (integer accumulation, so
+      // bucket order can't skew the hash); everything is one class ×
+      // bucket groupBy — O(classes·4) rows after the single scan.
+      val cls = t(s, d, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          when(col("c_acctbal") < 0, 0L)
+            .when(col("c_acctbal") < 3333, 1L)
+            .when(col("c_acctbal") < 6666, 2L).otherwise(3L).as("sens"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("sens"))
+        .agg(count(lit(1)).as("r"))
+      val per = cls
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("r")).as("n"), max(col("r")).as("r1"))
+      val ent = cls
+        .join(per.select(col("c_nationkey"), col("c_mktsegment"),
+          col("n")), Seq("c_nationkey", "c_mktsegment"))
+        .withColumn("qterm", floor(-(col("r").cast("double") / col("n"))
+          * log(col("r").cast("double") / col("n")) * 1e9).cast("long"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(sum(col("qterm")).as("qent"))
+      per.join(ent, Seq("c_nationkey", "c_mktsegment"))
+        .agg(count(lit(1)).as("n_classes"),
+          min(col("n_distinct")).as("min_distinct_sensitive"),
+          sum(when(col("n_distinct") < 2, 1L).otherwise(0L))
+            .as("n_classes_below_l2"),
+          detRound(min(col("qent")) / 1e9, 6).as("min_entropy"),
+          sum(when(col("qent").cast("double") / 1e9
+            < lit(0.6931471805599453), 1L).otherwise(0L))
+            .as("n_classes_entropy_below_ln2"),
+          sum(when(col("r1") * 4 >= col("n") * 3, 1L).otherwise(0L))
+            .as("n_classes_recursive_fail_c3"))
+    }),
+
     "x_t_closeness" -> ((s, d) => {
       // t-closeness — the third leg of the release-privacy triad
       // (x_k_anonymity covers k and l): a quasi-identifier class leaks
@@ -403,6 +445,43 @@ object GovernanceOps {
                 CAST(SUM(CASE WHEN l_div < 2 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_groups_low_diversity
          FROM g""",
+
+    "x_l_diversity" ->
+      """WITH cls AS (
+           SELECT c_nationkey, c_mktsegment,
+                  CASE WHEN c_acctbal < 0 THEN 0
+                       WHEN c_acctbal < 3333 THEN 1
+                       WHEN c_acctbal < 6666 THEN 2 ELSE 3 END AS sens,
+                  COUNT(*) AS r
+           FROM customer GROUP BY 1, 2, 3),
+         per AS (
+           SELECT c_nationkey, c_mktsegment,
+                  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                  CAST(SUM(r) AS BIGINT) AS n,
+                  CAST(MAX(r) AS BIGINT) AS r1
+           FROM cls GROUP BY 1, 2),
+         ent AS (
+           SELECT cls.c_nationkey, cls.c_mktsegment,
+                  CAST(SUM(CAST(floor(-(CAST(r AS DOUBLE) / n)
+                    * ln(CAST(r AS DOUBLE) / n) * 1e9) AS BIGINT))
+                    AS BIGINT) AS qent
+           FROM cls JOIN per
+             ON cls.c_nationkey = per.c_nationkey
+            AND cls.c_mktsegment = per.c_mktsegment
+           GROUP BY 1, 2)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+                MIN(n_distinct) AS min_distinct_sensitive,
+                CAST(SUM(CASE WHEN n_distinct < 2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_classes_below_l2,
+                floor(MIN(qent) / 1e9 * 1e6 + 0.5) / 1e6 AS min_entropy,
+                CAST(SUM(CASE WHEN CAST(qent AS DOUBLE) / 1e9
+                       < 0.6931471805599453 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_classes_entropy_below_ln2,
+                CAST(SUM(CASE WHEN r1 * 4 >= n * 3 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_classes_recursive_fail_c3
+         FROM per JOIN ent
+           ON per.c_nationkey = ent.c_nationkey
+          AND per.c_mktsegment = ent.c_mktsegment""",
 
     "x_t_closeness" ->
       """WITH cb AS MATERIALIZED (

@@ -300,6 +300,102 @@ object SurvivalOps {
               + lit(1e9) / col("sqe0"))), 6).as("ci_hi"))
     }),
 
+    "x_cox_one_step" -> ((s, d) => {
+      // one-step Cox partial-likelihood estimator for the binary
+      // priority covariate: starting from β = 0 the score is the
+      // log-rank numerator U = O1 − E1 and the information is the
+      // log-rank variance V, so β̂ = U/V is the textbook one-Newton-step
+      // estimate of the log hazard ratio, with the score CI
+      // exp(β̂ ± 1.96/√V) — the semiparametric regression view of the
+      // same per-day table x_logrank_test verdicts on.
+      logrankRows(s, d)
+        .agg(sum(col("d1")).cast("long").as("o1"),
+          sum(col("qe1")).as("sqe1"), sum(col("qv")).as("sqv"))
+        .select(col("o1"),
+          detRound(col("sqe1") / 1e9, 6).as("e1"),
+          detRound(col("sqv") / 1e9, 6).as("information"),
+          detRound((col("o1") - col("sqe1") / 1e9)
+            / (col("sqv") / 1e9), 6).as("beta_hat"),
+          detRound(exp((col("o1") - col("sqe1") / 1e9)
+            / (col("sqv") / 1e9)), 6).as("hr_one_step"),
+          detRound(exp((col("o1") - col("sqe1") / 1e9)
+            / (col("sqv") / 1e9)
+            - lit(1.96) / sqrt(col("sqv") / 1e9)), 6).as("ci_lo"),
+          detRound(exp((col("o1") - col("sqe1") / 1e9)
+            / (col("sqv") / 1e9)
+            + lit(1.96) / sqrt(col("sqv") / 1e9)), 6).as("ci_hi"),
+          detRound((col("o1") - col("sqe1") / 1e9)
+            / sqrt(col("sqv") / 1e9), 6).as("score_z"))
+    }),
+
+    "x_cumulative_incidence" -> ((s, d) => {
+      // competing-risks cumulative incidence (Aalen–Johansen for two
+      // terminal causes): a spell "ends" either into an urgent/high
+      // next order or a medium/low one — the 1 − KM complement is WRONG
+      // per cause (it treats the other cause as censoring and
+      // overstates both), so the CIF sums S(t⁻)·d_k/n over event days:
+      // the probability of having re-ordered VIA cause k by t. S(t⁻)
+      // is the all-cause KM at the previous event day (exclusive-window
+      // quantized log-sum); each increment quantizes to 1e9 before the
+      // cumsum, so CIF_hi + CIF_lo + S(t) ≈ 1 holds to rounding by
+      // construction.
+      val orders = t(s, d, "orders")
+      val mx = orders.agg(max(col("o_orderdate")).as("mxd"))
+      val w0 = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val spells = orders
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .withColumn("nxt", lead(col("o_orderdate"), 1).over(w0))
+        .withColumn("nxtp", lead(col("o_orderpriority"), 1).over(w0))
+        .crossJoin(broadcast(mx))
+        .select(
+          when(col("nxt").isNotNull,
+            datediff(col("nxt"), col("o_orderdate")))
+            .otherwise(datediff(col("mxd"), col("o_orderdate")))
+            .cast("long").as("dur"),
+          when(col("nxt").isNull, 0L)
+            .when(col("nxtp").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(2L).as("cause"))
+        .localCheckpoint()
+      val tot = spells.agg(count(lit(1)).as("ntot"))
+      val hist = spells.groupBy("dur")
+        .agg(count(lit(1)).as("m"),
+          sum(when(col("cause") === 1L, 1L).otherwise(0L)).as("d1"),
+          sum(when(col("cause") === 2L, 1L).otherwise(0L)).as("d2"))
+      val w = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wx = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ev = hist.crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("m")).over(w))
+        .withColumn("n_risk", col("ntot") - col("cum") + col("m"))
+        .withColumn("dd", col("d1") + col("d2"))
+        .filter(col("dd") > 0)
+        .withColumn("qln", when(col("dd") < col("n_risk"),
+          floor(log((col("n_risk") - col("dd")).cast("double") /
+            col("n_risk").cast("double")) * 1e9).cast("long"))
+          .otherwise(lit(0L)))
+        .withColumn("zflag",
+          when(col("dd") >= col("n_risk"), 1L).otherwise(0L))
+      ev
+        .withColumn("qprev", coalesce(sum(col("qln")).over(wx), lit(0L)))
+        .withColumn("zprev", coalesce(sum(col("zflag")).over(wx), lit(0L)))
+        .withColumn("sprev", when(col("zprev") > 0, lit(0.0))
+          .otherwise(exp(col("qprev") / 1e9)))
+        .withColumn("qi1", floor(col("sprev") * col("d1")
+          / col("n_risk") * 1e9).cast("long"))
+        .withColumn("qi2", floor(col("sprev") * col("d2")
+          / col("n_risk") * 1e9).cast("long"))
+        .withColumn("qc1", sum(col("qi1")).over(w))
+        .withColumn("qc2", sum(col("qi2")).over(w))
+        .select(col("dur").as("t_days"), col("n_risk"),
+          col("d1").as("d_hi"), col("d2").as("d_lo"),
+          detRound(col("qc1") / 1e9, 6).as("cif_hi"),
+          detRound(col("qc2") / 1e9, 6).as("cif_lo"))
+        .orderBy("t_days")
+    }),
+
     "x_restricted_mean_survival" -> ((s, d) => {
       // RMST(τ = 365): ∫₀^τ S(t) dt — "expected re-order-free days in
       // the first year", the censoring-robust effect scale regulators
@@ -389,6 +485,96 @@ object SurvivalOps {
                    + 1.96 * sqrt(1e9 / sqe1 + 1e9 / sqe0)) * 1e6 + 0.5)
                    / 1e6 AS ci_hi
           FROM agg""",
+
+    "x_cox_one_step" ->
+      s"""WITH $logrankRowsSql,
+          agg AS (
+            SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+                   CAST(SUM(qe1) AS BIGINT) AS sqe1,
+                   CAST(SUM(qv) AS BIGINT) AS sqv
+            FROM lr)
+          SELECT o1,
+                 floor(sqe1 / 1e9 * 1e6 + 0.5) / 1e6 AS e1,
+                 floor(sqv / 1e9 * 1e6 + 0.5) / 1e6 AS information,
+                 floor((o1 - sqe1 / 1e9) / (sqv / 1e9) * 1e6 + 0.5) / 1e6
+                   AS beta_hat,
+                 floor(exp((o1 - sqe1 / 1e9) / (sqv / 1e9)) * 1e6 + 0.5)
+                   / 1e6 AS hr_one_step,
+                 floor(exp((o1 - sqe1 / 1e9) / (sqv / 1e9)
+                   - 1.96 / sqrt(sqv / 1e9)) * 1e6 + 0.5) / 1e6 AS ci_lo,
+                 floor(exp((o1 - sqe1 / 1e9) / (sqv / 1e9)
+                   + 1.96 / sqrt(sqv / 1e9)) * 1e6 + 0.5) / 1e6 AS ci_hi,
+                 floor((o1 - sqe1 / 1e9) / sqrt(sqv / 1e9) * 1e6 + 0.5)
+                   / 1e6 AS score_z
+          FROM agg""",
+
+    "x_cumulative_incidence" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+         sp AS (
+           SELECT o_custkey, o_orderdate,
+                  lead(o_orderdate) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS nxt,
+                  lead(o_orderpriority) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS nxtp
+           FROM orders),
+         spells AS (
+           SELECT CASE WHEN nxt IS NOT NULL THEN
+                    date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(nxt AS DATE))
+                  ELSE
+                    date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST((SELECT mxd FROM mx) AS DATE))
+                  END AS dur,
+                  CASE WHEN nxt IS NULL THEN 0
+                       WHEN nxtp IN ('1-URGENT', '2-HIGH') THEN 1
+                       ELSE 2 END AS cause
+           FROM sp),
+         hist AS (
+           SELECT dur, COUNT(*) AS m,
+                  CAST(SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS d1,
+                  CAST(SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS d2
+           FROM spells GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS ntot FROM spells),
+         risk AS (
+           SELECT dur, d1, d2, d1 + d2 AS dd,
+                  CAST(ntot - SUM(m) OVER (ORDER BY dur ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND CURRENT ROW) + m AS BIGINT)
+                    AS n_risk
+           FROM hist, tot),
+         ev AS (
+           SELECT dur, n_risk, d1, d2, dd,
+                  CASE WHEN dd < n_risk THEN
+                    CAST(floor(ln(CAST(n_risk - dd AS DOUBLE)
+                      / CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT)
+                  ELSE 0 END AS qln,
+                  CASE WHEN dd >= n_risk THEN 1 ELSE 0 END AS zflag
+           FROM risk WHERE dd > 0),
+         pv AS (
+           SELECT dur, n_risk, d1, d2,
+                  COALESCE(SUM(qln) OVER (ORDER BY dur ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS qprev,
+                  COALESCE(SUM(zflag) OVER (ORDER BY dur ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS zprev
+           FROM ev),
+         inc AS (
+           SELECT dur, n_risk, d1, d2,
+                  CAST(floor(CASE WHEN zprev > 0 THEN 0.0
+                    ELSE exp(CAST(qprev AS DOUBLE) / 1e9) END
+                    * d1 / n_risk * 1e9) AS BIGINT) AS qi1,
+                  CAST(floor(CASE WHEN zprev > 0 THEN 0.0
+                    ELSE exp(CAST(qprev AS DOUBLE) / 1e9) END
+                    * d2 / n_risk * 1e9) AS BIGINT) AS qi2
+           FROM pv)
+         SELECT dur AS t_days, n_risk, d1 AS d_hi, d2 AS d_lo,
+                floor(CAST(SUM(qi1) OVER (ORDER BY dur ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e9
+                  * 1e6 + 0.5) / 1e6 AS cif_hi,
+                floor(CAST(SUM(qi2) OVER (ORDER BY dur ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e9
+                  * 1e6 + 0.5) / 1e6 AS cif_lo
+         FROM inc ORDER BY t_days""",
 
     "x_restricted_mean_survival" ->
       s"""WITH $kmLadderSql,

@@ -12,6 +12,38 @@ class ExtOpsInvariantSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("x_isotonic_calibration: the max-min closed form equals classic " +
+      "sequential pool-adjacent-violators and is nondecreasing") {
+    val rows = run("x_isotonic_calibration").collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_pos"), r.getAs[Double]("iso_rate")))
+      .sortBy(_._1)
+    // classic PAV: scan left to right, pooling while the left block
+    // mean exceeds the right block mean
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    rows.foreach { case (_, n, k, _) =>
+      blocks += ((n, k, 1))
+      while (blocks.length >= 2 && {
+        val (nb, kb, _) = blocks(blocks.length - 2)
+        val (na, ka, _) = blocks.last
+        kb.toDouble / nb > ka.toDouble / na
+      }) {
+        val (na, ka, ca) = blocks.remove(blocks.length - 1)
+        val (nb, kb, cb) = blocks.remove(blocks.length - 1)
+        blocks += ((na + nb, ka + kb, ca + cb))
+      }
+    }
+    val expect = blocks.flatMap { case (n, k, c) =>
+      Seq.fill(c)(k.toDouble / n)
+    }
+    assert(rows.length === expect.length)
+    rows.map(_._4).zip(expect).foreach { case (got, exp) =>
+      assert(math.abs(got - exp) < 1e-6, s"iso $got vs PAV $exp")
+    }
+    assert(rows.map(_._4).sliding(2).forall(p =>
+      p.length < 2 || p(0) <= p(1) + 1e-12), "iso fit must be monotone")
+  }
+
   test("x_frequent_itemsets: downward closure holds (every subset of a " +
       "frequent itemset is itself frequent) and supports are exact " +
       "brute-force basket counts") {

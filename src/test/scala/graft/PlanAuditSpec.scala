@@ -158,6 +158,11 @@ class PlanAuditSpec extends SparkSpec {
     // table and the O(items)/O(pairs) frequent levels the Apriori
     // candidate join re-reads
     "x_frequent_itemsets",
+    // x_cox_one_step / x_cumulative_incidence reuse the survival
+    // family's checkpointed spell projection; x_isotonic_calibration
+    // checkpoints the 10-row calibration-bin table its O(bins³)
+    // max-min join re-reads
+    "x_cox_one_step", "x_cumulative_incidence", "x_isotonic_calibration",
     "x_chi2_independence",
     "x_classifier_agreement", "x_classifier_report", "x_cluster_size_dist",
     "x_cluster_topics", "x_collocations", "x_cooccurrence_recs",
