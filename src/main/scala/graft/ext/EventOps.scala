@@ -1091,6 +1091,81 @@ object EventOps {
         .orderBy("event_type")
     }),
 
+    "x_shapley_attribution" -> ((s, d) => {
+      // Shapley-value channel attribution (the cooperative-game
+      // counterpart of x_attribution's positional rule): each user's
+      // COALITION is the set of channels (view/click/signup) touched
+      // before their first purchase, the value function v(S) is the
+      // MEAN per-user purchase revenue (cent-quantized) among users
+      // whose coalition is exactly S — revenue, not a binary
+      // conversion flag, because every fixture user converts and a
+      // constant value function has all-zero marginals by definition.
+      // Absent coalitions contribute v = 0 (stated, not implicit), and
+      // each channel's credit is the exact 3-player Shapley sum
+      // φ_i = Σ_{S∌i} |S|!(2−|S|)!/3! · (v(S∪i) − v(S)). The whole
+      // lattice is EIGHT rows after one user-level aggregation, the
+      // factorial weights are double literals, and every marginal term
+      // quantizes to 1e9 before the channel sum, so the efficiency
+      // identity Σφ = v(full) − v(∅) holds to quantization (asserted in
+      // the invariant spec). Scales: one groupBy(user), one groupBy
+      // (mask), then constant-size joins.
+      val ev = t(s, d, "events")
+      val fp = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("fpts"))
+      val bits = ev.filter(col("event_type").isin("view", "click",
+          "signup"))
+        .join(fp, Seq("user_id"), "left")
+        .filter(col("fpts").isNull || col("ts") < col("fpts"))
+        .select(col("user_id"),
+          when(col("event_type") === "view", 1L)
+            .when(col("event_type") === "click", 2L)
+            .otherwise(4L).as("bit"))
+        .groupBy(col("user_id"))
+        .agg(expr("bit_or(bit)").as("mask"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long"))
+          .as("cents"))
+      val users = ev.select(col("user_id")).distinct()
+        .join(bits, Seq("user_id"), "left")
+        .join(rev, Seq("user_id"), "left")
+        .select(coalesce(col("mask"), lit(0L)).as("mask"),
+          coalesce(col("cents"), lit(0L)).as("cents"))
+      val byMask = users.groupBy(col("mask"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      val spine = s.range(0, 8).select(col("id").as("mask"))
+        .join(byMask, Seq("mask"), "left")
+        .select(col("mask"),
+          coalesce(col("sc").cast("double") / col("n") / 100.0,
+            lit(0.0)).as("v"))
+        .localCheckpoint()
+      val ch = s.range(0, 3).select(
+        when(col("id") === 0, "view").when(col("id") === 1, "click")
+          .otherwise("signup").as("channel"),
+        when(col("id") === 0, 1L).when(col("id") === 1, 2L)
+          .otherwise(4L).as("bit"))
+      val terms = ch.crossJoin(broadcast(spine))
+        .filter(expr("(mask & bit) = 0"))
+        .join(broadcast(spine.select(col("mask").as("mask2"),
+          col("v").as("v2"))), col("mask2") === col("mask") + col("bit"))
+        .withColumn("pc", expr(
+          "(mask % 2) + ((mask div 2) % 2) + ((mask div 4) % 2)"))
+        .withColumn("w", when(col("pc") === 1, lit(0.16666666666666666))
+          .otherwise(lit(0.3333333333333333)))
+        .withColumn("qterm",
+          floor(col("w") * (col("v2") - col("v")) * 1e9).cast("long"))
+      val phi = terms.groupBy(col("channel"))
+        .agg(sum(col("qterm")).as("qphi"))
+        .localCheckpoint()
+      val tot = phi.agg(sum(col("qphi")).as("qtot"))
+      phi.crossJoin(broadcast(tot))
+        .select(col("channel"),
+          detRound(col("qphi") / 1e9, 6).as("phi"),
+          detRound(when(col("qtot") =!= 0,
+            col("qphi").cast("double") / col("qtot")), 6).as("share"))
+        .orderBy("channel")
+    }),
+
     "x_attribution" -> ((s, d) => {
       // Position-based (U-shaped) multi-touch attribution: each purchase
       // distributes 10000 basis points of credit over the user's
@@ -1546,6 +1621,59 @@ object EventOps {
                  ORDER BY longest_streak_days DESC, sd) AS rn
                FROM runs)
          WHERE rn = 1 ORDER BY user_id""",
+
+    "x_shapley_attribution" ->
+      """WITH fp AS (
+           SELECT user_id, min(ts) AS fpts FROM events
+           WHERE event_type = 'purchase' GROUP BY 1),
+         bits AS (
+           SELECT e.user_id,
+                  bit_or(CASE e.event_type WHEN 'view' THEN 1
+                         WHEN 'click' THEN 2 ELSE 4 END) AS mask
+           FROM events e LEFT JOIN fp ON e.user_id = fp.user_id
+           WHERE e.event_type IN ('view', 'click', 'signup')
+             AND (fp.fpts IS NULL OR e.ts < fp.fpts)
+           GROUP BY 1),
+         rev AS (
+           SELECT user_id,
+                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         users AS (
+           SELECT COALESCE(b.mask, 0) AS mask,
+                  COALESCE(r.cents, 0) AS cents
+           FROM (SELECT DISTINCT user_id FROM events) u
+           LEFT JOIN bits b ON u.user_id = b.user_id
+           LEFT JOIN rev r ON u.user_id = r.user_id),
+         bymask AS (
+           SELECT mask, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sc
+           FROM users GROUP BY 1),
+         spine AS (
+           SELECT t.mask,
+                  COALESCE(CAST(sc AS DOUBLE) / n / 100.0, 0.0) AS v
+           FROM (SELECT unnest(range(0, 8)) AS mask) t
+           LEFT JOIN bymask ON t.mask = bymask.mask),
+         ch AS (SELECT * FROM (VALUES ('click', 2), ('signup', 4),
+                  ('view', 1)) AS c(channel, bit)),
+         terms AS (
+           SELECT ch.channel,
+                  CAST(floor(
+                    (CASE WHEN (s1.mask % 2) + ((s1.mask // 2) % 2)
+                               + ((s1.mask // 4) % 2) = 1
+                          THEN 0.16666666666666666
+                          ELSE 0.3333333333333333 END)
+                    * (s2.v - s1.v) * 1e9) AS BIGINT) AS qterm
+           FROM ch JOIN spine s1 ON (s1.mask & ch.bit) = 0
+           JOIN spine s2 ON s2.mask = s1.mask + ch.bit),
+         phi AS (SELECT channel, CAST(SUM(qterm) AS BIGINT) AS qphi
+                 FROM terms GROUP BY 1),
+         tot AS (SELECT CAST(SUM(qphi) AS BIGINT) AS qtot FROM phi)
+         SELECT channel,
+                floor(qphi / 1e9 * 1e6 + 0.5) / 1e6 AS phi,
+                CASE WHEN qtot <> 0 THEN
+                  floor(CAST(qphi AS DOUBLE) / qtot * 1e6 + 0.5) / 1e6
+                END AS share
+         FROM phi, tot ORDER BY channel""",
 
     "x_attribution" ->
       """WITH conv AS (

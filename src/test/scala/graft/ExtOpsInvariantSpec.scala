@@ -12,6 +12,45 @@ class ExtOpsInvariantSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("x_shapley_attribution: efficiency identity holds (credits sum to " +
+      "v(full) - v(empty)) and shares sum to 1") {
+    import org.apache.spark.sql.functions._
+    val phi = run("x_shapley_attribution").collect()
+      .map(r => r.getAs[String]("channel") -> r.getAs[Double]("phi")).toMap
+    assert(phi.keySet === Set("view", "click", "signup"))
+    // brute-force v(S) at the lattice corners from the raw events
+    val ev = graft.util.Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime, r.getDouble(3)))
+    val byUser = ev.groupBy(_._1)
+    val stats = byUser.values.map { es =>
+      val fp = es.filter(_._2 == "purchase").map(_._3)
+        .sorted.headOption
+      val mask = es.filter(e =>
+          Seq("view", "click", "signup").contains(e._2) &&
+            fp.forall(t => e._3 < t))
+        .map(e => e._2 match {
+          case "view" => 1; case "click" => 2; case _ => 4
+        }).toSet.sum
+      val cents = es.filter(_._2 == "purchase")
+        .map(e => math.floor(e._4 * 100 + 0.5).toLong).sum
+      (mask, cents)
+    }.toSeq
+    def v(mask: Int): Double = {
+      val g = stats.filter(_._1 == mask)
+      if (g.isEmpty) 0.0 else g.map(_._2).sum.toDouble / g.size / 100.0
+    }
+    val sumPhi = phi.values.sum
+    assert(math.abs(sumPhi - (v(7) - v(0))) < 1e-4,
+      s"efficiency: sum(phi)=$sumPhi vs v(7)-v(0)=${v(7) - v(0)}")
+    val shares = run("x_shapley_attribution").collect()
+      .map(_.getAs[Double]("share"))
+    if (!shares.exists(s => s.isNaN))
+      assert(math.abs(shares.sum - 1.0) < 1e-5)
+  }
+
   test("x_isotonic_calibration: the max-min closed form equals classic " +
       "sequential pool-adjacent-violators and is nondecreasing") {
     val rows = run("x_isotonic_calibration").collect()

@@ -163,6 +163,9 @@ class PlanAuditSpec extends SparkSpec {
     // checkpoints the 10-row calibration-bin table its O(bins³)
     // max-min join re-reads
     "x_cox_one_step", "x_cumulative_incidence", "x_isotonic_calibration",
+    // x_shapley_attribution checkpoints the 8-row coalition-value spine
+    // and the 3-row channel-credit table
+    "x_shapley_attribution",
     "x_chi2_independence",
     "x_classifier_agreement", "x_classifier_report", "x_cluster_size_dist",
     "x_cluster_topics", "x_collocations", "x_cooccurrence_recs",
