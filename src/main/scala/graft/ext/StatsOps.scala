@@ -800,6 +800,53 @@ object StatsOps {
         .orderBy("bin")
     }),
 
+    "x_tukey_hsd" -> ((s, d) => {
+      // Tukey's HSD post-hoc after x_anova_oneway: the F-test says SOME
+      // priority differs in mean order value; this runs all 10 pairwise
+      // comparisons at the familywise 0.05 level via the studentized
+      // range, q_ij = |ȳ_i − ȳ_j| / √(MSW/2 · (1/n_i + 1/n_j)), against
+      // q_crit(k = 5, df = ∞) = 3.858 (Harter's table; the within
+      // degrees of freedom are in the tens of thousands, so the
+      // asymptotic row is the right one — stated, not assumed). Group
+      // stats are the ANOVA's exact DECIMAL sufficient statistics from
+      // one grouped pass; MSW sums 1e4-quantized per-group SSW; the
+      // pairwise grid is k² = 25 rows.
+      val g = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).as("sy"),
+          sum(floor(col("o_totalprice") * col("o_totalprice") * 1e4
+            + 0.5).cast("decimal(38,0)")).as("syy"))
+        .withColumn("ssw_g", col("syy").cast("double") / 1e4
+          - col("sy").cast("double") * col("sy").cast("double")
+            / col("n"))
+        .localCheckpoint()
+      val msw = g.agg(count(lit(1)).as("k"),
+          sum(col("n")).cast("long").as("nn"),
+          sum(floor(col("ssw_g") * 1e4 + 0.5).cast("decimal(38,0)"))
+            .as("qssw"))
+        .select((col("qssw").cast("double") / 1e4
+          / (col("nn") - col("k"))).as("msw"))
+      val a = g.select(col("grp").as("grp_a"), col("n").as("na"),
+        col("sy").as("sya"))
+      val b = g.select(col("grp").as("grp_b"), col("n").as("nb"),
+        col("sy").as("syb"))
+      a.join(b, col("grp_a") < col("grp_b"))
+        .crossJoin(broadcast(msw))
+        .withColumn("ma", col("sya").cast("double") / col("na"))
+        .withColumn("mb", col("syb").cast("double") / col("nb"))
+        .withColumn("se", sqrt(col("msw") / 2.0
+          * (lit(1.0) / col("na") + lit(1.0) / col("nb"))))
+        .withColumn("q", abs(col("ma") - col("mb")) / col("se"))
+        .select(col("grp_a"), col("grp_b"),
+          detRound(col("ma"), 4).as("mean_a"),
+          detRound(col("mb"), 4).as("mean_b"),
+          detRound(col("ma") - col("mb"), 4).as("diff"),
+          detRound(col("q"), 6).as("q_stat"),
+          (col("q") > lit(3.858)).as("significant_05"))
+        .orderBy("grp_a", "grp_b")
+    }),
+
     "x_anova_oneway" -> ((s, d) => {
       // one-way ANOVA F-test of order value across priorities — completes
       // the engine's hypothesis-test family (χ² for categorical×categorical,
@@ -2783,6 +2830,38 @@ object StatsOps {
                 floor(qterm / 1e12 * 1e6 + 0.5) / 1e6 AS psi_term,
                 floor(qtot / 1e12 * 1e6 + 0.5) / 1e6 AS psi_total
          FROM qt CROSS JOIN tq ORDER BY bin""",
+
+    "x_tukey_hsd" ->
+      """WITH g AS (
+           SELECT o_orderpriority AS grp, COUNT(*) AS n,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS sy,
+                  SUM(CAST(floor(o_totalprice * o_totalprice * 1e4 + 0.5)
+                      AS HUGEINT)) AS syy
+           FROM orders GROUP BY 1),
+         gs AS (
+           SELECT grp, n, sy,
+                  CAST(syy AS DOUBLE) / 1e4
+                    - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / n
+                    AS ssw_g
+           FROM g),
+         msw AS (
+           SELECT CAST(SUM(CAST(floor(ssw_g * 1e4 + 0.5) AS HUGEINT))
+                       AS DOUBLE) / 1e4
+                  / (CAST(SUM(n) AS BIGINT) - COUNT(*)) AS msw
+           FROM gs),
+         pairs AS (
+           SELECT a.grp AS grp_a, b.grp AS grp_b,
+                  CAST(a.sy AS DOUBLE) / a.n AS ma,
+                  CAST(b.sy AS DOUBLE) / b.n AS mb,
+                  sqrt(msw / 2.0 * (1.0 / a.n + 1.0 / b.n)) AS se
+           FROM gs a JOIN gs b ON a.grp < b.grp CROSS JOIN msw)
+         SELECT grp_a, grp_b,
+                floor(ma * 1e4 + 0.5) / 1e4 AS mean_a,
+                floor(mb * 1e4 + 0.5) / 1e4 AS mean_b,
+                floor((ma - mb) * 1e4 + 0.5) / 1e4 AS diff,
+                floor(abs(ma - mb) / se * 1e6 + 0.5) / 1e6 AS q_stat,
+                abs(ma - mb) / se > 3.858 AS significant_05
+         FROM pairs ORDER BY grp_a, grp_b""",
 
     "x_anova_oneway" ->
       """WITH g AS (

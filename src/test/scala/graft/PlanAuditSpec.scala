@@ -166,6 +166,9 @@ class PlanAuditSpec extends SparkSpec {
     // x_shapley_attribution checkpoints the 8-row coalition-value spine
     // and the 3-row channel-credit table
     "x_shapley_attribution",
+    // x_tukey_hsd checkpoints the 5-row per-group sufficient statistics
+    // its pairwise grid and MSW both re-read
+    "x_tukey_hsd",
     "x_chi2_independence",
     "x_classifier_agreement", "x_classifier_report", "x_cluster_size_dist",
     "x_cluster_topics", "x_collocations", "x_cooccurrence_recs",
