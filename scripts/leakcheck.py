@@ -90,9 +90,14 @@ GITLOG_SELF_PATHS = ("scripts/leakcheck.py", "LEAKCHECK.json",
 def scan_gitlog() -> dict:
     """Scan the full history patch stream, skipping self-quotes.
 
-    Tracks the current file via diff headers; a matching line inside a
-    hunk of a GITLOG_SELF_PATHS file (or a line that itself quotes the
-    scanner artifact by name) is counted as `self_skipped`, not a hit.
+    Tracks the current file via diff headers; ONLY a match inside a
+    hunk of a GITLOG_SELF_PATHS file is counted as `self_skipped` — a
+    bare substring test ("does the line mention the scanner?") would
+    let a commit message like "tighten leakcheck; old key was sk-…"
+    smuggle a real secret past the gate (r14 review finding). The
+    current-file tag resets at every `commit ` boundary so commit
+    MESSAGE lines never inherit the previous patch's file attribution
+    and are always scanned at full strength.
     """
     log = subprocess.run(
         ["git", "log", "--all", "-p", "--no-color"],
@@ -101,13 +106,16 @@ def scan_gitlog() -> dict:
     self_skipped = 0
     cur_file = ""
     for line in log.splitlines():
+        if line.startswith("commit "):
+            cur_file = ""  # message/header context: never self-skipped
+            continue
         if line.startswith("+++ b/") or line.startswith("--- a/"):
             cur_file = line[6:]
             continue
         matched = [cat for cat, rx in PATTERNS.items() if rx.search(line)]
         if not matched:
             continue
-        if cur_file in GITLOG_SELF_PATHS or "leakcheck" in line.lower():
+        if cur_file in GITLOG_SELF_PATHS:
             self_skipped += len(matched)
             continue
         for cat in matched:

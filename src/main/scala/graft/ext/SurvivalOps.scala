@@ -281,6 +281,11 @@ object SurvivalOps {
       // O/E hazard ratio with the Peto log-rank CI: HR =
       // (O1/E1)/(O0/E0), CI = exp(ln HR ± 1.96·√(1/E1 + 1/E0)). The
       // one-number effect size next to x_logrank_test's verdict.
+      // a zero observed count or expectation in either group makes the
+      // O/E ratio or ln(HR) diverge engine-dependently — emit NULL
+      // stats instead (the x_rate_ratio guard discipline)
+      val ok = col("o1") > 0 && col("o0") > 0 &&
+        col("sqe1") > 0 && col("sqe0") > 0
       logrankRows(s, d)
         .agg(sum(col("d1")).cast("long").as("o1"),
           sum(col("d0")).cast("long").as("o0"),
@@ -288,16 +293,16 @@ object SurvivalOps {
         .select(col("o1"), col("o0"),
           detRound(col("sqe1") / 1e9, 6).as("e1"),
           detRound(col("sqe0") / 1e9, 6).as("e0"),
-          detRound((col("o1") / (col("sqe1") / 1e9))
-            / (col("o0") / (col("sqe0") / 1e9)), 6).as("hazard_ratio"),
-          detRound(exp(log((col("o1") / (col("sqe1") / 1e9))
+          detRound(when(ok, (col("o1") / (col("sqe1") / 1e9))
+            / (col("o0") / (col("sqe0") / 1e9))), 6).as("hazard_ratio"),
+          detRound(when(ok, exp(log((col("o1") / (col("sqe1") / 1e9))
             / (col("o0") / (col("sqe0") / 1e9)))
             - lit(1.96) * sqrt(lit(1e9) / col("sqe1")
-              + lit(1e9) / col("sqe0"))), 6).as("ci_lo"),
-          detRound(exp(log((col("o1") / (col("sqe1") / 1e9))
+              + lit(1e9) / col("sqe0")))), 6).as("ci_lo"),
+          detRound(when(ok, exp(log((col("o1") / (col("sqe1") / 1e9))
             / (col("o0") / (col("sqe0") / 1e9)))
             + lit(1.96) * sqrt(lit(1e9) / col("sqe1")
-              + lit(1e9) / col("sqe0"))), 6).as("ci_hi"))
+              + lit(1e9) / col("sqe0")))), 6).as("ci_hi"))
     }),
 
     "x_cox_one_step" -> ((s, d) => {
@@ -308,24 +313,28 @@ object SurvivalOps {
       // estimate of the log hazard ratio, with the score CI
       // exp(β̂ ± 1.96/√V) — the semiparametric regression view of the
       // same per-day table x_logrank_test verdicts on.
+      // sqv = 0 (no events, or a single group at every event day) makes
+      // β = x/0 diverge engine-dependently — emit NULL stats instead
+      // (the x_rate_ratio guard discipline)
+      val okv = col("sqv") > 0
       logrankRows(s, d)
         .agg(sum(col("d1")).cast("long").as("o1"),
           sum(col("qe1")).as("sqe1"), sum(col("qv")).as("sqv"))
         .select(col("o1"),
           detRound(col("sqe1") / 1e9, 6).as("e1"),
           detRound(col("sqv") / 1e9, 6).as("information"),
-          detRound((col("o1") - col("sqe1") / 1e9)
-            / (col("sqv") / 1e9), 6).as("beta_hat"),
-          detRound(exp((col("o1") - col("sqe1") / 1e9)
-            / (col("sqv") / 1e9)), 6).as("hr_one_step"),
-          detRound(exp((col("o1") - col("sqe1") / 1e9)
+          detRound(when(okv, (col("o1") - col("sqe1") / 1e9)
+            / (col("sqv") / 1e9)), 6).as("beta_hat"),
+          detRound(when(okv, exp((col("o1") - col("sqe1") / 1e9)
+            / (col("sqv") / 1e9))), 6).as("hr_one_step"),
+          detRound(when(okv, exp((col("o1") - col("sqe1") / 1e9)
             / (col("sqv") / 1e9)
-            - lit(1.96) / sqrt(col("sqv") / 1e9)), 6).as("ci_lo"),
-          detRound(exp((col("o1") - col("sqe1") / 1e9)
+            - lit(1.96) / sqrt(col("sqv") / 1e9))), 6).as("ci_lo"),
+          detRound(when(okv, exp((col("o1") - col("sqe1") / 1e9)
             / (col("sqv") / 1e9)
-            + lit(1.96) / sqrt(col("sqv") / 1e9)), 6).as("ci_hi"),
-          detRound((col("o1") - col("sqe1") / 1e9)
-            / sqrt(col("sqv") / 1e9), 6).as("score_z"))
+            + lit(1.96) / sqrt(col("sqv") / 1e9))), 6).as("ci_hi"),
+          detRound(when(okv, (col("o1") - col("sqe1") / 1e9)
+            / sqrt(col("sqv") / 1e9)), 6).as("score_z"))
     }),
 
     "x_cumulative_incidence" -> ((s, d) => {
@@ -404,9 +413,13 @@ object SurvivalOps {
       // S_last·(τ − t_last); S carries 6 decimals and widths are whole
       // days, so every term is exact in 1e6 fixed point.
       val km = kmLadder(s, d)
-      val spells = spellsFrame(s, d)
-      val nn = spells.agg(count(lit(1)).as("n_spells"),
-        sum(col("event")).cast("long").as("n_events"))
+      // spell-count identities, not a second spell build (every order
+      // opens exactly one spell; each customer's LAST order is the one
+      // censored spell) — a narrow count instead of re-running the
+      // per-customer lead window
+      val nn = t(s, d, "orders").agg(count(lit(1)).as("n_spells"),
+        (count(lit(1)) - countDistinct(col("o_custkey"))).cast("long")
+          .as("n_events"))
       val w = Window.orderBy("t_days")
       val terms = km
         .withColumn("pt", lag(col("t_days"), 1, 0L).over(w))
@@ -476,14 +489,19 @@ object SurvivalOps {
           SELECT o1, o0,
                  floor(sqe1 / 1e9 * 1e6 + 0.5) / 1e6 AS e1,
                  floor(sqe0 / 1e9 * 1e6 + 0.5) / 1e6 AS e0,
-                 floor((o1 / (sqe1 / 1e9)) / (o0 / (sqe0 / 1e9))
-                   * 1e6 + 0.5) / 1e6 AS hazard_ratio,
-                 floor(exp(ln((o1 / (sqe1 / 1e9)) / (o0 / (sqe0 / 1e9)))
+                 CASE WHEN o1 > 0 AND o0 > 0 AND sqe1 > 0 AND sqe0 > 0
+                 THEN floor((o1 / (sqe1 / 1e9)) / (o0 / (sqe0 / 1e9))
+                   * 1e6 + 0.5) / 1e6 END AS hazard_ratio,
+                 CASE WHEN o1 > 0 AND o0 > 0 AND sqe1 > 0 AND sqe0 > 0
+                 THEN floor(exp(ln((o1 / (sqe1 / 1e9))
+                     / (o0 / (sqe0 / 1e9)))
                    - 1.96 * sqrt(1e9 / sqe1 + 1e9 / sqe0)) * 1e6 + 0.5)
-                   / 1e6 AS ci_lo,
-                 floor(exp(ln((o1 / (sqe1 / 1e9)) / (o0 / (sqe0 / 1e9)))
+                   / 1e6 END AS ci_lo,
+                 CASE WHEN o1 > 0 AND o0 > 0 AND sqe1 > 0 AND sqe0 > 0
+                 THEN floor(exp(ln((o1 / (sqe1 / 1e9))
+                     / (o0 / (sqe0 / 1e9)))
                    + 1.96 * sqrt(1e9 / sqe1 + 1e9 / sqe0)) * 1e6 + 0.5)
-                   / 1e6 AS ci_hi
+                   / 1e6 END AS ci_hi
           FROM agg""",
 
     "x_cox_one_step" ->
@@ -496,16 +514,23 @@ object SurvivalOps {
           SELECT o1,
                  floor(sqe1 / 1e9 * 1e6 + 0.5) / 1e6 AS e1,
                  floor(sqv / 1e9 * 1e6 + 0.5) / 1e6 AS information,
-                 floor((o1 - sqe1 / 1e9) / (sqv / 1e9) * 1e6 + 0.5) / 1e6
-                   AS beta_hat,
-                 floor(exp((o1 - sqe1 / 1e9) / (sqv / 1e9)) * 1e6 + 0.5)
-                   / 1e6 AS hr_one_step,
-                 floor(exp((o1 - sqe1 / 1e9) / (sqv / 1e9)
-                   - 1.96 / sqrt(sqv / 1e9)) * 1e6 + 0.5) / 1e6 AS ci_lo,
-                 floor(exp((o1 - sqe1 / 1e9) / (sqv / 1e9)
-                   + 1.96 / sqrt(sqv / 1e9)) * 1e6 + 0.5) / 1e6 AS ci_hi,
-                 floor((o1 - sqe1 / 1e9) / sqrt(sqv / 1e9) * 1e6 + 0.5)
-                   / 1e6 AS score_z
+                 CASE WHEN sqv > 0 THEN
+                   floor((o1 - sqe1 / 1e9) / (sqv / 1e9) * 1e6 + 0.5)
+                   / 1e6 END AS beta_hat,
+                 CASE WHEN sqv > 0 THEN
+                   floor(exp((o1 - sqe1 / 1e9) / (sqv / 1e9)) * 1e6 + 0.5)
+                   / 1e6 END AS hr_one_step,
+                 CASE WHEN sqv > 0 THEN
+                   floor(exp((o1 - sqe1 / 1e9) / (sqv / 1e9)
+                     - 1.96 / sqrt(sqv / 1e9)) * 1e6 + 0.5) / 1e6
+                 END AS ci_lo,
+                 CASE WHEN sqv > 0 THEN
+                   floor(exp((o1 - sqe1 / 1e9) / (sqv / 1e9)
+                     + 1.96 / sqrt(sqv / 1e9)) * 1e6 + 0.5) / 1e6
+                 END AS ci_hi,
+                 CASE WHEN sqv > 0 THEN
+                   floor((o1 - sqe1 / 1e9) / sqrt(sqv / 1e9) * 1e6 + 0.5)
+                   / 1e6 END AS score_z
           FROM agg""",
 
     "x_cumulative_incidence" ->
@@ -579,8 +604,9 @@ object SurvivalOps {
     "x_restricted_mean_survival" ->
       s"""WITH $kmLadderSql,
           nn AS (SELECT COUNT(*) AS n_spells,
-                        CAST(SUM(event) AS BIGINT) AS n_events
-                 FROM spells),
+                        CAST(COUNT(*) - COUNT(DISTINCT o_custkey)
+                             AS BIGINT) AS n_events
+                 FROM orders),
           terms AS (
             SELECT CAST(floor(lag(survival, 1, CAST(1.0 AS DOUBLE))
                      OVER (ORDER BY t_days) * 1e6 + 0.5) AS BIGINT)

@@ -326,31 +326,61 @@ object StreamingIngest {
     * by dedupStream upstream) is checked against the durable
     * (content_hash, ts) store, first-writer-wins within the batch by
     * (ts, doc_id), survivors append to the doc store, and ALL observed
-    * hashes merge into the state pruned to the TTL window — the same
-    * tmp+swap crash contract and watermark-bounded state row count as
-    * chunkDedupBatch (state rows <= distinct in-window hashes, by
-    * construction of the prune). A batch loader that appends to the
-    * same store can union its hashes into `statePath` and the stream
-    * picks them up next trigger. State is hash-keyed, so at cluster
-    * scale the store buckets by hash prefix exactly like the batch
-    * store (PartitionedMerge) — no skew, no unbounded growth. */
+    * hashes merge into the state pruned to the TTL window (state rows
+    * <= distinct in-window hashes, by construction of the prune). A
+    * batch loader that appends to the same store can union its hashes
+    * into `statePath` and the stream picks them up next trigger. State
+    * is hash-keyed, so at cluster scale the store buckets by hash
+    * prefix exactly like the batch store (PartitionedMerge) — no skew,
+    * no unbounded growth.
+    *
+    * Replay contract (r14 hardening): survivors land in a per-batch
+    * `batch=<id>` subdirectory with OVERWRITE, the batch cursor rides
+    * INSIDE the atomically-swapped state directory, and a replayed
+    * batchId whose cursor already advanced is a no-op — so a crash at
+    * any point yields exactly-once survivor rows: before the append,
+    * nothing happened; between append and swap, the replay recomputes
+    * the identical survivor set against the unchanged state and
+    * overwrites the same subdirectory; after the swap, the cursor
+    * short-circuits the replay and the earlier append stands. The TTL
+    * is ONE parameter (milliseconds); the watermark string is derived
+    * from it so the two windows cannot be set inconsistently. */
   def exactDedupSink(docs: DataFrame, spark: SparkSession, outPath: String,
                      statePath: String, checkpoint: String,
-                     delay: String = "1 hour",
                      delayMs: Long = 3600L * 1000)
       : DataStreamWriter[org.apache.spark.sql.Row] =
-    dedupStream(docs, delay).writeStream
+    dedupStream(docs, s"${delayMs / 1000} seconds").writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        exactDedupBatch(spark, outPath, statePath, batch, delayMs)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        exactDedupBatch(spark, outPath, statePath, batch, batchId,
+          checkpoint, delayMs)
       }
+
+  /** cursor of the last folded batch, stored inside the state dir so it
+    * swaps atomically with the hashes. Keyed by the CHECKPOINT path
+    * (the stream lineage): a restart from the same checkpoint replays
+    * monotone batchIds and must be skipped, while a NEW stream over the
+    * same durable store restarts ids at 0 and must NOT be — the two are
+    * distinguishable only by lineage. Returns (lineageTag, lastBatch);
+    * ("", -1) when fresh. */
+  private[graft] def dedupCursor(statePath: String): (String, Long) = {
+    val f = java.nio.file.Paths.get(statePath, "_last_batch")
+    if (!java.nio.file.Files.exists(f)) ("", -1L)
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim
+      val i = s.lastIndexOf('|')
+      (s.substring(0, i), s.substring(i + 1).toLong)
+    }
+  }
 
   private[graft] def exactDedupBatch(spark: SparkSession,
       outPath: String, statePath: String, batch: DataFrame,
-      delayMs: Long): Unit = {
+      batchId: Long, lineage: String, delayMs: Long): Unit = {
     import java.nio.file.{Files, Paths}
+    val (curLineage, curId) = dedupCursor(statePath)
+    if (curLineage == lineage && batchId <= curId) return // replayed
     val docs = batch.localCheckpoint()
     if (docs.head(1).isEmpty) return
     val state =
@@ -372,10 +402,18 @@ object StreamingIngest {
       .filter(col("doc_id") =!= col("owner_id"))
       .select("doc_id").distinct()
     val dupIds = dupVsState.union(dupInBatch).distinct().localCheckpoint()
+    // per-(lineage, batch) OVERWRITE target: a replay that reaches this
+    // line has an unchanged state (the cursor check above), recomputes
+    // the identical survivor set, and rewrites the same subdirectory —
+    // idempotent; the lineage hash keeps a NEW stream's batch 0 from
+    // clobbering an old stream's batch 0
+    val lineageTag = java.lang.Integer.toHexString(lineage.hashCode)
     docs.join(dupIds, Seq("doc_id"), "left_anti")
-      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outPath)
-    // fold all observed hashes in, prune to the TTL window; tmp + swap
-    // so a crash mid-write never truncates the live state
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outPath/batch=${lineageTag}_$batchId")
+    // fold all observed hashes in, prune to the TTL window; the cursor
+    // file joins the tmp dir BEFORE the swap so hashes + cursor become
+    // visible atomically
     val cutoff = new java.sql.Timestamp(
       docs.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime - delayMs)
     val newState = state
@@ -384,6 +422,8 @@ object StreamingIngest {
       .filter(col("ts") >= lit(cutoff))
     val tmp = statePath + ".tmp"
     newState.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tmp, "_last_batch"), s"$lineage|$batchId")
     graft.util.Fs.swapInto(Paths.get(tmp), Paths.get(statePath))
   }
 

@@ -367,18 +367,36 @@ class StreamingSpec extends SparkSpec {
     // (ts, doc_id)-min wins regardless of row order
     val out2 = tmpDir("exdedup-out2") + "/docs"
     val state2 = tmpDir("exdedup-state2") + "/hashes"
-    StreamingIngest.exactDedupBatch(spark, out2, state2,
-      Seq(
-        (12L, Timestamp.valueOf("2024-01-01 10:01:00"), "alpha beta"),
-        (11L, Timestamp.valueOf("2024-01-01 10:00:00"), "alpha beta"),
-        (13L, Timestamp.valueOf("2024-01-01 10:02:00"), "gamma delta"))
-        .toDF("doc_id", "ts", "text")
+    def rawBatch(rows: Seq[(Long, Timestamp, String)]) =
+      rows.toDF("doc_id", "ts", "text")
         .withColumn(
           "content_hash",
-          org.apache.spark.sql.functions.sha2(col("text"), 256)),
-      delayMs = 3600L * 1000)
-    assert(spark.read.parquet(out2).select("doc_id")
-      .as[Long].collect().sorted.toSeq === Seq(11L, 13L))
+          org.apache.spark.sql.functions.sha2(col("text"), 256))
+    val b0 = Seq(
+      (12L, Timestamp.valueOf("2024-01-01 10:01:00"), "alpha beta"),
+      (11L, Timestamp.valueOf("2024-01-01 10:00:00"), "alpha beta"),
+      (13L, Timestamp.valueOf("2024-01-01 10:02:00"), "gamma delta"))
+    StreamingIngest.exactDedupBatch(spark, out2, state2, rawBatch(b0),
+      batchId = 0L, lineage = "ckA", delayMs = 3600L * 1000)
+    def docs2(): Seq[Long] = spark.read.parquet(out2).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(docs2() === Seq(11L, 13L))
+    // replay of the SAME (lineage, batchId) is a no-op: the cursor
+    // swapped in with the state, so the earlier append stands untouched
+    StreamingIngest.exactDedupBatch(spark, out2, state2, rawBatch(b0),
+      batchId = 0L, lineage = "ckA", delayMs = 3600L * 1000)
+    assert(docs2() === Seq(11L, 13L),
+      "replayed batch must not duplicate survivor rows")
+    assert(StreamingIngest.dedupCursor(state2) === (("ckA", 0L)))
+    // a NEW stream (different checkpoint lineage) restarting at batch 0
+    // is NOT a replay: it processes against the durable store and its
+    // cross-stream duplicate is caught there
+    StreamingIngest.exactDedupBatch(spark, out2, state2, rawBatch(Seq(
+        (14L, Timestamp.valueOf("2024-01-01 10:05:00"), "alpha beta"),
+        (15L, Timestamp.valueOf("2024-01-01 10:06:00"), "iota kappa"))),
+      batchId = 0L, lineage = "ckB", delayMs = 3600L * 1000)
+    assert(docs2() === Seq(11L, 13L, 15L))
+    assert(StreamingIngest.dedupCursor(state2) === (("ckB", 0L)))
   }
 
   test("streaming near-dup dedup drops bag-equal (reordered) docs exact " +
