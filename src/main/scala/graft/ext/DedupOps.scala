@@ -178,19 +178,42 @@ object DedupOps {
       .agg(sigCols.head, sigCols.tail: _*)
   }
 
-  /** LSH banding over the 8 signatures: 8/rowsPerBand bands, candidate =
-    * any band fully equal. rowsPerBand is THE recall/precision dial
-    * (fewer rows per band ⇒ more bands ⇒ higher recall, more false
-    * candidates) — x_dedup_band_tuning measures both settings. */
-  private def bandPairs(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
+  /** (doc_id, band_idx, band_val) band rows over the 8 signatures —
+    * the banding half of bandPairs, factored out so the streaming
+    * near-dup sink shares the exact batch hash family. */
+  private def bandRows(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
     val nBands = 8 / rowsPerBand
     val stackArgs = (0 until nBands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(j => s"s$j").mkString(", ")
       s"$b, md5(concat($cols))"
     }.mkString(", ")
-    val bands = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
       expr(s"stack($nBands, $stackArgs) AS (band_idx, band_val)"))
+  }
+
+  /** LSH band table from raw (doc_id, text, …) rows — THE
+    * x_dedup_minhash hash family (3-token shingles, 8 × 16-bit
+    * md5-slice min-hash signatures, 4 signatures per band → 2 bands),
+    * exposed private[graft] so streaming near-dup dedup
+    * (StreamingIngest.minhashDedupSink) and batch LSH dedup share one
+    * family: a doc the stream deduped lands in the same band buckets a
+    * batch re-run would compute. Docs with < 3 tokens produce no
+    * shingles and therefore NO band rows — they can never be a
+    * near-dup candidate; the caller decides their fate. */
+  private[graft] def bandTable(docs: DataFrame): DataFrame = {
+    val sh = docs.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+    bandRows(sigsOverShingles(sh), 4)
+  }
+
+  /** LSH banding over the 8 signatures: 8/rowsPerBand bands, candidate =
+    * any band fully equal. rowsPerBand is THE recall/precision dial
+    * (fewer rows per band ⇒ more bands ⇒ higher recall, more false
+    * candidates) — x_dedup_band_tuning measures both settings. */
+  private def bandPairs(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
+    val bands = bandRows(sigs, rowsPerBand)
     bands.alias("x").join(bands.alias("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&

@@ -160,12 +160,16 @@ object SurvivalOps {
       sum(when(col("grp") === "hi", col("dd")).otherwise(0L)).as("d1"),
       sum(when(col("grp") === "lo", col("m")).otherwise(0L)).as("m0"),
       sum(when(col("grp") === "lo", col("dd")).otherwise(0L)).as("d0"))
-    val tots = spells.groupBy("grp").agg(count(lit(1)).as("n"))
-    val t1 = tots.filter(col("grp") === "hi").select(col("n").as("nt1"))
-    val t0 = tots.filter(col("grp") === "lo").select(col("n").as("nt0"))
+    // group totals as CONDITIONAL SUMS in one agg (the oracle's shape):
+    // filtering to 'hi'/'lo' rows and crossJoining collapsed the whole
+    // result to zero rows when either group was absent, while the oracle
+    // kept rows with nt = 0 — single-group datasets diverged (r15 ADVICE)
+    val tots = spells.agg(
+      sum(when(col("grp") === "hi", 1L).otherwise(0L)).as("nt1"),
+      sum(when(col("grp") === "lo", 1L).otherwise(0L)).as("nt0"))
     val w = Window.orderBy("dur")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wide.crossJoin(broadcast(t1)).crossJoin(broadcast(t0))
+    wide.crossJoin(broadcast(tots))
       .withColumn("c1", sum(col("m1")).over(w))
       .withColumn("c0", sum(col("m0")).over(w))
       .withColumn("n1", col("nt1") - col("c1") + col("m1"))
@@ -263,6 +267,10 @@ object SurvivalOps {
       // day the observed hi-group events are compared with the
       // hypergeometric expectation d·n1/n; χ² = (O1 − E1)²/V, df = 1.
       // All O are exact integers; E and V sum quantized terms.
+      // sqv = 0 (no event day with both groups at risk) makes the χ²
+      // division engine-dependent NaN/Inf — NULL stats instead, the
+      // same guard x_cox_one_step and x_hazard_ratio already apply.
+      val okv = col("sqv") > 0
       logrankRows(s, d)
         .agg(count(lit(1)).as("n_event_days"),
           sum(col("d1")).cast("long").as("observed_hi"),
@@ -271,9 +279,9 @@ object SurvivalOps {
         .select(col("n_event_days"), col("observed_hi"),
           col("observed_lo"),
           detRound(col("sqe1") / 1e9, 6).as("expected_hi"),
-          detRound(pow(col("observed_hi") - col("sqe1") / 1e9, 2)
-            / (col("sqv") / 1e9), 6).as("chi2"),
-          (pow(col("observed_hi") - col("sqe1") / 1e9, 2)
+          detRound(when(okv, pow(col("observed_hi") - col("sqe1") / 1e9, 2)
+            / (col("sqv") / 1e9)), 6).as("chi2"),
+          when(okv, pow(col("observed_hi") - col("sqe1") / 1e9, 2)
             / (col("sqv") / 1e9) > 3.841458821).as("significant_05"))
     }),
 
@@ -472,10 +480,12 @@ object SurvivalOps {
             FROM lr)
           SELECT n_event_days, observed_hi, observed_lo,
                  floor(sqe1 / 1e9 * 1e6 + 0.5) / 1e6 AS expected_hi,
-                 floor(pow(observed_hi - sqe1 / 1e9, 2) / (sqv / 1e9)
-                   * 1e6 + 0.5) / 1e6 AS chi2,
-                 pow(observed_hi - sqe1 / 1e9, 2) / (sqv / 1e9)
-                   > 3.841458821 AS significant_05
+                 CAST(CASE WHEN sqv > 0 THEN
+                   floor(pow(observed_hi - sqe1 / 1e9, 2) / (sqv / 1e9)
+                     * 1e6 + 0.5) / 1e6 END AS DOUBLE) AS chi2,
+                 CASE WHEN sqv > 0 THEN
+                   pow(observed_hi - sqe1 / 1e9, 2) / (sqv / 1e9)
+                     > 3.841458821 END AS significant_05
           FROM agg""",
 
     "x_hazard_ratio" ->

@@ -365,6 +365,16 @@ object StreamingIngest {
     * same durable store restarts ids at 0 and must NOT be — the two are
     * distinguishable only by lineage. Returns (lineageTag, lastBatch);
     * ("", -1) when fresh. */
+  /** Collision-resistant per-lineage directory tag for survivor
+    * subdirectories. SHA-256 prefix, not String.hashCode: two
+    * checkpoint paths colliding on a 32-bit hash would share a
+    * `batch=<tag>_<id>` path and the Overwrite would silently delete
+    * the other stream's committed survivors (r15 ADVICE). */
+  private[graft] def lineageTag(lineage: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(lineage.getBytes("UTF-8")).take(8)
+      .map(b => f"$b%02x").mkString
+
   private[graft] def dedupCursor(statePath: String): (String, Long) = {
     val f = java.nio.file.Paths.get(statePath, "_last_batch")
     if (!java.nio.file.Files.exists(f)) ("", -1L)
@@ -405,12 +415,11 @@ object StreamingIngest {
     // per-(lineage, batch) OVERWRITE target: a replay that reaches this
     // line has an unchanged state (the cursor check above), recomputes
     // the identical survivor set, and rewrites the same subdirectory —
-    // idempotent; the lineage hash keeps a NEW stream's batch 0 from
+    // idempotent; the lineage tag keeps a NEW stream's batch 0 from
     // clobbering an old stream's batch 0
-    val lineageTag = java.lang.Integer.toHexString(lineage.hashCode)
     docs.join(dupIds, Seq("doc_id"), "left_anti")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$outPath/batch=${lineageTag}_$batchId")
+      .parquet(s"$outPath/batch=${lineageTag(lineage)}_$batchId")
     // fold all observed hashes in, prune to the TTL window; the cursor
     // file joins the tmp dir BEFORE the swap so hashes + cursor become
     // visible atomically
@@ -419,6 +428,99 @@ object StreamingIngest {
     val newState = state
       .unionByName(docs.select("content_hash", "ts"))
       .groupBy("content_hash").agg(min(col("ts")).as("ts"))
+      .filter(col("ts") >= lit(cutoff))
+    val tmp = statePath + ".tmp"
+    newState.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tmp, "_last_batch"), s"$lineage|$batchId")
+    graft.util.Fs.swapInto(Paths.get(tmp), Paths.get(statePath))
+  }
+
+  /** Stateful streaming MinHash near-dup SINK (r15) — the near-dup twin
+    * of exactDedupSink, closing the flagship batch family's last
+    * streaming gap: banded-LSH dedup (DedupOps.bandTable — the exact
+    * x_dedup_minhash hash family: 3-token shingles, 8 × 16-bit md5-slice
+    * min-hashes, 2 bands of 4) against a PERSISTENT (band_idx, band_val,
+    * ts) store maintained foreachBatch.
+    *
+    * Semantics: a doc is a duplicate iff any of its bands matches (i)
+    * a band in the durable store or (ii) a band of a strictly earlier
+    * doc of the same batch (first-writer-wins by (ts, doc_id), the
+    * exactDedupSink owner rule — implemented as a per-band-bucket
+    * min-owner aggregation with map-side partials, NOT a band self-join,
+    * so a hot boilerplate band costs O(band rows), never O(n²)).
+    * Survivor bands only are folded into the store — the keeper's
+    * signature represents its cluster, so state rows ≤ 2 × distinct
+    * in-window survivors (asserted in spec), matching the batch
+    * cluster-keeper rule (x_dedup_pipeline keeps the cluster-min doc).
+    * Docs with < 3 tokens have no shingles, hence no bands: they always
+    * survive and contribute no state — near-dup semantics are undefined
+    * below shingle width (route them to exactDedupSink).
+    *
+    * Replay contract: identical to exactDedupBatch — shared batch
+    * cursor inside the atomically-swapped state dir, per-(lineage,
+    * batch) OVERWRITE survivor subdirectories, SHA-256 lineage tag.
+    * Band misses (a true near-dup pair sharing no band — LSH's recall
+    * trade, measured by x_dedup_band_tuning) and TTL expiry both let a
+    * late duplicate survive; both are the documented bounded-state
+    * trades, asserted in spec rather than hidden. */
+  def minhashDedupSink(docs: DataFrame, spark: SparkSession,
+                       outPath: String, statePath: String,
+                       checkpoint: String, delayMs: Long = 3600L * 1000)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        minhashDedupBatch(spark, outPath, statePath, batch, batchId,
+          checkpoint, delayMs)
+      }
+
+  private[graft] def minhashDedupBatch(spark: SparkSession,
+      outPath: String, statePath: String, batch: DataFrame,
+      batchId: Long, lineage: String, delayMs: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    val (curLineage, curId) = dedupCursor(statePath)
+    if (curLineage == lineage && batchId <= curId) return // replayed
+    val docs = batch.localCheckpoint()
+    if (docs.head(1).isEmpty) return
+    // band table of THIS batch, carrying ts for the owner rule; tiny
+    // (2 rows per batch doc), checkpointed because it feeds three joins
+    val bt = graft.ext.DedupOps.bandTable(docs.select("doc_id", "text"))
+      .join(docs.select("doc_id", "ts"), "doc_id")
+      .localCheckpoint()
+    val state =
+      if (Files.exists(Paths.get(statePath)))
+        spark.read.parquet(statePath).select("band_idx", "band_val", "ts")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new StructType().add("band_idx", "integer")
+          .add("band_val", "string").add("ts", "timestamp"))
+    val dupVsState = bt
+      .join(state, Seq("band_idx", "band_val"), "left_semi")
+      .select("doc_id").distinct()
+    // in-batch: per band bucket the (ts, doc_id)-min doc owns it; any
+    // non-owner member is a duplicate. O(band rows) with map-side
+    // partial min — no self-join, no quadratic hot-band blowup.
+    val owners = bt.groupBy("band_idx", "band_val")
+      .agg(min(struct(col("ts"), col("doc_id"))).as("o"))
+    val dupInBatch = bt.join(owners, Seq("band_idx", "band_val"))
+      .filter(struct(col("ts"), col("doc_id")) =!= col("o"))
+      .select("doc_id").distinct()
+    val dupIds = dupVsState.union(dupInBatch).distinct().localCheckpoint()
+    docs.join(dupIds, Seq("doc_id"), "left_anti")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outPath/batch=${lineageTag(lineage)}_$batchId")
+    // fold the SURVIVORS' bands in (keeper-signature-represents-cluster)
+    // and prune to the TTL window; cursor joins the tmp dir BEFORE the
+    // swap so bands + cursor become visible atomically
+    val cutoff = new java.sql.Timestamp(
+      docs.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime - delayMs)
+    val newState = state
+      .unionByName(bt.join(dupIds, Seq("doc_id"), "left_anti")
+        .select("band_idx", "band_val", "ts"))
+      .groupBy("band_idx", "band_val").agg(min(col("ts")).as("ts"))
       .filter(col("ts") >= lit(cutoff))
     val tmp = statePath + ".tmp"
     newState.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)

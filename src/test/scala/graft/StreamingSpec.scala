@@ -399,6 +399,104 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingIngest.dedupCursor(state2) === (("ckB", 0L)))
   }
 
+  test("minhash near-dup sink: banded signature store catches near-dups " +
+      "across checkpoint resets, state stays bounded by survivors and " +
+      "TTL, band-miss and expiry trades asserted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sc = spark.sqlContext
+    // fixture texts chosen so band collisions are DETERMINISTIC facts of
+    // the md5 family (pre-computed): near1/near2 share band 0 with base,
+    // near3 shares NO band (the LSH recall trade), distinct shares none
+    val base =
+      "the quick brown fox jumps over the lazy dog near the river bank today"
+    val near1 = base.replace("today", "tonight")
+    val near2 = "a " + base
+    val near3 = base.replace("quick", "swift")
+    val distinct = "completely different words about spark streaming " +
+      "dedup state machines and bounded windows"
+    val out = tmpDir("mhdedup-out") + "/docs"
+    val state = tmpDir("mhdedup-state") + "/bands"
+    // each run is a brand-NEW stream (fresh MemoryStream + fresh
+    // checkpoint = a new lineage) over the same durable band store —
+    // the exact claim the sink makes: dedup horizon lives in the
+    // store, not in any one stream's checkpoint. (The sink is
+    // stateless upstream, so an AvailableNow run never source-commits
+    // its last block; reusing one MemoryStream across fresh
+    // checkpoints would replay old blocks and test Spark's commit
+    // timing, not the sink.)
+    var ckptN = 0
+    def run(rows: (Long, Timestamp, String)*): Unit = {
+      ckptN += 1
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      mem.addData(rows: _*)
+      val q = StreamingIngest.minhashDedupSink(
+        mem.toDF().toDF("doc_id", "ts", "text"), spark, out, state,
+        tmpDir("mhdedup-ckpt") + s"/c$ckptN").start()
+      q.awaitTermination()
+    }
+    def survivors(): Seq[Long] = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    def stateRows(): Long = spark.read.parquet(state).count()
+    // batch 1: an in-batch near-dup + a distinct doc
+    run(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), base),
+      (2L, Timestamp.valueOf("2024-01-01 10:01:00"), near1), // nd of 1
+      (3L, Timestamp.valueOf("2024-01-01 10:02:00"), distinct))
+    assert(survivors() === Seq(1L, 3L))
+    assert(stateRows() === 4L) // 2 bands x 2 survivors, never dup bands
+    // a NEW stream: the durable band store still catches the
+    // cross-stream near-dup; the band-missing true near-dup (near3)
+    // SURVIVES — LSH recall is banded, not exact, asserted as the
+    // documented trade
+    run(
+      (4L, Timestamp.valueOf("2024-01-01 10:20:00"), near2), // nd of 1
+      (5L, Timestamp.valueOf("2024-01-01 10:21:00"), near3)) // band miss
+    assert(survivors() === Seq(1L, 3L, 5L))
+    assert(stateRows() === 6L)
+    // TTL expiry bounds the state; a sub-shingle-width doc (< 3 tokens)
+    // has no bands: always survives, contributes no state rows
+    run(
+      (6L, Timestamp.valueOf("2024-01-01 14:00:00"),
+        "eta theta iota kappa lambda mu"),
+      (8L, Timestamp.valueOf("2024-01-01 14:01:00"), "two tokens"))
+    assert(survivors() === Seq(1L, 3L, 5L, 6L, 8L))
+    assert(stateRows() === 2L,
+      "state must hold only the in-window survivor bands after expiry")
+    // flip side of bounded state: a late near-dup of doc 1 finds the
+    // bands expired and survives
+    run((7L, Timestamp.valueOf("2024-01-01 14:10:00"), base))
+    assert(survivors() === Seq(1L, 3L, 5L, 6L, 7L, 8L))
+    assert(stateRows() === 4L)
+    // the batch-side owner rule, replay no-op, and cross-lineage
+    // restart — exercised directly like exactDedupBatch
+    val out2 = tmpDir("mhdedup-out2") + "/docs"
+    val state2 = tmpDir("mhdedup-state2") + "/bands"
+    def rawBatch(rows: Seq[(Long, Timestamp, String)]) =
+      rows.toDF("doc_id", "ts", "text")
+    val b0 = Seq(
+      (12L, Timestamp.valueOf("2024-01-01 10:01:00"), near1),
+      (11L, Timestamp.valueOf("2024-01-01 10:00:00"), base),
+      (13L, Timestamp.valueOf("2024-01-01 10:02:00"), distinct))
+    StreamingIngest.minhashDedupBatch(spark, out2, state2, rawBatch(b0),
+      batchId = 0L, lineage = "ckA", delayMs = 3600L * 1000)
+    def docs2(): Seq[Long] = spark.read.parquet(out2).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(docs2() === Seq(11L, 13L)) // (ts, doc_id)-min owns the band
+    StreamingIngest.minhashDedupBatch(spark, out2, state2, rawBatch(b0),
+      batchId = 0L, lineage = "ckA", delayMs = 3600L * 1000)
+    assert(docs2() === Seq(11L, 13L),
+      "replayed batch must not duplicate survivor rows")
+    assert(StreamingIngest.dedupCursor(state2) === (("ckA", 0L)))
+    StreamingIngest.minhashDedupBatch(spark, out2, state2, rawBatch(Seq(
+        (14L, Timestamp.valueOf("2024-01-01 10:05:00"), near2),
+        (15L, Timestamp.valueOf("2024-01-01 10:06:00"),
+          "totally new sentence with many different tokens indeed"))),
+      batchId = 0L, lineage = "ckB", delayMs = 3600L * 1000)
+    assert(docs2() === Seq(11L, 13L, 15L))
+    assert(StreamingIngest.dedupCursor(state2) === (("ckB", 0L)))
+  }
+
   test("streaming near-dup dedup drops bag-equal (reordered) docs exact " +
       "hashing misses; row-fold fingerprint equals the batch SWAR path") {
     import spark.implicits._
