@@ -56,6 +56,31 @@ def main() -> int:
     con.executemany("INSERT INTO vecs VALUES (?, ?, ?)", vecs)
     con.execute(f"COPY vecs TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
     print(f"wrote {n_docs * factor} docs, {n_vecs * factor} vecs -> {out}")
+
+    # r15: N-x fact tables for the survival / itemset probes. Orders and
+    # lineitem replicate with SHIFTED keys (copy c adds c*stride to the
+    # order and customer keys) so per-customer order sequences and
+    # per-order baskets keep their exact shape: the day-grain spell
+    # histogram keeps its distinct (dur, grp) domain with N-x counts,
+    # and itemset support FRACTIONS are invariant while counts scale N-x
+    # — the structural claims the probes measure. Part is a dimension:
+    # copied 1-x (brands unchanged).
+    ko, kc = 200000, 20000  # > max o_orderkey / o_custkey at sf0.1
+    con.execute(
+        f"COPY (SELECT o_orderkey + c.c * {ko} AS o_orderkey, "
+        f"o_custkey + c.c * {kc} AS o_custkey, o_orderstatus, "
+        f"o_totalprice, o_orderdate, o_orderpriority "
+        f"FROM '{SRC}/orders.parquet', range({factor}) c(c)) "
+        f"TO '{out}/orders.parquet' (FORMAT PARQUET)")
+    con.execute(
+        f"COPY (SELECT l_orderkey + c.c * {ko} AS l_orderkey, l_partkey, "
+        f"l_suppkey, l_linenumber, l_quantity, l_extendedprice, "
+        f"l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate "
+        f"FROM '{SRC}/lineitem.parquet', range({factor}) c(c)) "
+        f"TO '{out}/lineitem.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY (SELECT * FROM '{SRC}/part.parquet') "
+                f"TO '{out}/part.parquet' (FORMAT PARQUET)")
+    print(f"wrote {factor}x orders/lineitem + 1x part -> {out}")
     return 0
 
 
