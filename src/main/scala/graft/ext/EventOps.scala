@@ -1027,6 +1027,55 @@ object EventOps {
         .orderBy("event_type")
     }),
 
+    "x_page_hinkley" -> ((s, d) => {
+      // Page–Hinkley drift detector per event type (Page 1954, Hinkley
+      // 1971 — the sequential mean-drift standard in the stream-mining
+      // literature) over the hourly series: x_cusum_changepoint's
+      // ONLINE sibling. CUSUM retrospectively locates the single most
+      // likely level shift; PH tracks the cumulative deviation of each
+      // observation from the running PREFIX mean (±δ tolerance) and
+      // alarms the first hour the deviation leaves its running extremum
+      // by more than λ — both an increase and a decrease side. Each
+      // per-hour term x_t − P_t/t ∓ δ uses the exact integer prefix sum
+      // P_t and is quantized to 1e9 fixed point BEFORE the cumulative
+      // sum (the x_pagerank rule: sums of integers are order-free), so
+      // the running min/max and the alarm argmin compare exact integers
+      // in both engines. One window pass over the hourly table per
+      // type; state is O(hours) and the shuffle is the hourly groupBy.
+      val delta = 0.5   // tolerated per-hour drift, in events
+      val qlam = 25L * 1000000000L // λ = 25 events, 1e9 fixed point
+      val wc = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wr = Window.partitionBy("event_type").orderBy("h")
+      val scored = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("p", sum(col("c")).over(wc).cast("long"))
+        .withColumn("tt", row_number().over(wr).cast("long"))
+        .withColumn("qinc", floor((col("c")
+          - col("p").cast("double") / col("tt") - lit(delta)) * 1e9 + 0.5)
+          .cast("long"))
+        .withColumn("qdec", floor((col("c")
+          - col("p").cast("double") / col("tt") + lit(delta)) * 1e9 + 0.5)
+          .cast("long"))
+        .withColumn("minc", sum(col("qinc")).over(wc))
+        .withColumn("mdec", sum(col("qdec")).over(wc))
+        .withColumn("phinc", col("minc") - min(col("minc")).over(wc))
+        .withColumn("phdec", max(col("mdec")).over(wc) - col("mdec"))
+      scored.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          max(col("phinc")).as("mxi"), max(col("phdec")).as("mxd"),
+          min(when(col("phinc") > qlam, col("h"))).as("aih"),
+          min(when(col("phdec") > qlam, col("h"))).as("adh"))
+        .select(col("event_type"), col("n_hours"),
+          detRound(col("mxi") / 1e9, 4).as("max_ph_increase"),
+          detRound(col("mxd") / 1e9, 4).as("max_ph_decrease"),
+          (col("mxi") > qlam || col("mxd") > qlam).as("drift_flag"),
+          fmtTs(col("aih")).as("first_alarm_up"),
+          fmtTs(col("adh")).as("first_alarm_down"))
+        .orderBy("event_type")
+    }),
+
     "x_markov_transitions" -> ((s, d) => {
       // first-order Markov transition matrix over per-user event
       // sequences — the sequence model behind next-event prediction and
@@ -2143,6 +2192,54 @@ object EventOps {
          FROM scored s JOIN mx m ON m.event_type = s.event_type
                                 AND s.acu = m.mx
          GROUP BY s.event_type ORDER BY s.event_type""",
+
+    "x_page_hinkley" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+         pre AS (
+           SELECT event_type, h, c,
+                  CAST(SUM(c) OVER win AS BIGINT) AS p,
+                  CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY h) AS BIGINT) AS tt
+           FROM hourly
+           WINDOW win AS (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         q AS (
+           SELECT event_type, h,
+                  CAST(floor((c - CAST(p AS DOUBLE) / tt
+                    - CAST(0.5 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+                    AS qinc,
+                  CAST(floor((c - CAST(p AS DOUBLE) / tt
+                    + CAST(0.5 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+                    AS qdec
+           FROM pre),
+         m AS (
+           SELECT event_type, h,
+                  CAST(SUM(qinc) OVER win AS BIGINT) AS minc,
+                  CAST(SUM(qdec) OVER win AS BIGINT) AS mdec
+           FROM q
+           WINDOW win AS (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         ph AS (
+           SELECT event_type, h,
+                  minc - MIN(minc) OVER win AS phinc,
+                  MAX(mdec) OVER win - mdec AS phdec
+           FROM m
+           WINDOW win AS (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_type, COUNT(*) AS n_hours,
+                floor(CAST(MAX(phinc) AS DOUBLE) / 1e9 * 1e4 + 0.5) / 1e4
+                  AS max_ph_increase,
+                floor(CAST(MAX(phdec) AS DOUBLE) / 1e9 * 1e4 + 0.5) / 1e4
+                  AS max_ph_decrease,
+                MAX(phinc) > 25000000000 OR MAX(phdec) > 25000000000
+                  AS drift_flag,
+                strftime(MIN(CASE WHEN phinc > 25000000000 THEN h END),
+                  '%Y-%m-%d %H:%M:%S') AS first_alarm_up,
+                strftime(MIN(CASE WHEN phdec > 25000000000 THEN h END),
+                  '%Y-%m-%d %H:%M:%S') AS first_alarm_down
+         FROM ph GROUP BY event_type ORDER BY event_type""",
 
     "x_markov_transitions" ->
       """WITH pairs AS (

@@ -533,6 +533,78 @@ object StatsOps {
           detRound(col("resid"), 6).as("resid"))
     }),
 
+    "x_holt_winters" -> ((s, d) => {
+      // Holt–Winters additive-SEASONAL forecast (weekly period) of daily
+      // order volume per priority — x_holt_forecast's ladder extended
+      // with the seasonal component: seasonal indices come from one
+      // grouped pass (additive classical decomposition, s_dow =
+      // mean(y | day-of-week) − mean(y) — the standard non-recursive HW
+      // initialization), the series is deseasonalized, Brown's
+      // level+trend ladder runs UNCHANGED on y − s_dow, and the
+      // forecast re-seasonalizes as F = F′ + s_dow; residual = y − F.
+      // The textbook recursive HW update serializes the scan; this
+      // formulation is one window pass over the tiny daily table plus
+      // two broadcast O(priorities×7) joins — thousands of grouped rows
+      // per priority at any corpus size. dow is an integer
+      // day-difference mod 7 (dayofweek() NUMBERING differs between
+      // engines — Spark 1=Sun..7, DuckDB 0=Sun..6). Per-term 1e9
+      // quantization inside the ladder as in x_holt_forecast; the
+      // deseasonalized lag values are per-row-deterministic doubles
+      // (integer sums divided once), so both engines floor identical
+      // terms.
+      val w = Window.partitionBy("priority").orderBy("day")
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("dow",
+          pmod(datediff(col("day"), to_date(lit("1995-01-01"))), lit(7)))
+      val sIdx = daily.groupBy("priority", "dow")
+        .agg(count(lit(1)).as("nd"), sum(col("y")).cast("long").as("sd"))
+      val sAll = daily.groupBy("priority")
+        .agg(count(lit(1)).as("na"), sum(col("y")).cast("long").as("sa"))
+      val des = daily
+        .join(broadcast(sIdx), Seq("priority", "dow"))
+        .join(broadcast(sAll), Seq("priority"))
+        .withColumn("sdow", col("sd").cast("double") / col("nd")
+          - col("sa").cast("double") / col("na"))
+        .withColumn("yd", col("y") - col("sdow"))
+      def lagYd(i: Int) = lag(col("yd"), i).over(w)
+      val num1 = (1 to EwmaLags).map(i =>
+        when(lagYd(i).isNotNull,
+          floor(lagYd(i) * lit(ewmaW(i)) * 1e9 + 0.5).cast("long"))
+          .otherwise(0L)).reduce(_ + _)
+      val den1 = (1 to EwmaLags).map(i =>
+        when(lagYd(i).isNotNull, lit(ewmaQW(i))).otherwise(0L))
+        .reduce(_ + _)
+      val num2 = (1 to EwmaLags).map(i =>
+        when(lagYd(i).isNotNull,
+          floor(lagYd(i) * lit(brownW(i)) * 1e9 + 0.5).cast("long"))
+          .otherwise(0L)).reduce(_ + _)
+      val den2 = (1 to EwmaLags).map(i =>
+        when(lagYd(i).isNotNull, lit(brownQW(i))).otherwise(0L))
+        .reduce(_ + _)
+      val trendGain = (1.0 - EwmaAlpha) / EwmaAlpha
+      des
+        .withColumn("n1", num1).withColumn("d1", den1)
+        .withColumn("n2", num2).withColumn("d2", den2)
+        .filter(col("d1") > 0 && col("d2") > 0)
+        .withColumn("s1",
+          col("n1").cast("double") / col("d1").cast("double"))
+        .withColumn("s2",
+          col("n2").cast("double") / col("d2").cast("double"))
+        .withColumn("f", lit(2.0) * col("s1") - col("s2")
+          + lit(trendGain) * (col("s1") - col("s2")) + col("sdow"))
+        .withColumn("resid", col("y") - col("f"))
+        .withColumn("qr", floor(abs(col("resid")) * 1e6 + 0.5).cast("long"))
+        .orderBy(desc("qr"), asc("priority"), asc("day"))
+        .limit(10)
+        .select(col("priority"), graft.types.Coercions.fmtD(col("day"))
+          .as("day"), col("y"), detRound(col("sdow"), 6).as("seasonal"),
+          detRound(col("f"), 6).as("forecast"),
+          detRound(col("resid"), 6).as("resid"))
+    }),
+
     "x_rank_correlation" -> ((s, d) => {
       // Spearman rank correlation between two per-doc quality signals
       // (unigram entropy vs doc length) — the "do our quality metrics
@@ -895,6 +967,68 @@ object StatsOps {
           detRound(col("ssb"), 2).as("ss_between"),
           detRound(col("ssw"), 2).as("ss_within"),
           col("f_stat"), col("eta_sq"))
+    }),
+
+    "x_welch_anova" -> ((s, d) => {
+      // Welch's heteroscedastic one-way ANOVA (Welch, Biometrika 1951)
+      // of order value across priorities — the k-group generalization
+      // of x_welch_ttest and the robust companion to x_anova_oneway,
+      // whose pooled-variance F silently assumes homoscedasticity (the
+      // assumption x_levene_variance TESTS; this is the op you run when
+      // Levene rejects). Per-group sufficient statistics are the exact
+      // n/Σy/Σy² trio (x_anova_oneway posture); the precision weights
+      // w_j = n_j/v_j are quantized ONCE to 1e15 fixed point and every
+      // cross-group sum (Σw, Σw·m, the numerator and λ terms) is a
+      // DECIMAL(38,0) sum of per-term-quantized values, so both engines
+      // run identical IEEE arithmetic on identical exact inputs. One
+      // fact-table groupBy (map-side partials, shuffle = O(groups));
+      // everything after is k rows. df2 = (k²−1)/(3λ), Welch's own
+      // approximation. Zero-information guard: k ≤ 1 or λ = 0 emits
+      // NULL stats (the x_rate_ratio discipline).
+      val g = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).as("sy"),
+          sum(floor(col("o_totalprice") * col("o_totalprice") * 1e4 + 0.5)
+            .cast("decimal(38,0)")).as("syy"))
+        .filter(col("n") > 1)
+        .withColumn("m", col("sy").cast("double") / col("n"))
+        .withColumn("v",
+          (col("syy").cast("double") / 1e4
+            - col("sy").cast("double") * col("sy").cast("double")
+              / col("n")) / (col("n") - 1))
+        .filter(col("v") > 0)
+        .withColumn("qw",
+          floor(col("n") / col("v") * 1e15 + 0.5).cast("decimal(38,0)"))
+        .withColumn("qwm", floor(col("n") / col("v") * col("m") * 1e15
+          + 0.5).cast("decimal(38,0)"))
+      val tots = g.agg(count(lit(1)).as("k"),
+        sum(col("n")).cast("long").as("nn"),
+        sum(col("qw")).as("sw"), sum(col("qwm")).as("swm"))
+      g.crossJoin(broadcast(tots))
+        .withColumn("mstar",
+          col("swm").cast("double") / col("sw").cast("double"))
+        .withColumn("qa", floor(col("qw").cast("double") / 1e15
+          * (col("m") - col("mstar")) * (col("m") - col("mstar"))
+          * 1e9 + 0.5).cast("decimal(38,0)"))
+        .withColumn("u", lit(1.0)
+          - col("qw").cast("double") / col("sw").cast("double"))
+        .withColumn("qh", floor(col("u") * col("u") / (col("n") - 1)
+          * 1e12 + 0.5).cast("decimal(38,0)"))
+        .groupBy(col("k"), col("nn"))
+        .agg(sum(col("qa")).as("sqa"), sum(col("qh")).as("sqh"))
+        .withColumn("aa",
+          col("sqa").cast("double") / 1e9 / (col("k") - 1))
+        .withColumn("hh", col("sqh").cast("double") / 1e12)
+        .withColumn("ok", col("k") > 1 && col("hh") > 0)
+        .select(col("k").as("n_groups"), col("nn").as("n_obs"),
+          detRound(when(col("ok"), col("aa") / (lit(1.0)
+            + lit(2.0) * (col("k") - 2) / (col("k") * col("k") - 1)
+              * col("hh"))), 6).as("f_stat"),
+          (col("k") - 1).cast("long").as("df1"),
+          detRound(when(col("ok"),
+            (col("k") * col("k") - 1).cast("double")
+              / (lit(3.0) * col("hh"))), 2).as("df2"))
     }),
 
     "x_proportion_ztest" -> ((s, d) => {
@@ -2625,6 +2759,72 @@ object StatsOps {
           LIMIT 10"""
     },
 
+    "x_holt_winters" -> {
+      def ladder(wLit: Int => String): String = (1 to EwmaLags).map(i =>
+        s"""CASE WHEN lag(yd, $i) OVER win IS NOT NULL
+            THEN CAST(floor(lag(yd, $i) OVER win
+                 * CAST(${wLit(i)} AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
+            ELSE 0 END""").mkString(" + ")
+      def denom(qw: Int => Long): String = (1 to EwmaLags).map(i =>
+        s"""CASE WHEN lag(yd, $i) OVER win IS NOT NULL
+            THEN CAST(${qw(i)} AS BIGINT) ELSE CAST(0 AS BIGINT)
+            END""").mkString(" + ")
+      val trendGain =
+        graft.util.Num.lit17((1.0 - EwmaAlpha) / EwmaAlpha)
+      s"""WITH daily AS (
+            SELECT o_orderpriority AS priority,
+                   date_trunc('day', o_orderdate) AS day,
+                   COUNT(*) AS y
+            FROM orders GROUP BY 1, 2),
+          dd AS (
+            SELECT priority, day, y,
+                   CAST(date_diff('day',
+                     TIMESTAMP '1995-01-01 00:00:00', day) % 7 AS BIGINT)
+                     AS dow
+            FROM daily),
+          si AS (SELECT priority, dow, COUNT(*) AS nd,
+                        CAST(SUM(y) AS BIGINT) AS sd
+                 FROM dd GROUP BY 1, 2),
+          sall AS (SELECT priority, COUNT(*) AS na,
+                          CAST(SUM(y) AS BIGINT) AS sa
+                   FROM dd GROUP BY 1),
+          des0 AS (
+            SELECT d.priority, d.day, d.y,
+                   CAST(si.sd AS DOUBLE) / si.nd
+                     - CAST(sall.sa AS DOUBLE) / sall.na AS sdow
+            FROM dd d
+            JOIN si ON si.priority = d.priority AND si.dow = d.dow
+            JOIN sall ON sall.priority = d.priority),
+          des AS (SELECT priority, day, y, sdow, y - sdow AS yd
+                  FROM des0),
+          lad AS (
+            SELECT priority, day, y, sdow,
+                   ${ladder(ewmaWLit)} AS n1, ${denom(ewmaQW)} AS d1,
+                   ${ladder(brownWLit)} AS n2, ${denom(brownQW)} AS d2
+            FROM des
+            WINDOW win AS (PARTITION BY priority ORDER BY day)),
+          sm AS (
+            SELECT priority, day, y, sdow,
+                   CAST(n1 AS DOUBLE) / CAST(d1 AS DOUBLE) AS s1,
+                   CAST(n2 AS DOUBLE) / CAST(d2 AS DOUBLE) AS s2
+            FROM lad WHERE d1 > 0 AND d2 > 0),
+          fc AS (
+            SELECT priority, day, y, sdow,
+                   CAST(2.0 AS DOUBLE) * s1 - s2
+                     + CAST($trendGain AS DOUBLE) * (s1 - s2) + sdow AS f
+            FROM sm),
+          rr AS (
+            SELECT priority, day, y, sdow, f, y - f AS resid FROM fc)
+          SELECT priority, strftime(day, '%Y-%m-%d') AS day, y,
+                 floor(sdow * 1e6 + 0.5) / 1e6 AS seasonal,
+                 floor(f * 1e6 + 0.5) / 1e6 AS forecast,
+                 floor(resid * 1e6 + 0.5) / 1e6 AS resid
+          FROM rr
+          ORDER BY CAST(floor(abs(resid) * 1e6 + 0.5) AS BIGINT) DESC,
+                   priority, day
+          LIMIT 10"""
+    },
+
     "x_rank_correlation" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -2896,6 +3096,55 @@ object StatsOps {
                 floor((ssb / (k - 1)) / (ssw / (nn - k)) * 1e6 + 0.5) / 1e6
                   AS f_stat,
                 floor(ssb / (ssb + ssw) * 1e6 + 0.5) / 1e6 AS eta_sq
+         FROM agg""",
+
+    "x_welch_anova" ->
+      """WITH g0 AS (
+           SELECT o_orderpriority AS grp, COUNT(*) AS n,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS sy,
+                  SUM(CAST(floor(o_totalprice * o_totalprice * 1e4 + 0.5)
+                      AS HUGEINT)) AS syy
+           FROM orders GROUP BY 1),
+         g1 AS (
+           SELECT n, CAST(sy AS DOUBLE) / n AS m,
+                  (CAST(syy AS DOUBLE) / 1e4
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                    / (n - 1) AS v
+           FROM g0 WHERE n > 1),
+         g AS (
+           SELECT n, m, v,
+                  CAST(floor(n / v * 1e15 + 0.5) AS HUGEINT) AS qw,
+                  CAST(floor(n / v * m * 1e15 + 0.5) AS HUGEINT) AS qwm
+           FROM g1 WHERE v > 0),
+         tot AS (SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+                        SUM(qw) AS sw, SUM(qwm) AS swm
+                 FROM g),
+         per AS (
+           SELECT t.k, t.nn,
+                  CAST(floor(CAST(g.qw AS DOUBLE) / 1e15
+                    * (g.m - CAST(t.swm AS DOUBLE) / CAST(t.sw AS DOUBLE))
+                    * (g.m - CAST(t.swm AS DOUBLE) / CAST(t.sw AS DOUBLE))
+                    * 1e9 + 0.5) AS HUGEINT) AS qa,
+                  CAST(floor((CAST(1.0 AS DOUBLE)
+                      - CAST(g.qw AS DOUBLE) / CAST(t.sw AS DOUBLE))
+                    * (CAST(1.0 AS DOUBLE)
+                      - CAST(g.qw AS DOUBLE) / CAST(t.sw AS DOUBLE))
+                    / (g.n - 1) * 1e12 + 0.5) AS HUGEINT) AS qh
+           FROM g CROSS JOIN tot t),
+         agg AS (
+           SELECT k, nn,
+                  CAST(SUM(qa) AS DOUBLE) / 1e9 / (k - 1) AS aa,
+                  CAST(SUM(qh) AS DOUBLE) / 1e12 AS hh
+           FROM per GROUP BY 1, 2)
+         SELECT k AS n_groups, nn AS n_obs,
+                CAST(CASE WHEN k > 1 AND hh > 0 THEN
+                  floor(aa / (CAST(1.0 AS DOUBLE)
+                      + CAST(2.0 AS DOUBLE) * (k - 2) / (k * k - 1) * hh)
+                    * 1e6 + 0.5) / 1e6 END AS DOUBLE) AS f_stat,
+                CAST(k - 1 AS BIGINT) AS df1,
+                CAST(CASE WHEN k > 1 AND hh > 0 THEN
+                  floor((k * k - 1) / (CAST(3.0 AS DOUBLE) * hh)
+                    * 1e2 + 0.5) / 1e2 END AS DOUBLE) AS df2
          FROM agg""",
 
     "x_proportion_ztest" ->

@@ -513,4 +513,83 @@ class EvalRetrievalSpec extends SparkSpec {
       assert(r.getAs[String]("day").matches("\\d{4}-\\d{2}-\\d{2}"))
     }
   }
+
+  test("x_welch_anova: F and df2 match an unquantized plain-Scala " +
+      "Welch recomputation; df1 = k - 1; Welch df2 below the pooled df") {
+    val r = run("x_welch_anova").collect().head
+    val k = r.getAs[Long]("n_groups")
+    assert(k == 5L && r.getAs[Long]("df1") == 4L)
+    val f = r.getAs[Double]("f_stat")
+    val df2 = r.getAs[Double]("df2")
+    assert(f >= 0.0 && df2 > 0.0)
+    // brute force, straight doubles (no fixed-point): group stats from
+    // the raw rows, Welch 1951 formulas verbatim
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    val gs = rows.groupBy(_._1).values.map { ys =>
+      val v = ys.map(_._2)
+      val n = v.length.toDouble
+      val m = v.sum / n
+      val vr = v.map(y => (y - m) * (y - m)).sum / (n - 1)
+      (n, m, vr)
+    }.toSeq
+    val w = gs.map { case (n, _, vr) => n / vr }
+    val bigW = w.sum
+    val mstar = gs.zip(w).map { case ((_, m, _), wi) => wi * m }.sum / bigW
+    val kk = gs.length.toDouble
+    val a = gs.zip(w).map { case ((_, m, _), wi) =>
+      wi * (m - mstar) * (m - mstar) }.sum / (kk - 1)
+    val lam = gs.zip(w).map { case ((n, _, _), wi) =>
+      val u = 1.0 - wi / bigW; u * u / (n - 1) }.sum
+    val fBrute = a / (1.0 + 2.0 * (kk - 2) / (kk * kk - 1) * lam)
+    val df2Brute = (kk * kk - 1) / (3.0 * lam)
+    assert(math.abs(f - fBrute) <= 1e-4 * math.max(1.0, fBrute),
+      s"Welch F $f vs brute $fBrute")
+    assert(math.abs(df2 - df2Brute) <= 1e-3 * df2Brute,
+      s"Welch df2 $df2 vs brute $df2Brute")
+    // Welch df2 can never exceed the pooled-ANOVA within df
+    assert(df2 <= r.getAs[Long]("n_obs") - k + 1e-9)
+  }
+
+  test("x_holt_winters: 10 rows by |resid|, resid consistent with " +
+      "y - forecast, and the seasonal column equals a plain-Scala " +
+      "recomputation of the additive day-of-week index") {
+    val rows = run("x_holt_winters").collect()
+    assert(rows.length == 10)
+    // brute-force seasonal indices: s(p, dow) = mean(y | p, dow) −
+    // mean(y | p) over the daily series, dow anchored at 1995-01-01
+    import org.apache.spark.sql.functions._
+    val daily = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_orderpriority").as("p"),
+        date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map { x =>
+        val day = x.getAs[java.sql.Timestamp]("day")
+          .toLocalDateTime.toLocalDate
+        val dow = java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.of(1995, 1, 1), day) % 7
+        (x.getAs[String]("p"), dow, day, x.getAs[Long]("y"))
+      }
+    val byP = daily.groupBy(_._1)
+    def sIdx(p: String, dow: Long): Double = {
+      val all = byP(p)
+      val dws = all.filter(_._2 == dow)
+      dws.map(_._4).sum.toDouble / dws.length -
+        all.map(_._4).sum.toDouble / all.length
+    }
+    rows.foreach { r =>
+      val (y, f, resid) = (r.getAs[Long]("y"),
+        r.getAs[Double]("forecast"), r.getAs[Double]("resid"))
+      // forecast and resid are rounded independently to 1e-6
+      assert(math.abs(resid - (y - f)) <= 2e-6,
+        s"resid $resid vs y-f ${y - f}")
+      val day = java.time.LocalDate.parse(r.getAs[String]("day"))
+      val dow = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.of(1995, 1, 1), day) % 7
+      val expect = sIdx(r.getAs[String]("priority"), dow)
+      assert(math.abs(r.getAs[Double]("seasonal") - expect) <= 1e-5,
+        s"seasonal ${r.getAs[Double]("seasonal")} vs brute $expect")
+    }
+  }
 }

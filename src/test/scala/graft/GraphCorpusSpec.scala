@@ -473,6 +473,46 @@ class GraphCorpusSpec extends SparkSpec {
     }
   }
 
+  test("x_page_hinkley: per-type max PH statistics equal a sequential " +
+      "plain-Scala replay of the detector over the ordered hourly " +
+      "series (the textbook streaming formulation)") {
+    import org.apache.spark.sql.functions._
+    val rows = run("x_page_hinkley").collect()
+    assert(rows.nonEmpty)
+    val hourly = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("h").getTime, r.getAs[Long]("c")))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val series = hourly(r.getAs[String]("event_type"))
+        .sortBy(_._2).map(_._3)
+      // sequential replay with the op's own quantization (floor to 1e9
+      // per term, integer cumulative sums, running extremum)
+      var p = 0L; var t = 0L; var mi = 0L; var md = 0L
+      var minMi = Long.MaxValue; var maxMd = Long.MinValue
+      var phi = 0L; var phd = 0L
+      series.foreach { c =>
+        p += c; t += 1
+        val mean = p.toDouble / t
+        mi += math.floor((c - mean - 0.5) * 1e9 + 0.5).toLong
+        md += math.floor((c - mean + 0.5) * 1e9 + 0.5).toLong
+        minMi = math.min(minMi, mi); maxMd = math.max(maxMd, md)
+        phi = math.max(phi, mi - minMi); phd = math.max(phd, maxMd - md)
+      }
+      def q4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+      assert(r.getAs[Long]("n_hours") == series.length.toLong)
+      assert(r.getAs[Double]("max_ph_increase") == q4(phi / 1e9),
+        s"PH+ replay mismatch for ${r.getAs[String]("event_type")}")
+      assert(r.getAs[Double]("max_ph_decrease") == q4(phd / 1e9),
+        s"PH- replay mismatch for ${r.getAs[String]("event_type")}")
+      assert(r.getAs[Boolean]("drift_flag") ==
+        (phi > 25000000000L || phd > 25000000000L))
+    }
+  }
+
   test("x_ols_trend: r2 in [0, 1]; fitted line reproduces the per-group " +
       "mean (mean of y equals slope * mean of x + intercept)") {
     val rows = run("x_ols_trend").collect()
