@@ -73,13 +73,15 @@ object SparkEntry {
     * operator families, ROTATED each round (r13 verdict #5) so every
     * round's additions get one round of min-of-N wall-clock tracking
     * before settling into ShuffleCountSpec-only structural coverage.
-    * r14 rotation: the r13 nonparametric/causal/corpus battery. The r13
-    * members (x_fdr_bh, x_cuped, x_regression_discontinuity,
-    * x_group_sequential, x_dedup_saturation, x_mahalanobis_outliers)
-    * graduated to ShuffleCountSpec's alumni pins — plans still
-    * structurally pinned, no longer benched per round. */
+    * r15 rotation: the r14 survival/itemset/attribution battery
+    * (x_frequent_itemsets is the honest pick — the most expensive r14
+    * addition per the ScaleProbe table, it belongs under per-round
+    * wall-clock tracking). The r14 members (x_mannwhitney_u,
+    * x_kendall_tau, x_cochran_armitage, x_ipw_ate, x_hurst_exponent,
+    * x_capture_recapture) graduated to ShuffleCountSpec's alumni pins —
+    * plans still structurally pinned, no longer benched per round. */
   def freshQueries: Seq[String] = Seq(
-    "x_mannwhitney_u", "x_kendall_tau", "x_cochran_armitage",
-    "x_ipw_ate", "x_hurst_exponent", "x_capture_recapture"
+    "x_kaplan_meier", "x_logrank_test", "x_frequent_itemsets",
+    "x_shapley_attribution", "x_tukey_hsd", "x_isotonic_calibration"
   ).filter(queries.contains)
 }

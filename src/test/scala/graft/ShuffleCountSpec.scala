@@ -34,12 +34,15 @@ class ShuffleCountSpec extends SparkSpec {
     s
   }
 
-  /** Graduated fresh-tier members (r14 rotation, r13 verdict #5): no
+  /** Graduated fresh-tier members (rotations r14+, r13 verdict #5): no
     * longer benched per round, but their plan shapes stay pinned here so
     * a shuffle regression in a past tier member is still loud. */
   private val freshAlumni: Seq[String] = Seq(
     "x_fdr_bh", "x_cuped", "x_regression_discontinuity",
-    "x_group_sequential", "x_dedup_saturation", "x_mahalanobis_outliers")
+    "x_group_sequential", "x_dedup_saturation", "x_mahalanobis_outliers",
+    // r15 graduation (the r14 fresh tier)
+    "x_mannwhitney_u", "x_kendall_tau", "x_cochran_armitage",
+    "x_ipw_ate", "x_hurst_exponent", "x_capture_recapture")
 
   private lazy val counts: Map[String, Int] =
     (SparkEntry.benchQueries ++ SparkEntry.heavyQueries ++
@@ -80,6 +83,16 @@ class ShuffleCountSpec extends SparkSpec {
     "x_ann_ivfpq_residual_recall" -> 23,
     "x_ann_multiprobe" -> 2,
     "x_ann_pq_adc_recall" -> 42,
+    // r15 fresh-tier rotation members (survival/itemset/attribution):
+    // x_isotonic_calibration's 0 is the checkpoint caveat above (the
+    // PAV prefix runs during construction); x_frequent_itemsets' 11 is
+    // the level-wise candidate/count join ladder
+    "x_frequent_itemsets" -> 11,
+    "x_isotonic_calibration" -> 0,
+    "x_kaplan_meier" -> 3,
+    "x_logrank_test" -> 4,
+    "x_shapley_attribution" -> 2,
+    "x_tukey_hsd" -> 2,
     // r14 fresh-tier rotation members
     "x_capture_recapture" -> 4,
     "x_cochran_armitage" -> 2,
