@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{CausalOps, CorpusOps, DedupOps, EvalOps, EventOps,
-  GovernanceOps, GraphOps, MultimodalOps, SimilarityOps, StatsOps,
-  SurvivalOps, TextOps}
+import graft.ext.{CausalOps, CorpusOps, DedupOps, DemandOps, EvalOps,
+  EventOps, GovernanceOps, GraphOps, MultimodalOps, SimilarityOps,
+  StatsOps, SurvivalOps, TextOps}
 import graft.queries.{AdvancedAnalytics => AA, Analytics => A, RefOps => R}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -27,7 +27,7 @@ object SparkEntry {
       DedupOps.queries ++ SimilarityOps.queries ++ EventOps.queries ++
       MultimodalOps.queries ++ GraphOps.queries ++ CorpusOps.queries ++
       StatsOps.queries ++ EvalOps.queries ++ GovernanceOps.queries ++
-      CausalOps.queries ++ SurvivalOps.queries
+      CausalOps.queries ++ SurvivalOps.queries ++ DemandOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,7 +36,7 @@ object SparkEntry {
       DedupOps.oracleSql ++ SimilarityOps.oracleSql ++ EventOps.oracleSql ++
       MultimodalOps.oracleSql ++ GraphOps.oracleSql ++ CorpusOps.oracleSql ++
       StatsOps.oracleSql ++ EvalOps.oracleSql ++ GovernanceOps.oracleSql ++
-      CausalOps.oracleSql ++ SurvivalOps.oracleSql
+      CausalOps.oracleSql ++ SurvivalOps.oracleSql ++ DemandOps.oracleSql
 
   /** Headline subset used by Bench (heaviest / most representative). */
   def benchQueries: Seq[String] = {

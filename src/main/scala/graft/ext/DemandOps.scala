@@ -1,0 +1,332 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.types.Coercions.{detRound, fmtD}
+import graft.util.Num.lit17
+import graft.util.Tables.t
+
+/** Inventory / demand-planning operators (r15) — the decision layer the
+  * reference's schema exists to feed. The reference loads products,
+  * per-depot stock and order lines into PostgreSQL explicitly "for later
+  * analysis and dashboard creation" (reference README.md:3, DDL at
+  * tiny_api_v2_cliente.py:84-89); q_stock_coverage already answers
+  * "how long does current stock last" — this family answers the NEXT
+  * questions a planner asks: what is the demand forecast for a sparse
+  * series (Croston), how much buffer does a service level require
+  * (safety stock / reorder point), and what single-period stock level
+  * maximizes expected profit (newsvendor critical fractile).
+  *
+  * Shared grain: per-brand daily shipped quantity. The brand dimension
+  * is bounded (25 values) and broadcast; the one fact-table pass is a
+  * groupBy to (brand, day) with map-side partials, so the shuffle is
+  * O(brands × days) at any corpus size — every estimator downstream
+  * runs on that day-grain table (the SurvivalOps histogram posture).
+  * Demand days are genuinely intermittent on the fixture (~40% of
+  * calendar days have no demand per brand), which is exactly the
+  * regime Croston (1972) was built for.
+  *
+  * Cross-engine arithmetic discipline: daily quantities are exact
+  * (per-row 1e4 fixed point, DECIMAL sums — order-free); smoothing
+  * weights β^j are computed ONCE on the driver and embedded in both
+  * engines as 17-digit round-trip literals (the x_ewma_anomaly trick);
+  * every weighted term is 1e9-quantized BEFORE its sum; sqrt is an
+  * exactly-rounded IEEE op so both engines agree bit-for-bit on it.
+  */
+object DemandOps {
+
+  // Croston smoothing: alpha = 0.2 (the classic intermittent-demand
+  // setting), ladder truncated at 40 observed demand periods — beta^40
+  // ≈ 1.3e-4, far below the 1e-6 output quantizer on normalized
+  // estimates. Weights embedded identically in both engines.
+  private val CrostonLags = 40
+  private val CrostonBeta = 0.8
+  private def crW(i: Int): Double = math.pow(CrostonBeta, i)
+  private def crWLit(i: Int): String = lit17(crW(i))
+  private def crQW(i: Int): Long = math.floor(crW(i) * 1e9 + 0.5).toLong
+
+  // Syntetos–Boylan approximation bias correction: (1 − alpha/2).
+  private val SbaFactor = 0.9
+
+  // One-sided 95% normal service-level quantile (Φ⁻¹(0.95)), and the
+  // review lead time in days for the reorder-point policy.
+  private val Z95 = "1.6448536269514722"
+  private val LeadDays = 7
+
+  // Newsvendor costs: underage 3 (lost margin), overage 1 (holding) —
+  // critical ratio Cu/(Cu+Co) = 3/4, kept as INTEGER arithmetic
+  // (cum·4 ≥ 3·span) so the quantile pick is exact in both engines.
+  private val NvUnder = 3
+  private val NvOver = 1
+
+  /** Per-(brand, day) exact shipped quantity. One broadcast dim join +
+    * one fact groupBy; `q` is DECIMAL-exact and identical in both
+    * engines (inputs are 4-dp-clean doubles). */
+  private def demandDaily(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"),
+        date_trunc("day", col("l_shipdate")).as("day"))
+      .agg(sum(floor(col("l_quantity") * 1e4 + 0.5).cast("decimal(38,0)"))
+        .as("qq"))
+      .withColumn("q", col("qq").cast("double") / 1e4)
+
+  private val demandDailySql =
+    """SELECT p_brand AS brand, date_trunc('day', l_shipdate) AS day,
+              CAST(SUM(CAST(floor(l_quantity * 1e4 + 0.5) AS HUGEINT))
+                AS DOUBLE) / 1e4 AS q
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY 1, 2"""
+
+  /** Global calendar span (scalar, broadcast): zero-demand days are
+    * implicit in the day-grain table, so every per-brand statistic that
+    * must count them derives the zero count from this one span. The
+    * extra fact scan is pruned to the single date column. */
+  private def spanFrame(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .agg(min(date_trunc("day", col("l_shipdate"))).as("mn"),
+        max(date_trunc("day", col("l_shipdate"))).as("mx"))
+      .select((datediff(col("mx"), col("mn")) + 1).cast("long").as("span"))
+
+  private val spanSql =
+    """SELECT CAST(date_diff('day', min(date_trunc('day', l_shipdate)),
+                             max(date_trunc('day', l_shipdate))) + 1
+              AS BIGINT) AS span
+       FROM lineitem"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "x_croston_demand" -> ((s, d) => {
+      // Croston's method (Croston, Oper. Res. Q. 1972) — THE forecast
+      // for intermittent demand, where plain exponential smoothing
+      // (x_ewma_anomaly) decays toward zero between demand spikes and
+      // systematically lags. Two separate smoothings run over DEMAND
+      // PERIODS only (zero days never update either estimate): demand
+      // SIZE z and inter-demand INTERVAL p; the per-period demand rate
+      // is z/p, plus the Syntetos–Boylan bias correction (1−α/2)·z/p
+      // (SBA, JORS 2005 — Croston's ratio estimator is biased high).
+      // The recursion is expanded to one truncated weighted lag ladder
+      // (the x_holt_forecast formulation): order O(demand days) rows
+      // per brand in one window pass, normalized over present lags, all
+      // terms 1e9-quantized before summing. Output: the latest estimate
+      // per brand with the intermittency profile (zero-day fraction)
+      // that justifies the method.
+      val w = Window.partitionBy("brand").orderBy("day")
+      def lagQ(i: Int): Column =
+        if (i == 0) col("q") else lag(col("q"), i).over(w)
+      def lagIv(i: Int): Column =
+        if (i == 0) col("iv") else lag(col("iv"), i).over(w)
+      def num(lg: Int => Column): Column = (0 until CrostonLags).map(i =>
+        when(lg(i).isNotNull,
+          floor(lg(i) * lit(crW(i)) * 1e9 + 0.5).cast("long"))
+          .otherwise(0L)).reduce(_ + _)
+      def den(lg: Int => Column): Column = (0 until CrostonLags).map(i =>
+        when(lg(i).isNotNull, lit(crQW(i))).otherwise(0L)).reduce(_ + _)
+      demandDaily(s, d)
+        .withColumn("iv",
+          datediff(col("day"), lag(col("day"), 1).over(w)).cast("double"))
+        .withColumn("nz", num(lagQ)).withColumn("dz", den(lagQ))
+        .withColumn("np", num(lagIv)).withColumn("dp", den(lagIv))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy("brand")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("brand").orderBy(desc("day"))))
+        .filter(col("rn") === 1)
+        .crossJoin(broadcast(spanFrame(s, d)))
+        .withColumn("z", col("nz").cast("double") / col("dz").cast("double"))
+        .withColumn("p", when(col("dp") > 0,
+          col("np").cast("double") / col("dp").cast("double")))
+        .select(col("brand"), fmtD(col("day")).as("last_day"),
+          col("nd").as("n_demand_days"),
+          detRound((col("span") - col("nd")).cast("double") / col("span"), 6)
+            .as("zero_frac"),
+          detRound(col("z"), 6).as("size_hat"),
+          detRound(col("p"), 6).as("interval_hat"),
+          detRound(when(col("p") > 0, col("z") / col("p")), 6)
+            .as("demand_rate"),
+          detRound(when(col("p") > 0,
+            lit(SbaFactor) * col("z") / col("p")), 6).as("sba_rate"))
+        .orderBy("brand")
+    }),
+
+    "x_safety_stock" -> ((s, d) => {
+      // Service-level inventory policy per brand: safety stock
+      // SS = z₀.₉₅ · σ_daily · √L and reorder point ROP = μ_daily·L + SS
+      // for a 7-day replenishment lead time — the classic normal-demand
+      // buffer formula (Silver–Pyke–Peterson ch. 7). Daily mean and
+      // variance COUNT THE ZERO DAYS (demand days alone would overstate
+      // both): n = calendar span, zero days contribute nothing to Σq and
+      // Σq², so both moments come from the demand-day table + the scalar
+      // span. All sums DECIMAL-exact; σ and √L are single exactly-rounded
+      // IEEE sqrt ops on identical doubles.
+      demandDaily(s, d)
+        .groupBy(col("brand"))
+        .agg(count(lit(1)).as("nd"), sum(col("qq")).as("s1"),
+          sum(floor(col("q") * col("q") * 1e4 + 0.5).cast("decimal(38,0)"))
+            .as("s2"))
+        .crossJoin(broadcast(spanFrame(s, d)))
+        .withColumn("sy", col("s1").cast("double") / 1e4)
+        .withColumn("syy", col("s2").cast("double") / 1e4)
+        .withColumn("mu", col("sy") / col("span"))
+        .withColumn("vr", (col("syy") - col("sy") * col("sy") / col("span"))
+          / (col("span") - 1))
+        .withColumn("sd", sqrt(col("vr")))
+        .withColumn("ss", lit(Z95.toDouble) * col("sd")
+          * sqrt(lit(LeadDays.toDouble)))
+        .select(col("brand"), col("span").as("n_span_days"),
+          col("nd").as("n_demand_days"),
+          detRound(col("mu"), 6).as("mean_daily"),
+          detRound(col("sd"), 6).as("sd_daily"),
+          detRound(col("ss"), 4).as("safety_stock"),
+          detRound(col("mu") * LeadDays + col("ss"), 4).as("reorder_point"))
+        .orderBy("brand")
+    }),
+
+    "x_newsvendor_quantile" -> ((s, d) => {
+      // Newsvendor single-period stock level per brand: with underage
+      // cost 3 and overage cost 1 the optimal order is the 75th
+      // percentile of daily demand (critical fractile Cu/(Cu+Co) —
+      // Arrow–Harris–Marschak 1951), INCLUDING the zero days. The
+      // empirical quantile is an exact order statistic off the
+      // (brand, q) histogram: inject one zero-level row per brand with
+      // the implicit zero-day count, cumulative-sum over quantity
+      // levels (window ordered O(distinct levels)), pick the first
+      // level whose 4·cum ≥ 3·span — pure integer comparison, no
+      // floating-point percentile semantics to disagree on.
+      val hist = demandDaily(s, d)
+        .groupBy(col("brand"), col("q")).agg(count(lit(1)).as("cnt"))
+      val withZero = hist.unionByName(
+        hist.groupBy(col("brand")).agg(sum(col("cnt")).cast("long").as("nd"))
+          .crossJoin(broadcast(spanFrame(s, d)))
+          .select(col("brand"), lit(0.0).as("q"),
+            (col("span") - col("nd")).as("cnt")))
+      val cw = Window.partitionBy("brand").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      withZero
+        .withColumn("cum", sum(col("cnt")).over(cw))
+        .crossJoin(broadcast(spanFrame(s, d)))
+        .filter(col("cum") * (NvUnder + NvOver) >= lit(NvUnder) * col("span"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("brand").orderBy("q")))
+        .filter(col("rn") === 1)
+        .select(col("brand"), col("span").as("n_span_days"),
+          detRound(lit(NvUnder.toDouble / (NvUnder + NvOver)), 6)
+            .as("critical_ratio"),
+          detRound(col("q"), 4).as("stock_level"),
+          detRound(col("cum").cast("double") / col("span"), 6)
+            .as("cdf_at_level"))
+        .orderBy("brand")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+
+    "x_croston_demand" -> {
+      def ladder(e: String): String = (0 until CrostonLags).map { i =>
+        val v = if (i == 0) e else s"lag($e, $i) OVER win"
+        s"""CASE WHEN $v IS NOT NULL
+            THEN CAST(floor($v * CAST(${crWLit(i)} AS DOUBLE) * 1e9 + 0.5)
+                 AS BIGINT) ELSE 0 END"""
+      }.mkString(" + ")
+      def denom(e: String): String = (0 until CrostonLags).map { i =>
+        val v = if (i == 0) e else s"lag($e, $i) OVER win"
+        s"""CASE WHEN $v IS NOT NULL THEN CAST(${crQW(i)} AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END"""
+      }.mkString(" + ")
+      s"""WITH daily AS ($demandDailySql),
+          sp AS ($spanSql),
+          iv AS (
+            SELECT brand, day, q,
+                   CAST(date_diff('day', lag(day, 1) OVER win, day)
+                     AS DOUBLE) AS iv
+            FROM daily
+            WINDOW win AS (PARTITION BY brand ORDER BY day)),
+          lad AS (
+            SELECT brand, day,
+                   ${ladder("q")} AS nz, ${denom("q")} AS dz,
+                   ${ladder("iv")} AS np, ${denom("iv")} AS dp,
+                   COUNT(*) OVER (PARTITION BY brand) AS nd,
+                   row_number() OVER (PARTITION BY brand ORDER BY day DESC)
+                     AS rn
+            FROM iv
+            WINDOW win AS (PARTITION BY brand ORDER BY day)),
+          fin AS (
+            SELECT l.brand, l.day, l.nd, s.span,
+                   CAST(l.nz AS DOUBLE) / CAST(l.dz AS DOUBLE) AS z,
+                   CASE WHEN l.dp > 0
+                        THEN CAST(l.np AS DOUBLE) / CAST(l.dp AS DOUBLE)
+                   END AS p
+            FROM lad l CROSS JOIN sp s WHERE l.rn = 1)
+          SELECT brand, strftime(day, '%Y-%m-%d') AS last_day,
+                 nd AS n_demand_days,
+                 floor(CAST(span - nd AS DOUBLE) / span * 1e6 + 0.5) / 1e6
+                   AS zero_frac,
+                 floor(z * 1e6 + 0.5) / 1e6 AS size_hat,
+                 floor(p * 1e6 + 0.5) / 1e6 AS interval_hat,
+                 floor(CASE WHEN p > 0 THEN z / p END * 1e6 + 0.5) / 1e6
+                   AS demand_rate,
+                 floor(CASE WHEN p > 0
+                       THEN CAST(${lit17(SbaFactor)} AS DOUBLE) * z / p
+                       END * 1e6 + 0.5) / 1e6 AS sba_rate
+          FROM fin ORDER BY brand"""
+    },
+
+    "x_safety_stock" ->
+      s"""WITH daily AS ($demandDailySql),
+          sp AS ($spanSql),
+          g AS (
+            SELECT brand, COUNT(*) AS nd,
+                   CAST(SUM(CAST(floor(q * 1e4 + 0.5) AS HUGEINT))
+                     AS DOUBLE) / 1e4 AS sy,
+                   CAST(SUM(CAST(floor(q * q * 1e4 + 0.5) AS HUGEINT))
+                     AS DOUBLE) / 1e4 AS syy
+            FROM daily GROUP BY 1),
+          st AS (
+            SELECT g.brand, g.nd, s.span,
+                   g.sy / s.span AS mu,
+                   sqrt((g.syy - g.sy * g.sy / s.span) / (s.span - 1)) AS sd
+            FROM g CROSS JOIN sp s),
+          fin AS (
+            SELECT brand, span, nd, mu, sd,
+                   CAST($Z95 AS DOUBLE) * sd
+                     * sqrt(CAST($LeadDays AS DOUBLE)) AS ss
+            FROM st)
+          SELECT brand, span AS n_span_days, nd AS n_demand_days,
+                 floor(mu * 1e6 + 0.5) / 1e6 AS mean_daily,
+                 floor(sd * 1e6 + 0.5) / 1e6 AS sd_daily,
+                 floor(ss * 1e4 + 0.5) / 1e4 AS safety_stock,
+                 floor((mu * $LeadDays + ss) * 1e4 + 0.5) / 1e4
+                   AS reorder_point
+          FROM fin ORDER BY brand""",
+
+    "x_newsvendor_quantile" ->
+      s"""WITH daily AS ($demandDailySql),
+          sp AS ($spanSql),
+          hist AS (SELECT brand, q, COUNT(*) AS cnt FROM daily GROUP BY 1, 2),
+          hz AS (
+            SELECT brand, q, cnt FROM hist
+            UNION ALL
+            SELECT h.brand, CAST(0.0 AS DOUBLE) AS q, s.span - h.nd AS cnt
+            FROM (SELECT brand, CAST(SUM(cnt) AS BIGINT) AS nd
+                  FROM hist GROUP BY 1) h
+            CROSS JOIN sp s),
+          cm AS (
+            SELECT brand, q,
+                   SUM(cnt) OVER (PARTITION BY brand ORDER BY q
+                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM hz),
+          pick AS (
+            SELECT c.brand, c.q, c.cum, s.span,
+                   row_number() OVER (PARTITION BY c.brand ORDER BY c.q)
+                     AS rn
+            FROM cm c CROSS JOIN sp s
+            WHERE c.cum * ${NvUnder + NvOver} >= $NvUnder * s.span)
+          SELECT brand, span AS n_span_days,
+                 floor(CAST(${lit17(NvUnder.toDouble / (NvUnder + NvOver))}
+                   AS DOUBLE) * 1e6 + 0.5) / 1e6 AS critical_ratio,
+                 floor(q * 1e4 + 0.5) / 1e4 AS stock_level,
+                 floor(CAST(cum AS DOUBLE) / span * 1e6 + 0.5) / 1e6
+                   AS cdf_at_level
+          FROM pick WHERE rn = 1 ORDER BY brand""")
+}
