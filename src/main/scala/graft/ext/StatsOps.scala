@@ -2420,6 +2420,202 @@ object StatsOps {
           detRound(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6)
             .as("excess_kurtosis"))
         .orderBy("priority")
+    }),
+
+    "x_fisher_exact" -> ((s, d) => {
+      // Fisher's exact test (1935) of the 2×2 rare-event table: top-value
+      // order (o_totalprice > 480k, ~4% of orders) × urgent/high
+      // priority. x_chi2_independence is the scale path for dense
+      // tables; Fisher is the SMALL-MARGIN exact test, and its cost here
+      // is O(rare margin), never O(rows): the four cells come from one
+      // fact scan, then the hypergeometric enumeration runs over
+      // k = 0..min(r1,c1) generated rows. Log-probabilities use the
+      // ratio recurrence p_k/p_{k−1} = (r1−k+1)(c1−k+1)/(k·(r2−c1+k))
+      // — each log-delta 1e9-quantized BEFORE the cumulative sum (the
+      // x_lm_score ln discipline: both engines' libm agree far inside
+      // the quantizer), the base term ln p₀ = Σᵢ ln((r2−i)/(n−i)) a
+      // 1e9-quantized i-ladder, so the two-sided rule "sum p_k over
+      // tables with qlp_k ≤ qlp_obs" compares exact integers. Each
+      // probability is exp() of an identical double, 1e12-quantized
+      // before the final sum. Requires kmin = max(0, r1+c1−n) = 0
+      // (guaranteed while the rare margin is under half the corpus).
+      val cnt = t(s, d, "orders").agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(when(col("o_totalprice") > 480000.0, 1L).otherwise(0L))
+          .cast("long").as("c1"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).cast("long").as("r1"),
+        sum(when(col("o_totalprice") > 480000.0 &&
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).cast("long").as("a"))
+        .withColumn("r2", col("n") - col("r1"))
+        .localCheckpoint()
+      val base = cnt
+        .select(col("r2"), col("n"),
+          explode(sequence(lit(0L), col("c1") - 1)).as("i"))
+        .select(floor((log(col("r2") - col("i")) - log(col("n") - col("i")))
+          * 1e9 + 0.5).cast("long").as("qt"))
+        .agg(sum(col("qt")).cast("long").as("l0"))
+      val steps = cnt
+        .select(col("r1"), col("c1"), col("r2"),
+          explode(sequence(lit(1L), least(col("r1"), col("c1")))).as("j"))
+        .withColumn("qd", floor((log(col("r1") - col("j") + 1)
+          + log(col("c1") - col("j") + 1) - log(col("j"))
+          - log(col("r2") - col("c1") + col("j"))) * 1e9 + 0.5)
+          .cast("long"))
+      val wk = Window.orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lp = steps
+        .select(col("j").as("k"), sum(col("qd")).over(wk).as("cqd"))
+        .unionByName(cnt.select(lit(0L).as("k"), lit(0L).as("cqd")))
+        .crossJoin(broadcast(base))
+        .withColumn("qlp", col("l0") + col("cqd"))
+        .localCheckpoint()
+      val obs = lp.crossJoin(broadcast(cnt.select(col("a").as("ka"))))
+        .filter(col("k") === col("ka")).select(col("qlp").as("qobs"))
+      lp.crossJoin(broadcast(obs))
+        .filter(col("qlp") <= col("qobs"))
+        .agg(sum(floor(exp(col("qlp").cast("double") / 1e9) * 1e12 + 0.5)
+          .cast("decimal(38,0)")).as("qp"),
+          count(lit(1)).cast("long").as("n_tables"))
+        .withColumn("p", col("qp").cast("double") / 1e12)
+        .crossJoin(broadcast(cnt))
+        .select(col("a").as("n11"), (col("r1") - col("a")).as("n12"),
+          (col("c1") - col("a")).as("n21"),
+          (col("r2") - col("c1") + col("a")).as("n22"),
+          col("n_tables"),
+          detRound(when((col("r1") - col("a")) * (col("c1") - col("a")) > 0,
+            col("a").cast("double") * (col("r2") - col("c1") + col("a"))
+              / ((col("r1") - col("a")) * (col("c1") - col("a")))), 6)
+            .as("odds_ratio"),
+          detRound(col("p"), 8).as("p_two_sided"),
+          (col("p") < 0.05).as("significant_05"))
+    }),
+
+    "x_friedman_test" -> ((s, d) => {
+      // Friedman's rank test (1937) for k related samples — the
+      // repeated-measures companion to x_kruskal_wallis: does priority
+      // affect revenue CONSISTENTLY across months, with each month its
+      // own block (controlling for the secular level x_kruskal_wallis
+      // pools away)? Blocks are month×priority revenue cells; only
+      // COMPLETE blocks (all k treatments present) enter, the test's
+      // own requirement. Ranks within block use the doubled-average-rank
+      // trick (2·r̄ = 2·rank + ties − 1, exact integers; revenue is
+      // DECIMAL-exact so both engines order identically), the statistic
+      // is integer arithmetic until two final divisions, and the tie
+      // correction is Conover's C = 1 − Σ(t³−t)/(n·k·(k²−1)). Windows
+      // run over the O(months×k) cell table only.
+      val cells = t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("blk"),
+          col("o_orderpriority").as("trt"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+      val k = cells.agg(countDistinct(col("trt")).as("k"))
+      val full = cells
+        .withColumn("kb", count(lit(1)).over(Window.partitionBy("blk")))
+        .crossJoin(broadcast(k))
+        .filter(col("kb") === col("k"))
+        .localCheckpoint()
+      val ranked = full
+        .withColumn("rnk",
+          rank().over(Window.partitionBy("blk").orderBy("rev")))
+        .withColumn("tcnt",
+          count(lit(1)).over(Window.partitionBy("blk", "rev")))
+        .withColumn("r2", lit(2L) * col("rnk") + col("tcnt") - 1L)
+      val rsums = ranked.groupBy(col("trt"), col("k"))
+        .agg(sum(col("r2")).cast("long").as("r2j"),
+          count(lit(1)).cast("long").as("nb"))
+      val ties = full.groupBy(col("blk"), col("rev"))
+        .agg(count(lit(1)).cast("long").as("tt"))
+        .agg(sum(col("tt") * col("tt") * col("tt") - col("tt"))
+          .cast("long").as("st3"))
+      rsums
+        .groupBy(col("k"), col("nb"))
+        .agg(sum(col("r2j") * col("r2j")).cast("decimal(38,0)").as("sr2"))
+        .crossJoin(broadcast(ties))
+        .withColumn("q",
+          lit(12.0) / (col("nb") * col("k") * (col("k") + 1))
+            * (col("sr2").cast("double") / 4.0)
+            - lit(3.0) * col("nb") * (col("k") + 1))
+        .withColumn("cc", lit(1.0) - col("st3").cast("double")
+          / (col("nb").cast("double") * col("k")
+            * (col("k") * col("k") - 1)))
+        .select(col("nb").as("n_blocks"), col("k").as("k_treatments"),
+          detRound(col("q"), 4).as("q_stat"),
+          detRound(col("q") / col("cc"), 4).as("q_tie_corrected"),
+          // chi-square df = k−1 = 4 at the fixture's 5 priorities
+          (col("q") / col("cc") > lit(9.488)).as("reject_05"))
+    }),
+
+    "x_ar2_forecast" -> ((s, d) => {
+      // AR(2) fit by Yule–Walker on monthly order counts per priority —
+      // the autoregressive model class beside the smoothing forecasts
+      // (x_holt_forecast answers "level+trend", this answers "how much
+      // does the series feed back on itself"): φ₁ = r₁(1−r₂)/(1−r₁²),
+      // φ₂ = (r₂−r₁²)/(1−r₁²) from the lag-1/lag-2 sample
+      // autocorrelations, innovation variance σ² = c₀(1−φ₁r₁−φ₂r₂),
+      // then 1- and 2-step-ahead forecasts from the two latest
+      // observations. Monthly counts are exact integers, so every ACF
+      // ingredient (Σy, Σy², Σyₜyₜ₋ₖ and the overlap margins) is an
+      // exact integer sum and both engines run identical IEEE division
+      // sequences on identical inputs — no quantization needed before
+      // the final detRound. One fact groupBy; the lag windows and the
+      // final pivot run over the O(priorities×months) table.
+      val w = Window.partitionBy("priority").orderBy("mon")
+      val lagd = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).cast("long").as("y"))
+        .withColumn("y1", lag(col("y"), 1).over(w))
+        .withColumn("y2", lag(col("y"), 2).over(w))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("priority").orderBy(desc("mon"))))
+      lagd.groupBy("priority")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("y")).cast("long").as("sy"),
+          sum(col("y") * col("y")).cast("long").as("syy"),
+          sum(when(col("y1").isNotNull, col("y") * col("y1"))
+            .otherwise(0L)).cast("long").as("sp1"),
+          sum(when(col("y1").isNotNull, col("y")).otherwise(0L))
+            .cast("long").as("sa1"),
+          sum(when(col("y1").isNotNull, col("y1")).otherwise(0L))
+            .cast("long").as("sb1"),
+          count(when(col("y1").isNotNull, lit(1))).cast("long").as("n1"),
+          sum(when(col("y2").isNotNull, col("y") * col("y2"))
+            .otherwise(0L)).cast("long").as("sp2"),
+          sum(when(col("y2").isNotNull, col("y")).otherwise(0L))
+            .cast("long").as("sa2"),
+          sum(when(col("y2").isNotNull, col("y2")).otherwise(0L))
+            .cast("long").as("sb2"),
+          count(when(col("y2").isNotNull, lit(1))).cast("long").as("n2"),
+          max(when(col("rn") === 1, col("y"))).as("ylast"),
+          max(when(col("rn") === 2, col("y"))).as("yprev"))
+        .withColumn("mu", col("sy").cast("double") / col("n"))
+        .withColumn("den", col("syy") - col("mu") * col("sy"))
+        .withColumn("r1", (col("sp1") - col("mu") * (col("sa1") + col("sb1"))
+          + col("n1") * col("mu") * col("mu")) / col("den"))
+        .withColumn("r2", (col("sp2") - col("mu") * (col("sa2") + col("sb2"))
+          + col("n2") * col("mu") * col("mu")) / col("den"))
+        .withColumn("disc", lit(1.0) - col("r1") * col("r1"))
+        .withColumn("phi1", when(abs(col("disc")) > 1e-12,
+          col("r1") * (lit(1.0) - col("r2")) / col("disc")))
+        .withColumn("phi2", when(abs(col("disc")) > 1e-12,
+          (col("r2") - col("r1") * col("r1")) / col("disc")))
+        .withColumn("f1", col("mu") + col("phi1") * (col("ylast") - col("mu"))
+          + col("phi2") * (col("yprev") - col("mu")))
+        .select(col("priority"), col("n").as("n_months"),
+          detRound(col("mu"), 6).as("mean_monthly"),
+          detRound(col("r1"), 6).as("acf_1"),
+          detRound(col("r2"), 6).as("acf_2"),
+          detRound(col("phi1"), 6).as("phi_1"),
+          detRound(col("phi2"), 6).as("phi_2"),
+          detRound((col("den") / col("n")) * (lit(1.0)
+            - col("phi1") * col("r1") - col("phi2") * col("r2")), 4)
+            .as("sigma2"),
+          detRound(col("f1"), 4).as("forecast_1"),
+          detRound(col("mu") + col("phi1") * (col("f1") - col("mu"))
+            + col("phi2") * (col("ylast") - col("mu")), 4)
+            .as("forecast_2"))
+        .orderBy("priority")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -4259,5 +4455,165 @@ object StatsOps {
                 floor(m3 / (m2 * sqrt(m2)) * 1e6 + 0.5) / 1e6 AS skewness,
                 floor((m4 / (m2 * m2) - 3.0) * 1e6 + 0.5) / 1e6
                   AS excess_kurtosis
-         FROM cm ORDER BY priority""")
+         FROM cm ORDER BY priority""",
+
+    "x_fisher_exact" ->
+      """WITH cnt AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(COUNT(*) FILTER (o_totalprice > 480000.0)
+                    AS BIGINT) AS c1,
+                  CAST(COUNT(*) FILTER (o_orderpriority IN
+                    ('1-URGENT', '2-HIGH')) AS BIGINT) AS r1,
+                  CAST(COUNT(*) FILTER (o_totalprice > 480000.0
+                    AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                    AS BIGINT) AS a
+           FROM orders),
+         c2 AS (SELECT n, c1, r1, a, n - r1 AS r2 FROM cnt),
+         base AS (
+           SELECT CAST(SUM(CAST(floor((ln(c.r2 - t.i) - ln(c.n - t.i))
+                    * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS l0
+           FROM c2 c, UNNEST(range(0, c.c1)) AS t(i)),
+         steps AS (
+           SELECT t.j,
+                  CAST(floor((ln(c.r1 - t.j + 1) + ln(c.c1 - t.j + 1)
+                    - ln(t.j) - ln(c.r2 - c.c1 + t.j)) * 1e9 + 0.5)
+                    AS BIGINT) AS qd
+           FROM c2 c, UNNEST(range(1, least(c.r1, c.c1) + 1)) AS t(j)),
+         ks AS (
+           SELECT j AS k,
+                  SUM(qd) OVER (ORDER BY j ROWS UNBOUNDED PRECEDING)
+                    AS cqd
+           FROM steps
+           UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+         lp AS (SELECT k.k, b.l0 + k.cqd AS qlp
+                FROM ks k CROSS JOIN base b),
+         obs AS (SELECT l.qlp AS qobs FROM lp l, c2 c WHERE l.k = c.a),
+         ps AS (
+           SELECT CAST(SUM(CAST(floor(exp(CAST(l.qlp AS DOUBLE) / 1e9)
+                    * 1e12 + 0.5) AS HUGEINT)) AS DOUBLE) / 1e12 AS p,
+                  CAST(COUNT(*) AS BIGINT) AS n_tables
+           FROM lp l, obs o WHERE l.qlp <= o.qobs)
+         SELECT c.a AS n11, c.r1 - c.a AS n12, c.c1 - c.a AS n21,
+                c.r2 - c.c1 + c.a AS n22, ps.n_tables,
+                floor(CASE WHEN (c.r1 - c.a) * (c.c1 - c.a) > 0
+                  THEN CAST(c.a AS DOUBLE) * (c.r2 - c.c1 + c.a)
+                    / ((c.r1 - c.a) * (c.c1 - c.a)) END * 1e6 + 0.5) / 1e6
+                  AS odds_ratio,
+                floor(ps.p * 1e8 + 0.5) / 1e8 AS p_two_sided,
+                ps.p < 0.05 AS significant_05
+         FROM ps, c2 c""",
+
+    "x_friedman_test" ->
+      """WITH cells AS (
+           SELECT date_trunc('month', o_orderdate) AS blk,
+                  o_orderpriority AS trt,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+           FROM orders GROUP BY 1, 2),
+         kk AS (SELECT COUNT(DISTINCT trt) AS k FROM cells),
+         full_b AS (
+           SELECT c.blk, c.trt, c.rev, x.k
+           FROM (SELECT blk, trt, rev,
+                        COUNT(*) OVER (PARTITION BY blk) AS kb
+                 FROM cells) c
+           CROSS JOIN kk x WHERE c.kb = x.k),
+         ranked AS (
+           SELECT trt, k,
+                  2 * rank() OVER (PARTITION BY blk ORDER BY rev)
+                    + COUNT(*) OVER (PARTITION BY blk, rev) - 1 AS r2
+           FROM full_b),
+         rsums AS (
+           SELECT trt, k, CAST(SUM(r2) AS BIGINT) AS r2j,
+                  CAST(COUNT(*) AS BIGINT) AS nb
+           FROM ranked GROUP BY 1, 2),
+         ties AS (
+           SELECT CAST(SUM(tt * tt * tt - tt) AS BIGINT) AS st3
+           FROM (SELECT blk, rev, CAST(COUNT(*) AS BIGINT) AS tt
+                 FROM full_b GROUP BY 1, 2)),
+         agg AS (
+           SELECT k, nb, CAST(SUM(CAST(r2j * r2j AS HUGEINT)) AS DOUBLE)
+                    AS sr2
+           FROM rsums GROUP BY 1, 2),
+         qq AS (
+           SELECT a.nb, a.k, t.st3,
+                  12.0 / (a.nb * a.k * (a.k + 1)) * (a.sr2 / 4.0)
+                    - 3.0 * a.nb * (a.k + 1) AS q,
+                  1.0 - CAST(t.st3 AS DOUBLE)
+                    / (CAST(a.nb AS DOUBLE) * a.k * (a.k * a.k - 1)) AS cc
+           FROM agg a CROSS JOIN ties t)
+         SELECT nb AS n_blocks, k AS k_treatments,
+                floor(q * 1e4 + 0.5) / 1e4 AS q_stat,
+                floor(q / cc * 1e4 + 0.5) / 1e4 AS q_tie_corrected,
+                q / cc > 9.488 AS reject_05
+         FROM qq""",
+
+    "x_ar2_forecast" ->
+      """WITH m AS (
+           SELECT o_orderpriority AS priority,
+                  date_trunc('month', o_orderdate) AS mon,
+                  CAST(COUNT(*) AS BIGINT) AS y
+           FROM orders GROUP BY 1, 2),
+         lagd AS (
+           SELECT priority, y,
+                  lag(y, 1) OVER win AS y1, lag(y, 2) OVER win AS y2,
+                  row_number() OVER (PARTITION BY priority
+                    ORDER BY mon DESC) AS rn
+           FROM m
+           WINDOW win AS (PARTITION BY priority ORDER BY mon)),
+         st AS (
+           SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(y) AS BIGINT) AS sy,
+                  CAST(SUM(y * y) AS BIGINT) AS syy,
+                  CAST(SUM(CASE WHEN y1 IS NOT NULL THEN y * y1
+                    ELSE 0 END) AS BIGINT) AS sp1,
+                  CAST(SUM(CASE WHEN y1 IS NOT NULL THEN y ELSE 0 END)
+                    AS BIGINT) AS sa1,
+                  CAST(SUM(CASE WHEN y1 IS NOT NULL THEN y1 ELSE 0 END)
+                    AS BIGINT) AS sb1,
+                  CAST(COUNT(y1) AS BIGINT) AS n1,
+                  CAST(SUM(CASE WHEN y2 IS NOT NULL THEN y * y2
+                    ELSE 0 END) AS BIGINT) AS sp2,
+                  CAST(SUM(CASE WHEN y2 IS NOT NULL THEN y ELSE 0 END)
+                    AS BIGINT) AS sa2,
+                  CAST(SUM(CASE WHEN y2 IS NOT NULL THEN y2 ELSE 0 END)
+                    AS BIGINT) AS sb2,
+                  CAST(COUNT(y2) AS BIGINT) AS n2,
+                  MAX(CASE WHEN rn = 1 THEN y END) AS ylast,
+                  MAX(CASE WHEN rn = 2 THEN y END) AS yprev
+           FROM lagd GROUP BY 1),
+         ac AS (
+           SELECT priority, n, ylast, yprev,
+                  CAST(sy AS DOUBLE) / n AS mu,
+                  syy - (CAST(sy AS DOUBLE) / n) * sy AS den,
+                  (sp1 - (CAST(sy AS DOUBLE) / n) * (sa1 + sb1)
+                    + n1 * (CAST(sy AS DOUBLE) / n)
+                      * (CAST(sy AS DOUBLE) / n))
+                    / (syy - (CAST(sy AS DOUBLE) / n) * sy) AS r1,
+                  (sp2 - (CAST(sy AS DOUBLE) / n) * (sa2 + sb2)
+                    + n2 * (CAST(sy AS DOUBLE) / n)
+                      * (CAST(sy AS DOUBLE) / n))
+                    / (syy - (CAST(sy AS DOUBLE) / n) * sy) AS r2
+           FROM st),
+         ph AS (
+           SELECT priority, n, ylast, yprev, mu, den, r1, r2,
+                  CASE WHEN abs(1.0 - r1 * r1) > 1e-12
+                    THEN r1 * (1.0 - r2) / (1.0 - r1 * r1) END AS phi1,
+                  CASE WHEN abs(1.0 - r1 * r1) > 1e-12
+                    THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS phi2
+           FROM ac),
+         fc AS (
+           SELECT priority, n, mu, r1, r2, phi1, phi2, den, ylast,
+                  mu + phi1 * (ylast - mu) + phi2 * (yprev - mu) AS f1
+           FROM ph)
+         SELECT priority, n AS n_months,
+                floor(mu * 1e6 + 0.5) / 1e6 AS mean_monthly,
+                floor(r1 * 1e6 + 0.5) / 1e6 AS acf_1,
+                floor(r2 * 1e6 + 0.5) / 1e6 AS acf_2,
+                floor(phi1 * 1e6 + 0.5) / 1e6 AS phi_1,
+                floor(phi2 * 1e6 + 0.5) / 1e6 AS phi_2,
+                floor((den / n) * (1.0 - phi1 * r1 - phi2 * r2)
+                  * 1e4 + 0.5) / 1e4 AS sigma2,
+                floor(f1 * 1e4 + 0.5) / 1e4 AS forecast_1,
+                floor((mu + phi1 * (f1 - mu) + phi2 * (ylast - mu))
+                  * 1e4 + 0.5) / 1e4 AS forecast_2
+         FROM fc ORDER BY priority""")
 }

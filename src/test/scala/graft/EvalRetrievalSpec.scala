@@ -592,4 +592,106 @@ class EvalRetrievalSpec extends SparkSpec {
         s"seasonal ${r.getAs[Double]("seasonal")} vs brute $expect")
     }
   }
+
+  test("x_fisher_exact: cells reconstruct the margins and the two-sided " +
+      "p equals a plain-Scala hypergeometric enumeration") {
+    val r = run("x_fisher_exact").collect().head
+    val (a, b, c, dd) = (r.getAs[Long]("n11"), r.getAs[Long]("n12"),
+      r.getAs[Long]("n21"), r.getAs[Long]("n22"))
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_totalprice", "o_orderpriority").collect()
+      .map(x => (x.getDouble(0) > 480000.0,
+        x.getString(1) == "1-URGENT" || x.getString(1) == "2-HIGH"))
+    assert(a == rows.count(t => t._1 && t._2))
+    assert(b == rows.count(t => !t._1 && t._2))
+    assert(c == rows.count(t => t._1 && !t._2))
+    assert(dd == rows.count(t => !t._1 && !t._2))
+    // brute force in log space, straight doubles (no fixed point)
+    val (n, c1, r1) = (rows.length.toLong, a + c, a + b)
+    val r2 = n - r1
+    def lnFacRange(from: Long, to: Long): Double =
+      (from to to).map(i => math.log(i.toDouble)).sum
+    def lnChoose(nn: Long, kk: Long): Double =
+      if (kk == 0 || kk == nn) 0.0
+      else lnFacRange(nn - kk + 1, nn) - lnFacRange(1, kk)
+    val lps = (0L to math.min(r1, c1)).map(k =>
+      lnChoose(r1, k) + lnChoose(r2, c1 - k) - lnChoose(n, c1))
+    val lpObs = lps(a.toInt)
+    // the engine compares 1e-9-quantized log-probs; mirror that rule
+    val brute = lps.filter(lp => math.floor(lp * 1e9 + 0.5) <=
+      math.floor(lpObs * 1e9 + 0.5)).map(math.exp).sum
+    val p = r.getAs[Double]("p_two_sided")
+    assert(p >= 0.0 && p <= 1.0 + 1e-12)
+    assert(math.abs(p - brute) <= 1e-5, s"fisher p $p vs brute $brute")
+    assert(r.getAs[Long]("n_tables") >= 1L &&
+      r.getAs[Long]("n_tables") <= math.min(r1, c1) + 1)
+  }
+
+  test("x_friedman_test: Q equals a plain-Scala ranks-within-blocks " +
+      "recomputation over complete months") {
+    val r = run("x_friedman_test").collect().head
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderdate", "o_orderpriority", "o_totalprice").collect()
+      .map(x => (x.getAs[java.time.LocalDateTime](0).toLocalDate
+        .withDayOfMonth(1),
+        x.getString(1),
+        BigDecimal(x.getDouble(2)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP)))
+    val k = rows.map(_._2).distinct.length
+    val cells = rows.groupBy(t => (t._1, t._2))
+      .map { case ((m, p), xs) => (m, p, xs.map(_._3).sum) }.toSeq
+    val blocks = cells.groupBy(_._1).values.filter(_.length == k).toSeq
+    assert(r.getAs[Long]("n_blocks") == blocks.length.toLong)
+    assert(r.getAs[Long]("k_treatments") == k.toLong)
+    // average ranks within each block (ties averaged), Friedman Q
+    val rankSums = scala.collection.mutable.Map.empty[String, Double]
+    blocks.foreach { blk =>
+      val sorted = blk.sortBy(_._3)
+      sorted.zipWithIndex.foreach { case ((_, p, v), i) =>
+        val ties = sorted.filter(_._3 == v)
+        val first = sorted.indexWhere(_._3 == v)
+        val avg = (first + 1 + first + ties.length).toDouble / 2.0
+        rankSums(p) = rankSums.getOrElse(p, 0.0) + avg
+      }
+    }
+    val nB = blocks.length.toDouble
+    val q = 12.0 / (nB * k * (k + 1)) *
+      rankSums.values.map(x => x * x).sum - 3.0 * nB * (k + 1)
+    assert(math.abs(r.getAs[Double]("q_stat") - q) <= 1e-3,
+      s"friedman Q ${r.getAs[Double]("q_stat")} vs brute $q")
+  }
+
+  test("x_ar2_forecast: Yule-Walker coefficients and forecasts equal a " +
+      "plain-Scala recomputation per priority") {
+    val got = run("x_ar2_forecast").collect()
+      .map(r => r.getAs[String]("priority") -> r).toMap
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderdate", "o_orderpriority").collect()
+      .map(x => (x.getString(1), x.getAs[java.time.LocalDateTime](0)
+        .toLocalDate.withDayOfMonth(1)))
+    rows.groupBy(_._1).foreach { case (p, xs) =>
+      val ys = xs.groupBy(_._2).view.mapValues(_.length.toDouble)
+        .toSeq.sortBy(_._1.toEpochDay).map(_._2)
+      val n = ys.length
+      val mu = ys.sum / n
+      val den = ys.map(y => (y - mu) * (y - mu)).sum
+      def acf(kk: Int): Double = (kk until n)
+        .map(t => (ys(t) - mu) * (ys(t - kk) - mu)).sum / den
+      val (a1, a2) = (acf(1), acf(2))
+      val disc = 1.0 - a1 * a1
+      val phi1 = a1 * (1.0 - a2) / disc
+      val phi2 = (a2 - a1 * a1) / disc
+      val f1 = mu + phi1 * (ys(n - 1) - mu) + phi2 * (ys(n - 2) - mu)
+      val f2 = mu + phi1 * (f1 - mu) + phi2 * (ys(n - 1) - mu)
+      val r = got(p)
+      assert(math.abs(r.getAs[Double]("acf_1") - a1) <= 1e-5, s"$p acf1")
+      assert(math.abs(r.getAs[Double]("acf_2") - a2) <= 1e-5, s"$p acf2")
+      assert(math.abs(r.getAs[Double]("phi_1") - phi1) <= 1e-5, s"$p phi1")
+      assert(math.abs(r.getAs[Double]("phi_2") - phi2) <= 1e-5, s"$p phi2")
+      assert(math.abs(r.getAs[Double]("forecast_1") - f1) <= 1e-3,
+        s"$p f1 ${r.getAs[Double]("forecast_1")} vs $f1")
+      assert(math.abs(r.getAs[Double]("forecast_2") - f2) <= 1e-3,
+        s"$p f2")
+    }
+  }
 }
