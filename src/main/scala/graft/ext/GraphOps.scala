@@ -499,6 +499,63 @@ object GraphOps {
         .crossJoin(broadcast(coreNodes)).crossJoin(broadcast(coreEdges))
         .select(lit(KcoreK.toLong).as("k"), col("n_nodes_full"),
           col("n_edges_full"), col("n_core_nodes"), col("n_core_edges"))
+    }),
+
+    "x_clustering_coeff" -> ((s, d) => {
+      // LOCAL clustering coefficient — x_triangle_count's global
+      // transitivity says how clustered the co-purchase backbone is
+      // overall; this says how it is DISTRIBUTED across node degrees
+      // (hubs with low local cc are brokers between communities; the
+      // Watts–Strogatz average weights every node equally, so the two
+      // diagnostics genuinely differ). Per-node triangle counts come
+      // from the SAME degree-ordered wedge enumeration (each closed
+      // triangle (u, v1, v2) credits all three corners — three
+      // projections of the one triangle join, never a second
+      // enumeration), local cc_v = 2·t_v / (d_v(d_v−1)) for d_v ≥ 2,
+      // quantized 1e9 per node before the per-bucket integer sums.
+      // Output is the bounded degree-bucket profile (deg clamped at 10)
+      // — O(buckets) rows at any graph size.
+      val e = coPurchaseEdges(s, d).localCheckpoint()
+      val deg = e.select(col("p1").as("n"))
+        .union(e.select(col("p2").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+        .localCheckpoint()
+      val oe = e
+        .join(deg.select(col("n").as("p1"), col("dg").as("d1")), "p1")
+        .join(deg.select(col("n").as("p2"), col("dg").as("d2")), "p2")
+        .select(
+          when(col("d1") <= col("d2"), col("p1")).otherwise(col("p2"))
+            .as("u"),
+          when(col("d1") <= col("d2"), col("p2")).otherwise(col("p1"))
+            .as("v"))
+        .localCheckpoint()
+      val tri = oe.as("x").join(oe.as("y"),
+          col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+        .join(e, col("p1") === col("x.v") && col("p2") === col("y.v"))
+        .select(col("x.u").as("c1"), col("x.v").as("c2"),
+          col("y.v").as("c3"))
+        .localCheckpoint()
+      val triPerNode = tri.select(col("c1").as("n"))
+        .unionByName(tri.select(col("c2").as("n")))
+        .unionByName(tri.select(col("c3").as("n")))
+        .groupBy("n")
+        .agg(count(lit(1)).cast("long").as("tv"))
+      deg.filter(col("dg") >= 2)
+        .join(triPerNode, Seq("n"), "left")
+        .withColumn("tv", coalesce(col("tv"), lit(0L)))
+        .withColumn("qcc", floor(lit(2.0) * col("tv")
+          / (col("dg") * (col("dg") - 1)) * 1e9 + 0.5).cast("long"))
+        .withColumn("bucket", least(col("dg"), lit(10L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n_nodes"),
+          sum(col("tv")).cast("long").as("corner_triangles"),
+          sum(col("qcc")).cast("long").as("qsum"))
+        .select(col("bucket").as("degree_bucket"), col("n_nodes"),
+          col("corner_triangles"),
+          graft.types.Coercions.detRound(
+            col("qsum").cast("double") / 1e9 / col("n_nodes"), 6)
+            .as("avg_local_cc"))
+        .orderBy("degree_bucket")
     }))
 
   private def prIterSql(i: Int): String = {
@@ -788,5 +845,39 @@ object GraphOps {
           SELECT CAST($KcoreK AS BIGINT) AS k, n_nodes_full, n_edges_full,
                  n_core_nodes, n_core_edges
           FROM nf CROSS JOIN ef CROSS JOIN nc CROSS JOIN ec"""
-    })
+    },
+
+    "x_clustering_coeff" ->
+      s"""WITH $coPurchaseSql,
+         deg AS MATERIALIZED (
+           SELECT n, COUNT(*) AS dg
+           FROM (SELECT p1 AS n FROM e UNION ALL SELECT p2 FROM e)
+           GROUP BY 1),
+         oe AS MATERIALIZED (
+           SELECT CASE WHEN d1.dg <= d2.dg THEN e.p1 ELSE e.p2 END AS u,
+                  CASE WHEN d1.dg <= d2.dg THEN e.p2 ELSE e.p1 END AS v
+           FROM e JOIN deg d1 ON d1.n = e.p1 JOIN deg d2 ON d2.n = e.p2),
+         tri AS MATERIALIZED (
+           SELECT x.u AS c1, x.v AS c2, y.v AS c3
+           FROM oe x JOIN oe y ON x.u = y.u AND x.v < y.v
+           JOIN e ON e.p1 = x.v AND e.p2 = y.v),
+         tpn AS (
+           SELECT n, CAST(COUNT(*) AS BIGINT) AS tv
+           FROM (SELECT c1 AS n FROM tri
+                 UNION ALL SELECT c2 FROM tri
+                 UNION ALL SELECT c3 FROM tri)
+           GROUP BY 1),
+         cc AS (
+           SELECT d.n, d.dg, COALESCE(t.tv, 0) AS tv,
+                  CAST(floor(2.0 * COALESCE(t.tv, 0)
+                    / (d.dg * (d.dg - 1)) * 1e9 + 0.5) AS BIGINT) AS qcc,
+                  least(d.dg, 10) AS bucket
+           FROM deg d LEFT JOIN tpn t ON t.n = d.n
+           WHERE d.dg >= 2)
+         SELECT CAST(bucket AS BIGINT) AS degree_bucket,
+                CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                CAST(SUM(tv) AS BIGINT) AS corner_triangles,
+                floor(CAST(SUM(qcc) AS DOUBLE) / 1e9 / COUNT(*)
+                  * 1e6 + 0.5) / 1e6 AS avg_local_cc
+         FROM cc GROUP BY 1 ORDER BY 1""")
 }

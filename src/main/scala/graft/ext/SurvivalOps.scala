@@ -446,6 +446,56 @@ object SurvivalOps {
         .select(lit(365L).as("tau_days"), col("n_spells"),
           col("n_events"),
           detRound((col("qsum") + col("qtail")) / 1e6, 4).as("rmst_days"))
+    }),
+
+    "x_weibull_fit" -> ((s, d) => {
+      // Parametric Weibull fit over the KM curve — the smooth-model tier
+      // above the nonparametric estimators: median-rank regression
+      // (Weibull probability plotting, the standard reliability-
+      // engineering estimator) linearizes S(t) = exp(−(t/λ)^k) to
+      // ln(−ln S) = k·ln t − k·ln λ and fits OLS over the KM ladder's
+      // (t, S) points with 0 < S < 1 and t > 0 — O(distinct event days)
+      // points, everything downstream of the one shared spell pass.
+      // Both regression coordinates are 1e9-quantized BEFORE the OLS
+      // sums and every cross term is an exact DECIMAL(38,0) sum of
+      // quantized products, so slope/intercept/r² come from identical
+      // integer inputs in both engines. Outputs: shape k (k > 1 ⇒
+      // rising re-order hazard, k < 1 ⇒ infant-mortality churn), scale
+      // λ (the 63.2% characteristic life), the fitted median
+      // λ·(ln 2)^{1/k}, and r² as the goodness-of-linearization gauge.
+      val pts = kmLadder(s, d)
+        .filter(col("survival") > 0.0 && col("survival") < 1.0 &&
+          col("t_days") > 0)
+        .select(
+          floor(log(col("t_days").cast("double")) * 1e9 + 0.5)
+            .cast("decimal(19,0)").as("qx"),
+          floor(log(-log(col("survival"))) * 1e9 + 0.5)
+            .cast("decimal(19,0)").as("qy"))
+      pts.agg(count(lit(1)).cast("long").as("np"),
+          sum(col("qx")).cast("decimal(38,0)").as("sx"),
+          sum(col("qy")).cast("decimal(38,0)").as("sy"),
+          sum(col("qx") * col("qx")).cast("decimal(38,0)").as("sxx"),
+          sum(col("qy") * col("qy")).cast("decimal(38,0)").as("syy"),
+          sum(col("qx") * col("qy")).cast("decimal(38,0)").as("sxy"))
+        .withColumn("vx", col("np") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+        .withColumn("vy", col("np") * col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double"))
+        .withColumn("cxy", col("np") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+        .withColumn("kk", when(col("vx") > 0, col("cxy") / col("vx")))
+        .withColumn("ic", (col("sy").cast("double") - col("kk")
+          * col("sx").cast("double")) / col("np") / 1e9)
+        .withColumn("lam", when(col("kk") > 0,
+          exp(-col("ic") / col("kk"))))
+        .select(col("np").as("n_points"),
+          detRound(col("kk"), 6).as("shape_k"),
+          detRound(col("lam"), 4).as("scale_lambda"),
+          detRound(col("lam") * exp(log(log(lit(2.0))) / col("kk")), 4)
+            .as("median_days"),
+          detRound(when(col("vx") > 0 && col("vy") > 0,
+            col("cxy") * col("cxy") / (col("vx") * col("vy"))), 6)
+            .as("r_squared"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -633,5 +683,49 @@ object SurvivalOps {
                  floor((CAST((SELECT SUM(qterm) FROM terms) AS DOUBLE)
                    + (SELECT qtail FROM tail)) / 1e6 * 1e4 + 0.5) / 1e4
                    AS rmst_days
-          FROM nn""")
+          FROM nn""",
+
+    "x_weibull_fit" ->
+      s"""WITH $kmLadderSql,
+          pts AS (
+            SELECT CAST(floor(ln(CAST(t_days AS DOUBLE)) * 1e9 + 0.5)
+                     AS HUGEINT) AS qx,
+                   CAST(floor(ln(-ln(survival)) * 1e9 + 0.5)
+                     AS HUGEINT) AS qy
+            FROM km
+            WHERE survival > 0.0 AND survival < 1.0 AND t_days > 0),
+          st AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS np,
+                   CAST(SUM(qx) AS DOUBLE) AS sx,
+                   CAST(SUM(qy) AS DOUBLE) AS sy,
+                   CAST(SUM(qx * qx) AS DOUBLE) AS sxx,
+                   CAST(SUM(qy * qy) AS DOUBLE) AS syy,
+                   CAST(SUM(qx * qy) AS DOUBLE) AS sxy
+            FROM pts),
+          ols AS (
+            SELECT np,
+                   np * sxx - sx * sx AS vx,
+                   np * syy - sy * sy AS vy,
+                   np * sxy - sx * sy AS cxy,
+                   sx, sy
+            FROM st),
+          ft AS (
+            SELECT np, vx, vy, cxy,
+                   CASE WHEN vx > 0 THEN cxy / vx END AS kk,
+                   (sy - (CASE WHEN vx > 0 THEN cxy / vx END) * sx)
+                     / np / 1e9 AS ic
+            FROM ols),
+          fin AS (
+            SELECT np, vx, vy, cxy, kk,
+                   CASE WHEN kk > 0 THEN exp(-ic / kk) END AS lam
+            FROM ft)
+          SELECT np AS n_points,
+                 floor(kk * 1e6 + 0.5) / 1e6 AS shape_k,
+                 floor(lam * 1e4 + 0.5) / 1e4 AS scale_lambda,
+                 floor(lam * exp(ln(ln(2.0)) / kk) * 1e4 + 0.5) / 1e4
+                   AS median_days,
+                 floor(CASE WHEN vx > 0 AND vy > 0
+                       THEN cxy * cxy / (vx * vy) END * 1e6 + 0.5) / 1e6
+                   AS r_squared
+          FROM fin""")
 }

@@ -197,6 +197,43 @@ class EvalRetrievalSpec extends SparkSpec {
       s"distributed $t triangles vs brute ${tripleCounted / 3}")
   }
 
+  test("x_clustering_coeff: bucket profile equals a brute-force " +
+      "per-node common-neighbor recomputation") {
+    val rows = run("x_clustering_coeff").collect()
+      .map(r => r.getAs[Long]("degree_bucket") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("corner_triangles"),
+          r.getAs[Double]("avg_local_cc"))).toMap
+    // same >=2-support co-purchase edge rebuild as the triangle test
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(x => (x.getAs[Long]("l_orderkey"), x.getAs[Long]("l_partkey")))
+      .distinct
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSet
+    val nbr = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val perNode = nbr.filter(_._2.size >= 2).map { case (v, ns) =>
+      val nsSeq = ns.toSeq.sorted
+      val tv = (for (i <- nsSeq.indices; j <- i + 1 until nsSeq.length
+        if edges.contains((nsSeq(i), nsSeq(j)))) yield 1).size.toLong
+      (v, ns.size.toLong, tv)
+    }
+    val buckets = perNode.groupBy { case (_, d, _) => math.min(d, 10L) }
+    assert(rows.keySet == buckets.keySet)
+    buckets.foreach { case (b, ns) =>
+      val (nNodes, corners, avgCc) = rows(b)
+      assert(nNodes == ns.size.toLong, s"bucket $b node count")
+      assert(corners == ns.map(_._3).sum, s"bucket $b corner sum")
+      val brute = ns.map { case (_, d, tv) =>
+        2.0 * tv / (d * (d - 1)) }.sum / ns.size
+      assert(math.abs(avgCc - brute) < 1e-6,
+        s"bucket $b cc $avgCc vs brute $brute")
+    }
+  }
+
   test("x_sq_int8_recall: exact rerank dominates pure ADC (a true " +
       "neighbor in the shortlist always survives exact re-scoring)") {
     val rows = run("x_sq_int8_recall").collect()

@@ -107,4 +107,34 @@ class SurvivalSpec extends SparkSpec {
     assert(rmst > 0.0 && rmst <= tau.toDouble)
     assert(row.getAs[Long]("tau_days") === tau)
   }
+
+  test("x_weibull_fit equals a plain-Scala median-rank regression over " +
+      "the engine's own KM points") {
+    val km = SparkEntry.queries("x_kaplan_meier")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("t_days"), r.getAs[Double]("survival")))
+      .filter { case (t, sv) => t > 0 && sv > 0.0 && sv < 1.0 }
+    val xs = km.map { case (t, _) => math.log(t.toDouble) }
+    val ys = km.map { case (_, sv) => math.log(-math.log(sv)) }
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val vx = n * xs.map(x => x * x).sum - sx * sx
+    val vy = n * ys.map(y => y * y).sum - sy * sy
+    val cxy = n * xs.zip(ys).map { case (x, y) => x * y }.sum - sx * sy
+    val k = cxy / vx
+    val lam = math.exp(-(sy - k * sx) / n / k)
+    val r2 = cxy * cxy / (vx * vy)
+    val row = SparkEntry.queries("x_weibull_fit")(spark, dir)
+      .collect().head
+    assert(row.getAs[Long]("n_points") === km.length.toLong)
+    assert(math.abs(row.getAs[Double]("shape_k") - k) < 1e-4,
+      s"shape ${row.getAs[Double]("shape_k")} vs brute $k")
+    assert(math.abs(row.getAs[Double]("scale_lambda") - lam)
+      < 1e-3 * lam, s"scale ${row.getAs[Double]("scale_lambda")} vs $lam")
+    assert(math.abs(row.getAs[Double]("r_squared") - r2) < 1e-4)
+    val med = lam * math.pow(math.log(2.0), 1.0 / k)
+    assert(math.abs(row.getAs[Double]("median_days") - med) < 1e-2 * med)
+    assert(row.getAs[Double]("r_squared") > 0.0 &&
+      row.getAs[Double]("r_squared") <= 1.0 + 1e-9)
+  }
 }
