@@ -1244,6 +1244,65 @@ object CorpusOps {
           detRound(col("n_pruned") / col("n_files").cast("double"), 4)
             .as("prune_frac"))
         .orderBy("layout")
+    }),
+
+    "x_textrank_keywords" -> ((s, d) => {
+      // TextRank keyword extraction (Mihalcea & Tarau 2004) — PageRank
+      // over the word co-occurrence graph, the unsupervised keyword
+      // ranker that beats raw frequency by crediting words that co-occur
+      // with OTHER central words. Composition of two machines the engine
+      // already ships: x_ppmi_embeddings' ±2-window pair counts build
+      // the weighted undirected graph (tokens pass the content-word
+      // filter [a-z]{4,} — the paper's syntactic filter stand-in), then
+      // x_pagerank's quantized ladder runs on it: 6 damped iterations,
+      // contribution tr_c·w_cw/wdeg_c 1e12-quantized per edge, rank
+      // re-quantized per step so the trajectory is engine-portable.
+      // Model state is vocabulary-bounded (the graph is |V|² sparse,
+      // broadcast-sized at any corpus size); the one corpus-scale pass
+      // is the windowed pair count. Output: top-10 keywords.
+      val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      val fwd = (1 to 2).map { o =>
+        toks.withColumn("ctx", lead(col("tok"), o).over(wOrd))
+          .filter(col("ctx").isNotNull)
+          .select(col("tok").as("w"), col("ctx").as("c"))
+      }.reduce(_.unionByName(_))
+      val edges = fwd
+        .unionByName(fwd.select(col("c").as("w"), col("w").as("c")))
+        .filter(col("w").rlike("^[a-z]{4,}$") &&
+          col("c").rlike("^[a-z]{4,}$"))
+        .groupBy(col("w"), col("c")).agg(count(lit(1)).as("nwc"))
+        .localCheckpoint()
+      val wdeg = edges.groupBy(col("w"))
+        .agg(sum(col("nwc")).cast("long").as("wd"))
+        .localCheckpoint()
+      val nodes = wdeg.select(col("w"))
+      val n = nodes.count().toDouble
+      var tr = nodes.withColumn("tr",
+        floor(lit(1.0 / n) * 1e12 + 0.5) / 1e12)
+        .localCheckpoint()
+      for (_ <- 1 to 6) {
+        val contrib = edges
+          .join(tr, "w").join(wdeg, "w")
+          .select(col("c").as("w"),
+            floor(col("tr") * col("nwc") / col("wd") * 1e12 + 0.5)
+              .cast("long").as("q"))
+          .groupBy("w").agg(sum(col("q")).cast("long").as("sq"))
+        tr = nodes.join(contrib, Seq("w"), "left")
+          .select(col("w"),
+            (floor((lit(0.15 / n)
+              + lit(0.85) * (coalesce(col("sq"), lit(0L)) / 1e12))
+              * 1e12 + 0.5) / 1e12).as("tr"))
+          .localCheckpoint()
+      }
+      tr.join(wdeg, "w")
+        .select(col("w").as("keyword"),
+          (floor(col("tr") * 1e10 + 0.5) / 1e10).as("textrank"),
+          col("wd").as("weighted_degree"))
+        .orderBy(desc("textrank"), asc("keyword"))
+        .limit(10)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -2071,5 +2130,64 @@ object CorpusOps {
                  rows_scanned, rows_matched,
                  floor(n_pruned / CAST(n_files AS DOUBLE) * 1e4 + 0.5) / 1e4
                    AS prune_frac
-          FROM per CROSS JOIN mt ORDER BY layout""")
+          FROM per CROSS JOIN mt ORDER BY layout""",
+
+    "x_textrank_keywords" -> {
+      def iter(i: Int): String = {
+        val prev = s"tr${i - 1}"
+        s"""c$i AS (
+              SELECT e.c AS w,
+                     CAST(SUM(CAST(floor(p.tr * e.nwc / dg.wd * 1e12
+                       + 0.5) AS BIGINT)) AS BIGINT) AS sq
+              FROM edges e
+              JOIN $prev p ON p.w = e.w
+              JOIN wdeg dg ON dg.w = e.w
+              GROUP BY 1),
+            tr$i AS MATERIALIZED (
+              SELECT n.w,
+                     floor((0.15 / nn.n
+                       + 0.85 * (COALESCE(c.sq, 0) / 1e12))
+                       * 1e12 + 0.5) / 1e12 AS tr
+              FROM nodes n CROSS JOIN nn
+              LEFT JOIN c$i c ON c.w = n.w)"""
+      }
+      val iters = (1 to 6).map(iter).mkString(",\n")
+      s"""WITH toks AS MATERIALIZED (
+            SELECT doc_id, pos, tk[pos + 1] AS tok
+            FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS pos
+                  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                        FROM documents))),
+          fwd AS (
+            SELECT tok AS w,
+                   lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS c
+            FROM toks
+            UNION ALL
+            SELECT tok AS w,
+                   lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS c
+            FROM toks),
+          edges AS MATERIALIZED (
+            SELECT w, c, COUNT(*) AS nwc FROM (
+              SELECT w, c FROM fwd WHERE c IS NOT NULL
+              UNION ALL
+              SELECT c AS w, w AS c FROM fwd WHERE c IS NOT NULL)
+            WHERE regexp_matches(w, '^[a-z]{4,}$$')
+              AND regexp_matches(c, '^[a-z]{4,}$$')
+            GROUP BY 1, 2),
+          wdeg AS MATERIALIZED (
+            SELECT w, CAST(SUM(nwc) AS BIGINT) AS wd
+            FROM edges GROUP BY 1),
+          nodes AS MATERIALIZED (SELECT w FROM wdeg),
+          nn AS (SELECT COUNT(*) AS n FROM nodes),
+          tr0 AS MATERIALIZED (
+            SELECT n.w, floor((1.0 / nn.n) * 1e12 + 0.5) / 1e12 AS tr
+            FROM nodes n CROSS JOIN nn),
+          $iters
+          SELECT t.w AS keyword,
+                 floor(t.tr * 1e10 + 0.5) / 1e10 AS textrank,
+                 d.wd AS weighted_degree
+          FROM tr6 t JOIN wdeg d ON d.w = t.w
+          ORDER BY textrank DESC, keyword LIMIT 10"""
+    })
 }

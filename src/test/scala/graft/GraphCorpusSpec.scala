@@ -672,4 +672,46 @@ class GraphCorpusSpec extends SparkSpec {
     assert(r.getAs[Long]("k1") <= r.getAs[Long]("n1"))
     assert(r.getAs[Long]("k2") <= r.getAs[Long]("n2"))
   }
+
+  test("x_textrank_keywords: top-10 equals a plain-double driver-side " +
+      "weighted PageRank over an independently rebuilt word graph") {
+    val got = run("x_textrank_keywords").collect()
+      .map(r => (r.getAs[String]("keyword"), r.getAs[Double]("textrank"),
+        r.getAs[Long]("weighted_degree")))
+    assert(got.length == 10)
+    // rebuild the +-2-window content-word co-occurrence graph directly
+    val pat = "^[a-z]{4,}$".r
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0).split(" ", -1))
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String),
+      Long]
+    docs.foreach { tk =>
+      for (i <- tk.indices; o <- 1 to 2 if i + o < tk.length) {
+        val (a, b) = (tk(i), tk(i + o))
+        if (pat.matches(a) && pat.matches(b)) {
+          pairCounts((a, b)) = pairCounts.getOrElse((a, b), 0L) + 1L
+          pairCounts((b, a)) = pairCounts.getOrElse((b, a), 0L) + 1L
+        }
+      }
+    }
+    val wdeg = pairCounts.toSeq.groupBy(_._1._1)
+      .map { case (w, xs) => w -> xs.map(_._2).sum }
+    val nodes = wdeg.keys.toSeq.sorted
+    val n = nodes.length.toDouble
+    var tr = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 6) {
+      val in = scala.collection.mutable.Map.empty[String, Double]
+      pairCounts.foreach { case ((w, c), nwc) =>
+        in(c) = in.getOrElse(c, 0.0) + tr(w) * nwc / wdeg(w)
+      }
+      tr = nodes.map(w => w -> (0.15 / n + 0.85 * in.getOrElse(w, 0.0)))
+        .toMap
+    }
+    val expect = tr.toSeq.sortBy { case (w, r) => (-r, w) }.take(10)
+    got.zip(expect).foreach { case ((kw, r, wd), (ekw, er)) =>
+      assert(kw == ekw, s"keyword order: $kw vs $ekw")
+      assert(math.abs(r - er) < 1e-5, s"$kw rank $r vs brute $er")
+      assert(wd == wdeg(kw), s"$kw wdeg")
+    }
+  }
 }
