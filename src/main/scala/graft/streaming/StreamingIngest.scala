@@ -232,6 +232,154 @@ object StreamingIngest {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
   }
 
+  // ---- streaming Page–Hinkley drift sink (r15) ----------------------------
+
+  // Same constants as the batch op (EventOps x_page_hinkley): δ = 0.5
+  // tolerated per-hour drift, λ = 25 events in 1e9 fixed point.
+  private val PhDelta = 0.5
+  private val PhQLambda = 25L * 1000000000L
+
+  /** Per-type Page–Hinkley fold state. nh = folded hours; p = folded
+    * count sum; ci/cd = cumulative 1e9-quantized deviation sums
+    * (increase/decrease sides); mni/mxd = their running extrema;
+    * mxi/mxdc = max PH statistics seen; au/ad = first alarm hour
+    * (epoch micros, -1 = none); pendH/pendC = the newest,
+    * possibly-still-filling hour — folded only once a LATER hour
+    * arrives for the type (the zero-delay-watermark finalization rule,
+    * so a micro-batch boundary inside an hour never splits one
+    * observation into two); late = dropped out-of-order hour rows. */
+  private[graft] case class PhState(nh: Long, p: Long, ci: Long, cd: Long,
+      mni: Long, mxd: Long, mxi: Long, mxdc: Long, au: Long, ad: Long,
+      pendH: Long, pendC: Long, late: Long)
+
+  private[graft] val phEmpty =
+    PhState(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, -1L, -1L, -1L, 0L, 0L)
+
+  /** Streaming twin of x_page_hinkley: the sequential mean-drift
+    * detector run ON the ingest per event type, instead of over the
+    * finished hourly table — PH is the stream-mining algorithm, so this
+    * is its native form. Each micro-batch's (type, hour) counts fold
+    * into an O(types) state with EXACTLY the batch op's arithmetic
+    * (per-hour term x − P/t ∓ δ quantized to 1e9 fixed point before the
+    * cumulative sums; running extrema compared as integers), and one
+    * verdict row per type is appended per trigger so a monitor sees the
+    * drift flag flip at the alarm hour, not at end-of-day. Crash
+    * contract matches srmSink/ucbSink: the state write follows the
+    * verdict append and the batch cursor makes a replayed trigger a
+    * no-op. State is O(event types); per-batch cost is one grouped
+    * count of the batch. Hours arriving out of order (below the
+    * pending hour) are dropped and counted in late_hours — the
+    * withWatermark drop semantic, made visible. */
+  def phDriftSink(events: DataFrame, spark: SparkSession, outPath: String,
+                  statePath: String, checkpoint: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        phBatch(spark, outPath, statePath, batch, batchId)
+      }
+
+  /** (lastBatchId, type -> PhState); (-1, empty) when fresh. */
+  private[graft] def phStates(statePath: String)
+      : (Long, Map[String, PhState]) = {
+    val f = java.nio.file.Paths.get(statePath)
+    if (!java.nio.file.Files.exists(f)) (-1L, Map.empty)
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      val last = "\"lastBatch\"\\s*:\\s*(-?\\d+)".r
+        .findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(-1L)
+      val rx = "\\{\"t\"\\s*:\\s*\"([^\"]+)\"\\s*,\\s*\"v\"\\s*:\\s*\\[([-0-9, ]+)\\]\\}".r
+      val types = rx.findAllMatchIn(s).map { m =>
+        val v = m.group(2).split(",").map(_.trim.toLong)
+        m.group(1) -> PhState(v(0), v(1), v(2), v(3), v(4), v(5), v(6),
+          v(7), v(8), v(9), v(10), v(11), v(12))
+      }.toMap
+      (last, types)
+    }
+  }
+
+  /** One PH step — the batch op's per-row arithmetic verbatim. */
+  private def phFold(s: PhState, h: Long, c: Long): PhState = {
+    val t = s.nh + 1
+    val p = s.p + c
+    val qi = math.floor((c - p.toDouble / t - PhDelta) * 1e9 + 0.5).toLong
+    val qd = math.floor((c - p.toDouble / t + PhDelta) * 1e9 + 0.5).toLong
+    val ci = s.ci + qi
+    val cd = s.cd + qd
+    val mni = if (t == 1) ci else math.min(s.mni, ci)
+    val mxd = if (t == 1) cd else math.max(s.mxd, cd)
+    val phi = ci - mni
+    val phd = mxd - cd
+    PhState(t, p, ci, cd, mni, mxd,
+      math.max(s.mxi, phi), math.max(s.mxdc, phd),
+      if (s.au >= 0) s.au else if (phi > PhQLambda) h else -1L,
+      if (s.ad >= 0) s.ad else if (phd > PhQLambda) h else -1L,
+      s.pendH, s.pendC, s.late)
+  }
+
+  /** Route one (hour, count) observation: fill the pending hour, fold
+    * it when a later hour opens, drop (and count) out-of-order hours. */
+  private def phAdvance(s: PhState, h: Long, c: Long): PhState =
+    if (s.pendH < 0) s.copy(pendH = h, pendC = c)
+    else if (h == s.pendH) s.copy(pendC = s.pendC + c)
+    else if (h < s.pendH) s.copy(late = s.late + 1)
+    else phFold(s, s.pendH, s.pendC).copy(pendH = h, pendC = c)
+
+  private def phFmt(micros: Long): String =
+    if (micros < 0) null
+    else java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(micros / 1000000L))
+
+  private[graft] def phBatch(spark: SparkSession, outPath: String,
+      statePath: String, batch: DataFrame, batchId: Long): Unit = {
+    val (last, st0) = phStates(statePath)
+    if (batchId <= last) return // replayed trigger already folded
+    val hourly = batch
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getString(0),
+        r.getAs[java.sql.Timestamp]("h").getTime * 1000L, r.getLong(2)))
+    val st1 = hourly.groupBy(_._1).foldLeft(st0) { case (acc, (tpe, obs)) =>
+      val folded = obs.sortBy(_._2).foldLeft(
+        acc.getOrElse(tpe, phEmpty)) { case (s, (_, h, c)) =>
+        phAdvance(s, h, c)
+      }
+      acc.updated(tpe, folded)
+    }
+    if (st1.nonEmpty) {
+      import spark.implicits._
+      st1.toSeq.sortBy(_._1).map { case (tpe, s) =>
+        (batchId, tpe, s.nh, s.mxi / 1e9, s.mxdc / 1e9,
+          s.mxi > PhQLambda || s.mxdc > PhQLambda,
+          phFmt(s.au), phFmt(s.ad), s.late)
+      }.toDF("batch_id", "event_type", "n_hours", "max_ph_increase",
+          "max_ph_decrease", "drift_flag", "first_alarm_up",
+          "first_alarm_down", "late_hours")
+        .coalesce(1).write.mode("append").parquet(outPath)
+    }
+    phWriteState(statePath, batchId, st1)
+  }
+
+  private def phWriteState(statePath: String, batchId: Long,
+      types: Map[String, PhState]): Unit = {
+    val body = types.toSeq.sortBy(_._1).map { case (t, s) =>
+      val v = Seq(s.nh, s.p, s.ci, s.cd, s.mni, s.mxd, s.mxi, s.mxdc,
+        s.au, s.ad, s.pendH, s.pendC, s.late).mkString(", ")
+      s"""{"t": "$t", "v": [$v]}"""
+    }.mkString("[", ", ", "]")
+    val tmp = java.nio.file.Paths.get(statePath + ".tmp")
+    java.nio.file.Files.writeString(tmp,
+      s"""{"lastBatch": $batchId, "types": $body}""")
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(statePath),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
   /** Streaming twin of x_srm_check: the sample-ratio-mismatch gate run
     * CONTINUOUSLY over the ingest instead of at end-of-day audit. Per
     * micro-batch, the batch's three arm counts (same md5 coin as the

@@ -1228,4 +1228,75 @@ class StreamingSpec extends SparkSpec {
     assert(held >= 0 && held <= 1,
       s"state store holds $held rows — the idle experiment was not freed")
   }
+
+  test("streaming Page-Hinkley sink: per-type fold equals a sequential " +
+      "replay, alarms at the injected drift, replayed batch is a no-op, " +
+      "late hours are dropped and counted") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val out = tmpDir("ph-out")
+    val state = tmpDir("ph-state") + "/_ph.json"
+    val ck = tmpDir("ph-ck")
+    val mem = MemoryStream[(String, Timestamp)]
+    val events = mem.toDF().toDF("event_type", "ts")
+    def hr(i: Int): Timestamp = Timestamp.from(
+      java.time.Instant.parse(f"2026-01-01T$i%02d:00:00Z"))
+    def rows(tpe: String, hour: Int, n: Int) = Seq.fill(n)((tpe, hr(hour)))
+    // type a: 6 quiet hours (2 events) then 6 hot hours (40) — the
+    // increase side must alarm (lambda = 25); type b: flat 5s — never
+    mem.addData((0 until 6).flatMap(h =>
+      rows("a", h, 2) ++ rows("b", h, 5)): _*)
+    val q1 = StreamingIngest.phDriftSink(events, spark, out, state, ck)
+      .start()
+    q1.awaitTermination()
+    mem.addData((6 until 12).flatMap(h =>
+      rows("a", h, 40) ++ rows("b", h, 5)): _*)
+    val q2 = StreamingIngest.phDriftSink(events, spark, out, state, ck)
+      .start()
+    q2.awaitTermination()
+    val fin = spark.read.parquet(out).collect()
+      .filter(_.getAs[Long]("batch_id") == 1L)
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    // independent sequential replay over the FOLDED hours (hour 11
+    // stays pending until a later hour arrives)
+    def replay(cs: Seq[Long]): (Double, Double, Option[Int]) = {
+      var p = 0L; var ci = 0L; var cd = 0L; var mni = 0L; var mxd = 0L
+      var mxi = 0L; var mxdc = 0L; var alarm: Option[Int] = None
+      cs.zipWithIndex.foreach { case (c, i) =>
+        val t = i + 1; p += c
+        ci += math.floor((c - p.toDouble / t - 0.5) * 1e9 + 0.5).toLong
+        cd += math.floor((c - p.toDouble / t + 0.5) * 1e9 + 0.5).toLong
+        mni = if (t == 1) ci else math.min(mni, ci)
+        mxd = if (t == 1) cd else math.max(mxd, cd)
+        mxi = math.max(mxi, ci - mni)
+        mxdc = math.max(mxdc, mxd - cd)
+        if (alarm.isEmpty && ci - mni > 25L * 1000000000L) alarm = Some(i)
+      }
+      (mxi / 1e9, mxdc / 1e9, alarm)
+    }
+    val (ea, _, alarmA) = replay(Seq.fill(6)(2L) ++ Seq.fill(5)(40L))
+    val ra = fin("a")
+    assert(ra.getAs[Long]("n_hours") == 11L)
+    assert(math.abs(ra.getAs[Double]("max_ph_increase") - ea) < 1e-9,
+      s"a: engine ${ra.getAs[Double]("max_ph_increase")} vs replay $ea")
+    assert(ra.getAs[Boolean]("drift_flag"))
+    assert(alarmA.isDefined)
+    assert(ra.getAs[String]("first_alarm_up") ==
+      f"2026-01-01 ${alarmA.get}%02d:00:00")
+    val rb = fin("b")
+    assert(!rb.getAs[Boolean]("drift_flag"))
+    assert(rb.getAs[Long]("n_hours") == 11L)
+    assert(rb.getAs[String]("first_alarm_up") == null)
+    // replayed batchId must not re-fold into the state
+    val before = StreamingIngest.phStates(state)
+    StreamingIngest.phBatch(spark, out, state,
+      Seq(("a", hr(3))).toDF("event_type", "ts"), batchId = 0L)
+    assert(StreamingIngest.phStates(state) == before,
+      "replayed batchId must be a no-op")
+    // an hour below the pending hour is dropped and counted
+    StreamingIngest.phBatch(spark, out, state,
+      Seq(("a", hr(2))).toDF("event_type", "ts"), batchId = 2L)
+    val (_, st) = StreamingIngest.phStates(state)
+    assert(st("a").late == 1L && st("a").nh == 11L)
+  }
 }
