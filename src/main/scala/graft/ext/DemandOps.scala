@@ -170,8 +170,11 @@ object DemandOps {
         .withColumn("sy", col("s1").cast("double") / 1e4)
         .withColumn("syy", col("s2").cast("double") / 1e4)
         .withColumn("mu", col("sy") / col("span"))
-        .withColumn("vr", (col("syy") - col("sy") * col("sy") / col("span"))
-          / (col("span") - 1))
+        // span = 1 would divide by zero: NaN in Spark vs NULL in DuckDB
+        // — NULL stats on a degenerate one-day calendar, both engines
+        .withColumn("vr", when(col("span") > 1,
+          (col("syy") - col("sy") * col("sy") / col("span"))
+            / (col("span") - 1)))
         .withColumn("sd", sqrt(col("vr")))
         .withColumn("ss", lit(Z95.toDouble) * col("sd")
           * sqrt(lit(LeadDays.toDouble)))
@@ -285,7 +288,9 @@ object DemandOps {
           st AS (
             SELECT g.brand, g.nd, s.span,
                    g.sy / s.span AS mu,
-                   sqrt((g.syy - g.sy * g.sy / s.span) / (s.span - 1)) AS sd
+                   CASE WHEN s.span > 1 THEN
+                     sqrt((g.syy - g.sy * g.sy / s.span) / (s.span - 1))
+                   END AS sd
             FROM g CROSS JOIN sp s),
           fin AS (
             SELECT brand, span, nd, mu, sd,

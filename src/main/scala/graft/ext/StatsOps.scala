@@ -42,6 +42,35 @@ object StatsOps {
   private def brownQW(i: Int): Long =
     math.floor(brownW(i) * 1e9 + 0.5).toLong
 
+  // Shared lag-ladder builders for the Brown smoothing pair
+  // (x_holt_forecast on y, x_holt_winters on the deseasonalized yd —
+  // identical arithmetic, different input column): truncated weighted
+  // sum over the present lags, each term 1e9-quantized before the
+  // row-local sum, present-lag quantized weights as the normalizer.
+  // One definition per engine so a quantizer change cannot drift the
+  // two ops apart (r15 review).
+  private def brownNum(lg: Int => org.apache.spark.sql.Column,
+      w: Int => Double): org.apache.spark.sql.Column =
+    (1 to EwmaLags).map(i =>
+      when(lg(i).isNotNull,
+        floor(lg(i) * lit(w(i)) * 1e9 + 0.5).cast("long"))
+        .otherwise(0L)).reduce(_ + _)
+  private def brownDen(lg: Int => org.apache.spark.sql.Column,
+      qw: Int => Long): org.apache.spark.sql.Column =
+    (1 to EwmaLags).map(i =>
+      when(lg(i).isNotNull, lit(qw(i))).otherwise(0L)).reduce(_ + _)
+  private def brownNumSql(e: String, wLit: Int => String): String =
+    (1 to EwmaLags).map(i =>
+      s"""CASE WHEN lag($e, $i) OVER win IS NOT NULL
+          THEN CAST(floor(lag($e, $i) OVER win
+               * CAST(${wLit(i)} AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
+          ELSE 0 END""").mkString(" + ")
+  private def brownDenSql(e: String, qw: Int => Long): String =
+    (1 to EwmaLags).map(i =>
+      s"""CASE WHEN lag($e, $i) OVER win IS NOT NULL
+          THEN CAST(${qw(i)} AS BIGINT) ELSE CAST(0 AS BIGINT)
+          END""").mkString(" + ")
+
   // ---- Poisson bootstrap --------------------------------------------------
   // Poisson(1) CDF thresholds for the inverse-CDF weight ladder, written
   // as decimal strings so BOTH engines parse the identical binary64
@@ -501,20 +530,8 @@ object StatsOps {
           date_trunc("day", col("o_orderdate")).as("day"))
         .agg(count(lit(1)).as("y"))
       def lagY(i: Int) = lag(col("y"), i).over(w)
-      val num1 = (1 to EwmaLags).map(i =>
-        when(lagY(i).isNotNull,
-          floor(lagY(i) * lit(ewmaW(i)) * 1e9 + 0.5).cast("long"))
-          .otherwise(0L)).reduce(_ + _)
-      val den1 = (1 to EwmaLags).map(i =>
-        when(lagY(i).isNotNull, lit(ewmaQW(i))).otherwise(0L))
-        .reduce(_ + _)
-      val num2 = (1 to EwmaLags).map(i =>
-        when(lagY(i).isNotNull,
-          floor(lagY(i) * lit(brownW(i)) * 1e9 + 0.5).cast("long"))
-          .otherwise(0L)).reduce(_ + _)
-      val den2 = (1 to EwmaLags).map(i =>
-        when(lagY(i).isNotNull, lit(brownQW(i))).otherwise(0L))
-        .reduce(_ + _)
+      val (num1, den1) = (brownNum(lagY, ewmaW), brownDen(lagY, ewmaQW))
+      val (num2, den2) = (brownNum(lagY, brownW), brownDen(lagY, brownQW))
       val trendGain = (1.0 - EwmaAlpha) / EwmaAlpha // α/β with β = decay
       daily
         .withColumn("n1", num1).withColumn("d1", den1)
@@ -570,20 +587,8 @@ object StatsOps {
           - col("sa").cast("double") / col("na"))
         .withColumn("yd", col("y") - col("sdow"))
       def lagYd(i: Int) = lag(col("yd"), i).over(w)
-      val num1 = (1 to EwmaLags).map(i =>
-        when(lagYd(i).isNotNull,
-          floor(lagYd(i) * lit(ewmaW(i)) * 1e9 + 0.5).cast("long"))
-          .otherwise(0L)).reduce(_ + _)
-      val den1 = (1 to EwmaLags).map(i =>
-        when(lagYd(i).isNotNull, lit(ewmaQW(i))).otherwise(0L))
-        .reduce(_ + _)
-      val num2 = (1 to EwmaLags).map(i =>
-        when(lagYd(i).isNotNull,
-          floor(lagYd(i) * lit(brownW(i)) * 1e9 + 0.5).cast("long"))
-          .otherwise(0L)).reduce(_ + _)
-      val den2 = (1 to EwmaLags).map(i =>
-        when(lagYd(i).isNotNull, lit(brownQW(i))).otherwise(0L))
-        .reduce(_ + _)
+      val (num1, den1) = (brownNum(lagYd, ewmaW), brownDen(lagYd, ewmaQW))
+      val (num2, den2) = (brownNum(lagYd, brownW), brownDen(lagYd, brownQW))
       val trendGain = (1.0 - EwmaAlpha) / EwmaAlpha
       des
         .withColumn("n1", num1).withColumn("d1", den1)
@@ -2450,15 +2455,24 @@ object StatsOps {
           .otherwise(0L)).cast("long").as("a"))
         .withColumn("r2", col("n") - col("r1"))
         .localCheckpoint()
+      // range filters guard the degenerate margins: Spark sequence(a, b)
+      // with a > b silently generates a DESCENDING range (c1 = 0 would
+      // inject i = -1 garbage; min(r1,c1) = 0 would inject j = 0 and a
+      // duplicate ladder row), where DuckDB's range() is empty — the
+      // explicit bounds make both engines produce the same row set.
       val base = cnt
-        .select(col("r2"), col("n"),
-          explode(sequence(lit(0L), col("c1") - 1)).as("i"))
+        .select(col("c1"), col("r2"), col("n"),
+          explode(sequence(lit(0L), greatest(col("c1") - 1, lit(0L))))
+            .as("i"))
+        .filter(col("i") < col("c1"))
         .select(floor((log(col("r2") - col("i")) - log(col("n") - col("i")))
           * 1e9 + 0.5).cast("long").as("qt"))
         .agg(sum(col("qt")).cast("long").as("l0"))
       val steps = cnt
         .select(col("r1"), col("c1"), col("r2"),
-          explode(sequence(lit(1L), least(col("r1"), col("c1")))).as("j"))
+          explode(sequence(lit(1L),
+            greatest(least(col("r1"), col("c1")), lit(1L)))).as("j"))
+        .filter(col("j") >= 1 && col("j") <= least(col("r1"), col("c1")))
         .withColumn("qd", floor((log(col("r1") - col("j") + 1)
           + log(col("c1") - col("j") + 1) - log(col("j"))
           - log(col("r2") - col("c1") + col("j"))) * 1e9 + 0.5)
@@ -2488,8 +2502,12 @@ object StatsOps {
             col("a").cast("double") * (col("r2") - col("c1") + col("a"))
               / ((col("r1") - col("a")) * (col("c1") - col("a")))), 6)
             .as("odds_ratio"),
-          detRound(col("p"), 8).as("p_two_sided"),
-          (col("p") < 0.05).as("significant_05"))
+          // c1 = 0: the observed table is the ONLY table — p is 1 by
+          // definition (the enumeration machinery has nothing to sum)
+          detRound(when(col("c1") === 0, lit(1.0)).otherwise(col("p")), 8)
+            .as("p_two_sided"),
+          (when(col("c1") === 0, lit(1.0)).otherwise(col("p")) < 0.05)
+            .as("significant_05"))
     }),
 
     "x_friedman_test" -> ((s, d) => {
@@ -2542,8 +2560,17 @@ object StatsOps {
         .select(col("nb").as("n_blocks"), col("k").as("k_treatments"),
           detRound(col("q"), 4).as("q_stat"),
           detRound(col("q") / col("cc"), 4).as("q_tie_corrected"),
-          // chi-square df = k−1 = 4 at the fixture's 5 priorities
-          (col("q") / col("cc") > lit(9.488)).as("reject_05"))
+          // chi-square 0.05 critical value looked up by df = k−1 (the
+          // data decides k, so a hardcoded fixture value would silently
+          // mis-flag a different treatment count); k outside the table
+          // emits NULL rather than a wrong verdict
+          (col("q") / col("cc") >
+            when(col("k") === 2, lit(3.841459))
+              .when(col("k") === 3, lit(5.991465))
+              .when(col("k") === 4, lit(7.814728))
+              .when(col("k") === 5, lit(9.487729))
+              .when(col("k") === 6, lit(11.070498)))
+            .as("reject_05"))
     }),
 
     "x_ar2_forecast" -> ((s, d) => {
@@ -2591,10 +2618,14 @@ object StatsOps {
           max(when(col("rn") === 2, col("y"))).as("yprev"))
         .withColumn("mu", col("sy").cast("double") / col("n"))
         .withColumn("den", col("syy") - col("mu") * col("sy"))
-        .withColumn("r1", (col("sp1") - col("mu") * (col("sa1") + col("sb1"))
-          + col("n1") * col("mu") * col("mu")) / col("den"))
-        .withColumn("r2", (col("sp2") - col("mu") * (col("sa2") + col("sb2"))
-          + col("n2") * col("mu") * col("mu")) / col("den"))
+        // den = 0 (a constant series) would be NaN in Spark vs NULL in
+        // DuckDB — the x_rate_ratio zero-information discipline: NULL
+        .withColumn("r1", when(col("den") > 0,
+          (col("sp1") - col("mu") * (col("sa1") + col("sb1"))
+            + col("n1") * col("mu") * col("mu")) / col("den")))
+        .withColumn("r2", when(col("den") > 0,
+          (col("sp2") - col("mu") * (col("sa2") + col("sb2"))
+            + col("n2") * col("mu") * col("mu")) / col("den")))
         .withColumn("disc", lit(1.0) - col("r1") * col("r1"))
         .withColumn("phi1", when(abs(col("disc")) > 1e-12,
           col("r1") * (lit(1.0) - col("r2")) / col("disc")))
@@ -2912,15 +2943,8 @@ object StatsOps {
     },
 
     "x_holt_forecast" -> {
-      def ladder(wLit: Int => String): String = (1 to EwmaLags).map(i =>
-        s"""CASE WHEN lag(y, $i) OVER win IS NOT NULL
-            THEN CAST(floor(lag(y, $i) OVER win
-                 * CAST(${wLit(i)} AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
-            ELSE 0 END""").mkString(" + ")
-      def denom(qw: Int => Long): String = (1 to EwmaLags).map(i =>
-        s"""CASE WHEN lag(y, $i) OVER win IS NOT NULL
-            THEN CAST(${qw(i)} AS BIGINT) ELSE CAST(0 AS BIGINT)
-            END""").mkString(" + ")
+      def ladder(wLit: Int => String): String = brownNumSql("y", wLit)
+      def denom(qw: Int => Long): String = brownDenSql("y", qw)
       val trendGain =
         graft.util.Num.lit17((1.0 - EwmaAlpha) / EwmaAlpha)
       s"""WITH daily AS (
@@ -2956,15 +2980,8 @@ object StatsOps {
     },
 
     "x_holt_winters" -> {
-      def ladder(wLit: Int => String): String = (1 to EwmaLags).map(i =>
-        s"""CASE WHEN lag(yd, $i) OVER win IS NOT NULL
-            THEN CAST(floor(lag(yd, $i) OVER win
-                 * CAST(${wLit(i)} AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
-            ELSE 0 END""").mkString(" + ")
-      def denom(qw: Int => Long): String = (1 to EwmaLags).map(i =>
-        s"""CASE WHEN lag(yd, $i) OVER win IS NOT NULL
-            THEN CAST(${qw(i)} AS BIGINT) ELSE CAST(0 AS BIGINT)
-            END""").mkString(" + ")
+      def ladder(wLit: Int => String): String = brownNumSql("yd", wLit)
+      def denom(qw: Int => Long): String = brownDenSql("yd", qw)
       val trendGain =
         graft.util.Num.lit17((1.0 - EwmaAlpha) / EwmaAlpha)
       s"""WITH daily AS (
@@ -2973,10 +2990,13 @@ object StatsOps {
                    COUNT(*) AS y
             FROM orders GROUP BY 1, 2),
           dd AS (
+            -- ((d % 7) + 7) % 7: DuckDB % returns NEGATIVE remainders
+            -- for dates before the anchor; Spark's pmod does not, so
+            -- the plain % would split the same weekday across engines
             SELECT priority, day, y,
-                   CAST(date_diff('day',
-                     TIMESTAMP '1995-01-01 00:00:00', day) % 7 AS BIGINT)
-                     AS dow
+                   CAST(((date_diff('day',
+                     TIMESTAMP '1995-01-01 00:00:00', day) % 7) + 7) % 7
+                     AS BIGINT) AS dow
             FROM daily),
           si AS (SELECT priority, dow, COUNT(*) AS nd,
                         CAST(SUM(y) AS BIGINT) AS sd
@@ -4499,8 +4519,10 @@ object StatsOps {
                   THEN CAST(c.a AS DOUBLE) * (c.r2 - c.c1 + c.a)
                     / ((c.r1 - c.a) * (c.c1 - c.a)) END * 1e6 + 0.5) / 1e6
                   AS odds_ratio,
-                floor(ps.p * 1e8 + 0.5) / 1e8 AS p_two_sided,
-                ps.p < 0.05 AS significant_05
+                floor(CASE WHEN c.c1 = 0 THEN 1.0 ELSE ps.p END
+                  * 1e8 + 0.5) / 1e8 AS p_two_sided,
+                CASE WHEN c.c1 = 0 THEN 1.0 ELSE ps.p END < 0.05
+                  AS significant_05
          FROM ps, c2 c""",
 
     "x_friedman_test" ->
@@ -4543,7 +4565,11 @@ object StatsOps {
          SELECT nb AS n_blocks, k AS k_treatments,
                 floor(q * 1e4 + 0.5) / 1e4 AS q_stat,
                 floor(q / cc * 1e4 + 0.5) / 1e4 AS q_tie_corrected,
-                q / cc > 9.488 AS reject_05
+                q / cc > CASE k WHEN 2 THEN 3.841459
+                                WHEN 3 THEN 5.991465
+                                WHEN 4 THEN 7.814728
+                                WHEN 5 THEN 9.487729
+                                WHEN 6 THEN 11.070498 END AS reject_05
          FROM qq""",
 
     "x_ar2_forecast" ->
@@ -4581,17 +4607,21 @@ object StatsOps {
                   MAX(CASE WHEN rn = 2 THEN y END) AS yprev
            FROM lagd GROUP BY 1),
          ac AS (
+           -- den = 0 (constant series) -> NULL stats, mirroring the
+           -- engine's when(den > 0) guard
            SELECT priority, n, ylast, yprev,
                   CAST(sy AS DOUBLE) / n AS mu,
                   syy - (CAST(sy AS DOUBLE) / n) * sy AS den,
-                  (sp1 - (CAST(sy AS DOUBLE) / n) * (sa1 + sb1)
-                    + n1 * (CAST(sy AS DOUBLE) / n)
-                      * (CAST(sy AS DOUBLE) / n))
-                    / (syy - (CAST(sy AS DOUBLE) / n) * sy) AS r1,
-                  (sp2 - (CAST(sy AS DOUBLE) / n) * (sa2 + sb2)
-                    + n2 * (CAST(sy AS DOUBLE) / n)
-                      * (CAST(sy AS DOUBLE) / n))
-                    / (syy - (CAST(sy AS DOUBLE) / n) * sy) AS r2
+                  CASE WHEN syy - (CAST(sy AS DOUBLE) / n) * sy > 0 THEN
+                    (sp1 - (CAST(sy AS DOUBLE) / n) * (sa1 + sb1)
+                      + n1 * (CAST(sy AS DOUBLE) / n)
+                        * (CAST(sy AS DOUBLE) / n))
+                      / (syy - (CAST(sy AS DOUBLE) / n) * sy) END AS r1,
+                  CASE WHEN syy - (CAST(sy AS DOUBLE) / n) * sy > 0 THEN
+                    (sp2 - (CAST(sy AS DOUBLE) / n) * (sa2 + sb2)
+                      + n2 * (CAST(sy AS DOUBLE) / n)
+                        * (CAST(sy AS DOUBLE) / n))
+                      / (syy - (CAST(sy AS DOUBLE) / n) * sy) END AS r2
            FROM st),
          ph AS (
            SELECT priority, n, ylast, yprev, mu, den, r1, r2,

@@ -290,11 +290,16 @@ object StreamingIngest {
       val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
       val last = "\"lastBatch\"\\s*:\\s*(-?\\d+)".r
         .findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(-1L)
-      val rx = "\\{\"t\"\\s*:\\s*\"([^\"]+)\"\\s*,\\s*\"v\"\\s*:\\s*\\[([-0-9, ]+)\\]\\}".r
+      // escape-aware name capture: event_type is data-driven and may
+      // contain quotes/backslashes — phWriteState escapes them, and a
+      // naive [^"]+ here would silently drop (reset!) that type's state
+      val rx = ("\\{\"t\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*" +
+        "\"v\"\\s*:\\s*\\[([-0-9, ]+)\\]\\}").r
       val types = rx.findAllMatchIn(s).map { m =>
         val v = m.group(2).split(",").map(_.trim.toLong)
-        m.group(1) -> PhState(v(0), v(1), v(2), v(3), v(4), v(5), v(6),
-          v(7), v(8), v(9), v(10), v(11), v(12))
+        m.group(1).replaceAll("\\\\(.)", "$1") -> PhState(v(0), v(1),
+          v(2), v(3), v(4), v(5), v(6), v(7), v(8), v(9), v(10), v(11),
+          v(12))
       }.toMap
       (last, types)
     }
@@ -370,7 +375,8 @@ object StreamingIngest {
     val body = types.toSeq.sortBy(_._1).map { case (t, s) =>
       val v = Seq(s.nh, s.p, s.ci, s.cd, s.mni, s.mxd, s.mxi, s.mxdc,
         s.au, s.ad, s.pendH, s.pendC, s.late).mkString(", ")
-      s"""{"t": "$t", "v": [$v]}"""
+      val esc = t.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"t": "$esc", "v": [$v]}"""
     }.mkString("[", ", ", "]")
     val tmp = java.nio.file.Paths.get(statePath + ".tmp")
     java.nio.file.Files.writeString(tmp,

@@ -604,8 +604,9 @@ class EvalRetrievalSpec extends SparkSpec {
       .collect().map { x =>
         val day = x.getAs[java.sql.Timestamp]("day")
           .toLocalDateTime.toLocalDate
-        val dow = java.time.temporal.ChronoUnit.DAYS.between(
-          java.time.LocalDate.of(1995, 1, 1), day) % 7
+        val dow = java.lang.Math.floorMod(
+          java.time.temporal.ChronoUnit.DAYS.between(
+            java.time.LocalDate.of(1995, 1, 1), day), 7L)
         (x.getAs[String]("p"), dow, day, x.getAs[Long]("y"))
       }
     val byP = daily.groupBy(_._1)
@@ -622,8 +623,9 @@ class EvalRetrievalSpec extends SparkSpec {
       assert(math.abs(resid - (y - f)) <= 2e-6,
         s"resid $resid vs y-f ${y - f}")
       val day = java.time.LocalDate.parse(r.getAs[String]("day"))
-      val dow = java.time.temporal.ChronoUnit.DAYS.between(
-        java.time.LocalDate.of(1995, 1, 1), day) % 7
+      val dow = java.lang.Math.floorMod(
+        java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.of(1995, 1, 1), day), 7L)
       val expect = sIdx(r.getAs[String]("priority"), dow)
       assert(math.abs(r.getAs[Double]("seasonal") - expect) <= 1e-5,
         s"seasonal ${r.getAs[Double]("seasonal")} vs brute $expect")
