@@ -2573,6 +2573,86 @@ object StatsOps {
             .as("reject_05"))
     }),
 
+    "x_jonckheere_terpstra" -> ((s, d) => {
+      // Jonckheere–Terpstra ordered-alternative test (1954): is shipped
+      // quantity stochastically INCREASING across ordered discount
+      // levels? x_cochran_armitage answers this for proportions and
+      // x_kruskal_wallis for the unordered alternative; JT is the
+      // ordered k-sample test with strictly more power when the
+      // hypothesis has a direction. JT = Σ_{i<j} U_ij decomposes over
+      // the dense (level × quantity) histogram grid — two window
+      // cumsums (groups-below at fixed value, then values-below per
+      // group) give every pair's Mann–Whitney count in one pass, so the
+      // fact table is touched once and everything downstream is
+      // O(levels × distinct quantities) = 550 rows at any corpus size.
+      // Doubled statistic (2U = 2·below + ties) keeps half-counts
+      // integer; counts and the tie-corrected variance (Hollander &
+      // Wolfe 1999 §6.2) are exact DECIMAL sums of integer products.
+      val hist = t(s, d, "lineitem")
+        .groupBy(col("l_discount").as("g"),
+          col("l_quantity").cast("long").as("v"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .localCheckpoint()
+      val grid = hist.select("g").distinct()
+        .crossJoin(hist.select("v").distinct())
+        .join(hist, Seq("g", "v"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val wg = Window.partitionBy("v").orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wv = Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val jt2 = grid
+        .withColumn("lowv", coalesce(sum(col("c")).over(wg), lit(0L)))
+        .withColumn("below", coalesce(sum(col("lowv")).over(wv), lit(0L)))
+        .select((col("c").cast("decimal(19,0)")
+          * (lit(2L) * col("below") + col("lowv")).cast("decimal(19,0)"))
+          .as("t2"))
+        .agg(sum(col("t2")).cast("decimal(38,0)").as("jt2"))
+      // cubic terms promote to DECIMAL before multiplying — a long
+      // product n_i³ overflows once a group passes ~2M rows
+      val gsz = hist.groupBy("g").agg(sum(col("c")).cast("long").as("ni"))
+        .withColumn("di", col("ni").cast("decimal(38,0)"))
+        .agg(count(lit(1)).as("k"), sum(col("ni")).cast("long").as("nn"),
+          sum(col("di") * col("ni")).cast("decimal(38,0)").as("sn2"),
+          sum(col("di") * (col("ni") - 1) * (lit(2L) * col("ni") + 5))
+            .cast("decimal(38,0)").as("a1"),
+          sum(col("di") * (col("ni") - 1) * (col("ni") - 2))
+            .cast("decimal(38,0)").as("b1"),
+          sum(col("di") * (col("ni") - 1)).cast("decimal(38,0)")
+            .as("c1"))
+      val tsz = hist.groupBy("v").agg(sum(col("c")).cast("long").as("tv"))
+        .withColumn("dv", col("tv").cast("decimal(38,0)"))
+        .agg(sum(col("dv") * (col("tv") - 1) * (lit(2L) * col("tv") + 5))
+          .cast("decimal(38,0)").as("a2"),
+          sum(col("dv") * (col("tv") - 1) * (col("tv") - 2))
+            .cast("decimal(38,0)").as("b2"),
+          sum(col("dv") * (col("tv") - 1)).cast("decimal(38,0)")
+            .as("c2"))
+      jt2.crossJoin(broadcast(gsz)).crossJoin(broadcast(tsz))
+        .withColumn("dn", col("nn").cast("double"))
+        .withColumn("mean2",
+          (col("nn").cast("decimal(38,0)") * col("nn") - col("sn2"))
+            .cast("double") / 2.0)
+        .withColumn("va",
+          (col("dn") * (col("dn") - 1) * (lit(2.0) * col("dn") + 5)
+            - col("a1").cast("double") - col("a2").cast("double")) / 72.0)
+        .withColumn("vb", col("b1").cast("double") * col("b2").cast("double")
+          / (lit(36.0) * col("dn") * (col("dn") - 1) * (col("dn") - 2)))
+        .withColumn("vc", col("c1").cast("double") * col("c2").cast("double")
+          / (lit(8.0) * col("dn") * (col("dn") - 1)))
+        .withColumn("sg", sqrt(col("va") + col("vb") + col("vc")))
+        .withColumn("z", when(col("sg") > 0,
+          (col("jt2").cast("double") - col("mean2"))
+            / (lit(2.0) * col("sg"))))
+        .select(col("nn").as("n_obs"), col("k").as("k_levels"),
+          detRound(col("jt2").cast("double") / 2.0, 1).as("jt_stat"),
+          detRound(col("mean2") / 2.0, 1).as("jt_mean"),
+          detRound(col("z"), 6).as("z_stat"),
+          (abs(col("z")) > lit(1.959964)).as("significant_05"),
+          when(col("z") > 0, "increasing").when(col("z") < 0, "decreasing")
+            .otherwise("none").as("trend"))
+    }),
+
     "x_ar2_forecast" -> ((s, d) => {
       // AR(2) fit by Yule–Walker on monthly order counts per priority —
       // the autoregressive model class beside the smoothing forecasts
@@ -4571,6 +4651,86 @@ object StatsOps {
                                 WHEN 5 THEN 9.487729
                                 WHEN 6 THEN 11.070498 END AS reject_05
          FROM qq""",
+
+    "x_jonckheere_terpstra" ->
+      """WITH hist AS MATERIALIZED (
+           SELECT l_discount AS g, CAST(l_quantity AS BIGINT) AS v,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM lineitem GROUP BY 1, 2),
+         grid AS (
+           SELECT gg.g, vv.v, COALESCE(h.c, 0) AS c
+           FROM (SELECT DISTINCT g FROM hist) gg
+           CROSS JOIN (SELECT DISTINCT v FROM hist) vv
+           LEFT JOIN hist h ON h.g = gg.g AND h.v = vv.v),
+         cums AS (
+           SELECT g, v, c,
+                  COALESCE(SUM(c) OVER (PARTITION BY v ORDER BY g
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS lowv
+           FROM grid),
+         cums2 AS (
+           SELECT g, v, c, lowv,
+                  COALESCE(SUM(lowv) OVER (PARTITION BY g ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS below
+           FROM cums),
+         jt AS (SELECT CAST(SUM(CAST(c AS HUGEINT)
+                  * (2 * below + lowv)) AS HUGEINT) AS jt2
+                FROM cums2),
+         gsz0 AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ni
+                  FROM hist GROUP BY 1),
+         gsz AS (
+           SELECT COUNT(*) AS k, CAST(SUM(ni) AS BIGINT) AS nn,
+                  CAST(SUM(CAST(ni AS HUGEINT) * ni) AS HUGEINT) AS sn2,
+                  CAST(SUM(CAST(ni AS HUGEINT) * (ni - 1)
+                    * (2 * ni + 5)) AS HUGEINT) AS a1,
+                  CAST(SUM(CAST(ni AS HUGEINT) * (ni - 1) * (ni - 2))
+                    AS HUGEINT) AS b1,
+                  CAST(SUM(CAST(ni AS HUGEINT) * (ni - 1)) AS HUGEINT)
+                    AS c1
+           FROM gsz0),
+         tsz0 AS (SELECT v, CAST(SUM(c) AS BIGINT) AS tv
+                  FROM hist GROUP BY 1),
+         tsz AS (
+           SELECT CAST(SUM(CAST(tv AS HUGEINT) * (tv - 1)
+                    * (2 * tv + 5)) AS HUGEINT) AS a2,
+                  CAST(SUM(CAST(tv AS HUGEINT) * (tv - 1) * (tv - 2))
+                    AS HUGEINT) AS b2,
+                  CAST(SUM(CAST(tv AS HUGEINT) * (tv - 1)) AS HUGEINT)
+                    AS c2
+           FROM tsz0),
+         fin AS (
+           SELECT j.jt2, g.k, g.nn,
+                  CAST(CAST(g.nn AS HUGEINT) * g.nn - g.sn2 AS DOUBLE)
+                    / 2.0 AS mean2,
+                  (CAST(g.nn AS DOUBLE) * (CAST(g.nn AS DOUBLE) - 1)
+                    * (2 * CAST(g.nn AS DOUBLE) + 5)
+                    - CAST(g.a1 AS DOUBLE) - CAST(t.a2 AS DOUBLE))
+                    / 72.0 AS va,
+                  CAST(g.b1 AS DOUBLE) * CAST(t.b2 AS DOUBLE)
+                    / (36.0 * CAST(g.nn AS DOUBLE)
+                      * (CAST(g.nn AS DOUBLE) - 1)
+                      * (CAST(g.nn AS DOUBLE) - 2)) AS vb,
+                  CAST(g.c1 AS DOUBLE) * CAST(t.c2 AS DOUBLE)
+                    / (8.0 * CAST(g.nn AS DOUBLE)
+                      * (CAST(g.nn AS DOUBLE) - 1)) AS vc
+           FROM jt j CROSS JOIN gsz g CROSS JOIN tsz t),
+         zz AS (
+           SELECT nn, k, jt2, mean2,
+                  CASE WHEN sqrt(va + vb + vc) > 0 THEN
+                    (CAST(jt2 AS DOUBLE) - mean2)
+                      / (2.0 * sqrt(va + vb + vc)) END AS z
+           FROM fin)
+         SELECT nn AS n_obs, k AS k_levels,
+                floor(CAST(jt2 AS DOUBLE) / 2.0 * 1e1 + 0.5) / 1e1
+                  AS jt_stat,
+                floor(mean2 / 2.0 * 1e1 + 0.5) / 1e1 AS jt_mean,
+                floor(z * 1e6 + 0.5) / 1e6 AS z_stat,
+                abs(z) > 1.959964 AS significant_05,
+                CASE WHEN z > 0 THEN 'increasing'
+                     WHEN z < 0 THEN 'decreasing'
+                     ELSE 'none' END AS trend
+         FROM zz""",
 
     "x_ar2_forecast" ->
       """WITH m AS (

@@ -700,6 +700,39 @@ class EvalRetrievalSpec extends SparkSpec {
       s"friedman Q ${r.getAs[Double]("q_stat")} vs brute $q")
   }
 
+  test("x_jonckheere_terpstra: doubled JT equals a brute-force " +
+      "pairwise Mann-Whitney sum over ordered discount levels") {
+    val r = run("x_jonckheere_terpstra").collect().head
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_discount", "l_quantity").collect()
+      .map(x => (x.getDouble(0), x.getDouble(1).toLong))
+    assert(r.getAs[Long]("n_obs") == rows.length.toLong)
+    val groups = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, xs) =>
+        xs.map(_._2).groupBy(identity).map { case (v, o) =>
+          v -> o.length.toLong }
+      }
+    assert(r.getAs[Long]("k_levels") == groups.length.toLong)
+    // 2*JT = sum over ordered group pairs i < j of (2*wins + ties)
+    var jt2 = BigInt(0)
+    for (i <- groups.indices; j <- i + 1 until groups.length)
+      for ((vi, ci) <- groups(i); (vj, cj) <- groups(j)) {
+        if (vj > vi) jt2 += 2L * ci * cj
+        else if (vj == vi) jt2 += ci * cj
+      }
+    val got2 = BigDecimal(r.getAs[Double]("jt_stat")) * 2
+    assert(got2 == BigDecimal(jt2), s"2JT: engine $got2 vs brute $jt2")
+    // mean sanity: 2*mean = (n^2 - sum ni^2) / 2
+    val ns = groups.map(_.values.sum)
+    val n = ns.sum
+    val mean2 = (BigInt(n) * n - ns.map(x => BigInt(x) * x).sum) / 2
+    assert(BigDecimal(r.getAs[Double]("jt_mean")) * 2 == BigDecimal(mean2))
+    val z = r.getAs[Double]("z_stat")
+    assert(math.abs(z) < 10.0)
+    assert(r.getAs[String]("trend") ==
+      (if (z > 0) "increasing" else if (z < 0) "decreasing" else "none"))
+  }
+
   test("x_ar2_forecast: Yule-Walker coefficients and forecasts equal a " +
       "plain-Scala recomputation per priority") {
     val got = run("x_ar2_forecast").collect()
