@@ -2640,7 +2640,12 @@ object StatsOps {
           / (lit(36.0) * col("dn") * (col("dn") - 1) * (col("dn") - 2)))
         .withColumn("vc", col("c1").cast("double") * col("c2").cast("double")
           / (lit(8.0) * col("dn") * (col("dn") - 1)))
-        .withColumn("sg", sqrt(col("va") + col("vb") + col("vc")))
+        // sqrt only on a strictly positive variance: the three terms
+        // cancel exactly at k = 1 and float error can land tiny-negative
+        // — DuckDB sqrt(<0) THROWS while Spark returns NaN, so both
+        // engines guard BEFORE the sqrt (r15 review)
+        .withColumn("sg", when(col("va") + col("vb") + col("vc") > 0,
+          sqrt(col("va") + col("vb") + col("vc"))))
         .withColumn("z", when(col("sg") > 0,
           (col("jt2").cast("double") - col("mean2"))
             / (lit(2.0) * col("sg"))))
@@ -2648,8 +2653,11 @@ object StatsOps {
           detRound(col("jt2").cast("double") / 2.0, 1).as("jt_stat"),
           detRound(col("mean2") / 2.0, 1).as("jt_mean"),
           detRound(col("z"), 6).as("z_stat"),
-          (abs(col("z")) > lit(1.959964)).as("significant_05"),
-          when(col("z") > 0, "increasing").when(col("z") < 0, "decreasing")
+          (abs(col("z")) > lit(1.96)).as("significant_05"),
+          // significance-gated label (the x_mann_kendall convention):
+          // a raw-sign label would call pure noise a trend
+          when(col("z") > lit(1.96), "increasing")
+            .when(col("z") < lit(-1.96), "decreasing")
             .otherwise("none").as("trend"))
     }),
 
@@ -4716,8 +4724,9 @@ object StatsOps {
                       * (CAST(g.nn AS DOUBLE) - 1)) AS vc
            FROM jt j CROSS JOIN gsz g CROSS JOIN tsz t),
          zz AS (
+           -- guard BEFORE sqrt: DuckDB sqrt(<0) throws
            SELECT nn, k, jt2, mean2,
-                  CASE WHEN sqrt(va + vb + vc) > 0 THEN
+                  CASE WHEN va + vb + vc > 0 THEN
                     (CAST(jt2 AS DOUBLE) - mean2)
                       / (2.0 * sqrt(va + vb + vc)) END AS z
            FROM fin)
@@ -4726,9 +4735,9 @@ object StatsOps {
                   AS jt_stat,
                 floor(mean2 / 2.0 * 1e1 + 0.5) / 1e1 AS jt_mean,
                 floor(z * 1e6 + 0.5) / 1e6 AS z_stat,
-                abs(z) > 1.959964 AS significant_05,
-                CASE WHEN z > 0 THEN 'increasing'
-                     WHEN z < 0 THEN 'decreasing'
+                abs(z) > 1.96 AS significant_05,
+                CASE WHEN z > 1.96 THEN 'increasing'
+                     WHEN z < -1.96 THEN 'decreasing'
                      ELSE 'none' END AS trend
          FROM zz""",
 

@@ -727,10 +727,28 @@ class EvalRetrievalSpec extends SparkSpec {
     val n = ns.sum
     val mean2 = (BigInt(n) * n - ns.map(x => BigInt(x) * x).sum) / 2
     assert(BigDecimal(r.getAs[Double]("jt_mean")) * 2 == BigDecimal(mean2))
+    // brute-force the tie-corrected variance and z (Hollander-Wolfe)
+    val tvs = rows.groupBy(_._2).values.map(_.length.toLong).toSeq
+    val dn = n.toDouble
+    def a(x: Long) = x.toDouble * (x - 1) * (2 * x + 5)
+    def b(x: Long) = x.toDouble * (x - 1) * (x - 2)
+    def cc(x: Long) = x.toDouble * (x - 1)
+    val va = (dn * (dn - 1) * (2 * dn + 5)
+      - ns.map(a).sum - tvs.map(a).sum) / 72.0
+    val vb = ns.map(b).sum * tvs.map(b).sum /
+      (36.0 * dn * (dn - 1) * (dn - 2))
+    val vc = ns.map(cc).sum * tvs.map(cc).sum / (8.0 * dn * (dn - 1))
+    val zBrute = (jt2.toDouble - mean2.toDouble) /
+      (2.0 * math.sqrt(va + vb + vc))
     val z = r.getAs[Double]("z_stat")
-    assert(math.abs(z) < 10.0)
-    assert(r.getAs[String]("trend") ==
-      (if (z > 0) "increasing" else if (z < 0) "decreasing" else "none"))
+    assert(math.abs(z - zBrute) < 1e-5, s"z $z vs brute $zBrute")
+    assert(r.getAs[Boolean]("significant_05") == (math.abs(zBrute) > 1.96)
+      || math.abs(math.abs(zBrute) - 1.96) < 1e-6)
+    // trend is significance-gated (the x_mann_kendall convention)
+    val expTrend = if (zBrute > 1.96) "increasing"
+      else if (zBrute < -1.96) "decreasing" else "none"
+    if (math.abs(math.abs(zBrute) - 1.96) > 1e-6)
+      assert(r.getAs[String]("trend") == expTrend)
   }
 
   test("x_ar2_forecast: Yule-Walker coefficients and forecasts equal a " +
