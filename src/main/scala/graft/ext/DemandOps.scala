@@ -61,12 +61,14 @@ object DemandOps {
   private val NvUnder = 3
   private val NvOver = 1
 
-  /** Per-(brand, day) exact shipped quantity. One broadcast dim join +
-    * one fact groupBy; `q` is DECIMAL-exact and identical in both
-    * engines (inputs are 4-dp-clean doubles). */
+  /** Per-(brand, day) exact shipped quantity. One dim join (part is a
+    * true dimension that GROWS with scale, so the broadcast decision is
+    * left to AQE's size threshold rather than forced — the PlanAudit
+    * unbounded-broadcast rule) + one fact groupBy; `q` is DECIMAL-exact
+    * and identical in both engines (inputs are 4-dp-clean doubles). */
   private def demandDaily(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
-      .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand")),
+      .join(t(s, d, "part").select("p_partkey", "p_brand"),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand").as("brand"),
         date_trunc("day", col("l_shipdate")).as("day"))

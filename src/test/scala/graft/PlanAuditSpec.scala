@@ -169,6 +169,21 @@ class PlanAuditSpec extends SparkSpec {
     // x_tukey_hsd checkpoints the 5-row per-group sufficient statistics
     // its pairwise grid and MSW both re-read
     "x_tukey_hsd",
+    // r15 additions, reviewed: x_fisher_exact checkpoints the 1-row
+    // 2x2 counts and the O(rare margin) log-prob ladder;
+    // x_friedman_test the O(months x k) complete-block cell table;
+    // x_jonckheere_terpstra the grouped (level, quantity) histogram;
+    // x_weibull_fit rides the survival family's checkpointed skinny
+    // spell projection (same site as x_kaplan_meier);
+    // x_textrank_keywords checkpoints the vocabulary-bounded word
+    // graph (edges/wdeg) and the per-iteration O(vocab) rank table
+    // (the x_pagerank pattern); x_clustering_coeff checkpoints the
+    // >=2-support co-purchase backbone, its degree table, the oriented
+    // edges, and the enumerated triangle corners (the x_triangle_count
+    // rationale: support-cut edges saturate at the catalog's true
+    // affinities)
+    "x_fisher_exact", "x_friedman_test", "x_jonckheere_terpstra",
+    "x_weibull_fit", "x_textrank_keywords", "x_clustering_coeff",
     "x_chi2_independence",
     "x_classifier_agreement", "x_classifier_report", "x_cluster_size_dist",
     "x_cluster_topics", "x_collocations", "x_cooccurrence_recs",
