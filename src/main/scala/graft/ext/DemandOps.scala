@@ -177,7 +177,11 @@ object DemandOps {
         .withColumn("vr", when(col("span") > 1,
           (col("syy") - col("sy") * col("sy") / col("span"))
             / (col("span") - 1)))
-        .withColumn("sd", sqrt(col("vr")))
+        // sqrt only on a strictly positive variance: a near-constant
+        // zero-inclusive series can land vr tiny-negative via float
+        // cancellation — DuckDB sqrt(<0) THROWS while Spark returns NaN,
+        // so both engines guard BEFORE the sqrt (r15 advice)
+        .withColumn("sd", when(col("vr") > 0, sqrt(col("vr"))))
         .withColumn("ss", lit(Z95.toDouble) * col("sd")
           * sqrt(lit(LeadDays.toDouble)))
         .select(col("brand"), col("span").as("n_span_days"),
@@ -287,13 +291,18 @@ object DemandOps {
                    CAST(SUM(CAST(floor(q * q * 1e4 + 0.5) AS HUGEINT))
                      AS DOUBLE) / 1e4 AS syy
             FROM daily GROUP BY 1),
-          st AS (
+          st0 AS (
             SELECT g.brand, g.nd, s.span,
                    g.sy / s.span AS mu,
                    CASE WHEN s.span > 1 THEN
-                     sqrt((g.syy - g.sy * g.sy / s.span) / (s.span - 1))
-                   END AS sd
+                     (g.syy - g.sy * g.sy / s.span) / (s.span - 1)
+                   END AS vr
             FROM g CROSS JOIN sp s),
+          st AS (
+            -- guard BEFORE sqrt: DuckDB sqrt(<0) throws (r15 advice)
+            SELECT brand, nd, span, mu,
+                   CASE WHEN vr > 0 THEN sqrt(vr) END AS sd
+            FROM st0),
           fin AS (
             SELECT brand, span, nd, mu, sd,
                    CAST($Z95 AS DOUBLE) * sd

@@ -2441,9 +2441,14 @@ object StatsOps {
       // the quantizer), the base term ln p₀ = Σᵢ ln((r2−i)/(n−i)) a
       // 1e9-quantized i-ladder, so the two-sided rule "sum p_k over
       // tables with qlp_k ≤ qlp_obs" compares exact integers. Each
-      // probability is exp() of an identical double, 1e12-quantized
-      // before the final sum. Requires kmin = max(0, r1+c1−n) = 0
-      // (guaranteed while the rare margin is under half the corpus).
+      // probability is exp() of an identical double, 1e15-quantized
+      // before the final sum (r15 advice: at 1e12 every term below
+      // 5e-13 truncated to 0, understating p by up to n_tables·5e-13 —
+      // at 1e15 the bound is n_tables·5e-16, below the 1e-8 output
+      // rounding even at millions of tables; the sum stays ≤ 1e21,
+      // far inside DECIMAL(38,0)/HUGEINT). Requires kmin =
+      // max(0, r1+c1−n) = 0 (guaranteed while the rare margin is under
+      // half the corpus).
       val cnt = t(s, d, "orders").agg(
         count(lit(1)).cast("long").as("n"),
         sum(when(col("o_totalprice") > 480000.0, 1L).otherwise(0L))
@@ -2489,10 +2494,10 @@ object StatsOps {
         .filter(col("k") === col("ka")).select(col("qlp").as("qobs"))
       lp.crossJoin(broadcast(obs))
         .filter(col("qlp") <= col("qobs"))
-        .agg(sum(floor(exp(col("qlp").cast("double") / 1e9) * 1e12 + 0.5)
+        .agg(sum(floor(exp(col("qlp").cast("double") / 1e9) * 1e15 + 0.5)
           .cast("decimal(38,0)")).as("qp"),
           count(lit(1)).cast("long").as("n_tables"))
-        .withColumn("p", col("qp").cast("double") / 1e12)
+        .withColumn("p", col("qp").cast("double") / 1e15)
         .crossJoin(broadcast(cnt))
         .select(col("a").as("n11"), (col("r1") - col("a")).as("n12"),
           (col("c1") - col("a")).as("n21"),
@@ -2557,14 +2562,19 @@ object StatsOps {
         .withColumn("cc", lit(1.0) - col("st3").cast("double")
           / (col("nb").cast("double") * col("k")
             * (col("k") * col("k") - 1)))
+        // cc = 0 when every revenue ties within every block (st3 =
+        // nb·k·(k²−1)): Spark double-div-by-zero yields Inf/NaN while
+        // DuckDB differs — the degenerate case returns NULL like the
+        // rest of this family (r15 advice)
+        .withColumn("qc", when(col("cc") > 0, col("q") / col("cc")))
         .select(col("nb").as("n_blocks"), col("k").as("k_treatments"),
           detRound(col("q"), 4).as("q_stat"),
-          detRound(col("q") / col("cc"), 4).as("q_tie_corrected"),
+          detRound(col("qc"), 4).as("q_tie_corrected"),
           // chi-square 0.05 critical value looked up by df = k−1 (the
           // data decides k, so a hardcoded fixture value would silently
           // mis-flag a different treatment count); k outside the table
           // emits NULL rather than a wrong verdict
-          (col("q") / col("cc") >
+          (col("qc") >
             when(col("k") === 2, lit(3.841459))
               .when(col("k") === 3, lit(5.991465))
               .when(col("k") === 4, lit(7.814728))
@@ -4598,7 +4608,7 @@ object StatsOps {
          obs AS (SELECT l.qlp AS qobs FROM lp l, c2 c WHERE l.k = c.a),
          ps AS (
            SELECT CAST(SUM(CAST(floor(exp(CAST(l.qlp AS DOUBLE) / 1e9)
-                    * 1e12 + 0.5) AS HUGEINT)) AS DOUBLE) / 1e12 AS p,
+                    * 1e15 + 0.5) AS HUGEINT)) AS DOUBLE) / 1e15 AS p,
                   CAST(COUNT(*) AS BIGINT) AS n_tables
            FROM lp l, obs o WHERE l.qlp <= o.qobs)
          SELECT c.a AS n11, c.r1 - c.a AS n12, c.c1 - c.a AS n21,
@@ -4649,16 +4659,21 @@ object StatsOps {
                     - 3.0 * a.nb * (a.k + 1) AS q,
                   1.0 - CAST(t.st3 AS DOUBLE)
                     / (CAST(a.nb AS DOUBLE) * a.k * (a.k * a.k - 1)) AS cc
-           FROM agg a CROSS JOIN ties t)
+           FROM agg a CROSS JOIN ties t),
+         qc AS (
+           -- cc = 0 (all-tied degenerate case) -> NULL, not div-by-zero
+           SELECT nb, k, q,
+                  CASE WHEN cc > 0 THEN q / cc END AS qcv
+           FROM qq)
          SELECT nb AS n_blocks, k AS k_treatments,
                 floor(q * 1e4 + 0.5) / 1e4 AS q_stat,
-                floor(q / cc * 1e4 + 0.5) / 1e4 AS q_tie_corrected,
-                q / cc > CASE k WHEN 2 THEN 3.841459
-                                WHEN 3 THEN 5.991465
-                                WHEN 4 THEN 7.814728
-                                WHEN 5 THEN 9.487729
-                                WHEN 6 THEN 11.070498 END AS reject_05
-         FROM qq""",
+                floor(qcv * 1e4 + 0.5) / 1e4 AS q_tie_corrected,
+                qcv > CASE k WHEN 2 THEN 3.841459
+                             WHEN 3 THEN 5.991465
+                             WHEN 4 THEN 7.814728
+                             WHEN 5 THEN 9.487729
+                             WHEN 6 THEN 11.070498 END AS reject_05
+         FROM qc""",
 
     "x_jonckheere_terpstra" ->
       """WITH hist AS MATERIALIZED (
