@@ -154,9 +154,10 @@ class PlanAuditSpec extends SparkSpec {
     // O(distinct days) histogram
     "x_kaplan_meier", "x_nelson_aalen", "x_logrank_test",
     "x_hazard_ratio", "x_restricted_mean_survival",
-    // x_frequent_itemsets checkpoints the skinny (oid, item) basket
-    // table and the O(items)/O(pairs) frequent levels the Apriori
-    // candidate join re-reads
+    // x_frequent_itemsets checkpoints the (oid, sorted-item-array)
+    // basket table — O(baskets) rows × bounded basket width (≤ order
+    // line count), read once per counting level — and the O(items)/
+    // O(pairs) frequent levels the Apriori candidate join re-reads
     "x_frequent_itemsets",
     // x_cox_one_step / x_cumulative_incidence reuse the survival
     // family's checkpointed spell projection; x_isotonic_calibration

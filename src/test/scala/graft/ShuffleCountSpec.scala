@@ -85,9 +85,11 @@ class ShuffleCountSpec extends SparkSpec {
     "x_ann_pq_adc_recall" -> 42,
     // r15 fresh-tier rotation members (survival/itemset/attribution):
     // x_isotonic_calibration's 0 is the checkpoint caveat above (the
-    // PAV prefix runs during construction); x_frequent_itemsets' 11 is
-    // the level-wise candidate/count join ladder
-    "x_frequent_itemsets" -> 11,
+    // PAV prefix runs during construction); x_frequent_itemsets dropped
+    // 11 -> 7 in the r16 rework (the oid counting self-joins replaced
+    // by per-basket array combinatorics: what remains is the level
+    // count shuffles + candidate join + final sort, all O(candidates))
+    "x_frequent_itemsets" -> 7,
     "x_isotonic_calibration" -> 0,
     "x_kaplan_meier" -> 3,
     "x_logrank_test" -> 4,
