@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.types.Coercions.{detRound, fmtD}
+import graft.types.Coercions.{detRound, fmtD, revenue}
 import graft.util.Num.lit17
 import graft.util.Tables.t
 
@@ -49,6 +49,15 @@ object DemandOps {
 
   // Syntetos–Boylan approximation bias correction: (1 − alpha/2).
   private val SbaFactor = 0.9
+
+  // Backtest holdout: the last K demand periods per brand are scored,
+  // everything before them trains the estimators. The SES comparison
+  // smooths the DAILY series including zeros with the same beta ladder;
+  // its normalizer is the full 40-weight quantized sum (every calendar
+  // lag is "present" on a zero-inclusive series), a constant embedded
+  // identically in both engines.
+  private val CrostonHoldout = 8
+  private val SesDenQ: Long = (0 until CrostonLags).map(crQW).sum
 
   // One-sided 95% normal service-level quantile (Φ⁻¹(0.95)), and the
   // review lead time in days for the reorder-point policy.
@@ -227,6 +236,193 @@ object DemandOps {
           detRound(col("cum").cast("double") / col("span"), 6)
             .as("cdf_at_level"))
         .orderBy("brand")
+    }),
+
+    "x_croston_backtest" -> ((s, d) => {
+      // Does Croston actually beat naive smoothing on THIS data? The
+      // intermittent-demand twin of a forecast backtest: hold out the
+      // last 8 demand periods per brand, fit three flat forecasters on
+      // the train prefix — Croston's rate ẑ/p̂, the SBA-corrected
+      // (1−α/2)·ẑ/p̂, and plain SES over the zero-inclusive DAILY
+      // series (the method Croston 1972 was written against, which
+      // decays toward zero between spikes) — then score daily-demand
+      // MAE over the holdout calendar window. Zero days are never
+      // materialized: a zero day's |0 − f| = f, so the holdout error is
+      // Σ_{demand days}|q − f| + (window − K)·f with the window length
+      // from the scalar global calendar, and SES's numerator only needs
+      // demand days within the 40-day lag horizon (zero days contribute
+      // nothing) with the full 40-weight sum as its constant
+      // normalizer. The winner is picked on the exact INTEGER quantized
+      // error sums (never the divided doubles), ties broken
+      // croston > sba > ses. Scale: one fact pass to day grain,
+      // everything downstream O(brands × demand days).
+      val wAsc = Window.partitionBy("brand").orderBy("day")
+      val wDesc = Window.partitionBy("brand").orderBy(desc("day"))
+      val daily0 = demandDaily(s, d)
+        .withColumn("rnd", row_number().over(wDesc))
+        .localCheckpoint()
+      val train = daily0.filter(col("rnd") > CrostonHoldout)
+      def lagQ(i: Int): Column =
+        if (i == 0) col("q") else lag(col("q"), i).over(wAsc)
+      def lagIv(i: Int): Column =
+        if (i == 0) col("iv") else lag(col("iv"), i).over(wAsc)
+      def num(lg: Int => Column): Column = (0 until CrostonLags).map(i =>
+        when(lg(i).isNotNull,
+          floor(lg(i) * lit(crW(i)) * 1e9 + 0.5).cast("long"))
+          .otherwise(0L)).reduce(_ + _)
+      def den(lg: Int => Column): Column = (0 until CrostonLags).map(i =>
+        when(lg(i).isNotNull, lit(crQW(i))).otherwise(0L)).reduce(_ + _)
+      val cut = train
+        .withColumn("iv",
+          datediff(col("day"), lag(col("day"), 1).over(wAsc))
+            .cast("double"))
+        .withColumn("nz", num(lagQ)).withColumn("dz", den(lagQ))
+        .withColumn("np", num(lagIv)).withColumn("dp", den(lagIv))
+        .withColumn("nt", count(lit(1)).over(Window.partitionBy("brand")))
+        .withColumn("rn2", row_number().over(
+          Window.partitionBy("brand").orderBy(desc("day"))))
+        .filter(col("rn2") === 1)
+        .withColumn("z",
+          col("nz").cast("double") / col("dz").cast("double"))
+        .withColumn("p", when(col("dp") > 0,
+          col("np").cast("double") / col("dp").cast("double")))
+        .withColumn("croston_rate", when(col("p") > 0, col("z") / col("p")))
+        .withColumn("sba_rate",
+          when(col("p") > 0, lit(SbaFactor) * col("z") / col("p")))
+        .select(col("brand"), col("day").as("cut_day"), col("nt"),
+          col("croston_rate"), col("sba_rate"))
+      // weight looked up by calendar lag from the cut (embedded
+      // literals, the family's no-pow-at-query-time discipline)
+      val wcase = (0 until CrostonLags).foldLeft(when(lit(false), 0.0)) {
+        (acc, i) => acc.when(col("lagd") === i, lit(crW(i)))
+      }
+      val ses = train.join(cut.select("brand", "cut_day"), "brand")
+        .withColumn("lagd", datediff(col("cut_day"), col("day")))
+        .filter(col("lagd") < CrostonLags)
+        .select(col("brand"),
+          floor(col("q") * wcase * 1e9 + 0.5).cast("long").as("qt"))
+        .groupBy("brand").agg(sum(col("qt")).cast("long").as("sesq"))
+        .withColumn("ses_rate",
+          col("sesq").cast("double") / lit(SesDenQ).cast("double"))
+        .select("brand", "ses_rate")
+      val est = cut.join(ses, "brand").localCheckpoint()
+      val dmax = t(s, d, "lineitem")
+        .agg(max(date_trunc("day", col("l_shipdate"))).as("dmax"))
+      def qae(f: Column): Column =
+        floor(abs(col("q") - f) * 1e6 + 0.5).cast("decimal(38,0)")
+      val sc = daily0.filter(col("rnd") <= CrostonHoldout)
+        .join(broadcast(est), "brand")
+        .groupBy("brand")
+        .agg(sum(qae(col("croston_rate"))).as("e_cro"),
+          sum(qae(col("sba_rate"))).as("e_sba"),
+          sum(qae(col("ses_rate"))).as("e_ses"),
+          count(lit(1)).cast("long").as("hn"))
+      val fin = sc.join(broadcast(est), "brand")
+        .crossJoin(broadcast(dmax))
+        .withColumn("h_span",
+          datediff(col("dmax"), col("cut_day")).cast("long"))
+        .withColumn("q_cro", col("e_cro").cast("long")
+          + (col("h_span") - col("hn"))
+            * floor(col("croston_rate") * 1e6 + 0.5).cast("long"))
+        .withColumn("q_sba", col("e_sba").cast("long")
+          + (col("h_span") - col("hn"))
+            * floor(col("sba_rate") * 1e6 + 0.5).cast("long"))
+        .withColumn("q_ses", col("e_ses").cast("long")
+          + (col("h_span") - col("hn"))
+            * floor(col("ses_rate") * 1e6 + 0.5).cast("long"))
+      fin.select(col("brand"), fmtD(col("cut_day")).as("cut_day"),
+          col("nt").as("n_train"), col("hn").as("n_holdout"),
+          col("h_span").as("h_span_days"),
+          detRound(col("q_cro").cast("double") / 1e6 / col("h_span"), 6)
+            .as("mae_croston"),
+          detRound(col("q_sba").cast("double") / 1e6 / col("h_span"), 6)
+            .as("mae_sba"),
+          detRound(col("q_ses").cast("double") / 1e6 / col("h_span"), 6)
+            .as("mae_ses"),
+          when(col("q_cro").isNotNull && col("q_sba").isNotNull &&
+              col("q_ses").isNotNull,
+            when(col("q_cro") <= col("q_sba") &&
+              col("q_cro") <= col("q_ses"), "croston")
+              .when(col("q_sba") <= col("q_ses"), "sba")
+              .otherwise("ses")).as("best_method"))
+        .orderBy("brand")
+    }),
+
+    "x_abc_xyz" -> ((s, d) => {
+      // ABC × XYZ inventory classification — the 9-cell planning matrix
+      // every ERP planner keeps (Silver–Pyke–Peterson ch. 3): ABC ranks
+      // brands by cumulative revenue share (A ≤ 80%, B ≤ 95%, C rest)
+      // and XYZ classes demand PREDICTABILITY by the coefficient of
+      // variation of weekly demand at the classic 0.5/1.0 cuts. Weekly
+      // grain (not daily) is the standard XYZ window — daily CV on an
+      // intermittent series is dominated by the zero days and classes
+      // everything Z. Weeks are INTEGER day-diff buckets from the
+      // global first ship day (never date_trunc('week') — engines
+      // disagree on week-start conventions), zero weeks counted via
+      // the scalar calendar span exactly like x_safety_stock's zero
+      // days. Revenue and cumulative shares are exact DECIMAL sums
+      // (window cum over the 25-row brand table) cast to double once;
+      // the CV guards follow the family discipline (nw > 1, vr > 0,
+      // mu > 0 — NULL class on a degenerate series, both engines).
+      // Scale: two fact passes (revenue groupBy, day-grain groupBy),
+      // both map-side partial; everything downstream O(brands).
+      val rev = t(s, d, "lineitem")
+        .join(t(s, d, "part").select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .as("revd"))
+      val tot = rev.agg(sum(col("revd")).as("totd"))
+      val wcum = Window.orderBy(desc("revd"), asc("brand"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val abc = rev.crossJoin(broadcast(tot))
+        .withColumn("cumd", sum(col("revd")).over(wcum))
+        .withColumn("rev_share",
+          col("revd").cast("double") / col("totd").cast("double"))
+        .withColumn("cum_share",
+          col("cumd").cast("double") / col("totd").cast("double"))
+        .withColumn("abc_class",
+          when(col("cum_share") <= 0.80, "A")
+            .when(col("cum_share") <= 0.95, "B").otherwise("C"))
+      val d0 = t(s, d, "lineitem")
+        .agg(min(date_trunc("day", col("l_shipdate"))).as("d0"))
+      val weekly = demandDaily(s, d)
+        .crossJoin(broadcast(d0))
+        .withColumn("wk",
+          floor(datediff(col("day"), col("d0")) / lit(7.0)).cast("long"))
+        .groupBy(col("brand"), col("wk"))
+        .agg(sum(col("qq")).as("wq"))
+      val xyz = weekly
+        .withColumn("w", col("wq").cast("double") / 1e4)
+        .groupBy(col("brand"))
+        .agg(sum(col("wq")).as("s1"),
+          sum(floor(col("w") * col("w") * 1e4 + 0.5).cast("decimal(38,0)"))
+            .as("s2"))
+        .crossJoin(broadcast(spanFrame(s, d)))
+        .withColumn("nw",
+          (floor((col("span") - 1) / lit(7.0)) + 1).cast("long"))
+        .withColumn("sy", col("s1").cast("double") / 1e4)
+        .withColumn("syy", col("s2").cast("double") / 1e4)
+        .withColumn("mu", col("sy") / col("nw"))
+        .withColumn("vr", when(col("nw") > 1,
+          (col("syy") - col("sy") * col("sy") / col("nw"))
+            / (col("nw") - 1)))
+        .withColumn("sd", when(col("vr") > 0, sqrt(col("vr"))))
+        .withColumn("cv", when(col("mu") > 0, col("sd") / col("mu")))
+        .withColumn("xyz_class",
+          when(col("cv") < 0.5, "X").when(col("cv") < 1.0, "Y")
+            .when(col("cv").isNotNull, "Z"))
+      abc.join(xyz, Seq("brand"))
+        .select(col("brand"),
+          detRound(col("revd").cast("double"), 2).as("revenue"),
+          detRound(col("rev_share"), 6).as("rev_share"),
+          detRound(col("cum_share"), 6).as("cum_share"),
+          col("abc_class"), col("nw").as("n_weeks"),
+          detRound(col("mu"), 4).as("mean_weekly"),
+          detRound(col("cv"), 6).as("cv_weekly"),
+          col("xyz_class"),
+          concat(col("abc_class"), col("xyz_class")).as("policy_class"))
+        .orderBy("brand")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -344,5 +540,204 @@ object DemandOps {
                  floor(q * 1e4 + 0.5) / 1e4 AS stock_level,
                  floor(CAST(cum AS DOUBLE) / span * 1e6 + 0.5) / 1e6
                    AS cdf_at_level
-          FROM pick WHERE rn = 1 ORDER BY brand""")
+          FROM pick WHERE rn = 1 ORDER BY brand""",
+
+    "x_croston_backtest" -> {
+      def ladder(e: String): String = (0 until CrostonLags).map { i =>
+        val v = if (i == 0) e else s"lag($e, $i) OVER win"
+        s"""CASE WHEN $v IS NOT NULL
+            THEN CAST(floor($v * CAST(${crWLit(i)} AS DOUBLE) * 1e9 + 0.5)
+                 AS BIGINT) ELSE 0 END"""
+      }.mkString(" + ")
+      def denom(e: String): String = (0 until CrostonLags).map { i =>
+        val v = if (i == 0) e else s"lag($e, $i) OVER win"
+        s"""CASE WHEN $v IS NOT NULL THEN CAST(${crQW(i)} AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END"""
+      }.mkString(" + ")
+      val wcaseSql = (0 until CrostonLags).map(i =>
+        s"WHEN $i THEN CAST(${crWLit(i)} AS DOUBLE)").mkString(" ")
+      s"""WITH daily0 AS (
+            SELECT brand, day, q,
+                   row_number() OVER (PARTITION BY brand ORDER BY day
+                     DESC) AS rnd
+            FROM ($demandDailySql)),
+          train AS (SELECT brand, day, q FROM daily0
+                    WHERE rnd > $CrostonHoldout),
+          iv AS (
+            SELECT brand, day, q,
+                   CAST(date_diff('day', lag(day, 1) OVER win, day)
+                     AS DOUBLE) AS iv
+            FROM train
+            WINDOW win AS (PARTITION BY brand ORDER BY day)),
+          lad AS (
+            SELECT brand, day,
+                   ${ladder("q")} AS nz, ${denom("q")} AS dz,
+                   ${ladder("iv")} AS np, ${denom("iv")} AS dp,
+                   COUNT(*) OVER (PARTITION BY brand) AS nt,
+                   row_number() OVER (PARTITION BY brand ORDER BY day
+                     DESC) AS rn2
+            FROM iv
+            WINDOW win AS (PARTITION BY brand ORDER BY day)),
+          cut AS (
+            SELECT brand, day AS cut_day, nt,
+                   CAST(nz AS DOUBLE) / CAST(dz AS DOUBLE) AS z,
+                   CASE WHEN dp > 0
+                        THEN CAST(np AS DOUBLE) / CAST(dp AS DOUBLE)
+                   END AS p
+            FROM lad WHERE rn2 = 1),
+          cut2 AS (
+            SELECT brand, cut_day, nt,
+                   CASE WHEN p > 0 THEN z / p END AS croston_rate,
+                   CASE WHEN p > 0
+                        THEN CAST(${lit17(SbaFactor)} AS DOUBLE) * z / p
+                   END AS sba_rate
+            FROM cut),
+          sesrows AS (
+            SELECT t.brand,
+                   CAST(floor(t.q
+                     * (CASE date_diff('day', t.day, c.cut_day)
+                        $wcaseSql END) * 1e9 + 0.5) AS BIGINT) AS qt
+            FROM train t JOIN cut2 c ON c.brand = t.brand
+            WHERE date_diff('day', t.day, c.cut_day) < $CrostonLags),
+          ses AS (
+            SELECT brand,
+                   CAST(SUM(qt) AS DOUBLE)
+                     / CAST($SesDenQ AS DOUBLE) AS ses_rate
+            FROM sesrows GROUP BY 1),
+          est AS (
+            SELECT c.brand, c.cut_day, c.nt, c.croston_rate, c.sba_rate,
+                   s.ses_rate
+            FROM cut2 c JOIN ses s ON s.brand = c.brand),
+          dmax AS (SELECT max(date_trunc('day', l_shipdate)) AS dmax
+                   FROM lineitem),
+          sc AS (
+            SELECT d.brand,
+                   SUM(CAST(floor(abs(d.q - e.croston_rate) * 1e6 + 0.5)
+                     AS HUGEINT)) AS e_cro,
+                   SUM(CAST(floor(abs(d.q - e.sba_rate) * 1e6 + 0.5)
+                     AS HUGEINT)) AS e_sba,
+                   SUM(CAST(floor(abs(d.q - e.ses_rate) * 1e6 + 0.5)
+                     AS HUGEINT)) AS e_ses,
+                   CAST(COUNT(*) AS BIGINT) AS hn
+            FROM daily0 d JOIN est e ON e.brand = d.brand
+            WHERE d.rnd <= $CrostonHoldout
+            GROUP BY 1),
+          fin AS (
+            SELECT s.brand, e.cut_day, e.nt, s.hn,
+                   CAST(date_diff('day', e.cut_day, m.dmax) AS BIGINT)
+                     AS h_span,
+                   CAST(s.e_cro AS BIGINT)
+                     + (CAST(date_diff('day', e.cut_day, m.dmax)
+                          AS BIGINT) - s.hn)
+                       * CAST(floor(e.croston_rate * 1e6 + 0.5)
+                           AS BIGINT) AS q_cro,
+                   CAST(s.e_sba AS BIGINT)
+                     + (CAST(date_diff('day', e.cut_day, m.dmax)
+                          AS BIGINT) - s.hn)
+                       * CAST(floor(e.sba_rate * 1e6 + 0.5)
+                           AS BIGINT) AS q_sba,
+                   CAST(s.e_ses AS BIGINT)
+                     + (CAST(date_diff('day', e.cut_day, m.dmax)
+                          AS BIGINT) - s.hn)
+                       * CAST(floor(e.ses_rate * 1e6 + 0.5)
+                           AS BIGINT) AS q_ses
+            FROM sc s JOIN est e ON e.brand = s.brand CROSS JOIN dmax m)
+          SELECT brand, strftime(cut_day, '%Y-%m-%d') AS cut_day,
+                 nt AS n_train, hn AS n_holdout, h_span AS h_span_days,
+                 floor(CAST(q_cro AS DOUBLE) / 1e6 / h_span * 1e6 + 0.5)
+                   / 1e6 AS mae_croston,
+                 floor(CAST(q_sba AS DOUBLE) / 1e6 / h_span * 1e6 + 0.5)
+                   / 1e6 AS mae_sba,
+                 floor(CAST(q_ses AS DOUBLE) / 1e6 / h_span * 1e6 + 0.5)
+                   / 1e6 AS mae_ses,
+                 CASE WHEN q_cro IS NOT NULL AND q_sba IS NOT NULL
+                           AND q_ses IS NOT NULL THEN
+                   CASE WHEN q_cro <= q_sba AND q_cro <= q_ses
+                          THEN 'croston'
+                        WHEN q_sba <= q_ses THEN 'sba'
+                        ELSE 'ses' END END AS best_method
+          FROM fin ORDER BY brand"""
+    },
+
+    "x_abc_xyz" ->
+      s"""WITH rev AS (
+            SELECT p_brand AS brand,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       CAST(1.0 - l_discount AS DECIMAL(4,2))) AS revd
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1),
+          tot AS (SELECT SUM(revd) AS totd FROM rev),
+          abc AS (
+            SELECT r.brand, r.revd, t.totd,
+                   SUM(r.revd) OVER (ORDER BY r.revd DESC, r.brand
+                     ROWS UNBOUNDED PRECEDING) AS cumd
+            FROM rev r CROSS JOIN tot t),
+          abc2 AS (
+            SELECT brand, revd,
+                   CAST(revd AS DOUBLE) / CAST(totd AS DOUBLE)
+                     AS rev_share,
+                   CAST(cumd AS DOUBLE) / CAST(totd AS DOUBLE)
+                     AS cum_share
+            FROM abc),
+          abc3 AS (
+            SELECT *, CASE WHEN cum_share <= 0.80 THEN 'A'
+                           WHEN cum_share <= 0.95 THEN 'B'
+                           ELSE 'C' END AS abc_class
+            FROM abc2),
+          d0 AS (SELECT min(date_trunc('day', l_shipdate)) AS d0
+                 FROM lineitem),
+          weekly AS (
+            SELECT p_brand AS brand,
+                   CAST(floor(date_diff('day', d.d0,
+                     date_trunc('day', l_shipdate)) / 7.0) AS BIGINT)
+                     AS wk,
+                   SUM(CAST(floor(l_quantity * 1e4 + 0.5) AS HUGEINT))
+                     AS wq
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            CROSS JOIN d0 d
+            GROUP BY 1, 2),
+          mom AS (
+            SELECT brand, SUM(wq) AS s1,
+                   SUM(CAST(floor((CAST(wq AS DOUBLE) / 1e4)
+                     * (CAST(wq AS DOUBLE) / 1e4) * 1e4 + 0.5)
+                     AS HUGEINT)) AS s2
+            FROM weekly GROUP BY 1),
+          sp AS ($spanSql),
+          x0 AS (
+            SELECT m.brand,
+                   CAST(floor((s.span - 1) / 7.0) + 1 AS BIGINT) AS nw,
+                   CAST(m.s1 AS DOUBLE) / 1e4 AS sy,
+                   CAST(m.s2 AS DOUBLE) / 1e4 AS syy
+            FROM mom m CROSS JOIN sp s),
+          x1 AS (
+            SELECT brand, nw, sy / nw AS mu,
+                   CASE WHEN nw > 1 THEN
+                     (syy - sy * sy / nw) / (nw - 1) END AS vr
+            FROM x0),
+          x2 AS (
+            SELECT brand, nw, mu,
+                   CASE WHEN vr > 0 THEN sqrt(vr) END AS sd
+            FROM x1),
+          x3 AS (
+            SELECT brand, nw, mu,
+                   CASE WHEN mu > 0 THEN sd / mu END AS cv
+            FROM x2),
+          x4 AS (
+            SELECT brand, nw, mu, cv,
+                   CASE WHEN cv < 0.5 THEN 'X'
+                        WHEN cv < 1.0 THEN 'Y'
+                        WHEN cv IS NOT NULL THEN 'Z' END AS xyz_class
+            FROM x3)
+          SELECT a.brand,
+                 floor(CAST(a.revd AS DOUBLE) * 1e2 + 0.5) / 1e2
+                   AS revenue,
+                 floor(a.rev_share * 1e6 + 0.5) / 1e6 AS rev_share,
+                 floor(a.cum_share * 1e6 + 0.5) / 1e6 AS cum_share,
+                 a.abc_class, x.nw AS n_weeks,
+                 floor(x.mu * 1e4 + 0.5) / 1e4 AS mean_weekly,
+                 floor(x.cv * 1e6 + 0.5) / 1e6 AS cv_weekly,
+                 x.xyz_class,
+                 a.abc_class || x.xyz_class AS policy_class
+          FROM abc3 a JOIN x4 x ON a.brand = x.brand
+          ORDER BY a.brand""")
 }

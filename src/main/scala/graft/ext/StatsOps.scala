@@ -125,6 +125,19 @@ object StatsOps {
   private def fdrCritLit(i: Int): String =
     graft.util.Num.lit17(fdrCrit(i))
 
+  // Benjamini–Yekutieli dependence-robust factor c(m) = Σ_{i=1..m} 1/i:
+  // each 1/i term is 1e12-quantized BEFORE the sum, so the Scala
+  // constant here and the in-engine harmonic ladder (computed from the
+  // data's own hypothesis count) are the same exact integer — the spec
+  // pins their equality. BY critical |z| at rank i divides the BH level
+  // by c(m): crit_i = Φ⁻¹(1 − (i·α/(m·c(m)))/2).
+  private[ext] def byCmQ(m: Int): Long =
+    (1 to m).map(i => math.floor(1e12 / i + 0.5).toLong).sum
+  private[ext] def byCrit(i: Int): Double =
+    invNorm(1.0 - (i * 0.05 / (FdrM * (byCmQ(FdrM) / 1e12))) / 2.0)
+  private def byCritLit(i: Int): String =
+    graft.util.Num.lit17(byCrit(i))
+
   // ---- scale-safe global rank --------------------------------------------
   // row_number() over an UNPARTITIONED Window moves every row to one
   // partition — a serial sort that dies at 100× scale. This is the exact
@@ -354,6 +367,63 @@ object StatsOps {
           col("var_num"), detRound(z, 4).as("z"),
           when(z > 1.96, "increasing").when(z < -1.96, "decreasing")
             .otherwise("no_trend").as("trend"))
+        .orderBy("priority")
+    }),
+
+    "x_seasonal_mann_kendall" -> ((s, d) => {
+      // Seasonal Mann-Kendall (Hirsch & Slack, WRR 1984) — the trend
+      // test x_mann_kendall SHOULD be when the series has a seasonal
+      // cycle: comparing a December to a July reads the seasonal swing
+      // as trend (or cancels a real one). Pairs are formed only WITHIN
+      // a season (month-of-year across years: all Januaries form one
+      // subseries), S = Σ_seasons S_s, and the variance is additive
+      // across seasons with each season's tie-corrected term computed
+      // exactly as in the plain test. All integer until one final z;
+      // var_num > 0 guarded before the sqrt (the degenerate
+      // one-day-per-season calendar yields NULL, both engines). Scale:
+      // the pairwise self-join is O(Σ_s n_s²) per series — ~12× FEWER
+      // pairs than plain MK on the same calendar (each season is ~n/12
+      // long), still bounded by the calendar, never by row volume.
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("ssn", month(col("day")))
+        .localCheckpoint()
+      val pairs = daily.alias("a").join(daily.alias("b"),
+          col("a.priority") === col("b.priority") &&
+            col("a.ssn") === col("b.ssn") &&
+            col("a.day") < col("b.day"))
+        .groupBy(col("a.priority").as("priority"))
+        .agg(sum(when(col("b.y") > col("a.y"), 1L)
+          .when(col("b.y") < col("a.y"), -1L).otherwise(0L))
+          .cast("long").as("s_stat"))
+      val per = daily.groupBy(col("priority"), col("ssn"))
+        .agg(count(lit(1)).as("ns"))
+      val ties = daily.groupBy(col("priority"), col("ssn"), col("y"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("priority"), col("ssn"))
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+          .cast("long").as("tie_s"))
+      val varp = per.join(ties, Seq("priority", "ssn"))
+        .withColumn("v_s",
+          (col("ns") * (col("ns") - 1) * (lit(2L) * col("ns") + 5)
+            - col("tie_s")).cast("long"))
+        .groupBy(col("priority"))
+        .agg(sum(col("v_s")).cast("long").as("var_num"),
+          sum(col("ns")).cast("long").as("n_days"),
+          count(lit(1)).as("n_seasons"))
+      val zc = when(col("var_num") > 0,
+        when(col("s_stat") > 0,
+          (col("s_stat") - 1) / sqrt(col("var_num") / lit(18.0)))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1) / sqrt(col("var_num") / lit(18.0)))
+          .otherwise(lit(0.0)))
+      varp.join(pairs, Seq("priority"))
+        .select(col("priority"), col("n_days"), col("n_seasons"),
+          col("s_stat"), col("var_num"), detRound(zc, 4).as("z"),
+          when(zc > 1.96, "increasing").when(zc < -1.96, "decreasing")
+            .when(zc.isNotNull, "no_trend").as("trend"))
         .orderBy("priority")
     }),
 
@@ -1806,6 +1876,81 @@ object StatsOps {
         .orderBy("grp")
     }),
 
+    "x_brown_forsythe" -> ((s, d) => {
+      // Brown–Forsythe (JASA 1974) — the ROBUST Levene variant: the
+      // same one-way ANOVA F on absolute deviations, but centered on
+      // the per-group MEDIAN instead of the mean, which keeps the test
+      // honest under the skewed/heavy-tailed spend distributions
+      // x_hill_tail_index documents (x_levene_variance's own scaladoc
+      // admits mean-centering assumes symmetry). The median is an EXACT
+      // order statistic — the first cent value whose 2·cum ≥ n_g + 1,
+      // the x_newsvendor_quantile integer-cum pick — selected off the
+      // (group, price-cents) histogram, which is bounded by the VALUE
+      // DOMAIN (groups × distinct cent values), not the corpus: the
+      // cumsum window never sorts fact rows. Downstream is the Levene
+      // machinery unchanged: per-row |y − med| quantized 1e6 (and its
+      // square 1e4) before exact DECIMAL sums, F on exact statistics.
+      val hist = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("grp"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("yc"))
+        .agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy("grp").orderBy("yc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val meds = hist
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .join(broadcast(hist.groupBy("grp")
+          .agg(sum(col("cnt")).cast("long").as("ng"))), "grp")
+        .filter(col("cum") * 2 >= col("ng") + 1)
+        .groupBy("grp").agg(min(col("yc")).as("medc"))
+        .withColumn("med", col("medc").cast("double") / 100.0)
+        .select("grp", "med")
+      val z = t(s, d, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          col("o_totalprice").as("y"))
+        .join(broadcast(meds), "grp")
+        .select(col("grp"),
+          floor(abs(col("y") - col("med")) * 1e6 + 0.5).as("qz"),
+          floor(abs(col("y") - col("med")) * abs(col("y") - col("med"))
+            * 1e4 + 0.5).as("qz2"))
+      val g = z.groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          sum(col("qz").cast("decimal(38,0)")).as("sz"),
+          sum(col("qz2").cast("decimal(38,0)")).as("szz"))
+        .localCheckpoint()
+      val tot = g.agg(count(lit(1)).as("k"),
+        sum(col("n")).cast("long").as("nn"), sum(col("sz")).as("gz"))
+      val per = g.crossJoin(broadcast(tot))
+        .withColumn("zm", col("sz").cast("double") / 1e6 / col("n"))
+        .withColumn("gm", col("gz").cast("double") / 1e6 / col("nn"))
+        .withColumn("ssw_g",
+          col("szz").cast("double") / 1e4
+            - (col("sz").cast("double") / 1e6)
+              * (col("sz").cast("double") / 1e6) / col("n"))
+        .withColumn("ssb_g",
+          col("n") * (col("zm") - col("gm")) * (col("zm") - col("gm")))
+        .localCheckpoint()
+      val w = per.groupBy(col("k"), col("nn"))
+        .agg(
+          sum(floor(col("ssw_g") * 1e4 + 0.5).cast("decimal(38,0)"))
+            .as("qssw"),
+          sum(floor(col("ssb_g") * 1e4 + 0.5).cast("decimal(38,0)"))
+            .as("qssb"))
+        .withColumn("bw",
+          (col("qssb").cast("double") / 1e4 / (col("k") - 1))
+            / (col("qssw").cast("double") / 1e4 / (col("nn") - col("k"))))
+        .select(col("bw"))
+      per.join(broadcast(meds), "grp").crossJoin(broadcast(w))
+        .select(col("grp"), col("n"),
+          detRound(col("med"), 2).as("median"),
+          detRound(col("zm"), 4).as("mean_absdev"),
+          detRound(col("bw"), 6).as("bf_w"),
+          // same F(k−1, nn−k) 5% critical as x_levene_variance (the
+          // deviations change, the ANOVA dfs do not)
+          (col("bw") > lit(2.372)).as("reject_equal_var_05"))
+        .orderBy("grp")
+    }),
+
     "x_odds_ratio" -> ((s, d) => {
       // 2×2 odds ratio with the Woolf logit CI per order-priority
       // segment: arms = md5 order coin, outcome = order fulfilled.
@@ -2335,6 +2480,74 @@ object StatsOps {
           detRound(col("crit"), 6).as("bh_crit"),
           (col("rnk") <= col("imax")).as("rejected"))
         .orderBy("bh_rank")
+    }),
+
+    "x_benjamini_yekutieli" -> ((s, d) => {
+      // Benjamini–Yekutieli FDR control (Ann. Statist. 2001) over the
+      // same 25 per-nation z-tests as x_fdr_bh — the variant whose FDR
+      // guarantee holds under ARBITRARY dependence between the tests
+      // (nation rates share the pooled denominator, so BH's
+      // independence/PRDS assumption is exactly what a careful reader
+      // questions here). BY divides each BH level by the harmonic
+      // factor c(m) = Σ 1/i; the factor is computed IN-ENGINE from the
+      // data's own hypothesis count (a sequence ladder over the bounded
+      // per-nation table, each 1/i term 1e12-quantized before the
+      // integer sum) while the rank-i critical values — which need Φ⁻¹
+      // — are Acklam literals valid for m = 25 and NULL-gated on the
+      // actual count matching (the x_friedman_test "data decides k"
+      // convention: a changed nation universe yields NULL verdicts,
+      // never silently wrong ones). Plan shape identical to x_fdr_bh:
+      // AQE-decided join, O(nations) everything downstream.
+      val per = t(s, d, "orders")
+        .join(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("k"))
+        .localCheckpoint()
+      val tot = per.agg(sum(col("n")).as("tn"), sum(col("k")).as("tk"))
+      // harmonic ladder over the actual hypothesis count (explicit
+      // bounds guard: Spark sequence(1, 0) would DESCEND on an empty
+      // battery where DuckDB range() is empty)
+      val hm = per.agg(count(lit(1)).as("m"))
+        .select(col("m"), explode(sequence(lit(1L),
+          greatest(col("m"), lit(1L)))).as("i"))
+        .filter(col("i") <= col("m"))
+        .groupBy(col("m"))
+        .agg(sum(floor(lit(1e12) / col("i") + 0.5).cast("long"))
+          .cast("long").as("cmq"))
+      val critCase = (1 to FdrM).map(i =>
+        s"WHEN rnk = $i THEN CAST(${byCritLit(i)} AS DOUBLE)")
+        .mkString("CASE ", " ", " ELSE 9e99 END")
+      val w = Window.orderBy(desc("absz"), asc("nation"))
+      val scored = per.crossJoin(broadcast(tot))
+        .crossJoin(broadcast(hm))
+        .withColumn("p0", col("tk").cast("double") / col("tn").cast("double"))
+        .withColumn("rate", col("k").cast("double") / col("n").cast("double"))
+        .withColumn("z", (col("rate") - col("p0")) /
+          sqrt(col("p0") * (lit(1.0) - col("p0")) /
+            col("n").cast("double")))
+        .withColumn("absz", abs(col("z")))
+        .withColumn("rnk", row_number().over(w)) // bounded nation table
+        .withColumn("crit",
+          when(col("m") === FdrM, expr(critCase)))
+        .withColumn("passes", col("absz") >= col("crit"))
+      val imax = scored
+        .agg(coalesce(max(when(col("passes"), col("rnk"))), lit(0))
+          .as("imax"))
+      scored.crossJoin(broadcast(imax))
+        .select(col("nation"), col("n"), col("k"),
+          detRound(col("rate"), 6).as("rate"),
+          detRound(col("z"), 6).as("z_stat"),
+          col("rnk").cast("long").as("by_rank"),
+          col("m").cast("long").as("m_tests"),
+          detRound(col("cmq").cast("double") / 1e12, 6).as("c_m"),
+          detRound(col("crit"), 6).as("by_crit"),
+          when(col("crit").isNotNull, col("rnk") <= col("imax"))
+            .as("rejected"))
+        .orderBy("by_rank")
     }),
 
     "x_hill_tail_index" -> ((s, d) => {
@@ -2937,6 +3150,56 @@ object StatsOps {
                 CASE WHEN zr > 1.96 THEN 'increasing'
                      WHEN zr < -1.96 THEN 'decreasing'
                      ELSE 'no_trend' END AS trend
+         FROM zc ORDER BY priority""",
+
+    "x_seasonal_mann_kendall" ->
+      """WITH daily AS (
+           SELECT o_orderpriority AS priority,
+                  date_trunc('day', o_orderdate) AS day,
+                  month(o_orderdate) AS ssn,
+                  COUNT(*) AS y
+           FROM orders GROUP BY 1, 2, 3),
+         pairs AS (
+           SELECT a.priority,
+                  CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                                WHEN b.y < a.y THEN -1 ELSE 0 END)
+                       AS BIGINT) AS s_stat
+           FROM daily a JOIN daily b
+             ON a.priority = b.priority AND a.ssn = b.ssn
+                AND a.day < b.day
+           GROUP BY 1),
+         per AS (SELECT priority, ssn, COUNT(*) AS ns
+                 FROM daily GROUP BY 1, 2),
+         ties AS (
+           SELECT priority, ssn,
+                  CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                    AS tie_s
+           FROM (SELECT priority, ssn, y, COUNT(*) AS t
+                 FROM daily GROUP BY 1, 2, 3)
+           GROUP BY 1, 2),
+         varp AS (
+           SELECT p.priority,
+                  CAST(SUM(p.ns * (p.ns - 1) * (2 * p.ns + 5) - t.tie_s)
+                       AS BIGINT) AS var_num,
+                  CAST(SUM(p.ns) AS BIGINT) AS n_days,
+                  COUNT(*) AS n_seasons
+           FROM per p JOIN ties t USING (priority, ssn)
+           GROUP BY 1),
+         zc AS (
+           SELECT v.priority, v.n_days, v.n_seasons, p.s_stat, v.var_num,
+                  CASE WHEN v.var_num > 0 THEN
+                    CASE WHEN p.s_stat > 0
+                           THEN (p.s_stat - 1) / sqrt(v.var_num / 18.0)
+                         WHEN p.s_stat < 0
+                           THEN (p.s_stat + 1) / sqrt(v.var_num / 18.0)
+                         ELSE 0.0 END
+                  END AS zr
+           FROM varp v JOIN pairs p USING (priority))
+         SELECT priority, n_days, n_seasons, s_stat, var_num,
+                floor(zr * 1e4 + 0.5) / 1e4 AS z,
+                CASE WHEN zr > 1.96 THEN 'increasing'
+                     WHEN zr < -1.96 THEN 'decreasing'
+                     WHEN zr IS NOT NULL THEN 'no_trend' END AS trend
          FROM zc ORDER BY priority""",
 
     "x_ols_multi" ->
@@ -4121,6 +4384,63 @@ object StatsOps {
                 w.lw > 2.372 AS reject_equal_var_05
          FROM per, w ORDER BY per.grp""",
 
+    "x_brown_forsythe" ->
+      """WITH hist AS (
+           SELECT o_orderpriority AS grp,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS yc,
+                  COUNT(*) AS cnt
+           FROM orders GROUP BY 1, 2),
+         ng AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS ng
+                FROM hist GROUP BY 1),
+         cm AS (
+           SELECT h.grp, h.yc, g.ng,
+                  SUM(h.cnt) OVER (PARTITION BY h.grp ORDER BY h.yc
+                    ROWS UNBOUNDED PRECEDING) AS cum
+           FROM hist h JOIN ng g ON g.grp = h.grp),
+         meds AS (
+           SELECT grp, CAST(MIN(yc) AS DOUBLE) / 100.0 AS med
+           FROM cm WHERE cum * 2 >= ng + 1 GROUP BY 1),
+         z AS (
+           SELECT o.o_orderpriority AS grp,
+                  CAST(floor(abs(o.o_totalprice - m.med) * 1e6 + 0.5)
+                       AS BIGINT) AS qz,
+                  CAST(floor(abs(o.o_totalprice - m.med)
+                             * abs(o.o_totalprice - m.med) * 1e4 + 0.5)
+                       AS BIGINT) AS qz2
+           FROM orders o JOIN meds m ON m.grp = o.o_orderpriority),
+         g AS (
+           SELECT grp, COUNT(*) AS n,
+                  SUM(CAST(qz AS HUGEINT)) AS sz,
+                  SUM(CAST(qz2 AS HUGEINT)) AS szz
+           FROM z GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+                        SUM(sz) AS gz
+                 FROM g),
+         per AS (
+           SELECT g.grp, g.n, t.k, t.nn,
+                  CAST(g.sz AS DOUBLE) / 1e6 / g.n AS zm,
+                  CAST(g.szz AS DOUBLE) / 1e4
+                    - (CAST(g.sz AS DOUBLE) / 1e6)
+                      * (CAST(g.sz AS DOUBLE) / 1e6) / g.n AS ssw_g,
+                  g.n * (CAST(g.sz AS DOUBLE) / 1e6 / g.n
+                         - CAST(t.gz AS DOUBLE) / 1e6 / t.nn)
+                      * (CAST(g.sz AS DOUBLE) / 1e6 / g.n
+                         - CAST(t.gz AS DOUBLE) / 1e6 / t.nn) AS ssb_g
+           FROM g CROSS JOIN tot t),
+         w AS (
+           SELECT (CAST(SUM(CAST(floor(ssb_g * 1e4 + 0.5) AS HUGEINT))
+                        AS DOUBLE) / 1e4 / (MAX(k) - 1))
+                  / (CAST(SUM(CAST(floor(ssw_g * 1e4 + 0.5) AS HUGEINT))
+                          AS DOUBLE) / 1e4 / (MAX(nn) - MAX(k))) AS bw
+           FROM per)
+         SELECT per.grp, per.n,
+                floor(m.med * 1e2 + 0.5) / 1e2 AS median,
+                floor(per.zm * 1e4 + 0.5) / 1e4 AS mean_absdev,
+                floor(w.bw * 1e6 + 0.5) / 1e6 AS bf_w,
+                w.bw > 2.372 AS reject_equal_var_05
+         FROM per JOIN meds m ON m.grp = per.grp, w
+         ORDER BY per.grp""",
+
     "x_odds_ratio" ->
       """WITH base AS (
            SELECT o_orderpriority AS grp,
@@ -4513,6 +4833,61 @@ object StatsOps {
                 floor(c.crit * 1e6 + 0.5) / 1e6 AS bh_crit,
                 c.rnk <= i.imax AS rejected
          FROM cr c, im i ORDER BY bh_rank"""
+    },
+
+    "x_benjamini_yekutieli" -> {
+      val cases = (1 to FdrM).map(i =>
+        s"WHEN rnk = $i THEN CAST(${byCritLit(i)} AS DOUBLE)")
+        .mkString(" ")
+      s"""WITH per AS (
+           SELECT c.c_nationkey AS nation, COUNT(*) AS n,
+                  CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1
+                           ELSE 0 END) AS BIGINT) AS k
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY 1),
+         tot AS (
+           SELECT CAST(SUM(n) AS BIGINT) AS tn,
+                  CAST(SUM(k) AS BIGINT) AS tk
+           FROM per),
+         mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM per),
+         hm AS (
+           SELECT mm.m,
+                  CAST(SUM(CAST(floor(1e12 / t.i + 0.5) AS BIGINT))
+                    AS BIGINT) AS cmq
+           FROM mm, UNNEST(range(1, mm.m + 1)) AS t(i)
+           GROUP BY mm.m),
+         scored AS (
+           SELECT per.nation, per.n, per.k, h.m, h.cmq,
+                  CAST(t.tk AS DOUBLE) / CAST(t.tn AS DOUBLE) AS p0,
+                  CAST(per.k AS DOUBLE) / CAST(per.n AS DOUBLE) AS rate
+           FROM per, tot t, hm h),
+         zrows AS (
+           SELECT nation, n, k, m, cmq, rate,
+                  (rate - p0)
+                    / sqrt(p0 * (1.0 - p0) / CAST(n AS DOUBLE)) AS z
+           FROM scored),
+         rk AS (
+           SELECT *, row_number() OVER (ORDER BY abs(z) DESC, nation)
+                    AS rnk
+           FROM zrows),
+         cr AS (SELECT *, CASE WHEN m = $FdrM
+                  THEN CASE $cases ELSE 9e99 END END AS crit
+                FROM rk),
+         im AS (
+           SELECT COALESCE(MAX(CASE WHEN abs(z) >= crit THEN rnk END), 0)
+                    AS imax
+           FROM cr)
+         SELECT c.nation, c.n, c.k,
+                floor(c.rate * 1e6 + 0.5) / 1e6 AS rate,
+                floor(c.z * 1e6 + 0.5) / 1e6 AS z_stat,
+                CAST(c.rnk AS BIGINT) AS by_rank,
+                c.m AS m_tests,
+                floor(CAST(c.cmq AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6
+                  AS c_m,
+                floor(c.crit * 1e6 + 0.5) / 1e6 AS by_crit,
+                CASE WHEN c.crit IS NOT NULL THEN c.rnk <= i.imax END
+                  AS rejected
+         FROM cr c, im i ORDER BY by_rank"""
     },
 
     "x_hill_tail_index" ->

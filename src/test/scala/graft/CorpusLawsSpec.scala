@@ -189,6 +189,51 @@ class CorpusLawsSpec extends SparkSpec {
     }
   }
 
+  test("x_benjamini_yekutieli: c(m) is the exact quantized harmonic sum, " +
+      "every rank's critical value is strictly above BH's (and pins the " +
+      "known quantiles), the step-up rule is self-consistent, and the BY " +
+      "rejection set nests inside BH's") {
+    val by = run("x_benjamini_yekutieli").collect()
+      .sortBy(_.getAs[Long]("by_rank"))
+    val bh = run("x_fdr_bh").collect()
+      .sortBy(_.getAs[Long]("bh_rank"))
+    assert(by.length === bh.length)
+    // same battery, same ranking: z and order agree with the BH op
+    by.zip(bh).foreach { case (a, b) =>
+      assert(a.getAs[Int]("nation") === b.getAs[Int]("nation"))
+      assert(a.getAs[Double]("z_stat") === b.getAs[Double]("z_stat"))
+    }
+    // c(m): each 1/i term 1e12-quantized before the sum
+    val m = by.head.getAs[Long]("m_tests").toInt
+    val cmExp = (1 to m).map(i => math.floor(1e12 / i + 0.5).toLong)
+      .sum / 1e12
+    by.foreach(r =>
+      assert(math.abs(r.getAs[Double]("c_m") - cmExp) < 1e-6))
+    // dependence-robust criticals sit strictly above BH's at every rank,
+    // and pin the known quantiles at ranks 1 and m (m = 25 battery:
+    // Phi^-1(1 - (i*0.05/(25*H25))/2))
+    by.zip(bh).foreach { case (a, b) =>
+      assert(a.getAs[Double]("by_crit") > b.getAs[Double]("bh_crit"))
+    }
+    assert(math.abs(by.head.getAs[Double]("by_crit") - 3.468119) < 1e-4)
+    assert(math.abs(by.last.getAs[Double]("by_crit") - 2.480961) < 1e-4)
+    // step-up self-consistency
+    val passing = by.filter(r =>
+      math.abs(r.getAs[Double]("z_stat")) >= r.getAs[Double]("by_crit"))
+    val imax = if (passing.isEmpty) 0L
+      else passing.map(_.getAs[Long]("by_rank")).max
+    by.foreach { r =>
+      assert(r.getAs[Boolean]("rejected") ===
+        (r.getAs[Long]("by_rank") <= imax))
+    }
+    // conservativeness: BY rejects a subset of BH's rejections
+    val byRej = by.filter(_.getAs[Boolean]("rejected"))
+      .map(_.getAs[Int]("nation")).toSet
+    val bhRej = bh.filter(_.getAs[Boolean]("rejected"))
+      .map(_.getAs[Int]("nation")).toSet
+    assert(byRej.subsetOf(bhRej))
+  }
+
   test("x_hill_tail_index equals the sort-and-log walk over the top 200") {
     val vs = graft.util.Tables.t(spark, sf, "orders")
       .select("o_totalprice").collect().map(_.getDouble(0))

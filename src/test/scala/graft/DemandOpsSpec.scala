@@ -115,4 +115,106 @@ class DemandOpsSpec extends SparkSpec {
       assert(cdf >= 0.75)
     }
   }
+
+  test("x_abc_xyz: cumulative revenue shares walk the sorted brands, " +
+      "classes honor the 80/95 and 0.5/1.0 cuts, and the weekly CV " +
+      "matches zero-week-inclusive moments") {
+    val revRows = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/part.parquet"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .map(r => (r.getString(0),
+        // mirror the DECIMAL(18,2) x DECIMAL(4,2) exact product in
+        // integer ten-thousandths of a currency unit
+        math.floor(r.getDouble(1) * 100 + 0.5).toLong *
+          math.floor((1.0 - r.getDouble(2)) * 100 + 0.5).toLong))
+    val revByBrand = revRows.groupBy(_._1).map { case (b, xs) =>
+      b -> xs.map(_._2).sum
+    }
+    val totalRev = revByBrand.values.sum.toDouble
+    val sorted = revByBrand.toSeq.sortBy { case (b, r) => (-r, b) }
+    val cumShares = sorted.scanLeft(0.0) { case (acc, (_, r)) =>
+      acc + r
+    }.tail.map(_ / totalRev)
+    val expAbc = sorted.zip(cumShares).map { case ((b, r), cs) =>
+      b -> (r / totalRev, cs,
+        if (cs <= 0.80) "A" else if (cs <= 0.95) "B" else "C")
+    }.toMap
+    val got = SparkEntry.queries("x_abc_xyz")(spark, dir).collect()
+    assert(got.length === revByBrand.size)
+    got.foreach { r =>
+      val b = r.getAs[String]("brand")
+      val (share, cum, abc) = expAbc(b)
+      assert(math.abs(r.getAs[Double]("rev_share") - share) < 1e-5,
+        s"$b share")
+      assert(math.abs(r.getAs[Double]("cum_share") - cum) < 1e-5,
+        s"$b cum")
+      assert(r.getAs[String]("abc_class") === abc, s"$b abc")
+      // weekly CV: integer week buckets from the global first ship day,
+      // zero weeks counted through the calendar span
+      val d0 = series.values.flatMap(_.map(_._1)).min
+      val nw = ((spanDays - 1) / 7 + 1).toInt
+      val wk = series(b).groupBy(x => (x._1 - d0) / 7)
+        .map { case (_, xs) => xs.map(_._2).sum }.toSeq
+      val full = wk ++ Seq.fill(nw - wk.size)(0.0)
+      val mu = full.sum / nw
+      val vr = full.map(v => (v - mu) * (v - mu)).sum / (nw - 1)
+      val cv = math.sqrt(vr) / mu
+      assert(r.getAs[Long]("n_weeks") === nw.toLong)
+      assert(math.abs(r.getAs[Double]("mean_weekly") - mu) < 1e-3,
+        s"$b mu")
+      assert(math.abs(r.getAs[Double]("cv_weekly") - cv) < 1e-4, s"$b cv")
+      val xyz = if (cv < 0.5) "X" else if (cv < 1.0) "Y" else "Z"
+      assert(r.getAs[String]("xyz_class") === xyz, s"$b xyz")
+      assert(r.getAs[String]("policy_class") === abc + xyz)
+    }
+  }
+
+  test("x_croston_backtest: holdout MAEs equal a plain-Scala replay " +
+      "(train-only ladders, zero-day-aware scoring) and the winner " +
+      "has the least error") {
+    val K = 8
+    val dmax = series.values.flatMap(_.map(_._1)).max
+    val got = SparkEntry.queries("x_croston_backtest")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("brand") ->
+        (r.getAs[Long]("n_train"), r.getAs[Long]("n_holdout"),
+          r.getAs[Long]("h_span_days"), r.getAs[Double]("mae_croston"),
+          r.getAs[Double]("mae_sba"), r.getAs[Double]("mae_ses"),
+          r.getAs[String]("best_method")))
+      .toMap
+    series.foreach { case (b, s) =>
+      val (train, hold) = s.splitAt(s.length - K)
+      val (nt, hn, hs, maeCro, maeSba, maeSes, best) = got(b)
+      assert(nt === train.length.toLong)
+      assert(hn === K.toLong)
+      val cutDay = train.last._1
+      assert(hs === dmax - cutDay)
+      // croston/SBA at the cut from train-only ladders
+      val z = ladder(train.map(_._2))
+      val ivs = train.sliding(2).collect {
+        case Seq(a, c) => (c._1 - a._1).toDouble }.toSeq
+      val p = ladder(ivs)
+      val cro = z / p
+      val sba = 0.9 * z / p
+      // SES over the zero-inclusive daily series: only demand days
+      // within the 40-day horizon contribute; normalizer is the full
+      // 40-weight sum
+      val sesNum = train.filter(x => cutDay - x._1 < 40)
+        .map(x => x._2 * math.pow(beta, (cutDay - x._1).toInt)).sum
+      val sesDen = (0 until 40).map(i => math.pow(beta, i)).sum
+      val ses = sesNum / sesDen
+      def mae(f: Double): Double =
+        (hold.map(x => math.abs(x._2 - f)).sum +
+          (hs - K) * f) / hs
+      assert(math.abs(maeCro - mae(cro)) < 1e-3, s"$b croston")
+      assert(math.abs(maeSba - mae(sba)) < 1e-3, s"$b sba")
+      assert(math.abs(maeSes - mae(ses)) < 1e-3, s"$b ses")
+      val maes = Seq("croston" -> maeCro, "sba" -> maeSba,
+        "ses" -> maeSes)
+      assert(maes.find(_._1 == best).get._2 <= maes.map(_._2).min + 1e-9,
+        s"$b winner $best is not minimal")
+    }
+  }
 }

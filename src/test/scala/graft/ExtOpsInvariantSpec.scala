@@ -206,6 +206,100 @@ class ExtOpsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("x_seasonal_mann_kendall: S and the additive tie-corrected " +
+      "variance match a per-season pairwise driver-side replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count => fcount, lit => flit,
+      date_trunc, month}
+    val daily = graft.util.Tables.t(spark, sf, "orders")
+      .groupBy($"o_orderpriority".as("p"),
+        date_trunc("day", $"o_orderdate").cast("string").as("day"))
+      .agg(fcount(flit(1)).as("y"))
+      .as[(String, String, Long)].collect()
+    val expected = daily.groupBy(_._1).map { case (p, rs) =>
+      // season = month-of-year from the day string (yyyy-MM-dd...)
+      val bySeason = rs.groupBy(_._2.substring(5, 7))
+      val sStat = bySeason.values.map { srs =>
+        val ys = srs.sortBy(_._2).map(_._3)
+        (for {
+          i <- ys.indices; j <- (i + 1) until ys.length
+        } yield java.lang.Long.signum(ys(j) - ys(i)).toLong).sum
+      }.sum
+      val varNum = bySeason.values.map { srs =>
+        val ys = srs.map(_._3)
+        val n = ys.length.toLong
+        val tieTerm = ys.groupBy(identity).values
+          .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) })
+          .sum
+        n * (n - 1) * (2 * n + 5) - tieTerm
+      }.sum
+      (p, rs.size.toLong, bySeason.size.toLong, sStat, varNum)
+    }.toSet
+    val rows = run("x_seasonal_mann_kendall").collect()
+    val got = rows.map { r =>
+      (r.getAs[String]("priority"), r.getAs[Long]("n_days"),
+        r.getAs[Long]("n_seasons"), r.getAs[Long]("s_stat"),
+        r.getAs[Long]("var_num"))
+    }.toSet
+    assert(got == expected)
+    rows.foreach { r =>
+      val (s, v) = (r.getAs[Long]("s_stat"), r.getAs[Long]("var_num"))
+      if (v > 0) {
+        val zr = if (s > 0) (s - 1) / math.sqrt(v / 18.0)
+          else if (s < 0) (s + 1) / math.sqrt(v / 18.0) else 0.0
+        assert(math.abs(r.getAs[Double]("z") - math.floor(zr * 1e4 + 0.5)
+          / 1e4) < 1e-9)
+        val trend = if (zr > 1.96) "increasing"
+          else if (zr < -1.96) "decreasing" else "no_trend"
+        assert(r.getAs[String]("trend") == trend)
+      }
+    }
+  }
+
+  test("x_brown_forsythe: the per-group median is the exact rank-picked " +
+      "order statistic and W equals a plain-double ANOVA on " +
+      "median-centered absolute deviations") {
+    val rows = graft.util.Tables.t(spark, sf, "orders")
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val byGrp = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(_._2).toSeq
+    }
+    // median: first cent value whose 2*cum >= n+1 off the sorted cents
+    val meds = byGrp.map { case (g, ys) =>
+      val cents = ys.map(y => math.floor(y * 100 + 0.5).toLong).sorted
+      val idx = math.ceil((cents.length + 1) / 2.0).toInt - 1
+      g -> cents(idx) / 100.0
+    }
+    val zs = byGrp.map { case (g, ys) =>
+      g -> ys.map(y => math.abs(y - meds(g)))
+    }
+    val k = zs.size
+    val nn = zs.values.map(_.size).sum
+    val gm = zs.values.flatten.sum / nn
+    val ssb = zs.values.map { z =>
+      val zm = z.sum / z.size
+      z.size * (zm - gm) * (zm - gm)
+    }.sum
+    val ssw = zs.values.map { z =>
+      val zm = z.sum / z.size
+      z.map(v => (v - zm) * (v - zm)).sum
+    }.sum
+    val wExp = (ssb / (k - 1)) / (ssw / (nn - k))
+    val got = run("x_brown_forsythe").collect()
+    assert(got.length === k)
+    got.foreach { r =>
+      val g = r.getAs[String]("grp")
+      assert(r.getAs[Double]("median") === meds(g), s"$g median")
+      val zm = zs(g).sum / zs(g).size
+      assert(math.abs(r.getAs[Double]("mean_absdev") - zm) < 1e-3)
+      assert(math.abs(r.getAs[Double]("bf_w") - wExp) < 1e-3,
+        s"W: ${r.getAs[Double]("bf_w")} vs $wExp")
+      assert(r.getAs[Boolean]("reject_equal_var_05") === (wExp > 2.372)
+        || math.abs(wExp - 2.372) < 1e-3)
+    }
+  }
+
   test("x_image_dhash: every planted replica is recovered and the " +
       "counts nest (candidates >= verified >= replicas found)") {
     val r = run("x_image_dhash").collect().head

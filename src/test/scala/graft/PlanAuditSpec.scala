@@ -159,6 +159,16 @@ class PlanAuditSpec extends SparkSpec {
     // line count), read once per counting level — and the O(items)/
     // O(pairs) frequent levels the Apriori candidate join re-reads
     "x_frequent_itemsets",
+    // r16 additions, reviewed: x_benjamini_yekutieli checkpoints the
+    // O(nations) per-test count table (read by tot, the harmonic
+    // ladder, and the scoring pass); x_brown_forsythe the O(groups)
+    // deviation statistics (the x_levene_variance posture);
+    // x_seasonal_mann_kendall the (priority, day) daily series —
+    // bounded by the calendar, read by the pair join, season sizes and
+    // tie counts; x_croston_backtest the same day-grain table plus the
+    // O(brands) estimate row
+    "x_benjamini_yekutieli", "x_brown_forsythe",
+    "x_seasonal_mann_kendall", "x_croston_backtest",
     // x_cox_one_step / x_cumulative_incidence reuse the survival
     // family's checkpointed spell projection; x_isotonic_calibration
     // checkpoints the 10-row calibration-bin table its O(bins³)
