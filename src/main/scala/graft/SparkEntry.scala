@@ -73,15 +73,19 @@ object SparkEntry {
     * operator families, ROTATED each round (r13 verdict #5) so every
     * round's additions get one round of min-of-N wall-clock tracking
     * before settling into ShuffleCountSpec-only structural coverage.
-    * r15 rotation: the r14 survival/itemset/attribution battery
-    * (x_frequent_itemsets is the honest pick — the most expensive r14
-    * addition per the ScaleProbe table, it belongs under per-round
-    * wall-clock tracking). The r14 members (x_mannwhitney_u,
-    * x_kendall_tau, x_cochran_armitage, x_ipw_ate, x_hurst_exponent,
-    * x_capture_recapture) graduated to ShuffleCountSpec's alumni pins —
-    * plans still structurally pinned, no longer benched per round. */
+    * r16 rotation: the r15 demand/stats/graph battery —
+    * x_croston_demand (7.7 s at sf0.1, the most expensive r15
+    * addition) and x_textrank_keywords per the r15 verdict, plus the
+    * three r15 ops the ScaleProbe table left unmeasured
+    * (x_clustering_coeff's wedge join is the one potentially
+    * super-linear stage, x_holt_winters and x_welch_anova ride along)
+    * and x_jonckheere_terpstra. The r15 members (x_kaplan_meier,
+    * x_logrank_test, x_frequent_itemsets, x_shapley_attribution,
+    * x_tukey_hsd, x_isotonic_calibration) graduated to
+    * ShuffleCountSpec's alumni pins — plans still structurally pinned,
+    * no longer benched per round. */
   def freshQueries: Seq[String] = Seq(
-    "x_kaplan_meier", "x_logrank_test", "x_frequent_itemsets",
-    "x_shapley_attribution", "x_tukey_hsd", "x_isotonic_calibration"
+    "x_croston_demand", "x_textrank_keywords", "x_clustering_coeff",
+    "x_holt_winters", "x_welch_anova", "x_jonckheere_terpstra"
   ).filter(queries.contains)
 }

@@ -1,6 +1,7 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
+  SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Scale-curve probe (r13 verdict #4): run named registry queries
@@ -36,6 +37,7 @@ object ScaleProbe {
 
     @volatile var shufWrite = 0L
     @volatile var shufRead = 0L
+    @volatile var jobs = 0L
     val listener = new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
@@ -44,6 +46,11 @@ object ScaleProbe {
           shufRead += m.shuffleReadMetrics.totalBytesRead
         }
       }
+      // job count per timed run — the within-run drift-adjudication
+      // signal (a hidden driver-side action shows up here even when
+      // wall time is inside the noise band)
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs += 1L
     }
     spark.sparkContext.addSparkListener(listener)
 
@@ -52,14 +59,15 @@ object ScaleProbe {
       // warm-up: JIT, codegen caches, file footers (untimed, unmeasured)
       run(spark, sfDir).write.format("noop").mode("overwrite").save()
       Thread.sleep(200) // drain late task-end events from the warm-up
-      shufWrite = 0L; shufRead = 0L
+      shufWrite = 0L; shufRead = 0L; jobs = 0L
       val t0 = System.nanoTime()
       run(spark, sfDir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(200) // listener events are async; let them land
       println(f"""{"query":"$name","sec":$sec%.3f,""" +
         s""""shuffle_write_bytes":$shufWrite,""" +
-        s""""shuffle_read_bytes":$shufRead,"sf_dir":"$sfDir"}""")
+        s""""shuffle_read_bytes":$shufRead,"jobs":$jobs,""" +
+        s""""sf_dir":"$sfDir"}""")
     }
     spark.stop()
   }

@@ -42,7 +42,10 @@ class ShuffleCountSpec extends SparkSpec {
     "x_group_sequential", "x_dedup_saturation", "x_mahalanobis_outliers",
     // r15 graduation (the r14 fresh tier)
     "x_mannwhitney_u", "x_kendall_tau", "x_cochran_armitage",
-    "x_ipw_ate", "x_hurst_exponent", "x_capture_recapture")
+    "x_ipw_ate", "x_hurst_exponent", "x_capture_recapture",
+    // r16 graduation (the r15 fresh tier)
+    "x_kaplan_meier", "x_logrank_test", "x_frequent_itemsets",
+    "x_shapley_attribution", "x_tukey_hsd", "x_isotonic_calibration")
 
   private lazy val counts: Map[String, Int] =
     (SparkEntry.benchQueries ++ SparkEntry.heavyQueries ++
@@ -95,6 +98,20 @@ class ShuffleCountSpec extends SparkSpec {
     "x_logrank_test" -> 4,
     "x_shapley_attribution" -> 2,
     "x_tukey_hsd" -> 2,
+    // r16 fresh-tier rotation members (the r15 demand/stats/graph
+    // battery): x_croston_demand's 4 is the dim join + day-grain
+    // groupBy + the brand-keyed window stack + final sort;
+    // x_textrank_keywords' 0 is the checkpoint caveat above (graph
+    // build + rank iterations run during construction);
+    // x_jonckheere_terpstra's 9 is the dense-grid build over the
+    // checkpointed histogram (distincts + grid join + two cumsum
+    // windows), all O(levels×values)
+    "x_clustering_coeff" -> 3,
+    "x_croston_demand" -> 4,
+    "x_holt_winters" -> 5,
+    "x_jonckheere_terpstra" -> 9,
+    "x_textrank_keywords" -> 0,
+    "x_welch_anova" -> 3,
     // r14 fresh-tier rotation members
     "x_capture_recapture" -> 4,
     "x_cochran_armitage" -> 2,
