@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.types.Coercions.{detRound, dsum}
+import graft.types.Coercions.{detRound, dsum, fmtD}
 import graft.util.Tables.t
 
 /** Robust / order statistics over the fixture streams — the
@@ -124,6 +124,124 @@ object StatsOps {
     invNorm(1.0 - (i * 0.05 / FdrM) / 2.0)
   private def fdrCritLit(i: Int): String =
     graft.util.Num.lit17(fdrCrit(i))
+
+  // ---- inverse Student-t quantile with DATA-DEPENDENT df ------------------
+  // Hill's Algorithm 396 (CACM 13(10), 1970) as a pair of expression
+  // builders — one Spark Column tree, one DuckDB SQL text — evaluated
+  // IN-ENGINE because the consuming tests (Grubbs/ESD) need t at a
+  // probability and df the data decides (α/(2N), N−2), which the
+  // embed-a-literal trick that serves x_fdr_bh cannot cover. Both
+  // builders spell the IDENTICAL arithmetic (every constant a lit17
+  // round-trip literal, identical operation order), so both engines
+  // walk the same IEEE doubles; the caller quantizes the result (1e9)
+  // before deriving anything, firewalling the pow/exp 1-ulp risk the
+  // cross-engine notes allow for. Accuracy vs an incomplete-beta
+  // bisection reference: |rel err| ≤ 4e-6 over p2 ∈ [1e-5, 0.05],
+  // df ∈ [1, 2400]; ≤ 3e-10 in the small-p/large-df regime Grubbs
+  // lives in (validated offline, pinned in the spec).
+  import org.apache.spark.sql.Column
+  private def polyCol(cs: Seq[Double], x: Column): Column =
+    cs.tail.foldLeft(lit(cs.head): Column)((acc, ci) => acc * x + lit(ci))
+  private def polySql(cs: Seq[Double], x: String): String =
+    cs.tail.foldLeft(s"CAST(${graft.util.Num.lit17(cs.head)} AS DOUBLE)")(
+      (acc, ci) => s"(($acc) * ($x) + ${graft.util.Num.lit17(ci)})")
+
+  private val AckA = Seq(-3.969683028665376e+01, 2.209460984245205e+02,
+    -2.759285104469687e+02, 1.383577518672690e+02,
+    -3.066479806614716e+01, 2.506628277459239e+00)
+  private val AckB = Seq(-5.447609879822406e+01, 1.615858368580409e+02,
+    -1.556989798598866e+02, 6.680131188771972e+01,
+    -1.328068155288572e+01, 1.0)
+  private val AckC = Seq(-7.784894002430293e-03, -3.223964580411365e-01,
+    -2.400758277161838e+00, -2.549732539343734e+00,
+    4.374664141464968e+00, 2.938163982698783e+00)
+  private val AckD = Seq(7.784695709041462e-03, 3.224671290700398e-01,
+    2.445134137142996e+00, 3.754408661907416e+00, 1.0)
+
+  /** Acklam Φ⁻¹ with a column-valued probability (all three branches). */
+  private[ext] def invNormCol(p: Column): Column = {
+    val qLo = sqrt(lit(-2.0) * log(p))
+    val qHi = sqrt(lit(-2.0) * log(lit(1.0) - p))
+    val qM = p - 0.5
+    val rM = qM * qM
+    when(p < 0.02425, polyCol(AckC, qLo) / polyCol(AckD, qLo))
+      .when(p <= 0.97575, polyCol(AckA, rM) * qM / polyCol(AckB, rM))
+      .otherwise(-polyCol(AckC, qHi) / polyCol(AckD, qHi))
+  }
+
+  private def invNormSql(p: String): String = {
+    val qLo = s"sqrt(-2.0 * ln($p))"
+    val qHi = s"sqrt(-2.0 * ln(1.0 - ($p)))"
+    val qM = s"(($p) - 0.5)"
+    val rM = s"($qM * $qM)"
+    s"""CASE WHEN ($p) < 0.02425
+          THEN (${polySql(AckC, qLo)}) / (${polySql(AckD, qLo)})
+        WHEN ($p) <= 0.97575
+          THEN (${polySql(AckA, rM)}) * $qM / (${polySql(AckB, rM)})
+        ELSE -((${polySql(AckC, qHi)})) / (${polySql(AckD, qHi)}) END"""
+  }
+
+  /** Two-tailed Student-t quantile t(p2, n): P(|T_n| > t) = p2. */
+  private[ext] def tQuantileCol(p2: Column, n: Column): Column = {
+    val nd = n.cast("double")
+    val a = lit(1.0) / (nd - 0.5)
+    val b = lit(48.0) / (a * a)
+    val c0 = ((lit(20700.0) * a / b - 98.0) * a - 16.0) * a + 96.36
+    val d = ((lit(94.5) / (b + c0) - 3.0) / b + 1.0) *
+      sqrt(a * lit(math.Pi) / 2.0) * nd
+    val x0 = d * p2
+    val y0 = pow(x0, lit(2.0) / nd)
+    val xn = invNormCol(p2 * 0.5)
+    val yn = xn * xn
+    val cAdj = when(nd < 5.0, c0 + lit(0.3) * (nd - 4.5) * (xn + 0.6))
+      .otherwise(c0)
+    val c2 = (((lit(0.05) * d * xn - 5.0) * xn - 7.0) * xn - 2.0) * xn +
+      b + cAdj
+    val y1 = (((((lit(0.4) * yn + 6.3) * yn + 36.0) * yn + 94.5) / c2 -
+      yn - 3.0) / b + 1.0) * xn
+    val y2 = a * y1 * y1
+    val yExp = when(y2 > 0.002, exp(y2) - 1.0)
+      .otherwise(lit(0.5) * y2 * y2 + y2)
+    val ySm = ((lit(1.0) / (((nd + 6.0) / (nd * y0) - lit(0.089) * d -
+      0.822) * (nd + 2.0) * 3.0) + lit(0.5) / (nd + 4.0)) * y0 - 1.0) *
+      (nd + 1.0) / (nd + 2.0) + lit(1.0) / y0
+    val yGen = when(y0 > lit(0.05) + a, yExp).otherwise(ySm)
+    val p1 = p2 * lit(math.Pi) / 2.0
+    when(n === 1, cos(p1) / sin(p1))
+      .when(n === 2, sqrt(lit(2.0) / (p2 * (lit(2.0) - p2)) - 2.0))
+      .otherwise(sqrt(nd * yGen))
+  }
+
+  private def tQuantileSql(p2: String, n: String): String = {
+    val pi = graft.util.Num.lit17(math.Pi)
+    val nd = s"CAST($n AS DOUBLE)"
+    val a = s"(1.0 / ($nd - 0.5))"
+    val b = s"(48.0 / ($a * $a))"
+    val c0 = s"((((20700.0 * $a / $b - 98.0) * $a - 16.0) * $a + 96.36))"
+    val d = s"(((94.5 / ($b + $c0) - 3.0) / $b + 1.0) * " +
+      s"sqrt($a * CAST($pi AS DOUBLE) / 2.0) * $nd)"
+    val x0 = s"($d * ($p2))"
+    val y0 = s"pow($x0, 2.0 / $nd)"
+    val xn = s"(${invNormSql(s"(($p2) * 0.5)")})"
+    val yn = s"($xn * $xn)"
+    val cAdj = s"(CASE WHEN $nd < 5.0 " +
+      s"THEN $c0 + 0.3 * ($nd - 4.5) * ($xn + 0.6) ELSE $c0 END)"
+    val c2 = s"((((0.05 * $d * $xn - 5.0) * $xn - 7.0) * $xn - 2.0) " +
+      s"* $xn + $b + $cAdj)"
+    val y1 = s"((((((0.4 * $yn + 6.3) * $yn + 36.0) * $yn + 94.5) / $c2" +
+      s" - $yn - 3.0) / $b + 1.0) * $xn)"
+    val y2 = s"($a * $y1 * $y1)"
+    val yExp = s"(CASE WHEN $y2 > 0.002 THEN exp($y2) - 1.0 " +
+      s"ELSE 0.5 * $y2 * $y2 + $y2 END)"
+    val ySm = s"(((1.0 / ((($nd + 6.0) / ($nd * $y0) - 0.089 * $d - " +
+      s"0.822) * ($nd + 2.0) * 3.0) + 0.5 / ($nd + 4.0)) * $y0 - 1.0) " +
+      s"* ($nd + 1.0) / ($nd + 2.0) + 1.0 / $y0)"
+    val yGen = s"(CASE WHEN $y0 > 0.05 + $a THEN $yExp ELSE $ySm END)"
+    val p1 = s"(($p2) * CAST($pi AS DOUBLE) / 2.0)"
+    s"""CASE WHEN ($n) = 1 THEN cos($p1) / sin($p1)
+        WHEN ($n) = 2 THEN sqrt(2.0 / (($p2) * (2.0 - ($p2))) - 2.0)
+        ELSE sqrt($nd * $yGen) END"""
+  }
 
   // Benjamini–Yekutieli dependence-robust factor c(m) = Σ_{i=1..m} 1/i:
   // each 1/i term is 1e12-quantized BEFORE the sum, so the Scala
@@ -2550,6 +2668,60 @@ object StatsOps {
         .orderBy("by_rank")
     }),
 
+    "x_grubbs_outlier" -> ((s, d) => {
+      // Grubbs' maximum-normed-residual test (Technometrics 1969) per
+      // priority: is the most extreme daily order count a statistical
+      // outlier, or just the tail of the normal scatter? G = max|y−ȳ|/s
+      // against the exact critical value ((N−1)/√N)·√(t²/(N−2+t²)) with
+      // t the α/(2N) Student-t quantile at N−2 df — BOTH data-dependent
+      // (N is the series length the data decides), which is exactly
+      // what the in-engine Hill-396 tQuantile unblocks: no embedded
+      // literal can cover a df the query discovers at runtime. The t
+      // value is 1e9-quantized before the critical-value arithmetic
+      // (the pow/exp ulp firewall). Daily moments are exact integer
+      // sums; the extreme row is a deterministic rank pick (deviation
+      // desc, day asc). Scale: one fact groupBy to the calendar-bounded
+      // day grain, everything downstream O(priorities).
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).cast("long").as("y"))
+        .localCheckpoint()
+      val st = daily.groupBy("priority")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("y")).cast("long").as("sy"),
+          sum(col("y") * col("y")).cast("long").as("syy"))
+        .withColumn("mean", col("sy").cast("double") / col("n"))
+        .withColumn("vr",
+          (col("syy").cast("double") -
+            col("sy").cast("double") * col("sy") / col("n"))
+            / (col("n") - 1))
+        .withColumn("sd", when(col("vr") > 0, sqrt(col("vr"))))
+      daily.join(broadcast(st), "priority")
+        .withColumn("adev", abs(col("y").cast("double") - col("mean")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("priority").orderBy(desc("adev"), asc("day"))))
+        .filter(col("rn") === 1)
+        .withColumn("g_stat", when(col("sd") > 0, col("adev") / col("sd")))
+        .withColumn("p2", lit(0.05) / col("n"))
+        .withColumn("tq",
+          floor(tQuantileCol(col("p2"), col("n") - 2) * 1e9 + 0.5) / 1e9)
+        .withColumn("g_crit",
+          (col("n") - 1).cast("double") / sqrt(col("n").cast("double"))
+            * sqrt(col("tq") * col("tq")
+              / (col("n").cast("double") - 2 + col("tq") * col("tq"))))
+        .select(col("priority"), col("n").as("n_days"),
+          detRound(col("mean"), 4).as("mean_daily"),
+          detRound(col("sd"), 6).as("sd_daily"),
+          fmtD(col("day")).as("extreme_day"),
+          col("y").as("extreme_count"),
+          detRound(col("g_stat"), 6).as("g_stat"),
+          detRound(col("tq"), 6).as("t_quantile"),
+          detRound(col("g_crit"), 6).as("g_crit"),
+          (col("g_stat") > col("g_crit")).as("is_outlier"))
+        .orderBy("priority")
+    }),
+
     "x_hill_tail_index" -> ((s, d) => {
       // Hill estimator of the Pareto tail exponent over the top-200
       // order values — the heavy-tail diagnostic that says whether means
@@ -4888,6 +5060,57 @@ object StatsOps {
                 CASE WHEN c.crit IS NOT NULL THEN c.rnk <= i.imax END
                   AS rejected
          FROM cr c, im i ORDER BY by_rank"""
+    },
+
+    "x_grubbs_outlier" -> {
+      val tq = tQuantileSql("0.05 / CAST(n AS DOUBLE)", "n - 2")
+      s"""WITH daily AS (
+           SELECT o_orderpriority AS priority,
+                  date_trunc('day', o_orderdate) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS y
+           FROM orders GROUP BY 1, 2),
+         st0 AS (
+           SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(y) AS BIGINT) AS sy,
+                  CAST(SUM(y * y) AS BIGINT) AS syy
+           FROM daily GROUP BY 1),
+         st1 AS (
+           SELECT priority, n, CAST(sy AS DOUBLE) / n AS mean,
+                  (CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS vr
+           FROM st0),
+         st AS (
+           SELECT priority, n, mean,
+                  CASE WHEN vr > 0 THEN sqrt(vr) END AS sd
+           FROM st1),
+         dev AS (
+           SELECT d.priority, d.day, d.y, s.n, s.mean, s.sd,
+                  abs(CAST(d.y AS DOUBLE) - s.mean) AS adev,
+                  row_number() OVER (PARTITION BY d.priority
+                    ORDER BY abs(CAST(d.y AS DOUBLE) - s.mean) DESC,
+                    d.day ASC) AS rn
+           FROM daily d JOIN st s USING (priority)),
+         top1 AS (SELECT * FROM dev WHERE rn = 1),
+         tqv AS (
+           SELECT *, floor(($tq) * 1e9 + 0.5) / 1e9 AS tq
+           FROM top1),
+         fin AS (
+           SELECT priority, n, mean, sd, day, y,
+                  CASE WHEN sd > 0 THEN adev / sd END AS g_stat, tq,
+                  CAST(n - 1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))
+                    * sqrt(tq * tq / (CAST(n AS DOUBLE) - 2 + tq * tq))
+                    AS g_crit
+           FROM tqv)
+         SELECT priority, n AS n_days,
+                floor(mean * 1e4 + 0.5) / 1e4 AS mean_daily,
+                floor(sd * 1e6 + 0.5) / 1e6 AS sd_daily,
+                strftime(day, '%Y-%m-%d') AS extreme_day,
+                y AS extreme_count,
+                floor(g_stat * 1e6 + 0.5) / 1e6 AS g_stat,
+                floor(tq * 1e6 + 0.5) / 1e6 AS t_quantile,
+                floor(g_crit * 1e6 + 0.5) / 1e6 AS g_crit,
+                g_stat > g_crit AS is_outlier
+         FROM fin ORDER BY priority"""
     },
 
     "x_hill_tail_index" ->

@@ -300,6 +300,109 @@ class ExtOpsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("x_grubbs_outlier: the in-engine Hill-396 t-quantile matches a " +
+      "plain-Scala replay pinned to incomplete-beta references, and G, " +
+      "the extreme pick and the critical value match a brute-force walk") {
+    // plain-Scala Hill (1970) Algorithm 396, two-tailed
+    def invnorm(p: Double): Double = {
+      val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+        -2.759285104469687e+02, 1.383577518672690e+02,
+        -3.066479806614716e+01, 2.506628277459239e+00)
+      val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+        -1.556989798598866e+02, 6.680131188771972e+01,
+        -1.328068155288572e+01)
+      val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+        -2.400758277161838e+00, -2.549732539343734e+00,
+        4.374664141464968e+00, 2.938163982698783e+00)
+      val dd = Array(7.784695709041462e-03, 3.224671290700398e-01,
+        2.445134137142996e+00, 3.754408661907416e+00)
+      if (p < 0.02425) {
+        val q = math.sqrt(-2 * math.log(p))
+        (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q +
+          c(5)) / ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
+      } else {
+        val q = p - 0.5; val r = q * q
+        (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r +
+          a(5)) * q /
+          (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+      }
+    }
+    def hill396(p: Double, n: Long): Double = {
+      if (n == 1) { val p2 = p * math.Pi / 2; math.cos(p2) / math.sin(p2) }
+      else if (n == 2) math.sqrt(2.0 / (p * (2.0 - p)) - 2.0)
+      else {
+        val a = 1.0 / (n - 0.5); val b = 48.0 / (a * a)
+        var c = ((20700.0 * a / b - 98.0) * a - 16.0) * a + 96.36
+        val d = ((94.5 / (b + c) - 3.0) / b + 1.0) *
+          math.sqrt(a * math.Pi / 2.0) * n
+        var x = d * p
+        var y = math.pow(x, 2.0 / n)
+        if (y > 0.05 + a) {
+          x = invnorm(p * 0.5)
+          y = x * x
+          if (n < 5) c = c + 0.3 * (n - 4.5) * (x + 0.6)
+          c = (((0.05 * d * x - 5.0) * x - 7.0) * x - 2.0) * x + b + c
+          y = (((((0.4 * y + 6.3) * y + 36.0) * y + 94.5) / c - y - 3.0)
+            / b + 1.0) * x
+          y = a * y * y
+          y = if (y > 0.002) math.exp(y) - 1.0 else 0.5 * y * y + y
+        } else {
+          y = ((1.0 / (((n + 6.0) / (n * y) - 0.089 * d - 0.822) *
+            (n + 2.0) * 3.0) + 0.5 / (n + 4.0)) * y - 1.0) *
+            (n + 1.0) / (n + 2.0) + 1.0 / y
+        }
+        math.sqrt(n * y)
+      }
+    }
+    // pins vs an offline incomplete-beta bisection reference (the
+    // documented |rel err| <= 4e-6 bound)
+    val refs = Seq((0.05, 1L, 12.706204736), (0.05, 2L, 4.302652730),
+      (0.05, 10L, 2.228138852), (0.05, 30L, 2.042272456),
+      (0.001, 100L, 3.390491311), (2e-5, 1500L, 4.278569384))
+    refs.foreach { case (p, n, ref) =>
+      val h = hill396(p, n)
+      assert(math.abs(h - ref) / ref < 4e-6, s"hill($p, $n)=$h vs $ref")
+    }
+    // brute-force Grubbs walk per priority
+    val daily = graft.util.Tables.t(spark, sf, "orders")
+      .groupBy(org.apache.spark.sql.functions.col("o_orderpriority")
+          .as("p"),
+        org.apache.spark.sql.functions.date_trunc("day",
+          org.apache.spark.sql.functions.col("o_orderdate"))
+          .cast("string").as("day"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rows = run("x_grubbs_outlier").collect()
+    assert(rows.length === daily.map(_._1).distinct.length)
+    rows.foreach { r =>
+      val p = r.getAs[String]("priority")
+      val ys = daily.filter(_._1 == p)
+      val n = ys.length.toLong
+      assert(r.getAs[Long]("n_days") === n)
+      val mean = ys.map(_._3).sum.toDouble / n
+      val vr = ys.map(x => (x._3 - mean) * (x._3 - mean)).sum / (n - 1)
+      val sd = math.sqrt(vr)
+      val ext = ys.maxBy(x => (math.abs(x._3 - mean), x._2.substring(0,
+        10))) // max deviation; the engine tiebreaks by EARLIEST day
+      val cands = ys.filter(x =>
+        math.abs(math.abs(x._3 - mean) - math.abs(ext._3 - mean)) < 1e-12)
+      val pick = cands.minBy(_._2)
+      assert(r.getAs[String]("extreme_day") === pick._2.substring(0, 10))
+      assert(r.getAs[Long]("extreme_count") === pick._3)
+      val g = math.abs(pick._3 - mean) / sd
+      assert(math.abs(r.getAs[Double]("g_stat") - g) < 1e-4, s"$p G")
+      val t = hill396(0.05 / n, n - 2)
+      assert(math.abs(r.getAs[Double]("t_quantile") - t) < 1e-5, s"$p t")
+      val crit = (n - 1) / math.sqrt(n.toDouble) *
+        math.sqrt(t * t / (n - 2 + t * t))
+      assert(math.abs(r.getAs[Double]("g_crit") - crit) < 1e-4, s"$p crit")
+      assert(r.getAs[Boolean]("is_outlier") === (g > crit) ||
+        math.abs(g - crit) < 1e-4)
+    }
+  }
+
   test("x_image_dhash: every planted replica is recovered and the " +
       "counts nest (candidates >= verified >= replicas found)") {
     val r = run("x_image_dhash").collect().head

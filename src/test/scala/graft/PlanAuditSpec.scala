@@ -169,6 +169,10 @@ class PlanAuditSpec extends SparkSpec {
     // O(brands) estimate row
     "x_benjamini_yekutieli", "x_brown_forsythe",
     "x_seasonal_mann_kendall", "x_croston_backtest",
+    // x_grubbs_outlier checkpoints the (priority, day) daily-count
+    // table — bounded by the calendar, read by the moment pass and the
+    // extreme-row pick
+    "x_grubbs_outlier",
     // x_cox_one_step / x_cumulative_incidence reuse the survival
     // family's checkpointed spell projection; x_isotonic_calibration
     // checkpoints the 10-row calibration-bin table its O(bins³)
