@@ -386,6 +386,272 @@ object StreamingIngest {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
   }
 
+  // ---- streaming CUSUM level-shift sink (r16) -----------------------------
+
+  // Tabular (decision-interval) CUSUM: the reference mean μ0 is FROZEN
+  // after the first CusumBurn folded hours (burn-in estimates only, it
+  // never feeds the statistic), then CU⁺/CU⁻ accumulate max(0, ·) of
+  // the ±(x − μ0 ∓ k) deviations. k = 0.5 per-hour slack and h = 25
+  // events decision interval are the Page–Hinkley constants, so the
+  // two detectors are directly comparable on the same stream: PH
+  // tracks drift against the RUNNING prefix mean (adapts, detects
+  // slow drifts late), tabular CUSUM against a FROZEN baseline
+  // (detects any sustained level shift, never adapts to it).
+  private val CusumBurn = 6L
+  private val CusumKQ = 500000000L // 0.5 in 1e9 fixed point
+  private val CusumHQ = 25L * 1000000000L
+
+  /** Per-type tabular-CUSUM fold state. nh = folded hours (incl.
+    * burn-in); bn/bs = burn-in hour count and count sum; mu0q = frozen
+    * reference in 1e9 fixed point (-1 while burning in); cu/cd =
+    * one-sided CUSUM statistics; mxu/mxdn = their running maxima;
+    * au/ad = first alarm hour (epoch micros, -1 none); pendH/pendC/
+    * late = the phDriftSink pending-hour finalization contract. */
+  private[graft] case class CsState(nh: Long, bn: Long, bs: Long,
+      mu0q: Long, cu: Long, cd: Long, mxu: Long, mxdn: Long,
+      au: Long, ad: Long, pendH: Long, pendC: Long, late: Long)
+
+  private[graft] val csEmpty =
+    CsState(0L, 0L, 0L, -1L, 0L, 0L, 0L, 0L, -1L, -1L, -1L, 0L, 0L)
+
+  private def csFold(s: CsState, h: Long, c: Long): CsState =
+    if (s.mu0q < 0) {
+      val bn = s.bn + 1; val bs = s.bs + c
+      s.copy(nh = s.nh + 1, bn = bn, bs = bs,
+        mu0q = if (bn < CusumBurn) -1L
+          else math.floor(bs.toDouble / bn * 1e9 + 0.5).toLong)
+    } else {
+      val t = s.nh + 1
+      val xq = c * 1000000000L
+      val cu = math.max(0L, s.cu + (xq - s.mu0q - CusumKQ))
+      val cd = math.max(0L, s.cd + (s.mu0q - xq - CusumKQ))
+      CsState(t, s.bn, s.bs, s.mu0q, cu, cd,
+        math.max(s.mxu, cu), math.max(s.mxdn, cd),
+        if (s.au >= 0) s.au else if (cu > CusumHQ) h else -1L,
+        if (s.ad >= 0) s.ad else if (cd > CusumHQ) h else -1L,
+        s.pendH, s.pendC, s.late)
+    }
+
+  private def csAdvance(s: CsState, h: Long, c: Long): CsState =
+    if (s.pendH < 0) s.copy(pendH = h, pendC = c)
+    else if (h == s.pendH) s.copy(pendC = s.pendC + c)
+    else if (h < s.pendH) s.copy(late = s.late + 1)
+    else csFold(s, s.pendH, s.pendC).copy(pendH = h, pendC = c)
+
+  /** (lastBatchId, type -> CsState); (-1, empty) when fresh. */
+  private[graft] def csStates(statePath: String)
+      : (Long, Map[String, CsState]) = {
+    val f = java.nio.file.Paths.get(statePath)
+    if (!java.nio.file.Files.exists(f)) (-1L, Map.empty)
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      val last = "\"lastBatch\"\\s*:\\s*(-?\\d+)".r
+        .findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(-1L)
+      val rx = ("\\{\"t\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*" +
+        "\"v\"\\s*:\\s*\\[([-0-9, ]+)\\]\\}").r
+      val types = rx.findAllMatchIn(s).map { m =>
+        val v = m.group(2).split(",").map(_.trim.toLong)
+        m.group(1).replaceAll("\\\\(.)", "$1") -> CsState(v(0), v(1),
+          v(2), v(3), v(4), v(5), v(6), v(7), v(8), v(9), v(10), v(11),
+          v(12))
+      }.toMap
+      (last, types)
+    }
+  }
+
+  private def csWriteState(statePath: String, batchId: Long,
+      types: Map[String, CsState]): Unit = {
+    val body = types.toSeq.sortBy(_._1).map { case (t, s) =>
+      val v = Seq(s.nh, s.bn, s.bs, s.mu0q, s.cu, s.cd, s.mxu, s.mxdn,
+        s.au, s.ad, s.pendH, s.pendC, s.late).mkString(", ")
+      val esc = t.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"t": "$esc", "v": [$v]}"""
+    }.mkString("[", ", ", "]")
+    val tmp = java.nio.file.Paths.get(statePath + ".tmp")
+    java.nio.file.Files.writeString(tmp,
+      s"""{"lastBatch": $batchId, "types": $body}""")
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(statePath),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
+  private[graft] def csBatch(spark: SparkSession, outPath: String,
+      statePath: String, batch: DataFrame, batchId: Long): Unit = {
+    val (last, st0) = csStates(statePath)
+    if (batchId <= last) return // replayed trigger already folded
+    val hourly = batch
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getString(0),
+        r.getAs[java.sql.Timestamp]("h").getTime * 1000L, r.getLong(2)))
+    val st1 = hourly.groupBy(_._1).foldLeft(st0) { case (acc, (tpe, obs)) =>
+      val folded = obs.sortBy(_._2).foldLeft(
+        acc.getOrElse(tpe, csEmpty)) { case (s, (_, h, c)) =>
+        csAdvance(s, h, c)
+      }
+      acc.updated(tpe, folded)
+    }
+    if (st1.nonEmpty) {
+      import spark.implicits._
+      st1.toSeq.sortBy(_._1).map { case (tpe, s) =>
+        (batchId, tpe, s.nh,
+          if (s.mu0q >= 0) Some(s.mu0q / 1e9) else None,
+          s.mxu / 1e9, s.mxdn / 1e9,
+          s.mxu > CusumHQ || s.mxdn > CusumHQ,
+          phFmt(s.au), phFmt(s.ad), s.late)
+      }.toDF("batch_id", "event_type", "n_hours", "mu0",
+          "max_cusum_up", "max_cusum_down", "shift_flag",
+          "first_alarm_up", "first_alarm_down", "late_hours")
+        .coalesce(1).write.mode("append").parquet(outPath)
+    }
+    csWriteState(statePath, batchId, st1)
+  }
+
+  /** Streaming tabular-CUSUM sink (the x_cusum_changepoint family's
+    * ONLINE member): per event type, hourly counts fold into an
+    * O(types) state — burn-in reference, two one-sided statistics,
+    * extrema, alarms — with one verdict row per type appended per
+    * trigger. Where the batch op retrospectively locates the single
+    * most likely level shift (it needs the series total), the tabular
+    * form answers the monitor's question — "has the level LEFT the
+    * frozen baseline?" — with O(1) per-type arithmetic per hour. All
+    * deviations are exact integers in 1e9 fixed point, so the fold is
+    * replay-deterministic. Crash/replay/pending-hour/late-hour
+    * contracts are phDriftSink's verbatim. */
+  def cusumSink(events: DataFrame, spark: SparkSession, outPath: String,
+                statePath: String, checkpoint: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        csBatch(spark, outPath, statePath, batch, batchId)
+      }
+
+  // ---- streaming space-saving top-k sink (r16) ----------------------------
+
+  // Space-Saving (Metwally, Agrawal & El Abbadi, ICDT 2005): k counters
+  // per event type; a tracked item's count increments, an untracked
+  // item evicts the MINIMUM counter and inherits its count as the error
+  // bound. Invariants, proven in the paper and pinned by the spec:
+  // true(u) ∈ [est(u) − err(u), est(u)] for every tracked u, and every
+  // item with true frequency > n/k is tracked. Both hold under weighted
+  // (batch-aggregated) updates and any arrival order; the fold order is
+  // nevertheless fixed (ascending user within a batch) so replays are
+  // bit-deterministic.
+  private val SsK = 8
+
+  /** Per-type state: n = total folded events; cs = tracked counters
+    * (user, est, err), unordered. */
+  private[graft] case class SsState(n: Long, cs: List[(Long, Long, Long)])
+
+  private def ssUpdate(s: SsState, u: Long, w: Long): SsState = {
+    val n2 = s.n + w
+    s.cs.find(_._1 == u) match {
+      case Some((_, c, e)) =>
+        SsState(n2, (u, c + w, e) :: s.cs.filterNot(_._1 == u))
+      case None if s.cs.size < SsK => SsState(n2, (u, w, 0L) :: s.cs)
+      case None =>
+        // evict the minimum counter; smallest user on ties so replays
+        // are deterministic
+        val m = s.cs.minBy(x => (x._2, x._1))
+        SsState(n2, (u, m._2 + w, m._2) :: s.cs.filterNot(_._1 == m._1))
+    }
+  }
+
+  /** (lastBatchId, type -> SsState); (-1, empty) when fresh. */
+  private[graft] def ssStates(statePath: String)
+      : (Long, Map[String, SsState]) = {
+    val f = java.nio.file.Paths.get(statePath)
+    if (!java.nio.file.Files.exists(f)) (-1L, Map.empty)
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      val last = "\"lastBatch\"\\s*:\\s*(-?\\d+)".r
+        .findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(-1L)
+      val rx = ("\\{\"t\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*" +
+        "\"n\"\\s*:\\s*(\\d+)\\s*,\\s*\"c\"\\s*:\\s*" +
+        "\\[((?:\\[[-0-9, ]+\\](?:,\\s*)?)*)\\]\\}").r
+      val types = rx.findAllMatchIn(s).map { m =>
+        val cs = "\\[([-0-9, ]+)\\]".r.findAllMatchIn(m.group(3)).map {
+          cm =>
+            val v = cm.group(1).split(",").map(_.trim.toLong)
+            (v(0), v(1), v(2))
+        }.toList
+        m.group(1).replaceAll("\\\\(.)", "$1") ->
+          SsState(m.group(2).toLong, cs)
+      }.toMap
+      (last, types)
+    }
+  }
+
+  private def ssWriteState(statePath: String, batchId: Long,
+      types: Map[String, SsState]): Unit = {
+    val body = types.toSeq.sortBy(_._1).map { case (t, s) =>
+      val cs = s.cs.sortBy(x => (-x._2, x._1))
+        .map { case (u, c, e) => s"[$u, $c, $e]" }.mkString(", ")
+      val esc = t.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"t": "$esc", "n": ${s.n}, "c": [$cs]}"""
+    }.mkString("[", ", ", "]")
+    val tmp = java.nio.file.Paths.get(statePath + ".tmp")
+    java.nio.file.Files.writeString(tmp,
+      s"""{"lastBatch": $batchId, "types": $body}""")
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(statePath),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
+  private[graft] def ssBatch(spark: SparkSession, outPath: String,
+      statePath: String, batch: DataFrame, batchId: Long): Unit = {
+    val (last, st0) = ssStates(statePath)
+    if (batchId <= last) return // replayed trigger already folded
+    val perUser = batch
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val st1 = perUser.groupBy(_._1).foldLeft(st0) { case (acc, (tpe, us)) =>
+      val folded = us.sortBy(_._2).foldLeft(
+        acc.getOrElse(tpe, SsState(0L, Nil))) { case (s, (_, u, w)) =>
+        ssUpdate(s, u, w)
+      }
+      acc.updated(tpe, folded)
+    }
+    if (st1.nonEmpty) {
+      import spark.implicits._
+      st1.toSeq.sortBy(_._1).flatMap { case (tpe, s) =>
+        s.cs.sortBy(x => (-x._2, x._1)).zipWithIndex.map {
+          case ((u, c, e), i) =>
+            (batchId, tpe, (i + 1).toLong, u, c, e, c - e, s.n)
+        }
+      }.toDF("batch_id", "event_type", "rank", "user_id", "est_count",
+          "err_bound", "guaranteed_min", "n_events")
+        .coalesce(1).write.mode("append").parquet(outPath)
+    }
+    ssWriteState(statePath, batchId, st1)
+  }
+
+  /** Streaming space-saving heavy-hitter sink: the bounded top-k
+    * complement of the batch CMS/top-k gauges — per event type, WHICH
+    * users dominate the stream right now, in O(k) state per type with
+    * per-item error bounds instead of an unbounded exact count table.
+    * One row per tracked counter per trigger (rank, estimate, error
+    * bound, guaranteed minimum), so a monitor reads both the ranking
+    * and how trustworthy each entry is. Crash/replay contracts are
+    * phDriftSink's verbatim; the spec checks the two Metwally
+    * invariants against an exact batch recount. */
+  def spaceSavingSink(events: DataFrame, spark: SparkSession,
+      outPath: String, statePath: String, checkpoint: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ssBatch(spark, outPath, statePath, batch, batchId)
+      }
+
   /** Streaming twin of x_srm_check: the sample-ratio-mismatch gate run
     * CONTINUOUSLY over the ingest instead of at end-of-day audit. Per
     * micro-batch, the batch's three arm counts (same md5 coin as the

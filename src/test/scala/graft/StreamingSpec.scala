@@ -1299,4 +1299,137 @@ class StreamingSpec extends SparkSpec {
     val (_, st) = StreamingIngest.phStates(state)
     assert(st("a").late == 1L && st("a").nh == 11L)
   }
+
+  test("streaming CUSUM sink: burn-in freezes the reference, the " +
+      "one-sided folds equal a sequential replay, the level shift " +
+      "alarms, replayed batch is a no-op, state stays O(types)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val out = tmpDir("cs-out")
+    val state = tmpDir("cs-state") + "/_cs.json"
+    val ck = tmpDir("cs-ck")
+    val mem = MemoryStream[(String, Timestamp)]
+    val events = mem.toDF().toDF("event_type", "ts")
+    def hr(i: Int): Timestamp = Timestamp.from(
+      java.time.Instant.parse(f"2026-01-01T$i%02d:00:00Z"))
+    def rows(tpe: String, hour: Int, n: Int) = Seq.fill(n)((tpe, hr(hour)))
+    // type a: 6 quiet hours (2 events) establish mu0 = 2, then 6 hot
+    // hours (40) -> CU+ grows 37.5/hour, crossing h = 25 at the first
+    // scored hot hour; type b: flat 5s -> mu0 = 5, never alarms
+    mem.addData((0 until 6).flatMap(h =>
+      rows("a", h, 2) ++ rows("b", h, 5)): _*)
+    val q1 = StreamingIngest.cusumSink(events, spark, out, state, ck)
+      .start()
+    q1.awaitTermination()
+    mem.addData((6 until 12).flatMap(h =>
+      rows("a", h, 40) ++ rows("b", h, 5)): _*)
+    val q2 = StreamingIngest.cusumSink(events, spark, out, state, ck)
+      .start()
+    q2.awaitTermination()
+    val fin = spark.read.parquet(out).collect()
+      .filter(_.getAs[Long]("batch_id") == 1L)
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    // sequential replay of the folded hours (hour 11 stays pending):
+    // first 6 estimate mu0, the rest score
+    def replay(cs: Seq[Long]): (Double, Double, Double, Option[Int]) = {
+      val mu0q = math.floor(
+        cs.take(6).sum.toDouble / 6 * 1e9 + 0.5).toLong
+      var cu = 0L; var cd = 0L; var mxu = 0L; var mxd = 0L
+      var alarm: Option[Int] = None
+      cs.drop(6).zipWithIndex.foreach { case (c, i) =>
+        cu = math.max(0L, cu + (c * 1000000000L - mu0q - 500000000L))
+        cd = math.max(0L, cd + (mu0q - c * 1000000000L - 500000000L))
+        mxu = math.max(mxu, cu); mxd = math.max(mxd, cd)
+        if (alarm.isEmpty && cu > 25L * 1000000000L) alarm = Some(i + 6)
+      }
+      (mu0q / 1e9, mxu / 1e9, mxd / 1e9, alarm)
+    }
+    val (mu0A, mxuA, _, alarmA) =
+      replay(Seq.fill(6)(2L) ++ Seq.fill(5)(40L))
+    val ra = fin("a")
+    assert(ra.getAs[Long]("n_hours") == 11L)
+    assert(math.abs(ra.getAs[Double]("mu0") - mu0A) < 1e-9)
+    assert(math.abs(ra.getAs[Double]("max_cusum_up") - mxuA) < 1e-9,
+      s"a: engine ${ra.getAs[Double]("max_cusum_up")} vs replay $mxuA")
+    assert(ra.getAs[Boolean]("shift_flag"))
+    assert(alarmA.isDefined)
+    assert(ra.getAs[String]("first_alarm_up") ==
+      f"2026-01-01 ${alarmA.get}%02d:00:00")
+    val rb = fin("b")
+    assert(!rb.getAs[Boolean]("shift_flag"))
+    assert(math.abs(rb.getAs[Double]("mu0") - 5.0) < 1e-9)
+    assert(rb.getAs[Double]("max_cusum_up") == 0.0)
+    assert(rb.getAs[String]("first_alarm_up") == null)
+    // replayed batchId must not re-fold
+    val before = StreamingIngest.csStates(state)
+    StreamingIngest.csBatch(spark, out, state,
+      Seq(("a", hr(3))).toDF("event_type", "ts"), batchId = 0L)
+    assert(StreamingIngest.csStates(state) == before,
+      "replayed batchId must be a no-op")
+    // a late hour is dropped and counted; state rows stay O(types)
+    StreamingIngest.csBatch(spark, out, state,
+      Seq(("a", hr(2))).toDF("event_type", "ts"), batchId = 2L)
+    val (_, st) = StreamingIngest.csStates(state)
+    assert(st("a").late == 1L && st("a").nh == 11L)
+    assert(st.size == 2)
+  }
+
+  test("streaming space-saving sink: both Metwally invariants hold " +
+      "against an exact recount, every above-threshold user is " +
+      "tracked, state is bounded at k, replayed batch is a no-op") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val out = tmpDir("ss-out")
+    val state = tmpDir("ss-state") + "/_ss.json"
+    val ck = tmpDir("ss-ck")
+    val mem = MemoryStream[(Long, String)]
+    val events = mem.toDF().toDF("user_id", "event_type")
+    // skewed stream over >k distinct users: 1 and 2 dominate, a long
+    // tail of 12 singletons forces evictions
+    def burst(u: Long, n: Int) = Seq.fill(n)((u, "click"))
+    val b1 = burst(1L, 30) ++ burst(2L, 12) ++
+      (10L to 15L).flatMap(u => burst(u, 2))
+    val b2 = burst(1L, 20) ++ burst(2L, 18) ++ burst(3L, 9) ++
+      (16L to 21L).flatMap(u => burst(u, 1))
+    mem.addData(b1: _*)
+    val q1 = StreamingIngest.spaceSavingSink(events, spark, out, state,
+      ck).start()
+    q1.awaitTermination()
+    mem.addData(b2: _*)
+    val q2 = StreamingIngest.spaceSavingSink(events, spark, out, state,
+      ck).start()
+    q2.awaitTermination()
+    val truth = (b1 ++ b2).groupBy(_._1).map { case (u, xs) =>
+      u -> xs.size.toLong }
+    val n = (b1 ++ b2).size.toLong
+    val fin = spark.read.parquet(out).collect()
+      .filter(_.getAs[Long]("batch_id") == 1L)
+    assert(fin.forall(_.getAs[String]("event_type") == "click"))
+    assert(fin.length <= 8, "state must stay bounded at k counters")
+    assert(fin.map(_.getAs[Long]("n_events")).distinct.toSeq == Seq(n))
+    // invariant 1: est - err <= true <= est for every tracked user
+    fin.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val est = r.getAs[Long]("est_count")
+      val err = r.getAs[Long]("err_bound")
+      val t = truth.getOrElse(u, 0L)
+      assert(est - err <= t && t <= est,
+        s"user $u: true $t outside [${est - err}, $est]")
+      assert(r.getAs[Long]("guaranteed_min") == est - err)
+    }
+    // invariant 2: every user above n/k is tracked
+    val tracked = fin.map(_.getAs[Long]("user_id")).toSet
+    truth.filter(_._2 > n / 8).keys.foreach(u =>
+      assert(tracked.contains(u), s"heavy user $u not tracked"))
+    // ranking is est desc, user asc
+    val ranked = fin.sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[Long]("est_count"), r.getAs[Long]("user_id")))
+    assert(ranked.sortBy(x => (-x._1, x._2)).toSeq == ranked.toSeq)
+    // replayed batchId must not re-fold
+    val before = StreamingIngest.ssStates(state)
+    StreamingIngest.ssBatch(spark, out, state,
+      Seq((1L, "click")).toDF("user_id", "event_type"), batchId = 0L)
+    assert(StreamingIngest.ssStates(state) == before,
+      "replayed batchId must be a no-op")
+  }
 }
