@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.util.Tables.t
@@ -178,6 +179,88 @@ object GraphOps {
         .agg(count(lit(1)).as("n_nodes"), min(col("k")).as("min_key"),
           max(col("k")).as("max_key"))
         .orderBy("dist", "node_type")
+    }),
+
+    "x_betweenness_sample" -> ((s, d) => {
+      // k-source sampled betweenness centrality (Brandes, J. Math.
+      // Sociol. 2001, restricted to the BfsSeedMax seed set the BFS
+      // ladder already bounds): which entities sit on the most
+      // shortest paths from the core suppliers — the brokerage
+      // question degree/PageRank cannot answer (a low-degree node
+      // bridging two clusters scores high here, nowhere else). All
+      // k sources run BATCHED in one ladder, state keyed (sid, node):
+      // the forward pass is the x_bfs frontier expansion carrying
+      // exact integer path counts σ (σ(v) = Σ σ(u) over same-level
+      // predecessors; exact in LONG while max-degree^rounds < 2^63 —
+      // holds at any realistic catalog; the standard float-σ variant
+      // would be order-dependent), the backward pass walks the
+      // shortest-path DAG levels deep→shallow accumulating Brandes
+      // dependencies δ(v) = Σ σv/σw·(1+δw), each term 1e9-quantized
+      // before its sum so both engines fold identical integers. The
+      // estimate is the k-source partial sum — the sampling caveat is
+      // an explicit output column (n_sources), the bounded-gauge
+      // convention. Scale: 2×BfsRounds rounds of one equi-join + one
+      // grouped sum each, state O(k·|V|), checkpointed per round.
+      val (edges, _, nodes) = orderGraph(s, d)
+      val seeds = nodes.filter(col("node") <= BfsSeedMax)
+        .select(col("node").as("sid"), col("node"), lit(1L).as("sigma"))
+        .localCheckpoint()
+      var settled = seeds.select("sid", "node").localCheckpoint()
+      var frontier = seeds
+      val levels = scala.collection.mutable.ArrayBuffer[DataFrame](seeds)
+      for (_ <- 1 to BfsRounds) {
+        val next = edges
+          .join(frontier.withColumnRenamed("node", "src"), "src")
+          .join(settled.withColumnRenamed("node", "dst"),
+            Seq("sid", "dst"), "left_anti")
+          .groupBy(col("sid"), col("dst"))
+          .agg(sum(col("sigma")).cast("long").as("sigma"))
+          .select(col("sid"), col("dst").as("node"), col("sigma"))
+          .localCheckpoint()
+        settled = settled.union(next.select("sid", "node"))
+          .localCheckpoint()
+        frontier = next
+        levels += next
+      }
+      var wSide = levels(BfsRounds).withColumn("dq", lit(0L))
+      val contribs = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      for (l <- BfsRounds to 1 by -1) {
+        val vSide = levels(l - 1)
+        val contrib = vSide
+          .select(col("sid"), col("node").as("src"),
+            col("sigma").as("vs"))
+          .join(edges, "src")
+          .join(wSide.select(col("sid"), col("node").as("dst"),
+            col("sigma").as("ws"), col("dq").as("wdq")),
+            Seq("sid", "dst"))
+          .select(col("sid"), col("src").as("node"),
+            floor(col("vs").cast("double") / col("ws")
+              * (lit(1.0) + col("wdq").cast("double") / 1e9)
+              * 1e9 + 0.5).cast("long").as("q"))
+          .groupBy("sid", "node")
+          .agg(sum(col("q")).cast("long").as("dq"))
+          .localCheckpoint()
+        contribs += contrib
+        wSide = vSide.join(contrib, Seq("sid", "node"), "left")
+          .withColumn("dq", coalesce(col("dq"), lit(0L)))
+      }
+      val nSrc = seeds.agg(countDistinct(col("sid")).as("n_sources"))
+      val bc = contribs.reduce(_ unionByName _)
+        .filter(col("node") =!= col("sid"))
+        .groupBy("node").agg(sum(col("dq")).cast("long").as("bcq"))
+        .orderBy(desc("bcq"), asc("node")).limit(15)
+      bc.withColumn("rank", row_number().over(
+          Window.orderBy(desc("bcq"), asc("node"))))
+        .crossJoin(broadcast(nSrc))
+        .select(col("rank").cast("long").as("rank"),
+          when(col("node") >= CustOff, "customer").otherwise("supplier")
+            .as("node_type"),
+          when(col("node") >= CustOff, col("node") - CustOff)
+            .otherwise(col("node")).as("entity_key"),
+          graft.types.Coercions.detRound(
+            col("bcq").cast("double") / 1e9, 4).as("betweenness"),
+          col("n_sources"))
+        .orderBy("rank")
     }),
 
     "x_pagerank" -> ((s, d) => {
@@ -651,6 +734,72 @@ object GraphOps {
                  MAX(CASE WHEN node >= $CustOff THEN node - $CustOff
                           ELSE node END) AS max_key
           FROM alld GROUP BY 1, 2 ORDER BY dist, node_type""",
+
+    "x_betweenness_sample" -> {
+      // forward rounds: lvl{r} = newly settled nodes at distance r with
+      // exact σ sums; set{r} = settled accumulator for the anti-join
+      val fwd = (1 to BfsRounds).map { r =>
+        s"""lvl$r AS MATERIALIZED (
+              SELECT f.sid, e.dst AS node,
+                     CAST(SUM(f.sigma) AS BIGINT) AS sigma
+              FROM lvl${r - 1} f JOIN edges e ON e.src = f.node
+              WHERE NOT EXISTS (SELECT 1 FROM set${r - 1} s
+                                WHERE s.sid = f.sid AND s.node = e.dst)
+              GROUP BY 1, 2),
+            set$r AS MATERIALIZED (
+              SELECT * FROM set${r - 1}
+              UNION ALL SELECT sid, node FROM lvl$r)"""
+      }.mkString(",\n")
+      // backward rounds: c{l} = dependency contributions to level-l
+      // nodes from level l+1; wl{l} = level-l nodes with their δ
+      val bwd = (BfsRounds to 1 by -1).map { l =>
+        val w = if (l == BfsRounds) s"wl$BfsRounds" else s"wl$l"
+        s"""c${l - 1} AS MATERIALIZED (
+              SELECT v.sid, v.node,
+                     CAST(SUM(CAST(floor(CAST(v.sigma AS DOUBLE) / w.sigma
+                       * (1.0 + CAST(w.dq AS DOUBLE) / 1e9)
+                       * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS dq
+              FROM lvl${l - 1} v
+              JOIN edges e ON e.src = v.node
+              JOIN $w w ON w.sid = v.sid AND w.node = e.dst
+              GROUP BY 1, 2),
+            wl${l - 1} AS MATERIALIZED (
+              SELECT lv.sid, lv.node, lv.sigma, COALESCE(c.dq, 0) AS dq
+              FROM lvl${l - 1} lv
+              LEFT JOIN c${l - 1} c
+                ON c.sid = lv.sid AND c.node = lv.node)"""
+      }.mkString(",\n")
+      val allC = (0 until BfsRounds).map(l =>
+        s"SELECT sid, node, dq FROM c$l").mkString(" UNION ALL ")
+      s"""WITH $graphSql,
+          lvl0 AS MATERIALIZED (
+            SELECT node AS sid, node, CAST(1 AS BIGINT) AS sigma
+            FROM nodes WHERE node <= $BfsSeedMax),
+          set0 AS MATERIALIZED (SELECT sid, node FROM lvl0),
+          $fwd,
+          wl$BfsRounds AS MATERIALIZED (
+            SELECT sid, node, sigma, CAST(0 AS BIGINT) AS dq
+            FROM lvl$BfsRounds),
+          $bwd,
+          ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources FROM lvl0),
+          bc AS (
+            SELECT node, CAST(SUM(dq) AS BIGINT) AS bcq
+            FROM ($allC) u
+            WHERE node <> sid GROUP BY 1),
+          top AS (
+            SELECT node, bcq,
+                   row_number() OVER (ORDER BY bcq DESC, node) AS rank
+            FROM bc)
+          SELECT CAST(rank AS BIGINT) AS rank,
+                 CASE WHEN node >= $CustOff THEN 'customer'
+                      ELSE 'supplier' END AS node_type,
+                 CASE WHEN node >= $CustOff THEN node - $CustOff
+                      ELSE node END AS entity_key,
+                 floor(CAST(bcq AS DOUBLE) / 1e9 * 1e4 + 0.5) / 1e4
+                   AS betweenness,
+                 ns.n_sources
+          FROM top, ns WHERE rank <= 15 ORDER BY rank"""
+    },
 
     "x_pagerank" -> {
       val iters = (1 to PrIters).map(prIterSql).mkString(",\n")

@@ -23,6 +23,81 @@ class GraphCorpusSpec extends SparkSpec {
     }
   }
 
+  test("x_betweenness_sample: the k-source Brandes estimate matches a " +
+      "plain-Scala level-synchronous replay (sigma counts, dependency " +
+      "accumulation, 6-round horizon, source exclusion)") {
+    import spark.implicits._
+    val e0 = graft.util.Tables.t(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_suppkey")
+      .join(graft.util.Tables.t(spark, sf, "orders")
+        .select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_suppkey".cast("long"), $"o_custkey".cast("long"))
+      .distinct().as[(Long, Long)].collect()
+    val cOff = 1000000L
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    e0.foreach { case (sKey, c) =>
+      adj(sKey) = adj(sKey) + (c + cOff)
+      adj(c + cOff) = adj(c + cOff) + sKey
+    }
+    val rounds = 6
+    val bcExp = scala.collection.mutable.Map.empty[Long, Double]
+      .withDefaultValue(0.0)
+    // seeds are ALL graph nodes with id <= BfsSeedMax (supplier keys
+    // start at 0 on this fixture, so the seed set is {0, 1, 2, 3})
+    val sources = adj.keys.filter(_ <= 3L).toSeq.sorted
+    sources.foreach { src =>
+      // forward: level-synchronous BFS with exact path counts
+      val dist = scala.collection.mutable.Map(src -> 0)
+      val sigma = scala.collection.mutable.Map(src -> 1L)
+      var frontier = Set(src)
+      val levels = scala.collection.mutable.ArrayBuffer(Set(src))
+      for (r <- 1 to rounds) {
+        val nxt = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        frontier.foreach(u => adj(u).foreach { v =>
+          if (!dist.contains(v)) nxt(v) += sigma(u)
+        })
+        nxt.keys.foreach(v => dist(v) = r)
+        nxt.foreach { case (v, sg) => sigma(v) = sg }
+        frontier = nxt.keySet.toSet
+        levels += frontier
+      }
+      // backward: dependency accumulation deep -> shallow
+      val delta = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      for (l <- rounds to 1 by -1) {
+        levels(l - 1).foreach { v =>
+          // .toSeq first: mapping a Set would DEDUPE equal term values
+          // (two successors with identical sigma/delta collapse to one)
+          val dep = adj(v).toSeq.filter(w => dist.get(w).contains(l))
+            .map(w => sigma(v).toDouble / sigma(w) * (1.0 + delta(w)))
+            .sum
+          if (dep > 0) delta(v) = dep
+        }
+      }
+      delta.foreach { case (v, dl) =>
+        if (v != src) bcExp(v) += dl
+      }
+    }
+    val expTop = bcExp.toSeq.sortBy { case (v, b) => (-b, v) }.take(15)
+    val got = run("x_betweenness_sample").collect()
+    assert(got.length == math.min(15, bcExp.size))
+    got.sortBy(_.getAs[Long]("rank")).zip(expTop).foreach {
+      case (r, (v, b)) =>
+        val key = if (v >= cOff) v - cOff else v
+        val tpe = if (v >= cOff) "customer" else "supplier"
+        assert(r.getAs[Long]("entity_key") == key,
+          s"rank ${r.getAs[Long]("rank")}: engine key " +
+            s"${r.getAs[Long]("entity_key")} vs replay $key ($b)")
+        assert(r.getAs[String]("node_type") == tpe)
+        assert(math.abs(r.getAs[Double]("betweenness") - b) < 1e-3,
+          s"node $v: engine ${r.getAs[Double]("betweenness")} vs $b")
+        assert(r.getAs[Long]("n_sources") == sources.length.toLong)
+    }
+  }
+
   test("x_bfs_distances: histogram matches a driver-side BFS replay " +
       "over the same trading graph") {
     import spark.implicits._

@@ -173,6 +173,10 @@ class PlanAuditSpec extends SparkSpec {
     // table — bounded by the calendar, read by the moment pass and the
     // extreme-row pick
     "x_grubbs_outlier",
+    // x_betweenness_sample checkpoints the per-round frontier/settled/
+    // dependency tables — skinny (sid, node, long) rows, ≤ k·|V| with
+    // k = 3 seeds (the x_bfs_distances BFS-ladder posture)
+    "x_betweenness_sample",
     // x_cox_one_step / x_cumulative_incidence reuse the survival
     // family's checkpointed spell projection; x_isotonic_calibration
     // checkpoints the 10-row calibration-bin table its O(bins³)
