@@ -91,18 +91,19 @@ GITLOG_SELF_PATHS = ("scripts/leakcheck.py", "LEAKCHECK.json",
 # report pasting the scanner's stdout), and each such quotation echoes
 # through `git log -p` forever under a path the table above does not
 # cover — the driver-side artifact grew 65 → 80 hits per round this
-# way, purely re-counting its own prior output. A history match is
-# recognized as a quotation when the LINE ITSELF carries the scan
-# machinery's signature: the `GITLOG:` hit-string prefix this scanner
-# emits, the artifact filenames, or the scanner's stdout prefix.
-# Guardrail against the r14 smuggle concern ("tighten leakcheck; old
-# key was sk-…"): the skip NEVER applies to credential-shaped
-# categories — an api-key match is counted no matter what the line
-# says, because the pattern table and its quotations contain no key
-# literals by construction (fixtures are assembled at runtime), so a
-# key on a scanner-naming line can only be a real leak.
-SELF_QUOTE_LINE = re.compile(
-    r"GITLOG:|LEAKCHECK(_LOCAL)?\.json|scripts/leakcheck\.py|leakcheck: ")
+# way, purely re-counting its own prior output. A history match in a
+# FILE HUNK is recognized as a quotation only when the line carries the
+# hit-string shape the scanner itself emits (the `GITLOG:<path>:`
+# prefix) — merely *naming* the scanner is NOT enough, and the skip
+# NEVER applies in commit-message context (cur_file == ""): a message
+# like "tighten leakcheck; old key was sk-…" or "stop flagging
+# x.<chat-tool>.com" is exactly the smuggle channel the r14 review finding
+# closed, and it stays counted at full strength for every category.
+# Belt-and-braces on top: credential-shaped categories are never
+# skippable even inside a GITLOG-shaped line — the pattern table and
+# its quotations contain no key literals by construction (fixtures are
+# assembled at runtime), so a credential there can only be a real leak.
+SELF_QUOTE_LINE = re.compile(r"^[-+ ]?\s*\"?GITLOG:")
 CREDENTIAL_CATS = {"api-key"}
 
 
@@ -137,10 +138,11 @@ def scan_gitlog() -> dict:
         if cur_file in GITLOG_SELF_PATHS:
             self_skipped += len(matched)
             continue
-        # quotation-chain skip: scanner-signature lines in ANY file are
-        # self-quotes for non-credential categories (see the decision
-        # block above; credential categories always count)
-        if SELF_QUOTE_LINE.search(line):
+        # quotation-chain skip: GITLOG-shaped hit-string lines inside
+        # FILE HUNKS are self-quotes for non-credential categories (see
+        # the decision block above). Never in commit-message context
+        # (cur_file == "") — messages are the r14 smuggle channel.
+        if cur_file and SELF_QUOTE_LINE.match(line):
             quotable = [c for c in matched if c not in CREDENTIAL_CATS]
             self_skipped += len(quotable)
             matched = [c for c in matched if c in CREDENTIAL_CATS]

@@ -753,7 +753,7 @@ object GraphOps {
       // backward rounds: c{l} = dependency contributions to level-l
       // nodes from level l+1; wl{l} = level-l nodes with their δ
       val bwd = (BfsRounds to 1 by -1).map { l =>
-        val w = if (l == BfsRounds) s"wl$BfsRounds" else s"wl$l"
+        val w = s"wl$l"
         s"""c${l - 1} AS MATERIALIZED (
               SELECT v.sid, v.node,
                      CAST(SUM(CAST(floor(CAST(v.sigma AS DOUBLE) / w.sigma

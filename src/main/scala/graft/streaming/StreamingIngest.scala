@@ -281,28 +281,75 @@ object StreamingIngest {
         phBatch(spark, outPath, statePath, batch, batchId)
       }
 
-  /** (lastBatchId, type -> PhState); (-1, empty) when fresh. */
-  private[graft] def phStates(statePath: String)
-      : (Long, Map[String, PhState]) = {
+  // ---- shared typed-state codec + pending-hour advance --------------------
+  // (r16 review: the PH and CUSUM sinks briefly carried three diverging
+  // copies of the same JSON machinery; one codec, one advance, one
+  // atomic-write now serve every long-vector state file)
+
+  /** Atomic write: tmp + ATOMIC_MOVE so a crash never leaves a torn
+    * state file. */
+  private def atomicWrite(path: String, body: String): Unit = {
+    val tmp = java.nio.file.Paths.get(path + ".tmp")
+    java.nio.file.Files.writeString(tmp, body)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
+  /** (lastBatchId, type -> long vector); (-1, empty) when fresh.
+    * Escape-aware name capture: event_type is data-driven and may
+    * contain quotes/backslashes — the writer escapes them, and a naive
+    * [^"]+ here would silently drop (reset!) that type's state. */
+  private def readLongVecState(statePath: String)
+      : (Long, Map[String, Array[Long]]) = {
     val f = java.nio.file.Paths.get(statePath)
     if (!java.nio.file.Files.exists(f)) (-1L, Map.empty)
     else {
       val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
       val last = "\"lastBatch\"\\s*:\\s*(-?\\d+)".r
         .findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(-1L)
-      // escape-aware name capture: event_type is data-driven and may
-      // contain quotes/backslashes — phWriteState escapes them, and a
-      // naive [^"]+ here would silently drop (reset!) that type's state
       val rx = ("\\{\"t\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*" +
         "\"v\"\\s*:\\s*\\[([-0-9, ]+)\\]\\}").r
       val types = rx.findAllMatchIn(s).map { m =>
-        val v = m.group(2).split(",").map(_.trim.toLong)
-        m.group(1).replaceAll("\\\\(.)", "$1") -> PhState(v(0), v(1),
-          v(2), v(3), v(4), v(5), v(6), v(7), v(8), v(9), v(10), v(11),
-          v(12))
+        m.group(1).replaceAll("\\\\(.)", "$1") ->
+          m.group(2).split(",").map(_.trim.toLong)
       }.toMap
       (last, types)
     }
+  }
+
+  private def writeLongVecState(statePath: String, batchId: Long,
+      types: Map[String, Seq[Long]]): Unit = {
+    val body = types.toSeq.sortBy(_._1).map { case (t, v) =>
+      val esc = t.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"t": "$esc", "v": [${v.mkString(", ")}]}"""
+    }.mkString("[", ", ", "]")
+    atomicWrite(statePath, s"""{"lastBatch": $batchId, "types": $body}""")
+  }
+
+  /** Pending-hour advance shared by the PH and CUSUM folds: fill the
+    * pending hour, fold it when a later hour opens, drop (and count)
+    * out-of-order hours — the zero-delay-watermark finalization rule. */
+  private def advancePending[S](s: S, h: Long, c: Long,
+      pend: S => (Long, Long),
+      setPend: (S, Long, Long) => S,
+      countLate: S => S,
+      fold: (S, Long, Long) => S): S = {
+    val (ph, pc) = pend(s)
+    if (ph < 0) setPend(s, h, c)
+    else if (h == ph) setPend(s, ph, pc + c)
+    else if (h < ph) countLate(s)
+    else setPend(fold(s, ph, pc), h, c)
+  }
+
+  /** (lastBatchId, type -> PhState); (-1, empty) when fresh. */
+  private[graft] def phStates(statePath: String)
+      : (Long, Map[String, PhState]) = {
+    val (last, raw) = readLongVecState(statePath)
+    (last, raw.map { case (t, v) =>
+      t -> PhState(v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7), v(8),
+        v(9), v(10), v(11), v(12))
+    })
   }
 
   /** One PH step — the batch op's per-row arithmetic verbatim. */
@@ -324,13 +371,10 @@ object StreamingIngest {
       s.pendH, s.pendC, s.late)
   }
 
-  /** Route one (hour, count) observation: fill the pending hour, fold
-    * it when a later hour opens, drop (and count) out-of-order hours. */
   private def phAdvance(s: PhState, h: Long, c: Long): PhState =
-    if (s.pendH < 0) s.copy(pendH = h, pendC = c)
-    else if (h == s.pendH) s.copy(pendC = s.pendC + c)
-    else if (h < s.pendH) s.copy(late = s.late + 1)
-    else phFold(s, s.pendH, s.pendC).copy(pendH = h, pendC = c)
+    advancePending[PhState](s, h, c, st => (st.pendH, st.pendC),
+      (st, hh, cc) => st.copy(pendH = hh, pendC = cc),
+      st => st.copy(late = st.late + 1), phFold)
 
   private def phFmt(micros: Long): String =
     if (micros < 0) null
@@ -371,20 +415,11 @@ object StreamingIngest {
   }
 
   private def phWriteState(statePath: String, batchId: Long,
-      types: Map[String, PhState]): Unit = {
-    val body = types.toSeq.sortBy(_._1).map { case (t, s) =>
-      val v = Seq(s.nh, s.p, s.ci, s.cd, s.mni, s.mxd, s.mxi, s.mxdc,
-        s.au, s.ad, s.pendH, s.pendC, s.late).mkString(", ")
-      val esc = t.replace("\\", "\\\\").replace("\"", "\\\"")
-      s"""{"t": "$esc", "v": [$v]}"""
-    }.mkString("[", ", ", "]")
-    val tmp = java.nio.file.Paths.get(statePath + ".tmp")
-    java.nio.file.Files.writeString(tmp,
-      s"""{"lastBatch": $batchId, "types": $body}""")
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(statePath),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
-  }
+      types: Map[String, PhState]): Unit =
+    writeLongVecState(statePath, batchId, types.map { case (t, s) =>
+      t -> Seq(s.nh, s.p, s.ci, s.cd, s.mni, s.mxd, s.mxi, s.mxdc,
+        s.au, s.ad, s.pendH, s.pendC, s.late)
+    })
 
   // ---- streaming CUSUM level-shift sink (r16) -----------------------------
 
@@ -433,47 +468,26 @@ object StreamingIngest {
     }
 
   private def csAdvance(s: CsState, h: Long, c: Long): CsState =
-    if (s.pendH < 0) s.copy(pendH = h, pendC = c)
-    else if (h == s.pendH) s.copy(pendC = s.pendC + c)
-    else if (h < s.pendH) s.copy(late = s.late + 1)
-    else csFold(s, s.pendH, s.pendC).copy(pendH = h, pendC = c)
+    advancePending[CsState](s, h, c, st => (st.pendH, st.pendC),
+      (st, hh, cc) => st.copy(pendH = hh, pendC = cc),
+      st => st.copy(late = st.late + 1), csFold)
 
   /** (lastBatchId, type -> CsState); (-1, empty) when fresh. */
   private[graft] def csStates(statePath: String)
       : (Long, Map[String, CsState]) = {
-    val f = java.nio.file.Paths.get(statePath)
-    if (!java.nio.file.Files.exists(f)) (-1L, Map.empty)
-    else {
-      val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-      val last = "\"lastBatch\"\\s*:\\s*(-?\\d+)".r
-        .findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(-1L)
-      val rx = ("\\{\"t\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*" +
-        "\"v\"\\s*:\\s*\\[([-0-9, ]+)\\]\\}").r
-      val types = rx.findAllMatchIn(s).map { m =>
-        val v = m.group(2).split(",").map(_.trim.toLong)
-        m.group(1).replaceAll("\\\\(.)", "$1") -> CsState(v(0), v(1),
-          v(2), v(3), v(4), v(5), v(6), v(7), v(8), v(9), v(10), v(11),
-          v(12))
-      }.toMap
-      (last, types)
-    }
+    val (last, raw) = readLongVecState(statePath)
+    (last, raw.map { case (t, v) =>
+      t -> CsState(v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7), v(8),
+        v(9), v(10), v(11), v(12))
+    })
   }
 
   private def csWriteState(statePath: String, batchId: Long,
-      types: Map[String, CsState]): Unit = {
-    val body = types.toSeq.sortBy(_._1).map { case (t, s) =>
-      val v = Seq(s.nh, s.bn, s.bs, s.mu0q, s.cu, s.cd, s.mxu, s.mxdn,
-        s.au, s.ad, s.pendH, s.pendC, s.late).mkString(", ")
-      val esc = t.replace("\\", "\\\\").replace("\"", "\\\"")
-      s"""{"t": "$esc", "v": [$v]}"""
-    }.mkString("[", ", ", "]")
-    val tmp = java.nio.file.Paths.get(statePath + ".tmp")
-    java.nio.file.Files.writeString(tmp,
-      s"""{"lastBatch": $batchId, "types": $body}""")
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(statePath),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
-  }
+      types: Map[String, CsState]): Unit =
+    writeLongVecState(statePath, batchId, types.map { case (t, s) =>
+      t -> Seq(s.nh, s.bn, s.bs, s.mu0q, s.cu, s.cd, s.mxu, s.mxdn,
+        s.au, s.ad, s.pendH, s.pendC, s.late)
+    })
 
   private[graft] def csBatch(spark: SparkSession, outPath: String,
       statePath: String, batch: DataFrame, batchId: Long): Unit = {
@@ -594,12 +608,7 @@ object StreamingIngest {
       val esc = t.replace("\\", "\\\\").replace("\"", "\\\"")
       s"""{"t": "$esc", "n": ${s.n}, "c": [$cs]}"""
     }.mkString("[", ", ", "]")
-    val tmp = java.nio.file.Paths.get(statePath + ".tmp")
-    java.nio.file.Files.writeString(tmp,
-      s"""{"lastBatch": $batchId, "types": $body}""")
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(statePath),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    atomicWrite(statePath, s"""{"lastBatch": $batchId, "types": $body}""")
   }
 
   private[graft] def ssBatch(spark: SparkSession, outPath: String,
