@@ -212,35 +212,56 @@ object StatsOps {
       .otherwise(sqrt(nd * yGen))
   }
 
-  private def tQuantileSql(p2: String, n: String): String = {
+  /** Staged-CTE form of the two-tailed t-quantile for the oracle twin:
+    * one CTE per intermediate so the generated text stays LINEAR. A
+    * first draft inlined sub-expressions textually and exploded
+    * combinatorially (~474 KB of SQL — DuckDB planned it, but the
+    * planning blew the shared oracle connection's allocator and every
+    * LATER query in the run died with bad_alloc; caught at the r16
+    * close gate). Extends `src` (all columns carried via SELECT *);
+    * returns (cteChain, finalCteName) with the new column `tq_raw`.
+    * Stage arithmetic mirrors tQuantileCol operation-for-operation. */
+  private def tQuantileSqlCtes(src: String, p2: String, n: String)
+      : (String, String) = {
     val pi = graft.util.Num.lit17(math.Pi)
-    val nd = s"CAST($n AS DOUBLE)"
-    val a = s"(1.0 / ($nd - 0.5))"
-    val b = s"(48.0 / ($a * $a))"
-    val c0 = s"((((20700.0 * $a / $b - 98.0) * $a - 16.0) * $a + 96.36))"
-    val d = s"(((94.5 / ($b + $c0) - 3.0) / $b + 1.0) * " +
-      s"sqrt($a * CAST($pi AS DOUBLE) / 2.0) * $nd)"
-    val x0 = s"($d * ($p2))"
-    val y0 = s"pow($x0, 2.0 / $nd)"
-    val xn = s"(${invNormSql(s"(($p2) * 0.5)")})"
-    val yn = s"($xn * $xn)"
-    val cAdj = s"(CASE WHEN $nd < 5.0 " +
-      s"THEN $c0 + 0.3 * ($nd - 4.5) * ($xn + 0.6) ELSE $c0 END)"
-    val c2 = s"((((0.05 * $d * $xn - 5.0) * $xn - 7.0) * $xn - 2.0) " +
-      s"* $xn + $b + $cAdj)"
-    val y1 = s"((((((0.4 * $yn + 6.3) * $yn + 36.0) * $yn + 94.5) / $c2" +
-      s" - $yn - 3.0) / $b + 1.0) * $xn)"
-    val y2 = s"($a * $y1 * $y1)"
-    val yExp = s"(CASE WHEN $y2 > 0.002 THEN exp($y2) - 1.0 " +
-      s"ELSE 0.5 * $y2 * $y2 + $y2 END)"
-    val ySm = s"(((1.0 / ((($nd + 6.0) / ($nd * $y0) - 0.089 * $d - " +
-      s"0.822) * ($nd + 2.0) * 3.0) + 0.5 / ($nd + 4.0)) * $y0 - 1.0) " +
-      s"* ($nd + 1.0) / ($nd + 2.0) + 1.0 / $y0)"
-    val yGen = s"(CASE WHEN $y0 > 0.05 + $a THEN $yExp ELSE $ySm END)"
-    val p1 = s"(($p2) * CAST($pi AS DOUBLE) / 2.0)"
-    s"""CASE WHEN ($n) = 1 THEN cos($p1) / sin($p1)
-        WHEN ($n) = 2 THEN sqrt(2.0 / (($p2) * (2.0 - ($p2))) - 2.0)
-        ELSE sqrt($nd * $yGen) END"""
+    val stages = Seq(
+      "tqa" -> s"""SELECT *, CAST($n AS DOUBLE) AS t_nd,
+          ($p2) AS t_p2 FROM $src""",
+      "tqb" -> "SELECT *, 1.0 / (t_nd - 0.5) AS t_a FROM tqa",
+      "tqc" -> "SELECT *, 48.0 / (t_a * t_a) AS t_b FROM tqb",
+      "tqd" -> s"""SELECT *, ((20700.0 * t_a / t_b - 98.0) * t_a - 16.0)
+          * t_a + 96.36 AS t_c0 FROM tqc""",
+      "tqe" -> s"""SELECT *, ((94.5 / (t_b + t_c0) - 3.0) / t_b + 1.0)
+          * sqrt(t_a * CAST($pi AS DOUBLE) / 2.0) * t_nd AS t_d
+          FROM tqd""",
+      "tqf" -> "SELECT *, t_d * t_p2 AS t_x0 FROM tqe",
+      "tqg" -> "SELECT *, pow(t_x0, 2.0 / t_nd) AS t_y0 FROM tqf",
+      "tqh" -> s"""SELECT *, ${invNormSql("(t_p2 * 0.5)")} AS t_xn
+          FROM tqg""",
+      "tqi" -> "SELECT *, t_xn * t_xn AS t_yn FROM tqh",
+      "tqj" -> s"""SELECT *, CASE WHEN t_nd < 5.0 THEN t_c0 + 0.3
+          * (t_nd - 4.5) * (t_xn + 0.6) ELSE t_c0 END AS t_cadj
+          FROM tqi""",
+      "tqk" -> s"""SELECT *, (((0.05 * t_d * t_xn - 5.0) * t_xn - 7.0)
+          * t_xn - 2.0) * t_xn + t_b + t_cadj AS t_c2 FROM tqj""",
+      "tql" -> s"""SELECT *, (((((0.4 * t_yn + 6.3) * t_yn + 36.0)
+          * t_yn + 94.5) / t_c2 - t_yn - 3.0) / t_b + 1.0) * t_xn
+          AS t_y1 FROM tqk""",
+      "tqm" -> "SELECT *, t_a * t_y1 * t_y1 AS t_y2 FROM tql",
+      "tqn" -> s"""SELECT *, CASE WHEN t_y2 > 0.002 THEN exp(t_y2) - 1.0
+          ELSE 0.5 * t_y2 * t_y2 + t_y2 END AS t_yexp FROM tqm""",
+      "tqo" -> s"""SELECT *, ((1.0 / (((t_nd + 6.0) / (t_nd * t_y0)
+          - 0.089 * t_d - 0.822) * (t_nd + 2.0) * 3.0)
+          + 0.5 / (t_nd + 4.0)) * t_y0 - 1.0) * (t_nd + 1.0)
+          / (t_nd + 2.0) + 1.0 / t_y0 AS t_ysm FROM tqn""",
+      "tqp" -> s"""SELECT *, CASE WHEN t_y0 > 0.05 + t_a THEN t_yexp
+          ELSE t_ysm END AS t_ygen FROM tqo""",
+      "tqq" -> s"""SELECT *, CASE WHEN ($n) = 1
+          THEN cos(t_p2 * CAST($pi AS DOUBLE) / 2.0)
+               / sin(t_p2 * CAST($pi AS DOUBLE) / 2.0)
+          WHEN ($n) = 2 THEN sqrt(2.0 / (t_p2 * (2.0 - t_p2)) - 2.0)
+          ELSE sqrt(t_nd * t_ygen) END AS tq_raw FROM tqp""")
+    (stages.map { case (nm, q) => s"$nm AS ($q)" }.mkString(",\n"), "tqq")
   }
 
   // Benjamini–Yekutieli dependence-robust factor c(m) = Σ_{i=1..m} 1/i:
@@ -5063,7 +5084,8 @@ object StatsOps {
     },
 
     "x_grubbs_outlier" -> {
-      val tq = tQuantileSql("0.05 / CAST(n AS DOUBLE)", "n - 2")
+      val (tqCtes, tqFin) =
+        tQuantileSqlCtes("top1", "0.05 / CAST(n AS DOUBLE)", "n - 2")
       s"""WITH daily AS (
            SELECT o_orderpriority AS priority,
                   date_trunc('day', o_orderdate) AS day,
@@ -5091,9 +5113,10 @@ object StatsOps {
                     d.day ASC) AS rn
            FROM daily d JOIN st s USING (priority)),
          top1 AS (SELECT * FROM dev WHERE rn = 1),
+         $tqCtes,
          tqv AS (
-           SELECT *, floor(($tq) * 1e9 + 0.5) / 1e9 AS tq
-           FROM top1),
+           SELECT *, floor(tq_raw * 1e9 + 0.5) / 1e9 AS tq
+           FROM $tqFin),
          fin AS (
            SELECT priority, n, mean, sd, day, y,
                   CASE WHEN sd > 0 THEN adev / sd END AS g_stat, tq,
