@@ -106,6 +106,17 @@ GITLOG_SELF_PATHS = ("scripts/leakcheck.py", "LEAKCHECK.json",
 SELF_QUOTE_LINE = re.compile(r"^[-+ ]?\s*\"?GITLOG:")
 CREDENTIAL_CATS = {"api-key"}
 
+# The quotation-chain skip additionally requires the hunk's FILE to be
+# a known report/verdict artifact (r16 advice: shape alone would let a
+# non-credential hit — an internal hostname, say — be laundered through
+# history by committing it in ANY file on a line prefixed "GITLOG:x:").
+# Only the files that legitimately quote scanner output qualify; a
+# GITLOG-shaped line in engine source, build files or scripts stays a
+# real hit.
+QUOTE_ARTIFACT_PATHS = re.compile(
+    r"^(VERDICT\.md|ADVICE\.md|PERFORMANCE\.md|COVERAGE\.md|README\.md|"
+    r"PROGRESS\.jsonl|scripts/LEAKCHECK_NOTES\.md|reports/.*)$")
+
 
 def scan_gitlog() -> dict:
     """Scan the full history patch stream, skipping self-quotes.
@@ -139,10 +150,14 @@ def scan_gitlog() -> dict:
             self_skipped += len(matched)
             continue
         # quotation-chain skip: GITLOG-shaped hit-string lines inside
-        # FILE HUNKS are self-quotes for non-credential categories (see
-        # the decision block above). Never in commit-message context
-        # (cur_file == "") — messages are the r14 smuggle channel.
-        if cur_file and SELF_QUOTE_LINE.match(line):
+        # FILE HUNKS of known report artifacts are self-quotes for
+        # non-credential categories (see the decision block above).
+        # Never in commit-message context (cur_file == "") — messages
+        # are the r14 smuggle channel — and never outside the artifact
+        # allowlist (r16 advice: any-file shape-only skip is a
+        # laundering hole).
+        if (cur_file and QUOTE_ARTIFACT_PATHS.match(cur_file)
+                and SELF_QUOTE_LINE.match(line)):
             quotable = [c for c in matched if c not in CREDENTIAL_CATS]
             self_skipped += len(quotable)
             matched = [c for c in matched if c in CREDENTIAL_CATS]

@@ -181,9 +181,17 @@ object StatsOps {
         ELSE -((${polySql(AckC, qHi)})) / (${polySql(AckD, qHi)}) END"""
   }
 
-  /** Two-tailed Student-t quantile t(p2, n): P(|T_n| > t) = p2. */
+  /** Two-tailed Student-t quantile t(p2, n): P(|T_n| > t) = p2.
+    * df < 1 yields NULL (r16 advice): Hill's general branch computes
+    * sqrt(t_a·π/2) with t_a = 1/(df−0.5), negative for df ≤ 0 — Spark
+    * would return NaN while DuckDB sqrt(<0) THROWS, killing the whole
+    * oracle query. Internals run on df clamped to ≥ 1 (throw-free in
+    * both engines even where the n=1/n=2 special branches supersede
+    * the general result) and the output is NULL-gated on the TRUE df,
+    * so any caller with a data-decided small series degrades to NULL
+    * instead of a cross-engine divergence. */
   private[ext] def tQuantileCol(p2: Column, n: Column): Column = {
-    val nd = n.cast("double")
+    val nd = greatest(n.cast("double"), lit(1.0))
     val a = lit(1.0) / (nd - 0.5)
     val b = lit(48.0) / (a * a)
     val c0 = ((lit(20700.0) * a / b - 98.0) * a - 16.0) * a + 96.36
@@ -207,7 +215,8 @@ object StatsOps {
       (nd + 1.0) / (nd + 2.0) + lit(1.0) / y0
     val yGen = when(y0 > lit(0.05) + a, yExp).otherwise(ySm)
     val p1 = p2 * lit(math.Pi) / 2.0
-    when(n === 1, cos(p1) / sin(p1))
+    when(n < 1, lit(null).cast("double"))
+      .when(n === 1, cos(p1) / sin(p1))
       .when(n === 2, sqrt(lit(2.0) / (p2 * (lit(2.0) - p2)) - 2.0))
       .otherwise(sqrt(nd * yGen))
   }
@@ -221,11 +230,15 @@ object StatsOps {
     * close gate). Extends `src` (all columns carried via SELECT *);
     * returns (cteChain, finalCteName) with the new column `tq_raw`.
     * Stage arithmetic mirrors tQuantileCol operation-for-operation. */
-  private def tQuantileSqlCtes(src: String, p2: String, n: String)
-      : (String, String) = {
+  private def tQuantileSqlCtes(src: String, p2: String, n: String,
+      prefix: String = "tq"): (String, String) = {
     val pi = graft.util.Num.lit17(math.Pi)
-    val stages = Seq(
-      "tqa" -> s"""SELECT *, CAST($n AS DOUBLE) AS t_nd,
+    val stages0 = Seq(
+      // df clamped to >= 1 for the INTERMEDIATES (tqe's sqrt(t_a·π/2)
+      // throws in DuckDB for df <= 0); the true df still selects the
+      // n=1/n=2 branches and NULL-gates the output in tqq below
+      "tqa" -> s"""SELECT *, CAST(CASE WHEN ($n) >= 1 THEN ($n) ELSE 1 END
+          AS DOUBLE) AS t_nd,
           ($p2) AS t_p2 FROM $src""",
       "tqb" -> "SELECT *, 1.0 / (t_nd - 0.5) AS t_a FROM tqa",
       "tqc" -> "SELECT *, 48.0 / (t_a * t_a) AS t_b FROM tqb",
@@ -256,12 +269,22 @@ object StatsOps {
           / (t_nd + 2.0) + 1.0 / t_y0 AS t_ysm FROM tqn""",
       "tqp" -> s"""SELECT *, CASE WHEN t_y0 > 0.05 + t_a THEN t_yexp
           ELSE t_ysm END AS t_ygen FROM tqo""",
-      "tqq" -> s"""SELECT *, CASE WHEN ($n) = 1
+      "tqq" -> s"""SELECT *, CASE WHEN ($n) < 1 THEN NULL
+          WHEN ($n) = 1
           THEN cos(t_p2 * CAST($pi AS DOUBLE) / 2.0)
                / sin(t_p2 * CAST($pi AS DOUBLE) / 2.0)
           WHEN ($n) = 2 THEN sqrt(2.0 / (t_p2 * (2.0 - t_p2)) - 2.0)
           ELSE sqrt(t_nd * t_ygen) END AS tq_raw FROM tqp""")
-    (stages.map { case (nm, q) => s"$nm AS ($q)" }.mkString(",\n"), "tqq")
+    // distinct instantiations within one query (the ESD rounds) pass a
+    // prefix so the CTE names stay unique; the carried t_* columns are
+    // per-CTE and never collide across chains
+    val stages = stages0.map { case (nm, q) =>
+      (prefix + nm.stripPrefix("tq"),
+        if (prefix == "tq") q
+        else q.replaceAll("FROM tq([a-q])\\b", s"FROM $prefix$$1"))
+    }
+    (stages.map { case (nm, q) => s"$nm AS ($q)" }.mkString(",\n"),
+      prefix + "q")
   }
 
   // Benjamini–Yekutieli dependence-robust factor c(m) = Σ_{i=1..m} 1/i:

@@ -285,6 +285,19 @@ object StreamingIngest {
   // (r16 review: the PH and CUSUM sinks briefly carried three diverging
   // copies of the same JSON machinery; one codec, one advance, one
   // atomic-write now serve every long-vector state file)
+  //
+  // Output-vs-state ordering contract (r16 advice, applies to EVERY
+  // sink on this codec — phDrift, cusum, space-saving, ewma-chart):
+  // the verdict append PRECEDES the state write, so a crash between
+  // the two re-folds the batch on replay and appends its verdict rows
+  // a SECOND time. State (and therefore every statistic) is
+  // exactly-once by the batch-cursor guard; the verdict TABLE is
+  // at-least-once, and readers must dedupe on (batch_id, event_type)
+  // — the natural key every sink emits. The ordering is deliberate:
+  // written state with MISSING output would silently drop a verdict
+  // forever (unrecoverable), while a duplicate row is recoverable by
+  // the stated key. Pinned by the duplicate-verdict replay cases in
+  // StreamingSpec/CrashRecoverySpec.
 
   /** Atomic write: tmp + ATOMIC_MOVE so a crash never leaves a torn
     * state file. */
