@@ -40,6 +40,9 @@ object GraphOps {
   private val KcoreRounds = 12
   private val BfsRounds = 6
   private val BfsSeedMax = 3L
+  // betweenness traversal backbone: per-node strongest-relation cap
+  // (see the x_betweenness_sample scaladoc for the scale rationale)
+  private val BcDegCap = 64
 
   /** (edges(src,dst), outdeg(src,outdeg), nodes(node), nDouble) */
   private def orderGraph(s: SparkSession, d: String)
@@ -59,30 +62,50 @@ object GraphOps {
     (edges, deg, nodes)
   }
 
-  /** ≥2-support part co-purchase backbone (see x_triangle_count's
-    * rationale) — shared by the triangle and k-core entries. */
+  /** Part co-purchase backbone with a CORPUS-RELATIVE support threshold
+    * (r16 verdict #1, the exact analogue of the itemsets minsup-fraction
+    * fix): an edge needs co-purchase in at least max(2, 0.01% of orders)
+    * distinct orders — `sup >= 2 AND sup·10000 >= |orders|`, integer
+    * cross-multiply so both engines pick identical edges with no float
+    * threshold. A fixed absolute cut densifies on any corpus where the
+    * catalog is small relative to order volume (the measured 36×
+    * wedge-join shuffle at 10× data: every part pair co-occurs 10× more
+    * and new pairs cross a fixed `>= 2` line), while a support FRACTION
+    * keeps the backbone pinned to the catalog's true affinities — the
+    * wedge-join input stays bounded as the corpus grows. At the sf0.01
+    * oracle gate (15k orders) the fraction floor is below 2, so the
+    * threshold is the historical `>= 2` there. Shared by the triangle,
+    * k-core and clustering-coefficient entries. */
+  private val CoPurchaseSupDen = 10000L
+
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem")
       .select(col("l_orderkey").as("ok"),
         col("l_partkey").cast("long").as("pk"))
       .distinct()
+    val no = t(s, d, "orders").agg(count(lit(1)).as("no"))
     li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
       .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 2)
+      .crossJoin(broadcast(no))
+      .filter(col("sup") >= 2 &&
+        col("sup") * CoPurchaseSupDen >= col("no"))
       .select("p1", "p2")
   }
 
   /** DuckDB twin of [[coPurchaseEdges]]: li, e(p1, p2). */
   private val coPurchaseSql: String =
-    """li AS MATERIALIZED (
+    s"""li AS MATERIALIZED (
          SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
          FROM lineitem),
+       nord AS (SELECT COUNT(*) AS no FROM orders),
        e AS MATERIALIZED (
-         SELECT a.pk AS p1, b.pk AS p2
-         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-         GROUP BY 1, 2 HAVING COUNT(*) >= 2)"""
+         SELECT p1, p2 FROM (
+           SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS sup
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2) s, nord
+         WHERE sup >= 2 AND sup * $CoPurchaseSupDen >= no)"""
 
   /** Shared DuckDB CTE prefix: e0, edges, deg, nodes, nn(n). */
   private val graphSql: String =
@@ -201,7 +224,42 @@ object GraphOps {
       // an explicit output column (n_sources), the bounded-gauge
       // convention. Scale: 2×BfsRounds rounds of one equi-join + one
       // grouped sum each, state O(k·|V|), checkpointed per round.
-      val (edges, _, nodes) = orderGraph(s, d)
+      //
+      // PER-NODE DEGREE CAP (r16 verdict #1): the traversal runs on
+      // each node's top-64 STRONGEST trading relations (edge weight =
+      // distinct orders linking the pair; ties broken by neighbor id),
+      // not the full adjacency — the uncapped form fanned every
+      // frontier through a densifying adjacency (measured 15.5× shuffle
+      // at 10× data on the fixed-supplier fixture, where per-supplier
+      // degree grows with volume). With the cap, |edges| <= 64·|V| and
+      // each BFS round's join is O(cap · frontier) at ANY corpus size;
+      // on a real growing catalog (bounded per-entity degree) the cap
+      // is simply inactive. The bound rides as the explicit deg_cap
+      // output column (the n_sources convention), and the capped
+      // backbone is pinned by the spec's independent replay. Top-64 per
+      // key uses the bounded-heap aggregate (map-side partials ship at
+      // most 64 entries per node — never a per-node sort).
+      graft.functions.GraftFunctions.register(s)
+      val ew0 = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"),
+          col("l_suppkey").cast("long").as("s"),
+          col("o_custkey").cast("long").as("c"))
+        .distinct()
+        .groupBy("s", "c").agg(count(lit(1)).cast("double").as("w"))
+      val dir = ew0
+        .select(col("s").as("src"), (col("c") + CustOff).as("dst"),
+          col("w"))
+        .union(ew0.select((col("c") + CustOff).as("src"),
+          col("s").as("dst"), col("w")))
+      val edges = graft.util.ScaleJoins
+        .topKPerKey(dir, Seq("src"), "w", "dst", BcDegCap)
+        .select("src", "dst")
+        .localCheckpoint()
+      val nodes = edges.select(col("src").as("node")).distinct()
+        .localCheckpoint()
       val seeds = nodes.filter(col("node") <= BfsSeedMax)
         .select(col("node").as("sid"), col("node"), lit(1L).as("sigma"))
         .localCheckpoint()
@@ -259,7 +317,7 @@ object GraphOps {
             .otherwise(col("node")).as("entity_key"),
           graft.types.Coercions.detRound(
             col("bcq").cast("double") / 1e9, 4).as("betweenness"),
-          col("n_sources"))
+          col("n_sources"), lit(BcDegCap.toLong).as("deg_cap"))
         .orderBy("rank")
     }),
 
@@ -503,11 +561,11 @@ object GraphOps {
       // co-purchase backbone — the cohesion diagnostic run on an entity
       // graph before community detection (high cc → clustered domains,
       // near-zero → random co-occurrence). Graph: parts are nodes; an
-      // undirected edge links parts co-ordered in ≥2 DISTINCT orders
-      // (the support cut keeps the backbone sparse — raw co-order pairs
-      // grow linearly with order count but ≥2-support pairs saturate at
-      // the catalog's true affinities; at 100 TB the threshold scales
-      // like x_collocations' corpus-relative cut). Counting uses the
+      // undirected edge links parts co-ordered in at least max(2,
+      // 0.01% of orders) DISTINCT orders — the corpus-RELATIVE support
+      // cut (see coPurchaseEdges) that keeps the backbone pinned to the
+      // catalog's true affinities as order volume grows, exactly
+      // x_collocations' corpus-relative posture. Counting uses the
       // degree-ordered orientation (Suri & Vassilvitskii 2011): orient
       // each edge toward its (deg, id)-larger endpoint, enumerate wedges
       // only at each edge's SMALLER endpoint — fan-out per node is
@@ -771,7 +829,26 @@ object GraphOps {
       }.mkString(",\n")
       val allC = (0 until BfsRounds).map(l =>
         s"SELECT sid, node, dq FROM c$l").mkString(" UNION ALL ")
-      s"""WITH $graphSql,
+      s"""WITH ew0 AS MATERIALIZED (
+            SELECT s, c, CAST(COUNT(*) AS DOUBLE) AS w FROM (
+              SELECT DISTINCT l.l_orderkey AS ok,
+                     CAST(l.l_suppkey AS BIGINT) AS s,
+                     CAST(o.o_custkey AS BIGINT) AS c
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey)
+            GROUP BY 1, 2),
+          dir AS (
+            SELECT s AS src, c + $CustOff AS dst, w FROM ew0
+            UNION ALL
+            SELECT c + $CustOff AS src, s AS dst, w FROM ew0),
+          edges AS MATERIALIZED (
+            SELECT src, dst FROM (
+              SELECT src, dst,
+                     row_number() OVER (PARTITION BY src
+                       ORDER BY w DESC, dst) AS rn
+              FROM dir)
+            WHERE rn <= $BcDegCap),
+          nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
           lvl0 AS MATERIALIZED (
             SELECT node AS sid, node, CAST(1 AS BIGINT) AS sigma
             FROM nodes WHERE node <= $BfsSeedMax),
@@ -797,7 +874,7 @@ object GraphOps {
                       ELSE node END AS entity_key,
                  floor(CAST(bcq AS DOUBLE) / 1e9 * 1e4 + 0.5) / 1e4
                    AS betweenness,
-                 ns.n_sources
+                 ns.n_sources, CAST($BcDegCap AS BIGINT) AS deg_cap
           FROM top, ns WHERE rank <= 15 ORDER BY rank"""
     },
 

@@ -13,6 +13,15 @@ class EvalRetrievalSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  // co-purchase backbone support threshold, recomputed from the rule
+  // (corpus-relative, r16 verdict #1): sup >= 2 AND sup·10000 >= |orders|
+  // — at sf0.001 (1.5k orders) this is the historical >= 2, and the
+  // replays below stay honest if the fixture scale ever changes
+  private lazy val minSup: Int = {
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    math.max(2L, (nOrders + 9999L) / 10000L).toInt
+  }
+
   test("x_auc_roc: single row, partition adds up, and the rank-based " +
       "AUC equals a brute-force all-pairs recomputation") {
     val r = run("x_auc_roc").collect().head
@@ -152,7 +161,7 @@ class EvalRetrievalSpec extends SparkSpec {
       val ps = g.map(_._2).distinct.sorted
       for (i <- ps.indices; j <- i + 1 until ps.length)
         yield (ps(i), ps(j))
-    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSet
+    }.toSeq.groupBy(identity).filter(_._2.size >= minSup).keys.toSet
     var changed = true
     while (changed) {
       val deg = edges.toSeq.flatMap { case (a, b) => Seq(a, b) }
@@ -176,8 +185,9 @@ class EvalRetrievalSpec extends SparkSpec {
     assert(3 * t <= w)
     val cc = r.getAs[Double]("global_cc")
     assert(cc >= 0.0 && cc <= 1.0 + 1e-9)
-    // brute force at sf0.001: rebuild the >=2-support co-purchase edge
-    // set and count each triangle once per edge via common neighbors
+    // brute force at sf0.001: rebuild the corpus-relative-support
+    // co-purchase edge set and count each triangle once per edge via
+    // common neighbors
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_partkey").collect()
       .map(x => (x.getAs[Long]("l_orderkey"), x.getAs[Long]("l_partkey")))
@@ -187,7 +197,7 @@ class EvalRetrievalSpec extends SparkSpec {
       for (i <- ps.indices; j <- i + 1 until ps.length)
         yield (ps(i), ps(j))
     }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
-    val edges = pairCounts.filter(_._2 >= 2).keys.toSet
+    val edges = pairCounts.filter(_._2 >= minSup).keys.toSet
     assert(edges.size.toLong == r.getAs[Long]("n_edges"))
     val nbr = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
@@ -203,7 +213,7 @@ class EvalRetrievalSpec extends SparkSpec {
       .map(r => r.getAs[Long]("degree_bucket") ->
         (r.getAs[Long]("n_nodes"), r.getAs[Long]("corner_triangles"),
           r.getAs[Double]("avg_local_cc"))).toMap
-    // same >=2-support co-purchase edge rebuild as the triangle test
+    // same corpus-relative-support edge rebuild as the triangle test
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_partkey").collect()
       .map(x => (x.getAs[Long]("l_orderkey"), x.getAs[Long]("l_partkey")))
@@ -212,7 +222,7 @@ class EvalRetrievalSpec extends SparkSpec {
       val ps = g.map(_._2).distinct.sorted
       for (i <- ps.indices; j <- i + 1 until ps.length)
         yield (ps(i), ps(j))
-    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSet
+    }.toSeq.groupBy(identity).filter(_._2.size >= minSup).keys.toSet
     val nbr = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
     val perNode = nbr.filter(_._2.size >= 2).map { case (v, ns) =>

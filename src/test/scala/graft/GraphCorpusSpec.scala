@@ -25,22 +25,34 @@ class GraphCorpusSpec extends SparkSpec {
 
   test("x_betweenness_sample: the k-source Brandes estimate matches a " +
       "plain-Scala level-synchronous replay (sigma counts, dependency " +
-      "accumulation, 6-round horizon, source exclusion)") {
+      "accumulation, 6-round horizon, source exclusion) over an " +
+      "independently rebuilt top-64 strongest-relation backbone") {
     import spark.implicits._
-    val e0 = graft.util.Tables.t(spark, sf, "lineitem")
+    // weighted trading relations: weight = distinct orders linking the
+    // pair; the op traverses each node's top-64 by (w desc, dst asc) —
+    // rebuild that capped DIRECTED adjacency here from scratch
+    val ew = graft.util.Tables.t(spark, sf, "lineitem")
       .select($"l_orderkey", $"l_suppkey")
       .join(graft.util.Tables.t(spark, sf, "orders")
         .select($"o_orderkey", $"o_custkey"),
         $"l_orderkey" === $"o_orderkey")
-      .select($"l_suppkey".cast("long"), $"o_custkey".cast("long"))
-      .distinct().as[(Long, Long)].collect()
+      .select($"l_orderkey".cast("long"), $"l_suppkey".cast("long"),
+        $"o_custkey".cast("long"))
+      .distinct().as[(Long, Long, Long)].collect()
+      .map { case (_, sKey, c) => (sKey, c) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
     val cOff = 1000000L
-    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
-      .withDefaultValue(Set.empty)
-    e0.foreach { case (sKey, c) =>
-      adj(sKey) = adj(sKey) + (c + cOff)
-      adj(c + cOff) = adj(c + cOff) + sKey
+    val cap = 64
+    val dirW = scala.collection.mutable.Map
+      .empty[Long, List[(Long, Long)]].withDefaultValue(Nil)
+    ew.foreach { case ((sKey, c), w) =>
+      dirW(sKey) = (c + cOff, w) :: dirW(sKey)
+      dirW(c + cOff) = (sKey, w) :: dirW(c + cOff)
     }
+    val adj: Map[Long, Set[Long]] = dirW.map { case (u, ns) =>
+      u -> ns.sortBy { case (v, w) => (-w, v) }.take(cap)
+        .map(_._1).toSet
+    }.toMap.withDefaultValue(Set.empty)
     val rounds = 6
     val bcExp = scala.collection.mutable.Map.empty[Long, Double]
       .withDefaultValue(0.0)
@@ -95,7 +107,13 @@ class GraphCorpusSpec extends SparkSpec {
         assert(math.abs(r.getAs[Double]("betweenness") - b) < 1e-3,
           s"node $v: engine ${r.getAs[Double]("betweenness")} vs $b")
         assert(r.getAs[Long]("n_sources") == sources.length.toLong)
+        assert(r.getAs[Long]("deg_cap") == cap.toLong)
     }
+    // the cap must actually bind somewhere at this scale (suppliers
+    // trade with ~100+ customers at sf0.001), or the test would pass
+    // vacuously on an uncapped rebuild
+    assert(dirW.exists(_._2.length > cap),
+      "fixture too small to exercise the degree cap")
   }
 
   test("x_bfs_distances: histogram matches a driver-side BFS replay " +

@@ -175,7 +175,10 @@ class PlanAuditSpec extends SparkSpec {
     "x_grubbs_outlier",
     // x_betweenness_sample checkpoints the per-round frontier/settled/
     // dependency tables — skinny (sid, node, long) rows, ≤ k·|V| with
-    // k = 3 seeds (the x_bfs_distances BFS-ladder posture)
+    // k = 3 seeds (the x_bfs_distances BFS-ladder posture) — plus, r17,
+    // the top-64-per-node strongest-relation edge backbone (≤ 64·|V|
+    // rows by construction: the bounded-heap top-k output) and its node
+    // list
     "x_betweenness_sample",
     // x_cox_one_step / x_cumulative_incidence reuse the survival
     // family's checkpointed spell projection; x_isotonic_calibration
@@ -197,10 +200,11 @@ class PlanAuditSpec extends SparkSpec {
     // x_textrank_keywords checkpoints the vocabulary-bounded word
     // graph (edges/wdeg) and the per-iteration O(vocab) rank table
     // (the x_pagerank pattern); x_clustering_coeff checkpoints the
-    // >=2-support co-purchase backbone, its degree table, the oriented
-    // edges, and the enumerated triangle corners (the x_triangle_count
-    // rationale: support-cut edges saturate at the catalog's true
-    // affinities)
+    // corpus-relative-support co-purchase backbone (r17: sup >= max(2,
+    // 0.01% of orders) — bounded by the catalog's true affinities at
+    // ANY corpus size, the itemsets minsup-fraction posture), its
+    // degree table, the oriented edges, and the enumerated triangle
+    // corners
     "x_fisher_exact", "x_friedman_test", "x_jonckheere_terpstra",
     "x_weibull_fit", "x_textrank_keywords", "x_clustering_coeff",
     "x_chi2_independence",
