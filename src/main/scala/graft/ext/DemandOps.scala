@@ -70,6 +70,11 @@ object DemandOps {
   private val NvUnder = 3
   private val NvOver = 1
 
+  // EOQ policy constants (documented, like NvUnder/NvOver): fixed cost
+  // per replenishment order and holding cost per unit-year.
+  private val EoqOrderCost = 50.0
+  private val EoqHoldPerYear = 2.0
+
   /** Per-(brand, day) exact shipped quantity. One dim join (part is a
     * true dimension that GROWS with scale, so the broadcast decision is
     * left to AQE's size threshold rather than forced — the PlanAudit
@@ -345,6 +350,52 @@ object DemandOps {
               col("q_cro") <= col("q_ses"), "croston")
               .when(col("q_sba") <= col("q_ses"), "sba")
               .otherwise("ses")).as("best_method"))
+        .orderBy("brand")
+    }),
+
+    "x_eoq_policy" -> ((s, d) => {
+      // Economic order quantity policy per brand (Harris 1913; the
+      // square-root formula of Silver–Pyke–Peterson ch. 5) — the
+      // missing HOW-MUCH beside x_safety_stock's WHEN: EOQ = √(2·D·S/H)
+      // with annualized demand D from the same zero-inclusive day grain
+      // (D = ΣQ·365/span), ordering cost S = 50 per order and holding
+      // cost H = 2 per unit-year as documented policy constants. Joined
+      // with the z·σ√L service-level machinery into the full (s, Q)
+      // policy row a planner orders from — when stock hits the reorder
+      // point (the s), order EOQ units (the Q); orders_per_year = D/EOQ
+      // and cycle_days = 365·EOQ/D give the implied cadence. One fact
+      // pass to the day grain, everything downstream O(brands); moments
+      // DECIMAL-exact; √ is a single exactly-rounded IEEE op on
+      // identical doubles, divisions guarded per the family discipline.
+      demandDaily(s, d)
+        .groupBy(col("brand"))
+        .agg(count(lit(1)).as("nd"), sum(col("qq")).as("s1"),
+          sum(floor(col("q") * col("q") * 1e4 + 0.5).cast("decimal(38,0)"))
+            .as("s2"))
+        .crossJoin(broadcast(spanFrame(s, d)))
+        .withColumn("sy", col("s1").cast("double") / 1e4)
+        .withColumn("syy", col("s2").cast("double") / 1e4)
+        .withColumn("mu", col("sy") / col("span"))
+        .withColumn("vr", when(col("span") > 1,
+          (col("syy") - col("sy") * col("sy") / col("span"))
+            / (col("span") - 1)))
+        .withColumn("sd", when(col("vr") > 0, sqrt(col("vr"))))
+        .withColumn("ss", lit(Z95.toDouble) * col("sd")
+          * sqrt(lit(LeadDays.toDouble)))
+        .withColumn("dann", col("sy") * lit(365.0) / col("span"))
+        .withColumn("eoq", when(col("dann") > 0,
+          sqrt(lit(2.0) * col("dann") * lit(EoqOrderCost)
+            / lit(EoqHoldPerYear))))
+        .select(col("brand"), col("span").as("n_span_days"),
+          detRound(col("dann"), 2).as("annual_demand"),
+          detRound(col("eoq"), 2).as("eoq_units"),
+          detRound(col("ss"), 4).as("safety_stock"),
+          detRound(col("mu") * LeadDays + col("ss"), 4)
+            .as("reorder_point"),
+          detRound(when(col("eoq") > 0, col("dann") / col("eoq")), 4)
+            .as("orders_per_year"),
+          detRound(when(col("dann") > 0,
+            lit(365.0) * col("eoq") / col("dann")), 4).as("cycle_days"))
         .orderBy("brand")
     }),
 
@@ -658,6 +709,50 @@ object DemandOps {
                         ELSE 'ses' END END AS best_method
           FROM fin ORDER BY brand"""
     },
+
+    "x_eoq_policy" ->
+      s"""WITH daily AS ($demandDailySql),
+          sp AS ($spanSql),
+          g AS (
+            SELECT brand, COUNT(*) AS nd,
+                   CAST(SUM(CAST(floor(q * 1e4 + 0.5) AS HUGEINT))
+                     AS DOUBLE) / 1e4 AS sy,
+                   CAST(SUM(CAST(floor(q * q * 1e4 + 0.5) AS HUGEINT))
+                     AS DOUBLE) / 1e4 AS syy
+            FROM daily GROUP BY 1),
+          st0 AS (
+            SELECT g.brand, g.nd, s.span,
+                   g.sy / s.span AS mu,
+                   g.sy * 365.0 / s.span AS dann,
+                   CASE WHEN s.span > 1 THEN
+                     (g.syy - g.sy * g.sy / s.span) / (s.span - 1)
+                   END AS vr
+            FROM g CROSS JOIN sp s),
+          st AS (
+            -- guard BEFORE sqrt: DuckDB sqrt(<0) throws (r15 advice)
+            SELECT brand, nd, span, mu, dann,
+                   CASE WHEN vr > 0 THEN sqrt(vr) END AS sd
+            FROM st0),
+          fin AS (
+            SELECT brand, span, mu, dann, sd,
+                   CAST($Z95 AS DOUBLE) * sd
+                     * sqrt(CAST($LeadDays AS DOUBLE)) AS ss,
+                   CASE WHEN dann > 0 THEN
+                     sqrt(2.0 * dann * ${lit17(EoqOrderCost)}
+                          / ${lit17(EoqHoldPerYear)})
+                   END AS eoq
+            FROM st)
+          SELECT brand, span AS n_span_days,
+                 floor(dann * 1e2 + 0.5) / 1e2 AS annual_demand,
+                 floor(eoq * 1e2 + 0.5) / 1e2 AS eoq_units,
+                 floor(ss * 1e4 + 0.5) / 1e4 AS safety_stock,
+                 floor((mu * $LeadDays + ss) * 1e4 + 0.5) / 1e4
+                   AS reorder_point,
+                 floor(CASE WHEN eoq > 0 THEN dann / eoq END * 1e4 + 0.5)
+                   / 1e4 AS orders_per_year,
+                 floor(CASE WHEN dann > 0 THEN 365.0 * eoq / dann END
+                   * 1e4 + 0.5) / 1e4 AS cycle_days
+          FROM fin ORDER BY brand""",
 
     "x_abc_xyz" ->
       s"""WITH rev AS (

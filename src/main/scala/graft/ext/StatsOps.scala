@@ -287,6 +287,10 @@ object StatsOps {
       prefix + "q")
   }
 
+  // Rosner generalized-ESD round count: up to 5 outliers tested per
+  // priority series (x_generalized_esd).
+  private val EsdR = 5
+
   // Benjamini–Yekutieli dependence-robust factor c(m) = Σ_{i=1..m} 1/i:
   // each 1/i term is 1e12-quantized BEFORE the sum, so the Scala
   // constant here and the in-engine harmonic ladder (computed from the
@@ -2766,6 +2770,325 @@ object StatsOps {
         .orderBy("priority")
     }),
 
+    "x_generalized_esd" -> ((s, d) => {
+      // Rosner's generalized ESD test (Technometrics 1983) for up to
+      // r = 5 outliers per priority in the daily order-count series —
+      // the masking-proof generalization of x_grubbs_outlier: a single
+      // Grubbs pass can be MASKED by a second extreme inflating the
+      // sd, so Rosner removes the max-residual point r times,
+      // recomputing the statistics each round, and the verdict is the
+      // LARGEST i with R_i > λ_i (not first failure — the ESD rule).
+      // Round i is bit-for-bit a Grubbs pass over the remaining
+      // series: stats exclude the i−1 prior winners via an anti-join
+      // against the accumulated winner set (5 rounds of O(calendar)
+      // work on the checkpointed day grain), the extreme is the
+      // deterministic (deviation desc, day asc) rank pick, and
+      // λ_i = ((n_i−1)/√n_i)·√(t²/(n_i−2+t²)) with n_i the remaining
+      // length and t the two-tailed 0.05/n_i, (n_i−2)-df Hill-396
+      // quantile — data-dependent df each round, exactly what the
+      // in-engine t unblocks. Round 1 equals the Grubbs critical
+      // exactly (the spec's regression pin). t is 1e9-quantized
+      // before the critical-value arithmetic (the pow/exp firewall).
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).cast("long").as("y"))
+        .localCheckpoint()
+      var rem = daily
+      val rounds = (1 to EsdR).map { i =>
+        val st = rem.groupBy("priority")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("y")).cast("long").as("sy"),
+            sum(col("y") * col("y")).cast("long").as("syy"))
+          .withColumn("mean", col("sy").cast("double") / col("n"))
+          .withColumn("vr",
+            (col("syy").cast("double") -
+              col("sy").cast("double") * col("sy") / col("n"))
+              / (col("n") - 1))
+          .withColumn("sd", when(col("vr") > 0, sqrt(col("vr"))))
+        val pick = rem.join(broadcast(st), "priority")
+          .withColumn("adev", abs(col("y").cast("double") - col("mean")))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy("priority").orderBy(desc("adev"), asc("day"))))
+          .filter(col("rn") === 1)
+          .withColumn("r_stat",
+            when(col("sd") > 0, col("adev") / col("sd")))
+          .withColumn("p2", lit(0.05) / col("n"))
+          .withColumn("tq",
+            floor(tQuantileCol(col("p2"), col("n") - 2) * 1e9 + 0.5)
+              / 1e9)
+          .withColumn("lambda",
+            (col("n") - 1).cast("double") / sqrt(col("n").cast("double"))
+              * sqrt(col("tq") * col("tq")
+                / (col("n").cast("double") - 2 + col("tq") * col("tq"))))
+          .withColumn("round_i", lit(i.toLong))
+          .select(col("priority"), col("round_i"), col("day"), col("y"),
+            col("n"), col("r_stat"), col("tq"), col("lambda"))
+          .localCheckpoint()
+        rem = rem.join(pick.select("priority", "day"),
+          Seq("priority", "day"), "left_anti").localCheckpoint()
+        pick
+      }
+      val all = rounds.reduce(_ unionByName _)
+      val nOut = all
+        .withColumn("exc",
+          when(col("r_stat") > col("lambda"), col("round_i"))
+            .otherwise(0L))
+        .groupBy(col("priority").as("pk"))
+        .agg(max(col("exc")).cast("long").as("n_outliers"))
+      all.join(broadcast(nOut), col("priority") === col("pk"))
+        .select(col("priority"), col("round_i"),
+          fmtD(col("day")).as("extreme_day"),
+          col("y").as("extreme_count"), col("n").as("n_remaining"),
+          detRound(col("r_stat"), 6).as("r_stat"),
+          detRound(col("tq"), 6).as("t_quantile"),
+          detRound(col("lambda"), 6).as("lambda_crit"),
+          (col("r_stat") > col("lambda")).as("exceeds"),
+          col("n_outliers"))
+        .orderBy("priority", "round_i")
+    }),
+
+    "x_tukey_fences" -> ((s, d) => {
+      // Tukey's fences per priority (EDA 1977) — the NONPARAMETRIC
+      // outlier screen beside x_grubbs_outlier/x_generalized_esd
+      // (both assume normality; fences only assume quartiles exist):
+      // Q1/Q3 are exact integer-cum rank picks off the (priority,
+      // price-cents) histogram (first cent value with 4·cum ≥ n, and
+      // with 4·cum ≥ 3n — the newsvendor/brown-forsythe machinery,
+      // bounded by the VALUE DOMAIN so the cumsum never sorts fact
+      // rows), the fences Q1 − 1.5·IQR / Q3 + 1.5·IQR live in exact
+      // DOUBLED-cent integers (2·fence = 2·Qc ± 3·IQRc keeps the 1.5
+      // integral), and the outlier counts are grouped integer sums
+      // over the SAME histogram against the broadcast fences — one
+      // fact scan total, no float enters until the display columns.
+      val hist = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("grp"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("yc"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val wc = Window.partitionBy("grp").orderBy("yc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .join(broadcast(hist.groupBy("grp")
+          .agg(sum(col("cnt")).cast("long").as("ng"))), "grp")
+      val q1 = cum.filter(col("cum") * 4 >= col("ng"))
+        .groupBy("grp").agg(min(col("yc")).as("q1c"))
+      val q3 = cum.filter(col("cum") * 4 >= col("ng") * 3)
+        .groupBy("grp").agg(min(col("yc")).as("q3c"))
+      val fences = q1.join(q3, "grp")
+        .withColumn("iqrc", col("q3c") - col("q1c"))
+        .withColumn("lo2", lit(2L) * col("q1c") - lit(3L) * col("iqrc"))
+        .withColumn("hi2", lit(2L) * col("q3c") + lit(3L) * col("iqrc"))
+      hist.join(broadcast(fences), "grp")
+        .groupBy(col("grp"), col("q1c"), col("q3c"), col("iqrc"),
+          col("lo2"), col("hi2"))
+        .agg(sum(when(col("yc") * 2 < col("lo2"), col("cnt"))
+            .otherwise(0L)).cast("long").as("n_below"),
+          sum(when(col("yc") * 2 > col("hi2"), col("cnt"))
+            .otherwise(0L)).cast("long").as("n_above"),
+          sum(col("cnt")).cast("long").as("n"))
+        .select(col("grp").as("priority"), col("n"),
+          detRound(col("q1c").cast("double") / 100.0, 2).as("q1"),
+          detRound(col("q3c").cast("double") / 100.0, 2).as("q3"),
+          detRound(col("iqrc").cast("double") / 100.0, 2).as("iqr"),
+          detRound(col("lo2").cast("double") / 200.0, 4).as("fence_lo"),
+          detRound(col("hi2").cast("double") / 200.0, 4).as("fence_hi"),
+          col("n_below").as("n_outliers_below"),
+          col("n_above").as("n_outliers_above"))
+        .orderBy("priority")
+    }),
+
+    "x_theil_inequality" -> ((s, d) => {
+      // Theil T index of customer revenue inequality with the
+      // between/within-nation decomposition (Theil 1967) — the
+      // property x_gini_concentration structurally lacks: T =
+      // T_between + Σ w_g·T_g EXACTLY, so one number splits into
+      // "nations differ" vs "customers within a nation differ".
+      // T = Σ s_i·ln(s_i·N) over positive-revenue customers with
+      // s_i = r_i/ΣR; the between term replaces each customer by its
+      // nation aggregate (w_g·ln(w_g·N/N_g)), the within term is the
+      // revenue-share-weighted sum of per-nation Theils — all three
+      // off the SAME grouped tables. Revenue is DECIMAL-exact at both
+      // grains; every ln term is 1e12-quantized before its integer
+      // sum (order-free), so the decomposition identity holds to the
+      // quantizer in both engines (the spec pins it against a plain-
+      // double recompute). Scale: one fact groupBy to O(customers)
+      // skinny rows + a dimension join, O(nations) grouped rows,
+      // broadcast scalars — no unbounded window anywhere.
+      val pc = t(s, d, "orders")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("revd"))
+        .join(t(s, d, "customer").select(col("c_custkey").as("ck"),
+          col("c_nationkey").cast("long").as("nk")), "ck")
+        .filter(col("revd").cast("double") > 0)
+        .select(col("ck"), col("nk"), col("revd"))
+        .localCheckpoint()
+      val tot = pc.agg(count(lit(1)).as("n"), sum(col("revd")).as("td"))
+        .select(col("n"), col("td").cast("double").as("tt"))
+      val totalT = pc.crossJoin(broadcast(tot))
+        .withColumn("r", col("revd").cast("double"))
+        .select(floor(col("r") / col("tt")
+          * log(col("r") / col("tt") * col("n")) * 1e12 + 0.5)
+          .cast("long").as("qt"))
+        .agg(sum(col("qt").cast("decimal(38,0)")).as("qq"))
+        .select((col("qq").cast("double") / 1e12).as("theil_total"))
+      val ng = pc.groupBy(col("nk"))
+        .agg(count(lit(1)).as("cg"), sum(col("revd")).as("rgd"))
+        .withColumn("rg", col("rgd").cast("double"))
+        .select("nk", "cg", "rg")
+        .localCheckpoint()
+      val between = ng.crossJoin(broadcast(tot))
+        .select(floor(col("rg") / col("tt")
+          * log(col("rg") / col("tt") * col("n") / col("cg"))
+          * 1e12 + 0.5).cast("long").as("qb"))
+        .agg(sum(col("qb").cast("decimal(38,0)")).as("qq"))
+        .select((col("qq").cast("double") / 1e12).as("theil_between"))
+      val within = pc.join(broadcast(ng), "nk")
+        .withColumn("r", col("revd").cast("double"))
+        .select(col("nk"), col("rg"),
+          floor(col("r") / col("rg")
+            * log(col("r") / col("rg") * col("cg")) * 1e12 + 0.5)
+            .cast("long").as("qw"))
+        .groupBy(col("nk"), col("rg"))
+        .agg(sum(col("qw").cast("decimal(38,0)")).as("qtg"))
+        .crossJoin(broadcast(tot))
+        .select(floor(col("rg") / col("tt")
+          * (col("qtg").cast("double") / 1e12) * 1e12 + 0.5)
+          .cast("long").as("qwg"))
+        .agg(sum(col("qwg").cast("decimal(38,0)")).as("qq"))
+        .select((col("qq").cast("double") / 1e12).as("theil_within"))
+      val nn = pc.agg(count(lit(1)).as("n_customers"))
+      val nnat = ng.agg(count(lit(1)).as("n_nations"))
+      nn.crossJoin(broadcast(nnat)).crossJoin(broadcast(totalT))
+        .crossJoin(broadcast(between)).crossJoin(broadcast(within))
+        .select(col("n_customers"), col("n_nations"),
+          detRound(col("theil_total"), 6).as("theil_total"),
+          detRound(col("theil_between"), 6).as("theil_between"),
+          detRound(col("theil_within"), 6).as("theil_within"),
+          detRound(when(col("theil_total") > 0,
+            col("theil_between") / col("theil_total")), 6)
+            .as("between_share"))
+    }),
+
+    "x_page_trend" -> ((s, d) => {
+      // Page's L test for an ORDERED alternative across related
+      // blocks (Page, JASA 1963) — to x_friedman_test exactly what
+      // Jonckheere–Terpstra is to Kruskal–Wallis: the priority labels
+      // carry a natural order (1-URGENT < … < 5-LOW, the leading
+      // digit), so a directional monotone-revenue hypothesis gets
+      // strictly more power than Friedman's any-difference
+      // alternative. Same complete-block month×priority cells, same
+      // doubled-average-rank integers (2r̄ = 2·rank + ties − 1);
+      // L = Σ_j j·R_j is carried as the exact integer 2L, and
+      // μ_L = b·k(k+1)²/4, σ²_L = b·(k³−k)²/(144(k−1)) come from the
+      // data-decided b and k (never embedded fixture constants) with
+      // the sqrt sign-guarded. Windows run over the O(months×k) cell
+      // table only.
+      val cells = t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("blk"),
+          col("o_orderpriority").as("trt"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+      val k = cells.agg(countDistinct(col("trt")).as("k"))
+      val full = cells
+        .withColumn("kb", count(lit(1)).over(Window.partitionBy("blk")))
+        .crossJoin(broadcast(k))
+        .filter(col("kb") === col("k"))
+        .localCheckpoint()
+      val ranked = full
+        .withColumn("rnk",
+          rank().over(Window.partitionBy("blk").orderBy("rev")))
+        .withColumn("tcnt",
+          count(lit(1)).over(Window.partitionBy("blk", "rev")))
+        .withColumn("r2", lit(2L) * col("rnk") + col("tcnt") - 1L)
+        .withColumn("j", substring(col("trt"), 1, 1).cast("long"))
+      ranked.groupBy(col("k"))
+        .agg(sum(col("j") * col("r2")).cast("long").as("l2"),
+          countDistinct(col("blk")).cast("long").as("b"))
+        .withColumn("bD", col("b").cast("double"))
+        .withColumn("kD", col("k").cast("double"))
+        .withColumn("mu", col("bD") * col("kD") * (col("kD") + 1)
+          * (col("kD") + 1) / 4.0)
+        .withColumn("k3", col("kD") * col("kD") * col("kD") - col("kD"))
+        .withColumn("vr", when(col("kD") > 1,
+          col("bD") * col("k3") * col("k3")
+            / (lit(144.0) * (col("kD") - 1))))
+        .withColumn("sg", when(col("vr") > 0, sqrt(col("vr"))))
+        .withColumn("l", col("l2").cast("double") / 2.0)
+        .withColumn("z",
+          when(col("sg") > 0, (col("l") - col("mu")) / col("sg")))
+        .select(col("b").as("n_blocks"), col("k").as("k_treatments"),
+          detRound(col("l"), 1).as("l_stat"),
+          detRound(col("mu"), 1).as("mu_l"),
+          detRound(col("sg"), 4).as("sigma_l"),
+          detRound(col("z"), 4).as("z"),
+          (col("z") > lit(1.645)).as("increasing_05"),
+          (col("z") < lit(-1.645)).as("decreasing_05"))
+    }),
+
+    "x_cochran_q" -> ((s, d) => {
+      // Cochran's Q (Biometrika 1950) for k related BINARY responses
+      // — the dichotomous member of the complete-block family
+      // (Friedman ranks continuous cells; Q is its 0/1
+      // specialization): per month block × priority, the response is
+      // "this cell's fulfilled rate beats the pooled rate", decided
+      // by the EXACT integer cross-compare cf·tn > n·tk (never a
+      // float ratio; products promoted to DECIMAL because fact-count
+      // × fact-count overflows LONG at scale), pooled over the
+      // complete-block universe itself. Q = (k−1)(k·ΣC_j² − N²) /
+      // (k·N − ΣR_i²) — all-integer sums over calendar-bounded
+      // grains, one division at the end (NULL-guarded: a saturated
+      // all-equal table makes the denominator 0), χ²(k−1) 5%
+      // critical by the friedman lookup convention (data-decided k,
+      // NULL outside the table rather than a wrong verdict).
+      val cells = t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("blk"),
+          col("o_orderpriority").as("trt"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .cast("long").as("cf"))
+      val k = cells.agg(countDistinct(col("trt")).as("k"))
+      val full = cells
+        .withColumn("kb", count(lit(1)).over(Window.partitionBy("blk")))
+        .crossJoin(broadcast(k))
+        .filter(col("kb") === col("k"))
+        .localCheckpoint()
+      val pooled = full.agg(sum(col("n")).cast("long").as("tn"),
+        sum(col("cf")).cast("long").as("tk"))
+      val flags = full.crossJoin(broadcast(pooled))
+        .withColumn("x",
+          when(col("cf").cast("decimal(38,0)") * col("tn")
+            > col("n").cast("decimal(38,0)") * col("tk"), 1L)
+            .otherwise(0L))
+        .localCheckpoint()
+      val colAgg = flags.groupBy(col("trt"), col("k"))
+        .agg(sum(col("x")).cast("long").as("c"))
+        .groupBy(col("k"))
+        .agg(sum(col("c")).cast("long").as("nt"),
+          sum(col("c") * col("c")).cast("long").as("sc2"))
+      val rowAgg = flags.groupBy(col("blk"))
+        .agg(sum(col("x")).cast("long").as("r"))
+        .agg(count(lit(1)).cast("long").as("b"),
+          sum(col("r") * col("r")).cast("long").as("sr2"))
+      colAgg.crossJoin(broadcast(rowAgg))
+        .withColumn("num", (col("k") - 1)
+          * (col("k") * col("sc2") - col("nt") * col("nt")))
+        .withColumn("den", col("k") * col("nt") - col("sr2"))
+        .withColumn("q",
+          when(col("den") > 0, col("num").cast("double") / col("den")))
+        .select(col("b").as("n_blocks"), col("k").as("k_treatments"),
+          col("nt").as("n_success_total"),
+          detRound(col("q"), 4).as("q_stat"),
+          (col("q") >
+            when(col("k") === 2, lit(3.841459))
+              .when(col("k") === 3, lit(5.991465))
+              .when(col("k") === 4, lit(7.814728))
+              .when(col("k") === 5, lit(9.487729))
+              .when(col("k") === 6, lit(11.070498)))
+            .as("reject_05"))
+    }),
+
     "x_hill_tail_index" -> ((s, d) => {
       // Hill estimator of the Pareto tail exponent over the top-200
       // order values — the heavy-tail diagnostic that says whether means
@@ -5158,6 +5481,286 @@ object StatsOps {
                 g_stat > g_crit AS is_outlier
          FROM fin ORDER BY priority"""
     },
+
+    "x_generalized_esd" -> {
+      // five unrolled remove-the-max rounds; each round's stats CTE
+      // anti-joins the prior winners, and each round instantiates its
+      // own staged t-quantile chain under a distinct prefix (q{i}t*)
+      val rounds = (1 to EsdR).map { i =>
+        val rem = s"rem$i"
+        val (tqCtes, tqFin) = tQuantileSqlCtes(s"top$i",
+          "0.05 / CAST(n AS DOUBLE)", "n - 2", s"q${i}t")
+        val remCte =
+          if (i == 1) "rem1 AS (SELECT * FROM daily)"
+          else s"""rem$i AS (
+                SELECT r.* FROM rem${i - 1} r
+                WHERE NOT EXISTS (SELECT 1 FROM top${i - 1} w
+                                  WHERE w.priority = r.priority
+                                    AND w.day = r.day))"""
+        s"""$remCte,
+           st$i AS (
+             SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(y) AS BIGINT) AS sy,
+                    CAST(SUM(y * y) AS BIGINT) AS syy
+             FROM $rem GROUP BY 1),
+           stb$i AS (
+             SELECT priority, n, CAST(sy AS DOUBLE) / n AS mean,
+                    (CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS vr
+             FROM st$i),
+           stc$i AS (
+             SELECT priority, n, mean,
+                    CASE WHEN vr > 0 THEN sqrt(vr) END AS sd
+             FROM stb$i),
+           dev$i AS (
+             SELECT d.priority, d.day, d.y, s.n, s.mean, s.sd,
+                    abs(CAST(d.y AS DOUBLE) - s.mean) AS adev,
+                    row_number() OVER (PARTITION BY d.priority
+                      ORDER BY abs(CAST(d.y AS DOUBLE) - s.mean) DESC,
+                      d.day ASC) AS rn
+             FROM $rem d JOIN stc$i s USING (priority)),
+           top$i AS (SELECT * FROM dev$i WHERE rn = 1),
+           $tqCtes,
+           lam$i AS (
+             SELECT priority, CAST($i AS BIGINT) AS round_i, day, y, n,
+                    CASE WHEN sd > 0 THEN adev / sd END AS r_stat,
+                    floor(tq_raw * 1e9 + 0.5) / 1e9 AS tq
+             FROM $tqFin),
+           fin$i AS (
+             SELECT priority, round_i, day, y, n, r_stat, tq,
+                    CAST(n - 1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))
+                      * sqrt(tq * tq
+                             / (CAST(n AS DOUBLE) - 2 + tq * tq))
+                      AS lambda
+             FROM lam$i)"""
+      }.mkString(",\n")
+      val unions = (1 to EsdR).map(i => s"SELECT * FROM fin$i")
+        .mkString(" UNION ALL ")
+      s"""WITH daily AS (
+           SELECT o_orderpriority AS priority,
+                  date_trunc('day', o_orderdate) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS y
+           FROM orders GROUP BY 1, 2),
+         $rounds,
+         allr AS ($unions),
+         nout AS (
+           SELECT priority AS pk,
+                  CAST(MAX(CASE WHEN r_stat > lambda THEN round_i
+                                ELSE 0 END) AS BIGINT) AS n_outliers
+           FROM allr GROUP BY 1)
+         SELECT a.priority, a.round_i,
+                strftime(a.day, '%Y-%m-%d') AS extreme_day,
+                a.y AS extreme_count, a.n AS n_remaining,
+                floor(a.r_stat * 1e6 + 0.5) / 1e6 AS r_stat,
+                floor(a.tq * 1e6 + 0.5) / 1e6 AS t_quantile,
+                floor(a.lambda * 1e6 + 0.5) / 1e6 AS lambda_crit,
+                a.r_stat > a.lambda AS exceeds, o.n_outliers
+         FROM allr a JOIN nout o ON o.pk = a.priority
+         ORDER BY a.priority, a.round_i"""
+    },
+
+    "x_tukey_fences" ->
+      """WITH hist AS MATERIALIZED (
+           SELECT o_orderpriority AS grp,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS yc,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM orders GROUP BY 1, 2),
+         cum AS (
+           SELECT h.grp, h.yc, h.cnt,
+                  SUM(h.cnt) OVER (PARTITION BY h.grp ORDER BY h.yc
+                    ROWS UNBOUNDED PRECEDING) AS cum,
+                  g.ng
+           FROM hist h
+           JOIN (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS ng
+                 FROM hist GROUP BY 1) g USING (grp)),
+         q1 AS (SELECT grp, MIN(yc) AS q1c FROM cum
+                WHERE cum * 4 >= ng GROUP BY 1),
+         q3 AS (SELECT grp, MIN(yc) AS q3c FROM cum
+                WHERE cum * 4 >= ng * 3 GROUP BY 1),
+         fences AS (
+           SELECT q1.grp, q1c, q3c, q3c - q1c AS iqrc,
+                  2 * q1c - 3 * (q3c - q1c) AS lo2,
+                  2 * q3c + 3 * (q3c - q1c) AS hi2
+           FROM q1 JOIN q3 USING (grp)),
+         fin AS (
+           SELECT h.grp, f.q1c, f.q3c, f.iqrc, f.lo2, f.hi2,
+                  CAST(SUM(CASE WHEN h.yc * 2 < f.lo2 THEN h.cnt
+                                ELSE 0 END) AS BIGINT) AS n_below,
+                  CAST(SUM(CASE WHEN h.yc * 2 > f.hi2 THEN h.cnt
+                                ELSE 0 END) AS BIGINT) AS n_above,
+                  CAST(SUM(h.cnt) AS BIGINT) AS n
+           FROM hist h JOIN fences f USING (grp)
+           GROUP BY 1, 2, 3, 4, 5, 6)
+         SELECT grp AS priority, n,
+                floor(CAST(q1c AS DOUBLE) / 100.0 * 1e2 + 0.5) / 1e2
+                  AS q1,
+                floor(CAST(q3c AS DOUBLE) / 100.0 * 1e2 + 0.5) / 1e2
+                  AS q3,
+                floor(CAST(iqrc AS DOUBLE) / 100.0 * 1e2 + 0.5) / 1e2
+                  AS iqr,
+                floor(CAST(lo2 AS DOUBLE) / 200.0 * 1e4 + 0.5) / 1e4
+                  AS fence_lo,
+                floor(CAST(hi2 AS DOUBLE) / 200.0 * 1e4 + 0.5) / 1e4
+                  AS fence_hi,
+                n_below AS n_outliers_below,
+                n_above AS n_outliers_above
+         FROM fin ORDER BY priority""",
+
+    "x_theil_inequality" ->
+      """WITH pc AS MATERIALIZED (
+           SELECT o.ck, CAST(c.c_nationkey AS BIGINT) AS nk, o.revd
+           FROM (SELECT o_custkey AS ck,
+                        SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS revd
+                 FROM orders GROUP BY 1) o
+           JOIN customer c ON c.c_custkey = o.ck
+           WHERE CAST(o.revd AS DOUBLE) > 0),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(revd) AS DOUBLE) AS tt FROM pc),
+         ttl AS (
+           SELECT CAST(SUM(CAST(CAST(floor(CAST(p.revd AS DOUBLE) / t.tt
+                    * ln(CAST(p.revd AS DOUBLE) / t.tt * t.n)
+                    * 1e12 + 0.5) AS BIGINT) AS HUGEINT)) AS DOUBLE)
+                  / 1e12 AS theil_total
+           FROM pc p, tot t),
+         ng AS MATERIALIZED (
+           SELECT nk, CAST(COUNT(*) AS BIGINT) AS cg,
+                  CAST(SUM(revd) AS DOUBLE) AS rg
+           FROM pc GROUP BY 1),
+         btw AS (
+           SELECT CAST(SUM(CAST(CAST(floor(g.rg / t.tt
+                    * ln(g.rg / t.tt * t.n / g.cg) * 1e12 + 0.5)
+                    AS BIGINT) AS HUGEINT)) AS DOUBLE) / 1e12
+                  AS theil_between
+           FROM ng g, tot t),
+         wgrp AS (
+           SELECT p.nk, g.rg,
+                  CAST(SUM(CAST(CAST(floor(CAST(p.revd AS DOUBLE) / g.rg
+                    * ln(CAST(p.revd AS DOUBLE) / g.rg * g.cg)
+                    * 1e12 + 0.5) AS BIGINT) AS HUGEINT)) AS HUGEINT)
+                    AS qtg
+           FROM pc p JOIN ng g ON g.nk = p.nk
+           GROUP BY 1, 2),
+         wth AS (
+           SELECT CAST(SUM(CAST(CAST(floor(w.rg / t.tt
+                    * (CAST(w.qtg AS DOUBLE) / 1e12) * 1e12 + 0.5)
+                    AS BIGINT) AS HUGEINT)) AS DOUBLE) / 1e12
+                  AS theil_within
+           FROM wgrp w, tot t),
+         cnts AS (
+           SELECT (SELECT COUNT(*) FROM pc) AS n_customers,
+                  (SELECT COUNT(*) FROM ng) AS n_nations)
+         SELECT c.n_customers, c.n_nations,
+                floor(a.theil_total * 1e6 + 0.5) / 1e6 AS theil_total,
+                floor(b.theil_between * 1e6 + 0.5) / 1e6
+                  AS theil_between,
+                floor(w.theil_within * 1e6 + 0.5) / 1e6 AS theil_within,
+                floor(CASE WHEN a.theil_total > 0
+                      THEN b.theil_between / a.theil_total END
+                  * 1e6 + 0.5) / 1e6 AS between_share
+         FROM cnts c, ttl a, btw b, wth w""",
+
+    "x_page_trend" ->
+      """WITH cells AS (
+           SELECT date_trunc('month', o_orderdate) AS blk,
+                  o_orderpriority AS trt,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+           FROM orders GROUP BY 1, 2),
+         kk AS (SELECT COUNT(DISTINCT trt) AS k FROM cells),
+         full_b AS (
+           SELECT c.blk, c.trt, c.rev, x.k
+           FROM (SELECT blk, trt, rev,
+                        COUNT(*) OVER (PARTITION BY blk) AS kb
+                 FROM cells) c
+           CROSS JOIN kk x WHERE c.kb = x.k),
+         ranked AS (
+           SELECT trt, blk, k,
+                  2 * rank() OVER (PARTITION BY blk ORDER BY rev)
+                    + COUNT(*) OVER (PARTITION BY blk, rev) - 1 AS r2,
+                  CAST(substr(trt, 1, 1) AS BIGINT) AS j
+           FROM full_b),
+         agg AS (
+           SELECT k, CAST(SUM(j * r2) AS BIGINT) AS l2,
+                  CAST(COUNT(DISTINCT blk) AS BIGINT) AS b
+           FROM ranked GROUP BY 1),
+         fin AS (
+           SELECT b, k, CAST(b AS DOUBLE) AS bd, CAST(k AS DOUBLE) AS kd,
+                  CAST(l2 AS DOUBLE) / 2.0 AS l
+           FROM agg),
+         fin2 AS (
+           SELECT b, k, l,
+                  bd * kd * (kd + 1) * (kd + 1) / 4.0 AS mu,
+                  CASE WHEN kd > 1 THEN
+                    bd * (kd * kd * kd - kd) * (kd * kd * kd - kd)
+                      / (144.0 * (kd - 1))
+                  END AS vr
+           FROM fin),
+         fin3 AS (
+           -- guard BEFORE sqrt: DuckDB sqrt(<0) throws
+           SELECT b, k, l, mu,
+                  CASE WHEN vr > 0 THEN sqrt(vr) END AS sg
+           FROM fin2),
+         fin4 AS (
+           SELECT b, k, l, mu, sg,
+                  CASE WHEN sg > 0 THEN (l - mu) / sg END AS z
+           FROM fin3)
+         SELECT b AS n_blocks, k AS k_treatments,
+                floor(l * 1e1 + 0.5) / 1e1 AS l_stat,
+                floor(mu * 1e1 + 0.5) / 1e1 AS mu_l,
+                floor(sg * 1e4 + 0.5) / 1e4 AS sigma_l,
+                floor(z * 1e4 + 0.5) / 1e4 AS z,
+                z > 1.645 AS increasing_05,
+                z < -1.645 AS decreasing_05
+         FROM fin4""",
+
+    "x_cochran_q" ->
+      """WITH cells AS (
+           SELECT date_trunc('month', o_orderdate) AS blk,
+                  o_orderpriority AS trt,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1
+                                ELSE 0 END) AS BIGINT) AS cf
+           FROM orders GROUP BY 1, 2),
+         kk AS (SELECT COUNT(DISTINCT trt) AS k FROM cells),
+         full_b AS (
+           SELECT c.blk, c.trt, c.n, c.cf, x.k
+           FROM (SELECT blk, trt, n, cf,
+                        COUNT(*) OVER (PARTITION BY blk) AS kb
+                 FROM cells) c
+           CROSS JOIN kk x WHERE c.kb = x.k),
+         pooled AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+                           CAST(SUM(cf) AS BIGINT) AS tk FROM full_b),
+         flags AS (
+           SELECT f.blk, f.trt, f.k,
+                  CASE WHEN CAST(f.cf AS HUGEINT) * p.tn
+                         > CAST(f.n AS HUGEINT) * p.tk
+                       THEN 1 ELSE 0 END AS x
+           FROM full_b f CROSS JOIN pooled p),
+         cj AS (SELECT trt, k, CAST(SUM(x) AS BIGINT) AS c
+                FROM flags GROUP BY 1, 2),
+         ca AS (SELECT k, CAST(SUM(c) AS BIGINT) AS nt,
+                       CAST(SUM(c * c) AS BIGINT) AS sc2
+                FROM cj GROUP BY 1),
+         ri0 AS (SELECT blk, CAST(SUM(x) AS BIGINT) AS r
+                 FROM flags GROUP BY 1),
+         ra AS (SELECT CAST(COUNT(*) AS BIGINT) AS b,
+                       CAST(SUM(r * r) AS BIGINT) AS sr2 FROM ri0),
+         fin AS (
+           SELECT ra.b, ca.k, ca.nt,
+                  (ca.k - 1) * (ca.k * ca.sc2 - ca.nt * ca.nt) AS num,
+                  ca.k * ca.nt - ra.sr2 AS den
+           FROM ca CROSS JOIN ra)
+         SELECT b AS n_blocks, k AS k_treatments,
+                nt AS n_success_total,
+                floor(CASE WHEN den > 0
+                      THEN CAST(num AS DOUBLE) / den END * 1e4 + 0.5)
+                  / 1e4 AS q_stat,
+                CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / den END >
+                  CASE k WHEN 2 THEN 3.841459
+                         WHEN 3 THEN 5.991465
+                         WHEN 4 THEN 7.814728
+                         WHEN 5 THEN 9.487729
+                         WHEN 6 THEN 11.070498 END AS reject_05
+         FROM fin""",
 
     "x_hill_tail_index" ->
       """WITH top AS (

@@ -12,6 +12,59 @@ class ExtOpsInvariantSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  // plain-Scala Hill (1970) Algorithm 396, two-tailed — an independent
+  // transcription shared by the Grubbs and generalized-ESD replays
+  def invnorm(p: Double): Double = {
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val dd = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    if (p < 0.02425) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q +
+        c(5)) / ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
+    } else {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r +
+        a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    }
+  }
+  def hill396(p: Double, n: Long): Double = {
+    if (n == 1) { val p2 = p * math.Pi / 2; math.cos(p2) / math.sin(p2) }
+    else if (n == 2) math.sqrt(2.0 / (p * (2.0 - p)) - 2.0)
+    else {
+      val a = 1.0 / (n - 0.5); val b = 48.0 / (a * a)
+      var c = ((20700.0 * a / b - 98.0) * a - 16.0) * a + 96.36
+      val d = ((94.5 / (b + c) - 3.0) / b + 1.0) *
+        math.sqrt(a * math.Pi / 2.0) * n
+      var x = d * p
+      var y = math.pow(x, 2.0 / n)
+      if (y > 0.05 + a) {
+        x = invnorm(p * 0.5)
+        y = x * x
+        if (n < 5) c = c + 0.3 * (n - 4.5) * (x + 0.6)
+        c = (((0.05 * d * x - 5.0) * x - 7.0) * x - 2.0) * x + b + c
+        y = (((((0.4 * y + 6.3) * y + 36.0) * y + 94.5) / c - y - 3.0)
+          / b + 1.0) * x
+        y = a * y * y
+        y = if (y > 0.002) math.exp(y) - 1.0 else 0.5 * y * y + y
+      } else {
+        y = ((1.0 / (((n + 6.0) / (n * y) - 0.089 * d - 0.822) *
+          (n + 2.0) * 3.0) + 0.5 / (n + 4.0)) * y - 1.0) *
+          (n + 1.0) / (n + 2.0) + 1.0 / y
+      }
+      math.sqrt(n * y)
+    }
+  }
+
   test("x_shapley_attribution: efficiency identity holds (credits sum to " +
       "v(full) - v(empty)) and shares sum to 1") {
     import org.apache.spark.sql.functions._
@@ -303,57 +356,6 @@ class ExtOpsInvariantSpec extends SparkSpec {
   test("x_grubbs_outlier: the in-engine Hill-396 t-quantile matches a " +
       "plain-Scala replay pinned to incomplete-beta references, and G, " +
       "the extreme pick and the critical value match a brute-force walk") {
-    // plain-Scala Hill (1970) Algorithm 396, two-tailed
-    def invnorm(p: Double): Double = {
-      val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
-        -2.759285104469687e+02, 1.383577518672690e+02,
-        -3.066479806614716e+01, 2.506628277459239e+00)
-      val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
-        -1.556989798598866e+02, 6.680131188771972e+01,
-        -1.328068155288572e+01)
-      val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
-        -2.400758277161838e+00, -2.549732539343734e+00,
-        4.374664141464968e+00, 2.938163982698783e+00)
-      val dd = Array(7.784695709041462e-03, 3.224671290700398e-01,
-        2.445134137142996e+00, 3.754408661907416e+00)
-      if (p < 0.02425) {
-        val q = math.sqrt(-2 * math.log(p))
-        (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q +
-          c(5)) / ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
-      } else {
-        val q = p - 0.5; val r = q * q
-        (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r +
-          a(5)) * q /
-          (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
-      }
-    }
-    def hill396(p: Double, n: Long): Double = {
-      if (n == 1) { val p2 = p * math.Pi / 2; math.cos(p2) / math.sin(p2) }
-      else if (n == 2) math.sqrt(2.0 / (p * (2.0 - p)) - 2.0)
-      else {
-        val a = 1.0 / (n - 0.5); val b = 48.0 / (a * a)
-        var c = ((20700.0 * a / b - 98.0) * a - 16.0) * a + 96.36
-        val d = ((94.5 / (b + c) - 3.0) / b + 1.0) *
-          math.sqrt(a * math.Pi / 2.0) * n
-        var x = d * p
-        var y = math.pow(x, 2.0 / n)
-        if (y > 0.05 + a) {
-          x = invnorm(p * 0.5)
-          y = x * x
-          if (n < 5) c = c + 0.3 * (n - 4.5) * (x + 0.6)
-          c = (((0.05 * d * x - 5.0) * x - 7.0) * x - 2.0) * x + b + c
-          y = (((((0.4 * y + 6.3) * y + 36.0) * y + 94.5) / c - y - 3.0)
-            / b + 1.0) * x
-          y = a * y * y
-          y = if (y > 0.002) math.exp(y) - 1.0 else 0.5 * y * y + y
-        } else {
-          y = ((1.0 / (((n + 6.0) / (n * y) - 0.089 * d - 0.822) *
-            (n + 2.0) * 3.0) + 0.5 / (n + 4.0)) * y - 1.0) *
-            (n + 1.0) / (n + 2.0) + 1.0 / y
-        }
-        math.sqrt(n * y)
-      }
-    }
     // pins vs an offline incomplete-beta bisection reference (the
     // documented |rel err| <= 4e-6 bound)
     val refs = Seq((0.05, 1L, 12.706204736), (0.05, 2L, 4.302652730),
@@ -923,5 +925,263 @@ class ExtOpsInvariantSpec extends SparkSpec {
     assert(rows("ivfpq_res_np1_m8k64_rerank128") >=
       rows("ivfpq_res_np1_m8k64_rerank32"))
     rows.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+
+  // ---- r17 additions -------------------------------------------------
+
+  test("x_generalized_esd: a sequential plain-Scala Rosner replay " +
+      "matches every round's pick, statistic and critical value, the " +
+      "ESD largest-exceeding-i verdict holds, and round 1 equals the " +
+      "Grubbs entry bit-for-bit (the r = 1 regression pin)") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.util.Tables.t(spark, sf, "orders")
+      .groupBy(col("o_orderpriority").as("p"),
+        date_trunc("day", col("o_orderdate")).cast("string").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rows = run("x_generalized_esd").collect()
+    val grubbs = run("x_grubbs_outlier").collect()
+      .map(r => r.getAs[String]("priority") -> r).toMap
+    daily.map(_._1).distinct.foreach { p =>
+      var ys = daily.filter(_._1 == p).toSeq
+      val ers = rows.filter(_.getAs[String]("priority") == p)
+        .sortBy(_.getAs[Long]("round_i"))
+      assert(ers.length == 5)
+      var nOutExp = 0L
+      for (i <- 1 to 5) {
+        val n = ys.length.toLong
+        val mean = ys.map(_._3).sum.toDouble / n
+        val vr = ys.map(x => (x._3 - mean) * (x._3 - mean)).sum / (n - 1)
+        val sd = math.sqrt(vr)
+        val mx = ys.map(x => math.abs(x._3 - mean)).max
+        val pick = ys.filter(x =>
+            math.abs(math.abs(x._3 - mean) - mx) < 1e-9)
+          .minBy(_._2) // engine tiebreak: earliest day
+        val rStat = math.abs(pick._3 - mean) / sd
+        val tq = hill396(0.05 / n, n - 2)
+        val lam = (n - 1) / math.sqrt(n.toDouble) *
+          math.sqrt(tq * tq / (n - 2 + tq * tq))
+        val er = ers(i - 1)
+        assert(er.getAs[String]("extreme_day") == pick._2.substring(0, 10),
+          s"$p round $i pick")
+        assert(er.getAs[Long]("extreme_count") == pick._3)
+        assert(er.getAs[Long]("n_remaining") == n)
+        assert(math.abs(er.getAs[Double]("r_stat") - rStat) < 1e-4,
+          s"$p round $i R")
+        assert(math.abs(er.getAs[Double]("lambda_crit") - lam) < 1e-4,
+          s"$p round $i lambda")
+        if (rStat > lam) nOutExp = i.toLong
+        ys = ys.filterNot(_._2 == pick._2)
+        if (i == 1) {
+          // round 1 IS Grubbs: identical arithmetic, identical rounding
+          val g = grubbs(p)
+          assert(er.getAs[Double]("r_stat") ==
+            g.getAs[Double]("g_stat"), s"$p ESD r1 vs Grubbs G")
+          assert(er.getAs[Double]("lambda_crit") ==
+            g.getAs[Double]("g_crit"), s"$p ESD r1 vs Grubbs crit")
+        }
+      }
+      assert(ers.head.getAs[Long]("n_outliers") == nOutExp,
+        s"$p ESD verdict (largest exceeding i, not first failure)")
+      // masking premise: ESD must flag at least as much as Grubbs
+      assert(nOutExp >= (if (grubbs(p).getAs[Boolean]("is_outlier")) 1L
+        else 0L))
+    }
+  }
+
+  test("x_tukey_fences: quartile picks, fences and outlier counts " +
+      "match a sorted-vector recompute per priority") {
+    import org.apache.spark.sql.functions._
+    val cents = graft.util.Tables.t(spark, sf, "orders")
+      .select(col("o_orderpriority").as("p"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("yc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val rows = run("x_tukey_fences").collect()
+    assert(rows.length == cents.map(_._1).distinct.length)
+    rows.foreach { r =>
+      val p = r.getAs[String]("priority")
+      val ys = cents.filter(_._1 == p).map(_._2).sorted
+      val n = ys.length
+      // first value with 4·cum >= n is the element at rank ceil(n/4)
+      val q1c = ys(((n + 3) / 4) - 1)
+      val q3c = ys(((3 * n + 3) / 4) - 1)
+      val iqrc = q3c - q1c
+      val lo2 = 2 * q1c - 3 * iqrc
+      val hi2 = 2 * q3c + 3 * iqrc
+      assert(r.getAs[Long]("n") == n.toLong)
+      assert(math.abs(r.getAs[Double]("q1") - q1c / 100.0) < 1e-6)
+      assert(math.abs(r.getAs[Double]("q3") - q3c / 100.0) < 1e-6)
+      assert(math.abs(r.getAs[Double]("iqr") - iqrc / 100.0) < 1e-6)
+      assert(math.abs(r.getAs[Double]("fence_lo") - lo2 / 200.0) < 1e-4)
+      assert(math.abs(r.getAs[Double]("fence_hi") - hi2 / 200.0) < 1e-4)
+      assert(r.getAs[Long]("n_outliers_below") ==
+        ys.count(_ * 2 < lo2).toLong)
+      assert(r.getAs[Long]("n_outliers_above") ==
+        ys.count(_ * 2 > hi2).toLong)
+      assert(lo2 <= 2 * q1c && hi2 >= 2 * q3c,
+        "fences must sit outside the box")
+    }
+  }
+
+  test("x_theil_inequality: T, between and within match a plain-double " +
+      "recompute and the decomposition identity T = between + within " +
+      "holds in both the replay and the engine output") {
+    import org.apache.spark.sql.functions._
+    val pc = graft.util.Tables.t(spark, sf, "orders")
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+        .as("r"))
+      .join(graft.util.Tables.t(spark, sf, "customer")
+        .select(col("c_custkey").as("ck"),
+          col("c_nationkey").cast("long").as("nk")), "ck")
+      .collect().map(x => (x.getAs[Double]("r"), x.getAs[Long]("nk")))
+      .filter(_._1 > 0)
+    val n = pc.length
+    val tt = pc.map(_._1).sum
+    val tTot = pc.map { case (r, _) => r / tt * math.log(r / tt * n) }.sum
+    val byN = pc.groupBy(_._2)
+    val tBet = byN.values.map { xs =>
+      val rg = xs.map(_._1).sum
+      rg / tt * math.log(rg / tt * n / xs.length)
+    }.sum
+    val tWit = byN.values.map { xs =>
+      val rg = xs.map(_._1).sum
+      val tg = xs.map { case (r, _) =>
+        r / rg * math.log(r / rg * xs.length) }.sum
+      rg / tt * tg
+    }.sum
+    val got = run("x_theil_inequality").collect().head
+    assert(got.getAs[Long]("n_customers") == n.toLong)
+    assert(got.getAs[Long]("n_nations") == byN.size.toLong)
+    assert(math.abs(got.getAs[Double]("theil_total") - tTot) < 1e-6)
+    assert(math.abs(got.getAs[Double]("theil_between") - tBet) < 1e-6)
+    assert(math.abs(got.getAs[Double]("theil_within") - tWit) < 1e-6)
+    assert(math.abs(tTot - (tBet + tWit)) < 1e-9,
+      "plain-double decomposition identity")
+    assert(math.abs(got.getAs[Double]("theil_total") -
+      (got.getAs[Double]("theil_between") +
+        got.getAs[Double]("theil_within"))) < 1e-5,
+      "engine decomposition identity (to the quantizer)")
+  }
+
+  test("x_page_trend: L equals a plain-Scala average-rank recompute " +
+      "over complete month blocks and mu/sigma/z follow the exact " +
+      "moment formulas") {
+    import org.apache.spark.sql.functions._
+    val cells = graft.util.Tables.t(spark, sf, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("string")
+          .as("m"),
+        col("o_orderpriority").as("p"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getAs[java.math.BigDecimal]("rev")))
+    val k = cells.map(_._2).distinct.length
+    val full = cells.groupBy(_._1).filter(_._2.length == k)
+    var l = 0.0
+    full.values.foreach { blk =>
+      blk.foreach { c =>
+        val less = blk.count(_._3.compareTo(c._3) < 0)
+        val eq = blk.count(_._3.compareTo(c._3) == 0)
+        val avgRank = less + (eq + 1) / 2.0
+        l += c._2.substring(0, 1).toInt * avgRank
+      }
+    }
+    val b = full.size
+    val k3 = k.toDouble * k * k - k
+    val mu = b.toDouble * k * (k + 1) * (k + 1) / 4.0
+    val sg = math.sqrt(b.toDouble * k3 * k3 / (144.0 * (k - 1)))
+    val z = (l - mu) / sg
+    val got = run("x_page_trend").collect().head
+    assert(got.getAs[Long]("n_blocks") == b.toLong)
+    assert(got.getAs[Long]("k_treatments") == k.toLong)
+    assert(math.abs(got.getAs[Double]("l_stat") - l) < 1e-6)
+    assert(math.abs(got.getAs[Double]("mu_l") - mu) < 1e-6)
+    assert(math.abs(got.getAs[Double]("sigma_l") - sg) < 1e-3)
+    assert(math.abs(got.getAs[Double]("z") - z) < 1e-3)
+    assert(got.getAs[Boolean]("increasing_05") == (z > 1.645))
+    assert(got.getAs[Boolean]("decreasing_05") == (z < -1.645))
+  }
+
+  test("x_cochran_q: Q equals a brute-force integer recompute of the " +
+      "above-pooled binary table over complete blocks") {
+    import org.apache.spark.sql.functions._
+    val cells = graft.util.Tables.t(spark, sf, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("string")
+          .as("m"),
+        col("o_orderpriority").as("p"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+          .as("cf"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val k = cells.map(_._2).distinct.length
+    val full = cells.groupBy(_._1).filter(_._2.length == k)
+      .values.flatten.toSeq
+    val tn = full.map(_._3).sum
+    val tk = full.map(_._4).sum
+    val x = full.map(c => (c._1, c._2,
+      if (BigInt(c._4) * tn > BigInt(c._3) * tk) 1L else 0L))
+    val cj = x.groupBy(_._2).values.map(_.map(_._3).sum).toSeq
+    val ri = x.groupBy(_._1).values.map(_.map(_._3).sum).toSeq
+    val nTot = cj.sum
+    val num = (k - 1).toLong * (k * cj.map(c => c * c).sum - nTot * nTot)
+    val den = k * nTot - ri.map(r2 => r2 * r2).sum
+    val got = run("x_cochran_q").collect().head
+    assert(got.getAs[Long]("n_blocks") == ri.size.toLong)
+    assert(got.getAs[Long]("k_treatments") == k.toLong)
+    assert(got.getAs[Long]("n_success_total") == nTot)
+    if (den > 0) {
+      val q = num.toDouble / den
+      assert(math.abs(got.getAs[Double]("q_stat") - q) < 1e-3)
+      assert(q >= 0.0)
+    } else assert(got.isNullAt(got.fieldIndex("q_stat")))
+  }
+
+  test("x_eoq_policy: EOQ, buffer and cadence columns match a " +
+      "plain-double recompute from raw rows; orders_per_year × " +
+      "cycle_days = 365 (the EOQ identity)") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.util.Tables.t(spark, sf, "lineitem")
+      .join(graft.util.Tables.t(spark, sf, "part")
+        .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("b"),
+        date_trunc("day", col("l_shipdate")).cast("string").as("day"),
+        col("l_quantity").cast("double").as("q"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1).substring(0, 10),
+        r.getDouble(2)))
+    val allDays = daily.map(_._2).distinct.sorted
+    val span = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(allDays.head),
+      java.time.LocalDate.parse(allDays.last)) + 1
+    val rows = run("x_eoq_policy").collect()
+    assert(rows.length == daily.map(_._1).distinct.length)
+    rows.foreach { r =>
+      val b = r.getAs[String]("brand")
+      assert(r.getAs[Long]("n_span_days") == span)
+      val byDay = daily.filter(_._1 == b).groupBy(_._2).values
+        .map(xs => xs.map(x => math.floor(x._3 * 1e4 + 0.5)).sum / 1e4)
+        .toSeq
+      val sy = byDay.sum
+      val dann = sy * 365.0 / span
+      val eoq = math.sqrt(2.0 * dann * 50.0 / 2.0)
+      assert(math.abs(r.getAs[Double]("annual_demand") - dann) < 0.02)
+      assert(math.abs(r.getAs[Double]("eoq_units") - eoq) < 0.02)
+      // zero-inclusive buffer moments (n = span; zero days add nothing)
+      val mu = sy / span
+      val vr = (byDay.map(q => q * q).sum - sy * sy / span) / (span - 1)
+      val ss = 1.6448536269514722 * math.sqrt(vr) * math.sqrt(7.0)
+      assert(math.abs(r.getAs[Double]("safety_stock") - ss) < 0.01)
+      assert(math.abs(r.getAs[Double]("reorder_point") - (mu * 7 + ss))
+        < 0.01)
+      val opy = r.getAs[Double]("orders_per_year")
+      val cyc = r.getAs[Double]("cycle_days")
+      assert(math.abs(opy * cyc - 365.0) < 0.01,
+        s"$b cadence identity: $opy x $cyc")
+    }
   }
 }

@@ -173,6 +173,18 @@ class PlanAuditSpec extends SparkSpec {
     // table — bounded by the calendar, read by the moment pass and the
     // extreme-row pick
     "x_grubbs_outlier",
+    // r17 additions, reviewed: x_generalized_esd checkpoints the same
+    // calendar-bounded daily table plus the per-round 5-row winner
+    // picks and the shrinking remainder (5 anti-join rounds of
+    // O(calendar) rows); x_tukey_fences the value-domain-bounded
+    // (priority, cents) histogram; x_theil_inequality the O(customers)
+    // skinny (ck, nk, rev) grouped projection (the x_capture_recapture
+    // posture) and the O(nations) grouped table; x_page_trend and
+    // x_cochran_q the O(months×k) complete-block cell tables (the
+    // x_friedman_test site), x_cochran_q additionally the O(months×k)
+    // binary-flag table
+    "x_generalized_esd", "x_tukey_fences", "x_theil_inequality",
+    "x_page_trend", "x_cochran_q",
     // x_betweenness_sample checkpoints the per-round frontier/settled/
     // dependency tables — skinny (sid, node, long) rows, ≤ k·|V| with
     // k = 3 seeds (the x_bfs_distances BFS-ladder posture) — plus, r17,
