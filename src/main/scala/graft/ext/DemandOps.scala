@@ -415,14 +415,26 @@ object DemandOps {
       // (window cum over the 25-row brand table) cast to double once;
       // the CV guards follow the family discipline (nw > 1, vr > 0,
       // mu > 0 — NULL class on a degenerate series, both engines).
-      // Scale: two fact passes (revenue groupBy, day-grain groupBy),
-      // both map-side partial; everything downstream O(brands).
-      val rev = t(s, d, "lineitem")
+      // Scale: ONE fact pass (r16 verdict #4 — the first cut scanned
+      // lineitem 4×): a checkpointed (brand, day) grain carries BOTH
+      // the exact DECIMAL day revenue and the quantized day quantity,
+      // so brand revenue (DECIMAL sums are associative — day partials
+      // re-sum to the identical exact total), the weekly quantities,
+      // the global first ship day AND the calendar span all derive
+      // from the same O(brands × days) intermediate; everything
+      // downstream O(brands).
+      val dayGrain = t(s, d, "lineitem")
         .join(t(s, d, "part").select("p_partkey", "p_brand"),
           col("l_partkey") === col("p_partkey"))
-        .groupBy(col("p_brand").as("brand"))
+        .groupBy(col("p_brand").as("brand"),
+          date_trunc("day", col("l_shipdate")).as("day"))
         .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
-          .as("revd"))
+            .as("drev"),
+          sum(floor(col("l_quantity") * 1e4 + 0.5).cast("decimal(38,0)"))
+            .as("qq"))
+        .localCheckpoint()
+      val rev = dayGrain.groupBy(col("brand"))
+        .agg(sum(col("drev")).as("revd"))
       val tot = rev.agg(sum(col("revd")).as("totd"))
       val wcum = Window.orderBy(desc("revd"), asc("brand"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -435,21 +447,24 @@ object DemandOps {
         .withColumn("abc_class",
           when(col("cum_share") <= 0.80, "A")
             .when(col("cum_share") <= 0.95, "B").otherwise("C"))
-      val d0 = t(s, d, "lineitem")
-        .agg(min(date_trunc("day", col("l_shipdate"))).as("d0"))
-      val weekly = demandDaily(s, d)
-        .crossJoin(broadcast(d0))
+      // every lineitem ships a part, so min/max over the grain's day
+      // column equal the raw-scan d0/span exactly
+      val cal = dayGrain
+        .agg(min(col("day")).as("d0"), max(col("day")).as("mx"))
+        .select(col("d0"),
+          (datediff(col("mx"), col("d0")) + 1).cast("long").as("span"))
+      val weekly = dayGrain
+        .crossJoin(broadcast(cal))
         .withColumn("wk",
           floor(datediff(col("day"), col("d0")) / lit(7.0)).cast("long"))
         .groupBy(col("brand"), col("wk"))
-        .agg(sum(col("qq")).as("wq"))
+        .agg(sum(col("qq")).as("wq"), first(col("span")).as("span"))
       val xyz = weekly
         .withColumn("w", col("wq").cast("double") / 1e4)
-        .groupBy(col("brand"))
+        .groupBy(col("brand"), col("span"))
         .agg(sum(col("wq")).as("s1"),
           sum(floor(col("w") * col("w") * 1e4 + 0.5).cast("decimal(38,0)"))
             .as("s2"))
-        .crossJoin(broadcast(spanFrame(s, d)))
         .withColumn("nw",
           (floor((col("span") - 1) / lit(7.0)) + 1).cast("long"))
         .withColumn("sy", col("s1").cast("double") / 1e4)

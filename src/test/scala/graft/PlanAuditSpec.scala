@@ -185,6 +185,11 @@ class PlanAuditSpec extends SparkSpec {
     // binary-flag table
     "x_generalized_esd", "x_tukey_fences", "x_theil_inequality",
     "x_page_trend", "x_cochran_q",
+    // x_abc_xyz (r17 scan fold): checkpoints the (brand, day) grain
+    // carrying exact DECIMAL day revenue + quantized day quantity —
+    // O(brands × calendar days), read by the revenue, calendar and
+    // weekly passes (was 4 lineitem scans, now 1)
+    "x_abc_xyz",
     // x_betweenness_sample checkpoints the per-round frontier/settled/
     // dependency tables — skinny (sid, node, long) rows, ≤ k·|V| with
     // k = 3 seeds (the x_bfs_distances BFS-ladder posture) — plus, r17,
