@@ -73,19 +73,21 @@ object SparkEntry {
     * operator families, ROTATED each round (r13 verdict #5) so every
     * round's additions get one round of min-of-N wall-clock tracking
     * before settling into ShuffleCountSpec-only structural coverage.
-    * r16 rotation: the r15 demand/stats/graph battery —
-    * x_croston_demand (7.7 s at sf0.1, the most expensive r15
-    * addition) and x_textrank_keywords per the r15 verdict, plus the
-    * three r15 ops the ScaleProbe table left unmeasured
-    * (x_clustering_coeff's wedge join is the one potentially
-    * super-linear stage, x_holt_winters and x_welch_anova ride along)
-    * and x_jonckheere_terpstra. The r15 members (x_kaplan_meier,
-    * x_logrank_test, x_frequent_itemsets, x_shapley_attribution,
-    * x_tukey_hsd, x_isotonic_calibration) graduated to
-    * ShuffleCountSpec's alumni pins — plans still structurally pinned,
-    * no longer benched per round. */
+    * r17 rotation (r16 verdict #3): the expensive r16 additions —
+    * x_betweenness_sample (now on the top-64 strongest-relation
+    * backbone; its first tier round doubles as the post-cap wall-clock
+    * pin) and x_croston_backtest (5.2 s at sf0.1), plus x_abc_xyz
+    * (after the r17 one-scan fold) and x_grubbs_outlier (13.8 s
+    * standalone at sf0.1 — the Hill-396 codegen constant the r16
+    * verdict asked to adjudicate in-tier: corpus-independent per the
+    * 1×/10× job-count probe, so in-budget here means no staged split
+    * needed). The r16 members (x_croston_demand, x_textrank_keywords,
+    * x_clustering_coeff, x_holt_winters, x_welch_anova,
+    * x_jonckheere_terpstra) graduated to ShuffleCountSpec's alumni
+    * pins — plans still structurally pinned, no longer benched per
+    * round. */
   def freshQueries: Seq[String] = Seq(
-    "x_croston_demand", "x_textrank_keywords", "x_clustering_coeff",
-    "x_holt_winters", "x_welch_anova", "x_jonckheere_terpstra"
+    "x_betweenness_sample", "x_croston_backtest", "x_abc_xyz",
+    "x_grubbs_outlier"
   ).filter(queries.contains)
 }

@@ -45,7 +45,10 @@ class ShuffleCountSpec extends SparkSpec {
     "x_ipw_ate", "x_hurst_exponent", "x_capture_recapture",
     // r16 graduation (the r15 fresh tier)
     "x_kaplan_meier", "x_logrank_test", "x_frequent_itemsets",
-    "x_shapley_attribution", "x_tukey_hsd", "x_isotonic_calibration")
+    "x_shapley_attribution", "x_tukey_hsd", "x_isotonic_calibration",
+    // r17 graduation (the r16 fresh tier)
+    "x_croston_demand", "x_textrank_keywords", "x_clustering_coeff",
+    "x_holt_winters", "x_welch_anova", "x_jonckheere_terpstra")
 
   private lazy val counts: Map[String, Int] =
     (SparkEntry.benchQueries ++ SparkEntry.heavyQueries ++
@@ -92,6 +95,19 @@ class ShuffleCountSpec extends SparkSpec {
     // 11 -> 7 in the r16 rework (the oid counting self-joins replaced
     // by per-basket array combinatorics: what remains is the level
     // count shuffles + candidate join + final sort, all O(candidates))
+    // r17 fresh-tier rotation members: x_abc_xyz's 10 is the residual
+    // plan off the checkpointed day grain (brand revenue agg + the
+    // 25-row cum window + weekly/xyz aggs + the final brand join/sort
+    // — all O(brands×weeks) inputs; the ONE fact scan runs at
+    // checkpoint build); x_betweenness_sample's 2 and
+    // x_croston_backtest's 2 are the checkpoint caveat above (the
+    // BFS/backward ladder and the train/holdout scoring run during
+    // construction); x_grubbs_outlier's 3 is the daily-grain moment
+    // agg + extreme-pick window + final sort
+    "x_abc_xyz" -> 10,
+    "x_betweenness_sample" -> 2,
+    "x_croston_backtest" -> 2,
+    "x_grubbs_outlier" -> 3,
     "x_frequent_itemsets" -> 7,
     "x_isotonic_calibration" -> 0,
     "x_kaplan_meier" -> 3,

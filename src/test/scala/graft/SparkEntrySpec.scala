@@ -27,6 +27,27 @@ class SparkEntrySpec extends SparkSpec {
       s"queries with only rows-only checks: $unoracled")
   }
 
+  // r16 close post-mortem: a GENERATED oracle twin that inlines its
+  // intermediates explodes combinatorially — the flat t-quantile SQL hit
+  // ~474 KB, DuckDB planned it, but the planning blew the SHARED oracle
+  // connection's allocator and every LATER query in the run failed with
+  // bad_alloc (invisible to subset verify; only the full gate caught
+  // it). This pin makes the failure mode a named red test at build
+  // time: every twin must stay text-linear (one CTE per intermediate —
+  // the tQuantileSqlCtes pattern). Current maximum is ~32 KB
+  // (x_generalized_esd's five staged chains); the bound allows 2×
+  // headroom while sitting 7× below the known-bad size.
+  test("every oracle SQL text stays under the 64 KB linearity bound") {
+    val over = SparkEntry.oracleSql.toSeq
+      .map { case (k, v) => (k, v.getBytes("UTF-8").length) }
+      .filter(_._2 > 65536)
+      .sortBy(-_._2)
+    assert(over.isEmpty,
+      s"generated oracle SQL blew the text-linearity bound (inline a " +
+        s"staged-CTE builder instead): ${over.map { case (k, n) =>
+          s"$k=${n}B" }.mkString(", ")}")
+  }
+
   test("benchQueries are all registered") {
     assert(SparkEntry.benchQueries.forall(SparkEntry.queries.contains))
     assert(SparkEntry.benchQueries.nonEmpty)
