@@ -3366,6 +3366,69 @@ object StatsOps {
             .as("reject_05"))
     }),
 
+    "x_kendalls_w" -> ((s, d) => {
+      // Kendall's coefficient of concordance W (Kendall & Babington
+      // Smith 1939) — the EFFECT SIZE x_friedman_test's verdict lacks:
+      // Friedman's χ² says whether the months agree on a priority
+      // revenue ordering AT ALL (and grows with b, so it compares
+      // poorly across spans); W ∈ [0, 1] says HOW STRONGLY they agree
+      // (1 = every month ranks the k priorities identically). Same
+      // complete-block month×priority cells, same doubled-average-rank
+      // integers; 12·S = 3·Σ(2R_j − b(k+1))² keeps every term exact
+      // (2R_j is the r2j integer), and the denominator is Legendre's
+      // tie-corrected b²k(k²−1) − b·Σ(t³−t), DECIMAL-promoted since
+      // b³-scale products outgrow LONG on long calendars. The spec
+      // pins the identity χ²_F(tie-corrected) = b(k−1)·W against
+      // x_friedman_test's own output. Windows over the O(months×k)
+      // cell table only.
+      val cells = t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("blk"),
+          col("o_orderpriority").as("trt"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+      val k = cells.agg(countDistinct(col("trt")).as("k"))
+      val full = cells
+        .withColumn("kb", count(lit(1)).over(Window.partitionBy("blk")))
+        .crossJoin(broadcast(k))
+        .filter(col("kb") === col("k"))
+        .localCheckpoint()
+      val ranked = full
+        .withColumn("rnk",
+          rank().over(Window.partitionBy("blk").orderBy("rev")))
+        .withColumn("tcnt",
+          count(lit(1)).over(Window.partitionBy("blk", "rev")))
+        .withColumn("r2", lit(2L) * col("rnk") + col("tcnt") - 1L)
+      val rsums = ranked.groupBy(col("trt"), col("k"))
+        .agg(sum(col("r2")).cast("long").as("r2j"),
+          count(lit(1)).cast("long").as("nb"))
+      val ties = full.groupBy(col("blk"), col("rev"))
+        .agg(count(lit(1)).cast("long").as("tt"))
+        .agg(sum(col("tt") * col("tt") * col("tt") - col("tt"))
+          .cast("long").as("st3"))
+      rsums.groupBy(col("k"), col("nb"))
+        .agg(sum(((col("r2j") - col("nb") * (col("k") + 1))
+          * (col("r2j") - col("nb") * (col("k") + 1)))
+          .cast("decimal(38,0)")).as("s4"))
+        .crossJoin(broadcast(ties))
+        .withColumn("den",
+          col("nb").cast("decimal(38,0)") * col("nb") * col("k")
+            * (col("k") * col("k") - 1)
+            - col("nb").cast("decimal(38,0)") * col("st3"))
+        .withColumn("w", when(col("den") > 0,
+          lit(3.0) * col("s4").cast("double")
+            / col("den").cast("double")))
+        .withColumn("chi2w", col("nb") * (col("k") - 1) * col("w"))
+        .select(col("nb").as("n_blocks"), col("k").as("k_treatments"),
+          detRound(col("w"), 6).as("kendalls_w"),
+          detRound(col("chi2w"), 4).as("chi2_from_w"),
+          (col("chi2w") >
+            when(col("k") === 2, lit(3.841459))
+              .when(col("k") === 3, lit(5.991465))
+              .when(col("k") === 4, lit(7.814728))
+              .when(col("k") === 5, lit(9.487729))
+              .when(col("k") === 6, lit(11.070498)))
+            .as("reject_05"))
+    }),
+
     "x_jonckheere_terpstra" -> ((s, d) => {
       // Jonckheere–Terpstra ordered-alternative test (1954): is shipped
       // quantity stochastically INCREASING across ordered discount
@@ -5952,6 +6015,58 @@ object StatsOps {
                              WHEN 5 THEN 9.487729
                              WHEN 6 THEN 11.070498 END AS reject_05
          FROM qc""",
+
+    "x_kendalls_w" ->
+      """WITH cells AS (
+           SELECT date_trunc('month', o_orderdate) AS blk,
+                  o_orderpriority AS trt,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+           FROM orders GROUP BY 1, 2),
+         kk AS (SELECT COUNT(DISTINCT trt) AS k FROM cells),
+         full_b AS (
+           SELECT c.blk, c.trt, c.rev, x.k
+           FROM (SELECT blk, trt, rev,
+                        COUNT(*) OVER (PARTITION BY blk) AS kb
+                 FROM cells) c
+           CROSS JOIN kk x WHERE c.kb = x.k),
+         ranked AS (
+           SELECT trt, k,
+                  2 * rank() OVER (PARTITION BY blk ORDER BY rev)
+                    + COUNT(*) OVER (PARTITION BY blk, rev) - 1 AS r2
+           FROM full_b),
+         rsums AS (
+           SELECT trt, k, CAST(SUM(r2) AS BIGINT) AS r2j,
+                  CAST(COUNT(*) AS BIGINT) AS nb
+           FROM ranked GROUP BY 1, 2),
+         ties AS (
+           SELECT CAST(SUM(tt * tt * tt - tt) AS BIGINT) AS st3
+           FROM (SELECT blk, rev, CAST(COUNT(*) AS BIGINT) AS tt
+                 FROM full_b GROUP BY 1, 2)),
+         agg AS (
+           SELECT k, nb,
+                  SUM(CAST((r2j - nb * (k + 1)) AS HUGEINT)
+                      * (r2j - nb * (k + 1))) AS s4
+           FROM rsums GROUP BY 1, 2),
+         fin AS (
+           SELECT a.nb, a.k, a.s4, t.st3,
+                  CAST(a.nb AS HUGEINT) * a.nb * a.k * (a.k * a.k - 1)
+                    - CAST(a.nb AS HUGEINT) * t.st3 AS den
+           FROM agg a CROSS JOIN ties t),
+         fin2 AS (
+           SELECT nb, k,
+                  CASE WHEN den > 0 THEN 3.0 * CAST(s4 AS DOUBLE)
+                    / CAST(den AS DOUBLE) END AS w
+           FROM fin),
+         fin3 AS (SELECT nb, k, w, nb * (k - 1) * w AS chi2w FROM fin2)
+         SELECT nb AS n_blocks, k AS k_treatments,
+                floor(w * 1e6 + 0.5) / 1e6 AS kendalls_w,
+                floor(chi2w * 1e4 + 0.5) / 1e4 AS chi2_from_w,
+                chi2w > CASE k WHEN 2 THEN 3.841459
+                               WHEN 3 THEN 5.991465
+                               WHEN 4 THEN 7.814728
+                               WHEN 5 THEN 9.487729
+                               WHEN 6 THEN 11.070498 END AS reject_05
+         FROM fin3""",
 
     "x_jonckheere_terpstra" ->
       """WITH hist AS MATERIALIZED (

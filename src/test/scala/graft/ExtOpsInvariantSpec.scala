@@ -1140,6 +1140,57 @@ class ExtOpsInvariantSpec extends SparkSpec {
     } else assert(got.isNullAt(got.fieldIndex("q_stat")))
   }
 
+  test("x_kendalls_w: W equals a plain-Scala average-rank recompute, " +
+      "sits in [0, 1], and the identity chi2_F(tie-corrected) = " +
+      "b(k-1)W holds against x_friedman_test's own output") {
+    import org.apache.spark.sql.functions._
+    val cells = graft.util.Tables.t(spark, sf, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("string")
+          .as("m"),
+        col("o_orderpriority").as("p"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getAs[java.math.BigDecimal]("rev")))
+    val k = cells.map(_._2).distinct.length
+    val full = cells.groupBy(_._1).filter(_._2.length == k)
+    val b = full.size
+    // average-rank sums per treatment + per-block tie cubes
+    val rj = scala.collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(0.0)
+    var st3 = 0L
+    full.values.foreach { blk =>
+      blk.foreach { c =>
+        val less = blk.count(_._3.compareTo(c._3) < 0)
+        val eq = blk.count(_._3.compareTo(c._3) == 0)
+        rj(c._2) += less + (eq + 1) / 2.0
+      }
+      blk.groupBy(_._3).values.foreach { g =>
+        val t = g.length.toLong; st3 += t * t * t - t
+      }
+    }
+    val s = rj.values.map(r2 => {
+      val d = r2 - b * (k + 1) / 2.0; d * d
+    }).sum
+    val den = b.toDouble * b * k * (k * k - 1) - b.toDouble * st3
+    val w = 12.0 * s / den
+    val got = run("x_kendalls_w").collect().head
+    assert(got.getAs[Long]("n_blocks") == b.toLong)
+    assert(got.getAs[Long]("k_treatments") == k.toLong)
+    val gw = got.getAs[Double]("kendalls_w")
+    assert(gw >= 0.0 && gw <= 1.0)
+    assert(math.abs(gw - w) < 1e-6, s"W $gw vs brute $w")
+    assert(math.abs(got.getAs[Double]("chi2_from_w") - b * (k - 1) * w)
+      < 1e-3)
+    // the Friedman link: chi2_F(tie-corrected) = b(k-1)·W
+    val fr = run("x_friedman_test").collect().head
+    assert(math.abs(fr.getAs[Double]("q_tie_corrected") -
+      got.getAs[Double]("chi2_from_w")) < 2e-3,
+      "Kendall-Friedman identity")
+    assert(fr.getAs[Boolean]("reject_05") ==
+      got.getAs[Boolean]("reject_05"))
+  }
+
   test("x_eoq_policy: EOQ, buffer and cadence columns match a " +
       "plain-double recompute from raw rows; orders_per_year × " +
       "cycle_days = 365 (the EOQ identity)") {

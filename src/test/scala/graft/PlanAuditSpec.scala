@@ -185,6 +185,9 @@ class PlanAuditSpec extends SparkSpec {
     // binary-flag table
     "x_generalized_esd", "x_tukey_fences", "x_theil_inequality",
     "x_page_trend", "x_cochran_q",
+    // x_kendalls_w checkpoints the O(months×k) complete-block cell
+    // table (the x_friedman_test site, shared rationale)
+    "x_kendalls_w",
     // x_abc_xyz (r17 scan fold): checkpoints the (brand, day) grain
     // carrying exact DECIMAL day revenue + quantized day quantity —
     // O(brands × calendar days), read by the revenue, calendar and
