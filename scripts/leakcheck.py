@@ -110,12 +110,14 @@ CREDENTIAL_CATS = {"api-key"}
 # a known report/verdict artifact (r16 advice: shape alone would let a
 # non-credential hit — an internal hostname, say — be laundered through
 # history by committing it in ANY file on a line prefixed "GITLOG:x:").
-# Only the files that legitimately quote scanner output qualify; a
-# GITLOG-shaped line in engine source, build files or scripts stays a
-# real hit.
+# Only the files history shows actually quoting scanner output qualify
+# (pre-seal review r17 narrowed a first draft that also allowlisted
+# README/PERFORMANCE/COVERAGE/reports — routinely-edited docs that have
+# never carried a hit line and should never start); a GITLOG-shaped
+# line anywhere else stays a real hit.
 QUOTE_ARTIFACT_PATHS = re.compile(
-    r"^(VERDICT\.md|ADVICE\.md|PERFORMANCE\.md|COVERAGE\.md|README\.md|"
-    r"PROGRESS\.jsonl|scripts/LEAKCHECK_NOTES\.md|reports/.*)$")
+    r"^(VERDICT\.md|ADVICE\.md|PROGRESS\.jsonl|"
+    r"scripts/LEAKCHECK_NOTES\.md)$")
 
 
 def scan_gitlog() -> dict:

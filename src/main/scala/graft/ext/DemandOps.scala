@@ -369,7 +369,7 @@ object DemandOps {
       // identical doubles, divisions guarded per the family discipline.
       demandDaily(s, d)
         .groupBy(col("brand"))
-        .agg(count(lit(1)).as("nd"), sum(col("qq")).as("s1"),
+        .agg(sum(col("qq")).as("s1"),
           sum(floor(col("q") * col("q") * 1e4 + 0.5).cast("decimal(38,0)"))
             .as("s2"))
         .crossJoin(broadcast(spanFrame(s, d)))
@@ -729,14 +729,14 @@ object DemandOps {
       s"""WITH daily AS ($demandDailySql),
           sp AS ($spanSql),
           g AS (
-            SELECT brand, COUNT(*) AS nd,
+            SELECT brand,
                    CAST(SUM(CAST(floor(q * 1e4 + 0.5) AS HUGEINT))
                      AS DOUBLE) / 1e4 AS sy,
                    CAST(SUM(CAST(floor(q * q * 1e4 + 0.5) AS HUGEINT))
                      AS DOUBLE) / 1e4 AS syy
             FROM daily GROUP BY 1),
           st0 AS (
-            SELECT g.brand, g.nd, s.span,
+            SELECT g.brand, s.span,
                    g.sy / s.span AS mu,
                    g.sy * 365.0 / s.span AS dann,
                    CASE WHEN s.span > 1 THEN
@@ -745,7 +745,7 @@ object DemandOps {
             FROM g CROSS JOIN sp s),
           st AS (
             -- guard BEFORE sqrt: DuckDB sqrt(<0) throws (r15 advice)
-            SELECT brand, nd, span, mu, dann,
+            SELECT brand, span, mu, dann,
                    CASE WHEN vr > 0 THEN sqrt(vr) END AS sd
             FROM st0),
           fin AS (

@@ -291,6 +291,64 @@ object StatsOps {
   // priority series (x_generalized_esd).
   private val EsdR = 5
 
+  // ---- complete-block machinery (pre-seal review r17: friedman /
+  // page / cochran_q / kendalls_w briefly carried four copies of the
+  // same block spine in BOTH engines; one builder + one CTE prefix
+  // now serve the family, the coPurchaseEdges/demandDaily precedent) --------
+
+  /** Month×priority revenue cells — the continuous-response cells the
+    * rank-based members (friedman, page, kendalls_w) rank. */
+  private def revBlockCells(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("blk"),
+        col("o_orderpriority").as("trt"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+
+  /** COMPLETE blocks only (every treatment present — the family's own
+    * requirement), the data-decided k riding as a column; checkpointed
+    * O(months×k) rows. Works for any (blk, trt, ...) cell frame. */
+  private def completeBlocks(cells: DataFrame): DataFrame = {
+    val k = cells.agg(countDistinct(col("trt")).as("k"))
+    cells
+      .withColumn("kb", count(lit(1)).over(Window.partitionBy("blk")))
+      .crossJoin(broadcast(k))
+      .filter(col("kb") === col("k"))
+      .drop("kb")
+      .localCheckpoint()
+  }
+
+  /** Doubled average ranks within block: r2 = 2·rank + ties − 1 —
+    * exact integers equal to 2·r̄ under any tie pattern. */
+  private def rankedR2(full: DataFrame): DataFrame =
+    full
+      .withColumn("rnk",
+        rank().over(Window.partitionBy("blk").orderBy("rev")))
+      .withColumn("tcnt",
+        count(lit(1)).over(Window.partitionBy("blk", "rev")))
+      .withColumn("r2", lit(2L) * col("rnk") + col("tcnt") - 1L)
+
+  /** DuckDB twins of the three builders: expects a CTE named `cells`
+    * (any extra columns ride along); EXCLUDE drops the helper kb so
+    * full_b's shape matches the engine's frame exactly. */
+  private val revCellsSql: String =
+    """cells AS (
+         SELECT date_trunc('month', o_orderdate) AS blk,
+                o_orderpriority AS trt,
+                SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+         FROM orders GROUP BY 1, 2)"""
+  private val completeBlockSql: String =
+    """kk AS (SELECT COUNT(DISTINCT trt) AS k FROM cells),
+       full_b AS (
+         SELECT c.* EXCLUDE (kb), x.k
+         FROM (SELECT *, COUNT(*) OVER (PARTITION BY blk) AS kb
+               FROM cells) c
+         CROSS JOIN kk x WHERE c.kb = x.k)"""
+  private val rankedR2Sql: String =
+    """ranked AS (
+         SELECT *, 2 * rank() OVER (PARTITION BY blk ORDER BY rev)
+           + COUNT(*) OVER (PARTITION BY blk, rev) - 1 AS r2
+         FROM full_b)"""
+
   // Benjamini–Yekutieli dependence-robust factor c(m) = Σ_{i=1..m} 1/i:
   // each 1/i term is 1e12-quantized BEFORE the sum, so the Scala
   // constant here and the in-engine harmonic ladder (computed from the
@@ -2959,7 +3017,9 @@ object StatsOps {
           .cast("long").as("qwg"))
         .agg(sum(col("qwg").cast("decimal(38,0)")).as("qq"))
         .select((col("qq").cast("double") / 1e12).as("theil_within"))
-      val nn = pc.agg(count(lit(1)).as("n_customers"))
+      // n_customers rides off the tot aggregate already in the plan
+      // (review r17: a separate count re-aggregated the checkpoint)
+      val nn = tot.select(col("n").as("n_customers"))
       val nnat = ng.agg(count(lit(1)).as("n_nations"))
       nn.crossJoin(broadcast(nnat)).crossJoin(broadcast(totalT))
         .crossJoin(broadcast(between)).crossJoin(broadcast(within))
@@ -2986,22 +3046,7 @@ object StatsOps {
       // data-decided b and k (never embedded fixture constants) with
       // the sqrt sign-guarded. Windows run over the O(months×k) cell
       // table only.
-      val cells = t(s, d, "orders")
-        .groupBy(date_trunc("month", col("o_orderdate")).as("blk"),
-          col("o_orderpriority").as("trt"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
-      val k = cells.agg(countDistinct(col("trt")).as("k"))
-      val full = cells
-        .withColumn("kb", count(lit(1)).over(Window.partitionBy("blk")))
-        .crossJoin(broadcast(k))
-        .filter(col("kb") === col("k"))
-        .localCheckpoint()
-      val ranked = full
-        .withColumn("rnk",
-          rank().over(Window.partitionBy("blk").orderBy("rev")))
-        .withColumn("tcnt",
-          count(lit(1)).over(Window.partitionBy("blk", "rev")))
-        .withColumn("r2", lit(2L) * col("rnk") + col("tcnt") - 1L)
+      val ranked = rankedR2(completeBlocks(revBlockCells(s, d)))
         .withColumn("j", substring(col("trt"), 1, 1).cast("long"))
       ranked.groupBy(col("k"))
         .agg(sum(col("j") * col("r2")).cast("long").as("l2"),
@@ -3042,18 +3087,12 @@ object StatsOps {
       // all-equal table makes the denominator 0), χ²(k−1) 5%
       // critical by the friedman lookup convention (data-decided k,
       // NULL outside the table rather than a wrong verdict).
-      val cells = t(s, d, "orders")
+      val full = completeBlocks(t(s, d, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).as("blk"),
           col("o_orderpriority").as("trt"))
         .agg(count(lit(1)).cast("long").as("n"),
           sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
-            .cast("long").as("cf"))
-      val k = cells.agg(countDistinct(col("trt")).as("k"))
-      val full = cells
-        .withColumn("kb", count(lit(1)).over(Window.partitionBy("blk")))
-        .crossJoin(broadcast(k))
-        .filter(col("kb") === col("k"))
-        .localCheckpoint()
+            .cast("long").as("cf")))
       val pooled = full.agg(sum(col("n")).cast("long").as("tn"),
         sum(col("cf")).cast("long").as("tk"))
       val flags = full.crossJoin(broadcast(pooled))
@@ -3311,22 +3350,8 @@ object StatsOps {
       // is integer arithmetic until two final divisions, and the tie
       // correction is Conover's C = 1 − Σ(t³−t)/(n·k·(k²−1)). Windows
       // run over the O(months×k) cell table only.
-      val cells = t(s, d, "orders")
-        .groupBy(date_trunc("month", col("o_orderdate")).as("blk"),
-          col("o_orderpriority").as("trt"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
-      val k = cells.agg(countDistinct(col("trt")).as("k"))
-      val full = cells
-        .withColumn("kb", count(lit(1)).over(Window.partitionBy("blk")))
-        .crossJoin(broadcast(k))
-        .filter(col("kb") === col("k"))
-        .localCheckpoint()
-      val ranked = full
-        .withColumn("rnk",
-          rank().over(Window.partitionBy("blk").orderBy("rev")))
-        .withColumn("tcnt",
-          count(lit(1)).over(Window.partitionBy("blk", "rev")))
-        .withColumn("r2", lit(2L) * col("rnk") + col("tcnt") - 1L)
+      val full = completeBlocks(revBlockCells(s, d))
+      val ranked = rankedR2(full)
       val rsums = ranked.groupBy(col("trt"), col("k"))
         .agg(sum(col("r2")).cast("long").as("r2j"),
           count(lit(1)).cast("long").as("nb"))
@@ -3381,22 +3406,8 @@ object StatsOps {
       // pins the identity χ²_F(tie-corrected) = b(k−1)·W against
       // x_friedman_test's own output. Windows over the O(months×k)
       // cell table only.
-      val cells = t(s, d, "orders")
-        .groupBy(date_trunc("month", col("o_orderdate")).as("blk"),
-          col("o_orderpriority").as("trt"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
-      val k = cells.agg(countDistinct(col("trt")).as("k"))
-      val full = cells
-        .withColumn("kb", count(lit(1)).over(Window.partitionBy("blk")))
-        .crossJoin(broadcast(k))
-        .filter(col("kb") === col("k"))
-        .localCheckpoint()
-      val ranked = full
-        .withColumn("rnk",
-          rank().over(Window.partitionBy("blk").orderBy("rev")))
-        .withColumn("tcnt",
-          count(lit(1)).over(Window.partitionBy("blk", "rev")))
-        .withColumn("r2", lit(2L) * col("rnk") + col("tcnt") - 1L)
+      val full = completeBlocks(revBlockCells(s, d))
+      val ranked = rankedR2(full)
       val rsums = ranked.groupBy(col("trt"), col("k"))
         .agg(sum(col("r2")).cast("long").as("r2j"),
           count(lit(1)).cast("long").as("nb"))
@@ -3405,9 +3416,13 @@ object StatsOps {
         .agg(sum(col("tt") * col("tt") * col("tt") - col("tt"))
           .cast("long").as("st3"))
       rsums.groupBy(col("k"), col("nb"))
-        .agg(sum(((col("r2j") - col("nb") * (col("k") + 1))
-          * (col("r2j") - col("nb") * (col("k") + 1)))
-          .cast("decimal(38,0)")).as("s4"))
+        // promote the deviation BEFORE squaring (review r17): a
+        // post-multiply cast would let the LONG product wrap first on
+        // exactly the b-scale the promotion exists for; the SQL twin
+        // multiplies in HUGEINT, so this is also the parity form
+        .agg(sum((col("r2j") - col("nb") * (col("k") + 1))
+          .cast("decimal(38,0)")
+          * (col("r2j") - col("nb") * (col("k") + 1))).as("s4"))
         .crossJoin(broadcast(ties))
         .withColumn("den",
           col("nb").cast("decimal(38,0)") * col("nb") * col("k")
@@ -5723,28 +5738,17 @@ object StatsOps {
          FROM cnts c, ttl a, btw b, wth w""",
 
     "x_page_trend" ->
-      """WITH cells AS (
-           SELECT date_trunc('month', o_orderdate) AS blk,
-                  o_orderpriority AS trt,
-                  SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
-           FROM orders GROUP BY 1, 2),
-         kk AS (SELECT COUNT(DISTINCT trt) AS k FROM cells),
-         full_b AS (
-           SELECT c.blk, c.trt, c.rev, x.k
-           FROM (SELECT blk, trt, rev,
-                        COUNT(*) OVER (PARTITION BY blk) AS kb
-                 FROM cells) c
-           CROSS JOIN kk x WHERE c.kb = x.k),
-         ranked AS (
-           SELECT trt, blk, k,
-                  2 * rank() OVER (PARTITION BY blk ORDER BY rev)
-                    + COUNT(*) OVER (PARTITION BY blk, rev) - 1 AS r2,
+      s"""WITH $revCellsSql,
+         $completeBlockSql,
+         $rankedR2Sql,
+         rankedj AS (
+           SELECT trt, blk, k, r2,
                   CAST(substr(trt, 1, 1) AS BIGINT) AS j
-           FROM full_b),
+           FROM ranked),
          agg AS (
            SELECT k, CAST(SUM(j * r2) AS BIGINT) AS l2,
                   CAST(COUNT(DISTINCT blk) AS BIGINT) AS b
-           FROM ranked GROUP BY 1),
+           FROM rankedj GROUP BY 1),
          fin AS (
            SELECT b, k, CAST(b AS DOUBLE) AS bd, CAST(k AS DOUBLE) AS kd,
                   CAST(l2 AS DOUBLE) / 2.0 AS l
@@ -5776,20 +5780,14 @@ object StatsOps {
          FROM fin4""",
 
     "x_cochran_q" ->
-      """WITH cells AS (
+      s"""WITH cells AS (
            SELECT date_trunc('month', o_orderdate) AS blk,
                   o_orderpriority AS trt,
                   CAST(COUNT(*) AS BIGINT) AS n,
                   CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1
                                 ELSE 0 END) AS BIGINT) AS cf
            FROM orders GROUP BY 1, 2),
-         kk AS (SELECT COUNT(DISTINCT trt) AS k FROM cells),
-         full_b AS (
-           SELECT c.blk, c.trt, c.n, c.cf, x.k
-           FROM (SELECT blk, trt, n, cf,
-                        COUNT(*) OVER (PARTITION BY blk) AS kb
-                 FROM cells) c
-           CROSS JOIN kk x WHERE c.kb = x.k),
+         $completeBlockSql,
          pooled AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
                            CAST(SUM(cf) AS BIGINT) AS tk FROM full_b),
          flags AS (
@@ -5965,23 +5963,9 @@ object StatsOps {
          FROM ps, c2 c""",
 
     "x_friedman_test" ->
-      """WITH cells AS (
-           SELECT date_trunc('month', o_orderdate) AS blk,
-                  o_orderpriority AS trt,
-                  SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
-           FROM orders GROUP BY 1, 2),
-         kk AS (SELECT COUNT(DISTINCT trt) AS k FROM cells),
-         full_b AS (
-           SELECT c.blk, c.trt, c.rev, x.k
-           FROM (SELECT blk, trt, rev,
-                        COUNT(*) OVER (PARTITION BY blk) AS kb
-                 FROM cells) c
-           CROSS JOIN kk x WHERE c.kb = x.k),
-         ranked AS (
-           SELECT trt, k,
-                  2 * rank() OVER (PARTITION BY blk ORDER BY rev)
-                    + COUNT(*) OVER (PARTITION BY blk, rev) - 1 AS r2
-           FROM full_b),
+      s"""WITH $revCellsSql,
+         $completeBlockSql,
+         $rankedR2Sql,
          rsums AS (
            SELECT trt, k, CAST(SUM(r2) AS BIGINT) AS r2j,
                   CAST(COUNT(*) AS BIGINT) AS nb
@@ -6017,23 +6001,9 @@ object StatsOps {
          FROM qc""",
 
     "x_kendalls_w" ->
-      """WITH cells AS (
-           SELECT date_trunc('month', o_orderdate) AS blk,
-                  o_orderpriority AS trt,
-                  SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
-           FROM orders GROUP BY 1, 2),
-         kk AS (SELECT COUNT(DISTINCT trt) AS k FROM cells),
-         full_b AS (
-           SELECT c.blk, c.trt, c.rev, x.k
-           FROM (SELECT blk, trt, rev,
-                        COUNT(*) OVER (PARTITION BY blk) AS kb
-                 FROM cells) c
-           CROSS JOIN kk x WHERE c.kb = x.k),
-         ranked AS (
-           SELECT trt, k,
-                  2 * rank() OVER (PARTITION BY blk ORDER BY rev)
-                    + COUNT(*) OVER (PARTITION BY blk, rev) - 1 AS r2
-           FROM full_b),
+      s"""WITH $revCellsSql,
+         $completeBlockSql,
+         $rankedR2Sql,
          rsums AS (
            SELECT trt, k, CAST(SUM(r2) AS BIGINT) AS r2j,
                   CAST(COUNT(*) AS BIGINT) AS nb

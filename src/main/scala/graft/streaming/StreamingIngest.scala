@@ -355,6 +355,30 @@ object StreamingIngest {
     else setPend(fold(s, ph, pc), h, c)
   }
 
+  /** Shared hourly collect-and-fold driver for the per-type monitor
+    * sinks (PH / CUSUM / EWMA chart — pre-seal review r17: the third
+    * sink briefly added a third copy of this skeleton right after the
+    * r16 codec consolidation): ONE grouped count of the micro-batch,
+    * then each type's (hour, count) observations fold in ascending
+    * hour order through the sink's advance function. The collect is
+    * O(types × hours-in-batch) — bounded by the trigger interval, not
+    * the corpus. */
+  private def foldHourly[S](batch: DataFrame, st0: Map[String, S],
+      empty: S, advance: (S, Long, Long) => S): Map[String, S] = {
+    val hourly = batch
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getString(0),
+        r.getAs[java.sql.Timestamp]("h").getTime * 1000L, r.getLong(2)))
+    hourly.groupBy(_._1).foldLeft(st0) { case (acc, (tpe, obs)) =>
+      val folded = obs.sortBy(_._2).foldLeft(acc.getOrElse(tpe, empty)) {
+        case (s, (_, h, c)) => advance(s, h, c)
+      }
+      acc.updated(tpe, folded)
+    }
+  }
+
   /** (lastBatchId, type -> PhState); (-1, empty) when fresh. */
   private[graft] def phStates(statePath: String)
       : (Long, Map[String, PhState]) = {
@@ -400,19 +424,7 @@ object StreamingIngest {
       statePath: String, batch: DataFrame, batchId: Long): Unit = {
     val (last, st0) = phStates(statePath)
     if (batchId <= last) return // replayed trigger already folded
-    val hourly = batch
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).cast("long").as("c"))
-      .collect()
-      .map(r => (r.getString(0),
-        r.getAs[java.sql.Timestamp]("h").getTime * 1000L, r.getLong(2)))
-    val st1 = hourly.groupBy(_._1).foldLeft(st0) { case (acc, (tpe, obs)) =>
-      val folded = obs.sortBy(_._2).foldLeft(
-        acc.getOrElse(tpe, phEmpty)) { case (s, (_, h, c)) =>
-        phAdvance(s, h, c)
-      }
-      acc.updated(tpe, folded)
-    }
+    val st1 = foldHourly(batch, st0, phEmpty, phAdvance)
     if (st1.nonEmpty) {
       import spark.implicits._
       st1.toSeq.sortBy(_._1).map { case (tpe, s) =>
@@ -506,19 +518,7 @@ object StreamingIngest {
       statePath: String, batch: DataFrame, batchId: Long): Unit = {
     val (last, st0) = csStates(statePath)
     if (batchId <= last) return // replayed trigger already folded
-    val hourly = batch
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).cast("long").as("c"))
-      .collect()
-      .map(r => (r.getString(0),
-        r.getAs[java.sql.Timestamp]("h").getTime * 1000L, r.getLong(2)))
-    val st1 = hourly.groupBy(_._1).foldLeft(st0) { case (acc, (tpe, obs)) =>
-      val folded = obs.sortBy(_._2).foldLeft(
-        acc.getOrElse(tpe, csEmpty)) { case (s, (_, h, c)) =>
-        csAdvance(s, h, c)
-      }
-      acc.updated(tpe, folded)
-    }
+    val st1 = foldHourly(batch, st0, csEmpty, csAdvance)
     if (st1.nonEmpty) {
       import spark.implicits._
       st1.toSeq.sortBy(_._1).map { case (tpe, s) =>
@@ -749,19 +749,7 @@ object StreamingIngest {
       statePath: String, batch: DataFrame, batchId: Long): Unit = {
     val (last, st0) = ewStates(statePath)
     if (batchId <= last) return // replayed trigger already folded
-    val hourly = batch
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).cast("long").as("c"))
-      .collect()
-      .map(r => (r.getString(0),
-        r.getAs[java.sql.Timestamp]("h").getTime * 1000L, r.getLong(2)))
-    val st1 = hourly.groupBy(_._1).foldLeft(st0) { case (acc, (tpe, obs)) =>
-      val folded = obs.sortBy(_._2).foldLeft(
-        acc.getOrElse(tpe, ewEmpty)) { case (s, (_, h, c)) =>
-        ewAdvance(s, h, c)
-      }
-      acc.updated(tpe, folded)
-    }
+    val st1 = foldHourly(batch, st0, ewEmpty, ewAdvance)
     if (st1.nonEmpty) {
       import spark.implicits._
       st1.toSeq.sortBy(_._1).map { case (tpe, s) =>
