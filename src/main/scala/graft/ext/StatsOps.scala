@@ -215,7 +215,12 @@ object StatsOps {
       (nd + 1.0) / (nd + 2.0) + lit(1.0) / y0
     val yGen = when(y0 > lit(0.05) + a, yExp).otherwise(ySm)
     val p1 = p2 * lit(math.Pi) / 2.0
-    when(n < 1, lit(null).cast("double"))
+    // explicit NULL-df arm (r17 advice #1): greatest() skips NULLs, so
+    // a NULL df would clamp nd to 1.0 and fall through every when-arm
+    // into the general branch, silently returning a df=1 value where
+    // the documented contract says NULL — gate it ahead of n < 1
+    when(n.isNull, lit(null).cast("double"))
+      .when(n < 1, lit(null).cast("double"))
       .when(n === 1, cos(p1) / sin(p1))
       .when(n === 2, sqrt(lit(2.0) / (p2 * (lit(2.0) - p2)) - 2.0))
       .otherwise(sqrt(nd * yGen))
@@ -233,58 +238,152 @@ object StatsOps {
   private def tQuantileSqlCtes(src: String, p2: String, n: String,
       prefix: String = "tq"): (String, String) = {
     val pi = graft.util.Num.lit17(math.Pi)
-    val stages0 = Seq(
+    // stage names carry the prefix AT CONSTRUCTION (r17 advice #2): the
+    // first version rewrote the default-prefixed text with a post-hoc
+    // regex over "FROM tq<letter>", which was correct for these bodies
+    // but would silently mis-rewrite any future stage whose text happens
+    // to contain another such token — so each intra-chain reference now
+    // names its source through nm() and no rewriting happens at all
+    def nm(letter: String): String = prefix + letter
+    val stages = Seq(
       // df clamped to >= 1 for the INTERMEDIATES (tqe's sqrt(t_a·π/2)
       // throws in DuckDB for df <= 0); the true df still selects the
       // n=1/n=2 branches and NULL-gates the output in tqq below
-      "tqa" -> s"""SELECT *, CAST(CASE WHEN ($n) >= 1 THEN ($n) ELSE 1 END
+      nm("a") -> s"""SELECT *, CAST(CASE WHEN ($n) >= 1 THEN ($n) ELSE 1 END
           AS DOUBLE) AS t_nd,
           ($p2) AS t_p2 FROM $src""",
-      "tqb" -> "SELECT *, 1.0 / (t_nd - 0.5) AS t_a FROM tqa",
-      "tqc" -> "SELECT *, 48.0 / (t_a * t_a) AS t_b FROM tqb",
-      "tqd" -> s"""SELECT *, ((20700.0 * t_a / t_b - 98.0) * t_a - 16.0)
-          * t_a + 96.36 AS t_c0 FROM tqc""",
-      "tqe" -> s"""SELECT *, ((94.5 / (t_b + t_c0) - 3.0) / t_b + 1.0)
+      nm("b") -> s"SELECT *, 1.0 / (t_nd - 0.5) AS t_a FROM ${nm("a")}",
+      nm("c") -> s"SELECT *, 48.0 / (t_a * t_a) AS t_b FROM ${nm("b")}",
+      nm("d") -> s"""SELECT *, ((20700.0 * t_a / t_b - 98.0) * t_a - 16.0)
+          * t_a + 96.36 AS t_c0 FROM ${nm("c")}""",
+      nm("e") -> s"""SELECT *, ((94.5 / (t_b + t_c0) - 3.0) / t_b + 1.0)
           * sqrt(t_a * CAST($pi AS DOUBLE) / 2.0) * t_nd AS t_d
-          FROM tqd""",
-      "tqf" -> "SELECT *, t_d * t_p2 AS t_x0 FROM tqe",
-      "tqg" -> "SELECT *, pow(t_x0, 2.0 / t_nd) AS t_y0 FROM tqf",
-      "tqh" -> s"""SELECT *, ${invNormSql("(t_p2 * 0.5)")} AS t_xn
-          FROM tqg""",
-      "tqi" -> "SELECT *, t_xn * t_xn AS t_yn FROM tqh",
-      "tqj" -> s"""SELECT *, CASE WHEN t_nd < 5.0 THEN t_c0 + 0.3
+          FROM ${nm("d")}""",
+      nm("f") -> s"SELECT *, t_d * t_p2 AS t_x0 FROM ${nm("e")}",
+      nm("g") -> s"SELECT *, pow(t_x0, 2.0 / t_nd) AS t_y0 FROM ${nm("f")}",
+      nm("h") -> s"""SELECT *, ${invNormSql("(t_p2 * 0.5)")} AS t_xn
+          FROM ${nm("g")}""",
+      nm("i") -> s"SELECT *, t_xn * t_xn AS t_yn FROM ${nm("h")}",
+      nm("j") -> s"""SELECT *, CASE WHEN t_nd < 5.0 THEN t_c0 + 0.3
           * (t_nd - 4.5) * (t_xn + 0.6) ELSE t_c0 END AS t_cadj
-          FROM tqi""",
-      "tqk" -> s"""SELECT *, (((0.05 * t_d * t_xn - 5.0) * t_xn - 7.0)
-          * t_xn - 2.0) * t_xn + t_b + t_cadj AS t_c2 FROM tqj""",
-      "tql" -> s"""SELECT *, (((((0.4 * t_yn + 6.3) * t_yn + 36.0)
+          FROM ${nm("i")}""",
+      nm("k") -> s"""SELECT *, (((0.05 * t_d * t_xn - 5.0) * t_xn - 7.0)
+          * t_xn - 2.0) * t_xn + t_b + t_cadj AS t_c2 FROM ${nm("j")}""",
+      nm("l") -> s"""SELECT *, (((((0.4 * t_yn + 6.3) * t_yn + 36.0)
           * t_yn + 94.5) / t_c2 - t_yn - 3.0) / t_b + 1.0) * t_xn
-          AS t_y1 FROM tqk""",
-      "tqm" -> "SELECT *, t_a * t_y1 * t_y1 AS t_y2 FROM tql",
-      "tqn" -> s"""SELECT *, CASE WHEN t_y2 > 0.002 THEN exp(t_y2) - 1.0
-          ELSE 0.5 * t_y2 * t_y2 + t_y2 END AS t_yexp FROM tqm""",
-      "tqo" -> s"""SELECT *, ((1.0 / (((t_nd + 6.0) / (t_nd * t_y0)
+          AS t_y1 FROM ${nm("k")}""",
+      nm("m") -> s"SELECT *, t_a * t_y1 * t_y1 AS t_y2 FROM ${nm("l")}",
+      nm("n") -> s"""SELECT *, CASE WHEN t_y2 > 0.002 THEN exp(t_y2) - 1.0
+          ELSE 0.5 * t_y2 * t_y2 + t_y2 END AS t_yexp FROM ${nm("m")}""",
+      nm("o") -> s"""SELECT *, ((1.0 / (((t_nd + 6.0) / (t_nd * t_y0)
           - 0.089 * t_d - 0.822) * (t_nd + 2.0) * 3.0)
           + 0.5 / (t_nd + 4.0)) * t_y0 - 1.0) * (t_nd + 1.0)
-          / (t_nd + 2.0) + 1.0 / t_y0 AS t_ysm FROM tqn""",
-      "tqp" -> s"""SELECT *, CASE WHEN t_y0 > 0.05 + t_a THEN t_yexp
-          ELSE t_ysm END AS t_ygen FROM tqo""",
-      "tqq" -> s"""SELECT *, CASE WHEN ($n) < 1 THEN NULL
+          / (t_nd + 2.0) + 1.0 / t_y0 AS t_ysm FROM ${nm("n")}""",
+      nm("p") -> s"""SELECT *, CASE WHEN t_y0 > 0.05 + t_a THEN t_yexp
+          ELSE t_ysm END AS t_ygen FROM ${nm("o")}""",
+      // NULL-df arm first (r17 advice #1), mirroring tQuantileCol
+      nm("q") -> s"""SELECT *, CASE WHEN ($n) IS NULL THEN NULL
+          WHEN ($n) < 1 THEN NULL
           WHEN ($n) = 1
           THEN cos(t_p2 * CAST($pi AS DOUBLE) / 2.0)
                / sin(t_p2 * CAST($pi AS DOUBLE) / 2.0)
           WHEN ($n) = 2 THEN sqrt(2.0 / (t_p2 * (2.0 - t_p2)) - 2.0)
-          ELSE sqrt(t_nd * t_ygen) END AS tq_raw FROM tqp""")
-    // distinct instantiations within one query (the ESD rounds) pass a
-    // prefix so the CTE names stay unique; the carried t_* columns are
-    // per-CTE and never collide across chains
-    val stages = stages0.map { case (nm, q) =>
-      (prefix + nm.stripPrefix("tq"),
-        if (prefix == "tq") q
-        else q.replaceAll("FROM tq([a-q])\\b", s"FROM $prefix$$1"))
-    }
-    (stages.map { case (nm, q) => s"$nm AS ($q)" }.mkString(",\n"),
-      prefix + "q")
+          ELSE sqrt(t_nd * t_ygen) END AS tq_raw FROM ${nm("p")}""")
+    (stages.map { case (name, q) => s"$name AS ($q)" }.mkString(",\n"),
+      nm("q"))
+  }
+
+  /** Staged evaluation of the two-tailed t-quantile on a SMALL
+    * (picked/bounded) frame: one withColumn per tQuantileSqlCtes stage
+    * — named intermediate columns instead of one nested Column tree —
+    * with a localCheckpoint after the Acklam stage so each Catalyst
+    * analyze/optimize/codegen unit stays LINEAR in the stage count.
+    * The single tQuantileCol tree duplicates every intermediate
+    * subtree at every reference (the Column analogue of the 474 KB SQL
+    * blow-up the CTE chain fixed) and costs ~9 s of pure, input-size-
+    * independent plan/codegen — BENCH_r17 put x_grubbs_outlier over
+    * its 20 s member budget on that constant alone, and
+    * x_generalized_esd paid it ×5 (47.8 s standalone). Arithmetic here
+    * mirrors tQuantileCol operation-for-operation (same ops, same
+    * order), so the staged value is bit-identical and both oracles
+    * stay hash-green. Caller contract: `df` must be BOUNDED (the
+    * O(priorities) pick rows) — the checkpoints materialize it. */
+  private def tQuantileStaged(df: DataFrame, p2: Column, n: Column,
+      out: String): DataFrame = {
+    val half = df
+      .withColumn("t_n", n)
+      .withColumn("t_p2", p2)
+      .withColumn("t_nd", greatest(col("t_n").cast("double"), lit(1.0)))
+      .withColumn("t_a", lit(1.0) / (col("t_nd") - 0.5))
+      .withColumn("t_b", lit(48.0) / (col("t_a") * col("t_a")))
+      .withColumn("t_c0",
+        ((lit(20700.0) * col("t_a") / col("t_b") - 98.0) * col("t_a")
+          - 16.0) * col("t_a") + 96.36)
+      .withColumn("t_d",
+        ((lit(94.5) / (col("t_b") + col("t_c0")) - 3.0) / col("t_b")
+          + 1.0) * sqrt(col("t_a") * lit(math.Pi) / 2.0) * col("t_nd"))
+      .withColumn("t_x0", col("t_d") * col("t_p2"))
+      .withColumn("t_y0", pow(col("t_x0"), lit(2.0) / col("t_nd")))
+      // Acklam Φ⁻¹ staged: p = t_p2·0.5 ≤ 0.025 on every caller, but
+      // all three branch inputs are computed as columns for parity
+      // with invNormCol's tree (sqrt of a negative is NaN in Spark,
+      // never a throw, and the CASE discards the unused branches)
+      .withColumn("t_ph", col("t_p2") * 0.5)
+      .withColumn("t_qlo", sqrt(lit(-2.0) * log(col("t_ph"))))
+      .withColumn("t_qhi", sqrt(lit(-2.0) * log(lit(1.0) - col("t_ph"))))
+      .withColumn("t_qm", col("t_ph") - 0.5)
+      .withColumn("t_rm", col("t_qm") * col("t_qm"))
+      .withColumn("t_xn",
+        when(col("t_ph") < 0.02425,
+          polyCol(AckC, col("t_qlo")) / polyCol(AckD, col("t_qlo")))
+          .when(col("t_ph") <= 0.97575,
+            polyCol(AckA, col("t_rm")) * col("t_qm")
+              / polyCol(AckB, col("t_rm")))
+          .otherwise(-polyCol(AckC, col("t_qhi"))
+            / polyCol(AckD, col("t_qhi"))))
+      .localCheckpoint()
+    half
+      .withColumn("t_yn", col("t_xn") * col("t_xn"))
+      .withColumn("t_cadj",
+        when(col("t_nd") < 5.0,
+          col("t_c0") + lit(0.3) * (col("t_nd") - 4.5)
+            * (col("t_xn") + 0.6))
+          .otherwise(col("t_c0")))
+      .withColumn("t_c2",
+        (((lit(0.05) * col("t_d") * col("t_xn") - 5.0) * col("t_xn")
+          - 7.0) * col("t_xn") - 2.0) * col("t_xn")
+          + col("t_b") + col("t_cadj"))
+      .withColumn("t_y1",
+        (((((lit(0.4) * col("t_yn") + 6.3) * col("t_yn") + 36.0)
+          * col("t_yn") + 94.5) / col("t_c2") - col("t_yn") - 3.0)
+          / col("t_b") + 1.0) * col("t_xn"))
+      .withColumn("t_y2", col("t_a") * col("t_y1") * col("t_y1"))
+      .withColumn("t_yexp",
+        when(col("t_y2") > 0.002, exp(col("t_y2")) - 1.0)
+          .otherwise(lit(0.5) * col("t_y2") * col("t_y2") + col("t_y2")))
+      .withColumn("t_ysm",
+        ((lit(1.0) / (((col("t_nd") + 6.0) / (col("t_nd") * col("t_y0"))
+          - lit(0.089) * col("t_d") - 0.822) * (col("t_nd") + 2.0) * 3.0)
+          + lit(0.5) / (col("t_nd") + 4.0)) * col("t_y0") - 1.0)
+          * (col("t_nd") + 1.0) / (col("t_nd") + 2.0)
+          + lit(1.0) / col("t_y0"))
+      .withColumn("t_ygen",
+        when(col("t_y0") > lit(0.05) + col("t_a"), col("t_yexp"))
+          .otherwise(col("t_ysm")))
+      .withColumn(out,
+        when(col("t_n").isNull, lit(null).cast("double"))
+          .when(col("t_n") < 1, lit(null).cast("double"))
+          .when(col("t_n") === 1,
+            cos(col("t_p2") * lit(math.Pi) / 2.0)
+              / sin(col("t_p2") * lit(math.Pi) / 2.0))
+          .when(col("t_n") === 2,
+            sqrt(lit(2.0) / (col("t_p2") * (lit(2.0) - col("t_p2")))
+              - 2.0))
+          .otherwise(sqrt(col("t_nd") * col("t_ygen"))))
+      .drop("t_n", "t_p2", "t_nd", "t_a", "t_b", "t_c0", "t_d", "t_x0",
+        "t_y0", "t_ph", "t_qlo", "t_qhi", "t_qm", "t_rm", "t_xn",
+        "t_yn", "t_cadj", "t_c2", "t_y1", "t_y2", "t_yexp", "t_ysm",
+        "t_ygen")
   }
 
   // Rosner generalized-ESD round count: up to 5 outliers tested per
@@ -2803,15 +2902,19 @@ object StatsOps {
             col("sy").cast("double") * col("sy") / col("n"))
             / (col("n") - 1))
         .withColumn("sd", when(col("vr") > 0, sqrt(col("vr"))))
-      daily.join(broadcast(st), "priority")
+      // the O(priorities) pick rows are checkpointed BEFORE the
+      // t-quantile so the staged evaluation (r18: the BENCH_r17
+      // over-budget fix) runs on a materialized 5-row frame
+      val pick = daily.join(broadcast(st), "priority")
         .withColumn("adev", abs(col("y").cast("double") - col("mean")))
         .withColumn("rn", row_number().over(
           Window.partitionBy("priority").orderBy(desc("adev"), asc("day"))))
         .filter(col("rn") === 1)
         .withColumn("g_stat", when(col("sd") > 0, col("adev") / col("sd")))
         .withColumn("p2", lit(0.05) / col("n"))
-        .withColumn("tq",
-          floor(tQuantileCol(col("p2"), col("n") - 2) * 1e9 + 0.5) / 1e9)
+        .localCheckpoint()
+      tQuantileStaged(pick, col("p2"), col("n") - 2, "tq_raw")
+        .withColumn("tq", floor(col("tq_raw") * 1e9 + 0.5) / 1e9)
         .withColumn("g_crit",
           (col("n") - 1).cast("double") / sqrt(col("n").cast("double"))
             * sqrt(col("tq") * col("tq")
@@ -2864,6 +2967,13 @@ object StatsOps {
               col("sy").cast("double") * col("sy") / col("n"))
               / (col("n") - 1))
           .withColumn("sd", when(col("vr") > 0, sqrt(col("vr"))))
+        // the t-quantile does NOT enter the pick: which day is most
+        // extreme depends only on |y − mean|, so each round's winner is
+        // decided (and checkpointed, feeding the next round's anti-join)
+        // before any t arithmetic — all five rounds' tq then run as ONE
+        // staged pass over the unioned O(5 × priorities) pick rows,
+        // paying the Hill-396 plan/codegen constant once instead of
+        // five times (the BENCH_r17 x_generalized_esd 47.8 s fix)
         val pick = rem.join(broadcast(st), "priority")
           .withColumn("adev", abs(col("y").cast("double") - col("mean")))
           .withColumn("rn", row_number().over(Window
@@ -2872,22 +2982,21 @@ object StatsOps {
           .withColumn("r_stat",
             when(col("sd") > 0, col("adev") / col("sd")))
           .withColumn("p2", lit(0.05) / col("n"))
-          .withColumn("tq",
-            floor(tQuantileCol(col("p2"), col("n") - 2) * 1e9 + 0.5)
-              / 1e9)
-          .withColumn("lambda",
-            (col("n") - 1).cast("double") / sqrt(col("n").cast("double"))
-              * sqrt(col("tq") * col("tq")
-                / (col("n").cast("double") - 2 + col("tq") * col("tq"))))
           .withColumn("round_i", lit(i.toLong))
           .select(col("priority"), col("round_i"), col("day"), col("y"),
-            col("n"), col("r_stat"), col("tq"), col("lambda"))
+            col("n"), col("r_stat"), col("p2"))
           .localCheckpoint()
         rem = rem.join(pick.select("priority", "day"),
           Seq("priority", "day"), "left_anti").localCheckpoint()
         pick
       }
-      val all = rounds.reduce(_ unionByName _)
+      val picks = rounds.reduce(_ unionByName _)
+      val all = tQuantileStaged(picks, col("p2"), col("n") - 2, "tq_raw")
+        .withColumn("tq", floor(col("tq_raw") * 1e9 + 0.5) / 1e9)
+        .withColumn("lambda",
+          (col("n") - 1).cast("double") / sqrt(col("n").cast("double"))
+            * sqrt(col("tq") * col("tq")
+              / (col("n").cast("double") - 2 + col("tq") * col("tq"))))
       val nOut = all
         .withColumn("exc",
           when(col("r_stat") > col("lambda"), col("round_i"))

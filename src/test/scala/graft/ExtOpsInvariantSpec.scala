@@ -954,10 +954,10 @@ class ExtOpsInvariantSpec extends SparkSpec {
         val mean = ys.map(_._3).sum.toDouble / n
         val vr = ys.map(x => (x._3 - mean) * (x._3 - mean)).sum / (n - 1)
         val sd = math.sqrt(vr)
-        val mx = ys.map(x => math.abs(x._3 - mean)).max
-        val pick = ys.filter(x =>
-            math.abs(math.abs(x._3 - mean) - mx) < 1e-9)
-          .minBy(_._2) // engine tiebreak: earliest day
+        // engine order exactly (r17 advice #3): (adev DESC, day ASC) on
+        // RAW doubles — a tolerance-grouped tie pick could diverge from
+        // the engine on deviations within 1e-9 but not bit-equal
+        val pick = ys.minBy(x => (-math.abs(x._3 - mean), x._2))
         val rStat = math.abs(pick._3 - mean) / sd
         val tq = hill396(0.05 / n, n - 2)
         val lam = (n - 1) / math.sqrt(n.toDouble) *
