@@ -59,6 +59,35 @@ object DemandOps {
   private val CrostonHoldout = 8
   private val SesDenQ: Long = (0 until CrostonLags).map(crQW).sum
 
+  // Shared Croston-family lag ladder, one definition per engine (the
+  // r17 review lesson: croston_demand and croston_backtest carried
+  // identical copies in both engines; tsb_demand would have made it
+  // three): truncated weighted sum over the present lags, each term
+  // 1e9-quantized before the row-local sum, present-lag quantized
+  // weights as the normalizer. A quantizer change now cannot drift the
+  // three ops apart.
+  private def ladderNum(lg: Int => Column): Column =
+    (0 until CrostonLags).map(i =>
+      when(lg(i).isNotNull,
+        floor(lg(i) * lit(crW(i)) * 1e9 + 0.5).cast("long"))
+        .otherwise(0L)).reduce(_ + _)
+  private def ladderDen(lg: Int => Column): Column =
+    (0 until CrostonLags).map(i =>
+      when(lg(i).isNotNull, lit(crQW(i))).otherwise(0L)).reduce(_ + _)
+  private def ladderNumSql(e: String): String =
+    (0 until CrostonLags).map { i =>
+      val v = if (i == 0) e else s"lag($e, $i) OVER win"
+      s"""CASE WHEN $v IS NOT NULL
+          THEN CAST(floor($v * CAST(${crWLit(i)} AS DOUBLE) * 1e9 + 0.5)
+               AS BIGINT) ELSE 0 END"""
+    }.mkString(" + ")
+  private def ladderDenSql(e: String): String =
+    (0 until CrostonLags).map { i =>
+      val v = if (i == 0) e else s"lag($e, $i) OVER win"
+      s"""CASE WHEN $v IS NOT NULL THEN CAST(${crQW(i)} AS BIGINT)
+          ELSE CAST(0 AS BIGINT) END"""
+    }.mkString(" + ")
+
   // One-sided 95% normal service-level quantile (Φ⁻¹(0.95)), and the
   // review lead time in days for the reorder-point policy.
   private val Z95 = "1.6448536269514722"
@@ -135,17 +164,11 @@ object DemandOps {
         if (i == 0) col("q") else lag(col("q"), i).over(w)
       def lagIv(i: Int): Column =
         if (i == 0) col("iv") else lag(col("iv"), i).over(w)
-      def num(lg: Int => Column): Column = (0 until CrostonLags).map(i =>
-        when(lg(i).isNotNull,
-          floor(lg(i) * lit(crW(i)) * 1e9 + 0.5).cast("long"))
-          .otherwise(0L)).reduce(_ + _)
-      def den(lg: Int => Column): Column = (0 until CrostonLags).map(i =>
-        when(lg(i).isNotNull, lit(crQW(i))).otherwise(0L)).reduce(_ + _)
       demandDaily(s, d)
         .withColumn("iv",
           datediff(col("day"), lag(col("day"), 1).over(w)).cast("double"))
-        .withColumn("nz", num(lagQ)).withColumn("dz", den(lagQ))
-        .withColumn("np", num(lagIv)).withColumn("dp", den(lagIv))
+        .withColumn("nz", ladderNum(lagQ)).withColumn("dz", ladderDen(lagQ))
+        .withColumn("np", ladderNum(lagIv)).withColumn("dp", ladderDen(lagIv))
         .withColumn("nd", count(lit(1)).over(Window.partitionBy("brand")))
         .withColumn("rn", row_number().over(
           Window.partitionBy("brand").orderBy(desc("day"))))
@@ -164,6 +187,65 @@ object DemandOps {
             .as("demand_rate"),
           detRound(when(col("p") > 0,
             lit(SbaFactor) * col("z") / col("p")), 6).as("sba_rate"))
+        .orderBy("brand")
+    }),
+
+    "x_tsb_demand" -> ((s, d) => {
+      // Teunter–Syntetos–Babai forecast (TSB, EJOR 2011) — the
+      // intermittent-demand estimator that handles OBSOLESCENCE, which
+      // Croston structurally cannot: Croston's interval estimate only
+      // updates on demand days, so a discontinued item's forecast
+      // freezes at its last positive rate forever, while TSB smooths
+      // the demand PROBABILITY every calendar period (zeros included)
+      // and therefore decays toward zero as an item dies. Probability
+      // p̂ is the normalized β-weight ladder over the last 40 CALENDAR
+      // days anchored at the global last shipping day — zero days
+      // contribute 0 to the numerator so they are never materialized
+      // (the croston_backtest discipline: demand days inside the
+      // horizon carry quantized weight crQW(lag), the normalizer is
+      // the constant full-ladder sum); size ẑ is the same demand-day
+      // ladder as Croston's; forecast rate = p̂·ẑ. Scale: one fact
+      // pass to the (brand, day) grain, a grouped O(brands) probability
+      // table, broadcast scalars — windows over demand-day rows only.
+      val w = Window.partitionBy("brand").orderBy("day")
+      def lagQ(i: Int): Column =
+        if (i == 0) col("q") else lag(col("q"), i).over(w)
+      val daily = demandDaily(s, d)
+      val dmax = t(s, d, "lineitem")
+        .agg(max(date_trunc("day", col("l_shipdate"))).as("dmax"))
+      val zEst = daily
+        .withColumn("nz", ladderNum(lagQ))
+        .withColumn("dz", ladderDen(lagQ))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy("brand")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("brand").orderBy(desc("day"))))
+        .filter(col("rn") === 1)
+        .withColumn("z",
+          col("nz").cast("double") / col("dz").cast("double"))
+        .select(col("brand"), col("day").as("last_demand_day"),
+          col("nd"), col("z"))
+      // quantized weight looked up by calendar lag from the global
+      // last day (embedded literals — no pow at query time)
+      val wqcase = (0 until CrostonLags).foldLeft(when(lit(false), lit(0L))) {
+        (acc, i) => acc.when(col("lagd") === i, lit(crQW(i)))
+      }
+      val pEst = daily.crossJoin(broadcast(dmax))
+        .withColumn("lagd", datediff(col("dmax"), col("day")))
+        .filter(col("lagd") < CrostonLags)
+        .select(col("brand"), wqcase.as("qw"))
+        .groupBy("brand").agg(sum(col("qw")).cast("long").as("pnum"))
+      zEst.join(pEst, Seq("brand"), "left")
+        .withColumn("p", coalesce(col("pnum"), lit(0L)).cast("double")
+          / lit(SesDenQ).cast("double"))
+        .crossJoin(broadcast(spanFrame(s, d)))
+        .select(col("brand"),
+          fmtD(col("last_demand_day")).as("last_demand_day"),
+          col("nd").as("n_demand_days"),
+          detRound((col("span") - col("nd")).cast("double")
+            / col("span"), 6).as("zero_frac"),
+          detRound(col("p"), 6).as("p_hat"),
+          detRound(col("z"), 6).as("z_hat"),
+          detRound(col("p") * col("z"), 6).as("tsb_rate"))
         .orderBy("brand")
     }),
 
@@ -271,18 +353,12 @@ object DemandOps {
         if (i == 0) col("q") else lag(col("q"), i).over(wAsc)
       def lagIv(i: Int): Column =
         if (i == 0) col("iv") else lag(col("iv"), i).over(wAsc)
-      def num(lg: Int => Column): Column = (0 until CrostonLags).map(i =>
-        when(lg(i).isNotNull,
-          floor(lg(i) * lit(crW(i)) * 1e9 + 0.5).cast("long"))
-          .otherwise(0L)).reduce(_ + _)
-      def den(lg: Int => Column): Column = (0 until CrostonLags).map(i =>
-        when(lg(i).isNotNull, lit(crQW(i))).otherwise(0L)).reduce(_ + _)
       val cut = train
         .withColumn("iv",
           datediff(col("day"), lag(col("day"), 1).over(wAsc))
             .cast("double"))
-        .withColumn("nz", num(lagQ)).withColumn("dz", den(lagQ))
-        .withColumn("np", num(lagIv)).withColumn("dp", den(lagIv))
+        .withColumn("nz", ladderNum(lagQ)).withColumn("dz", ladderDen(lagQ))
+        .withColumn("np", ladderNum(lagIv)).withColumn("dp", ladderDen(lagIv))
         .withColumn("nt", count(lit(1)).over(Window.partitionBy("brand")))
         .withColumn("rn2", row_number().over(
           Window.partitionBy("brand").orderBy(desc("day"))))
@@ -494,17 +570,6 @@ object DemandOps {
   def oracleSql: Map[String, String] = Map(
 
     "x_croston_demand" -> {
-      def ladder(e: String): String = (0 until CrostonLags).map { i =>
-        val v = if (i == 0) e else s"lag($e, $i) OVER win"
-        s"""CASE WHEN $v IS NOT NULL
-            THEN CAST(floor($v * CAST(${crWLit(i)} AS DOUBLE) * 1e9 + 0.5)
-                 AS BIGINT) ELSE 0 END"""
-      }.mkString(" + ")
-      def denom(e: String): String = (0 until CrostonLags).map { i =>
-        val v = if (i == 0) e else s"lag($e, $i) OVER win"
-        s"""CASE WHEN $v IS NOT NULL THEN CAST(${crQW(i)} AS BIGINT)
-            ELSE CAST(0 AS BIGINT) END"""
-      }.mkString(" + ")
       s"""WITH daily AS ($demandDailySql),
           sp AS ($spanSql),
           iv AS (
@@ -515,8 +580,8 @@ object DemandOps {
             WINDOW win AS (PARTITION BY brand ORDER BY day)),
           lad AS (
             SELECT brand, day,
-                   ${ladder("q")} AS nz, ${denom("q")} AS dz,
-                   ${ladder("iv")} AS np, ${denom("iv")} AS dp,
+                   ${ladderNumSql("q")} AS nz, ${ladderDenSql("q")} AS dz,
+                   ${ladderNumSql("iv")} AS np, ${ladderDenSql("iv")} AS dp,
                    COUNT(*) OVER (PARTITION BY brand) AS nd,
                    row_number() OVER (PARTITION BY brand ORDER BY day DESC)
                      AS rn
@@ -540,6 +605,50 @@ object DemandOps {
                  floor(CASE WHEN p > 0
                        THEN CAST(${lit17(SbaFactor)} AS DOUBLE) * z / p
                        END * 1e6 + 0.5) / 1e6 AS sba_rate
+          FROM fin ORDER BY brand"""
+    },
+
+    "x_tsb_demand" -> {
+      val wqcaseSql = (0 until CrostonLags).map(i =>
+        s"WHEN $i THEN CAST(${crQW(i)} AS BIGINT)").mkString(" ")
+      s"""WITH daily AS ($demandDailySql),
+          sp AS ($spanSql),
+          dm AS (SELECT max(date_trunc('day', l_shipdate)) AS dmax
+                 FROM lineitem),
+          lad AS (
+            SELECT brand, day,
+                   ${ladderNumSql("q")} AS nz, ${ladderDenSql("q")} AS dz,
+                   COUNT(*) OVER (PARTITION BY brand) AS nd,
+                   row_number() OVER (PARTITION BY brand ORDER BY day
+                     DESC) AS rn
+            FROM daily
+            WINDOW win AS (PARTITION BY brand ORDER BY day)),
+          zest AS (
+            SELECT brand, day AS last_demand_day, nd,
+                   CAST(nz AS DOUBLE) / CAST(dz AS DOUBLE) AS z
+            FROM lad WHERE rn = 1),
+          pest AS (
+            SELECT d.brand,
+                   CAST(SUM(CASE date_diff('day', d.day, m.dmax)
+                        $wqcaseSql END) AS BIGINT) AS pnum
+            FROM daily d CROSS JOIN dm m
+            WHERE date_diff('day', d.day, m.dmax) < $CrostonLags
+            GROUP BY 1),
+          fin AS (
+            SELECT z.brand, z.last_demand_day, z.nd, s.span,
+                   CAST(COALESCE(p.pnum, 0) AS DOUBLE)
+                     / CAST($SesDenQ AS DOUBLE) AS p,
+                   z.z
+            FROM zest z LEFT JOIN pest p ON p.brand = z.brand
+            CROSS JOIN sp s)
+          SELECT brand,
+                 strftime(last_demand_day, '%Y-%m-%d') AS last_demand_day,
+                 nd AS n_demand_days,
+                 floor(CAST(span - nd AS DOUBLE) / span * 1e6 + 0.5) / 1e6
+                   AS zero_frac,
+                 floor(p * 1e6 + 0.5) / 1e6 AS p_hat,
+                 floor(z * 1e6 + 0.5) / 1e6 AS z_hat,
+                 floor(p * z * 1e6 + 0.5) / 1e6 AS tsb_rate
           FROM fin ORDER BY brand"""
     },
 
@@ -609,17 +718,6 @@ object DemandOps {
           FROM pick WHERE rn = 1 ORDER BY brand""",
 
     "x_croston_backtest" -> {
-      def ladder(e: String): String = (0 until CrostonLags).map { i =>
-        val v = if (i == 0) e else s"lag($e, $i) OVER win"
-        s"""CASE WHEN $v IS NOT NULL
-            THEN CAST(floor($v * CAST(${crWLit(i)} AS DOUBLE) * 1e9 + 0.5)
-                 AS BIGINT) ELSE 0 END"""
-      }.mkString(" + ")
-      def denom(e: String): String = (0 until CrostonLags).map { i =>
-        val v = if (i == 0) e else s"lag($e, $i) OVER win"
-        s"""CASE WHEN $v IS NOT NULL THEN CAST(${crQW(i)} AS BIGINT)
-            ELSE CAST(0 AS BIGINT) END"""
-      }.mkString(" + ")
       val wcaseSql = (0 until CrostonLags).map(i =>
         s"WHEN $i THEN CAST(${crWLit(i)} AS DOUBLE)").mkString(" ")
       s"""WITH daily0 AS (
@@ -637,8 +735,8 @@ object DemandOps {
             WINDOW win AS (PARTITION BY brand ORDER BY day)),
           lad AS (
             SELECT brand, day,
-                   ${ladder("q")} AS nz, ${denom("q")} AS dz,
-                   ${ladder("iv")} AS np, ${denom("iv")} AS dp,
+                   ${ladderNumSql("q")} AS nz, ${ladderDenSql("q")} AS dz,
+                   ${ladderNumSql("iv")} AS np, ${ladderDenSql("iv")} AS dp,
                    COUNT(*) OVER (PARTITION BY brand) AS nt,
                    row_number() OVER (PARTITION BY brand ORDER BY day
                      DESC) AS rn2

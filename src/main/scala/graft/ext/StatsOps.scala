@@ -943,6 +943,59 @@ object StatsOps {
           detRound(col("resid"), 6).as("resid"))
     }),
 
+    "x_theil_u_forecast" -> ((s, d) => {
+      // Theil's U₂ forecast-accuracy ratio (Theil 1966) for the SES
+      // ladder one-step forecast of monthly revenue vs the naive
+      // no-change forecast, scored over the last 12 months: U₂ =
+      // √(Σ(f_t − y_t)² / Σ(y_{t−1} − y_t)²). U₂ < 1 is the only
+      // verdict that says a forecasting model EARNS ITS KEEP — beating
+      // naive is the bar every published forecast comparison uses, and
+      // none of the ladder family ops (ewma/holt/croston) report it.
+      // The forecast is the same truncated 40-lag EwmaAlpha ladder as
+      // x_ewma_anomaly (shared brownNum/brownDen builders, per-term 1e9
+      // quantization), applied to the O(months) grouped revenue series
+      // IN MILLIONS — U₂ is scale-invariant and the normalization keeps
+      // the shared ladder's y·w·1e9 fixed-point terms inside BIGINT at
+      // any corpus size (monthly revenue in raw units crosses the long
+      // range near sf≈3); the divided series is the same exact double
+      // in both engines. Each squared error is 1e6-quantized before its
+      // DECIMAL sum, so U₂ is one sqrt of a ratio of exact sums.
+      // Windows run over the grouped monthly table only — bounded at
+      // any corpus size.
+      val w = Window.orderBy("mth")
+      val monthly = t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mth"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double") / 1e6).as("r"))
+      def lagR(i: Int) = lag(col("r"), i).over(w)
+      val nm = monthly.agg(count(lit(1)).cast("long").as("n_months"))
+      val scored = monthly
+        .withColumn("nq", brownNum(lagR, ewmaW))
+        .withColumn("dq", brownDen(lagR, ewmaQW))
+        .withColumn("prev", lag(col("r"), 1).over(w))
+        .withColumn("rnd", row_number().over(Window.orderBy(desc("mth"))))
+        .filter(col("rnd") <= 12 && col("dq") > 0 && col("prev").isNotNull)
+        .withColumn("f",
+          col("nq").cast("double") / col("dq").cast("double"))
+        .select(
+          floor((col("f") - col("r")) * (col("f") - col("r")) * 1e6
+            + 0.5).cast("decimal(38,0)").as("qe"),
+          floor((col("prev") - col("r")) * (col("prev") - col("r")) * 1e6
+            + 0.5).cast("decimal(38,0)").as("qn"))
+        .agg(count(lit(1)).cast("long").as("n_scored"),
+          sum(col("qe")).as("se"), sum(col("qn")).as("sn"))
+      scored.crossJoin(broadcast(nm))
+        .withColumn("u2", when(col("sn").cast("double") > 0,
+          sqrt(col("se").cast("double") / col("sn").cast("double"))))
+        .select(col("n_months"), col("n_scored"),
+          detRound(sqrt(col("se").cast("double") / 1e6
+            / col("n_scored")), 6).as("rmse_model_mil"),
+          detRound(sqrt(col("sn").cast("double") / 1e6
+            / col("n_scored")), 6).as("rmse_naive_mil"),
+          detRound(col("u2"), 6).as("u2_stat"),
+          (col("u2") < 1.0).as("beats_naive"))
+    }),
+
     "x_holt_winters" -> ((s, d) => {
       // Holt–Winters additive-SEASONAL forecast (weekly period) of daily
       // order volume per priority — x_holt_forecast's ladder extended
@@ -2452,6 +2505,45 @@ object StatsOps {
             .cast("double") / (col("n") * col("sx")), 6).as("gini"))
     }),
 
+    "x_lorenz_curve" -> ((s, d) => {
+      // Decile Lorenz points of supplier revenue — the CURVE behind
+      // x_gini_concentration's scalar (Lorenz 1905): cumulative revenue
+      // share held by the poorest 10%, 20%, … of suppliers, the shape a
+      // planner reads before trusting any single concentration number.
+      // Ranks come from the scale-safe globalRank decomposition (never
+      // an unpartitioned row_number over the supplier table, never
+      // ntile floats); each supplier's FIRST decile is the pure integer
+      // ceil(10·i/n) = (10i + n − 1) div n, so the curve is a grouped
+      // sum onto ≤ 10 rows + one tiny cumulative window — revenue stays
+      // in exact 1e4 fixed-point longs until the two final divisions.
+      // Scale: one fact groupBy to O(suppliers), windows over distinct
+      // revenue values / 10 decile rows only.
+      val rev = t(s, d, "lineitem")
+        .groupBy(col("l_suppkey").cast("long").as("suppkey"))
+        .agg(sum(graft.types.Coercions.revenue(
+          col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("rev"))
+        .withColumn("rq", floor(col("rev") * 1e4 + 0.5).cast("long"))
+      val ranked = globalRank(rev, "rq", Seq("suppkey"), "i")
+      val tot = ranked.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("rq").cast("decimal(38,0)")).as("trq"))
+      val wc = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("decile", expr("(i * 10 + n - 1) div n"))
+        .groupBy(col("decile"), col("n"), col("trq"))
+        .agg(sum(col("rq").cast("decimal(38,0)")).as("dq"),
+          count(lit(1)).cast("long").as("dn"))
+        .withColumn("cumq", sum(col("dq")).over(wc))
+        .withColumn("cumn", sum(col("dn")).over(wc))
+        .select(col("decile").cast("long").as("decile"),
+          col("cumn").cast("long").as("n_cum_suppliers"),
+          detRound(col("cumq").cast("double") / 1e4, 2).as("cum_revenue"),
+          detRound(col("cumq").cast("double")
+            / col("trq").cast("double"), 6).as("cum_share"))
+        .orderBy("decile")
+    }),
+
     "x_rfm_segments" -> ((s, d) => {
       // RFM segmentation (recency / frequency / monetary quintiles — the
       // standard customer-value grid): per customer, days since last
@@ -3141,6 +3233,32 @@ object StatsOps {
             .as("between_share"))
     }),
 
+    "x_hoover_index" -> ((s, d) => {
+      // Hoover / Robin Hood index of customer revenue inequality
+      // (Hoover 1936) — the third member of the inequality family with
+      // the operational reading gini and Theil lack: H = ½·Σ|s_i − 1/N|
+      // is exactly the SHARE OF TOTAL REVENUE that would have to move
+      // between customers to equalize them. Same O(customers) grouped
+      // grain as x_theil_inequality (DECIMAL-exact revenue per
+      // customer), each |share − 1/N| term 1e12-quantized before the
+      // order-free DECIMAL sum, one broadcast scalar join — no window,
+      // no unbounded broadcast, one fact pass.
+      val pc = t(s, d, "orders")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("revd"))
+      val tot = pc.agg(count(lit(1)).as("n"), sum(col("revd")).as("td"))
+        .select(col("n"), col("td").cast("double").as("tt"))
+      val qsum = pc.crossJoin(broadcast(tot))
+        .select(floor(abs(col("revd").cast("double") / col("tt")
+          - lit(1.0) / col("n")) * 1e12 + 0.5).cast("long").as("qh"))
+        .agg(sum(col("qh").cast("decimal(38,0)")).as("qq"))
+      tot.crossJoin(broadcast(qsum))
+        .select(col("n").as("n_customers"),
+          detRound(col("tt"), 2).as("total_revenue"),
+          detRound(col("qq").cast("double") / 1e12 * 0.5, 6)
+            .as("hoover_index"))
+    }),
+
     "x_page_trend" -> ((s, d) => {
       // Page's L test for an ORDERED alternative across related
       // blocks (Page, JASA 1963) — to x_friedman_test exactly what
@@ -3550,6 +3668,68 @@ object StatsOps {
               .when(col("k") === 4, lit(7.814728))
               .when(col("k") === 5, lit(9.487729))
               .when(col("k") === 6, lit(11.070498)))
+            .as("reject_05"))
+    }),
+
+    "x_quade_test" -> ((s, d) => {
+      // Quade's weighted rank test (JASA 1979) on the shared complete-
+      // block spine — the Friedman variant with more power when the
+      // treatment effect SCALES with the block's level: each month's
+      // within-block ranks are weighted by the rank of that month's
+      // revenue RANGE across months, so high-spread blocks (where a
+      // real priority effect has room to show) dominate the statistic.
+      // S_ij = Q_i·(r_ij − (k+1)/2) with Q_i the block-range average
+      // rank; F = (b−1)B/(A−B), A = ΣS²_ij, B = ΣS²_j/b, df = (k−1),
+      // (b−1)(k−1). EXACT integer form throughout: with doubled average
+      // ranks q2 = 2·rank + ties − 1 (blocks, by DECIMAL-exact range)
+      // and r2 (within block, the shared rankedR2), 4·S_ij =
+      // q2_i·(r2_ij − (k+1)) is a plain integer, so 16A and 16bB are
+      // integer sums and F = (b−1)·Σ(4S_j)² / (b·Σ(4S_ij)² − Σ(4S_j)²)
+      // is a ratio of exact integers — no float rank arithmetic to
+      // diverge on. Windows over the O(months×k) cell table and the
+      // O(months) range table only. reject_05 uses the large-sample
+      // F(k−1, ∞) = χ²_{k−1}/(k−1) critical (honest only when the
+      // error df is big — NULL below 120, the table convention).
+      val full = completeBlocks(revBlockCells(s, d))
+      val ranked = rankedR2(full)
+      val ranges = full.groupBy(col("blk"))
+        .agg((max(col("rev")) - min(col("rev"))).as("rng"))
+        .withColumn("qrnk", rank().over(Window.orderBy("rng")))
+        .withColumn("qt", count(lit(1)).over(Window.partitionBy("rng")))
+        .withColumn("q2", lit(2L) * col("qrnk") + col("qt") - 1L)
+        .select(col("blk"), col("q2"))
+      val sc = ranked.join(broadcast(ranges), "blk")
+        .withColumn("s4", col("q2") * (col("r2") - (col("k") + 1)))
+      val a16 = sc.agg(
+        sum(col("s4").cast("decimal(38,0)") * col("s4")).as("a16"))
+      sc.groupBy(col("trt"), col("k"))
+        .agg(sum(col("s4")).cast("long").as("sj4"),
+          count(lit(1)).cast("long").as("nb"))
+        .groupBy(col("k"), col("nb"))
+        // promote BEFORE multiplying (the kendalls_w review lesson)
+        .agg(sum(col("sj4").cast("decimal(38,0)") * col("sj4")).as("b16"))
+        .crossJoin(broadcast(a16))
+        .withColumn("fden",
+          col("nb").cast("double") * col("a16").cast("double")
+            - col("b16").cast("double"))
+        .withColumn("f", when(col("fden") > 0,
+          (col("nb") - 1).cast("double") * col("b16").cast("double")
+            / col("fden")))
+        .withColumn("df2", (col("nb") - 1) * (col("k") - 1))
+        .select(col("nb").as("n_blocks"), col("k").as("k_treatments"),
+          detRound(col("a16").cast("double") / 16.0, 4).as("quade_a"),
+          detRound(col("b16").cast("double") / 16.0
+            / col("nb").cast("double"), 4).as("quade_b"),
+          detRound(col("f"), 6).as("f_stat"),
+          (col("k") - 1).cast("long").as("df1"),
+          col("df2").cast("long").as("df2"),
+          when(col("df2") >= 120, col("f") >
+            when(col("k") === 2, lit(3.841459))
+              .when(col("k") === 3, lit(5.991465))
+              .when(col("k") === 4, lit(7.814728))
+              .when(col("k") === 5, lit(9.487729))
+              .when(col("k") === 6, lit(11.070498))
+              / (col("k") - 1).cast("double"))
             .as("reject_05"))
     }),
 
@@ -4095,6 +4275,50 @@ object StatsOps {
           ORDER BY CAST(floor(abs(resid) * 1e6 + 0.5) AS BIGINT) DESC,
                    priority, day
           LIMIT 10"""
+    },
+
+    "x_theil_u_forecast" -> {
+      val num = brownNumSql("r", ewmaWLit)
+      val den = brownDenSql("r", ewmaQW)
+      s"""WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS mth,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                     AS DOUBLE) / 1e6 AS r
+            FROM orders GROUP BY 1),
+          nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months
+                 FROM monthly),
+          lad AS (
+            SELECT mth, r, $num AS nq, $den AS dq,
+                   lag(r, 1) OVER win AS prev,
+                   row_number() OVER (ORDER BY mth DESC) AS rnd
+            FROM monthly
+            WINDOW win AS (ORDER BY mth)),
+          sc AS (
+            SELECT r, prev,
+                   CAST(nq AS DOUBLE) / CAST(dq AS DOUBLE) AS f
+            FROM lad
+            WHERE rnd <= 12 AND dq > 0 AND prev IS NOT NULL),
+          agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+                   SUM(CAST(floor((f - r) * (f - r) * 1e6 + 0.5)
+                     AS HUGEINT)) AS se,
+                   SUM(CAST(floor((prev - r) * (prev - r) * 1e6
+                     + 0.5) AS HUGEINT)) AS sn
+            FROM sc),
+          fin AS (
+            SELECT n_scored, se, sn,
+                   CASE WHEN CAST(sn AS DOUBLE) > 0
+                     THEN sqrt(CAST(se AS DOUBLE) / CAST(sn AS DOUBLE))
+                     END AS u2
+            FROM agg)
+          SELECT m.n_months, a.n_scored,
+                 floor(sqrt(CAST(a.se AS DOUBLE) / 1e6 / a.n_scored)
+                       * 1e6 + 0.5) / 1e6 AS rmse_model_mil,
+                 floor(sqrt(CAST(a.sn AS DOUBLE) / 1e6 / a.n_scored)
+                       * 1e6 + 0.5) / 1e6 AS rmse_naive_mil,
+                 floor(a.u2 * 1e6 + 0.5) / 1e6 AS u2_stat,
+                 a.u2 < 1.0 AS beats_naive
+          FROM fin a CROSS JOIN nm m"""
     },
 
     "x_holt_winters" -> {
@@ -5319,6 +5543,40 @@ object StatsOps {
                       * 1e6 + 0.5) / 1e6 AS gini
          FROM rk""",
 
+    "x_lorenz_curve" ->
+      """WITH rev AS MATERIALIZED (
+           SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+                  CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                     * CAST(1.0 - l_discount AS DECIMAL(4,2)))
+                                  AS DOUBLE) * 1e4 + 0.5) AS BIGINT) AS rq
+           FROM lineitem GROUP BY 1),
+         rk AS (
+           SELECT rq, CAST(row_number() OVER (ORDER BY rq, suppkey)
+                           AS BIGINT) AS i
+           FROM rev),
+         tot AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(rq) AS HUGEINT) AS trq
+           FROM rk),
+         dd AS (
+           SELECT (i * 10 + n - 1) // n AS dcl, rq
+           FROM rk CROSS JOIN tot),
+         g AS (
+           SELECT dcl, CAST(SUM(rq) AS HUGEINT) AS dq,
+                  CAST(COUNT(*) AS BIGINT) AS dn
+           FROM dd GROUP BY 1),
+         c AS (
+           SELECT dcl, SUM(dq) OVER (ORDER BY dcl) AS cumq,
+                  SUM(dn) OVER (ORDER BY dcl) AS cumn
+           FROM g)
+         SELECT CAST(dcl AS BIGINT) AS decile,
+                CAST(cumn AS BIGINT) AS n_cum_suppliers,
+                floor(CAST(cumq AS DOUBLE) / 1e4 * 1e2 + 0.5) / 1e2
+                  AS cum_revenue,
+                floor(CAST(cumq AS DOUBLE) / CAST(trq AS DOUBLE)
+                      * 1e6 + 0.5) / 1e6 AS cum_share
+         FROM c CROSS JOIN tot ORDER BY decile""",
+
     "x_rfm_segments" ->
       """WITH byc AS MATERIALIZED (
            SELECT CAST(o_custkey AS BIGINT) AS custkey,
@@ -5846,6 +6104,27 @@ object StatsOps {
                   * 1e6 + 0.5) / 1e6 AS between_share
          FROM cnts c, ttl a, btw b, wth w""",
 
+    "x_hoover_index" ->
+      """WITH pc AS MATERIALIZED (
+           SELECT o_custkey AS ck,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS revd
+           FROM orders GROUP BY 1),
+         tot AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(revd) AS DOUBLE) AS tt
+           FROM pc),
+         q AS (
+           SELECT CAST(SUM(CAST(CAST(floor(
+                    abs(CAST(p.revd AS DOUBLE) / t.tt - 1.0 / t.n)
+                    * 1e12 + 0.5) AS BIGINT) AS HUGEINT)) AS HUGEINT)
+                  AS qq
+           FROM pc p, tot t)
+         SELECT t.n AS n_customers,
+                floor(t.tt * 1e2 + 0.5) / 1e2 AS total_revenue,
+                floor(CAST(q.qq AS DOUBLE) / 1e12 * 0.5 * 1e6 + 0.5)
+                  / 1e6 AS hoover_index
+         FROM tot t, q q""",
+
     "x_page_trend" ->
       s"""WITH $revCellsSql,
          $completeBlockSql,
@@ -6146,6 +6425,56 @@ object StatsOps {
                                WHEN 5 THEN 9.487729
                                WHEN 6 THEN 11.070498 END AS reject_05
          FROM fin3""",
+
+    "x_quade_test" ->
+      s"""WITH $revCellsSql,
+         $completeBlockSql,
+         $rankedR2Sql,
+         rng AS (
+           SELECT blk, max(rev) - min(rev) AS rng
+           FROM full_b GROUP BY 1),
+         qrk AS (
+           SELECT blk, 2 * rank() OVER (ORDER BY rng)
+                    + COUNT(*) OVER (PARTITION BY rng) - 1 AS q2
+           FROM rng),
+         sc AS (
+           SELECT r.trt, r.k, q.q2 * (r.r2 - (r.k + 1)) AS s4
+           FROM ranked r JOIN qrk q USING (blk)),
+         a16t AS (SELECT SUM(CAST(s4 AS HUGEINT) * s4) AS a16 FROM sc),
+         sj AS (
+           SELECT trt, k, CAST(SUM(s4) AS BIGINT) AS sj4,
+                  CAST(COUNT(*) AS BIGINT) AS nb
+           FROM sc GROUP BY 1, 2),
+         b16t AS (
+           SELECT k, nb, SUM(CAST(sj4 AS HUGEINT) * sj4) AS b16
+           FROM sj GROUP BY 1, 2),
+         fin AS (
+           SELECT b.nb, b.k, a.a16, b.b16,
+                  CAST(b.nb AS DOUBLE) * CAST(a.a16 AS DOUBLE)
+                    - CAST(b.b16 AS DOUBLE) AS fden
+           FROM b16t b CROSS JOIN a16t a),
+         fin2 AS (
+           SELECT nb, k, a16, b16,
+                  CASE WHEN fden > 0 THEN CAST(nb - 1 AS DOUBLE)
+                    * CAST(b16 AS DOUBLE) / fden END AS f,
+                  (nb - 1) * (k - 1) AS df2
+           FROM fin)
+         SELECT nb AS n_blocks, k AS k_treatments,
+                floor(CAST(a16 AS DOUBLE) / 16.0 * 1e4 + 0.5) / 1e4
+                  AS quade_a,
+                floor(CAST(b16 AS DOUBLE) / 16.0 / CAST(nb AS DOUBLE)
+                      * 1e4 + 0.5) / 1e4 AS quade_b,
+                floor(f * 1e6 + 0.5) / 1e6 AS f_stat,
+                CAST(k - 1 AS BIGINT) AS df1,
+                CAST(df2 AS BIGINT) AS df2,
+                CASE WHEN df2 >= 120 THEN
+                  f > (CASE k WHEN 2 THEN 3.841459
+                              WHEN 3 THEN 5.991465
+                              WHEN 4 THEN 7.814728
+                              WHEN 5 THEN 9.487729
+                              WHEN 6 THEN 11.070498 END)
+                      / CAST(k - 1 AS DOUBLE) END AS reject_05
+         FROM fin2""",
 
     "x_jonckheere_terpstra" ->
       """WITH hist AS MATERIALIZED (

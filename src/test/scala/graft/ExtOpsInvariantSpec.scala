@@ -1235,4 +1235,203 @@ class ExtOpsInvariantSpec extends SparkSpec {
         s"$b cadence identity: $opy x $cyc")
     }
   }
+
+  // ---- r18 additions -------------------------------------------------
+
+  test("x_quade_test: A, B and F match a plain-double average-rank " +
+      "recompute (float ranks, not the engine's doubled-integer form), " +
+      "and A >= B >= 0") {
+    import org.apache.spark.sql.functions._
+    val cells = graft.util.Tables.t(spark, sf, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("string")
+          .as("m"),
+        col("o_orderpriority").as("p"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getAs[java.math.BigDecimal]("rev")))
+    val k = cells.map(_._2).distinct.length
+    val full = cells.groupBy(_._1).filter(_._2.length == k)
+    val b = full.size
+    def avgRank[T](vals: Seq[T], x: T)(cmp: (T, T) => Int): Double = {
+      val less = vals.count(v => cmp(v, x) < 0)
+      val eq = vals.count(v => cmp(v, x) == 0)
+      less + (eq + 1) / 2.0
+    }
+    val ranges = full.view.mapValues { blk =>
+      val vs = blk.map(_._3)
+      vs.max.subtract(vs.min)
+    }.toMap
+    val rvals = ranges.values.toSeq
+    var a = 0.0
+    val sj = scala.collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(0.0)
+    full.foreach { case (m, blk) =>
+      val qi = avgRank(rvals, ranges(m))(_.compareTo(_))
+      val vs = blk.map(_._3).toSeq
+      blk.foreach { c =>
+        val rij = avgRank(vs, c._3)(_.compareTo(_))
+        val sij = qi * (rij - (k + 1) / 2.0)
+        a += sij * sij
+        sj(c._2) += sij
+      }
+    }
+    val bb = sj.values.map(x => x * x).sum / b
+    val got = run("x_quade_test").collect().head
+    assert(got.getAs[Long]("n_blocks") == b.toLong)
+    assert(got.getAs[Long]("k_treatments") == k.toLong)
+    assert(a >= bb && bb >= 0.0)
+    assert(math.abs(got.getAs[Double]("quade_a") - a) < 1e-3,
+      s"A ${got.getAs[Double]("quade_a")} vs brute $a")
+    assert(math.abs(got.getAs[Double]("quade_b") - bb) < 1e-3,
+      s"B ${got.getAs[Double]("quade_b")} vs brute $bb")
+    assert(got.getAs[Long]("df1") == (k - 1).toLong)
+    assert(got.getAs[Long]("df2") == ((b - 1) * (k - 1)).toLong)
+    if (a > bb) {
+      val f = (b - 1) * bb / (a - bb)
+      assert(math.abs(got.getAs[Double]("f_stat") - f) < 1e-5,
+        s"F ${got.getAs[Double]("f_stat")} vs brute $f")
+    } else assert(got.isNullAt(got.fieldIndex("f_stat")))
+  }
+
+  test("x_lorenz_curve: cumulative shares match a sorted-vector " +
+      "recompute, the curve is monotone, convex, below the diagonal, " +
+      "and ends at exactly 1.0") {
+    import org.apache.spark.sql.functions._
+    val rq = graft.util.Tables.t(spark, sf, "lineitem")
+      .groupBy(col("l_suppkey").cast("long").as("sk"))
+      .agg(sum(graft.types.Coercions.revenue(
+        col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("rev"))
+      .collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 1e4 + 0.5)
+        .toLong))
+      .sortBy(x => (x._2, x._1))
+    val n = rq.length
+    val tot = rq.map(_._2).sum
+    val rows = run("x_lorenz_curve").collect()
+    assert(rows.length == 10)
+    var prevShare = 0.0
+    var prevInc = -1.0
+    rows.sortBy(_.getAs[Long]("decile")).foreach { r =>
+      val d = r.getAs[Long]("decile").toInt
+      val idx = n * d / 10
+      assert(r.getAs[Long]("n_cum_suppliers") == idx.toLong)
+      val share = rq.take(idx).map(_._2).sum.toDouble / tot
+      val gs = r.getAs[Double]("cum_share")
+      assert(math.abs(gs - share) < 1e-6, s"decile $d: $gs vs $share")
+      assert(gs >= prevShare, s"monotone at $d")
+      val inc = gs - prevShare
+      // convexity: each decile's increment is >= the previous one's
+      // (suppliers are sorted ascending, so later slices are richer)
+      assert(inc >= prevInc - 1e-9, s"convex at $d")
+      assert(gs <= d / 10.0 + 1e-9, s"below diagonal at $d")
+      prevShare = gs; prevInc = inc
+    }
+    assert(rows.map(_.getAs[Double]("cum_share")).max == 1.0)
+  }
+
+  test("x_hoover_index: H matches a plain-double recompute over " +
+      "per-customer revenue and sits in [0, 1)") {
+    import org.apache.spark.sql.functions._
+    val rv = graft.util.Tables.t(spark, sf, "orders")
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+      .collect()
+      .map(_.getAs[java.math.BigDecimal]("rev").doubleValue())
+    val n = rv.length
+    val tt = rv.sum
+    val h = 0.5 * rv.map(v => math.abs(v / tt - 1.0 / n)).sum
+    val got = run("x_hoover_index").collect().head
+    assert(got.getAs[Long]("n_customers") == n.toLong)
+    val gh = got.getAs[Double]("hoover_index")
+    assert(gh >= 0.0 && gh < 1.0)
+    assert(math.abs(gh - h) < 1e-6, s"H $gh vs brute $h")
+  }
+
+  test("x_tsb_demand: p-hat and z-hat match a sequential plain-Scala " +
+      "TSB recompute, p-hat is a probability, the rate identity " +
+      "rate = p*z holds, and z-hat equals Croston's size estimate " +
+      "bit-for-bit (same ladder)") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.util.Tables.t(spark, sf, "lineitem")
+      .join(graft.util.Tables.t(spark, sf, "part")
+        .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("b"),
+        date_trunc("day", col("l_shipdate")).cast("string").as("day"))
+      .agg(sum(floor(col("l_quantity") * 1e4 + lit(0.5))
+        .cast("long")).as("qq"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1).substring(0, 10),
+        r.getLong(2) / 1e4))
+    val dmax = daily.map(_._2).max
+    def lagDays(from: String, to: String): Long =
+      java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(from), java.time.LocalDate.parse(to))
+    val denP = (0 until 40).map(j => math.pow(0.8, j)).sum
+    val rows = run("x_tsb_demand").collect()
+    assert(rows.length == daily.map(_._1).distinct.length)
+    val croston = run("x_croston_demand").collect()
+      .map(r => r.getAs[String]("brand") -> r.getAs[Double]("size_hat"))
+      .toMap
+    rows.foreach { r =>
+      val b = r.getAs[String]("brand")
+      val xs = daily.filter(_._1 == b).sortBy(_._2)
+      // probability: beta-ladder over calendar lags < 40 from dmax
+      val pN = xs.filter(x => lagDays(x._2, dmax) < 40)
+        .map(x => math.pow(0.8, lagDays(x._2, dmax).toDouble)).sum
+      val p = pN / denP
+      // size: croston ladder over the last <= 40 demand days
+      val zs = xs.map(_._3).takeRight(40).reverse // most recent first
+      val ws = zs.indices.map(j => math.pow(0.8, j))
+      val z = zs.zip(ws).map { case (q, w) => q * w }.sum / ws.sum
+      val gp = r.getAs[Double]("p_hat")
+      val gz = r.getAs[Double]("z_hat")
+      assert(gp >= 0.0 && gp <= 1.0, s"$b p-hat range")
+      assert(math.abs(gp - p) < 1e-4, s"$b p-hat $gp vs $p")
+      assert(math.abs(gz - z) < 1e-4, s"$b z-hat $gz vs $z")
+      // gp/gz are 6-dp-rounded outputs while tsb_rate rounds the RAW
+      // product, so the identity holds to z·1e-6 ≈ 1e-4, not 1e-6
+      assert(math.abs(r.getAs[Double]("tsb_rate") - gp * gz) < 1e-4,
+        s"$b rate identity")
+      // same ladder, same rounding: TSB's size estimate IS Croston's
+      assert(gz == croston(b), s"$b z-hat vs croston size_hat")
+    }
+  }
+
+  test("x_theil_u_forecast: U2 matches a sequential plain-Scala " +
+      "SES-ladder-vs-naive recompute over the last 12 months and the " +
+      "beats-naive verdict is consistent") {
+    import org.apache.spark.sql.functions._
+    val ys = graft.util.Tables.t(spark, sf, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("string")
+        .as("m"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+      .collect()
+      .map(r => (r.getString(0),
+        r.getAs[java.math.BigDecimal]("rev").doubleValue() / 1e6))
+      .sortBy(_._1).map(_._2)
+    val tN = ys.length
+    var num = 0.0; var den = 0.0
+    for (t <- (tN - 12) until tN) {
+      val lags = (1 to 40).filter(i => t - i >= 0)
+      val w = lags.map(i => math.pow(0.7, i))
+      val f = lags.zip(w).map { case (i, wi) => ys(t - i) * wi }.sum /
+        w.sum
+      num += (f - ys(t)) * (f - ys(t))
+      den += (ys(t - 1) - ys(t)) * (ys(t - 1) - ys(t))
+    }
+    val u2 = math.sqrt(num / den)
+    val got = run("x_theil_u_forecast").collect().head
+    assert(got.getAs[Long]("n_months") == tN.toLong)
+    assert(got.getAs[Long]("n_scored") == 12L)
+    val gu = got.getAs[Double]("u2_stat")
+    assert(math.abs(gu - u2) < 1e-5, s"U2 $gu vs brute $u2")
+    assert(got.getAs[Boolean]("beats_naive") == (gu < 1.0))
+    assert(math.abs(got.getAs[Double]("rmse_model_mil")
+      - math.sqrt(num / 12)) < 1e-5)
+    assert(math.abs(got.getAs[Double]("rmse_naive_mil")
+      - math.sqrt(den / 12)) < 1e-5)
+  }
 }

@@ -185,6 +185,10 @@ class PlanAuditSpec extends SparkSpec {
     // binary-flag table
     "x_generalized_esd", "x_tukey_fences", "x_theil_inequality",
     "x_page_trend", "x_cochran_q",
+    // x_quade_test checkpoints the O(months×k) complete-block cell
+    // table (the shared completeBlocks spine — same bounded subplan as
+    // friedman/page/cochran/kendalls_w)
+    "x_quade_test",
     // x_kendalls_w checkpoints the O(months×k) complete-block cell
     // table (the x_friedman_test site, shared rationale)
     "x_kendalls_w",

@@ -102,12 +102,14 @@ class ShuffleCountSpec extends SparkSpec {
     // checkpoint build); x_betweenness_sample's 2 and
     // x_croston_backtest's 2 are the checkpoint caveat above (the
     // BFS/backward ladder and the train/holdout scoring run during
-    // construction); x_grubbs_outlier's 3 is the daily-grain moment
-    // agg + extreme-pick window + final sort
+    // construction); x_grubbs_outlier dropped 3 -> 1 in r18 when the
+    // staged t-quantile moved the moment agg + extreme-pick window
+    // behind the pick-frame checkpoint (5 bounded rows) — the visible
+    // residual is the final sort
     "x_abc_xyz" -> 10,
     "x_betweenness_sample" -> 2,
     "x_croston_backtest" -> 2,
-    "x_grubbs_outlier" -> 3,
+    "x_grubbs_outlier" -> 1,
     "x_frequent_itemsets" -> 7,
     "x_isotonic_calibration" -> 0,
     "x_kaplan_meier" -> 3,
