@@ -782,6 +782,113 @@ object StreamingIngest {
         ewBatch(spark, outPath, statePath, batch, batchId)
       }
 
+  // ---- streaming histogram-quantile sink (r18) ----------------------------
+
+  // Per-type fixed cent-bucket histogram of event VALUES — the QUANTILE
+  // member of the monitor family (PH/CUSUM/EWMA watch the hourly COUNT
+  // level; this watches the value DISTRIBUTION): p50/p90/p99 per
+  // trigger as integer-cum rank picks over the folded bucket counts
+  // (the newsvendor pick, online). State is O(bins) longs per type in
+  // the shared codec — bounded forever, any corpus size — and the
+  // picks touch only the O(types × bins) state, never history. Bucket
+  // = 100 cents (one currency unit), 512 buckets with the last as the
+  // clamp bucket; the clamp count is EXPORTED per row (n_overflow, the
+  // no-silent-caps rule) so a monitor sees when the domain outgrows
+  // the grid rather than silently reading a saturated p99.
+  private val HqBucketCents = 100L
+  private val HqBuckets = 512
+
+  /** Per-type histogram state: n = folded events; buckets = cumulative
+    * per-bucket counts (value-domain histogram, not hourly — no
+    * pending-hour machinery: a value row folds the moment it arrives,
+    * there is nothing to finalize). */
+  private[graft] case class HqState(n: Long, buckets: Vector[Long])
+
+  private[graft] val hqEmpty = HqState(0L, Vector.fill(HqBuckets)(0L))
+
+  /** Smallest bucket whose cumulative count reaches the qNum/qDen
+    * rank — pure integer comparison (cum·qDen ≥ qNum·n), the
+    * x_newsvendor_quantile discipline applied online. */
+  private[graft] def hqPick(buckets: Vector[Long], n: Long,
+      qNum: Long, qDen: Long): Long = {
+    var cum = 0L
+    var b = 0
+    while (b < buckets.length) {
+      cum += buckets(b)
+      if (cum * qDen >= qNum * n) return b.toLong
+      b += 1
+    }
+    (buckets.length - 1).toLong
+  }
+
+  /** (lastBatchId, type -> HqState); (-1, empty) when fresh. */
+  private[graft] def hqStates(statePath: String)
+      : (Long, Map[String, HqState]) = {
+    val (last, raw) = readLongVecState(statePath)
+    (last, raw.map { case (t, v) =>
+      t -> HqState(v.head, v.drop(1).toVector)
+    })
+  }
+
+  private def hqWriteState(statePath: String, batchId: Long,
+      types: Map[String, HqState]): Unit =
+    writeLongVecState(statePath, batchId, types.map { case (t, s) =>
+      t -> (s.n +: s.buckets)
+    })
+
+  private[graft] def hqBatch(spark: SparkSession, outPath: String,
+      statePath: String, batch: DataFrame, batchId: Long): Unit = {
+    val (last, st0) = hqStates(statePath)
+    if (batchId <= last) return // replayed trigger already folded
+    // one grouped count of the micro-batch onto the bounded bucket
+    // grid — the collect is O(types × bins), never O(rows)
+    val hist = batch
+      .groupBy(col("event_type"),
+        least(greatest(floor(floor(col("value") * 100 + 0.5)
+          / HqBucketCents), lit(0.0)),
+          lit((HqBuckets - 1).toDouble)).cast("long").as("b"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val st1 = hist.foldLeft(st0) { case (acc, (tpe, b, c)) =>
+      val s = acc.getOrElse(tpe, hqEmpty)
+      acc.updated(tpe, HqState(s.n + c,
+        s.buckets.updated(b.toInt, s.buckets(b.toInt) + c)))
+    }
+    if (st1.nonEmpty) {
+      import spark.implicits._
+      st1.toSeq.sortBy(_._1).map { case (tpe, s) =>
+        def edge(p: Long): Double = (p + 1) * HqBucketCents / 100.0
+        (batchId, tpe, s.n,
+          edge(hqPick(s.buckets, s.n, 1L, 2L)),
+          edge(hqPick(s.buckets, s.n, 9L, 10L)),
+          edge(hqPick(s.buckets, s.n, 99L, 100L)),
+          s.buckets.last)
+      }.toDF("batch_id", "event_type", "n_events", "p50_le", "p90_le",
+          "p99_le", "n_overflow")
+        .coalesce(1).write.mode("append").parquet(outPath)
+    }
+    hqWriteState(statePath, batchId, st1)
+  }
+
+  /** Streaming histogram-quantile sink — the distribution monitor
+    * beside the three level monitors, in the shared foreachBatch
+    * skeleton with the SAME crash/replay contracts (phDriftSink's
+    * verbatim: batchId-guarded exactly-once state, at-least-once
+    * verdict rows deduped on (batch_id, event_type)). One row per type
+    * per trigger: running p50/p90/p99 upper edges over ALL folded
+    * values plus the clamp-bucket count. */
+  def histogramQuantileSink(events: DataFrame, spark: SparkSession,
+      outPath: String, statePath: String, checkpoint: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        hqBatch(spark, outPath, statePath, batch, batchId)
+      }
+
   /** Streaming twin of x_srm_check: the sample-ratio-mismatch gate run
     * CONTINUOUSLY over the ingest instead of at end-of-day audit. Per
     * micro-batch, the batch's three arm counts (same md5 coin as the

@@ -1513,6 +1513,103 @@ class StreamingSpec extends SparkSpec {
     assert(st.size == 2)
   }
 
+  test("streaming histogram-quantile sink: running p50/p90/p99 equal " +
+      "a batch rank-pick over the same folded counts, quantiles are " +
+      "monotone, the clamp bucket is exported, replayed batch is a " +
+      "no-op, and the crash window appends a bit-identical duplicate " +
+      "verdict while state stays exactly-once") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val out = tmpDir("hq-out")
+    val state = tmpDir("hq-state") + "/_hq.json"
+    val ck = tmpDir("hq-ck")
+    val mem = MemoryStream[(String, Double)]
+    val events = mem.toDF().toDF("event_type", "value")
+    // type a: 1..100 units, then 101..150 plus one far-out-of-grid
+    // value (clamps); type b: constant 7.5 — degenerate distribution
+    val b1 = (1 to 100).map(i => ("a", i + 0.25)) ++
+      Seq.fill(10)(("b", 7.5))
+    val b2 = (101 to 150).map(i => ("a", i + 0.25)) ++
+      Seq(("a", 9999.0)) ++ Seq.fill(5)(("b", 7.5))
+    mem.addData(b1: _*)
+    val q1 = StreamingIngest.histogramQuantileSink(events, spark, out,
+      state, ck).start()
+    q1.awaitTermination()
+    mem.addData(b2: _*)
+    val q2 = StreamingIngest.histogramQuantileSink(events, spark, out,
+      state, ck).start()
+    q2.awaitTermination()
+    // batch rank-pick over the SAME bucketing of all folded values
+    def bucket(v: Double): Int =
+      math.min(math.max(
+        math.floor(math.floor(v * 100 + 0.5) / 100.0), 0.0), 511.0).toInt
+    def brute(vs: Seq[Double], num: Long, den: Long): Double = {
+      val bs = Array.fill(512)(0L)
+      vs.foreach(v => bs(bucket(v)) += 1)
+      var cum = 0L
+      var b = 0
+      while (b < 512) {
+        cum += bs(b)
+        if (cum * den >= num * vs.size) return (b + 1) * 1.0
+        b += 1
+      }
+      512.0
+    }
+    val allRows = spark.read.parquet(out).collect()
+    def row(bid: Long, tpe: String) = allRows
+      .filter(r => r.getAs[Long]("batch_id") == bid &&
+        r.getAs[String]("event_type") == tpe).head
+    // after batch 0: only b1's values folded
+    val aVals1 = b1.filter(_._1 == "a").map(_._2)
+    val r0 = row(0L, "a")
+    assert(r0.getAs[Long]("n_events") == aVals1.size.toLong)
+    assert(r0.getAs[Double]("p50_le") == brute(aVals1, 1L, 2L))
+    assert(r0.getAs[Double]("p90_le") == brute(aVals1, 9L, 10L))
+    assert(r0.getAs[Double]("p99_le") == brute(aVals1, 99L, 100L))
+    // after batch 1: cumulative over both micro-batches
+    val aVals = aVals1 ++ b2.filter(_._1 == "a").map(_._2)
+    val r1 = row(1L, "a")
+    assert(r1.getAs[Long]("n_events") == aVals.size.toLong)
+    assert(r1.getAs[Double]("p50_le") == brute(aVals, 1L, 2L))
+    assert(r1.getAs[Double]("p90_le") == brute(aVals, 9L, 10L))
+    assert(r1.getAs[Double]("p99_le") == brute(aVals, 99L, 100L))
+    assert(r1.getAs[Double]("p50_le") <= r1.getAs[Double]("p90_le") &&
+      r1.getAs[Double]("p90_le") <= r1.getAs[Double]("p99_le"))
+    // the 9999.0 value clamped into the last bucket — and is VISIBLE
+    assert(r0.getAs[Long]("n_overflow") == 0L)
+    assert(r1.getAs[Long]("n_overflow") == 1L)
+    // degenerate type: every quantile is the one occupied bucket's edge
+    val rb = row(1L, "b")
+    assert(rb.getAs[Double]("p50_le") == 8.0 &&
+      rb.getAs[Double]("p99_le") == 8.0)
+    // replayed batchId must not re-fold
+    val before = StreamingIngest.hqStates(state)
+    StreamingIngest.hqBatch(spark, out, state,
+      Seq(("a", 50.25)).toDF("event_type", "value"), batchId = 0L)
+    assert(StreamingIngest.hqStates(state) == before,
+      "replayed batchId must be a no-op")
+    // crash window: verdict appended, state write lost -> the replay
+    // re-folds from the OLD state and appends a bit-identical duplicate
+    // verdict row; state lands exactly where the single fold put it
+    val stateBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(state))
+    val dfCrash = Seq(("a", 50.25)).toDF("event_type", "value")
+    StreamingIngest.hqBatch(spark, out, state, dfCrash, batchId = 2L)
+    val afterOnce = StreamingIngest.hqStates(state)
+    java.nio.file.Files.write(java.nio.file.Paths.get(state), stateBytes)
+    StreamingIngest.hqBatch(spark, out, state, dfCrash, batchId = 2L)
+    assert(StreamingIngest.hqStates(state) == afterOnce,
+      "state must be exactly-once under the batch cursor")
+    val dup = spark.read.parquet(out).collect()
+      .filter(r => r.getAs[Long]("batch_id") == 2L &&
+        r.getAs[String]("event_type") == "a")
+    assert(dup.length == 2, "at-least-once verdict: duplicate appended")
+    assert(dup.map(_.toString).distinct.length == 1,
+      "duplicate verdict rows must be bit-identical")
+    // state stays O(types)
+    assert(afterOnce._2.size == 2)
+  }
+
   test("sink crash between verdict append and state write: the replay " +
       "appends a DUPLICATE verdict row for the same (batch_id, " +
       "event_type) — the at-least-once contract documented at the " +
