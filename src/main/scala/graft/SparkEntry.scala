@@ -73,21 +73,18 @@ object SparkEntry {
     * operator families, ROTATED each round (r13 verdict #5) so every
     * round's additions get one round of min-of-N wall-clock tracking
     * before settling into ShuffleCountSpec-only structural coverage.
-    * r17 rotation (r16 verdict #3): the expensive r16 additions —
-    * x_betweenness_sample (now on the top-64 strongest-relation
-    * backbone; its first tier round doubles as the post-cap wall-clock
-    * pin) and x_croston_backtest (5.2 s at sf0.1), plus x_abc_xyz
-    * (after the r17 one-scan fold) and x_grubbs_outlier (13.8 s
-    * standalone at sf0.1 — the Hill-396 codegen constant the r16
-    * verdict asked to adjudicate in-tier: corpus-independent per the
-    * 1×/10× job-count probe, so in-budget here means no staged split
-    * needed). The r16 members (x_croston_demand, x_textrank_keywords,
-    * x_clustering_coeff, x_holt_winters, x_welch_anova,
-    * x_jonckheere_terpstra) graduated to ShuffleCountSpec's alumni
-    * pins — plans still structurally pinned, no longer benched per
-    * round. */
+    * r18 rotation (r17 verdict #4): the seven r17 additions —
+    * x_generalized_esd is included ONLY because the staged t-quantile
+    * landed first (r17 verdict #1; 47.8 s → 2.5 s at sf0.1, the
+    * ×5 Hill-396 plan/codegen constant now paid once on a checkpointed
+    * 25-row frame), per the rotation rule the r17 verdict endorsed;
+    * the other six are sub-second-to-2 s block-spine/inequality/policy
+    * ops. The r17 members (x_betweenness_sample, x_croston_backtest,
+    * x_abc_xyz, x_grubbs_outlier) graduated to ShuffleCountSpec's
+    * alumni pins — plans still structurally pinned, no longer benched
+    * per round. */
   def freshQueries: Seq[String] = Seq(
-    "x_betweenness_sample", "x_croston_backtest", "x_abc_xyz",
-    "x_grubbs_outlier"
+    "x_generalized_esd", "x_tukey_fences", "x_theil_inequality",
+    "x_page_trend", "x_cochran_q", "x_kendalls_w", "x_eoq_policy"
   ).filter(queries.contains)
 }

@@ -48,7 +48,10 @@ class ShuffleCountSpec extends SparkSpec {
     "x_shapley_attribution", "x_tukey_hsd", "x_isotonic_calibration",
     // r17 graduation (the r16 fresh tier)
     "x_croston_demand", "x_textrank_keywords", "x_clustering_coeff",
-    "x_holt_winters", "x_welch_anova", "x_jonckheere_terpstra")
+    "x_holt_winters", "x_welch_anova", "x_jonckheere_terpstra",
+    // r18 graduation (the r17 fresh tier)
+    "x_betweenness_sample", "x_croston_backtest", "x_abc_xyz",
+    "x_grubbs_outlier")
 
   private lazy val counts: Map[String, Int] =
     (SparkEntry.benchQueries ++ SparkEntry.heavyQueries ++
@@ -110,6 +113,23 @@ class ShuffleCountSpec extends SparkSpec {
     "x_betweenness_sample" -> 2,
     "x_croston_backtest" -> 2,
     "x_grubbs_outlier" -> 1,
+    // r18 fresh-tier rotation (the r17 additions): the block-spine
+    // members' visible plans start from the checkpointed complete-block
+    // cells (page_trend's 1 is the final sort; cochran_q/kendalls_w add
+    // the rank/tie groupings); x_generalized_esd's 1 is the residual
+    // verdict join — the five Rosner rounds and the staged t-quantile
+    // run during construction behind checkpoints; x_theil_inequality's
+    // 9 spans the three decomposition grains off the checkpointed
+    // customer table; x_tukey_fences' 6 is the cents-histogram cumsum +
+    // fence-count groupings; x_eoq_policy's 4 is the day-grain agg +
+    // policy joins
+    "x_cochran_q" -> 3,
+    "x_eoq_policy" -> 4,
+    "x_generalized_esd" -> 1,
+    "x_kendalls_w" -> 3,
+    "x_page_trend" -> 1,
+    "x_theil_inequality" -> 9,
+    "x_tukey_fences" -> 6,
     "x_frequent_itemsets" -> 7,
     "x_isotonic_calibration" -> 0,
     "x_kaplan_meier" -> 3,
