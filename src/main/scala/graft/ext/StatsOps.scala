@@ -390,6 +390,26 @@ object StatsOps {
   // priority series (x_generalized_esd).
   private val EsdR = 5
 
+  // ---- shared monthly-revenue-in-millions series (r18) -------------------
+  // One definition per engine for the forecast-evaluation pair
+  // (x_theil_u_forecast, x_mase_forecast): the monthly grouped revenue
+  // series normalized to MILLIONS, so the shared 1e9 fixed-point
+  // ladder terms stay inside BIGINT at any corpus size (raw monthly
+  // revenue crosses the long range near sf≈3) — both U₂ and MASE are
+  // scale-invariant ratios, and the divided series is the same exact
+  // double in both engines.
+  private def monthlyRevMil(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mth"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double") / 1e6).as("r"))
+
+  private val monthlyRevMilSql: String =
+    """SELECT date_trunc('month', o_orderdate) AS mth,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DOUBLE) / 1e6 AS r
+       FROM orders GROUP BY 1"""
+
   // ---- complete-block machinery (pre-seal review r17: friedman /
   // page / cochran_q / kendalls_w briefly carried four copies of the
   // same block spine in BOTH engines; one builder + one CTE prefix
@@ -963,10 +983,7 @@ object StatsOps {
       // Windows run over the grouped monthly table only — bounded at
       // any corpus size.
       val w = Window.orderBy("mth")
-      val monthly = t(s, d, "orders")
-        .groupBy(date_trunc("month", col("o_orderdate")).as("mth"))
-        .agg((sum(col("o_totalprice").cast("decimal(18,4)"))
-          .cast("double") / 1e6).as("r"))
+      val monthly = monthlyRevMil(s, d)
       def lagR(i: Int) = lag(col("r"), i).over(w)
       val nm = monthly.agg(count(lit(1)).cast("long").as("n_months"))
       val scored = monthly
@@ -994,6 +1011,58 @@ object StatsOps {
             / col("n_scored")), 6).as("rmse_naive_mil"),
           detRound(col("u2"), 6).as("u2_stat"),
           (col("u2") < 1.0).as("beats_naive"))
+    }),
+
+    "x_mase_forecast" -> ((s, d) => {
+      // MASE — mean absolute scaled error (Hyndman & Koehler, IJF
+      // 2006): the same SES-ladder one-step forecasts x_theil_u_forecast
+      // scores, but on ABSOLUTE error scaled by the IN-SAMPLE one-step
+      // naive MAE over the training prefix — the scale-free accuracy
+      // metric the forecasting literature standardized on because it
+      // is defined even when U₂'s denominators degenerate (a flat test
+      // window) and it penalizes large errors linearly, not
+      // quadratically. Reporting BOTH is the point: on this fixture
+      // U₂ = 0.88 (beats naive on squared out-of-sample error) while
+      // MASE > 1 (loses on absolute error against the calmer train
+      // steps) — a model verdict one metric alone would get wrong.
+      // Same shared monthly-millions series and brownNum/brownDen
+      // ladder; |e| terms 1e6-quantized before their DECIMAL sums;
+      // windows over the O(months) grouped table only.
+      val w = Window.orderBy("mth")
+      val monthly = monthlyRevMil(s, d)
+      def lagR(i: Int) = lag(col("r"), i).over(w)
+      val nm = monthly.agg(count(lit(1)).cast("long").as("n_months"))
+      val base = monthly
+        .withColumn("nq", brownNum(lagR, ewmaW))
+        .withColumn("dq", brownDen(lagR, ewmaQW))
+        .withColumn("prev", lag(col("r"), 1).over(w))
+        .withColumn("rnd", row_number().over(Window.orderBy(desc("mth"))))
+      val sc = base
+        .filter(col("rnd") <= 12 && col("dq") > 0)
+        .withColumn("f",
+          col("nq").cast("double") / col("dq").cast("double"))
+        .select(floor(abs(col("f") - col("r")) * 1e6 + 0.5)
+          .cast("decimal(38,0)").as("qe"))
+        .agg(count(lit(1)).cast("long").as("n_scored"),
+          sum(col("qe")).as("se"))
+      val scl = base
+        .filter(col("rnd") > 12 && col("prev").isNotNull)
+        .select(floor(abs(col("r") - col("prev")) * 1e6 + 0.5)
+          .cast("decimal(38,0)").as("qn"))
+        .agg(count(lit(1)).cast("long").as("n_train_steps"),
+          sum(col("qn")).as("sn"))
+      sc.crossJoin(broadcast(scl)).crossJoin(broadcast(nm))
+        .withColumn("mm",
+          col("se").cast("double") / 1e6 / col("n_scored"))
+        .withColumn("ms",
+          col("sn").cast("double") / 1e6 / col("n_train_steps"))
+        .withColumn("mase",
+          when(col("ms") > 0, col("mm") / col("ms")))
+        .select(col("n_months"), col("n_scored"), col("n_train_steps"),
+          detRound(col("mm"), 6).as("mae_model_mil"),
+          detRound(col("ms"), 6).as("scale_naive_mil"),
+          detRound(col("mase"), 6).as("mase"),
+          (col("mase") < 1.0).as("beats_naive"))
     }),
 
     "x_holt_winters" -> ((s, d) => {
@@ -3259,6 +3328,76 @@ object StatsOps {
             .as("hoover_index"))
     }),
 
+    "x_atkinson_index" -> ((s, d) => {
+      // Atkinson welfare-based inequality index (Atkinson, JET 1970) —
+      // the NORMATIVE member of the inequality family: A_ε is the
+      // share of total revenue society could discard and be exactly as
+      // well off under equal distribution, given inequality aversion
+      // ε. Two standard settings in one row: ε = 0.5
+      // (A = 1 − (Σ√r/N)²/μ) and ε = 1 (A = 1 − geomean/μ). Unlike
+      // gini (rank-based) and Theil (entropy), A_ε is the only member
+      // with an explicit social-welfare reading, and ε = 1's geometric
+      // mean makes it the most bottom-sensitive of the four. Same
+      // positive-revenue O(customers) grain as x_theil_inequality
+      // (ln needs r > 0); √r terms 1e9-quantized and ln terms
+      // 1e12-quantized before their order-free DECIMAL sums; one fact
+      // pass, one aggregate, no window, no join at all.
+      t(s, d, "orders")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("revd"))
+        .filter(col("revd").cast("double") > 0)
+        .select(col("revd"), col("revd").cast("double").as("r"))
+        .agg(count(lit(1)).as("n"), sum(col("revd")).as("td"),
+          sum(floor(sqrt(col("r")) * 1e9 + 0.5).cast("long")
+            .cast("decimal(38,0)")).as("q05"),
+          sum(floor(log(col("r")) * 1e12 + 0.5).cast("long")
+            .cast("decimal(38,0)")).as("q1"))
+        .withColumn("mu", col("td").cast("double") / col("n"))
+        .withColumn("m05", col("q05").cast("double") / 1e9 / col("n"))
+        .withColumn("m1", col("q1").cast("double") / 1e12 / col("n"))
+        .select(col("n").as("n_customers"),
+          detRound(col("mu"), 2).as("mean_revenue"),
+          detRound(lit(1.0) - col("m05") * col("m05") / col("mu"), 6)
+            .as("atkinson_05"),
+          detRound(lit(1.0) - exp(col("m1")) / col("mu"), 6)
+            .as("atkinson_1"))
+    }),
+
+    "x_palma_ratio" -> ((s, d) => {
+      // Palma ratio (Palma 2011; Cobham & Sumner 2013) — the
+      // tail-focused inequality member: top-10% revenue share over
+      // bottom-40% share, built on the observation that the middle
+      // 50%'s share is empirically stable, so ALL the distributional
+      // action is in the two tails gini averages away. Ranks from the
+      // scale-safe globalRank decomposition over the O(customers)
+      // grouped grain; both tail cuts are pure integer thresholds
+      // ((4n) div 10 and n − n div 10 — never percentile floats);
+      // revenue stays in exact 1e4 fixed-point longs until the three
+      // final divisions.
+      val rev = t(s, d, "orders")
+        .groupBy(col("o_custkey").cast("long").as("ck"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double").as("rv"))
+        .withColumn("rq", floor(col("rv") * 1e4 + 0.5).cast("long"))
+      val ranked = globalRank(rev, "rq", Seq("ck"), "i")
+      val tot = ranked.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("rq").cast("decimal(38,0)")).as("trq"))
+      ranked.crossJoin(broadcast(tot))
+        .groupBy(col("n"), col("trq"))
+        .agg(
+          sum(when(col("i") <= expr("(n * 4) div 10"), col("rq"))
+            .otherwise(0L).cast("decimal(38,0)")).as("bot"),
+          sum(when(col("i") > col("n") - expr("n div 10"), col("rq"))
+            .otherwise(0L).cast("decimal(38,0)")).as("top"))
+        .select(col("n").as("n_customers"),
+          detRound(col("bot").cast("double")
+            / col("trq").cast("double"), 6).as("bottom40_share"),
+          detRound(col("top").cast("double")
+            / col("trq").cast("double"), 6).as("top10_share"),
+          detRound(when(col("bot") > 0, col("top").cast("double")
+            / col("bot").cast("double")), 6).as("palma_ratio"))
+    }),
+
     "x_page_trend" -> ((s, d) => {
       // Page's L test for an ORDERED alternative across related
       // blocks (Page, JASA 1963) — to x_friedman_test exactly what
@@ -4280,11 +4419,7 @@ object StatsOps {
     "x_theil_u_forecast" -> {
       val num = brownNumSql("r", ewmaWLit)
       val den = brownDenSql("r", ewmaQW)
-      s"""WITH monthly AS (
-            SELECT date_trunc('month', o_orderdate) AS mth,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-                     AS DOUBLE) / 1e6 AS r
-            FROM orders GROUP BY 1),
+      s"""WITH monthly AS ($monthlyRevMilSql),
           nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months
                  FROM monthly),
           lad AS (
@@ -4319,6 +4454,46 @@ object StatsOps {
                  floor(a.u2 * 1e6 + 0.5) / 1e6 AS u2_stat,
                  a.u2 < 1.0 AS beats_naive
           FROM fin a CROSS JOIN nm m"""
+    },
+
+    "x_mase_forecast" -> {
+      val num = brownNumSql("r", ewmaWLit)
+      val den = brownDenSql("r", ewmaQW)
+      s"""WITH monthly AS ($monthlyRevMilSql),
+          nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months
+                 FROM monthly),
+          lad AS (
+            SELECT mth, r, $num AS nq, $den AS dq,
+                   lag(r, 1) OVER win AS prev,
+                   row_number() OVER (ORDER BY mth DESC) AS rnd
+            FROM monthly
+            WINDOW win AS (ORDER BY mth)),
+          sc AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+                   SUM(CAST(floor(abs(CAST(nq AS DOUBLE)
+                     / CAST(dq AS DOUBLE) - r) * 1e6 + 0.5)
+                     AS HUGEINT)) AS se
+            FROM lad WHERE rnd <= 12 AND dq > 0),
+          scl AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_train_steps,
+                   SUM(CAST(floor(abs(r - prev) * 1e6 + 0.5)
+                     AS HUGEINT)) AS sn
+            FROM lad WHERE rnd > 12 AND prev IS NOT NULL),
+          fin AS (
+            SELECT a.n_scored, b.n_train_steps,
+                   CAST(a.se AS DOUBLE) / 1e6 / a.n_scored AS mm,
+                   CAST(b.sn AS DOUBLE) / 1e6 / b.n_train_steps AS ms
+            FROM sc a CROSS JOIN scl b),
+          fin2 AS (
+            SELECT n_scored, n_train_steps, mm, ms,
+                   CASE WHEN ms > 0 THEN mm / ms END AS mase
+            FROM fin)
+          SELECT m.n_months, f.n_scored, f.n_train_steps,
+                 floor(f.mm * 1e6 + 0.5) / 1e6 AS mae_model_mil,
+                 floor(f.ms * 1e6 + 0.5) / 1e6 AS scale_naive_mil,
+                 floor(f.mase * 1e6 + 0.5) / 1e6 AS mase,
+                 f.mase < 1.0 AS beats_naive
+          FROM fin2 f CROSS JOIN nm m"""
     },
 
     "x_holt_winters" -> {
@@ -6124,6 +6299,67 @@ object StatsOps {
                 floor(CAST(q.qq AS DOUBLE) / 1e12 * 0.5 * 1e6 + 0.5)
                   / 1e6 AS hoover_index
          FROM tot t, q q""",
+
+    "x_atkinson_index" ->
+      """WITH pc AS MATERIALIZED (
+           SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS revd
+           FROM orders GROUP BY o_custkey),
+         pp AS (
+           SELECT revd, CAST(revd AS DOUBLE) AS r FROM pc
+           WHERE CAST(revd AS DOUBLE) > 0),
+         agg AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(revd) AS DOUBLE) AS tt,
+                  CAST(SUM(CAST(floor(sqrt(r) * 1e9 + 0.5) AS HUGEINT))
+                    AS DOUBLE) AS q05,
+                  CAST(SUM(CAST(floor(ln(r) * 1e12 + 0.5) AS HUGEINT))
+                    AS DOUBLE) AS q1
+           FROM pp),
+         fin AS (
+           SELECT n, tt / n AS mu,
+                  q05 / 1e9 / n AS m05, q1 / 1e12 / n AS m1
+           FROM agg)
+         SELECT n AS n_customers,
+                floor(mu * 1e2 + 0.5) / 1e2 AS mean_revenue,
+                floor((1.0 - m05 * m05 / mu) * 1e6 + 0.5) / 1e6
+                  AS atkinson_05,
+                floor((1.0 - exp(m1) / mu) * 1e6 + 0.5) / 1e6
+                  AS atkinson_1
+         FROM fin""",
+
+    "x_palma_ratio" ->
+      """WITH rev AS MATERIALIZED (
+           SELECT CAST(o_custkey AS BIGINT) AS ck,
+                  CAST(floor(CAST(SUM(CAST(o_totalprice
+                    AS DECIMAL(18,4))) AS DOUBLE) * 1e4 + 0.5)
+                    AS BIGINT) AS rq
+           FROM orders GROUP BY 1),
+         rk AS (
+           SELECT rq, CAST(row_number() OVER (ORDER BY rq, ck)
+                           AS BIGINT) AS i
+           FROM rev),
+         tot AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(rq) AS HUGEINT) AS trq
+           FROM rk),
+         cuts AS (
+           SELECT t.n, t.trq,
+                  CAST(SUM(CASE WHEN r.i <= (t.n * 4) // 10
+                                THEN r.rq ELSE 0 END) AS HUGEINT)
+                    AS bot,
+                  CAST(SUM(CASE WHEN r.i > t.n - t.n // 10
+                                THEN r.rq ELSE 0 END) AS HUGEINT)
+                    AS top
+           FROM rk r CROSS JOIN tot t GROUP BY 1, 2)
+         SELECT n AS n_customers,
+                floor(CAST(bot AS DOUBLE) / CAST(trq AS DOUBLE)
+                      * 1e6 + 0.5) / 1e6 AS bottom40_share,
+                floor(CAST(top AS DOUBLE) / CAST(trq AS DOUBLE)
+                      * 1e6 + 0.5) / 1e6 AS top10_share,
+                floor(CASE WHEN bot > 0 THEN CAST(top AS DOUBLE)
+                      / CAST(bot AS DOUBLE) END * 1e6 + 0.5) / 1e6
+                  AS palma_ratio
+         FROM cuts""",
 
     "x_page_trend" ->
       s"""WITH $revCellsSql,

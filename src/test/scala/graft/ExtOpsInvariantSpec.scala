@@ -1434,4 +1434,93 @@ class ExtOpsInvariantSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("rmse_naive_mil")
       - math.sqrt(den / 12)) < 1e-5)
   }
+
+  test("x_atkinson_index: A(0.5) and A(1) match plain-double " +
+      "recomputes, sit in [0, 1), and A is nondecreasing in the " +
+      "aversion parameter") {
+    import org.apache.spark.sql.functions._
+    val rv = graft.util.Tables.t(spark, sf, "orders")
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+      .collect()
+      .map(_.getAs[java.math.BigDecimal]("rev").doubleValue())
+      .filter(_ > 0)
+    val n = rv.length
+    val mu = rv.sum / n
+    val a05 = 1.0 - math.pow(rv.map(math.sqrt).sum / n, 2) / mu
+    val a1 = 1.0 - math.exp(rv.map(math.log).sum / n) / mu
+    val got = run("x_atkinson_index").collect().head
+    assert(got.getAs[Long]("n_customers") == n.toLong)
+    val g05 = got.getAs[Double]("atkinson_05")
+    val g1 = got.getAs[Double]("atkinson_1")
+    assert(g05 >= 0.0 && g05 < 1.0 && g1 >= 0.0 && g1 < 1.0)
+    assert(g05 <= g1 + 1e-9, "A nondecreasing in aversion")
+    assert(math.abs(g05 - a05) < 1e-6, s"A(0.5) $g05 vs brute $a05")
+    assert(math.abs(g1 - a1) < 1e-6, s"A(1) $g1 vs brute $a1")
+  }
+
+  test("x_palma_ratio: tail shares match a sorted-vector recompute " +
+      "with exact integer thresholds, and the two tails plus the " +
+      "middle sum to the whole") {
+    import org.apache.spark.sql.functions._
+    val rq = graft.util.Tables.t(spark, sf, "orders")
+      .groupBy(col("o_custkey").cast("long").as("ck"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double").as("rv"))
+      .collect()
+      .map(r => (r.getLong(0),
+        math.floor(r.getDouble(1) * 1e4 + 0.5).toLong))
+      .sortBy(x => (x._2, x._1))
+    val n = rq.length
+    val tot = rq.map(_._2).sum
+    val bot = rq.take(4 * n / 10).map(_._2).sum
+    val top = rq.drop(n - n / 10).map(_._2).sum
+    val got = run("x_palma_ratio").collect().head
+    assert(got.getAs[Long]("n_customers") == n.toLong)
+    val gb = got.getAs[Double]("bottom40_share")
+    val gt = got.getAs[Double]("top10_share")
+    assert(math.abs(gb - bot.toDouble / tot) < 1e-6)
+    assert(math.abs(gt - top.toDouble / tot) < 1e-6)
+    assert(gb > 0.0 && gt > 0.0 && gb + gt < 1.0)
+    assert(math.abs(got.getAs[Double]("palma_ratio")
+      - top.toDouble / bot) < 1e-5)
+  }
+
+  test("x_mase_forecast: MASE matches a sequential recompute (ladder " +
+      "forecasts on the last 12, naive scale on the train prefix), " +
+      "the ratio identity holds, and the month count agrees with " +
+      "x_theil_u_forecast's") {
+    import org.apache.spark.sql.functions._
+    val ys = graft.util.Tables.t(spark, sf, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("string")
+        .as("m"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+      .collect()
+      .map(r => (r.getString(0),
+        r.getAs[java.math.BigDecimal]("rev").doubleValue() / 1e6))
+      .sortBy(_._1).map(_._2)
+    val tN = ys.length
+    var num = 0.0
+    for (t <- (tN - 12) until tN) {
+      val lags = (1 to 40).filter(i => t - i >= 0)
+      val w = lags.map(i => math.pow(0.7, i))
+      val f = lags.zip(w).map { case (i, wi) => ys(t - i) * wi }.sum /
+        w.sum
+      num += math.abs(f - ys(t))
+    }
+    val mm = num / 12
+    val steps = (1 until (tN - 12)).map(t => math.abs(ys(t) - ys(t - 1)))
+    val ms = steps.sum / steps.length
+    val got = run("x_mase_forecast").collect().head
+    assert(got.getAs[Long]("n_months") == tN.toLong)
+    assert(got.getAs[Long]("n_scored") == 12L)
+    assert(got.getAs[Long]("n_train_steps") == steps.length.toLong)
+    assert(math.abs(got.getAs[Double]("mae_model_mil") - mm) < 1e-5)
+    assert(math.abs(got.getAs[Double]("scale_naive_mil") - ms) < 1e-5)
+    val gm = got.getAs[Double]("mase")
+    assert(math.abs(gm - mm / ms) < 1e-5)
+    assert(got.getAs[Boolean]("beats_naive") == (gm < 1.0))
+    val tu = run("x_theil_u_forecast").collect().head
+    assert(tu.getAs[Long]("n_months") == got.getAs[Long]("n_months"))
+  }
 }
