@@ -390,6 +390,19 @@ object StatsOps {
   // priority series (x_generalized_esd).
   private val EsdR = 5
 
+  // ---- rank-biased overlap constants (r18) -------------------------------
+  // Truncation depth and persistence for x_rank_biased_overlap. The
+  // per-depth weights (1−p)·p^(d−1)/d are driver-computed ONCE and
+  // embedded in both engines as 1e15 fixed-point longs (the
+  // no-pow-at-query-time discipline); the tail mass p^D rides as a
+  // 17-digit literal.
+  private val RboDepth = 100
+  private val RboP = 0.98
+  private def rboQW(d: Int): Long =
+    math.floor((1.0 - RboP) * math.pow(RboP, d - 1) / d * 1e15 + 0.5)
+      .toLong
+  private val rboTail: Double = math.pow(RboP, RboDepth)
+
   // ---- shared monthly-revenue-in-millions series (r18) -------------------
   // One definition per engine for the forecast-evaluation pair
   // (x_theil_u_forecast, x_mase_forecast): the monthly grouped revenue
@@ -3872,6 +3885,106 @@ object StatsOps {
             .as("reject_05"))
     }),
 
+    "x_nemenyi_posthoc" -> ((s, d) => {
+      // Nemenyi post-hoc pairwise comparison (Nemenyi 1963; the
+      // critical-difference procedure of Demšar, JMLR 2006) — the
+      // WHICH-PAIRS answer the whole complete-block family stops short
+      // of: Friedman/Quade say "the k treatments differ somewhere",
+      // Nemenyi says which priority pairs actually separate, via the
+      // studentized-range critical difference CD = q_α·√(k(k+1)/(6b))
+      // over the average ranks. Average ranks come from the shared
+      // doubled-rank sums (R̄_j = r2j/2/b — exact integers until one
+      // division), the pair diff is |r2j_a − r2j_b|/(2b) (integer
+      // numerator), and q_α is the Demšar table literal for the
+      // data-decided k (α = 0.05, df = ∞; k outside 2..6 → NULL, the
+      // friedman lookup convention). Output k(k−1)/2 pair rows off the
+      // O(k) rank-sum table — every join a broadcast of an aggregate.
+      val full = completeBlocks(revBlockCells(s, d))
+      val rsums = rankedR2(full).groupBy(col("trt"), col("k"))
+        .agg(sum(col("r2")).cast("long").as("r2j"),
+          count(lit(1)).cast("long").as("nb"))
+      val a = rsums.select(col("trt").as("trt_a"), col("k"), col("nb"),
+        col("r2j").as("r2ja"))
+      val bb = rsums.select(col("trt").as("trt_b"),
+        col("r2j").as("r2jb"))
+      val qa = when(col("k") === 2, lit(1.959964))
+        .when(col("k") === 3, lit(2.343701))
+        .when(col("k") === 4, lit(2.569032))
+        .when(col("k") === 5, lit(2.727747))
+        .when(col("k") === 6, lit(2.849705))
+      a.join(broadcast(bb), col("trt_a") < col("trt_b"))
+        .withColumn("diff", abs(col("r2ja") - col("r2jb")).cast("double")
+          / (lit(2.0) * col("nb")))
+        .withColumn("cd", qa * sqrt((col("k") * (col("k") + 1))
+          / (lit(6.0) * col("nb"))))
+        .select(col("trt_a"), col("trt_b"),
+          col("nb").as("n_blocks"), col("k").as("k_treatments"),
+          detRound(col("r2ja").cast("double") / 2.0 / col("nb"), 6)
+            .as("rank_a"),
+          detRound(col("r2jb").cast("double") / 2.0 / col("nb"), 6)
+            .as("rank_b"),
+          detRound(col("diff"), 6).as("rank_diff"),
+          detRound(col("cd"), 6).as("crit_diff"),
+          (col("diff") > col("cd")).as("significant"))
+        .orderBy("trt_a", "trt_b")
+    }),
+
+    "x_rank_biased_overlap" -> ((s, d) => {
+      // Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between
+      // the supplier-by-REVENUE and supplier-by-QUANTITY rankings — the
+      // top-weighted list-comparison metric a pipeline uses to ask "do
+      // two quality signals agree where it matters?" (x_rank_correlation
+      // weights every rank equally; RBO geometrically discounts depth,
+      // and is defined for non-conjoint prefixes). Key identity that
+      // makes it distributed: overlap(d) = #{items whose max(rank_a,
+      // rank_b) ≤ d}, so the whole prefix-agreement curve is ONE
+      // cumulative sum over the max-rank histogram — no per-depth set
+      // intersection. Truncated at depth 100 with p = 0.98; the
+      // per-depth weights (1−p)·p^(d−1)/d are driver-computed 1e15
+      // fixed-point literals (no pow at query time), so rbo_lo is an
+      // exact integer sum, and the UNSEEN tail mass is reported as the
+      // bracket rbo_hi = rbo_lo + p^100 instead of silently truncated
+      // (the no-silent-caps rule: a reader sees the bound, not a
+      // point estimate pretending to be exact). Ranks via globalRank
+      // on negated fixed-point values (desc, suppkey ties).
+      val base = t(s, d, "lineitem")
+        .groupBy(col("l_suppkey").cast("long").as("sk"))
+        .agg(sum(graft.types.Coercions.revenue(
+          col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("rev"),
+          (sum(floor(col("l_quantity") * 1e4 + 0.5)
+            .cast("decimal(38,0)")).cast("double") / 1e4).as("qty"))
+        .withColumn("rqn", -floor(col("rev") * 1e4 + 0.5).cast("long"))
+        .withColumn("qqn", -floor(col("qty") * 1e4 + 0.5).cast("long"))
+        .localCheckpoint()
+      val n = base.agg(count(lit(1)).cast("long").as("n_suppliers"))
+      val ra = globalRank(base.select("sk", "rqn"), "rqn", Seq("sk"),
+        "ra").select("sk", "ra")
+      val rb = globalRank(base.select("sk", "qqn"), "qqn", Seq("sk"),
+        "rb").select("sk", "rb")
+      val mhist = ra.join(rb, "sk")
+        .select(greatest(col("ra"), col("rb")).as("m"))
+        .filter(col("m") <= RboDepth)
+        .groupBy("m").agg(count(lit(1)).cast("long").as("cnt"))
+      val qwCase = (1 to RboDepth).foldLeft(when(lit(false), lit(0L))) {
+        (acc, i) => acc.when(col("d") === i, lit(rboQW(i)))
+      }
+      val wCum = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      s.range(1, RboDepth + 1).toDF("d")
+        .join(broadcast(mhist), col("d") === col("m"), "left")
+        .withColumn("cum", sum(coalesce(col("cnt"), lit(0L))).over(wCum))
+        .select((col("cum").cast("decimal(38,0)") * qwCase).as("term"))
+        .agg(sum(col("term")).as("rboq"))
+        .crossJoin(broadcast(n))
+        .select(col("n_suppliers"),
+          lit(RboDepth.toLong).as("depth"),
+          detRound(lit(RboP), 6).as("p"),
+          detRound(col("rboq").cast("double") / 1e15, 6).as("rbo_lo"),
+          detRound(col("rboq").cast("double") / 1e15
+            + lit(rboTail), 6).as("rbo_hi"))
+    }),
+
     "x_jonckheere_terpstra" -> ((s, d) => {
       // Jonckheere–Terpstra ordered-alternative test (1954): is shipped
       // quantity stochastically INCREASING across ordered discount
@@ -6711,6 +6824,86 @@ object StatsOps {
                               WHEN 6 THEN 11.070498 END)
                       / CAST(k - 1 AS DOUBLE) END AS reject_05
          FROM fin2""",
+
+    "x_nemenyi_posthoc" ->
+      s"""WITH $revCellsSql,
+         $completeBlockSql,
+         $rankedR2Sql,
+         rsums AS (
+           SELECT trt, k, CAST(SUM(r2) AS BIGINT) AS r2j,
+                  CAST(COUNT(*) AS BIGINT) AS nb
+           FROM ranked GROUP BY 1, 2),
+         pairs AS (
+           SELECT a.trt AS trt_a, b.trt AS trt_b, a.k, a.nb,
+                  a.r2j AS r2ja, b.r2j AS r2jb
+           FROM rsums a JOIN rsums b ON a.trt < b.trt),
+         sc AS (
+           SELECT trt_a, trt_b, k, nb, r2ja, r2jb,
+                  CAST(abs(r2ja - r2jb) AS DOUBLE) / (2.0 * nb)
+                    AS diff,
+                  (CASE k WHEN 2 THEN 1.959964
+                          WHEN 3 THEN 2.343701
+                          WHEN 4 THEN 2.569032
+                          WHEN 5 THEN 2.727747
+                          WHEN 6 THEN 2.849705 END)
+                    * sqrt((k * (k + 1)) / (6.0 * nb)) AS cd
+           FROM pairs)
+         SELECT trt_a, trt_b, nb AS n_blocks, k AS k_treatments,
+                floor(CAST(r2ja AS DOUBLE) / 2.0 / nb * 1e6 + 0.5) / 1e6
+                  AS rank_a,
+                floor(CAST(r2jb AS DOUBLE) / 2.0 / nb * 1e6 + 0.5) / 1e6
+                  AS rank_b,
+                floor(diff * 1e6 + 0.5) / 1e6 AS rank_diff,
+                floor(cd * 1e6 + 0.5) / 1e6 AS crit_diff,
+                diff > cd AS significant
+         FROM sc ORDER BY trt_a, trt_b""",
+
+    "x_rank_biased_overlap" -> {
+      val qwCase = (1 to RboDepth).map(i =>
+        s"WHEN $i THEN CAST(${rboQW(i)} AS BIGINT)").mkString(" ")
+      s"""WITH base AS MATERIALIZED (
+           SELECT CAST(l_suppkey AS BIGINT) AS sk,
+                  -CAST(floor(CAST(SUM(CAST(l_extendedprice
+                      AS DECIMAL(18,2))
+                    * CAST(1.0 - l_discount AS DECIMAL(4,2)))
+                    AS DOUBLE) * 1e4 + 0.5) AS BIGINT) AS rqn,
+                  -CAST(floor(CAST(SUM(CAST(floor(l_quantity * 1e4
+                      + 0.5) AS HUGEINT)) AS DOUBLE) / 1e4 * 1e4 + 0.5)
+                    AS BIGINT) AS qqn
+           FROM lineitem GROUP BY 1),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers
+                FROM base),
+         rk AS (
+           SELECT sk,
+                  CAST(row_number() OVER (ORDER BY rqn, sk) AS BIGINT)
+                    AS ra,
+                  CAST(row_number() OVER (ORDER BY qqn, sk) AS BIGINT)
+                    AS rb
+           FROM base),
+         mh AS (
+           SELECT greatest(ra, rb) AS m, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM rk WHERE greatest(ra, rb) <= $RboDepth GROUP BY 1),
+         dep AS (SELECT CAST(range AS BIGINT) AS d
+                 FROM range(1, ${RboDepth + 1})),
+         cm AS (
+           SELECT dep.d,
+                  SUM(COALESCE(mh.cnt, 0)) OVER (ORDER BY dep.d
+                    ROWS UNBOUNDED PRECEDING) AS cum
+           FROM dep LEFT JOIN mh ON mh.m = dep.d),
+         agg AS (
+           SELECT CAST(SUM(CAST(cum AS HUGEINT)
+                    * (CASE d $qwCase END)) AS HUGEINT) AS rboq
+           FROM cm)
+         SELECT n.n_suppliers, CAST($RboDepth AS BIGINT) AS depth,
+                floor(${graft.util.Num.lit17(RboP)} * 1e6 + 0.5) / 1e6
+                  AS p,
+                floor(CAST(a.rboq AS DOUBLE) / 1e15 * 1e6 + 0.5) / 1e6
+                  AS rbo_lo,
+                floor((CAST(a.rboq AS DOUBLE) / 1e15
+                       + ${graft.util.Num.lit17(rboTail)})
+                      * 1e6 + 0.5) / 1e6 AS rbo_hi
+         FROM agg a CROSS JOIN nn n"""
+    },
 
     "x_jonckheere_terpstra" ->
       """WITH hist AS MATERIALIZED (

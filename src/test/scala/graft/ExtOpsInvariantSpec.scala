@@ -1523,4 +1523,86 @@ class ExtOpsInvariantSpec extends SparkSpec {
     val tu = run("x_theil_u_forecast").collect().head
     assert(tu.getAs[Long]("n_months") == got.getAs[Long]("n_months"))
   }
+
+  test("x_nemenyi_posthoc: every pair's rank difference and critical " +
+      "difference match a plain-double average-rank recompute, the " +
+      "pair count is k(k-1)/2, and rank_a/rank_b agree with the " +
+      "per-treatment averages") {
+    import org.apache.spark.sql.functions._
+    val cells = graft.util.Tables.t(spark, sf, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("string")
+          .as("m"),
+        col("o_orderpriority").as("p"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getAs[java.math.BigDecimal]("rev")))
+    val k = cells.map(_._2).distinct.length
+    val full = cells.groupBy(_._1).filter(_._2.length == k)
+    val b = full.size
+    val rbar = scala.collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(0.0)
+    full.values.foreach { blk =>
+      blk.foreach { c =>
+        val less = blk.count(_._3.compareTo(c._3) < 0)
+        val eq = blk.count(_._3.compareTo(c._3) == 0)
+        rbar(c._2) += less + (eq + 1) / 2.0
+      }
+    }
+    val avg = rbar.map { case (p, s) => p -> s / b }
+    val qTab = Map(2 -> 1.959964, 3 -> 2.343701, 4 -> 2.569032,
+      5 -> 2.727747, 6 -> 2.849705)
+    val cd = qTab(k) * math.sqrt(k * (k + 1) / (6.0 * b))
+    val rows = run("x_nemenyi_posthoc").collect()
+    assert(rows.length == k * (k - 1) / 2)
+    rows.foreach { r =>
+      val ta = r.getAs[String]("trt_a")
+      val tb = r.getAs[String]("trt_b")
+      assert(ta < tb)
+      assert(r.getAs[Long]("n_blocks") == b.toLong)
+      assert(math.abs(r.getAs[Double]("rank_a") - avg(ta)) < 1e-6)
+      assert(math.abs(r.getAs[Double]("rank_b") - avg(tb)) < 1e-6)
+      val diff = math.abs(avg(ta) - avg(tb))
+      assert(math.abs(r.getAs[Double]("rank_diff") - diff) < 1e-6)
+      assert(math.abs(r.getAs[Double]("crit_diff") - cd) < 1e-6)
+      assert(r.getAs[Boolean]("significant") == (diff > cd))
+    }
+  }
+
+  test("x_rank_biased_overlap: rbo matches a plain-double recompute " +
+      "via the max-rank identity, the bracket width is exactly p^D, " +
+      "and the formula machinery pins self-agreement at 1 - p^D") {
+    import org.apache.spark.sql.functions._
+    val base = graft.util.Tables.t(spark, sf, "lineitem")
+      .groupBy(col("l_suppkey").cast("long").as("sk"))
+      .agg(sum(graft.types.Coercions.revenue(
+        col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("rev"),
+        (sum(floor(col("l_quantity") * 1e4 + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / 1e4).as("qty"))
+      .collect()
+      .map(r => (r.getLong(0),
+        math.floor(r.getDouble(1) * 1e4 + 0.5).toLong,
+        math.floor(r.getDouble(2) * 1e4 + 0.5).toLong))
+    val ra = base.sortBy(x => (-x._2, x._1)).map(_._1).zipWithIndex
+      .map { case (s, i) => s -> (i + 1) }.toMap
+    val rb = base.sortBy(x => (-x._3, x._1)).map(_._1).zipWithIndex
+      .map { case (s, i) => s -> (i + 1) }.toMap
+    val m = base.map(x => math.max(ra(x._1), rb(x._1)))
+    val p = 0.98
+    def rboOf(ov: Int => Int): Double =
+      (1 to 100).map(d => (1 - p) * math.pow(p, d - 1) * ov(d) / d).sum
+    val rbo = rboOf(d => m.count(_ <= d))
+    // formula sanity: a list compared with itself overlaps fully at
+    // every depth, so truncated RBO must be exactly 1 - p^D
+    assert(math.abs(rboOf(d => d) - (1.0 - math.pow(p, 100))) < 1e-12)
+    val got = run("x_rank_biased_overlap").collect().head
+    assert(got.getAs[Long]("n_suppliers") == base.length.toLong)
+    val lo = got.getAs[Double]("rbo_lo")
+    val hi = got.getAs[Double]("rbo_hi")
+    assert(lo >= 0.0 && lo <= hi && hi <= 1.0 + 1e-9)
+    assert(math.abs(lo - rbo) < 1e-6, s"rbo_lo $lo vs brute $rbo")
+    assert(math.abs((hi - lo) - math.pow(p, 100)) < 2e-6,
+      "bracket width must be the unseen tail mass p^D")
+  }
 }

@@ -185,10 +185,15 @@ class PlanAuditSpec extends SparkSpec {
     // binary-flag table
     "x_generalized_esd", "x_tukey_fences", "x_theil_inequality",
     "x_page_trend", "x_cochran_q",
-    // x_quade_test checkpoints the O(months×k) complete-block cell
-    // table (the shared completeBlocks spine — same bounded subplan as
-    // friedman/page/cochran/kendalls_w)
-    "x_quade_test",
+    // x_quade_test and x_nemenyi_posthoc checkpoint the O(months×k)
+    // complete-block cell table (the shared completeBlocks spine —
+    // same bounded subplan as friedman/page/cochran/kendalls_w)
+    "x_quade_test", "x_nemenyi_posthoc",
+    // x_rank_biased_overlap checkpoints the skinny 4-column grouped
+    // supplier table (O(suppliers), never fact rows — the
+    // x_capture_recapture posture); both rank passes and the scalar
+    // count re-read it instead of re-scanning lineitem
+    "x_rank_biased_overlap",
     // x_kendalls_w checkpoints the O(months×k) complete-block cell
     // table (the x_friedman_test site, shared rationale)
     "x_kendalls_w",
