@@ -217,4 +217,50 @@ class DemandOpsSpec extends SparkSpec {
         s"$b winner $best is not minimal")
     }
   }
+
+  test("x_tsb_backtest: the TSB holdout MAE equals a plain-Scala " +
+      "replay (cut-anchored calendar probability ladder x train size " +
+      "ladder), the winner is minimal, and the three incumbent MAE " +
+      "columns equal x_croston_backtest's bit-for-bit (shared " +
+      "scaffolding)") {
+    val K = 8
+    val dmax = series.values.flatMap(_.map(_._1)).max
+    val got = SparkEntry.queries("x_tsb_backtest")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("brand") ->
+        (r.getAs[Double]("mae_tsb"), r.getAs[Double]("mae_croston"),
+          r.getAs[Double]("mae_sba"), r.getAs[Double]("mae_ses"),
+          r.getAs[String]("best_method")))
+      .toMap
+    val cro = SparkEntry.queries("x_croston_backtest")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("brand") ->
+        (r.getAs[Double]("mae_croston"), r.getAs[Double]("mae_sba"),
+          r.getAs[Double]("mae_ses")))
+      .toMap
+    series.foreach { case (b, s) =>
+      val (train, hold) = s.splitAt(s.length - K)
+      val (maeTsb, maeCro, maeSba, maeSes, best) = got(b)
+      // the three incumbents run through the SAME shared cut/score
+      // builders — identical arithmetic, identical rounding
+      assert((maeCro, maeSba, maeSes) == cro(b),
+        s"$b incumbent columns must equal x_croston_backtest's")
+      val cutDay = train.last._1
+      val hs = dmax - cutDay
+      // TSB at the cut: probability from calendar lags off the cut
+      // day (zero days contribute nothing), size = train z ladder
+      val z = ladder(train.map(_._2))
+      val pNum = train.filter(x => cutDay - x._1 < 40)
+        .map(x => math.pow(beta, (cutDay - x._1).toInt)).sum
+      val pDen = (0 until 40).map(i => math.pow(beta, i)).sum
+      val tsb = pNum / pDen * z
+      def mae(f: Double): Double =
+        (hold.map(x => math.abs(x._2 - f)).sum + (hs - K) * f) / hs
+      assert(math.abs(maeTsb - mae(tsb)) < 1e-3, s"$b tsb")
+      val maes = Seq("tsb" -> maeTsb, "croston" -> maeCro,
+        "sba" -> maeSba, "ses" -> maeSes)
+      assert(maes.find(_._1 == best).get._2 <= maes.map(_._2).min + 1e-9,
+        s"$b winner $best is not minimal")
+    }
+  }
 }

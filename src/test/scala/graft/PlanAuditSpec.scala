@@ -194,6 +194,10 @@ class PlanAuditSpec extends SparkSpec {
     // x_capture_recapture posture); both rank passes and the scalar
     // count re-read it instead of re-scanning lineitem
     "x_rank_biased_overlap",
+    // x_tsb_backtest checkpoints the same two bounded frames as
+    // x_croston_backtest (shared backtestDaily/holdoutScore builders):
+    // the (brand, day) grain and the O(brands) estimate table
+    "x_tsb_backtest",
     // x_kendalls_w checkpoints the O(months×k) complete-block cell
     // table (the x_friedman_test site, shared rationale)
     "x_kendalls_w",
