@@ -889,6 +889,108 @@ object StreamingIngest {
         hqBatch(spark, outPath, statePath, batch, batchId)
       }
 
+  // ---- streaming HLL cardinality sink (r18) --------------------------------
+
+  // HyperLogLog distinct-user monitor per event type (Flajolet et al.
+  // 2007) — the CARDINALITY member that completes the monitor family
+  // (PH/CUSUM/EWMA watch the count LEVEL, the histogram sink the value
+  // DISTRIBUTION, space-saving the heavy hitters, SRM the arm RATIO;
+  // none can answer "how many distinct users are we seeing?" in
+  // bounded state). 256 max-of-rho registers per type — mergeable by
+  // per-register max, so micro-batches fold associatively and a replay
+  // of the same data is a semantic no-op even before the batch-cursor
+  // guard. Hashing is the repo's engine-portable md5 path (first 15
+  // hex chars = 60 bits: low 8 pick the register, the high 52 feed
+  // the leading-zero rank), the per-batch aggregation is one grouped
+  // max onto the O(types × 256) grid — never O(rows) on the driver.
+  private val HllB = 8
+  private val HllM = 256 // 2^HllB registers
+  private val HllWBits = 52 // hash bits above the register index
+  private val HllAlpha = 0.7213 / (1.0 + 1.079 / HllM)
+
+  /** Standard HLL estimate with the small-range linear-counting
+    * correction; returns (estimate, zero-register count). */
+  private[graft] def hllEstimate(regs: Vector[Long]): (Double, Long) = {
+    val v = regs.count(_ == 0L).toLong
+    val z = regs.map(r => math.pow(2.0, -r.toDouble)).sum
+    val raw = HllAlpha * HllM * HllM / z
+    val est =
+      if (raw <= 2.5 * HllM && v > 0) HllM * math.log(HllM.toDouble / v)
+      else raw
+    (est, v)
+  }
+
+  /** (lastBatchId, type -> (nEvents, registers)). */
+  private[graft] def hllStates(statePath: String)
+      : (Long, Map[String, (Long, Vector[Long])]) = {
+    val (last, raw) = readLongVecState(statePath)
+    (last, raw.map { case (t, v) =>
+      t -> (v.head, v.drop(1).toVector)
+    })
+  }
+
+  private def hllWriteState(statePath: String, batchId: Long,
+      types: Map[String, (Long, Vector[Long])]): Unit =
+    writeLongVecState(statePath, batchId, types.map { case (t, s) =>
+      t -> (s._1 +: s._2)
+    })
+
+  private[graft] def hllBatch(spark: SparkSession, outPath: String,
+      statePath: String, batch: DataFrame, batchId: Long): Unit = {
+    val (last, st0) = hllStates(statePath)
+    if (batchId <= last) return // replayed trigger already folded
+    // one grouped max onto the bounded register grid; the 60-bit md5
+    // prefix splits into (register, rank word) with integer ops only
+    val hist = batch
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15),
+          16, 10).cast("long").as("h"))
+      .withColumn("reg", col("h") % HllM.toLong)
+      .withColumn("w", expr(s"h div $HllM"))
+      .withColumn("rho", when(col("w") > 0,
+        lit(HllWBits + 1) - length(bin(col("w"))))
+        .otherwise(lit(HllWBits + 1)).cast("long"))
+      .groupBy(col("event_type"), col("reg"))
+      .agg(max(col("rho")).cast("long").as("mx"),
+        count(lit(1)).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val st1 = hist.foldLeft(st0) { case (acc, (tpe, reg, mx, c)) =>
+      val (n, regs) = acc.getOrElse(tpe, (0L, Vector.fill(HllM)(0L)))
+      acc.updated(tpe, (n + c,
+        regs.updated(reg.toInt, math.max(regs(reg.toInt), mx))))
+    }
+    if (st1.nonEmpty) {
+      import spark.implicits._
+      st1.toSeq.sortBy(_._1).map { case (tpe, (n, regs)) =>
+        val (est, v) = hllEstimate(regs)
+        (batchId, tpe, n, math.floor(est * 1e6 + 0.5) / 1e6, v,
+          HllM.toLong)
+      }.toDF("batch_id", "event_type", "n_events", "est_distinct",
+          "n_zero_regs", "m_registers")
+        .coalesce(1).write.mode("append").parquet(outPath)
+    }
+    hllWriteState(statePath, batchId, st1)
+  }
+
+  /** Streaming HLL cardinality sink — running distinct-user estimate
+    * per event type in O(types × 256) state forever, same
+    * foreachBatch skeleton and crash/replay contracts as the other
+    * monitor sinks (batchId-guarded exactly-once state, at-least-once
+    * verdict rows deduped on (batch_id, event_type)); the register
+    * fold is additionally idempotent by construction (max-merge). */
+  def hllCardinalitySink(events: DataFrame, spark: SparkSession,
+      outPath: String, statePath: String, checkpoint: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        hllBatch(spark, outPath, statePath, batch, batchId)
+      }
+
   /** Streaming twin of x_srm_check: the sample-ratio-mismatch gate run
     * CONTINUOUSLY over the ingest instead of at end-of-day audit. Per
     * micro-batch, the batch's three arm counts (same md5 coin as the

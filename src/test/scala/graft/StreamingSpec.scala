@@ -1610,6 +1610,81 @@ class StreamingSpec extends SparkSpec {
     assert(afterOnce._2.size == 2)
   }
 
+  test("streaming HLL cardinality sink: registers equal an exact " +
+      "md5-path replay, estimates land inside 3 standard errors of " +
+      "the true distinct counts in BOTH regimes (linear counting and " +
+      "raw), the fold is merge-idempotent, and replayed batch is a " +
+      "no-op") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val out = tmpDir("hll-out")
+    val state = tmpDir("hll-state") + "/_hll.json"
+    val ck = tmpDir("hll-ck")
+    val mem = MemoryStream[(String, Long)]
+    val events = mem.toDF().toDF("event_type", "user_id")
+    // "big" exercises the raw-estimate regime, "small" the
+    // linear-counting correction; batch 2 overlaps batch 1 so the
+    // merge (register max) is what produces the union count
+    val b1 = (1L to 1200L).map(u => ("big", u)) ++
+      (1L to 30L).map(u => ("small", u))
+    val b2 = (601L to 2000L).map(u => ("big", u)) ++
+      (1L to 30L).map(u => ("small", u))
+    mem.addData(b1: _*)
+    val q1 = StreamingIngest.hllCardinalitySink(events, spark, out,
+      state, ck).start()
+    q1.awaitTermination()
+    mem.addData(b2: _*)
+    val q2 = StreamingIngest.hllCardinalitySink(events, spark, out,
+      state, ck).start()
+    q2.awaitTermination()
+    // exact replay of the register path: md5 hex -> first 15 chars ->
+    // 60-bit long -> (low 8 = register, high 52 = rank word)
+    def regsOf(users: Seq[Long]): Vector[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      users.foldLeft(Vector.fill(256)(0L)) { (acc, u) =>
+        val hex = md.digest(u.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        val reg = (h % 256L).toInt
+        val w = h / 256L
+        val rho =
+          if (w > 0) 53L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+          else 53L
+        acc.updated(reg, math.max(acc(reg), rho))
+      }
+    }
+    val (_, st) = StreamingIngest.hllStates(state)
+    val trueBig = ((1L to 1200L) ++ (601L to 2000L)).distinct
+    assert(st("big")._2 == regsOf(trueBig),
+      "big registers must equal the exact md5-path replay")
+    assert(st("small")._2 == regsOf((1L to 30L).toSeq))
+    assert(st("big")._1 == b1.count(_._1 == "big") +
+      b2.count(_._1 == "big"))
+    // estimates vs truth, both regimes: 3 standard errors of HLL's
+    // rsd 1.04/sqrt(256) = 6.5% -> 19.5%
+    val fin = spark.read.parquet(out).collect()
+      .filter(_.getAs[Long]("batch_id") == 1L)
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val estBig = fin("big").getAs[Double]("est_distinct")
+    assert(math.abs(estBig - 2000.0) / 2000.0 < 0.195,
+      s"big estimate $estBig vs true 2000")
+    val estSmall = fin("small").getAs[Double]("est_distinct")
+    assert(math.abs(estSmall - 30.0) / 30.0 < 0.195,
+      s"small estimate $estSmall vs true 30 (linear counting)")
+    // linear-counting regime proof: small still has zero registers
+    assert(fin("small").getAs[Long]("n_zero_regs") > 0L)
+    // merge idempotence: folding batch 2's users again cannot move
+    // any register (max-merge), independent of the batch cursor
+    assert(regsOf(trueBig ++ (601L to 2000L)) == regsOf(trueBig))
+    // replayed batchId must not re-fold state (n_events would double)
+    val before = StreamingIngest.hllStates(state)
+    StreamingIngest.hllBatch(spark, out, state,
+      Seq(("big", 1L)).toDF("event_type", "user_id"), batchId = 0L)
+    assert(StreamingIngest.hllStates(state) == before,
+      "replayed batchId must be a no-op")
+    assert(before._2.size == 2, "state stays O(types)")
+  }
+
   test("sink crash between verdict append and state write: the replay " +
       "appends a DUPLICATE verdict row for the same (batch_id, " +
       "event_type) — the at-least-once contract documented at the " +
