@@ -798,13 +798,17 @@ object StreamingIngest {
   private val HqBucketCents = 100L
   private val HqBuckets = 512
 
-  /** Per-type histogram state: n = folded events; buckets = cumulative
-    * per-bucket counts (value-domain histogram, not hourly — no
-    * pending-hour machinery: a value row folds the moment it arrives,
-    * there is nothing to finalize). */
-  private[graft] case class HqState(n: Long, buckets: Vector[Long])
+  /** Per-type histogram state: n = folded NON-NULL events; nulls =
+    * dropped NULL-valued events (counted and exported, never folded —
+    * pre-seal review r18: greatest()/least() silently clamp a NULL
+    * value into bucket 0, the exact trap the tQuantileCol NULL-df
+    * advice documents); buckets = cumulative per-bucket counts
+    * (value-domain histogram, not hourly — no pending-hour machinery:
+    * a value row folds the moment it arrives, nothing to finalize). */
+  private[graft] case class HqState(n: Long, nulls: Long,
+      buckets: Vector[Long])
 
-  private[graft] val hqEmpty = HqState(0L, Vector.fill(HqBuckets)(0L))
+  private[graft] val hqEmpty = HqState(0L, 0L, Vector.fill(HqBuckets)(0L))
 
   /** Smallest bucket whose cumulative count reaches the qNum/qDen
     * rank — pure integer comparison (cum·qDen ≥ qNum·n), the
@@ -826,14 +830,14 @@ object StreamingIngest {
       : (Long, Map[String, HqState]) = {
     val (last, raw) = readLongVecState(statePath)
     (last, raw.map { case (t, v) =>
-      t -> HqState(v.head, v.drop(1).toVector)
+      t -> HqState(v.head, v(1), v.drop(2).toVector)
     })
   }
 
   private def hqWriteState(statePath: String, batchId: Long,
       types: Map[String, HqState]): Unit =
     writeLongVecState(statePath, batchId, types.map { case (t, s) =>
-      t -> (s.n +: s.buckets)
+      t -> (s.n +: s.nulls +: s.buckets)
     })
 
   private[graft] def hqBatch(spark: SparkSession, outPath: String,
@@ -841,31 +845,37 @@ object StreamingIngest {
     val (last, st0) = hqStates(statePath)
     if (batchId <= last) return // replayed trigger already folded
     // one grouped count of the micro-batch onto the bounded bucket
-    // grid — the collect is O(types × bins), never O(rows)
+    // grid — the collect is O(types × bins), never O(rows). NULL
+    // values ride as the sentinel bucket −1 and are COUNTED, not
+    // folded: greatest()/least() would otherwise clamp them silently
+    // into bucket 0 (pre-seal review r18).
     val hist = batch
       .groupBy(col("event_type"),
-        least(greatest(floor(floor(col("value") * 100 + 0.5)
-          / HqBucketCents), lit(0.0)),
-          lit((HqBuckets - 1).toDouble)).cast("long").as("b"))
+        when(col("value").isNull, lit(-1L))
+          .otherwise(least(greatest(floor(floor(col("value") * 100
+            + 0.5) / HqBucketCents), lit(0.0)),
+            lit((HqBuckets - 1).toDouble)).cast("long")).as("b"))
       .agg(count(lit(1)).cast("long").as("c"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val st1 = hist.foldLeft(st0) { case (acc, (tpe, b, c)) =>
       val s = acc.getOrElse(tpe, hqEmpty)
-      acc.updated(tpe, HqState(s.n + c,
-        s.buckets.updated(b.toInt, s.buckets(b.toInt) + c)))
+      acc.updated(tpe,
+        if (b < 0) s.copy(nulls = s.nulls + c)
+        else HqState(s.n + c, s.nulls,
+          s.buckets.updated(b.toInt, s.buckets(b.toInt) + c)))
     }
     if (st1.nonEmpty) {
       import spark.implicits._
       st1.toSeq.sortBy(_._1).map { case (tpe, s) =>
         def edge(p: Long): Double = (p + 1) * HqBucketCents / 100.0
-        (batchId, tpe, s.n,
+        (batchId, tpe, s.n, s.nulls,
           edge(hqPick(s.buckets, s.n, 1L, 2L)),
           edge(hqPick(s.buckets, s.n, 9L, 10L)),
           edge(hqPick(s.buckets, s.n, 99L, 100L)),
           s.buckets.last)
-      }.toDF("batch_id", "event_type", "n_events", "p50_le", "p90_le",
-          "p99_le", "n_overflow")
+      }.toDF("batch_id", "event_type", "n_events", "n_null", "p50_le",
+          "p90_le", "p99_le", "n_overflow")
         .coalesce(1).write.mode("append").parquet(outPath)
     }
     hqWriteState(statePath, batchId, st1)
@@ -920,19 +930,26 @@ object StreamingIngest {
     (est, v)
   }
 
-  /** (lastBatchId, type -> (nEvents, registers)). */
+  /** Per-type HLL state: n = folded NON-NULL events; nulls = dropped
+    * NULL user ids (counted and exported — md5(NULL) would otherwise
+    * propagate a NULL grouping key and crash the fold; pre-seal
+    * review r18); regs = the 256 max-of-rho registers. */
+  private[graft] case class HllState(n: Long, nulls: Long,
+      regs: Vector[Long])
+
+  /** (lastBatchId, type -> HllState). */
   private[graft] def hllStates(statePath: String)
-      : (Long, Map[String, (Long, Vector[Long])]) = {
+      : (Long, Map[String, HllState]) = {
     val (last, raw) = readLongVecState(statePath)
     (last, raw.map { case (t, v) =>
-      t -> (v.head, v.drop(1).toVector)
+      t -> HllState(v.head, v(1), v.drop(2).toVector)
     })
   }
 
   private def hllWriteState(statePath: String, batchId: Long,
-      types: Map[String, (Long, Vector[Long])]): Unit =
+      types: Map[String, HllState]): Unit =
     writeLongVecState(statePath, batchId, types.map { case (t, s) =>
-      t -> (s._1 +: s._2)
+      t -> (s.n +: s.nulls +: s.regs)
     })
 
   private[graft] def hllBatch(spark: SparkSession, outPath: String,
@@ -940,13 +957,16 @@ object StreamingIngest {
     val (last, st0) = hllStates(statePath)
     if (batchId <= last) return // replayed trigger already folded
     // one grouped max onto the bounded register grid; the 60-bit md5
-    // prefix splits into (register, rank word) with integer ops only
+    // prefix splits into (register, rank word) with integer ops only.
+    // NULL user ids ride as the sentinel register −1, counted not
+    // hashed (md5(NULL) is NULL and would crash the long fold).
     val hist = batch
       .select(col("event_type"),
         conv(substring(md5(col("user_id").cast("string")), 1, 15),
           16, 10).cast("long").as("h"))
-      .withColumn("reg", col("h") % HllM.toLong)
-      .withColumn("w", expr(s"h div $HllM"))
+      .withColumn("reg",
+        coalesce(col("h") % HllM.toLong, lit(-1L)))
+      .withColumn("w", coalesce(expr(s"h div $HllM"), lit(0L)))
       .withColumn("rho", when(col("w") > 0,
         lit(HllWBits + 1) - length(bin(col("w"))))
         .otherwise(lit(HllWBits + 1)).cast("long"))
@@ -957,18 +977,20 @@ object StreamingIngest {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3)))
     val st1 = hist.foldLeft(st0) { case (acc, (tpe, reg, mx, c)) =>
-      val (n, regs) = acc.getOrElse(tpe, (0L, Vector.fill(HllM)(0L)))
-      acc.updated(tpe, (n + c,
-        regs.updated(reg.toInt, math.max(regs(reg.toInt), mx))))
+      val s = acc.getOrElse(tpe, HllState(0L, 0L, Vector.fill(HllM)(0L)))
+      acc.updated(tpe,
+        if (reg < 0) s.copy(nulls = s.nulls + c)
+        else HllState(s.n + c, s.nulls, s.regs.updated(reg.toInt,
+          math.max(s.regs(reg.toInt), mx))))
     }
     if (st1.nonEmpty) {
       import spark.implicits._
-      st1.toSeq.sortBy(_._1).map { case (tpe, (n, regs)) =>
-        val (est, v) = hllEstimate(regs)
-        (batchId, tpe, n, math.floor(est * 1e6 + 0.5) / 1e6, v,
-          HllM.toLong)
-      }.toDF("batch_id", "event_type", "n_events", "est_distinct",
-          "n_zero_regs", "m_registers")
+      st1.toSeq.sortBy(_._1).map { case (tpe, s) =>
+        val (est, v) = hllEstimate(s.regs)
+        (batchId, tpe, s.n, s.nulls,
+          math.floor(est * 1e6 + 0.5) / 1e6, v, HllM.toLong)
+      }.toDF("batch_id", "event_type", "n_events", "n_null",
+          "est_distinct", "n_zero_regs", "m_registers")
         .coalesce(1).write.mode("append").parquet(outPath)
     }
     hllWriteState(statePath, batchId, st1)

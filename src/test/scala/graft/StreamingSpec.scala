@@ -1608,6 +1608,21 @@ class StreamingSpec extends SparkSpec {
       "duplicate verdict rows must be bit-identical")
     // state stays O(types)
     assert(afterOnce._2.size == 2)
+    // NULL values are counted and exported, never clamped into bucket
+    // 0 (pre-seal review r18: greatest/least skip NULLs silently)
+    val preNull = StreamingIngest.hqStates(state)._2("a")
+    StreamingIngest.hqBatch(spark, out, state,
+      Seq(("a", Option(50.25)), ("a", Option.empty[Double]))
+        .toDF("event_type", "value"), batchId = 3L)
+    val postNull = StreamingIngest.hqStates(state)._2("a")
+    assert(postNull.nulls == preNull.nulls + 1)
+    assert(postNull.n == preNull.n + 1, "only the non-null row folds")
+    assert(postNull.buckets.head == preNull.buckets.head,
+      "bucket 0 must not absorb the NULL")
+    val nullRow = spark.read.parquet(out).collect()
+      .filter(r => r.getAs[Long]("batch_id") == 3L &&
+        r.getAs[String]("event_type") == "a").head
+    assert(nullRow.getAs[Long]("n_null") == 1L)
   }
 
   test("streaming HLL cardinality sink: registers equal an exact " +
@@ -1655,10 +1670,10 @@ class StreamingSpec extends SparkSpec {
     }
     val (_, st) = StreamingIngest.hllStates(state)
     val trueBig = ((1L to 1200L) ++ (601L to 2000L)).distinct
-    assert(st("big")._2 == regsOf(trueBig),
+    assert(st("big").regs == regsOf(trueBig),
       "big registers must equal the exact md5-path replay")
-    assert(st("small")._2 == regsOf((1L to 30L).toSeq))
-    assert(st("big")._1 == b1.count(_._1 == "big") +
+    assert(st("small").regs == regsOf((1L to 30L).toSeq))
+    assert(st("big").n == b1.count(_._1 == "big") +
       b2.count(_._1 == "big"))
     // estimates vs truth, both regimes: 3 standard errors of HLL's
     // rsd 1.04/sqrt(256) = 6.5% -> 19.5%
@@ -1683,6 +1698,18 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingIngest.hllStates(state) == before,
       "replayed batchId must be a no-op")
     assert(before._2.size == 2, "state stays O(types)")
+    // NULL user ids are counted and exported, never hashed (pre-seal
+    // review r18: md5(NULL) would crash the long fold)
+    StreamingIngest.hllBatch(spark, out, state,
+      Seq(("big", Option(5L)), ("big", Option.empty[Long]))
+        .toDF("event_type", "user_id"), batchId = 2L)
+    val (_, st2) = StreamingIngest.hllStates(state)
+    assert(st2("big").nulls == 1L && st2("big").n == before._2("big").n + 1)
+    assert(st2("big").regs == regsOf(trueBig :+ 5L))
+    val nullRow = spark.read.parquet(out).collect()
+      .filter(r => r.getAs[Long]("batch_id") == 2L &&
+        r.getAs[String]("event_type") == "big").head
+    assert(nullRow.getAs[Long]("n_null") == 1L)
   }
 
   test("sink crash between verdict append and state write: the replay " +
