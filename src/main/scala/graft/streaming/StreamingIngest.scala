@@ -795,20 +795,30 @@ object StreamingIngest {
   // clamp bucket; the clamp count is EXPORTED per row (n_overflow, the
   // no-silent-caps rule) so a monitor sees when the domain outgrows
   // the grid rather than silently reading a saturated p99.
+  // value→cents and cents→bucket are SEPARATE scales that happened to
+  // both be 100 (r18 advice #4): the multiplier below converts currency
+  // units to integer cents, HqBucketCents is the bucket width IN CENTS.
+  // Deriving both from named constants pins them independently — widen
+  // the buckets without silently skewing the cents quantization.
+  private val HqCentsPerUnit = 100L
   private val HqBucketCents = 100L
   private val HqBuckets = 512
 
-  /** Per-type histogram state: n = folded NON-NULL events; nulls =
+  /** Per-type histogram state: n = folded IN-GRID events; nulls =
     * dropped NULL-valued events (counted and exported, never folded —
     * pre-seal review r18: greatest()/least() silently clamp a NULL
     * value into bucket 0, the exact trap the tQuantileCol NULL-df
-    * advice documents); buckets = cumulative per-bucket counts
-    * (value-domain histogram, not hourly — no pending-hour machinery:
-    * a value row folds the moment it arrives, nothing to finalize). */
-  private[graft] case class HqState(n: Long, nulls: Long,
+    * advice documents); under = below-grid (negative-cent) events,
+    * the symmetric twin of the exported clamp bucket (r18 advice #2:
+    * overflow was exported but underflow silently folded into bucket
+    * 0); buckets = cumulative per-bucket counts (value-domain
+    * histogram, not hourly — no pending-hour machinery: a value row
+    * folds the moment it arrives, nothing to finalize). */
+  private[graft] case class HqState(n: Long, nulls: Long, under: Long,
       buckets: Vector[Long])
 
-  private[graft] val hqEmpty = HqState(0L, 0L, Vector.fill(HqBuckets)(0L))
+  private[graft] val hqEmpty =
+    HqState(0L, 0L, 0L, Vector.fill(HqBuckets)(0L))
 
   /** Smallest bucket whose cumulative count reaches the qNum/qDen
     * rank — pure integer comparison (cum·qDen ≥ qNum·n), the
@@ -830,14 +840,14 @@ object StreamingIngest {
       : (Long, Map[String, HqState]) = {
     val (last, raw) = readLongVecState(statePath)
     (last, raw.map { case (t, v) =>
-      t -> HqState(v.head, v(1), v.drop(2).toVector)
+      t -> HqState(v.head, v(1), v(2), v.drop(3).toVector)
     })
   }
 
   private def hqWriteState(statePath: String, batchId: Long,
       types: Map[String, HqState]): Unit =
     writeLongVecState(statePath, batchId, types.map { case (t, s) =>
-      t -> (s.n +: s.nulls +: s.buckets)
+      t -> (s.n +: s.nulls +: s.under +: s.buckets)
     })
 
   private[graft] def hqBatch(spark: SparkSession, outPath: String,
@@ -846,14 +856,16 @@ object StreamingIngest {
     if (batchId <= last) return // replayed trigger already folded
     // one grouped count of the micro-batch onto the bounded bucket
     // grid — the collect is O(types × bins), never O(rows). NULL
-    // values ride as the sentinel bucket −1 and are COUNTED, not
-    // folded: greatest()/least() would otherwise clamp them silently
-    // into bucket 0 (pre-seal review r18).
+    // values ride as the sentinel bucket −1 and below-grid (negative-
+    // cent) values as −2; both are COUNTED, never folded:
+    // greatest()/least() would otherwise clamp a NULL or a negative
+    // silently into bucket 0 (pre-seal review r18 + r18 advice #2).
+    val cents = floor(col("value") * HqCentsPerUnit + 0.5)
     val hist = batch
       .groupBy(col("event_type"),
         when(col("value").isNull, lit(-1L))
-          .otherwise(least(greatest(floor(floor(col("value") * 100
-            + 0.5) / HqBucketCents), lit(0.0)),
+          .when(cents < 0, lit(-2L))
+          .otherwise(least(floor(cents / HqBucketCents),
             lit((HqBuckets - 1).toDouble)).cast("long")).as("b"))
       .agg(count(lit(1)).cast("long").as("c"))
       .collect()
@@ -861,21 +873,28 @@ object StreamingIngest {
     val st1 = hist.foldLeft(st0) { case (acc, (tpe, b, c)) =>
       val s = acc.getOrElse(tpe, hqEmpty)
       acc.updated(tpe,
-        if (b < 0) s.copy(nulls = s.nulls + c)
-        else HqState(s.n + c, s.nulls,
+        if (b == -1L) s.copy(nulls = s.nulls + c)
+        else if (b == -2L) s.copy(under = s.under + c)
+        else HqState(s.n + c, s.nulls, s.under,
           s.buckets.updated(b.toInt, s.buckets(b.toInt) + c)))
     }
     if (st1.nonEmpty) {
       import spark.implicits._
       st1.toSeq.sortBy(_._1).map { case (tpe, s) =>
-        def edge(p: Long): Double = (p + 1) * HqBucketCents / 100.0
-        (batchId, tpe, s.n, s.nulls,
-          edge(hqPick(s.buckets, s.n, 1L, 2L)),
-          edge(hqPick(s.buckets, s.n, 9L, 10L)),
-          edge(hqPick(s.buckets, s.n, 99L, 100L)),
+        def edge(p: Long): Double =
+          (p + 1) * HqBucketCents.toDouble / HqCentsPerUnit
+        // n = 0 → no folded values, so a rank pick has nothing to
+        // select: the quantiles are NULL, not bucket 0's edge (r18
+        // advice #1 — a type whose only events so far are NULL-valued
+        // must not read as "p99 ≤ 1.0" on a monitor)
+        def q(num: Long, den: Long): Option[Double] =
+          if (s.n == 0L) None
+          else Some(edge(hqPick(s.buckets, s.n, num, den)))
+        (batchId, tpe, s.n, s.nulls, s.under,
+          q(1L, 2L), q(9L, 10L), q(99L, 100L),
           s.buckets.last)
-      }.toDF("batch_id", "event_type", "n_events", "n_null", "p50_le",
-          "p90_le", "p99_le", "n_overflow")
+      }.toDF("batch_id", "event_type", "n_events", "n_null",
+          "n_underflow", "p50_le", "p90_le", "p99_le", "n_overflow")
         .coalesce(1).write.mode("append").parquet(outPath)
     }
     hqWriteState(statePath, batchId, st1)
@@ -908,8 +927,10 @@ object StreamingIngest {
   // none can answer "how many distinct users are we seeing?" in
   // bounded state). 256 max-of-rho registers per type — mergeable by
   // per-register max, so micro-batches fold associatively and a replay
-  // of the same data is a semantic no-op even before the batch-cursor
-  // guard. Hashing is the repo's engine-portable md5 path (first 15
+  // leaves the REGISTERS (and every estimate read off them) unchanged
+  // even before the batch-cursor guard; the n_events/n_null counters
+  // are plain sums, so the guard is what makes THEM exactly-once (r18
+  // advice #3). Hashing is the repo's engine-portable md5 path (first 15
   // hex chars = 60 bits: low 8 pick the register, the high 52 feed
   // the leading-zero rank), the per-batch aggregation is one grouped
   // max onto the O(types × 256) grid — never O(rows) on the driver.

@@ -1623,6 +1623,37 @@ class StreamingSpec extends SparkSpec {
       .filter(r => r.getAs[Long]("batch_id") == 3L &&
         r.getAs[String]("event_type") == "a").head
     assert(nullRow.getAs[Long]("n_null") == 1L)
+    // below-grid values are counted into the exported n_underflow and
+    // never folded into bucket 0 — the symmetric twin of the clamp
+    // bucket (r18 advice #2)
+    val preNeg = StreamingIngest.hqStates(state)._2("a")
+    StreamingIngest.hqBatch(spark, out, state,
+      Seq(("a", -3.25), ("a", 50.25)).toDF("event_type", "value"),
+      batchId = 4L)
+    val postNeg = StreamingIngest.hqStates(state)._2("a")
+    assert(postNeg.under == preNeg.under + 1)
+    assert(postNeg.n == preNeg.n + 1, "only the in-grid row folds")
+    assert(postNeg.buckets.head == preNeg.buckets.head,
+      "bucket 0 must not absorb the negative")
+    val negRow = spark.read.parquet(out).collect()
+      .filter(r => r.getAs[Long]("batch_id") == 4L &&
+        r.getAs[String]("event_type") == "a").head
+    assert(negRow.getAs[Long]("n_underflow") == 1L)
+    // a type whose only events so far are NULL-valued reports NULL
+    // quantiles with n_events = 0 — never a fabricated "p99 <= 1.0"
+    // a monitor could read as real (r18 advice #1)
+    StreamingIngest.hqBatch(spark, out, state,
+      Seq(("c", Option.empty[Double])).toDF("event_type", "value"),
+      batchId = 5L)
+    val cRow = spark.read.parquet(out).collect()
+      .filter(r => r.getAs[Long]("batch_id") == 5L &&
+        r.getAs[String]("event_type") == "c").head
+    assert(cRow.getAs[Long]("n_events") == 0L &&
+      cRow.getAs[Long]("n_null") == 1L)
+    Seq("p50_le", "p90_le", "p99_le").foreach { c =>
+      assert(cRow.isNullAt(cRow.fieldIndex(c)),
+        s"$c must be NULL when no value has folded")
+    }
   }
 
   test("streaming HLL cardinality sink: registers equal an exact " +
