@@ -43,6 +43,9 @@ object GraphOps {
   // betweenness traversal backbone: per-node strongest-relation cap
   // (see the x_betweenness_sample scaladoc for the scale rationale)
   private val BcDegCap = 64
+  // co-occurrence family: per-SUPPLIER customer fan-out cap on the c2
+  // side of the shared-supplier self-join (see x_cooccurrence_recs)
+  private val CoDegCap = 64
 
   /** (edges(src,dst), outdeg(src,outdeg), nodes(node), nDouble) */
   private def orderGraph(s: SparkSession, d: String)
@@ -428,20 +431,40 @@ object GraphOps {
       // recommender, all integer path counts. Plan: aggregate the
       // co-customer pair weights BEFORE fanning out to the neighbors'
       // suppliers (75k pair rows, not 675k path rows), top-3 via the
-      // bounded-heap aggregate. At 100 TB the same shape runs with the
-      // pair table pruned by a minimum-weight threshold — noted, not
-      // needed at fixture scale.
+      // bounded-heap aggregate.
+      //
+      // PER-SUPPLIER DEGREE CAP (r18 verdict #6): the shared-supplier
+      // self-join is O(Σ deg(sp)²) uncapped — the target-side filter
+      // bounds c1 but a hot supplier fans out the c2 side with its FULL
+      // customer set, which grows with volume on a fixed catalog. The
+      // c2 side therefore joins against each supplier's top-CoDegCap
+      // STRONGEST customer relations (weight = distinct orders linking
+      // the pair, ties by customer id — the x_betweenness_sample
+      // backbone pattern), so pair candidates are O(targets · cap) at
+      // any corpus size. The bound rides as the explicit deg_cap
+      // output column and the oracle applies the identical truncation.
+      // Top-cap per supplier uses the bounded-heap aggregate (map-side
+      // partials ship at most cap entries per supplier).
       graft.functions.GraftFunctions.register(s)
-      val e0 = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val links = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
         .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").cast("long").as("c"),
+        .select(col("l_orderkey").as("ok"),
+          col("o_custkey").cast("long").as("c"),
           col("l_suppkey").cast("long").as("sp"))
         .distinct()
+      val ew = links.groupBy("c", "sp")
+        .agg(count(lit(1)).cast("long").as("ow"))
         .localCheckpoint()
+      val e0 = ew.select("c", "sp")
+      val capped = graft.util.ScaleJoins.topKPerKey(
+          ew.select(col("sp"), col("c"), col("ow").cast("double").as("wd")),
+          Seq("sp"), "wd", "c", CoDegCap)
+        .select(col("c").as("c2"), col("sp"))
       val targets = e0.filter(col("c") < 50)
       val pairs = targets.select(col("c").as("c1"), col("sp"))
-        .join(e0.select(col("c").as("c2"), col("sp")), "sp")
+        .join(capped, "sp")
         .filter(col("c1") =!= col("c2"))
         .groupBy("c1", "c2").agg(count(lit(1)).as("w"))
       val scores = pairs
@@ -457,7 +480,8 @@ object GraphOps {
           Seq("c1"), "dscore", "cand", 3)
         .select(col("c1").as("customer"), col("rank"),
           col("cand").as("supplier"),
-          col("dscore").cast("long").as("score"))
+          col("dscore").cast("long").as("score"),
+          lit(CoDegCap.toLong).as("deg_cap"))
         .orderBy("customer", "rank")
     }),
 
@@ -473,27 +497,41 @@ object GraphOps {
       // readout is honest machinery: hit_rate over customers who
       // adopted anything new at all. Same plan shapes as the underlying
       // recommender — pair weights aggregated before the neighbor
-      // fan-out, top-3 via the bounded heap.
+      // fan-out, top-3 via the bounded heap, and the same per-supplier
+      // c2-side degree cap on the shared-supplier self-join (r18
+      // verdict #6; see x_cooccurrence_recs — weight = distinct TRAIN
+      // orders linking the pair, cap exported as deg_cap, oracle
+      // truncated identically).
       graft.functions.GraftFunctions.register(s)
       val base = t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
         .join(t(s, d, "orders").select(col("o_orderkey"),
           col("o_custkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").cast("long").as("c"),
+        .select(col("l_orderkey").as("ok"),
+          col("o_custkey").cast("long").as("c"),
           col("l_suppkey").cast("long").as("sp"),
           (year(col("o_orderdate")) < 1999).as("isTrain"))
-      val train = base.filter(col("isTrain")).select("c", "sp")
-        .distinct().localCheckpoint()
+        .distinct()
+      val trainW = base.filter(col("isTrain"))
+        .groupBy("c", "sp")
+        .agg(count(lit(1)).cast("long").as("ow"))
+        .localCheckpoint()
+      val train = trainW.select("c", "sp")
       val test = base.filter(!col("isTrain")).select("c", "sp")
         .distinct().localCheckpoint()
+      val trainCap = graft.util.ScaleJoins.topKPerKey(
+          trainW.select(col("sp"), col("c"),
+            col("ow").cast("double").as("wd")),
+          Seq("sp"), "wd", "c", CoDegCap)
+        .select(col("c").as("c2"), col("sp"))
       val targets = train.select(col("c")).distinct()
         .join(test.select(col("c")).distinct(), Seq("c"), "left_semi")
         .filter(col("c") < 200)
         .localCheckpoint()
       val pairs = train.join(targets, Seq("c"), "left_semi")
         .select(col("c").as("c1"), col("sp"))
-        .join(train.select(col("c").as("c2"), col("sp")), "sp")
+        .join(trainCap, "sp")
         .filter(col("c1") =!= col("c2"))
         .groupBy("c1", "c2").agg(count(lit(1)).as("w"))
       val scores = pairs
@@ -525,7 +563,8 @@ object GraphOps {
           graft.types.Coercions.detRound(
             when(col("n_with_new") === 0, lit(0.0))
               .otherwise(col("n_hit_targets").cast("double")
-                / col("n_with_new")), 6).as("hit_rate"))
+                / col("n_with_new")), 6).as("hit_rate"),
+          lit(CoDegCap.toLong).as("deg_cap"))
     }),
 
     "x_degree_histogram" -> ((s, d) => {
@@ -920,13 +959,24 @@ object GraphOps {
     },
 
     "x_cooccurrence_recs" ->
-      """WITH e0 AS MATERIALIZED (
-           SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
-                  CAST(l.l_suppkey AS BIGINT) AS sp
-           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      """WITH ew AS MATERIALIZED (
+           SELECT c, sp, COUNT(*) AS ow
+           FROM (SELECT DISTINCT l.l_orderkey AS ok,
+                        CAST(o.o_custkey AS BIGINT) AS c,
+                        CAST(l.l_suppkey AS BIGINT) AS sp
+                 FROM lineitem l
+                 JOIN orders o ON l.l_orderkey = o.o_orderkey)
+           GROUP BY 1, 2),
+         e0 AS (SELECT c, sp FROM ew),
+         cap AS MATERIALIZED (
+           SELECT c AS c2, sp FROM (
+             SELECT c, sp, row_number() OVER (PARTITION BY sp
+               ORDER BY ow DESC, c) AS rn
+             FROM ew)
+           WHERE rn <= 64),
          pairs AS MATERIALIZED (
-           SELECT a.c AS c1, b.c AS c2, COUNT(*) AS w
-           FROM e0 a JOIN e0 b ON a.sp = b.sp AND a.c <> b.c
+           SELECT a.c AS c1, b.c2, COUNT(*) AS w
+           FROM e0 a JOIN cap b ON a.sp = b.sp AND a.c <> b.c2
            WHERE a.c < 50 GROUP BY 1, 2),
          scores AS MATERIALIZED (
            SELECT p.c1, e.sp AS cand, CAST(SUM(p.w) AS BIGINT) AS score
@@ -938,7 +988,8 @@ object GraphOps {
            LEFT JOIN e0 o ON o.c = s.c1 AND o.sp = s.cand
            WHERE o.c IS NULL)
          SELECT c1 AS customer, CAST(rn AS BIGINT) AS rank,
-                cand AS supplier, score
+                cand AS supplier, score,
+                CAST(64 AS BIGINT) AS deg_cap
          FROM (SELECT c1, cand, score,
                       row_number() OVER (PARTITION BY c1
                         ORDER BY score DESC, cand) AS rn
@@ -948,20 +999,30 @@ object GraphOps {
 
     "x_recs_holdout_eval" ->
       """WITH base AS MATERIALIZED (
-           SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
+           SELECT DISTINCT l.l_orderkey AS ok,
+                  CAST(o.o_custkey AS BIGINT) AS c,
                   CAST(l.l_suppkey AS BIGINT) AS sp,
                   year(o.o_orderdate) < 1999 AS is_train
            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-         train AS MATERIALIZED (
-           SELECT DISTINCT c, sp FROM base WHERE is_train),
+         trainw AS MATERIALIZED (
+           SELECT c, sp, COUNT(*) AS ow
+           FROM base WHERE is_train GROUP BY 1, 2),
+         train AS (SELECT c, sp FROM trainw),
          test AS MATERIALIZED (
            SELECT DISTINCT c, sp FROM base WHERE NOT is_train),
+         traincap AS MATERIALIZED (
+           SELECT c AS c2, sp FROM (
+             SELECT c, sp, row_number() OVER (PARTITION BY sp
+               ORDER BY ow DESC, c) AS rn
+             FROM trainw)
+           WHERE rn <= 64),
          targets AS MATERIALIZED (
            SELECT c FROM (SELECT DISTINCT c FROM train)
            WHERE c < 200 AND c IN (SELECT DISTINCT c FROM test)),
          pairs AS MATERIALIZED (
-           SELECT a.c AS c1, b.c AS c2, COUNT(*) AS w
-           FROM train a JOIN train b ON a.sp = b.sp AND a.c <> b.c
+           SELECT a.c AS c1, b.c2, COUNT(*) AS w
+           FROM train a JOIN traincap b
+             ON a.sp = b.sp AND a.c <> b.c2
            WHERE a.c IN (SELECT c FROM targets)
            GROUP BY 1, 2),
          scores AS MATERIALIZED (
@@ -1000,7 +1061,8 @@ object GraphOps {
                 CASE WHEN n_with_new = 0 THEN 0.0
                      ELSE floor(CAST(n_hit_targets AS DOUBLE) / n_with_new
                           * 1e6 + 0.5) / 1e6
-                END AS hit_rate
+                END AS hit_rate,
+                CAST(64 AS BIGINT) AS deg_cap
          FROM agg""",
 
     "x_degree_histogram" -> {

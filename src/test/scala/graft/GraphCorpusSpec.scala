@@ -482,6 +482,63 @@ class GraphCorpusSpec extends SparkSpec {
     }
   }
 
+  test("x_cooccurrence_recs: a plain-Scala replay WITH the per-supplier " +
+      "degree cap reproduces every rec row exactly, and the cap is " +
+      "genuinely active on the fixture (some supplier exceeds it)") {
+    import org.apache.spark.sql.functions.col
+    val rows = run("x_cooccurrence_recs").collect()
+      .map(r => (r.getAs[Long]("customer"), r.getAs[Long]("rank"),
+        r.getAs[Long]("supplier"), r.getAs[Long]("score"),
+        r.getAs[Long]("deg_cap")))
+    val cap = rows.head._5.toInt
+    // distinct (order, customer, supplier) links -> per-pair distinct-
+    // order weights, independently of the engine's frames
+    val links = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("o_custkey").as("c"),
+        col("l_suppkey").as("sp"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ew = links.groupBy(l => (l._2, l._3)).map { case (k, v) =>
+      k -> v.length.toLong }
+    val e0 = ew.keySet
+    // per supplier keep the top-cap customers by (weight desc, c asc).
+    // NB .toSeq before flatMap: flatMap on a Map yielding (c, sp)
+    // 2-tuples would rebuild a Map keyed by c, silently collapsing the
+    // backbone to one supplier per customer
+    val capped: Set[(Long, Long)] = ew.toSeq
+      .groupBy(_._1._2).toSeq
+      .flatMap { case (sp, cs) =>
+        cs.sortBy { case ((c, _), w) => (-w, c) }.take(cap)
+          .map { case ((c, _), _) => (c, sp) }
+      }.toSet
+    assert(ew.groupBy(_._1._2).exists(_._2.size > cap),
+      "fixture must exercise the truncation or the replay proves nothing")
+    val targets = e0.filter(_._1 < 50)
+    val pairW = (for {
+      (c1, sp) <- targets.toSeq
+      (c2, sp2) <- capped if sp2 == sp && c2 != c1
+    } yield (c1, c2)).groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong }
+    val scores = (for {
+      ((c1, c2), w) <- pairW.toSeq
+      (cc, cand) <- e0 if cc == c2
+    } yield ((c1, cand), w))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      .filterNot { case ((c1, cand), _) => e0.contains((c1, cand)) }
+    val expect = scores.toSeq
+      .groupBy(_._1._1)
+      .flatMap { case (c1, ss) =>
+        ss.sortBy { case ((_, cand), sc) => (-sc, cand) }.take(3)
+          .zipWithIndex
+          .map { case (((_, cand), sc), i) =>
+            (c1, (i + 1).toLong, cand, sc, cap.toLong) }
+      }.toSet
+    assert(rows.toSet == expect,
+      s"engine ${rows.length} rows vs replay ${expect.size}")
+  }
+
   test("x_rfm_segments: segments are three digits 1..5, customer counts " +
       "sum to the customer base, monetary totals positive") {
     val rows = run("x_rfm_segments").collect()
