@@ -71,6 +71,42 @@ object StatsOps {
           THEN CAST(${qw(i)} AS BIGINT) ELSE CAST(0 AS BIGINT)
           END""").mkString(" + ")
 
+  // ---- Gardner–McKenzie damped-trend ladder (x_damped_trend_forecast) ----
+  // The φ-damped state recursion [ℓ_t, b_t] = G·[ℓ_{t−1}, b_{t−1}] + h·y_t
+  // (smoothing form: ℓ_t = αy_t + (1−α)(ℓ_{t−1} + φb_{t−1}),
+  // b_t = β*(ℓ_t − ℓ_{t−1}) + (1−β*)φb_{t−1}) gives the one-step
+  // forecast F_t = [1, φ]·x_{t−1}, i.e. weight w_i = [1, φ]·G^(i−1)·h on
+  // lag i — computed ONCE here by iterating v ← G·v (no pow at query
+  // time, the brownW discipline). G's eigenvalues are complex at these
+  // parameters, so the weights are damped-oscillatory and dip mildly
+  // NEGATIVE near lag 14 (min −0.00883) — irrelevant to the ladder,
+  // they are literals either way; w₄₀ ≈ 3.3e−5 and Σw₄₀ = 0.999859, and
+  // the normalized truncated-40 ladder reproduces the exact recursion's
+  // one-step forecast to ~3e−7 relative (pinned by the spec's replay).
+  private val DampAlpha = 0.3
+  private val DampBetaS = 0.1 // β* (trend smoothing on the LEVEL delta)
+  private val DampPhi = 0.9
+  private val dampedWArr: Array[Double] = {
+    val out = Array.ofDim[Double](EwmaLags + 1)
+    var v0 = DampAlpha // h = [α, αβ*]
+    var v1 = DampAlpha * DampBetaS
+    for (i <- 1 to EwmaLags) {
+      out(i) = v0 + DampPhi * v1
+      val n0 = (1.0 - DampAlpha) * v0 + (1.0 - DampAlpha) * DampPhi * v1
+      val n1 = -DampAlpha * DampBetaS * v0 +
+        (1.0 - DampAlpha * DampBetaS) * DampPhi * v1
+      v0 = n0; v1 = n1
+    }
+    out
+  }
+  private def dampedW(i: Int): Double = dampedWArr(i)
+  private def dampedWLit(i: Int): String =
+    graft.util.Num.lit17(dampedWArr(i))
+  // round-half-up matches the brownQW quantizer for NEGATIVE weights
+  // too: floor(x + 0.5) in both engines
+  private def dampedQW(i: Int): Long =
+    math.floor(dampedWArr(i) * 1e9 + 0.5).toLong
+
   // ---- Poisson bootstrap --------------------------------------------------
   // Poisson(1) CDF thresholds for the inverse-CDF weight ladder, written
   // as decimal strings so BOTH engines parse the identical binary64
@@ -493,6 +529,13 @@ object StatsOps {
     invNorm(1.0 - (i * 0.05 / (FdrM * (byCmQ(FdrM) / 1e12))) / 2.0)
   private def byCritLit(i: Int): String =
     graft.util.Num.lit17(byCrit(i))
+
+  // Dunn post-hoc Bonferroni critical value Φ⁻¹(1 − 0.025/m) for the
+  // data-decided m = k(k−1)/2 — same literal-gated-on-data convention
+  // as byCrit (m outside the k ∈ 2..6 table → NULL verdict).
+  private[ext] def dunnCrit(m: Int): Double = invNorm(1.0 - 0.025 / m)
+  private def dunnCritLit(m: Int): String =
+    graft.util.Num.lit17(dunnCrit(m))
 
   // ---- scale-safe global rank --------------------------------------------
   // row_number() over an UNPARTITIONED Window moves every row to one
@@ -4147,6 +4190,223 @@ object StatsOps {
             + col("phi2") * (col("ylast") - col("mu")), 4)
             .as("forecast_2"))
         .orderBy("priority")
+    }),
+
+    // ---- r19 wave ---------------------------------------------------------
+
+    "x_jarque_bera" -> ((s, d) => {
+      // Jarque–Bera normality test (Jarque & Bera 1980) on the daily
+      // order-count series per priority — the ASSUMPTION CHECK the two
+      // normal-theory outlier screens (x_grubbs_outlier,
+      // x_generalized_esd) silently rest on, made measurable. Exact
+      // integer power sums S1..S4 off the calendar-bounded day grain
+      // (DECIMAL(38,0) — y⁴ outgrows BIGINT once daily volume passes
+      // ~55k), then the sufficient-statistics expansion of the central
+      // moments in IDENTICAL double operation order in both engines:
+      // m2 = S2/n − μ², m3 = S3/n − 3μ(S2/n) + 2μ³,
+      // m4 = S4/n − 4μ(S3/n) + 6μ²(S2/n) − 3μ⁴; skew = m3/(m2√m2),
+      // kurt = m4/m2², JB = n/6·(S² + (K−3)²/4) vs χ²(2) = 5.991465.
+      // Degenerate constant series (m2 = 0) → NULL verdict, not ±inf.
+      // Scale: one fact groupBy to the day grain, O(priorities) after.
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).cast("long").as("y"))
+      val yd = col("y").cast("decimal(19,0)")
+      val st = daily.groupBy("priority")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(yd).as("s1"),
+          sum(yd * yd).as("s2"),
+          sum((yd * yd) * yd).as("s3"),
+          sum((yd * yd) * (yd * yd)).as("s4"))
+      val dn = col("n").cast("double")
+      val d1 = col("s1").cast("double"); val d2 = col("s2").cast("double")
+      val d3 = col("s3").cast("double"); val d4 = col("s4").cast("double")
+      st
+        .withColumn("mean", d1 / dn)
+        .withColumn("m2", d2 / dn - col("mean") * col("mean"))
+        .withColumn("m3", d3 / dn
+          - lit(3.0) * col("mean") * (d2 / dn)
+          + lit(2.0) * col("mean") * col("mean") * col("mean"))
+        .withColumn("m4", d4 / dn
+          - lit(4.0) * col("mean") * (d3 / dn)
+          + lit(6.0) * col("mean") * col("mean") * (d2 / dn)
+          - lit(3.0) * col("mean") * col("mean") * col("mean")
+            * col("mean"))
+        .withColumn("skew", when(col("m2") > 0,
+          col("m3") / (col("m2") * sqrt(col("m2")))))
+        .withColumn("kurt", when(col("m2") > 0,
+          col("m4") / (col("m2") * col("m2"))))
+        .withColumn("jb", dn / 6.0 * (col("skew") * col("skew")
+          + (col("kurt") - 3.0) * (col("kurt") - 3.0) / 4.0))
+        .select(col("priority"), col("n").as("n_days"),
+          detRound(col("mean"), 4).as("mean_daily"),
+          detRound(col("skew"), 4).as("skewness"),
+          detRound(col("kurt"), 4).as("kurtosis"),
+          detRound(col("jb"), 4).as("jb_stat"),
+          (col("jb") > lit(5.991465)).as("reject_normal_05"))
+        .orderBy("priority")
+    }),
+
+    "x_dunn_posthoc" -> ((s, d) => {
+      // Dunn's (1964) pairwise post-hoc after Kruskal–Wallis — the
+      // unordered-groups companion to x_nemenyi_posthoc's block
+      // version, answering WHICH priority pairs separate once KW says
+      // "somewhere". Runs on x_kruskal_wallis's own (grp, cents)
+      // histogram grain: pooled doubled average ranks via the exclusive
+      // cumsum over the value histogram (exact integers), mean ranks
+      // R̄ = r2g/(2n_g), z_ab = (R̄_a − R̄_b) /
+      // √((N(N+1)/12 − Σ(t³−t)/(12(N−1)))·(1/n_a + 1/n_b)), and the
+      // Bonferroni critical Φ⁻¹(1 − 0.025/m) embedded as an Acklam
+      // literal gated on the DATA-DECIDED m = k(k−1)/2 (the
+      // x_benjamini_yekutieli convention; k outside 2..6 → NULL).
+      // Output k(k−1)/2 pair rows off the O(k) rank-sum table — every
+      // join a broadcast of an aggregate; windows only over the grouped
+      // value histogram.
+      val hist = t(s, d, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("qv"))
+        .groupBy("grp", "qv").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val vt = hist.groupBy("qv").agg(sum(col("c")).cast("long").as("t"))
+      val w = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, -1)
+      val vts = vt.withColumn("s0", coalesce(sum(col("t")).over(w), lit(0L)))
+      val gsum = hist.join(vts, "qv")
+        .groupBy("grp")
+        .agg(sum(col("c")).cast("long").as("ng"),
+          sum((col("c") * (lit(2L) * col("s0") + col("t") + 1L))
+            .cast("decimal(38,0)")).as("r2g"))
+      val ties = vt.agg(
+        sum((col("t") * col("t") * col("t") - col("t"))
+          .cast("decimal(38,0)")).as("st3"))
+      val tot = gsum.agg(count(lit(1)).as("k"),
+        sum(col("ng")).cast("long").as("nn"))
+      val a = gsum.select(col("grp").as("grp_a"), col("ng").as("na"),
+        col("r2g").as("r2a"))
+      val b = gsum.select(col("grp").as("grp_b"), col("ng").as("nb"),
+        col("r2g").as("r2b"))
+      val m = (col("k") * (col("k") - 1) / 2).cast("long")
+      val critCase = when(m === 1, lit(dunnCrit(1)))
+        .when(m === 3, lit(dunnCrit(3)))
+        .when(m === 6, lit(dunnCrit(6)))
+        .when(m === 10, lit(dunnCrit(10)))
+        .when(m === 15, lit(dunnCrit(15)))
+      a.join(broadcast(b), col("grp_a") < col("grp_b"))
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(ties))
+        .withColumn("varbase",
+          col("nn").cast("double") * (col("nn") + 1) / 12.0
+            - col("st3").cast("double") / (lit(12.0) * (col("nn") - 1)))
+        .withColumn("ra", col("r2a").cast("double") / (lit(2.0) * col("na")))
+        .withColumn("rb", col("r2b").cast("double") / (lit(2.0) * col("nb")))
+        .withColumn("z", (col("ra") - col("rb"))
+          / sqrt(col("varbase") * (lit(1.0) / col("na")
+            + lit(1.0) / col("nb"))))
+        .withColumn("crit", critCase)
+        .select(col("grp_a"), col("grp_b"),
+          col("na").as("n_a"), col("nb").as("n_b"),
+          detRound(col("ra"), 6).as("mean_rank_a"),
+          detRound(col("rb"), 6).as("mean_rank_b"),
+          detRound(col("varbase"), 2).as("var_base"),
+          detRound(col("z"), 4).as("z_stat"),
+          col("k").as("n_groups"), m.as("n_pairs"),
+          detRound(col("crit"), 6).as("crit_bonf"),
+          (abs(col("z")) > col("crit")).as("significant"))
+        .orderBy("grp_a", "grp_b")
+    }),
+
+    "x_pettitt_test" -> ((s, d) => {
+      // Pettitt's (1979) rank-based change-point test on the daily
+      // order-count series — the distribution-free sibling of
+      // x_cusum_changepoint (which assumes a level shift in mean units;
+      // Pettitt is invariant to any monotone transform of the counts).
+      // EXACT integer form via the doubled-rank machinery: with r2 the
+      // doubled average ranks of the counts within a series,
+      // U_t = Σ_{i≤t} r2_i − t(n+1) (integer — 2Σr̄ per value is
+      // 2·below + ties + 1), K = max_{t<n} |U_t| with the EARLIEST
+      // argmax day as the candidate break t*, and the approximate
+      // significance p ≈ min(1, 2exp(−6K²/(n³+n²))) — one exp on an
+      // O(series) grain. Runs on BOTH grains at once: each priority
+      // plus the pooled 'ALL' series (the pooled series is where the
+      // fixture's K concentrates). Scale: one fact groupBy to the
+      // calendar-bounded day grain; every window is partitioned by
+      // series over O(days) rows.
+      val dailyP = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("series"),
+          date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).cast("long").as("y"))
+        .localCheckpoint()
+      val daily = dailyP.unionByName(
+        dailyP.groupBy("day").agg(sum(col("y")).cast("long").as("y"))
+          .withColumn("series", lit("ALL"))
+          .select("series", "day", "y"))
+      val vt = daily.groupBy("series", "y")
+        .agg(count(lit(1)).cast("long").as("t"))
+      val wS = Window.partitionBy("series").orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val vts = vt.withColumn("s0",
+        coalesce(sum(col("t")).over(wS), lit(0L)))
+      val nn = daily.groupBy("series")
+        .agg(count(lit(1)).cast("long").as("n"))
+      val wD = Window.partitionBy("series").orderBy("day")
+      val cum = daily.join(vts, Seq("series", "y"))
+        .withColumn("r2", lit(2L) * col("s0") + col("t") + 1L)
+        .withColumn("su2", sum(col("r2")).over(
+          wD.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rn", row_number().over(wD).cast("long"))
+      val picked = cum.join(broadcast(nn), "series")
+        .filter(col("rn") < col("n"))
+        .withColumn("au", abs(col("su2") - col("rn") * (col("n") + 1L)))
+        .withColumn("pk", row_number().over(Window.partitionBy("series")
+          .orderBy(desc("au"), asc("day"))))
+        .filter(col("pk") === 1)
+      picked
+        .withColumn("p", when(col("n") > 1, least(lit(1.0),
+          lit(2.0) * exp(lit(-6.0) * col("au").cast("double") * col("au")
+            / (col("n") * col("n") * col("n") + col("n") * col("n"))
+              .cast("double")))))
+        .select(col("series"), col("n").as("n_days"),
+          col("au").as("k_stat"),
+          fmtD(col("day")).as("change_day"),
+          detRound(col("p"), 4).as("p_value"),
+          (col("p") < 0.05).as("significant_05"))
+        .orderBy("series")
+    }),
+
+    "x_damped_trend_forecast" -> ((s, d) => {
+      // Gardner–McKenzie φ-damped trend forecast (J. Forecasting 1985;
+      // the method M4 showed hardest to beat) beside x_holt_forecast:
+      // Brown's trend correction extrapolates a ramp FOREVER, the
+      // damped variant shrinks the trend by φ per step — the
+      // long-horizon-sane default. The whole recursion collapses to
+      // ONE driver-computed 40-literal weight ladder (w_i =
+      // [1,φ]·G^(i−1)·h — see dampedWArr; damped-oscillatory, some
+      // weights mildly negative), applied exactly like the EWMA
+      // ladder: per-term 1e9 fixed-point quantization, present-lag
+      // quantized-weight normalizer, windows over the already-
+      // aggregated daily table only. Forecast = normalized weighted
+      // sum; top-10 |residual| days are where the damped-trend model
+      // was most surprised. Same scale posture as x_ewma_anomaly.
+      val w = Window.partitionBy("priority").orderBy("day")
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      def lagY(i: Int) = lag(col("y"), i).over(w)
+      daily
+        .withColumn("nq", brownNum(lagY, dampedW))
+        .withColumn("dq", brownDen(lagY, dampedQW))
+        .filter(col("dq") > 0)
+        .withColumn("f",
+          col("nq").cast("double") / col("dq").cast("double"))
+        .withColumn("resid", col("y") - col("f"))
+        .withColumn("qr", floor(abs(col("resid")) * 1e6 + 0.5).cast("long"))
+        .orderBy(desc("qr"), asc("priority"), asc("day"))
+        .limit(10)
+        .select(col("priority"), fmtD(col("day")).as("day"), col("y"),
+          detRound(lit(DampPhi), 2).as("phi"),
+          detRound(col("f"), 6).as("forecast"),
+          detRound(col("resid"), 6).as("resid"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -7059,5 +7319,204 @@ object StatsOps {
                 floor(f1 * 1e4 + 0.5) / 1e4 AS forecast_1,
                 floor((mu + phi1 * (f1 - mu) + phi2 * (ylast - mu))
                   * 1e4 + 0.5) / 1e4 AS forecast_2
-         FROM fc ORDER BY priority""")
+         FROM fc ORDER BY priority""",
+
+    // ---- r19 wave ---------------------------------------------------------
+
+    "x_jarque_bera" ->
+      """WITH daily AS (
+           SELECT o_orderpriority AS priority,
+                  date_trunc('day', o_orderdate) AS dy,
+                  CAST(COUNT(*) AS BIGINT) AS y
+           FROM orders GROUP BY 1, 2),
+         st AS (
+           SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(CAST(y AS HUGEINT)) AS s1,
+                  SUM(CAST(y AS HUGEINT) * y) AS s2,
+                  SUM((CAST(y AS HUGEINT) * y) * y) AS s3,
+                  SUM((CAST(y AS HUGEINT) * y) * (CAST(y AS HUGEINT) * y))
+                    AS s4
+           FROM daily GROUP BY 1),
+         mo AS (
+           SELECT priority, n, CAST(s1 AS DOUBLE) / n AS mean,
+                  CAST(s2 AS DOUBLE) AS d2, CAST(s3 AS DOUBLE) AS d3,
+                  CAST(s4 AS DOUBLE) AS d4, CAST(n AS DOUBLE) AS dn
+           FROM st),
+         cm AS (
+           SELECT priority, n, dn, mean,
+                  d2 / dn - mean * mean AS m2,
+                  d3 / dn - 3.0 * mean * (d2 / dn)
+                    + 2.0 * mean * mean * mean AS m3,
+                  d4 / dn - 4.0 * mean * (d3 / dn)
+                    + 6.0 * mean * mean * (d2 / dn)
+                    - 3.0 * mean * mean * mean * mean AS m4
+           FROM mo),
+         sk AS (
+           SELECT priority, n, dn, mean,
+                  CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS skew,
+                  CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END AS kurt
+           FROM cm),
+         jb AS (
+           SELECT priority, n, mean, skew, kurt,
+                  dn / 6.0 * (skew * skew
+                    + (kurt - 3.0) * (kurt - 3.0) / 4.0) AS jb
+           FROM sk)
+         SELECT priority, n AS n_days,
+                floor(mean * 1e4 + 0.5) / 1e4 AS mean_daily,
+                floor(skew * 1e4 + 0.5) / 1e4 AS skewness,
+                floor(kurt * 1e4 + 0.5) / 1e4 AS kurtosis,
+                floor(jb * 1e4 + 0.5) / 1e4 AS jb_stat,
+                jb > 5.991465 AS reject_normal_05
+         FROM jb ORDER BY priority""",
+
+    "x_dunn_posthoc" -> {
+      val critCase =
+        s"""CASE WHEN m = 1 THEN CAST(${dunnCritLit(1)} AS DOUBLE)
+                 WHEN m = 3 THEN CAST(${dunnCritLit(3)} AS DOUBLE)
+                 WHEN m = 6 THEN CAST(${dunnCritLit(6)} AS DOUBLE)
+                 WHEN m = 10 THEN CAST(${dunnCritLit(10)} AS DOUBLE)
+                 WHEN m = 15 THEN CAST(${dunnCritLit(15)} AS DOUBLE)
+            END"""
+      s"""WITH hist AS MATERIALIZED (
+           SELECT o_orderpriority AS grp,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS qv,
+                  COUNT(*) AS c
+           FROM orders GROUP BY 1, 2),
+         vt AS MATERIALIZED (
+           SELECT qv, CAST(SUM(c) AS BIGINT) AS t
+           FROM hist GROUP BY 1),
+         vts AS (
+           SELECT qv, t,
+                  COALESCE(SUM(t) OVER (ORDER BY qv
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS s0
+           FROM vt),
+         gsum AS MATERIALIZED (
+           SELECT h.grp, CAST(SUM(h.c) AS BIGINT) AS ng,
+                  SUM(CAST(h.c * (2 * v.s0 + v.t + 1) AS HUGEINT))
+                    AS r2g
+           FROM hist h JOIN vts v USING (qv)
+           GROUP BY 1),
+         ties AS (
+           SELECT SUM(CAST(t * t * t - t AS HUGEINT)) AS st3 FROM vt),
+         tot AS (
+           SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS nn,
+                  CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS m
+           FROM gsum),
+         prs AS (
+           SELECT a.grp AS grp_a, b.grp AS grp_b,
+                  a.ng AS na, b.ng AS nb,
+                  a.r2g AS r2a, b.r2g AS r2b,
+                  t.k, t.nn, t.m, s.st3
+           FROM gsum a JOIN gsum b ON a.grp < b.grp
+           CROSS JOIN tot t CROSS JOIN ties s),
+         zz AS (
+           SELECT grp_a, grp_b, na, nb, k, m,
+                  CAST(nn AS DOUBLE) * (nn + 1) / 12.0
+                    - CAST(st3 AS DOUBLE) / (12.0 * (nn - 1)) AS varbase,
+                  CAST(r2a AS DOUBLE) / (2.0 * na) AS ra,
+                  CAST(r2b AS DOUBLE) / (2.0 * nb) AS rb
+           FROM prs),
+         fin AS (
+           SELECT grp_a, grp_b, na, nb, k, m, varbase, ra, rb,
+                  (ra - rb) / sqrt(varbase
+                    * (1.0 / na + 1.0 / nb)) AS z,
+                  $critCase AS crit
+           FROM zz)
+         SELECT grp_a, grp_b, na AS n_a, nb AS n_b,
+                floor(ra * 1e6 + 0.5) / 1e6 AS mean_rank_a,
+                floor(rb * 1e6 + 0.5) / 1e6 AS mean_rank_b,
+                floor(varbase * 1e2 + 0.5) / 1e2 AS var_base,
+                floor(z * 1e4 + 0.5) / 1e4 AS z_stat,
+                k AS n_groups, m AS n_pairs,
+                floor(crit * 1e6 + 0.5) / 1e6 AS crit_bonf,
+                abs(z) > crit AS significant
+         FROM fin ORDER BY grp_a, grp_b"""
+    },
+
+    "x_pettitt_test" ->
+      """WITH dailyp AS MATERIALIZED (
+           SELECT o_orderpriority AS series,
+                  date_trunc('day', o_orderdate) AS dy,
+                  CAST(COUNT(*) AS BIGINT) AS y
+           FROM orders GROUP BY 1, 2),
+         daily AS MATERIALIZED (
+           SELECT series, dy, y FROM dailyp
+           UNION ALL
+           SELECT 'ALL' AS series, dy, CAST(SUM(y) AS BIGINT) AS y
+           FROM dailyp GROUP BY 2),
+         vt AS (
+           SELECT series, y, CAST(COUNT(*) AS BIGINT) AS t
+           FROM daily GROUP BY 1, 2),
+         vts AS (
+           SELECT series, y, t,
+                  COALESCE(SUM(t) OVER (PARTITION BY series ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS s0
+           FROM vt),
+         nn AS (
+           SELECT series, CAST(COUNT(*) AS BIGINT) AS n
+           FROM daily GROUP BY 1),
+         cum AS (
+           SELECT d.series, d.dy,
+                  SUM(2 * v.s0 + v.t + 1) OVER (PARTITION BY d.series
+                    ORDER BY d.dy
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS su2,
+                  CAST(row_number() OVER (PARTITION BY d.series
+                    ORDER BY d.dy) AS BIGINT) AS rn
+           FROM daily d JOIN vts v
+             ON v.series = d.series AND v.y = d.y),
+         uu AS (
+           SELECT c.series, c.dy, n.n,
+                  abs(c.su2 - c.rn * (n.n + 1)) AS au
+           FROM cum c JOIN nn n ON n.series = c.series
+           WHERE c.rn < n.n),
+         pick AS (
+           SELECT series, dy, n, au,
+                  row_number() OVER (PARTITION BY series
+                    ORDER BY au DESC, dy ASC) AS pk
+           FROM uu),
+         fin AS (
+           SELECT series, n, au, dy,
+                  CASE WHEN n > 1 THEN least(1.0,
+                    2.0 * exp(-6.0 * CAST(au AS DOUBLE) * au
+                      / CAST(n * n * n + n * n AS DOUBLE)))
+                  END AS p
+           FROM pick WHERE pk = 1)
+         SELECT series, n AS n_days, CAST(au AS BIGINT) AS k_stat,
+                strftime(dy, '%Y-%m-%d') AS change_day,
+                floor(p * 1e4 + 0.5) / 1e4 AS p_value,
+                p < 0.05 AS significant_05
+         FROM fin ORDER BY series""",
+
+    "x_damped_trend_forecast" -> {
+      val num = brownNumSql("y", dampedWLit)
+      val den = brownDenSql("y", dampedQW)
+      val phi = graft.util.Num.lit17(DampPhi)
+      s"""WITH daily AS (
+            SELECT o_orderpriority AS priority,
+                   date_trunc('day', o_orderdate) AS dy,
+                   COUNT(*) AS y
+            FROM orders GROUP BY 1, 2),
+          lad AS (
+            SELECT priority, dy, y,
+                   $num AS nq, $den AS dq
+            FROM daily
+            WINDOW win AS (PARTITION BY priority ORDER BY dy)),
+          fc AS (
+            SELECT priority, dy, y,
+                   CAST(nq AS DOUBLE) / CAST(dq AS DOUBLE) AS f
+            FROM lad WHERE dq > 0),
+          rr AS (
+            SELECT priority, dy, y, f, y - f AS resid FROM fc)
+          SELECT priority, strftime(dy, '%Y-%m-%d') AS day, y,
+                 floor(CAST($phi AS DOUBLE) * 1e2 + 0.5) / 1e2 AS phi,
+                 floor(f * 1e6 + 0.5) / 1e6 AS forecast,
+                 floor(resid * 1e6 + 0.5) / 1e6 AS resid
+          FROM rr
+          ORDER BY CAST(floor(abs(resid) * 1e6 + 0.5) AS BIGINT) DESC,
+                   priority, dy
+          LIMIT 10"""
+    })
 }

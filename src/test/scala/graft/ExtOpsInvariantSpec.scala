@@ -1605,4 +1605,218 @@ class ExtOpsInvariantSpec extends SparkSpec {
     assert(math.abs((hi - lo) - math.pow(p, 100)) < 2e-6,
       "bracket width must be the unseen tail mass p^D")
   }
+
+  // ---- r19 additions -------------------------------------------------
+
+  /** Daily order counts per priority, the grain four r19 ops share. */
+  private def dailyCounts(): Map[String, Seq[(String, Long)]] = {
+    import org.apache.spark.sql.functions._
+    graft.util.Tables.t(spark, sf, "orders")
+      .groupBy(col("o_orderpriority").as("p"),
+        date_trunc("day", col("o_orderdate")).cast("string").as("day"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (p, v) =>
+        p -> v.map(x => (x._2, x._3)).sortBy(_._1).toSeq
+      }
+  }
+
+  test("x_jarque_bera: skewness, kurtosis and JB match a direct " +
+      "central-moment recompute (sum of (y-mean)^k / n, NOT the " +
+      "engine's sufficient-statistics expansion), and the verdict is " +
+      "the chi-square(2) comparison") {
+    val daily = dailyCounts()
+    val rows = run("x_jarque_bera").collect()
+    assert(rows.length == daily.size)
+    rows.foreach { r =>
+      val p = r.getAs[String]("priority")
+      val ys = daily(p).map(_._2.toDouble)
+      val n = ys.length.toDouble
+      assert(r.getAs[Long]("n_days") == ys.length.toLong)
+      val mean = ys.sum / n
+      def cm(k: Int) = ys.map(y => math.pow(y - mean, k)).sum / n
+      val (m2, m3, m4) = (cm(2), cm(3), cm(4))
+      val skew = m3 / (m2 * math.sqrt(m2))
+      val kurt = m4 / (m2 * m2)
+      val jb = n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+      // engine outputs are 4-dp rounded; the direct-vs-expansion float
+      // gap is orders below the grid, so one grid step bounds both
+      assert(math.abs(r.getAs[Double]("skewness") - skew) < 1e-4, p)
+      assert(math.abs(r.getAs[Double]("kurtosis") - kurt) < 1e-4, p)
+      assert(math.abs(r.getAs[Double]("jb_stat") - jb) < 1e-3, p)
+      assert(r.getAs[Boolean]("reject_normal_05") == (jb > 5.991465), p)
+      assert(r.getAs[Double]("jb_stat") >= 0.0, "JB is a sum of squares")
+    }
+  }
+
+  test("x_dunn_posthoc: pairwise z statistics match a classic " +
+      "average-rank recompute (sort-and-average-ties, NOT the " +
+      "histogram-cumsum recipe), the critical value is the Bonferroni " +
+      "normal quantile at the data-decided pair count, and the pair " +
+      "grid is complete") {
+    import org.apache.spark.sql.functions._
+    val vals = graft.util.Tables.t(spark, sf, "orders")
+      .select(col("o_orderpriority").as("g"),
+        floor(col("o_totalprice") * 100 + org.apache.spark.sql.functions
+          .lit(0.5)).cast("long").as("qv"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // classic pooled average ranks: sort, then each tie group gets the
+    // mean of the positions it occupies
+    val sorted = vals.map(_._2).sorted
+    val avgRank: Map[Long, Double] = sorted.zipWithIndex
+      .groupBy(_._1)
+      .map { case (v, xs) =>
+        v -> (xs.map(_._2 + 1).sum.toDouble / xs.length)
+      }
+    val byG = vals.groupBy(_._1)
+    val meanRank = byG.map { case (g, vs) =>
+      g -> vs.map(x => avgRank(x._2)).sum / vs.length }
+    val nG = byG.map { case (g, vs) => g -> vs.length.toLong }
+    val nn = vals.length.toDouble
+    val st3 = sorted.groupBy(identity).values
+      .map(t => t.length.toDouble * t.length * t.length - t.length).sum
+    val varbase = nn * (nn + 1) / 12.0 - st3 / (12.0 * (nn - 1))
+    val k = byG.size
+    val m = k * (k - 1) / 2
+    // Φ⁻¹(1 − q) = −Φ⁻¹(q): the spec's invnorm transcription carries
+    // only the lower/central Acklam branches, and q = 0.025/m is small
+    val crit = -invnorm(0.025 / m)
+    val rows = run("x_dunn_posthoc").collect()
+    assert(rows.length == m, "complete pair grid k(k-1)/2")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("grp_a"), r.getAs[String]("grp_b"))
+      assert(a < b)
+      assert(r.getAs[Long]("n_a") == nG(a) && r.getAs[Long]("n_b") == nG(b))
+      val z = (meanRank(a) - meanRank(b)) /
+        math.sqrt(varbase * (1.0 / nG(a) + 1.0 / nG(b)))
+      assert(math.abs(r.getAs[Double]("mean_rank_a") - meanRank(a)) < 2e-6)
+      assert(math.abs(r.getAs[Double]("mean_rank_b") - meanRank(b)) < 2e-6)
+      assert(math.abs(r.getAs[Double]("var_base") - varbase) < 0.01)
+      assert(math.abs(r.getAs[Double]("z_stat") - z) < 2e-4, s"$a|$b")
+      assert(math.abs(r.getAs[Double]("crit_bonf") - crit) < 1e-6)
+      assert(r.getAs[Long]("n_groups") == k.toLong)
+      assert(r.getAs[Long]("n_pairs") == m.toLong)
+      assert(r.getAs[Boolean]("significant") == (math.abs(z) > crit))
+    }
+  }
+
+  test("x_pettitt_test: K, the break day and the p-value match a " +
+      "sequential classic-rank replay (U_t = 2*cumsum(avg ranks) - " +
+      "t(n+1)) on every series including the pooled one, and the " +
+      "pooled series is present") {
+    val daily = dailyCounts()
+    val pooled = daily.values.flatten
+      .groupBy(_._1).map { case (d, v) => (d, v.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val series = daily + ("ALL" -> pooled)
+    val rows = run("x_pettitt_test").collect()
+      .map(r => r.getAs[String]("series") -> r).toMap
+    assert(rows.keySet == series.keySet)
+    series.foreach { case (name, ser) =>
+      val n = ser.length
+      val sorted = ser.map(_._2).sorted
+      val avgRank: Map[Long, Double] = sorted.zipWithIndex
+        .groupBy(_._1)
+        .map { case (v, xs) =>
+          v -> (xs.map(_._2 + 1).sum.toDouble / xs.length)
+        }
+      var cum = 0.0
+      var bestK = -1L
+      var bestDay: String = null
+      ser.zipWithIndex.foreach { case ((day, y), i) =>
+        val t = i + 1
+        cum += avgRank(y)
+        if (t < n) {
+          val u = math.round(2.0 * cum - t.toDouble * (n + 1))
+          if (math.abs(u) > bestK) { bestK = math.abs(u); bestDay = day }
+        }
+      }
+      val p = math.min(1.0,
+        2.0 * math.exp(-6.0 * bestK * bestK /
+          (n.toDouble * n * n + n.toDouble * n)))
+      val r = rows(name)
+      assert(r.getAs[Long]("n_days") == n.toLong, name)
+      assert(r.getAs[Long]("k_stat") == bestK, s"$name K")
+      assert(r.getAs[String]("change_day") == bestDay.substring(0, 10),
+        s"$name t*")
+      assert(math.abs(r.getAs[Double]("p_value") - p) < 2e-4, s"$name p")
+      assert(r.getAs[Boolean]("significant_05") == (p < 0.05), name)
+    }
+  }
+
+  test("x_damped_trend_forecast: the 40-weight ladder reproduces the " +
+      "exact Gardner-McKenzie recursion's one-step forecast on a " +
+      "deterministic random walk (the backlog's validation, re-run), " +
+      "and the engine's top-10 rows match a plain-Scala ladder replay " +
+      "bit-for-bit") {
+    // independent weight derivation: iterate the state recursion on a
+    // unit impulse — the weight on lag i IS the forecast response
+    val (al, bs, ph) = (0.3, 0.1, 0.9)
+    def weights(nw: Int): Array[Double] = {
+      val out = Array.ofDim[Double](nw + 1)
+      var (v0, v1) = (al, al * bs)
+      for (i <- 1 to nw) {
+        out(i) = v0 + ph * v1
+        val t0 = (1.0 - al) * v0 + (1.0 - al) * ph * v1
+        val t1 = -al * bs * v0 + (1.0 - al * bs) * ph * v1
+        v0 = t0; v1 = t1
+      }
+      out
+    }
+    val w = weights(40)
+    // exact recursion vs the normalized truncated ladder on a seeded
+    // LCG random walk — the read-only prototype validation, pinned
+    val ys = Array.ofDim[Double](200)
+    ys(0) = 100.0
+    var seed = 14L
+    for (i <- 1 until 200) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      val u = (seed >>> 11).toDouble / (1L << 53).toDouble
+      ys(i) = ys(i - 1) + (u - 0.5) * 10.0
+    }
+    var (l, b) = (ys(0), 0.0)
+    for (t <- 1 until 200) {
+      val lp = l
+      l = al * ys(t) + (1.0 - al) * (l + ph * b)
+      b = bs * (l - lp) + (1.0 - bs) * ph * b
+    }
+    val fExact = l + ph * b
+    val fLadder = (1 to 40).map(i => w(i) * ys(200 - i)).sum /
+      (1 to 40).map(w).sum
+    assert(math.abs(fLadder - fExact) / math.abs(fExact) < 1e-5,
+      "normalized truncated-40 ladder must reproduce the recursion")
+    assert(w.slice(1, 41).min < 0.0,
+      "the damped-oscillatory weights genuinely dip negative")
+    assert(math.abs(w.slice(1, 41).sum - 0.999859) < 1e-5)
+    // engine replay: quantized ladder over the fixture's daily series
+    val daily = dailyCounts()
+    val qw = (1 to 40).map(i => math.floor(w(i) * 1e9 + 0.5).toLong)
+    val all = daily.toSeq.flatMap { case (p, ser) =>
+      val ysr = ser.map(_._2).toArray
+      ser.indices.flatMap { t =>
+        val lags = (1 to 40).filter(i => t - i >= 0)
+        val dq = lags.map(i => qw(i - 1)).sum
+        if (lags.isEmpty || dq <= 0) None
+        else {
+          val nq = lags.map(i =>
+            math.floor(ysr(t - i) * w(i) * 1e9 + 0.5).toLong).sum
+          val f = nq.toDouble / dq.toDouble
+          val resid = ysr(t) - f
+          Some((p, ser(t)._1.substring(0, 10), ysr(t), f, resid,
+            math.floor(math.abs(resid) * 1e6 + 0.5).toLong))
+        }
+      }
+    }
+    val expect = all.sortBy(x => (-x._6, x._1, x._2)).take(10)
+      .map(x => (x._1, x._2, x._3,
+        math.floor(x._4 * 1e6 + 0.5) / 1e6,
+        math.floor(x._5 * 1e6 + 0.5) / 1e6))
+    val got = run("x_damped_trend_forecast").collect()
+      .map(r => (r.getAs[String]("priority"), r.getAs[String]("day"),
+        r.getAs[Long]("y"), r.getAs[Double]("forecast"),
+        r.getAs[Double]("resid")))
+    assert(got.toSeq == expect, s"engine $got vs replay $expect")
+  }
 }
