@@ -1034,6 +1034,143 @@ object StreamingIngest {
         hllBatch(spark, outPath, statePath, batch, batchId)
       }
 
+  // ---- streaming min-k (KMV / bottom-k) sample sink (r19) ------------------
+
+  // Deterministic bottom-k distinct-user sample per event type via md5
+  // priorities — the KMV sketch (Bar-Yossef et al. RANDOM 2002; the
+  // (k−1)/h_(k) estimator analyzed by Beyer et al., SIGMOD 2007). The
+  // monitor family's HLL answers "how many distinct users?"; this sink
+  // answers "WHICH users — show me a stable, replayable sample" and
+  // throws in a second, independent cardinality estimate for free. The
+  // state is the k smallest (hash, user) pairs per type: union-keep-k-
+  // smallest is associative, commutative and IDEMPOTENT like the HLL
+  // register max, so micro-batches fold in any order and a replay
+  // leaves the sample (and the estimate read off it) unchanged even
+  // before the batch-cursor guard; the n_events/n_null counters are
+  // plain sums — the guard is what makes them exactly-once. k = 128
+  // per the r19 calibration prototype: the frozen same-hash bias of
+  // the exact md5 path reads +9..14% at k = 128 (inside the 3/√k =
+  // 0.265 theoretical band the spec pins); the HLL sink stays the
+  // authoritative estimate on the same stream.
+  private val MkK = 128
+  private val MkHashSpan = math.pow(2.0, 60.0) // 60-bit md5 prefix
+
+  /** Per-type bottom-k state: n = folded NON-NULL events, nulls =
+    * dropped NULL user ids (counted, never hashed — md5(NULL) is the
+    * r18 trap), sample = ≤ k (hash, user) pairs, hash-distinct,
+    * sorted hash ascending. */
+  private[graft] case class MkState(n: Long, nulls: Long,
+      sample: Vector[(Long, Long)])
+
+  private[graft] val mkEmpty = MkState(0L, 0L, Vector.empty)
+
+  /** Union-keep-k-smallest, hash-distinct (same user always rehashes
+    * identically; a 60-bit cross-user collision keeps the smaller
+    * user id — deterministic either way). */
+  private[graft] def mkMerge(sample: Vector[(Long, Long)],
+      add: Seq[(Long, Long)]): Vector[(Long, Long)] =
+    (sample ++ add).groupBy(_._1)
+      .map { case (h, xs) => (h, xs.map(_._2).min) }
+      .toVector.sorted.take(MkK)
+
+  /** KMV estimate off the sample: below k the sample IS the distinct
+    * set (exact count); at k, (k−1)/h_(k) with the hash mapped to
+    * (0, 1] over the 60-bit span. */
+  private[graft] def mkEstimate(sample: Vector[(Long, Long)]): Double =
+    if (sample.length < MkK) sample.length.toDouble
+    else (MkK - 1).toDouble / (sample.last._1.toDouble / MkHashSpan)
+
+  /** (lastBatchId, type -> MkState); vector layout n, nulls, then the
+    * sample pairs flattened (hash, user)*. */
+  private[graft] def mkStates(statePath: String)
+      : (Long, Map[String, MkState]) = {
+    val (last, raw) = readLongVecState(statePath)
+    (last, raw.map { case (t, v) =>
+      val pairs = v.drop(2).grouped(2).collect {
+        case Array(h, u) => (h, u)
+      }.toVector
+      t -> MkState(v.head, v(1), pairs)
+    })
+  }
+
+  private def mkWriteState(statePath: String, batchId: Long,
+      types: Map[String, MkState]): Unit =
+    writeLongVecState(statePath, batchId, types.map { case (t, s) =>
+      t -> (s.n +: s.nulls +: s.sample.flatMap(p => Seq(p._1, p._2)))
+    })
+
+  private[graft] def mkBatch(spark: SparkSession, outPath: String,
+      statePath: String, batch: DataFrame, batchId: Long): Unit = {
+    val (last, st0) = mkStates(statePath)
+    if (batchId <= last) return // replayed trigger already folded
+    // one grouped count for the exactly-once counters …
+    val counts = batch
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("user_id").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("nv"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L))
+          .cast("long").as("nl"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // … and the batch's own bottom-k per type: distinct users, the
+    // 60-bit md5 hash, a per-type rank pick. The window runs over the
+    // micro-batch only and the collect is O(types × k).
+    val bk = batch
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id").cast("long").as("u"))
+      .distinct()
+      .withColumn("h",
+        conv(substring(md5(col("u").cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("h"), col("u"))))
+      .filter(col("rn") <= MkK)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(1)))
+    val withCounts = counts.foldLeft(st0) { case (acc, (tpe, nv, nl)) =>
+      val s = acc.getOrElse(tpe, mkEmpty)
+      acc.updated(tpe, s.copy(n = s.n + nv, nulls = s.nulls + nl))
+    }
+    val st1 = bk.groupBy(_._1).foldLeft(withCounts) {
+      case (acc, (tpe, adds)) =>
+        val s = acc.getOrElse(tpe, mkEmpty)
+        acc.updated(tpe,
+          s.copy(sample = mkMerge(s.sample, adds.map(x => (x._2, x._3)))))
+    }
+    if (st1.nonEmpty) {
+      import spark.implicits._
+      st1.toSeq.sortBy(_._1).map { case (tpe, s) =>
+        val est =
+          if (s.sample.isEmpty) None
+          else Some(math.floor(mkEstimate(s.sample) * 1e6 + 0.5) / 1e6)
+        (batchId, tpe, s.n, s.nulls, s.sample.length.toLong,
+          s.sample.length < MkK, est, s.sample.map(_._2))
+      }.toDF("batch_id", "event_type", "n_events", "n_null",
+          "n_sample", "sample_is_exact", "kmv_estimate", "sample_users")
+        .coalesce(1).write.mode("append").parquet(outPath)
+    }
+    mkWriteState(statePath, batchId, st1)
+  }
+
+  /** Streaming min-k sample sink — per event type, a deterministic
+    * replay-stable bottom-k distinct-user sample plus the KMV
+    * cardinality estimate, in O(types × k) state forever. Shared
+    * foreachBatch skeleton and crash/replay contracts (batchId-guarded
+    * exactly-once state, at-least-once verdict rows deduped on
+    * (batch_id, event_type)); the sample fold is additionally
+    * idempotent by construction (union-keep-k-smallest). */
+  def minKSampleSink(events: DataFrame, spark: SparkSession,
+      outPath: String, statePath: String, checkpoint: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mkBatch(spark, outPath, statePath, batch, batchId)
+      }
+
   /** Streaming twin of x_srm_check: the sample-ratio-mismatch gate run
     * CONTINUOUSLY over the ingest instead of at end-of-day audit. Per
     * micro-batch, the batch's three arm counts (same md5 coin as the

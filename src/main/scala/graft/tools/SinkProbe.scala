@@ -54,6 +54,12 @@ object SinkProbe {
       StreamingIngest.ssBatch(spark, out, st, ev, 0L))
     probe("ewma_chart", (out, st) =>
       StreamingIngest.ewBatch(spark, out, st, ev, 0L))
+    probe("histogram_quantile", (out, st) =>
+      StreamingIngest.hqBatch(spark, out, st, ev, 0L))
+    probe("hll_cardinality", (out, st) =>
+      StreamingIngest.hllBatch(spark, out, st, ev, 0L))
+    probe("min_k_sample", (out, st) =>
+      StreamingIngest.mkBatch(spark, out, st, ev, 0L))
     spark.stop()
   }
 }

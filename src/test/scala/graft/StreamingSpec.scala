@@ -1743,6 +1743,128 @@ class StreamingSpec extends SparkSpec {
     assert(nullRow.getAs[Long]("n_null") == 1L)
   }
 
+  test("streaming min-k sample sink: the sample equals the exact " +
+      "bottom-k md5 replay, below-k types report the EXACT count, " +
+      "THREE estimators agree on one stream (exact vs KMV within " +
+      "3/sqrt(k), vs the HLL sink's estimate), the fold is " +
+      "merge-idempotent, replay is a no-op, and the crash window " +
+      "appends a bit-identical duplicate verdict") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val out = tmpDir("mk-out")
+    val state = tmpDir("mk-state") + "/_mk.json"
+    val ck = tmpDir("mk-ck")
+    val hllOut = tmpDir("mkhll-out")
+    val hllState = tmpDir("mkhll-state") + "/_hll.json"
+    val hllCk = tmpDir("mkhll-ck")
+    val mem = MemoryStream[(String, Long)]
+    val events = mem.toDF().toDF("event_type", "user_id")
+    // "big" exceeds k = 128 (KMV estimator regime), "small" stays
+    // below it (exact regime); batch 2 overlaps batch 1 so the
+    // union-keep-k-smallest merge is what produces the final sample
+    val b1 = (1L to 1200L).map(u => ("big", u)) ++
+      (1L to 30L).map(u => ("small", u))
+    val b2 = (601L to 2000L).map(u => ("big", u)) ++
+      (1L to 30L).map(u => ("small", u))
+    mem.addData(b1: _*)
+    StreamingIngest.minKSampleSink(events, spark, out, state, ck)
+      .start().awaitTermination()
+    mem.addData(b2: _*)
+    StreamingIngest.minKSampleSink(events, spark, out, state, ck)
+      .start().awaitTermination()
+    // independent md5-path replay: bottom-128 distinct users by the
+    // 60-bit hash, ties (impossible cross-user here) by user id
+    def h60(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def bottomK(users: Seq[Long]): Seq[(Long, Long)] =
+      users.distinct.map(u => (h60(u), u)).sorted.take(128)
+    val trueBig = ((1L to 1200L) ++ (601L to 2000L)).distinct
+    val (_, st) = StreamingIngest.mkStates(state)
+    assert(st("big").sample == bottomK(trueBig).toVector,
+      "big sample must equal the exact md5-path bottom-k replay")
+    assert(st("small").sample == bottomK(1L to 30L).toVector)
+    assert(st("big").n == b1.count(_._1 == "big") +
+      b2.count(_._1 == "big"))
+    val fin = spark.read.parquet(out).collect()
+      .filter(_.getAs[Long]("batch_id") == 1L)
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    // exact regime: the sample IS the distinct set and says so
+    val smallRow = fin("small")
+    assert(smallRow.getAs[Long]("n_sample") == 30L)
+    assert(smallRow.getAs[Boolean]("sample_is_exact"))
+    assert(smallRow.getAs[Double]("kmv_estimate") == 30.0)
+    assert(smallRow.getSeq[Long](smallRow.fieldIndex("sample_users"))
+      .toSet == (1L to 30L).toSet)
+    // estimator regime: (k-1)/h_(k) inside the 3/sqrt(k) = 0.265 band
+    // pinned by the r19 calibration prototype
+    val bigRow = fin("big")
+    assert(bigRow.getAs[Long]("n_sample") == 128L)
+    assert(!bigRow.getAs[Boolean]("sample_is_exact"))
+    val kmv = bigRow.getAs[Double]("kmv_estimate")
+    assert(math.abs(kmv - 2000.0) / 2000.0 < 0.265,
+      s"KMV estimate $kmv vs true 2000")
+    // the sample rides in the verdict row, in hash order
+    assert(bigRow.getSeq[Long](bigRow.fieldIndex("sample_users"))
+      .toSeq == bottomK(trueBig).map(_._2))
+    // three-estimator cross-check on the SAME stream: exact, KMV, and
+    // the HLL sink each land within their own bands of the truth
+    val mem2 = MemoryStream[(String, Long)]
+    val ev2 = mem2.toDF().toDF("event_type", "user_id")
+    mem2.addData((b1 ++ b2): _*)
+    StreamingIngest.hllCardinalitySink(ev2, spark, hllOut, hllState,
+      hllCk).start().awaitTermination()
+    val hllEst = spark.read.parquet(hllOut).collect()
+      .filter(r => r.getAs[String]("event_type") == "big")
+      .head.getAs[Double]("est_distinct")
+    assert(math.abs(hllEst - 2000.0) / 2000.0 < 0.195,
+      s"HLL $hllEst vs true 2000")
+    assert(math.abs(kmv - hllEst) / 2000.0 < 0.265 + 0.195,
+      "the two sketch estimates must agree within their joint bands")
+    // merge idempotence: re-folding already-seen users cannot move the
+    // sample, independent of the batch cursor
+    assert(StreamingIngest.mkMerge(st("big").sample,
+      bottomK((601L to 2000L).toSeq)) == st("big").sample)
+    // replayed batchId must not re-fold (counters would double)
+    val before = StreamingIngest.mkStates(state)
+    StreamingIngest.mkBatch(spark, out, state,
+      Seq(("big", 1L)).toDF("event_type", "user_id"), batchId = 0L)
+    assert(StreamingIngest.mkStates(state) == before,
+      "replayed batchId must be a no-op")
+    // crash window: verdict appended, state write lost -> the replay
+    // re-folds from the OLD state and appends a bit-identical
+    // duplicate verdict row; state lands exactly where one fold put it
+    val stateBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(state))
+    val dfCrash = Seq(("big", Option(9999L)),
+      ("big", Option.empty[Long])).toDF("event_type", "user_id")
+    StreamingIngest.mkBatch(spark, out, state, dfCrash, batchId = 2L)
+    val afterOnce = StreamingIngest.mkStates(state)
+    java.nio.file.Files.write(java.nio.file.Paths.get(state), stateBytes)
+    StreamingIngest.mkBatch(spark, out, state, dfCrash, batchId = 2L)
+    assert(StreamingIngest.mkStates(state) == afterOnce,
+      "state must be exactly-once under the batch cursor")
+    val dup = spark.read.parquet(out).collect()
+      .filter(r => r.getAs[Long]("batch_id") == 2L &&
+        r.getAs[String]("event_type") == "big")
+    assert(dup.length == 2, "at-least-once verdict: duplicate appended")
+    assert(dup.map(_.toString).distinct.length == 1,
+      "duplicate verdict rows must be bit-identical")
+    // NULL user ids are counted and exported, never hashed
+    assert(afterOnce._2("big").nulls == 1L)
+    assert(afterOnce._2("big").n == before._2("big").n + 1)
+    val nullRow2 = spark.read.parquet(out).collect()
+      .filter(r => r.getAs[Long]("batch_id") == 2L &&
+        r.getAs[String]("event_type") == "big").head
+    assert(nullRow2.getAs[Long]("n_null") == 1L)
+    // state stays O(types) and the sample never exceeds k
+    assert(afterOnce._2.size == 2)
+    assert(afterOnce._2.values.forall(_.sample.length <= 128))
+  }
+
   test("sink crash between verdict append and state write: the replay " +
       "appends a DUPLICATE verdict row for the same (batch_id, " +
       "event_type) — the at-least-once contract documented at the " +
