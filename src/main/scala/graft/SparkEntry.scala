@@ -73,18 +73,20 @@ object SparkEntry {
     * operator families, ROTATED each round (r13 verdict #5) so every
     * round's additions get one round of min-of-N wall-clock tracking
     * before settling into ShuffleCountSpec-only structural coverage.
-    * r18 rotation (r17 verdict #4): the seven r17 additions —
-    * x_generalized_esd is included ONLY because the staged t-quantile
-    * landed first (r17 verdict #1; 47.8 s → 2.5 s at sf0.1, the
-    * ×5 Hill-396 plan/codegen constant now paid once on a checkpointed
-    * 25-row frame), per the rotation rule the r17 verdict endorsed;
-    * the other six are sub-second-to-2 s block-spine/inequality/policy
-    * ops. The r17 members (x_betweenness_sample, x_croston_backtest,
-    * x_abc_xyz, x_grubbs_outlier) graduated to ShuffleCountSpec's
+    * r19 rotation (r18 verdict #3): ten of the eleven r18 additions —
+    * the sub-2 s inequality/forecast/post-hoc battery. x_tsb_backtest
+    * stays OUT per the r18 verdict's endorsement of the posture rule:
+    * its 7.3 s is a corpus-independent 4×40-term ladder plan/codegen
+    * constant (flat at 10×), which would read as a phantom regression
+    * in a wall-clock tier. The r18 members (x_generalized_esd,
+    * x_tukey_fences, x_theil_inequality, x_page_trend, x_cochran_q,
+    * x_kendalls_w, x_eoq_policy) graduated to ShuffleCountSpec's
     * alumni pins — plans still structurally pinned, no longer benched
     * per round. */
   def freshQueries: Seq[String] = Seq(
-    "x_generalized_esd", "x_tukey_fences", "x_theil_inequality",
-    "x_page_trend", "x_cochran_q", "x_kendalls_w", "x_eoq_policy"
+    "x_quade_test", "x_lorenz_curve", "x_hoover_index",
+    "x_atkinson_index", "x_palma_ratio", "x_tsb_demand",
+    "x_theil_u_forecast", "x_mase_forecast", "x_nemenyi_posthoc",
+    "x_rank_biased_overlap"
   ).filter(queries.contains)
 }

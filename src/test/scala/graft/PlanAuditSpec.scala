@@ -198,6 +198,14 @@ class PlanAuditSpec extends SparkSpec {
     // x_croston_backtest (shared backtestDaily/holdoutScore builders):
     // the (brand, day) grain and the O(brands) estimate table
     "x_tsb_backtest",
+    // r19 additions, reviewed: x_dunn_posthoc checkpoints the
+    // (grp, cent-value) grouped histogram — the x_kruskal_wallis site
+    // verbatim (O(groups × distinct values), never fact rows), re-read
+    // by the value-total and rank-sum passes; x_pettitt_test the
+    // (priority, day) daily-count table — calendar-bounded (the
+    // x_grubbs_outlier site), re-read by the pooled-series regroup,
+    // the tie histogram and the rank cumsum
+    "x_dunn_posthoc", "x_pettitt_test",
     // x_kendalls_w checkpoints the O(months×k) complete-block cell
     // table (the x_friedman_test site, shared rationale)
     "x_kendalls_w",

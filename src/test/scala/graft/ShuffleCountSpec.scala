@@ -51,7 +51,10 @@ class ShuffleCountSpec extends SparkSpec {
     "x_holt_winters", "x_welch_anova", "x_jonckheere_terpstra",
     // r18 graduation (the r17 fresh tier)
     "x_betweenness_sample", "x_croston_backtest", "x_abc_xyz",
-    "x_grubbs_outlier")
+    "x_grubbs_outlier",
+    // r19 graduation (the r18 fresh tier)
+    "x_generalized_esd", "x_tukey_fences", "x_theil_inequality",
+    "x_page_trend", "x_cochran_q", "x_kendalls_w", "x_eoq_policy")
 
   private lazy val counts: Map[String, Int] =
     (SparkEntry.benchQueries ++ SparkEntry.heavyQueries ++
@@ -130,6 +133,27 @@ class ShuffleCountSpec extends SparkSpec {
     "x_page_trend" -> 1,
     "x_theil_inequality" -> 9,
     "x_tukey_fences" -> 6,
+    // r19 fresh-tier rotation (the r18 additions): every plan runs on
+    // a bounded post-aggregation grain. The inequality pair's 2/3 are
+    // single customer-grain aggregates + broadcast scalars;
+    // lorenz/palma's 8/7 are the globalRank decomposition (grouped
+    // starts + partitioned window + value rejoin) plus the
+    // decile/threshold groupings, all O(suppliers)/O(customers);
+    // quade/nemenyi's 5/3 are rank windows + pair joins off the
+    // checkpointed complete-block cells; the forecast-evaluation
+    // pair's 4s are O(months) grouped windows; tsb_demand's 7 is the
+    // brand-day ladder stack; rbo's 9 is two globalRanks + the
+    // max-rank histogram cumsum over O(suppliers)
+    "x_atkinson_index" -> 2,
+    "x_hoover_index" -> 3,
+    "x_lorenz_curve" -> 8,
+    "x_mase_forecast" -> 4,
+    "x_nemenyi_posthoc" -> 3,
+    "x_palma_ratio" -> 7,
+    "x_quade_test" -> 5,
+    "x_rank_biased_overlap" -> 9,
+    "x_theil_u_forecast" -> 4,
+    "x_tsb_demand" -> 7,
     "x_frequent_itemsets" -> 7,
     "x_isotonic_calibration" -> 0,
     "x_kaplan_meier" -> 3,
