@@ -4407,6 +4407,342 @@ object StatsOps {
           detRound(lit(DampPhi), 2).as("phi"),
           detRound(col("f"), 6).as("forecast"),
           detRound(col("resid"), 6).as("resid"))
+    }),
+
+    "x_snht_changepoint" -> ((s, d) => {
+      // Alexandersson's SNHT (J. Climatology 1986) on the pooled daily
+      // order-count series — the PARAMETRIC member of the change-point
+      // trio (x_pettitt_test is the rank test, x_buishand_range the
+      // cumulative-deviation range): T_t = t·z̄₁² + (n−t)·z̄₂² over the
+      // standardized series, maximized over t < n with the earliest
+      // argmax day as the candidate break. SNHT weights EDGE breaks
+      // more than Pettitt (which is most sensitive mid-series) — the
+      // two candidate days genuinely differ on the fixture. No reject
+      // flag BY DESIGN: SNHT's critical values are n-dependent
+      // Monte-Carlo tables (Khaliq & Ouarda 2007), not a closed form —
+      // the p-carrying members of the family are Pettitt (rank
+      // approximation) and Buishand (Brownian-bridge asymptotic), so
+      // this op reports the statistic and the candidate day and leaves
+      // the table lookup to the reader. All cumulative sums run on
+      // exact integer cumY (never a float cumsum — window-aggregate
+      // addition order is not portable across engines); z̄ terms derive
+      // per-row as (cumY − t·μ)/σ. One fact groupBy to the day grain,
+      // O(days) windows after.
+      val daily = t(s, d, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).cast("long").as("y"))
+      val st = daily.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("y") * col("y")).cast("long").as("syy"))
+        .withColumn("mean", col("sy").cast("double") / col("n"))
+        .withColumn("vr",
+          (col("syy").cast("double") -
+            col("sy").cast("double") * col("sy") / col("n"))
+            / (col("n") - 1))
+        .withColumn("sd", when(col("vr") > 0, sqrt(col("vr"))))
+      val wD = Window.orderBy("day")
+      val cum = daily
+        .withColumn("cumy", sum(col("y")).over(
+          wD.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rn", row_number().over(wD).cast("long"))
+        .crossJoin(broadcast(st))
+        .filter(col("rn") < col("n"))
+        .withColumn("z1",
+          (col("cumy").cast("double") - col("rn") * col("mean"))
+            / col("sd") / col("rn"))
+        .withColumn("z2",
+          ((col("sy") - col("cumy")).cast("double")
+            - (col("n") - col("rn")) * col("mean"))
+            / col("sd") / (col("n") - col("rn")))
+        .withColumn("tt", col("rn") * col("z1") * col("z1")
+          + (col("n") - col("rn")) * col("z2") * col("z2"))
+        .withColumn("qt", floor(col("tt") * 1e6 + 0.5).cast("long"))
+        .withColumn("pk", row_number().over(
+          Window.orderBy(desc("qt"), asc("day"))))
+        .filter(col("pk") === 1)
+      cum.select(col("n").as("n_days"),
+        detRound(col("mean"), 4).as("mean_daily"),
+        detRound(col("tt"), 4).as("t_stat"),
+        fmtD(col("day")).as("change_day"))
+    }),
+
+    "x_buishand_range" -> ((s, d) => {
+      // Buishand's range test (J. Hydrology 1982) on the pooled daily
+      // order-count series — the cumulative-deviation member of the
+      // change-point trio: S_k = Σ_{i≤k}(y_i − ȳ), R = (max S −
+      // min S)/σ̂, statistic R/√n. Unlike SNHT this one HAS a usable
+      // asymptotic: R/√n converges to the range of a Brownian bridge,
+      // whose survival function is the classical series
+      // P(range > x) = 2Σ_{k≥1}(4k²x² − 1)e^(−2k²x²) — evaluated
+      // in-engine as a 10-term ladder (k = 10 adds < 1e−300 at any
+      // x ≥ 0.3; for x below that p saturates at 1), each term
+      // 1e12-quantized before the sum so both engines fold identical
+      // integers. Candidate day = earliest argmax |S_k|, k < n —
+      // Pettitt and Buishand converge on the same 1998-12-01 day on
+      // the fixture, the convergent-evidence story. Integer cumsums
+      // only (same portability rule as SNHT).
+      val daily = t(s, d, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).cast("long").as("y"))
+      val st = daily.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("y") * col("y")).cast("long").as("syy"))
+        .withColumn("mean", col("sy").cast("double") / col("n"))
+        .withColumn("vr",
+          (col("syy").cast("double") -
+            col("sy").cast("double") * col("sy") / col("n"))
+            / (col("n") - 1))
+        .withColumn("sd", when(col("vr") > 0, sqrt(col("vr"))))
+      val wD = Window.orderBy("day")
+      val cum = daily
+        .withColumn("cumy", sum(col("y")).over(
+          wD.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rn", row_number().over(wD).cast("long"))
+        .crossJoin(broadcast(st))
+        .withColumn("sk",
+          col("cumy").cast("double") - col("rn") * col("mean"))
+      val ext = cum.agg(max(col("sk")).as("smax"),
+        min(col("sk")).as("smin"))
+      val pick = cum.filter(col("rn") < col("n"))
+        .withColumn("qs", floor(abs(col("sk")) * 1e6 + 0.5).cast("long"))
+        .withColumn("pk", row_number().over(
+          Window.orderBy(desc("qs"), asc("day"))))
+        .filter(col("pk") === 1)
+        .select(col("day"), col("n"), col("mean"), col("sd"))
+      val x = ((col("smax") - col("smin")) / col("sd")) /
+        sqrt(col("n").cast("double"))
+      val pTerm = (1 to 10).map { k =>
+        floor((lit(4.0) * (k * k) * col("x") * col("x") - 1.0)
+          * exp(lit(-2.0) * (k * k) * col("x") * col("x"))
+          * 1e12 + 0.5).cast("long")
+      }.reduce(_ + _)
+      pick.crossJoin(broadcast(ext))
+        .withColumn("x", x)
+        // below x = 0.3 the 10-term tail is not yet converged and the
+        // true p has saturated at 1 anyway — gate, don't truncate
+        .withColumn("p", when(col("x") < 0.3, lit(1.0))
+          .otherwise(least(lit(1.0),
+            lit(2.0) * (pTerm.cast("double") / 1e12))))
+        .select(col("n").as("n_days"),
+          detRound(col("mean"), 4).as("mean_daily"),
+          detRound(col("x"), 4).as("r_over_sqrt_n"),
+          fmtD(col("day")).as("change_day"),
+          detRound(col("p"), 4).as("p_value"),
+          (col("p") < 0.05).as("significant_05"))
+    }),
+
+    "x_kpss_test" -> ((s, d) => {
+      // KPSS level-stationarity test (Kwiatkowski, Phillips, Schmidt &
+      // Shin, J. Econometrics 1992) on the pooled daily order-count
+      // series — the trio's complement: the change-point ops hunt for
+      // ONE break, KPSS asks whether the level is stable AT ALL (its
+      // null is stationarity — the burden of proof is reversed vs unit-
+      // root tests). η = Σ_t S_t²/(n²·σ̂²_lr) with S_t the partial sums
+      // of the demeaned series and σ̂²_lr the Bartlett-kernel long-run
+      // variance γ₀ + 2Σ_{j≤q}(1 − j/(q+1))γ_j at the standard
+      // bandwidth q = ⌊4(n/100)^¼⌋ — data-decided, so the lag ladder
+      // is generated to 12 and gated per-lag on j ≤ q (q = 8 at the
+      // fixture's 2399 days; q reaches 12 only past n ≈ 8100 days — 22
+      // calendar years, beyond any fixture; the gate NULLs η rather
+      // than silently truncating the kernel if that ever happens).
+      // (n/100)^¼ is spelled sqrt(sqrt(·)) — pow is not cross-engine-
+      // portable at identical ulps, nested sqrt is. Every sum of float
+      // terms is 1e6-quantized per term before a DECIMAL fold; S_t
+      // derives from the exact integer cumY (no float window sums).
+      // Verdict vs the published 5% asymptotic critical value 0.463.
+      val QMax = 12
+      val daily = t(s, d, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).cast("long").as("y"))
+        .localCheckpoint()
+      val st = daily.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("y")).cast("long").as("sy"))
+        .withColumn("mean", col("sy").cast("double") / col("n"))
+        .withColumn("q",
+          floor(lit(4.0) * sqrt(sqrt(col("n").cast("double") / 100.0)))
+            .cast("long"))
+      val wD = Window.orderBy("day")
+      val base = daily
+        .withColumn("cumy", sum(col("y")).over(
+          wD.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rn", row_number().over(wD).cast("long"))
+        .crossJoin(broadcast(st))
+        .withColumn("e", col("y").cast("double") - col("mean"))
+        .withColumn("sk",
+          col("cumy").cast("double") - col("rn") * col("mean"))
+      def lagE(i: Int) = lag(col("e"), i).over(wD)
+      // lag products as a PROJECTION stage (a window function cannot
+      // sit inside an aggregate), then one grouped fold
+      val lad = base.select(
+        Seq(col("n"), col("q"), col("e"), col("sk")) ++
+          (1 to QMax).map { j =>
+            when(lit(j) <= col("q") && lagE(j).isNotNull,
+              floor(col("e") * lagE(j) * 1e6 + 0.5)
+                .cast("decimal(38,0)"))
+              .otherwise(lit(0).cast("decimal(38,0)")).as(s"t$j")
+          }: _*)
+      val agg = lad.groupBy(col("n"), col("q"))
+        .agg(sum(floor(col("e") * col("e") * 1e6 + 0.5)
+            .cast("decimal(38,0)")).as("g0"),
+          (Seq(sum(floor(col("sk") * col("sk") * 1e6 + 0.5)
+            .cast("decimal(38,0)")).as("ss2")) ++
+            (1 to QMax).map(j => sum(col(s"t$j")).as(s"g$j"))): _*)
+      val lrTerms = (1 to QMax).map { j =>
+        when(lit(j) <= col("q"),
+          lit(2.0) * (lit(1.0) - lit(j.toDouble) / (col("q") + 1))
+            * (col(s"g$j").cast("double") / 1e6 / col("n")))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _)
+      agg
+        .withColumn("s2lr",
+          col("g0").cast("double") / 1e6 / col("n") + lrTerms)
+        .withColumn("eta", when(col("q") <= QMax && col("s2lr") > 0,
+          (col("ss2").cast("double") / 1e6)
+            / (col("n").cast("double") * col("n") * col("s2lr"))))
+        .select(col("n").as("n_days"), col("q").as("q_lags"),
+          detRound(col("s2lr"), 4).as("s2_longrun"),
+          detRound(col("eta"), 6).as("eta_stat"),
+          (col("eta") <= lit(0.463)).as("level_stationary_05"))
+    }),
+
+    "x_fligner_killeen" -> ((s, d) => {
+      // Fligner–Killeen test (JASA 1976; the Conover–Johnson–Johnson
+      // 1981 normal-scores form R's fligner.test implements) for
+      // variance homogeneity across priorities — the RANK member
+      // beside x_levene_variance (mean-based) and x_brown_forsythe
+      // (median-based): most robust to heavy tails of the three, the
+      // recommended default when normality is already rejected (which
+      // x_jarque_bera shows it is, for this very series' day grain).
+      // Pooled ranks of |x − median(group)| via the doubled-rank
+      // cumsum on the absolute-deviation histogram, normal scores
+      // a = Φ⁻¹(½ + r̄/(2(N+1))) through the in-engine Acklam builder,
+      // each score 1e9-quantized before its DECIMAL group sums, and
+      // FK = Σ n_j(Ā_j − ā)²/V² vs χ²(k−1). Everything after the
+      // first groupBy runs on the O(groups × distinct deviations)
+      // histogram. The fixture verdict is the interesting kind: FK
+      // lands just BELOW the critical value — the three variance
+      // tests agree the priority variances are homogeneous.
+      val hist = t(s, d, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("qv"))
+        .groupBy("grp", "qv").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val counts = hist.groupBy("grp")
+        .agg(sum(col("c")).cast("long").as("ng"))
+      // weighted lower median per group off the histogram
+      val wCum = Window.partitionBy("grp").orderBy("qv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val med = hist
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .join(broadcast(counts), "grp")
+        .filter(col("cum") >= expr("(ng + 1) div 2"))
+        .groupBy("grp").agg(min(col("qv")).as("med"))
+      val dev = hist.join(broadcast(med), "grp")
+        .select(col("grp"), abs(col("qv") - col("med")).as("dv"), col("c"))
+        .groupBy("grp", "dv").agg(sum(col("c")).cast("long").as("c"))
+      val vt = dev.groupBy("dv").agg(sum(col("c")).cast("long").as("t"))
+      val wS = Window.orderBy("dv").rowsBetween(Window.unboundedPreceding, -1)
+      val nn = dev.agg(sum(col("c")).cast("long").as("nn"))
+      val scored = vt
+        .withColumn("s0", coalesce(sum(col("t")).over(wS), lit(0L)))
+        .withColumn("r2", lit(2L) * col("s0") + col("t") + 1L)
+        .crossJoin(broadcast(nn))
+        .withColumn("p", lit(0.5)
+          + col("r2").cast("double") / (lit(4.0) * (col("nn") + 1)))
+        .withColumn("qa",
+          floor(invNormCol(col("p")) * 1e9 + 0.5).cast("long"))
+      val gsum = dev.join(scored.select(col("dv"), col("qa")), "dv")
+        .groupBy("grp")
+        .agg(sum(col("c")).cast("long").as("ng"),
+          sum(col("c").cast("decimal(20,0)")
+            * col("qa").cast("decimal(19,0)")).as("sa"),
+          sum(col("c").cast("decimal(20,0)")
+            * col("qa").cast("decimal(19,0)")
+            * col("qa").cast("decimal(19,0)")).as("saa"))
+      val tot = gsum.agg(count(lit(1)).as("k"),
+        sum(col("ng")).cast("long").as("nt"),
+        sum(col("sa")).as("sat"), sum(col("saa")).as("saat"))
+        .withColumn("abar",
+          col("sat").cast("double") / 1e9 / col("nt"))
+        .withColumn("vv",
+          (col("saat").cast("double") / 1e18
+            - col("nt") * col("abar") * col("abar")) / (col("nt") - 1))
+      val terms = gsum.crossJoin(broadcast(tot))
+        .withColumn("aj", col("sa").cast("double") / 1e9 / col("ng"))
+        .select(col("k"), col("nt"), col("vv"),
+          floor(col("ng") * (col("aj") - col("abar"))
+            * (col("aj") - col("abar")) * 1e6 + 0.5)
+            .cast("decimal(38,0)").as("qterm"))
+        .groupBy("k", "nt", "vv")
+        .agg(sum(col("qterm")).as("qsum"))
+      terms
+        .withColumn("fk",
+          (col("qsum").cast("double") / 1e6) / col("vv"))
+        .select(col("k").as("n_groups"), col("nt").as("n_obs"),
+          detRound(col("fk"), 4).as("fk_stat"),
+          // chi-square df = k−1 = 4 at the fixture's 5 priorities
+          (col("fk") > lit(9.488)).as("reject_05"))
+    }),
+
+    "x_cramers_v" -> ((s, d) => {
+      // Cramér's V (1946) with Bergsma's (2013) bias correction on the
+      // priority × order-status contingency table — the EFFECT SIZE
+      // x_chi2_independence stops short of: χ² says "dependent or
+      // not?", V says "how strongly, on a 0..1 scale comparable across
+      // table shapes". The dense r×k grid is built by cross-joining
+      // the two broadcast margin tables and left-joining observed
+      // counts (zero cells still contribute their expectation), each
+      // (o−e)²/e term 1e6-quantized before the order-free DECIMAL
+      // sum. The bias-corrected V˜ = √(max(0, φ² − (r−1)(k−1)/(n−1)) /
+      // min(r˜−1, k˜−1)) — on the fixture it snaps to EXACTLY 0 while
+      // raw V reads 0.011: the textbook case for why the correction
+      // exists (raw V is biased upward on near-independent tables).
+      // Verdict vs χ²(8) = 15.507 at the fixture's 5×3 grid (df gated
+      // on the data-decided shape, the kruskal convention).
+      val tab = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("r"),
+          col("o_orderstatus").as("cc"))
+        .agg(count(lit(1)).cast("long").as("o"))
+        .localCheckpoint()
+      val rm = tab.groupBy("r").agg(sum(col("o")).cast("long").as("nr"))
+      val cm = tab.groupBy("cc").agg(sum(col("o")).cast("long").as("nc"))
+      val nTot = tab.agg(sum(col("o")).cast("long").as("n"))
+      val grid = rm.crossJoin(broadcast(cm)).crossJoin(broadcast(nTot))
+        .join(tab, Seq("r", "cc"), "left")
+        .withColumn("ob", coalesce(col("o"), lit(0L)))
+        .withColumn("e",
+          col("nr").cast("double") * col("nc") / col("n"))
+        .select(col("n"),
+          floor((col("ob") - col("e")) * (col("ob") - col("e"))
+            / col("e") * 1e6 + 0.5).cast("decimal(38,0)").as("qterm"))
+        .groupBy("n").agg(sum(col("qterm")).as("qchi"))
+      val shape = rm.agg(count(lit(1)).cast("long").as("rr"))
+        .crossJoin(cm.agg(count(lit(1)).cast("long").as("kk")))
+      grid.crossJoin(broadcast(shape))
+        .withColumn("chi2", col("qchi").cast("double") / 1e6)
+        .withColumn("df", (col("rr") - 1) * (col("kk") - 1))
+        .withColumn("v", sqrt(col("chi2")
+          / (col("n") * (least(col("rr"), col("kk")) - 1))))
+        .withColumn("phi2c", greatest(lit(0.0),
+          col("chi2") / col("n")
+            - (col("rr") - 1).cast("double") * (col("kk") - 1)
+              / (col("n") - 1)))
+        .withColumn("rc", col("rr").cast("double")
+          - (col("rr") - 1).cast("double") * (col("rr") - 1)
+            / (col("n") - 1))
+        .withColumn("kc", col("kk").cast("double")
+          - (col("kk") - 1).cast("double") * (col("kk") - 1)
+            / (col("n") - 1))
+        .withColumn("vc", sqrt(col("phi2c")
+          / least(col("rc") - 1, col("kc") - 1)))
+        .select(col("n").as("n_obs"), col("rr").as("n_rows"),
+          col("kk").as("n_cols"), col("df"),
+          detRound(col("chi2"), 4).as("chi2"),
+          detRound(col("v"), 6).as("cramers_v"),
+          detRound(col("vc"), 6).as("cramers_v_corrected"),
+          // χ²(8) = 15.507 at the fixture's 5×3 grid
+          when(col("df") === 8, col("chi2") > lit(15.507))
+            .as("dependent_05"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -7518,5 +7854,307 @@ object StatsOps {
           ORDER BY CAST(floor(abs(resid) * 1e6 + 0.5) AS BIGINT) DESC,
                    priority, dy
           LIMIT 10"""
-    })
+    },
+
+    "x_snht_changepoint" ->
+      """WITH daily AS (
+           SELECT date_trunc('day', o_orderdate) AS dy,
+                  CAST(COUNT(*) AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         st AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(y) AS BIGINT) AS sy,
+                  CAST(SUM(y * y) AS BIGINT) AS syy
+           FROM daily),
+         st1 AS (
+           SELECT n, sy, CAST(sy AS DOUBLE) / n AS mean,
+                  (CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS vr
+           FROM st),
+         st2 AS (
+           SELECT n, sy, mean,
+                  CASE WHEN vr > 0 THEN sqrt(vr) END AS sd
+           FROM st1),
+         cum AS (
+           SELECT dy,
+                  CAST(SUM(y) OVER (ORDER BY dy
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cumy,
+                  CAST(row_number() OVER (ORDER BY dy) AS BIGINT) AS rn
+           FROM daily),
+         zz AS (
+           SELECT c.dy, s.n, s.mean,
+                  (CAST(c.cumy AS DOUBLE) - c.rn * s.mean) / s.sd / c.rn
+                    AS z1,
+                  (CAST(s.sy - c.cumy AS DOUBLE)
+                    - (s.n - c.rn) * s.mean) / s.sd / (s.n - c.rn) AS z2,
+                  c.rn
+           FROM cum c CROSS JOIN st2 s
+           WHERE c.rn < s.n),
+         tt AS (
+           SELECT dy, n, mean,
+                  rn * z1 * z1 + (n - rn) * z2 * z2 AS tstat
+           FROM zz),
+         pick AS (
+           SELECT dy, n, mean, tstat,
+                  row_number() OVER (ORDER BY
+                    CAST(floor(tstat * 1e6 + 0.5) AS BIGINT) DESC,
+                    dy ASC) AS pk
+           FROM tt)
+         SELECT n AS n_days,
+                floor(mean * 1e4 + 0.5) / 1e4 AS mean_daily,
+                floor(tstat * 1e4 + 0.5) / 1e4 AS t_stat,
+                strftime(dy, '%Y-%m-%d') AS change_day
+         FROM pick WHERE pk = 1""",
+
+    "x_buishand_range" -> {
+      val ladder = (1 to 10).map { k =>
+        s"""CAST(floor((4.0 * ${k * k} * x * x - 1.0)
+             * exp(-2.0 * ${k * k} * x * x) * 1e12 + 0.5) AS BIGINT)"""
+      }.mkString(" + ")
+      s"""WITH daily AS (
+           SELECT date_trunc('day', o_orderdate) AS dy,
+                  CAST(COUNT(*) AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         st AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(y) AS BIGINT) AS sy,
+                  CAST(SUM(y * y) AS BIGINT) AS syy
+           FROM daily),
+         st1 AS (
+           SELECT n, CAST(sy AS DOUBLE) / n AS mean,
+                  (CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS vr
+           FROM st),
+         st2 AS (
+           SELECT n, mean,
+                  CASE WHEN vr > 0 THEN sqrt(vr) END AS sd
+           FROM st1),
+         cum AS (
+           SELECT dy,
+                  CAST(SUM(y) OVER (ORDER BY dy
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cumy,
+                  CAST(row_number() OVER (ORDER BY dy) AS BIGINT) AS rn
+           FROM daily),
+         sk AS (
+           SELECT c.dy, c.rn, s.n, s.mean, s.sd,
+                  CAST(c.cumy AS DOUBLE) - c.rn * s.mean AS skv
+           FROM cum c CROSS JOIN st2 s),
+         ext AS (SELECT max(skv) AS smax, min(skv) AS smin FROM sk),
+         pick AS (
+           SELECT dy, n, mean, sd,
+                  row_number() OVER (ORDER BY
+                    CAST(floor(abs(skv) * 1e6 + 0.5) AS BIGINT) DESC,
+                    dy ASC) AS pk
+           FROM sk WHERE rn < n),
+         xx AS (
+           SELECT p.dy, p.n, p.mean,
+                  (e.smax - e.smin) / p.sd
+                    / sqrt(CAST(p.n AS DOUBLE)) AS x
+           FROM pick p CROSS JOIN ext e WHERE p.pk = 1),
+         pp AS (
+           SELECT dy, n, mean, x,
+                  CASE WHEN x < 0.3 THEN 1.0
+                       ELSE least(1.0,
+                         2.0 * (CAST($ladder AS DOUBLE) / 1e12))
+                  END AS p
+           FROM xx)
+         SELECT n AS n_days,
+                floor(mean * 1e4 + 0.5) / 1e4 AS mean_daily,
+                floor(x * 1e4 + 0.5) / 1e4 AS r_over_sqrt_n,
+                strftime(dy, '%Y-%m-%d') AS change_day,
+                floor(p * 1e4 + 0.5) / 1e4 AS p_value,
+                p < 0.05 AS significant_05
+         FROM pp"""
+    },
+
+    "x_kpss_test" -> {
+      val QMax = 12
+      val lagTerms = (1 to QMax).map { j =>
+        s"""CASE WHEN $j <= q AND lag(e, $j) OVER win IS NOT NULL
+             THEN CAST(floor(e * lag(e, $j) OVER win * 1e6 + 0.5)
+                  AS HUGEINT)
+             ELSE CAST(0 AS HUGEINT) END AS t$j"""
+      }.mkString(",\n")
+      val gammas = (1 to QMax).map(j => s"SUM(t$j) AS g$j")
+        .mkString(",\n")
+      val lrTerms = (1 to QMax).map { j =>
+        s"""CASE WHEN $j <= q
+             THEN 2.0 * (1.0 - CAST($j AS DOUBLE) / (q + 1))
+                  * (CAST(g$j AS DOUBLE) / 1e6 / n)
+             ELSE 0.0 END"""
+      }.mkString(" + ")
+      s"""WITH daily AS (
+           SELECT date_trunc('day', o_orderdate) AS dy,
+                  CAST(COUNT(*) AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         st AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(y) AS BIGINT) AS sy
+           FROM daily),
+         st1 AS (
+           SELECT n, CAST(sy AS DOUBLE) / n AS mean,
+                  CAST(floor(4.0 * sqrt(sqrt(CAST(n AS DOUBLE) / 100.0)))
+                    AS BIGINT) AS q
+           FROM st),
+         base AS (
+           SELECT d.dy, s.n, s.q,
+                  CAST(d.y AS DOUBLE) - s.mean AS e,
+                  CAST(CAST(SUM(d.y) OVER (ORDER BY d.dy
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS DOUBLE)
+                    - CAST(row_number() OVER (ORDER BY d.dy) AS BIGINT)
+                      * s.mean AS sk
+           FROM daily d CROSS JOIN st1 s),
+         lad AS (
+           SELECT n, q, e, sk,
+                  $lagTerms
+           FROM base
+           WINDOW win AS (ORDER BY dy)),
+         agg AS (
+           SELECT n, q,
+                  SUM(CAST(floor(e * e * 1e6 + 0.5) AS HUGEINT)) AS g0,
+                  SUM(CAST(floor(sk * sk * 1e6 + 0.5) AS HUGEINT))
+                    AS ss2,
+                  $gammas
+           FROM lad
+           GROUP BY 1, 2),
+         lr AS (
+           SELECT n, q,
+                  CAST(g0 AS DOUBLE) / 1e6 / n + $lrTerms AS s2lr,
+                  CAST(ss2 AS DOUBLE) / 1e6 AS ssd
+           FROM agg),
+         fin AS (
+           SELECT n, q, s2lr,
+                  CASE WHEN q <= $QMax AND s2lr > 0
+                    THEN ssd / (CAST(n AS DOUBLE) * n * s2lr) END AS eta
+           FROM lr)
+         SELECT n AS n_days, q AS q_lags,
+                floor(s2lr * 1e4 + 0.5) / 1e4 AS s2_longrun,
+                floor(eta * 1e6 + 0.5) / 1e6 AS eta_stat,
+                eta <= 0.463 AS level_stationary_05
+         FROM fin"""
+    },
+
+    "x_fligner_killeen" -> {
+      val aSql = invNormSql("p")
+      s"""WITH hist AS MATERIALIZED (
+           SELECT o_orderpriority AS grp,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS qv,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM orders GROUP BY 1, 2),
+         counts AS (
+           SELECT grp, CAST(SUM(c) AS BIGINT) AS ng
+           FROM hist GROUP BY 1),
+         med AS (
+           SELECT grp, min(qv) AS med FROM (
+             SELECT h.grp, h.qv,
+                    SUM(h.c) OVER (PARTITION BY h.grp ORDER BY h.qv
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cum,
+                    n.ng
+             FROM hist h JOIN counts n USING (grp))
+           WHERE cum >= (ng + 1) // 2
+           GROUP BY 1),
+         dev AS MATERIALIZED (
+           SELECT h.grp, abs(h.qv - m.med) AS dv,
+                  CAST(SUM(h.c) AS BIGINT) AS c
+           FROM hist h JOIN med m USING (grp)
+           GROUP BY 1, 2),
+         vt AS (
+           SELECT dv, CAST(SUM(c) AS BIGINT) AS t
+           FROM dev GROUP BY 1),
+         nn AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM dev),
+         ranked AS (
+           SELECT v.dv,
+                  0.5 + CAST(2 * COALESCE(SUM(v.t) OVER (ORDER BY v.dv
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + v.t + 1 AS DOUBLE)
+                    / (4.0 * (x.nn + 1)) AS p
+           FROM vt v CROSS JOIN nn x),
+         scored AS (
+           SELECT dv, CAST(floor(($aSql) * 1e9 + 0.5) AS BIGINT) AS qa
+           FROM ranked),
+         gsum AS (
+           SELECT d.grp, CAST(SUM(d.c) AS BIGINT) AS ng,
+                  SUM(CAST(d.c AS HUGEINT) * s.qa) AS sa,
+                  SUM(CAST(d.c AS HUGEINT) * s.qa * s.qa) AS saa
+           FROM dev d JOIN scored s USING (dv)
+           GROUP BY 1),
+         tot AS (
+           SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS nt,
+                  SUM(sa) AS sat, SUM(saa) AS saat
+           FROM gsum),
+         tot2 AS (
+           SELECT k, nt,
+                  CAST(sat AS DOUBLE) / 1e9 / nt AS abar,
+                  (CAST(saat AS DOUBLE) / 1e18
+                    - nt * (CAST(sat AS DOUBLE) / 1e9 / nt)
+                      * (CAST(sat AS DOUBLE) / 1e9 / nt)) / (nt - 1)
+                    AS vv
+           FROM tot),
+         terms AS (
+           SELECT t.k, t.nt, t.vv,
+                  SUM(CAST(floor(g.ng * (CAST(g.sa AS DOUBLE) / 1e9
+                        / g.ng - t.abar)
+                      * (CAST(g.sa AS DOUBLE) / 1e9 / g.ng - t.abar)
+                      * 1e6 + 0.5) AS HUGEINT)) AS qsum
+           FROM gsum g CROSS JOIN tot2 t
+           GROUP BY 1, 2, 3)
+         SELECT k AS n_groups, nt AS n_obs,
+                floor((CAST(qsum AS DOUBLE) / 1e6) / vv * 1e4 + 0.5)
+                  / 1e4 AS fk_stat,
+                (CAST(qsum AS DOUBLE) / 1e6) / vv > 9.488 AS reject_05
+         FROM terms""".stripMargin
+    },
+
+    "x_cramers_v" ->
+      """WITH tab AS MATERIALIZED (
+           SELECT o_orderpriority AS r, o_orderstatus AS cc,
+                  CAST(COUNT(*) AS BIGINT) AS o
+           FROM orders GROUP BY 1, 2),
+         rm AS (SELECT r, CAST(SUM(o) AS BIGINT) AS nr
+                FROM tab GROUP BY 1),
+         cm AS (SELECT cc, CAST(SUM(o) AS BIGINT) AS nc
+                FROM tab GROUP BY 1),
+         ntot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM tab),
+         grid AS (
+           SELECT x.n,
+                  SUM(CAST(floor((COALESCE(t.o, 0) - CAST(rm.nr AS DOUBLE)
+                        * cm.nc / x.n)
+                      * (COALESCE(t.o, 0) - CAST(rm.nr AS DOUBLE)
+                        * cm.nc / x.n)
+                      / (CAST(rm.nr AS DOUBLE) * cm.nc / x.n)
+                      * 1e6 + 0.5) AS HUGEINT)) AS qchi
+           FROM rm CROSS JOIN cm CROSS JOIN ntot x
+           LEFT JOIN tab t ON t.r = rm.r AND t.cc = cm.cc
+           GROUP BY 1),
+         shape AS (
+           SELECT (SELECT COUNT(*) FROM rm) AS rr,
+                  (SELECT COUNT(*) FROM cm) AS kk),
+         fin AS (
+           SELECT g.n, s.rr, s.kk,
+                  (s.rr - 1) * (s.kk - 1) AS df,
+                  CAST(g.qchi AS DOUBLE) / 1e6 AS chi2
+           FROM grid g CROSS JOIN shape s),
+         fin2 AS (
+           SELECT n, rr, kk, df, chi2,
+                  sqrt(chi2 / (n * (least(rr, kk) - 1))) AS v,
+                  greatest(0.0, chi2 / n
+                    - CAST(rr - 1 AS DOUBLE) * (kk - 1) / (n - 1))
+                    AS phi2c,
+                  CAST(rr AS DOUBLE)
+                    - CAST(rr - 1 AS DOUBLE) * (rr - 1) / (n - 1) AS rc,
+                  CAST(kk AS DOUBLE)
+                    - CAST(kk - 1 AS DOUBLE) * (kk - 1) / (n - 1) AS kc
+           FROM fin)
+         SELECT n AS n_obs, rr AS n_rows, kk AS n_cols, df,
+                floor(chi2 * 1e4 + 0.5) / 1e4 AS chi2,
+                floor(sqrt(chi2 / (n * (least(rr, kk) - 1))) * 1e6 + 0.5)
+                  / 1e6 AS cramers_v,
+                floor(sqrt(phi2c / least(rc - 1, kc - 1)) * 1e6 + 0.5)
+                  / 1e6 AS cramers_v_corrected,
+                CASE WHEN df = 8 THEN chi2 > 15.507 END AS dependent_05
+         FROM fin2""")
 }

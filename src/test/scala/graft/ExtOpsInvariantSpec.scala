@@ -1819,4 +1819,166 @@ class ExtOpsInvariantSpec extends SparkSpec {
         r.getAs[Double]("resid")))
     assert(got.toSeq == expect, s"engine $got vs replay $expect")
   }
+
+  /** Pooled (all-priorities) daily counts, day-sorted. */
+  private def pooledDaily(): Seq[(String, Long)] =
+    dailyCounts().values.flatten
+      .groupBy(_._1).map { case (d, v) => (d, v.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+
+  test("x_snht_changepoint: the statistic and break day match a " +
+      "sequential per-element z-score replay (classic formulation, " +
+      "not the integer-cumsum identity), and T is the max over t < n") {
+    val ser = pooledDaily()
+    val ys = ser.map(_._2.toDouble)
+    val n = ys.length
+    val mean = ys.sum / n
+    val sd = math.sqrt(ys.map(y => (y - mean) * (y - mean)).sum / (n - 1))
+    val zs = ys.map(y => (y - mean) / sd)
+    var cum = 0.0
+    var bestT = -1.0
+    var bestDay: String = null
+    for (t <- 1 until n) {
+      cum += zs(t - 1)
+      val z1 = cum / t
+      val z2 = (zs.sum - cum) / (n - t)
+      val tt = t * z1 * z1 + (n - t) * z2 * z2
+      if (tt > bestT + 1e-12) { bestT = tt; bestDay = ser(t - 1)._1 }
+    }
+    val r = run("x_snht_changepoint").collect().head
+    assert(r.getAs[Long]("n_days") == n.toLong)
+    assert(math.abs(r.getAs[Double]("t_stat") - bestT) < 1e-3)
+    assert(r.getAs[String]("change_day") == bestDay.substring(0, 10))
+    assert(r.getAs[Double]("t_stat") >= 0.0)
+  }
+
+  test("x_buishand_range: R/sqrt(n), the candidate day and the " +
+      "Brownian-bridge p match a per-element cumulative-deviation " +
+      "replay with a 50-term tail (5x the engine's ladder)") {
+    val ser = pooledDaily()
+    val ys = ser.map(_._2.toDouble)
+    val n = ys.length
+    val mean = ys.sum / n
+    val sd = math.sqrt(ys.map(y => (y - mean) * (y - mean)).sum / (n - 1))
+    var c = 0.0
+    val sk = ys.map { y => c += y - mean; c }
+    val x = (sk.max - sk.min) / sd / math.sqrt(n.toDouble)
+    // earliest argmax |S_k| for k < n
+    val bestK = sk.init.zipWithIndex
+      .maxBy { case (s, i) => (math.abs(s), -i) }._2
+    val p = math.min(1.0, 2.0 * (1 to 50).map(k =>
+      (4.0 * k * k * x * x - 1.0) *
+        math.exp(-2.0 * k * k * x * x)).sum)
+    val r = run("x_buishand_range").collect().head
+    assert(r.getAs[Long]("n_days") == n.toLong)
+    assert(math.abs(r.getAs[Double]("r_over_sqrt_n") - x) < 1e-3)
+    assert(r.getAs[String]("change_day") ==
+      ser(bestK)._1.substring(0, 10))
+    assert(math.abs(r.getAs[Double]("p_value") - p) < 2e-4,
+      s"p ${r.getAs[Double]("p_value")} vs brute $p")
+    assert(r.getAs[Boolean]("significant_05") == (p < 0.05))
+  }
+
+  test("x_kpss_test: eta matches a classic raw-double replay (per-" +
+      "element partial sums and autocovariances, pow instead of " +
+      "nested sqrt) and the bandwidth follows the 4(n/100)^0.25 rule") {
+    val ys = pooledDaily().map(_._2.toDouble)
+    val n = ys.length
+    val mean = ys.sum / n
+    val e = ys.map(_ - mean)
+    var c = 0.0
+    val s = e.map { x => c += x; c }
+    val q = math.floor(4.0 * math.pow(n / 100.0, 0.25)).toInt
+    val g0 = e.map(x => x * x).sum / n
+    val s2lr = g0 + 2.0 * (1 to q).map { j =>
+      (1.0 - j.toDouble / (q + 1)) *
+        (j until n).map(i => e(i) * e(i - j)).sum / n
+    }.sum
+    val eta = s.map(x => x * x).sum / (n.toDouble * n * s2lr)
+    val r = run("x_kpss_test").collect().head
+    assert(r.getAs[Long]("n_days") == n.toLong)
+    assert(r.getAs[Long]("q_lags") == q.toLong)
+    assert(math.abs(r.getAs[Double]("s2_longrun") - s2lr) < 1e-3)
+    assert(math.abs(r.getAs[Double]("eta_stat") - eta) < 1e-4)
+    assert(r.getAs[Boolean]("level_stationary_05") == (eta <= 0.463))
+    assert(r.getAs[Double]("eta_stat") > 0.0)
+  }
+
+  test("x_fligner_killeen: the statistic matches a classic replay " +
+      "(raw per-row deviations from the group median, sort-and-" +
+      "average-ties pooled ranks, float normal scores) and the " +
+      "verdict is the chi-square comparison") {
+    import org.apache.spark.sql.functions._
+    val vals = graft.util.Tables.t(spark, sf, "orders")
+      .select(col("o_orderpriority").as("g"),
+        floor(col("o_totalprice") * 100
+          + org.apache.spark.sql.functions.lit(0.5))
+          .cast("long").as("qv"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byG = vals.groupBy(_._1)
+    val devs: Seq[(String, Long)] = byG.toSeq.flatMap { case (g, vs) =>
+      val sortedV = vs.map(_._2).sorted
+      val med = sortedV((sortedV.length + 1) / 2 - 1)
+      vs.map(v => (g, math.abs(v._2 - med)))
+    }
+    val nT = devs.length
+    val sortedD = devs.map(_._2).sorted
+    val avgRank: Map[Long, Double] = sortedD.zipWithIndex
+      .groupBy(_._1)
+      .map { case (v, xs) =>
+        v -> (xs.map(_._2 + 1).sum.toDouble / xs.length)
+      }
+    // Φ⁻¹(½ + r/(2(N+1))); arg ≥ ½, so use symmetry against the
+    // spec invnorm's lower/central branches
+    val scores = devs.map { case (g, d) =>
+      (g, -invnorm(0.5 - avgRank(d) / (2.0 * (nT + 1)))) }
+    val abar = scores.map(_._2).sum / nT
+    val v = scores.map(x => (x._2 - abar) * (x._2 - abar)).sum / (nT - 1)
+    val fk = scores.groupBy(_._1).map { case (_, xs) =>
+      val aj = xs.map(_._2).sum / xs.length
+      xs.length * (aj - abar) * (aj - abar)
+    }.sum / v
+    val r = run("x_fligner_killeen").collect().head
+    assert(r.getAs[Long]("n_groups") == byG.size.toLong)
+    assert(r.getAs[Long]("n_obs") == nT.toLong)
+    assert(math.abs(r.getAs[Double]("fk_stat") - fk) < 1e-3,
+      s"FK ${r.getAs[Double]("fk_stat")} vs brute $fk")
+    assert(r.getAs[Boolean]("reject_05") ==
+      (r.getAs[Double]("fk_stat") > 9.488))
+  }
+
+  test("x_cramers_v: chi-square, V and the Bergsma-corrected V match " +
+      "a direct contingency-table replay over raw rows, and the " +
+      "correction never goes negative") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.util.Tables.t(spark, sf, "orders")
+      .select(col("o_orderpriority"), col("o_orderstatus"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val n = rows.length.toDouble
+    val rm = rows.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val cm = rows.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val obs = rows.groupBy(identity).map { case (k, v) => k -> v.length }
+    val chi2 = (for { rr <- rm.keys; cc <- cm.keys } yield {
+      val e = rm(rr) * cm(cc) / n
+      val o = obs.getOrElse((rr, cc), 0)
+      (o - e) * (o - e) / e
+    }).sum
+    val (r0, k0) = (rm.size, cm.size)
+    val v = math.sqrt(chi2 / (n * (math.min(r0, k0) - 1)))
+    val phi2c = math.max(0.0, chi2 / n - (r0 - 1.0) * (k0 - 1) / (n - 1))
+    val rc = r0 - (r0 - 1.0) * (r0 - 1) / (n - 1)
+    val kc = k0 - (k0 - 1.0) * (k0 - 1) / (n - 1)
+    val vc = math.sqrt(phi2c / math.min(rc - 1, kc - 1))
+    val r = run("x_cramers_v").collect().head
+    assert(r.getAs[Long]("n_obs") == rows.length.toLong)
+    assert(r.getAs[Long]("n_rows") == r0.toLong &&
+      r.getAs[Long]("n_cols") == k0.toLong)
+    assert(r.getAs[Long]("df") == ((r0 - 1) * (k0 - 1)).toLong)
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-3)
+    assert(math.abs(r.getAs[Double]("cramers_v") - v) < 1e-5)
+    assert(math.abs(r.getAs[Double]("cramers_v_corrected") - vc) < 1e-5)
+    assert(r.getAs[Double]("cramers_v_corrected") >= 0.0)
+    assert(r.getAs[Double]("cramers_v") >= 0.0 &&
+      r.getAs[Double]("cramers_v") <= 1.0)
+  }
 }

@@ -206,6 +206,14 @@ class PlanAuditSpec extends SparkSpec {
     // x_grubbs_outlier site), re-read by the pooled-series regroup,
     // the tie histogram and the rank cumsum
     "x_dunn_posthoc", "x_pettitt_test",
+    // r19 second wave, reviewed: x_kpss_test checkpoints the pooled
+    // calendar-bounded (day, y) table (re-read by the moment pass and
+    // the 12-lag ladder); x_fligner_killeen the (grp, cent-value)
+    // histogram (the kruskal site — re-read by the group counts, the
+    // weighted medians, and the deviation regroup); x_cramers_v the
+    // O(rows × cols) contingency table (re-read by both margins and
+    // the dense-grid join)
+    "x_kpss_test", "x_fligner_killeen", "x_cramers_v",
     // x_kendalls_w checkpoints the O(months×k) complete-block cell
     // table (the x_friedman_test site, shared rationale)
     "x_kendalls_w",
