@@ -586,6 +586,107 @@ object CorpusOps {
           coalesce(col("n_rel_top10"), lit(0L)).as("n_rel_top10"))
     }),
 
+    "x_err_eval" -> ((s, d) => {
+      // ERR@10 (Chapelle, Metzler, Zhang & Grinspan, CIKM 2009) of the
+      // BM25 ranking against x_ndcg_eval's graded 'dup' truth — the
+      // CASCADE-model metric beside nDCG's positional discount: ERR
+      // models a user who stops at the first satisfying result, so a
+      // rank-1 hit shades everything below it where nDCG merely
+      // discounts. ERR@10 = Σ_r (1/r)·R_r·Π_{i<r}(1 − R_i) with
+      // R = (2^g − 1)/2^gmax; grades 0..3 give 8R ∈ {0, 1, 3, 7}.
+      // EXACT integer form: the stop product Π(1 − R_i) =
+      // Π(8 − 8R_i)/8^(r−1) keeps an integer numerator ≤ 8^9,
+      // materialized as NINE unrolled lag products over the 10-row
+      // top-k frame (no float cumprod — exp(Σln) is not portable);
+      // each rank's term num·P/(r·8^r) is a ratio of exact integers
+      // with the denominators embedded as 10 CASE literals,
+      // 1e12-quantized before the single sum. Two bounded top-k
+      // passes, the x_ndcg_eval cost shape.
+      val rel = t(s, d, "documents")
+        .select(col("doc_id"),
+          least(size(split(col("text"), " "))
+            - size(array_remove(split(col("text"), " "), "dup")), lit(3))
+            .cast("long").as("rel"))
+        .localCheckpoint()
+      val g2 = expr(
+        "CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END")
+      val wR = Window.orderBy("rank")
+      val ranked = bm25Scored(s, d)
+        .orderBy(desc("sq"), asc("doc_id")).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("sq"), asc("doc_id"))).cast("long"))
+        .join(rel, Seq("doc_id"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+        .withColumn("num", g2.cast("long"))
+        .withColumn("m8", lit(8L) - col("num"))
+      val stopProd = (1 to 9)
+        .map(j => coalesce(lag(col("m8"), j).over(wR), lit(1L)))
+        .reduce(_ * _)
+      val denomCase = (1 to 10).foldLeft(when(lit(false), lit(0L))) {
+        (acc, r) =>
+          acc.when(col("rank") === r,
+            lit(r.toLong * math.pow(8.0, r.toDouble).toLong))
+      }
+      val nRel = rel.filter(col("rel") > 0)
+        .agg(count(lit(1)).as("n_rel_docs"))
+      val err = ranked
+        .withColumn("pstop", stopProd)
+        .withColumn("qterm",
+          floor((col("num") * col("pstop")).cast("double")
+            / denomCase * 1e12 + 0.5).cast("long"))
+        .agg(sum(col("qterm")).cast("long").as("qerr"),
+          sum(when(col("rel") > 0, 1L).otherwise(0L)).cast("long")
+            .as("n_rel_top10"))
+      nRel.crossJoin(broadcast(err))
+        .select(col("n_rel_docs"), col("n_rel_top10"),
+          detRound(col("qerr") / 1e12, 6).as("err10"))
+    }),
+
+    "x_map_eval" -> ((s, d) => {
+      // AP@10 (the single-query cell of mean average precision —
+      // Buckley & Voorhees' TREC workhorse) of the BM25 ranking
+      // against the binary 'dup' truth: the ORDER-SENSITIVE summary
+      // precision x_mrr_eval (first hit only) and x_ndcg_eval (graded
+      // discount) bracket from either side. AP@10 =
+      // Σ_{r ≤ 10, rel_r} P@r / min(n_rel, 10) with P@r the exact
+      // integer ratio cumrel_r/r, each term 1e12-quantized; P@5 and
+      // P@10 ride along. The binary truth is the HIGHLY-relevant
+      // threshold (grade ≥ 2, i.e. ≥ 2 'dup' tokens) — at grade ≥ 1
+      // every BM25 top-10 doc qualifies and AP degenerates to the
+      // constant 1.0, a gauge that can never move. One bounded top-k
+      // pass, integer windows over the 10-row frame only.
+      val rel = t(s, d, "documents")
+        .filter(size(split(col("text"), " "))
+          - size(array_remove(split(col("text"), " "), "dup")) >= 2)
+        .select(col("doc_id"), lit(1L).as("rel"))
+        .localCheckpoint()
+      val wR = Window.orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val ranked = bm25Scored(s, d)
+        .orderBy(desc("sq"), asc("doc_id")).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("sq"), asc("doc_id"))).cast("long"))
+        .join(rel, Seq("doc_id"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+        .withColumn("cumrel", sum(col("rel")).over(wR))
+      val nRel = rel.agg(count(lit(1)).cast("long").as("n_rel_docs"))
+      val agg = ranked.agg(
+        sum(when(col("rel") === 1L,
+          floor(col("cumrel").cast("double") / col("rank") * 1e12 + 0.5)
+            .cast("long")).otherwise(0L)).cast("long").as("qap"),
+        max(when(col("rank") === 5, col("cumrel"))).as("c5"),
+        max(when(col("rank") === 10, col("cumrel"))).as("c10"),
+        sum(col("rel")).cast("long").as("n_rel_top10"))
+      nRel.crossJoin(broadcast(agg))
+        .withColumn("denom", least(col("n_rel_docs"), lit(10L)))
+        .select(col("n_rel_docs"), col("n_rel_top10"),
+          detRound(when(col("denom") === 0, lit(0.0))
+            .otherwise(col("qap").cast("double") / 1e12 / col("denom")),
+            6).as("ap10"),
+          detRound(col("c5").cast("double") / 5.0, 6).as("p_at_5"),
+          detRound(col("c10").cast("double") / 10.0, 6).as("p_at_10"))
+    }),
+
     "x_rrf_fusion" -> ((s, d) => {
       // hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
       // k = 60) of the BM25 lexical ranking and the embedding-cosine
@@ -1461,6 +1562,93 @@ object CorpusOps {
                            / 1e6
                  END AS ndcg10
           FROM nr CROSS JOIN dcg CROSS JOIN ideal""",
+
+    "x_err_eval" -> {
+      val stopProd = (1 to 9)
+        .map(j => s"COALESCE(lag(m8, $j) OVER win, 1)")
+        .mkString(" * ")
+      val denomCase = (1 to 10).map { r =>
+        s"WHEN rank = $r THEN ${r.toLong * math.pow(8.0, r.toDouble).toLong}"
+      }.mkString(" ")
+      s"""WITH $bm25ScoredSql,
+          rel AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(least(len(list_filter(string_split(text, ' '),
+                     x -> x = 'dup')), 3) AS BIGINT) AS rel
+            FROM documents),
+          ranked AS (
+            SELECT r.rank, COALESCE(l.rel, 0) AS rel,
+                   CAST(CASE COALESCE(l.rel, 0) WHEN 0 THEN 0
+                        WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END
+                     AS BIGINT) AS num,
+                   8 - CAST(CASE COALESCE(l.rel, 0) WHEN 0 THEN 0
+                        WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END
+                     AS BIGINT) AS m8
+            FROM (SELECT doc_id,
+                         CAST(row_number() OVER (ORDER BY sq DESC, doc_id)
+                           AS BIGINT) AS rank
+                  FROM bq) r
+            LEFT JOIN rel l USING (doc_id)
+            WHERE r.rank <= 10),
+          lad AS (
+            SELECT rank, rel, num,
+                   $stopProd AS pstop
+            FROM ranked
+            WINDOW win AS (ORDER BY rank)),
+          agg AS (
+            SELECT CAST(SUM(CAST(floor(CAST(num * pstop AS DOUBLE)
+                     / (CASE $denomCase END) * 1e12 + 0.5) AS BIGINT))
+                     AS BIGINT) AS qerr,
+                   CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_rel_top10
+            FROM lad),
+          nr AS (SELECT COUNT(*) AS n_rel_docs FROM rel WHERE rel > 0)
+          SELECT n_rel_docs, n_rel_top10,
+                 floor(qerr / 1e12 * 1e6 + 0.5) / 1e6 AS err10
+          FROM nr CROSS JOIN agg"""
+    },
+
+    "x_map_eval" ->
+      s"""WITH $bm25ScoredSql,
+          rel AS MATERIALIZED (
+            SELECT doc_id, CAST(1 AS BIGINT) AS rel
+            FROM documents
+            WHERE len(list_filter(string_split(text, ' '),
+              x -> x = 'dup')) >= 2),
+          ranked AS (
+            SELECT r.rank, COALESCE(l.rel, 0) AS rel
+            FROM (SELECT doc_id,
+                         CAST(row_number() OVER (ORDER BY sq DESC, doc_id)
+                           AS BIGINT) AS rank
+                  FROM bq) r
+            LEFT JOIN rel l USING (doc_id)
+            WHERE r.rank <= 10),
+          cum AS (
+            SELECT rank, rel,
+                   CAST(SUM(rel) OVER (ORDER BY rank
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cumrel
+            FROM ranked),
+          agg AS (
+            SELECT CAST(SUM(CASE WHEN rel = 1
+                     THEN CAST(floor(CAST(cumrel AS DOUBLE) / rank
+                          * 1e12 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS qap,
+                   MAX(CASE WHEN rank = 5 THEN cumrel END) AS c5,
+                   MAX(CASE WHEN rank = 10 THEN cumrel END) AS c10,
+                   CAST(SUM(rel) AS BIGINT) AS n_rel_top10
+            FROM cum),
+          nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rel_docs FROM rel)
+          SELECT n_rel_docs, n_rel_top10,
+                 CASE WHEN least(n_rel_docs, 10) = 0 THEN 0.0
+                      ELSE floor(CAST(qap AS DOUBLE) / 1e12
+                           / least(n_rel_docs, 10) * 1e6 + 0.5) / 1e6
+                 END AS ap10,
+                 floor(CAST(c5 AS DOUBLE) / 5.0 * 1e6 + 0.5) / 1e6
+                   AS p_at_5,
+                 floor(CAST(c10 AS DOUBLE) / 10.0 * 1e6 + 0.5) / 1e6
+                   AS p_at_10
+          FROM nr CROSS JOIN agg""",
 
     "x_rrf_fusion" ->
       s"""WITH $bm25ScoredSql,

@@ -405,6 +405,53 @@ class EvalRetrievalSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("prune_frac") - expect) <= 1e-6)
   }
 
+  test("x_err_eval: ERR in [0, theoretical max], bounded below by the " +
+      "first relevant rank's minimum contribution (cross-checked " +
+      "against x_mrr_eval on the same truth), and the relevant-doc " +
+      "count matches an independent grade recount") {
+    val r = run("x_err_eval").collect().head
+    val err = r.getAs[Double]("err10")
+    // all-grade-3 ceiling: sum (1/r)(7/8)(1/8)^(r-1)
+    val errMax = (1 to 10).map(rk =>
+      (1.0 / rk) * (7.0 / 8.0) * math.pow(1.0 / 8.0, rk - 1)).sum
+    assert(err >= 0.0 && err <= errMax + 1e-9,
+      s"err $err vs ceiling $errMax")
+    assert(r.getAs[Long]("n_rel_top10") <= 10L)
+    // same graded truth as x_ndcg_eval: recount docs with >= 1 'dup'
+    val nRel = graft.util.Tables.t(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions
+        .expr("array_contains(split(text, ' '), 'dup')"))
+      .count()
+    assert(r.getAs[Long]("n_rel_docs") == nRel)
+    // cascade floor: ranks before the first relevant doc carry grade 0
+    // (stop-probability 1), so ERR >= (1/f) * R_min with R_min = 1/8
+    val mrr = run("x_mrr_eval").collect().head
+    val f = mrr.getAs[Long]("first_rel_rank")
+    if (f >= 1L && f <= 10L)
+      assert(err >= (1.0 / f) * (1.0 / 8.0) - 1e-9,
+        s"err $err below the rank-$f cascade floor")
+  }
+
+  test("x_map_eval: AP and the precision points are consistent exact " +
+      "ratios (p_at_10 IS n_rel_top10/10, the prefix counts nest), " +
+      "and the highly-relevant truth count matches a recount") {
+    val r = run("x_map_eval").collect().head
+    val ap = r.getAs[Double]("ap10")
+    assert(ap >= 0.0 && ap <= 1.0 + 1e-9)
+    val (p5, p10) = (r.getAs[Double]("p_at_5"), r.getAs[Double]("p_at_10"))
+    assert(math.abs(p10 - r.getAs[Long]("n_rel_top10") / 10.0) < 1e-9)
+    assert(p5 * 5 <= p10 * 10 + 1e-9, "prefix relevant counts must nest")
+    assert(r.getAs[Long]("n_rel_top10") <=
+      math.min(10L, r.getAs[Long]("n_rel_docs")))
+    if (r.getAs[Long]("n_rel_top10") == 0L) assert(ap == 0.0)
+    // the >= 2 'dup' tokens threshold, recounted independently
+    val nRel = graft.util.Tables.t(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.expr(
+        "size(filter(split(text, ' '), x -> x = 'dup')) >= 2"))
+      .count()
+    assert(r.getAs[Long]("n_rel_docs") == nRel)
+  }
+
   test("x_mrr_eval: reciprocal-rank consistency and top-10 cap") {
     val r = run("x_mrr_eval").collect().head
     val frr = r.getAs[Long]("first_rel_rank")

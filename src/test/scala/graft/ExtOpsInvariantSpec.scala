@@ -1981,4 +1981,45 @@ class ExtOpsInvariantSpec extends SparkSpec {
     assert(r.getAs[Double]("cramers_v") >= 0.0 &&
       r.getAs[Double]("cramers_v") <= 1.0)
   }
+
+  test("x_theta_forecast: OLS trend, theta-2 SES and the combined " +
+      "forecast match a sequential plain-Scala replay of the monthly " +
+      "series, and the forecast is exactly the component average") {
+    import org.apache.spark.sql.functions._
+    val monthly = graft.util.Tables.t(spark, sf, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mth"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double") / 1e6).as("r"))
+      .orderBy("mth").collect().map(_.getDouble(1))
+    val n = monthly.length
+    val qy = monthly.map(r => math.floor(r * 1e6 + 0.5).toLong)
+    val sx = (1 to n).map(_.toLong).sum
+    val sy = qy.sum
+    val sxy = qy.zipWithIndex.map { case (y, i) => (i + 1) * y }.sum
+    val sxx = (1 to n).map(i => i.toLong * i).sum
+    val b = (n.toDouble * sxy - sx.toDouble * sy) /
+      (n.toDouble * sxx - sx.toDouble * sx) / 1e6
+    val a = (sy.toDouble / 1e6 - b * sx) / n
+    val qq = monthly.zipWithIndex.map { case (y, i) =>
+      2.0 * y - (a + b * (i + 1)) }
+    val w = (0 until 40).map(i => math.pow(0.7, i))
+    val num = (0 until 40).map(i =>
+      math.floor(qq(n - 1 - i) * w(i) * 1e9 + 0.5).toLong).sum
+    val den = (0 until 40).map(i =>
+      math.floor(w(i) * 1e9 + 0.5).toLong).sum
+    val ses = num.toDouble / den.toDouble
+    val trendNext = a + b * (n + 1)
+    val r = run("x_theta_forecast").collect().head
+    assert(r.getAs[Long]("n_months") == n.toLong)
+    assert(math.abs(r.getAs[Double]("trend_intercept") - a) < 1e-3)
+    assert(math.abs(r.getAs[Double]("trend_slope") - b) < 1e-5)
+    assert(math.abs(r.getAs[Double]("ses_theta2") - ses) < 1e-3)
+    assert(math.abs(r.getAs[Double]("trend_next") - trendNext) < 1e-3)
+    assert(math.abs(r.getAs[Double]("theta_forecast")
+      - 0.5 * (ses + trendNext)) < 1e-3)
+    assert(math.abs(r.getAs[Double]("theta_forecast")
+      - 0.5 * (r.getAs[Double]("ses_theta2")
+        + r.getAs[Double]("trend_next"))) < 2e-4,
+      "the forecast is exactly the component average")
+  }
 }

@@ -214,6 +214,13 @@ class PlanAuditSpec extends SparkSpec {
     // O(rows × cols) contingency table (re-read by both margins and
     // the dense-grid join)
     "x_kpss_test", "x_fligner_killeen", "x_cramers_v",
+    // r19 third wave, reviewed: x_theta_forecast checkpoints the
+    // O(months) revenue series (re-read by the OLS moment pass and the
+    // SES ladder); x_err_eval / x_map_eval checkpoint the skinny
+    // (doc_id, rel) grade projection — O(docs) × 2 narrow columns, the
+    // x_ndcg_eval site verbatim — so the 10-row rank windows never see
+    // a raw text scan
+    "x_theta_forecast", "x_err_eval", "x_map_eval",
     // x_kendalls_w checkpoints the O(months×k) complete-block cell
     // table (the x_friedman_test site, shared rationale)
     "x_kendalls_w",
