@@ -459,6 +459,64 @@ object StatsOps {
                 AS DOUBLE) / 1e6 AS r
        FROM orders GROUP BY 1"""
 
+  // ---- shared daily OLS-trend machinery (x_durbin_watson /
+  // x_breusch_pagan — hoisted when the second consumer appeared, the
+  // shared-block-spine discipline): the pooled day grain with a row
+  // index and the closed-form trend fit from exact integer sums.
+  // Returns (rn0(day, y, rn) checkpointed, ols(n, sx, sxx, b, a)). ---------
+  private def dailyTrend(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val wD = Window.orderBy("day")
+    val daily = t(s, d, "orders")
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).cast("long").as("y"))
+      .localCheckpoint()
+    val rn0 = daily.withColumn("rn", row_number().over(wD).cast("long"))
+    val ols = rn0.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("rn")).cast("long").as("sx"),
+      sum(col("y")).cast("long").as("sy"),
+      sum((col("rn") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      sum(col("rn") * col("rn")).cast("long").as("sxx"))
+      .withColumn("b",
+        (col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("sxx")
+            - col("sx").cast("double") * col("sx")))
+      .withColumn("a",
+        (col("sy").cast("double") - col("b") * col("sx")) / col("n"))
+    (rn0, ols)
+  }
+
+  /** DuckDB twin of [[dailyTrend]]: CTE chain ending in
+    * rn0(day, y, rn) and ols(n, sx, sxx, b, a). */
+  private val dailyTrendSql: String =
+    """daily AS MATERIALIZED (
+         SELECT date_trunc('day', o_orderdate) AS day,
+                CAST(COUNT(*) AS BIGINT) AS y
+         FROM orders GROUP BY 1),
+       rn0 AS MATERIALIZED (
+         SELECT day, y,
+                CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+         FROM daily),
+       ols0 AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(rn) AS BIGINT) AS sx,
+                CAST(SUM(y) AS BIGINT) AS sy,
+                SUM(CAST(rn * y AS HUGEINT)) AS sxy,
+                CAST(SUM(rn * rn) AS BIGINT) AS sxx
+         FROM rn0),
+       ols1 AS (
+         SELECT n, sx, sxx, sy,
+                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * sxx
+                    - CAST(sx AS DOUBLE) * sx) AS b
+         FROM ols0),
+       ols AS (
+         SELECT n, sx, sxx, b,
+                (CAST(sy AS DOUBLE) - b * sx) / n AS a
+         FROM ols1)"""
+
   // ---- complete-block machinery (pre-seal review r17: friedman /
   // page / cochran_q / kendalls_w briefly carried four copies of the
   // same block spine in BOTH engines; one builder + one CTE prefix
@@ -4810,6 +4868,220 @@ object StatsOps {
           detRound(col("ses"), 4).as("ses_theta2"),
           detRound(col("trendNext"), 4).as("trend_next"),
           detRound(col("fc"), 4).as("theta_forecast"))
+    }),
+
+    "x_durbin_watson" -> ((s, d) => {
+      // Durbin–Watson serial-correlation test (Biometrika 1950) on the
+      // OLS-trend residuals of the pooled daily order-count series —
+      // the REGRESSION-residual member beside x_ljung_box (raw-series
+      // ACF) and x_runs_test (sign runs): after the trend is removed,
+      // do consecutive days still co-move? DW = Σ(e_t − e_{t−1})²/Σe_t²
+      // ∈ [0, 4], 2 = no first-order autocorrelation. The trend comes
+      // from exact integer sums; residuals are per-row doubles off
+      // broadcast (a, b); both quadratic sums are 1e6-quantized per
+      // term before DECIMAL folds (a raw double SUM is partial-
+      // aggregation-order dependent). The exact dL/dU bounds are
+      // n-and-k Savin–White tables, so the flag is the conventional
+      // |DW − 2| > 0.5 screening band, labeled as such. O(days).
+      val wD = Window.orderBy("day")
+      val (rn0, ols) = dailyTrend(s, d)
+      val res = rn0.crossJoin(broadcast(ols))
+        .withColumn("e",
+          col("y").cast("double") - col("a") - col("b") * col("rn"))
+        .withColumn("el", lag(col("e"), 1).over(wD))
+      res.groupBy(col("n"), col("b"))
+        .agg(
+          sum(when(col("el").isNotNull,
+            floor((col("e") - col("el")) * (col("e") - col("el"))
+              * 1e6 + 0.5).cast("decimal(38,0)"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("qnum"),
+          sum(floor(col("e") * col("e") * 1e6 + 0.5)
+            .cast("decimal(38,0)")).as("qden"))
+        .withColumn("dw",
+          col("qnum").cast("double") / col("qden").cast("double"))
+        .select(col("n").as("n_days"),
+          detRound(col("b"), 6).as("trend_slope"),
+          detRound(col("dw"), 4).as("dw_stat"),
+          (abs(col("dw") - 2.0) > 0.5).as("autocorr_suspect"))
+    }),
+
+    "x_breusch_pagan" -> ((s, d) => {
+      // Breusch–Pagan heteroskedasticity test (Econometrica 1979;
+      // Koenker's studentized LM form, the R lmtest default) on the
+      // daily-trend residuals: does the VARIANCE drift with time even
+      // when the level is detrended? — the dispersion complement to
+      // x_kpss_test's level question and the time-indexed sibling of
+      // the x_fligner_killeen group test. LM = n·R² of e² on t, with
+      // R² computed from exact sufficient sums of the 1e6-quantized
+      // e² series — one pass after the trend fit, O(days) everywhere,
+      // verdict vs χ²(1) = 3.841.
+      val (rn0, ols) = dailyTrend(s, d)
+      val q2 = rn0.crossJoin(broadcast(ols))
+        .withColumn("e",
+          col("y").cast("double") - col("a") - col("b") * col("rn"))
+        .withColumn("q", floor(col("e") * col("e") * 1e6 + 0.5)
+          .cast("long"))
+      val agg = q2.groupBy(col("n"), col("sx"), col("sxx"))
+        .agg(sum(col("q").cast("decimal(38,0)")).as("sq"),
+          sum((col("rn").cast("decimal(19,0)")
+            * col("q").cast("decimal(19,0)"))).as("sxq"),
+          sum((col("q").cast("decimal(19,0)")
+            * col("q").cast("decimal(19,0)"))).as("sqq"))
+      agg
+        .withColumn("covn",
+          col("n").cast("double") * col("sxq").cast("double")
+            - col("sx").cast("double") * col("sq").cast("double"))
+        .withColumn("vx",
+          col("n").cast("double") * col("sxx")
+            - col("sx").cast("double") * col("sx"))
+        .withColumn("vq",
+          col("n").cast("double") * col("sqq").cast("double")
+            - col("sq").cast("double") * col("sq").cast("double"))
+        .withColumn("lm", when(col("vq") > 0,
+          col("n") * (col("covn") * col("covn")
+            / (col("vx") * col("vq")))))
+        .select(col("n").as("n_days"),
+          detRound(col("lm"), 4).as("lm_stat"),
+          (col("lm") > lit(3.841)).as("heteroskedastic_05"))
+    }),
+
+    "x_chow_test" -> ((s, d) => {
+      // Chow structural-break test (Econometrica 1960) on the daily
+      // series, AT THE FAMILY'S OWN CANDIDATE DAY: the cut is the
+      // Buishand cumulative-deviation argmax (the same 1998-12-01 both
+      // Pettitt and Buishand surface), so the op completes the
+      // change-point story — "even at the most break-suspicious day
+      // the two-segment trend fit is not significantly better".
+      // F = ((SSR_p − SSR₁ − SSR₂)/k)/((SSR₁+SSR₂)/(n−2k)), k = 2,
+      // every SSR from the sufficient-statistics closed form
+      // SSR = Syy_c − (Sxy_c)²/Sxx_c over exact integer segment sums
+      // (one conditional-aggregation pass decides both segments —
+      // no second scan, no per-row float accumulation). Verdict vs
+      // the asymptotic F(2, ∞) = χ²(2)/2 = 2.9957. O(days).
+      val wD = Window.orderBy("day")
+      val daily = t(s, d, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).cast("long").as("y"))
+        .localCheckpoint()
+      val st = daily.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("y")).cast("long").as("syt"))
+        .withColumn("mean", col("syt").cast("double") / col("n"))
+      val rn0 = daily.withColumn("rn", row_number().over(wD).cast("long"))
+        .crossJoin(broadcast(st))
+      val pick = rn0
+        .withColumn("sk", sum(col("y")).over(
+          wD.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+          - col("rn") * col("mean"))
+        .filter(col("rn") < col("n"))
+        .withColumn("qs", floor(abs(col("sk")) * 1e6 + 0.5).cast("long"))
+        .withColumn("pk", row_number().over(
+          Window.orderBy(desc("qs"), asc("day"))))
+        .filter(col("pk") === 1)
+        .select(col("rn").as("cutrn"), col("day").as("cutday"))
+      def segSums(cond: Column, tag: String) = Seq(
+        sum(when(cond, 1L).otherwise(0L)).cast("long").as(s"m$tag"),
+        sum(when(cond, col("rn")).otherwise(0L)).cast("long")
+          .as(s"sx$tag"),
+        sum(when(cond, col("y")).otherwise(0L)).cast("long")
+          .as(s"sy$tag"),
+        sum(when(cond, (col("rn") * col("y")).cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as(s"sxy$tag"),
+        sum(when(cond, col("rn") * col("rn")).otherwise(0L))
+          .cast("long").as(s"sxx$tag"),
+        sum(when(cond, (col("y") * col("y")).cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as(s"syy$tag"))
+      val sums = rn0.crossJoin(broadcast(pick))
+        .groupBy(col("n"), col("cutday"))
+        .agg(segSums(lit(true), "p").head,
+          (segSums(lit(true), "p").tail ++
+            segSums(col("rn") <= col("cutrn"), "1") ++
+            segSums(col("rn") > col("cutrn"), "2")): _*)
+      def ssr(tag: String): Column = {
+        val m = col(s"m$tag").cast("double")
+        val sx = col(s"sx$tag").cast("double")
+        val sy = col(s"sy$tag").cast("double")
+        val sxy = col(s"sxy$tag").cast("double")
+        val sxx = col(s"sxx$tag").cast("double")
+        val syy = col(s"syy$tag").cast("double")
+        val sxxc = sxx - sx * sx / m
+        val sxyc = sxy - sx * sy / m
+        val syyc = syy - sy * sy / m
+        syyc - sxyc * sxyc / sxxc
+      }
+      sums
+        .withColumn("ssrp", ssr("p"))
+        .withColumn("ssr1", ssr("1"))
+        .withColumn("ssr2", ssr("2"))
+        .withColumn("f", when(col("m1") > 2 && col("m2") > 2,
+          ((col("ssrp") - col("ssr1") - col("ssr2")) / 2.0)
+            / ((col("ssr1") + col("ssr2")) / (col("n") - 4))))
+        .select(col("n").as("n_days"),
+          fmtD(col("cutday")).as("cut_day"),
+          col("m1").as("n_seg1"), col("m2").as("n_seg2"),
+          detRound(col("ssrp"), 2).as("ssr_pooled"),
+          detRound(col("ssr1") + col("ssr2"), 2).as("ssr_split"),
+          detRound(col("f"), 4).as("f_stat"),
+          // asymptotic F(2, ∞) = χ²(2)/2
+          (col("f") > lit(2.9957)).as("break_05"))
+    }),
+
+    "x_friedman_aligned" -> ((s, d) => {
+      // Friedman aligned-ranks test (Hodges & Lehmann, Ann. Math.
+      // Stat. 1962) on the shared complete-block spine — the variant
+      // with more power at SMALL k than plain Friedman: within-block
+      // ranking discards cross-block information, so HL align first
+      // (subtract the block mean), POOL the aligned values, and rank
+      // globally. T = (k−1)[ΣR_j² − kb²(kb+1)²/4] /
+      // [kb(kb+1)(2kb+1)/6 − (1/k)ΣR_i·²] vs χ²(k−1), R_j treatment
+      // rank sums, R_i· block rank sums of the pooled average ranks.
+      // Aligned values quantize at 1e4 fixed point BEFORE the global
+      // rank (a raw-double grouping key is a cross-engine hazard);
+      // ranks come from the doubled-rank cumsum over the aligned-value
+      // histogram, so every sum is exact until the final divisions.
+      // O(blocks × k) everywhere.
+      val full = completeBlocks(revBlockCells(s, d))
+      val aligned = full
+        .withColumn("bmean",
+          sum(col("rev")).over(Window.partitionBy("blk"))
+            .cast("double") / col("k"))
+        .withColumn("av",
+          floor((col("rev").cast("double") - col("bmean")) * 1e4 + 0.5)
+            .cast("long"))
+        .localCheckpoint()
+      val vt = aligned.groupBy("av")
+        .agg(count(lit(1)).cast("long").as("t"))
+      val wS = Window.orderBy("av")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val vts = vt.withColumn("s0",
+        coalesce(sum(col("t")).over(wS), lit(0L)))
+        .withColumn("r2", lit(2L) * col("s0") + col("t") + 1L)
+      val withR = aligned.join(vts.select("av", "r2"), "av")
+      val tsum = withR.groupBy("trt")
+        .agg(sum(col("r2").cast("decimal(38,0)")).as("r2j"))
+      val bsum = withR.groupBy("blk")
+        .agg(sum(col("r2").cast("decimal(38,0)")).as("r2i"))
+      val shape = aligned.agg(max(col("k")).cast("long").as("k"),
+        countDistinct(col("blk")).cast("long").as("nb"))
+      val tAgg = tsum.agg(
+        sum((col("r2j") * col("r2j")).cast("decimal(38,0)")).as("sj2"))
+      val bAgg = bsum.agg(
+        sum((col("r2i") * col("r2i")).cast("decimal(38,0)")).as("si2"))
+      shape.crossJoin(broadcast(tAgg)).crossJoin(broadcast(bAgg))
+        .withColumn("kb", col("k") * col("nb"))
+        .withColumn("num", (col("k") - 1).cast("double")
+          * (col("sj2").cast("double") / 4.0
+            - col("k").cast("double") * col("nb") * col("nb")
+              * (col("kb") + 1) * (col("kb") + 1) / 4.0))
+        .withColumn("den",
+          col("kb").cast("double") * (col("kb") + 1)
+            * (lit(2L) * col("kb") + 1) / 6.0
+            - (col("si2").cast("double") / 4.0)
+              / col("k"))
+        .withColumn("tstat", col("num") / col("den"))
+        .select(col("nb").as("n_blocks"), col("k").as("k_treatments"),
+          detRound(col("tstat"), 4).as("t_stat"),
+          // chi-square df = k−1 = 4 at the fixture's 5 priorities
+          (col("tstat") > lit(9.488)).as("reject_05"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -8285,5 +8557,188 @@ object StatsOps {
                  floor(0.5 * (ses + trendnext) * 1e4 + 0.5) / 1e4
                    AS theta_forecast
           FROM fin"""
-    })
+    },
+
+    "x_durbin_watson" -> s"""
+      WITH $dailyTrendSql,
+         res AS (
+           SELECT r.day, o.n, o.b,
+                  CAST(r.y AS DOUBLE) - o.a - o.b * r.rn AS e
+           FROM rn0 r CROSS JOIN ols o),
+         lagd AS (
+           SELECT n, b, e, lag(e, 1) OVER (ORDER BY day) AS el
+           FROM res),
+         agg AS (
+           SELECT n, b,
+                  SUM(CASE WHEN el IS NOT NULL
+                    THEN CAST(floor((e - el) * (e - el) * 1e6 + 0.5)
+                         AS HUGEINT)
+                    ELSE CAST(0 AS HUGEINT) END) AS qnum,
+                  SUM(CAST(floor(e * e * 1e6 + 0.5) AS HUGEINT))
+                    AS qden
+           FROM lagd GROUP BY 1, 2)
+         SELECT n AS n_days,
+                floor(b * 1e6 + 0.5) / 1e6 AS trend_slope,
+                floor(CAST(qnum AS DOUBLE) / CAST(qden AS DOUBLE)
+                  * 1e4 + 0.5) / 1e4 AS dw_stat,
+                abs(CAST(qnum AS DOUBLE) / CAST(qden AS DOUBLE) - 2.0)
+                  > 0.5 AS autocorr_suspect
+         FROM agg""",
+
+    "x_breusch_pagan" -> s"""
+      WITH $dailyTrendSql,
+         q2 AS (
+           SELECT r.rn, o.n, o.sx, o.sxx,
+                  CAST(floor((CAST(r.y AS DOUBLE) - o.a - o.b * r.rn)
+                    * (CAST(r.y AS DOUBLE) - o.a - o.b * r.rn)
+                    * 1e6 + 0.5) AS BIGINT) AS q
+           FROM rn0 r CROSS JOIN ols o),
+         agg AS (
+           SELECT n, sx, sxx,
+                  SUM(CAST(q AS HUGEINT)) AS sq,
+                  SUM(CAST(rn AS HUGEINT) * q) AS sxq,
+                  SUM(CAST(q AS HUGEINT) * q) AS sqq
+           FROM q2 GROUP BY 1, 2, 3),
+         lm AS (
+           SELECT n,
+                  CAST(n AS DOUBLE) * CAST(sxq AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sq AS DOUBLE) AS covn,
+                  CAST(n AS DOUBLE) * sxx
+                    - CAST(sx AS DOUBLE) * sx AS vx,
+                  CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                    - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) AS vq
+           FROM agg),
+         fin AS (
+           SELECT n, CASE WHEN vq > 0
+             THEN n * (covn * covn / (vx * vq)) END AS lmstat
+           FROM lm)
+         SELECT n AS n_days,
+                floor(lmstat * 1e4 + 0.5) / 1e4 AS lm_stat,
+                lmstat > 3.841 AS heteroskedastic_05
+         FROM fin""",
+
+    "x_chow_test" -> {
+      def segSql(cond: String, tag: String) =
+        s"""CAST(SUM(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT)
+              AS m$tag,
+            CAST(SUM(CASE WHEN $cond THEN rn ELSE 0 END) AS BIGINT)
+              AS sx$tag,
+            CAST(SUM(CASE WHEN $cond THEN y ELSE 0 END) AS BIGINT)
+              AS sy$tag,
+            SUM(CASE WHEN $cond THEN CAST(rn * y AS HUGEINT)
+                ELSE CAST(0 AS HUGEINT) END) AS sxy$tag,
+            CAST(SUM(CASE WHEN $cond THEN rn * rn ELSE 0 END)
+              AS BIGINT) AS sxx$tag,
+            SUM(CASE WHEN $cond THEN CAST(y * y AS HUGEINT)
+                ELSE CAST(0 AS HUGEINT) END) AS syy$tag"""
+      def ssrSql(tag: String) =
+        s"""(CAST(syy$tag AS DOUBLE)
+             - CAST(sy$tag AS DOUBLE) * sy$tag / m$tag)
+            - (CAST(sxy$tag AS DOUBLE)
+               - CAST(sx$tag AS DOUBLE) * sy$tag / m$tag)
+              * (CAST(sxy$tag AS DOUBLE)
+                 - CAST(sx$tag AS DOUBLE) * sy$tag / m$tag)
+              / (CAST(sxx$tag AS DOUBLE)
+                 - CAST(sx$tag AS DOUBLE) * sx$tag / m$tag)"""
+      s"""WITH daily AS (
+           SELECT date_trunc('day', o_orderdate) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         st AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(y) AS BIGINT) AS syt
+           FROM daily),
+         st1 AS (SELECT n, CAST(syt AS DOUBLE) / n AS mean FROM st),
+         rn0 AS (
+           SELECT d.day, d.y, s.n, s.mean,
+                  CAST(row_number() OVER (ORDER BY d.day) AS BIGINT)
+                    AS rn,
+                  CAST(CAST(SUM(d.y) OVER (ORDER BY d.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS DOUBLE) AS cumy
+           FROM daily d CROSS JOIN st1 s),
+         pick AS (
+           SELECT rn AS cutrn, day AS cutday FROM (
+             SELECT rn, day,
+                    row_number() OVER (ORDER BY
+                      CAST(floor(abs(cumy - rn * mean) * 1e6 + 0.5)
+                        AS BIGINT) DESC, day ASC) AS pk
+             FROM rn0 WHERE rn < n)
+           WHERE pk = 1),
+         sums AS (
+           SELECT r.n, p.cutday,
+                  ${segSql("TRUE", "p")},
+                  ${segSql("r.rn <= p.cutrn", "1")},
+                  ${segSql("r.rn > p.cutrn", "2")}
+           FROM rn0 r CROSS JOIN pick p
+           GROUP BY 1, 2),
+         ssrs AS (
+           SELECT n, cutday, m1, m2,
+                  ${ssrSql("p")} AS ssrp,
+                  ${ssrSql("1")} AS ssr1,
+                  ${ssrSql("2")} AS ssr2
+           FROM sums),
+         fin AS (
+           SELECT n, cutday, m1, m2, ssrp, ssr1, ssr2,
+                  CASE WHEN m1 > 2 AND m2 > 2
+                    THEN ((ssrp - ssr1 - ssr2) / 2.0)
+                      / ((ssr1 + ssr2) / (n - 4)) END AS f
+           FROM ssrs)
+         SELECT n AS n_days, strftime(cutday, '%Y-%m-%d') AS cut_day,
+                m1 AS n_seg1, m2 AS n_seg2,
+                floor(ssrp * 1e2 + 0.5) / 1e2 AS ssr_pooled,
+                floor((ssr1 + ssr2) * 1e2 + 0.5) / 1e2 AS ssr_split,
+                floor(f * 1e4 + 0.5) / 1e4 AS f_stat,
+                f > 2.9957 AS break_05
+         FROM fin"""
+    },
+
+    "x_friedman_aligned" ->
+      s"""WITH $revCellsSql,
+         $completeBlockSql,
+         aligned AS MATERIALIZED (
+           SELECT blk, trt, k,
+                  CAST(floor((CAST(rev AS DOUBLE)
+                    - CAST(SUM(rev) OVER (PARTITION BY blk) AS DOUBLE)
+                      / k) * 1e4 + 0.5) AS BIGINT) AS av
+           FROM full_b),
+         vt AS (
+           SELECT av, CAST(COUNT(*) AS BIGINT) AS t
+           FROM aligned GROUP BY 1),
+         vts AS (
+           SELECT av,
+                  2 * COALESCE(SUM(t) OVER (ORDER BY av
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + t + 1 AS r2
+           FROM vt),
+         withr AS (
+           SELECT a.blk, a.trt, v.r2
+           FROM aligned a JOIN vts v USING (av)),
+         tsum AS (
+           SELECT trt, SUM(CAST(r2 AS HUGEINT)) AS r2j
+           FROM withr GROUP BY 1),
+         bsum AS (
+           SELECT blk, SUM(CAST(r2 AS HUGEINT)) AS r2i
+           FROM withr GROUP BY 1),
+         shape AS (
+           SELECT CAST(MAX(k) AS BIGINT) AS k,
+                  CAST(COUNT(DISTINCT blk) AS BIGINT) AS nb
+           FROM aligned),
+         tagg AS (SELECT SUM(r2j * r2j) AS sj2 FROM tsum),
+         bagg AS (SELECT SUM(r2i * r2i) AS si2 FROM bsum),
+         fin AS (
+           SELECT s.nb, s.k, s.k * s.nb AS kb,
+                  CAST(s.k - 1 AS DOUBLE)
+                    * (CAST(t.sj2 AS DOUBLE) / 4.0
+                      - CAST(s.k AS DOUBLE) * s.nb * s.nb
+                        * (s.k * s.nb + 1) * (s.k * s.nb + 1) / 4.0)
+                    AS num,
+                  CAST(s.k * s.nb AS DOUBLE) * (s.k * s.nb + 1)
+                    * (2 * s.k * s.nb + 1) / 6.0
+                    - (CAST(b.si2 AS DOUBLE) / 4.0) / s.k AS den
+           FROM shape s CROSS JOIN tagg t CROSS JOIN bagg b)
+         SELECT nb AS n_blocks, k AS k_treatments,
+                floor(num / den * 1e4 + 0.5) / 1e4 AS t_stat,
+                num / den > 9.488 AS reject_05
+         FROM fin""")
 }

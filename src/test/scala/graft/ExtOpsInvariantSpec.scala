@@ -2022,4 +2022,137 @@ class ExtOpsInvariantSpec extends SparkSpec {
         + r.getAs[Double]("trend_next"))) < 2e-4,
       "the forecast is exactly the component average")
   }
+
+  /** Pooled daily counts with the plain-double OLS trend residuals —
+    * shared by the DW / BP / Chow replays. */
+  private def trendResiduals(): (Seq[(String, Long)], Array[Double]) = {
+    val ser = pooledDaily()
+    val ys = ser.map(_._2.toDouble).toArray
+    val n = ys.length
+    val sx = (1 to n).map(_.toDouble).sum
+    val sy = ys.sum
+    val sxy = ys.zipWithIndex.map { case (y, i) => (i + 1) * y }.sum
+    val sxx = (1 to n).map(i => i.toDouble * i).sum
+    val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val a = (sy - b * sx) / n
+    (ser, ys.zipWithIndex.map { case (y, i) => y - a - b * (i + 1) })
+  }
+
+  test("x_durbin_watson: the statistic matches a sequential raw-" +
+      "double replay of the residual difference quotient, sits in " +
+      "[0, 4], and the flag is the stated screening band") {
+    val (_, e) = trendResiduals()
+    val dw = (1 until e.length).map(i =>
+      (e(i) - e(i - 1)) * (e(i) - e(i - 1))).sum /
+      e.map(x => x * x).sum
+    val r = run("x_durbin_watson").collect().head
+    assert(r.getAs[Long]("n_days") == e.length.toLong)
+    assert(math.abs(r.getAs[Double]("dw_stat") - dw) < 1e-3)
+    assert(r.getAs[Double]("dw_stat") >= 0.0 &&
+      r.getAs[Double]("dw_stat") <= 4.0)
+    assert(r.getAs[Boolean]("autocorr_suspect") ==
+      (math.abs(r.getAs[Double]("dw_stat") - 2.0) > 0.5))
+  }
+
+  test("x_breusch_pagan: the LM statistic matches n times the " +
+      "squared correlation of the squared residuals with time, " +
+      "computed the centered-moments way (not the engine's raw " +
+      "sufficient sums)") {
+    val (_, e) = trendResiduals()
+    val n = e.length
+    val e2 = e.map(x => x * x)
+    val tm = (n + 1) / 2.0
+    val em = e2.sum / n
+    val cov = e2.zipWithIndex.map { case (v, i) =>
+      (i + 1 - tm) * (v - em) }.sum
+    val vt = (1 to n).map(i => (i - tm) * (i - tm)).sum
+    val ve = e2.map(v => (v - em) * (v - em)).sum
+    val lm = n * (cov * cov / (vt * ve))
+    val r = run("x_breusch_pagan").collect().head
+    assert(r.getAs[Long]("n_days") == n.toLong)
+    assert(math.abs(r.getAs[Double]("lm_stat") - lm) < 1e-3,
+      s"LM ${r.getAs[Double]("lm_stat")} vs brute $lm")
+    assert(r.getAs[Boolean]("heteroskedastic_05") == (lm > 3.841))
+  }
+
+  test("x_chow_test: the cut day is the Buishand cumulative-deviation " +
+      "argmax, both segment fits reproduce a per-element least-" +
+      "squares replay, and F is their ratio") {
+    val (ser, _) = trendResiduals()
+    val ys = ser.map(_._2.toDouble).toArray
+    val n = ys.length
+    val mean = ys.sum / n
+    var c = 0.0
+    val sk = ys.map { y => c += y - mean; c }
+    val cut = sk.init.zipWithIndex
+      .maxBy { case (s, i) => (math.abs(s), -i) }._2
+    def ssrSeg(lo: Int, hi: Int): Double = { // inclusive 0-based range
+      val m = hi - lo + 1
+      val xs = (lo + 1 to hi + 1).map(_.toDouble)
+      val seg = ys.slice(lo, hi + 1)
+      val bx = (m * xs.zip(seg).map { case (x, y) => x * y }.sum
+        - xs.sum * seg.sum) / (m * xs.map(x => x * x).sum
+        - xs.sum * xs.sum)
+      val ax = (seg.sum - bx * xs.sum) / m
+      xs.zip(seg).map { case (x, y) =>
+        (y - ax - bx * x) * (y - ax - bx * x) }.sum
+    }
+    val (ssrp, ssr1, ssr2) =
+      (ssrSeg(0, n - 1), ssrSeg(0, cut), ssrSeg(cut + 1, n - 1))
+    val f = ((ssrp - ssr1 - ssr2) / 2.0) / ((ssr1 + ssr2) / (n - 4))
+    val r = run("x_chow_test").collect().head
+    assert(r.getAs[Long]("n_days") == n.toLong)
+    assert(r.getAs[String]("cut_day") == ser(cut)._1.substring(0, 10))
+    assert(r.getAs[Long]("n_seg1") == (cut + 1).toLong)
+    assert(r.getAs[Long]("n_seg2") == (n - cut - 1).toLong)
+    assert(math.abs(r.getAs[Double]("ssr_pooled") - ssrp) < 0.1)
+    assert(math.abs(r.getAs[Double]("ssr_split") - (ssr1 + ssr2)) < 0.1)
+    assert(math.abs(r.getAs[Double]("f_stat") - f) < 1e-3)
+    assert(r.getAs[Boolean]("break_05") == (f > 2.9957))
+    assert(r.getAs[Double]("ssr_split") <=
+      r.getAs[Double]("ssr_pooled") + 1e-6,
+      "two free fits can never lose to one")
+  }
+
+  test("x_friedman_aligned: the aligned-ranks statistic matches a " +
+      "classic float replay (align on block means, pool, sort-and-" +
+      "average-ties, Hodges-Lehmann formula)") {
+    import org.apache.spark.sql.functions._
+    val cells = graft.util.Tables.t(spark, sf, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("blk"),
+        col("o_orderpriority").as("trt"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double").as("rev"))
+      .collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getDouble(2)))
+    val k = cells.map(_._2).distinct.length
+    val full = cells.groupBy(_._1).filter(_._2.length == k)
+    val aligned = full.toSeq.flatMap { case (blk, vs) =>
+      val m = vs.map(_._3).sum / k
+      vs.map(v => (blk, v._2, v._3 - m))
+    }
+    val nb = full.size
+    val sorted = aligned.map(_._3).sorted
+    val avgRank: Map[Double, Double] = sorted.zipWithIndex
+      .groupBy(_._1)
+      .map { case (v, xs) =>
+        v -> (xs.map(_._2 + 1).sum.toDouble / xs.length) }
+    val rj = aligned.groupBy(_._2).map { case (_, xs) =>
+      xs.map(x => avgRank(x._3)).sum }
+    val ri = aligned.groupBy(_._1).map { case (_, xs) =>
+      xs.map(x => avgRank(x._3)).sum }
+    val kb = k * nb
+    val num = (k - 1) * (rj.map(x => x * x).sum -
+      k.toDouble * nb * nb * (kb + 1) * (kb + 1) / 4.0)
+    val den = kb.toDouble * (kb + 1) * (2 * kb + 1) / 6.0 -
+      ri.map(x => x * x).sum / k
+    val tExp = num / den
+    val r = run("x_friedman_aligned").collect().head
+    assert(r.getAs[Long]("n_blocks") == nb.toLong)
+    assert(r.getAs[Long]("k_treatments") == k.toLong)
+    assert(math.abs(r.getAs[Double]("t_stat") - tExp) < 1e-3,
+      s"T ${r.getAs[Double]("t_stat")} vs brute $tExp")
+    assert(r.getAs[Boolean]("reject_05") ==
+      (r.getAs[Double]("t_stat") > 9.488))
+  }
 }

@@ -221,6 +221,15 @@ class PlanAuditSpec extends SparkSpec {
     // x_ndcg_eval site verbatim — so the 10-row rank windows never see
     // a raw text scan
     "x_theta_forecast", "x_err_eval", "x_map_eval",
+    // r19 fourth wave, reviewed: x_durbin_watson / x_breusch_pagan /
+    // x_chow_test checkpoint the shared pooled (day, y) table
+    // (dailyTrend — calendar-bounded, re-read by the OLS moment pass
+    // and the residual/segment passes); x_friedman_aligned the
+    // O(months × k) aligned complete-block cells (the completeBlocks
+    // spine plus one aligned column, re-read by the value histogram
+    // and both rank-sum passes)
+    "x_durbin_watson", "x_breusch_pagan", "x_chow_test",
+    "x_friedman_aligned",
     // x_kendalls_w checkpoints the O(months×k) complete-block cell
     // table (the x_friedman_test site, shared rationale)
     "x_kendalls_w",
