@@ -517,6 +517,92 @@ object StatsOps {
                 (CAST(sy AS DOUBLE) - b * sx) / n AS a
          FROM ols1)"""
 
+  // ---- shared pooled-daily change-point spine (x_snht_changepoint /
+  // x_buishand_range / x_chow_test — hoisted at the third consumer,
+  // pre-seal review r19; the shared-block-spine discipline): the pooled
+  // (day, y) grain with integer cumsum + row index, the moment stats
+  // (mean, guarded sd) broadcast alongside, and the cumulative
+  // deviation S_k = cumY − rn·ȳ every member reads. One copy means a
+  // tie-break or quantization fix cannot drift between the three. -------
+  /** cum(day, y, cumy, rn, n, sy, mean, sd, sk); daily checkpointed. */
+  private def dailyCum(s: SparkSession, d: String): DataFrame = {
+    val wD = Window.orderBy("day")
+    val daily = t(s, d, "orders")
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).cast("long").as("y"))
+      .localCheckpoint()
+    val st = daily.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("y")).cast("long").as("sy"),
+      sum(col("y") * col("y")).cast("long").as("syy"))
+      .withColumn("mean", col("sy").cast("double") / col("n"))
+      .withColumn("vr",
+        (col("syy").cast("double") -
+          col("sy").cast("double") * col("sy") / col("n"))
+          / (col("n") - 1))
+      .withColumn("sd", when(col("vr") > 0, sqrt(col("vr"))))
+    daily
+      .withColumn("cumy", sum(col("y")).over(
+        wD.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rn", row_number().over(wD).cast("long"))
+      .crossJoin(broadcast(st.select("n", "sy", "mean", "sd")))
+      .withColumn("sk",
+        col("cumy").cast("double") - col("rn") * col("mean"))
+  }
+
+  /** Earliest argmax-|S_k| candidate row, k < n — the 1e6-quantized
+    * cumulative-deviation pick Buishand and Chow share verbatim. */
+  private def skArgmaxPick(cum: DataFrame): DataFrame =
+    cum.filter(col("rn") < col("n"))
+      .withColumn("qs", floor(abs(col("sk")) * 1e6 + 0.5).cast("long"))
+      .withColumn("pk", row_number().over(
+        Window.orderBy(desc("qs"), asc("day"))))
+      .filter(col("pk") === 1)
+
+  /** DuckDB twin of [[dailyCum]]: CTE chain ending in
+    * cum(dy, y, cumy, rn, n, sy, mean, sd, skv). */
+  private val dailyCumSql: String =
+    """daily AS MATERIALIZED (
+         SELECT date_trunc('day', o_orderdate) AS dy,
+                CAST(COUNT(*) AS BIGINT) AS y
+         FROM orders GROUP BY 1),
+       stm0 AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(y) AS BIGINT) AS sy,
+                CAST(SUM(y * y) AS BIGINT) AS syy
+         FROM daily),
+       stm1 AS (
+         SELECT n, sy, CAST(sy AS DOUBLE) / n AS mean,
+                (CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS vr
+         FROM stm0),
+       stm AS (
+         SELECT n, sy, mean,
+                CASE WHEN vr > 0 THEN sqrt(vr) END AS sd
+         FROM stm1),
+       cum0 AS (
+         SELECT dy, y,
+                CAST(SUM(y) OVER (ORDER BY dy
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cumy,
+                CAST(row_number() OVER (ORDER BY dy) AS BIGINT) AS rn
+         FROM daily),
+       cum AS (
+         SELECT c.dy, c.y, c.cumy, c.rn, s.n, s.sy, s.mean, s.sd,
+                CAST(c.cumy AS DOUBLE) - c.rn * s.mean AS skv
+         FROM cum0 c CROSS JOIN stm s)"""
+
+  /** DuckDB twin of [[skArgmaxPick]] over [[dailyCumSql]]'s cum:
+    * one CTE, skpick = cum's columns at the earliest argmax |S_k|. */
+  private val skPickSql: String =
+    """skpick AS (
+         SELECT * FROM (
+           SELECT cum.*,
+                  row_number() OVER (ORDER BY
+                    CAST(floor(abs(skv) * 1e6 + 0.5) AS BIGINT) DESC,
+                    dy ASC) AS pk
+           FROM cum WHERE rn < n)
+         WHERE pk = 1)"""
+
   // ---- complete-block machinery (pre-seal review r17: friedman /
   // page / cochran_q / kendalls_w briefly carried four copies of the
   // same block spine in BOTH engines; one builder + one CTE prefix
@@ -4357,9 +4443,13 @@ object StatsOps {
             - col("st3").cast("double") / (lit(12.0) * (col("nn") - 1)))
         .withColumn("ra", col("r2a").cast("double") / (lit(2.0) * col("na")))
         .withColumn("rb", col("r2b").cast("double") / (lit(2.0) * col("nb")))
-        .withColumn("z", (col("ra") - col("rb"))
+        // varbase = 0 exactly when every pooled value ties (st3 folds to
+        // nn³−nn); NULL the statistic in BOTH engines rather than let
+        // Spark NaN/Inf diverge from DuckDB NULL (pinned div-by-zero
+        // gotcha). na, nb ≥ 1 always, so varbase > 0 ⇒ sqrt operand > 0.
+        .withColumn("z", when(col("varbase") > 0, (col("ra") - col("rb"))
           / sqrt(col("varbase") * (lit(1.0) / col("na")
-            + lit(1.0) / col("nb"))))
+            + lit(1.0) / col("nb")))))
         .withColumn("crit", critCase)
         .select(col("grp_a"), col("grp_b"),
           col("na").as("n_a"), col("nb").as("n_b"),
@@ -4483,31 +4573,12 @@ object StatsOps {
       // this op reports the statistic and the candidate day and leaves
       // the table lookup to the reader. All cumulative sums run on
       // exact integer cumY (never a float cumsum — window-aggregate
-      // addition order is not portable across engines); z̄ terms derive
-      // per-row as (cumY − t·μ)/σ. One fact groupBy to the day grain,
-      // O(days) windows after.
-      val daily = t(s, d, "orders")
-        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
-        .agg(count(lit(1)).cast("long").as("y"))
-      val st = daily.agg(count(lit(1)).cast("long").as("n"),
-        sum(col("y")).cast("long").as("sy"),
-        sum(col("y") * col("y")).cast("long").as("syy"))
-        .withColumn("mean", col("sy").cast("double") / col("n"))
-        .withColumn("vr",
-          (col("syy").cast("double") -
-            col("sy").cast("double") * col("sy") / col("n"))
-            / (col("n") - 1))
-        .withColumn("sd", when(col("vr") > 0, sqrt(col("vr"))))
-      val wD = Window.orderBy("day")
-      val cum = daily
-        .withColumn("cumy", sum(col("y")).over(
-          wD.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("rn", row_number().over(wD).cast("long"))
-        .crossJoin(broadcast(st))
+      // addition order is not portable across engines); z̄₁ IS the
+      // shared spine's S_t/σ/t. One fact groupBy to the day grain
+      // (the dailyCum spine), O(days) windows after.
+      val cum = dailyCum(s, d)
         .filter(col("rn") < col("n"))
-        .withColumn("z1",
-          (col("cumy").cast("double") - col("rn") * col("mean"))
-            / col("sd") / col("rn"))
+        .withColumn("z1", col("sk") / col("sd") / col("rn"))
         .withColumn("z2",
           ((col("sy") - col("cumy")).cast("double")
             - (col("n") - col("rn")) * col("mean"))
@@ -4538,34 +4609,14 @@ object StatsOps {
       // integers. Candidate day = earliest argmax |S_k|, k < n —
       // Pettitt and Buishand converge on the same 1998-12-01 day on
       // the fixture, the convergent-evidence story. Integer cumsums
-      // only (same portability rule as SNHT).
-      val daily = t(s, d, "orders")
-        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
-        .agg(count(lit(1)).cast("long").as("y"))
-      val st = daily.agg(count(lit(1)).cast("long").as("n"),
-        sum(col("y")).cast("long").as("sy"),
-        sum(col("y") * col("y")).cast("long").as("syy"))
-        .withColumn("mean", col("sy").cast("double") / col("n"))
-        .withColumn("vr",
-          (col("syy").cast("double") -
-            col("sy").cast("double") * col("sy") / col("n"))
-            / (col("n") - 1))
-        .withColumn("sd", when(col("vr") > 0, sqrt(col("vr"))))
-      val wD = Window.orderBy("day")
-      val cum = daily
-        .withColumn("cumy", sum(col("y")).over(
-          wD.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("rn", row_number().over(wD).cast("long"))
-        .crossJoin(broadcast(st))
-        .withColumn("sk",
-          col("cumy").cast("double") - col("rn") * col("mean"))
+      // only (same portability rule as SNHT); the day grain, S_k and
+      // the argmax pick are the shared dailyCum/skArgmaxPick spine —
+      // Chow reads the SAME pick, so "the family's own candidate day"
+      // is one copy by construction.
+      val cum = dailyCum(s, d)
       val ext = cum.agg(max(col("sk")).as("smax"),
         min(col("sk")).as("smin"))
-      val pick = cum.filter(col("rn") < col("n"))
-        .withColumn("qs", floor(abs(col("sk")) * 1e6 + 0.5).cast("long"))
-        .withColumn("pk", row_number().over(
-          Window.orderBy(desc("qs"), asc("day"))))
-        .filter(col("pk") === 1)
+      val pick = skArgmaxPick(cum)
         .select(col("day"), col("n"), col("mean"), col("sd"))
       val x = ((col("smax") - col("smin")) / col("sd")) /
         sqrt(col("n").cast("double"))
@@ -4722,9 +4773,12 @@ object StatsOps {
         sum(col("sa")).as("sat"), sum(col("saa")).as("saat"))
         .withColumn("abar",
           col("sat").cast("double") / 1e9 / col("nt"))
-        .withColumn("vv",
+        // nt = 1 zeroes the (nt−1) divisor; vv = 0 when every normal
+        // score ties (all deviations equal → one rank). NULL both so the
+        // statistic below NULLs identically in both engines.
+        .withColumn("vv", when(col("nt") > 1,
           (col("saat").cast("double") / 1e18
-            - col("nt") * col("abar") * col("abar")) / (col("nt") - 1))
+            - col("nt") * col("abar") * col("abar")) / (col("nt") - 1)))
       val terms = gsum.crossJoin(broadcast(tot))
         .withColumn("aj", col("sa").cast("double") / 1e9 / col("ng"))
         .select(col("k"), col("nt"), col("vv"),
@@ -4734,8 +4788,8 @@ object StatsOps {
         .groupBy("k", "nt", "vv")
         .agg(sum(col("qterm")).as("qsum"))
       terms
-        .withColumn("fk",
-          (col("qsum").cast("double") / 1e6) / col("vv"))
+        .withColumn("fk", when(col("vv") > 0,
+          (col("qsum").cast("double") / 1e6) / col("vv")))
         .select(col("k").as("n_groups"), col("nt").as("n_obs"),
           detRound(col("fk"), 4).as("fk_stat"),
           // chi-square df = k−1 = 4 at the fixture's 5 priorities
@@ -4779,20 +4833,27 @@ object StatsOps {
       grid.crossJoin(broadcast(shape))
         .withColumn("chi2", col("qchi").cast("double") / 1e6)
         .withColumn("df", (col("rr") - 1) * (col("kk") - 1))
-        .withColumn("v", sqrt(col("chi2")
-          / (col("n") * (least(col("rr"), col("kk")) - 1))))
-        .withColumn("phi2c", greatest(lit(0.0),
+        // Degenerate shapes NULL out in BOTH engines: a single-level
+        // margin (min(r,k) = 1) zeroes v's denominator, n = 1 zeroes the
+        // (n−1) bias divisors, and a small n can push min(r˜,k˜)−1 ≤ 0 —
+        // where an unguarded sqrt(negative) THROWS in DuckDB and would
+        // kill the shared oracle connection (pinned sqrt(<0) gotcha).
+        .withColumn("v", when(least(col("rr"), col("kk")) > 1,
+          sqrt(col("chi2")
+            / (col("n") * (least(col("rr"), col("kk")) - 1)))))
+        .withColumn("phi2c", when(col("n") > 1, greatest(lit(0.0),
           col("chi2") / col("n")
             - (col("rr") - 1).cast("double") * (col("kk") - 1)
-              / (col("n") - 1)))
-        .withColumn("rc", col("rr").cast("double")
+              / (col("n") - 1))))
+        .withColumn("rc", when(col("n") > 1, col("rr").cast("double")
           - (col("rr") - 1).cast("double") * (col("rr") - 1)
-            / (col("n") - 1))
-        .withColumn("kc", col("kk").cast("double")
+            / (col("n") - 1)))
+        .withColumn("kc", when(col("n") > 1, col("kk").cast("double")
           - (col("kk") - 1).cast("double") * (col("kk") - 1)
-            / (col("n") - 1))
-        .withColumn("vc", sqrt(col("phi2c")
-          / least(col("rc") - 1, col("kc") - 1)))
+            / (col("n") - 1)))
+        .withColumn("vc", when(least(col("rc") - 1, col("kc") - 1) > 0,
+          sqrt(col("phi2c")
+            / least(col("rc") - 1, col("kc") - 1))))
         .select(col("n").as("n_obs"), col("rr").as("n_rows"),
           col("kk").as("n_cols"), col("df"),
           detRound(col("chi2"), 4).as("chi2"),
@@ -4897,8 +4958,11 @@ object StatsOps {
             .otherwise(lit(0).cast("decimal(38,0)"))).as("qnum"),
           sum(floor(col("e") * col("e") * 1e6 + 0.5)
             .cast("decimal(38,0)")).as("qden"))
-        .withColumn("dw",
-          col("qnum").cast("double") / col("qden").cast("double"))
+        // qden = 0 when every quantized e² term rounds to 0 (an exact
+        // trend fit on a tiny series); NULL the ratio in both engines,
+        // the same guard shape as sibling x_breusch_pagan's vq.
+        .withColumn("dw", when(col("qden") > 0,
+          col("qnum").cast("double") / col("qden").cast("double")))
         .select(col("n").as("n_days"),
           detRound(col("b"), 6).as("trend_slope"),
           detRound(col("dw"), 4).as("dw_stat"),
@@ -4958,25 +5022,8 @@ object StatsOps {
       // (one conditional-aggregation pass decides both segments —
       // no second scan, no per-row float accumulation). Verdict vs
       // the asymptotic F(2, ∞) = χ²(2)/2 = 2.9957. O(days).
-      val wD = Window.orderBy("day")
-      val daily = t(s, d, "orders")
-        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
-        .agg(count(lit(1)).cast("long").as("y"))
-        .localCheckpoint()
-      val st = daily.agg(count(lit(1)).cast("long").as("n"),
-        sum(col("y")).cast("long").as("syt"))
-        .withColumn("mean", col("syt").cast("double") / col("n"))
-      val rn0 = daily.withColumn("rn", row_number().over(wD).cast("long"))
-        .crossJoin(broadcast(st))
-      val pick = rn0
-        .withColumn("sk", sum(col("y")).over(
-          wD.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
-          - col("rn") * col("mean"))
-        .filter(col("rn") < col("n"))
-        .withColumn("qs", floor(abs(col("sk")) * 1e6 + 0.5).cast("long"))
-        .withColumn("pk", row_number().over(
-          Window.orderBy(desc("qs"), asc("day"))))
-        .filter(col("pk") === 1)
+      val rn0 = dailyCum(s, d)
+      val pick = skArgmaxPick(rn0)
         .select(col("rn").as("cutrn"), col("day").as("cutday"))
       def segSums(cond: Column, tag: String) = Seq(
         sum(when(cond, 1L).otherwise(0L)).cast("long").as(s"m$tag"),
@@ -5006,13 +5053,18 @@ object StatsOps {
         val sxxc = sxx - sx * sx / m
         val sxyc = sxy - sx * sy / m
         val syyc = syy - sy * sy / m
-        syyc - sxyc * sxyc / sxxc
+        // A 1-row segment (argmax at rn = 1 or n−1) makes sxxc exactly 0;
+        // NULL the segment SSR in both engines — ssr_split then NULLs
+        // consistently instead of exporting a Spark-NaN/DuckDB-NULL
+        // divergence (f_stat's m1/m2 > 2 gate already implies sxxc > 0).
+        when(sxxc > 0, syyc - sxyc * sxyc / sxxc)
       }
       sums
         .withColumn("ssrp", ssr("p"))
         .withColumn("ssr1", ssr("1"))
         .withColumn("ssr2", ssr("2"))
-        .withColumn("f", when(col("m1") > 2 && col("m2") > 2,
+        .withColumn("f", when(col("m1") > 2 && col("m2") > 2
+            && col("ssr1") + col("ssr2") > 0,
           ((col("ssrp") - col("ssr1") - col("ssr2")) / 2.0)
             / ((col("ssr1") + col("ssr2")) / (col("n") - 4))))
         .select(col("n").as("n_days"),
@@ -5077,7 +5129,10 @@ object StatsOps {
             * (lit(2L) * col("kb") + 1) / 6.0
             - (col("si2").cast("double") / 4.0)
               / col("k"))
-        .withColumn("tstat", col("num") / col("den"))
+        // den collapses to 0 when every aligned value ties globally
+        // (constant revenue per cell); NULL in both engines per the
+        // pinned every-denominator-guarded discipline.
+        .withColumn("tstat", when(col("den") > 0, col("num") / col("den")))
         .select(col("nb").as("n_blocks"), col("k").as("k_treatments"),
           detRound(col("tstat"), 4).as("t_stat"),
           // chi-square df = k−1 = 4 at the fixture's 5 priorities
@@ -8094,8 +8149,8 @@ object StatsOps {
            FROM prs),
          fin AS (
            SELECT grp_a, grp_b, na, nb, k, m, varbase, ra, rb,
-                  (ra - rb) / sqrt(varbase
-                    * (1.0 / na + 1.0 / nb)) AS z,
+                  CASE WHEN varbase > 0 THEN (ra - rb) / sqrt(varbase
+                    * (1.0 / na + 1.0 / nb)) END AS z,
                   $critCase AS crit
            FROM zz)
          SELECT grp_a, grp_b, na AS n_a, nb AS n_b,
@@ -8196,40 +8251,14 @@ object StatsOps {
     },
 
     "x_snht_changepoint" ->
-      """WITH daily AS (
-           SELECT date_trunc('day', o_orderdate) AS dy,
-                  CAST(COUNT(*) AS BIGINT) AS y
-           FROM orders GROUP BY 1),
-         st AS (
-           SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                  CAST(SUM(y) AS BIGINT) AS sy,
-                  CAST(SUM(y * y) AS BIGINT) AS syy
-           FROM daily),
-         st1 AS (
-           SELECT n, sy, CAST(sy AS DOUBLE) / n AS mean,
-                  (CAST(syy AS DOUBLE)
-                   - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS vr
-           FROM st),
-         st2 AS (
-           SELECT n, sy, mean,
-                  CASE WHEN vr > 0 THEN sqrt(vr) END AS sd
-           FROM st1),
-         cum AS (
-           SELECT dy,
-                  CAST(SUM(y) OVER (ORDER BY dy
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS cumy,
-                  CAST(row_number() OVER (ORDER BY dy) AS BIGINT) AS rn
-           FROM daily),
+      s"""WITH $dailyCumSql,
          zz AS (
-           SELECT c.dy, s.n, s.mean,
-                  (CAST(c.cumy AS DOUBLE) - c.rn * s.mean) / s.sd / c.rn
-                    AS z1,
-                  (CAST(s.sy - c.cumy AS DOUBLE)
-                    - (s.n - c.rn) * s.mean) / s.sd / (s.n - c.rn) AS z2,
-                  c.rn
-           FROM cum c CROSS JOIN st2 s
-           WHERE c.rn < s.n),
+           SELECT dy, n, mean,
+                  skv / sd / rn AS z1,
+                  (CAST(sy - cumy AS DOUBLE)
+                    - (n - rn) * mean) / sd / (n - rn) AS z2,
+                  rn
+           FROM cum WHERE rn < n),
          tt AS (
            SELECT dy, n, mean,
                   rn * z1 * z1 + (n - rn) * z2 * z2 AS tstat
@@ -8251,47 +8280,14 @@ object StatsOps {
         s"""CAST(floor((4.0 * ${k * k} * x * x - 1.0)
              * exp(-2.0 * ${k * k} * x * x) * 1e12 + 0.5) AS BIGINT)"""
       }.mkString(" + ")
-      s"""WITH daily AS (
-           SELECT date_trunc('day', o_orderdate) AS dy,
-                  CAST(COUNT(*) AS BIGINT) AS y
-           FROM orders GROUP BY 1),
-         st AS (
-           SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                  CAST(SUM(y) AS BIGINT) AS sy,
-                  CAST(SUM(y * y) AS BIGINT) AS syy
-           FROM daily),
-         st1 AS (
-           SELECT n, CAST(sy AS DOUBLE) / n AS mean,
-                  (CAST(syy AS DOUBLE)
-                   - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS vr
-           FROM st),
-         st2 AS (
-           SELECT n, mean,
-                  CASE WHEN vr > 0 THEN sqrt(vr) END AS sd
-           FROM st1),
-         cum AS (
-           SELECT dy,
-                  CAST(SUM(y) OVER (ORDER BY dy
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS cumy,
-                  CAST(row_number() OVER (ORDER BY dy) AS BIGINT) AS rn
-           FROM daily),
-         sk AS (
-           SELECT c.dy, c.rn, s.n, s.mean, s.sd,
-                  CAST(c.cumy AS DOUBLE) - c.rn * s.mean AS skv
-           FROM cum c CROSS JOIN st2 s),
-         ext AS (SELECT max(skv) AS smax, min(skv) AS smin FROM sk),
-         pick AS (
-           SELECT dy, n, mean, sd,
-                  row_number() OVER (ORDER BY
-                    CAST(floor(abs(skv) * 1e6 + 0.5) AS BIGINT) DESC,
-                    dy ASC) AS pk
-           FROM sk WHERE rn < n),
+      s"""WITH $dailyCumSql,
+         ext AS (SELECT max(skv) AS smax, min(skv) AS smin FROM cum),
+         $skPickSql,
          xx AS (
            SELECT p.dy, p.n, p.mean,
                   (e.smax - e.smin) / p.sd
                     / sqrt(CAST(p.n AS DOUBLE)) AS x
-           FROM pick p CROSS JOIN ext e WHERE p.pk = 1),
+           FROM skpick p CROSS JOIN ext e),
          pp AS (
            SELECT dy, n, mean, x,
                   CASE WHEN x < 0.3 THEN 1.0
@@ -8428,10 +8424,11 @@ object StatsOps {
          tot2 AS (
            SELECT k, nt,
                   CAST(sat AS DOUBLE) / 1e9 / nt AS abar,
+                  CASE WHEN nt > 1 THEN
                   (CAST(saat AS DOUBLE) / 1e18
                     - nt * (CAST(sat AS DOUBLE) / 1e9 / nt)
                       * (CAST(sat AS DOUBLE) / 1e9 / nt)) / (nt - 1)
-                    AS vv
+                    END AS vv
            FROM tot),
          terms AS (
            SELECT t.k, t.nt, t.vv,
@@ -8440,12 +8437,15 @@ object StatsOps {
                       * (CAST(g.sa AS DOUBLE) / 1e9 / g.ng - t.abar)
                       * 1e6 + 0.5) AS HUGEINT)) AS qsum
            FROM gsum g CROSS JOIN tot2 t
-           GROUP BY 1, 2, 3)
+           GROUP BY 1, 2, 3),
+         fin AS (
+           SELECT k, nt, CASE WHEN vv > 0
+             THEN (CAST(qsum AS DOUBLE) / 1e6) / vv END AS fk
+           FROM terms)
          SELECT k AS n_groups, nt AS n_obs,
-                floor((CAST(qsum AS DOUBLE) / 1e6) / vv * 1e4 + 0.5)
-                  / 1e4 AS fk_stat,
-                (CAST(qsum AS DOUBLE) / 1e6) / vv > 9.488 AS reject_05
-         FROM terms""".stripMargin
+                floor(fk * 1e4 + 0.5) / 1e4 AS fk_stat,
+                fk > 9.488 AS reject_05
+         FROM fin""".stripMargin
     },
 
     "x_cramers_v" ->
@@ -8479,21 +8479,24 @@ object StatsOps {
            FROM grid g CROSS JOIN shape s),
          fin2 AS (
            SELECT n, rr, kk, df, chi2,
-                  sqrt(chi2 / (n * (least(rr, kk) - 1))) AS v,
-                  greatest(0.0, chi2 / n
+                  CASE WHEN least(rr, kk) > 1
+                    THEN sqrt(chi2 / (n * (least(rr, kk) - 1))) END AS v,
+                  CASE WHEN n > 1 THEN greatest(0.0, chi2 / n
                     - CAST(rr - 1 AS DOUBLE) * (kk - 1) / (n - 1))
-                    AS phi2c,
-                  CAST(rr AS DOUBLE)
-                    - CAST(rr - 1 AS DOUBLE) * (rr - 1) / (n - 1) AS rc,
-                  CAST(kk AS DOUBLE)
-                    - CAST(kk - 1 AS DOUBLE) * (kk - 1) / (n - 1) AS kc
+                    END AS phi2c,
+                  CASE WHEN n > 1 THEN CAST(rr AS DOUBLE)
+                    - CAST(rr - 1 AS DOUBLE) * (rr - 1) / (n - 1)
+                    END AS rc,
+                  CASE WHEN n > 1 THEN CAST(kk AS DOUBLE)
+                    - CAST(kk - 1 AS DOUBLE) * (kk - 1) / (n - 1)
+                    END AS kc
            FROM fin)
          SELECT n AS n_obs, rr AS n_rows, kk AS n_cols, df,
                 floor(chi2 * 1e4 + 0.5) / 1e4 AS chi2,
-                floor(sqrt(chi2 / (n * (least(rr, kk) - 1))) * 1e6 + 0.5)
-                  / 1e6 AS cramers_v,
-                floor(sqrt(phi2c / least(rc - 1, kc - 1)) * 1e6 + 0.5)
-                  / 1e6 AS cramers_v_corrected,
+                floor(v * 1e6 + 0.5) / 1e6 AS cramers_v,
+                floor(CASE WHEN least(rc - 1, kc - 1) > 0
+                    THEN sqrt(phi2c / least(rc - 1, kc - 1)) END
+                  * 1e6 + 0.5) / 1e6 AS cramers_v_corrected,
                 CASE WHEN df = 8 THEN chi2 > 15.507 END AS dependent_05
          FROM fin2""",
 
@@ -8576,14 +8579,16 @@ object StatsOps {
                     ELSE CAST(0 AS HUGEINT) END) AS qnum,
                   SUM(CAST(floor(e * e * 1e6 + 0.5) AS HUGEINT))
                     AS qden
-           FROM lagd GROUP BY 1, 2)
+           FROM lagd GROUP BY 1, 2),
+         fin AS (
+           SELECT n, b, CASE WHEN qden > 0
+             THEN CAST(qnum AS DOUBLE) / CAST(qden AS DOUBLE) END AS dw
+           FROM agg)
          SELECT n AS n_days,
                 floor(b * 1e6 + 0.5) / 1e6 AS trend_slope,
-                floor(CAST(qnum AS DOUBLE) / CAST(qden AS DOUBLE)
-                  * 1e4 + 0.5) / 1e4 AS dw_stat,
-                abs(CAST(qnum AS DOUBLE) / CAST(qden AS DOUBLE) - 2.0)
-                  > 0.5 AS autocorr_suspect
-         FROM agg""",
+                floor(dw * 1e4 + 0.5) / 1e4 AS dw_stat,
+                abs(dw - 2.0) > 0.5 AS autocorr_suspect
+         FROM fin""",
 
     "x_breusch_pagan" -> s"""
       WITH $dailyTrendSql,
@@ -8632,45 +8637,26 @@ object StatsOps {
             SUM(CASE WHEN $cond THEN CAST(y * y AS HUGEINT)
                 ELSE CAST(0 AS HUGEINT) END) AS syy$tag"""
       def ssrSql(tag: String) =
-        s"""(CAST(syy$tag AS DOUBLE)
+        s"""CASE WHEN (CAST(sxx$tag AS DOUBLE)
+                 - CAST(sx$tag AS DOUBLE) * sx$tag / m$tag) > 0 THEN
+            (CAST(syy$tag AS DOUBLE)
              - CAST(sy$tag AS DOUBLE) * sy$tag / m$tag)
             - (CAST(sxy$tag AS DOUBLE)
                - CAST(sx$tag AS DOUBLE) * sy$tag / m$tag)
               * (CAST(sxy$tag AS DOUBLE)
                  - CAST(sx$tag AS DOUBLE) * sy$tag / m$tag)
               / (CAST(sxx$tag AS DOUBLE)
-                 - CAST(sx$tag AS DOUBLE) * sx$tag / m$tag)"""
-      s"""WITH daily AS (
-           SELECT date_trunc('day', o_orderdate) AS day,
-                  CAST(COUNT(*) AS BIGINT) AS y
-           FROM orders GROUP BY 1),
-         st AS (
-           SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                  CAST(SUM(y) AS BIGINT) AS syt
-           FROM daily),
-         st1 AS (SELECT n, CAST(syt AS DOUBLE) / n AS mean FROM st),
-         rn0 AS (
-           SELECT d.day, d.y, s.n, s.mean,
-                  CAST(row_number() OVER (ORDER BY d.day) AS BIGINT)
-                    AS rn,
-                  CAST(CAST(SUM(d.y) OVER (ORDER BY d.day
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS DOUBLE) AS cumy
-           FROM daily d CROSS JOIN st1 s),
-         pick AS (
-           SELECT rn AS cutrn, day AS cutday FROM (
-             SELECT rn, day,
-                    row_number() OVER (ORDER BY
-                      CAST(floor(abs(cumy - rn * mean) * 1e6 + 0.5)
-                        AS BIGINT) DESC, day ASC) AS pk
-             FROM rn0 WHERE rn < n)
-           WHERE pk = 1),
+                 - CAST(sx$tag AS DOUBLE) * sx$tag / m$tag)
+            END"""
+      s"""WITH $dailyCumSql,
+         $skPickSql,
+         pick AS (SELECT rn AS cutrn, dy AS cutday FROM skpick),
          sums AS (
            SELECT r.n, p.cutday,
                   ${segSql("TRUE", "p")},
                   ${segSql("r.rn <= p.cutrn", "1")},
                   ${segSql("r.rn > p.cutrn", "2")}
-           FROM rn0 r CROSS JOIN pick p
+           FROM cum r CROSS JOIN pick p
            GROUP BY 1, 2),
          ssrs AS (
            SELECT n, cutday, m1, m2,
@@ -8680,7 +8666,7 @@ object StatsOps {
            FROM sums),
          fin AS (
            SELECT n, cutday, m1, m2, ssrp, ssr1, ssr2,
-                  CASE WHEN m1 > 2 AND m2 > 2
+                  CASE WHEN m1 > 2 AND m2 > 2 AND ssr1 + ssr2 > 0
                     THEN ((ssrp - ssr1 - ssr2) / 2.0)
                       / ((ssr1 + ssr2) / (n - 4)) END AS f
            FROM ssrs)
@@ -8736,9 +8722,13 @@ object StatsOps {
                   CAST(s.k * s.nb AS DOUBLE) * (s.k * s.nb + 1)
                     * (2 * s.k * s.nb + 1) / 6.0
                     - (CAST(b.si2 AS DOUBLE) / 4.0) / s.k AS den
-           FROM shape s CROSS JOIN tagg t CROSS JOIN bagg b)
+           FROM shape s CROSS JOIN tagg t CROSS JOIN bagg b),
+         fin2 AS (
+           SELECT nb, k,
+                  CASE WHEN den > 0 THEN num / den END AS tstat
+           FROM fin)
          SELECT nb AS n_blocks, k AS k_treatments,
-                floor(num / den * 1e4 + 0.5) / 1e4 AS t_stat,
-                num / den > 9.488 AS reject_05
-         FROM fin""")
+                floor(tstat * 1e4 + 0.5) / 1e4 AS t_stat,
+                tstat > 9.488 AS reject_05
+         FROM fin2""")
 }

@@ -835,12 +835,26 @@ object StreamingIngest {
     (buckets.length - 1).toLong
   }
 
-  /** (lastBatchId, type -> HqState); (-1, empty) when fresh. */
+  /** (lastBatchId, type -> HqState); (-1, empty) when fresh. Layout is
+    * checked BEFORE decode: the underflow counter was inserted at index
+    * 2 after the first release of this sink, so a state file written by
+    * the older [n, nulls, b0..] layout read blindly through the current
+    * [n, nulls, under, b0..] one would shift every bucket down by one
+    * (quantile edges silently off) until the next clamp-bucket fold
+    * throws out-of-bounds — exactly the crash/replay-resume path the
+    * sink contracts promise. The legacy length migrates (under = 0, the
+    * value the old layout implied); any other length fails loudly. */
   private[graft] def hqStates(statePath: String)
       : (Long, Map[String, HqState]) = {
     val (last, raw) = readLongVecState(statePath)
     (last, raw.map { case (t, v) =>
-      t -> HqState(v.head, v(1), v(2), v.drop(3).toVector)
+      if (v.length == 3 + HqBuckets)
+        t -> HqState(v.head, v(1), v(2), v.drop(3).toVector)
+      else if (v.length == 2 + HqBuckets)
+        t -> HqState(v.head, v(1), 0L, v.drop(2).toVector)
+      else sys.error(s"histogram-quantile state for type '$t' has " +
+        s"${v.length} longs; expected ${3 + HqBuckets} " +
+        s"(or legacy ${2 + HqBuckets})")
     })
   }
 

@@ -230,6 +230,11 @@ class PlanAuditSpec extends SparkSpec {
     // and both rank-sum passes)
     "x_durbin_watson", "x_breusch_pagan", "x_chow_test",
     "x_friedman_aligned",
+    // pre-seal review r19: x_snht_changepoint / x_buishand_range moved
+    // onto the shared dailyCum spine (the x_chow_test site) — same
+    // calendar-bounded pooled (day, y) checkpoint, re-read by the
+    // moment pass, the cumsum and the argmax pick
+    "x_snht_changepoint", "x_buishand_range",
     // x_kendalls_w checkpoints the O(months×k) complete-block cell
     // table (the x_friedman_test site, shared rationale)
     "x_kendalls_w",

@@ -1656,6 +1656,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("histogram-quantile state layout: a legacy [n, nulls, b0..] " +
+      "file (written before the underflow counter) migrates with " +
+      "under = 0 and unshifted buckets, resumes folding correctly, " +
+      "and a malformed length fails loudly instead of shifting") {
+    import spark.implicits._
+    val out = tmpDir("hqm-out")
+    val state = tmpDir("hqm-state") + "/_hq.json"
+    // hand-write the pre-underflow 514-long layout: n = 3, nulls = 1,
+    // buckets = [2, 0, 1, 0, ..., 0] (two in bucket 0, one in bucket 2)
+    val legacyBuckets = 2L +: 0L +: 1L +: Seq.fill(509)(0L)
+    val legacyVec = (3L +: 1L +: legacyBuckets).mkString(", ")
+    java.nio.file.Files.write(java.nio.file.Paths.get(state),
+      s"""{"lastBatch": 0, "types": [{"t": "a", "v": [$legacyVec]}]}"""
+        .getBytes("UTF-8"))
+    val (last, st) = StreamingIngest.hqStates(state)
+    assert(last == 0L)
+    val a = st("a")
+    assert(a.n == 3L && a.nulls == 1L && a.under == 0L,
+      "legacy layout must decode with under = 0, not eat bucket 0")
+    assert(a.buckets.length == 512)
+    assert(a.buckets(0) == 2L && a.buckets(2) == 1L,
+      "buckets must not shift down by one on a legacy read")
+    // resuming on the migrated state folds and round-trips the NEW
+    // layout — including a clamp-bucket fold, the index that would
+    // have thrown out-of-bounds on a blind shifted read
+    StreamingIngest.hqBatch(spark, out, state,
+      Seq(("a", 2.25), ("a", -1.0), ("a", 99999.0))
+        .toDF("event_type", "value"), batchId = 1L)
+    val resumed = StreamingIngest.hqStates(state)._2("a")
+    assert(resumed.n == 5L && resumed.nulls == 1L && resumed.under == 1L)
+    assert(resumed.buckets(2) == 2L && resumed.buckets(511) == 1L)
+    // any other vector length is a loud failure, never a silent shift
+    java.nio.file.Files.write(java.nio.file.Paths.get(state),
+      """{"lastBatch": 0, "types": [{"t": "a", "v": [1, 2, 3]}]}"""
+        .getBytes("UTF-8"))
+    val ex = intercept[RuntimeException] { StreamingIngest.hqStates(state) }
+    assert(ex.getMessage.contains("histogram-quantile state"))
+  }
+
   test("streaming HLL cardinality sink: registers equal an exact " +
       "md5-path replay, estimates land inside 3 standard errors of " +
       "the true distinct counts in BOTH regimes (linear counting and " +
