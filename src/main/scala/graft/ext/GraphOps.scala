@@ -959,7 +959,7 @@ object GraphOps {
     },
 
     "x_cooccurrence_recs" ->
-      """WITH ew AS MATERIALIZED (
+      s"""WITH ew AS MATERIALIZED (
            SELECT c, sp, COUNT(*) AS ow
            FROM (SELECT DISTINCT l.l_orderkey AS ok,
                         CAST(o.o_custkey AS BIGINT) AS c,
@@ -973,7 +973,7 @@ object GraphOps {
              SELECT c, sp, row_number() OVER (PARTITION BY sp
                ORDER BY ow DESC, c) AS rn
              FROM ew)
-           WHERE rn <= 64),
+           WHERE rn <= $CoDegCap),
          pairs AS MATERIALIZED (
            SELECT a.c AS c1, b.c2, COUNT(*) AS w
            FROM e0 a JOIN cap b ON a.sp = b.sp AND a.c <> b.c2
@@ -989,7 +989,7 @@ object GraphOps {
            WHERE o.c IS NULL)
          SELECT c1 AS customer, CAST(rn AS BIGINT) AS rank,
                 cand AS supplier, score,
-                CAST(64 AS BIGINT) AS deg_cap
+                CAST($CoDegCap AS BIGINT) AS deg_cap
          FROM (SELECT c1, cand, score,
                       row_number() OVER (PARTITION BY c1
                         ORDER BY score DESC, cand) AS rn
@@ -998,7 +998,7 @@ object GraphOps {
          ORDER BY customer, rank""",
 
     "x_recs_holdout_eval" ->
-      """WITH base AS MATERIALIZED (
+      s"""WITH base AS MATERIALIZED (
            SELECT DISTINCT l.l_orderkey AS ok,
                   CAST(o.o_custkey AS BIGINT) AS c,
                   CAST(l.l_suppkey AS BIGINT) AS sp,
@@ -1015,7 +1015,7 @@ object GraphOps {
              SELECT c, sp, row_number() OVER (PARTITION BY sp
                ORDER BY ow DESC, c) AS rn
              FROM trainw)
-           WHERE rn <= 64),
+           WHERE rn <= $CoDegCap),
          targets AS MATERIALIZED (
            SELECT c FROM (SELECT DISTINCT c FROM train)
            WHERE c < 200 AND c IN (SELECT DISTINCT c FROM test)),
@@ -1062,7 +1062,7 @@ object GraphOps {
                      ELSE floor(CAST(n_hit_targets AS DOUBLE) / n_with_new
                           * 1e6 + 0.5) / 1e6
                 END AS hit_rate,
-                CAST(64 AS BIGINT) AS deg_cap
+                CAST($CoDegCap AS BIGINT) AS deg_cap
          FROM agg""",
 
     "x_degree_histogram" -> {

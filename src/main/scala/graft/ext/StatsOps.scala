@@ -4703,8 +4703,13 @@ object StatsOps {
           .otherwise(lit(0.0))
       }.reduce(_ + _)
       agg
-        .withColumn("s2lr",
-          col("g0").cast("double") / 1e6 / col("n") + lrTerms)
+        // q > QMax would silently truncate the Bartlett kernel at lag
+        // QMax (unreachable below n ≈ 8100 days, but the no-silent-caps
+        // rule applies to exports, not just reachable ones — r19
+        // advice): gate s2lr on the same q ≤ QMax arm as eta so BOTH
+        // exported statistics go NULL together when the ladder is short.
+        .withColumn("s2lr", when(col("q") <= QMax,
+          col("g0").cast("double") / 1e6 / col("n") + lrTerms))
         .withColumn("eta", when(col("q") <= QMax && col("s2lr") > 0,
           (col("ss2").cast("double") / 1e6)
             / (col("n").cast("double") * col("n") * col("s2lr"))))
@@ -8357,7 +8362,9 @@ object StatsOps {
            GROUP BY 1, 2),
          lr AS (
            SELECT n, q,
-                  CAST(g0 AS DOUBLE) / 1e6 / n + $lrTerms AS s2lr,
+                  CASE WHEN q <= $QMax
+                    THEN CAST(g0 AS DOUBLE) / 1e6 / n + $lrTerms
+                  END AS s2lr,
                   CAST(ss2 AS DOUBLE) / 1e6 AS ssd
            FROM agg),
          fin AS (

@@ -858,6 +858,33 @@ object StreamingIngest {
     })
   }
 
+  /** Output-side layout guard, mirroring the state-side migration in
+    * [[hqStates]] (r19 advice #1): the verdict schema changed when the
+    * underflow counter shipped (n_underflow inserted, quantiles now
+    * nullable), and a stream resumed against a pre-change outPath would
+    * append new-schema parquet into an old-schema directory — a plain
+    * spark.read.parquet then resolves ONE footer and silently drops or
+    * nulls columns unless mergeSchema is set. State files migrate in
+    * place (a counter the old layout implied as 0); the OUTPUT table
+    * cannot (its old rows genuinely lack the column), so the contract
+    * is fail-loudly: resume against a fresh outPath or backfill the
+    * old table first. Checked once per append, a driver-side footer
+    * read of the bounded verdict table. */
+  private def hqRequireOutLayout(spark: SparkSession,
+      outPath: String): Unit = {
+    val dir = new java.io.File(outPath)
+    val hasParquet = dir.exists() && {
+      val fs = dir.listFiles()
+      fs != null && fs.exists(_.getName.endsWith(".parquet"))
+    }
+    if (hasParquet &&
+      !spark.read.parquet(outPath).schema.fieldNames.contains("n_underflow"))
+      sys.error(s"histogram-quantile verdict table at $outPath has the " +
+        "pre-underflow-counter layout (no n_underflow column); appending " +
+        "would mix schemas and a plain read silently drops columns — " +
+        "resume against a fresh outPath or migrate the old table")
+  }
+
   private def hqWriteState(statePath: String, batchId: Long,
       types: Map[String, HqState]): Unit =
     writeLongVecState(statePath, batchId, types.map { case (t, s) =>
@@ -893,6 +920,7 @@ object StreamingIngest {
           s.buckets.updated(b.toInt, s.buckets(b.toInt) + c)))
     }
     if (st1.nonEmpty) {
+      hqRequireOutLayout(spark, outPath)
       import spark.implicits._
       st1.toSeq.sortBy(_._1).map { case (tpe, s) =>
         def edge(p: Long): Double =
@@ -1089,9 +1117,14 @@ object StreamingIngest {
 
   /** KMV estimate off the sample: below k the sample IS the distinct
     * set (exact count); at k, (k−1)/h_(k) with the hash mapped to
-    * (0, 1] over the 60-bit span. */
+    * (0, 1] over the 60-bit span. h_(k) = 0 (a full sample whose k-th
+    * smallest 60-bit hash is exactly zero — ~2^−60 per user, but the
+    * family guards EVERY denominator) falls back to the sample length,
+    * the same degraded-but-finite reading the below-k branch gives
+    * (r19 advice #2). */
   private[graft] def mkEstimate(sample: Vector[(Long, Long)]): Double =
-    if (sample.length < MkK) sample.length.toDouble
+    if (sample.length < MkK || sample.last._1 == 0L)
+      sample.length.toDouble
     else (MkK - 1).toDouble / (sample.last._1.toDouble / MkHashSpan)
 
   /** (lastBatchId, type -> MkState); vector layout n, nulls, then the

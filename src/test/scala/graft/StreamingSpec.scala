@@ -1695,6 +1695,48 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("histogram-quantile state"))
   }
 
+  test("histogram-quantile OUTPUT layout: appending onto a verdict " +
+      "table written before the underflow counter fails loudly (a " +
+      "plain read of a mixed-schema directory silently drops columns), " +
+      "while a current-layout table keeps appending") {
+    import spark.implicits._
+    val out = tmpDir("hqo-out")
+    val state = tmpDir("hqo-state") + "/_hq.json"
+    // hand-write a pre-underflow verdict table (no n_underflow column)
+    Seq((0L, "a", 3L, 0L, 1.0, 2.0, 3.0, 0L))
+      .toDF("batch_id", "event_type", "n_events", "n_null",
+        "p50_le", "p90_le", "p99_le", "n_overflow")
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    val ex = intercept[RuntimeException] {
+      StreamingIngest.hqBatch(spark, out, state,
+        Seq(("a", 1.25)).toDF("event_type", "value"), batchId = 0L)
+    }
+    assert(ex.getMessage.contains("n_underflow"),
+      "old-layout output must be rejected by name, not mixed into")
+    // the state must not have advanced past the refused append
+    assert(StreamingIngest.hqStates(state)._1 == -1L,
+      "a refused append must not consume the batch id")
+    // a current-layout table (or a fresh path) appends normally
+    val out2 = tmpDir("hqo-out2")
+    StreamingIngest.hqBatch(spark, out2, state,
+      Seq(("a", 1.25)).toDF("event_type", "value"), batchId = 0L)
+    StreamingIngest.hqBatch(spark, out2, state,
+      Seq(("a", 2.25)).toDF("event_type", "value"), batchId = 1L)
+    assert(spark.read.parquet(out2).count() == 2L)
+  }
+
+  test("min-k KMV estimate: a full sample whose k-th hash is exactly " +
+      "zero falls back to the sample length instead of dividing by " +
+      "zero (every-denominator-guarded discipline)") {
+    // k = 128 all-zero-hash pairs: degenerate by construction (the md5
+    // path makes this ~2^-60 per user, but the guard is uniform)
+    val zeroSample = (1L to 128L).map(u => (0L, u)).toVector
+    val est = StreamingIngest.mkEstimate(zeroSample)
+    assert(!est.isInfinite && !est.isNaN)
+    assert(est == 128.0, "fallback is the sample length, the same " +
+      "degraded-but-finite reading the below-k branch gives")
+  }
+
   test("streaming HLL cardinality sink: registers equal an exact " +
       "md5-path replay, estimates land inside 3 standard errors of " +
       "the true distinct counts in BOTH regimes (linear counting and " +
