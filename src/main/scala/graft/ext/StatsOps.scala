@@ -603,6 +603,124 @@ object StatsOps {
            FROM cum WHERE rn < n)
          WHERE pk = 1)"""
 
+  // ---- shared 3-regressor OLS solver (x_granger_causality /
+  // x_dickey_fuller — hoisted BEFORE the second copy existed, the
+  // dailyCum dedup-at-the-spine discipline applied proactively per the
+  // r19 backlog's shared-solver note): Cramer's rule on the 3×3 normal
+  // equations [[m,s1,s2],[s1,s11,s12],[s2,s12,s22]]·[a,b,c]ᵀ =
+  // [sy,s1y,s2y]ᵀ over EXACT sufficient sums. ------------------------------
+
+  /** (det, a, b, c) columns. det is the Gram determinant — 0 exactly
+    * when the regressors are collinear (a constant lagged series, a
+    * 1-row fit); a/b/c NULL-gate on det > 0 in both engines so the
+    * degenerate shape degrades to NULL, never a Spark-Inf/DuckDB-NULL
+    * divergence. The cofactor expansion order is spelled IDENTICALLY
+    * in [[cramer3Sql]] so both engines walk the same IEEE doubles. */
+  private def cramer3(m: Column, s1: Column, s2: Column, s11: Column,
+      s12: Column, s22: Column, sy: Column, s1y: Column, s2y: Column)
+      : (Column, Column, Column, Column) = {
+    val d = m * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val da = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val db = m * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val dc = m * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    (d, when(d > 0, da / d), when(d > 0, db / d), when(d > 0, dc / d))
+  }
+
+  /** DuckDB twin of [[cramer3]]: SQL expression texts (d, da, db, dc)
+    * over the given column-name operands — the caller selects them in
+    * one CTE and derives a = CASE WHEN d > 0 THEN da / d END etc. in
+    * the next (text-linear, the tQuantileSqlCtes lesson). */
+  private def cramer3Sql(m: String, s1: String, s2: String, s11: String,
+      s12: String, s22: String, sy: String, s1y: String, s2y: String)
+      : (String, String, String, String) = (
+    s"""$m * ($s11 * $s22 - $s12 * $s12)
+        - $s1 * ($s1 * $s22 - $s12 * $s2)
+        + $s2 * ($s1 * $s12 - $s11 * $s2)""",
+    s"""$sy * ($s11 * $s22 - $s12 * $s12)
+        - $s1 * ($s1y * $s22 - $s12 * $s2y)
+        + $s2 * ($s1y * $s12 - $s11 * $s2y)""",
+    s"""$m * ($s1y * $s22 - $s12 * $s2y)
+        - $sy * ($s1 * $s22 - $s12 * $s2)
+        + $s2 * ($s1 * $s2y - $s1y * $s2)""",
+    s"""$m * ($s11 * $s2y - $s1y * $s12)
+        - $s1 * ($s1 * $s2y - $s1y * $s2)
+        + $sy * ($s1 * $s12 - $s11 * $s2)""")
+
+  // ---- shared daily (count, revenue-in-millions) grain --------------------
+  // x_granger_causality needs BOTH pooled daily series on one row; the
+  // revenue normalization matches monthlyRevMil (exact DECIMAL sum,
+  // ONE division to millions — the shared 1e9 fixed-point terms stay
+  // inside BIGINT at any corpus size). Checkpointed: the grain is
+  // calendar-bounded (O(days)) while the groupBy below it scans the
+  // fact table once.
+  private def dailyCntRevMil(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        (sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double") / 1e6).as("revm"))
+      .localCheckpoint()
+
+  /** DuckDB twin of [[dailyCntRevMil]]: one CTE, dcr(day, cnt, revm). */
+  private val dailyCntRevMilSql: String =
+    """dcr AS MATERIALIZED (
+         SELECT date_trunc('day', o_orderdate) AS day,
+                CAST(COUNT(*) AS BIGINT) AS cnt,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                  AS DOUBLE) / 1e6 AS revm
+         FROM orders GROUP BY 1)"""
+
+  // ---- forward normal CDF (x_anderson_darling) -----------------------------
+  // Abramowitz–Stegun 7.1.26 rational erf approximation (|ε| < 1.5e-7
+  // — three orders under the 1e6 per-term quantizer; drift vs exact
+  // erf pinned at 2.1e-6 on the fixture statistic, PERFORMANCE.md r20
+  // backlog) as the dual Column/SQL builder pattern of invNormCol:
+  // Anderson–Darling needs Φ itself, not Φ⁻¹, so the embed-a-literal
+  // trick cannot serve (z is data-decided per distinct value). Both
+  // engines spell the identical arithmetic; every constant is a lit17
+  // round-trip literal.
+  private val AsP = 0.3275911
+  private val AsA = Seq(0.254829592, -0.284496736, 1.421413741,
+    -1.453152027, 1.061405429)
+  private val Sqrt2 = math.sqrt(2.0)
+
+  /** Φ(z) for a column-valued z (both tails via |x| + sign fold). */
+  private[ext] def phiAsCol(z: Column): Column = {
+    val ax = abs(z) / lit(Sqrt2)
+    val tt = lit(1.0) / (lit(1.0) + lit(AsP) * ax)
+    val poly = ((((lit(AsA(4)) * tt + lit(AsA(3))) * tt + lit(AsA(2)))
+      * tt + lit(AsA(1))) * tt + lit(AsA(0))) * tt
+    val erf = lit(1.0) - poly * exp(-(ax * ax))
+    when(z >= 0, lit(0.5) * (lit(1.0) + erf))
+      .otherwise(lit(0.5) * (lit(1.0) - erf))
+  }
+
+  private def phiAsSql(z: String): String = {
+    val l = graft.util.Num.lit17 _
+    val ax = s"(abs($z) / ${l(Sqrt2)})"
+    val tt = s"(1.0 / (1.0 + ${l(AsP)} * $ax))"
+    val poly = s"(((((${l(AsA(4))} * $tt + ${l(AsA(3))}) * $tt" +
+      s" + ${l(AsA(2))}) * $tt + ${l(AsA(1))}) * $tt + ${l(AsA(0))})" +
+      s" * $tt)"
+    val erf = s"(1.0 - $poly * exp(-($ax * $ax)))"
+    s"""CASE WHEN ($z) >= 0 THEN 0.5 * (1.0 + $erf)
+        ELSE 0.5 * (1.0 - $erf) END"""
+  }
+
+  // ---- Mincer–Zarnowitz calibration SES ladder -----------------------------
+  // α = 0.3 one-step SES as the lag-1..40 normalized weight ladder
+  // (w_i = α(1−α)^(i−1); w₄₀ ≈ 2.8e−7, the truncated-normalized EWMA
+  // convention of the EwmaAlpha ladder). Weights computed ONCE here,
+  // embedded in both engines via the brownNum/brownDen shared builders.
+  private val MzAlpha = 0.3
+  private def mzW(i: Int): Double = MzAlpha * math.pow(1.0 - MzAlpha, i - 1)
+  private def mzWLit(i: Int): String = graft.util.Num.lit17(mzW(i))
+  private def mzQW(i: Int): Long = math.floor(mzW(i) * 1e9 + 0.5).toLong
+
   // ---- complete-block machinery (pre-seal review r17: friedman /
   // page / cochran_q / kendalls_w briefly carried four copies of the
   // same block spine in BOTH engines; one builder + one CTE prefix
@@ -5142,6 +5260,401 @@ object StatsOps {
           detRound(col("tstat"), 4).as("t_stat"),
           // chi-square df = k−1 = 4 at the fixture's 5 priorities
           (col("tstat") > lit(9.488)).as("reject_05"))
+    }),
+
+    "x_granger_causality" -> ((s, d) => {
+      // Granger lag-1 causality (Econometrica 1969) BOTH WAYS between
+      // the pooled daily order-count and daily revenue series — the
+      // lead-lag question none of the single-series ops ask: does
+      // yesterday's revenue help predict today's count beyond count's
+      // own lag, and vice versa? Row-lag over the day sequence (the
+      // fixture's 6 calendar gaps lag across — the DW/Ljung-Box family
+      // convention, documented there). Restricted (own lag) vs
+      // unrestricted (own + other's lag) OLS, both closed-form: the
+      // 2-var fit from its textbook sums, the 3-var fit via the shared
+      // cramer3 solver on sufficient sums (count products exact
+      // integers, revenue products 1e9-quantized per term before
+      // DECIMAL folds). SSRs are a second conditional pass over the
+      // checkpointed O(days) grain with the coefficient row broadcast;
+      // F = (SSR_r − SSR_u)/(SSR_u/(n−3)) vs the asymptotic
+      // F(1, ∞) = χ²(1)/1 = 3.841. Fixture verdict: honest nulls BOTH
+      // directions (F = 0.3306 / 0.0761, the committed prototype
+      // pins) — the two series share days but not dynamics.
+      val wD = Window.orderBy("day")
+      val lagged = dailyCntRevMil(s, d)
+        .withColumn("cl", lag(col("cnt"), 1).over(wD))
+        .withColumn("rl", lag(col("revm"), 1).over(wD))
+        .filter(col("cl").isNotNull)
+      def q9(c: Column) = floor(c * 1e9 + 0.5).cast("decimal(38,0)")
+      val sums = lagged.agg(
+        count(lit(1)).cast("long").as("m"),
+        sum(col("cl")).cast("long").as("scl"),
+        sum(q9(col("rl"))).as("srlq"),
+        sum(col("cl") * col("cl")).cast("long").as("sclcl"),
+        sum(q9(col("rl") * col("rl"))).as("srlrlq"),
+        sum(q9(col("cl") * col("rl"))).as("sclrlq"),
+        sum(col("cnt")).cast("long").as("sc"),
+        sum(q9(col("revm"))).as("srq"),
+        sum(col("cnt") * col("cl")).cast("long").as("sccl"),
+        sum(q9(col("cnt") * col("rl"))).as("scrlq"),
+        sum(q9(col("revm") * col("cl"))).as("srclq"),
+        sum(q9(col("revm") * col("rl"))).as("srrlq"))
+      val md = col("m").cast("double")
+      def dq(n: String) = col(n).cast("double") / 1e9
+      def ld(n: String) = col(n).cast("double")
+      // direction count→revenue: y = revm, x1 = own lag rl, x2 = cl
+      val (_, aR, bR, cR) = cramer3(md, dq("srlq"), ld("scl"),
+        dq("srlrlq"), dq("sclrlq"), ld("sclcl"),
+        dq("srq"), dq("srrlq"), dq("srclq"))
+      // direction revenue→count: y = cnt, x1 = own lag cl, x2 = rl
+      val (_, aC, bC, cC) = cramer3(md, ld("scl"), dq("srlq"),
+        ld("sclcl"), dq("sclrlq"), dq("srlrlq"),
+        ld("sc"), ld("sccl"), dq("scrlq"))
+      val coefs = sums
+        .withColumn("a_rev", aR).withColumn("b_rev", bR)
+        .withColumn("c_rev", cR)
+        .withColumn("a_cnt", aC).withColumn("b_cnt", bC)
+        .withColumn("c_cnt", cC)
+        .withColumn("denr", md * dq("srlrlq") - dq("srlq") * dq("srlq"))
+        .withColumn("denc", md * ld("sclcl") - ld("scl") * ld("scl"))
+        .withColumn("br_rev", when(col("denr") > 0,
+          (md * dq("srrlq") - dq("srlq") * dq("srq")) / col("denr")))
+        .withColumn("br_cnt", when(col("denc") > 0,
+          (md * ld("sccl") - ld("scl") * ld("sc")) / col("denc")))
+        .withColumn("ar_rev",
+          (dq("srq") - col("br_rev") * dq("srlq")) / md)
+        .withColumn("ar_cnt",
+          (ld("sc") - col("br_cnt") * ld("scl")) / md)
+      val ssr = lagged
+        .crossJoin(broadcast(coefs.select("m", "a_rev", "b_rev", "c_rev",
+          "a_cnt", "b_cnt", "c_cnt", "ar_rev", "br_rev", "ar_cnt",
+          "br_cnt")))
+        .withColumn("eur", col("revm") - col("a_rev")
+          - col("b_rev") * col("rl") - col("c_rev") * col("cl"))
+        .withColumn("err", col("revm") - col("ar_rev")
+          - col("br_rev") * col("rl"))
+        .withColumn("euc", col("cnt") - col("a_cnt")
+          - col("b_cnt") * col("cl") - col("c_cnt") * col("rl"))
+        .withColumn("erc", col("cnt") - col("ar_cnt")
+          - col("br_cnt") * col("cl"))
+        .groupBy("m", "b_rev", "c_rev", "b_cnt", "c_cnt")
+        .agg(sum(q9(col("eur") * col("eur"))).as("ssruqr"),
+          sum(q9(col("err") * col("err"))).as("ssrrqr"),
+          sum(q9(col("euc") * col("euc"))).as("ssruqc"),
+          sum(q9(col("erc") * col("erc"))).as("ssrrqc"))
+      val fin = ssr
+        .withColumn("ssrur", col("ssruqr").cast("double") / 1e9)
+        .withColumn("ssrrr", col("ssrrqr").cast("double") / 1e9)
+        .withColumn("ssruc", col("ssruqc").cast("double") / 1e9)
+        .withColumn("ssrrc", col("ssrrqc").cast("double") / 1e9)
+        .withColumn("f_rev", when(col("ssrur") > 0 && col("m") > 3,
+          (col("ssrrr") - col("ssrur"))
+            / (col("ssrur") / (col("m").cast("double") - 3))))
+        .withColumn("f_cnt", when(col("ssruc") > 0 && col("m") > 3,
+          (col("ssrrc") - col("ssruc"))
+            / (col("ssruc") / (col("m").cast("double") - 3))))
+      def dir(name: String, ssrr: String, ssru: String, own: String,
+          cross: String, f: String) =
+        fin.select(lit(name).as("direction"),
+          col("m").as("n_scored"),
+          detRound(col(ssrr), 6).as("ssr_restricted"),
+          detRound(col(ssru), 6).as("ssr_unrestricted"),
+          detRound(col(own), 6).as("own_lag_b"),
+          detRound(col(cross), 6).as("cross_lag_b"),
+          detRound(col(f), 4).as("f_stat"),
+          (col(f) > lit(3.841)).as("causal_05"))
+      dir("count->revenue", "ssrrr", "ssrur", "b_rev", "c_rev", "f_rev")
+        .unionByName(
+          dir("revenue->count", "ssrrc", "ssruc", "b_cnt", "c_cnt",
+            "f_cnt"))
+        .orderBy("direction")
+    }),
+
+    "x_dickey_fuller" -> ((s, d) => {
+      // Dickey–Fuller unit-root test (JASA 1979; constant + trend at
+      // lag 0) on the pooled daily order-count series: Δy_t = a + b·t
+      // + γ·y_{t−1} + ε, τ = γ̂/se(γ̂) vs the asymptotic trend-spec
+      // critical values −3.96 / −3.41 (1% / 5%). The confirmatory
+      // complement of x_kpss_test, whose own design comment flags the
+      // reversed burden of proof: KPSS's null is stationarity, DF's is
+      // a unit root — the fixture lands in the agreement quadrant
+      // (DF rejects the unit root AND KPSS fails to reject
+      // stationarity). Every sufficient sum is an EXACT integer
+      // (counts, row indices, their products); the 3×3 solve is the
+      // shared cramer3 on the dailyTrend spine's (day, y, rn) grain;
+      // se(γ) = √(s²·C₂₂/D) with C₂₂ = m·Σt² − (Σt)² the γ-cofactor
+      // and s² = SSR/(m−3) from a 1e9-quantized residual pass.
+      // Fixture pins (PERFORMANCE.md r20 backlog #7): γ = −1.009151,
+      // τ = −49.3857 — implied ρ = 1 + γ ≈ the lag-1 ACF, the
+      // internally consistent picture. O(days) after the fact groupBy.
+      val wD = Window.orderBy("day")
+      val (rn0, _) = dailyTrend(s, d)
+      val scored = rn0
+        .withColumn("yl", lag(col("y"), 1).over(wD))
+        .filter(col("yl").isNotNull)
+        .withColumn("dy", col("y") - col("yl"))
+      val sums = scored.agg(
+        count(lit(1)).cast("long").as("m"),
+        sum(col("rn")).cast("long").as("s1"),
+        sum(col("yl")).cast("long").as("s2"),
+        sum(col("rn") * col("rn")).cast("long").as("s11"),
+        sum((col("rn") * col("yl")).cast("decimal(38,0)")).as("s12"),
+        sum(col("yl") * col("yl")).cast("long").as("s22"),
+        sum(col("dy")).cast("long").as("sy"),
+        sum((col("rn") * col("dy")).cast("decimal(38,0)")).as("s1y"),
+        sum((col("yl") * col("dy")).cast("decimal(38,0)")).as("s2y"))
+      def cd(n: String) = col(n).cast("double")
+      val (dd, aa, bb, gg) = cramer3(cd("m"), cd("s1"), cd("s2"),
+        cd("s11"), cd("s12"), cd("s22"), cd("sy"), cd("s1y"), cd("s2y"))
+      val coefs = sums.withColumn("ddet", dd)
+        .withColumn("a", aa).withColumn("b", bb).withColumn("g", gg)
+        .withColumn("c22", cd("m") * cd("s11") - cd("s1") * cd("s1"))
+      val ssr = scored.crossJoin(broadcast(coefs))
+        .withColumn("e", col("dy").cast("double") - col("a")
+          - col("b") * col("rn") - col("g") * col("yl"))
+        .groupBy("m", "ddet", "a", "b", "g", "c22")
+        .agg(sum(floor(col("e") * col("e") * 1e9 + 0.5)
+          .cast("decimal(38,0)")).as("ssrq"))
+      ssr
+        .withColumn("ssr", col("ssrq").cast("double") / 1e9)
+        .withColumn("s2e", when(col("m") > 3,
+          col("ssr") / (col("m") - 3)))
+        .withColumn("vg", when(col("ddet") > 0,
+          col("s2e") * col("c22") / col("ddet")))
+        .withColumn("se", when(col("vg") > 0, sqrt(col("vg"))))
+        .withColumn("tau", when(col("se") > 0, col("g") / col("se")))
+        .select(col("m").as("n_scored"),
+          detRound(col("a"), 6).as("intercept"),
+          detRound(col("b"), 8).as("trend_b"),
+          detRound(col("g"), 6).as("gamma"),
+          detRound(col("se"), 6).as("se_gamma"),
+          detRound(col("tau"), 4).as("tau_stat"),
+          (col("tau") < lit(-3.41)).as("unit_root_rejected_05"),
+          (col("tau") < lit(-3.96)).as("unit_root_rejected_01"))
+    }),
+
+    "x_partial_autocorr" -> ((s, d) => {
+      // PACF at lags 1..5 on the pooled daily order-count series via
+      // the Durbin–Levinson recursion UNROLLED at fixed small lags —
+      // the recursion over ρ₁..ρ₅ is a closed form, so the five levels
+      // chain as plain projections (no iteration at query time).
+      // Beside x_autocorrelation (raw hourly ACF) and x_ar2_forecast
+      // (which IS the lag-2 solve): raw ACF conflates direct and
+      // inherited correlation, PACF isolates the direct lag-k effect —
+      // the AR-order identification tool. ρ off the dailyCum spine's
+      // exact-mean deviations, per-term 1e9-quantized products under
+      // DECIMAL folds; each level's division gates on its own
+      // prediction-variance denominator (NULL propagates through the
+      // later levels in both engines). The unrolled closed form was
+      // CONFIRMED against the direct recursion at the fixture pins
+      // (PERFORMANCE.md r20 backlog #2: φ₁₁..₅₅ all inside the
+      // ±1.96/√n white-noise band — consistent with DW = 2.0157).
+      // O(days) after the fact groupBy.
+      val wD = Window.orderBy("day")
+      val cum = dailyCum(s, d)
+        .withColumn("e", col("y").cast("double") - col("mean"))
+      def lagE(i: Int) = lag(col("e"), i).over(wD)
+      val lad = cum.select(
+        Seq(col("n"), col("e")) ++ (1 to 5).map(j =>
+          when(lagE(j).isNotNull,
+            floor(col("e") * lagE(j) * 1e9 + 0.5).cast("decimal(38,0)"))
+            .otherwise(lit(0).cast("decimal(38,0)")).as(s"t$j")): _*)
+      val agg = lad.groupBy(col("n"))
+        .agg(sum(floor(col("e") * col("e") * 1e9 + 0.5)
+          .cast("decimal(38,0)")).as("g0"),
+          (1 to 5).map(j => sum(col(s"t$j")).as(s"g$j")): _*)
+      def rho(j: Int) = when(col("g0") > 0,
+        col(s"g$j").cast("double") / col("g0").cast("double"))
+      val dl = agg
+        .withColumn("r1", rho(1)).withColumn("r2", rho(2))
+        .withColumn("r3", rho(3)).withColumn("r4", rho(4))
+        .withColumn("r5", rho(5))
+        .withColumn("p11", col("r1"))
+        .withColumn("v1", lit(1.0) - col("p11") * col("p11"))
+        .withColumn("p22", when(col("v1") > 0,
+          (col("r2") - col("p11") * col("r1")) / col("v1")))
+        .withColumn("p21", col("p11") - col("p22") * col("p11"))
+        .withColumn("v2",
+          col("v1") * (lit(1.0) - col("p22") * col("p22")))
+        .withColumn("p33", when(col("v2") > 0,
+          (col("r3") - (col("p21") * col("r2")
+            + col("p22") * col("r1"))) / col("v2")))
+        .withColumn("p31", col("p21") - col("p33") * col("p22"))
+        .withColumn("p32", col("p22") - col("p33") * col("p21"))
+        .withColumn("v3",
+          col("v2") * (lit(1.0) - col("p33") * col("p33")))
+        .withColumn("p44", when(col("v3") > 0,
+          (col("r4") - (col("p31") * col("r3")
+            + col("p32") * col("r2")
+            + col("p33") * col("r1"))) / col("v3")))
+        .withColumn("p41", col("p31") - col("p44") * col("p33"))
+        .withColumn("p42", col("p32") - col("p44") * col("p32"))
+        .withColumn("p43", col("p33") - col("p44") * col("p31"))
+        .withColumn("v4",
+          col("v3") * (lit(1.0) - col("p44") * col("p44")))
+        .withColumn("p55", when(col("v4") > 0,
+          (col("r5") - (col("p41") * col("r4")
+            + col("p42") * col("r3") + col("p43") * col("r2")
+            + col("p44") * col("r1"))) / col("v4")))
+        .withColumn("band", lit(1.96) / sqrt(col("n").cast("double")))
+      // one row per lag out of the single solved row — an explode of
+      // five structs keeps the plan single-branch (the SQL twin spells
+      // the same five rows as UNION ALL over its one-row CTE)
+      val rows = Seq(1 -> "p11", 2 -> "p22", 3 -> "p33", 4 -> "p44",
+        5 -> "p55").map { case (j, p) =>
+        struct(lit(j.toLong).as("lag"), col("n").as("n_days"),
+          detRound(col(s"r$j"), 6).as("acf"),
+          detRound(col(p), 6).as("pacf"),
+          detRound(col("band"), 6).as("wn_band"),
+          (abs(col(p)) > col("band")).as("outside_band"))
+      }
+      dl.select(explode(array(rows: _*)).as("s")).select("s.*")
+        .orderBy("lag")
+    }),
+
+    "x_mincer_zarnowitz" -> ((s, d) => {
+      // Mincer–Zarnowitz forecast-efficiency regression (1969):
+      // actuals on one-step forecasts, jointly testing (a, b) = (0, 1)
+      // via the SSR-restriction F — the CALIBRATION question the
+      // accuracy gauges (x_theil_u, x_mase) don't ask: a forecast can
+      // beat naive and still be systematically improvable. Scored on
+      // the monthly revenue series (where U₂ = 0.88 says the ladder
+      // earns its keep) against the α = 0.3 calibration SES as the
+      // lag-1..40 normalized weight ladder (the brownNum/brownDen
+      // shared builders, per-term 1e9 fixed point).
+      // F = ((SSR_r − SSR_u)/2)/(SSR_u/(n−2)) vs F(2, ∞) = 2.9957.
+      // Fixture verdict (the designed contrast, PERFORMANCE.md r20
+      // backlog #3, re-pinned against THIS ladder replay): F = 4.4683
+      // REJECTS with b < 0 — even where the ladder beats naive, the
+      // joint test finds it over-reacting to the stub-month dip.
+      // O(months) grain, one fact groupBy; the scored frame is
+      // checkpointed (calendar-bounded at any corpus size).
+      val wM = Window.orderBy("mth")
+      val scored = monthlyRevMil(s, d)
+        .withColumn("nq", brownNum(i => lag(col("r"), i).over(wM), mzW))
+        .withColumn("dq", brownDen(i => lag(col("r"), i).over(wM), mzQW))
+        .filter(col("dq") > 0)
+        .withColumn("f",
+          col("nq").cast("double") / col("dq").cast("double"))
+        .localCheckpoint()
+      def q9(c: Column) = floor(c * 1e9 + 0.5).cast("decimal(38,0)")
+      val sums = scored.agg(count(lit(1)).cast("long").as("m"),
+        sum(q9(col("f"))).as("sfq"),
+        sum(q9(col("f") * col("f"))).as("sffq"),
+        sum(q9(col("r"))).as("syq"),
+        sum(q9(col("f") * col("r"))).as("sfyq"))
+      val coefs = sums
+        .withColumn("md", col("m").cast("double"))
+        .withColumn("sfd", col("sfq").cast("double") / 1e9)
+        .withColumn("sffd", col("sffq").cast("double") / 1e9)
+        .withColumn("syd", col("syq").cast("double") / 1e9)
+        .withColumn("sfyd", col("sfyq").cast("double") / 1e9)
+        .withColumn("den",
+          col("md") * col("sffd") - col("sfd") * col("sfd"))
+        .withColumn("b", when(col("den") > 0,
+          (col("md") * col("sfyd") - col("sfd") * col("syd"))
+            / col("den")))
+        .withColumn("a",
+          (col("syd") - col("b") * col("sfd")) / col("md"))
+      val ssr = scored.crossJoin(broadcast(coefs.select("m", "a", "b")))
+        .withColumn("eu", col("r") - col("a") - col("b") * col("f"))
+        .withColumn("er", col("r") - col("f"))
+        .groupBy("m", "a", "b")
+        .agg(sum(q9(col("eu") * col("eu"))).as("ssruq"),
+          sum(q9(col("er") * col("er"))).as("ssrrq"))
+      ssr
+        .withColumn("ssru", col("ssruq").cast("double") / 1e9)
+        .withColumn("ssrr", col("ssrrq").cast("double") / 1e9)
+        .withColumn("fstat", when(col("ssru") > 0 && col("m") > 2,
+          ((col("ssrr") - col("ssru")) / 2.0)
+            / (col("ssru") / (col("m").cast("double") - 2))))
+        .select(col("m").as("n_scored"),
+          detRound(col("a"), 4).as("intercept"),
+          detRound(col("b"), 4).as("slope"),
+          detRound(col("ssrr"), 4).as("ssr_restricted"),
+          detRound(col("ssru"), 4).as("ssr_unrestricted"),
+          detRound(col("fstat"), 4).as("f_stat"),
+          (col("fstat") <= lit(2.9957)).as("efficient_05"))
+    }),
+
+    "x_anderson_darling" -> ((s, d) => {
+      // Anderson–Darling normality test (JASA 1954) on the daily
+      // order-count series, pooled AND per priority — the tail-
+      // weighted EDF member beside x_jarque_bera (moments) and
+      // x_tukey_fences (quantiles): A² = −n − Σ(2i−1)[ln Φ(z_(i)) +
+      // ln(1−Φ(z_(n+1−i)))]/n needs Φ at data-decided z, so the
+      // Abramowitz–Stegun 7.1.26 erf builder evaluates IN-ENGINE
+      // (drift vs exact erf 2.1e−6 on the fixture statistic — three
+      // orders under the 1e6 per-term quantizer; PERFORMANCE.md r20
+      // backlog #4). Tie order is FREE (tied values share Φ), so the
+      // rank sums collapse onto the VALUE HISTOGRAM: a run of c tied
+      // values after r smaller ones contributes c(2r+c)·ln Φ +
+      // c(2n−2r−c)·ln(1−Φ) — exact integer weights off the doubled-
+      // rank cumsum, O(scopes × distinct counts) rows after two fact
+      // passes (pooled + per-priority; the jarque_bera two-scan
+      // precedent). ln arguments are gated PER TERM and a bad-term
+      // count NULLs the statistic — a NULL term would silently vanish
+      // from SUM in both engines (the r18 NULL-in-sinks lesson).
+      // Small-sample factor A²* = A²(1 + 0.75/n + 2.25/n²) (Stephens
+      // 1974), verdict vs the 5% critical value 0.752. Fixture pins:
+      // pooled A² = 21.392367, per-priority 152..163 — the small-
+      // integer day counts are extremely discrete, normality honestly
+      // rejected everywhere, consistent with x_jarque_bera.
+      val pooled = t(s, d, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).cast("long").as("y"))
+        .select(lit("ALL").as("scope"), col("y"))
+      val byPr = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("scope"),
+          date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).cast("long").as("y"))
+        .select(col("scope"), col("y"))
+      val hist = pooled.unionByName(byPr)
+        .groupBy("scope", "y").agg(count(lit(1)).cast("long").as("c"))
+        .localCheckpoint()
+      val st = hist.groupBy("scope")
+        .agg(sum(col("c")).cast("long").as("n"),
+          sum(col("c") * col("y")).cast("long").as("sy"),
+          sum((col("c") * col("y") * col("y")).cast("decimal(38,0)"))
+            .as("syy"))
+        .withColumn("mean", col("sy").cast("double") / col("n"))
+        .withColumn("vr", when(col("n") > 1,
+          (col("syy").cast("double")
+            - col("sy").cast("double") * col("sy") / col("n"))
+            / (col("n") - 1)))
+        .withColumn("sd", when(col("vr") > 0, sqrt(col("vr"))))
+      val wS = Window.partitionBy("scope").orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = hist
+        .withColumn("r0", coalesce(sum(col("c")).over(wS), lit(0L)))
+        .join(broadcast(st.select("scope", "n", "mean", "sd")), "scope")
+        .withColumn("z", when(col("sd") > 0,
+          (col("y").cast("double") - col("mean")) / col("sd")))
+        .withColumn("phi", phiAsCol(col("z")))
+        .withColumn("w1", col("c") * (lit(2L) * col("r0") + col("c")))
+        .withColumn("w2", col("c") * (lit(2L) * col("n")
+          - lit(2L) * col("r0") - col("c")))
+        .withColumn("bad", when(col("z").isNull
+          || col("phi") <= 0 || col("phi") >= 1, 1L).otherwise(0L))
+        .withColumn("term", when(col("bad") === 0,
+          floor((col("w1").cast("double") * log(col("phi"))
+            + col("w2").cast("double") * log(lit(1.0) - col("phi")))
+            * 1e6 + 0.5).cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+      ranked.groupBy(col("scope"), col("n"), col("mean"), col("sd"))
+        .agg(sum(col("term")).as("sq"), sum(col("bad")).as("badc"))
+        .withColumn("a2", when(col("badc") === 0 && col("n") > 0,
+          -col("n").cast("double")
+            - col("sq").cast("double") / 1e6 / col("n")))
+        .withColumn("a2s", col("a2") * (lit(1.0) + lit(0.75) / col("n")
+          + lit(2.25) / (col("n").cast("double") * col("n"))))
+        .select(col("scope"), col("n").as("n_days"),
+          detRound(col("mean"), 4).as("mean_daily"),
+          detRound(col("sd"), 4).as("sd_daily"),
+          detRound(col("a2"), 6).as("a2_stat"),
+          detRound(col("a2s"), 6).as("a2_star"),
+          (col("a2s") <= lit(0.752)).as("normal_05"))
+        .orderBy("scope")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -8737,5 +9250,433 @@ object StatsOps {
          SELECT nb AS n_blocks, k AS k_treatments,
                 floor(tstat * 1e4 + 0.5) / 1e4 AS t_stat,
                 tstat > 9.488 AS reject_05
-         FROM fin2""")
+         FROM fin2""",
+
+    "x_granger_causality" -> {
+      // the two cramer3 instantiations mirror the engine's operand
+      // mapping exactly (direction rev: x1 = rl, x2 = cl; direction
+      // cnt: x1 = cl, x2 = rl)
+      val (dRev, daRev, dbRev, dcRev) = cramer3Sql("md", "srld", "scld",
+        "srlrld", "sclrld", "sclcld", "srd", "srrld", "srcld")
+      val (dCnt, daCnt, dbCnt, dcCnt) = cramer3Sql("md", "scld", "srld",
+        "sclcld", "sclrld", "srlrld", "scd", "sccld", "scrld")
+      s"""WITH $dailyCntRevMilSql,
+         lagged AS MATERIALIZED (
+           SELECT day, cnt, revm,
+                  lag(cnt, 1) OVER (ORDER BY day) AS cl,
+                  lag(revm, 1) OVER (ORDER BY day) AS rl
+           FROM dcr
+           QUALIFY cl IS NOT NULL),
+         sums AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                  CAST(SUM(cl) AS BIGINT) AS scl,
+                  SUM(CAST(floor(rl * 1e9 + 0.5) AS HUGEINT)) AS srlq,
+                  CAST(SUM(cl * cl) AS BIGINT) AS sclcl,
+                  SUM(CAST(floor(rl * rl * 1e9 + 0.5) AS HUGEINT))
+                    AS srlrlq,
+                  SUM(CAST(floor(cl * rl * 1e9 + 0.5) AS HUGEINT))
+                    AS sclrlq,
+                  CAST(SUM(cnt) AS BIGINT) AS sc,
+                  SUM(CAST(floor(revm * 1e9 + 0.5) AS HUGEINT)) AS srq,
+                  CAST(SUM(cnt * cl) AS BIGINT) AS sccl,
+                  SUM(CAST(floor(cnt * rl * 1e9 + 0.5) AS HUGEINT))
+                    AS scrlq,
+                  SUM(CAST(floor(revm * cl * 1e9 + 0.5) AS HUGEINT))
+                    AS srclq,
+                  SUM(CAST(floor(revm * rl * 1e9 + 0.5) AS HUGEINT))
+                    AS srrlq
+           FROM lagged),
+         dbls AS (
+           SELECT m, CAST(m AS DOUBLE) AS md,
+                  CAST(scl AS DOUBLE) AS scld,
+                  CAST(srlq AS DOUBLE) / 1e9 AS srld,
+                  CAST(sclcl AS DOUBLE) AS sclcld,
+                  CAST(srlrlq AS DOUBLE) / 1e9 AS srlrld,
+                  CAST(sclrlq AS DOUBLE) / 1e9 AS sclrld,
+                  CAST(sc AS DOUBLE) AS scd,
+                  CAST(srq AS DOUBLE) / 1e9 AS srd,
+                  CAST(sccl AS DOUBLE) AS sccld,
+                  CAST(scrlq AS DOUBLE) / 1e9 AS scrld,
+                  CAST(srclq AS DOUBLE) / 1e9 AS srcld,
+                  CAST(srrlq AS DOUBLE) / 1e9 AS srrld
+           FROM sums),
+         solve0 AS (
+           SELECT *,
+                  $dRev AS d_rev, $daRev AS da_rev,
+                  $dbRev AS db_rev, $dcRev AS dc_rev,
+                  $dCnt AS d_cnt, $daCnt AS da_cnt,
+                  $dbCnt AS db_cnt, $dcCnt AS dc_cnt
+           FROM dbls),
+         solve AS (
+           SELECT *,
+                  CASE WHEN d_rev > 0 THEN da_rev / d_rev END AS a_rev,
+                  CASE WHEN d_rev > 0 THEN db_rev / d_rev END AS b_rev,
+                  CASE WHEN d_rev > 0 THEN dc_rev / d_rev END AS c_rev,
+                  CASE WHEN d_cnt > 0 THEN da_cnt / d_cnt END AS a_cnt,
+                  CASE WHEN d_cnt > 0 THEN db_cnt / d_cnt END AS b_cnt,
+                  CASE WHEN d_cnt > 0 THEN dc_cnt / d_cnt END AS c_cnt,
+                  md * srlrld - srld * srld AS denr,
+                  md * sclcld - scld * scld AS denc
+           FROM solve0),
+         restr0 AS (
+           SELECT *,
+                  CASE WHEN denr > 0
+                    THEN (md * srrld - srld * srd) / denr END AS br_rev,
+                  CASE WHEN denc > 0
+                    THEN (md * sccld - scld * scd) / denc END AS br_cnt
+           FROM solve),
+         restr AS (
+           SELECT *, (srd - br_rev * srld) / md AS ar_rev,
+                  (scd - br_cnt * scld) / md AS ar_cnt
+           FROM restr0),
+         ssr AS (
+           SELECT r.m, r.b_rev, r.c_rev, r.b_cnt, r.c_cnt,
+                  SUM(CAST(floor((l.revm - r.a_rev - r.b_rev * l.rl
+                    - r.c_rev * l.cl) * (l.revm - r.a_rev
+                    - r.b_rev * l.rl - r.c_rev * l.cl) * 1e9 + 0.5)
+                    AS HUGEINT)) AS ssruqr,
+                  SUM(CAST(floor((l.revm - r.ar_rev - r.br_rev * l.rl)
+                    * (l.revm - r.ar_rev - r.br_rev * l.rl) * 1e9 + 0.5)
+                    AS HUGEINT)) AS ssrrqr,
+                  SUM(CAST(floor((l.cnt - r.a_cnt - r.b_cnt * l.cl
+                    - r.c_cnt * l.rl) * (l.cnt - r.a_cnt
+                    - r.b_cnt * l.cl - r.c_cnt * l.rl) * 1e9 + 0.5)
+                    AS HUGEINT)) AS ssruqc,
+                  SUM(CAST(floor((l.cnt - r.ar_cnt - r.br_cnt * l.cl)
+                    * (l.cnt - r.ar_cnt - r.br_cnt * l.cl) * 1e9 + 0.5)
+                    AS HUGEINT)) AS ssrrqc
+           FROM lagged l CROSS JOIN restr r
+           GROUP BY 1, 2, 3, 4, 5),
+         fin AS (
+           SELECT m, b_rev, c_rev, b_cnt, c_cnt,
+                  CAST(ssruqr AS DOUBLE) / 1e9 AS ssrur,
+                  CAST(ssrrqr AS DOUBLE) / 1e9 AS ssrrr,
+                  CAST(ssruqc AS DOUBLE) / 1e9 AS ssruc,
+                  CAST(ssrrqc AS DOUBLE) / 1e9 AS ssrrc
+           FROM ssr),
+         fin2 AS (
+           SELECT *,
+                  CASE WHEN ssrur > 0 AND m > 3
+                    THEN (ssrrr - ssrur)
+                      / (ssrur / (CAST(m AS DOUBLE) - 3)) END AS f_rev,
+                  CASE WHEN ssruc > 0 AND m > 3
+                    THEN (ssrrc - ssruc)
+                      / (ssruc / (CAST(m AS DOUBLE) - 3)) END AS f_cnt
+           FROM fin)
+         SELECT * FROM (
+           SELECT 'count->revenue' AS direction, m AS n_scored,
+                  floor(ssrrr * 1e6 + 0.5) / 1e6 AS ssr_restricted,
+                  floor(ssrur * 1e6 + 0.5) / 1e6 AS ssr_unrestricted,
+                  floor(b_rev * 1e6 + 0.5) / 1e6 AS own_lag_b,
+                  floor(c_rev * 1e6 + 0.5) / 1e6 AS cross_lag_b,
+                  floor(f_rev * 1e4 + 0.5) / 1e4 AS f_stat,
+                  f_rev > 3.841 AS causal_05
+           FROM fin2
+           UNION ALL
+           SELECT 'revenue->count' AS direction, m AS n_scored,
+                  floor(ssrrc * 1e6 + 0.5) / 1e6 AS ssr_restricted,
+                  floor(ssruc * 1e6 + 0.5) / 1e6 AS ssr_unrestricted,
+                  floor(b_cnt * 1e6 + 0.5) / 1e6 AS own_lag_b,
+                  floor(c_cnt * 1e6 + 0.5) / 1e6 AS cross_lag_b,
+                  floor(f_cnt * 1e4 + 0.5) / 1e4 AS f_stat,
+                  f_cnt > 3.841 AS causal_05
+           FROM fin2)
+         ORDER BY direction"""
+    },
+
+    "x_dickey_fuller" -> {
+      val (dD, daD, dbD, dcD) = cramer3Sql("md", "s1d", "s2d", "s11d",
+        "s12d", "s22d", "syd", "s1yd", "s2yd")
+      s"""WITH daily AS MATERIALIZED (
+           SELECT date_trunc('day', o_orderdate) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         rn0 AS MATERIALIZED (
+           SELECT day, y,
+                  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+           FROM daily),
+         scored AS MATERIALIZED (
+           SELECT day, y, rn,
+                  lag(y, 1) OVER (ORDER BY day) AS yl,
+                  y - lag(y, 1) OVER (ORDER BY day) AS dy
+           FROM rn0
+           QUALIFY yl IS NOT NULL),
+         sums AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                  CAST(SUM(rn) AS BIGINT) AS s1,
+                  CAST(SUM(yl) AS BIGINT) AS s2,
+                  CAST(SUM(rn * rn) AS BIGINT) AS s11,
+                  SUM(CAST(rn * yl AS HUGEINT)) AS s12,
+                  CAST(SUM(yl * yl) AS BIGINT) AS s22,
+                  CAST(SUM(dy) AS BIGINT) AS sy,
+                  SUM(CAST(rn * dy AS HUGEINT)) AS s1y,
+                  SUM(CAST(yl * dy AS HUGEINT)) AS s2y
+           FROM scored),
+         dbls AS (
+           SELECT m, CAST(m AS DOUBLE) AS md,
+                  CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+                  CAST(s11 AS DOUBLE) AS s11d,
+                  CAST(s12 AS DOUBLE) AS s12d,
+                  CAST(s22 AS DOUBLE) AS s22d,
+                  CAST(sy AS DOUBLE) AS syd,
+                  CAST(s1y AS DOUBLE) AS s1yd,
+                  CAST(s2y AS DOUBLE) AS s2yd
+           FROM sums),
+         solve0 AS (
+           SELECT *, $dD AS ddet, $daD AS da, $dbD AS db, $dcD AS dc
+           FROM dbls),
+         solve AS (
+           SELECT *,
+                  CASE WHEN ddet > 0 THEN da / ddet END AS a,
+                  CASE WHEN ddet > 0 THEN db / ddet END AS b,
+                  CASE WHEN ddet > 0 THEN dc / ddet END AS g,
+                  md * s11d - s1d * s1d AS c22
+           FROM solve0),
+         ssr AS (
+           SELECT r.m, r.ddet, r.a, r.b, r.g, r.c22,
+                  SUM(CAST(floor((CAST(l.dy AS DOUBLE) - r.a
+                    - r.b * l.rn - r.g * l.yl)
+                    * (CAST(l.dy AS DOUBLE) - r.a - r.b * l.rn
+                    - r.g * l.yl) * 1e9 + 0.5) AS HUGEINT)) AS ssrq
+           FROM scored l CROSS JOIN solve r
+           GROUP BY 1, 2, 3, 4, 5, 6),
+         fin0 AS (
+           SELECT m, ddet, a, b, g, c22,
+                  CAST(ssrq AS DOUBLE) / 1e9 AS ssr
+           FROM ssr),
+         fin1 AS (
+           SELECT *, CASE WHEN m > 3 THEN ssr / (m - 3) END AS s2e
+           FROM fin0),
+         fin2 AS (
+           SELECT *, CASE WHEN ddet > 0 THEN s2e * c22 / ddet END AS vg
+           FROM fin1),
+         fin3 AS (
+           SELECT *, CASE WHEN vg > 0 THEN sqrt(vg) END AS se
+           FROM fin2),
+         fin AS (
+           SELECT *, CASE WHEN se > 0 THEN g / se END AS tau
+           FROM fin3)
+         SELECT m AS n_scored,
+                floor(a * 1e6 + 0.5) / 1e6 AS intercept,
+                floor(b * 1e8 + 0.5) / 1e8 AS trend_b,
+                floor(g * 1e6 + 0.5) / 1e6 AS gamma,
+                floor(se * 1e6 + 0.5) / 1e6 AS se_gamma,
+                floor(tau * 1e4 + 0.5) / 1e4 AS tau_stat,
+                tau < -3.41 AS unit_root_rejected_05,
+                tau < -3.96 AS unit_root_rejected_01
+         FROM fin"""
+    },
+
+    "x_partial_autocorr" -> {
+      val lagTerms = (1 to 5).map { j =>
+        s"""CASE WHEN lag(e, $j) OVER win IS NOT NULL
+             THEN CAST(floor(e * lag(e, $j) OVER win * 1e9 + 0.5)
+                  AS HUGEINT)
+             ELSE CAST(0 AS HUGEINT) END AS t$j"""
+      }.mkString(",\n")
+      val gammas = (1 to 5).map(j => s"SUM(t$j) AS g$j").mkString(", ")
+      val rhos = (1 to 5).map(j =>
+        s"""CASE WHEN g0 > 0
+             THEN CAST(g$j AS DOUBLE) / CAST(g0 AS DOUBLE) END AS r$j""")
+        .mkString(",\n")
+      def lagRow(j: Int, p: String) =
+        s"""SELECT CAST($j AS BIGINT) AS lag, n AS n_days,
+               floor(r$j * 1e6 + 0.5) / 1e6 AS acf,
+               floor($p * 1e6 + 0.5) / 1e6 AS pacf,
+               floor(band * 1e6 + 0.5) / 1e6 AS wn_band,
+               abs($p) > band AS outside_band
+            FROM fin"""
+      s"""WITH $dailyCumSql,
+         dev AS (
+           SELECT dy, n, CAST(y AS DOUBLE) - mean AS e FROM cum),
+         lad AS (
+           SELECT n, e,
+                  $lagTerms
+           FROM dev
+           WINDOW win AS (ORDER BY dy)),
+         agg AS (
+           SELECT n,
+                  SUM(CAST(floor(e * e * 1e9 + 0.5) AS HUGEINT)) AS g0,
+                  $gammas
+           FROM lad GROUP BY 1),
+         rho AS (
+           SELECT n,
+                  $rhos
+           FROM agg),
+         l1 AS (SELECT *, r1 AS p11 FROM rho),
+         l1b AS (SELECT *, 1.0 - p11 * p11 AS v1 FROM l1),
+         l2 AS (SELECT *, CASE WHEN v1 > 0
+                  THEN (r2 - p11 * r1) / v1 END AS p22 FROM l1b),
+         l2b AS (SELECT *, p11 - p22 * p11 AS p21,
+                  v1 * (1.0 - p22 * p22) AS v2 FROM l2),
+         l3 AS (SELECT *, CASE WHEN v2 > 0
+                  THEN (r3 - (p21 * r2 + p22 * r1)) / v2 END AS p33
+                FROM l2b),
+         l3b AS (SELECT *, p21 - p33 * p22 AS p31,
+                  p22 - p33 * p21 AS p32,
+                  v2 * (1.0 - p33 * p33) AS v3 FROM l3),
+         l4 AS (SELECT *, CASE WHEN v3 > 0
+                  THEN (r4 - (p31 * r3 + p32 * r2 + p33 * r1)) / v3
+                  END AS p44 FROM l3b),
+         l4b AS (SELECT *, p31 - p44 * p33 AS p41,
+                  p32 - p44 * p32 AS p42, p33 - p44 * p31 AS p43,
+                  v3 * (1.0 - p44 * p44) AS v4 FROM l4),
+         l5 AS (SELECT *, CASE WHEN v4 > 0
+                  THEN (r5 - (p41 * r4 + p42 * r3 + p43 * r2
+                    + p44 * r1)) / v4 END AS p55 FROM l4b),
+         fin AS (SELECT *, 1.96 / sqrt(CAST(n AS DOUBLE)) AS band
+                 FROM l5)
+         SELECT * FROM (
+           ${lagRow(1, "p11")}
+           UNION ALL ${lagRow(2, "p22")}
+           UNION ALL ${lagRow(3, "p33")}
+           UNION ALL ${lagRow(4, "p44")}
+           UNION ALL ${lagRow(5, "p55")})
+         ORDER BY lag"""
+    },
+
+    "x_mincer_zarnowitz" -> s"""
+      WITH monthly AS MATERIALIZED ($monthlyRevMilSql),
+         lad AS (
+           SELECT mth, r,
+                  ${brownNumSql("r", mzWLit)} AS nq,
+                  ${brownDenSql("r", mzQW)} AS dq
+           FROM monthly
+           WINDOW win AS (ORDER BY mth)),
+         scored AS MATERIALIZED (
+           SELECT mth, r, CAST(nq AS DOUBLE) / CAST(dq AS DOUBLE) AS f
+           FROM lad WHERE dq > 0),
+         sums AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                  SUM(CAST(floor(f * 1e9 + 0.5) AS HUGEINT)) AS sfq,
+                  SUM(CAST(floor(f * f * 1e9 + 0.5) AS HUGEINT)) AS sffq,
+                  SUM(CAST(floor(r * 1e9 + 0.5) AS HUGEINT)) AS syq,
+                  SUM(CAST(floor(f * r * 1e9 + 0.5) AS HUGEINT)) AS sfyq
+           FROM scored),
+         dbls AS (
+           SELECT m, CAST(m AS DOUBLE) AS md,
+                  CAST(sfq AS DOUBLE) / 1e9 AS sfd,
+                  CAST(sffq AS DOUBLE) / 1e9 AS sffd,
+                  CAST(syq AS DOUBLE) / 1e9 AS syd,
+                  CAST(sfyq AS DOUBLE) / 1e9 AS sfyd
+           FROM sums),
+         coefs0 AS (
+           SELECT *, md * sffd - sfd * sfd AS den FROM dbls),
+         coefs1 AS (
+           SELECT *, CASE WHEN den > 0
+             THEN (md * sfyd - sfd * syd) / den END AS b
+           FROM coefs0),
+         coefs AS (
+           SELECT *, (syd - b * sfd) / md AS a FROM coefs1),
+         ssr AS (
+           SELECT c.m, c.a, c.b,
+                  SUM(CAST(floor((s.r - c.a - c.b * s.f)
+                    * (s.r - c.a - c.b * s.f) * 1e9 + 0.5) AS HUGEINT))
+                    AS ssruq,
+                  SUM(CAST(floor((s.r - s.f) * (s.r - s.f) * 1e9 + 0.5)
+                    AS HUGEINT)) AS ssrrq
+           FROM scored s CROSS JOIN coefs c
+           GROUP BY 1, 2, 3),
+         fin0 AS (
+           SELECT m, a, b,
+                  CAST(ssruq AS DOUBLE) / 1e9 AS ssru,
+                  CAST(ssrrq AS DOUBLE) / 1e9 AS ssrr
+           FROM ssr),
+         fin AS (
+           SELECT *, CASE WHEN ssru > 0 AND m > 2
+             THEN ((ssrr - ssru) / 2.0)
+               / (ssru / (CAST(m AS DOUBLE) - 2)) END AS fstat
+           FROM fin0)
+         SELECT m AS n_scored,
+                floor(a * 1e4 + 0.5) / 1e4 AS intercept,
+                floor(b * 1e4 + 0.5) / 1e4 AS slope,
+                floor(ssrr * 1e4 + 0.5) / 1e4 AS ssr_restricted,
+                floor(ssru * 1e4 + 0.5) / 1e4 AS ssr_unrestricted,
+                floor(fstat * 1e4 + 0.5) / 1e4 AS f_stat,
+                fstat <= 2.9957 AS efficient_05
+         FROM fin""",
+
+    "x_anderson_darling" -> {
+      val phiSql = phiAsSql("z")
+      s"""WITH pooledd AS (
+           SELECT date_trunc('day', o_orderdate) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         byprd AS (
+           SELECT o_orderpriority AS scope,
+                  date_trunc('day', o_orderdate) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS y
+           FROM orders GROUP BY 1, 2),
+         uni AS (
+           SELECT 'ALL' AS scope, y FROM pooledd
+           UNION ALL SELECT scope, y FROM byprd),
+         hist AS MATERIALIZED (
+           SELECT scope, y, CAST(COUNT(*) AS BIGINT) AS c
+           FROM uni GROUP BY 1, 2),
+         st0 AS (
+           SELECT scope, CAST(SUM(c) AS BIGINT) AS n,
+                  CAST(SUM(c * y) AS BIGINT) AS sy,
+                  SUM(CAST(c * y * y AS HUGEINT)) AS syy
+           FROM hist GROUP BY 1),
+         st1 AS (
+           SELECT scope, n, CAST(sy AS DOUBLE) / n AS mean,
+                  CASE WHEN n > 1 THEN (CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * sy / n) / (n - 1) END AS vr
+           FROM st0),
+         st AS (
+           SELECT scope, n, mean,
+                  CASE WHEN vr > 0 THEN sqrt(vr) END AS sd
+           FROM st1),
+         rk AS (
+           SELECT scope, y, c,
+                  COALESCE(CAST(SUM(c) OVER (PARTITION BY scope
+                    ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING) AS BIGINT), 0) AS r0
+           FROM hist),
+         zz AS (
+           SELECT r.scope, r.y, r.c, r.r0, s.n, s.mean, s.sd,
+                  CASE WHEN s.sd > 0
+                    THEN (CAST(r.y AS DOUBLE) - s.mean) / s.sd END AS z
+           FROM rk r JOIN st s USING (scope)),
+         ph AS (
+           SELECT *, $phiSql AS phi FROM zz),
+         tm AS (
+           SELECT scope, n, mean, sd, phi,
+                  CASE WHEN z IS NULL OR phi <= 0 OR phi >= 1
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+                  END AS bad,
+                  c * (2 * r0 + c) AS w1,
+                  c * (2 * n - 2 * r0 - c) AS w2
+           FROM ph),
+         tq AS (
+           SELECT scope, n, mean, sd, bad,
+                  CASE WHEN bad = 0
+                    THEN CAST(floor((CAST(w1 AS DOUBLE) * ln(phi)
+                      + CAST(w2 AS DOUBLE) * ln(1.0 - phi)) * 1e6 + 0.5)
+                      AS HUGEINT)
+                    ELSE CAST(0 AS HUGEINT) END AS term
+           FROM tm),
+         agg AS (
+           SELECT scope, n, mean, sd, SUM(term) AS sq,
+                  CAST(SUM(bad) AS BIGINT) AS badc
+           FROM tq GROUP BY 1, 2, 3, 4),
+         fin0 AS (
+           SELECT scope, n, mean, sd,
+                  CASE WHEN badc = 0 AND n > 0
+                    THEN -CAST(n AS DOUBLE)
+                      - CAST(sq AS DOUBLE) / 1e6 / n END AS a2
+           FROM agg),
+         fin AS (
+           SELECT scope, n, mean, sd, a2,
+                  a2 * (1.0 + 0.75 / n
+                    + 2.25 / (CAST(n AS DOUBLE) * n)) AS a2s
+           FROM fin0)
+         SELECT scope, n AS n_days,
+                floor(mean * 1e4 + 0.5) / 1e4 AS mean_daily,
+                floor(sd * 1e4 + 0.5) / 1e4 AS sd_daily,
+                floor(a2 * 1e6 + 0.5) / 1e6 AS a2_stat,
+                floor(a2s * 1e6 + 0.5) / 1e6 AS a2_star,
+                a2s <= 0.752 AS normal_05
+         FROM fin ORDER BY scope"""
+    })
 }

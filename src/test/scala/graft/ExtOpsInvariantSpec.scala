@@ -2155,4 +2155,267 @@ class ExtOpsInvariantSpec extends SparkSpec {
     assert(r.getAs[Boolean]("reject_05") ==
       (r.getAs[Double]("t_stat") > 9.488))
   }
+
+  /** Pooled daily (count, revenue-in-millions) pairs, day-ordered —
+    * the r20 Granger replay's grain. */
+  private def dailyCntRev(): Array[(Long, Double)] = {
+    import org.apache.spark.sql.functions._
+    graft.util.Tables.t(spark, sf, "orders")
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        (sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double") / 1e6).as("revm"))
+      .orderBy("day").collect()
+      .map(r => (r.getAs[Long]("cnt"), r.getAs[Double]("revm")))
+  }
+
+  /** Centered two-regressor OLS — deliberately NOT the engine's
+    * Cramer-on-raw-sums recipe: demean everything, solve the 2×2
+    * slope system, recover the intercept. Returns (a, b, c, ssr,
+    * s11c, s22c, s12c) with s**c the centered slope moments. */
+  private def ols2c(y: Array[Double], x1: Array[Double],
+      x2: Array[Double])
+      : (Double, Double, Double, Double, Double, Double, Double) = {
+    val m = y.length
+    val (my, m1, m2) = (y.sum / m, x1.sum / m, x2.sum / m)
+    def c1(i: Int) = x1(i) - m1
+    def c2(i: Int) = x2(i) - m2
+    val s11 = (0 until m).map(i => c1(i) * c1(i)).sum
+    val s22 = (0 until m).map(i => c2(i) * c2(i)).sum
+    val s12 = (0 until m).map(i => c1(i) * c2(i)).sum
+    val s1y = (0 until m).map(i => c1(i) * (y(i) - my)).sum
+    val s2y = (0 until m).map(i => c2(i) * (y(i) - my)).sum
+    val det = s11 * s22 - s12 * s12
+    val b = (s1y * s22 - s12 * s2y) / det
+    val c = (s11 * s2y - s1y * s12) / det
+    val a = my - b * m1 - c * m2
+    val ssr = (0 until m).map(i =>
+      math.pow(y(i) - a - b * x1(i) - c * x2(i), 2)).sum
+    (a, b, c, ssr, s11, s22, s12)
+  }
+
+  test("x_granger_causality: both directions' coefficients, SSRs and " +
+      "F match a centered-OLS replay (demean + 2x2 slope solve, not " +
+      "the engine's Cramer-on-raw-sums), and the restricted fit never " +
+      "beats the unrestricted one") {
+    val ser = dailyCntRev()
+    val n = ser.length
+    val cnt = ser.map(_._1.toDouble)
+    val rev = ser.map(_._2)
+    def fOf(y: Array[Double], own: Array[Double], oth: Array[Double])
+        : (Double, Double, Double, Double, Double) = {
+      val m = y.length
+      val (_, b, c, ssrU, _, _, _) = ols2c(y, own, oth)
+      // restricted: own lag only, textbook centered simple regression
+      val my = y.sum / m; val mo = own.sum / m
+      val soo = own.map(x => (x - mo) * (x - mo)).sum
+      val soy = own.zip(y).map { case (x, v) => (x - mo) * (v - my) }.sum
+      val bR = soy / soo; val aR = my - bR * mo
+      val ssrR = own.zip(y).map { case (x, v) =>
+        math.pow(v - aR - bR * x, 2) }.sum
+      (b, c, ssrR, ssrU, (ssrR - ssrU) / (ssrU / (m - 3)))
+    }
+    val (bRev, cRev, srR, suR, fRev) =
+      fOf(rev.drop(1), rev.dropRight(1), cnt.dropRight(1))
+    val (bCnt, cCnt, srC, suC, fCnt) =
+      fOf(cnt.drop(1), cnt.dropRight(1), rev.dropRight(1))
+    val rows = run("x_granger_causality").collect()
+      .map(r => r.getAs[String]("direction") -> r).toMap
+    val rv = rows("count->revenue"); val rc = rows("revenue->count")
+    assert(rv.getAs[Long]("n_scored") == (n - 1).toLong)
+    assert(math.abs(rv.getAs[Double]("own_lag_b") - bRev) < 1e-4)
+    assert(math.abs(rv.getAs[Double]("cross_lag_b") - cRev) < 1e-4)
+    assert(math.abs(rv.getAs[Double]("ssr_restricted") - srR) < 1e-2)
+    assert(math.abs(rv.getAs[Double]("ssr_unrestricted") - suR) < 1e-2)
+    assert(math.abs(rv.getAs[Double]("f_stat") - fRev) < 1e-2,
+      s"F(count->revenue) ${rv.getAs[Double]("f_stat")} vs brute $fRev")
+    assert(math.abs(rc.getAs[Double]("own_lag_b") - bCnt) < 1e-4)
+    assert(math.abs(rc.getAs[Double]("cross_lag_b") - cCnt) < 1e-4)
+    assert(math.abs(rc.getAs[Double]("f_stat") - fCnt) < 1e-2,
+      s"F(revenue->count) ${rc.getAs[Double]("f_stat")} vs brute $fCnt")
+    Seq(rv, rc).foreach { r =>
+      assert(r.getAs[Double]("ssr_unrestricted") <=
+        r.getAs[Double]("ssr_restricted") + 1e-6,
+        "adding a regressor can never raise the SSR")
+      assert(r.getAs[Boolean]("causal_05") ==
+        (r.getAs[Double]("f_stat") > 3.841))
+    }
+  }
+
+  test("x_dickey_fuller: gamma, its standard error and tau match a " +
+      "centered-OLS replay with the variance from the centered slope " +
+      "block inverse, and the implied rho is consistent with the " +
+      "lag-1 autocorrelation sign") {
+    val ys = pooledDaily().map(_._2.toDouble).toArray
+    val n = ys.length
+    val dy = (1 until n).map(i => ys(i) - ys(i - 1)).toArray
+    val tt = (2 to n).map(_.toDouble).toArray // t = rn of the scored row
+    val yl = ys.dropRight(1)
+    val (a, b, g, ssr, s11, s22, s12) = ols2c(dy, tt, yl)
+    val m = dy.length
+    val s2 = ssr / (m - 3)
+    // var(gamma) = s^2 * S11c / (S11c*S22c - S12c^2): the (2,2) entry
+    // of the centered slope-block inverse
+    val se = math.sqrt(s2 * s11 / (s11 * s22 - s12 * s12))
+    val tau = g / se
+    val r = run("x_dickey_fuller").collect().head
+    assert(r.getAs[Long]("n_scored") == m.toLong)
+    assert(math.abs(r.getAs[Double]("intercept") - a) < 1e-3)
+    assert(math.abs(r.getAs[Double]("trend_b") - b) < 1e-5)
+    assert(math.abs(r.getAs[Double]("gamma") - g) < 1e-4)
+    assert(math.abs(r.getAs[Double]("se_gamma") - se) < 1e-4)
+    assert(math.abs(r.getAs[Double]("tau_stat") - tau) < 1e-2,
+      s"tau ${r.getAs[Double]("tau_stat")} vs brute $tau")
+    assert(r.getAs[Boolean]("unit_root_rejected_05") == (tau < -3.41))
+    assert(r.getAs[Boolean]("unit_root_rejected_01") == (tau < -3.96))
+    // rho = 1 + gamma should carry the same sign structure as the
+    // lag-1 ACF of the series (both near 0 on a white-noise fixture)
+    val mu = ys.sum / n
+    val acf1 = (1 until n).map(i =>
+      (ys(i) - mu) * (ys(i - 1) - mu)).sum /
+      ys.map(y => (y - mu) * (y - mu)).sum
+    assert(math.abs((1.0 + r.getAs[Double]("gamma")) - acf1) < 0.05,
+      "implied rho tracks the lag-1 autocorrelation")
+  }
+
+  test("x_partial_autocorr: the unrolled closed form matches the " +
+      "direct Durbin-Levinson recursion run on a plain-double ACF " +
+      "replay, with pacf(1) = acf(1)") {
+    val ys = pooledDaily().map(_._2.toDouble).toArray
+    val n = ys.length
+    val mu = ys.sum / n
+    val e = ys.map(_ - mu)
+    val den = e.map(x => x * x).sum
+    val rho = (1 to 5).map(j =>
+      (j until n).map(t => e(t) * e(t - j)).sum / den).toArray
+    // direct recursion (the prototype's loop, not the engine's
+    // unrolled projection chain)
+    val phi = Array.ofDim[Double](6, 6)
+    phi(1)(1) = rho(0)
+    var v = 1 - rho(0) * rho(0)
+    val pacf = scala.collection.mutable.ArrayBuffer(rho(0))
+    for (k <- 2 to 5) {
+      val num = rho(k - 1) -
+        (1 until k).map(j => phi(k - 1)(j) * rho(k - 1 - j)).sum
+      val pk = num / v
+      phi(k)(k) = pk
+      for (j <- 1 until k)
+        phi(k)(j) = phi(k - 1)(j) - pk * phi(k - 1)(k - j)
+      v = v * (1 - pk * pk)
+      pacf += pk
+    }
+    val rows = run("x_partial_autocorr").collect()
+      .map(r => r.getAs[Long]("lag") -> r).toMap
+    assert(rows.size == 5)
+    (1 to 5).foreach { j =>
+      val r = rows(j.toLong)
+      assert(r.getAs[Long]("n_days") == n.toLong)
+      assert(math.abs(r.getAs[Double]("acf") - rho(j - 1)) < 1e-4,
+        s"acf($j) ${r.getAs[Double]("acf")} vs brute ${rho(j - 1)}")
+      assert(math.abs(r.getAs[Double]("pacf") - pacf(j - 1)) < 1e-4,
+        s"pacf($j) ${r.getAs[Double]("pacf")} vs brute ${pacf(j - 1)}")
+      assert(math.abs(r.getAs[Double]("wn_band")
+        - 1.96 / math.sqrt(n.toDouble)) < 1e-5)
+      assert(r.getAs[Boolean]("outside_band") ==
+        (math.abs(r.getAs[Double]("pacf")) >
+          r.getAs[Double]("wn_band")))
+    }
+    assert(rows(1L).getAs[Double]("acf") == rows(1L).getAs[Double]("pacf"),
+      "pacf at lag 1 IS the lag-1 autocorrelation")
+  }
+
+  test("x_mincer_zarnowitz: coefficients, SSRs and F match a plain-" +
+      "double replay (unquantized ladder, centered OLS), and the " +
+      "unrestricted fit never loses to the (0,1) line") {
+    import org.apache.spark.sql.functions._
+    val mrev = graft.util.Tables.t(spark, sf, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mth"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double") / 1e6).as("r"))
+      .orderBy("mth").collect().map(_.getDouble(1))
+    val nM = mrev.length
+    val w = (1 to 40).map(i => 0.3 * math.pow(0.7, i - 1))
+    val scored = (1 until nM).map { t =>
+      val lags = (1 to math.min(40, t))
+      val num = lags.map(i => w(i - 1) * mrev(t - i)).sum
+      val den = lags.map(i => w(i - 1)).sum
+      (mrev(t), num / den)
+    }
+    val y = scored.map(_._1).toArray
+    val f = scored.map(_._2).toArray
+    val m = y.length
+    val (my, mf) = (y.sum / m, f.sum / m)
+    val sff = f.map(x => (x - mf) * (x - mf)).sum
+    val sfy = f.zip(y).map { case (x, v) => (x - mf) * (v - my) }.sum
+    val b = sfy / sff; val a = my - b * mf
+    val ssrU = f.zip(y).map { case (x, v) =>
+      math.pow(v - a - b * x, 2) }.sum
+    val ssrR = f.zip(y).map { case (x, v) => math.pow(v - x, 2) }.sum
+    val fStat = ((ssrR - ssrU) / 2.0) / (ssrU / (m - 2))
+    val r = run("x_mincer_zarnowitz").collect().head
+    assert(r.getAs[Long]("n_scored") == m.toLong)
+    assert(math.abs(r.getAs[Double]("intercept") - a) < 1e-2)
+    assert(math.abs(r.getAs[Double]("slope") - b) < 1e-3)
+    assert(math.abs(r.getAs[Double]("ssr_restricted") - ssrR) < 0.1)
+    assert(math.abs(r.getAs[Double]("ssr_unrestricted") - ssrU) < 0.1)
+    assert(math.abs(r.getAs[Double]("f_stat") - fStat) < 1e-2,
+      s"F ${r.getAs[Double]("f_stat")} vs brute $fStat")
+    assert(r.getAs[Double]("ssr_unrestricted") <=
+      r.getAs[Double]("ssr_restricted") + 1e-6,
+      "the free fit can never lose to the restricted (0,1) line")
+    assert(r.getAs[Boolean]("efficient_05") ==
+      (r.getAs[Double]("f_stat") <= 2.9957))
+  }
+
+  /** High-accuracy Φ by Simpson integration of the normal density —
+    * an independent reference for the A-S 7.1.26 builder (≈1e-10 at
+    * the fixture's z range, far under the replay tolerances). */
+  private def phiRef(z: Double): Double = {
+    if (z < -12) return 0.0
+    if (z > 12) return 1.0
+    val lo = -12.0
+    val steps = 4000 // even
+    val h = (z - lo) / steps
+    def f(x: Double) = math.exp(-x * x / 2.0)
+    val s = f(lo) + f(z) +
+      (1 until steps).map(i =>
+        (if (i % 2 == 1) 4.0 else 2.0) * f(lo + i * h)).sum
+    s * h / 3.0 / math.sqrt(2.0 * math.Pi)
+  }
+
+  test("x_anderson_darling: every scope's statistic matches a per-" +
+      "element sorted replay against a numeric-integration normal " +
+      "CDF (not the engine's histogram identity or its A-S " +
+      "approximation), and the small-sample factor inflates A2") {
+    val byScope: Map[String, Array[Double]] =
+      dailyCounts().map { case (p, vs) =>
+        p -> vs.map(_._2.toDouble).toArray } ++
+        Map("ALL" -> pooledDaily().map(_._2.toDouble).toArray)
+    val rows = run("x_anderson_darling").collect()
+      .map(r => r.getAs[String]("scope") -> r).toMap
+    assert(rows.keySet == byScope.keySet)
+    byScope.foreach { case (scope, vs) =>
+      val n = vs.length
+      val mu = vs.sum / n
+      val sd = math.sqrt(vs.map(v => (v - mu) * (v - mu)).sum / (n - 1))
+      val zs = vs.map(v => (v - mu) / sd).sorted
+      val s = (1 to n).map { i =>
+        (2 * i - 1).toDouble * (math.log(phiRef(zs(i - 1)))
+          + math.log(1.0 - phiRef(zs(n - i))))
+      }.sum
+      val a2 = -n - s / n
+      val a2s = a2 * (1 + 0.75 / n + 2.25 / (n.toDouble * n))
+      val r = rows(scope)
+      assert(r.getAs[Long]("n_days") == n.toLong)
+      assert(math.abs(r.getAs[Double]("mean_daily") - mu) < 1e-3)
+      assert(math.abs(r.getAs[Double]("sd_daily") - sd) < 1e-3)
+      assert(math.abs(r.getAs[Double]("a2_stat") - a2) < 1e-2,
+        s"$scope A2 ${r.getAs[Double]("a2_stat")} vs brute $a2")
+      assert(math.abs(r.getAs[Double]("a2_star") - a2s) < 1e-2)
+      assert(r.getAs[Double]("a2_star") > r.getAs[Double]("a2_stat"),
+        "the small-sample factor inflates a positive A2")
+      assert(r.getAs[Boolean]("normal_05") ==
+        (r.getAs[Double]("a2_star") <= 0.752))
+    }
+  }
 }

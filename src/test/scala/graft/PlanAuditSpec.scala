@@ -243,6 +243,21 @@ class PlanAuditSpec extends SparkSpec {
     // O(brands × calendar days), read by the revenue, calendar and
     // weekly passes (was 4 lineitem scans, now 1)
     "x_abc_xyz",
+    // r20 additions, reviewed: x_granger_causality checkpoints the
+    // pooled (day, cnt, revm) grain (dailyCntRevMil — calendar-
+    // bounded, re-read by the sufficient-sum pass and the residual
+    // pass); x_dickey_fuller the dailyTrend pooled (day, y) table
+    // (the dw/bp site verbatim, re-read by the sum and residual
+    // passes); x_partial_autocorr the dailyCum pooled (day, y) table
+    // (the snht/buishand site — one lag-ladder projection over it);
+    // x_mincer_zarnowitz the O(months) scored ladder frame (re-read
+    // by the OLS sums and the SSR pass — checkpointing AFTER the
+    // 40-lag window so the serial window runs once); x_anderson_
+    // darling the (scope, daily-count-value) histogram — O(scopes ×
+    // distinct small-integer counts), re-read by the moment pass and
+    // the ranked term pass
+    "x_granger_causality", "x_dickey_fuller", "x_partial_autocorr",
+    "x_mincer_zarnowitz", "x_anderson_darling",
     // x_betweenness_sample checkpoints the per-round frontier/settled/
     // dependency tables — skinny (sid, node, long) rows, ≤ k·|V| with
     // k = 3 seeds (the x_bfs_distances BFS-ladder posture) — plus, r17,
