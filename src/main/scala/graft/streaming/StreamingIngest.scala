@@ -1218,6 +1218,196 @@ object StreamingIngest {
         mkBatch(spark, outPath, statePath, batch, batchId)
       }
 
+  // ---- streaming Bloom novelty sink (r20) ----------------------------------
+
+  // Per-type Bloom filter (Bloom, CACM 1970) of users seen so far; per
+  // trigger the sink emits the batch's NOVELTY RATE — the share of
+  // events from never-before-seen users — the drift signal a dedup
+  // pipeline watches (novelty collapsing toward 0 = a re-crawl loop;
+  // spiking = a new source came online). The monitor family's HLL
+  // answers "how many distinct users"; this sink answers "how much of
+  // the CURRENT batch is genuinely new". m = 2^16 bits per type,
+  // k = 4 probes via the Kirsch–Mitzenmacher construction (h1 + i·h2,
+  // ESA 2006) over the repo's engine-portable 60-bit md5 path split
+  // 30 + 30 — the r20 calibration prototype measured fill 0.1147 at
+  // n = 2k distinct users (formula 1 − e^(−kn/m) predicts 0.1150)
+  // with false-positive ≈ fill⁴ ≈ 2.0e−4, capacity ≈ 3.2k users at
+  // FP ≤ 1e−3 (PERFORMANCE.md r20 backlog pins). Bit-OR merge is
+  // idempotent like the HLL register max, so a replayed fold leaves
+  // the filter unchanged even before the batch cursor; the counters
+  // are plain sums — the cursor is what makes THEM exactly-once.
+  // Novelty is judged against the PRE-batch filter at batch
+  // granularity (a user's first batch counts ALL its events in that
+  // batch as novel — deterministic and replay-stable). A false
+  // positive can only UNDERCOUNT novelty, and the exported fill_ratio
+  // + fp_bound make a saturating filter visible instead of silently
+  // reading as "nothing new" (the no-silent-caps rule).
+  private val BnM = 1 << 16 // filter bits per type
+  private val BnWords = BnM / 64 // 1024 longs ≈ 8 KB per type
+  private val BnK = 4 // probes per user
+  private val BnSplit = 1L << 30 // 60-bit hash → (h1, h2) 30 + 30
+  private val BnVersion = 1L
+
+  /** Per-type Bloom novelty state, VERSION-TAGGED FROM DAY ONE (the
+    * r19 HqState layout lesson applied proactively): any future
+    * layout change bumps the version and migrates explicitly; a
+    * length or version this decoder does not know fails loudly,
+    * never a silent bit shift. */
+  private[graft] case class BnState(n: Long, nulls: Long, novel: Long,
+      words: Vector[Long])
+
+  private[graft] val bnEmpty =
+    BnState(0L, 0L, 0L, Vector.fill(BnWords)(0L))
+
+  /** Set-bit share of the filter — the saturation gauge every verdict
+    * row exports. */
+  private[graft] def bnFill(words: Vector[Long]): Double =
+    words.map(w => java.lang.Long.bitCount(w).toLong).sum.toDouble / BnM
+
+  /** (lastBatchId, type -> BnState); vector layout
+    * [version, n, nulls, novel, w0..w1023]. */
+  private[graft] def bnStates(statePath: String)
+      : (Long, Map[String, BnState]) = {
+    val (last, raw) = readLongVecState(statePath)
+    (last, raw.map { case (t, v) =>
+      if (v.length == 4 + BnWords && v.head == BnVersion)
+        t -> BnState(v(1), v(2), v(3), v.drop(4).toVector)
+      else sys.error(s"bloom-novelty state for type '$t' has layout " +
+        s"version ${v.headOption.getOrElse(-1L)} at length " +
+        s"${v.length}; this build reads version $BnVersion at length " +
+        s"${4 + BnWords} — refusing a blind decode")
+    })
+  }
+
+  private def bnWriteState(statePath: String, batchId: Long,
+      types: Map[String, BnState]): Unit =
+    writeLongVecState(statePath, batchId, types.map { case (t, s) =>
+      t -> (BnVersion +: s.n +: s.nulls +: s.novel +: s.words)
+    })
+
+  private[graft] def bnBatch(spark: SparkSession, outPath: String,
+      statePath: String, batch: DataFrame, batchId: Long): Unit = {
+    val (last, st0) = bnStates(statePath)
+    if (batchId <= last) return // replayed trigger already folded
+    import spark.implicits._
+    // exactly-once event counters: one grouped count of the batch
+    val counts = batch.groupBy(col("event_type"))
+      .agg(sum(when(col("user_id").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("nv"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L))
+          .cast("long").as("nl"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // per-user probe positions: distinct users with their in-batch
+    // event counts, the 60-bit md5 priority split into the
+    // Kirsch–Mitzenmacher pair, k = 4 exploded probe rows per user
+    val users = batch
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"), col("user_id").cast("long").as("u"))
+      .agg(count(lit(1)).cast("long").as("ec"))
+      .withColumn("h",
+        conv(substring(md5(col("u").cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("h1", expr(s"h div $BnSplit"))
+      .withColumn("h2", col("h") % BnSplit)
+    val pos = users.select(col("event_type"), col("u"), col("ec"),
+        explode(array((0 until BnK).map(i =>
+          (col("h1") + lit(i.toLong) * col("h2")) % BnM.toLong): _*))
+          .as("p"))
+      .withColumn("w", expr("p div 64"))
+      .withColumn("bit", (col("p") % 64L).cast("int"))
+    // membership against the PRE-batch filter: the state is tiny
+    // (types × ≤1024 non-zero words), broadcast onto the probe rows —
+    // a missing word is an unset bit. The novelty test itself is
+    // distributed; only per-type aggregates and the word grid are
+    // ever collected.
+    val wordRows = st0.toSeq.flatMap { case (t, s) =>
+      s.words.zipWithIndex.collect {
+        case (wd, i) if wd != 0L => (t, i.toLong, wd)
+      }
+    }
+    val checked = pos
+      .join(broadcast(wordRows.toDF("event_type", "w", "bits")),
+        Seq("event_type", "w"), "left")
+      .withColumn("setb", coalesce(
+        expr("shiftright(bits, bit) & CAST(1 AS BIGINT)"), lit(0L)))
+    val perUser = checked
+      .groupBy(col("event_type"), col("u"), col("ec"))
+      .agg(sum(col("setb")).cast("long").as("hits"))
+      .withColumn("novel", col("hits") < BnK.toLong)
+    val typeAgg = perUser.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("bu"),
+        sum(when(col("novel"), 1L).otherwise(0L)).cast("long").as("bnu"),
+        sum(col("ec")).cast("long").as("be"),
+        sum(when(col("novel"), col("ec")).otherwise(0L)).cast("long")
+          .as("bne"))
+      .collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // the batch's new bits, OR-folded per word: the collect is
+    // O(types × 1024) — grid-bounded like the HLL registers
+    val newBits = pos.select(col("event_type"), col("w"), col("bit"))
+      .distinct()
+      .groupBy(col("event_type"), col("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("orw"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val fillPre = st0.map { case (t, s) => t -> bnFill(s.words) }
+    val withCounts = counts.foldLeft(st0) { case (acc, (tpe, nv, nl)) =>
+      val s = acc.getOrElse(tpe, bnEmpty)
+      acc.updated(tpe, s.copy(n = s.n + nv, nulls = s.nulls + nl))
+    }
+    val withNovel = typeAgg.foldLeft(withCounts) {
+      case (acc, (tpe, (_, bnu, _, _))) =>
+        val s = acc.getOrElse(tpe, bnEmpty)
+        acc.updated(tpe, s.copy(novel = s.novel + bnu))
+    }
+    val st1 = newBits.foldLeft(withNovel) { case (acc, (tpe, w, orw)) =>
+      val s = acc.getOrElse(tpe, bnEmpty)
+      acc.updated(tpe, s.copy(words =
+        s.words.updated(w.toInt, s.words(w.toInt) | orw)))
+    }
+    if (st1.nonEmpty) {
+      st1.toSeq.sortBy(_._1).map { case (tpe, s) =>
+        val (bu, bnu, be, bne) =
+          typeAgg.getOrElse(tpe, (0L, 0L, 0L, 0L))
+        val rate =
+          if (be > 0L) Some(math.floor(bne.toDouble / be * 1e6 + 0.5) / 1e6)
+          else None
+        val fpre = fillPre.getOrElse(tpe, 0.0)
+        (batchId, tpe, s.n, s.nulls, be, bne, rate, bu, bnu, s.novel,
+          math.floor(bnFill(s.words) * 1e6 + 0.5) / 1e6,
+          math.floor(fpre * fpre * fpre * fpre * 1e9 + 0.5) / 1e9)
+      }.toDF("batch_id", "event_type", "n_events", "n_null",
+          "batch_events", "batch_novel_events", "novelty_rate",
+          "batch_users", "batch_novel_users", "novel_users_total",
+          "fill_ratio", "fp_bound")
+        .coalesce(1).write.mode("append").parquet(outPath)
+    }
+    bnWriteState(statePath, batchId, st1)
+  }
+
+  /** Streaming Bloom novelty sink — per event type, the share of each
+    * micro-batch's events coming from never-before-seen users, in
+    * O(types × 8 KB) state forever. Shared foreachBatch skeleton and
+    * crash/replay contracts (batchId-guarded exactly-once state,
+    * at-least-once verdict rows deduped on (batch_id, event_type));
+    * the filter fold is additionally idempotent by construction
+    * (bit OR). Every verdict row carries fill_ratio and the batch's
+    * false-positive bound fill⁴, so a saturating filter is a visible
+    * condition, not a silent novelty collapse. */
+  def bloomNoveltySink(events: DataFrame, spark: SparkSession,
+      outPath: String, statePath: String, checkpoint: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        bnBatch(spark, outPath, statePath, batch, batchId)
+      }
+
   /** Streaming twin of x_srm_check: the sample-ratio-mismatch gate run
     * CONTINUOUSLY over the ingest instead of at end-of-day audit. Per
     * micro-batch, the batch's three arm counts (same md5 coin as the

@@ -60,6 +60,8 @@ object SinkProbe {
       StreamingIngest.hllBatch(spark, out, st, ev, 0L))
     probe("min_k_sample", (out, st) =>
       StreamingIngest.mkBatch(spark, out, st, ev, 0L))
+    probe("bloom_novelty", (out, st) =>
+      StreamingIngest.bnBatch(spark, out, st, ev, 0L))
     spark.stop()
   }
 }

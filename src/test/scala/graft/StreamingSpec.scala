@@ -1737,6 +1737,152 @@ class StreamingSpec extends SparkSpec {
       "degraded-but-finite reading the below-k branch gives")
   }
 
+  test("streaming Bloom novelty sink: novelty is exact against a set " +
+      "replay on the small fixture, the rate weights EVENTS not " +
+      "users, and cumulative counters advance") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val out = tmpDir("bn-out")
+    val state = tmpDir("bn-state") + "/_bn.json"
+    val ck = tmpDir("bn-ck")
+    val mem = MemoryStream[(String, Long)]
+    val events = mem.toDF().toDF("event_type", "user_id")
+    // batch 0: type a = users 1..50 with TWO events each; type b =
+    // users 1..10 once. batch 1: type a = users 26..75 once each
+    // (25 seen, 25 novel — the filter is at fill ~0.003, so the set
+    // replay is exact with overwhelming deterministic margin).
+    val b1 = (1L to 50L).flatMap(u => Seq(("a", u), ("a", u))) ++
+      (1L to 10L).map(u => ("b", u))
+    val b2 = (26L to 75L).map(u => ("a", u))
+    mem.addData(b1: _*)
+    val q1 = StreamingIngest.bloomNoveltySink(events, spark, out,
+      state, ck).start()
+    q1.awaitTermination()
+    mem.addData(b2: _*)
+    val q2 = StreamingIngest.bloomNoveltySink(events, spark, out,
+      state, ck).start()
+    q2.awaitTermination()
+    val rows = spark.read.parquet(out).collect()
+    def row(bid: Long, tpe: String) = rows.filter(r =>
+      r.getAs[Long]("batch_id") == bid &&
+        r.getAs[String]("event_type") == tpe).head
+    val a0 = row(0L, "a")
+    assert(a0.getAs[Long]("batch_events") == 100L)
+    assert(a0.getAs[Long]("batch_novel_events") == 100L)
+    assert(a0.getAs[Double]("novelty_rate") == 1.0,
+      "an empty filter makes every event novel")
+    assert(a0.getAs[Long]("batch_users") == 50L &&
+      a0.getAs[Long]("batch_novel_users") == 50L)
+    assert(a0.getAs[Long]("novel_users_total") == 50L)
+    assert(a0.getAs[Double]("fp_bound") == 0.0,
+      "the pre-batch filter was empty — no false positive possible")
+    val a1 = row(1L, "a")
+    assert(a1.getAs[Long]("batch_users") == 50L)
+    assert(a1.getAs[Long]("batch_novel_users") == 25L,
+      "exactly the 25 unseen users are novel (set-replay exact)")
+    assert(a1.getAs[Long]("batch_novel_events") == 25L)
+    assert(a1.getAs[Double]("novelty_rate") == 0.5)
+    assert(a1.getAs[Long]("novel_users_total") == 75L)
+    assert(a1.getAs[Long]("n_events") == 150L)
+    // type b untouched by batch 1 but still reported, with zero batch
+    // activity and NULL rate (guarded denominator)
+    val b1r = row(1L, "b")
+    assert(b1r.getAs[Long]("batch_events") == 0L)
+    assert(b1r.isNullAt(b1r.fieldIndex("novelty_rate")))
+    assert(b1r.getAs[Long]("novel_users_total") == 10L)
+  }
+
+  test("streaming Bloom novelty sink: fill ratio tracks the 1-e^(-kn/m) " +
+      "prediction at the calibration scale, the fp bound is the " +
+      "pre-batch fill to the 4th, and a false positive can only " +
+      "undercount novelty") {
+    import spark.implicits._
+    val out = tmpDir("bnc-out")
+    val state = tmpDir("bnc-state") + "/_bn.json"
+    // batch 0: 2000 distinct users; batch 1: 1000 seen + 1000 new
+    StreamingIngest.bnBatch(spark, out, state,
+      (1L to 2000L).map(u => ("big", u)).toDF("event_type", "user_id"),
+      batchId = 0L)
+    StreamingIngest.bnBatch(spark, out, state,
+      (1001L to 3000L).map(u => ("big", u)).toDF("event_type", "user_id"),
+      batchId = 1L)
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("batch_id") -> r).toMap
+    val r0 = rows(0L); val r1 = rows(1L)
+    def predFill(n: Long): Double =
+      1.0 - math.exp(-4.0 * n / 65536.0)
+    assert(math.abs(r0.getAs[Double]("fill_ratio") - predFill(2000)) < 0.01,
+      s"fill ${r0.getAs[Double]("fill_ratio")} vs ${predFill(2000)}")
+    assert(math.abs(r1.getAs[Double]("fill_ratio") - predFill(3000)) < 0.012)
+    // fp bound: the PRE-batch fill (batch 0's exported post-fill) ^ 4
+    val f0 = r0.getAs[Double]("fill_ratio")
+    assert(math.abs(r1.getAs[Double]("fp_bound") - math.pow(f0, 4)) < 1e-5)
+    // exact novelty is 1000; false positives (bound 1.75e-4 per new
+    // user, deterministic for fixed ids) can only undercount
+    val bnu = r1.getAs[Long]("batch_novel_users")
+    assert(bnu <= 1000L && bnu >= 998L,
+      s"novel $bnu vs exact 1000 under fp bound " +
+        s"${r1.getAs[Double]("fp_bound")}")
+    assert(r1.getAs[Long]("batch_novel_events") == bnu)
+  }
+
+  test("streaming Bloom novelty sink: NULL users are counted and " +
+      "never hashed, replayed batch ids are no-ops, the crash window " +
+      "appends a bit-identical duplicate verdict, the bit-OR fold is " +
+      "idempotent, and an unknown state layout fails loudly") {
+    import spark.implicits._
+    val out = tmpDir("bnr-out")
+    val state = tmpDir("bnr-state") + "/_bn.json"
+    StreamingIngest.bnBatch(spark, out, state,
+      (Seq(("a", Option(1L)), ("a", Option(2L)),
+        ("a", Option.empty[Long]))).toDF("event_type", "user_id"),
+      batchId = 0L)
+    val (last0, st0) = StreamingIngest.bnStates(state)
+    assert(last0 == 0L)
+    assert(st0("a").n == 2L && st0("a").nulls == 1L,
+      "only non-null users fold; the NULL is counted")
+    assert(st0("a").novel == 2L)
+    // replayed batch id: no-op
+    StreamingIngest.bnBatch(spark, out, state,
+      Seq(("a", 99L)).toDF("event_type", "user_id"), batchId = 0L)
+    assert(StreamingIngest.bnStates(state)._2("a").n == 2L)
+    // crash window: verdict appended, state write lost → replay from
+    // the OLD state appends a bit-identical duplicate verdict row
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(state))
+    val dfC = Seq(("a", 3L)).toDF("event_type", "user_id")
+    StreamingIngest.bnBatch(spark, out, state, dfC, batchId = 1L)
+    val afterOnce = StreamingIngest.bnStates(state)
+    java.nio.file.Files.write(java.nio.file.Paths.get(state), bytes)
+    StreamingIngest.bnBatch(spark, out, state, dfC, batchId = 1L)
+    assert(StreamingIngest.bnStates(state) == afterOnce,
+      "state must be exactly-once under the batch cursor")
+    val dup = spark.read.parquet(out).collect()
+      .filter(r => r.getAs[Long]("batch_id") == 1L)
+    assert(dup.length == 2 &&
+      dup.map(_.toString).distinct.length == 1,
+      "at-least-once verdicts, bit-identical duplicates")
+    // OR idempotence: refolding the SAME users under a NEW batch id
+    // leaves the filter words byte-identical and reports zero novelty
+    val wordsBefore = StreamingIngest.bnStates(state)._2("a").words
+    StreamingIngest.bnBatch(spark, out, state,
+      Seq(("a", 1L), ("a", 2L), ("a", 3L)).toDF("event_type", "user_id"),
+      batchId = 2L)
+    val after = StreamingIngest.bnStates(state)._2("a")
+    assert(after.words == wordsBefore,
+      "bit-OR of already-present users must not change the filter")
+    val r2 = spark.read.parquet(out).collect()
+      .filter(r => r.getAs[Long]("batch_id") == 2L).head
+    assert(r2.getAs[Long]("batch_novel_users") == 0L &&
+      r2.getAs[Double]("novelty_rate") == 0.0)
+    // layout guard: an unknown version or length fails loudly
+    java.nio.file.Files.write(java.nio.file.Paths.get(state),
+      """{"lastBatch": 2, "types": [{"t": "a", "v": [2, 0, 0, 0]}]}"""
+        .getBytes("UTF-8"))
+    val ex = intercept[RuntimeException] { StreamingIngest.bnStates(state) }
+    assert(ex.getMessage.contains("bloom-novelty state"))
+  }
+
   test("streaming HLL cardinality sink: registers equal an exact " +
       "md5-path replay, estimates land inside 3 standard errors of " +
       "the true distinct counts in BOTH regimes (linear counting and " +
