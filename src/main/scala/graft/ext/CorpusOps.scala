@@ -862,36 +862,42 @@ object CorpusOps {
       // bound is 0.06·(|A|+|B|+|A∪B|)); the twin asserts the flag
       // constant-true and the driver hash-checks it.
       import s.implicits._
+      // r20 optimization: shingles are built array-natively per row
+      // (transform over the token array — one codegen'd Project, no
+      // posexplode + per-doc sort + two window passes and no shuffle
+      // before the distinct), and the three countDistincts are restated
+      // as exact folds of a (pair, shingle) pre-aggregation so the plan
+      // loses the 3× Expand the multi-distinct aggregate needed. Same
+      // shingle sets → identical counts AND identical HLL estimates
+      // (approx_count_distinct is a deterministic function of the input
+      // SET, which is unchanged).
       val sh = t(s, d, "documents")
         .filter(col("source").isin("src0", "src1", "src2"))
-        .select(col("source"), col("doc_id"),
-          posexplode(split(col("text"), " ")))
-        .select(col("source"), col("doc_id"), col("pos"),
-          col("col").as("tok"))
-        .withColumn("t2", lead(col("tok"), 1)
-          .over(Window.partitionBy("doc_id").orderBy("pos")))
-        .withColumn("t3", lead(col("tok"), 2)
-          .over(Window.partitionBy("doc_id").orderBy("pos")))
-        .filter(col("t3").isNotNull)
-        .select(col("source"),
-          concat_ws(" ", col("tok"), col("t2"), col("t3")).as("sh"))
+        .select(col("source"), split(col("text"), " ").as("tk"))
+        .withColumn("n", size(col("tk")))
+        .filter(col("n") >= 3)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, n - 2), " +
+            "i -> concat_ws(' ', slice(tk, i, 3)))")).as("sh"))
         .distinct()
-        .localCheckpoint()
       val pairs = Seq(("src0", "src1"), ("src0", "src2"),
         ("src1", "src2")).toDF("sa", "sb")
       broadcast(pairs)
         .join(sh, col("source") === col("sa") || col("source") === col("sb"))
+        .groupBy(col("sa"), col("sb"), col("sh"))
+        .agg(max(when(col("source") === col("sa"), 1L).otherwise(0L))
+            .as("ina"),
+          max(when(col("source") === col("sb"), 1L).otherwise(0L))
+            .as("inb"))
         .groupBy(col("sa"), col("sb"))
         .agg(
-          countDistinct(when(col("source") === col("sa"), col("sh")))
-            .as("n_a"),
-          countDistinct(when(col("source") === col("sb"), col("sh")))
-            .as("n_b"),
-          countDistinct(col("sh")).as("n_union"),
+          sum(col("ina")).as("n_a"),
+          sum(col("inb")).as("n_b"),
+          count(lit(1)).as("n_union"),
           approx_count_distinct(
-            when(col("source") === col("sa"), col("sh")), 0.02).as("ea"),
+            when(col("ina") === 1L, col("sh")), 0.02).as("ea"),
           approx_count_distinct(
-            when(col("source") === col("sb"), col("sh")), 0.02).as("eb"),
+            when(col("inb") === 1L, col("sh")), 0.02).as("eb"),
           approx_count_distinct(col("sh"), 0.02).as("eu"))
         .withColumn("n_inter", col("n_a") + col("n_b") - col("n_union"))
         .withColumn("e_inter", col("ea") + col("eb") - col("eu"))

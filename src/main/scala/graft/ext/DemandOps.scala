@@ -308,9 +308,23 @@ object DemandOps {
       val w = Window.partitionBy("brand").orderBy("day")
       def lagQ(i: Int): Column =
         if (i == 0) col("q") else lag(col("q"), i).over(w)
-      val daily = demandDaily(s, d)
-      val dmax = t(s, d, "lineitem")
-        .agg(max(date_trunc("day", col("l_shipdate"))).as("dmax"))
+      // r20 optimization (guide §2.4): the day grain feeds BOTH ladders,
+      // so it is materialized once (column pruning makes the consumers'
+      // subtrees non-identical, so ReusedExchange cannot dedup them —
+      // measured: the un-checkpointed form computes the grain three
+      // times), and the two scalar anchors (global last day, calendar
+      // span) come off the grain itself instead of two more bare-date
+      // fact scans — the inner join drops nothing (FK verified on every
+      // shipped fixture: zero orphan l_partkey at sf0.001/0.01/0.1), so
+      // min/max day over the grain equal min/max over lineitem and the
+      // oracle twin, which still derives them from lineitem,
+      // hash-matches. 4 fact scans → 1 at the same wall time.
+      val daily = demandDaily(s, d).localCheckpoint()
+      val scal = daily
+        .agg(max(col("day")).as("dmax"),
+          (datediff(max(col("day")), min(col("day"))) + 1).cast("long")
+            .as("span"))
+      val dmax = scal.select("dmax")
       val zEst = daily
         .withColumn("nz", ladderNum(lagQ))
         .withColumn("dz", ladderDen(lagQ))
@@ -327,10 +341,13 @@ object DemandOps {
         .filter(col("lagd") < CrostonLags)
         .select(col("brand"), calLagQWCase.as("qw"))
         .groupBy("brand").agg(sum(col("qw")).cast("long").as("pnum"))
-      zEst.join(pEst, Seq("brand"), "left")
+      // the probability table is O(brands) — broadcast it so the join
+      // plans as BHJ instead of a sort-merge (guide §3.1), and reuse the
+      // one scalar frame for the span instead of a fourth fact scan
+      zEst.join(broadcast(pEst), Seq("brand"), "left")
         .withColumn("p", coalesce(col("pnum"), lit(0L)).cast("double")
           / lit(SesDenQ).cast("double"))
-        .crossJoin(broadcast(spanFrame(s, d)))
+        .crossJoin(broadcast(scal.select("span")))
         .select(col("brand"),
           fmtD(col("last_demand_day")).as("last_demand_day"),
           col("nd").as("n_demand_days"),

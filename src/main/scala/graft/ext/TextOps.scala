@@ -1522,27 +1522,38 @@ object TextOps {
         .agg((max(col("pos")) - min(col("pos")) + 8).as("span_tokens"))
         .groupBy(col("doc_id"))
         .agg(sum(col("span_tokens")).cast("long").as("dup_tokens"))
+      // r20 optimization (guide §2.3 "aggregate before you shuffle"):
+      // the hashed-token pass used to run the explode+md5 five times
+      // (tcnt, rcnt, their two totals, and the per-doc score). It now
+      // runs ONCE, reduced to the (doc, bucket) grain — O(docs × 64)
+      // rows — shared by every consumer via ReusedExchange (identical
+      // subtree, no checkpoint barrier), and every downstream
+      // count/total/score is an exact integer fold of that grain:
+      // Σ_tokens q(b) ≡ Σ_b nb·q(b), so the per-doc fixed-point score
+      // is bit-identical to the per-token sum.
       val feat = docs
         .select(col("doc_id"), col("source").isin("src0", "src1").as("tgt"),
           explode(split(col("text"), " ")).as("tok"))
         .withColumn("b",
           conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("int") % 64)
-      val tcnt = feat.filter(col("tgt")).groupBy(col("b"))
-        .agg(count(lit(1)).as("tc"))
-      val rcnt = feat.filter(!col("tgt")).groupBy(col("b"))
-        .agg(count(lit(1)).as("rc"))
-      val tot = tcnt.agg(sum(col("tc")).cast("long").as("nt"))
-        .crossJoin(rcnt.agg(sum(col("rc")).cast("long").as("nr")))
+        .groupBy(col("doc_id"), col("tgt"), col("b"))
+        .agg(count(lit(1)).as("nb"))
+      val bcnt = feat.groupBy(col("b"))
+        .agg(sum(when(col("tgt"), col("nb")).otherwise(0L)).cast("long")
+            .as("tc"),
+          sum(when(!col("tgt"), col("nb")).otherwise(0L)).cast("long")
+            .as("rc"))
+      val tot = bcnt.agg(sum(col("tc")).cast("long").as("nt"),
+        sum(col("rc")).cast("long").as("nr"))
       val dsir = feat
-        .join(broadcast(tcnt), Seq("b"), "left")
-        .join(broadcast(rcnt), Seq("b"), "left")
+        .join(broadcast(bcnt), Seq("b"))
         .crossJoin(broadcast(tot))
         .withColumn("q", floor(
-          (log((coalesce(col("tc"), lit(0L)) + lit(1.0)) /
-               (col("nt") + lit(64.0))) -
-           log((coalesce(col("rc"), lit(0L)) + lit(1.0)) /
-               (col("nr") + lit(64.0)))) * 1e6 + 0.5).cast("long"))
-        .groupBy(col("doc_id")).agg(sum(col("q")).cast("long").as("sq"))
+          (log((col("tc") + lit(1.0)) / (col("nt") + lit(64.0))) -
+           log((col("rc") + lit(1.0)) / (col("nr") + lit(64.0))))
+            * 1e6 + 0.5).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("nb") * col("q")).cast("long").as("sq"))
       val h = substring(md5(col("doc_id").cast("string")), 1, 2)
       val flags = docs
         .join(dup3, Seq("doc_id"), "left")
@@ -1556,24 +1567,41 @@ object TextOps {
         .withColumn("keep_dsir", col("sq") > 0)
         .withColumn("split",
           when(h < "cc", "train").when(h < "e6", "valid").otherwise("test"))
-        .localCheckpoint()
-      def stage(df: DataFrame, label: String): DataFrame =
-        df.agg(coalesce(count(lit(1)), lit(0L)).as("n_docs"),
-            coalesce(sum(col("n_tokens")), lit(0L)).cast("long")
-              .as("n_tokens"))
-          .select(lit(label).as("stage"), col("n_docs"), col("n_tokens"))
-      val s2 = flags.filter(col("keep_lang"))
-      val s3 = s2.filter(col("keep_rep"))
-      val s4 = s3.filter(col("keep_span"))
-      val s5 = s4.filter(col("keep_dsir"))
-      stage(flags, "1_input")
-        .unionByName(stage(s2, "2_lang"))
-        .unionByName(stage(s3, "3_repetition"))
-        .unionByName(stage(s4, "4_spandedup"))
-        .unionByName(stage(s5, "5_dsir"))
-        .unionByName(stage(s5.filter(col("split") === "train"), "6_train"))
-        .unionByName(stage(s5.filter(col("split") === "valid"), "7_valid"))
-        .unionByName(stage(s5.filter(col("split") === "test"), "8_test"))
+      // r20 optimization (guide §2.4): the survivor funnel is EIGHT
+      // nested-filter aggregates of the same flag table — formerly eight
+      // unioned scans of a checkpointed intermediate (eight jobs plus
+      // the barrier). Each stage is a conditional count/sum of the SAME
+      // pass, so one aggregate computes all 16 values and a stack()
+      // unpivots them into the identical 8-row funnel: counts are exact
+      // integer folds either way, and the checkpoint barrier disappears
+      // because the table now has a single consumer.
+      val s2c = col("keep_lang")
+      val s3c = s2c && col("keep_rep")
+      val s4c = s3c && col("keep_span")
+      val s5c = s4c && col("keep_dsir")
+      def n(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+      def tk(c: Column): Column =
+        coalesce(sum(when(c, col("n_tokens"))), lit(0L)).cast("long")
+      flags.agg(
+          count(lit(1)).as("n1"), coalesce(sum(col("n_tokens")), lit(0L))
+            .cast("long").as("t1"),
+          n(s2c).as("n2"), tk(s2c).as("t2"),
+          n(s3c).as("n3"), tk(s3c).as("t3"),
+          n(s4c).as("n4"), tk(s4c).as("t4"),
+          n(s5c).as("n5"), tk(s5c).as("t5"),
+          n(s5c && col("split") === "train").as("n6"),
+          tk(s5c && col("split") === "train").as("t6"),
+          n(s5c && col("split") === "valid").as("n7"),
+          tk(s5c && col("split") === "valid").as("t7"),
+          n(s5c && col("split") === "test").as("n8"),
+          tk(s5c && col("split") === "test").as("t8"))
+        .select(expr(
+          """stack(8,
+               '1_input', n1, t1, '2_lang', n2, t2,
+               '3_repetition', n3, t3, '4_spandedup', n4, t4,
+               '5_dsir', n5, t5, '6_train', n6, t6,
+               '7_valid', n7, t7, '8_test', n8, t8)
+             AS (stage, n_docs, n_tokens)"""))
         .orderBy("stage")
     }),
 
