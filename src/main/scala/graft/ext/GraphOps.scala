@@ -333,26 +333,41 @@ object GraphOps {
       // 1e-12 so the fixed-point trajectory is engine-portable.
       val (edges, deg, nodes) = orderGraph(s, d)
       val n = nodes.count().toDouble
+      // r20 optimization (guide §2.4, §1.2 "the distributed algorithm"):
+      // three structural cuts, arithmetic untouched so the 1e-12
+      // fixed-point trajectory is bit-identical.
+      // 1. outdeg is folded into the edge checkpoint ONCE — the old
+      //    per-iteration `join(deg)` re-ran the degree aggregate (one
+      //    exchange + agg) every round.
+      // 2. each rank vector is referenced exactly once per iteration, so
+      //    the whole 6-round recursion is a single linear query: the
+      //    per-iteration localCheckpoint barriers (a full
+      //    materialization job each) are gone and AQE schedules the
+      //    per-round agg exchanges as dependent stages.
+      // 3. the per-iteration `nodes LEFT JOIN contrib` re-add of
+      //    contribution-less nodes is dropped: the graph is BIDIRECTED
+      //    by construction (the union emits both edge directions), so
+      //    dst-set == src-set == nodes and EVERY node receives at least
+      //    one contribution — the left join never adds a row and the
+      //    coalesce never fires, at any corpus size (structural, not a
+      //    fixture property). Two joins per round become one.
+      val edgesD = edges.join(deg, "src").localCheckpoint()
       var pr = nodes.withColumn("pr",
         floor(lit(1.0 / n) * 1e12 + 0.5) / 1e12)
-        .localCheckpoint()
       for (_ <- 1 to PrIters) {
-        val contrib = edges
+        // 0.15 as a literal on BOTH sides (not 1.0 - Damp: IEEE
+        // 1.0-0.85 = 0.15000000000000002, a different double than the
+        // parsed literal both engines use).
+        pr = edgesD
           .join(pr.withColumnRenamed("node", "src"), "src")
-          .join(deg, "src")
           .select(col("dst").as("node"),
             floor(col("pr") / col("outdeg") * 1e12 + 0.5).cast("long")
               .as("q"))
           .groupBy("node").agg(sum(col("q")).cast("long").as("sq"))
-        // 0.15 as a literal on BOTH sides (not 1.0 - Damp: IEEE
-        // 1.0-0.85 = 0.15000000000000002, a different double than the
-        // parsed literal both engines use).
-        pr = nodes.join(contrib, Seq("node"), "left")
           .select(col("node"),
             (floor((lit(0.15 / n)
-              + lit(Damp) * (coalesce(col("sq"), lit(0L)) / 1e12))
+              + lit(Damp) * (col("sq") / 1e12))
               * 1e12 + 0.5) / 1e12).as("pr"))
-          .localCheckpoint()
       }
       pr.select(
           when(col("node") >= CustOff, "customer").otherwise("supplier")
@@ -378,20 +393,30 @@ object GraphOps {
           col("o_custkey").cast("long").as("c"))
         .distinct()
         .localCheckpoint()
-      val sups = e0.select(col("s")).distinct().localCheckpoint()
-      var hub = sups.withColumn("h", lit(1.0)).localCheckpoint()
+      // r20: sups/hub0 are single-consumer projections of the e0
+      // checkpoint — materializing them bought nothing and cost two
+      // barrier jobs; the first half-step computes them inline
+      val sups = e0.select(col("s")).distinct()
+      var hub = sups.withColumn("h", lit(1.0))
       var auth: DataFrame = null // set on the first half-step below
       // the L1 total rides along as a broadcast 1-row scalar aggregate
       // instead of a driver .head() round-trip: same Long-sum / 1e12
-      // double and the same division, so every score is bit-identical —
-      // but each half-step is ONE job (the checkpoint materialization)
-      // instead of two, halving the ladder's job-scheduling overhead
-      // (r13 verdict: x_hits drifted while one-job-per-step x_pagerank
-      // beside it stayed flat).
-      def l1norm(df: DataFrame, v: String): DataFrame = {
-        val tot = df.agg((sum(floor(col(v) * 1e12 + 0.5).cast("long"))
+      // double and the same division, so every score is bit-identical.
+      // r20 optimization: the half-step checkpoint lands on the RAW
+      // per-entity sums, BEFORE normalization — the old form
+      // checkpointed the normalized table, which made each half-step's
+      // materialization evaluate the join+aggregate subtree twice (once
+      // under the L1-total aggregate, once under the crossJoin; column
+      // pruning keeps the two copies non-identical so ReuseExchange
+      // cannot dedup them) and put the total's aggregation + broadcast
+      // on the barrier's critical path. The normalization is now a lazy
+      // projection over the checkpoint that folds into the NEXT
+      // half-step's plan: same values, one aggregate pass per half-step
+      // instead of two. Measured: 65 jobs -> ~40 at sf0.1.
+      def l1norm(raw: DataFrame, v: String): DataFrame = {
+        val tot = raw.agg((sum(floor(col(v) * 1e12 + 0.5).cast("long"))
           / 1e12).as("_l1tot"))
-        df.crossJoin(broadcast(tot))
+        raw.crossJoin(broadcast(tot))
           .withColumn(v, floor(col(v) / col("_l1tot") * 1e12 + 0.5) / 1e12)
           .drop("_l1tot")
       }
@@ -400,14 +425,16 @@ object GraphOps {
           e0.join(hub, "s")
             .select(col("c"), floor(col("h") * 1e12 + 0.5).cast("long")
               .as("q"))
-            .groupBy("c").agg((sum(col("q")).cast("long") / 1e12).as("a")),
-          "a").localCheckpoint()
+            .groupBy("c").agg((sum(col("q")).cast("long") / 1e12).as("a"))
+            .localCheckpoint(),
+          "a")
         hub = l1norm(
           e0.join(auth, "c")
             .select(col("s"), floor(col("a") * 1e12 + 0.5).cast("long")
               .as("q"))
-            .groupBy("s").agg((sum(col("q")).cast("long") / 1e12).as("h")),
-          "h").localCheckpoint()
+            .groupBy("s").agg((sum(col("q")).cast("long") / 1e12).as("h"))
+            .localCheckpoint(),
+          "h")
       }
       val bySide = org.apache.spark.sql.expressions.Window
         .partitionBy("side").orderBy(desc("score"), asc("entity_key"))
@@ -513,6 +540,14 @@ object GraphOps {
           col("l_suppkey").cast("long").as("sp"),
           (year(col("o_orderdate")) < 1999).as("isTrain"))
         .distinct()
+        // r20 optimization: the era-tagged interaction table feeds both
+        // eras, so the one fact pass is materialized ONCE — it used to
+        // be recomputed (join + distinct over the full fact table) by
+        // each era's eager checkpoint in sequence. The downstream
+        // checkpoints stay: removing them was measured to TRIPLE total
+        // task time (the test/targets/newSup anti-join subtrees get
+        // recomputed per consumer) for no wall gain.
+        .localCheckpoint()
       val trainW = base.filter(col("isTrain"))
         .groupBy("c", "sp")
         .agg(count(lit(1)).cast("long").as("ow"))
