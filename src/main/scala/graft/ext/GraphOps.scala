@@ -420,6 +420,13 @@ object GraphOps {
           .withColumn(v, floor(col(v) / col("_l1tot") * 1e12 + 0.5) / 1e12)
           .drop("_l1tot")
       }
+      // one barrier per HALF-step, on the raw sums: fusing both
+      // half-steps into one barrier was tried and measured 3x total
+      // task time — the L1-total fork references the raw aggregate
+      // twice and ReuseExchange does NOT dedup the copies (column
+      // pruning canonicalizes them apart), so every lazy half-step
+      // re-ran its join+aggregate. The checkpoint pins each raw
+      // aggregate exactly once.
       for (_ <- 1 to HitsIters) {
         auth = l1norm(
           e0.join(hub, "s")

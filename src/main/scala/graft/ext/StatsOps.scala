@@ -447,11 +447,17 @@ object StatsOps {
   // revenue crosses the long range near sf≈3) — both U₂ and MASE are
   // scale-invariant ratios, and the divided series is the same exact
   // double in both engines.
+  // r20 optimization: checkpointed — every consumer (theil_u, mase,
+  // theta, mincer_zarnowitz) forks it into 2-3 aggregate subplans, each
+  // of which used to re-run the fact scan + month groupBy; the grain is
+  // O(months), so the barrier is trivially cheap and the fact pass runs
+  // once per query.
   private def monthlyRevMil(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders")
       .groupBy(date_trunc("month", col("o_orderdate")).as("mth"))
       .agg((sum(col("o_totalprice").cast("decimal(18,4)"))
         .cast("double") / 1e6).as("r"))
+      .localCheckpoint()
 
   private val monthlyRevMilSql: String =
     """SELECT date_trunc('month', o_orderdate) AS mth,
