@@ -547,14 +547,14 @@ object GraphOps {
           col("l_suppkey").cast("long").as("sp"),
           (year(col("o_orderdate")) < 1999).as("isTrain"))
         .distinct()
-        // r20 optimization: the era-tagged interaction table feeds both
-        // eras, so the one fact pass is materialized ONCE — it used to
-        // be recomputed (join + distinct over the full fact table) by
-        // each era's eager checkpoint in sequence. The downstream
-        // checkpoints stay: removing them was measured to TRIPLE total
-        // task time (the test/targets/newSup anti-join subtrees get
-        // recomputed per consumer) for no wall gain.
-        .localCheckpoint()
+        // r20 note: materializing this era-tagged table once (a shared
+        // localCheckpoint feeding both era grains) was tried and
+        // REGRESSED: measured 2x total task time and +50% wall at sf0.1
+        // (the barrier serializes what AQE otherwise runs as two
+        // independent pruned subtrees, each narrower than the full
+        // four-column checkpoint). Removing the downstream checkpoints
+        // was also tried: 3x task time from recomputed anti-join
+        // subtrees. The original shape stands — measured, not assumed.
       val trainW = base.filter(col("isTrain"))
         .groupBy("c", "sp")
         .agg(count(lit(1)).cast("long").as("ow"))
