@@ -2911,12 +2911,16 @@ object StatsOps {
       // in exact 1e4 fixed-point longs until the two final divisions.
       // Scale: one fact groupBy to O(suppliers), windows over distinct
       // revenue values / 10 decile rows only.
+      // r20: the O(suppliers) grain is checkpointed — globalRank forks
+      // it twice and the totals fork it again, which re-ran the fact
+      // pass 3-4x; the barrier is supplier-sized and cheap
       val rev = t(s, d, "lineitem")
         .groupBy(col("l_suppkey").cast("long").as("suppkey"))
         .agg(sum(graft.types.Coercions.revenue(
           col("l_extendedprice"), col("l_discount")))
           .cast("double").as("rev"))
         .withColumn("rq", floor(col("rev") * 1e4 + 0.5).cast("long"))
+        .localCheckpoint()
       val ranked = globalRank(rev, "rq", Seq("suppkey"), "i")
       val tot = ranked.agg(count(lit(1)).cast("long").as("n"),
         sum(col("rq").cast("decimal(38,0)")).as("trq"))
@@ -3639,6 +3643,7 @@ object StatsOps {
       val pc = t(s, d, "orders")
         .groupBy(col("o_custkey").as("ck"))
         .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("revd"))
+        .localCheckpoint() // r20: grain forked by tot + qsum — scan once
       val tot = pc.agg(count(lit(1)).as("n"), sum(col("revd")).as("td"))
         .select(col("n"), col("td").cast("double").as("tt"))
       val qsum = pc.crossJoin(broadcast(tot))
@@ -3698,11 +3703,14 @@ object StatsOps {
       // ((4n) div 10 and n − n div 10 — never percentile floats);
       // revenue stays in exact 1e4 fixed-point longs until the three
       // final divisions.
+      // r20: customer grain checkpointed — globalRank + totals forked it
+      // into three fact passes (same fix as x_lorenz_curve)
       val rev = t(s, d, "orders")
         .groupBy(col("o_custkey").cast("long").as("ck"))
         .agg(sum(col("o_totalprice").cast("decimal(18,4)"))
           .cast("double").as("rv"))
         .withColumn("rq", floor(col("rv") * 1e4 + 0.5).cast("long"))
+        .localCheckpoint()
       val ranked = globalRank(rev, "rq", Seq("ck"), "i")
       val tot = ranked.agg(count(lit(1)).cast("long").as("n"),
         sum(col("rq").cast("decimal(38,0)")).as("trq"))

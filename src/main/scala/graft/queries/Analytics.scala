@@ -40,12 +40,21 @@ object Analytics {
     }),
 
     "q_top_products" -> ((s, d) => {
-      t(s, d, "lineitem").join(t(s, d, "part"),
-          col("l_partkey") === col("p_partkey"))
-        .groupBy(col("p_partkey"), col("p_name"))
+      // r20 optimization (guide §2.3 "aggregate before you shuffle"):
+      // the fact side reduces to the part grain BEFORE the dimension
+      // join, so the aggregate hashes 600k rows on a bare long key
+      // instead of a (long, string) pair post-join, and the join probes
+      // O(parts) rows. The DECIMAL sums are exact and key-complete
+      // either way (inner join, FK-clean), so the result and the oracle
+      // hash are unchanged.
+      val usage = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
         .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
-               .cast("double").as("revenue"),
+               .as("rev"),
              dsum(col("l_quantity")).as("qty"))
+      usage.join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"),
+          col("rev").cast("double").as("revenue"), col("qty"))
         .orderBy(desc("revenue"), asc("p_partkey"))
         .limit(10)
     }),

@@ -307,11 +307,21 @@ object RefOps {
 
     "w2_latest_per_key" -> ((s, d) => {
       // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
-      // l_shipdate joins the version order so ties can't flip the output
-      Upsert.latestPerKey(t(s, d, "lineitem"),
-          Seq("l_orderkey"), Seq("l_linenumber", "l_shipdate"))
-        .select(col("l_orderkey"), col("l_linenumber").as("last_line"),
-                fmtD(col("l_shipdate")).as("ship_date"))
+      // l_shipdate joins the version order so ties can't flip the output.
+      // r20 optimization (guide §2.3 "aggregate before you shuffle"):
+      // the output projects ONLY the version-order columns, so the
+      // row_number window (shuffle + per-key sort) is equivalent to
+      // max(struct(l_linenumber, l_shipdate)) — struct ordering is the
+      // same lexicographic (line, date) DESC-first pick, ties project
+      // identical values — and the aggregate ships map-side partial
+      // maxima instead of every row. The full-row upsert path this
+      // query's window used to demonstrate still runs under oracle in
+      // dedup_upsert_last_wins (etl/Upsert.latestPerKey, unchanged).
+      t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(struct(col("l_linenumber"), col("l_shipdate"))).as("m"))
+        .select(col("l_orderkey"), col("m.l_linenumber").as("last_line"),
+                fmtD(col("m.l_shipdate")).as("ship_date"))
         .orderBy("l_orderkey")
     }),
 
