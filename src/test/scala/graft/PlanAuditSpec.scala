@@ -301,7 +301,9 @@ class PlanAuditSpec extends SparkSpec {
     "x_dq_expectations",
     "x_degree_histogram", "x_embedding_outliers", "x_empirical_bayes",
     "x_entropy_rate",
-    "x_fuzzy_passjoin", "x_hard_negatives", "x_hits", "x_hll_set_ops",
+    // (x_hll_set_ops unpinned in r20: the array-native shingler made it
+    // a single linear plan with no checkpoint boundary at all)
+    "x_fuzzy_passjoin", "x_hard_negatives", "x_hits",
     "x_image_dhash",
     "x_kcore", "x_ks_statistic", "x_label_propagation", "x_link_prediction",
     "x_lm_bigram", "x_market_basket", "x_maxscore_prune", "x_mmr_rerank",
@@ -312,7 +314,19 @@ class PlanAuditSpec extends SparkSpec {
     "x_rrf_fusion", "x_semdedup", "x_shingle_profile", "x_simhash_hamming",
     "x_sliding_distinct", "x_source_divergence", "x_source_overlap",
     "x_span_corruption", "x_sq_int8_recall", "x_target_encoding",
-    "x_triangle_count", "x_winsorized_stats", "x_zorder_layout")
+    "x_triangle_count", "x_winsorized_stats", "x_zorder_layout",
+    // r20 optimization round, reviewed: each checkpoints a BOUNDED
+    // grouped grain that downstream aggregates/ranks fork 2-4 times —
+    // x_tsb_demand the (brand, day) demand grain (was four fact passes);
+    // x_mase_forecast / x_theil_u_forecast the O(months) revenue series
+    // (shared monthlyRevMil, forked by the ladder + naive + count aggs);
+    // x_lorenz_curve / x_palma_ratio the O(entities) revenue grain
+    // (globalRank's two-pass rank + the totals fork it); x_hoover_index
+    // the O(customers) grain (totals + quantized-deviation aggs). All
+    // pre-checkpoint plans are one scan + one grouped aggregate — no raw
+    // scan, window, or cross product hides behind any of them.
+    "x_tsb_demand", "x_mase_forecast", "x_theil_u_forecast",
+    "x_lorenz_curve", "x_palma_ratio", "x_hoover_index")
 
   test("localCheckpoint boundaries appear only in reviewed queries") {
     val withRdd = plans.collect {

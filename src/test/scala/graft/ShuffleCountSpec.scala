@@ -143,17 +143,22 @@ class ShuffleCountSpec extends SparkSpec {
     // checkpointed complete-block cells; the forecast-evaluation
     // pair's 4s are O(months) grouped windows; tsb_demand's 7 is the
     // brand-day ladder stack; rbo's 9 is two globalRanks + the
-    // max-rank histogram cumsum over O(suppliers)
+    // max-rank histogram cumsum over O(suppliers).
+    // r20 optimization re-pins (reviewed): tsb 7 -> 5 and mase 4 -> 3 /
+    // theil_u 4 -> 2 moved their grouped grains behind reviewed
+    // checkpoints (PlanAuditSpec) so the repeated fact passes left the
+    // visible plan; lorenz 8 -> 7 / palma 7 -> 6 likewise checkpoint
+    // the entity grain globalRank used to re-derive
     "x_atkinson_index" -> 2,
     "x_hoover_index" -> 3,
-    "x_lorenz_curve" -> 8,
-    "x_mase_forecast" -> 4,
+    "x_lorenz_curve" -> 7,
+    "x_mase_forecast" -> 3,
     "x_nemenyi_posthoc" -> 3,
-    "x_palma_ratio" -> 7,
+    "x_palma_ratio" -> 6,
     "x_quade_test" -> 5,
     "x_rank_biased_overlap" -> 9,
-    "x_theil_u_forecast" -> 4,
-    "x_tsb_demand" -> 7,
+    "x_theil_u_forecast" -> 2,
+    "x_tsb_demand" -> 5,
     "x_frequent_itemsets" -> 7,
     "x_isotonic_calibration" -> 0,
     "x_kaplan_meier" -> 3,
@@ -182,7 +187,16 @@ class ShuffleCountSpec extends SparkSpec {
     "x_kendall_tau" -> 1,
     "x_mannwhitney_u" -> 3,
     "x_cuped" -> 6,
-    "x_curation_pipeline" -> 8,
+    // r20 optimization re-pins (reviewed): curation 8 -> 13 exposes the
+    // formerly-checkpointed funnel subtree in one plan (the 8 unioned
+    // stage scans collapsed into one conditional aggregate + stack, so
+    // MORE of the pipeline is visible while total exchanges fell);
+    // hits 2 -> 4 moved the half-step checkpoint to the raw sums (the
+    // L1-normalize crossJoin is now visible); hll 3 -> 4 replaced the
+    // window shingler + 3x-Expand distinct with the (pair, shingle)
+    // pre-aggregate; pagerank 0 -> 6 runs all six rank rounds as ONE
+    // visible linear query (was: every round behind its own barrier)
+    "x_curation_pipeline" -> 13,
     "x_dedup_saturation" -> 5,
     "x_fdr_bh" -> 4,
     "x_group_sequential" -> 4,
@@ -191,9 +205,9 @@ class ShuffleCountSpec extends SparkSpec {
     "x_dedup_exact" -> 2,
     "x_dedup_minhash" -> 2,
     "x_fuzzy_pieces_d2" -> 2,
-    "x_hits" -> 2,
-    "x_hll_set_ops" -> 3,
-    "x_pagerank" -> 0,
+    "x_hits" -> 4,
+    "x_hll_set_ops" -> 4,
+    "x_pagerank" -> 6,
     "x_recs_holdout_eval" -> 14,
     "x_sim_topk" -> 2,
     "x_text_stats" -> 2,
