@@ -558,10 +558,10 @@ object GraphOps {
       val trainW = base.filter(col("isTrain"))
         .groupBy("c", "sp")
         .agg(count(lit(1)).cast("long").as("ow"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val train = trainW.select("c", "sp")
       val test = base.filter(!col("isTrain")).select("c", "sp")
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint(false)
       val trainCap = graft.util.ScaleJoins.topKPerKey(
           trainW.select(col("sp"), col("c"),
             col("ow").cast("double").as("wd")),
@@ -570,7 +570,7 @@ object GraphOps {
       val targets = train.select(col("c")).distinct()
         .join(test.select(col("c")).distinct(), Seq("c"), "left_semi")
         .filter(col("c") < 200)
-        .localCheckpoint()
+        .localCheckpoint(false)
       val pairs = train.join(targets, Seq("c"), "left_semi")
         .select(col("c").as("c1"), col("sp"))
         .join(trainCap, "sp")
@@ -591,7 +591,7 @@ object GraphOps {
       val newSup = test.join(train, Seq("c", "sp"), "left_anti")
         .select(col("c").as("c1"), col("sp").as("cand"))
         .join(targets.select(col("c").as("c1")), Seq("c1"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(false)
       val hits = top3.join(newSup, Seq("c1", "cand"), "left_semi")
         .groupBy(col("c1")).agg(count(lit(1)).as("h"))
       val nT = targets.agg(count(lit(1)).as("n_targets"))

@@ -642,12 +642,21 @@ object TextOps {
       val hamming = expr(
         """aggregate(sequence(1, length(na)), 0, (acc, i) ->
            acc + IF(substring(na, i, 1) = substring(nb, i, 1), 0, 1))""")
+      // r20 optimization (guide §2.3 "shuffle keys, not payloads"): the
+      // multi-block candidate dedup shuffles bare id pairs; the names —
+      // 3-5x the bytes, and functionally determined by the ids — are
+      // re-attached from the O(corpus) table via broadcast joins after
+      // the distinct, so the exchange and its sort/hash run on 16-byte
+      // rows. Same pairs, same verification columns.
       blocked.alias("x").join(blocked.alias("y"),
           col("x.blk") === col("y.blk") && col("x.id") < col("y.id") &&
           abs(length(col("x.name")) - length(col("y.name"))) <= 1)
-        .select(col("x.id").as("a"), col("y.id").as("b"),
-          col("x.name").as("na"), col("y.name").as("nb"))
+        .select(col("x.id").as("a"), col("y.id").as("b"))
         .distinct()
+        .join(broadcast(corpus.select(col("id").as("a"),
+          col("name").as("na"))), "a")
+        .join(broadcast(corpus.select(col("id").as("b"),
+          col("name").as("nb"))), "b")
         .withColumn("dist", levenshtein(col("na"), col("nb"), 2))
         .filter(col("dist") >= 0)
         .filter((length(col("na")) === length(col("nb")) &&
