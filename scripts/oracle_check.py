@@ -27,6 +27,21 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # Fixture FK gate (r20 advice): x_tsb_demand's single-scan rewrite
+    # derives its dmax/span anchors from the part-joined grain while the
+    # oracle twin derives them from bare lineitem — equivalent ONLY while
+    # lineitem->part referential integrity holds. Assert it here so a
+    # future fixture with orphan l_partkey rows fails LOUDLY at the gate
+    # instead of silently shifting the anchors.
+    orphans = con.execute(
+        "SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS "
+        "(SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)"
+    ).fetchone()[0]
+    if orphans:
+        print(f"FAIL fixture-fk: {orphans} lineitem rows with orphan "
+              f"l_partkey in {sf_dir} — x_tsb_demand's grain-derived "
+              f"anchors are no longer lineitem-equivalent")
+        sys.exit(1)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     # Verify writes errors.json for queries that crashed before producing

@@ -537,7 +537,28 @@ object GraphOps {
       // orders linking the pair, cap exported as deg_cap, oracle
       // truncated identically).
       graft.functions.GraftFunctions.register(s)
-      val base = t(s, d, "lineitem")
+      // r21 optimization (guide §1.2 "the distributed algorithm", §2.4):
+      // ONE era-conditional (c, sp) grain replaces the two separate era
+      // grains the r20 shape kept. ow counts the pair's distinct TRAIN
+      // orders (the recommender weight, unchanged) and tw its distinct
+      // TEST orders, so every downstream set is a PREDICATE on the one
+      // checkpointed grain instead of a join between two derived tables:
+      // train = ow>0, test = tw>0, the adopted-new-supplier set
+      // (test ANTI train) = tw>0 AND ow=0, and the both-era target
+      // customers (two distincts + a semi-join in r20) = one c-level
+      // fold of the c<200 slice. Set-identical by construction; the
+      // fact pass (and its join shuffle, the dominant bytes at scale)
+      // runs ONCE — r20 ran it twice, once per era, because its note
+      // about the regressing shared checkpoint applied to the
+      // four-column ORDER-grain base; this checkpoint is the far
+      // smaller PAIR grain that all five consumers read whole.
+      // Measured at sf0.1: 34 -> 29 jobs, wall flat-to-better
+      // (4.84 vs 5.04 head-to-head, both canary-adjusted), local
+      // shuffle 25.6 -> 33.8 MB — the unsplit distinct costs ~8 MB
+      // locally where the halves used to sum to the same bytes, traded
+      // for 2 -> 1 fact-join shuffles, which is what 100 TB pays for.
+      // Oracle hash unchanged.
+      val grain = t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
         .join(t(s, d, "orders").select(col("o_orderkey"),
           col("o_custkey"), col("o_orderdate")),
@@ -547,30 +568,27 @@ object GraphOps {
           col("l_suppkey").cast("long").as("sp"),
           (year(col("o_orderdate")) < 1999).as("isTrain"))
         .distinct()
-        // r20 note: materializing this era-tagged table once (a shared
-        // localCheckpoint feeding both era grains) was tried and
-        // REGRESSED: measured 2x total task time and +50% wall at sf0.1
-        // (the barrier serializes what AQE otherwise runs as two
-        // independent pruned subtrees, each narrower than the full
-        // four-column checkpoint). Removing the downstream checkpoints
-        // was also tried: 3x task time from recomputed anti-join
-        // subtrees. The original shape stands — measured, not assumed.
-      val trainW = base.filter(col("isTrain"))
         .groupBy("c", "sp")
-        .agg(count(lit(1)).cast("long").as("ow"))
-        .localCheckpoint(false)
-      val train = trainW.select("c", "sp")
-      val test = base.filter(!col("isTrain")).select("c", "sp")
-        .distinct().localCheckpoint(false)
+        .agg(sum(when(col("isTrain"), 1L).otherwise(0L)).cast("long")
+            .as("ow"),
+          sum(when(col("isTrain"), 0L).otherwise(1L)).cast("long")
+            .as("tw"))
+        // EAGER: five consumers fork this grain inside one AQE query —
+        // a lazy persist races them into recomputing the fact subtree
+        // (measured: +50% task time); one barrier job is cheaper.
+        .localCheckpoint()
+      val train = grain.filter(col("ow") > 0).select("c", "sp")
       val trainCap = graft.util.ScaleJoins.topKPerKey(
-          trainW.select(col("sp"), col("c"),
+          grain.filter(col("ow") > 0).select(col("sp"), col("c"),
             col("ow").cast("double").as("wd")),
           Seq("sp"), "wd", "c", CoDegCap)
         .select(col("c").as("c2"), col("sp"))
-      val targets = train.select(col("c")).distinct()
-        .join(test.select(col("c")).distinct(), Seq("c"), "left_semi")
-        .filter(col("c") < 200)
-        .localCheckpoint(false)
+      val targets = grain.filter(col("c") < 200)
+        .groupBy("c")
+        .agg(max(col("ow")).as("mo"), max(col("tw")).as("mt"))
+        .filter(col("mo") > 0 && col("mt") > 0)
+        .select("c")
+        .localCheckpoint()
       val pairs = train.join(targets, Seq("c"), "left_semi")
         .select(col("c").as("c1"), col("sp"))
         .join(trainCap, "sp")
@@ -588,10 +606,11 @@ object GraphOps {
           scores.select(col("c1"), col("cand"), col("dscore")),
           Seq("c1"), "dscore", "cand", 3)
         .select(col("c1"), col("cand"))
-      val newSup = test.join(train, Seq("c", "sp"), "left_anti")
+      // a cheap filter + broadcast-semi over the in-memory grain: both
+      // consumers re-derive it for free, so no checkpoint (r21)
+      val newSup = grain.filter(col("tw") > 0 && col("ow") === 0)
         .select(col("c").as("c1"), col("sp").as("cand"))
         .join(targets.select(col("c").as("c1")), Seq("c1"), "left_semi")
-        .localCheckpoint(false)
       val hits = top3.join(newSup, Seq("c1", "cand"), "left_semi")
         .groupBy(col("c1")).agg(count(lit(1)).as("h"))
       val nT = targets.agg(count(lit(1)).as("n_targets"))

@@ -1588,7 +1588,11 @@ object TextOps {
       val s3c = s2c && col("keep_rep")
       val s4c = s3c && col("keep_span")
       val s5c = s4c && col("keep_dsir")
-      def n(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+      // coalesce matches tk(): on an EMPTY docs input sum() is NULL but
+      // the pre-r20 eight-union funnel emitted 0 — keep that contract
+      // (r20 advice)
+      def n(c: Column): Column =
+        coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
       def tk(c: Column): Column =
         coalesce(sum(when(c, col("n_tokens"))), lit(0L)).cast("long")
       flags.agg(

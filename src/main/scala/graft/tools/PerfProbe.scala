@@ -68,6 +68,21 @@ object PerfProbe {
     spark.sparkContext.addSparkListener(listener)
     if (planDir != "-") Files.createDirectories(Paths.get(planDir))
 
+    // listener events are async; a FIXED sleep let task-end events
+    // arriving later than the window bleed into the next repeat's
+    // counters (r20 advice). Poll the counters to quiescence instead:
+    // done when two consecutive 100 ms snapshots are identical (cap 5 s).
+    def drainListener(): Unit = {
+      var prev = (-1L, -1L, -1L, -1L, -1L, -1L)
+      var waited = 0
+      while (waited < 5000 && {
+        val cur = (jobs, stages, tasks, taskMs, shufRead, shufWrite)
+        val changed = cur != prev
+        prev = cur
+        changed
+      }) { Thread.sleep(100); waited += 100 }
+    }
+
     val repeats = sys.env.get("SPARK_GRAFT_PROBE_REPEATS")
       .flatMap(_.trim.toIntOption).getOrElse(3).max(1)
     names.foreach { name =>
@@ -81,14 +96,14 @@ object PerfProbe {
       }
       // warm-up: JIT, codegen caches, file footers (untimed, unmeasured)
       run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      Thread.sleep(300) // drain late task-end events from the warm-up
+      drainListener() // late task-end events must not bleed into repeat 1
       val runs = (1 to repeats).map { _ =>
         shufWrite = 0L; shufRead = 0L; jobs = 0L
         stages = 0L; tasks = 0L; taskMs = 0L
         val t0 = System.nanoTime()
         run(spark, sfDir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(300) // listener events are async; let them land
+        drainListener() // snapshot only once the bus has gone quiet
         (sec, jobs, stages, tasks, taskMs, shufRead, shufWrite)
       }
       val best = runs.minBy(_._1)
