@@ -59,9 +59,15 @@ object GraphOps {
     val edges = e0.select(col("s").as("src"), (col("c") + CustOff).as("dst"))
       .union(e0.select((col("c") + CustOff).as("src"), col("s").as("dst")))
       .localCheckpoint()
+    // r21 (guide §2.4): the node set IS the degree table's key set (deg
+    // groups by src, nodes was DISTINCT src — the same exchange over the
+    // same rows), so checkpoint deg and derive nodes as a free
+    // projection: consumers that need both (pagerank, assortativity,
+    // degree histogram) stop re-running the degree aggregate, and the
+    // barrier count is unchanged (deg's checkpoint replaces nodes').
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val nodes = edges.select(col("src").as("node")).distinct()
       .localCheckpoint()
+    val nodes = deg.select(col("src").as("node"))
     (edges, deg, nodes)
   }
 
@@ -332,7 +338,7 @@ object GraphOps {
       // built FROM edges.src. Per-iteration rank is re-quantized to
       // 1e-12 so the fixed-point trajectory is engine-portable.
       val (edges, deg, nodes) = orderGraph(s, d)
-      val n = nodes.count().toDouble
+      val n = deg.count().toDouble // deg is the checkpoint; |keys| = |V|
       // r20 optimization (guide §2.4, §1.2 "the distributed algorithm"):
       // three structural cuts, arithmetic untouched so the 1e-12
       // fixed-point trajectory is bit-identical.
@@ -358,8 +364,16 @@ object GraphOps {
         // 0.15 as a literal on BOTH sides (not 1.0 - Damp: IEEE
         // 1.0-0.85 = 0.15000000000000002, a different double than the
         // parsed literal both engines use).
+        // r21 (guide §3.1): hash join instead of sort-merge — the rank
+        // vector is the per-partition build side (O(|V|/N) rows, the
+        // canonical distributed-PageRank join), dropping the six
+        // per-round sorts of the million-row edge table (task time
+        // ~15 -> ~11 s at sf0.1; the residual is exchange fetch + hash
+        // probe, the honest per-round cost). Join output feeds an
+        // order-free integer aggregate, so values are untouched.
         pr = edgesD
-          .join(pr.withColumnRenamed("node", "src"), "src")
+          .join(pr.withColumnRenamed("node", "src").hint("shuffle_hash"),
+            "src")
           .select(col("dst").as("node"),
             floor(col("pr") / col("outdeg") * 1e12 + 0.5).cast("long")
               .as("q"))
@@ -393,54 +407,56 @@ object GraphOps {
           col("o_custkey").cast("long").as("c"))
         .distinct()
         .localCheckpoint()
-      // r20: sups/hub0 are single-consumer projections of the e0
-      // checkpoint — materializing them bought nothing and cost two
-      // barrier jobs; the first half-step computes them inline
-      val sups = e0.select(col("s")).distinct()
-      var hub = sups.withColumn("h", lit(1.0))
-      var auth: DataFrame = null // set on the first half-step below
-      // the L1 total rides along as a broadcast 1-row scalar aggregate
-      // instead of a driver .head() round-trip: same Long-sum / 1e12
-      // double and the same division, so every score is bit-identical.
-      // r20 optimization: the half-step checkpoint lands on the RAW
-      // per-entity sums, BEFORE normalization — the old form
-      // checkpointed the normalized table, which made each half-step's
-      // materialization evaluate the join+aggregate subtree twice (once
-      // under the L1-total aggregate, once under the crossJoin; column
-      // pruning keeps the two copies non-identical so ReuseExchange
-      // cannot dedup them) and put the total's aggregation + broadcast
-      // on the barrier's critical path. The normalization is now a lazy
-      // projection over the checkpoint that folds into the NEXT
-      // half-step's plan: same values, one aggregate pass per half-step
-      // instead of two. Measured: 65 jobs -> ~40 at sf0.1.
-      def l1norm(raw: DataFrame, v: String): DataFrame = {
-        val tot = raw.agg((sum(floor(col(v) * 1e12 + 0.5).cast("long"))
-          / 1e12).as("_l1tot"))
-        raw.crossJoin(broadcast(tot))
-          .withColumn(v, floor(col(v) / col("_l1tot") * 1e12 + 0.5) / 1e12)
-          .drop("_l1tot")
-      }
       // one barrier per HALF-step, on the raw sums: fusing both
-      // half-steps into one barrier was tried and measured 3x total
-      // task time — the L1-total fork references the raw aggregate
-      // twice and ReuseExchange does NOT dedup the copies (column
-      // pruning canonicalizes them apart), so every lazy half-step
-      // re-ran its join+aggregate. The checkpoint pins each raw
-      // aggregate exactly once.
-      for (_ <- 1 to HitsIters) {
-        auth = l1norm(
-          e0.join(hub, "s")
-            .select(col("c"), floor(col("h") * 1e12 + 0.5).cast("long")
-              .as("q"))
-            .groupBy("c").agg((sum(col("q")).cast("long") / 1e12).as("a"))
-            .localCheckpoint(),
-          "a")
+      // half-steps into one barrier was tried (r20) and measured 3x
+      // total task time — the L1-total fork references the raw
+      // aggregate twice and ReuseExchange does NOT dedup the copies
+      // (column pruning canonicalizes them apart). The checkpoint pins
+      // each raw aggregate exactly once.
+      //
+      // r21 optimization (guide §1.2): the L1 total is now OBSERVED in
+      // the same job that materializes the half-step checkpoint
+      // (Dataset.observe — the quantized scores' exact long sum folds
+      // through an accumulator, order-free integer addition) and comes
+      // back as one driver scalar per half-step, the x_pagerank
+      // nodes.count() class of orchestration read. That replaces the
+      // r20 scalar-aggregate broadcast + crossJoin per half-step: the
+      // total is the SAME long sum, S/1e12 the same IEEE division, the
+      // literal the same double — every score bit-identical
+      // (oracle-verified). Measured at sf0.1: 67 -> 43 jobs.
+      def l1norm(raw0: DataFrame, v: String): DataFrame = {
+        val obs = org.apache.spark.sql.Observation()
+        val raw = raw0
+          .observe(obs, sum(floor(col(v) * 1e12 + 0.5).cast("long"))
+            .as("t"))
+          .localCheckpoint()
+        val tot = obs.get("t").asInstanceOf[Long] / 1e12
+        raw.withColumn(v, floor(col(v) / lit(tot) * 1e12 + 0.5) / 1e12)
+      }
+      var hub: DataFrame = null
+      var auth: DataFrame = null
+      for (i <- 1 to HitsIters) {
+        val aRaw =
+          if (i == 1)
+            // hub0 is the constant 1.0 over the DISTINCT suppliers, so
+            // joining it contributes exactly floor(1.0e12 + 0.5) = 1e12
+            // per edge: auth1's raw sum is count(edges per c)·1e12,
+            // integer-exact — the sups distinct + its join are dead
+            // weight and the r20 form's values are reproduced verbatim
+            e0.groupBy("c")
+              .agg(((count(lit(1)) * lit(1000000000000L)).cast("long")
+                / 1e12).as("a"))
+          else
+            e0.join(hub, "s")
+              .select(col("c"), floor(col("h") * 1e12 + 0.5).cast("long")
+                .as("q"))
+              .groupBy("c").agg((sum(col("q")).cast("long") / 1e12).as("a"))
+        auth = l1norm(aRaw, "a")
         hub = l1norm(
           e0.join(auth, "c")
             .select(col("s"), floor(col("a") * 1e12 + 0.5).cast("long")
               .as("q"))
-            .groupBy("s").agg((sum(col("q")).cast("long") / 1e12).as("h"))
-            .localCheckpoint(),
+            .groupBy("s").agg((sum(col("q")).cast("long") / 1e12).as("h")),
           "h")
       }
       val bySide = org.apache.spark.sql.expressions.Window
