@@ -92,9 +92,9 @@ object DemandOps {
     * probability ladder's kernel (x_tsb_demand anchored at the global
     * last day, x_tsb_backtest at the per-brand cut day); embedded
     * literals, no pow at query time. */
-  private def calLagQWCase: Column =
+  private def calLagQWCase(lagd: Column = col("lagd")): Column =
     (0 until CrostonLags).foldLeft(when(lit(false), lit(0L))) {
-      (acc, i) => acc.when(col("lagd") === i, lit(crQW(i)))
+      (acc, i) => acc.when(lagd === i, lit(crQW(i)))
     }
   private def calLagQWCaseSql: String =
     (0 until CrostonLags).map(i =>
@@ -305,51 +305,57 @@ object DemandOps {
       // ladder as Croston's; forecast rate = p̂·ẑ. Scale: one fact
       // pass to the (brand, day) grain, a grouped O(brands) probability
       // table, broadcast scalars — windows over demand-day rows only.
-      val w = Window.partitionBy("brand").orderBy("day")
-      def lagQ(i: Int): Column =
-        if (i == 0) col("q") else lag(col("q"), i).over(w)
-      // r20 optimization (guide §2.4): the day grain feeds BOTH ladders,
-      // so it is materialized once (column pruning makes the consumers'
-      // subtrees non-identical, so ReusedExchange cannot dedup them —
-      // measured: the un-checkpointed form computes the grain three
-      // times), and the two scalar anchors (global last day, calendar
-      // span) come off the grain itself instead of two more bare-date
-      // fact scans — the inner join drops nothing (FK verified on every
-      // shipped fixture: zero orphan l_partkey at sf0.001/0.01/0.1), so
-      // min/max day over the grain equal min/max over lineitem and the
-      // oracle twin, which still derives them from lineitem,
-      // hash-matches. 4 fact scans → 1 at the same wall time.
+      // r20 optimization (guide §2.4): the day grain is materialized
+      // once and both scalar anchors (global last day, calendar span)
+      // come off the grain instead of two more bare-date fact scans —
+      // the inner join drops nothing (FK verified on every shipped
+      // fixture AND asserted by the oracle gate since r21), so min/max
+      // day over the grain equal min/max over lineitem and the oracle
+      // twin, which still derives them from lineitem, hash-matches.
+      // r21 optimization (guide §1.2 "the distributed algorithm"): the
+      // three window passes (80 lag frames evaluated on EVERY grain row
+      // and then discarded for all but the rn=1 row, plus the per-brand
+      // count and the desc row_number) and the separate probability
+      // aggregate + left join collapse into ONE groupBy(brand) over the
+      // grain: each brand folds to its desc-sorted (day, q) array —
+      // bounded by the calendar (O(days) entries) at ANY corpus size —
+      // the z ladder reads the array's first 40 entries with the exact
+      // term arithmetic of ladderNum/ladderDen (same doubles, same
+      // floor/quantize ops, index i == lag i because the array is the
+      // brand's demand days in desc day order), and the probability
+      // mass folds crQW(lagd) over the lagd<40 prefix exactly as the
+      // old filtered aggregate did (order-free long sum). Grain rows
+      // now ship once (collect_list partials) instead of once per
+      // window pass, and the job chain drops ~15 -> ~6 barriers.
       val daily = demandDaily(s, d).localCheckpoint()
       val scal = daily
         .agg(max(col("day")).as("dmax"),
           (datediff(max(col("day")), min(col("day"))) + 1).cast("long")
             .as("span"))
-      val dmax = scal.select("dmax")
-      val zEst = daily
-        .withColumn("nz", ladderNum(lagQ))
-        .withColumn("dz", ladderDen(lagQ))
-        .withColumn("nd", count(lit(1)).over(Window.partitionBy("brand")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("brand").orderBy(desc("day"))))
-        .filter(col("rn") === 1)
-        .withColumn("z",
-          col("nz").cast("double") / col("dz").cast("double"))
-        .select(col("brand"), col("day").as("last_demand_day"),
-          col("nd"), col("z"))
-      val pEst = daily.crossJoin(broadcast(dmax))
-        .withColumn("lagd", datediff(col("dmax"), col("day")))
-        .filter(col("lagd") < CrostonLags)
-        .select(col("brand"), calLagQWCase.as("qw"))
-        .groupBy("brand").agg(sum(col("qw")).cast("long").as("pnum"))
-      // the probability table is O(brands) — broadcast it so the join
-      // plans as BHJ instead of a sort-merge (guide §3.1), and reuse the
-      // one scalar frame for the span instead of a fourth fact scan
-      zEst.join(broadcast(pEst), Seq("brand"), "left")
-        .withColumn("p", coalesce(col("pnum"), lit(0L)).cast("double")
-          / lit(SesDenQ).cast("double"))
-        .crossJoin(broadcast(scal.select("span")))
+      val ds = col("ds")
+      def entQ(i: Int): Column = ds(i)("q")
+      val nz = (0 until CrostonLags).map(i =>
+        when(entQ(i).isNotNull,
+          floor(entQ(i) * lit(crW(i)) * 1e9 + 0.5).cast("long"))
+          .otherwise(0L)).reduce(_ + _)
+      val dz = (0 until CrostonLags).map(i =>
+        when(entQ(i).isNotNull, lit(crQW(i))).otherwise(0L)).reduce(_ + _)
+      val pnum = aggregate(
+        filter(ds, e =>
+          datediff(col("dmax"), e("day")) < CrostonLags),
+        lit(0L),
+        (acc, e) => acc +
+          coalesce(calLagQWCase(datediff(col("dmax"), e("day"))), lit(0L)))
+      daily.groupBy(col("brand"))
+        .agg(sort_array(collect_list(struct(col("day"), col("q"))),
+          asc = false).as("ds"),
+          count(lit(1)).as("nd"))
+        .crossJoin(broadcast(scal))
+        .withColumn("z", nz.cast("double") / dz.cast("double"))
+        .withColumn("p",
+          pnum.cast("double") / lit(SesDenQ).cast("double"))
         .select(col("brand"),
-          fmtD(col("last_demand_day")).as("last_demand_day"),
+          fmtD(ds(0)("day")).as("last_demand_day"),
           col("nd").as("n_demand_days"),
           detRound((col("span") - col("nd")).cast("double")
             / col("span"), 6).as("zero_frac"),
@@ -503,7 +509,7 @@ object DemandOps {
       val tsbp = train.join(cut.select("brand", "cut_day"), "brand")
         .withColumn("lagd", datediff(col("cut_day"), col("day")))
         .filter(col("lagd") < CrostonLags)
-        .select(col("brand"), calLagQWCase.as("qw"))
+        .select(col("brand"), calLagQWCase().as("qw"))
         .groupBy("brand").agg(sum(col("qw")).cast("long").as("pnum"))
       val est = cut.join(ses, "brand")
         .join(tsbp, Seq("brand"), "left")

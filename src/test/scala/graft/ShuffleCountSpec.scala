@@ -158,7 +158,12 @@ class ShuffleCountSpec extends SparkSpec {
     "x_quade_test" -> 5,
     "x_rank_biased_overlap" -> 9,
     "x_theil_u_forecast" -> 2,
-    "x_tsb_demand" -> 5,
+    // r21 re-pin (reviewed): tsb 5 -> 3 — the three brand-partitioned
+    // window passes and the separate probability aggregate + join fold
+    // into one groupBy(brand) sorted-array aggregate; what remains is
+    // that aggregate's exchange, the scalar-anchor aggregate's, and the
+    // output sort's
+    "x_tsb_demand" -> 3,
     "x_frequent_itemsets" -> 7,
     "x_isotonic_calibration" -> 0,
     "x_kaplan_meier" -> 3,
@@ -205,10 +210,19 @@ class ShuffleCountSpec extends SparkSpec {
     "x_dedup_exact" -> 2,
     "x_dedup_minhash" -> 2,
     "x_fuzzy_pieces_d2" -> 2,
-    "x_hits" -> 4,
+    // r21 optimization re-pins (reviewed): hits 4 -> 2 folds each
+    // half-step's L1 total into the checkpoint job via Dataset.observe —
+    // the per-half-step scalar-aggregate exchange + crossJoin broadcast
+    // left the plan entirely (the two remaining exchanges are the final
+    // join + sort); recs 14 -> 16 replaces the two separate era grains
+    // (each behind its own checkpoint, hiding its exchanges) with ONE
+    // era-conditional (c, sp) grain whose consumers are visible folds —
+    // two MORE exchanges are visible while the fact join now runs once
+    // instead of twice (34 -> 29 jobs, one fact pass saved at scale)
+    "x_hits" -> 2,
     "x_hll_set_ops" -> 4,
     "x_pagerank" -> 6,
-    "x_recs_holdout_eval" -> 14,
+    "x_recs_holdout_eval" -> 16,
     "x_sim_topk" -> 2,
     "x_text_stats" -> 2,
     "x_tfidf_terms" -> 6)
