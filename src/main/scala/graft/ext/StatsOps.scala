@@ -4277,10 +4277,24 @@ object StatsOps {
         .withColumn("qqn", -floor(col("qty") * 1e4 + 0.5).cast("long"))
         .localCheckpoint()
       val n = base.agg(count(lit(1)).cast("long").as("n_suppliers"))
-      val ra = globalRank(base.select("sk", "rqn"), "rqn", Seq("sk"),
-        "ra").select("sk", "ra")
-      val rb = globalRank(base.select("sk", "qqn"), "qqn", Seq("sk"),
-        "rb").select("sk", "rb")
+      // r21 optimization (guide §2.4): only ranks ≤ RboDepth can ever
+      // contribute (the histogram filters m = max(ra, rb) ≤ depth), so
+      // each full global rank collapses to a bounded top-k —
+      // orderBy(value, sk).limit(depth) plans as TakeOrderedAndProject
+      // (per-partition bounded heaps, one O(depth) merge; O(P·depth)
+      // bytes moved instead of the full O(suppliers) two-pass rank
+      // decomposition), and row_number over the ≤depth-row result
+      // reproduces global ranks 1..depth bit-identically: the
+      // (value, sk) total order is unique, so the top-depth rows ARE
+      // the rows with global rank ≤ depth, in the same order.
+      def topRanks(vc: String, out: String): DataFrame =
+        base.select(col("sk"), col(vc))
+          .orderBy(col(vc), col("sk")).limit(RboDepth)
+          .withColumn(out, row_number().over(
+            Window.orderBy(col(vc), col("sk"))).cast("long"))
+          .select("sk", out)
+      val ra = topRanks("rqn", "ra")
+      val rb = topRanks("qqn", "rb")
       val mhist = ra.join(rb, "sk")
         .select(greatest(col("ra"), col("rb")).as("m"))
         .filter(col("m") <= RboDepth)

@@ -1499,15 +1499,30 @@ object TextOps {
         .localCheckpoint()
       val tks = docs.select(col("doc_id"),
         split(col("text"), " ").as("tk"), col("n_tokens").as("n"))
-      val dup3 = tks.filter(col("n") >= 3)
-        .select(col("doc_id"), col("n"), explode(expr(
-          "transform(sequence(1, int(n) - 2), " +
-            "i -> concat_ws(' ', slice(tk, i, 3)))")).as("g"))
-        .groupBy(col("doc_id"), col("n"), col("g"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .groupBy(col("doc_id"), col("n")).agg(sum(col("c")).as("d3"))
-        .select(col("doc_id"),
-          least(lit(1.0), col("d3") * 3.0 / col("n")).as("dup3_frac"))
+      // r21 optimization (guide §2.3/§2.4): the within-doc repetition
+      // gate is a PER-DOC statistic, so it needs no shuffle at all —
+      // the old form exploded every 3-gram (O(corpus tokens) rows),
+      // hash-shuffled them to a (doc, gram) count, filtered and
+      // re-aggregated, then joined back to docs. A per-row fold over
+      // the doc's SORTED 3-gram array computes the identical d3 =
+      // Σ_{c≥2} c (runs of equal neighbors in the sorted array ARE the
+      // per-gram counts — exact integer fold, same least(1, 3d3/n)),
+      // removing one corpus-wide explode+exchange and one join from
+      // the plan. NULL seeds the run tracker so no real 3-gram can
+      // collide with the initial state.
+      val d3fold = expr(
+        """aggregate(
+             sort_array(transform(sequence(1, int(n_tokens) - 2),
+               i -> concat_ws(' ', slice(tk, i, 3)))),
+             struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS acc),
+             (st, e) -> IF(e = st.prev,
+               struct(e AS prev, st.run + 1L AS run, st.acc AS acc),
+               struct(e AS prev, 1L AS run,
+                 st.acc + IF(st.run >= 2L, st.run, 0L) AS acc)),
+             st -> st.acc + IF(st.run >= 2L, st.run, 0L))""")
+      val dup3Frac =
+        when(col("n_tokens") >= 3, least(lit(1.0),
+          d3fold * 3.0 / col("n_tokens"))).otherwise(0.0)
       val shp = tks.filter(col("n") >= 8)
         .select(col("doc_id"), explode(expr(
           s"""transform(sequence(1, int(n) - 7),
@@ -1565,10 +1580,11 @@ object TextOps {
         .agg(sum(col("nb") * col("q")).cast("long").as("sq"))
       val h = substring(md5(col("doc_id").cast("string")), 1, 2)
       val flags = docs
-        .join(dup3, Seq("doc_id"), "left")
+        .withColumn("tk", split(col("text"), " "))
+        .withColumn("dup3_frac", dup3Frac)
+        .drop("tk")
         .join(spanCov, Seq("doc_id"), "left")
         .join(dsir, Seq("doc_id"))
-        .withColumn("dup3_frac", coalesce(col("dup3_frac"), lit(0.0)))
         .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
         .withColumn("keep_lang", col("lang").isin("en", "de", "es"))
         .withColumn("keep_rep", col("dup3_frac") <= 0.05)

@@ -156,7 +156,13 @@ class ShuffleCountSpec extends SparkSpec {
     "x_nemenyi_posthoc" -> 3,
     "x_palma_ratio" -> 6,
     "x_quade_test" -> 5,
-    "x_rank_biased_overlap" -> 9,
+    // r21 re-pin (reviewed): rbo 9 -> 2 — only ranks <= depth(100) can
+    // contribute to the max-rank histogram, so the two full globalRank
+    // decompositions (each: distinct-value cumsum exchange + per-value
+    // window exchange + rejoin) collapse to two TakeOrderedAndProject
+    // top-100s (bounded per-partition heaps, not ShuffleExchangeLike);
+    // the remaining two exchanges are the base grain aggregate's
+    "x_rank_biased_overlap" -> 2,
     "x_theil_u_forecast" -> 2,
     // r21 re-pin (reviewed): tsb 5 -> 3 — the three brand-partitioned
     // window passes and the separate probability aggregate + join fold
@@ -201,7 +207,11 @@ class ShuffleCountSpec extends SparkSpec {
     // window shingler + 3x-Expand distinct with the (pair, shingle)
     // pre-aggregate; pagerank 0 -> 6 runs all six rank rounds as ONE
     // visible linear query (was: every round behind its own barrier)
-    "x_curation_pipeline" -> 13,
+    // r21 re-pin (reviewed): curation 13 -> 11 — the within-doc 3-gram
+    // repetition gate became a per-row sorted-array fold (per-doc
+    // statistic, no shuffle), dropping the 3-gram explode's aggregate
+    // exchange and its join back to docs
+    "x_curation_pipeline" -> 11,
     "x_dedup_saturation" -> 5,
     "x_fdr_bh" -> 4,
     "x_group_sequential" -> 4,
