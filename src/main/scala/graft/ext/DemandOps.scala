@@ -224,16 +224,15 @@ object DemandOps {
        FROM lineitem JOIN part ON l_partkey = p_partkey
        GROUP BY 1, 2"""
 
-  /** Global calendar span (scalar, broadcast): zero-demand days are
-    * implicit in the day-grain table, so every per-brand statistic that
-    * must count them derives the zero count from this one span. The
-    * extra fact scan is pruned to the single date column. */
-  private def spanFrame(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .agg(min(date_trunc("day", col("l_shipdate"))).as("mn"),
-        max(date_trunc("day", col("l_shipdate"))).as("mx"))
-      .select((datediff(col("mx"), col("mn")) + 1).cast("long").as("span"))
-
+  // Global calendar span (scalar, broadcast): zero-demand days are
+  // implicit in the day-grain table, so every per-brand statistic that
+  // must count them derives the zero count from this one span. Since
+  // r21 every Spark-side consumer derives it from its own checkpointed
+  // (brand, day) grain (min/max day over the grain == min/max over
+  // lineitem because the part join drops nothing — FK asserted by the
+  // oracle gate) instead of paying a second pruned fact scan; the
+  // DuckDB twin below still scans lineitem, so the hash compare proves
+  // the equivalence on every fixture.
   private val spanSql =
     """SELECT CAST(date_diff('day', min(date_trunc('day', l_shipdate)),
                              max(date_trunc('day', l_shipdate))) + 1
@@ -257,25 +256,47 @@ object DemandOps {
       // terms 1e9-quantized before summing. Output: the latest estimate
       // per brand with the intermittency profile (zero-day fraction)
       // that justifies the method.
-      val w = Window.partitionBy("brand").orderBy("day")
-      def lagQ(i: Int): Column =
-        if (i == 0) col("q") else lag(col("q"), i).over(w)
-      def lagIv(i: Int): Column =
-        if (i == 0) col("iv") else lag(col("iv"), i).over(w)
-      demandDaily(s, d)
-        .withColumn("iv",
-          datediff(col("day"), lag(col("day"), 1).over(w)).cast("double"))
-        .withColumn("nz", ladderNum(lagQ)).withColumn("dz", ladderDen(lagQ))
-        .withColumn("np", ladderNum(lagIv)).withColumn("dp", ladderDen(lagIv))
-        .withColumn("nd", count(lit(1)).over(Window.partitionBy("brand")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("brand").orderBy(desc("day"))))
-        .filter(col("rn") === 1)
-        .crossJoin(broadcast(spanFrame(s, d)))
-        .withColumn("z", col("nz").cast("double") / col("dz").cast("double"))
+      // r21 optimization (guide §1.2/§2.4, the x_tsb_demand pattern):
+      // the two lag ladders need only the latest row's view of the last
+      // 40 demand days per brand, so the three window passes (80 lag
+      // frames evaluated on EVERY grain row, then discarded for all but
+      // rn=1) and the separate calendar-span fact scan collapse into
+      // ONE groupBy(brand) over the checkpointed grain plus a scalar
+      // fold of it. The desc-sorted (day, q) array gives lag i of q as
+      // ds[i].q and lag i of the inter-demand interval as
+      // datediff(ds[i].day, ds[i+1].day) — null exactly where the old
+      // lag()s were null (the oldest demand day has no interval), so
+      // ladder terms are value-identical. span derives from the grain:
+      // the part join drops nothing (FK asserted by the oracle gate),
+      // so grain min/max day == lineitem min/max day and the oracle
+      // twin, which still scans lineitem for it, hash-matches.
+      val daily = demandDaily(s, d).localCheckpoint()
+      val scal = daily.agg(
+        (datediff(max(col("day")), min(col("day"))) + 1).cast("long")
+          .as("span"))
+      val ds = col("ds")
+      def entQ(i: Int): Column = ds(i)("q")
+      def entIv(i: Int): Column =
+        datediff(ds(i)("day"), ds(i + 1)("day")).cast("double")
+      def ladNum(v: Int => Column): Column =
+        (0 until CrostonLags).map(i =>
+          when(v(i).isNotNull,
+            floor(v(i) * lit(crW(i)) * 1e9 + 0.5).cast("long"))
+            .otherwise(0L)).reduce(_ + _)
+      def ladDen(v: Int => Column): Column =
+        (0 until CrostonLags).map(i =>
+          when(v(i).isNotNull, lit(crQW(i))).otherwise(0L)).reduce(_ + _)
+      daily.groupBy(col("brand"))
+        .agg(sort_array(collect_list(struct(col("day"), col("q"))),
+          asc = false).as("ds"),
+          count(lit(1)).as("nd"))
+        .crossJoin(broadcast(scal))
+        .withColumn("z",
+          ladNum(entQ).cast("double") / ladDen(entQ).cast("double"))
+        .withColumn("dp", ladDen(entIv))
         .withColumn("p", when(col("dp") > 0,
-          col("np").cast("double") / col("dp").cast("double")))
-        .select(col("brand"), fmtD(col("day")).as("last_day"),
+          ladNum(entIv).cast("double") / col("dp").cast("double")))
+        .select(col("brand"), fmtD(ds(0)("day")).as("last_day"),
           col("nd").as("n_demand_days"),
           detRound((col("span") - col("nd")).cast("double") / col("span"), 6)
             .as("zero_frac"),
@@ -375,12 +396,19 @@ object DemandOps {
       // Σq², so both moments come from the demand-day table + the scalar
       // span. All sums DECIMAL-exact; σ and √L are single exactly-rounded
       // IEEE sqrt ops on identical doubles.
-      demandDaily(s, d)
+      // r21 (guide §2.4): span off the checkpointed grain instead of a
+      // second pruned fact scan — FK gate-asserted, oracle twin still
+      // lineitem-derived, hash unchanged (the x_tsb_demand argument)
+      val daily = demandDaily(s, d).localCheckpoint()
+      val scal = daily.agg(
+        (datediff(max(col("day")), min(col("day"))) + 1).cast("long")
+          .as("span"))
+      daily
         .groupBy(col("brand"))
         .agg(count(lit(1)).as("nd"), sum(col("qq")).as("s1"),
           sum(floor(col("q") * col("q") * 1e4 + 0.5).cast("decimal(38,0)"))
             .as("s2"))
-        .crossJoin(broadcast(spanFrame(s, d)))
+        .crossJoin(broadcast(scal))
         .withColumn("sy", col("s1").cast("double") / 1e4)
         .withColumn("syy", col("s2").cast("double") / 1e4)
         .withColumn("mu", col("sy") / col("span"))
@@ -416,18 +444,25 @@ object DemandOps {
       // levels (window ordered O(distinct levels)), pick the first
       // level whose 4·cum ≥ 3·span — pure integer comparison, no
       // floating-point percentile semantics to disagree on.
-      val hist = demandDaily(s, d)
+      // r21 (guide §2.4): grain checkpointed once; BOTH span uses read
+      // one grain-derived scalar frame instead of two more pruned fact
+      // scans (FK gate-asserted; oracle twin unchanged)
+      val daily = demandDaily(s, d).localCheckpoint()
+      val scal = daily.agg(
+        (datediff(max(col("day")), min(col("day"))) + 1).cast("long")
+          .as("span"))
+      val hist = daily
         .groupBy(col("brand"), col("q")).agg(count(lit(1)).as("cnt"))
       val withZero = hist.unionByName(
         hist.groupBy(col("brand")).agg(sum(col("cnt")).cast("long").as("nd"))
-          .crossJoin(broadcast(spanFrame(s, d)))
+          .crossJoin(broadcast(scal))
           .select(col("brand"), lit(0.0).as("q"),
             (col("span") - col("nd")).as("cnt")))
       val cw = Window.partitionBy("brand").orderBy("q")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       withZero
         .withColumn("cum", sum(col("cnt")).over(cw))
-        .crossJoin(broadcast(spanFrame(s, d)))
+        .crossJoin(broadcast(scal))
         .filter(col("cum") * (NvUnder + NvOver) >= lit(NvUnder) * col("span"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("brand").orderBy("q")))
@@ -464,8 +499,10 @@ object DemandOps {
       val cut = backtestCut(train)
       val ses = sesEstimate(train, cut)
       val est = cut.join(ses, "brand").localCheckpoint()
-      val dmax = t(s, d, "lineitem")
-        .agg(max(date_trunc("day", col("l_shipdate"))).as("dmax"))
+      // r21 (guide §2.4): dmax off the checkpointed day grain instead
+      // of another pruned fact scan (FK gate-asserted; oracle twin
+      // still lineitem-derived, hash unchanged)
+      val dmax = daily0.agg(max(col("day")).as("dmax"))
       val fin = holdoutScore(daily0, est, dmax,
         Seq("cro" -> "croston_rate", "sba" -> "sba_rate",
           "ses" -> "ses_rate"))
@@ -517,8 +554,8 @@ object DemandOps {
           coalesce(col("pnum"), lit(0L)).cast("double")
             / lit(SesDenQ).cast("double") * col("z"))
         .localCheckpoint()
-      val dmax = t(s, d, "lineitem")
-        .agg(max(date_trunc("day", col("l_shipdate"))).as("dmax"))
+      // r21: dmax off the checkpointed day grain (see x_croston_backtest)
+      val dmax = daily0.agg(max(col("day")).as("dmax"))
       val fin = holdoutScore(daily0, est, dmax,
         Seq("tsb" -> "tsb_rate", "cro" -> "croston_rate",
           "sba" -> "sba_rate", "ses" -> "ses_rate"))
@@ -559,12 +596,18 @@ object DemandOps {
       // pass to the day grain, everything downstream O(brands); moments
       // DECIMAL-exact; √ is a single exactly-rounded IEEE op on
       // identical doubles, divisions guarded per the family discipline.
-      demandDaily(s, d)
+      // r21 (guide §2.4): span off the checkpointed grain — the
+      // x_safety_stock note applies verbatim
+      val daily = demandDaily(s, d).localCheckpoint()
+      val scal = daily.agg(
+        (datediff(max(col("day")), min(col("day"))) + 1).cast("long")
+          .as("span"))
+      daily
         .groupBy(col("brand"))
         .agg(sum(col("qq")).as("s1"),
           sum(floor(col("q") * col("q") * 1e4 + 0.5).cast("decimal(38,0)"))
             .as("s2"))
-        .crossJoin(broadcast(spanFrame(s, d)))
+        .crossJoin(broadcast(scal))
         .withColumn("sy", col("s1").cast("double") / 1e4)
         .withColumn("syy", col("s2").cast("double") / 1e4)
         .withColumn("mu", col("sy") / col("span"))

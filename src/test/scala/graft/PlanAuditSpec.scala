@@ -326,7 +326,15 @@ class PlanAuditSpec extends SparkSpec {
     // pre-checkpoint plans are one scan + one grouped aggregate — no raw
     // scan, window, or cross product hides behind any of them.
     "x_tsb_demand", "x_mase_forecast", "x_theil_u_forecast",
-    "x_lorenz_curve", "x_palma_ratio", "x_hoover_index")
+    "x_lorenz_curve", "x_palma_ratio", "x_hoover_index",
+    // r21 optimization round, reviewed: the rest of the demand family
+    // adopts the x_tsb_demand posture — each checkpoints its ONE
+    // (brand, day) demand grain (scan + grouped aggregate, nothing
+    // hidden) and derives the calendar-span / last-day scalars from it
+    // instead of paying a second pruned fact scan (FK asserted by the
+    // oracle gate; twins still lineitem-derived, hash-compared).
+    "x_croston_demand", "x_safety_stock", "x_newsvendor_quantile",
+    "x_eoq_policy")
 
   test("localCheckpoint boundaries appear only in reviewed queries") {
     val withRdd = plans.collect {

@@ -127,7 +127,7 @@ class ShuffleCountSpec extends SparkSpec {
     // fence-count groupings; x_eoq_policy's 4 is the day-grain agg +
     // policy joins
     "x_cochran_q" -> 3,
-    "x_eoq_policy" -> 4,
+    "x_eoq_policy" -> 3,
     "x_generalized_esd" -> 1,
     "x_kendalls_w" -> 3,
     "x_page_trend" -> 1,
@@ -185,7 +185,12 @@ class ShuffleCountSpec extends SparkSpec {
     // checkpointed histogram (distincts + grid join + two cumsum
     // windows), all O(levels×values)
     "x_clustering_coeff" -> 3,
-    "x_croston_demand" -> 4,
+    // r21 re-pin (reviewed): croston 4 -> 3 and eoq 4 -> 3 — both adopt
+    // the tsb sorted-array/grain-scalar shape (croston: three window
+    // passes -> one groupBy(brand); eoq: span scan -> grain fold);
+    // remaining exchanges are the brand aggregate, the scalar-anchor
+    // aggregate, and the output sort
+    "x_croston_demand" -> 3,
     "x_holt_winters" -> 5,
     "x_jonckheere_terpstra" -> 9,
     "x_textrank_keywords" -> 0,
