@@ -66,14 +66,6 @@ object DemandOps {
   // 1e9-quantized before the row-local sum, present-lag quantized
   // weights as the normalizer. A quantizer change now cannot drift the
   // three ops apart.
-  private def ladderNum(lg: Int => Column): Column =
-    (0 until CrostonLags).map(i =>
-      when(lg(i).isNotNull,
-        floor(lg(i) * lit(crW(i)) * 1e9 + 0.5).cast("long"))
-        .otherwise(0L)).reduce(_ + _)
-  private def ladderDen(lg: Int => Column): Column =
-    (0 until CrostonLags).map(i =>
-      when(lg(i).isNotNull, lit(crQW(i))).otherwise(0L)).reduce(_ + _)
   private def ladderNumSql(e: String): String =
     (0 until CrostonLags).map { i =>
       val v = if (i == 0) e else s"lag($e, $i) OVER win"
@@ -101,90 +93,105 @@ object DemandOps {
       s"WHEN $i THEN CAST(${crQW(i)} AS BIGINT)").mkString(" ")
 
   // ---- backtest scaffolding (r18: hoisted when x_tsb_backtest became
-  // the second consumer — the ladder lesson, applied to the skeleton
-  // x_croston_backtest built) ----------------------------------------------
+  // the second consumer; r21: the whole train/cut/holdout protocol
+  // folds to ONE groupBy(brand) over the desc-sorted (day, q) array —
+  // the x_tsb_demand pattern. Array index IS the old reverse row
+  // number minus one: entries 0..7 are the holdout demand days, entry
+  // 8 is the cut day, entries 8.. are the train series. Every ladder,
+  // the SES/TSB horizon sums, and the holdout error sums become
+  // per-row folds with term-for-term identical arithmetic (exact long
+  // quantized terms; the old grouped sums were order-free), so the
+  // old shape's three window passes, four derived tables, two
+  // checkpoints, and holdout join disappear. ------------------------------
 
-  /** Day grain with reverse row numbers (rnd = 1 is the latest demand
-    * day per brand), checkpointed once for the train/holdout split. */
-  private def backtestDaily(s: SparkSession, d: String): DataFrame =
-    demandDaily(s, d)
-      .withColumn("rnd", row_number().over(
-        Window.partitionBy("brand").orderBy(desc("day"))))
-      .localCheckpoint()
+  /** Shared array-ladder terms (one definition for croston_demand,
+    * tsb_demand, and both backtests — the r17 one-ladder lesson). */
+  private[ext] def ladNumArr(v: Int => Column): Column =
+    (0 until CrostonLags).map(i =>
+      when(v(i).isNotNull,
+        floor(v(i) * lit(crW(i)) * 1e9 + 0.5).cast("long"))
+        .otherwise(0L)).reduce(_ + _)
+  private[ext] def ladDenArr(v: Int => Column): Column =
+    (0 until CrostonLags).map(i =>
+      when(v(i).isNotNull, lit(crQW(i))).otherwise(0L)).reduce(_ + _)
 
-  /** Per-brand cut-day estimates off the train prefix: Croston's z/p
-    * ladders evaluated at the last train demand day, plus the raw z
-    * (TSB's size estimate IS Croston's — shared by construction). */
-  private def backtestCut(train: DataFrame): DataFrame = {
-    val wAsc = Window.partitionBy("brand").orderBy("day")
-    def lagQ(i: Int): Column =
-      if (i == 0) col("q") else lag(col("q"), i).over(wAsc)
-    def lagIv(i: Int): Column =
-      if (i == 0) col("iv") else lag(col("iv"), i).over(wAsc)
-    train
-      .withColumn("iv",
-        datediff(col("day"), lag(col("day"), 1).over(wAsc))
-          .cast("double"))
-      .withColumn("nz", ladderNum(lagQ)).withColumn("dz", ladderDen(lagQ))
-      .withColumn("np", ladderNum(lagIv)).withColumn("dp", ladderDen(lagIv))
-      .withColumn("nt", count(lit(1)).over(Window.partitionBy("brand")))
-      .withColumn("rn2", row_number().over(
-        Window.partitionBy("brand").orderBy(desc("day"))))
-      .filter(col("rn2") === 1)
+  private val dsc = col("ds")
+  /** Lag i of q / of the inter-demand interval as seen from the CUT
+    * row (array index CrostonHoldout + i) — null exactly where the old
+    * window lag() over the train prefix was null (the oldest train day
+    * has no interval; lags past the train length do not exist). */
+  private def cutQ(i: Int): Column = dsc(CrostonHoldout + i)("q")
+  private def cutIv(i: Int): Column =
+    datediff(dsc(CrostonHoldout + i)("day"),
+      dsc(CrostonHoldout + i + 1)("day")).cast("double")
+
+  /** The SES weight ladder looked up by calendar lag (double weights —
+    * the quantized twin is calLagQWCase). */
+  private def crWCase(lagd: Column): Column =
+    (0 until CrostonLags).foldLeft(when(lit(false), 0.0)) {
+      (acc, i) => acc.when(lagd === i, lit(crW(i)))
+    }
+
+  /** Σ term(q, lagd) over train entries within the cut's 40-day
+    * calendar horizon (lagd = cut_day − day ∈ [0, CrostonLags)) —
+    * exactly the rows the old train⋈cut + lagd filter kept. */
+  private def cutHorizonFold(term: (Column, Column) => Column): Column =
+    aggregate(
+      filter(dsc, (e, i) =>
+        i >= CrostonHoldout &&
+          datediff(dsc(CrostonHoldout)("day"), e("day")) < CrostonLags),
+      lit(0L),
+      (acc, e) => acc + coalesce(
+        term(e("q"), datediff(dsc(CrostonHoldout)("day"), e("day"))),
+        lit(0L)))
+
+  /** Σ floor(|q − rate|·1e6 + 0.5) over the CrostonHoldout holdout
+    * entries; a NULL rate poisons the fold to NULL exactly as the old
+    * all-NULL-terms grouped sum was NULL (the rate is per-brand
+    * constant, so the terms were all-or-nothing NULL). */
+  private def holdoutErrFold(rate: Column): Column =
+    aggregate(slice(dsc, 1, CrostonHoldout), lit(0L),
+      (acc, e) => acc +
+        floor(abs(e("q") - rate) * 1e6 + 0.5).cast("long"))
+
+  /** Per-brand scored backtest base: brands with more than
+    * CrostonHoldout demand days (exactly the brands whose old train
+    * prefix was non-empty), with cut-day estimates (Croston z/p ladder,
+    * croston/sba/ses rates) and the holdout window constants. dmax off
+    * the checkpointed grain (FK gate-asserted; oracle twins still
+    * lineitem-derived, hash-compared). */
+  private def bktScored(s: SparkSession, d: String): DataFrame = {
+    val daily = demandDaily(s, d).localCheckpoint()
+    val dmaxF = daily.agg(max(col("day")).as("dmax"))
+    daily.groupBy(col("brand"))
+      .agg(sort_array(collect_list(struct(col("day"), col("q"))),
+        asc = false).as("ds"), count(lit(1)).as("nd"))
+      .filter(col("nd") > CrostonHoldout)
+      .crossJoin(broadcast(dmaxF))
+      .withColumn("cut_day", dsc(CrostonHoldout)("day"))
+      .withColumn("nt", col("nd") - CrostonHoldout)
       .withColumn("z",
-        col("nz").cast("double") / col("dz").cast("double"))
+        ladNumArr(cutQ).cast("double") / ladDenArr(cutQ).cast("double"))
+      .withColumn("dp", ladDenArr(cutIv))
       .withColumn("p", when(col("dp") > 0,
-        col("np").cast("double") / col("dp").cast("double")))
+        ladNumArr(cutIv).cast("double") / col("dp").cast("double")))
       .withColumn("croston_rate", when(col("p") > 0, col("z") / col("p")))
       .withColumn("sba_rate",
         when(col("p") > 0, lit(SbaFactor) * col("z") / col("p")))
-      .select(col("brand"), col("day").as("cut_day"), col("nt"),
-        col("z"), col("croston_rate"), col("sba_rate"))
-  }
-
-  /** Zero-inclusive-daily SES estimate at the cut: demand days inside
-    * the 40-day lag horizon with the full 40-weight sum as constant
-    * normalizer (zero days never materialized). */
-  private def sesEstimate(train: DataFrame, cut: DataFrame): DataFrame = {
-    val wcase = (0 until CrostonLags).foldLeft(when(lit(false), 0.0)) {
-      (acc, i) => acc.when(col("lagd") === i, lit(crW(i)))
-    }
-    train.join(cut.select("brand", "cut_day"), "brand")
-      .withColumn("lagd", datediff(col("cut_day"), col("day")))
-      .filter(col("lagd") < CrostonLags)
-      .select(col("brand"),
-        floor(col("q") * wcase * 1e9 + 0.5).cast("long").as("qt"))
-      .groupBy("brand").agg(sum(col("qt")).cast("long").as("sesq"))
+      .withColumn("sesq", cutHorizonFold((q, lagd) =>
+        floor(q * crWCase(lagd) * 1e9 + 0.5).cast("long")))
       .withColumn("ses_rate",
         col("sesq").cast("double") / lit(SesDenQ).cast("double"))
-      .select("brand", "ses_rate")
-  }
-
-  /** Holdout scoring: per-brand exact integer error sums for each
-    * (method, rate-column) over the holdout calendar window — zero
-    * days contribute |0 − f| = f via the (h_span − hn) term, never
-    * materialized. Emits e_<m>, q_<m>, hn, h_span. */
-  private def holdoutScore(daily0: DataFrame, est: DataFrame,
-      dmax: DataFrame, methods: Seq[(String, String)]): DataFrame = {
-    def qae(f: Column): Column =
-      floor(abs(col("q") - f) * 1e6 + 0.5).cast("decimal(38,0)")
-    val aggs = methods.map { case (m, c) =>
-      sum(qae(col(c))).as(s"e_$m")
-    } :+ count(lit(1)).cast("long").as("hn")
-    val sc = daily0.filter(col("rnd") <= CrostonHoldout)
-      .join(broadcast(est), "brand")
-      .groupBy("brand")
-      .agg(aggs.head, aggs.tail: _*)
-    val base = sc.join(broadcast(est), "brand")
-      .crossJoin(broadcast(dmax))
+      .withColumn("hn", lit(CrostonHoldout.toLong))
       .withColumn("h_span",
         datediff(col("dmax"), col("cut_day")).cast("long"))
-    methods.foldLeft(base) { case (df, (m, c)) =>
-      df.withColumn(s"q_$m", col(s"e_$m").cast("long")
-        + (col("h_span") - col("hn"))
-          * floor(col(c) * 1e6 + 0.5).cast("long"))
-    }
   }
+
+  /** Exact integer holdout score for one method: demand-day error fold
+    * plus the (h_span − hn)·⌊rate·1e6⌉ zero-day term. */
+  private def qScore(rate: Column): Column =
+    holdoutErrFold(rate) + (col("h_span") - col("hn")) *
+      floor(rate * 1e6 + 0.5).cast("long")
 
   // One-sided 95% normal service-level quantile (Φ⁻¹(0.95)), and the
   // review lead time in days for the reorder-point policy.
@@ -278,24 +285,16 @@ object DemandOps {
       def entQ(i: Int): Column = ds(i)("q")
       def entIv(i: Int): Column =
         datediff(ds(i)("day"), ds(i + 1)("day")).cast("double")
-      def ladNum(v: Int => Column): Column =
-        (0 until CrostonLags).map(i =>
-          when(v(i).isNotNull,
-            floor(v(i) * lit(crW(i)) * 1e9 + 0.5).cast("long"))
-            .otherwise(0L)).reduce(_ + _)
-      def ladDen(v: Int => Column): Column =
-        (0 until CrostonLags).map(i =>
-          when(v(i).isNotNull, lit(crQW(i))).otherwise(0L)).reduce(_ + _)
       daily.groupBy(col("brand"))
         .agg(sort_array(collect_list(struct(col("day"), col("q"))),
           asc = false).as("ds"),
           count(lit(1)).as("nd"))
         .crossJoin(broadcast(scal))
         .withColumn("z",
-          ladNum(entQ).cast("double") / ladDen(entQ).cast("double"))
-        .withColumn("dp", ladDen(entIv))
+          ladNumArr(entQ).cast("double") / ladDenArr(entQ).cast("double"))
+        .withColumn("dp", ladDenArr(entIv))
         .withColumn("p", when(col("dp") > 0,
-          ladNum(entIv).cast("double") / col("dp").cast("double")))
+          ladNumArr(entIv).cast("double") / col("dp").cast("double")))
         .select(col("brand"), fmtD(ds(0)("day")).as("last_day"),
           col("nd").as("n_demand_days"),
           detRound((col("span") - col("nd")).cast("double") / col("span"), 6)
@@ -355,12 +354,8 @@ object DemandOps {
             .as("span"))
       val ds = col("ds")
       def entQ(i: Int): Column = ds(i)("q")
-      val nz = (0 until CrostonLags).map(i =>
-        when(entQ(i).isNotNull,
-          floor(entQ(i) * lit(crW(i)) * 1e9 + 0.5).cast("long"))
-          .otherwise(0L)).reduce(_ + _)
-      val dz = (0 until CrostonLags).map(i =>
-        when(entQ(i).isNotNull, lit(crQW(i))).otherwise(0L)).reduce(_ + _)
+      val nz = ladNumArr(entQ)
+      val dz = ladDenArr(entQ)
       val pnum = aggregate(
         filter(ds, e =>
           datediff(col("dmax"), e("day")) < CrostonLags),
@@ -494,19 +489,13 @@ object DemandOps {
       // error sums (never the divided doubles), ties broken
       // croston > sba > ses. Scale: one fact pass to day grain,
       // everything downstream O(brands × demand days).
-      val daily0 = backtestDaily(s, d)
-      val train = daily0.filter(col("rnd") > CrostonHoldout)
-      val cut = backtestCut(train)
-      val ses = sesEstimate(train, cut)
-      val est = cut.join(ses, "brand").localCheckpoint()
-      // r21 (guide §2.4): dmax off the checkpointed day grain instead
-      // of another pruned fact scan (FK gate-asserted; oracle twin
-      // still lineitem-derived, hash unchanged)
-      val dmax = daily0.agg(max(col("day")).as("dmax"))
-      val fin = holdoutScore(daily0, est, dmax,
-        Seq("cro" -> "croston_rate", "sba" -> "sba_rate",
-          "ses" -> "ses_rate"))
-      fin.select(col("brand"), fmtD(col("cut_day")).as("cut_day"),
+      // r21: one groupBy(brand) over the sorted day array replaces the
+      // train/cut/ses/holdout table chain — see the scaffolding note
+      bktScored(s, d)
+        .withColumn("q_cro", qScore(col("croston_rate")))
+        .withColumn("q_sba", qScore(col("sba_rate")))
+        .withColumn("q_ses", qScore(col("ses_rate")))
+        .select(col("brand"), fmtD(col("cut_day")).as("cut_day"),
           col("nt").as("n_train"), col("hn").as("n_holdout"),
           col("h_span").as("h_span_days"),
           detRound(col("q_cro").cast("double") / 1e6 / col("h_span"), 6)
@@ -528,7 +517,7 @@ object DemandOps {
       // Does TSB's obsolescence handling actually WIN on this data?
       // The four-way extension of x_croston_backtest: same train/
       // holdout split, same cut-day scaffolding (shared builders —
-      // backtestDaily/backtestCut/sesEstimate/holdoutScore), plus the
+      // bktScored/cutHorizonFold/qScore), plus the
       // TSB estimate at the cut — probability from the calendar-lag
       // β-ladder anchored at the per-brand cut day (train demand days
       // only, zero days never materialized), size = the cut's own
@@ -539,27 +528,20 @@ object DemandOps {
       // SBA keeps most brands (15/25), TSB takes 7; TSB's edge is
       // obsolescence, which this calendar does not contain. Scale:
       // identical posture to x_croston_backtest.
-      val daily0 = backtestDaily(s, d)
-      val train = daily0.filter(col("rnd") > CrostonHoldout)
-      val cut = backtestCut(train)
-      val ses = sesEstimate(train, cut)
-      val tsbp = train.join(cut.select("brand", "cut_day"), "brand")
-        .withColumn("lagd", datediff(col("cut_day"), col("day")))
-        .filter(col("lagd") < CrostonLags)
-        .select(col("brand"), calLagQWCase().as("qw"))
-        .groupBy("brand").agg(sum(col("qw")).cast("long").as("pnum"))
-      val est = cut.join(ses, "brand")
-        .join(tsbp, Seq("brand"), "left")
+      // r21: one groupBy(brand) over the sorted day array replaces the
+      // train/cut/ses/tsbp/holdout table chain — see the scaffolding
+      // note; pnum is the same horizon fold with the quantized weights
+      bktScored(s, d)
+        .withColumn("pnum", cutHorizonFold((_, lagd) =>
+          calLagQWCase(lagd)))
         .withColumn("tsb_rate",
-          coalesce(col("pnum"), lit(0L)).cast("double")
+          col("pnum").cast("double")
             / lit(SesDenQ).cast("double") * col("z"))
-        .localCheckpoint()
-      // r21: dmax off the checkpointed day grain (see x_croston_backtest)
-      val dmax = daily0.agg(max(col("day")).as("dmax"))
-      val fin = holdoutScore(daily0, est, dmax,
-        Seq("tsb" -> "tsb_rate", "cro" -> "croston_rate",
-          "sba" -> "sba_rate", "ses" -> "ses_rate"))
-      fin.select(col("brand"), fmtD(col("cut_day")).as("cut_day"),
+        .withColumn("q_tsb", qScore(col("tsb_rate")))
+        .withColumn("q_cro", qScore(col("croston_rate")))
+        .withColumn("q_sba", qScore(col("sba_rate")))
+        .withColumn("q_ses", qScore(col("ses_rate")))
+        .select(col("brand"), fmtD(col("cut_day")).as("cut_day"),
           col("nt").as("n_train"), col("hn").as("n_holdout"),
           col("h_span").as("h_span_days"),
           detRound(col("q_tsb").cast("double") / 1e6 / col("h_span"), 6)

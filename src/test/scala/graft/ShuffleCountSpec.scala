@@ -114,7 +114,12 @@ class ShuffleCountSpec extends SparkSpec {
     // residual is the final sort
     "x_abc_xyz" -> 10,
     "x_betweenness_sample" -> 2,
-    "x_croston_backtest" -> 2,
+    // r21 re-pin (reviewed): croston_backtest 2 -> 3 — the old shape hid
+    // its work behind backtestDaily/est checkpoints (2 = the residual
+    // holdout join + sort); the array rewrite runs the whole protocol
+    // as one visible query off the single grain checkpoint: the brand
+    // array aggregate, the dmax scalar aggregate, and the output sort
+    "x_croston_backtest" -> 3,
     "x_grubbs_outlier" -> 1,
     // r18 fresh-tier rotation (the r17 additions): the block-spine
     // members' visible plans start from the checkpointed complete-block
