@@ -1493,12 +1493,21 @@ object TextOps {
       // sums, exact divisions), so the whole funnel hash-checks. The
       // plan is the union of the component plans — nothing new
       // shuffles; the stage rows are O(1) aggregates.
+      // r21: the checkpoint materializes the TOKEN ARRAY instead of the
+      // raw text — every consumer (3-gram gate, 8-gram shingler, DSIR
+      // token pass) tokenizes, so the split runs once at checkpoint
+      // build instead of once per consumer, and the per-row 3-gram fold
+      // below reads a bound attribute (CollapseProject would otherwise
+      // inline split(text) into the transform lambda and re-split the
+      // doc once PER ELEMENT — measured O(n^2), +1 s wall). Same bytes
+      // persisted (tokens replace the text they came from).
       val docs = t(s, d, "documents")
-        .select(col("doc_id"), col("lang"), col("source"), col("text"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          split(col("text"), " ").as("tk"))
+        .withColumn("n_tokens", size(col("tk")).cast("long"))
         .localCheckpoint()
       val tks = docs.select(col("doc_id"),
-        split(col("text"), " ").as("tk"), col("n_tokens").as("n"))
+        col("tk"), col("n_tokens").as("n"))
       // r21 optimization (guide §2.3/§2.4): the within-doc repetition
       // gate is a PER-DOC statistic, so it needs no shuffle at all —
       // the old form exploded every 3-gram (O(corpus tokens) rows),
@@ -1557,7 +1566,7 @@ object TextOps {
       // is bit-identical to the per-token sum.
       val feat = docs
         .select(col("doc_id"), col("source").isin("src0", "src1").as("tgt"),
-          explode(split(col("text"), " ")).as("tok"))
+          explode(col("tk")).as("tok"))
         .withColumn("b",
           conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("int") % 64)
         .groupBy(col("doc_id"), col("tgt"), col("b"))
@@ -1580,9 +1589,7 @@ object TextOps {
         .agg(sum(col("nb") * col("q")).cast("long").as("sq"))
       val h = substring(md5(col("doc_id").cast("string")), 1, 2)
       val flags = docs
-        .withColumn("tk", split(col("text"), " "))
         .withColumn("dup3_frac", dup3Frac)
-        .drop("tk")
         .join(spanCov, Seq("doc_id"), "left")
         .join(dsir, Seq("doc_id"))
         .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
